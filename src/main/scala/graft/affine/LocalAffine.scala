@@ -1,0 +1,177 @@
+package graft.affine
+
+import org.apache.spark.sql.{Encoder, SparkSession}
+import graft.core.{Block, BlockGrid, BlockIndex, GridMeta}
+import graft.ndarray.Nd
+
+/** A small dense grid of per-block affine matrices — the side input of
+  * /root/reference/dask_stitch/local_affine.py (shape (gx,gy,gz,4,4) or
+  * (gx,gy,gz,3,4); only rows [:3], cols [:3] and [-1] are read,
+  * local_affine.py:21-22). Kept float64 like the reference's einsum.
+  * Flat layout: m[(((x*gy)+y)*gz + z)*rows*cols + r*cols + col].
+  */
+final case class AffineGrid(gx: Int, gy: Int, gz: Int, rows: Int, cols: Int, m: Array[Double]) {
+  require(m.length == gx.toLong * gy * gz * rows * cols, "affine buffer size mismatch")
+  def gridDims: Array[Int] = Array(gx, gy, gz)
+  def matOffset(x: Int, y: Int, z: Int): Int = (((x * gy) + y) * gz + z) * rows * cols
+}
+
+/** Dense blended deformation-field synthesis from a grid of local affines —
+  * the Spark-native re-expression of local_affine.py:110-139.
+  *
+  * Physical plan: ZERO shuffles. The coordinate grid is never
+  * materialized or rechunked (the reference's meshgrid+rechunk at
+  * local_affine.py:11-13 becomes per-executor generation from
+  * BlockIndex); the affines ship once via `broadcast` (= `delayed`,
+  * local_affine.py:124); each task applies <=27 neighbor affines to its
+  * own overlap sub-grids and blends — the reference's
+  * recompute-over-communicate design, which is exactly right at scale.
+  * Beyond ~10^6 blocks the broadcast should become a join on BlockIndex
+  * against a small DataFrame (SURVEY.md §7.5); below that it is ~MBs.
+  *
+  * Fidelity notes (SURVEY.md §7.5, verified): the seam weighting is NOT a
+  * partition of unity — voxels on the higher-index side of each seam sum
+  * to (4/3)^d for d seam axes (reversed weight slices,
+  * local_affine.py:85-94). Reproduced bug-for-bug. Coordinates are exact
+  * Float (not the reference's int16, which overflows >32767 voxels/axis —
+  * documented divergence, SURVEY.md §1.2).
+  */
+object LocalAffine {
+  private implicit val blockEnc: Encoder[Block] = BlockGrid.blockEncoder
+
+  /** The merge_neighbors kernel (local_affine.py:33-107) for one block:
+    * generates this block's world-space coordinate sub-grid on the fly and
+    * accumulates <=27 weighted neighbor affine fields. Neighbor iteration
+    * is offset-lexicographic like the reference's itertools.product
+    * (local_affine.py:79) so float32 accumulation order matches.
+    */
+  def mergeNeighbors(
+      bi: BlockIndex,
+      bs: Array[Int],
+      grid: Array[Int],
+      spacing: Array[Float],
+      affines: AffineGrid,
+      overlap: Array[Int],
+      displacement: Boolean): Array[Float] = {
+    val nx = bs(0); val ny = bs(1); val nz = bs(2)
+    val out = new Array[Float](nx * ny * nz * 3)
+    val prof = Array.tabulate(3) { ax =>
+      Nd.affineProfile(bs(ax), overlap(ax), bi(ax) == 0, bi(ax) == grid(ax) - 1)
+    }
+    val start = Array(bi.bx * nx, bi.by * ny, bi.bz * nz)
+    val cols = affines.cols
+
+    // Per-axis slice descriptor for neighbor offset `no`: block-local range
+    // [b0, b0+len) plus the weight-profile index per position — mirrors
+    // local_affine.py:85-94 exactly, including the slice REVERSAL that
+    // causes the (4/3)^d seam quirk.
+    def axisSlices(ax: Int, no: Int): (Int, Array[Int]) = {
+      val o = overlap(ax); val b = bs(ax); val wlen = prof(ax).length
+      no match {
+        case -1 => (0, Array.tabulate(o)(i => o - i)) // ws = slice(o, 0, -1)
+        case 1 => (b - o, Array.tabulate(o)(i => wlen - 1 - i)) // slice(-1,-o-1,-1)
+        case _ => (0, Array.tabulate(b)(i => o + i)) // slice(o, -o)
+      }
+    }
+
+    var nox = -1
+    while (nox <= 1) {
+      var noy = -1
+      while (noy <= 1) {
+        var noz = -1
+        while (noz <= 1) {
+          val ix = bi.bx + nox; val iy = bi.by + noy; val iz = bi.bz + noz
+          if (ix >= 0 && iy >= 0 && iz >= 0 &&
+              ix < grid(0) && iy < grid(1) && iz < grid(2)) {
+            val mOff = affines.matOffset(ix, iy, iz)
+            val m = affines.m
+            val (x0, wsx) = axisSlices(0, nox)
+            val (y0, wsy) = axisSlices(1, noy)
+            val (z0, wsz) = axisSlices(2, noz)
+            val wxp = prof(0); val wyp = prof(1); val wzp = prof(2)
+            var i = 0
+            while (i < wsx.length) {
+              val gxv = (start(0) + x0 + i).toFloat * spacing(0)
+              val px = gxv.toDouble
+              val wxv = wxp(wsx(i))
+              var j = 0
+              while (j < wsy.length) {
+                val gyv = (start(1) + y0 + j).toFloat * spacing(1)
+                val py = gyv.toDouble
+                val wxy = wxv * wyp(wsy(j))
+                var k = 0
+                while (k < wsz.length) {
+                  val gzv = (start(2) + z0 + k).toFloat * spacing(2)
+                  val pz = gzv.toDouble
+                  val w = wxy * wzp(wsz(k))
+                  // affine_to_field (local_affine.py:16-30): rows [:3],
+                  // translation = last column; double math like einsum
+                  var rx = m(mOff) * px + m(mOff + 1) * py + m(mOff + 2) * pz + m(mOff + cols - 1)
+                  var ry = m(mOff + cols) * px + m(mOff + cols + 1) * py + m(mOff + cols + 2) * pz + m(mOff + 2 * cols - 1)
+                  var rz = m(mOff + 2 * cols) * px + m(mOff + 2 * cols + 1) * py + m(mOff + 2 * cols + 2) * pz + m(mOff + 3 * cols - 1)
+                  if (displacement) { rx -= px; ry -= py; rz -= pz }
+                  val di = ((((x0 + i) * ny) + (y0 + j)) * nz + (z0 + k)) * 3
+                  out(di) += (rx * w).toFloat
+                  out(di + 1) += (ry * w).toFloat
+                  out(di + 2) += (rz * w).toFloat
+                  k += 1
+                }
+                j += 1
+              }
+              i += 1
+            }
+          }
+          noz += 1
+        }
+        noy += 1
+      }
+      nox += 1
+    }
+    out
+  }
+
+  /** Top-level field synthesis (local_affine.py:110-139): generated grid ->
+    * broadcast affines -> per-block kernel -> crop to `shape`. Zero
+    * shuffles; one broadcast; blocks generated from `spark.range`.
+    */
+  def localAffinesToField(
+      spark: SparkSession,
+      shape: Array[Long],
+      spacing: Array[Float],
+      affines: AffineGrid,
+      blocksize: Array[Int],
+      overlap: Array[Int],
+      displacement: Boolean = true): BlockGrid = {
+    val grid = affines.gridDims
+    val bs = blocksize.clone()
+    val meta = GridMeta(shape.clone(), bs, Array(0, 0, 0), grid.clone(), components = 3)
+    val nBlocks = meta.numBlocks
+    val bAff = spark.sparkContext.broadcast(affines)
+    val sp = spacing.clone()
+    val ov = overlap.clone()
+    val g = grid.clone()
+    val sh = shape.clone()
+
+    import spark.implicits._
+    val ds = spark.range(0, nBlocks, 1, math.min(nBlocks, spark.sparkContext.defaultParallelism * 2).toInt)
+      .as[Long]
+      .map { i => BlockIndex.fromLinear(i, g) }(org.apache.spark.sql.Encoders.product[BlockIndex])
+      // keep only blocks intersecting the requested shape (crop,
+      // local_affine.py:136 — padded domain minus out-of-range blocks)
+      .filter { bi: BlockIndex =>
+        bi.bx.toLong * bs(0) < sh(0) && bi.by.toLong * bs(1) < sh(1) && bi.bz.toLong * bs(2) < sh(2)
+      }
+      .map { bi =>
+        val full = mergeNeighbors(bi, bs, g, sp, bAff.value, ov, displacement)
+        // trim partial edge blocks to the cropped shape
+        val ex = math.min(bs(0).toLong, sh(0) - bi.bx.toLong * bs(0)).toInt
+        val ey = math.min(bs(1).toLong, sh(1) - bi.by.toLong * bs(1)).toInt
+        val ez = math.min(bs(2).toLong, sh(2) - bi.bz.toLong * bs(2)).toInt
+        val data =
+          if (ex == bs(0) && ey == bs(1) && ez == bs(2)) full
+          else Nd.sliceCopy(full, bs(0), bs(1), bs(2), 3, 0, 0, 0, ex, ey, ez)
+        Block(bi, ex, ey, ez, 3, data)
+      }(blockEnc)
+    BlockGrid(meta, ds)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.ndarray
+
+/** Pure-JVM kernels over flat row-major Array[Float] buffers — the engine's
+  * analogue of the reference's in-kernel numpy math (SURVEY.md §2a #12).
+  * No Spark types here: everything is unit-testable without a session and
+  * stays inside executor-local tight loops at runtime.
+  */
+object Nd {
+
+  /** Linear-blend weight profile for the stitch path, one spatial axis.
+    *
+    * Reproduces /root/reference/dask_stitch/stitch.py:15-38: core of ones
+    * sized `bs - 2*o + 2`, then on each side either a constant-1 pad
+    * (domain boundary) or a linear ramp of length `2*o - 1` down to 0
+    * (interior face). Total length = bs + 2*o (the input chunk extent).
+    * Ramp values at distance j from the outer end: j / (2*o - 1)
+    * (np.pad mode='linear_ramp', end_values=0 — verified profile for
+    * bs=8,o=2: [0,1/3,2/3,1,...,1,2/3,1/3,0], SURVEY.md §2a #1).
+    */
+  def stitchProfile(bs: Int, o: Int, isLo: Boolean, isHi: Boolean): Array[Float] = {
+    val ramp = 2 * o - 1
+    val n = bs + 2 * o
+    val w = new Array[Float](n)
+    java.util.Arrays.fill(w, 1.0f)
+    if (!isLo) { // interior low face: ramp up from 0
+      var j = 0
+      while (j < ramp) { w(j) = j.toFloat / ramp; j += 1 }
+    }
+    if (!isHi) { // interior high face: ramp down to 0
+      var j = 0
+      while (j < ramp) { w(n - 1 - j) = j.toFloat / ramp; j += 1 }
+    }
+    w
+  }
+
+  /** Blend weight profile for the local-affine path, one spatial axis.
+    *
+    * Reproduces /root/reference/dask_stitch/local_affine.py:52-75:
+    * `o' = max(0, 2*o - 1)`, core of ones sized `bs - o' + 1`, pads of
+    * length `o'` per side (constant 1 at domain boundary, linear ramp to 0
+    * interior). Total length = bs + o' + 1 — deliberately LONGER than the
+    * block; `merge_neighbors` samples it through reversed slices
+    * (local_affine.py:85-94), which is the source of the (4/3)^d seam
+    * quirk this engine reproduces bug-for-bug (SURVEY.md §7.5).
+    */
+  def affineProfile(bs: Int, o: Int, isLo: Boolean, isHi: Boolean): Array[Float] = {
+    val op = math.max(0, 2 * o - 1)
+    val n = bs + op + 1
+    val w = new Array[Float](n)
+    java.util.Arrays.fill(w, 1.0f)
+    if (!isLo) {
+      var j = 0
+      while (j < op) { w(j) = j.toFloat / op; j += 1 }
+    }
+    if (!isHi) {
+      var j = 0
+      while (j < op) { w(n - 1 - j) = j.toFloat / op; j += 1 }
+    }
+    w
+  }
+
+  /** In-place separable weighting: data(x,y,z,k) *= wx(x)*wy(y)*wz(z).
+    * The product of per-axis profiles equals numpy's sequential
+    * multi-axis linear_ramp pad (separability verified by the
+    * partition-of-unity golden). Broadcast over the trailing component
+    * axis mirrors stitch.py:42-43.
+    */
+  def mulSeparable(
+      data: Array[Float], nx: Int, ny: Int, nz: Int, c: Int,
+      wx: Array[Float], wy: Array[Float], wz: Array[Float]): Unit = {
+    var i = 0
+    var x = 0
+    while (x < nx) {
+      val fx = wx(x)
+      var y = 0
+      while (y < ny) {
+        val fxy = fx * wy(y)
+        var z = 0
+        while (z < nz) {
+          val f = fxy * wz(z)
+          var k = 0
+          while (k < c) { data(i) = data(i) * f; i += 1; k += 1 }
+          z += 1
+        }
+        y += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Copy a rectangular sub-region out of a row-major (nx,ny,nz,c) buffer. */
+  def sliceCopy(
+      src: Array[Float], nx: Int, ny: Int, nz: Int, c: Int,
+      x0: Int, y0: Int, z0: Int, dx: Int, dy: Int, dz: Int): Array[Float] = {
+    val out = new Array[Float](dx * dy * dz * c)
+    val rowLen = dz * c
+    var oi = 0
+    var x = 0
+    while (x < dx) {
+      var y = 0
+      while (y < dy) {
+        val si = (((x0 + x) * ny + (y0 + y)) * nz + z0) * c
+        System.arraycopy(src, si, out, oi, rowLen)
+        oi += rowLen
+        y += 1
+      }
+      x += 1
+    }
+    out
+  }
+
+  /** Add a (dx,dy,dz,c) patch into a row-major (nx,ny,nz,c) buffer at
+    * offset (x0,y0,z0) — the `result[...] += ...` accumulation of
+    * stitch.py:58-89 re-expressed as patch placement.
+    */
+  def addInto(
+      dst: Array[Float], nx: Int, ny: Int, nz: Int, c: Int,
+      patch: Array[Float], x0: Int, y0: Int, z0: Int, dx: Int, dy: Int, dz: Int): Unit = {
+    val rowLen = dz * c
+    var pi = 0
+    var x = 0
+    while (x < dx) {
+      var y = 0
+      while (y < dy) {
+        var di = (((x0 + x) * ny + (y0 + y)) * nz + z0) * c
+        var r = 0
+        while (r < rowLen) { dst(di) += patch(pi); di += 1; pi += 1; r += 1 }
+        y += 1
+      }
+      x += 1
+    }
+  }
+
+  /** max |a-b| over two equal-length buffers (test helper). */
+  def maxAbsDiff(a: Array[Float], b: Array[Float]): Float = {
+    require(a.length == b.length, s"${a.length} != ${b.length}")
+    var m = 0.0f
+    var i = 0
+    while (i < a.length) { val d = math.abs(a(i) - b(i)); if (d > m) m = d; i += 1 }
+    m
+  }
+}

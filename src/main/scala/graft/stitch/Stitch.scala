@@ -1,0 +1,133 @@
+package graft.stitch
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import graft.core.{Block, BlockGrid, BlockIndex, GridMeta}
+import graft.ndarray.Nd
+
+/** One halo fragment in flight: source tile data destined for target block
+  * (tx,ty,tz), to be added at offset (x0,y0,z0) with extent (dx,dy,dz).
+  * `srcKey` is the source block's linear index — groups sort on it before
+  * summing so float32 accumulation order is deterministic run-to-run
+  * (SURVEY.md §7.5).
+  */
+final case class HaloPiece(
+    tx: Int, ty: Int, tz: Int,
+    srcKey: Long,
+    x0: Int, y0: Int, z0: Int,
+    dx: Int, dy: Int, dz: Int,
+    data: Array[Float])
+
+/** Linear-blend stitching of overlapping tiles — the Spark-native
+  * re-expression of /root/reference/dask_stitch/stitch.py.
+  *
+  * Semantics (verified against the reference, SURVEY.md §2a #1-4): each
+  * input tile of extent blocksize+2*overlap is multiplied by a separable
+  * ramp weight tensor, then every weighted tile is conceptually placed at
+  * global offset (bi*blocksize - overlap) and overlapping contributions
+  * are summed. The weights form an exact partition of unity, so constant
+  * tiles stitch to the same constant. Output chunks are exactly
+  * `blocksize` (stitch.py:120).
+  *
+  * Physical plan: one narrow `map` (weighting, codegen-fused) + ONE
+  * shuffle: a 27-way `flatMap` keyed by target block, `groupByKey`,
+  * `mapGroups` assemble-and-sum. Shuffle volume = output volume + the
+  * halo fraction — never a second exchange. At 100 TB this is the only
+  * all-to-all and it hash-partitions uniformly on BlockIndex (uniform
+  * block sizes → no skew; AQE has nothing to fix).
+  */
+object Stitch {
+  private implicit val blockEnc: Encoder[Block] = BlockGrid.blockEncoder
+  private implicit val pieceEnc: Encoder[HaloPiece] = Encoders.product[HaloPiece]
+  private implicit val keyEnc: Encoder[(Int, Int, Int)] =
+    Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt)
+
+  /** Apply the per-tile separable blend weights (stitch.py:7-46). Pure
+    * per-row kernel; no data movement.
+    */
+  def weightBlock(b: Block, meta: GridMeta): Block = {
+    val bs = meta.blocksize; val o = meta.overlap; val g = meta.blockGrid
+    val wx = Nd.stitchProfile(bs(0), o(0), b.bi.bx == 0, b.bi.bx == g(0) - 1)
+    val wy = Nd.stitchProfile(bs(1), o(1), b.bi.by == 0, b.bi.by == g(1) - 1)
+    val wz = Nd.stitchProfile(bs(2), o(2), b.bi.bz == 0, b.bi.bz == g(2) - 1)
+    val out = b.data.clone()
+    Nd.mulSeparable(out, b.nx, b.ny, b.nz, b.c, wx, wy, wz)
+    b.copy(data = out)
+  }
+
+  /** Full stitch pipeline: weight -> halo exchange -> per-block sum.
+    * Input chunks must be blocksize + 2*overlap per axis; output chunks
+    * are exactly blocksize (the verified contract of stitch.py:94-121).
+    */
+  def stitchBlocks(grid: BlockGrid): BlockGrid = {
+    val meta = grid.meta
+    val bs = meta.blocksize; val o = meta.overlap; val g = meta.blockGrid
+    val c = meta.components
+    require(o.forall(_ >= 1), "stitch requires overlap >= 1 per axis (2o-1 ramps)")
+
+    val outMeta = meta.copy(overlap = Array(0, 0, 0))
+
+    val pieces = grid.ds.flatMap { b =>
+      val w = weightBlock(b, meta)
+      val src = w.bi
+      val out = scala.collection.mutable.ArrayBuffer.empty[HaloPiece]
+      var dx = -1
+      while (dx <= 1) {
+        var dy = -1
+        while (dy <= 1) {
+          var dz = -1
+          while (dz <= 1) {
+            val tgt = src + ((dx, dy, dz))
+            if (tgt.inGrid(g)) {
+              // global intersection of tile support [src*bs - o, src*bs + bs + o)
+              // with target output region [tgt*bs, tgt*bs + bs), per axis
+              var ok = true
+              val off = new Array[Int](3) // offset within target block
+              val sOff = new Array[Int](3) // offset within source tile
+              val ext = new Array[Int](3)
+              var ax = 0
+              while (ax < 3 && ok) {
+                val sLo = src(ax).toLong * bs(ax) - o(ax)
+                val sHi = sLo + bs(ax) + 2 * o(ax)
+                val tLo = tgt(ax).toLong * bs(ax)
+                val tHi = tLo + bs(ax)
+                val lo = math.max(sLo, tLo); val hi = math.min(sHi, tHi)
+                if (hi <= lo) ok = false
+                else {
+                  off(ax) = (lo - tLo).toInt
+                  sOff(ax) = (lo - sLo).toInt
+                  ext(ax) = (hi - lo).toInt
+                }
+                ax += 1
+              }
+              if (ok) {
+                val patch = Nd.sliceCopy(
+                  w.data, w.nx, w.ny, w.nz, c,
+                  sOff(0), sOff(1), sOff(2), ext(0), ext(1), ext(2))
+                out += HaloPiece(
+                  tgt.bx, tgt.by, tgt.bz, src.linear(g),
+                  off(0), off(1), off(2), ext(0), ext(1), ext(2), patch)
+              }
+            }
+            dz += 1
+          }
+          dy += 1
+        }
+        dx += 1
+      }
+      out.toSeq
+    }
+
+    val merged = pieces
+      .groupByKey(p => (p.tx, p.ty, p.tz))
+      .mapGroups { (key, it) =>
+        val acc = new Array[Float](bs(0) * bs(1) * bs(2) * c)
+        // deterministic float32 accumulation: sort the <=27 pieces by source
+        it.toArray.sortBy(_.srcKey).foreach { p =>
+          Nd.addInto(acc, bs(0), bs(1), bs(2), c, p.data, p.x0, p.y0, p.z0, p.dx, p.dy, p.dz)
+        }
+        Block(BlockIndex(key._1, key._2, key._3), bs(0), bs(1), bs(2), c, acc)
+      }
+
+    BlockGrid(outMeta, merged)
+  }
+}
