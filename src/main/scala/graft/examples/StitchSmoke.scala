@@ -18,6 +18,10 @@ object StitchSmoke {
       .appName("StitchSmoke")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
+      // ICU case-mapping tables take ~60s of CPU to build on first
+      // upper()/lower() call (CollationAwareUTF8String static init);
+      // the JVM path is identical for this corpus (ASCII) and instant
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

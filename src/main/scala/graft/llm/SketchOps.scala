@@ -1,0 +1,250 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import scala.util.hashing.MurmurHash3
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** Sketch-based near-dup / ANN operators (MinHash+LSH, SimHash,
+  * random-hyperplane ANN) and the multimodal binary-column plumbing.
+  * Not SQL-expressible → rows-only driver checks; their exact-baseline
+  * twins (q34 n-gram Jaccard, q37 brute-force kNN) are oracle-checked.
+  *
+  * All randomness is derived from splitmix64 over fixed seeds, so every
+  * run (and every executor) sees identical hash families.
+  *
+  * Scale notes: signatures are narrow per-row kernels; candidate
+  * generation shuffles only (band, bucket) keys — the full O(n²) pair
+  * space is never materialized. At 100 TB the band tables are the only
+  * shuffled data (k longs per doc), and bucket joins are standard hash
+  * joins AQE can skew-split.
+  */
+object SketchOps {
+
+  // ---- deterministic hash families ----------------------------------
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val MersennePrime = (1L << 61) - 1
+  private val NumPerms = 64
+  private val Bands = 16 // 16 bands x 4 rows
+
+  private lazy val permA: Array[Long] =
+    Array.tabulate(NumPerms)(i => (splitmix64(2 * i + 1) & Long.MaxValue) % (MersennePrime - 1) + 1)
+  private lazy val permB: Array[Long] =
+    Array.tabulate(NumPerms)(i => (splitmix64(2 * i + 2) & Long.MaxValue) % MersennePrime)
+
+  private def tokensOf(text: String): Array[String] =
+    text.trim.toLowerCase.split("\\s+")
+
+  private def shinglesOf(toks: Array[String]): Array[Long] = {
+    if (toks.length < 3) return Array.empty
+    val out = new Array[Long](toks.length - 2)
+    var i = 0
+    while (i < toks.length - 2) {
+      val s = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+      out(i) = MurmurHash3.stringHash(s).toLong & 0xffffffffL
+      i += 1
+    }
+    out.distinct
+  }
+
+  /** MinHash signature: sig(i) = min over shingles of (a_i*x + b_i) mod p */
+  private def minhash(sh: Array[Long]): Array[Long] = {
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
+    var j = 0
+    while (j < sh.length) {
+      val x = sh(j)
+      var i = 0
+      while (i < NumPerms) {
+        // 61-bit Mersenne modular mulAdd without overflow (Math.multiplyHigh)
+        val hi = Math.multiplyHigh(permA(i), x)
+        val lo = permA(i) * x
+        // fold 128-bit product mod 2^61-1: (lo mod) + 8*hi (since 2^64 = 8 mod p)
+        var m = (lo & MersennePrime) + (lo >>> 61) + ((hi << 3) & MersennePrime) + (hi >>> 58) + permB(i)
+        while (m >= MersennePrime) m -= MersennePrime
+        if (m < sig(i)) sig(i) = m
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  private def bandHashes(sig: Array[Long]): Array[Long] = {
+    val r = NumPerms / Bands
+    Array.tabulate(Bands) { b =>
+      var h = 1125899906842597L
+      var i = b * r
+      while (i < (b + 1) * r) { h = h * 31 + sig(i); i += 1 }
+      h
+    }
+  }
+
+  /** 64-bit SimHash over token hashes */
+  private def simhash64(toks: Array[String]): Long = {
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = splitmix64(MurmurHash3.stringHash(toks(i)).toLong)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- MinHash + LSH banding: per-doc signature + candidate count ----
+    "q35_minhash_lsh" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sig = Tables.documents(s, d)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val sh = shinglesOf(tokensOf(text))
+            val sg = minhash(sh)
+            (id, sh.length, sg(0), bandHashes(sg))
+          }
+          .toDF("doc_id", "n_shingles", "sig0", "bands")
+        val bandRows = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+        val cands = bandRows.as("a").join(bandRows.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+        val perDoc = cands.select(explode(array(col("da"), col("db"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+        sig.select("doc_id", "n_shingles", "sig0")
+          .join(perDoc, Seq("doc_id"), "left")
+          .na.fill(0, Seq("n_candidates"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // ---- SimHash near-dup: signature + banded hamming neighbors ----
+    "q36_simhash" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sig = Tables.documents(s, d)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) => (id, simhash64(tokensOf(text))) }
+          .toDF("doc_id", "sim")
+        // candidates share one of four 16-bit bands
+        val bands = sig.select(col("doc_id"), col("sim"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("e"))
+          .select(col("doc_id"), col("sim"), col("e.band"), col("e.bh"))
+        val near = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 16)
+        val perDoc = near.select(explode(array(col("da"), col("db"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+        sig.join(perDoc, Seq("doc_id"), "left").na.fill(0, Seq("n_near"))
+          .select(col("doc_id"), col("sim").as("simhash"), col("n_near"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // ---- ANN: random-hyperplane LSH buckets, top-1 within bucket ----
+    "q38_knn_lsh" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val dim = 64; val planes = 8
+        // deterministic hyperplanes: uniform [-1,1] from splitmix64
+        val hp = Array.tabulate(planes, dim) { (p, j) =>
+          (splitmix64(p * 1009L + j).toDouble / Long.MaxValue)
+        }
+        val bucketOf = (emb: Seq[Float]) => {
+          var sig = 0
+          var p = 0
+          while (p < planes) {
+            var dot = 0.0
+            var j = 0
+            while (j < dim) { dot += hp(p)(j) * emb(j); j += 1 }
+            if (dot > 0) sig |= (1 << p)
+            p += 1
+          }
+          sig
+        }
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+          .map { case (id, v) => (id, bucketOf(v), v) }
+          .toDF("vec_id", "bucket", "embedding")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("bucket").as("qbucket"),
+            col("embedding").as("qv"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+        val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+          aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x)
+        val bucketSizes = e.groupBy(col("bucket").as("sz_bucket"))
+          .agg(count(lit(1)).as("bucket_size"))
+        broadcast(q).join(e, col("qbucket") === col("bucket") && col("vec_id") =!= col("qid"), "left")
+          .withColumn("cos",
+            dot(col("qv"), col("embedding")) /
+              (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("embedding"), col("embedding")))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(bucketSizes, col("qbucket") === col("sz_bucket"), "left")
+          .select(col("qid"), col("qbucket"),
+            coalesce(col("bucket_size"), lit(1)).as("bucket_size"),
+            col("vec_id").as("nn_id"), col("cos"))
+          .orderBy("qid")
+      },
+      None),
+
+    // ---- multimodal: opaque binary payload + batch "decode" plumbing.
+    //      The decode kernel is a clearly-marked deterministic STUB (no
+    //      image/audio libs in this container); the Spark-side schema,
+    //      batching, and partition flow are real. ----
+    "q40_multimodal_decode" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+            struct(col("source"), col("lang")).as("meta"))
+        // typed mapPartitions = the batch-decode boundary a real pipeline
+        // would hand to an image/audio codec (one codec init per partition)
+        val decoded = payloads.select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            // STUB decoder: deterministic fake features — 4 stripe byte-sums.
+            // A real deployment replaces only this function body.
+            it.map { case (id, bytes) =>
+              val f = new Array[Float](4)
+              var i = 0
+              while (i < bytes.length) {
+                f(i % 4) += (bytes(i) & 0xff) / 255.0f
+                i += 1
+              }
+              (id, bytes.length, f)
+            }
+          }
+          .toDF("doc_id", "n_bytes", "features")
+        decoded
+          .join(payloads.select(col("doc_id"), col("meta")), "doc_id")
+          .select(col("doc_id"), col("n_bytes"), col("meta.source").as("source"),
+            element_at(col("features"), 1).as("f0"), element_at(col("features"), 2).as("f1"))
+          .orderBy("doc_id")
+      },
+      None),
+  )
+}

@@ -1,0 +1,391 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** The relational operator surface (SURVEY.md §2b / §7.6): TPC-H-shaped
+  * queries over the driver's tables, each written with the declarative
+  * DataFrame API (Catalyst handles pushdown/pruning/join planning) and
+  * paired with an ANSI-SQL oracle the driver runs in DuckDB.
+  *
+  * Cross-engine determinism rules (so hash compares can't flake):
+  *   - Money/float SUMs go through exact integer cents:
+  *     sum(cast(round(x*100) as bigint)) — identical in both engines
+  *     regardless of accumulation order.
+  *   - Averages/ratios are derived from exact operands (cents / counts),
+  *     one IEEE division → bit-identical.
+  *   - Every result has a total deterministic ORDER BY in BOTH dialects,
+  *     with NULLS FIRST pinned where rollup/outer joins can emit nulls.
+  */
+object RelQueries {
+  final case class Q(
+      fn: (SparkSession, String) => DataFrame,
+      sql: Option[String],
+      /** included in the Bench headline set */
+      headline: Boolean = false)
+
+  /** exact money sum in integer cents */
+  private def cents(e: Column): Column = sum(round(e * 100, 0).cast("long"))
+
+  import Tables._
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- aggregation: partial+final hash agg, exact-cents sums (Q1) ----
+    "q01_pricing_summary" -> Q(
+      (s, d) =>
+        lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            cents(col("l_extendedprice")).as("sum_base_cents"),
+            cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_cents"),
+            cents(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+              .as("sum_charge_cents"),
+            count(lit(1)).as("count_order"))
+          .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+          .withColumn("avg_price", col("sum_base_cents") / lit(100.0) / col("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+             |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+             |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+             |  count(*) AS count_order,
+             |  sum(l_quantity)/count(*) AS avg_qty,
+             |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0/count(*) AS avg_price
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // ---- scan + filter + projection with pushdown ----
+    "q02_filter_project" -> Q(
+      (s, d) =>
+        part(s, d)
+          .filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"),
+            round(col("p_retailprice") * 100, 0).cast("long").as("price_cents"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_brand, p_size,
+             |  CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
+             |FROM part WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- 3-way join + agg + top-k, small dim broadcast (Q3) ----
+    "q03_top_revenue" -> Q(
+      (s, d) => {
+        val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = orders(s, d)
+        val l = lineitem(s, d)
+        broadcast(c)
+          .join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+             |GROUP BY o_orderkey
+             |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin),
+      headline = true),
+
+    // ---- semi join + agg (Q4) ----
+    "q04_order_priority" -> Q(
+      (s, d) => {
+        val o = orders(s, d)
+        val l = lineitem(s, d).select("l_orderkey").distinct()
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders WHERE EXISTS (
+             |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- 6-way join through the star schema (Q5) ----
+    "q05_local_supplier" -> Q(
+      (s, d) => {
+        val r = region(s, d).filter(col("r_name") === "ASIA")
+        val n = nation(s, d)
+        val c = customer(s, d)
+        val o = orders(s, d)
+        val l = lineitem(s, d)
+        val sup = supplier(s, d)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM lineitem, orders, supplier, customer, nation, region
+             |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+             |  AND o_custkey = c_custkey AND c_nationkey = s_nationkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin),
+      headline = true),
+
+    // ---- selective scan-only aggregate (Q6): pushdown must reach parquet ----
+    "q06_revenue_forecast" -> Q(
+      (s, d) =>
+        lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(cents(col("l_extendedprice") * col("l_discount")).as("revenue_cents")),
+      Some("""SELECT CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+      headline = true),
+
+    // ---- window function: rank within partition ----
+    "q07_top_orders_per_cust" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("total_cents"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, total_cents FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin),
+      headline = true),
+
+    // ---- global sort + limit (top-k) ----
+    "q08_top_orders" -> Q(
+      (s, d) =>
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("total_cents"))
+          .orderBy(col("total_cents").desc, col("o_orderkey"))
+          .limit(100),
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+             |FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ---- distinct aggregation ----
+    "q09_distinct_counts" -> Q(
+      (s, d) =>
+        lineitem(s, d).agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+             |FROM lineitem""".stripMargin)),
+
+    // ---- grouping sets: rollup with null subtotal keys ----
+    "q10_rollup" -> Q(
+      (s, d) =>
+        lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ---- set ops: intersect / except on key domains ----
+    "q11_setops" -> Q(
+      (s, d) => {
+        val ck = customer(s, d).select(col("c_custkey").as("k"))
+        val ok = orders(s, d).select(col("o_custkey").as("k"))
+        ck.intersect(ok).withColumn("tag", lit("both"))
+          .union(ck.except(ok).withColumn("tag", lit("no_orders")))
+          .orderBy("tag", "k")
+      },
+      Some("""SELECT k, tag FROM (
+             |  SELECT DISTINCT c_custkey AS k, 'both' AS tag FROM customer
+             |    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+             |  UNION ALL
+             |  SELECT DISTINCT c_custkey AS k, 'no_orders' AS tag FROM customer
+             |    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) t
+             |ORDER BY tag, k""".stripMargin)),
+
+    // ---- string scalar functions ----
+    "q12_string_funcs" -> Q(
+      (s, d) =>
+        part(s, d)
+          .filter(col("p_partkey") <= 500)
+          .select(
+            col("p_partkey"),
+            upper(col("p_brand")).as("brand_up"),
+            substring(col("p_name"), 1, 8).as("name_pfx"),
+            length(col("p_name")).as("name_len"),
+            concat_ws("|", col("p_type"), col("p_brand")).as("type_brand"),
+            regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_brand) AS brand_up, substr(p_name,1,8) AS name_pfx,
+             |  length(p_name) AS name_len,
+             |  concat_ws('|', p_type, p_brand) AS type_brand,
+             |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel
+             |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin)),
+
+    // ---- date/time scalar functions ----
+    "q13_date_funcs" -> Q(
+      (s, d) =>
+        orders(s, d)
+          .groupBy(year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"))
+          .agg(count(lit(1)).as("cnt"),
+            cents(col("o_totalprice")).as("total_cents"))
+          .orderBy("yr", "qtr"),
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             |  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin)),
+
+    // ---- conditional aggregation (CASE WHEN, Q12-shaped) ----
+    "q14_priority_case" -> Q(
+      (s, d) => {
+        val o = orders(s, d)
+        val l = lineitem(s, d)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+              .as("high_line_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+              .as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem, orders WHERE l_orderkey = o_orderkey
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // ---- HAVING over grouped join ----
+    "q15_big_customers" -> Q(
+      (s, d) =>
+        orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), cents(col("o_totalprice")).as("spend_cents"))
+          .filter(col("n_orders") >= 20)
+          .orderBy(col("spend_cents").desc, col("o_custkey")),
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+             |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_cents
+             |FROM orders GROUP BY o_custkey HAVING count(*) >= 20
+             |ORDER BY spend_cents DESC, o_custkey""".stripMargin)),
+
+    // ---- anti join (vs urgent orders so the result is non-empty) ----
+    "q16_customers_without_urgent" -> Q(
+      (s, d) => {
+        val c = customer(s, d)
+        val o = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct()
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- correlated scalar subquery: above-average account balances ----
+    "q17_above_avg_balance" -> Q(
+      (s, d) => {
+        val c = customer(s, d)
+        val natAvg = c.groupBy(col("c_nationkey").as("nk"))
+          .agg((cents(col("c_acctbal")) / lit(100.0) / count(lit(1))).as("nat_avg"))
+        c.join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+          .filter(col("c_acctbal") > col("nat_avg"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_above"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_above
+             |FROM customer c JOIN (
+             |  SELECT c_nationkey AS nk,
+             |    sum(CAST(round(c_acctbal*100) AS BIGINT))/100.0/count(*) AS nat_avg
+             |  FROM customer GROUP BY c_nationkey) a ON c.c_nationkey = a.nk
+             |WHERE c_acctbal > nat_avg
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // ---- events: tumbling time window aggregation (batch form of the
+    //      streaming query; see graft.streaming for the readStream twin) ----
+    "q18_events_hourly" -> Q(
+      (s, d) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), cents(col("value")).as("value_cents"))
+          // timestamp_ntz so the parquet written value is wall-clock like
+          // DuckDB's date_trunc output (no UTC-adjusted flag mismatch)
+          .select(col("w.start").cast("timestamp_ntz").as("wstart"),
+            col("event_type"), col("cnt"), col("value_cents"))
+          .orderBy("wstart", "event_type"),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin),
+      headline = true),
+
+    // ---- events: JSON extraction + sessionless funnel counts ----
+    "q19_events_json" -> Q(
+      (s, d) =>
+        events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+             |  min(CAST(props->>'$.k' AS INT)) AS min_k,
+             |  max(CAST(props->>'$.k' AS INT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- events: sessionization via window lag (gap > 30 min) ----
+    "q20_events_sessions" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          // gap test in exact integer microseconds — DuckDB's epoch_us twin
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1).otherwise(0))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"))
+          .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events FROM (
+             |  SELECT user_id, sum(new_sess) OVER (
+             |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             |  FROM (
+             |    SELECT user_id, ts, event_id,
+             |      CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+             |        OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)) > 1800000000
+             |        THEN 1 ELSE 0 END AS new_sess
+             |    FROM events) a) b
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+  )
+}

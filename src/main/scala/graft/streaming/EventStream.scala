@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts timestamp, user_id, event_type, value, props) —
+  * SURVEY.md §2b "Streaming" row: the reference is fully batch, so this is
+  * extension surface, built on watermarks + windowed aggs +
+  * flatMapGroupsWithState.
+  *
+  * Scale notes: state is keyed by (window, event_type) or user_id —
+  * uniformly distributed keys, state store partitions = shuffle
+  * partitions; watermark bounds state size; no driver-side state.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark — the
+    * streaming twin of the batch query q18_events_hourly (same
+    * aggregation expressions, so batch backfill and live stream agree).
+    */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"), col("value_cents"))
+
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Int)
+
+  /** Gap-based sessionization (30-min inactivity) via
+    * flatMapGroupsWithState with EVENT-time timeout: a session closes when
+    * a later event arrives past the gap, or when the watermark passes
+    * last_event + gap (so state size is bounded by the watermark — the
+    * property that matters at scale). Input: (user_id, ts) with ts in
+    * epoch MICROSECONDS; `events` must carry a watermark on a `ts`
+    * timestamp column. The batch twin is q20_events_sessions.
+    */
+  def sessionize(events: DataFrame)(implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    events
+      .withWatermark("ts", "30 minutes")
+      // the watermarked timestamp column must survive into groupByKey —
+      // projecting it to a long would strip the event-time tag
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => SessionOut(user, s.start, s.last, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val ts = rows.map { r =>
+              val i = r._2.toInstant
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            }.toArray.sorted
+            var cur = state.getOption.orNull
+            val closed = List.newBuilder[SessionOut]
+            ts.foreach { t =>
+              if (cur == null) cur = SessionState(t, t, 1)
+              else if (t - cur.last <= gapUs) cur = cur.copy(last = t, n = cur.n + 1)
+              else {
+                closed += SessionOut(user, cur.start, cur.last, cur.n)
+                cur = SessionState(t, t, 1)
+              }
+            }
+            state.update(cur)
+            // close via watermark once no event can extend the session
+            state.setTimeoutTimestamp((cur.last + gapUs) / 1000)
+            closed.result().iterator
+          }
+      }
+  }
+}

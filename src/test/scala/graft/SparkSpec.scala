@@ -14,7 +14,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+      // ICU case-mapping tables take ~60s of CPU to build on first
+      // upper()/lower() call (CollationAwareUTF8String static init);
+      // the JVM path is identical for this corpus (ASCII) and instant
+      .config("spark.sql.icu.caseMappings.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
   override def afterAll(): Unit = {

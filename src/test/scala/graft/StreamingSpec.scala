@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.streaming.EventStream
+
+/** Structured Streaming behavior: windowed agg parity with the batch twin,
+  * watermark-driven late-data handling, stateful sessionization.
+  */
+class StreamingSpec extends SparkSpec {
+  import org.apache.spark.sql.streaming.Trigger
+
+  test("hourlyByType matches its batch twin on the same data") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:10:00").getTime
+    val rows = (0 until 100).map { i =>
+      (i.toLong, new Timestamp(base + i * 60_000L), i.toLong % 7,
+        if (i % 2 == 0) "click" else "view", i * 1.5)
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.hourlyByType(df)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    // append mode emits only watermark-closed windows: push the watermark
+    // far ahead, then run one more batch so closed windows flush
+    mem.addData((999L, new Timestamp(base + 10L * 3600_000L), 0L, "click", 0.0))
+    q.processAllAvailable()
+    mem.addData((1000L, new Timestamp(base + 11L * 3600_000L), 0L, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("hourly")
+      .filter(col("wstart") < lit(new Timestamp(base + 2 * 3600_000L)))
+      .orderBy("wstart", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    val batch = spark.createDataset(rows).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"), col("value_cents"))
+      .orderBy("wstart", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("watermark drops data later than the bound") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val base = Timestamp.valueOf("2024-02-01 00:00:00").getTime
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStream.hourlyByType(df)
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    mem.addData((1L, new Timestamp(base), "click", 1.0))
+    q.processAllAvailable()
+    // advance watermark past hour 0 (+2h watermark on a +4h event)
+    mem.addData((2L, new Timestamp(base + 4 * 3600_000L), "click", 1.0))
+    q.processAllAvailable()
+    // this event is 4h late: behind the watermark -> dropped
+    mem.addData((3L, new Timestamp(base + 60_000L), "click", 100.0))
+    q.processAllAvailable()
+    mem.addData((4L, new Timestamp(base + 5 * 3600_000L), "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("late").filter(col("wstart") === new Timestamp(base)).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("cnt") == 1L) // late event not counted
+  }
+
+  test("sessionize emits gap-separated sessions") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def at(sec: Long) = new Timestamp(base + sec * 1000)
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("user_id", "ts")
+    val q = EventStream.sessionize(df)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 1: two bursts separated by 2h; second burst closes the first
+    mem.addData((1L, at(0)), (1L, at(60)), (1L, at(120)))
+    q.processAllAvailable()
+    mem.addData((1L, at(7200)), (1L, at(7260)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sessions").as[EventStream.SessionOut].collect()
+    assert(rows.length == 1) // first session closed by the gap
+    val us = 1000000L
+    val baseUs = base * 1000
+    assert(rows(0).n_events == 3 && rows(0).session_start == baseUs &&
+      rows(0).session_end == baseUs + 120L * us)
+  }
+}

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local self-check of SparkEntry oracles, mirroring the driver's t2 tier.
+
+Usage: python3 tools/check_oracle.py <verifyOutDir> <sfDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB over <sfDir>/*.parquet, and
+compares row counts, column names, and values (sorted columns-by-name,
+sorted rows; exact for non-floats, 1e-9 rel for floats). Exit 1 on any
+mismatch so this can gate commits.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+
+def norm(v):
+    if isinstance(v, float):
+        return ('f', v)
+    return ('o', str(v))
+
+
+def rows_key(r):
+    return [str(x) for x in r]
+
+
+def compare(name, spark_rows, duck_rows, cols):
+    if len(spark_rows) != len(duck_rows):
+        return f'row count {len(spark_rows)} vs {len(duck_rows)}'
+    srt_s = sorted([rows_key(r) for r in spark_rows])
+    srt_d = sorted([rows_key(r) for r in duck_rows])
+    # exact string compare first; fall back to float-tolerant elementwise
+    for rs, rd in zip(srt_s, srt_d):
+        for a, b in zip(rs, rd):
+            if a == b:
+                continue
+            try:
+                fa, fb = float(a), float(b)
+                if math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9):
+                    continue
+            except ValueError:
+                pass
+            return f'value mismatch: {a!r} vs {b!r} (cols {cols})'
+    return None
+
+
+def main():
+    out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
+    oracle = json.loads((out_dir / 'oracle_sql.json').read_text())
+    con = duckdb.connect()
+    for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
+              'lineitem', 'events', 'documents', 'embeddings']:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    failures = []
+    for name, sql in sorted(oracle.items()):
+        pdir = out_dir / name
+        if not pdir.is_dir():
+            failures.append((name, 'no spark output dir'))
+            continue
+        try:
+            spark_df = con.execute(
+                f"SELECT * FROM read_parquet('{pdir}/*.parquet')").fetch_df()
+            duck_df = con.execute(sql).fetch_df()
+        except Exception as e:
+            failures.append((name, f'exec error: {e}'))
+            continue
+        scols, dcols = sorted(spark_df.columns), sorted(duck_df.columns)
+        if scols != dcols:
+            failures.append((name, f'columns {scols} vs {dcols}'))
+            continue
+        err = compare(name, spark_df[scols].values.tolist(),
+                      duck_df[dcols].values.tolist(), scols)
+        if err:
+            failures.append((name, err))
+        else:
+            print(f'OK   {name}: {len(spark_df)} rows')
+    for name, err in failures:
+        print(f'FAIL {name}: {err}')
+    rows_only = [k for k in
+                 (set(p.name for p in out_dir.iterdir() if p.is_dir()) - set(oracle))
+                 ]
+    for name in sorted(rows_only):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out_dir / name}/*.parquet')").fetchone()[0]
+        print(f'{"OK  " if n > 0 else "FAIL"} {name}: rows-only check, {n} rows')
+        if n == 0:
+            failures.append((name, 'zero rows'))
+    print(f'\n{len(oracle) + len(rows_only) - len(failures)}/{len(oracle) + len(rows_only)} passed')
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == '__main__':
+    main()
