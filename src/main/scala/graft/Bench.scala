@@ -21,13 +21,18 @@ object Bench {
     val headline = graft.rel.RelQueries.all.collect {
       case (k, q) if q.headline => k -> q.fn
     }
-    // one warm-up pass so JIT/codegen cost doesn't dominate the smallest query
-    headline.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // drain through the noop sink: forces full evaluation of every output
+    // column (count() would let Catalyst prune unused aggregates)
+    def drain(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // one warm-up pass per query: measure steady-state execution, not
+    // first-call codegen/classloading (which a long-lived cluster amortizes)
+    headline.foreach { case (_, fn) =>
+      try drain(fn) catch { case _: Throwable => () }
     }
     val results = headline.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try drain(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

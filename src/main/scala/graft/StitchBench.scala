@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{Encoder, SparkSession}
+import graft.core.{Block, BlockGrid, BlockIndex, GridMeta}
+import graft.affine.{AffineGrid, LocalAffine}
+import graft.stitch.Stitch
+
+/** Stitch-core throughput benchmark (fills the BASELINE.md TBD rows):
+  * voxels/sec for stitchBlocks and localAffinesToField on grids of 128^3
+  * float32 blocks with overlap 16 — the reference's intended operating
+  * point (microscopy tiles). Tiles are generated ON the executors (no
+  * driver materialization) and results drain through the noop sink.
+  * Run: sbt "runMain graft.StitchBench [gridDim ...]"
+  */
+object StitchBench {
+  private implicit val blockEnc: Encoder[Block] = BlockGrid.blockEncoder
+
+  def main(args: Array[String]): Unit = {
+    val grids = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(3, 4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "2g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val bs = Array(128, 128, 128); val o = Array(16, 16, 16)
+    val cs = bs.map(_ + 32) // 160^3 tiles
+    val results = grids.map { gdim =>
+      val g = Array(gdim, gdim, gdim)
+      val meta = GridMeta(bs.map(_.toLong * gdim), bs, o, g, 1)
+      val n = meta.numBlocks
+      val tiles = spark.range(0, n, 1, math.min(n, 64).toInt).map { i =>
+        val bi = BlockIndex.fromLinear(i, g)
+        // deterministic per-block synthetic data (cheap LCG fill)
+        val data = new Array[Float](cs(0) * cs(1) * cs(2))
+        var s = i * 6364136223846793005L + 1442695040888963407L
+        var j = 0
+        while (j < data.length) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          data(j) = ((s >>> 40).toInt & 0xffff) / 65536.0f
+          j += 1
+        }
+        Block(bi, cs(0), cs(1), cs(2), 1, data)
+      }
+      val grid = BlockGrid(meta, tiles)
+
+      val t0 = System.nanoTime()
+      Stitch.stitchBlocks(grid).ds.write.format("noop").mode("overwrite").save()
+      val stitchSec = (System.nanoTime() - t0) / 1e9
+      val voxOut = n * bs(0).toLong * bs(1) * bs(2)
+
+      // affine path: same block grid of identity+translation matrices
+      val m = Array.tabulate(gdim * gdim * gdim)(_ =>
+        Array(1.0, 0, 0, 0.5, 0, 1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0)).flatten
+      val aff = AffineGrid(gdim, gdim, gdim, 4, 4, m)
+      val t1 = System.nanoTime()
+      LocalAffine.localAffinesToField(
+          spark, bs.map(_.toLong * gdim), Array(1f, 1f, 1f), aff, bs, o)
+        .ds.write.format("noop").mode("overwrite").save()
+      val affineSec = (System.nanoTime() - t1) / 1e9
+      val affVox = voxOut // 3 components over the same voxel count
+
+      println(f"[stitchbench] grid=${gdim}x$gdim%dx$gdim blocks=$n " +
+        f"stitch=${stitchSec}%.1fs (${voxOut / stitchSec / 1e6}%.1f Mvox/s) " +
+        f"affine=${affineSec}%.1fs (${affVox / affineSec / 1e6}%.1f Mvox/s)")
+      (gdim, stitchSec, voxOut / stitchSec, affineSec, affVox / affineSec)
+    }
+    val qjson = results.map { case (gd, ss, sv, as_, av) =>
+      f""""g$gd":{"stitch_sec":$ss%.2f,"stitch_vox_per_sec":${sv.toLong},"affine_sec":$as_%.2f,"affine_vox_per_sec":${av.toLong}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stitch_throughput","unit":"vox/sec","grids":$qjson}""")
+    spark.stop()
+  }
+}

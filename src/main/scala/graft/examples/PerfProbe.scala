@@ -36,20 +36,9 @@ object PerfProbe {
     time("q01 cold") { q01(spark, sfDir).count() }
     time("q01 warm") { q01(spark, sfDir).count() }
     time("q01 warm2") { q01(spark, sfDir).count() }
-    val q34 = graft.llm.LlmOps.all("q34_ngram_jaccard").fn
-    spark.sparkContext.setLogLevel("INFO")
-    time("q34 cold collect") { q34(spark, sfDir).collect() }
-    time("q34 warm collect") { q34(spark, sfDir).collect() }
-    val q04 = graft.rel.RelQueries.all("q04_order_priority").fn
-    time("q04 cold collect") { q04(spark, sfDir).collect() }
-    time("q04 warm collect") { q04(spark, sfDir).collect() }
-    val q12 = graft.rel.RelQueries.all("q12_string_funcs").fn
-    time("q12 cold") { q12(spark, sfDir).count() }
-    time("q12 warm") { q12(spark, sfDir).count() }
-    val q12c = time("q12 collect") { q12(spark, sfDir).collect() }; spark.sparkContext.setLogLevel("WARN")
-    println(s"[probe] q12 rows ${q12c.length}")
-    time("q12 write") {
-      q12(spark, sfDir).coalesce(1).write.mode("overwrite").parquet("/tmp/probe_q12")
+    for (qn <- Seq("q03_top_revenue", "q06_revenue_forecast", "q01_pricing_summary")) {
+      println(s"===== $qn =====")
+      graft.rel.RelQueries.all(qn).fn(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -50,9 +50,16 @@ object StitchSmoke {
     val f = field.collectDense()
     val xs = f.indices.collect { case i if i % 3 == 0 => f(i) }
     println(f"affine: dx min=${xs.min}%.4f max=${xs.max}%.4f (want 1.0 core, 2.3704 corner quirk)")
+    // --- storage edge: stitched grid -> parquet -> read -> same bytes ---
+    val ioDir = java.nio.file.Files.createTempDirectory("smoke_io").toString
+    graft.io.BlockIO.write(stitched, s"$ioDir/grid")
+    val back = graft.io.BlockIO.read(spark, s"$ioDir/grid")
+    val okIo = java.util.Arrays.equals(back.collectDense(), dense)
+    println(s"io roundtrip: ${if (okIo) "identical" else "MISMATCH"}")
+
     val okStitch = math.abs(mn - 1f) < 1e-5 && math.abs(mx - 1f) < 1e-5
     val okAffine = math.abs(xs.max - 64f / 27f) < 1e-3 && math.abs(xs.min - 1f) < 1e-5
-    println(if (okStitch && okAffine) "SMOKE PASS" else "SMOKE FAIL")
+    println(if (okStitch && okAffine && okIo) "SMOKE PASS" else "SMOKE FAIL")
     spark.stop()
     if (!(okStitch && okAffine)) sys.exit(1)
   }
