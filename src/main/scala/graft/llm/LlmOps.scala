@@ -33,15 +33,9 @@ object LlmOps {
   /** tokens of lowercased, trimmed text (both dialects: \s+ split) */
   private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
 
-  /** sequential fold dot-product in f64 — same element order as DuckDB's
-    * list_dot_product, so results are bit-identical
-    */
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  private def cosD(a: Column, b: Column): Column =
-    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+  // dot/cosine kernels: graft.functions.FloatVecDot — a native codegen'd
+  // Catalyst expression whose sequential f64 fold is bit-identical to
+  // DuckDB's list_dot_product over DOUBLE[] casts.
 
   private val stopEn = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
@@ -202,7 +196,7 @@ object LlmOps {
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
         broadcast(q).join(e, col("vec_id") =!= col("qid"))
-          .withColumn("cos", cosD(col("qv"), col("embedding")))
+          .withColumn("cos", graft.functions.VecFunctions.vecCosine(s, col("qv"), col("embedding")))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
@@ -227,10 +221,91 @@ object LlmOps {
         embs(s, d)
           .select(col("vec_id"), col("label"),
             size(col("embedding")).as("dim"),
-            sqrt(dotD(col("embedding"), col("embedding"))).as("l2_norm"))
+            sqrt(graft.functions.VecFunctions.vecDot(s, col("embedding"), col("embedding"))).as("l2_norm"))
           .orderBy("vec_id"),
       Some("""SELECT vec_id, label, len(embedding) AS dim,
              |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // ---- embedding-cosine near-dup pairs: exact baseline with a full
+    //      oracle (the LSH-bucketed scale path is q38; this is the
+    //      correctness reference for it). Same-label pairs above a cosine
+    //      threshold; pair space bounded by blocking on `label` — the
+    //      "blocking key" pattern (at 100 TB the key is an LSH bucket). ----
+    "q41_embed_neardup" -> Q(
+      (s, d) => {
+        val e = embs(s, d).select(col("vec_id"), col("label"), col("embedding"))
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.label").as("label"),
+            col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+            graft.functions.VecFunctions.vecCosine(s, col("a.embedding"), col("b.embedding")).as("cos"))
+          .filter(col("cos") >= 0.5)
+          .orderBy(col("cos").desc, col("va"), col("vb"))
+      },
+      Some("""SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
+             |  list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.5
+             |ORDER BY cos DESC, va, vb""".stripMargin)),
+
+    // ---- BPE-ish regex token counting (words / numbers / punctuation
+    //      runs — the pre-tokenizer shape BPE vocabularies use) ----
+    "q42_bpe_tokens" -> Q(
+      (s, d) => {
+        val pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+        docs(s, d)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("bpe_tokens"))
+          .withColumn("ratio_milli",
+            round(col("bpe_tokens") * lit(1000.0) / col("ws_tokens"), 0).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+             |  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS bpe_tokens,
+             |  CAST(round(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))*1000.0
+             |    / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ratio_milli
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- document fingerprinting: Karp-Rabin rolling hash over bytes +
+    //      per-window minima (winnowing-style); typed kernel, rows-only ----
+    "q43_fingerprint" -> Q(
+      (s, d) => {
+        import s.implicits._
+        docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val k = 16 // gram length in bytes
+            val base = 1000003L
+            var pow = 1L
+            var i = 0
+            while (i < k - 1) { pow *= base; i += 1 }
+            var h = 0L
+            var minH = Long.MaxValue
+            var fp = 0L // order-independent combine of window minima
+            i = 0
+            while (i < bytes.length) {
+              h = h * base + (bytes(i) & 0xff)
+              if (i >= k) h -= pow * base * (bytes(i - k) & 0xff)
+              if (i >= k - 1) {
+                if (h < minH) minH = h
+                if ((i + 1) % 64 == 0) { fp ^= minH * 0x9e3779b97f4a7c15L; minH = Long.MaxValue }
+              }
+              i += 1
+            }
+            if (minH != Long.MaxValue) fp ^= minH * 0x9e3779b97f4a7c15L
+            (id, bytes.length, fp)
+          }
+          .toDF("doc_id", "n_bytes", "fingerprint")
+          .orderBy("doc_id")
+      },
+      None),
   )
 }

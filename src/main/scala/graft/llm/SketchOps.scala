@@ -193,8 +193,7 @@ object SketchOps {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
         val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-          aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-            lit(0.0), (acc, x) => acc + x)
+          graft.functions.VecFunctions.vecDot(s, a, b)
         val bucketSizes = e.groupBy(col("bucket").as("sz_bucket"))
           .agg(count(lit(1)).as("bucket_size"))
         broadcast(q).join(e, col("qbucket") === col("bucket") && col("vec_id") =!= col("qid"), "left")
