@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // block payloads are 8-25 MB float arrays; without this they are G1
+  // "humongous" allocations (default region <= 4 MB) and cause heavy
+  // fragmentation + full-GC churn in the stitch benchmarks
+  "-XX:G1HeapRegionSize=32m",
 )

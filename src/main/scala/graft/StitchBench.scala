@@ -48,9 +48,17 @@ object StitchBench {
       }
       val grid = BlockGrid(meta, tiles)
 
+      // phase breakdown: generation only, then gen+weight+slice (narrow), then full
+      val tg = System.nanoTime()
+      tiles.write.format("noop").mode("overwrite").save()
+      val genSec = (System.nanoTime() - tg) / 1e9
+      val tm = System.nanoTime()
+      Stitch.emitPieces(grid).write.format("noop").mode("overwrite").save()
+      val mapSec = (System.nanoTime() - tm) / 1e9
       val t0 = System.nanoTime()
       Stitch.stitchBlocks(grid).ds.write.format("noop").mode("overwrite").save()
       val stitchSec = (System.nanoTime() - t0) / 1e9
+      println(f"[stitchbench] g=$gdim breakdown: gen=${genSec}%.1fs gen+map=${mapSec}%.1fs full=${stitchSec}%.1fs")
       val voxOut = n * bs(0).toLong * bs(1) * bs(2)
 
       // affine path: same block grid of identity+translation matrices

@@ -54,21 +54,21 @@ object Stitch {
     b.copy(data = out)
   }
 
-  /** Full stitch pipeline: weight -> halo exchange -> per-block sum.
-    * Input chunks must be blocksize + 2*overlap per axis; output chunks
-    * are exactly blocksize (the verified contract of stitch.py:94-121).
+  /** The narrow phase of the stitch: weight each tile and emit its ≤27
+    * destination-keyed halo pieces (exposed separately so benchmarks can
+    * time the map phase against the shuffle+merge phase).
     */
-  def stitchBlocks(grid: BlockGrid): BlockGrid = {
+  def emitPieces(grid: BlockGrid): org.apache.spark.sql.Dataset[HaloPiece] = {
     val meta = grid.meta
     val bs = meta.blocksize; val o = meta.overlap; val g = meta.blockGrid
     val c = meta.components
-    require(o.forall(_ >= 1), "stitch requires overlap >= 1 per axis (2o-1 ramps)")
-
-    val outMeta = meta.copy(overlap = Array(0, 0, 0))
-
-    val pieces = grid.ds.flatMap { b =>
-      val w = weightBlock(b, meta)
-      val src = w.bi
+    grid.ds.flatMap { b =>
+      // weights are applied DURING piece extraction (fused multiply —
+      // no full-tile clone); profiles are per-axis, tile-absolute
+      val src = b.bi
+      val wx = Nd.stitchProfile(bs(0), o(0), src.bx == 0, src.bx == g(0) - 1)
+      val wy = Nd.stitchProfile(bs(1), o(1), src.by == 0, src.by == g(1) - 1)
+      val wz = Nd.stitchProfile(bs(2), o(2), src.bz == 0, src.bz == g(2) - 1)
       val out = scala.collection.mutable.ArrayBuffer.empty[HaloPiece]
       var dx = -1
       while (dx <= 1) {
@@ -100,9 +100,9 @@ object Stitch {
                 ax += 1
               }
               if (ok) {
-                val patch = Nd.sliceCopy(
-                  w.data, w.nx, w.ny, w.nz, c,
-                  sOff(0), sOff(1), sOff(2), ext(0), ext(1), ext(2))
+                val patch = Nd.sliceCopyWeighted(
+                  b.data, b.nx, b.ny, b.nz, c,
+                  sOff(0), sOff(1), sOff(2), ext(0), ext(1), ext(2), wx, wy, wz)
                 out += HaloPiece(
                   tgt.bx, tgt.by, tgt.bz, src.linear(g),
                   off(0), off(1), off(2), ext(0), ext(1), ext(2), patch)
@@ -116,8 +116,19 @@ object Stitch {
       }
       out.toSeq
     }
+  }
 
-    val merged = pieces
+  /** Full stitch pipeline: weight -> halo exchange -> per-block sum.
+    * Input chunks must be blocksize + 2*overlap per axis; output chunks
+    * are exactly blocksize (the verified contract of stitch.py:94-121).
+    */
+  def stitchBlocks(grid: BlockGrid): BlockGrid = {
+    val meta = grid.meta
+    val bs = meta.blocksize; val c = meta.components
+    require(meta.overlap.forall(_ >= 1), "stitch requires overlap >= 1 per axis (2o-1 ramps)")
+    val outMeta = meta.copy(overlap = Array(0, 0, 0))
+
+    val merged = emitPieces(grid)
       .groupByKey(p => (p.tx, p.ty, p.tz))
       .mapGroups { (key, it) =>
         val acc = new Array[Float](bs(0) * bs(1) * bs(2) * c)
