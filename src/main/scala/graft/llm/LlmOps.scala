@@ -307,5 +307,29 @@ object LlmOps {
           .orderBy("doc_id")
       },
       None),
+
+    // ---- per-label embedding centroids via a typed Aggregator with
+    //      map-side partial buffers (graft.functions.VecMeanAgg) — the
+    //      shuffle carries one 65-double buffer per (label, partition)
+    //      instead of every row. Long-format output for the oracle. ----
+    "q44_label_centroids" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val agg = new graft.functions.VecMeanAgg(64)
+        embs(s, d).select(col("label"), col("embedding")).as[(Int, Seq[Float])]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(agg.toColumn)
+          .toDF("label", "vm")
+          .select(col("label"), posexplode(col("vm.mean")).as(Seq("idx", "m")))
+          .select(col("label"), col("idx"), round(col("m"), 6).as("mean_r6"))
+          .orderBy("label", "idx")
+      },
+      Some("""SELECT label, CAST(idx - 1 AS INT) AS idx,
+             |  round(sum(CAST(x AS DOUBLE)) / count(*), 6) AS mean_r6
+             |FROM (SELECT label, unnest(embedding) AS x,
+             |        generate_subscripts(embedding, 1) AS idx
+             |      FROM embeddings) t
+             |GROUP BY label, idx ORDER BY label, idx""".stripMargin)),
   )
 }

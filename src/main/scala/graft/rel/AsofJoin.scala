@@ -1,0 +1,57 @@
+package graft.rel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — an operator Spark lacks natively. Built by composing
+  * built-ins (the top of the extension preference order: no custom plan
+  * node needed because the semantics decompose exactly):
+  *
+  * union the two sides tagged 0/1, sort within each key partition by
+  * (ts, side), and carry the right side's payload forward with
+  * `last(_, ignoreNulls)` over an unbounded-preceding window. Each left
+  * row then holds the most recent right row with `right.ts <= left.ts`
+  * (ties resolved right-before-left, matching ASOF `>=` semantics).
+  *
+  * Scale: ONE sort shuffle on the join key — no range cross-product, no
+  * per-key collect. Skewed keys behave like any window function (AQE
+  * handles partition sizing; extreme single-key skew would need salting
+  * at the caller).
+  */
+object AsofJoin {
+
+  /** @param left      probe side (each row gets a match)
+    * @param right     reference side (carried forward in time)
+    * @param key       equi-join column name present on both sides
+    * @param ts        event-time column name present on both sides
+    * @param rightCols right-side columns to carry (renamed as given)
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightCols: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carried = rightCols.values.toSeq
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select(
+      Seq(col(key), col(ts)) ++ rightCols.map { case (src, dst) => col(src).as(dst) }: _*)
+      .withColumn("__side", lit(0))
+    // align schemas for the union
+    val lAll = carried.foldLeft(l)((df, c) => df.withColumn(c, lit(null)))
+    val rAll = leftCols.filterNot(c => c == key || c == ts)
+      .foldLeft(r)((df, c) => df.withColumn(c, lit(null)))
+      .select((leftCols :+ "__side").map(col) ++ carried.map(col): _*)
+    val unioned = lAll.select((leftCols :+ "__side").map(col) ++ carried.map(col): _*)
+      .unionByName(rAll)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = carried.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+}

@@ -209,6 +209,46 @@ object RelQueries {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // ---- grouping sets: full cube ----
+    "q21_cube" -> Q(
+      (s, d) =>
+        lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ---- as-of join: most recent prior click for each purchase.
+    //      graft.rel.AsofJoin composes it from built-ins (union + sorted
+    //      window carry-forward): one sort shuffle, no range explosion.
+    //      Oracle: DuckDB's native ASOF LEFT JOIN. ----
+    "q22_asof_purchase_click" -> Q(
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        AsofJoin.asof(purchases, clicks, "user_id", "ts",
+            Map("event_id" -> "click_event_id", "ts" -> "click_ts"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_ts_us"),
+            col("click_event_id"),
+            (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id AS event_id, p.user_id AS user_id,
+             |  epoch_us(p.ts) AS p_ts_us, c.event_id AS click_event_id,
+             |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+             |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+             |      WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+             |      WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- set ops: intersect / except on key domains ----
     "q11_setops" -> Q(
       (s, d) => {

@@ -1,0 +1,33 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.rel.AsofJoin
+
+/** As-of join edge semantics (the oracle covers the bulk; this pins the
+  * corner cases): no prior right row -> null; equal timestamps match
+  * (ASOF >= semantics); later right rows never leak backwards.
+  */
+class AsofJoinSpec extends SparkSpec {
+  test("asof picks most recent right row at-or-before each left row") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Int) = new Timestamp(sec * 1000L)
+    val left = Seq(
+      (1L, t(5), "p1"), (1L, t(10), "p2"), (1L, t(2), "p0"),
+      (2L, t(7), "p3")).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, t(5), 100L), (1L, t(9), 101L), (3L, t(1), 102L)).toDF("user_id", "ts", "rid")
+    val out = AsofJoin.asof(left, right, "user_id", "ts", Map("rid" -> "matched"))
+      .select("tag", "matched").collect().map(r => r.getString(0) -> (
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out("p0") == -1L) // before any right row
+    assert(out("p1") == 100L) // equal ts matches (>= semantics)
+    assert(out("p2") == 101L) // most recent, not first
+    assert(out("p3") == -1L) // key with no right rows at all
+  }
+
+  test("driver entry() returns rows on sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+}
