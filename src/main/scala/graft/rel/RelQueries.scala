@@ -249,6 +249,66 @@ object RelQueries {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- date arithmetic + banded histogram (interval predicate) ----
+    "q23_ship_latency" -> Q(
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+        val l = lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("lat_days", datediff(col("l_shipdate"), col("o_orderdate")))
+          .withColumn("bucket", floor(col("lat_days") / 30).cast("int"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"),
+            min(col("lat_days")).as("min_days"), max(col("lat_days")).as("max_days"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT CAST(floor(datediff('day', o_orderdate, l_shipdate) / 30) AS INT) AS bucket,
+             |  count(*) AS cnt,
+             |  min(datediff('day', o_orderdate, l_shipdate)) AS min_days,
+             |  max(datediff('day', o_orderdate, l_shipdate)) AS max_days
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- exact percentiles (sort-based, linear interpolation) ----
+    "q24_percentiles" -> Q(
+      (s, d) =>
+        orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            count(lit(1)).as("cnt"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             |  count(*) AS cnt
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- spark.sql surface: correlated scalar subquery through the SQL
+    //      parser (the DataFrame API can't express this shape directly) ----
+    "q25_sql_correlated" -> Q(
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT o_custkey,
+                 count(*) AS n_big,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS big_cents
+          FROM orders_v o
+          WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v i
+                                WHERE i.o_custkey = o.o_custkey)
+          GROUP BY o_custkey
+          HAVING count(*) >= 8
+          ORDER BY o_custkey""")
+      },
+      Some("""SELECT o_custkey, count(*) AS n_big,
+             |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS big_cents
+             |FROM orders o
+             |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+             |                      WHERE i.o_custkey = o.o_custkey)
+             |GROUP BY o_custkey HAVING count(*) >= 8
+             |ORDER BY o_custkey""".stripMargin)),
+
     // ---- set ops: intersect / except on key domains ----
     "q11_setops" -> Q(
       (s, d) => {
