@@ -18,7 +18,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // headline set: representative operators, timed end-to-end (results
     // drained via a cheap count over the final plan)
-    val headline = graft.rel.RelQueries.all.collect {
+    val headline = (graft.rel.RelQueries.all ++ graft.llm.LlmOps.all).collect {
       case (k, q) if q.headline => k -> q.fn
     }
     // drain through the noop sink: forces full evaluation of every output

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.affine.{AffineGrid, LocalAffine}
+import graft.core.{Block, BlockGrid, BlockIndex, GridMeta}
+import graft.io.BlockIO
+import graft.rel.AsofJoin
+import graft.stitch.Stitch
+
+/** Single public facade — the engine's equivalent of the reference's flat
+  * two-function API (`dask_stitch.stitch.stitch_blocks`,
+  * `dask_stitch.local_affine.local_affines_to_field`; the reference's
+  * `__init__.py` exports nothing, SURVEY.md §1.2). Everything here
+  * delegates to the module that owns the implementation.
+  */
+object Graft {
+
+  // ---- stitch core (reference parity) --------------------------------
+
+  /** Linear-blend stitching of overlapping tiles; input chunks
+    * blocksize+2*overlap, output chunks blocksize (stitch.py:94-121).
+    */
+  def stitchBlocks(grid: BlockGrid): BlockGrid = Stitch.stitchBlocks(grid)
+
+  /** Dense blended deformation field from a grid of local affines
+    * (local_affine.py:110-139); zero shuffles, broadcast side input.
+    */
+  def localAffinesToField(
+      spark: SparkSession,
+      shape: Array[Long],
+      spacing: Array[Float],
+      affines: AffineGrid,
+      blocksize: Array[Int],
+      overlap: Array[Int],
+      displacement: Boolean = true): BlockGrid =
+    LocalAffine.localAffinesToField(spark, shape, spacing, affines, blocksize, overlap, displacement)
+
+  /** Build an in-memory block grid (tests / small inputs). */
+  def gridFromTiles(
+      spark: SparkSession,
+      tiles: Seq[Block],
+      blocksize: Array[Int],
+      overlap: Array[Int],
+      blockGrid: Array[Int],
+      components: Int = 1): BlockGrid =
+    BlockGrid.fromTiles(spark, tiles, blocksize, overlap, blockGrid, components)
+
+  /** Block grid parquet sink / source (one row per block + meta sidecar). */
+  def writeGrid(grid: BlockGrid, path: String): Unit = BlockIO.write(grid, path)
+  def readGrid(spark: SparkSession, path: String): BlockGrid = BlockIO.read(spark, path)
+
+  // ---- extension operators -------------------------------------------
+
+  /** As-of join (most recent right row at-or-before each left row). */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightCols: Map[String, String]): DataFrame =
+    AsofJoin.asof(left, right, key, ts, rightCols)
+
+  /** Codegen'd sequential-f64 dot product over array<float> columns. */
+  def vecDot(spark: SparkSession, a: Column, b: Column): Column =
+    functions.VecFunctions.vecDot(spark, a, b)
+
+  /** Cosine similarity with the oracle-parity expression shape. */
+  def vecCosine(spark: SparkSession, a: Column, b: Column): Column =
+    functions.VecFunctions.vecCosine(spark, a, b)
+}

@@ -2,8 +2,7 @@ package graft.examples
 
 import org.apache.spark.sql.SparkSession
 import graft.core.{Block, BlockGrid, BlockIndex}
-import graft.affine.{AffineGrid, LocalAffine}
-import graft.stitch.Stitch
+import graft.affine.AffineGrid
 
 /** End-to-end smoke of the public API, printed for eyeballing: stitches a
   * 3x3x3 grid of constant tiles (must return exactly 1.0 everywhere —
@@ -32,7 +31,7 @@ object StitchSmoke {
       x <- 0 until 3; y <- 0 until 3; z <- 0 until 3
     } yield Block(BlockIndex(x, y, z), cs(0), cs(1), cs(2), 1,
       Array.fill(cs(0) * cs(1) * cs(2))(1.0f))
-    val stitched = Stitch.stitchBlocks(BlockGrid.fromTiles(spark, tiles, bs, o, g, 1))
+    val stitched = graft.Graft.stitchBlocks(graft.Graft.gridFromTiles(spark, tiles, bs, o, g, 1))
     val dense = stitched.collectDense()
     val mn = dense.min; val mx = dense.max
     println(f"stitch: ${dense.length} voxels, min=$mn%.7f max=$mx%.7f (want 1.0/1.0)")
@@ -45,15 +44,15 @@ object StitchSmoke {
     }
     val m = eye.flatten.flatten.flatten
     val aff = AffineGrid(2, 2, 2, 4, 4, m)
-    val field = LocalAffine.localAffinesToField(
+    val field = graft.Graft.localAffinesToField(
       spark, Array(12L, 12L, 12L), Array(1f, 1f, 1f), aff, Array(6, 6, 6), Array(2, 2, 2))
     val f = field.collectDense()
     val xs = f.indices.collect { case i if i % 3 == 0 => f(i) }
     println(f"affine: dx min=${xs.min}%.4f max=${xs.max}%.4f (want 1.0 core, 2.3704 corner quirk)")
     // --- storage edge: stitched grid -> parquet -> read -> same bytes ---
     val ioDir = java.nio.file.Files.createTempDirectory("smoke_io").toString
-    graft.io.BlockIO.write(stitched, s"$ioDir/grid")
-    val back = graft.io.BlockIO.read(spark, s"$ioDir/grid")
+    graft.Graft.writeGrid(stitched, s"$ioDir/grid")
+    val back = graft.Graft.readGrid(spark, s"$ioDir/grid")
     val okIo = java.util.Arrays.equals(back.collectDense(), dense)
     println(s"io roundtrip: ${if (okIo) "identical" else "MISMATCH"}")
 
@@ -61,6 +60,6 @@ object StitchSmoke {
     val okAffine = math.abs(xs.max - 64f / 27f) < 1e-3 && math.abs(xs.min - 1f) < 1e-5
     println(if (okStitch && okAffine && okIo) "SMOKE PASS" else "SMOKE FAIL")
     spark.stop()
-    if (!(okStitch && okAffine)) sys.exit(1)
+    if (!(okStitch && okAffine && okIo)) sys.exit(1)
   }
 }

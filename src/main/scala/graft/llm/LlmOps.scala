@@ -138,7 +138,8 @@ object LlmOps {
           .orderBy("content_hash"),
       Some("""SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
              |  count(*) AS n_copies
-             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin),
+      headline = true),
 
     // ---- n-gram Jaccard near-dup: top-20 most similar pairs.
     //      Pair generation is keyed by shared shingle (no cross join).
@@ -185,7 +186,8 @@ object LlmOps {
              |SELECT da, db, inter,
              |  CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jac
              |FROM i JOIN z za ON i.da = za.doc_id JOIN z zb ON i.db = zb.doc_id
-             |ORDER BY jac DESC, da, db LIMIT 20""".stripMargin)),
+             |ORDER BY jac DESC, da, db LIMIT 20""".stripMargin),
+      headline = true),
 
     // ---- brute-force cosine top-k (exact ANN baseline) ----
     "q37_knn_cosine" -> Q(
@@ -213,7 +215,8 @@ object LlmOps {
              |         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
              |      e.vec_id) AS rn
              |  FROM embeddings q JOIN embeddings e ON q.vec_id < 3 AND e.vec_id != q.vec_id) t
-             |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+             |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+      headline = true),
 
     // ---- embedding stats: exact L2 norms + label histogram join ----
     "q39_embed_norms" -> Q(
