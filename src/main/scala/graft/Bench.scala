@@ -30,14 +30,18 @@ object Bench {
     headline.foreach { case (_, fn) =>
       try drain(fn) catch { case _: Throwable => () }
     }
+    // a crashing query must surface as -1, not as a fast "success" timing
     val results = headline.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try drain(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { drain(fn); name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: $e")
+        name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

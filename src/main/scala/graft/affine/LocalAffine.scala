@@ -144,6 +144,13 @@ object LocalAffine {
       displacement: Boolean = true): BlockGrid = {
     val grid = affines.gridDims
     val bs = blocksize.clone()
+    (0 until 3).foreach { ax =>
+      // ramp core bs - (2o-1) + 1 must be non-negative and neighbor slices
+      // at most a full block wide (beyond that the reference errors)
+      require(overlap(ax) >= 0 && overlap(ax) <= bs(ax) &&
+          math.max(0, 2 * overlap(ax) - 1) <= bs(ax) + 1,
+        s"invalid overlap ${overlap(ax)} for blocksize ${bs(ax)} on axis $ax")
+    }
     val meta = GridMeta(shape.clone(), bs, Array(0, 0, 0), grid.clone(), components = 3)
     val nBlocks = meta.numBlocks
     val bAff = spark.sparkContext.broadcast(affines)

@@ -1,7 +1,6 @@
 package graft.io
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Block, BlockGrid, GridMeta}
@@ -38,20 +37,37 @@ object BlockIO {
       components = s"""components":(\\d+)""".r.findFirstMatchIn(s).get.group(1).toInt)
   }
 
-  /** Write a grid to `path` as parquet rows + a `_grid_meta.json` sidecar. */
+  /** Write a grid to `path` as parquet rows + a `_grid_meta.json` sidecar.
+    * The sidecar goes through the Hadoop FileSystem API, so any scheme the
+    * parquet write supports (file://, hdfs://, s3a://, ...) works.
+    */
   def write(grid: BlockGrid, path: String): Unit = {
+    val spark = grid.ds.sparkSession
     grid.ds
       .select(col("bi.bx").as("bx"), col("bi.by").as("by"), col("bi.bz").as("bz"),
         col("nx"), col("ny"), col("nz"), col("c"), col("data"))
       .write.mode("overwrite").parquet(path)
-    Files.write(Paths.get(path, "_grid_meta.json"),
-      metaJson(grid.meta).getBytes(StandardCharsets.UTF_8))
+    val p = new org.apache.hadoop.fs.Path(path, "_grid_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(metaJson(grid.meta).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Read a grid written by [[write]]; lazy Dataset + sidecar meta. */
   def read(spark: SparkSession, path: String): BlockGrid = {
-    val meta = parseMeta(new String(
-      Files.readAllBytes(Paths.get(path, "_grid_meta.json")), StandardCharsets.UTF_8))
+    val p = new org.apache.hadoop.fs.Path(path, "_grid_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val metaBytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+    val meta = parseMeta(new String(metaBytes, StandardCharsets.UTF_8))
     val ds = spark.read.parquet(path)
       .select(struct(col("bx"), col("by"), col("bz")).as("bi"),
         col("nx"), col("ny"), col("nz"), col("c"), col("data"))

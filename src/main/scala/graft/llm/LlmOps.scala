@@ -159,6 +159,7 @@ object LlmOps {
             (id, grams)
           }
           .toDF("doc_id", "sh")
+          .cache() // feeds sizes + both sides of the shingle self-join
         val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
         val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
         val inter = ex.as("a").join(ex.as("b"),

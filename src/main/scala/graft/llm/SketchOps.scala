@@ -119,6 +119,7 @@ object SketchOps {
             (id, sh.length, sg(0), bandHashes(sg))
           }
           .toDF("doc_id", "n_shingles", "sig0", "bands")
+          .cache() // the 64-perm minhash kernel feeds 3 downstream joins
         val bandRows = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
         val cands = bandRows.as("a").join(bandRows.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -141,6 +142,7 @@ object SketchOps {
           .select(col("doc_id"), col("text")).as[(Long, String)]
           .map { case (id, text) => (id, simhash64(tokensOf(text))) }
           .toDF("doc_id", "sim")
+          .cache() // reused by the band self-join and the final join
         // candidates share one of four 16-bit bands
         val bands = sig.select(col("doc_id"), col("sim"),
           explode(array((0 until 4).map(b =>

@@ -35,23 +35,31 @@ object AsofJoin {
       rightCols: Map[String, String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val carried = rightCols.values.toSeq
+    // the right row travels as ONE struct so the carry is atomic: per-column
+    // last(ignoreNulls) would skip null payload columns and stitch together
+    // values from different right rows. The struct itself is non-null
+    // exactly on right-side rows.
     val l = left.withColumn("__side", lit(1))
+      .withColumn("__rpay", lit(null).cast(
+        org.apache.spark.sql.types.StructType(rightCols.map { case (src, dst) =>
+          org.apache.spark.sql.types.StructField(dst, right.schema(src).dataType)
+        }.toSeq)))
     val r = right.select(
-      Seq(col(key), col(ts)) ++ rightCols.map { case (src, dst) => col(src).as(dst) }: _*)
+        Seq(col(key), col(ts),
+          struct(rightCols.map { case (src, dst) => col(src).as(dst) }.toSeq: _*).as("__rpay")): _*)
       .withColumn("__side", lit(0))
     // align schemas for the union
-    val lAll = carried.foldLeft(l)((df, c) => df.withColumn(c, lit(null)))
     val rAll = leftCols.filterNot(c => c == key || c == ts)
       .foldLeft(r)((df, c) => df.withColumn(c, lit(null)))
-      .select((leftCols :+ "__side").map(col) ++ carried.map(col): _*)
-    val unioned = lAll.select((leftCols :+ "__side").map(col) ++ carried.map(col): _*)
+      .select((leftCols :+ "__side" :+ "__rpay").map(col): _*)
+    val unioned = l.select((leftCols :+ "__side" :+ "__rpay").map(col): _*)
       .unionByName(rAll)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carried.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    val filled = unioned.withColumn("__rpay", last(col("__rpay"), ignoreNulls = true).over(w))
+    carried.foldLeft(filled.filter(col("__side") === 1)) { (df, c) =>
+      df.withColumn(c, col(s"__rpay.$c"))
+    }.drop("__side", "__rpay")
   }
 }

@@ -125,7 +125,17 @@ object Stitch {
   def stitchBlocks(grid: BlockGrid): BlockGrid = {
     val meta = grid.meta
     val bs = meta.blocksize; val c = meta.components
-    require(meta.overlap.forall(_ >= 1), "stitch requires overlap >= 1 per axis (2o-1 ramps)")
+    // bounds per axis: o >= 1 (ramps are 2o-1 long); 2o <= bs (the ramp
+    // core bs-2o+2 must stay positive AND tile support [t*bs-o, t*bs+bs+o)
+    // must only reach +-1 neighbors — beyond that the reference's np.pad
+    // would raise, so we refuse rather than silently blend wrong)
+    (0 until 3).foreach { ax =>
+      require(meta.overlap(ax) >= 1,
+        s"stitch requires overlap >= 1 per axis (got ${meta.overlap(ax)} on axis $ax)")
+      require(2 * meta.overlap(ax) <= bs(ax),
+        s"stitch requires 2*overlap <= blocksize per axis " +
+          s"(got o=${meta.overlap(ax)}, bs=${bs(ax)} on axis $ax)")
+    }
     val outMeta = meta.copy(overlap = Array(0, 0, 0))
 
     val merged = emitPieces(grid)

@@ -65,7 +65,11 @@ object EventStream {
             val closed = List.newBuilder[SessionOut]
             ts.foreach { t =>
               if (cur == null) cur = SessionState(t, t, 1)
-              else if (t - cur.last <= gapUs) cur = cur.copy(last = t, n = cur.n + 1)
+              else if (t - cur.last <= gapUs)
+                // min/max: a legal late event (within watermark) from a later
+                // micro-batch may precede the stored bounds — never let the
+                // session regress to start > end
+                cur = SessionState(math.min(cur.start, t), math.max(cur.last, t), cur.n + 1)
               else {
                 closed += SessionOut(user, cur.start, cur.last, cur.n)
                 cur = SessionState(t, t, 1)

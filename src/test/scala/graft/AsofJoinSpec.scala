@@ -27,6 +27,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("p3") == -1L) // key with no right rows at all
   }
 
+  test("asof carries the matched right row atomically when payloads are null") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Int) = new Timestamp(sec * 1000L)
+    val left = Seq((1L, t(10), "p")).toDF("user_id", "ts", "tag")
+    // most recent right row (ts=9) has a NULL rid: the match must yield
+    // null, not leak rid=100 from the older row (per-column carry bug)
+    val right = Seq(
+      (1L, t(5), Some(100L)), (1L, t(9), None: Option[Long])).toDF("user_id", "ts", "rid")
+    val out = AsofJoin.asof(left, right, "user_id", "ts",
+      Map("rid" -> "matched", "ts" -> "rts")).collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("matched"))) // null from ts=9 row
+    assert(out(0).getTimestamp(out(0).fieldIndex("rts")) == t(9)) // same row's ts
+  }
+
   test("driver entry() returns rows on sf0.001") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

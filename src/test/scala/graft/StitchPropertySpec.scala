@@ -142,6 +142,34 @@ class StitchPropertySpec extends SparkSpec {
     assert(ok)
   }
 
+  test("weightBlock (reference-shaped kernel) agrees with the fused weighted slice") {
+    // weightBlock is the documentation-grade form of the weighting; the
+    // production path fuses the multiply into piece extraction. Pin their
+    // equivalence so they can never diverge silently.
+    val bs = Array(6, 7, 8); val o = Array(2, 3, 2); val g = Array(2, 2, 2)
+    val cs = Array(10, 13, 12)
+    val rnd = new scala.util.Random(31)
+    val meta = graft.core.GridMeta(
+      Array(12L, 14L, 16L), bs, o, g, 1)
+    val tile = Block(BlockIndex(1, 0, 1), cs(0), cs(1), cs(2), 1,
+      Array.fill(cs(0) * cs(1) * cs(2))(rnd.nextFloat()))
+    val weighted = Stitch.weightBlock(tile, meta)
+    val wx = Nd.stitchProfile(bs(0), o(0), isLo = false, isHi = true)
+    val wy = Nd.stitchProfile(bs(1), o(1), isLo = true, isHi = false)
+    val wz = Nd.stitchProfile(bs(2), o(2), isLo = false, isHi = true)
+    val fused = Nd.sliceCopyWeighted(tile.data, cs(0), cs(1), cs(2), 1,
+      0, 0, 0, cs(0), cs(1), cs(2), wx, wy, wz)
+    assert(Nd.maxAbsDiff(weighted.data, fused) == 0.0f)
+  }
+
+  test("stitch rejects overlap out of the reference's valid range") {
+    val cs = Array(12, 12, 12)
+    val tiles = Seq(Block(BlockIndex(0, 0, 0), cs(0), cs(1), cs(2), 1,
+      new Array[Float](cs(0) * cs(1) * cs(2))))
+    val bad = BlockGrid.fromTiles(spark, tiles, Array(4, 4, 4), Array(4, 4, 4), Array(1, 1, 1), 1)
+    intercept[IllegalArgumentException] { Stitch.stitchBlocks(bad) }
+  }
+
   test("(g) vector-field stitch equals per-component scalar stitch") {
     val bs = Array(6, 6, 6); val o = Array(2, 2, 2); val g = Array(2, 1, 2)
     val rnd = new scala.util.Random(13)

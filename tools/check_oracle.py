@@ -30,8 +30,13 @@ def rows_key(r):
 def compare(name, spark_rows, duck_rows, cols):
     if len(spark_rows) != len(duck_rows):
         return f'row count {len(spark_rows)} vs {len(duck_rows)}'
-    srt_s = sorted([rows_key(r) for r in spark_rows])
-    srt_d = sorted([rows_key(r) for r in duck_rows])
+    # sort by non-float columns first: float ulp differences between the
+    # engines must not change row pairing
+    def sort_key(r):
+        nonf = [str(x) for x in r if not isinstance(x, float)]
+        return (nonf, [str(x) for x in r])
+    srt_s = [rows_key(r) for r in sorted(spark_rows, key=sort_key)]
+    srt_d = [rows_key(r) for r in sorted(duck_rows, key=sort_key)]
     # exact string compare first; fall back to float-tolerant elementwise
     for rs, rd in zip(srt_s, srt_d):
         for a, b in zip(rs, rd):
