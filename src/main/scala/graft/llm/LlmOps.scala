@@ -312,6 +312,36 @@ object LlmOps {
       },
       None),
 
+    // ---- vocabulary building: corpus token frequencies (explode/unnest) ----
+    "q45_vocab_top_terms" -> Q(
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("tf").desc, col("token"))
+          .limit(20),
+      Some("""SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+             |FROM (SELECT doc_id,
+             |        unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             |      FROM documents) t
+             |GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin)),
+
+    // ---- per-source corpus stats with rollup subtotals ----
+    "q46_source_stats" -> Q(
+      (s, d) =>
+        docs(s, d)
+          .rollup(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+          .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first),
+      Some("""SELECT source, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents GROUP BY ROLLUP (source, lang)
+             |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin)),
+
     // ---- per-label embedding centroids via a typed Aggregator with
     //      map-side partial buffers (graft.functions.VecMeanAgg) — the
     //      shuffle carries one 65-double buffer per (label, partition)
