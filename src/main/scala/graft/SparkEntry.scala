@@ -27,10 +27,12 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (stitch core, LSH) → driver records a rows-only check.
+    * (LSH sketches) → driver records a rows-only check. The stitch-core
+    * entries have analytically known outputs (partition of unity; the
+    * (4/3)^d seam quirk), pinned as literal VALUES.
     */
   def oracleSql: Map[String, String] =
-    allQ.collect { case (k, q) if q.sql.isDefined => k -> q.sql.get }
+    allQ.collect { case (k, q) if q.sql.isDefined => k -> q.sql.get } ++ stitchOracles
 
   /** Stitch-core entries (rows-only): exercise the block-grid engine and
     * surface invariants as queryable rows. Golden parity lives in the
@@ -45,7 +47,9 @@ object SparkEntry {
         x <- 0 until 3; y <- 0 until 3; z <- 0 until 3
       } yield Block(BlockIndex(x, y, z), 12, 12, 12, 1, Array.fill(12 * 12 * 12)(1.0f))
       Stitch.stitchBlocks(BlockGrid.fromTiles(s, tiles, bs, o, g, 1))
-        .ds.map(b => (b.bi.bx, b.bi.by, b.bi.bz, b.data.min, b.data.max))
+        // doubles, not floats: the literal-VALUES oracle must round-trip
+        // bit-exactly through the driver's typed hash compare
+        .ds.map(b => (b.bi.bx, b.bi.by, b.bi.bz, b.data.min.toDouble, b.data.max.toDouble))
         .toDF("bx", "by", "bz", "minval", "maxval")
         .orderBy("bx", "by", "bz")
     },
@@ -60,10 +64,41 @@ object SparkEntry {
           s, Array(12L, 12L, 12L), Array(1f, 1f, 1f), aff, Array(6, 6, 6), Array(2, 2, 2))
         .ds.map { b =>
           val dx = b.data.indices.collect { case i if i % 3 == 0 => b.data(i) }
-          (b.bi.bx, b.bi.by, b.bi.bz, dx.min, dx.max)
+          (b.bi.bx, b.bi.by, b.bi.bz, dx.min.toDouble, dx.max.toDouble)
         }
         .toDF("bx", "by", "bz", "dx_min", "dx_max")
         .orderBy("bx", "by", "bz")
     },
   )
+
+  /** Literal-VALUES oracles for the stitch entries. Values are the
+    * analytically known invariants in exact f64-of-f32 form:
+    *   - blend of constant-1 tiles = 1.0 everywhere, except seam voxels
+    *     where the f32 partition-of-unity sum lands one ulp high
+    *     (1 + 2^-23 = 1.0000001192092896);
+    *   - merge_neighbors seam weight sums (4/3)^d (stitch quirk,
+    *     local_affine.py:73-106): 4/3 -> 1.3333334922790527,
+    *     (4/3)^2 -> 1.7777780294418335, (4/3)^3 -> 2.370370626449585
+    *     (each the double value of the f32 result).
+    * CAST AS DOUBLE: DuckDB parses bare decimal literals as DECIMAL,
+    * which hash-mismatches Spark's f64 even when values print equal.
+    */
+  private def stitchOracles: Map[String, String] = {
+    val blendRows = (for {
+      x <- 0 until 3; y <- 0 until 3; z <- 0 until 3
+    } yield s"($x, $y, $z, 1.0, 1.0000001192092896)").mkString(", ")
+    val quirk = Map(0 -> "1.0000001192092896", 1 -> "1.3333334922790527",
+      2 -> "1.7777780294418335", 3 -> "2.370370626449585")
+    val affRows = (for {
+      x <- 0 until 2; y <- 0 until 2; z <- 0 until 2
+    } yield s"($x, $y, $z, 1.0, ${quirk(x + y + z)})").mkString(", ")
+    Map(
+      "stitch_blend_const" ->
+        (s"SELECT bx, by, bz, CAST(minval AS DOUBLE) AS minval, CAST(maxval AS DOUBLE) AS maxval " +
+          s"FROM (VALUES $blendRows) AS t(bx, by, bz, minval, maxval) ORDER BY bx, by, bz"),
+      "affine_field_translate" ->
+        (s"SELECT bx, by, bz, CAST(dx_min AS DOUBLE) AS dx_min, CAST(dx_max AS DOUBLE) AS dx_max " +
+          s"FROM (VALUES $affRows) AS t(bx, by, bz, dx_min, dx_max) ORDER BY bx, by, bz"),
+    )
+  }
 }

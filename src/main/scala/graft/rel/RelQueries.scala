@@ -476,7 +476,10 @@ object RelQueries {
           .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
           .orderBy("user_id")
       },
-      Some("""SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events FROM (
+      // CAST: DuckDB window sum(INTEGER) yields HUGEINT, which its max()
+      // propagates; Spark emits BIGINT — cast so the hash compare sees the
+      // same arrow dtype (same rule as every other oracle sum in this file).
+      Some("""SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
              |  SELECT user_id, sum(new_sess) OVER (
              |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id

@@ -15,6 +15,41 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pyarrow.dataset as pa_ds
+
+
+def norm_dtype(t):
+    """Normalize arrow types to what the value-hash actually distinguishes.
+
+    Timezone annotation and string width are representation details the
+    driver's compare tolerates; int64 vs decimal128(38,0) (DuckDB HUGEINT
+    sums) is NOT — that class must fail here, like it fails at the driver.
+    """
+    s = str(t)
+    if s.startswith('timestamp'):
+        return 'timestamp'
+    if s in ('string', 'large_string'):
+        return 'string'
+    if s.startswith('halffloat') or s == 'float':
+        return 'double'
+    # plain integer widths hash identically at the driver (r1 evidence:
+    # spark int32 vs duckdb int64 queries were hash-green); decimal128
+    # (DuckDB HUGEINT sums) does NOT — keep it distinct
+    if s in ('int8', 'int16', 'int32', 'int64', 'uint8', 'uint16',
+             'uint32', 'uint64'):
+        return 'int'
+    return s
+
+
+def dtype_mismatch(spark_dir, duck_arrow):
+    spark_schema = pa_ds.dataset(spark_dir, format='parquet').schema
+    duck_types = {f.name: norm_dtype(f.type) for f in duck_arrow.schema}
+    spark_types = {f.name: norm_dtype(f.type) for f in spark_schema
+                   if f.name in duck_types}
+    diffs = [f'{c}: spark={spark_types[c]} oracle={duck_types[c]}'
+             for c in sorted(duck_types)
+             if c in spark_types and spark_types[c] != duck_types[c]]
+    return '; '.join(diffs) if diffs else None
 
 
 def norm(v):
@@ -69,13 +104,20 @@ def main():
         try:
             spark_df = con.execute(
                 f"SELECT * FROM read_parquet('{pdir}/*.parquet')").fetch_df()
-            duck_df = con.execute(sql).fetch_df()
+            duck_arrow = con.execute(sql).arrow()
+            duck_df = duck_arrow.to_pandas()
         except Exception as e:
             failures.append((name, f'exec error: {e}'))
             continue
         scols, dcols = sorted(spark_df.columns), sorted(duck_df.columns)
         if scols != dcols:
             failures.append((name, f'columns {scols} vs {dcols}'))
+            continue
+        # dtype gate: the driver hashes typed arrow values, so a BIGINT vs
+        # HUGEINT-sum mismatch fails there even when the printed values match
+        dt_err = dtype_mismatch(str(pdir), duck_arrow)
+        if dt_err:
+            failures.append((name, f'dtype mismatch: {dt_err}'))
             continue
         err = compare(name, spark_df[scols].values.tolist(),
                       duck_df[dcols].values.tolist(), scols)
