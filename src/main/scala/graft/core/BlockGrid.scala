@@ -1,6 +1,19 @@
 package graft.core
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import graft.ndarray.Nd
+
+/** One halo fragment of the generic overlap exchange: source chunk data
+  * destined for target block (tx,ty,tz)'s extended buffer at offset
+  * (x0,y0,z0), extent (dx,dy,dz). Pieces of one target are DISJOINT
+  * (every concatenated-space coordinate belongs to exactly one source
+  * chunk), so assembly is order-independent copy, not accumulation.
+  */
+private[graft] final case class OverlapPiece(
+    tx: Int, ty: Int, tz: Int,
+    x0: Int, y0: Int, z0: Int,
+    dx: Int, dy: Int, dz: Int,
+    data: Array[Float])
 
 /** A lazy block-partitioned dense N-d array: `Dataset[Block]` + static
   * [[GridMeta]] — the Spark-native counterpart of a dask array
@@ -16,6 +29,107 @@ final case class BlockGrid(meta: GridMeta, ds: Dataset[Block]) {
     */
   def mapBlocks(newMeta: GridMeta)(f: Block => Block): BlockGrid =
     BlockGrid(newMeta, ds.map(f)(BlockGrid.blockEncoder))
+
+  /** Generic halo-exchange map — the reusable analogue of
+    * `da.map_overlap(kernel, depth, boundary=., trim=False, chunks=...)`
+    * (the reference's one physical primitive, stitch.py:113-121).
+    *
+    * Semantics (dask's, verified in SURVEY §1.2): chunks live in
+    * CONCATENATED-chunk coordinates — chunk i spans
+    * [i*chunkSize, (i+1)*chunkSize) per axis regardless of any logical
+    * overlap the chunks represent. Each chunk is extended by `depth(ax)`
+    * voxels of neighbor data per side (`boundary` fill where the grid
+    * ends), the kernel runs on the extended block, and its output becomes
+    * the new chunk with `newMeta`'s declared geometry.
+    *
+    * Physical plan: ONE shuffle — a ≤27-way piece flatMap keyed by target
+    * block, groupByKey hash-partitioned on the uniform BlockIndex (no
+    * skew), assemble + kernel in mapGroups. Pieces of a target are
+    * disjoint, so assembly is a copy and the result is deterministic
+    * independent of arrival order. At 100 TB shuffle volume is the array
+    * volume + the halo fraction; no second exchange.
+    */
+  def mapOverlap(depth: Array[Int], newMeta: GridMeta, boundary: Float = 0f)(
+      kernel: Block => Block): BlockGrid = {
+    val m = meta
+    val cs = Array.tabulate(3)(m.chunkSize)
+    val g = m.blockGrid
+    val c = m.components
+    (0 until 3).foreach { ax =>
+      require(depth(ax) >= 0 && depth(ax) <= cs(ax),
+        s"mapOverlap requires 0 <= depth <= chunk extent per axis " +
+          s"(got depth=${depth(ax)}, chunk=${cs(ax)} on axis $ax)")
+    }
+    implicit val pieceEnc: Encoder[OverlapPiece] = Encoders.product[OverlapPiece]
+    implicit val keyEnc: Encoder[(Int, Int, Int)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt)
+    implicit val blockEnc: Encoder[Block] = BlockGrid.blockEncoder
+    val pieces = ds.flatMap { b =>
+      require(b.nx == cs(0) && b.ny == cs(1) && b.nz == cs(2),
+        s"mapOverlap requires uniform chunks ${cs.mkString("x")}, " +
+          s"got ${b.nx}x${b.ny}x${b.nz} at ${b.bi}")
+      val src = b.bi
+      val out = scala.collection.mutable.ArrayBuffer.empty[OverlapPiece]
+      var dx = -1
+      while (dx <= 1) {
+        var dy = -1
+        while (dy <= 1) {
+          var dz = -1
+          while (dz <= 1) {
+            val tgt = src + ((dx, dy, dz))
+            if (tgt.inGrid(g)) {
+              // intersect source chunk [s*cs, s*cs+cs) with target's
+              // extended domain [t*cs - depth, t*cs + cs + depth) per axis
+              var ok = true
+              val off = new Array[Int](3) // offset within extended buffer
+              val sOff = new Array[Int](3) // offset within source chunk
+              val ext = new Array[Int](3)
+              var ax = 0
+              while (ax < 3 && ok) {
+                val sLo = src(ax).toLong * cs(ax)
+                val sHi = sLo + cs(ax)
+                val tLo = tgt(ax).toLong * cs(ax) - depth(ax)
+                val tHi = tgt(ax).toLong * cs(ax) + cs(ax) + depth(ax)
+                val lo = math.max(sLo, tLo); val hi = math.min(sHi, tHi)
+                if (hi <= lo) ok = false
+                else {
+                  off(ax) = (lo - tLo).toInt
+                  sOff(ax) = (lo - sLo).toInt
+                  ext(ax) = (hi - lo).toInt
+                }
+                ax += 1
+              }
+              if (ok) {
+                val patch =
+                  if (ext(0) == b.nx && ext(1) == b.ny && ext(2) == b.nz) b.data
+                  else Nd.sliceCopy(b.data, b.nx, b.ny, b.nz, c,
+                    sOff(0), sOff(1), sOff(2), ext(0), ext(1), ext(2))
+                out += OverlapPiece(tgt.bx, tgt.by, tgt.bz,
+                  off(0), off(1), off(2), ext(0), ext(1), ext(2), patch)
+              }
+            }
+            dz += 1
+          }
+          dy += 1
+        }
+        dx += 1
+      }
+      out.toSeq
+    }
+    val merged = pieces
+      .groupByKey(p => (p.tx, p.ty, p.tz))
+      .mapGroups { (key, it) =>
+        val ex = cs(0) + 2 * depth(0); val ey = cs(1) + 2 * depth(1)
+        val ez = cs(2) + 2 * depth(2)
+        val buf = new Array[Float](ex * ey * ez * c)
+        if (boundary != 0f) java.util.Arrays.fill(buf, boundary)
+        it.foreach { p =>
+          Nd.placeInto(buf, ex, ey, ez, c, p.data, p.x0, p.y0, p.z0, p.dx, p.dy, p.dz)
+        }
+        kernel(Block(BlockIndex(key._1, key._2, key._3), ex, ey, ez, c, buf))
+      }
+    BlockGrid(newMeta, merged)
+  }
 
   /** Collect into one dense row-major float buffer (tests / small outputs
     * only — the 100 TB path writes Parquet instead, see graft.io).

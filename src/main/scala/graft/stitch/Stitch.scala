@@ -122,20 +122,24 @@ object Stitch {
     * Input chunks must be blocksize + 2*overlap per axis; output chunks
     * are exactly blocksize (the verified contract of stitch.py:94-121).
     */
-  def stitchBlocks(grid: BlockGrid): BlockGrid = {
-    val meta = grid.meta
-    val bs = meta.blocksize; val c = meta.components
-    // bounds per axis: o >= 1 (ramps are 2o-1 long); 2o <= bs (the ramp
-    // core bs-2o+2 must stay positive AND tile support [t*bs-o, t*bs+bs+o)
-    // must only reach +-1 neighbors — beyond that the reference's np.pad
-    // would raise, so we refuse rather than silently blend wrong)
+  /** Bounds per axis: o >= 1 (ramps are 2o-1 long); 2o <= bs (the ramp
+    * core bs-2o+2 must stay positive AND tile support [t*bs-o, t*bs+bs+o)
+    * must only reach +-1 neighbors — beyond that the reference's np.pad
+    * would raise, so we refuse rather than silently blend wrong).
+    */
+  private def requireStitchable(meta: GridMeta): Unit =
     (0 until 3).foreach { ax =>
       require(meta.overlap(ax) >= 1,
         s"stitch requires overlap >= 1 per axis (got ${meta.overlap(ax)} on axis $ax)")
-      require(2 * meta.overlap(ax) <= bs(ax),
+      require(2 * meta.overlap(ax) <= meta.blocksize(ax),
         s"stitch requires 2*overlap <= blocksize per axis " +
-          s"(got o=${meta.overlap(ax)}, bs=${bs(ax)} on axis $ax)")
+          s"(got o=${meta.overlap(ax)}, bs=${meta.blocksize(ax)} on axis $ax)")
     }
+
+  def stitchBlocks(grid: BlockGrid): BlockGrid = {
+    val meta = grid.meta
+    val bs = meta.blocksize; val c = meta.components
+    requireStitchable(meta)
     val outMeta = meta.copy(overlap = Array(0, 0, 0))
 
     val merged = emitPieces(grid)
@@ -150,5 +154,29 @@ object Stitch {
       }
 
     BlockGrid(outMeta, merged)
+  }
+
+  /** The stitch as the reference literally writes it (stitch.py:104-121):
+    * `map_blocks(weight_block)` then
+    * `map_overlap(merge_overlaps, depth=overlap, boundary=0, trim=False,
+    * chunks=blocksize)` — a thin composition over the generic
+    * [[BlockGrid.mapOverlap]] primitive.
+    *
+    * [[stitchBlocks]] stays the production path: it fuses the weighting
+    * into piece extraction and ships only each tile's overlap-region
+    * contributions (shuffle volume = output + halo fraction), where this
+    * composition ships the full weighted tiles (volume = input + halo
+    * fraction, ~(1+2o/bs)^3 larger) and both run exactly ONE shuffle.
+    * Equivalence of the two paths is pinned by golden + property tests.
+    */
+  def stitchBlocksViaMapOverlap(grid: BlockGrid): BlockGrid = {
+    val meta = grid.meta
+    requireStitchable(meta)
+    val weighted = grid.mapBlocks(meta)(weightBlock(_, meta))
+    val bs = meta.blocksize; val o = meta.overlap; val c = meta.components
+    weighted.mapOverlap(o, meta.copy(overlap = Array(0, 0, 0))) { b =>
+      val out = Nd.mergeOverlaps(b.data, b.nx, b.ny, b.nz, c, bs, o)
+      Block(b.bi, bs(0), bs(1), bs(2), c, out)
+    }
   }
 }
