@@ -48,6 +48,14 @@ final case class BlockGrid(meta: GridMeta, ds: Dataset[Block]) {
     * disjoint, so assembly is a copy and the result is deterministic
     * independent of arrival order. At 100 TB shuffle volume is the array
     * volume + the halo fraction; no second exchange.
+    *
+    * PRECONDITION: the grid must be DENSE — every BlockIndex in
+    * [0,blockGrid) must be present exactly once in `ds` (dask arrays are
+    * dense by construction, so the reference has no sparse case). A
+    * missing block produces no output row AND its neighbors silently get
+    * boundary fill where real data should be; the uniform-chunk `require`
+    * below cannot catch absence. MapOverlapSpec pins output cardinality
+    * == grid volume on the golden fixtures.
     */
   def mapOverlap(depth: Array[Int], newMeta: GridMeta, boundary: Float = 0f)(
       kernel: Block => Block): BlockGrid = {

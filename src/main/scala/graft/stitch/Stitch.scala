@@ -167,7 +167,9 @@ object Stitch {
     * contributions (shuffle volume = output + halo fraction), where this
     * composition ships the full weighted tiles (volume = input + halo
     * fraction, ~(1+2o/bs)^3 larger) and both run exactly ONE shuffle.
-    * Equivalence of the two paths is pinned by golden + property tests.
+    * Equivalence of the two paths is pinned by MapOverlapSpec: golden
+    * parity on all four stitch fixtures plus a seeded random-geometry
+    * property test against [[stitchBlocks]].
     */
   def stitchBlocksViaMapOverlap(grid: BlockGrid): BlockGrid = {
     val meta = grid.meta
