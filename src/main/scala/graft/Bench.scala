@@ -16,6 +16,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ObservedMetricsLog.register(spark)
     // headline set: representative operators, timed end-to-end (results
     // drained via a cheap count over the final plan)
     val headline = (graft.rel.RelQueries.all ++ graft.llm.LlmOps.all).collect {
@@ -34,7 +35,10 @@ object Bench {
     // 3-6x run-to-run CPU starvation; min-of-3 in one JVM is the stable
     // steady-state signal. A crashing query surfaces as -1, not as a fast
     // "success" timing.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val repsRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")
+    val reps = repsRaw.toIntOption.getOrElse(
+      sys.error(s"SPARK_GRAFT_BENCH_REPS must be an integer >= 1, got '$repsRaw'"))
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results = headline.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -45,12 +49,18 @@ object Bench {
         }
       }
       val ok = times.filter(_ >= 0)
-      name -> (if (ok.isEmpty) -1.0 else ok.min)
+      name -> (if (ok.isEmpty) -1.0 else ok.min, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // every rep per query, so the consumer can see host-starvation
+    // variance (3-6x run-to-run here) instead of a lone min poisoned or
+    // flattered by one outlier rep; -1 marks a failed rep
+    val repJson = results.map { case (k, (_, ts)) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repJson,"sf":"$sfDir"}"""
     println(json)
     // belt-and-suspenders for consumers that can't see a clean stdout
     // (e.g. output multiplexed through a build-tool logger)

@@ -30,6 +30,17 @@ object LlmOps {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def embs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
+  /** Shingle document-frequency cap for q34: a shingle appearing in more
+    * than this many docs is dropped before the pair self-join (bounding
+    * any single join key to ≤ cap² candidate pairs) AND from the per-doc
+    * shingle sizes, so the reported Jaccard is exact over the capped
+    * shingle universe. The oracle SQL applies the same cap, so outputs
+    * hash-match at every SF. 16 is above every fixture frequency at
+    * sf0.01 (max df there is 7) and operative at sf0.1 (drops the ~2.5%
+    * hottest shingles, df up to 25).
+    */
+  val shingleDfCap = 16
+
   /** tokens of lowercased, trimmed text (both dialects: \s+ split) */
   private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
 
@@ -142,7 +153,16 @@ object LlmOps {
       headline = true),
 
     // ---- n-gram Jaccard near-dup: top-20 most similar pairs.
-    //      Pair generation is keyed by shared shingle (no cross join).
+    //      Pair generation is keyed by shared shingle (no cross join),
+    //      with a document-frequency cap: shingles present in more than
+    //      `shingleDfCap` docs are dropped BEFORE the self-join (and from
+    //      the per-doc sizes — Jaccard over the capped shingle universe,
+    //      identically in the DuckDB oracle). One shingle shared by k docs
+    //      emits k² candidate pairs, so an uncapped boilerplate shingle is
+    //      the dedup skew-bomb at 100 TB; the cap bounds every join key at
+    //      ≤ cap² pairs. The drop is NOT silent: observe() metrics
+    //      q34_shingles_{pre,post}_cap surface kept-vs-dropped row counts
+    //      to any QueryExecutionListener (Verify/Bench print them).
     //      Shingling runs in a typed narrow map: inlining the equivalent
     //      nested higher-order expression into the generator-pushdown
     //      filters costs minutes of codegen on first evaluation. ----
@@ -160,9 +180,22 @@ object LlmOps {
           }
           .toDF("doc_id", "sh")
           .cache() // feeds sizes + both sides of the shingle self-join
-        val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
         val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-        val inter = ex.as("a").join(ex.as("b"),
+        // grams are distinct per doc, so count(*) per g = doc frequency.
+        // Unhinted anti join: AQE broadcasts the (small) hot set here; at
+        // 100 TB a shuffle anti join on g co-partitions with the self-join
+        // shuffle below (exchange reuse), so both plans are right.
+        val hot = ex.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") > shingleDfCap).select("g")
+        val exK = ex.join(hot, Seq("g"), "left_anti")
+        // observed copy feeds ONLY the sizes branch: a CollectMetrics name
+        // may not appear twice in one plan, and exK is on both join sides
+        val sizes = ex
+          .observe("q34_shingles_pre_cap", count(lit(1)).as("rows"))
+          .join(hot, Seq("g"), "left_anti")
+          .observe("q34_shingles_post_cap", count(lit(1)).as("rows"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = exK.as("a").join(exK.as("b"),
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .agg(count(lit(1)).as("inter"))
@@ -174,16 +207,18 @@ object LlmOps {
           .orderBy(col("jac").desc, col("da"), col("db"))
           .limit(20)
       },
-      Some("""WITH s AS (SELECT doc_id,
+      Some(s"""WITH s AS (SELECT doc_id,
              |    list_distinct(list_transform(range(1, len(t)-1),
              |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-             |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
              |        FROM documents)),
              |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |hot AS (SELECT g FROM e GROUP BY g HAVING count(*) > $shingleDfCap),
+             |k AS (SELECT doc_id, g FROM e WHERE g NOT IN (SELECT g FROM hot)),
              |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-             |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+             |      FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id
              |      GROUP BY 1, 2),
-             |z AS (SELECT doc_id, len(sh) AS n FROM s)
+             |z AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id)
              |SELECT da, db, inter,
              |  CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jac
              |FROM i JOIN z za ON i.da = za.doc_id JOIN z zb ON i.db = zb.doc_id

@@ -30,7 +30,10 @@ def norm_dtype(t):
         return 'timestamp'
     if s in ('string', 'large_string'):
         return 'string'
-    if s.startswith('halffloat') or s == 'float':
+    # float32 vs float64 stays DISTINCT: the driver's typed hash compare is
+    # bit-exact, and float-vs-double tolerance there is unconfirmed — the
+    # r1 hash-green evidence only covers integer widths
+    if s.startswith('halffloat'):
         return 'double'
     # plain integer widths hash identically at the driver (r1 evidence:
     # spark int32 vs duckdb int64 queries were hash-green); decimal128
