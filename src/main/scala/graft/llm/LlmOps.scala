@@ -266,19 +266,36 @@ object LlmOps {
              |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
-    // ---- embedding-cosine near-dup pairs: exact baseline with a full
-    //      oracle (the LSH-bucketed scale path is q38; this is the
-    //      correctness reference for it). Same-label pairs above a cosine
-    //      threshold; pair space bounded by blocking on `label` — the
-    //      "blocking key" pattern (at 100 TB the key is an LSH bucket). ----
+    // ---- embedding-cosine near-dup pairs, blocked on the multi-table
+    //      hyperplane LSH bucket (SketchOps.annSigs — 8 tables × 4
+    //      planes): candidate pairs share a bucket in ≥1 table, so no
+    //      label ever induces an O(n_label²) self-join. Collision
+    //      probability at the cos≥0.5 output threshold is ≈0.83 and →1
+    //      as cos→1, so near-dups (the op's target) are found with
+    //      near-certainty. Label equality stays as a SECONDARY predicate
+    //      on the candidate pairs, matching the oracle's semantics. ----
     "q41_embed_neardup" -> Q(
       (s, d) => {
+        import s.implicits._
         val e = embs(s, d).select(col("vec_id"), col("label"), col("embedding"))
-        e.as("a").join(e.as("b"),
-            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.label").as("label"),
-            col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-            graft.functions.VecFunctions.vecCosine(s, col("a.embedding"), col("b.embedding")).as("cos"))
+        val flat = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+          .map { case (id, v) => (id, SketchOps.annSigs(v)) }
+          .toDF("vec_id", "sigs")
+          .select(col("vec_id"), posexplode(col("sigs")).as(Seq("t", "bucket")))
+        // bucket-keyed candidate generation (shuffle on (t,bucket), pair
+        // volume bounded per bucket), then one distinct over pairs
+        val pairs = flat.as("a").join(flat.as("b"),
+            col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb")).distinct()
+        pairs
+          .join(e.select(col("vec_id").as("va"), col("label").as("la"),
+            col("embedding").as("ea")), "va")
+          .join(e.select(col("vec_id").as("vb"), col("label").as("lb"),
+            col("embedding").as("eb")), "vb")
+          .filter(col("la") === col("lb"))
+          .select(col("la").as("label"), col("va"), col("vb"),
+            graft.functions.VecFunctions.vecCosine(s, col("ea"), col("eb")).as("cos"))
           .filter(col("cos") >= 0.5)
           .orderBy(col("cos").desc, col("va"), col("vb"))
       },

@@ -87,6 +87,45 @@ object SketchOps {
     }
   }
 
+  // ---- random-hyperplane LSH family (shared by q38 ANN and q41's
+  // near-dup blocking key). 8 independent tables of 4 planes each:
+  // for a pair at angle θ, P[same bucket in one table] = (1-θ/π)^4 and
+  // P[collide in ≥1 of 8 tables] = 1-(1-(1-θ/π)^4)^8 — ≈0.83 at cos 0.5,
+  // ≈0.998 at cos 0.9, →1 as cos→1. Few planes per table + many tables
+  // trades candidate volume for recall; measured on this corpus
+  // (near-uniform embeddings, top-5 cos ≈ 0.3) recall@5 = 0.875
+  // (pinned ≥ 0.8 by AnnRecallSpec + the q38_recall driver entry). ----
+  private[llm] val AnnDim = 64
+  private[llm] val AnnTables = 8
+  private[llm] val AnnPlanes = 4
+
+  /** deterministic hyperplanes, uniform [-1,1]; table 0 reproduces the
+    * single-table family this op shipped with (seed p*1009+j) */
+  private lazy val annHp: Array[Array[Array[Double]]] =
+    Array.tabulate(AnnTables, AnnPlanes, AnnDim) { (t, p, j) =>
+      splitmix64((t * 131L + p) * 1009L + j).toDouble / Long.MaxValue
+    }
+
+  /** per-table bucket signatures (AnnPlanes sign bits each) of one vector */
+  private[llm] def annSigs(emb: Seq[Float]): Array[Int] = {
+    val out = new Array[Int](AnnTables)
+    var t = 0
+    while (t < AnnTables) {
+      var sig = 0
+      var p = 0
+      while (p < AnnPlanes) {
+        var dot = 0.0
+        var j = 0
+        while (j < AnnDim) { dot += annHp(t)(p)(j) * emb(j); j += 1 }
+        if (dot > 0) sig |= (1 << p)
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    out
+  }
+
   /** 64-bit SimHash over token hashes */
   private def simhash64(toks: Array[String]): Long = {
     val acc = new Array[Int](64)
@@ -104,6 +143,61 @@ object SketchOps {
     var b = 0
     while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  /** number of ANN probe queries (vec_id < AnnQueries) */
+  private val AnnQueries = 8
+
+  /** q38 core: approximate top-5 per query via multi-table union-probe +
+    * exact cosine re-rank of the candidate set. Shared with q38_recall.
+    */
+  private def annTop5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, annSigs(v), v) }
+      .toDF("vec_id", "sigs", "embedding")
+      .cache() // signature kernel feeds the probe join AND the re-rank join
+    val flat = e.select(col("vec_id"), posexplode(col("sigs")).as(Seq("t", "bucket")))
+    val probes = flat.filter(col("vec_id") < AnnQueries)
+      .select(col("vec_id").as("qid"), col("t"), col("bucket"))
+    // union-probe: a vector is a candidate if it collides in ANY table;
+    // distinct collapses multi-table collisions before the re-rank
+    val cand = broadcast(probes).join(flat, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val q = e.filter(col("vec_id") < AnnQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val nc = cand.groupBy("qid").agg(count(lit(1)).as("n_candidates"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("cos",
+        graft.functions.VecFunctions.vecCosine(s, col("qv"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .join(broadcast(nc), "qid")
+      .select(col("qid"), col("rn"), col("vec_id").as("nn_id"), col("cos"),
+        col("n_candidates"))
+      .orderBy("qid", "rn")
+  }
+
+  /** exact brute-force cosine top-5 for the same AnnQueries queries — the
+    * ground truth side of q38_recall (q37's shape, widened to 8 queries)
+    */
+  private def exactTop5(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < AnnQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        graft.functions.VecFunctions.vecCosine(s, col("qv"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"))
   }
 
   val all: ListMap[String, Q] = ListMap(
@@ -164,50 +258,27 @@ object SketchOps {
       },
       None),
 
-    // ---- ANN: random-hyperplane LSH buckets, top-1 within bucket ----
-    "q38_knn_lsh" -> Q(
+    // ---- ANN: multi-table random-hyperplane LSH with union-probe.
+    //      Candidates = vectors sharing the query's bucket in ANY of the
+    //      8 tables; exact cosine re-rank of candidates only. The scan
+    //      side explodes to n×8 (t, bucket) rows; the probe side is a
+    //      broadcast of the few query buckets — shuffle volume is the
+    //      candidate set, never the n² pair space. ----
+    "q38_knn_lsh" -> Q((s, d) => annTop5(s, d), None),
+
+    // ---- recall harness: q38's approximate top-5 vs the exact top-5
+    //      (same 8 queries, brute-force cosine). AnnRecallSpec pins
+    //      avg recall@5 ≥ 0.8 on sf0.01. ----
+    "q38_recall" -> Q(
       (s, d) => {
-        import s.implicits._
-        val dim = 64; val planes = 8
-        // deterministic hyperplanes: uniform [-1,1] from splitmix64
-        val hp = Array.tabulate(planes, dim) { (p, j) =>
-          (splitmix64(p * 1009L + j).toDouble / Long.MaxValue)
-        }
-        val bucketOf = (emb: Seq[Float]) => {
-          var sig = 0
-          var p = 0
-          while (p < planes) {
-            var dot = 0.0
-            var j = 0
-            while (j < dim) { dot += hp(p)(j) * emb(j); j += 1 }
-            if (dot > 0) sig |= (1 << p)
-            p += 1
-          }
-          sig
-        }
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-          .map { case (id, v) => (id, bucketOf(v), v) }
-          .toDF("vec_id", "bucket", "embedding")
-        val q = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("qid"), col("bucket").as("qbucket"),
-            col("embedding").as("qv"))
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-        val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-          graft.functions.VecFunctions.vecDot(s, a, b)
-        val bucketSizes = e.groupBy(col("bucket").as("sz_bucket"))
-          .agg(count(lit(1)).as("bucket_size"))
-        broadcast(q).join(e, col("qbucket") === col("bucket") && col("vec_id") =!= col("qid"), "left")
-          .withColumn("cos",
-            dot(col("qv"), col("embedding")) /
-              (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("embedding"), col("embedding")))))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .join(bucketSizes, col("qbucket") === col("sz_bucket"), "left")
-          .select(col("qid"), col("qbucket"),
-            coalesce(col("bucket_size"), lit(1)).as("bucket_size"),
-            col("vec_id").as("nn_id"), col("cos"))
+        val approx = annTop5(s, d).select(col("qid"), col("nn_id").as("vec_id"))
+        val hits = exactTop5(s, d)
+          .join(approx.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        hits
+          .select(col("qid"), col("n_hits"),
+            (col("n_hits").cast("double") / 5).as("recall_at_5"))
           .orderBy("qid")
       },
       None),

@@ -1,0 +1,18 @@
+package graft
+
+import graft.llm.SketchOps
+
+/** Pins the quality of the q38 multi-table hyperplane ANN: average
+  * recall@5 vs the exact brute-force top-5 must stay ≥ 0.8 on the
+  * sf0.01 embeddings (near-uniform vectors, the hardest case for LSH —
+  * measured 0.875 with 8 tables × 4 planes). Deterministic: hash family
+  * and data are fixed, so this cannot flap.
+  */
+class AnnRecallSpec extends SparkSpec {
+  test("q38_recall: avg recall@5 >= 0.8 vs exact top-5 at sf0.01") {
+    val rows = SketchOps.all("q38_recall").fn(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 8, s"expected 8 query rows, got ${rows.length}")
+    val avg = rows.map(_.getAs[Double]("recall_at_5")).sum / rows.length
+    assert(avg >= 0.8, s"avg recall@5 $avg < 0.8")
+  }
+}
