@@ -35,6 +35,32 @@ object Graft {
       displacement: Boolean = true): BlockGrid =
     LocalAffine.localAffinesToField(spark, shape, spacing, affines, blocksize, overlap, displacement)
 
+  /** Voxel coordinate grid — `position_grid` (local_affine.py:7-13):
+    * block (bx,by,bz) holds each voxel's global index per axis as a
+    * 3-component field. Generated per executor; zero shuffles.
+    */
+  def positionGrid(
+      spark: SparkSession,
+      shape: Array[Long],
+      blocksize: Array[Int]): BlockGrid =
+    LocalAffine.positionGrid(spark, shape, blocksize)
+
+  /** Narrow per-chunk kernel — `da.map_blocks` (stitch.py:105-110). */
+  def mapBlocks(grid: BlockGrid, newMeta: GridMeta)(f: Block => Block): BlockGrid =
+    grid.mapBlocks(newMeta)(f)
+
+  /** Generic halo exchange — `da.map_overlap(kernel, depth, boundary,
+    * trim=False)` (stitch.py:113-121): each chunk is extended by `depth`
+    * voxels of neighbor data per side (boundary fill at the domain edge)
+    * before `kernel` runs. ONE shuffle; requires a dense uniform grid.
+    */
+  def mapOverlap(
+      grid: BlockGrid,
+      depth: Array[Int],
+      newMeta: GridMeta,
+      boundary: Float = 0f)(kernel: Block => Block): BlockGrid =
+    grid.mapOverlap(depth, newMeta, boundary)(kernel)
+
   /** Build an in-memory block grid (tests / small inputs). */
   def gridFromTiles(
       spark: SparkSession,

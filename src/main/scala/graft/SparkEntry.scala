@@ -53,6 +53,27 @@ object SparkEntry {
         .toDF("bx", "by", "bz", "minval", "maxval")
         .orderBy("bx", "by", "bz")
     },
+    // position_grid parity (local_affine.py:7-13): per-block coordinate
+    // extrema of a cropped 7x9x5 grid in 4^3 blocks — the oracle computes
+    // the same extrema by independent SQL arithmetic
+    "position_grid" -> { (s, _) =>
+      import s.implicits._
+      LocalAffine.positionGrid(s, Array(7L, 9L, 5L), Array(4, 4, 4))
+        .ds.map { b =>
+          def mm(c: Int): (Double, Double) = {
+            var mn = Float.MaxValue; var mx = Float.MinValue
+            var i = c
+            while (i < b.data.length) {
+              val v = b.data(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 3
+            }
+            (mn.toDouble, mx.toDouble)
+          }
+          val (xm, xx) = mm(0); val (ym, yx) = mm(1); val (zm, zx) = mm(2)
+          (b.bi.bx, b.bi.by, b.bi.bz, xm, xx, ym, yx, zm, zx)
+        }
+        .toDF("bx", "by", "bz", "x_min", "x_max", "y_min", "y_max", "z_min", "z_max")
+        .orderBy("bx", "by", "bz")
+    },
     // uniform +1 x-translation -> blended displacement field incl. the
     // reference's (4/3)^d seam quirk; per-block dx extrema as rows
     "affine_field_translate" -> { (s, _) =>
@@ -93,6 +114,14 @@ object SparkEntry {
       x <- 0 until 2; y <- 0 until 2; z <- 0 until 2
     } yield s"($x, $y, $z, 1.0, ${quirk(x + y + z)})").mkString(", ")
     Map(
+      // independent arithmetic: block b spans [b*4, min(b*4+4, shape)-1]
+      "position_grid" ->
+        ("""SELECT CAST(bx AS INT) AS bx, CAST(by AS INT) AS by, CAST(bz AS INT) AS bz,
+           |  CAST(bx*4 AS DOUBLE) AS x_min, CAST(least(bx*4+3, 6) AS DOUBLE) AS x_max,
+           |  CAST(by*4 AS DOUBLE) AS y_min, CAST(least(by*4+3, 8) AS DOUBLE) AS y_max,
+           |  CAST(bz*4 AS DOUBLE) AS z_min, CAST(least(bz*4+3, 4) AS DOUBLE) AS z_max
+           |FROM range(2) tx(bx), range(3) ty(by), range(2) tz(bz)
+           |ORDER BY bx, by, bz""".stripMargin),
       "stitch_blend_const" ->
         (s"SELECT bx, by, bz, CAST(minval AS DOUBLE) AS minval, CAST(maxval AS DOUBLE) AS maxval " +
           s"FROM (VALUES $blendRows) AS t(bx, by, bz, minval, maxval) ORDER BY bx, by, bz"),
