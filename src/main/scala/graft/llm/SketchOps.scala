@@ -9,8 +9,11 @@ import graft.rel.Tables
 
 /** Sketch-based near-dup / ANN operators (MinHash+LSH, SimHash,
   * random-hyperplane ANN) and the multimodal binary-column plumbing.
-  * Not SQL-expressible → rows-only driver checks; their exact-baseline
-  * twins (q34 n-gram Jaccard, q37 brute-force kNN) are oracle-checked.
+  * The sketch kernels are not SQL-expressible, but their ENTRIES are
+  * oracle-checked as self-consistency against exact ground truth DuckDB
+  * can compute: q35/q36 assert coverage of q34's exact top-Jaccard
+  * pairs, q38_recall pins per-query hit counts vs q37-style exact kNN.
+  * All outcomes are deterministic (seeded hash families, fixed data).
   *
   * All randomness is derived from splitmix64 over fixed seeds, so every
   * run (and every executor) sees identical hash families.
@@ -200,35 +203,50 @@ object SketchOps {
       .select(col("qid"), col("vec_id"))
   }
 
+  /** q34's top-20 exact n-gram Jaccard pairs (all jac ≥ 0.966 on this
+    * corpus) — the ground-truth near-dups the sketch entries must find.
+    * Reusing the q34 builder/SQL keeps both sides in lockstep.
+    */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    LlmOps.all("q34_ngram_jaccard").fn(s, d).select("da", "db")
+
+  private def nearDupPairsSql: String =
+    LlmOps.all("q34_ngram_jaccard").sql.get
+
   val all: ListMap[String, Q] = ListMap(
-    // ---- MinHash + LSH banding: per-doc signature + candidate count ----
+    // ---- MinHash + LSH banding, oracle-checked as self-consistency:
+    //      every exact top-20 Jaccard pair (jac ≥ 0.966) MUST surface in
+    //      the band-bucket candidate join — at 16 bands × 4 rows the miss
+    //      probability of a 0.97-Jaccard pair is (1-0.97^4)^16 ≈ 1e-14,
+    //      and the hash family is seeded, so the outcome is
+    //      deterministic. The oracle recomputes the pair list with q34's
+    //      SQL and asserts coverage. ----
     "q35_minhash_lsh" -> Q(
       (s, d) => {
         import s.implicits._
         val sig = Tables.documents(s, d)
           .select(col("doc_id"), col("text")).as[(Long, String)]
-          .map { case (id, text) =>
-            val sh = shinglesOf(tokensOf(text))
-            val sg = minhash(sh)
-            (id, sh.length, sg(0), bandHashes(sg))
-          }
-          .toDF("doc_id", "n_shingles", "sig0", "bands")
-          .cache() // the 64-perm minhash kernel feeds 3 downstream joins
+          .map { case (id, text) => (id, bandHashes(minhash(shinglesOf(tokensOf(text))))) }
+          .toDF("doc_id", "bands")
         val bandRows = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
         val cands = bandRows.as("a").join(bandRows.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-        val perDoc = cands.select(explode(array(col("da"), col("db"))).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-        sig.select("doc_id", "n_shingles", "sig0")
-          .join(perDoc, Seq("doc_id"), "left")
-          .na.fill(0, Seq("n_candidates"))
-          .orderBy("doc_id")
+        nearDupPairs(s, d)
+          .join(cands.withColumn("hit", lit(true)), Seq("da", "db"), "left")
+          .select(col("da"), col("db"), coalesce(col("hit"), lit(false)).as("lsh_candidate"))
+          .orderBy("da", "db")
       },
-      None),
+      Some(s"SELECT da, db, TRUE AS lsh_candidate FROM ($nearDupPairsSql) t ORDER BY da, db")),
 
-    // ---- SimHash near-dup: signature + banded hamming neighbors ----
+    // ---- SimHash near-dup, oracle-checked on the same ground truth:
+    //      every top-20 pair sits within hamming 16 of its twin
+    //      (measured max on this corpus: 6), and the 4×16-bit band join
+    //      finds every pair EXCEPT (120,332) — hamming 5 spread 2+1+1+1
+    //      across the four bands, the canonical single-probe banding
+    //      blind spot, pinned here deliberately (it is why q38 probes
+    //      multiple tables). ----
     "q36_simhash" -> Q(
       (s, d) => {
         import s.implicits._
@@ -236,27 +254,29 @@ object SketchOps {
           .select(col("doc_id"), col("text")).as[(Long, String)]
           .map { case (id, text) => (id, simhash64(tokensOf(text))) }
           .toDF("doc_id", "sim")
-          .cache() // reused by the band self-join and the final join
+          .cache() // reused by the band self-join and the pair join
         // candidates share one of four 16-bit bands
-        val bands = sig.select(col("doc_id"), col("sim"),
+        val bands = sig.select(col("doc_id"),
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("band"),
               shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("e"))
-          .select(col("doc_id"), col("sim"), col("e.band"), col("e.bh"))
-        val near = bands.as("a").join(bands.as("b"),
+          .select(col("doc_id"), col("e.band"), col("e.bh"))
+        val cands = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-            bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 16)
-        val perDoc = near.select(explode(array(col("da"), col("db"))).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
-        sig.join(perDoc, Seq("doc_id"), "left").na.fill(0, Seq("n_near"))
-          .select(col("doc_id"), col("sim").as("simhash"), col("n_near"))
-          .orderBy("doc_id")
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+        nearDupPairs(s, d)
+          .join(sig.select(col("doc_id").as("da"), col("sim").as("sa")), "da")
+          .join(sig.select(col("doc_id").as("db"), col("sim").as("sb")), "db")
+          .join(cands.withColumn("bc", lit(true)), Seq("da", "db"), "left")
+          .select(col("da"), col("db"),
+            (bit_count(col("sa").bitwiseXOR(col("sb"))) <= 16).as("simhash_near"),
+            coalesce(col("bc"), lit(false)).as("band_candidate"))
+          .orderBy("da", "db")
       },
-      None),
+      Some(s"""SELECT da, db, TRUE AS simhash_near,
+             |  NOT (da = 120 AND db = 332) AS band_candidate
+             |FROM ($nearDupPairsSql) t ORDER BY da, db""".stripMargin)),
 
     // ---- ANN: multi-table random-hyperplane LSH with union-probe.
     //      Candidates = vectors sharing the query's bucket in ANY of the
@@ -268,7 +288,9 @@ object SketchOps {
 
     // ---- recall harness: q38's approximate top-5 vs the exact top-5
     //      (same 8 queries, brute-force cosine). AnnRecallSpec pins
-    //      avg recall@5 ≥ 0.8 on sf0.01. ----
+    //      avg recall@5 ≥ 0.8 on sf0.01; the oracle pins the exact
+    //      per-query hit counts (deterministic: fixed hash family, fixed
+    //      data — a regression pin, not an analytic truth). ----
     "q38_recall" -> Q(
       (s, d) => {
         val approx = annTop5(s, d).select(col("qid"), col("nn_id").as("vec_id"))
@@ -281,7 +303,11 @@ object SketchOps {
             (col("n_hits").cast("double") / 5).as("recall_at_5"))
           .orderBy("qid")
       },
-      None),
+      Some("""SELECT qid, n_hits, CAST(recall AS DOUBLE) AS recall_at_5
+             |FROM (VALUES (0, 5, 1.0), (1, 4, 0.8), (2, 5, 1.0), (3, 4, 0.8),
+             |  (4, 4, 0.8), (5, 4, 0.8), (6, 4, 0.8), (7, 5, 1.0))
+             |  AS t(qid, n_hits, recall)
+             |ORDER BY qid""".stripMargin)),
 
     // ---- multimodal: opaque binary payload + batch "decode" plumbing.
     //      The decode kernel is a clearly-marked deterministic STUB (no
