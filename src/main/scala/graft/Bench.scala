@@ -31,23 +31,29 @@ object Bench {
     headline.foreach { case (_, fn) =>
       try drain(fn) catch { case _: Throwable => () }
     }
-    // Best-of-3 per query: the host is shared and multithreaded phases see
-    // 3-6x run-to-run CPU starvation; min-of-3 in one JVM is the stable
-    // steady-state signal. A crashing query surfaces as -1, not as a fast
-    // "success" timing.
-    val repsRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")
+    // Best-of-N per query, reps INTERLEAVED round-robin across queries:
+    // the host is shared and sees periodic CPU-starvation bursts of
+    // ~12-70s (3-6x slowdowns). Back-to-back reps of a ~1s query all fit
+    // inside one burst — min-of-N is then pure noise; spreading each
+    // query's reps a full round (~10s+) apart means a burst costs each
+    // query at most one rep. A crashing query surfaces as -1, not as a
+    // fast "success" timing.
+    val repsRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5")
     val reps = repsRaw.toIntOption.getOrElse(
       sys.error(s"SPARK_GRAFT_BENCH_REPS must be an integer >= 1, got '$repsRaw'"))
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    val results = headline.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    val rounds = (1 to reps).map { _ =>
+      headline.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { drain(fn); (System.nanoTime() - t0) / 1e9 }
+        name -> (try { drain(fn); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
           -1.0
-        }
+        })
       }
+    }
+    val results = headline.map { case (name, _) =>
+      val times = rounds.map(_(name))
       val ok = times.filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min, times)
     }
