@@ -28,6 +28,18 @@ object EventStream {
         sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
       .select(col("w.start").as("wstart"), col("event_type"), col("cnt"), col("value_cents"))
 
+  /** Streaming exact dedup — the streaming twin of q33_exact_dedup: emit
+    * the first document seen per content hash. State is bounded by the
+    * watermark via dropDuplicatesWithinWatermark (duplicates are only
+    * tracked inside the horizon — the standard at-scale tradeoff; global
+    * exact dedup stays the batch path). Input needs (ts timestamp, text).
+    */
+  def dedupByHash(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", horizon)
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Int)
 

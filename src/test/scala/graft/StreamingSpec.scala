@@ -75,6 +75,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("cnt") == 1L) // late event not counted
   }
 
+  test("dedupByHash emits one row per content hash within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val base = Timestamp.valueOf("2024-04-01 00:00:00").getTime
+    def at(sec: Long) = new Timestamp(base + sec * 1000)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.dedupByHash(df)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    mem.addData((1L, at(0), "alpha"), (2L, at(10), "beta"), (3L, at(20), "alpha"))
+    q.processAllAvailable()
+    // same batch and a later batch: both duplicate forms are dropped
+    mem.addData((4L, at(30), "beta"), (5L, at(40), "gamma"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dedup").orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 5L))
+    assert(rows.map(_.getAs[String]("text")).toSeq == Seq("alpha", "beta", "gamma"))
+  }
+
   test("sessionize emits gap-separated sessions") {
     val s = spark
     import s.implicits._
