@@ -309,6 +309,77 @@ object RelQueries {
              |GROUP BY o_custkey HAVING count(*) >= 8
              |ORDER BY o_custkey""".stripMargin)),
 
+    // ---- pivot: long→wide conditional aggregation with a FIXED value
+    //      list (an open-ended pivot would need a driver-side distinct
+    //      pass — the anti-pattern at 100 TB; fixed domains keep the plan
+    //      a single hash agg) ----
+    "q26_pivot_status" -> Q(
+      (s, d) =>
+        orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0, Seq("F", "O", "P"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+             |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+             |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- date spine / gap fill: generate the continuous day range from
+    //      the data's own bounds, left-join per-day counts, zero-fill.
+    //      The spine and the per-day agg are both tiny post-aggregation,
+    //      so the join broadcasts regardless of fact-table size ----
+    "q27_date_spine" -> Q(
+      (s, d) => {
+        val days = orders(s, d).select(to_date(col("o_orderdate")).as("day"))
+        // sequence(date, date, day-time interval) promotes to timestamp;
+        // cast the spine back to date to match the per-day agg key
+        val spine = days.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("t"))
+          .select(to_date(col("t")).as("day"))
+        val per = days.groupBy("day").agg(count(lit(1)).as("n_orders"))
+        spine.join(per, Seq("day"), "left")
+          .na.fill(0, Seq("n_orders"))
+          .orderBy("day")
+      },
+      Some("""WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+             |                  max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+             |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+             |per AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+             |        FROM orders GROUP BY 1)
+             |SELECT s.day, COALESCE(p.n_orders, 0) AS n_orders
+             |FROM spine s LEFT JOIN per p USING (day) ORDER BY day""".stripMargin)),
+
+    // ---- ntile deciles within bounded partitions (a GLOBAL ntile is a
+    //      one-task sort — scale-hostile; per-status partitions keep the
+    //      window parallel and the tie-break (price, orderkey) makes
+    //      bucket assignment deterministic in both engines) ----
+    "q28_deciles" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        orders(s, d)
+          .select(col("o_orderstatus"), col("o_totalprice"),
+            ntile(10).over(w).as("decile"))
+          .groupBy(col("o_orderstatus"), col("decile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+          .orderBy("o_orderstatus", "decile")
+      },
+      Some("""SELECT o_orderstatus, decile, count(*) AS n,
+             |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+             |FROM (SELECT o_orderstatus, o_totalprice,
+             |        ntile(10) OVER (PARTITION BY o_orderstatus
+             |          ORDER BY o_totalprice, o_orderkey) AS decile
+             |      FROM orders) t
+             |GROUP BY o_orderstatus, decile
+             |ORDER BY o_orderstatus, decile""".stripMargin)),
+
     // ---- set ops: intersect / except on key domains ----
     "q11_setops" -> Q(
       (s, d) => {

@@ -105,8 +105,12 @@ def main():
             failures.append((name, 'no spark output dir'))
             continue
         try:
+            # both sides through arrow->pandas: fetch_df() renders date32 as
+            # datetime64 Timestamps while .arrow().to_pandas() yields
+            # datetime.date — a representation-only mismatch the driver's
+            # typed compare never sees
             spark_df = con.execute(
-                f"SELECT * FROM read_parquet('{pdir}/*.parquet')").fetch_df()
+                f"SELECT * FROM read_parquet('{pdir}/*.parquet')").arrow().to_pandas()
             duck_arrow = con.execute(sql).arrow()
             duck_df = duck_arrow.to_pandas()
         except Exception as e:
