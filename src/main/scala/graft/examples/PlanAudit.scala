@@ -1,0 +1,24 @@
+package graft.examples
+import org.apache.spark.sql.SparkSession
+/** Prints the physical plans of the scale-sensitive queries so shuffle /
+  * broadcast shapes can be audited against their documented design.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q34_ngram_jaccard", "q38_knn_lsh", "q41_embed_neardup", "q27_date_spine")
+    val all = graft.rel.RelQueries.all ++ graft.llm.LlmOps.all ++ graft.llm.SketchOps.all
+    names.foreach { n =>
+      println(s"\n======== $n ========")
+      all(n).fn(spark, d).explain("formatted")
+    }
+    spark.stop()
+  }
+}

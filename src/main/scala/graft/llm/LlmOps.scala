@@ -220,11 +220,14 @@ object LlmOps {
         val exK = ex.join(hot, Seq("g"), "left_anti")
         // observed copy feeds ONLY the sizes branch: a CollectMetrics name
         // may not appear twice in one plan, and exK is on both join sides
+        // cached: sizes is probed twice (na and nb) and its subtree embeds
+        // the full explode + anti join — one row per doc, tiny vs corpus
         val sizes = ex
           .observe("q34_shingles_pre_cap", count(lit(1)).as("rows"))
           .join(hot, Seq("g"), "left_anti")
           .observe("q34_shingles_post_cap", count(lit(1)).as("rows"))
           .groupBy("doc_id").agg(count(lit(1)).as("n"))
+          .cache()
         val inter = exK.as("a").join(exK.as("b"),
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
