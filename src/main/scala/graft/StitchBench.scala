@@ -48,16 +48,18 @@ object StitchBench {
       }
       val grid = BlockGrid(meta, tiles)
 
+      // best-of-N per phase: host CPU-starvation bursts last ~12-70 s and
+      // can swallow a whole single-shot phase (observed 10-40x swings);
+      // the min across spaced reps is the steady-state signal
+      val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_STITCH_REPS", "2").toInt)
+      def bestOf(f: => Unit): Double =
+        (1 to reps).map { _ =>
+          val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+        }.min
       // phase breakdown: generation only, then gen+weight+slice (narrow), then full
-      val tg = System.nanoTime()
-      tiles.write.format("noop").mode("overwrite").save()
-      val genSec = (System.nanoTime() - tg) / 1e9
-      val tm = System.nanoTime()
-      Stitch.emitPieces(grid).write.format("noop").mode("overwrite").save()
-      val mapSec = (System.nanoTime() - tm) / 1e9
-      val t0 = System.nanoTime()
-      Stitch.stitchBlocks(grid).ds.write.format("noop").mode("overwrite").save()
-      val stitchSec = (System.nanoTime() - t0) / 1e9
+      val genSec = bestOf(tiles.write.format("noop").mode("overwrite").save())
+      val mapSec = bestOf(Stitch.emitPieces(grid).write.format("noop").mode("overwrite").save())
+      val stitchSec = bestOf(Stitch.stitchBlocks(grid).ds.write.format("noop").mode("overwrite").save())
       println(f"[stitchbench] g=$gdim breakdown: gen=${genSec}%.1fs gen+map=${mapSec}%.1fs full=${stitchSec}%.1fs")
       val voxOut = n * bs(0).toLong * bs(1) * bs(2)
 
@@ -65,11 +67,10 @@ object StitchBench {
       val m = Array.tabulate(gdim * gdim * gdim)(_ =>
         Array(1.0, 0, 0, 0.5, 0, 1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0)).flatten
       val aff = AffineGrid(gdim, gdim, gdim, 4, 4, m)
-      val t1 = System.nanoTime()
-      LocalAffine.localAffinesToField(
-          spark, bs.map(_.toLong * gdim), Array(1f, 1f, 1f), aff, bs, o)
-        .ds.write.format("noop").mode("overwrite").save()
-      val affineSec = (System.nanoTime() - t1) / 1e9
+      val affineSec = bestOf(
+        LocalAffine.localAffinesToField(
+            spark, bs.map(_.toLong * gdim), Array(1f, 1f, 1f), aff, bs, o)
+          .ds.write.format("noop").mode("overwrite").save())
       val affVox = voxOut // 3 components over the same voxel count
 
       println(f"[stitchbench] grid=${gdim}x$gdim%dx$gdim blocks=$n " +
