@@ -75,6 +75,12 @@ object Graft {
   def writeGrid(grid: BlockGrid, path: String): Unit = BlockIO.write(grid, path)
   def readGrid(spark: SparkSession, path: String): BlockGrid = BlockIO.read(spark, path)
 
+  /** Bucketed, per-bucket-sorted managed table sink: co-locates recurring
+    * equi-joins so they run shuffle- and sort-free off the scan.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String, sortKeys: String*): Unit =
+    io.Bucketing.writeBucketed(df, table, buckets, key, sortKeys: _*)
+
   // ---- extension operators -------------------------------------------
 
   /** As-of join (most recent right row at-or-before each left row). */
