@@ -51,14 +51,16 @@ object Graft {
 
   /** Generic halo exchange — `da.map_overlap(kernel, depth, boundary,
     * trim=False)` (stitch.py:113-121): each chunk is extended by `depth`
-    * voxels of neighbor data per side (boundary fill at the domain edge)
-    * before `kernel` runs. ONE shuffle; requires a dense uniform grid.
+    * voxels of neighbor data per side before `kernel` runs, with the
+    * domain edge filled per `boundary` (constant / reflect / nearest /
+    * periodic). ONE shuffle; requires a dense uniform grid.
     */
   def mapOverlap(
       grid: BlockGrid,
       depth: Array[Int],
       newMeta: GridMeta,
-      boundary: Float = 0f)(kernel: Block => Block): BlockGrid =
+      boundary: graft.core.Boundary = graft.core.Boundary.Constant(0f))(
+      kernel: Block => Block): BlockGrid =
     grid.mapOverlap(depth, newMeta, boundary)(kernel)
 
   /** Build an in-memory block grid (tests / small inputs). */

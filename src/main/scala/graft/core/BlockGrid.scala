@@ -15,6 +15,25 @@ private[graft] final case class OverlapPiece(
     dx: Int, dy: Int, dz: Int,
     data: Array[Float])
 
+/** Domain-edge fill policy of [[BlockGrid.mapOverlap]] — the counterpart
+  * of dask's `map_overlap(boundary=...)` options. `Constant` matches
+  * `boundary=<value>` (all the reference ever uses: stitch.py:117 passes
+  * 0.0); `Reflect` is dask's 'reflect' (edge-inclusive mirror, np.pad
+  * 'symmetric'); `Nearest` replicates the edge plane; `Periodic` wraps
+  * around the domain. Reflect/Nearest are a local fill after halo
+  * assembly (the mirrored data is always inside the edge block's own
+  * extended buffer); Periodic changes piece routing instead — source
+  * chunks emit to wrapped targets, so the margins carry real far-side
+  * data and no fill happens.
+  */
+sealed trait Boundary extends Serializable
+object Boundary {
+  final case class Constant(v: Float) extends Boundary
+  case object Reflect extends Boundary
+  case object Nearest extends Boundary
+  case object Periodic extends Boundary
+}
+
 /** A lazy block-partitioned dense N-d array: `Dataset[Block]` + static
   * [[GridMeta]] — the Spark-native counterpart of a dask array
   * (SURVEY.md §1.3). All transformations are lazy (the reference never
@@ -57,7 +76,8 @@ final case class BlockGrid(meta: GridMeta, ds: Dataset[Block]) {
     * below cannot catch absence. MapOverlapSpec pins output cardinality
     * == grid volume on the golden fixtures.
     */
-  def mapOverlap(depth: Array[Int], newMeta: GridMeta, boundary: Float = 0f)(
+  def mapOverlap(depth: Array[Int], newMeta: GridMeta,
+      boundary: Boundary = Boundary.Constant(0f))(
       kernel: Block => Block): BlockGrid = {
     val m = meta
     val cs = Array.tabulate(3)(m.chunkSize)
@@ -68,6 +88,7 @@ final case class BlockGrid(meta: GridMeta, ds: Dataset[Block]) {
         s"mapOverlap requires 0 <= depth <= chunk extent per axis " +
           s"(got depth=${depth(ax)}, chunk=${cs(ax)} on axis $ax)")
     }
+    val periodic = boundary == Boundary.Periodic
     implicit val pieceEnc: Encoder[OverlapPiece] = Encoders.product[OverlapPiece]
     implicit val keyEnc: Encoder[(Int, Int, Int)] =
       Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt)
@@ -84,8 +105,12 @@ final case class BlockGrid(meta: GridMeta, ds: Dataset[Block]) {
         while (dy <= 1) {
           var dz = -1
           while (dz <= 1) {
+            // under Periodic the VIRTUAL (unwrapped) target carries the
+            // intersection arithmetic; the piece routes to the wrapped
+            // real index. Buffer frames are congruent mod the domain, so
+            // virtual-frame offsets are valid in the real buffer.
             val tgt = src + ((dx, dy, dz))
-            if (tgt.inGrid(g)) {
+            if (periodic || tgt.inGrid(g)) {
               // intersect source chunk [s*cs, s*cs+cs) with target's
               // extended domain [t*cs - depth, t*cs + cs + depth) per axis
               var ok = true
@@ -112,7 +137,12 @@ final case class BlockGrid(meta: GridMeta, ds: Dataset[Block]) {
                   if (ext(0) == b.nx && ext(1) == b.ny && ext(2) == b.nz) b.data
                   else Nd.sliceCopy(b.data, b.nx, b.ny, b.nz, c,
                     sOff(0), sOff(1), sOff(2), ext(0), ext(1), ext(2))
-                out += OverlapPiece(tgt.bx, tgt.by, tgt.bz,
+                val real =
+                  if (periodic)
+                    BlockIndex(Math.floorMod(tgt.bx, g(0)),
+                      Math.floorMod(tgt.by, g(1)), Math.floorMod(tgt.bz, g(2)))
+                  else tgt
+                out += OverlapPiece(real.bx, real.by, real.bz,
                   off(0), off(1), off(2), ext(0), ext(1), ext(2), patch)
               }
             }
@@ -130,13 +160,67 @@ final case class BlockGrid(meta: GridMeta, ds: Dataset[Block]) {
         val ex = cs(0) + 2 * depth(0); val ey = cs(1) + 2 * depth(1)
         val ez = cs(2) + 2 * depth(2)
         val buf = new Array[Float](ex * ey * ez * c)
-        if (boundary != 0f) java.util.Arrays.fill(buf, boundary)
+        boundary match {
+          case Boundary.Constant(v) if v != 0f => java.util.Arrays.fill(buf, v)
+          case _ => ()
+        }
         it.foreach { p =>
           Nd.placeInto(buf, ex, ey, ez, c, p.data, p.x0, p.y0, p.z0, p.dx, p.dy, p.dz)
         }
-        kernel(Block(BlockIndex(key._1, key._2, key._3), ex, ey, ez, c, buf))
+        val bi = BlockIndex(key._1, key._2, key._3)
+        boundary match {
+          case Boundary.Reflect | Boundary.Nearest =>
+            fillEdges(buf, bi, cs, depth, g, c, boundary == Boundary.Reflect)
+          case _ => ()
+        }
+        kernel(Block(bi, ex, ey, ez, c, buf))
       }
     BlockGrid(newMeta, merged)
+  }
+
+  /** Fill the out-of-domain margin of an assembled extended buffer by
+    * mapping each outside cell to its reflected (edge-inclusive mirror,
+    * dask 'reflect') or clamped (dask 'nearest') in-domain twin — which
+    * is always inside this edge block's own buffer since depth ≤ chunk.
+    */
+  private def fillEdges(buf: Array[Float], bi: BlockIndex, cs: Array[Int],
+      depth: Array[Int], g: Array[Int], c: Int, reflect: Boolean): Unit = {
+    val ex = cs(0) + 2 * depth(0); val ey = cs(1) + 2 * depth(1)
+    val ez = cs(2) + 2 * depth(2)
+    // per-axis: local index -> mapped local index (or -1 when in-domain)
+    def axisMap(ax: Int, e: Int): Array[Int] = {
+      val base = bi(ax).toLong * cs(ax) - depth(ax)
+      val dSize = g(ax).toLong * cs(ax)
+      Array.tabulate(e) { i =>
+        val gc = base + i
+        if (gc >= 0 && gc < dSize) i
+        else {
+          val mapped =
+            if (reflect) { if (gc < 0) -1 - gc else 2 * dSize - 1 - gc }
+            else { if (gc < 0) 0L else dSize - 1 }
+          (mapped - base).toInt
+        }
+      }
+    }
+    val mx = axisMap(0, ex); val my = axisMap(1, ey); val mz = axisMap(2, ez)
+    var x = 0
+    while (x < ex) {
+      var y = 0
+      while (y < ey) {
+        var z = 0
+        while (z < ez) {
+          if (mx(x) != x || my(y) != y || mz(z) != z) {
+            val di = ((x * ey + y) * ez + z) * c
+            val si = ((mx(x) * ey + my(y)) * ez + mz(z)) * c
+            var k = 0
+            while (k < c) { buf(di + k) = buf(si + k); k += 1 }
+          }
+          z += 1
+        }
+        y += 1
+      }
+      x += 1
+    }
   }
 
   /** Collect into one dense row-major float buffer (tests / small outputs

@@ -380,6 +380,35 @@ object RelQueries {
              |GROUP BY o_orderstatus, decile
              |ORDER BY o_orderstatus, decile""".stripMargin)),
 
+    // ---- approximate sketches (HLL++ count-distinct, approx quantile)
+    //      checked against their exact twins with a relative-error bound:
+    //      the sketch values themselves are engine-specific, so the
+    //      oracle-comparable output is the exact value + a deterministic
+    //      within-bound flag (fixed data, fixed sketch seeds). At 100 TB
+    //      the approx forms are the ones that matter: HLL is a bounded
+    //      merge buffer vs a full distinct shuffle ----
+    "q29_sketch_bounds" -> Q(
+      (s, d) => {
+        val o = orders(s, d)
+        o.agg(
+            countDistinct(col("o_custkey")).as("exact_custkeys"),
+            approx_count_distinct(col("o_custkey"), 0.02).as("hll"),
+            expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+            percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"))
+          .select(
+            col("exact_custkeys"),
+            (abs(col("hll") - col("exact_custkeys")) <=
+              col("exact_custkeys") * 0.05).as("hll_within_5pct"),
+            round(col("p50_exact"), 4).as("p50_exact"),
+            (abs(col("p50_approx") - col("p50_exact")) <=
+              col("p50_exact") * 0.01).as("p50_within_1pct"))
+      },
+      Some("""SELECT count(DISTINCT o_custkey) AS exact_custkeys,
+             |  TRUE AS hll_within_5pct,
+             |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+             |  TRUE AS p50_within_1pct
+             |FROM orders""".stripMargin)),
+
     // ---- set ops: intersect / except on key domains ----
     "q11_setops" -> Q(
       (s, d) => {

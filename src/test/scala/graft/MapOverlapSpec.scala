@@ -104,7 +104,7 @@ class MapOverlapSpec extends SparkSpec {
       Block(BlockIndex(bx, by, bz), bs(0), bs(1), bs(2), 1, buf)
     }
     val in = BlockGrid.fromTiles(spark, tiles, bs, Array(0, 0, 0), g, 1)
-    val out = in.mapOverlap(depth, in.meta, boundary = bnd) { b =>
+    val out = in.mapOverlap(depth, in.meta, boundary = graft.core.Boundary.Constant(bnd)) { b =>
       // extended extent per axis is bs + 2*depth; take the slice starting
       // at offset 0 (not depth) => a +depth shift of the content
       Block(b.bi, bs(0), bs(1), bs(2), 1,
@@ -117,6 +117,57 @@ class MapOverlapSpec extends SparkSpec {
       worst = math.max(worst, math.abs(want - got))
     }
     assert(worst == 0.0f, s"max abs diff $worst")
+  }
+
+  test("mapOverlap boundary modes reflect/nearest/periodic match dense reference") {
+    import graft.core.Boundary
+    val bs = Array(4, 5, 3); val g = Array(2, 1, 3)
+    val depth = Array(2, 2, 1)
+    val sx = bs(0) * g(0); val sy = bs(1) * g(1); val sz = bs(2) * g(2)
+    val r = new scala.util.Random(67)
+    val dense = Array.fill(sx * sy * sz)(r.nextFloat())
+    def inD(v: Int, n: Int) = v >= 0 && v < n
+    def mapped(mode: Boundary, v: Int, n: Int): Int = mode match {
+      case Boundary.Reflect => if (v < 0) -1 - v else if (v >= n) 2 * n - 1 - v else v
+      case Boundary.Nearest => math.max(0, math.min(n - 1, v))
+      case Boundary.Periodic => Math.floorMod(v, n)
+      case Boundary.Constant(_) => v
+    }
+    def at(mode: Boundary)(x: Int, y: Int, z: Int): Float =
+      if (inD(x, sx) && inD(y, sy) && inD(z, sz))
+        dense((x * sy + y) * sz + z)
+      else mode match {
+        case Boundary.Constant(v) => v
+        case m =>
+          dense((mapped(m, x, sx) * sy + mapped(m, y, sy)) * sz + mapped(m, z, sz))
+      }
+    val tiles = for {
+      bx <- 0 until g(0); by <- 0 until g(1); bz <- 0 until g(2)
+    } yield {
+      val buf = new Array[Float](bs(0) * bs(1) * bs(2))
+      var i = 0
+      for (x <- 0 until bs(0); y <- 0 until bs(1); z <- 0 until bs(2)) {
+        buf(i) = dense(((bx * bs(0) + x) * sy + (by * bs(1) + y)) * sz + (bz * bs(2) + z))
+        i += 1
+      }
+      Block(BlockIndex(bx, by, bz), bs(0), bs(1), bs(2), 1, buf)
+    }
+    Seq(Boundary.Reflect, Boundary.Nearest, Boundary.Periodic).foreach { mode =>
+      val in = BlockGrid.fromTiles(spark, tiles, bs, Array(0, 0, 0), g, 1)
+      // shift kernel (reads the extended buffer at offset 0): every output
+      // voxel shows what the halo assembly put at (x-dx, y-dy, z-dz) —
+      // including every out-of-domain fill cell
+      val out = in.mapOverlap(depth, in.meta, boundary = mode) { b =>
+        Block(b.bi, bs(0), bs(1), bs(2), 1,
+          Nd.sliceCopy(b.data, b.nx, b.ny, b.nz, 1, 0, 0, 0, bs(0), bs(1), bs(2)))
+      }.collectDense()
+      var worst = 0.0f
+      for (x <- 0 until sx; y <- 0 until sy; z <- 0 until sz) {
+        val want = at(mode)(x - depth(0), y - depth(1), z - depth(2))
+        worst = math.max(worst, math.abs(want - out((x * sy + y) * sz + z)))
+      }
+      assert(worst == 0.0f, s"$mode: max abs diff $worst")
+    }
   }
 
   test("mapOverlap box filter with nonzero boundary matches dense reference") {
@@ -139,7 +190,8 @@ class MapOverlapSpec extends SparkSpec {
       Block(BlockIndex(bx, by, bz), 4, 4, 4, 1, buf)
     }
     val in = BlockGrid.fromTiles(spark, tiles, bs, Array(0, 0, 0), g, 1)
-    val out = in.mapOverlap(Array(1, 1, 1), in.meta, boundary = bnd) { b =>
+    val out = in.mapOverlap(Array(1, 1, 1), in.meta,
+        boundary = graft.core.Boundary.Constant(bnd)) { b =>
       val ex = b.nx; val ey = b.ny; val ez = b.nz
       val buf = new Array[Float](64)
       var i = 0
