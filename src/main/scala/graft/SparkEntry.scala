@@ -19,7 +19,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelQueries.all("q05_local_supplier").fn(spark, "/root/testdata/sf0.001")
 
-  private def allQ = RelQueries.all ++ graft.llm.LlmOps.all ++ graft.llm.SketchOps.all
+  private def allQ =
+    RelQueries.all ++ graft.llm.LlmOps.all ++ graft.llm.SketchOps.all ++ graft.llm.IvfOps.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

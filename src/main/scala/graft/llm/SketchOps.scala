@@ -189,7 +189,7 @@ object SketchOps {
   /** exact brute-force cosine top-5 for the same AnnQueries queries — the
     * ground truth side of q38_recall (q37's shape, widened to 8 queries)
     */
-  private def exactTop5(s: SparkSession, d: String): DataFrame = {
+  private[llm] def exactTop5(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < AnnQueries)
