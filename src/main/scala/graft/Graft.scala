@@ -85,6 +85,13 @@ object Graft {
 
   // ---- extension operators -------------------------------------------
 
+  /** Salted equi-join for skew AQE can't split (hot key into hash agg /
+    * shuffled-hash join): left side salted, right replicated, exact
+    * result parity.
+    */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame =
+    rel.SkewJoin.saltedEquiJoin(left, right, key, salts)
+
   /** As-of join (most recent right row at-or-before each left row). */
   def asofJoin(
       left: DataFrame,
