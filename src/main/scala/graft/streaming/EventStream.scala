@@ -40,6 +40,31 @@ object EventStream {
       .withColumn("content_hash", md5(col("text").cast("binary")))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream interval join — the streaming twin of the batch as-of
+    * attribution (q22): each purchase joins the same user's clicks from
+    * the preceding `windowMinutes`. Watermarks on BOTH sides plus the
+    * time-range predicate let Spark evict join state once no future
+    * match is possible — the property that bounds state at scale.
+    * Inputs need (user_id, ts timestamp) plus side-specific columns.
+    */
+  def purchaseAttribution(
+      clicks: DataFrame, purchases: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"), col("value"))
+  }
+
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Int)
 

@@ -96,6 +96,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("text")).toSeq == Seq("alpha", "beta", "gamma"))
   }
 
+  test("purchaseAttribution stream-stream interval join matches its batch twin") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val base = Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    def at(min: Long) = new Timestamp(base + min * 60_000L)
+    // clicks: user 1 at t0,t10,t50; user 2 at t5
+    val clickRows = Seq((10L, at(0), 1L), (11L, at(10), 1L), (12L, at(50), 1L), (13L, at(5), 2L))
+    // purchases: user 1 at t20 (matches t0,t10), user 2 at t45 (t5 is 40min old: no match)
+    val purchRows = Seq((20L, at(20), 1L, 9.99), (21L, at(45), 2L, 5.0))
+    val cMem = MemoryStream[(Long, Timestamp, Long)]
+    val pMem = MemoryStream[(Long, Timestamp, Long, Double)]
+    val cDf = cMem.toDF().toDF("event_id", "ts", "user_id")
+    val pDf = pMem.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = EventStream.purchaseAttribution(cDf, pDf)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    cMem.addData(clickRows: _*)
+    pMem.addData(purchRows: _*)
+    q.processAllAvailable()
+    // advance both watermarks so the join state flushes (distinct users:
+    // the sentinels must not match each other)
+    cMem.addData((99L, at(600), 8L))
+    pMem.addData((98L, at(600), 9L, 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attrib")
+      .select("user_id", "purchase_id", "click_id")
+      .orderBy("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 20L, 10L), (1L, 20L, 11L)))
+  }
+
   test("sessionize emits gap-separated sessions") {
     val s = spark
     import s.implicits._
