@@ -60,7 +60,13 @@ object StitchBench {
       val genSec = bestOf(tiles.write.format("noop").mode("overwrite").save())
       val mapSec = bestOf(Stitch.emitPieces(grid).write.format("noop").mode("overwrite").save())
       val stitchSec = bestOf(Stitch.stitchBlocks(grid).ds.write.format("noop").mode("overwrite").save())
-      println(f"[stitchbench] g=$gdim breakdown: gen=${genSec}%.1fs gen+map=${mapSec}%.1fs full=${stitchSec}%.1fs")
+      // the generic-primitive composition ships full weighted tiles:
+      // (1+2o/bs)^3 ≈ 1.95x the fused path's shuffle volume at o=16/bs=128
+      // — this row puts a measured number behind that doc claim
+      val moSec = bestOf(Stitch.stitchBlocksViaMapOverlap(grid).ds
+        .write.format("noop").mode("overwrite").save())
+      println(f"[stitchbench] g=$gdim breakdown: gen=${genSec}%.1fs gen+map=${mapSec}%.1fs " +
+        f"full=${stitchSec}%.1fs viaMapOverlap=${moSec}%.1fs")
       val voxOut = n * bs(0).toLong * bs(1) * bs(2)
 
       // affine path: same block grid of identity+translation matrices
