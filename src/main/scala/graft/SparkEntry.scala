@@ -54,6 +54,32 @@ object SparkEntry {
         .toDF("bx", "by", "bz", "minval", "maxval")
         .orderBy("bx", "by", "bz")
     },
+    // generic mapOverlap with Reflect boundary: a 3^3 box mean over
+    // constant-2.5 tiles must return exactly 2.5 everywhere (reflection
+    // of a constant is the constant; 67.5/27 is exact in binary) — pins
+    // halo assembly + boundary fill + kernel through the driver gate
+    "mapoverlap_reflect_const" -> { (s, _) =>
+      import s.implicits._
+      val bs = Array(6, 6, 6); val g = Array(2, 2, 2)
+      val tiles = for {
+        x <- 0 until 2; y <- 0 until 2; z <- 0 until 2
+      } yield Block(BlockIndex(x, y, z), 6, 6, 6, 1, Array.fill(216)(2.5f))
+      val in = BlockGrid.fromTiles(s, tiles, bs, Array(0, 0, 0), g, 1)
+      val out = in.mapOverlap(Array(1, 1, 1), in.meta, graft.core.Boundary.Reflect) { b =>
+        val buf = new Array[Float](216)
+        var i = 0
+        for (x <- 1 to 6; y <- 1 to 6; z <- 1 to 6) {
+          var sum = 0.0
+          for (dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1)
+            sum += b.data(((x + dx) * b.ny + (y + dy)) * b.nz + (z + dz))
+          buf(i) = (sum / 27.0).toFloat; i += 1
+        }
+        Block(b.bi, 6, 6, 6, 1, buf)
+      }
+      out.ds.map(b => (b.bi.bx, b.bi.by, b.bi.bz, b.data.min.toDouble, b.data.max.toDouble))
+        .toDF("bx", "by", "bz", "minval", "maxval")
+        .orderBy("bx", "by", "bz")
+    },
     // position_grid parity (local_affine.py:7-13): per-block coordinate
     // extrema of a cropped 7x9x5 grid in 4^3 blocks — the oracle computes
     // the same extrema by independent SQL arithmetic
@@ -114,7 +140,13 @@ object SparkEntry {
     val affRows = (for {
       x <- 0 until 2; y <- 0 until 2; z <- 0 until 2
     } yield s"($x, $y, $z, 1.0, ${quirk(x + y + z)})").mkString(", ")
+    val reflectRows = (for {
+      x <- 0 until 2; y <- 0 until 2; z <- 0 until 2
+    } yield s"($x, $y, $z, 2.5, 2.5)").mkString(", ")
     Map(
+      "mapoverlap_reflect_const" ->
+        (s"SELECT bx, by, bz, CAST(minval AS DOUBLE) AS minval, CAST(maxval AS DOUBLE) AS maxval " +
+          s"FROM (VALUES $reflectRows) AS t(bx, by, bz, minval, maxval) ORDER BY bx, by, bz"),
       // independent arithmetic: block b spans [b*4, min(b*4+4, shape)-1]
       "position_grid" ->
         ("""SELECT CAST(bx AS INT) AS bx, CAST(by AS INT) AS by, CAST(bz AS INT) AS bz,
