@@ -101,6 +101,30 @@ object Graft {
       rightCols: Map[String, String]): DataFrame =
     AsofJoin.asof(left, right, key, ts, rightCols)
 
+  // ---- similarity search / dedup (DataFrame-in, DataFrame-out) -------
+
+  /** Exact cosine top-k per query (broadcast queries + window). */
+  def cosineTopK(spark: SparkSession, emb: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    llm.Ann.cosineTopK(spark, emb, queries, k)
+
+  /** Approximate cosine top-k via multi-table hyperplane LSH. */
+  def lshTopK(spark: SparkSession, emb: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    llm.Ann.lshTopK(spark, emb, queries, k)
+
+  /** Exact duplicate groups by content hash. */
+  def exactDedupGroups(docs: DataFrame): DataFrame = llm.Dedup.exactGroups(docs)
+
+  /** Keep one row per distinct content. */
+  def dropExactDuplicates(docs: DataFrame): DataFrame = llm.Dedup.dropExactDuplicates(docs)
+
+  /** Near-dup pairs by df-capped exact n-gram Jaccard. */
+  def jaccardPairs(spark: SparkSession, docs: DataFrame, minJaccard: Double): DataFrame =
+    llm.Dedup.jaccardPairs(spark, docs, minJaccard)
+
+  /** MinHash+LSH banding candidate pairs. */
+  def minhashCandidates(spark: SparkSession, docs: DataFrame): DataFrame =
+    llm.Dedup.minhashCandidates(spark, docs)
+
   /** Codegen'd sequential-f64 dot product over array<float> columns. */
   def vecDot(spark: SparkSession, a: Column, b: Column): Column =
     functions.VecFunctions.vecDot(spark, a, b)

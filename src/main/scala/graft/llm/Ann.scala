@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Library-shaped similarity search over caller DataFrames — the public
+  * API behind the q37/q38 driver entries. Inputs: `emb` with (`id`:
+  * long, `vec`: array<float>) and `queries` with (`qid`: long, `qvec`:
+  * array<float>); column names are parameters so existing tables plug in
+  * unrenamed. The query side is broadcast in all paths — ANN serves many
+  * small probe batches against one large corpus.
+  */
+object Ann {
+
+  private def cosine(s: SparkSession, a: Column, b: Column): Column =
+    graft.functions.VecFunctions.vecCosine(s, a, b)
+
+  /** Exact cosine top-k per query: broadcast nested-loop over the corpus
+    * + per-query window. The O(n·q) baseline every approximate path is
+    * measured against; right whenever q is small.
+    */
+  def cosineTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(id))
+    broadcast(queries.select(col(qid), col(qvec)))
+      .join(emb.select(col(id), col(vec)), col(id) =!= col(qid))
+      .withColumn("cos", cosine(s, col(qvec), col(vec)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qid), col("rn"), col(id), col("cos"))
+      .orderBy(qid, "rn")
+  }
+
+  /** Approximate cosine top-k via the multi-table hyperplane LSH family
+    * (8 tables × 4 planes, SketchOps.annSigs): candidates collide with
+    * the query's bucket in ≥1 table, then re-rank by exact cosine.
+    * Measured recall@5 = 0.875 on a near-uniform corpus (AnnRecallSpec);
+    * higher on clustered real embeddings. Scales as one explode + one
+    * bucket equi-join — the n² pair space is never formed.
+    */
+  def lshTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sigged = emb.select(col(id), col(vec)).as[(Long, Seq[Float])]
+      .map { case (i, v) => (i, SketchOps.annSigs(v)) }
+      .toDF(id, "sigs")
+      .select(col(id), posexplode(col("sigs")).as(Seq("t", "bucket")))
+    val probes = queries.select(col(qid), col(qvec)).as[(Long, Seq[Float])]
+      .flatMap { case (q, v) =>
+        SketchOps.annSigs(v).zipWithIndex.map { case (b, t) => (q, t, b) }
+      }
+      .toDF(qid, "t", "bucket")
+    val cand = broadcast(probes).join(sigged, Seq("t", "bucket"))
+      .filter(col(id) =!= col(qid))
+      .select(col(qid), col(id)).distinct()
+    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(id))
+    cand.join(emb.select(col(id), col(vec)), id)
+      .join(broadcast(queries.select(col(qid), col(qvec))), qid)
+      .withColumn("cos", cosine(s, col(qvec), col(vec)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qid), col("rn"), col(id), col("cos"))
+      .orderBy(qid, "rn")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Library-shaped deduplication over caller DataFrames — the public API
+  * behind the q33/q34/q35 driver entries. Input: `docs` with (`id`:
+  * long, `text`: string); column names are parameters. Every pair
+  * producer is keyed (hash / shingle / band) — the n² pair space is
+  * never materialized, which is the whole design at 100 TB.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one row per distinct
+    * content with the canonical (minimum) id and the copy count.
+    */
+  def exactGroups(docs: DataFrame, id: String = "id", text: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(text).cast("binary")).as("content_hash"))
+      .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep one row per distinct content (the canonical id's row). */
+  def dropExactDuplicates(docs: DataFrame, id: String = "id", text: String = "text"): DataFrame =
+    docs.join(
+      exactGroups(docs, id, text).select(col("canonical_id").as(id)), id)
+
+  /** Near-duplicate pairs by exact n-gram Jaccard over word 3-shingles,
+    * with the document-frequency cap (shared with q34): shingles in more
+    * than `dfCap` docs are excluded from the join AND the sizes, so any
+    * single join key yields ≤ dfCap² candidates. Returns (ida, idb,
+    * inter, jac) for pairs with jac ≥ `minJaccard`.
+    */
+  def jaccardPairs(s: SparkSession, docs: DataFrame, minJaccard: Double,
+      dfCap: Int = LlmOps.shingleDfCap,
+      id: String = "id", text: String = "text"): DataFrame = {
+    import s.implicits._
+    val sh = docs.select(col(id), col(text)).as[(Long, String)]
+      .map { case (i, t) =>
+        val toks = SketchOps.tokensOf(t)
+        val grams =
+          if (toks.length < 3) Array.empty[String]
+          else Array.tabulate(toks.length - 2)(j =>
+            toks(j) + " " + toks(j + 1) + " " + toks(j + 2)).distinct
+        (i, grams)
+      }
+      .toDF(id, "sh")
+    val ex = sh.select(col(id), explode(col("sh")).as("g"))
+    val hot = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("g")
+    val exK = ex.join(hot, Seq("g"), "left_anti")
+    val sizes = exK.groupBy(id).agg(count(lit(1)).as("n"))
+    exK.as("a").join(exK.as("b"),
+        col(s"a.g") === col(s"b.g") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("ida"), col(s"b.$id").as("idb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed(id, "ida").withColumnRenamed("n", "na"), "ida")
+      .join(sizes.withColumnRenamed(id, "idb").withColumnRenamed("n", "nb"), "idb")
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= minJaccard)
+      .select("ida", "idb", "inter", "jac")
+  }
+
+  /** MinHash+LSH candidate pairs: 64 permutations, 16 bands × 4 rows
+    * (SketchOps family). Returns distinct (ida, idb) whose signatures
+    * collide in ≥1 band — the scale path that finds ~all pairs above
+    * Jaccard ≈ 0.5 without computing any exact intersection.
+    */
+  def minhashCandidates(s: SparkSession, docs: DataFrame,
+      id: String = "id", text: String = "text"): DataFrame = {
+    import s.implicits._
+    val bands = docs.select(col(id), col(text)).as[(Long, String)]
+      .map { case (i, t) =>
+        (i, SketchOps.bandHashes(SketchOps.minhash(
+          SketchOps.shinglesOf(SketchOps.tokensOf(t)))))
+      }
+      .toDF(id, "bands")
+      .select(col(id), posexplode(col("bands")).as(Seq("band", "bh")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("ida"), col(s"b.$id").as("idb")).distinct()
+  }
+}

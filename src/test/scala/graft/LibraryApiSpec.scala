@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Ann, Dedup, LlmOps, SketchOps}
+import graft.rel.Tables
+
+/** The DataFrame-in/DataFrame-out library surface must agree with the
+  * oracle-checked driver entries built from the same kernels — a user
+  * switching from the query entries to the public API sees identical
+  * results.
+  */
+class LibraryApiSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.01"
+
+  private def emb = Tables.embeddings(spark, d)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+  private def docs = Tables.documents(spark, d)
+    .select(col("doc_id").as("id"), col("text"))
+
+  test("Ann.cosineTopK matches the q37 driver entry") {
+    val q = emb.filter(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = Ann.cosineTopK(spark, emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = LlmOps.all("q37_knn_cosine").fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
+
+  test("Ann.lshTopK matches the q38 driver entry") {
+    val q = emb.filter(col("id") < 8).select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = Ann.lshTopK(spark, emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = SketchOps.all("q38_knn_lsh").fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
+
+  test("Dedup.exactGroups matches the q33 driver entry") {
+    val got = Dedup.exactGroups(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = LlmOps.all("q33_exact_dedup").fn(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(Dedup.dropExactDuplicates(docs).count() == got.size)
+  }
+
+  test("Dedup.jaccardPairs and minhashCandidates cover the q34 top pairs") {
+    val top = LlmOps.all("q34_ngram_jaccard").fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = Dedup.jaccardPairs(spark, docs, minJaccard = 0.96).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top.subsetOf(jac), s"missing: ${top -- jac}")
+    val mh = Dedup.minhashCandidates(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top.subsetOf(mh), s"missing: ${top -- mh}")
+  }
+}
