@@ -63,6 +63,13 @@ object Graft {
       kernel: Block => Block): BlockGrid =
     grid.mapOverlap(depth, newMeta, boundary)(kernel)
 
+  /** Re-partition a grid's voxels onto a new chunk geometry —
+    * `da.rechunk` (the reference rechunks its position grid to the
+    * blocksize, local_affine.py:13). ONE shuffle; exact grids only.
+    */
+  def rechunk(grid: BlockGrid, newBlocksize: Array[Int]): BlockGrid =
+    grid.rechunk(newBlocksize)
+
   /** Build an in-memory block grid (tests / small inputs). */
   def gridFromTiles(
       spark: SparkSession,

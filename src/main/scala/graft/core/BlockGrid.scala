@@ -223,6 +223,82 @@ final case class BlockGrid(meta: GridMeta, ds: Dataset[Block]) {
     }
   }
 
+  /** Re-partition the voxels onto a new chunk geometry — the analogue of
+    * `da.rechunk` (the reference rechunks its position grid to the
+    * blocksize at local_affine.py:13). ONE shuffle: each source block is
+    * sliced into the target blocks it intersects (pieces are disjoint,
+    * assembly is a copy). Requires an exact grid (overlap 0); partial
+    * edge blocks are handled on both sides — the output's trailing
+    * blocks carry `shape`-cropped extents like the input's.
+    */
+  def rechunk(newBlocksize: Array[Int]): BlockGrid = {
+    val m = meta
+    require(m.overlap.forall(_ == 0), "rechunk requires an exact (overlap-0) grid")
+    (0 until 3).foreach(ax => require(newBlocksize(ax) >= 1,
+      s"rechunk blocksize must be >= 1 (got ${newBlocksize(ax)} on axis $ax)"))
+    val nbs = newBlocksize.clone()
+    val sh = m.shape.clone()
+    val bs = m.blocksize
+    val c = m.components
+    val ng = Array.tabulate(3)(ax => ((sh(ax) + nbs(ax) - 1) / nbs(ax)).toInt)
+    implicit val pieceEnc: Encoder[OverlapPiece] = Encoders.product[OverlapPiece]
+    implicit val keyEnc: Encoder[(Int, Int, Int)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt)
+    implicit val blockEnc: Encoder[Block] = BlockGrid.blockEncoder
+    val pieces = ds.flatMap { b =>
+      val srcLo = Array(b.bi.bx.toLong * bs(0), b.bi.by.toLong * bs(1), b.bi.bz.toLong * bs(2))
+      val srcEx = Array(b.nx, b.ny, b.nz)
+      val out = scala.collection.mutable.ArrayBuffer.empty[OverlapPiece]
+      val tLo = Array.tabulate(3)(ax => (srcLo(ax) / nbs(ax)).toInt)
+      val tHi = Array.tabulate(3)(ax => ((srcLo(ax) + srcEx(ax) - 1) / nbs(ax)).toInt)
+      var tx = tLo(0)
+      while (tx <= tHi(0)) {
+        var ty = tLo(1)
+        while (ty <= tHi(1)) {
+          var tz = tLo(2)
+          while (tz <= tHi(2)) {
+            val t = Array(tx, ty, tz)
+            val off = new Array[Int](3); val sOff = new Array[Int](3)
+            val ext = new Array[Int](3)
+            var ax = 0
+            while (ax < 3) {
+              val tStart = t(ax).toLong * nbs(ax)
+              val lo = math.max(srcLo(ax), tStart)
+              val hi = math.min(srcLo(ax) + srcEx(ax), tStart + nbs(ax))
+              off(ax) = (lo - tStart).toInt
+              sOff(ax) = (lo - srcLo(ax)).toInt
+              ext(ax) = (hi - lo).toInt
+              ax += 1
+            }
+            val patch =
+              if (ext(0) == b.nx && ext(1) == b.ny && ext(2) == b.nz) b.data
+              else Nd.sliceCopy(b.data, b.nx, b.ny, b.nz, c,
+                sOff(0), sOff(1), sOff(2), ext(0), ext(1), ext(2))
+            out += OverlapPiece(tx, ty, tz,
+              off(0), off(1), off(2), ext(0), ext(1), ext(2), patch)
+            tz += 1
+          }
+          ty += 1
+        }
+        tx += 1
+      }
+      out.toSeq
+    }
+    val merged = pieces
+      .groupByKey(p => (p.tx, p.ty, p.tz))
+      .mapGroups { (key, it) =>
+        val ex = math.min(nbs(0).toLong, sh(0) - key._1.toLong * nbs(0)).toInt
+        val ey = math.min(nbs(1).toLong, sh(1) - key._2.toLong * nbs(1)).toInt
+        val ez = math.min(nbs(2).toLong, sh(2) - key._3.toLong * nbs(2)).toInt
+        val buf = new Array[Float](ex * ey * ez * c)
+        it.foreach { p =>
+          Nd.placeInto(buf, ex, ey, ez, c, p.data, p.x0, p.y0, p.z0, p.dx, p.dy, p.dz)
+        }
+        Block(BlockIndex(key._1, key._2, key._3), ex, ey, ez, c, buf)
+      }
+    BlockGrid(GridMeta(sh, nbs, Array(0, 0, 0), ng, c), merged)
+  }
+
   /** Collect into one dense row-major float buffer (tests / small outputs
     * only — the 100 TB path writes Parquet instead, see graft.io).
     * Blocks are placed at bi*blocksize; partial edge blocks (post-crop)
