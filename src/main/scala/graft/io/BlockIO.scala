@@ -19,14 +19,14 @@ import graft.core.{Block, BlockGrid, GridMeta}
 object BlockIO {
   private implicit val blockEnc: Encoder[Block] = BlockGrid.blockEncoder
 
-  private def metaJson(m: GridMeta): String = {
+  private[io] def metaJson(m: GridMeta): String = {
     def arr[T](a: Array[T]): String = a.mkString("[", ",", "]")
     s"""{"shape":${arr(m.shape)},"blocksize":${arr(m.blocksize)},""" +
       s""""overlap":${arr(m.overlap)},"blockGrid":${arr(m.blockGrid)},""" +
       s""""components":${m.components}}"""
   }
 
-  private def parseMeta(s: String): GridMeta = {
+  private[io] def parseMeta(s: String): GridMeta = {
     def ints(k: String): Array[Int] =
       s"""$k":\\[([^\\]]*)\\]""".r.findFirstMatchIn(s).get.group(1).split(",").map(_.trim.toInt)
     GridMeta(
@@ -52,6 +52,74 @@ object BlockIO {
     val out = fs.create(p, true)
     try out.write(metaJson(grid.meta).getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Export one `.npy` per block (`block_<bx>_<by>_<bz>.npy`, shape
+    * (nx,ny,nz) or (nx,ny,nz,c)) + the meta sidecar — numpy-ecosystem
+    * interop (the reference's consumers read numpy). Files are written
+    * ON the executors through the Hadoop FS of `dir`'s scheme; the
+    * driver ships its Hadoop conf entries so credentials/settings apply.
+    */
+  def exportNpy(grid: BlockGrid, dir: String): Unit = {
+    val spark = grid.ds.sparkSession
+    import scala.jdk.CollectionConverters._
+    val confEntries = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    grid.ds.foreachPartition { (it: Iterator[Block]) =>
+      if (it.hasNext) {
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(conf)
+        it.foreach { b =>
+          val shape = if (b.c == 1) Array(b.nx, b.ny, b.nz) else Array(b.nx, b.ny, b.nz, b.c)
+          val p = new org.apache.hadoop.fs.Path(base,
+            s"block_${b.bi.bx}_${b.bi.by}_${b.bi.bz}.npy")
+          val out = fs.create(p, true)
+          try out.write(Npy.toBytes(shape, b.data))
+          finally out.close()
+        }
+      }
+    }
+    val p = new org.apache.hadoop.fs.Path(dir, "_grid_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(metaJson(grid.meta).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Import a directory of per-block `.npy` files written by
+    * [[exportNpy]] (or by numpy with the same naming). Distributed: the
+    * binaryFile source reads each file where it lands, no driver
+    * materialization.
+    */
+  def importNpy(spark: SparkSession, dir: String): BlockGrid = {
+    val metaPath = new org.apache.hadoop.fs.Path(dir, "_grid_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(metaPath)
+    val metaStr =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+    val meta = parseMeta(metaStr)
+    import spark.implicits._
+    val name = "block_(\\d+)_(\\d+)_(\\d+)\\.npy$".r
+    val ds = spark.read.format("binaryFile").load(s"$dir/block_*.npy")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val m = name.findFirstMatchIn(path)
+          .getOrElse(sys.error(s"unexpected npy file name: $path"))
+        val (shape, data) = Npy.fromBytes(bytes)
+        val c = if (shape.length == 4) shape(3) else 1
+        Block(graft.core.BlockIndex(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt),
+          shape(0), shape(1), shape(2), c, data)
+      }
+    BlockGrid(meta, ds)
   }
 
   /** Read a grid written by [[write]]; lazy Dataset + sidecar meta. */
