@@ -409,6 +409,41 @@ object RelQueries {
              |  TRUE AS p50_within_1pct
              |FROM orders""".stripMargin)),
 
+    // ---- RANGE-frame moving window: 7-day trailing revenue per day.
+    //      The frame is a NUMERIC range over days-since-epoch (both
+    //      engines agree on that; interval-typed RANGE frames don't
+    //      exist in the DataFrame API), so calendar gaps are handled by
+    //      the frame itself, not by row counting. The unpartitioned
+    //      window is safe: its input is one row per DAY — bounded by the
+    //      calendar, not by data size ----
+    "q48_moving_window" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(cents(col("o_totalprice")).as("rev_cents"),
+            count(lit(1)).as("n_orders"))
+          .withColumn("ord", datediff(col("day"), lit("1970-01-01").cast("date")))
+        val w = Window.orderBy(col("ord")).rangeBetween(-6, 0)
+        daily
+          .withColumn("rev7_cents", sum(col("rev_cents")).over(w))
+          .withColumn("n7", sum(col("n_orders")).over(w))
+          .select("day", "rev_cents", "n_orders", "rev7_cents", "n7")
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+             |    count(*) AS n_orders,
+             |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ord
+             |  FROM orders GROUP BY 1, 4)
+             |SELECT day, rev_cents, n_orders,
+             |  CAST(sum(rev_cents) OVER (ORDER BY ord
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev7_cents,
+             |  CAST(sum(n_orders) OVER (ORDER BY ord
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
+             |FROM daily ORDER BY day""".stripMargin)),
+
     // ---- set ops: intersect / except on key domains ----
     "q11_setops" -> Q(
       (s, d) => {
