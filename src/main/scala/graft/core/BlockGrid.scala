@@ -185,6 +185,11 @@ final case class BlockGrid(meta: GridMeta, ds: Dataset[Block]) {
     */
   private def fillEdges(buf: Array[Float], bi: BlockIndex, cs: Array[Int],
       depth: Array[Int], g: Array[Int], c: Int, reflect: Boolean): Unit = {
+    // interior blocks have no out-of-domain cells — skip the buffer scan
+    // (the overwhelming majority of blocks on a large grid)
+    val touchesEdge = (0 until 3).exists(ax =>
+      depth(ax) > 0 && (bi(ax) == 0 || bi(ax) == g(ax) - 1))
+    if (!touchesEdge) return
     val ex = cs(0) + 2 * depth(0); val ey = cs(1) + 2 * depth(1)
     val ez = cs(2) + 2 * depth(2)
     // per-axis: local index -> mapped local index (or -1 when in-domain)

@@ -14,7 +14,8 @@ object PlanAudit {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q34_ngram_jaccard", "q38_knn_lsh", "q41_embed_neardup", "q27_date_spine")
-    val all = graft.rel.RelQueries.all ++ graft.llm.LlmOps.all ++ graft.llm.SketchOps.all
+    val all = graft.rel.RelQueries.all ++ graft.llm.LlmOps.all ++
+      graft.llm.SketchOps.all ++ graft.llm.IvfOps.all
     names.foreach { n =>
       println(s"\n======== $n ========")
       all(n).fn(spark, d).explain("formatted")

@@ -18,14 +18,22 @@ object Ann {
   /** Exact cosine top-k per query: broadcast nested-loop over the corpus
     * + per-query window. The O(n·q) baseline every approximate path is
     * measured against; right whenever q is small.
+    *
+    * `excludeSelfId` (default true) drops corpus rows whose `id` equals
+    * the probing `qid` — correct when queries ARE corpus members (the
+    * self-match is a trivial cos=1). Pass false when query ids live in
+    * an independent namespace, or an unrelated corpus row that happens
+    * to share the id number would be silently excluded.
     */
   def cosineTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
       id: String = "id", vec: String = "vec",
-      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+      qid: String = "qid", qvec: String = "qvec",
+      excludeSelfId: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(id))
+    val cond = if (excludeSelfId) col(id) =!= col(qid) else lit(true)
     broadcast(queries.select(col(qid), col(qvec)))
-      .join(emb.select(col(id), col(vec)), col(id) =!= col(qid))
+      .join(emb.select(col(id), col(vec)), cond)
       .withColumn("cos", cosine(s, col(qvec), col(vec)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -42,7 +50,8 @@ object Ann {
     */
   def lshTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
       id: String = "id", vec: String = "vec",
-      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+      qid: String = "qid", qvec: String = "qvec",
+      excludeSelfId: Boolean = true): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val sigged = emb.select(col(id), col(vec)).as[(Long, Seq[Float])]
@@ -55,7 +64,7 @@ object Ann {
       }
       .toDF(qid, "t", "bucket")
     val cand = broadcast(probes).join(sigged, Seq("t", "bucket"))
-      .filter(col(id) =!= col(qid))
+      .filter(if (excludeSelfId) col(id) =!= col(qid) else lit(true))
       .select(col(qid), col(id)).distinct()
     val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(id))
     cand.join(emb.select(col(id), col(vec)), id)

@@ -44,6 +44,7 @@ object Dedup {
         (i, grams)
       }
       .toDF(id, "sh")
+      .cache() // feeds sizes + both sides of the shingle self-join (as q34)
     val ex = sh.select(col(id), explode(col("sh")).as("g"))
     val hot = ex.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("g")
@@ -68,10 +69,15 @@ object Dedup {
   def minhashCandidates(s: SparkSession, docs: DataFrame,
       id: String = "id", text: String = "text"): DataFrame = {
     import s.implicits._
+    // docs with no shingles (<3 tokens) emit NO bands: their minhash
+    // would be the identical all-MaxValue signature, turning every pair
+    // of short docs into a false candidate AND one band bucket into a
+    // k-choose-2 clique — the exact skew-bomb this op exists to avoid
     val bands = docs.select(col(id), col(text)).as[(Long, String)]
-      .map { case (i, t) =>
-        (i, SketchOps.bandHashes(SketchOps.minhash(
-          SketchOps.shinglesOf(SketchOps.tokensOf(t)))))
+      .flatMap { case (i, t) =>
+        val sh = SketchOps.shinglesOf(SketchOps.tokensOf(t))
+        if (sh.isEmpty) None
+        else Some((i, SketchOps.bandHashes(SketchOps.minhash(sh))))
       }
       .toDF(id, "bands")
       .select(col(id), posexplode(col("bands")).as(Seq("band", "bh")))

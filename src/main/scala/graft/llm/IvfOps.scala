@@ -62,16 +62,24 @@ object IvfOps {
   }
 
   /** Lloyd iterations with deterministic per-cell accumulation. Only the
-    * K×Dim codebook is ever collected — bounded by K, not by data.
+    * codebook (≤K×Dim doubles) is ever collected — bounded by K, not by
+    * data. `e` must be the (cached) normalized corpus: training reuses
+    * one materialization across all iterations.
     */
-  private def trainCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
-    import s.implicits._
-    val e = normalized(s, d).cache()
+  private def trainCentroids(
+      s: SparkSession,
+      e: org.apache.spark.sql.Dataset[(Long, Array[Double])]): Array[Array[Double]] = {
     val n = e.count()
+    require(n >= 1, "IVF needs a non-empty corpus")
     val stride = math.max(1L, n / K)
-    // spread init: every stride-th vector by id (ids are dense 0..n-1)
+    // spread init: every stride-th vector by id (ids are dense 0..n-1);
+    // a corpus smaller or sparser than K yields a smaller codebook
+    // rather than crashing
     var cents = e.filter(t => t._1 % stride == 0 && t._1 / stride < K)
       .collect().sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, "IVF spread init found no seed vectors (sparse ids?)")
+    val k = cents.length
+    import s.implicits._
     (1 to Iters).foreach { _ =>
       val bc = s.sparkContext.broadcast(cents)
       val updated = e
@@ -88,7 +96,7 @@ object IvfOps {
           (cell, sum.map(_ / rows.length))
         }
         .collect().toMap
-      cents = Array.tabulate(K)(c => updated.getOrElse(c, cents(c)))
+      cents = Array.tabulate(k)(c => updated.getOrElse(c, cents(c)))
     }
     cents
   }
@@ -97,14 +105,17 @@ object IvfOps {
   private def ivfTop5(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val cents = trainCentroids(s, d)
+    // ONE cached normalized corpus feeds training, cell assignment, and
+    // the probe computation (previously each built its own map plan)
+    val norm = normalized(s, d).cache()
+    val cents = trainCentroids(s, norm)
     val bc = s.sparkContext.broadcast(cents)
-    val cells = normalized(s, d)
+    val cells = norm
       .map { case (id, v) => (id, nearestCell(bc.value, v)) }
       .toDF("vec_id", "cell")
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     // probe list: the NProbe nearest cells per query vector
-    val probes = normalized(s, d).filter(_._1 < Queries)
+    val probes = norm.filter(_._1 < Queries)
       .flatMap { case (id, v) =>
         val byDist = bc.value.zipWithIndex.map { case (ct, ci) =>
           var dd = 0.0

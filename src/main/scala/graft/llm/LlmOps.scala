@@ -306,7 +306,12 @@ object LlmOps {
     //      probability at the cos≥0.5 output threshold is ≈0.83 and →1
     //      as cos→1, so near-dups (the op's target) are found with
     //      near-certainty. Label equality stays as a SECONDARY predicate
-    //      on the candidate pairs, matching the oracle's semantics. ----
+    //      on the candidate pairs, matching the oracle's semantics.
+    //      Known tension: the oracle is the EXACT pair set, the op is
+    //      approximate — the check holds on corpora where every
+    //      qualifying pair collides in ≥1 table (or none exists, as at
+    //      sf0.01); a borderline-cos pair missing all 8 tables would
+    //      surface as an honest hash mismatch, not silent loss. ----
     "q41_embed_neardup" -> Q(
       (s, d) => {
         import s.implicits._

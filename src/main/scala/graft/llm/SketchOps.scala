@@ -224,9 +224,14 @@ object SketchOps {
     "q35_minhash_lsh" -> Q(
       (s, d) => {
         import s.implicits._
+        // shingle-less docs (<3 tokens) emit no bands — their identical
+        // all-MaxValue signatures would otherwise clique every short doc
         val sig = Tables.documents(s, d)
           .select(col("doc_id"), col("text")).as[(Long, String)]
-          .map { case (id, text) => (id, bandHashes(minhash(shinglesOf(tokensOf(text))))) }
+          .flatMap { case (id, text) =>
+            val sh = shinglesOf(tokensOf(text))
+            if (sh.isEmpty) None else Some((id, bandHashes(minhash(sh))))
+          }
           .toDF("doc_id", "bands")
         val bandRows = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
         val cands = bandRows.as("a").join(bandRows.as("b"),
