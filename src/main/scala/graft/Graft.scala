@@ -132,6 +132,10 @@ object Graft {
   def minhashCandidates(spark: SparkSession, docs: DataFrame): DataFrame =
     llm.Dedup.minhashCandidates(spark, docs)
 
+  /** Duplicate clusters from near-dup pairs (min-id label propagation). */
+  def dedupClusters(pairs: DataFrame): DataFrame =
+    llm.Dedup.connectedComponents(pairs)
+
   /** Codegen'd sequential-f64 dot product over array<float> columns. */
   def vecDot(spark: SparkSession, a: Column, b: Column): Column =
     functions.VecFunctions.vecDot(spark, a, b)

@@ -61,6 +61,45 @@ object Dedup {
       .select("ida", "idb", "inter", "jac")
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS into duplicate CLUSTERS (each doc labeled with
+    * the minimum id reachable from it), so a pipeline can keep one
+    * canonical doc per cluster. Iterative min-label propagation: each
+    * round every vertex takes the min of its own and its neighbors'
+    * labels; converges in O(component diameter) rounds — dup clusters
+    * are near-cliques, so typically 2-3. Each round is one shuffle;
+    * lineage is truncated per round (iterative plans otherwise grow
+    * unboundedly). Driver sees only the per-round convergence count.
+    */
+  def connectedComponents(pairs: DataFrame,
+      a: String = "ida", b: String = "idb", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(a).as("u"), col(b).as("v"))
+      .union(pairs.select(col(b).as("u"), col(a).as("v")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNbr = edges.join(labels, col("v") === col("id"))
+        .select(col("u").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp")).union(viaNbr)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint() // truncate the per-iteration lineage
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("comp").as("cluster_id"))
+  }
+
   /** MinHash+LSH candidate pairs: 64 permutations, 16 bands × 4 rows
     * (SketchOps family). Returns distinct (ida, idb) whose signatures
     * collide in ≥1 band — the scale path that finds ~all pairs above

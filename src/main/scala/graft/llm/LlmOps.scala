@@ -389,6 +389,43 @@ object LlmOps {
       Some("""SELECT doc_id, strlen(text) AS n_bytes, TRUE AS fp_stable
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- dedup clusters: connected components over the df-capped exact
+    //      Jaccard pairs at ≥0.9 — every clustered doc labeled with the
+    //      min id reachable from it (the canonical doc). Spark side is
+    //      iterative min-label propagation (Dedup.connectedComponents);
+    //      the oracle recomputes reachability with a recursive CTE over
+    //      the identical pair set. ----
+    "q49_dedup_clusters" -> Q(
+      (s, d) => {
+        val pairs = Dedup.jaccardPairs(s,
+          docs(s, d).select(col("doc_id").as("id"), col("text")), minJaccard = 0.9)
+        Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE s AS (SELECT doc_id,
+             |    list_distinct(list_transform(range(1, len(t)-1),
+             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+             |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+             |        FROM documents)),
+             |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |hot AS (SELECT g FROM e GROUP BY g HAVING count(*) > $shingleDfCap),
+             |k AS (SELECT doc_id, g FROM e WHERE g NOT IN (SELECT g FROM hot)),
+             |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+             |      FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |z AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id),
+             |p AS (SELECT da, db FROM i
+             |      JOIN z za ON i.da = za.doc_id JOIN z zb ON i.db = zb.doc_id
+             |      WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.9),
+             |ed AS (SELECT da AS u, db AS v FROM p UNION ALL SELECT db, da FROM p),
+             |reach(u, root) AS (
+             |  SELECT DISTINCT u, u FROM ed
+             |  UNION
+             |  SELECT ed.v, reach.root FROM reach JOIN ed ON ed.u = reach.u)
+             |SELECT u AS doc_id, min(root) AS cluster_id FROM reach
+             |GROUP BY u ORDER BY doc_id""".stripMargin)),
+
     // ---- vocabulary building: corpus token frequencies (explode/unnest) ----
     "q45_vocab_top_terms" -> Q(
       (s, d) =>

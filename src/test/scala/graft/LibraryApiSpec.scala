@@ -44,6 +44,20 @@ class LibraryApiSpec extends SparkSpec {
     assert(Dedup.dropExactDuplicates(docs).count() == got.size)
   }
 
+  test("Dedup.connectedComponents labels chains, cliques, and isolated pairs") {
+    val s = spark
+    import s.implicits._
+    // components: chain 1-2-3-4 (diameter > 1 round), triangle 10-11-12,
+    // isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("ida", "idb")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == want)
+  }
+
   test("Dedup.jaccardPairs and minhashCandidates cover the q34 top pairs") {
     val top = LlmOps.all("q34_ngram_jaccard").fn(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
