@@ -44,7 +44,11 @@ object Dedup {
         (i, grams)
       }
       .toDF(id, "sh")
-      .cache() // feeds sizes + both sides of the shingle self-join (as q34)
+      // session-scoped cache: feeds sizes + both sides of the shingle
+      // self-join (as q34). It backs the LAZY result, so it cannot be
+      // released here; long-lived sessions calling this repeatedly should
+      // spark.catalog.clearCache() between corpora.
+      .cache()
     val ex = sh.select(col(id), explode(col("sh")).as("g"))
     val hot = ex.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("g")
@@ -69,7 +73,16 @@ object Dedup {
     * labels; converges in O(component diameter) rounds — dup clusters
     * are near-cliques, so typically 2-3. Each round is one shuffle;
     * lineage is truncated per round (iterative plans otherwise grow
-    * unboundedly). Driver sees only the per-round convergence count.
+    * unboundedly) via localCheckpoint — executor-local blocks, so on a
+    * cluster losing an executor mid-run fails the job rather than
+    * recomputing (set a checkpoint dir and swap to reliable checkpoint()
+    * when running on preemptible nodes). Driver sees only the per-round
+    * convergence count. THROWS if maxIter rounds don't converge —
+    * partial labels would silently split components, so a component
+    * whose diameter exceeds maxIter must be an explicit caller decision.
+    * The returned labels stay persisted (they are already materialized
+    * by the convergence check); callers owning session memory can
+    * `.unpersist()` them when done.
     */
   def connectedComponents(pairs: DataFrame,
       a: String = "ida", b: String = "idb", maxIter: Int = 20): DataFrame = {
@@ -97,6 +110,9 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — a component's " +
+        "diameter exceeds maxIter; raise maxIter rather than consuming split labels")
     labels.select(col("id"), col("comp").as("cluster_id"))
   }
 

@@ -105,10 +105,13 @@ object IvfOps {
   private def ivfTop5(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    // ONE cached normalized corpus feeds training, cell assignment, and
-    // the probe computation (previously each built its own map plan)
+    // ONE cached normalized corpus feeds training (its repeated
+    // consumer); released below once the codebook is on the driver —
+    // cells/probes then recompute the narrow normalization map once each
+    // at execution instead of pinning the corpus for the session
     val norm = normalized(s, d).cache()
     val cents = trainCentroids(s, norm)
+    norm.unpersist()
     val bc = s.sparkContext.broadcast(cents)
     val cells = norm
       .map { case (id, v) => (id, nearestCell(bc.value, v)) }

@@ -41,6 +41,24 @@ object LlmOps {
     */
   val shingleDfCap = 16
 
+  /** Shared oracle CTE preamble (shingles → df-cap → pair intersections →
+    * per-doc sizes) composed into BOTH the q34 and q49 oracles, so their
+    * pair semantics cannot silently drift apart.
+    */
+  private def pairOracleCtes: String =
+    s"""s AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(t)-1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |        FROM documents)),
+       |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |hot AS (SELECT g FROM e GROUP BY g HAVING count(*) > $shingleDfCap),
+       |k AS (SELECT doc_id, g FROM e WHERE g NOT IN (SELECT g FROM hot)),
+       |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |      FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |z AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id)""".stripMargin
+
   /** Winnowing-style document fingerprint: Karp-Rabin rolling hash over
     * UTF-8 bytes (k=16 grams), window minima flushed every 64 positions,
     * combined order-independently by xor-multiply. Pure and
@@ -240,18 +258,7 @@ object LlmOps {
           .orderBy(col("jac").desc, col("da"), col("db"))
           .limit(20)
       },
-      Some(s"""WITH s AS (SELECT doc_id,
-             |    list_distinct(list_transform(range(1, len(t)-1),
-             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-             |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-             |        FROM documents)),
-             |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-             |hot AS (SELECT g FROM e GROUP BY g HAVING count(*) > $shingleDfCap),
-             |k AS (SELECT doc_id, g FROM e WHERE g NOT IN (SELECT g FROM hot)),
-             |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-             |      FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id
-             |      GROUP BY 1, 2),
-             |z AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id)
+      Some(s"""WITH $pairOracleCtes
              |SELECT da, db, inter,
              |  CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jac
              |FROM i JOIN z za ON i.da = za.doc_id JOIN z zb ON i.db = zb.doc_id
@@ -403,18 +410,7 @@ object LlmOps {
           .select(col("id").as("doc_id"), col("cluster_id"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE s AS (SELECT doc_id,
-             |    list_distinct(list_transform(range(1, len(t)-1),
-             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-             |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-             |        FROM documents)),
-             |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-             |hot AS (SELECT g FROM e GROUP BY g HAVING count(*) > $shingleDfCap),
-             |k AS (SELECT doc_id, g FROM e WHERE g NOT IN (SELECT g FROM hot)),
-             |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-             |      FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id
-             |      GROUP BY 1, 2),
-             |z AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id),
+      Some(s"""WITH RECURSIVE $pairOracleCtes,
              |p AS (SELECT da, db FROM i
              |      JOIN z za ON i.da = za.doc_id JOIN z zb ON i.db = zb.doc_id
              |      WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.9),
