@@ -19,6 +19,14 @@ import graft.rel.Tables
   * happens). Search is a broadcast of ≤K cell ids + an equi-join on
   * `cell` — candidates ≈ NProbe/K of the corpus, never the n² space.
   *
+  * Recall at a fixed probe budget is lifted by MULTIPLE ASSIGNMENT
+  * (Jégou et al., "Product quantization for nearest neighbor search",
+  * §V): every vector is indexed under its `MultiAssign` nearest cells,
+  * not just the nearest one. The vectors a single-assignment probe
+  * misses are exactly the near-Voronoi-boundary ones, and those are the
+  * ones whose second-nearest cell catches them. Index size is
+  * MultiAssign×n rows (ids only — payloads are joined, not duplicated).
+  *
   * Determinism (so the recall oracle can pin results): seeded spread
   * initialization (every (n/K)-th vector), per-cell sums folded in
   * ascending vec_id order (no reduce-order variance), ties broken by
@@ -31,6 +39,7 @@ object IvfOps {
   private val Iters = 3
   private val NProbe = 6
   private val Queries = 8
+  private val MultiAssign = 2
 
   private def sq(x: Double): Double = x * x
 
@@ -46,6 +55,18 @@ object IvfOps {
       c += 1
     }
     best
+  }
+
+  /** the `m` nearest centroid indices, ascending distance, ties by lowest
+    * cell index — deterministic for the pinned recall oracle */
+  private def nearestCells(cents: Array[Array[Double]], v: Array[Double], m: Int): Array[Int] = {
+    val byDist = Array.tabulate(cents.length) { c =>
+      var d = 0.0
+      var j = 0
+      while (j < Dim) { d += sq(cents(c)(j) - v(j)); j += 1 }
+      (d, c)
+    }
+    byDist.sortBy(t => (t._1, t._2)).take(math.min(m, cents.length)).map(_._2)
   }
 
   private def normalized(s: SparkSession, d: String) = {
@@ -113,8 +134,13 @@ object IvfOps {
     val cents = trainCentroids(s, norm)
     norm.unpersist()
     val bc = s.sparkContext.broadcast(cents)
+    // multiple assignment: each vector is listed under its MultiAssign
+    // nearest cells, so probing NProbe cells also reaches the
+    // near-boundary vectors a primary-cell-only index would miss
     val cells = norm
-      .map { case (id, v) => (id, nearestCell(bc.value, v)) }
+      .flatMap { case (id, v) =>
+        nearestCells(bc.value, v, MultiAssign).map(c => (id, c))
+      }
       .toDF("vec_id", "cell")
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     // probe list: the NProbe nearest cells per query vector
@@ -129,9 +155,11 @@ object IvfOps {
         byDist.map { case (_, ci) => (id, ci) }
       }
       .toDF("qid", "cell")
+    // distinct: a vector can reach one query through both of its assigned
+    // cells — candidates are a set, and n_candidates counts vectors
     val cand = broadcast(probes).join(cells, "cell")
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"))
+      .select(col("qid"), col("vec_id")).distinct()
     val q = e.filter(col("vec_id") < Queries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val nc = cand.groupBy("qid").agg(count(lit(1)).as("n_candidates"))
@@ -155,12 +183,15 @@ object IvfOps {
     // ---- recall vs the exact top-5 (same ground truth as q38_recall);
     //      oracle = the measured per-query hits, deterministic by the
     //      seeded init + ordered accumulation above (verified stable
-    //      across independent runs). Honest reading: avg 0.65 at 6/16
-    //      cells probed vs 0.875 for the multi-table LSH (q38) at a
-    //      similar candidate fraction — this corpus is near-uniform, so
-    //      its k-means cells are arbitrary Voronoi regions; IVF earns its
-    //      keep on REAL embedding corpora, which cluster. Both paths stay
-    //      because which one wins is data-dependent. ----
+    //      across independent runs). Honest reading: avg 0.925 at 6/16
+    //      cells probed with 2-way multiple assignment (candidates ≈62%
+    //      of this 500-vector corpus; single assignment was 0.65 at
+    //      ≈37%). This corpus is near-uniform, so its k-means cells are
+    //      arbitrary Voronoi regions and candidate fraction buys recall
+    //      near-linearly; on REAL embedding corpora, which cluster, the
+    //      same probe budget covers a far smaller fraction. The
+    //      multi-table LSH (q38) sits at 0.875 — both paths stay because
+    //      which one wins is data-dependent. ----
     "q47_ivf_recall" -> Q(
       (s, d) => {
         val approx = ivfTop5(s, d).select(col("qid"), col("nn_id").as("vec_id"))
@@ -173,8 +204,8 @@ object IvfOps {
           .orderBy("qid")
       },
       Some("""SELECT qid, n_hits, CAST(recall AS DOUBLE) AS recall_at_5
-             |FROM (VALUES (0, 5, 1.0), (1, 5, 1.0), (2, 4, 0.8), (3, 3, 0.6),
-             |  (4, 2, 0.4), (5, 3, 0.6), (6, 1, 0.2), (7, 3, 0.6))
+             |FROM (VALUES (0, 5, 1.0), (1, 5, 1.0), (2, 5, 1.0), (3, 4, 0.8),
+             |  (4, 4, 0.8), (5, 5, 1.0), (6, 4, 0.8), (7, 5, 1.0))
              |  AS t(qid, n_hits, recall)
              |ORDER BY qid""".stripMargin)),
   )
