@@ -14,6 +14,7 @@ object Bench {
       // the JVM path is identical for this corpus (ASCII) and instant
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ObservedMetricsLog.register(spark)

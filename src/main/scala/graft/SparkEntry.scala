@@ -20,7 +20,8 @@ object SparkEntry {
     RelQueries.all("q05_local_supplier").fn(spark, "/root/testdata/sf0.001")
 
   private def allQ =
-    RelQueries.all ++ graft.llm.LlmOps.all ++ graft.llm.SketchOps.all ++ graft.llm.IvfOps.all
+    RelQueries.all ++ graft.llm.LlmOps.all ++ graft.llm.SketchOps.all ++
+      graft.llm.IvfOps.all ++ graft.rel.SqlSurface.all ++ graft.llm.SketchAggOps.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -19,6 +19,7 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); read as long, normalized
       // to microseconds in graft.rel.Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ObservedMetricsLog.register(spark)

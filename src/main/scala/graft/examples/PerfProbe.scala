@@ -26,6 +26,7 @@ object PerfProbe {
       // the JVM path is identical for this corpus (ASCII) and instant
       .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s

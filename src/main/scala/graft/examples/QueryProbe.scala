@@ -23,6 +23,7 @@ object QueryProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ObservedMetricsLog.register(spark)

@@ -75,11 +75,16 @@ final case class FloatVecDot(left: Expression, right: Expression)
 
 /** Registration: either via `spark.sql.extensions=graft.functions.GraftExtensions`
   * or programmatically with [[VecFunctions.register]]. Column helpers wrap
-  * the registered function so DataFrame code stays declarative.
+  * the registered function so DataFrame code stays declarative. Every
+  * session builder in this repo (Verify/Bench/probes/SparkSpec) sets the
+  * extensions config, so `spark.sql("... vec_cosine(a, b) ...")` works for
+  * plain-SQL users with no Scala import — the q50 driver entry runs on
+  * that surface end to end.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VecFunctions.vecDotDescriptor)
+    ext.injectFunction(VecFunctions.vecCosineDescriptor)
   }
 }
 
@@ -89,11 +94,27 @@ object VecFunctions {
     new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
     (children: Seq[Expression]) => FloatVecDot(children(0), children(1)))
 
-  /** Idempotently register vec_dot in an existing session. */
+  /** `vec_cosine(a, b)` as a SQL macro: expands to the exact expression
+    * tree [[vecCosine]] builds — d/(sqrt(na)*sqrt(nb)) over three
+    * codegen'd vec_dot kernels — so SQL-surface results are bit-identical
+    * to the DataFrame path and to the DuckDB oracles.
+    */
+  private[functions] val vecCosineDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_cosine"),
+    new ExpressionInfo(classOf[FloatVecDot].getName, "vec_cosine"),
+    (children: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+      val (a, b) = (children(0), children(1))
+      Divide(FloatVecDot(a, b),
+        Multiply(Sqrt(FloatVecDot(a, a)), Sqrt(FloatVecDot(b, b))))
+    })
+
+  /** Idempotently register the vec functions in an existing session. */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = vecDotDescriptor
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    Seq(vecDotDescriptor, vecCosineDescriptor).foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    }
   }
 
   /** Codegen'd f64 dot product over two array<float> columns. */

@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** Mergeable-sketch aggregation entries. The KMV hash is the first 15 hex
+  * chars of md5 (60 bits) read as an integer — chosen because BOTH
+  * engines can compute it exactly (Spark: conv(substr(md5,1,15),16,10);
+  * DuckDB: ('0x' || substr(md5,1,15))::BIGINT), so the driver's hash
+  * compare covers an *approximate* operator bit-for-bit.
+  */
+object SketchAggOps {
+
+  private val K = 64
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- per-source distinct-token estimate via the KMV sketch next to
+    //      the exact count. estimate arithmetic (k-1)*2^60/kthMin is
+    //      exact-double-reproducible in DuckDB; sources with fewer than K
+    //      distinct hashes estimate exactly. ----
+    "q51_kmv_distinct" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        val hashed = tok.withColumn("hv",
+          conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10).cast("long"))
+        val agg = new graft.functions.KmvAgg(K)
+        val sketches = hashed.select(col("source"), col("hv")).as[(String, Long)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(agg.toColumn)
+          .toDF("source", "kmv")
+        sketches
+          .join(tok.groupBy("source").agg(countDistinct(col("token")).as("exact_distinct")), "source")
+          .select(col("source"), col("exact_distinct"),
+            col("kmv.estimate").as("kmv_estimate"),
+            size(col("kmv.sketch")).as("sketch_size"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (SELECT source,
+             |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+             |  FROM documents),
+             |h AS (SELECT DISTINCT source,
+             |    ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv FROM tok),
+             |r AS (SELECT source, hv,
+             |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS nh FROM h),
+             |est AS (SELECT source, max(nh) AS nh,
+             |    max(CASE WHEN rn = $K THEN hv END) AS hk FROM r GROUP BY source),
+             |ex AS (SELECT source, count(DISTINCT token) AS exact_distinct
+             |  FROM tok GROUP BY source)
+             |SELECT ex.source AS source, exact_distinct,
+             |  CASE WHEN est.nh < $K THEN CAST(est.nh AS DOUBLE)
+             |       ELSE CAST(${K - 1} AS DOUBLE) * 1152921504606846976 / hk END
+             |    AS kmv_estimate,
+             |  CAST(least(est.nh, $K) AS INT) AS sketch_size
+             |FROM ex JOIN est ON ex.source = est.source ORDER BY ex.source""".stripMargin)),
+  )
+}

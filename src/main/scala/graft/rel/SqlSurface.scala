@@ -1,0 +1,53 @@
+package graft.rel
+
+import org.apache.spark.sql.SparkSession
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+
+/** The plain-SQL dialect surface: queries written as `spark.sql` TEXT, not
+  * DataFrame calls, over temp views of the standard tables — what a
+  * SQL-only consumer of this engine sees. The graft-specific functions
+  * (vec_dot / vec_cosine) resolve through `spark.sql.extensions =
+  * graft.functions.GraftExtensions`, which every session builder in this
+  * repo sets; [[graft.functions.VecFunctions.register]] is also called
+  * defensively so the entry still passes under a foreign session that
+  * didn't load the extension (the correctness gate should test SQL
+  * semantics, not session wiring — SqlSurfaceSpec pins the config path
+  * itself on a fresh extension-only session).
+  */
+object SqlSurface {
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- pure-SQL ANN: top-5 cosine neighbors for queries 3..5, the SQL
+    //      twin of q37 (DataFrame). The BROADCAST hint pins the 3-row
+    //      query side as the build side of the nested-loop join — the
+    //      same plan shape the DataFrame path gets from broadcast(q). ----
+    "q50_sql_ann" -> Q(
+      (s, d) => {
+        graft.functions.VecFunctions.register(s)
+        Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+        s.sql(
+          """SELECT qid, rn, vec_id, cos FROM (
+            |  SELECT /*+ BROADCAST(q) */ q.vec_id AS qid, e.vec_id AS vec_id,
+            |    vec_cosine(q.embedding, e.embedding) AS cos,
+            |    row_number() OVER (PARTITION BY q.vec_id
+            |      ORDER BY vec_cosine(q.embedding, e.embedding) DESC, e.vec_id) AS rn
+            |  FROM embeddings q JOIN embeddings e
+            |    ON q.vec_id BETWEEN 3 AND 5 AND e.vec_id != q.vec_id) t
+            |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)
+      },
+      Some("""SELECT qid, rn, vec_id, cos FROM (
+             |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+             |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+             |      / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+             |         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+             |      / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+             |         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
+             |      e.vec_id) AS rn
+             |  FROM embeddings q JOIN embeddings e
+             |    ON q.vec_id BETWEEN 3 AND 5 AND e.vec_id != q.vec_id) t
+             |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+  )
+}

@@ -20,6 +20,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.icu.caseMappings.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 
   override def afterAll(): Unit = {
