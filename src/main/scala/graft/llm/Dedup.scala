@@ -26,38 +26,80 @@ object Dedup {
 
   /** Near-duplicate pairs by exact n-gram Jaccard over word 3-shingles,
     * with the document-frequency cap (shared with q34): shingles in more
-    * than `dfCap` docs are excluded from the join AND the sizes, so any
-    * single join key yields ≤ dfCap² candidates. Returns (ida, idb,
-    * inter, jac) for pairs with jac ≥ `minJaccard`.
+    * than `dfCap` docs are dropped from the pairs AND the sizes, so the
+    * Jaccard is exact over the capped shingle universe. Returns (ida,
+    * idb, inter, jac) for pairs with jac ≥ `minJaccard`.
+    *
+    * Physical shape — ONE wide shuffle: shingle rows group by shingle
+    * (sort-based, streamed), and each group's posting list emits its
+    * C(df, 2) doc pairs plus one size marker per member, with the df cap
+    * applied INLINE: the group buffers at most dfCap+1 ids, so a
+    * boilerplate shingle in a million docs costs one streamed, skipped
+    * group — bounded memory, no hot-key blowup at 100 TB. The two final
+    * aggregations (pair counts, per-doc sizes) read the cached tagged
+    * output, which is orders smaller than the shingle table. This
+    * replaced a df-count + anti-join + self-join chain (5 shuffles, 2
+    * caches) — same semantics, same oracle, ~2 fewer wide stages.
+    *
+    * `observePrefix` attaches `<prefix>_pre_cap` / `<prefix>_post_cap`
+    * row-count metrics (kept-vs-dropped visibility; Verify/Bench print
+    * them via ObservedMetricsLog).
+    *
+    * The cache backs the LAZY result, so it cannot be released here;
+    * long-lived sessions calling this repeatedly should
+    * spark.catalog.clearCache() between corpora.
     */
   def jaccardPairs(s: SparkSession, docs: DataFrame, minJaccard: Double,
       dfCap: Int = LlmOps.shingleDfCap,
-      id: String = "id", text: String = "text"): DataFrame = {
+      id: String = "id", text: String = "text",
+      observePrefix: Option[String] = None): DataFrame = {
     import s.implicits._
+    val cap = dfCap
     val sh = docs.select(col(id), col(text)).as[(Long, String)]
-      .map { case (i, t) =>
+      .flatMap { case (i, t) =>
         val toks = SketchOps.tokensOf(t)
-        val grams =
-          if (toks.length < 3) Array.empty[String]
-          else Array.tabulate(toks.length - 2)(j =>
-            toks(j) + " " + toks(j + 1) + " " + toks(j + 2)).distinct
-        (i, grams)
+        if (toks.length < 3) Iterator.empty
+        else Array.tabulate(toks.length - 2)(j =>
+          toks(j) + " " + toks(j + 1) + " " + toks(j + 2)).distinct.iterator.map(g => (i, g))
       }
-      .toDF(id, "sh")
-      // session-scoped cache: feeds sizes + both sides of the shingle
-      // self-join (as q34). It backs the LAZY result, so it cannot be
-      // released here; long-lived sessions calling this repeatedly should
-      // spark.catalog.clearCache() between corpora.
-      .cache()
-    val ex = sh.select(col(id), explode(col("sh")).as("g"))
-    val hot = ex.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("g")
-    val exK = ex.join(hot, Seq("g"), "left_anti")
-    val sizes = exK.groupBy(id).agg(count(lit(1)).as("n"))
-    exK.as("a").join(exK.as("b"),
-        col(s"a.g") === col(s"b.g") && col(s"a.$id") < col(s"b.$id"))
-      .groupBy(col(s"a.$id").as("ida"), col(s"b.$id").as("idb"))
-      .agg(count(lit(1)).as("inter"))
+    val shObs = observePrefix.fold(sh)(p =>
+      sh.observe(s"${p}_pre_cap", count(lit(1)).as("rows")))
+    // grams are distinct per doc, so group size = document frequency.
+    // Emission per kept group: (doc, -1) size markers + ascending (a, b)
+    // pairs; overflow groups (df > cap) emit nothing and never buffer
+    // more than cap+1 ids.
+    val tagged0 = shObs
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val buf = new Array[Long](cap + 1)
+        var n = 0
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          val v = it.next()._1
+          if (n <= cap - 1) { buf(n) = v; n += 1 }
+          else overflow = true
+        }
+        if (overflow) Iterator.empty
+        else {
+          val ids = java.util.Arrays.copyOf(buf, n)
+          java.util.Arrays.sort(ids)
+          val markers = ids.iterator.map(i => (i, -1L))
+          val pairs = for {
+            i <- (0 until n).iterator
+            j <- (i + 1 until n).iterator
+          } yield (ids(i), ids(j))
+          markers ++ pairs
+        }
+      }
+      .toDF("ida", "idb")
+    val tagged = observePrefix.fold(tagged0)(p =>
+      tagged0.observe(s"${p}_post_cap",
+        sum(when(col("idb") === -1L, 1L).otherwise(0L)).as("rows")))
+      .cache() // feeds the pair counts AND the per-doc sizes
+    val sizes = tagged.filter(col("idb") === -1L)
+      .groupBy(col("ida").as(id)).agg(count(lit(1)).as("n"))
+    tagged.filter(col("idb") =!= -1L)
+      .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed(id, "ida").withColumnRenamed("n", "na"), "ida")
       .join(sizes.withColumnRenamed(id, "idb").withColumnRenamed("n", "nb"), "idb")
       .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))

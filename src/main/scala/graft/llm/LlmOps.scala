@@ -201,60 +201,28 @@ object LlmOps {
       headline = true),
 
     // ---- n-gram Jaccard near-dup: top-20 most similar pairs.
-    //      Pair generation is keyed by shared shingle (no cross join),
-    //      with a document-frequency cap: shingles present in more than
-    //      `shingleDfCap` docs are dropped BEFORE the self-join (and from
-    //      the per-doc sizes — Jaccard over the capped shingle universe,
-    //      identically in the DuckDB oracle). One shingle shared by k docs
-    //      emits k² candidate pairs, so an uncapped boilerplate shingle is
-    //      the dedup skew-bomb at 100 TB; the cap bounds every join key at
-    //      ≤ cap² pairs. The drop is NOT silent: observe() metrics
-    //      q34_shingles_{pre,post}_cap surface kept-vs-dropped row counts
-    //      to any QueryExecutionListener (Verify/Bench print them).
-    //      Shingling runs in a typed narrow map: inlining the equivalent
-    //      nested higher-order expression into the generator-pushdown
-    //      filters costs minutes of codegen on first evaluation. ----
+    //      Delegates to Dedup.jaccardPairs: ONE wide shuffle groups
+    //      shingle posting lists, the document-frequency cap is applied
+    //      INLINE while streaming each group (a shingle in more than
+    //      `shingleDfCap` docs is dropped — from pairs AND sizes, so the
+    //      Jaccard is exact over the capped universe, identically in the
+    //      DuckDB oracle), and pairs + per-doc sizes are emitted in the
+    //      same pass. Memory per group is bounded at cap+1 ids, so a
+    //      boilerplate shingle shared by a million docs streams through
+    //      as one skipped group instead of k² join rows — the dedup
+    //      skew-bomb at 100 TB. The drop is NOT silent: observe()
+    //      metrics q34_shingles_{pre,post}_cap surface kept-vs-dropped
+    //      row counts to any QueryExecutionListener (Verify/Bench print
+    //      them). Shingling runs in a typed narrow map: inlining the
+    //      equivalent nested higher-order expression into the
+    //      generator-pushdown filters costs minutes of codegen on first
+    //      evaluation. ----
     "q34_ngram_jaccard" -> Q(
       (s, d) => {
-        import s.implicits._
-        val sh = docs(s, d)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
-          .map { case (id, text) =>
-            val t = text.trim.toLowerCase.split("\\s+")
-            val grams =
-              if (t.length < 3) Array.empty[String]
-              else Array.tabulate(t.length - 2)(i => t(i) + " " + t(i + 1) + " " + t(i + 2)).distinct
-            (id, grams)
-          }
-          .toDF("doc_id", "sh")
-          .cache() // feeds sizes + both sides of the shingle self-join
-        val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-        // grams are distinct per doc, so count(*) per g = doc frequency.
-        // Unhinted anti join: AQE broadcasts the (small) hot set here; at
-        // 100 TB a shuffle anti join on g co-partitions with the self-join
-        // shuffle below (exchange reuse), so both plans are right.
-        val hot = ex.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") > shingleDfCap).select("g")
-        val exK = ex.join(hot, Seq("g"), "left_anti")
-        // observed copy feeds ONLY the sizes branch: a CollectMetrics name
-        // may not appear twice in one plan, and exK is on both join sides
-        // cached: sizes is probed twice (na and nb) and its subtree embeds
-        // the full explode + anti join — one row per doc, tiny vs corpus
-        val sizes = ex
-          .observe("q34_shingles_pre_cap", count(lit(1)).as("rows"))
-          .join(hot, Seq("g"), "left_anti")
-          .observe("q34_shingles_post_cap", count(lit(1)).as("rows"))
-          .groupBy("doc_id").agg(count(lit(1)).as("n"))
-          .cache()
-        val inter = exK.as("a").join(exK.as("b"),
-            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-          .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
-          .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .select("da", "db", "inter", "jac")
+        Dedup.jaccardPairs(s,
+            docs(s, d).select(col("doc_id").as("id"), col("text")),
+            minJaccard = 0.0, observePrefix = Some("q34_shingles"))
+          .select(col("ida").as("da"), col("idb").as("db"), col("inter"), col("jac"))
           .orderBy(col("jac").desc, col("da"), col("db"))
           .limit(20)
       },
