@@ -43,10 +43,10 @@ object SketchOps {
   private lazy val permB: Array[Long] =
     Array.tabulate(NumPerms)(i => (splitmix64(2 * i + 2) & Long.MaxValue) % MersennePrime)
 
-  private[llm] def tokensOf(text: String): Array[String] =
+  private[graft] def tokensOf(text: String): Array[String] =
     text.trim.toLowerCase.split("\\s+")
 
-  private[llm] def shinglesOf(toks: Array[String]): Array[Long] = {
+  private[graft] def shinglesOf(toks: Array[String]): Array[Long] = {
     if (toks.length < 3) return Array.empty
     val out = new Array[Long](toks.length - 2)
     var i = 0
@@ -59,7 +59,7 @@ object SketchOps {
   }
 
   /** MinHash signature: sig(i) = min over shingles of (a_i*x + b_i) mod p */
-  private[llm] def minhash(sh: Array[Long]): Array[Long] = {
+  private[graft] def minhash(sh: Array[Long]): Array[Long] = {
     val sig = Array.fill(NumPerms)(Long.MaxValue)
     var j = 0
     while (j < sh.length) {
@@ -80,7 +80,7 @@ object SketchOps {
     sig
   }
 
-  private[llm] def bandHashes(sig: Array[Long]): Array[Long] = {
+  private[graft] def bandHashes(sig: Array[Long]): Array[Long] = {
     val r = NumPerms / Bands
     Array.tabulate(Bands) { b =>
       var h = 1125899906842597L

@@ -65,6 +65,63 @@ object EventStream {
         col("click_id"), col("click_ts"), col("value"))
   }
 
+  final case class BucketState(ids: Array[Long])
+
+  /** Streaming MinHash-LSH near-dup index maintenance — the streaming
+    * twin of the batch `Dedup.minhashCandidates`: documents arrive as a
+    * stream, each is banded (16 bands × 4 rows, the shared SketchOps
+    * family), and per-(band, bucket) state holds the ids seen in that
+    * bucket so a new arrival immediately emits candidate pairs against
+    * every prior member. Emitted pairs are (min_id, max_id) and may
+    * repeat across bands/batches — consumers dedup downstream, exactly
+    * like the batch path's `.distinct()`.
+    *
+    * State bound: near-dup indexing is corpus-cumulative, so instead of
+    * a watermark the state is capped at `maxPerBucket` ids per bucket —
+    * the streaming twin of the df-cap idea: a degenerate bucket (e.g.
+    * boilerplate) stops ACCUMULATING at the cap: arrivals beyond it
+    * still pair against the stored prefix and their own micro-batch but
+    * are not remembered, so state never exceeds maxPerBucket ids.
+    * Docs with <3 tokens emit no bands (their empty-shingle signatures
+    * would clique all short docs — same guard as the batch path).
+    * Input needs (doc_id, text).
+    */
+  def lshCandidates(docs: DataFrame, maxPerBucket: Int = 64)(
+      implicit spark: SparkSession): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    import graft.llm.SketchOps
+    val bands = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (i, t) =>
+        val sh = SketchOps.shinglesOf(SketchOps.tokensOf(t))
+        if (sh.isEmpty) Iterator.empty
+        else SketchOps.bandHashes(SketchOps.minhash(sh))
+          .iterator.zipWithIndex.map { case (bh, b) => (b, bh, i) }
+      }
+    bands
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BucketState, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long)], state: GroupState[BucketState]) =>
+          val prior = state.getOption.map(_.ids).getOrElse(Array.emptyLongArray)
+          val priorSet = prior.toSet
+          val fresh = rows.map(_._3).toArray.distinct.sorted.filterNot(priorSet)
+          val out = List.newBuilder[(Long, Long)]
+          // new vs stored, then new vs new (ascending, so (min, max) holds)
+          fresh.foreach { n =>
+            prior.foreach { p => out += ((math.min(p, n), math.max(p, n))) }
+          }
+          var i = 0
+          while (i < fresh.length) {
+            var j = i + 1
+            while (j < fresh.length) { out += ((fresh(i), fresh(j))); j += 1 }
+            i += 1
+          }
+          val room = maxPerBucket - prior.length
+          if (room > 0) state.update(BucketState(prior ++ fresh.take(room)))
+          out.result().iterator
+      }
+  }
+
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Int)
 

@@ -128,6 +128,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 20L, 10L), (1L, 20L, 11L)))
   }
 
+  test("lshCandidates streaming pairs match batch minhashCandidates on sf0.001 docs") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    val d = "/root/testdata/sf0.001"
+    val docRows = graft.rel.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = EventStream.lshCandidates(df, maxPerBucket = 1024)
+      .toDF("ida", "idb")
+      .writeStream.format("memory").queryName("lshcand")
+      .outputMode("append").start()
+    // two micro-batches: pairs must form within AND across batches
+    val (first, second) = docRows.splitAt(docRows.length / 2)
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("lshcand").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.llm.Dedup.minhashCandidates(spark,
+        graft.rel.Tables.documents(spark, d)
+          .select(col("doc_id").as("id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "batch candidate set empty — test data has no near-dups?")
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(5)}; batch-only: ${(batch -- streamed).take(5)}")
+  }
+
   test("sessionize emits gap-separated sessions") {
     val s = spark
     import s.implicits._
