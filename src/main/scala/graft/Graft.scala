@@ -53,7 +53,8 @@ object Graft {
     * trim=False)` (stitch.py:113-121): each chunk is extended by `depth`
     * voxels of neighbor data per side before `kernel` runs, with the
     * domain edge filled per `boundary` (constant / reflect / nearest /
-    * periodic). ONE shuffle; requires a dense uniform grid.
+    * periodic / no-pad, dask's 'none' — edge tiles shrink instead of
+    * being filled). ONE shuffle; requires a dense uniform grid.
     */
   def mapOverlap(
       grid: BlockGrid,

@@ -24,7 +24,11 @@ private[graft] final case class OverlapPiece(
   * assembly (the mirrored data is always inside the edge block's own
   * extended buffer); Periodic changes piece routing instead — source
   * chunks emit to wrapped targets, so the margins carry real far-side
-  * data and no fill happens.
+  * data and no fill happens. NoPad is dask's `boundary='none'`: the
+  * domain edge gets NO margin at all — edge blocks receive smaller
+  * extended tiles (chunk + depth only on sides that have a neighbor),
+  * so kernels see real data exclusively and must read extents from the
+  * Block they are handed rather than assuming chunk+2*depth.
   */
 sealed trait Boundary extends Serializable
 object Boundary {
@@ -32,6 +36,7 @@ object Boundary {
   case object Reflect extends Boundary
   case object Nearest extends Boundary
   case object Periodic extends Boundary
+  case object NoPad extends Boundary
 }
 
 /** A lazy block-partitioned dense N-d array: `Dataset[Block]` + static
@@ -154,20 +159,28 @@ final case class BlockGrid(meta: GridMeta, ds: Dataset[Block]) {
       }
       out.toSeq
     }
+    val noPad = boundary == Boundary.NoPad
     val merged = pieces
       .groupByKey(p => (p.tx, p.ty, p.tz))
       .mapGroups { (key, it) =>
-        val ex = cs(0) + 2 * depth(0); val ey = cs(1) + 2 * depth(1)
-        val ez = cs(2) + 2 * depth(2)
+        val bi = BlockIndex(key._1, key._2, key._3)
+        // NoPad: a domain-edge side contributes no margin, so the
+        // extended tile shrinks there; pieces were routed in the
+        // full-margin virtual frame and shift down by the missing margin
+        val lo = Array.tabulate(3)(ax => if (noPad && bi(ax) == 0) 0 else depth(ax))
+        val hi = Array.tabulate(3)(ax => if (noPad && bi(ax) == g(ax) - 1) 0 else depth(ax))
+        val ex = cs(0) + lo(0) + hi(0); val ey = cs(1) + lo(1) + hi(1)
+        val ez = cs(2) + lo(2) + hi(2)
         val buf = new Array[Float](ex * ey * ez * c)
         boundary match {
           case Boundary.Constant(v) if v != 0f => java.util.Arrays.fill(buf, v)
           case _ => ()
         }
         it.foreach { p =>
-          Nd.placeInto(buf, ex, ey, ez, c, p.data, p.x0, p.y0, p.z0, p.dx, p.dy, p.dz)
+          Nd.placeInto(buf, ex, ey, ez, c, p.data,
+            p.x0 - (depth(0) - lo(0)), p.y0 - (depth(1) - lo(1)),
+            p.z0 - (depth(2) - lo(2)), p.dx, p.dy, p.dz)
         }
-        val bi = BlockIndex(key._1, key._2, key._3)
         boundary match {
           case Boundary.Reflect | Boundary.Nearest =>
             fillEdges(buf, bi, cs, depth, g, c, boundary == Boundary.Reflect)

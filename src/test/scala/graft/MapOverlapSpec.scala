@@ -170,6 +170,54 @@ class MapOverlapSpec extends SparkSpec {
     }
   }
 
+  test("mapOverlap NoPad: edge tiles shrink and carry only real data") {
+    import graft.core.Boundary
+    val bs = Array(4, 5, 3); val g = Array(3, 1, 2)
+    val depth = Array(2, 1, 3)
+    val sx = bs(0) * g(0); val sy = bs(1) * g(1); val sz = bs(2) * g(2)
+    val r = new scala.util.Random(71)
+    val dense = Array.fill(sx * sy * sz)(r.nextFloat())
+    val tiles = for {
+      bx <- 0 until g(0); by <- 0 until g(1); bz <- 0 until g(2)
+    } yield {
+      val buf = new Array[Float](bs(0) * bs(1) * bs(2))
+      var i = 0
+      for (x <- 0 until bs(0); y <- 0 until bs(1); z <- 0 until bs(2)) {
+        buf(i) = dense(((bx * bs(0) + x) * sy + (by * bs(1) + y)) * sz + (bz * bs(2) + z))
+        i += 1
+      }
+      Block(BlockIndex(bx, by, bz), bs(0), bs(1), bs(2), 1, buf)
+    }
+    val in = BlockGrid.fromTiles(spark, tiles, bs, Array(0, 0, 0), g, 1)
+    val bsL = bs; val gL = g; val depthL = depth
+    // kernel asserts the variable extent contract on the executor, then
+    // reduces its whole buffer to one sum voxel — pinning extents AND
+    // piece offsets against an independently computed dense-slice sum
+    val newMeta = GridMeta(Array(g(0).toLong, g(1).toLong, g(2).toLong),
+      Array(1, 1, 1), Array(0, 0, 0), g, 1)
+    val out = in.mapOverlap(depth, newMeta, Boundary.NoPad) { b =>
+      val lo = Array.tabulate(3)(ax => if (b.bi(ax) == 0) 0 else depthL(ax))
+      val hi = Array.tabulate(3)(ax => if (b.bi(ax) == gL(ax) - 1) 0 else depthL(ax))
+      require(b.nx == bsL(0) + lo(0) + hi(0) && b.ny == bsL(1) + lo(1) + hi(1) &&
+        b.nz == bsL(2) + lo(2) + hi(2),
+        s"NoPad extents wrong at ${b.bi}: ${b.nx}x${b.ny}x${b.nz}")
+      var s = 0.0
+      b.data.foreach(s += _)
+      Block(b.bi, 1, 1, 1, 1, Array(s.toFloat))
+    }.collectDense()
+    for (bx <- 0 until g(0); by <- 0 until g(1); bz <- 0 until g(2)) {
+      val b = Array(bx, by, bz)
+      val loG = Array.tabulate(3)(ax => b(ax) * bs(ax) - (if (b(ax) == 0) 0 else depth(ax)))
+      val hiG = Array.tabulate(3)(ax =>
+        (b(ax) + 1) * bs(ax) + (if (b(ax) == g(ax) - 1) 0 else depth(ax)))
+      var want = 0.0
+      for (x <- loG(0) until hiG(0); y <- loG(1) until hiG(1); z <- loG(2) until hiG(2))
+        want += dense((x * sy + y) * sz + z)
+      val got = out((bx * g(1) + by) * g(2) + bz)
+      assert(got == want.toFloat, s"block ($bx,$by,$bz): sum $got != ${want.toFloat}")
+    }
+  }
+
   test("mapOverlap box filter with nonzero boundary matches dense reference") {
     val bs = Array(4, 4, 4); val g = Array(2, 2, 2)
     val bnd = -1.5f
