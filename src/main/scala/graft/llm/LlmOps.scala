@@ -390,6 +390,51 @@ object LlmOps {
              |SELECT u AS doc_id, min(root) AS cluster_id FROM reach
              |GROUP BY u ORDER BY doc_id""".stripMargin)),
 
+    // ---- TF-IDF term weighting: top-5 terms per document (doc_id < 5)
+    //      by tf · (N/df). The idf factor is LINEAR (N/df), not log —
+    //      log() is a transcendental whose last ulp differs between
+    //      libm implementations, and the driver's hash compare is
+    //      bit-exact; tf·N is exact integer arithmetic and the one IEEE
+    //      division by df is bit-identical cross-engine. Ranking is the
+    //      point of the op; the monotone-in-(N/df) weight preserves it
+    //      per term. Plan shape at scale: tf is a (doc, term) hash agg,
+    //      df a term hash agg, joined on term — all shuffles keyed by
+    //      term/doc, no collect. ----
+    "q53_tfidf" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = docs(s, d)
+          .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs(s, d).count() // one scalar; the scan is column-pruned
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.filter(col("doc_id") < 5)
+          .join(df, "term")
+          .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"), col("score"))
+          .orderBy("doc_id", "rn")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, token AS term, count(*) AS tf
+             |  FROM (SELECT doc_id,
+             |          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             |        FROM documents) t
+             |  GROUP BY doc_id, token),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT count(*) AS n FROM documents)
+             |SELECT doc_id, rn, term, tf, df, score FROM (
+             |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+             |    row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term) AS rn
+             |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+             |  WHERE tf.doc_id < 5) t
+             |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin)),
+
     // ---- vocabulary building: corpus token frequencies (explode/unnest) ----
     "q45_vocab_top_terms" -> Q(
       (s, d) =>

@@ -444,6 +444,35 @@ object RelQueries {
              |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
              |FROM daily ORDER BY day""".stripMargin)),
 
+    // ---- unpivot/melt: wide charge components -> long (id, component,
+    //      value) rows via the native Dataset.unpivot operator (a narrow
+    //      1->3 row expansion, no shuffle; the inverse of q26's pivot).
+    //      The oracle states the same relation as a UNION ALL, the
+    //      engine-neutral definition of UNPIVOT. ----
+    "q52_unpivot" -> Q(
+      (s, d) => {
+        val li = lineitem(s, d)
+          .filter(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        li.unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+            "component", "value")
+          .orderBy("l_orderkey", "l_linenumber", "component")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, component, value FROM (
+             |  SELECT l_orderkey, l_linenumber,
+             |    'l_extendedprice' AS component, l_extendedprice AS value
+             |  FROM lineitem WHERE l_orderkey < 100
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             |  FROM lineitem WHERE l_orderkey < 100
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+             |  FROM lineitem WHERE l_orderkey < 100) t
+             |ORDER BY l_orderkey, l_linenumber, component""".stripMargin)),
+
     // ---- set ops: intersect / except on key domains ----
     "q11_setops" -> Q(
       (s, d) => {
