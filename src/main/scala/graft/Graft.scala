@@ -119,6 +119,12 @@ object Graft {
   def lshTopK(spark: SparkSession, emb: DataFrame, queries: DataFrame, k: Int): DataFrame =
     llm.Ann.lshTopK(spark, emb, queries, k)
 
+  /** Approximate cosine top-k via IVF: distributed k-means codebook,
+    * multiple-assignment inverted lists, nearest-cell probing.
+    */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    llm.IvfOps.ivfTopK(spark, emb, queries, k)
+
   /** Exact duplicate groups by content hash. */
   def exactDedupGroups(docs: DataFrame): DataFrame = llm.Dedup.exactGroups(docs)
 

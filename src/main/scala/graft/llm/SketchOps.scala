@@ -27,7 +27,7 @@ import graft.rel.Tables
 object SketchOps {
 
   // ---- deterministic hash families ----------------------------------
-  private def splitmix64(seed: Long): Long = {
+  private[graft] def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

@@ -35,6 +35,15 @@ class LibraryApiSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("IvfOps.ivfTopK matches the q47 driver entry") {
+    val q = emb.filter(col("id") < 8).select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = graft.llm.IvfOps.ivfTopK(spark, emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = graft.llm.IvfOps.all("q47_ivf_ann").fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
+
   test("Dedup.exactGroups matches the q33 driver entry") {
     val got = Dedup.exactGroups(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
