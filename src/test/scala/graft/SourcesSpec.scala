@@ -33,4 +33,31 @@ class SourcesSpec extends SparkSpec {
       .csv(cdir)
     assert(canon(cback) == want, "csv round-trip")
   }
+
+  test("hive-partitioned write is pruned at the scan by a partition filter") {
+    // the at-scale layout: data partitioned by a low-cardinality column so
+    // a filter on it prunes whole directories BEFORE any IO happens —
+    // visible in the scan's "partition filters" rather than data filters
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "n_chars", "text")
+    val pdir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(pdir)
+    val back = spark.read.parquet(pdir)
+    val filtered = back.filter(col("lang") === "en")
+    val scan = filtered.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("lang")),
+      s"lang filter not pushed to partition pruning: ${scan.partitionFilters}")
+    // pruning is real: the selected partition count shrinks vs the table's
+    val langs = docs.select("lang").distinct().count()
+    assert(langs > 1, "fixture has a single lang — pruning not exercised")
+    assert(scan.selectedPartitions.partitionCount < langs,
+      s"scan read ${scan.selectedPartitions.partitionCount} partitions of $langs")
+    // and the data comes back intact for the pruned slice
+    val want = docs.filter(col("lang") === "en").select("doc_id", "n_chars")
+      .orderBy("doc_id").collect().toSeq
+    val got = filtered.select("doc_id", "n_chars").orderBy("doc_id").collect().toSeq
+    assert(got == want)
+  }
 }
