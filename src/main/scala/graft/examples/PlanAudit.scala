@@ -14,9 +14,11 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q34_ngram_jaccard", "q38_knn_lsh", "q41_embed_neardup", "q27_date_spine")
+      else Seq("q34_ngram_jaccard", "q38_knn_lsh", "q41_embed_neardup",
+        "q27_date_spine", "q50_sql_ann", "q51_kmv_distinct", "q53_tfidf")
     val all = graft.rel.RelQueries.all ++ graft.llm.LlmOps.all ++
-      graft.llm.SketchOps.all ++ graft.llm.IvfOps.all
+      graft.llm.SketchOps.all ++ graft.llm.IvfOps.all ++
+      graft.rel.SqlSurface.all ++ graft.llm.SketchAggOps.all
     names.foreach { n =>
       println(s"\n======== $n ========")
       all(n).fn(spark, d).explain("formatted")
