@@ -159,6 +159,20 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(5)}; batch-only: ${(batch -- streamed).take(5)}")
   }
 
+  test("file-source streaming hourlyByType equals the batch aggregation") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingOps
+      .hourlyByTypeFromFiles(spark, d, queryName = "spec_stream_hourly")
+      .orderBy("wstart", "event_type").collect().map(_.toSeq).toSeq
+    val batch = graft.rel.Tables.events(spark, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"), col("value_cents"))
+      .orderBy("wstart", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("sessionize emits gap-separated sessions") {
     val s = spark
     import s.implicits._
