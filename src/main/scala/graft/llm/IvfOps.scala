@@ -29,10 +29,10 @@ import graft.rel.Tables
   * multiAssign×n rows (ids only — payloads are joined, not duplicated).
   *
   * Determinism (so the recall oracle can pin results): codebook seeds
-  * are the `cells` members with the smallest splitmix64(id) (id-set
-  * agnostic — no dense-id assumption), per-cell sums folded in
-  * ascending id order (no reduce-order variance), ties broken by lowest
-  * cell index.
+  * come from greedy k-center over a hash-ordered sample (id-set
+  * agnostic — no dense-id assumption, see trainCentroids), per-cell
+  * sums folded in ascending id order (no reduce-order variance), ties
+  * broken by lowest cell index.
   */
 object IvfOps {
 
@@ -80,21 +80,49 @@ object IvfOps {
     * codebook (≤ cells×dim doubles) is ever collected — bounded by the
     * codebook size, not by data. `e` must be the (cached) normalized
     * corpus: training reuses one materialization across all iterations.
-    * Seeds = the `cells` members with the smallest (splitmix64(id), id) —
-    * a deterministic pseudo-random sample computed as a TakeOrdered
-    * top-k, no dense-id assumption and no full sort.
+    *
+    * Seeding is greedy k-center (farthest-point) over a deterministic
+    * sample — the max(4·cells, 256) members with the smallest
+    * (splitmix64(id), id), one TakeOrdered pass, no dense-id assumption.
+    * A plain random sample of `cells` seeds leaves some natural clusters
+    * unseeded (coupon-collector), and Lloyd cannot split a merged cell;
+    * farthest-point seeding covers every cluster the sample touches
+    * (measured: on a 16-cluster corpus random seeding left cells spanning
+    * clusters and probes pulled 79% of the corpus; k-center alignment
+    * brings nProbe=2/16 down to the two relevant cells —
+    * IvfClusteredSpec). Driver-side cost: sampleN × cells distance evals.
     */
   private def trainCentroids(
       s: SparkSession,
       e: org.apache.spark.sql.Dataset[(Long, Array[Double])],
       cells: Int, iters: Int): Array[Array[Double]] = {
     import s.implicits._
-    val seeds = e.map { case (i, v) => (SketchOps.splitmix64(i), i, v) }
-      .orderBy(col("_1"), col("_2")).limit(cells)
+    val sampleN = math.max(4 * cells, 256)
+    val sample = e.map { case (i, v) => (SketchOps.splitmix64(i), i, v) }
+      .orderBy(col("_1"), col("_2")).limit(sampleN)
       .collect()
-    require(seeds.nonEmpty, "IVF needs a non-empty corpus")
-    var cents = seeds.sortBy(t => (t._1, t._2)).map(_._3)
-    val k = cents.length
+    require(sample.nonEmpty, "IVF needs a non-empty corpus")
+    val pts = sample.sortBy(t => (t._1, t._2))
+    val k = math.min(cells, pts.length)
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val minD = Array.fill(pts.length)(Double.MaxValue)
+    while (chosen.length < k) {
+      val last = pts(chosen.last)._3
+      var best = -1
+      var bestD = -1.0
+      var p = 0
+      while (p < pts.length) {
+        var d = 0.0
+        var j = 0
+        while (j < last.length) { d += sq(pts(p)._3(j) - last(j)); j += 1 }
+        if (d < minD(p)) minD(p) = d
+        // strict > : ties resolve to the lowest (hash, id) position
+        if (minD(p) > bestD) { bestD = minD(p); best = p }
+        p += 1
+      }
+      chosen += best
+    }
+    var cents = chosen.map(i => pts(i)._3).toArray
     (1 to iters).foreach { _ =>
       val bc = s.sparkContext.broadcast(cents)
       val updated = e
@@ -192,13 +220,10 @@ object IvfOps {
     // ---- recall vs the exact top-5 (same ground truth as q38_recall);
     //      oracle = the measured per-query hits, deterministic by the
     //      seeded init + ordered accumulation above (verified stable
-    //      across independent runs). Honest reading: avg 0.825 at 6/16
-    //      cells probed with 2-way multiple assignment (candidates ≈60%
-    //      of this 500-vector corpus; single assignment was 0.65 at
-    //      ≈37%; the earlier dense-id stride init measured 0.925 but the
-    //      library-grade hash-seeded init works for ANY id set — seeds
-    //      are corpus-dependent and extra Lloyd rounds don't move this
-    //      corpus, so the generality is worth the 0.1). This corpus is
+    //      across independent runs). Honest reading: avg 0.875 at 6/16
+    //      cells probed with 2-way multiple assignment and k-center
+    //      seeding (candidates ≈60% of this 500-vector corpus; single
+    //      assignment with random seeds was 0.65 at ≈37%). This corpus is
     //      near-uniform, so its k-means cells are arbitrary Voronoi
     //      regions and candidate fraction buys recall near-linearly; on
     //      REAL embedding corpora, which cluster, the same probe budget
@@ -217,8 +242,8 @@ object IvfOps {
           .orderBy("qid")
       },
       Some("""SELECT qid, n_hits, CAST(recall AS DOUBLE) AS recall_at_5
-             |FROM (VALUES (0, 5, 1.0), (1, 4, 0.8), (2, 3, 0.6), (3, 5, 1.0),
-             |  (4, 4, 0.8), (5, 4, 0.8), (6, 3, 0.6), (7, 5, 1.0))
+             |FROM (VALUES (0, 3, 0.6), (1, 4, 0.8), (2, 5, 1.0), (3, 4, 0.8),
+             |  (4, 4, 0.8), (5, 5, 1.0), (6, 5, 1.0), (7, 5, 1.0))
              |  AS t(qid, n_hits, recall)
              |ORDER BY qid""".stripMargin)),
   )

@@ -17,9 +17,9 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   test("q47_ivf_recall: avg recall@5 >= 0.8 vs exact top-5 at sf0.01") {
-    // 2-way multiple assignment at nProbe 6/16 with the id-set-agnostic
-    // hash-seeded init — measured 0.825 (single assignment was 0.65);
-    // deterministic (seeded init, ordered folds)
+    // 2-way multiple assignment at nProbe 6/16 with deterministic
+    // k-center seeding — measured 0.875 (single assignment with random
+    // seeds was 0.65); deterministic (seeded init, ordered folds)
     val rows = graft.llm.IvfOps.all("q47_ivf_recall").fn(spark, "/root/testdata/sf0.01").collect()
     assert(rows.length == 8, s"expected 8 query rows, got ${rows.length}")
     val avg = rows.map(_.getAs[Double]("recall_at_5")).sum / rows.length
