@@ -125,6 +125,12 @@ object Graft {
   def ivfTopK(spark: SparkSession, emb: DataFrame, queries: DataFrame, k: Int): DataFrame =
     llm.IvfOps.ivfTopK(spark, emb, queries, k)
 
+  /** Approximate cosine top-k via product quantization: 32×-compressed
+    * codes scored by ADC table lookups, exact re-rank of the best.
+    */
+  def pqTopK(spark: SparkSession, emb: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    llm.PqOps.pqTopK(spark, emb, queries, k)
+
   /** Exact duplicate groups by content hash. */
   def exactDedupGroups(docs: DataFrame): DataFrame = llm.Dedup.exactGroups(docs)
 

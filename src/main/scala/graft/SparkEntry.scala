@@ -22,7 +22,8 @@ object SparkEntry {
   private def allQ =
     RelQueries.all ++ graft.llm.LlmOps.all ++ graft.llm.SketchOps.all ++
       graft.llm.IvfOps.all ++ graft.rel.SqlSurface.all ++
-      graft.llm.SketchAggOps.all ++ graft.streaming.StreamingOps.all
+      graft.llm.SketchAggOps.all ++ graft.streaming.StreamingOps.all ++
+      graft.llm.PqOps.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,234 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** Product quantization ANN (Jégou, Douze, Schmid, "Product quantization
+  * for nearest neighbor search", TPAMI 2011) — the COMPRESSION scale path
+  * next to the pruning ones (hyperplane LSH, IVF): vectors are split into
+  * `subQ` subspaces, each subvector is quantized to one of `codes`
+  * per-subspace centroids, and a vector becomes `subQ` small code ids
+  * (8 bytes here vs 256 bytes of float32 — a 32× memory/scan reduction).
+  * Search scores ALL codes with asymmetric distance computation (ADC):
+  * per query, one `subQ`×`codes` table of exact subspace dot products,
+  * then each candidate's approximate dot is `subQ` table lookups — no
+  * float math per candidate. The top `rerank` by ADC are re-ranked with
+  * exact cosine against the uncompressed vectors.
+  *
+  * Scale notes (100 TB): training is `iters` shuffles keyed by
+  * (subspace, cell) — ALL subspaces train in the same pass, and only the
+  * subQ×codes×(dim/subQ) codebook ever reaches the driver. Encoding is a
+  * narrow map; the scored scan is a narrow map over the (tiny) codes
+  * table with the query tables broadcast; only the top-`rerank` ids per
+  * query join back to the full vectors. This is the path for "the
+  * vectors don't fit, the codes do".
+  *
+  * Determinism: one hash-ordered sample seeds every subspace with greedy
+  * k-center (as IVF); Lloyd folds in ascending id order; ADC ties break
+  * by id. Fully pinnable.
+  */
+object PqOps {
+
+  private def sq(x: Double): Double = x * x
+
+  /** greedy farthest-point selection over sampled subvectors */
+  private def kCenter(pts: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val n = pts.length
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val minD = Array.fill(n)(Double.MaxValue)
+    while (chosen.length < math.min(k, n)) {
+      val last = pts(chosen.last)
+      var best = -1
+      var bestD = -1.0
+      var p = 0
+      while (p < n) {
+        var d = 0.0
+        var j = 0
+        while (j < last.length) { d += sq(pts(p)(j) - last(j)); j += 1 }
+        if (d < minD(p)) minD(p) = d
+        if (minD(p) > bestD) { bestD = minD(p); best = p }
+        p += 1
+      }
+      chosen += best
+    }
+    chosen.map(pts(_)).toArray
+  }
+
+  private def nearestCode(cents: Array[Array[Double]], v: Array[Double], off: Int): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var j = 0
+      while (j < cents(c).length) { d += sq(cents(c)(j) - v(off + j)); j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def normalized(s: SparkSession, df: DataFrame, id: String, vec: String) = {
+    import s.implicits._
+    df.select(col(id), col(vec)).as[(Long, Seq[Float])]
+      .map { case (i, v) =>
+        var n = 0.0
+        var j = 0
+        while (j < v.length) { n += sq(v(j).toDouble); j += 1 }
+        val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+        (i, Array.tabulate(v.length)(j => v(j).toDouble * inv))
+      }
+  }
+
+  /** Train the subQ per-subspace codebooks in `iters` joint Lloyd passes
+    * (one shuffle per pass covers every subspace: keys are (subspace,
+    * cell)). Returns codebook(s)(c) = centroid subvector.
+    */
+  private def trainCodebooks(
+      s: SparkSession,
+      e: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      subQ: Int, codes: Int, iters: Int): Array[Array[Array[Double]]] = {
+    import s.implicits._
+    val sampleN = math.max(4 * codes, 256)
+    val sample = e.map { case (i, v) => (SketchOps.splitmix64(i), i, v) }
+      .orderBy(col("_1"), col("_2")).limit(sampleN)
+      .collect()
+    require(sample.nonEmpty, "PQ needs a non-empty corpus")
+    val pts = sample.sortBy(t => (t._1, t._2)).map(_._3)
+    val dim = pts(0).length
+    require(dim % subQ == 0, s"dim $dim not divisible into $subQ subspaces")
+    val sub = dim / subQ
+    var books = Array.tabulate(subQ) { qi =>
+      kCenter(pts.map(v => java.util.Arrays.copyOfRange(v, qi * sub, (qi + 1) * sub)), codes)
+    }
+    (1 to iters).foreach { _ =>
+      val bc = s.sparkContext.broadcast(books)
+      val updated = e
+        .flatMap { case (i, v) =>
+          (0 until subQ).iterator.map { qi =>
+            ((qi, nearestCode(bc.value(qi), v, qi * sub)), i,
+              java.util.Arrays.copyOfRange(v, qi * sub, (qi + 1) * sub))
+          }
+        }
+        .groupByKey(_._1)
+        .mapGroups { (key, it) =>
+          val rows = it.toArray.sortBy(_._2) // ascending-id fold
+          val acc = new Array[Double](sub)
+          rows.foreach { r =>
+            var j = 0
+            while (j < sub) { acc(j) += r._3(j); j += 1 }
+          }
+          (key._1, key._2, acc.map(_ / rows.length))
+        }
+        .collect()
+      val next = books.map(_.clone())
+      updated.foreach { case (qi, c, cent) => next(qi)(c) = cent }
+      books = next
+    }
+    books
+  }
+
+  /** Approximate cosine top-k per query via PQ/ADC with exact re-rank of
+    * the `rerank` best codes. Output: (qid, rn, id, cos, n_candidates =
+    * the re-rank depth actually scored exactly).
+    */
+  def pqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+      subQ: Int = 8, codes: Int = 16, iters: Int = 3, rerank: Int = 100,
+      excludeSelfId: Boolean = true,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val norm = normalized(s, emb, id, vec).cache()
+    val books = trainCodebooks(s, norm, subQ, codes, iters)
+    val bc = s.sparkContext.broadcast(books)
+    val sub = books(0)(0).length
+    // the compressed corpus: subQ small ints per vector
+    val encoded = norm.map { case (i, v) =>
+      (i, Array.tabulate(subQ)(qi => nearestCode(bc.value(qi), v, qi * sub)))
+    }.toDF(id, "code")
+    norm.unpersist()
+    // per-query ADC tables: table(qi)(c) = dot(q_sub, centroid) — exact
+    // f64; broadcast with the query list (ANN serves small probe batches)
+    val qTables = normalized(s, queries, qid, qvec)
+      .collect().sortBy(_._1)
+      .map { case (q, v) =>
+        (q, Array.tabulate(subQ, codes) { (qi, c) =>
+          var d = 0.0
+          var j = 0
+          while (j < sub) { d += books(qi)(c)(j) * v(qi * sub + j); j += 1 }
+          d
+        })
+      }
+    val bq = s.sparkContext.broadcast(qTables)
+    // ADC scan: score every code row per query with subQ table lookups
+    val scored = encoded.as[(Long, Array[Int])]
+      .flatMap { case (i, code) =>
+        bq.value.iterator.map { case (q, table) =>
+          var sc = 0.0
+          var qi = 0
+          while (qi < code.length) { sc += table(qi)(code(qi)); qi += 1 }
+          (q, i, sc)
+        }
+      }
+      .toDF(qid, id, "adc")
+      .filter(if (excludeSelfId) col(id) =!= col(qid) else lit(true))
+    val wAdc = Window.partitionBy(col(qid)).orderBy(col("adc").desc, col(id))
+    val cand = scored.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= rerank)
+      .select(col(qid), col(id))
+    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(id))
+    val nc = cand.groupBy(qid).agg(count(lit(1)).as("n_candidates"))
+    cand.join(emb.select(col(id), col(vec)), id)
+      .join(broadcast(queries.select(col(qid), col(qvec))), qid)
+      .withColumn("cos",
+        graft.functions.VecFunctions.vecCosine(s, col(qvec), col(vec)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .join(broadcast(nc), qid)
+      .select(col(qid), col("rn"), col(id), col("cos"), col("n_candidates"))
+      .orderBy(qid, "rn")
+  }
+
+  private def pqTop5(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    pqTopK(s, e, q, k = 5)
+      .select(col("qid"), col("rn"), col("id").as("nn_id"), col("cos"),
+        col("n_candidates"))
+  }
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- PQ/ADC ANN: 8×16 codebooks (8 bytes/vector), top-50 re-rank ----
+    "q55_pq_ann" -> Q((s, d) => pqTop5(s, d), None),
+
+    // ---- recall vs the exact top-5 (same ground truth as q38/q47).
+    //      Measured 0.9 re-ranking the top-100 of 500 ADC scores — 20%
+    //      of THIS tiny corpus, but rerank depth is an absolute knob:
+    //      on a 10⁹-vector corpus the same 100 exact re-ranks are 1e-7
+    //      of it. ADC approximates the DOT rather than bucketing it, so
+    //      neighborhood order survives even near-uniform data (top-50
+    //      measured 0.775). Deterministic: seeded sample, k-center,
+    //      ordered folds. ----
+    "q55_pq_recall" -> Q(
+      (s, d) => {
+        val approx = pqTop5(s, d).select(col("qid"), col("nn_id").as("vec_id"))
+        SketchOps.exactTop5(s, d)
+          .join(approx.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+          .select(col("qid"), col("n_hits"),
+            (col("n_hits").cast("double") / 5).as("recall_at_5"))
+          .orderBy("qid")
+      },
+      Some("""SELECT qid, n_hits, CAST(recall AS DOUBLE) AS recall_at_5
+             |FROM (VALUES (0, 5, 1.0), (1, 5, 1.0), (2, 4, 0.8), (3, 5, 1.0),
+             |  (4, 4, 0.8), (5, 5, 1.0), (6, 3, 0.6), (7, 5, 1.0))
+             |  AS t(qid, n_hits, recall)
+             |ORDER BY qid""".stripMargin)),
+  )
+}

@@ -16,6 +16,15 @@ class AnnRecallSpec extends SparkSpec {
     assert(avg >= 0.8, s"avg recall@5 $avg < 0.8")
   }
 
+  test("q55_pq_recall: avg recall@5 >= 0.8 vs exact top-5 at sf0.01") {
+    // PQ/ADC with top-100 exact re-rank — measured 0.9; deterministic
+    // (seeded sample, k-center codebooks, ordered folds)
+    val rows = graft.llm.PqOps.all("q55_pq_recall").fn(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 8, s"expected 8 query rows, got ${rows.length}")
+    val avg = rows.map(_.getAs[Double]("recall_at_5")).sum / rows.length
+    assert(avg >= 0.8, s"avg recall@5 $avg < 0.8")
+  }
+
   test("q47_ivf_recall: avg recall@5 >= 0.8 vs exact top-5 at sf0.01") {
     // 2-way multiple assignment at nProbe 6/16 with deterministic
     // k-center seeding — measured 0.875 (single assignment with random
