@@ -131,6 +131,13 @@ object Graft {
   def pqTopK(spark: SparkSession, emb: DataFrame, queries: DataFrame, k: Int): DataFrame =
     llm.PqOps.pqTopK(spark, emb, queries, k)
 
+  /** Approximate cosine top-k via IVFADC: IVF cell pruning + PQ residual
+    * codes — the compressed-and-pruned index for corpora where neither
+    * the vectors nor a full scan fit.
+    */
+  def ivfPqTopK(spark: SparkSession, emb: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    llm.IvfPqOps.ivfPqTopK(spark, emb, queries, k)
+
   /** Exact duplicate groups by content hash. */
   def exactDedupGroups(docs: DataFrame): DataFrame = llm.Dedup.exactGroups(docs)
 

@@ -18,7 +18,8 @@ object PlanAudit {
         "q27_date_spine", "q50_sql_ann", "q51_kmv_distinct", "q53_tfidf")
     val all = graft.rel.RelQueries.all ++ graft.llm.LlmOps.all ++
       graft.llm.SketchOps.all ++ graft.llm.IvfOps.all ++
-      graft.rel.SqlSurface.all ++ graft.llm.SketchAggOps.all
+      graft.rel.SqlSurface.all ++ graft.llm.SketchAggOps.all ++
+      graft.llm.PqOps.all ++ graft.llm.IvfPqOps.all
     names.foreach { n =>
       println(s"\n======== $n ========")
       all(n).fn(spark, d).explain("formatted")

@@ -39,7 +39,7 @@ object IvfOps {
   private def sq(x: Double): Double = x * x
 
   /** index of the nearest centroid (L2 on unit vectors ≡ cosine order) */
-  private def nearestCell(cents: Array[Array[Double]], v: Array[Double]): Int = {
+  private[llm] def nearestCell(cents: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cents.length) {
@@ -54,7 +54,7 @@ object IvfOps {
 
   /** the `m` nearest centroid indices, ascending distance, ties by lowest
     * cell index — deterministic for the pinned recall oracle */
-  private def nearestCells(cents: Array[Array[Double]], v: Array[Double], m: Int): Array[Int] = {
+  private[llm] def nearestCells(cents: Array[Array[Double]], v: Array[Double], m: Int): Array[Int] = {
     val byDist = Array.tabulate(cents.length) { c =>
       var d = 0.0
       var j = 0
@@ -64,7 +64,7 @@ object IvfOps {
     byDist.sortBy(t => (t._1, t._2)).take(math.min(m, cents.length)).map(_._2)
   }
 
-  private def normalized(s: SparkSession, df: DataFrame, id: String, vec: String) = {
+  private[llm] def normalized(s: SparkSession, df: DataFrame, id: String, vec: String) = {
     import s.implicits._
     df.select(col(id), col(vec)).as[(Long, Seq[Float])]
       .map { case (i, v) =>
@@ -92,7 +92,7 @@ object IvfOps {
     * brings nProbe=2/16 down to the two relevant cells —
     * IvfClusteredSpec). Driver-side cost: sampleN × cells distance evals.
     */
-  private def trainCentroids(
+  private[llm] def trainCentroids(
       s: SparkSession,
       e: org.apache.spark.sql.Dataset[(Long, Array[Double])],
       cells: Int, iters: Int): Array[Array[Double]] = {

@@ -1,0 +1,175 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** IVFADC — IVF coarse quantizer + PQ residual codes (Jégou, Douze,
+  * Schmid, "Product quantization for nearest neighbor search", TPAMI
+  * 2011, §V: the "IVFADC" system) — the composition of the two scale
+  * paths this library already ships separately: IVF ([[IvfOps]]) PRUNES
+  * (probe nProbe of `cells` Voronoi cells, skip the rest), PQ
+  * ([[PqOps]]) COMPRESSES (8-byte codes scored by table lookup). Here a
+  * vector is stored as (cell, 8 codes): the codes quantize the RESIDUAL
+  * v − centroid(cell), which is much lower-energy than v itself, so the
+  * same code budget yields a finer approximation than flat PQ.
+  *
+  * Query: dot(q, v) ≈ dot(q, c_cell) + dot(q, v − c_cell); the first
+  * term is one scalar per probed cell, the second is `subQ` lookups in a
+  * per-query table built once against the (cell-shared) residual
+  * codebooks. Top-`rerank` ADC scores re-rank by exact cosine.
+  *
+  * Scale notes (100 TB / 10⁹ vectors): this is the architecture that
+  * actually serves that regime — the index is n×(4+8) bytes instead of
+  * n×dim×4 (compression), and a query touches only nProbe/cells of it
+  * (pruning). Training = IVF's `coarseIters` + PQ's `pqIters` bounded
+  * shuffles; only codebooks (cells×dim + subQ×codes×(dim/subQ) doubles)
+  * reach the driver. Probe list and ADC tables are broadcast; candidate
+  * generation is an equi-join on `cell`; the exact re-rank joins
+  * `rerank` ids per query back to the full vectors — the uncompressed
+  * corpus is read only there.
+  *
+  * Determinism (for the pinned recall oracle): shared k-center seeding
+  * and ascending-id folds from IvfOps/PqOps; ADC ties break by id.
+  */
+object IvfPqOps {
+
+  /** Approximate cosine top-k per query via IVFADC. Output: (qid, rn,
+    * id, cos, n_candidates = ADC-scored candidates before re-rank).
+    */
+  def ivfPqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16, coarseIters: Int = 3, nProbe: Int = 6, multiAssign: Int = 2,
+      subQ: Int = 8, codes: Int = 16, pqIters: Int = 3, rerank: Int = 100,
+      excludeSelfId: Boolean = true,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val norm = IvfOps.normalized(s, emb, id, vec).cache()
+    val cents = IvfOps.trainCentroids(s, norm, cells, coarseIters)
+    val bc = s.sparkContext.broadcast(cents)
+    // multiple assignment (as IvfOps): each vector is indexed under its
+    // `multiAssign` nearest cells, with the residual taken against THAT
+    // cell's centroid — the near-boundary vectors single assignment
+    // loses are re-encoded where a probe will find them
+    val resid = norm.flatMap { case (i, v) =>
+      IvfOps.nearestCells(bc.value, v, multiAssign).iterator.map { c =>
+        val cent = bc.value(c)
+        (i, c, Array.tabulate(v.length)(j => v(j) - cent(j)))
+      }
+    }.cache()
+    norm.unpersist()
+    val books = PqOps.trainCodebooks(s, resid.map(t => (t._1, t._3)), subQ, codes, pqIters)
+    val bb = s.sparkContext.broadcast(books)
+    val sub = books(0)(0).length
+    // the index: (id, cell, subQ code ids) — 4+subQ bytes of payload per
+    // vector at serving time; this replaces the corpus in the scan
+    val encoded = resid.map { case (i, c, r) =>
+      (i, c, Array.tabulate(subQ)(qi => PqOps.nearestCode(bb.value(qi), r, qi * sub)))
+    }.toDF(id, "cell", "code")
+    resid.unpersist()
+    // per-query probe set + score tables, built on the driver from the
+    // codebooks (ANN serves small probe batches; all broadcast):
+    //   coarse(c)  = dot(q, centroid_c)           for each probed cell
+    //   table(qi)(code) = dot(q_sub, residual centroid) — cell-shared
+    val qn = IvfOps.normalized(s, queries, qid, qvec).collect().sortBy(_._1)
+    val qInfo: Map[Long, (Map[Int, Double], Array[Array[Double]])] =
+      qn.map { case (q, v) =>
+        val probed = IvfOps.nearestCells(bc.value, v, nProbe)
+        val coarse = probed.map { c =>
+          var d = 0.0
+          var j = 0
+          while (j < v.length) { d += cents(c)(j) * v(j); j += 1 }
+          c -> d
+        }.toMap
+        val table = Array.tabulate(subQ, codes) { (qi, cc) =>
+          var d = 0.0
+          var j = 0
+          while (j < sub) { d += books(qi)(cc)(j) * v(qi * sub + j); j += 1 }
+          d
+        }
+        q -> (coarse, table)
+      }.toMap
+    val bq = s.sparkContext.broadcast(qInfo)
+    val probesDf = qInfo.toSeq
+      .flatMap { case (q, (coarse, _)) => coarse.keys.map(c => (q, c)) }
+      .toDF(qid, "cell")
+    // candidate generation: broadcast probe list ⋈ index on cell, then
+    // ADC scoring as a narrow map (subQ lookups + one add per row)
+    val scored = broadcast(probesDf).join(encoded, "cell")
+      .filter(if (excludeSelfId) col(id) =!= col(qid) else lit(true))
+      .select(col(qid), col(id), col("cell"), col("code"))
+      .as[(Long, Long, Int, Array[Int])]
+      .map { case (q, i, c, code) =>
+        val (coarse, table) = bq.value(q)
+        var sc = coarse(c)
+        var qi = 0
+        while (qi < code.length) { sc += table(qi)(code(qi)); qi += 1 }
+        (q, i, sc)
+      }
+      .toDF(qid, id, "adc")
+      // a vector can reach a query through several of its assigned
+      // cells; keep its best ADC estimate (one row per candidate)
+      .groupBy(qid, id).agg(max(col("adc")).as("adc"))
+    val wAdc = Window.partitionBy(col(qid)).orderBy(col("adc").desc, col(id))
+    val cand = scored.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= rerank)
+      .select(col(qid), col(id))
+    val nc = scored.groupBy(qid).agg(count(lit(1)).as("n_candidates"))
+    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(id))
+    cand.join(emb.select(col(id), col(vec)), id)
+      .join(broadcast(queries.select(col(qid), col(qvec))), qid)
+      .withColumn("cos",
+        graft.functions.VecFunctions.vecCosine(s, col(qvec), col(vec)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .join(broadcast(nc), qid)
+      .select(col(qid), col("rn"), col(id), col("cos"), col("n_candidates"))
+      .orderBy(qid, "rn")
+  }
+
+  private def ivfPqTop5(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    ivfPqTopK(s, e, q, k = 5)
+      .select(col("qid"), col("rn"), col("id").as("nn_id"), col("cos"),
+        col("n_candidates"))
+  }
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- IVFADC: probe 6/16 cells, score 8-byte residual codes by ADC
+    //      lookups, exact re-rank of the top-100 ----
+    "q56_ivfpq_ann" -> Q((s, d) => ivfPqTop5(s, d), None),
+
+    // ---- recall vs the exact top-5 (same ground truth as q38/q47/q55).
+    //      Measured 0.875 at nProbe 6/16 with 2-way multiple assignment
+    //      and top-100 re-rank (single assignment measured 0.7 — the
+    //      lost hits were near-Voronoi-boundary vectors, same failure
+    //      mode IvfOps documents). Equals plain IVF's 0.875 while
+    //      scanning 12-byte codes instead of 1 KiB vectors: on THIS
+    //      near-uniform 500-vector corpus compression costs no recall
+    //      the re-rank can't recover. Deterministic: shared k-center
+    //      seeding + ordered folds; oracle pinned from the measured
+    //      output (stable across independent runs). ----
+    "q56_ivfpq_recall" -> Q(
+      (s, d) => {
+        val approx = ivfPqTop5(s, d).select(col("qid"), col("nn_id").as("vec_id"))
+        SketchOps.exactTop5(s, d)
+          .join(approx.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+          .select(col("qid"), col("n_hits"),
+            (col("n_hits").cast("double") / 5).as("recall_at_5"))
+          .orderBy("qid")
+      },
+      Some("""SELECT qid, n_hits, CAST(recall AS DOUBLE) AS recall_at_5
+             |FROM (VALUES (0, 3, 0.6), (1, 4, 0.8), (2, 5, 1.0), (3, 4, 0.8),
+             |  (4, 4, 0.8), (5, 5, 1.0), (6, 5, 1.0), (7, 5, 1.0))
+             |  AS t(qid, n_hits, recall)
+             |ORDER BY qid""".stripMargin)),
+  )
+}

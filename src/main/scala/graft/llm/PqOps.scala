@@ -57,7 +57,7 @@ object PqOps {
     chosen.map(pts(_)).toArray
   }
 
-  private def nearestCode(cents: Array[Array[Double]], v: Array[Double], off: Int): Int = {
+  private[llm] def nearestCode(cents: Array[Array[Double]], v: Array[Double], off: Int): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cents.length) {
@@ -86,7 +86,7 @@ object PqOps {
     * (one shuffle per pass covers every subspace: keys are (subspace,
     * cell)). Returns codebook(s)(c) = centroid subvector.
     */
-  private def trainCodebooks(
+  private[llm] def trainCodebooks(
       s: SparkSession,
       e: org.apache.spark.sql.Dataset[(Long, Array[Double])],
       subQ: Int, codes: Int, iters: Int): Array[Array[Array[Double]]] = {
