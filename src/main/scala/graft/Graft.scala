@@ -156,6 +156,13 @@ object Graft {
   def dedupClusters(pairs: DataFrame): DataFrame =
     llm.Dedup.connectedComponents(pairs)
 
+  /** Exactly-once streaming parquet sink (file-sink commit log +
+    * checkpointed offsets; restart resumes with no loss or duplicates).
+    */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.EventStream.parquetSink(df, path, checkpoint)
+
   /** Codegen'd sequential-f64 dot product over array<float> columns. */
   def vecDot(spark: SparkSession, a: Column, b: Column): Column =
     functions.VecFunctions.vecDot(spark, a, b)

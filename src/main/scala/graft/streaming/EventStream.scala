@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming surface over the `events` table shape
   * (event_id, ts timestamp, user_id, event_type, value, props) —
@@ -15,6 +15,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * partitions; watermark bounds state size; no driver-side state.
   */
 object EventStream {
+
+  /** Exactly-once parquet sink: the file sink writes each micro-batch's
+    * files then commits them transactionally to the `_spark_metadata` log
+    * keyed by batch id, and the checkpoint stores source offsets per
+    * batch — so a restarted query (same checkpoint + path) resumes from
+    * the last committed batch and a replayed batch's files are never
+    * re-committed. Batch reads of `path` go through the metadata log and
+    * see only committed files: end-to-end exactly-once for replayable
+    * sources (files, Kafka). Stateful operators upstream recover their
+    * state store from the same checkpoint. Stop/restart contract — no
+    * loss, no duplicates, dedup state surviving restart — is pinned by
+    * CheckpointRecoverySpec.
+    */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
 
   /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark — the
     * streaming twin of the batch query q18_events_hourly (same
