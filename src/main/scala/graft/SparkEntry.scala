@@ -19,7 +19,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelQueries.all("q05_local_supplier").fn(spark, "/root/testdata/sf0.001")
 
-  private def allQ =
+  private[graft] def allQ =
     RelQueries.all ++ graft.llm.LlmOps.all ++ graft.llm.SketchOps.all ++
       graft.llm.IvfOps.all ++ graft.rel.SqlSurface.all ++
       graft.llm.SketchAggOps.all ++ graft.streaming.StreamingOps.all ++

@@ -67,8 +67,11 @@ final class KmvAgg(k: Int) extends Aggregator[Long, KmvBuf, KmvOut] {
   }
 
   override def finish(b: KmvBuf): KmvOut = {
+    // kthMin == 0 (possible in principle over the 60-bit hash space)
+    // would make the ratio Infinity; the exact count is the right answer
+    // there too (k distinct values seen, all hashes ≤ 0 ⇒ degenerate)
     val est =
-      if (b.mins.length < k) b.mins.length.toDouble
+      if (b.mins.length < k || b.mins.last == 0L) b.mins.length.toDouble
       else (k - 1).toDouble * (1L << 60).toDouble / b.mins.last.toDouble
     KmvOut(b.mins, est)
   }

@@ -16,8 +16,10 @@ object Ann {
     graft.functions.VecFunctions.vecCosine(s, a, b)
 
   /** Exact cosine top-k per query: broadcast nested-loop over the corpus
-    * + per-query window. The O(n·q) baseline every approximate path is
-    * measured against; right whenever q is small.
+    * + bounded-heap per-query top-k ([[graft.functions.TopK]] — map-side
+    * partial selection, no per-query global sort). The O(n·q) baseline
+    * every approximate path is measured against; right whenever q is
+    * small.
     *
     * `excludeSelfId` (default true) drops corpus rows whose `id` equals
     * the probing `qid` — correct when queries ARE corpus members (the
@@ -29,15 +31,11 @@ object Ann {
       id: String = "id", vec: String = "vec",
       qid: String = "qid", qvec: String = "qvec",
       excludeSelfId: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(id))
     val cond = if (excludeSelfId) col(id) =!= col(qid) else lit(true)
-    broadcast(queries.select(col(qid), col(qvec)))
+    val scored = broadcast(queries.select(col(qid), col(qvec)))
       .join(emb.select(col(id), col(vec)), cond)
       .withColumn("cos", cosine(s, col(qvec), col(vec)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col(qid), col("rn"), col(id), col("cos"))
+    graft.functions.TopK.perKeyTopK(scored, k, qid, id, "cos")
       .orderBy(qid, "rn")
   }
 
@@ -53,7 +51,6 @@ object Ann {
       qid: String = "qid", qvec: String = "qvec",
       excludeSelfId: Boolean = true): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val sigged = emb.select(col(id), col(vec)).as[(Long, Seq[Float])]
       .map { case (i, v) => (i, SketchOps.annSigs(v)) }
       .toDF(id, "sigs")
@@ -66,13 +63,10 @@ object Ann {
     val cand = broadcast(probes).join(sigged, Seq("t", "bucket"))
       .filter(if (excludeSelfId) col(id) =!= col(qid) else lit(true))
       .select(col(qid), col(id)).distinct()
-    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(id))
-    cand.join(emb.select(col(id), col(vec)), id)
+    val scored = cand.join(emb.select(col(id), col(vec)), id)
       .join(broadcast(queries.select(col(qid), col(qvec))), qid)
       .withColumn("cos", cosine(s, col(qvec), col(vec)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col(qid), col("rn"), col(id), col("cos"))
+    graft.functions.TopK.perKeyTopK(scored, k, qid, id, "cos")
       .orderBy(qid, "rn")
   }
 }

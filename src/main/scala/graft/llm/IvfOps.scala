@@ -157,7 +157,6 @@ object IvfOps {
       id: String = "id", vec: String = "vec",
       qid: String = "qid", qvec: String = "qvec"): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     // ONE cached normalized corpus feeds training (its repeated
     // consumer); released below once the codebook is on the driver —
     // the assignment map then recomputes the narrow normalization once
@@ -188,13 +187,11 @@ object IvfOps {
     val e = emb.select(col(id), col(vec))
     val q = queries.select(col(qid), col(qvec))
     val nc = cand.groupBy(qid).agg(count(lit(1)).as("n_candidates"))
-    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(id))
-    cand.join(e, id)
+    val scored = cand.join(e, id)
       .join(broadcast(q), qid)
       .withColumn("cos",
         graft.functions.VecFunctions.vecCosine(s, col(qvec), col(vec)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    graft.functions.TopK.perKeyTopK(scored, k, qid, id, "cos")
       .join(broadcast(nc), qid)
       .select(col(qid), col("rn"), col(id), col("cos"), col("n_candidates"))
       .orderBy(qid, "rn")

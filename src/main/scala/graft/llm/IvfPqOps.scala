@@ -42,11 +42,10 @@ object IvfPqOps {
   def ivfPqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
       cells: Int = 16, coarseIters: Int = 3, nProbe: Int = 6, multiAssign: Int = 2,
       subQ: Int = 8, codes: Int = 16, pqIters: Int = 3, rerank: Int = 100,
-      excludeSelfId: Boolean = true,
+      excludeSelfId: Boolean = true, maxProbeBatch: Int = 4096,
       id: String = "id", vec: String = "vec",
       qid: String = "qid", qvec: String = "qvec"): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val norm = IvfOps.normalized(s, emb, id, vec).cache()
     val cents = IvfOps.trainCentroids(s, norm, cells, coarseIters)
     val bc = s.sparkContext.broadcast(cents)
@@ -61,7 +60,12 @@ object IvfPqOps {
       }
     }.cache()
     norm.unpersist()
-    val books = PqOps.trainCodebooks(s, resid.map(t => (t._1, t._3)), subQ, codes, pqIters)
+    // the assigned cell rides along as the trainCodebooks tag: multiple
+    // assignment emits one residual per (id, cell), and (id, cell) is the
+    // total order the sample cut and Lloyd folds sort by — without it,
+    // which residual lands in the sample (and the float fold order) would
+    // follow shuffle arrival order and the pinned q56 oracle could drift
+    val books = PqOps.trainCodebooks(s, resid.map(t => (t._1, t._2, t._3)), subQ, codes, pqIters)
     val bb = s.sparkContext.broadcast(books)
     val sub = books(0)(0).length
     // the index: (id, cell, subQ code ids) — 4+subQ bytes of payload per
@@ -74,7 +78,11 @@ object IvfPqOps {
     // codebooks (ANN serves small probe batches; all broadcast):
     //   coarse(c)  = dot(q, centroid_c)           for each probed cell
     //   table(qi)(code) = dot(q_sub, residual centroid) — cell-shared
-    val qn = IvfOps.normalized(s, queries, qid, qvec).collect().sortBy(_._1)
+    val qRows = IvfOps.normalized(s, queries, qid, qvec)
+      .limit(maxProbeBatch + 1).collect()
+    require(qRows.length <= maxProbeBatch,
+      s"ivfPqTopK probe batch exceeds maxProbeBatch=$maxProbeBatch — chunk the query set")
+    val qn = qRows.sortBy(_._1)
     val qInfo: Map[Long, (Map[Int, Double], Array[Array[Double]])] =
       qn.map { case (q, v) =>
         val probed = IvfOps.nearestCells(bc.value, v, nProbe)
@@ -113,18 +121,17 @@ object IvfPqOps {
       // a vector can reach a query through several of its assigned
       // cells; keep its best ADC estimate (one row per candidate)
       .groupBy(qid, id).agg(max(col("adc")).as("adc"))
-    val wAdc = Window.partitionBy(col(qid)).orderBy(col("adc").desc, col(id))
-    val cand = scored.withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= rerank)
+    // bounded-heap top-`rerank` by ADC, then top-k by exact cosine — no
+    // per-query global sort anywhere (TopK map-side partials cap the
+    // shuffle at rerank/k rows per query per map partition)
+    val cand = graft.functions.TopK.perKeyTopK(scored, rerank, qid, id, "adc")
       .select(col(qid), col(id))
     val nc = scored.groupBy(qid).agg(count(lit(1)).as("n_candidates"))
-    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(id))
-    cand.join(emb.select(col(id), col(vec)), id)
+    val reranked = cand.join(emb.select(col(id), col(vec)), id)
       .join(broadcast(queries.select(col(qid), col(qvec))), qid)
       .withColumn("cos",
         graft.functions.VecFunctions.vecCosine(s, col(qvec), col(vec)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    graft.functions.TopK.perKeyTopK(reranked, k, qid, id, "cos")
       .join(broadcast(nc), qid)
       .select(col(qid), col("rn"), col(id), col("cos"), col("n_candidates"))
       .orderBy(qid, "rn")

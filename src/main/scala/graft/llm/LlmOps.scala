@@ -236,16 +236,12 @@ object LlmOps {
     // ---- brute-force cosine top-k (exact ANN baseline) ----
     "q37_knn_cosine" -> Q(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val e = embs(s, d)
         val q = e.filter(col("vec_id") < 3)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-        broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
           .withColumn("cos", graft.functions.VecFunctions.vecCosine(s, col("qv"), col("embedding")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+        graft.functions.TopK.perKeyTopK(scored, 5, "qid", "vec_id", "cos")
           .orderBy("qid", "rn")
       },
       Some("""SELECT qid, rn, vec_id, cos FROM (

@@ -85,18 +85,25 @@ object PqOps {
   /** Train the subQ per-subspace codebooks in `iters` joint Lloyd passes
     * (one shuffle per pass covers every subspace: keys are (subspace,
     * cell)). Returns codebook(s)(c) = centroid subvector.
+    *
+    * Input rows are (id, tag, vector): `tag` disambiguates MULTIPLE rows
+    * per id (IVFADC multiple assignment emits one residual per assigned
+    * cell — the tag is that cell). The sample cut orders by (hash(id),
+    * id, tag) and the Lloyd folds by (id, tag), so both are total orders
+    * and results cannot drift with shuffle arrival order even when ids
+    * repeat. Plain PQ passes tag = 0 (unique ids, order unchanged).
     */
   private[llm] def trainCodebooks(
       s: SparkSession,
-      e: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      e: org.apache.spark.sql.Dataset[(Long, Int, Array[Double])],
       subQ: Int, codes: Int, iters: Int): Array[Array[Array[Double]]] = {
     import s.implicits._
     val sampleN = math.max(4 * codes, 256)
-    val sample = e.map { case (i, v) => (SketchOps.splitmix64(i), i, v) }
-      .orderBy(col("_1"), col("_2")).limit(sampleN)
+    val sample = e.map { case (i, t, v) => (SketchOps.splitmix64(i), i, t, v) }
+      .orderBy(col("_1"), col("_2"), col("_3")).limit(sampleN)
       .collect()
     require(sample.nonEmpty, "PQ needs a non-empty corpus")
-    val pts = sample.sortBy(t => (t._1, t._2)).map(_._3)
+    val pts = sample.sortBy(t => (t._1, t._2, t._3)).map(_._4)
     val dim = pts(0).length
     require(dim % subQ == 0, s"dim $dim not divisible into $subQ subspaces")
     val sub = dim / subQ
@@ -106,19 +113,19 @@ object PqOps {
     (1 to iters).foreach { _ =>
       val bc = s.sparkContext.broadcast(books)
       val updated = e
-        .flatMap { case (i, v) =>
+        .flatMap { case (i, t, v) =>
           (0 until subQ).iterator.map { qi =>
-            ((qi, nearestCode(bc.value(qi), v, qi * sub)), i,
+            ((qi, nearestCode(bc.value(qi), v, qi * sub)), i, t,
               java.util.Arrays.copyOfRange(v, qi * sub, (qi + 1) * sub))
           }
         }
         .groupByKey(_._1)
         .mapGroups { (key, it) =>
-          val rows = it.toArray.sortBy(_._2) // ascending-id fold
+          val rows = it.toArray.sortBy(r => (r._2, r._3)) // (id, tag) fold order
           val acc = new Array[Double](sub)
           rows.foreach { r =>
             var j = 0
-            while (j < sub) { acc(j) += r._3(j); j += 1 }
+            while (j < sub) { acc(j) += r._4(j); j += 1 }
           }
           (key._1, key._2, acc.map(_ / rows.length))
         }
@@ -133,16 +140,21 @@ object PqOps {
   /** Approximate cosine top-k per query via PQ/ADC with exact re-rank of
     * the `rerank` best codes. Output: (qid, rn, id, cos, n_candidates =
     * the re-rank depth actually scored exactly).
+    *
+    * The query side is collected to the driver to build the broadcast ADC
+    * tables — bounded by `maxProbeBatch`: a batch over the cap fails fast
+    * with a clear message instead of silently OOMing the driver. Larger
+    * query sets should be chunked by the caller (each chunk is an
+    * independent probe).
     */
   def pqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
       subQ: Int = 8, codes: Int = 16, iters: Int = 3, rerank: Int = 100,
-      excludeSelfId: Boolean = true,
+      excludeSelfId: Boolean = true, maxProbeBatch: Int = 4096,
       id: String = "id", vec: String = "vec",
       qid: String = "qid", qvec: String = "qvec"): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val norm = normalized(s, emb, id, vec).cache()
-    val books = trainCodebooks(s, norm, subQ, codes, iters)
+    val books = trainCodebooks(s, norm.map { case (i, v) => (i, 0, v) }, subQ, codes, iters)
     val bc = s.sparkContext.broadcast(books)
     val sub = books(0)(0).length
     // the compressed corpus: subQ small ints per vector
@@ -151,9 +163,13 @@ object PqOps {
     }.toDF(id, "code")
     norm.unpersist()
     // per-query ADC tables: table(qi)(c) = dot(q_sub, centroid) — exact
-    // f64; broadcast with the query list (ANN serves small probe batches)
-    val qTables = normalized(s, queries, qid, qvec)
-      .collect().sortBy(_._1)
+    // f64; broadcast with the query list (ANN serves small probe
+    // batches). limit(cap+1) bounds the transfer BEFORE the collect.
+    val qRows = normalized(s, queries, qid, qvec)
+      .limit(maxProbeBatch + 1).collect()
+    require(qRows.length <= maxProbeBatch,
+      s"pqTopK probe batch exceeds maxProbeBatch=$maxProbeBatch — chunk the query set")
+    val qTables = qRows.sortBy(_._1)
       .map { case (q, v) =>
         (q, Array.tabulate(subQ, codes) { (qi, c) =>
           var d = 0.0
@@ -175,18 +191,18 @@ object PqOps {
       }
       .toDF(qid, id, "adc")
       .filter(if (excludeSelfId) col(id) =!= col(qid) else lit(true))
-    val wAdc = Window.partitionBy(col(qid)).orderBy(col("adc").desc, col(id))
-    val cand = scored.withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= rerank)
+    // ADC selection: bounded-heap top-`rerank` per query — the flat-PQ
+    // scan deliberately scores the WHOLE corpus, so this stage above all
+    // must not funnel n rows per query into one partition (TopK partials
+    // cap the shuffle at rerank rows per query per map partition)
+    val cand = graft.functions.TopK.perKeyTopK(scored, rerank, qid, id, "adc")
       .select(col(qid), col(id))
-    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(id))
     val nc = cand.groupBy(qid).agg(count(lit(1)).as("n_candidates"))
-    cand.join(emb.select(col(id), col(vec)), id)
+    val reranked = cand.join(emb.select(col(id), col(vec)), id)
       .join(broadcast(queries.select(col(qid), col(qvec))), qid)
       .withColumn("cos",
         graft.functions.VecFunctions.vecCosine(s, col(qvec), col(vec)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    graft.functions.TopK.perKeyTopK(reranked, k, qid, id, "cos")
       .join(broadcast(nc), qid)
       .select(col(qid), col("rn"), col(id), col("cos"), col("n_candidates"))
       .orderBy(qid, "rn")
@@ -203,7 +219,7 @@ object PqOps {
   }
 
   val all: ListMap[String, Q] = ListMap(
-    // ---- PQ/ADC ANN: 8×16 codebooks (8 bytes/vector), top-50 re-rank ----
+    // ---- PQ/ADC ANN: 8×16 codebooks (8 bytes/vector), top-100 re-rank ----
     "q55_pq_ann" -> Q((s, d) => pqTop5(s, d), None),
 
     // ---- recall vs the exact top-5 (same ground truth as q38/q47).

@@ -156,7 +156,6 @@ object SketchOps {
     */
   private def annTop5(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .map { case (id, v) => (id, annSigs(v), v) }
@@ -173,13 +172,11 @@ object SketchOps {
     val q = e.filter(col("vec_id") < AnnQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val nc = cand.groupBy("qid").agg(count(lit(1)).as("n_candidates"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    cand.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    val scored = cand.join(e.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(q), "qid")
       .withColumn("cos",
         graft.functions.VecFunctions.vecCosine(s, col("qv"), col("embedding")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+    graft.functions.TopK.perKeyTopK(scored, 5, "qid", "vec_id", "cos")
       .join(broadcast(nc), "qid")
       .select(col("qid"), col("rn"), col("vec_id").as("nn_id"), col("cos"),
         col("n_candidates"))
@@ -190,16 +187,13 @@ object SketchOps {
     * ground truth side of q38_recall (q37's shape, widened to 8 queries)
     */
   private[llm] def exactTop5(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < AnnQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    broadcast(q).join(e, col("vec_id") =!= col("qid"))
+    val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
       .withColumn("cos",
         graft.functions.VecFunctions.vecCosine(s, col("qv"), col("embedding")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+    graft.functions.TopK.perKeyTopK(scored, 5, "qid", "vec_id", "cos")
       .select(col("qid"), col("vec_id"))
   }
 

@@ -30,8 +30,10 @@ object StreamingOps {
     val sch = s.read.parquet(path).schema
     // the fixture is a single file, not a directory: the file stream
     // source insists on a directory/glob path, so address the file via a
-    // glob (matching exactly it)
-    val raw = s.readStream.schema(sch).parquet(s"$dir/events.parquet*")
+    // {…} alternation glob — matches ONLY the fixture, not sibling paths
+    // sharing the prefix (a bare `events.parquet*` would silently widen
+    // the source to e.g. events.parquet_bak)
+    val raw = s.readStream.schema(sch).parquet(s"$dir/{events.parquet}")
     val ev =
       if (sch("ts").dataType == LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
