@@ -270,42 +270,25 @@ object LlmOps {
              |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
-    // ---- embedding-cosine near-dup pairs, blocked on the multi-table
-    //      hyperplane LSH bucket (SketchOps.annSigs — 8 tables × 4
-    //      planes): candidate pairs share a bucket in ≥1 table, so no
-    //      label ever induces an O(n_label²) self-join. Collision
-    //      probability at the cos≥0.5 output threshold is ≈0.83 and →1
-    //      as cos→1, so near-dups (the op's target) are found with
-    //      near-certainty. Label equality stays as a SECONDARY predicate
-    //      on the candidate pairs, matching the oracle's semantics.
-    //      Known tension: the oracle is the EXACT pair set, the op is
-    //      approximate — the check holds on corpora where every
-    //      qualifying pair collides in ≥1 table (or none exists, as at
-    //      sf0.01); a borderline-cos pair missing all 8 tables would
-    //      surface as an honest hash mismatch, not silent loss. ----
+    // ---- embedding-cosine near-dup pairs, EXACT, blocked on the label:
+    //      both sides shuffle by `label`, pairs form only inside a label
+    //      group, so the pair volume is Σ n_label² — the right tool when
+    //      label granularity bounds group size (shard/source/domain keys
+    //      in a real pipeline; a giant label needs the LSH-blocked
+    //      variant below, whose blocking recall q41_lsh_recall pins).
+    //      Exact ⇒ a full hash oracle, non-vacuous at sf0.01 (5 pairs at
+    //      cos ≥ 0.4; this synthetic corpus has no true near-dups, so
+    //      the threshold sits where qualifying pairs exist). ----
     "q41_embed_neardup" -> Q(
       (s, d) => {
-        import s.implicits._
         val e = embs(s, d).select(col("vec_id"), col("label"), col("embedding"))
-        val flat = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-          .map { case (id, v) => (id, SketchOps.annSigs(v)) }
-          .toDF("vec_id", "sigs")
-          .select(col("vec_id"), posexplode(col("sigs")).as(Seq("t", "bucket")))
-        // bucket-keyed candidate generation (shuffle on (t,bucket), pair
-        // volume bounded per bucket), then one distinct over pairs
-        val pairs = flat.as("a").join(flat.as("b"),
-            col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb")).distinct()
-        pairs
-          .join(e.select(col("vec_id").as("va"), col("label").as("la"),
-            col("embedding").as("ea")), "va")
-          .join(e.select(col("vec_id").as("vb"), col("label").as("lb"),
-            col("embedding").as("eb")), "vb")
-          .filter(col("la") === col("lb"))
-          .select(col("la").as("label"), col("va"), col("vb"),
+        val a = e.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
+        val b = e.select(col("label"), col("vec_id").as("vb"), col("embedding").as("eb"))
+        a.join(b, "label")
+          .filter(col("va") < col("vb"))
+          .select(col("label"), col("va"), col("vb"),
             graft.functions.VecFunctions.vecCosine(s, col("ea"), col("eb")).as("cos"))
-          .filter(col("cos") >= 0.5)
+          .filter(col("cos") >= 0.4)
           .orderBy(col("cos").desc, col("va"), col("vb"))
       },
       Some("""SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
@@ -316,8 +299,49 @@ object LlmOps {
              |  ON a.label = b.label AND a.vec_id < b.vec_id
              |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
              |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-             |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.5
+             |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
              |ORDER BY cos DESC, va, vb""".stripMargin)),
+
+    // ---- the LSH-BLOCKED near-dup variant's blocking recall, pinned.
+    //      Blocking on the multi-table hyperplane bucket (annSigs, 8×4)
+    //      is the 100 TB path when no bounded blocking key exists — no
+    //      label ever induces an O(n_label²) self-join; the price is
+    //      approximate candidate generation. This entry measures it
+    //      honestly: of the exact top-20 same-label pairs by cosine
+    //      (cos ≈ 0.35-0.47 here — far below real near-dup similarity,
+    //      where per-table collision ≥ (1-acos(c)/π)⁴ → 1), how many
+    //      collide in ≥1 of the 8 tables? Deterministic (fixed
+    //      hyperplanes), so the measured value is pinnable. ----
+    "q41_lsh_recall" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = embs(s, d).select(col("vec_id"), col("label"), col("embedding"))
+        val a = e.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
+        val b = e.select(col("label"), col("vec_id").as("vb"), col("embedding").as("eb"))
+        val top = a.join(b, "label")
+          .filter(col("va") < col("vb"))
+          .select(col("va"), col("vb"),
+            graft.functions.VecFunctions.vecCosine(s, col("ea"), col("eb")).as("cos"))
+          .orderBy(col("cos").desc, col("va"), col("vb"))
+          .limit(20)
+        val flat = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+          .map { case (id, v) => (id, SketchOps.annSigs(v)) }
+          .toDF("vec_id", "sigs")
+          .select(col("vec_id"), posexplode(col("sigs")).as(Seq("t", "bucket")))
+        // bucket-keyed candidate generation (shuffle on (t,bucket), pair
+        // volume bounded per bucket), one distinct over pairs
+        val cand = flat.as("x").join(flat.as("y"),
+            col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb")).distinct()
+        top.join(cand.withColumn("hit", lit(1)), Seq("va", "vb"), "left")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+          .select(col("n_pairs"), col("n_hits"),
+            (col("n_hits").cast("double") / col("n_pairs")).as("recall_at_20"))
+      },
+      Some("""SELECT CAST(20 AS BIGINT) AS n_pairs, CAST(14 AS BIGINT) AS n_hits,
+             |  CAST(0.7 AS DOUBLE) AS recall_at_20""".stripMargin)),
 
     // ---- BPE-ish regex token counting (words / numbers / punctuation
     //      runs — the pre-tokenizer shape BPE vocabularies use) ----
