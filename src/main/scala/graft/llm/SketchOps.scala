@@ -308,40 +308,46 @@ object SketchOps {
              |  AS t(qid, n_hits, recall)
              |ORDER BY qid""".stripMargin)),
 
-    // ---- multimodal: opaque binary payload + batch "decode" plumbing.
-    //      The decode kernel is a clearly-marked deterministic STUB (no
-    //      image/audio libs in this container); the Spark-side schema,
-    //      batching, and partition flow are real. ----
+    // ---- multimodal: opaque binary blob column + batch decode through a
+    //      REAL parser ([[graft.io.Wav]] — RIFF chunk walk, fmt
+    //      validation, PCM sample extraction; pure JVM since the
+    //      container ships no codecs). The blob fixture is synthesized
+    //      deterministically from the driver's documents table (each
+    //      text's UTF-8 bytes as 8-bit PCM), which is what makes the
+    //      decoded features DuckDB-checkable: samples ARE the byte
+    //      values, so the oracle recomputes sum/peak with character
+    //      arithmetic. The mapPartitions boundary is where a real
+    //      pipeline initializes its codec once per partition. ----
     "q40_multimodal_decode" -> Q(
       (s, d) => {
         import s.implicits._
-        val payloads = Tables.documents(s, d)
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-            struct(col("source"), col("lang")).as("meta"))
-        // typed mapPartitions = the batch-decode boundary a real pipeline
-        // would hand to an image/audio codec (one codec init per partition)
-        val decoded = payloads.select(col("doc_id"), col("payload"))
+        val docs = Tables.documents(s, d)
+        val blobs = docs
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
           .as[(Long, Array[Byte])]
+          .map { case (id, b) => (id, graft.io.Wav.build8(16000, b)) }
+          .toDF("doc_id", "wav")
+        val decoded = blobs.as[(Long, Array[Byte])]
           .mapPartitions { it =>
-            // STUB decoder: deterministic fake features — 4 stripe byte-sums.
-            // A real deployment replaces only this function body.
+            // per-partition decode boundary: codec state would init here
             it.map { case (id, bytes) =>
-              val f = new Array[Float](4)
-              var i = 0
-              while (i < bytes.length) {
-                f(i % 4) += (bytes(i) & 0xff) / 255.0f
-                i += 1
-              }
-              (id, bytes.length, f)
+              val p = graft.io.Wav.parse(bytes)
+              var sum = 0L
+              var peak = 0
+              p.samples.foreach { v => sum += v; if (v > peak) peak = v }
+              (id, p.sampleRate, p.bitsPerSample, p.samples.length.toLong, sum, peak)
             }
           }
-          .toDF("doc_id", "n_bytes", "features")
+          .toDF("doc_id", "sample_rate", "bits", "n_samples", "sample_sum", "peak")
         decoded
-          .join(payloads.select(col("doc_id"), col("meta")), "doc_id")
-          .select(col("doc_id"), col("n_bytes"), col("meta.source").as("source"),
-            element_at(col("features"), 1).as("f0"), element_at(col("features"), 2).as("f1"))
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
           .orderBy("doc_id")
       },
-      None),
+      Some("""SELECT doc_id, 16000 AS sample_rate, 8 AS bits,
+             |  CAST(len(text) AS BIGINT) AS n_samples,
+             |  CAST(list_sum(list_transform(string_split(text, ''), x -> unicode(x))) AS BIGINT) AS sample_sum,
+             |  list_max(list_transform(string_split(text, ''), x -> unicode(x))) AS peak,
+             |  source
+             |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 }
