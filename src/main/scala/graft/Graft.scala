@@ -64,12 +64,22 @@ object Graft {
       kernel: Block => Block): BlockGrid =
     grid.mapOverlap(depth, newMeta, boundary)(kernel)
 
-  /** Re-partition a grid's voxels onto a new chunk geometry —
-    * `da.rechunk` (the reference rechunks its position grid to the
-    * blocksize, local_affine.py:13). ONE shuffle; exact grids only.
+  /** Re-partition a grid's voxels onto a new uniform chunk geometry —
+    * `da.rechunk(chunks=int_per_axis)` (the reference rechunks its
+    * position grid to the blocksize, local_affine.py:13). ONE shuffle;
+    * the domain need not divide (trailing chunks shape-crop), and the
+    * source grid may itself be irregular. Operates on the logical array,
+    * so the source must be overlap-0 — as dask's is.
     */
   def rechunk(grid: BlockGrid, newBlocksize: Array[Int]): BlockGrid =
     grid.rechunk(newBlocksize)
+
+  /** Re-partition onto an IRREGULAR per-axis chunk-extent spec —
+    * `da.rechunk(chunks=((5,3),(7,2),(3,2)))` explicit tuple form; each
+    * axis's extents must sum to the domain shape. ONE shuffle.
+    */
+  def rechunk(grid: BlockGrid, newChunks: Array[Array[Int]]): BlockGrid =
+    grid.rechunk(newChunks)
 
   /** Build an in-memory block grid (tests / small inputs). */
   def gridFromTiles(

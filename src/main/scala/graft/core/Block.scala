@@ -54,11 +54,22 @@ final case class Block(
   * Datasets carry no user metadata, so the [[BlockGrid]] wrapper pairs it
   * with the Dataset.
   *
+  * Chunk geometry is REGULAR by default (uniform `blocksize` with a
+  * shape-cropped trailing chunk per axis — dask's `chunks=int` form).
+  * `chunks != null` declares an IRREGULAR geometry (dask's explicit
+  * per-axis tuple form, `chunks=((5,3),(7,2),...)`): chunk i on axis ax
+  * spans `chunks(ax)(i)` voxels starting at the running sum of its
+  * predecessors. Irregular grids are what `da.rechunk` can produce;
+  * halo ops ([[BlockGrid.mapOverlap]], stitch) require regular grids,
+  * as does dask's own overlap machinery in the reference's usage.
+  *
   * @param shape     logical voxel shape of the full array (per spatial axis)
-  * @param blocksize core chunk size per spatial axis
+  * @param blocksize core chunk size per spatial axis (nominal — the max
+  *                  chunk extent — when `chunks` is set)
   * @param overlap   halo depth per spatial axis (0 when chunks are exact)
   * @param blockGrid number of chunks per spatial axis
   * @param components trailing component axis extent (1 = scalar)
+  * @param chunks    per-axis explicit chunk extents (null = regular)
   */
 final case class GridMeta(
     shape: Array[Long],
@@ -66,9 +77,48 @@ final case class GridMeta(
     overlap: Array[Int],
     blockGrid: Array[Int],
     components: Int,
+    chunks: Array[Array[Int]] = null,
 ) {
+  if (chunks != null) {
+    require(chunks.length == 3, s"chunks needs one extent list per axis")
+    (0 until 3).foreach { ax =>
+      require(chunks(ax).length == blockGrid(ax),
+        s"axis $ax: ${chunks(ax).length} chunks declared, blockGrid says ${blockGrid(ax)}")
+      require(chunks(ax).forall(_ >= 1), s"axis $ax: chunk extents must be >= 1")
+      require(chunks(ax).foldLeft(0L)(_ + _) == shape(ax),
+        s"axis $ax: chunk extents ${chunks(ax).mkString("+")} != shape ${shape(ax)}")
+    }
+    require(overlap.forall(_ == 0), "irregular chunk geometry requires an overlap-0 grid")
+  }
+
   def numBlocks: Long = blockGrid(0).toLong * blockGrid(1) * blockGrid(2)
   /** Chunk extent per axis including overlap (input contract of stitch:
     * blocksize + 2*overlap, stitch.py:19-20 — verified SURVEY §1.1). */
   def chunkSize(ax: Int): Int = blocksize(ax) + 2 * overlap(ax)
+
+  /** Regular = uniform blocksize geometry (trailing chunks shape-crop). */
+  def isRegular: Boolean = chunks == null
+
+  /** Voxel boundaries of axis `ax`'s chunks: length blockGrid(ax)+1,
+    * ascending, first 0, last shape(ax). Chunk i spans [b(i), b(i+1)).
+    */
+  def chunkBounds(ax: Int): Array[Long] = {
+    val n = blockGrid(ax)
+    val a = new Array[Long](n + 1)
+    if (chunks == null) {
+      var i = 0
+      while (i <= n) {
+        a(i) = math.min(i.toLong * blocksize(ax), shape(ax)); i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) { a(i + 1) = a(i) + chunks(ax)(i); i += 1 }
+    }
+    a
+  }
+
+  /** Voxel origin of chunk i on axis `ax`. */
+  def chunkStart(ax: Int, i: Int): Long =
+    if (chunks == null) i.toLong * blocksize(ax)
+    else { var s = 0L; var j = 0; while (j < i) { s += chunks(ax)(j); j += 1 }; s }
 }

@@ -85,6 +85,8 @@ final case class BlockGrid(meta: GridMeta, ds: Dataset[Block]) {
       boundary: Boundary = Boundary.Constant(0f))(
       kernel: Block => Block): BlockGrid = {
     val m = meta
+    require(m.isRegular,
+      "mapOverlap requires a regular (uniform-chunk) grid — rechunk first")
     val cs = Array.tabulate(3)(m.chunkSize)
     val g = m.blockGrid
     val c = m.components
@@ -241,34 +243,70 @@ final case class BlockGrid(meta: GridMeta, ds: Dataset[Block]) {
     }
   }
 
-  /** Re-partition the voxels onto a new chunk geometry — the analogue of
-    * `da.rechunk` (the reference rechunks its position grid to the
-    * blocksize at local_affine.py:13). ONE shuffle: each source block is
-    * sliced into the target blocks it intersects (pieces are disjoint,
-    * assembly is a copy). Requires an exact grid (overlap 0); partial
-    * edge blocks are handled on both sides — the output's trailing
-    * blocks carry `shape`-cropped extents like the input's.
+  /** Re-partition the voxels onto a new UNIFORM chunk geometry — dask's
+    * `da.rechunk(chunks=int_per_axis)` (the reference rechunks its
+    * position grid to the blocksize at local_affine.py:13). The domain
+    * need not divide: trailing blocks shape-crop on both sides, exactly
+    * as the input's may. For an arbitrary per-axis chunk-extent spec
+    * (dask's `chunks=((5,3),(7,2),...)` tuple form) use the
+    * [[rechunk(chunks:Array[Array[Int]])*]] overload.
     */
   def rechunk(newBlocksize: Array[Int]): BlockGrid = {
-    val m = meta
-    require(m.overlap.forall(_ == 0), "rechunk requires an exact (overlap-0) grid")
     (0 until 3).foreach(ax => require(newBlocksize(ax) >= 1,
       s"rechunk blocksize must be >= 1 (got ${newBlocksize(ax)} on axis $ax)"))
     val nbs = newBlocksize.clone()
-    val sh = m.shape.clone()
-    val bs = m.blocksize
-    val c = m.components
+    val sh = meta.shape
     val ng = Array.tabulate(3)(ax => ((sh(ax) + nbs(ax) - 1) / nbs(ax)).toInt)
+    rechunkTo(GridMeta(sh.clone(), nbs, Array(0, 0, 0), ng, meta.components))
+  }
+
+  /** Re-partition onto an IRREGULAR chunk geometry — dask's
+    * `da.rechunk(chunks=((5,3),(7,2),(3,2)))` explicit tuple form:
+    * `newChunks(ax)` lists each chunk's voxel extent along axis `ax` and
+    * must sum to the domain shape. The result's [[GridMeta.chunks]] is
+    * set; downstream halo ops require a regular grid (rechunk back), as
+    * in the reference's own pipeline.
+    */
+  def rechunk(newChunks: Array[Array[Int]]): BlockGrid = {
+    val sh = meta.shape
+    val spec = newChunks.map(_.clone())
+    val ng = spec.map(_.length)
+    // nominal blocksize = max extent per axis (display/partitioning hint
+    // only; all geometry below goes through chunkBounds)
+    val nominal = spec.map(_.max)
+    rechunkTo(GridMeta(sh.clone(), nominal, Array(0, 0, 0), ng, meta.components, spec))
+  }
+
+  /** Shared rechunk engine, boundary-driven so source and target may each
+    * be regular or irregular. ONE shuffle: each source block is sliced
+    * into the target blocks it intersects (pieces are disjoint, assembly
+    * is a copy — deterministic regardless of arrival order). Requires an
+    * exact (overlap-0) source grid; per-axis boundary arrays are tiny
+    * (#chunks-per-axis longs) and ride the task closure.
+    */
+  private def rechunkTo(newMeta: GridMeta): BlockGrid = {
+    val m = meta
+    require(m.overlap.forall(_ == 0), "rechunk requires an exact (overlap-0) grid")
+    require(java.util.Arrays.equals(newMeta.shape, m.shape),
+      s"rechunk target shape ${newMeta.shape.toSeq} != grid shape ${m.shape.toSeq}")
+    val c = m.components
+    val sb = Array.tabulate(3)(m.chunkBounds) // source chunk boundaries
+    val tb = Array.tabulate(3)(newMeta.chunkBounds) // target chunk boundaries
+    // index of the chunk whose [b(i), b(i+1)) contains voxel v
+    def locate(bounds: Array[Long], v: Long): Int = {
+      val p = java.util.Arrays.binarySearch(bounds, v)
+      if (p >= 0) p else -p - 2
+    }
     implicit val pieceEnc: Encoder[OverlapPiece] = Encoders.product[OverlapPiece]
     implicit val keyEnc: Encoder[(Int, Int, Int)] =
       Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt)
     implicit val blockEnc: Encoder[Block] = BlockGrid.blockEncoder
     val pieces = ds.flatMap { b =>
-      val srcLo = Array(b.bi.bx.toLong * bs(0), b.bi.by.toLong * bs(1), b.bi.bz.toLong * bs(2))
+      val srcLo = Array(sb(0)(b.bi.bx), sb(1)(b.bi.by), sb(2)(b.bi.bz))
       val srcEx = Array(b.nx, b.ny, b.nz)
       val out = scala.collection.mutable.ArrayBuffer.empty[OverlapPiece]
-      val tLo = Array.tabulate(3)(ax => (srcLo(ax) / nbs(ax)).toInt)
-      val tHi = Array.tabulate(3)(ax => ((srcLo(ax) + srcEx(ax) - 1) / nbs(ax)).toInt)
+      val tLo = Array.tabulate(3)(ax => locate(tb(ax), srcLo(ax)))
+      val tHi = Array.tabulate(3)(ax => locate(tb(ax), srcLo(ax) + srcEx(ax) - 1))
       var tx = tLo(0)
       while (tx <= tHi(0)) {
         var ty = tLo(1)
@@ -280,9 +318,9 @@ final case class BlockGrid(meta: GridMeta, ds: Dataset[Block]) {
             val ext = new Array[Int](3)
             var ax = 0
             while (ax < 3) {
-              val tStart = t(ax).toLong * nbs(ax)
+              val tStart = tb(ax)(t(ax))
               val lo = math.max(srcLo(ax), tStart)
-              val hi = math.min(srcLo(ax) + srcEx(ax), tStart + nbs(ax))
+              val hi = math.min(srcLo(ax) + srcEx(ax), tb(ax)(t(ax) + 1))
               off(ax) = (lo - tStart).toInt
               sOff(ax) = (lo - srcLo(ax)).toInt
               ext(ax) = (hi - lo).toInt
@@ -305,30 +343,33 @@ final case class BlockGrid(meta: GridMeta, ds: Dataset[Block]) {
     val merged = pieces
       .groupByKey(p => (p.tx, p.ty, p.tz))
       .mapGroups { (key, it) =>
-        val ex = math.min(nbs(0).toLong, sh(0) - key._1.toLong * nbs(0)).toInt
-        val ey = math.min(nbs(1).toLong, sh(1) - key._2.toLong * nbs(1)).toInt
-        val ez = math.min(nbs(2).toLong, sh(2) - key._3.toLong * nbs(2)).toInt
+        val ex = (tb(0)(key._1 + 1) - tb(0)(key._1)).toInt
+        val ey = (tb(1)(key._2 + 1) - tb(1)(key._2)).toInt
+        val ez = (tb(2)(key._3 + 1) - tb(2)(key._3)).toInt
         val buf = new Array[Float](ex * ey * ez * c)
         it.foreach { p =>
           Nd.placeInto(buf, ex, ey, ez, c, p.data, p.x0, p.y0, p.z0, p.dx, p.dy, p.dz)
         }
         Block(BlockIndex(key._1, key._2, key._3), ex, ey, ez, c, buf)
       }
-    BlockGrid(GridMeta(sh, nbs, Array(0, 0, 0), ng, c), merged)
+    BlockGrid(newMeta, merged)
   }
 
   /** Collect into one dense row-major float buffer (tests / small outputs
     * only — the 100 TB path writes Parquet instead, see graft.io).
-    * Blocks are placed at bi*blocksize; partial edge blocks (post-crop)
-    * use their own extents.
+    * Blocks are placed at their chunk origin (bi*blocksize on regular
+    * grids, the chunk-extent prefix sum on irregular ones); partial edge
+    * blocks (post-crop) use their own extents.
     */
   def collectDense(): Array[Float] = {
     val sx = meta.shape(0).toInt; val sy = meta.shape(1).toInt; val sz = meta.shape(2).toInt
     val c = meta.components
     val out = new Array[Float](sx * sy * sz * c)
-    val bs = meta.blocksize
+    val m = meta
     ds.collect().foreach { b =>
-      val x0 = b.bi.bx * bs(0); val y0 = b.bi.by * bs(1); val z0 = b.bi.bz * bs(2)
+      val x0 = m.chunkStart(0, b.bi.bx).toInt
+      val y0 = m.chunkStart(1, b.bi.by).toInt
+      val z0 = m.chunkStart(2, b.bi.bz).toInt
       val rowLen = b.nz * c
       var pi = 0
       var x = 0

@@ -21,20 +21,29 @@ object BlockIO {
 
   private[io] def metaJson(m: GridMeta): String = {
     def arr[T](a: Array[T]): String = a.mkString("[", ",", "]")
+    val chunks =
+      if (m.chunks == null) ""
+      else s""","chunks":${m.chunks.map(arr(_)).mkString("[", ",", "]")}"""
     s"""{"shape":${arr(m.shape)},"blocksize":${arr(m.blocksize)},""" +
       s""""overlap":${arr(m.overlap)},"blockGrid":${arr(m.blockGrid)},""" +
-      s""""components":${m.components}}"""
+      s""""components":${m.components}$chunks}"""
   }
 
   private[io] def parseMeta(s: String): GridMeta = {
     def ints(k: String): Array[Int] =
       s"""$k":\\[([^\\]]*)\\]""".r.findFirstMatchIn(s).get.group(1).split(",").map(_.trim.toInt)
+    val chunks = """"chunks":\[(\[[^\]]*\](?:,\[[^\]]*\])*)\]""".r
+      .findFirstMatchIn(s)
+      .map(_.group(1).split("\\],\\[").map(_.replaceAll("[\\[\\]]", "")
+        .split(",").map(_.trim.toInt)))
+      .orNull
     GridMeta(
       shape = ints("shape").map(_.toLong),
       blocksize = ints("blocksize"),
       overlap = ints("overlap"),
       blockGrid = ints("blockGrid"),
-      components = s"""components":(\\d+)""".r.findFirstMatchIn(s).get.group(1).toInt)
+      components = s"""components":(\\d+)""".r.findFirstMatchIn(s).get.group(1).toInt,
+      chunks = chunks)
   }
 
   /** Write a grid to `path` as parquet rows + a `_grid_meta.json` sidecar.
