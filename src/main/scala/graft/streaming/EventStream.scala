@@ -25,8 +25,10 @@ object EventStream {
     * see only committed files: end-to-end exactly-once for replayable
     * sources (files, Kafka). Stateful operators upstream recover their
     * state store from the same checkpoint. Stop/restart contract — no
-    * loss, no duplicates, dedup state surviving restart — is pinned by
-    * CheckpointRecoverySpec.
+    * loss, no duplicates, windowed-agg state surviving restart — is
+    * pinned end-to-end by the q57_stream_restart oracle entry
+    * ([[StreamingOps.hourlyRestartProof]]): kill mid-stream, restart,
+    * hash-equal to the batch aggregation.
     */
   def parquetSink(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
     df.writeStream.format("parquet")

@@ -45,11 +45,92 @@ object StreamingOps {
     s.table(queryName)
   }
 
+  /** Exactly-once restart proof: [[EventStream.hourlyByType]] through the
+    * checkpointed [[EventStream.parquetSink]], KILLED mid-stream and
+    * restarted from the checkpoint — the final sink must equal the batch
+    * aggregation (q18's oracle): no lost windows, no duplicated ones.
+    *
+    * Drive: the corpus is cut into `slices` CONTIGUOUS TIME RANGES
+    * written to the source directory in event-time order (append-mode
+    * watermarking requires arrival order ≈ event order — randomly
+    * sliced files would arrive "late" past the watermark and be dropped,
+    * which is a real deployment constraint, not a test convenience).
+    * Phase 1 streams one file per micro-batch and is stopped as soon as
+    * a data batch has committed — wherever that lands, including
+    * mid-batch, is immaterial: the WAL re-runs an uncommitted batch with
+    * the same file set, and the file sink's `_spark_metadata` commit log
+    * refuses double-commits. While the query is DOWN the remaining
+    * slices plus a far-future sentinel event arrive (the sentinel drives
+    * the watermark past every real window so append mode finalizes them;
+    * its own window never closes and never reaches the sink). Phase 2
+    * restarts the same pipeline on the same checkpoint and drains. The
+    * final read goes through the sink's commit log, so only committed
+    * files are visible — the exactly-once read path.
+    */
+  def hourlyRestartProof(s: SparkSession, dir: String, slices: Int = 6): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-q57").toString
+    val src = s"$work/src"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    val ev = graft.rel.Tables.events(s, dir).cache()
+    val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val t0 = b.getTimestamp(0).getTime; val t1 = b.getTimestamp(1).getTime
+    val width = (t1 - t0) / slices + 1
+    def writeSlice(k: Int): Unit =
+      ev.filter(col("ts") >= lit(new java.sql.Timestamp(t0 + k * width)) &&
+          col("ts") < lit(new java.sql.Timestamp(t0 + (k + 1) * width)))
+        .coalesce(1).write.mode("append").parquet(src)
+    val phase1 = slices / 2
+    (0 until phase1).foreach(writeSlice)
+    val sch = s.read.parquet(src).schema
+    def pipeline(): DataFrame =
+      EventStream.hourlyByType(
+        s.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src))
+    // phase 1: kill after the first committed data batch
+    val q1 = EventStream.parquetSink(pipeline(), out, ckpt)
+    val deadline1 = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (q1.isActive && !q1.recentProgress.exists(_.numInputRows > 0) &&
+        System.nanoTime() < deadline1) Thread.sleep(25)
+    q1.stop(); q1.awaitTermination()
+    // down time: the rest of the corpus + the watermark-driving sentinel
+    (phase1 until slices).foreach(writeSlice)
+    ev.limit(1)
+      .withColumn("ts", lit(new java.sql.Timestamp(t1 + 365L * 24 * 3600 * 1000)))
+      .coalesce(1).write.mode("append").parquet(src)
+    // phase 2: restart from the checkpoint and drain. processAllAvailable
+    // covers the data batches; the final windows flush in the no-data
+    // batch the watermark bump schedules, so wait until the sink holds
+    // every batch-side group (bounded, fails loud on timeout)
+    val expect = ev.select(window(col("ts"), "1 hour"), col("event_type")).distinct().count()
+    ev.unpersist()
+    val q2 = EventStream.parquetSink(pipeline(), out, ckpt)
+    try {
+      q2.processAllAvailable()
+      val deadline2 = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (s.read.parquet(out).count() < expect && System.nanoTime() < deadline2)
+        Thread.sleep(100)
+    } finally { q2.stop(); q2.awaitTermination() }
+    val got = s.read.parquet(out)
+    require(got.count() == expect,
+      s"q57 sink holds ${got.count()} windows, batch says $expect — loss or duplication")
+    got.filter(col("wstart") <= lit(new java.sql.Timestamp(t1))) // sentinel guard
+      .select(col("wstart").cast("timestamp_ntz").as("wstart"),
+        col("event_type"), col("cnt"), col("value_cents"))
+      .orderBy("wstart", "event_type")
+  }
+
   val all: ListMap[String, Q] = ListMap(
     "q54_stream_hourly" -> Q(
       (s, d) =>
         hourlyByTypeFromFiles(s, d)
           .orderBy("wstart", "event_type"),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart,
+             |  event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin)),
+
+    // ---- exactly-once: kill + checkpoint-restart must reproduce the
+    //      batch aggregation bit-for-bit ----
+    "q57_stream_restart" -> Q(
+      (s, d) => hourlyRestartProof(s, d),
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart,
              |  event_type, count(*) AS cnt,
              |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
