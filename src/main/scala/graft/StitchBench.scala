@@ -10,13 +10,29 @@ import graft.stitch.Stitch
   * float32 blocks with overlap 16 — the reference's intended operating
   * point (microscopy tiles). Tiles are generated ON the executors (no
   * driver materialization) and results drain through the noop sink.
-  * Run: sbt "runMain graft.StitchBench [gridDim ...]"
+  * Run: sbt "runMain graft.StitchBench [gridDim[:blocksize[:overlap]] ...]"
+  *
+  * The block-COUNT scale probe is `64:8:2` — 262,144 blocks (a 64^3
+  * grid of 8^3 tiles): same task-graph size a 1000-executor job sees
+  * stitching a full acquisition, with the per-block payload shrunk so a
+  * single host can hold it. What it proves is that the plan stays ONE
+  * wide exchange regardless of block count (StitchPlanShapeSpec pins
+  * that shape) and that throughput is task-bounded, not driver-bounded.
   */
 object StitchBench {
   private implicit val blockEnc: Encoder[Block] = BlockGrid.blockEncoder
 
   def main(args: Array[String]): Unit = {
-    val grids = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(3, 4)
+    val grids: Seq[(Int, Int, Int)] =
+      if (args.nonEmpty) args.toSeq.map { a =>
+        a.split(':') match {
+          case Array(g) => (g.toInt, 128, 16)
+          case Array(g, b) => (g.toInt, b.toInt, 16)
+          case Array(g, b, o) => (g.toInt, b.toInt, o.toInt)
+          case _ => sys.error(s"bad grid spec '$a' (want gdim[:bs[:o]])")
+        }
+      }
+      else Seq((3, 128, 16), (4, 128, 16))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,9 +43,9 @@ object StitchBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val bs = Array(128, 128, 128); val o = Array(16, 16, 16)
-    val cs = bs.map(_ + 32) // 160^3 tiles
-    val results = grids.map { gdim =>
+    val results = grids.map { case (gdim, bsDim, oDim) =>
+      val bs = Array(bsDim, bsDim, bsDim); val o = Array(oDim, oDim, oDim)
+      val cs = bs.map(_ + 2 * oDim)
       val g = Array(gdim, gdim, gdim)
       val meta = GridMeta(bs.map(_.toLong * gdim), bs, o, g, 1)
       val n = meta.numBlocks

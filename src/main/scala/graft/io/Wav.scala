@@ -34,6 +34,24 @@ object Wav {
     bb.array()
   }
 
+  /** wrap signed 16-bit PCM samples (little-endian shorts) as a WAV blob */
+  def build16(sampleRate: Int, data: Array[Short]): Array[Byte] = {
+    val n = data.length * 2
+    val bb = ByteBuffer.allocate(44 + n).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate = rate × block align (2)
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(n)
+    data.foreach(bb.putShort)
+    bb.array()
+  }
+
   private def fourcc(bb: ByteBuffer): String = {
     val b = new Array[Byte](4)
     bb.get(b)

@@ -69,4 +69,46 @@ object Ann {
     graft.functions.TopK.perKeyTopK(scored, k, qid, id, "cos")
       .orderBy(qid, "rn")
   }
+
+  /** Approximate cosine top-k via IVF cell pruning ([[IvfOps.ivfTopK]]):
+    * distributed k-means coarse quantizer, multiple assignment, probe of
+    * the `nProbe` nearest cells, exact re-rank of the survivors. The
+    * facade keeps one front door for every search strategy — parameters
+    * and output schema (qid, rn, id, cos, n_candidates) are the kernel's.
+    */
+  def ivfTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16, iters: Int = 3, nProbe: Int = 6, multiAssign: Int = 2,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec",
+      excludeSelfId: Boolean = true): DataFrame =
+    IvfOps.ivfTopK(s, emb, queries, k, cells, iters, nProbe, multiAssign,
+      excludeSelfId, id, vec, qid, qvec)
+
+  /** Approximate cosine top-k via product quantization + ADC scan with
+    * exact re-rank ([[PqOps.pqTopK]]) — the compression path: 8-byte
+    * codes instead of full vectors, for corpora whose vectors don't fit
+    * but whose codes do. Output: (qid, rn, id, cos, n_candidates).
+    */
+  def pqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+      subQ: Int = 8, codes: Int = 16, iters: Int = 3, rerank: Int = 100,
+      excludeSelfId: Boolean = true, maxProbeBatch: Int = 4096,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame =
+    PqOps.pqTopK(s, emb, queries, k, subQ, codes, iters, rerank,
+      excludeSelfId, maxProbeBatch, id, vec, qid, qvec)
+
+  /** Approximate cosine top-k via IVFADC ([[IvfPqOps.ivfPqTopK]]): IVF
+    * cell pruning composed with PQ residual codes — the 10⁹-vector
+    * architecture (prune the scan AND compress what's scanned). Output:
+    * (qid, rn, id, cos, n_candidates).
+    */
+  def ivfPqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16, coarseIters: Int = 3, nProbe: Int = 6, multiAssign: Int = 2,
+      subQ: Int = 8, codes: Int = 16, pqIters: Int = 3, rerank: Int = 100,
+      excludeSelfId: Boolean = true, maxProbeBatch: Int = 4096,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame =
+    IvfPqOps.ivfPqTopK(s, emb, queries, k, cells, coarseIters, nProbe,
+      multiAssign, subQ, codes, pqIters, rerank, excludeSelfId,
+      maxProbeBatch, id, vec, qid, qvec)
 }

@@ -207,6 +207,76 @@ object SketchOps {
   private def nearDupPairsSql: String =
     LlmOps.all("q34_ngram_jaccard").sql.get
 
+  // ---- multimodal decode kernels (q40/q40b) --------------------------
+
+  /** blobs(doc_id, wav) → per-blob PCM features through the strict
+    * [[graft.io.Wav]] parser. The mapPartitions boundary is where a
+    * real pipeline initializes its codec once per partition.
+    */
+  private[llm] def decodeWavFeatures(s: SparkSession, blobs: DataFrame): DataFrame = {
+    import s.implicits._
+    blobs.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decode boundary: codec state would init here
+        it.map { case (id, bytes) =>
+          val p = graft.io.Wav.parse(bytes)
+          var sum = 0L
+          var peak = 0
+          p.samples.foreach { v => sum += v; if (v > peak) peak = v }
+          (id, p.sampleRate, p.bitsPerSample, p.samples.length.toLong, sum, peak)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "bits", "n_samples", "sample_sum", "peak")
+  }
+
+  /** 8-bit path: each text's UTF-8 bytes as unsigned 8-bit PCM. The
+    * DuckDB oracle recomputes the features with CHARACTER arithmetic
+    * (len/unicode), exact only while bytes = codepoints — i.e. pure
+    * ASCII — so this path guards that assumption loudly instead of
+    * going silently red on a non-ASCII corpus. [[multimodalDecode16]]
+    * is the non-ASCII-safe variant (codepoint samples).
+    */
+  def multimodalDecode8(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val nonAscii = docs
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    require(nonAscii == 0L,
+      s"the 8-bit oracle equates UTF-8 bytes with codepoints; corpus has " +
+        s"$nonAscii non-ASCII docs — use the 16-bit codepoint path (q40b)")
+    val blobs = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) => (id, graft.io.Wav.build8(16000, b)) }
+      .toDF("doc_id", "wav")
+    decodeWavFeatures(s, blobs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** 16-bit path: each text's Unicode CODEPOINTS as signed 16-bit PCM
+    * samples (exact for any text ≤ U+7FFF — fails loud past that
+    * rather than aliasing). Exercises the signed-sample parse branch
+    * under the driver oracle, and its character-arithmetic oracle stays
+    * exact for non-ASCII corpora (unlike the byte-based 8-bit path).
+    */
+  def multimodalDecode16(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val blobs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val cps = t.codePoints().toArray
+        cps.foreach { cp =>
+          require(cp <= 0x7fff,
+            s"doc $id has codepoint U+${cp.toHexString.toUpperCase} > U+7FFF — " +
+              "does not fit signed 16-bit PCM")
+        }
+        (id, graft.io.Wav.build16(16000, cps.map(_.toShort)))
+      }
+      .toDF("doc_id", "wav")
+    decodeWavFeatures(s, blobs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .orderBy("doc_id")
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- MinHash + LSH banding, oracle-checked as self-consistency:
     //      every exact top-20 Jaccard pair (jac ≥ 0.966) MUST surface in
@@ -319,31 +389,21 @@ object SketchOps {
     //      arithmetic. The mapPartitions boundary is where a real
     //      pipeline initializes its codec once per partition. ----
     "q40_multimodal_decode" -> Q(
-      (s, d) => {
-        import s.implicits._
-        val docs = Tables.documents(s, d)
-        val blobs = docs
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
-          .as[(Long, Array[Byte])]
-          .map { case (id, b) => (id, graft.io.Wav.build8(16000, b)) }
-          .toDF("doc_id", "wav")
-        val decoded = blobs.as[(Long, Array[Byte])]
-          .mapPartitions { it =>
-            // per-partition decode boundary: codec state would init here
-            it.map { case (id, bytes) =>
-              val p = graft.io.Wav.parse(bytes)
-              var sum = 0L
-              var peak = 0
-              p.samples.foreach { v => sum += v; if (v > peak) peak = v }
-              (id, p.sampleRate, p.bitsPerSample, p.samples.length.toLong, sum, peak)
-            }
-          }
-          .toDF("doc_id", "sample_rate", "bits", "n_samples", "sample_sum", "peak")
-        decoded
-          .join(docs.select(col("doc_id"), col("source")), "doc_id")
-          .orderBy("doc_id")
-      },
+      (s, d) => multimodalDecode8(s, Tables.documents(s, d)),
       Some("""SELECT doc_id, 16000 AS sample_rate, 8 AS bits,
+             |  CAST(len(text) AS BIGINT) AS n_samples,
+             |  CAST(list_sum(list_transform(string_split(text, ''), x -> unicode(x))) AS BIGINT) AS sample_sum,
+             |  list_max(list_transform(string_split(text, ''), x -> unicode(x))) AS peak,
+             |  source
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- 16-bit variant: codepoint samples through the SIGNED parse
+    //      branch. Character arithmetic is exact here for ANY text up
+    //      to U+7FFF, so this oracle (unlike q40's) has no ASCII
+    //      coupling — WavSpec pins that on a non-ASCII fixture. ----
+    "q40b_multimodal_decode16" -> Q(
+      (s, d) => multimodalDecode16(s, Tables.documents(s, d)),
+      Some("""SELECT doc_id, 16000 AS sample_rate, 16 AS bits,
              |  CAST(len(text) AS BIGINT) AS n_samples,
              |  CAST(list_sum(list_transform(string_split(text, ''), x -> unicode(x))) AS BIGINT) AS sample_sum,
              |  list_max(list_transform(string_split(text, ''), x -> unicode(x))) AS peak,

@@ -35,11 +35,29 @@ class LibraryApiSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("IvfOps.ivfTopK matches the q47 driver entry") {
+  test("Ann.ivfTopK matches the q47 driver entry") {
     val q = emb.filter(col("id") < 8).select(col("id").as("qid"), col("vec").as("qvec"))
-    val got = graft.llm.IvfOps.ivfTopK(spark, emb, q, 5).collect()
+    val got = Ann.ivfTopK(spark, emb, q, 5).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
     val want = graft.llm.IvfOps.all("q47_ivf_ann").fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
+
+  test("Ann.pqTopK matches the q55 driver entry") {
+    val q = emb.filter(col("id") < 8).select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = Ann.pqTopK(spark, emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = graft.llm.PqOps.all("q55_pq_ann").fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
+
+  test("Ann.ivfPqTopK matches the q56 driver entry") {
+    val q = emb.filter(col("id") < 8).select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = Ann.ivfPqTopK(spark, emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = graft.llm.IvfPqOps.all("q56_ivfpq_ann").fn(spark, d).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(got == want)
   }

@@ -49,6 +49,15 @@ class WavSpec extends AnyFunSuite {
     assert(p.samples.toSeq == Seq(1000, -2, Short.MinValue.toInt))
   }
 
+  test("build16/parse round-trip preserves signed samples") {
+    val data = Array[Short](0, 1, -1, 1000, -2, Short.MaxValue, Short.MinValue)
+    val p = Wav.parse(Wav.build16(22050, data))
+    assert(p.sampleRate == 22050)
+    assert(p.channels == 1)
+    assert(p.bitsPerSample == 16)
+    assert(p.samples.toSeq == data.map(_.toInt).toSeq)
+  }
+
   test("malformed blobs fail loudly, not with garbage features") {
     val ok = Wav.build8(16000, Array[Byte](1, 2, 3))
     intercept[IllegalArgumentException](Wav.parse(ok.take(20))) // truncated
