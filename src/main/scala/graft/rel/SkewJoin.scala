@@ -19,6 +19,12 @@ object SkewJoin {
     * side replicated. Output equals `left.join(right, key)` exactly
     * (SkewJoinSpec pins parity); only the shuffle distribution changes —
     * the hot key spreads over `salts` reducers.
+    *
+    * Measured ([[graft.examples.SkewBench]], BASELINE.md r6 row): on a
+    * 20M-row fact with 87.5% of rows on one key joined to a 100k-row
+    * dim feeding a same-key aggregate — the shape where AQE's
+    * OptimizeSkewedJoin declines to split — salting with salts=32 ran
+    * 1.92 s vs 6.26 s plain (6.63 s with AQE skew-join ON): 3.3×.
     */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
