@@ -95,6 +95,14 @@ object Graft {
   def writeGrid(grid: BlockGrid, path: String): Unit = BlockIO.write(grid, path)
   def readGrid(spark: SparkSession, path: String): BlockGrid = BlockIO.read(spark, path)
 
+  /** Relational view of a per-block `.npy` directory through the
+    * DataSource V2 reader ([[graft.sources.NpyDataSource]]): predicates
+    * on bx/by/bz prune FILES at planning time, and index-only
+    * projections never open a file (NpySourceSpec pins both).
+    */
+  def readNpyBlocks(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("npy-blocks").load(dir)
+
   /** Bucketed, per-bucket-sorted managed table sink: co-locates recurring
     * equi-joins so they run shuffle- and sort-free off the scan.
     */
