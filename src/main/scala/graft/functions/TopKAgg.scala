@@ -96,7 +96,10 @@ object TopK {
     * with `rnName` = 1-based rank, rows emitted in rank order per key.
     * `id` must be unique per key for the tie-break to be total; `key` and
     * `id` must be integral (cast to long in the output), `score` numeric
-    * (cast to double).
+    * (cast to double). Float scores widen f32→f64, which is exact (every
+    * f32 is representable as f64) — but ties then break by the widened
+    * values, i.e. with full f64 tie-break semantics; callers comparing
+    * against an f32-native rank order should be aware.
     */
   def perKeyTopK(df: DataFrame, k: Int, key: String, id: String, score: String,
       rnName: String = "rn"): DataFrame = {

@@ -42,15 +42,17 @@ object LlmOps {
   val shingleDfCap = 16
 
   /** Shared oracle CTE preamble (shingles → df-cap → pair intersections →
-    * per-doc sizes) composed into BOTH the q34 and q49 oracles, so their
-    * pair semantics cannot silently drift apart.
+    * per-doc sizes) composed into the q34, q49, and q60 oracles, so
+    * their pair semantics cannot silently drift apart. `from` names the
+    * doc relation — q60 runs the pair machinery over pipeline SURVIVORS,
+    * where the df-cap must count within the filtered corpus.
     */
-  private def pairOracleCtes: String =
+  private def pairOracleCtes(from: String = "documents"): String =
     s"""s AS (SELECT doc_id,
        |    list_distinct(list_transform(range(1, len(t)-1),
        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-       |        FROM documents)),
+       |        FROM $from)),
        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
        |hot AS (SELECT g FROM e GROUP BY g HAVING count(*) > $shingleDfCap),
        |k AS (SELECT doc_id, g FROM e WHERE g NOT IN (SELECT g FROM hot)),
@@ -226,7 +228,7 @@ object LlmOps {
           .orderBy(col("jac").desc, col("da"), col("db"))
           .limit(20)
       },
-      Some(s"""WITH $pairOracleCtes
+      Some(s"""WITH ${pairOracleCtes()}
              |SELECT da, db, inter,
              |  CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jac
              |FROM i JOIN z za ON i.da = za.doc_id JOIN z zb ON i.db = zb.doc_id
@@ -398,7 +400,7 @@ object LlmOps {
           .select(col("id").as("doc_id"), col("cluster_id"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE $pairOracleCtes,
+      Some(s"""WITH RECURSIVE ${pairOracleCtes()},
              |p AS (SELECT da, db FROM i
              |      JOIN z za ON i.da = za.doc_id JOIN z zb ON i.db = zb.doc_id
              |      WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.9),
@@ -508,5 +510,111 @@ object LlmOps {
              |        generate_subscripts(embedding, 1) AS idx
              |      FROM embeddings) t
              |GROUP BY label, idx ORDER BY label, idx""".stripMargin)),
+
+    // ---- the END-TO-END curation pipeline: the operators above
+    //      composed the way a training-data run composes them —
+    //      quality gate (q31 semantics) → language gate (q32) → exact
+    //      dedup keeping the smallest doc_id per text (q33) → near-dup
+    //      removal keeping each ≥0.9-Jaccard cluster's representative
+    //      (q34/q49 machinery, df-cap counted WITHIN the survivor set)
+    //      → curated per-source stats. One entry pins the whole
+    //      composition: a drift in any stage's semantics, or in how the
+    //      stages chain, goes hash-red even if each stage's own entry
+    //      stays green.
+    //
+    //      Scale shape: two narrow gates off the scan, one hash-agg for
+    //      exact dedup, the capped shingle join for pairs (never the n²
+    //      space), the iterated-shuffle components loop bounded by
+    //      cluster diameter, and a final broadcast-sized anti-join +
+    //      per-source agg. No stage collects to the driver.
+    "q60_curation_pipeline" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val qual = dd
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .select(col("doc_id"), size(col("t")).as("n_tokens"),
+            size(filter(col("t"), x => x.isin(stopEn: _*))).as("stop_cnt"))
+          .withColumn("stop_milli",
+            round(col("stop_cnt") * lit(1000.0) / col("n_tokens"), 0).cast("long"))
+          .withColumn("good",
+            col("n_tokens") >= 20 && col("stop_milli").between(10, 500))
+        val t = toks(col("text"))
+        def hits(words: Seq[String]): Column =
+          size(filter(t, x => x.isin(words: _*)))
+        val lang = dd.select(col("doc_id"),
+            hits(Seq("the", "a", "of", "and", "is")).as("en_hits"),
+            hits(Seq("der", "die", "das", "und", "ist")).as("de_hits"),
+            hits(Seq("le", "la", "les", "et", "est")).as("fr_hits"),
+            hits(Seq("el", "los", "las", "y", "es")).as("es_hits"),
+            length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")).as("cjk_cnt"))
+          .withColumn("is_en",
+            col("cjk_cnt") === 0 && col("de_hits") <= col("en_hits") &&
+              !(col("fr_hits") > col("en_hits") && col("fr_hits") >= col("es_hits")) &&
+              col("es_hits") <= col("en_hits"))
+        val elig = dd
+          .join(qual.filter(col("good")).select("doc_id"), "doc_id")
+          .join(lang.filter(col("is_en")).select("doc_id"), "doc_id")
+        val ex = elig.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        val survivors = dd.join(ex, "doc_id")
+        val pairs = Dedup.jaccardPairs(s,
+          survivors.select(col("doc_id").as("id"), col("text")), minJaccard = 0.9)
+        val dropped = Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("doc_id"))
+        survivors.join(dropped, Seq("doc_id"), "left_anti")
+          .join(qual.select("doc_id", "n_tokens"), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE
+             |qual AS (SELECT doc_id, n_tokens,
+             |    CAST(round(stop_cnt*1000.0/n_tokens) AS BIGINT) AS stop_milli
+             |  FROM (SELECT doc_id,
+             |      len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+             |      len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             |          x -> x IN (${stopEn.map("'" + _ + "'").mkString(",")}))) AS stop_cnt
+             |    FROM documents) t),
+             |lang AS (SELECT doc_id,
+             |    (cjk_cnt = 0 AND de_hits <= en_hits
+             |      AND NOT (fr_hits > en_hits AND fr_hits >= es_hits)
+             |      AND es_hits <= en_hits) AS is_en
+             |  FROM (SELECT doc_id,
+             |      len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             |          x -> x IN ('the','a','of','and','is'))) AS en_hits,
+             |      len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             |          x -> x IN ('der','die','das','und','ist'))) AS de_hits,
+             |      len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             |          x -> x IN ('le','la','les','et','est'))) AS fr_hits,
+             |      len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             |          x -> x IN ('el','los','las','y','es'))) AS es_hits,
+             |      length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk_cnt
+             |    FROM documents) t),
+             |elig AS (SELECT d.doc_id, d.text FROM documents d
+             |  JOIN qual q ON d.doc_id = q.doc_id
+             |  JOIN lang l ON d.doc_id = l.doc_id
+             |  WHERE q.n_tokens >= 20 AND q.stop_milli BETWEEN 10 AND 500
+             |    AND l.is_en),
+             |ex AS (SELECT min(doc_id) AS doc_id FROM elig GROUP BY text),
+             |cands AS (SELECT d.doc_id, d.text FROM documents d
+             |  WHERE d.doc_id IN (SELECT doc_id FROM ex)),
+             |${pairOracleCtes("cands")},
+             |p AS (SELECT da, db FROM i
+             |      JOIN z za ON i.da = za.doc_id JOIN z zb ON i.db = zb.doc_id
+             |      WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.9),
+             |ed AS (SELECT da AS u, db AS v FROM p UNION ALL SELECT db, da FROM p),
+             |reach(u, root) AS (
+             |  SELECT DISTINCT u, u FROM ed
+             |  UNION
+             |  SELECT ed.v, reach.root FROM reach JOIN ed ON ed.u = reach.u),
+             |clus AS (SELECT u AS doc_id, min(root) AS cluster_id FROM reach GROUP BY u),
+             |kept AS (SELECT doc_id FROM ex WHERE doc_id NOT IN
+             |  (SELECT doc_id FROM clus WHERE doc_id != cluster_id))
+             |SELECT d.source, count(*) AS n_docs,
+             |  CAST(sum(q.n_tokens) AS BIGINT) AS sum_tokens
+             |FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+             |JOIN qual q ON k.doc_id = q.doc_id
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)),
   )
 }
