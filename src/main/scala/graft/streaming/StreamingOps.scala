@@ -135,5 +135,46 @@ object StreamingOps {
              |  event_type, count(*) AS cnt,
              |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
              |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin)),
+
+    // ---- streaming SKETCH aggregation: the KMV distinct sketch
+    //      (q51's aggregator, same 60-bit md5-prefix hash) maintained
+    //      as streaming state per event_type over the file source. KMV
+    //      is a SET of k minimum hashes — order-independent — so the
+    //      streaming estimate must equal the batch estimate BIT-FOR-BIT,
+    //      which is exactly what the oracle pins. This is the at-scale
+    //      pattern for streaming cardinality: state is k longs per key,
+    //      never the distinct set. ----
+    "q61_stream_kmv" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sch = s.read.parquet(s"$d/events.parquet").schema
+        val raw = s.readStream.schema(sch).parquet(s"$d/{events.parquet}")
+        val hashed = raw.select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("hv"))
+        val agg = new graft.functions.KmvAgg(64)
+        val sk = hashed.as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2).agg(agg.toColumn)
+          .toDF("event_type", "kmv")
+          .select(col("event_type"), col("kmv.estimate").as("kmv_estimate"),
+            size(col("kmv.sketch")).as("sketch_size"))
+        val q = sk.writeStream.format("memory").queryName("stream_kmv")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("stream_kmv").orderBy("event_type")
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+             |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+             |  FROM events),
+             |r AS (SELECT event_type, hv,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS nh FROM h),
+             |est AS (SELECT event_type, max(nh) AS nh,
+             |    max(CASE WHEN rn = 64 THEN hv END) AS hk FROM r GROUP BY event_type)
+             |SELECT event_type,
+             |  CASE WHEN nh < 64 THEN CAST(nh AS DOUBLE)
+             |       ELSE CAST(63 AS DOUBLE) * 1152921504606846976 / hk END AS kmv_estimate,
+             |  CAST(least(nh, 64) AS INT) AS sketch_size
+             |FROM est ORDER BY event_type""".stripMargin)),
   )
 }
