@@ -7,11 +7,12 @@ import graft.rel.RelQueries.Q
 import graft.rel.Tables
 import graft.io.{Bmp, Fseq}
 
-/** Multimodal IMAGE and VIDEO column operators, completing the decode /
-  * feature-extract / resize / frame-sample quartet next to the audio
-  * path (q40, [[graft.io.Wav]]): opaque binary blobs decoded through
-  * real strict parsers ([[graft.io.Bmp]], [[graft.io.Fseq]]) at a
-  * per-partition boundary, features extracted as narrow columns.
+/** Multimodal IMAGE, VIDEO, and AUDIO-DSP column operators, completing
+  * the decode / feature-extract / resize / frame-sample quartet next to
+  * the audio decode path (q40/q40b, [[graft.io.Wav]]): opaque binary
+  * blobs decoded through real strict parsers ([[graft.io.Bmp]],
+  * [[graft.io.Fseq]], [[graft.io.Wav]]) at a per-partition boundary,
+  * features extracted as narrow columns.
   *
   * Like q40, the blob fixtures are synthesized deterministically from
   * the documents table — pixel values are a closed-form function of
@@ -63,6 +64,39 @@ object ImageOps {
         }
       }
       .toDF("doc_id", "width", "height", "n_pixels", "pix_sum", "pix_max", "rz4_sum")
+      .orderBy("doc_id")
+  }
+
+  /** audio decode + DSP-style features over signed 16-bit WAV blobs:
+    * zero-crossing count (sign transition, zero counted non-negative),
+    * integer energy Σv², peak |v| — all exact integer arithmetic
+    */
+  def audioFeatures(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val blobs = docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (50 + id % 37).toInt
+        val samples = Array.tabulate(n)(i => ((id * 13 + i * 7) % 4001 - 2000).toShort)
+        (id, graft.io.Wav.build16(16000, samples))
+      }
+      .toDF("doc_id", "wav")
+    blobs.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val p = graft.io.Wav.parse(bytes)
+          var zc = 0L; var energy = 0L; var peak = 0
+          var i = 0
+          while (i < p.samples.length) {
+            val v = p.samples(i)
+            if (i > 0 && ((v < 0) != (p.samples(i - 1) < 0))) zc += 1
+            energy += v.toLong * v
+            val a = math.abs(v); if (a > peak) peak = a
+            i += 1
+          }
+          (id, p.samples.length.toLong, zc, energy, peak)
+        }
+      }
+      .toDF("doc_id", "n_samples", "zc_cnt", "energy", "peak_abs")
       .orderBy("doc_id")
   }
 
@@ -126,6 +160,40 @@ object ImageOps {
              |       CAST(r.rz4_sum AS BIGINT) AS rz4_sum
              |FROM dims d JOIN pix p USING (doc_id) JOIN rz r USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- audio feature extraction over SIGNED 16-bit PCM: zero
+    //      crossings and integer energy — the fixture is a closed-form
+    //      signed waveform (range -2000..2000, so sign transitions
+    //      actually occur, unlike the non-negative codepoint samples of
+    //      q40b), and every feature is integer arithmetic the oracle
+    //      reproduces exactly ----
+    "q62_audio_features" -> Q(
+      (s, d) => audioFeatures(s, Tables.documents(s, d)),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 50 + doc_id % 37 AS n FROM documents),
+             |smp AS (
+             |  -- n <= 86; sample i of doc: (doc_id*13 + i*7) % 4001 - 2000
+             |  SELECT d.doc_id, i.i,
+             |         (d.doc_id*13 + i.i*7) % 4001 - 2000 AS v
+             |  FROM dims d, range(86) i(i)
+             |  WHERE i.i < d.n),
+             |zc AS (
+             |  -- crossing at i>0 when sign(v[i-1]) != sign(v[i]), with
+             |  -- sign(x) = x < 0 (zero counts as non-negative)
+             |  SELECT a.doc_id, count(*) AS zc_cnt
+             |  FROM smp a JOIN smp b ON a.doc_id = b.doc_id AND b.i = a.i - 1
+             |  WHERE (a.v < 0) != (b.v < 0)
+             |  GROUP BY a.doc_id),
+             |en AS (
+             |  SELECT doc_id, CAST(sum(v*v) AS BIGINT) AS energy,
+             |         max(abs(v)) AS peak_abs
+             |  FROM smp GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_samples,
+             |       CAST(coalesce(z.zc_cnt, 0) AS BIGINT) AS zc_cnt,
+             |       e.energy, CAST(e.peak_abs AS INT) AS peak_abs
+             |FROM dims d JOIN en e USING (doc_id)
+             |LEFT JOIN zc z ON d.doc_id = z.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // ---- video frame-sample: every 3rd frame of an 8×6 gray FSEQ
     //      blob, summing only sampled frames' bytes — the oracle walks
