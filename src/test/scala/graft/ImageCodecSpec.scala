@@ -72,6 +72,32 @@ class ImageCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](v.frame(3))
   }
 
+  test("seeded random round-trips: every width mod 4, random payloads") {
+    val r = new scala.util.Random(42)
+    (1 to 40).foreach { _ =>
+      val w = 1 + r.nextInt(33) // hits all 4 stride-padding classes
+      val h = 1 + r.nextInt(17)
+      val px = Array.fill(w * h)(r.nextInt(256))
+      val got = Bmp.parse(Bmp.build24(Bmp.Gray(w, h, px)))
+      assert(got.width == w && got.height == h && got.pixels.toSeq == px.toSeq,
+        s"bmp round-trip failed at ${w}x$h")
+      val n = r.nextInt(200)
+      val wav = Array.fill(n)((r.nextInt(65536) - 32768).toShort)
+      assert(Wav16RoundTrip(wav), s"wav16 round-trip failed at n=$n")
+      val fw = 1 + r.nextInt(9); val fh = 1 + r.nextInt(9)
+      val frames = Seq.fill(r.nextInt(5))(Array.fill(fw * fh)(r.nextInt(256).toByte))
+      val v = Fseq.parse(Fseq.build(fw, fh, frames))
+      assert(v.frames == frames.length &&
+        frames.indices.forall(i => v.frame(i).toSeq == frames(i).toSeq),
+        s"fseq round-trip failed at ${fw}x$fh x${frames.length}")
+    }
+  }
+
+  private def Wav16RoundTrip(data: Array[Short]): Boolean = {
+    val p = graft.io.Wav.parse(graft.io.Wav.build16(16000, data))
+    p.bitsPerSample == 16 && p.samples.toSeq == data.map(_.toInt).toSeq
+  }
+
   test("malformed FSEQ fails loudly") {
     val ok = Fseq.build(2, 2, Seq(Array.fill(4)(1.toByte)))
     intercept[IllegalArgumentException](Fseq.parse(ok.take(10)))
