@@ -654,5 +654,39 @@ object RelQueries {
              |        THEN 1 ELSE 0 END AS new_sess
              |    FROM events) a) b
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- interval-stabbing via the binned range join: open orders per
+    //      day, each order open [o_orderdate, +(o_orderkey%30)+1 days].
+    //      [[RangeJoin.binnedIntervalJoin]] turns the BETWEEN theta-join
+    //      (nested-loop in Spark) into an equi-join on 16-day bins —
+    //      ranges replicate ≤3×, each (day, order) pair meets in exactly
+    //      one bin. The oracle states the same join as a plain BETWEEN,
+    //      which DuckDB executes natively as its IE-join. ----
+    "q63_interval_stab" -> Q(
+      (s, d) => {
+        val epoch = lit("1970-01-01").cast("date")
+        val ds = datediff(to_date(col("o_orderdate")), epoch)
+        val r = orders(s, d).select(ds.as("d_start"),
+          (ds + pmod(col("o_orderkey"), lit(30)) + 1).cast("int").as("d_end"))
+        val spine = r.agg(min(col("d_start")).as("d0"), max(col("d_start")).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+        val stabbed = RangeJoin
+          .binnedIntervalJoin(spine, "d", r, "d_start", "d_end", 16)
+          .groupBy("d").agg(count(lit(1)).as("n_open"))
+        spine.join(stabbed, Seq("d"), "left")
+          .na.fill(0, Seq("n_open"))
+          .select(date_add(epoch, col("d")).as("day"), col("n_open"))
+          .orderBy("day")
+      },
+      Some("""WITH r AS (SELECT
+             |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d_start,
+             |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' + o_orderkey % 30 + 1 AS d_end
+             |  FROM orders),
+             |b AS (SELECT min(d_start) AS d0, max(d_start) AS d1 FROM r),
+             |spine AS (SELECT unnest(generate_series(d0, d1)) AS d FROM b),
+             |c AS (SELECT s.d, count(*) AS n_open FROM spine s
+             |      JOIN r ON s.d BETWEEN r.d_start AND r.d_end GROUP BY s.d)
+             |SELECT DATE '1970-01-01' + CAST(s.d AS INT) AS day, COALESCE(c.n_open, 0) AS n_open
+             |FROM spine s LEFT JOIN c USING (d) ORDER BY day""".stripMargin)),
   )
 }
