@@ -58,5 +58,51 @@ object SketchAggOps {
              |    AS kmv_estimate,
              |  CAST(least(est.nh, $K) AS INT) AS sketch_size
              |FROM ex JOIN est ON ex.source = est.source ORDER BY ex.source""".stripMargin)),
+
+    // ---- per-source approximate token-count quantiles from a
+    //      deterministic bottom-32-by-hash row sample
+    //      ([[graft.functions.BottomKSampleAgg]]): the sample and the
+    //      order-statistic estimates are pure functions of the data, so
+    //      the oracle recomputes them EXACTLY (same md5-prefix hash,
+    //      same integer quantile ranks) — an approximate-quantile
+    //      operator under a bit-exact cross-engine check ----
+    "q64_sample_quantiles" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.documents(s, d).select(col("source"),
+          col("doc_id"),
+          size(split(trim(lower(col("text"))), "\\s+")).cast("double").as("n_tokens"),
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("hv"))
+        val agg = new graft.functions.BottomKSampleAgg(32)
+        rows.select(col("source"), col("hv"), col("doc_id"), col("n_tokens"))
+          .as[(String, Long, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3, t._4))
+          .agg(agg.toColumn)
+          .map { case (src, sb) =>
+            def q(num: Int) =
+              graft.functions.BottomKSample.quantile(sb.v, sb.id, num, 10).toLong
+            (src, sb.v.length, q(5), q(9))
+          }
+          .toDF("source", "sample_size", "p50_est", "p90_est")
+          .orderBy("source")
+      },
+      Some("""WITH v AS (SELECT source, doc_id,
+             |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+             |  FROM documents),
+             |s AS (SELECT source, doc_id, n_tokens,
+             |    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+             |  FROM v),
+             |samp AS (SELECT source, doc_id, n_tokens FROM s WHERE rn <= 32),
+             |r AS (SELECT source, n_tokens,
+             |    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) - 1 AS vr,
+             |    count(*) OVER (PARTITION BY source) AS m
+             |  FROM samp)
+             |SELECT source, CAST(max(m) AS INT) AS sample_size,
+             |  CAST(max(CASE WHEN vr = (5*(m-1))//10 THEN n_tokens END) AS BIGINT) AS p50_est,
+             |  CAST(max(CASE WHEN vr = (9*(m-1))//10 THEN n_tokens END) AS BIGINT) AS p90_est
+             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
   )
 }
