@@ -115,6 +115,14 @@ object Graft {
     * shuffled-hash join): left side salted, right replicated, exact
     * result parity.
     */
+  /** Interval join (`t BETWEEN start AND end`) as a binned equi-join —
+    * the scale-correct form of a range predicate Spark would otherwise
+    * plan as a broadcast nested loop ([[rel.RangeJoin]]).
+    */
+  def binnedIntervalJoin(points: DataFrame, t: String,
+      ranges: DataFrame, start: String, end: String, binWidth: Long): DataFrame =
+    rel.RangeJoin.binnedIntervalJoin(points, t, ranges, start, end, binWidth)
+
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame =
     rel.SkewJoin.saltedEquiJoin(left, right, key, salts)
 
