@@ -97,12 +97,7 @@ object BlockIO {
     finally out.close()
   }
 
-  /** Import a directory of per-block `.npy` files written by
-    * [[exportNpy]] (or by numpy with the same naming). Distributed: the
-    * binaryFile source reads each file where it lands, no driver
-    * materialization.
-    */
-  def importNpy(spark: SparkSession, dir: String): BlockGrid = {
+  private def readSidecar(spark: SparkSession, dir: String): GridMeta = {
     val metaPath = new org.apache.hadoop.fs.Path(dir, "_grid_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(metaPath)
@@ -114,7 +109,16 @@ object BlockIO {
         while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
         new String(buf.toByteArray, StandardCharsets.UTF_8)
       } finally in.close()
-    val meta = parseMeta(metaStr)
+    parseMeta(metaStr)
+  }
+
+  /** Import a directory of per-block `.npy` files written by
+    * [[exportNpy]] (or by numpy with the same naming). Distributed: the
+    * binaryFile source reads each file where it lands, no driver
+    * materialization.
+    */
+  def importNpy(spark: SparkSession, dir: String): BlockGrid = {
+    val meta = readSidecar(spark, dir)
     import spark.implicits._
     val name = "block_(\\d+)_(\\d+)_(\\d+)\\.npy$".r
     val ds = spark.read.format("binaryFile").load(s"$dir/block_*.npy")
@@ -131,20 +135,25 @@ object BlockIO {
     BlockGrid(meta, ds)
   }
 
+  /** Import via the `npy-blocks` DataSource V2 reader
+    * ([[graft.sources.NpyDataSource]]) instead of binaryFile+regex: the
+    * source's file-level pruning means a downstream
+    * `filter(bx/by/bz …)` on the grid's rows skips unopened files
+    * entirely. Same layout, same result (NpySourceSpec pins stitch
+    * parity through both import paths).
+    */
+  def importNpyViaSource(spark: SparkSession, dir: String): BlockGrid = {
+    val meta = readSidecar(spark, dir)
+    val ds = spark.read.format("npy-blocks").load(dir)
+      .select(struct(col("bx"), col("by"), col("bz")).as("bi"),
+        col("nx"), col("ny"), col("nz"), col("c"), col("data"))
+      .as[Block]
+    BlockGrid(meta, ds)
+  }
+
   /** Read a grid written by [[write]]; lazy Dataset + sidecar meta. */
   def read(spark: SparkSession, path: String): BlockGrid = {
-    val p = new org.apache.hadoop.fs.Path(path, "_grid_meta.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val metaBytes =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](4096)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toByteArray
-      } finally in.close()
-    val meta = parseMeta(new String(metaBytes, StandardCharsets.UTF_8))
+    val meta = readSidecar(spark, path)
     val ds = spark.read.parquet(path)
       .select(struct(col("bx"), col("by"), col("bz")).as("bi"),
         col("nx"), col("ny"), col("nz"), col("c"), col("data"))

@@ -69,6 +69,25 @@ class NpySourceSpec extends SparkSpec {
     assert(NpyDataSource.decodes.get() == 12)
   }
 
+  test("stitch through the DSv2 import path matches the binaryFile import path") {
+    val dir = java.nio.file.Files.createTempDirectory("npysrc").toString
+    val s = spark
+    // an overlapped stitchable grid (bs 4, o 1 -> 6^3 tiles)
+    val tiles = for {
+      x <- 0 until 2; y <- 0 until 2; z <- 0 until 2
+    } yield Block(BlockIndex(x, y, z), 6, 6, 6, 1,
+      Array.tabulate(216)(i => (x * 31 + y * 17 + z * 7 + i % 5).toFloat))
+    BlockIO.exportNpy(
+      BlockGrid.fromTiles(s, tiles, Array(4, 4, 4), Array(1, 1, 1), Array(2, 2, 2), 1),
+      dir)
+    def stitched(g: BlockGrid) = graft.stitch.Stitch.stitchBlocks(g).ds.collect()
+      .map(b => ((b.bi.bx, b.bi.by, b.bi.bz), b.data.toSeq)).toMap
+    val viaV2 = stitched(BlockIO.importNpyViaSource(s, dir))
+    val viaBinary = stitched(BlockIO.importNpy(s, dir))
+    assert(viaV2.keySet == viaBinary.keySet && viaV2.keySet.size == 8)
+    viaV2.keys.foreach(k => assert(viaV2(k) == viaBinary(k), s"block $k differs"))
+  }
+
   test("non-index predicates stay with Spark and still filter correctly") {
     val dir = java.nio.file.Files.createTempDirectory("npysrc").toString
     grid(dir)
