@@ -43,6 +43,10 @@ final class BottomKSampleAgg(k: Int)
     // insertion point in the (hv, id) order
     var ins = 0
     while (ins < n && lessEq(b.hv(ins), b.id(ins), h, i)) ins += 1
+    // duplicate (hv, id) — the row is already in the sample (set
+    // semantics, as KMV): without this, a duplicate id landing on a
+    // full buffer would index one past the end
+    if (ins > 0 && b.hv(ins - 1) == h && b.id(ins - 1) == i) return b
     val m = math.min(n + 1, k)
     val oh = new Array[Long](m); val oi = new Array[Long](m); val ov = new Array[Double](m)
     System.arraycopy(b.hv, 0, oh, 0, ins)
@@ -61,14 +65,21 @@ final class BottomKSampleAgg(k: Int)
     val m = math.min(a.hv.length + b.hv.length, k)
     val oh = new Array[Long](m); val oi = new Array[Long](m); val ov = new Array[Double](m)
     var i = 0; var j = 0; var n = 0
+    var first = true
     while (n < m && (i < a.hv.length || j < b.hv.length)) {
       val takeA = j >= b.hv.length ||
         (i < a.hv.length && lessEq(a.hv(i), a.id(i), b.hv(j), b.id(j)))
-      if (takeA) { oh(n) = a.hv(i); oi(n) = a.id(i); ov(n) = a.v(i); i += 1 }
-      else { oh(n) = b.hv(j); oi(n) = b.id(j); ov(n) = b.v(j); j += 1 }
-      n += 1
+      val (ch, ci, cv) =
+        if (takeA) { val t = (a.hv(i), a.id(i), a.v(i)); i += 1; t }
+        else { val t = (b.hv(j), b.id(j), b.v(j)); j += 1; t }
+      // duplicate-id rows may appear in both partial buffers: set semantics
+      if (first || ch != oh(n - 1) || ci != oi(n - 1)) {
+        oh(n) = ch; oi(n) = ci; ov(n) = cv; n += 1; first = false
+      }
     }
-    SampBuf(oh, oi, ov)
+    if (n == m) SampBuf(oh, oi, ov)
+    else SampBuf(java.util.Arrays.copyOf(oh, n), java.util.Arrays.copyOf(oi, n),
+      java.util.Arrays.copyOf(ov, n))
   }
 
   override def finish(b: SampBuf): SampBuf = b

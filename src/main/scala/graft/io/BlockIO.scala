@@ -19,6 +19,19 @@ import graft.core.{Block, BlockGrid, GridMeta}
 object BlockIO {
   private implicit val blockEnc: Encoder[Block] = BlockGrid.blockEncoder
 
+  /** canonical per-block file naming — the ONE definition of the on-disk
+    * contract, shared by [[exportNpy]], [[importNpy]], and the
+    * `npy-blocks` DataSource V2 reader so they cannot drift
+    */
+  private[graft] val blockFileName = "block_(\\d+)_(\\d+)_(\\d+)\\.npy$".r
+
+  private[graft] def blockFileNameOf(bx: Int, by: Int, bz: Int): String =
+    s"block_${bx}_${by}_$bz.npy"
+
+  private[graft] def parseBlockFileName(path: String): Option[(Int, Int, Int)] =
+    blockFileName.findFirstMatchIn(path)
+      .map(m => (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt))
+
   private[io] def metaJson(m: GridMeta): String = {
     def arr[T](a: Array[T]): String = a.mkString("[", ",", "]")
     val chunks =
@@ -83,7 +96,7 @@ object BlockIO {
         it.foreach { b =>
           val shape = if (b.c == 1) Array(b.nx, b.ny, b.nz) else Array(b.nx, b.ny, b.nz, b.c)
           val p = new org.apache.hadoop.fs.Path(base,
-            s"block_${b.bi.bx}_${b.bi.by}_${b.bi.bz}.npy")
+            blockFileNameOf(b.bi.bx, b.bi.by, b.bi.bz))
           val out = fs.create(p, true)
           try out.write(Npy.toBytes(shape, b.data))
           finally out.close()
@@ -120,17 +133,15 @@ object BlockIO {
   def importNpy(spark: SparkSession, dir: String): BlockGrid = {
     val meta = readSidecar(spark, dir)
     import spark.implicits._
-    val name = "block_(\\d+)_(\\d+)_(\\d+)\\.npy$".r
     val ds = spark.read.format("binaryFile").load(s"$dir/block_*.npy")
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .map { case (path, bytes) =>
-        val m = name.findFirstMatchIn(path)
+        val (bx, by, bz) = parseBlockFileName(path)
           .getOrElse(sys.error(s"unexpected npy file name: $path"))
         val (shape, data) = Npy.fromBytes(bytes)
         val c = if (shape.length == 4) shape(3) else 1
-        Block(graft.core.BlockIndex(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt),
-          shape(0), shape(1), shape(2), c, data)
+        Block(graft.core.BlockIndex(bx, by, bz), shape(0), shape(1), shape(2), c, data)
       }
     BlockGrid(meta, ds)
   }

@@ -23,14 +23,14 @@ object Bmp {
   private val fileHeader = 14
   private val infoHeader = 40
 
-  private def rowSize(width: Int): Int = (width * 3 + 3) & ~3
+  private def rowSize(width: Int): Long = (width.toLong * 3 + 3) & ~3L
 
   /** wrap a top-down grayscale raster as a 24-bit BMP (B=G=R=value) */
   def build24(img: Gray): Array[Byte] = {
     require(img.width > 0 && img.height > 0, "empty image")
     require(img.pixels.length == img.width * img.height,
       s"pixel count ${img.pixels.length} != ${img.width}x${img.height}")
-    val stride = rowSize(img.width)
+    val stride = rowSize(img.width).toInt
     val size = fileHeader + infoHeader + stride * img.height
     val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
     bb.put('B'.toByte).put('M'.toByte).putInt(size)
@@ -81,9 +81,17 @@ object Bmp {
     val bpp = bb.getShort()
     require(bpp == 24, s"only 24-bit supported, got $bpp")
     require(bb.getInt == 0, "only uncompressed (BI_RGB) supported")
-    val stride = rowSize(width)
-    require(dataOff.toLong + stride.toLong * height <= bytes.length,
+    // lower bound too: a doctored offset pointing INTO the headers would
+    // silently decode header bytes as pixels (and width*height must fit
+    // an Int — stride is Long so a huge declared width can't wrap the
+    // bounds check into passing)
+    require(dataOff >= fileHeader + infoHeader && dataOff <= bytes.length,
+      s"bad pixel data offset $dataOff")
+    val stride64 = rowSize(width)
+    require(width.toLong * height <= Int.MaxValue &&
+      dataOff.toLong + stride64 * height <= bytes.length,
       s"pixel data overruns buffer")
+    val stride = stride64.toInt
     val px = new Array[Int](width * height)
     var row = 0
     while (row < height) {

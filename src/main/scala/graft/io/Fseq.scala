@@ -12,11 +12,16 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object Fseq {
 
-  final case class Video(width: Int, height: Int, frames: Int, data: Array[Byte]) {
+  /** `data` is the WHOLE container blob with frames at `dataOff` — parse
+    * does not copy the payload, so sampling extracts only the sampled
+    * frames' bytes (the property the frame-sample path advertises)
+    */
+  final case class Video(width: Int, height: Int, frames: Int,
+      data: Array[Byte], dataOff: Int) {
     def frame(i: Int): Array[Byte] = {
       require(i >= 0 && i < frames, s"frame $i out of range [0, $frames)")
       val sz = width * height
-      java.util.Arrays.copyOfRange(data, i * sz, (i + 1) * sz)
+      java.util.Arrays.copyOfRange(data, dataOff + i * sz, dataOff + (i + 1) * sz)
     }
   }
 
@@ -42,6 +47,6 @@ object Fseq {
     require(w > 0 && h > 0 && n >= 0, s"bad geometry ${w}x$h x$n")
     require(16L + w.toLong * h * n == bytes.length,
       s"payload ${bytes.length - 16} != ${w}x${h}x$n")
-    Video(w, h, n, java.util.Arrays.copyOfRange(bytes, 16, bytes.length))
+    Video(w, h, n, bytes, 16)
   }
 }

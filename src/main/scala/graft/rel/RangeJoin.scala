@@ -35,11 +35,11 @@ object RangeJoin {
   def binnedIntervalJoin(points: DataFrame, t: String,
       ranges: DataFrame, start: String, end: String, binWidth: Long): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
-    val rb = ranges.withColumn("__bin",
+    val rb = ranges.withColumn("__graft_bin",
       explode(sequence(floorDiv(col(start), binWidth), floorDiv(col(end), binWidth))))
-    val pb = points.withColumn("__bin", floorDiv(col(t), binWidth))
-    pb.join(rb, Seq("__bin"))
+    val pb = points.withColumn("__graft_bin", floorDiv(col(t), binWidth))
+    pb.join(rb, Seq("__graft_bin"))
       .filter(col(t) >= col(start) && col(t) <= col(end))
-      .drop("__bin")
+      .drop("__graft_bin")
   }
 }

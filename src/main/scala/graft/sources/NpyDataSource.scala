@@ -75,36 +75,38 @@ object NpyDataSource {
   /** test hook: payload decodes actually performed (same-JVM local mode) */
   private[graft] val decodes = new AtomicLong(0)
 
-  private val fileName = "block_(\\d+)_(\\d+)_(\\d+)\\.npy$".r
-
+  /** the on-disk naming contract lives in [[graft.io.BlockIO]] — one
+    * definition shared with the export/import paths so they can't drift
+    */
   private[sources] def parseIndex(name: String): Option[(Int, Int, Int)] =
-    fileName.findFirstMatchIn(name).map(m =>
-      (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt))
+    graft.io.BlockIO.parseBlockFileName(name)
 
   /** evaluate a pushed filter against a block index; filters that get
     * here reference only bx/by/bz (vetted in pushFilters)
     */
   private[sources] def eval(f: Filter, bi: (Int, Int, Int)): Boolean = {
-    def v(attr: String): Int = attr match {
-      case "bx" => bi._1
-      case "by" => bi._2
-      case "bz" => bi._3
+    // compare as Long: an out-of-Int-range literal (LessThan(bx, 5e9))
+    // must evaluate truthfully, not prune every file
+    def v(attr: String): Long = attr match {
+      case "bx" => bi._1.toLong
+      case "by" => bi._2.toLong
+      case "bz" => bi._3.toLong
       case other => sys.error(s"unexpected attr $other in pushed filter")
     }
-    def asInt(x: Any): Option[Int] = x match {
-      case i: Int => Some(i)
-      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => Some(l.toInt)
-      case s: Short => Some(s.toInt)
-      case b: Byte => Some(b.toInt)
-      case _ => None
+    def asLong(x: Any): Long = x match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => sys.error(s"unexpected literal $other in pushed filter")
     }
     f match {
-      case EqualTo(a, x) => asInt(x).contains(v(a))
-      case In(a, xs) => xs.flatMap(asInt(_)).contains(v(a))
-      case GreaterThan(a, x) => asInt(x).exists(v(a) > _)
-      case GreaterThanOrEqual(a, x) => asInt(x).exists(v(a) >= _)
-      case LessThan(a, x) => asInt(x).exists(v(a) < _)
-      case LessThanOrEqual(a, x) => asInt(x).exists(v(a) <= _)
+      case EqualTo(a, x) => v(a) == asLong(x)
+      case In(a, xs) => xs.exists(asLong(_) == v(a))
+      case GreaterThan(a, x) => v(a) > asLong(x)
+      case GreaterThanOrEqual(a, x) => v(a) >= asLong(x)
+      case LessThan(a, x) => v(a) < asLong(x)
+      case LessThanOrEqual(a, x) => v(a) <= asLong(x)
       case And(l, r) => eval(l, bi) && eval(r, bi)
       case Or(l, r) => eval(l, bi) || eval(r, bi)
       case Not(c) => !eval(c, bi)

@@ -35,6 +35,21 @@ class BottomKSampleSpec extends AnyFunSuite {
     assert(base.v.toSeq == want.map(_._3))
   }
 
+  test("duplicate (hash, id) rows keep set semantics in reduce AND merge") {
+    val rows = Seq.tabulate(k + 3)(i => (i.toLong * 10, i.toLong, i.toDouble))
+    val full = run(rows) // full buffer (k entries)
+    // duplicate of the LAST retained element on a full buffer: the
+    // pre-fix code indexed one past the end here
+    val last = (full.hv(k - 1), full.id(k - 1), full.v(k - 1))
+    val again = agg.reduce(full, last)
+    assert(again.hv.toSeq == full.hv.toSeq && again.id.toSeq == full.id.toSeq)
+    // the same rows split into two buffers that SHARE entries merge
+    // without duplicates
+    val merged = agg.merge(run(rows.take(6)), run(rows.drop(2)))
+    assert(merged.hv.toSeq == full.hv.toSeq)
+    assert(merged.id.toSeq.distinct == merged.id.toSeq)
+  }
+
   test("groups smaller than k keep everything") {
     val rows = Seq((5L, 1L, 10.0), (3L, 2L, 20.0), (9L, 3L, 30.0))
     val b = run(rows)

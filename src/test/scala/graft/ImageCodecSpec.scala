@@ -60,6 +60,16 @@ class ImageCodecSpec extends AnyFunSuite {
     val compressed = ok.clone()
     ByteBuffer.wrap(compressed).order(ByteOrder.LITTLE_ENDIAN).putInt(30, 1)
     intercept[IllegalArgumentException](Bmp.parse(compressed))
+    // a doctored pixel-data offset pointing INTO the headers must not
+    // silently decode header bytes as pixels
+    val hdrOff = ok.clone()
+    ByteBuffer.wrap(hdrOff).order(ByteOrder.LITTLE_ENDIAN).putInt(10, 0)
+    intercept[IllegalArgumentException](Bmp.parse(hdrOff))
+    // a huge declared width must not wrap Int stride arithmetic past the
+    // bounds check into a giant allocation
+    val hugeW = ok.clone()
+    ByteBuffer.wrap(hugeW).order(ByteOrder.LITTLE_ENDIAN).putInt(18, 715827883)
+    intercept[IllegalArgumentException](Bmp.parse(hugeW))
   }
 
   test("FSEQ round-trip and frame extraction") {

@@ -49,6 +49,10 @@ class NpySourceSpec extends SparkSpec {
     assert(scanPartitions(df.filter(col("bx") === 1 && col("bz") === 0)) == 2)
     assert(scanPartitions(df.filter(col("bx") >= 1 && col("by") < 1)) == 4)
     assert(scanPartitions(df.filter(col("bx").isin(0, 2))) == 8)
+    // an out-of-Int-range literal must evaluate truthfully (bx < 5e9 is
+    // always true), not prune every file
+    assert(scanPartitions(df.filter(col("bx") < 5000000000L)) == 12)
+    assert(df.filter(col("bx") < 5000000000L).count() == 12)
     // and the pruned scans still return the right rows
     assert(df.filter(col("bx") === 1).count() == 4)
     assert(df.filter(col("bx") >= 1 && col("by") < 1).count() == 4)
