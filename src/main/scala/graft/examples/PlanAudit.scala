@@ -15,11 +15,9 @@ object PlanAudit {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q34_ngram_jaccard", "q38_knn_lsh", "q41_embed_neardup",
-        "q27_date_spine", "q50_sql_ann", "q51_kmv_distinct", "q53_tfidf")
-    val all = graft.rel.RelQueries.all ++ graft.llm.LlmOps.all ++
-      graft.llm.SketchOps.all ++ graft.llm.IvfOps.all ++
-      graft.rel.SqlSurface.all ++ graft.llm.SketchAggOps.all ++
-      graft.llm.PqOps.all ++ graft.llm.IvfPqOps.all
+        "q27_date_spine", "q50_sql_ann", "q51_kmv_distinct", "q53_tfidf",
+        "q60_curation_pipeline", "q63_interval_stab", "q64_sample_quantiles")
+    val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")
       all(n).fn(spark, d).explain("formatted")
