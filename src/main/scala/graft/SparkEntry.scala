@@ -23,7 +23,8 @@ object SparkEntry {
     RelQueries.all ++ graft.llm.LlmOps.all ++ graft.llm.SketchOps.all ++
       graft.llm.IvfOps.all ++ graft.rel.SqlSurface.all ++
       graft.llm.SketchAggOps.all ++ graft.streaming.StreamingOps.all ++
-      graft.llm.PqOps.all ++ graft.llm.IvfPqOps.all ++ graft.llm.ImageOps.all
+      graft.llm.PqOps.all ++ graft.llm.IvfPqOps.all ++ graft.llm.ImageOps.all ++
+      graft.llm.AnnIndex.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

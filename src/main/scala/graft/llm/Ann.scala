@@ -111,4 +111,22 @@ object Ann {
     IvfPqOps.ivfPqTopK(s, emb, queries, k, cells, coarseIters, nProbe,
       multiAssign, subQ, codes, pqIters, rerank, excludeSelfId,
       maxProbeBatch, id, vec, qid, qvec)
+
+  /** Persist an IVF index (centroids + cell-partitioned assignments)
+    * for the serving path ([[AnnIndex.saveIvf]]).
+    */
+  def saveIvfIndex(s: SparkSession, emb: DataFrame, dir: String,
+      cells: Int = 16, iters: Int = 3, multiAssign: Int = 2,
+      id: String = "id", vec: String = "vec"): Unit =
+    AnnIndex.saveIvf(s, emb, dir, cells, iters, multiAssign, id, vec)
+
+  /** Probe a saved IVF index — bit-identical to [[ivfTopK]] with the
+    * same build parameters, but reads only the probed cells' partitions
+    * ([[AnnIndex.probeIvf]]).
+    */
+  def probeIvfIndex(s: SparkSession, dir: String, queries: DataFrame, k: Int,
+      nProbe: Int = 6, excludeSelfId: Boolean = true,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame =
+    AnnIndex.probeIvf(s, dir, queries, k, nProbe, excludeSelfId, id, vec, qid, qvec)
 }

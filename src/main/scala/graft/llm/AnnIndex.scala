@@ -1,0 +1,148 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** IVF ANN index LIFECYCLE: train once, persist, serve probe batches
+  * from the stored index without the corpus — the production shape of
+  * [[IvfOps.ivfTopK]] (which trains per call, right for one-shot
+  * queries, wrong for a serving path).
+  *
+  * Layout under `dir`:
+  *   - `centroids/`   — (cell, centroid) parquet, codebook-sized
+  *   - `assignments/` — (id, vec, cell) parquet **partitioned by cell**
+  *
+  * The partitioning is the point: a probe touches `nProbe` cell
+  * directories and Spark's hive-style partition pruning keeps every
+  * other cell's files UNREAD (`PartitionFilters` in the scan —
+  * AnnIndexSpec pins it). At 10⁹ vectors the index is the big artifact;
+  * serving cost scales with nProbe/cells of it, not with it.
+  *
+  * Determinism: training is [[IvfOps.trainCentroids]] (k-center seeded,
+  * ordered folds), assignments store the ORIGINAL f32 vectors (parquet
+  * round-trips them bit-exactly), and the probe re-ranks through the
+  * same codegen'd cosine as ivfTopK — so probing a saved index is
+  * BIT-IDENTICAL to ivfTopK on the same corpus (AnnIndexSpec), and
+  * q65's pinned recall equals q47's.
+  */
+object AnnIndex {
+
+  /** Train an IVF index over `emb` and persist it under `dir`. */
+  def saveIvf(s: SparkSession, emb: DataFrame, dir: String,
+      cells: Int = 16, iters: Int = 3, multiAssign: Int = 2,
+      id: String = "id", vec: String = "vec"): Unit = {
+    import s.implicits._
+    val norm = IvfOps.normalized(s, emb, id, vec).cache()
+    val cents = IvfOps.trainCentroids(s, norm, cells, iters)
+    norm.unpersist()
+    val bc = s.sparkContext.broadcast(cents)
+    // one narrow pass: normalize per row for cell lookup, store the
+    // original f32 vector for bit-identical re-rank at probe time
+    emb.select(col(id), col(vec)).as[(Long, Seq[Float])]
+      .flatMap { case (i, v) =>
+        var n = 0.0
+        var j = 0
+        while (j < v.length) { n += v(j).toDouble * v(j); j += 1 }
+        val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+        val nv = Array.tabulate(v.length)(j => v(j) * inv)
+        val fv = v.toArray
+        IvfOps.nearestCells(bc.value, nv, multiAssign).iterator.map(c => (i, fv, c))
+      }
+      .toDF(id, vec, "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** the partition-pruned index scan for a probe-cell set (exposed so
+    * the spec can assert `PartitionFilters` on exactly this plan)
+    */
+  private[graft] def prunedAssignments(s: SparkSession, dir: String,
+      probeCells: Seq[Int]): DataFrame =
+    s.read.parquet(s"$dir/assignments")
+      .filter(col("cell").isin(probeCells: _*))
+
+  /** Cosine top-k per query against a saved index — output identical to
+    * [[IvfOps.ivfTopK]] with the same build parameters: (qid, rn, id,
+    * cos, n_candidates).
+    */
+  def probeIvf(s: SparkSession, dir: String, queries: DataFrame, k: Int,
+      nProbe: Int = 6, excludeSelfId: Boolean = true,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    import s.implicits._
+    val cents = s.read.parquet(s"$dir/centroids").as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2) // codebook-sized collect
+    val bc = s.sparkContext.broadcast(cents)
+    val probes = IvfOps.normalized(s, queries, qid, qvec)
+      .flatMap { case (q, v) =>
+        IvfOps.nearestCells(bc.value, v, nProbe).map(c => (q, c))
+      }
+      .toDF(qid, "cell")
+    // the union of probe cells decides which index partitions exist in
+    // the plan at all (≤ `cells` ints — driver-side by construction)
+    val probeCells = probes.select("cell").distinct().as[Int].collect().toSeq
+    val idx = prunedAssignments(s, dir, probeCells)
+    val cand = broadcast(probes).join(idx.select(col(id), col("cell")), "cell")
+      .filter(if (excludeSelfId) col(id) =!= col(qid) else lit(true))
+      .select(col(qid), col(id)).distinct()
+    val nc = cand.groupBy(qid).agg(count(lit(1)).as("n_candidates"))
+    // each id's vec repeats once per assigned cell — identical copies,
+    // so dropDuplicates is deterministic in content
+    val vecs = idx.select(col(id), col(vec)).dropDuplicates(id)
+    val scored = cand.join(vecs, id)
+      .join(broadcast(queries.select(col(qid), col(qvec))), qid)
+      .withColumn("cos",
+        graft.functions.VecFunctions.vecCosine(s, col(qvec), col(vec)))
+    graft.functions.TopK.perKeyTopK(scored, k, qid, id, "cos")
+      .join(broadcast(nc), qid)
+      .select(col(qid), col("rn"), col(id), col("cos"), col("n_candidates"))
+      .orderBy(qid, "rn")
+  }
+
+  /** q65 driver shape: build the index in a work dir, then serve the
+    * q47 probe batch from it
+    */
+  private def indexTop5(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val work = java.nio.file.Files.createTempDirectory("graft-q65").toString
+    saveIvf(s, e, work)
+    probeIvf(s, work, q, k = 5)
+      .select(col("qid"), col("rn"), col("id").as("nn_id"), col("cos"),
+        col("n_candidates"))
+  }
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- IVF index lifecycle: persist partitioned-by-cell, probe via
+    //      partition-pruned scans ----
+    "q65_ivf_index_ann" -> Q((s, d) => indexTop5(s, d), None),
+
+    // ---- recall vs exact top-5: probing the SAVED index is
+    //      bit-identical to q47's train-and-probe (same codebook, same
+    //      candidates, same cosine), so the pinned values equal
+    //      q47_ivf_recall's ----
+    "q65_ivf_index_recall" -> Q(
+      (s, d) => {
+        val approx = indexTop5(s, d).select(col("qid"), col("nn_id").as("vec_id"))
+        SketchOps.exactTop5(s, d)
+          .join(approx.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+          .select(col("qid"), col("n_hits"),
+            (col("n_hits").cast("double") / 5).as("recall_at_5"))
+          .orderBy("qid")
+      },
+      Some("""SELECT qid, n_hits, CAST(recall AS DOUBLE) AS recall_at_5
+             |FROM (VALUES (0, 3, 0.6), (1, 4, 0.8), (2, 5, 1.0), (3, 4, 0.8),
+             |  (4, 4, 0.8), (5, 5, 1.0), (6, 5, 1.0), (7, 5, 1.0))
+             |  AS t(qid, n_hits, recall)
+             |ORDER BY qid""".stripMargin)),
+  )
+}
