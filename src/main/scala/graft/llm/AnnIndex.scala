@@ -38,10 +38,30 @@ object AnnIndex {
     val norm = IvfOps.normalized(s, emb, id, vec).cache()
     val cents = IvfOps.trainCentroids(s, norm, cells, iters)
     norm.unpersist()
-    val bc = s.sparkContext.broadcast(cents)
     // one narrow pass: normalize per row for cell lookup, store the
     // original f32 vector for bit-identical re-rank at probe time
-    emb.select(col(id), col(vec)).as[(Long, Seq[Float])]
+    assignRows(s, emb, cents, multiAssign, id, vec)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  private def readCentroids(s: SparkSession, dir: String): Array[Array[Double]] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/centroids").as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2) // codebook-sized collect
+  }
+
+  /** per-row assignment against a fixed codebook: normalize for the
+    * cell lookup, keep the original f32 vector for re-rank
+    */
+  private def assignRows(s: SparkSession, df: DataFrame,
+      cents: Array[Array[Double]], multiAssign: Int,
+      id: String, vec: String): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    df.select(col(id), col(vec)).as[(Long, Seq[Float])]
       .flatMap { case (i, v) =>
         var n = 0.0
         var j = 0
@@ -52,10 +72,30 @@ object AnnIndex {
         IvfOps.nearestCells(bc.value, nv, multiAssign).iterator.map(c => (i, fv, c))
       }
       .toDF(id, vec, "cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
-    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Streaming index MAINTENANCE: assign arriving vectors against the
+    * STORED centroids (no retrain) and append them to the
+    * cell-partitioned assignments via foreachBatch. Delivery is
+    * at-least-once — which is CORRECT here, because the probe path is
+    * idempotent to duplicated assignment rows (candidates are
+    * `distinct()`ed and vectors deduped by id; AnnIndexSpec pins it).
+    * Centroid drift is the standard serving tradeoff: periodic
+    * re-train + atomic swap, with appends covering the gap.
+    */
+  def appendIvfStream(s: SparkSession, stream: DataFrame, dir: String,
+      checkpoint: String, multiAssign: Int = 2,
+      id: String = "id", vec: String = "vec")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cents = readCentroids(s, dir)
+    assignRows(s, stream, cents, multiAssign, id, vec)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("cell")
+          .parquet(s"$dir/assignments")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
   }
 
   /** the partition-pruned index scan for a probe-cell set (exposed so
@@ -75,8 +115,7 @@ object AnnIndex {
       id: String = "id", vec: String = "vec",
       qid: String = "qid", qvec: String = "qvec"): DataFrame = {
     import s.implicits._
-    val cents = s.read.parquet(s"$dir/centroids").as[(Int, Array[Double])]
-      .collect().sortBy(_._1).map(_._2) // codebook-sized collect
+    val cents = readCentroids(s, dir)
     val bc = s.sparkContext.broadcast(cents)
     val probes = IvfOps.normalized(s, queries, qid, qvec)
       .flatMap { case (q, v) =>

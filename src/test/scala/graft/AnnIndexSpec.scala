@@ -27,6 +27,40 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming append finds new vectors; duplicate appends change nothing") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("annidx-ck1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("annidx-ck2").toString
+    // index built WITHOUT vector 0 — then 0 arrives on the stream
+    AnnIndex.saveIvf(spark, emb.filter(col("id") =!= 0), dir)
+    val newRows = emb.filter(col("id") === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    mem.addData(newRows: _*)
+    val sq = AnnIndex.appendIvfStream(spark, mem.toDF.toDF("id", "vec"), dir, ck1)
+    try sq.processAllAvailable() finally sq.stop()
+    // a self-probe with vector 0's own embedding must now find id 0 first
+    val probe = AnnIndex.probeIvf(spark, dir,
+      emb.filter(col("id") === 0).select(col("id").as("qid"), col("vec").as("qvec")),
+      k = 3, excludeSelfId = false).collect()
+    assert(probe.head.getLong(2) == 0L && probe.head.getDouble(3) > 0.999999)
+    // at-least-once tolerance: append the SAME rows again -> probe
+    // output is unchanged (duplicated assignment rows are harmless)
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    mem2.addData(newRows: _*)
+    val sq2 = AnnIndex.appendIvfStream(spark, mem2.toDF.toDF("id", "vec"), dir, ck2)
+    try sq2.processAllAvailable() finally sq2.stop()
+    val probe2 = AnnIndex.probeIvf(spark, dir,
+      emb.filter(col("id") === 0).select(col("id").as("qid"), col("vec").as("qvec")),
+      k = 3, excludeSelfId = false).collect()
+    assert(probe2.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      probe.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq)
+  }
+
   test("the index scan is partition-pruned to the probe cells") {
     val dir = java.nio.file.Files.createTempDirectory("annidx").toString
     AnnIndex.saveIvf(spark, emb, dir)
