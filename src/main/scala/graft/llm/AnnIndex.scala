@@ -117,11 +117,16 @@ object AnnIndex {
     import s.implicits._
     val cents = readCentroids(s, dir)
     val bc = s.sparkContext.broadcast(cents)
+    // persisted: consumed twice (driver-side cell-union collect, then
+    // the candidate join) — without it the per-query normalize +
+    // centroid loop would run twice per probe batch. Tiny: nProbe ints
+    // per query.
     val probes = IvfOps.normalized(s, queries, qid, qvec)
       .flatMap { case (q, v) =>
         IvfOps.nearestCells(bc.value, v, nProbe).map(c => (q, c))
       }
       .toDF(qid, "cell")
+      .persist()
     // the union of probe cells decides which index partitions exist in
     // the plan at all (≤ `cells` ints — driver-side by construction)
     val probeCells = probes.select("cell").distinct().as[Int].collect().toSeq
@@ -143,17 +148,35 @@ object AnnIndex {
       .orderBy(qid, "rn")
   }
 
-  /** q65 driver shape: build the index in a work dir, then serve the
-    * q47 probe batch from it
+  /** one index build per (session, dataset): the q65 entries both serve
+    * from it instead of re-training twice per run, and the work tree is
+    * removed on JVM exit
     */
+  private val built = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def indexDirFor(s: SparkSession, d: String): String =
+    built.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft-q65")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      saveIvf(s, e, work.toString)
+      work.toString
+    })
+
+  /** q65 driver shape: serve the q47 probe batch from the saved index */
   private def indexTop5(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") < 8)
       .select(col("id").as("qid"), col("vec").as("qvec"))
-    val work = java.nio.file.Files.createTempDirectory("graft-q65").toString
-    saveIvf(s, e, work)
-    probeIvf(s, work, q, k = 5)
+    probeIvf(s, indexDirFor(s, d), q, k = 5)
       .select(col("qid"), col("rn"), col("id").as("nn_id"), col("cos"),
         col("n_candidates"))
   }
@@ -168,20 +191,8 @@ object AnnIndex {
     //      candidates, same cosine), so the pinned values equal
     //      q47_ivf_recall's ----
     "q65_ivf_index_recall" -> Q(
-      (s, d) => {
-        val approx = indexTop5(s, d).select(col("qid"), col("nn_id").as("vec_id"))
-        SketchOps.exactTop5(s, d)
-          .join(approx.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
-          .groupBy("qid")
-          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
-          .select(col("qid"), col("n_hits"),
-            (col("n_hits").cast("double") / 5).as("recall_at_5"))
-          .orderBy("qid")
-      },
-      Some("""SELECT qid, n_hits, CAST(recall AS DOUBLE) AS recall_at_5
-             |FROM (VALUES (0, 3, 0.6), (1, 4, 0.8), (2, 5, 1.0), (3, 4, 0.8),
-             |  (4, 4, 0.8), (5, 5, 1.0), (6, 5, 1.0), (7, 5, 1.0))
-             |  AS t(qid, n_hits, recall)
-             |ORDER BY qid""".stripMargin)),
+      (s, d) => IvfOps.recallVsExact(s, d,
+        indexTop5(s, d).select(col("qid"), col("nn_id").as("vec_id"))),
+      Some(IvfOps.ivfRecallOracle)),
   )
 }

@@ -209,6 +209,17 @@ object IvfOps {
         col("n_candidates"))
   }
 
+  /** the measured-and-pinned IVF recall@5 — shared verbatim by the q47
+    * and q65 oracles. MUST be declared before `all` (vals initialize in
+    * declaration order; `all` captures it eagerly).
+    */
+  private[llm] val ivfRecallOracle: String =
+    """SELECT qid, n_hits, CAST(recall AS DOUBLE) AS recall_at_5
+      |FROM (VALUES (0, 3, 0.6), (1, 4, 0.8), (2, 5, 1.0), (3, 4, 0.8),
+      |  (4, 4, 0.8), (5, 5, 1.0), (6, 5, 1.0), (7, 5, 1.0))
+      |  AS t(qid, n_hits, recall)
+      |ORDER BY qid""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     // ---- IVF ANN: probe nProbe of 16 centroid cells (2-way multiple
     //      assignment), exact re-rank ----
@@ -228,20 +239,22 @@ object IvfOps {
     //      at 0.875 — both paths stay because which one wins is
     //      data-dependent. ----
     "q47_ivf_recall" -> Q(
-      (s, d) => {
-        val approx = ivfTop5(s, d).select(col("qid"), col("nn_id").as("vec_id"))
-        SketchOps.exactTop5(s, d)
-          .join(approx.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
-          .groupBy("qid")
-          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
-          .select(col("qid"), col("n_hits"),
-            (col("n_hits").cast("double") / 5).as("recall_at_5"))
-          .orderBy("qid")
-      },
-      Some("""SELECT qid, n_hits, CAST(recall AS DOUBLE) AS recall_at_5
-             |FROM (VALUES (0, 3, 0.6), (1, 4, 0.8), (2, 5, 1.0), (3, 4, 0.8),
-             |  (4, 4, 0.8), (5, 5, 1.0), (6, 5, 1.0), (7, 5, 1.0))
-             |  AS t(qid, n_hits, recall)
-             |ORDER BY qid""".stripMargin)),
+      (s, d) => recallVsExact(s, d,
+        ivfTop5(s, d).select(col("qid"), col("nn_id").as("vec_id"))),
+      Some(ivfRecallOracle)),
   )
+
+  /** recall@5 of `approx` (qid, vec_id) vs the exact top-5 — ONE
+    * definition shared by q47 and q65, whose results (and pinned
+    * oracles) must stay equal: probing a saved index is bit-identical
+    * to train-and-probe
+    */
+  private[llm] def recallVsExact(s: SparkSession, d: String, approx: DataFrame): DataFrame =
+    SketchOps.exactTop5(s, d)
+      .join(approx.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits").cast("double") / 5).as("recall_at_5"))
+      .orderBy("qid")
 }

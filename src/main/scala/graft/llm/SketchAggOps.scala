@@ -13,7 +13,16 @@ import graft.rel.Tables
   */
 object SketchAggOps {
 
-  private val K = 64
+  /** sketch size shared by the batch (q51) and streaming (q61) KMV
+    * entries — one definition, so the two "same sketch" claims stay true
+    */
+  private[graft] val K = 64
+
+  /** the 60-bit md5-prefix hash BOTH engines compute exactly — the one
+    * definition of the KMV hash, used by q51 and q61
+    */
+  private[graft] def kmvHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   val all: ListMap[String, Q] = ListMap(
     // ---- per-source distinct-token estimate via the KMV sketch next to
@@ -25,8 +34,7 @@ object SketchAggOps {
         import s.implicits._
         val tok = Tables.documents(s, d)
           .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
-        val hashed = tok.withColumn("hv",
-          conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10).cast("long"))
+        val hashed = tok.withColumn("hv", kmvHash(col("token")))
         val agg = new graft.functions.KmvAgg(K)
         val sketches = hashed.select(col("source"), col("hv")).as[(String, Long)]
           .groupByKey(_._1)

@@ -92,9 +92,18 @@ object StreamingOps {
     q1.stop(); q1.awaitTermination()
     // down time: the rest of the corpus + the watermark-driving sentinel
     (phase1 until slices).foreach(writeSlice)
+    val srcDir = new java.io.File(src)
+    def partFiles = srcDir.listFiles().filter(_.getName.startsWith("part-")).toSet
+    val beforeSentinel = partFiles
     ev.limit(1)
       .withColumn("ts", lit(new java.sql.Timestamp(t1 + 365L * 24 * 3600 * 1000)))
       .coalesce(1).write.mode("append").parquet(src)
+    // the file source orders a backlog by (mtime, path); an mtime TIE
+    // between the sentinel and a slice file could let the sentinel's
+    // random part-name sort first, advance the watermark a year, and
+    // drop the remaining slices as late. Force the intended order.
+    val maxSlice = beforeSentinel.map(_.lastModified()).max
+    (partFiles -- beforeSentinel).foreach(f => f.setLastModified(maxSlice + 60000))
     // phase 2: restart from the checkpoint and drain. processAllAvailable
     // covers the data batches; the final windows flush in the no-data
     // batch the watermark bump schedules, so wait until the sink holds
@@ -150,9 +159,8 @@ object StreamingOps {
         val sch = s.read.parquet(s"$d/events.parquet").schema
         val raw = s.readStream.schema(sch).parquet(s"$d/{events.parquet}")
         val hashed = raw.select(col("event_type"),
-          conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
-            .cast("long").as("hv"))
-        val agg = new graft.functions.KmvAgg(64)
+          graft.llm.SketchAggOps.kmvHash(col("user_id").cast("string")).as("hv"))
+        val agg = new graft.functions.KmvAgg(graft.llm.SketchAggOps.K)
         val sk = hashed.as[(String, Long)]
           .groupByKey(_._1).mapValues(_._2).agg(agg.toColumn)
           .toDF("event_type", "kmv")
@@ -163,18 +171,20 @@ object StreamingOps {
         try q.processAllAvailable() finally q.stop()
         s.table("stream_kmv").orderBy("event_type")
       },
-      Some("""WITH h AS (SELECT DISTINCT event_type,
+      Some(s"""WITH h AS (SELECT DISTINCT event_type,
              |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
              |  FROM events),
              |r AS (SELECT event_type, hv,
              |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
              |    count(*) OVER (PARTITION BY event_type) AS nh FROM h),
              |est AS (SELECT event_type, max(nh) AS nh,
-             |    max(CASE WHEN rn = 64 THEN hv END) AS hk FROM r GROUP BY event_type)
+             |    max(CASE WHEN rn = ${graft.llm.SketchAggOps.K} THEN hv END) AS hk
+             |  FROM r GROUP BY event_type)
              |SELECT event_type,
-             |  CASE WHEN nh < 64 THEN CAST(nh AS DOUBLE)
-             |       ELSE CAST(63 AS DOUBLE) * 1152921504606846976 / hk END AS kmv_estimate,
-             |  CAST(least(nh, 64) AS INT) AS sketch_size
+             |  CASE WHEN nh < ${graft.llm.SketchAggOps.K} THEN CAST(nh AS DOUBLE)
+             |       ELSE CAST(${graft.llm.SketchAggOps.K - 1} AS DOUBLE) * 1152921504606846976 / hk END
+             |    AS kmv_estimate,
+             |  CAST(least(nh, ${graft.llm.SketchAggOps.K}) AS INT) AS sketch_size
              |FROM est ORDER BY event_type""".stripMargin)),
   )
 }
