@@ -148,6 +148,54 @@ object AnnIndex {
       .orderBy(qid, "rn")
   }
 
+  /** Persist an IVFADC index under `dir`: coarse `centroids/`, residual
+    * PQ `codebooks/`, the encoded corpus `codes/` **partitioned by
+    * cell** (4+subQ bytes of payload per vector — the artifact that
+    * replaces the corpus in the scan), and `vectors/` (the id→vec store
+    * only the top-`rerank` candidates hit). Probing it
+    * ([[probeIvfPq]]) is bit-identical to [[IvfPqOps.ivfPqTopK]]: both
+    * run [[IvfPqOps.probeEncoded]] on the same (deterministically
+    * trained) artifacts.
+    */
+  def saveIvfPq(s: SparkSession, emb: DataFrame, dir: String,
+      cells: Int = 16, coarseIters: Int = 3, multiAssign: Int = 2,
+      subQ: Int = 8, codes: Int = 16, pqIters: Int = 3,
+      id: String = "id", vec: String = "vec"): Unit = {
+    import s.implicits._
+    val (cents, books, encoded) = IvfPqOps.trainEncode(
+      s, emb, cells, coarseIters, multiAssign, subQ, codes, pqIters, id, vec)
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    emb.select(col(id), col(vec)).write.mode("overwrite").parquet(s"$dir/vectors")
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    books.zipWithIndex.flatMap { case (book, qi) =>
+      book.zipWithIndex.map { case (cent, code) => (qi, code, cent) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Cosine top-k per query against a saved IVFADC index — bit-identical
+    * to [[IvfPqOps.ivfPqTopK]] with the same build parameters, reading
+    * only the probed cells' code partitions plus the re-rank joins.
+    */
+  def probeIvfPq(s: SparkSession, dir: String, queries: DataFrame, k: Int,
+      nProbe: Int = 6, rerank: Int = 100, excludeSelfId: Boolean = true,
+      maxProbeBatch: Int = 4096,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    import s.implicits._
+    val cents = readCentroids(s, dir)
+    val books = s.read.parquet(s"$dir/codebooks")
+      .as[(Int, Int, Array[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray // codebook-sized collect
+    val encoded = s.read.parquet(s"$dir/codes")
+    val vectors = s.read.parquet(s"$dir/vectors")
+    IvfPqOps.probeEncoded(s, cents, books, encoded, vectors, queries, k,
+      nProbe, rerank, excludeSelfId, maxProbeBatch, id, vec, qid, qvec)
+  }
+
   /** one index build per (session, dataset): the q65 entries both serve
     * from it instead of re-training twice per run, and the work tree is
     * removed on JVM exit

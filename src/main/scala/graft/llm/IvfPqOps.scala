@@ -36,15 +36,17 @@ import graft.rel.Tables
   */
 object IvfPqOps {
 
-  /** Approximate cosine top-k per query via IVFADC. Output: (qid, rn,
-    * id, cos, n_candidates = ADC-scored candidates before re-rank).
+  /** IVFADC index construction: coarse centroids, residual PQ
+    * codebooks, and the encoded corpus (id, cell, subQ code ids) —
+    * everything the probe side needs besides the full vectors for
+    * exact re-rank. [[ivfPqTopK]] consumes it in-memory;
+    * [[AnnIndex.saveIvfPq]] persists it.
     */
-  def ivfPqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = 16, coarseIters: Int = 3, nProbe: Int = 6, multiAssign: Int = 2,
-      subQ: Int = 8, codes: Int = 16, pqIters: Int = 3, rerank: Int = 100,
-      excludeSelfId: Boolean = true, maxProbeBatch: Int = 4096,
-      id: String = "id", vec: String = "vec",
-      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+  private[llm] def trainEncode(s: SparkSession, emb: DataFrame,
+      cells: Int, coarseIters: Int, multiAssign: Int,
+      subQ: Int, codes: Int, pqIters: Int,
+      id: String, vec: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
     import s.implicits._
     val norm = IvfOps.normalized(s, emb, id, vec).cache()
     val cents = IvfOps.trainCentroids(s, norm, cells, coarseIters)
@@ -74,6 +76,24 @@ object IvfPqOps {
       (i, c, Array.tabulate(subQ)(qi => PqOps.nearestCode(bb.value(qi), r, qi * sub)))
     }.toDF(id, "cell", "code")
     resid.unpersist()
+    (cents, books, encoded)
+  }
+
+  /** IVFADC probe against an index (in-memory or loaded): identical
+    * plan for both callers, so probing a SAVED index is bit-identical
+    * to train-and-probe. `vectors` is the (id, vec) store the
+    * top-`rerank` candidates join back to.
+    */
+  private[llm] def probeEncoded(s: SparkSession,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      encoded: DataFrame, vectors: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int, rerank: Int, excludeSelfId: Boolean, maxProbeBatch: Int,
+      id: String, vec: String, qid: String, qvec: String): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    val sub = books(0)(0).length
+    val subQ = books.length
+    val codes = books(0).length
     // per-query probe set + score tables, built on the driver from the
     // codebooks (ANN serves small probe batches; all broadcast):
     //   coarse(c)  = dot(q, centroid_c)           for each probed cell
@@ -104,9 +124,14 @@ object IvfPqOps {
     val probesDf = qInfo.toSeq
       .flatMap { case (q, (coarse, _)) => coarse.keys.map(c => (q, c)) }
       .toDF(qid, "cell")
-    // candidate generation: broadcast probe list ⋈ index on cell, then
-    // ADC scoring as a narrow map (subQ lookups + one add per row)
-    val scored = broadcast(probesDf).join(encoded, "cell")
+    // candidate generation: explicit cell filter (static partition
+    // pruning when `encoded` is a cell-partitioned parquet index; a
+    // no-op narrowing for the in-memory path) + broadcast probe list ⋈
+    // index on cell, then ADC scoring as a narrow map (subQ lookups +
+    // one add per row)
+    val probedCells = qInfo.values.flatMap(_._1.keys).toSeq.distinct
+    val scored = broadcast(probesDf)
+      .join(encoded.filter(col("cell").isin(probedCells: _*)), "cell")
       .filter(if (excludeSelfId) col(id) =!= col(qid) else lit(true))
       .select(col(qid), col(id), col("cell"), col("code"))
       .as[(Long, Long, Int, Array[Int])]
@@ -127,7 +152,7 @@ object IvfPqOps {
     val cand = graft.functions.TopK.perKeyTopK(scored, rerank, qid, id, "adc")
       .select(col(qid), col(id))
     val nc = scored.groupBy(qid).agg(count(lit(1)).as("n_candidates"))
-    val reranked = cand.join(emb.select(col(id), col(vec)), id)
+    val reranked = cand.join(vectors.select(col(id), col(vec)), id)
       .join(broadcast(queries.select(col(qid), col(qvec))), qid)
       .withColumn("cos",
         graft.functions.VecFunctions.vecCosine(s, col(qvec), col(vec)))
@@ -135,6 +160,21 @@ object IvfPqOps {
       .join(broadcast(nc), qid)
       .select(col(qid), col("rn"), col(id), col("cos"), col("n_candidates"))
       .orderBy(qid, "rn")
+  }
+
+  /** Approximate cosine top-k per query via IVFADC. Output: (qid, rn,
+    * id, cos, n_candidates = ADC-scored candidates before re-rank).
+    */
+  def ivfPqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16, coarseIters: Int = 3, nProbe: Int = 6, multiAssign: Int = 2,
+      subQ: Int = 8, codes: Int = 16, pqIters: Int = 3, rerank: Int = 100,
+      excludeSelfId: Boolean = true, maxProbeBatch: Int = 4096,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    val (cents, books, encoded) =
+      trainEncode(s, emb, cells, coarseIters, multiAssign, subQ, codes, pqIters, id, vec)
+    probeEncoded(s, cents, books, encoded, emb, queries, k,
+      nProbe, rerank, excludeSelfId, maxProbeBatch, id, vec, qid, qvec)
   }
 
   private def ivfPqTop5(s: SparkSession, d: String): DataFrame = {

@@ -27,6 +27,16 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("probeIvfPq on a saved IVFADC index equals ivfPqTopK bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx-pq").toString
+    AnnIndex.saveIvfPq(spark, emb, dir)
+    val got = AnnIndex.probeIvfPq(spark, dir, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    val want = graft.llm.IvfPqOps.ivfPqTopK(spark, emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
   test("streaming append finds new vectors; duplicate appends change nothing") {
     val s = spark
     import s.implicits._
