@@ -60,9 +60,17 @@ object Stitch {
     */
   def emitPieces(grid: BlockGrid): org.apache.spark.sql.Dataset[HaloPiece] = {
     val meta = grid.meta
+    grid.ds.flatMap(b => piecesOf(b, meta))
+  }
+
+  /** per-tile piece emission (pure) — the kernel behind [[emitPieces]],
+    * shared with the streaming stitch so both paths weight and slice
+    * identically
+    */
+  private[graft] def piecesOf(b: Block, meta: GridMeta): Seq[HaloPiece] = {
     val bs = meta.blocksize; val o = meta.overlap; val g = meta.blockGrid
     val c = meta.components
-    grid.ds.flatMap { b =>
+    locally {
       // weights are applied DURING piece extraction (fused multiply —
       // no full-tile clone); profiles are per-axis, tile-absolute
       val src = b.bi
@@ -118,6 +126,20 @@ object Stitch {
     }
   }
 
+  /** deterministic assembly of one output block from its halo pieces
+    * (srcKey-sorted f32 accumulation) — shared by [[stitchBlocks]] and
+    * the streaming stitch so both produce bit-identical blocks
+    */
+  private[graft] def assembleBlock(tx: Int, ty: Int, tz: Int,
+      pieces: Iterable[HaloPiece], meta: GridMeta): Block = {
+    val bs = meta.blocksize; val c = meta.components
+    val acc = new Array[Float](bs(0) * bs(1) * bs(2) * c)
+    pieces.toArray.sortBy(_.srcKey).foreach { p =>
+      Nd.addInto(acc, bs(0), bs(1), bs(2), c, p.data, p.x0, p.y0, p.z0, p.dx, p.dy, p.dz)
+    }
+    Block(BlockIndex(tx, ty, tz), bs(0), bs(1), bs(2), c, acc)
+  }
+
   /** Full stitch pipeline: weight -> halo exchange -> per-block sum.
     * Input chunks must be blocksize + 2*overlap per axis; output chunks
     * are exactly blocksize (the verified contract of stitch.py:94-121).
@@ -145,12 +167,8 @@ object Stitch {
     val merged = emitPieces(grid)
       .groupByKey(p => (p.tx, p.ty, p.tz))
       .mapGroups { (key, it) =>
-        val acc = new Array[Float](bs(0) * bs(1) * bs(2) * c)
-        // deterministic float32 accumulation: sort the <=27 pieces by source
-        it.toArray.sortBy(_.srcKey).foreach { p =>
-          Nd.addInto(acc, bs(0), bs(1), bs(2), c, p.data, p.x0, p.y0, p.z0, p.dx, p.dy, p.dz)
-        }
-        Block(BlockIndex(key._1, key._2, key._3), bs(0), bs(1), bs(2), c, acc)
+        // deterministic float32 accumulation: srcKey-sorted (assembleBlock)
+        assembleBlock(key._1, key._2, key._3, it.toSeq, meta)
       }
 
     BlockGrid(outMeta, merged)

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core.{Block, BlockGrid, GridMeta}
+import graft.stitch.{HaloPiece, Stitch}
+
+/** STREAMING stitch — the reference's core operator
+  * (stitch.py:94-121) reformulated for an unbounded tile stream:
+  * tiles arrive in ANY order (microscope acquisition order, transfer
+  * order …), each is weighted and sliced into its ≤27 destination
+  * pieces on arrival, and every output block is emitted EXACTLY when
+  * its last halo piece arrives — no barrier, no waiting for the full
+  * acquisition.
+  *
+  * Mechanics: the piece emission is the batch kernel
+  * ([[Stitch.piecesOf]]), the per-target completeness count is a pure
+  * function of the grid geometry (a target receives one piece from
+  * each in-grid ±1 neighbor tile, itself included), and state per
+  * in-flight block is its arrived pieces, removed at emission — peak
+  * state is bounded by the arrival disorder (blocks whose neighborhood
+  * is complete leave state immediately), not by the acquisition size.
+  * Assembly sorts pieces by srcKey exactly like the batch path
+  * ([[Stitch.assembleBlock]]), so every emitted block is BIT-IDENTICAL
+  * to `Stitch.stitchBlocks` on the same tiles
+  * (StreamingStitchSpec pins it over shuffled multi-batch arrival).
+  *
+  * A tile that never arrives leaves its 27 targets in state forever —
+  * the natural semantics for "the stitch is as complete as the data";
+  * a production deployment bounds that with a watermark on an
+  * acquisition-time column and a timeout emitting partial blocks
+  * (boundary=0 semantics), which this minimal core omits.
+  */
+object StreamingStitch {
+
+  /** pieces buffered for one in-flight output block */
+  final case class PieceBuf(pieces: Array[HaloPiece])
+
+  private implicit val blockEnc: Encoder[Block] = BlockGrid.blockEncoder
+  private implicit val pieceEnc: Encoder[HaloPiece] = Encoders.product[HaloPiece]
+  private implicit val bufEnc: Encoder[PieceBuf] = Encoders.product[PieceBuf]
+  private implicit val keyEnc: Encoder[(Int, Int, Int)] =
+    Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt)
+
+  /** number of pieces target block (x,y,z) must collect: one per
+    * in-grid ±1 neighbor tile (itself included) per axis combination
+    */
+  private[graft] def expectedPieces(x: Int, y: Int, z: Int, g: Array[Int]): Int = {
+    def axis(v: Int, n: Int): Int = 1 + (if (v > 0) 1 else 0) + (if (v < n - 1) 1 else 0)
+    axis(x, g(0)) * axis(y, g(1)) * axis(z, g(2))
+  }
+
+  /** Streaming stitch of `tiles` (extended blocksize+2·overlap chunks,
+    * the stitchBlocks input contract) under `meta`. Append-mode output:
+    * one finished Block per completed neighborhood.
+    */
+  def stitchStream(tiles: Dataset[Block], meta: GridMeta): Dataset[Block] = {
+    val g = meta.blockGrid
+    tiles
+      .flatMap(b => Stitch.piecesOf(b, meta))
+      .groupByKey(p => (p.tx, p.ty, p.tz))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (key: (Int, Int, Int), it: Iterator[HaloPiece], state: GroupState[PieceBuf]) => {
+          val arrived = (if (state.exists) state.get.pieces else Array.empty[HaloPiece]) ++ it
+          val need = expectedPieces(key._1, key._2, key._3, g)
+          require(arrived.length <= need,
+            s"block $key received ${arrived.length} pieces, expected $need — " +
+              "duplicate tiles in the stream")
+          if (arrived.length == need) {
+            state.remove()
+            Iterator.single(Stitch.assembleBlock(key._1, key._2, key._3, arrived.toSeq, meta))
+          } else {
+            state.update(PieceBuf(arrived))
+            Iterator.empty
+          }
+        })
+  }
+}

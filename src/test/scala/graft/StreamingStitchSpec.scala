@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.core.{Block, BlockGrid, BlockIndex, GridMeta}
+import graft.streaming.StreamingStitch
+import graft.stitch.Stitch
+
+/** The streaming stitch must emit blocks incrementally — each as soon
+  * as its neighborhood completes, regardless of tile arrival order —
+  * and every emitted block must be bit-identical to the batch
+  * `Stitch.stitchBlocks` on the same tiles.
+  */
+class StreamingStitchSpec extends SparkSpec {
+
+  private val bs = Array(6, 6, 6); private val o = Array(2, 2, 2)
+  private val g = Array(3, 2, 2)
+  private val meta = GridMeta(bs.map(_.toLong * 3), bs, o, g, 1).copy(
+    shape = Array(18L, 12L, 12L))
+
+  private def tiles: Seq[Block] = for {
+    x <- 0 until g(0); y <- 0 until g(1); z <- 0 until g(2)
+  } yield Block(BlockIndex(x, y, z), 10, 10, 10, 1,
+    Array.tabulate(1000)(i => (x * 131 + y * 37 + z * 11 + (i % 13)).toFloat * 0.25f))
+
+  test("shuffled multi-batch arrival: emitted blocks equal batch stitch bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val want = Stitch.stitchBlocks(BlockGrid.fromTiles(s, tiles, bs, o, g, 1))
+      .ds.collect().map(b => ((b.bi.bx, b.bi.by, b.bi.bz), b.data.toSeq)).toMap
+
+    val mem = MemoryStream[Block]
+    val q = StreamingStitch.stitchStream(mem.toDS(), meta)
+      .writeStream.format("memory").queryName("stream_stitch")
+      .outputMode("append").start()
+    try {
+      // three shuffled slices, processed as separate micro-batches
+      val shuffled = new scala.util.Random(5).shuffle(tiles)
+      shuffled.grouped(5).foreach { slice =>
+        mem.addData(slice: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = s.table("stream_stitch").as[Block].collect()
+      .map(b => ((b.bi.bx, b.bi.by, b.bi.bz), b.data.toSeq)).toMap
+    assert(got.keySet == want.keySet && got.keySet.size == 12)
+    got.keys.foreach(k => assert(got(k) == want(k), s"block $k differs"))
+  }
+
+  test("blocks emit incrementally, before the full acquisition arrives") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Block]
+    val q = StreamingStitch.stitchStream(mem.toDS(), meta)
+      .writeStream.format("memory").queryName("stream_stitch_inc")
+      .outputMode("append").start()
+    try {
+      // feed tiles x <= 1 only: every x=0 block's neighborhood is then
+      // complete (y and z span the whole 2-wide grid), every x>=1
+      // block still waits on an x=2 tile
+      val corner = tiles.filter(b => b.bi.bx <= 1)
+      mem.addData(corner: _*)
+      q.processAllAvailable()
+      val emitted = s.table("stream_stitch_inc").as[Block].collect()
+      assert(emitted.map(b => (b.bi.bx, b.bi.by, b.bi.bz)).toSet ==
+        Set((0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1)))
+      // the rest of the acquisition completes every remaining block
+      mem.addData(tiles.filterNot(b => b.bi.bx <= 1): _*)
+      q.processAllAvailable()
+      assert(s.table("stream_stitch_inc").count() == 12)
+    } finally q.stop()
+  }
+
+  test("expectedPieces counts in-grid neighbors per axis") {
+    // corner of a 3x2x2 grid: 2*2*2; interior x edge: 3*2*2
+    assert(StreamingStitch.expectedPieces(0, 0, 0, g) == 8)
+    assert(StreamingStitch.expectedPieces(1, 0, 1, g) == 12)
+    assert(StreamingStitch.expectedPieces(2, 1, 1, g) == 8)
+  }
+}
