@@ -22,6 +22,15 @@ object Graft {
     */
   def stitchBlocks(grid: BlockGrid): BlockGrid = Stitch.stitchBlocks(grid)
 
+  /** Streaming stitch: same contract over an unbounded tile stream —
+    * each output block emits when its last halo piece arrives,
+    * bit-identical to [[stitchBlocks]]
+    * ([[graft.streaming.StreamingStitch]]).
+    */
+  def stitchBlocksStream(tiles: org.apache.spark.sql.Dataset[core.Block],
+      meta: core.GridMeta): org.apache.spark.sql.Dataset[core.Block] =
+    streaming.StreamingStitch.stitchStream(tiles, meta)
+
   /** Dense blended deformation field from a grid of local affines
     * (local_affine.py:110-139); zero shuffles, broadcast side input.
     */

@@ -49,5 +49,31 @@ object SqlSurface {
              |  FROM embeddings q JOIN embeddings e
              |    ON q.vec_id BETWEEN 3 AND 5 AND e.vec_id != q.vec_id) t
              |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    // ---- explicit GROUPING SETS (the general form rollup/cube — q10,
+    //      q21 — specialize): ONE portable SQL text is executed
+    //      verbatim by BOTH engines, grouping() flags disambiguating
+    //      the aggregated-away NULLs, coalesce in ORDER BY because the
+    //      engines' NULL sort defaults differ ----
+    "q66_grouping_sets" -> Q(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(groupingSetsSql)
+      },
+      Some(groupingSetsSql)),
   )
+
+  /** a `def`, not a `val`: `all` captures it eagerly during object
+    * init, and a val declared after `all` would be null at that point
+    */
+  private def groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY g_status, g_prio, coalesce(o_orderstatus, ''),
+      |  coalesce(o_orderpriority, '')""".stripMargin
 }
