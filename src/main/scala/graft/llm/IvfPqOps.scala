@@ -75,6 +75,11 @@ object IvfPqOps {
     val encoded = resid.map { case (i, c, r) =>
       (i, c, Array.tabulate(subQ)(qi => PqOps.nearestCode(bb.value(qi), r, qi * sub)))
     }.toDF(id, "cell", "code")
+      .cache()
+    // materialize the (small) code table BEFORE dropping the residual
+    // cache — otherwise every downstream action would re-run the whole
+    // normalize + assign + encode lineage from the raw corpus
+    encoded.count()
     resid.unpersist()
     (cents, books, encoded)
   }
@@ -90,7 +95,6 @@ object IvfPqOps {
       nProbe: Int, rerank: Int, excludeSelfId: Boolean, maxProbeBatch: Int,
       id: String, vec: String, qid: String, qvec: String): DataFrame = {
     import s.implicits._
-    val bc = s.sparkContext.broadcast(cents)
     val sub = books(0)(0).length
     val subQ = books.length
     val codes = books(0).length
@@ -105,7 +109,7 @@ object IvfPqOps {
     val qn = qRows.sortBy(_._1)
     val qInfo: Map[Long, (Map[Int, Double], Array[Array[Double]])] =
       qn.map { case (q, v) =>
-        val probed = IvfOps.nearestCells(bc.value, v, nProbe)
+        val probed = IvfOps.nearestCells(cents, v, nProbe) // driver-side
         val coarse = probed.map { c =>
           var d = 0.0
           var j = 0
@@ -144,8 +148,11 @@ object IvfPqOps {
       }
       .toDF(qid, id, "adc")
       // a vector can reach a query through several of its assigned
-      // cells; keep its best ADC estimate (one row per candidate)
+      // cells; keep its best ADC estimate (one row per candidate).
+      // Cached: consumed by BOTH the re-rank heap and n_candidates —
+      // without it the candidate join + ADC scan would run twice
       .groupBy(qid, id).agg(max(col("adc")).as("adc"))
+      .cache()
     // bounded-heap top-`rerank` by ADC, then top-k by exact cosine — no
     // per-query global sort anywhere (TopK map-side partials cap the
     // shuffle at rerank/k rows per query per map partition)

@@ -149,7 +149,7 @@ object Stitch {
     * must only reach +-1 neighbors — beyond that the reference's np.pad
     * would raise, so we refuse rather than silently blend wrong).
     */
-  private def requireStitchable(meta: GridMeta): Unit =
+  private[graft] def requireStitchable(meta: GridMeta): Unit =
     (0 until 3).foreach { ax =>
       require(meta.overlap(ax) >= 1,
         s"stitch requires overlap >= 1 per axis (got ${meta.overlap(ax)} on axis $ax)")

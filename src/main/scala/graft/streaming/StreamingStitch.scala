@@ -33,8 +33,15 @@ import graft.stitch.{HaloPiece, Stitch}
   */
 object StreamingStitch {
 
-  /** pieces buffered for one in-flight output block */
-  final case class PieceBuf(pieces: Array[HaloPiece])
+  /** pieces buffered for one in-flight output block; after emission the
+    * state collapses to an empty TOMBSTONE (`done = true`) so replayed
+    * tiles from an at-least-once source are dropped idempotently
+    * instead of re-opening the block and emitting a duplicate. The
+    * tombstone is a few bytes per emitted block; a deployment that
+    * can't keep them pairs the stream with a watermark + timeout
+    * eviction instead.
+    */
+  final case class PieceBuf(pieces: Array[HaloPiece], done: Boolean)
 
   private implicit val blockEnc: Encoder[Block] = BlockGrid.blockEncoder
   private implicit val pieceEnc: Encoder[HaloPiece] = Encoders.product[HaloPiece]
@@ -55,23 +62,33 @@ object StreamingStitch {
     * one finished Block per completed neighborhood.
     */
   def stitchStream(tiles: Dataset[Block], meta: GridMeta): Dataset[Block] = {
+    Stitch.requireStitchable(meta) // same geometry contract as the batch
+    // path — without it, o=0 would leave every block waiting forever
+    // and 2o>bs would silently blend wrong
     val g = meta.blockGrid
     tiles
       .flatMap(b => Stitch.piecesOf(b, meta))
       .groupByKey(p => (p.tx, p.ty, p.tz))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
         (key: (Int, Int, Int), it: Iterator[HaloPiece], state: GroupState[PieceBuf]) => {
-          val arrived = (if (state.exists) state.get.pieces else Array.empty[HaloPiece]) ++ it
-          val need = expectedPieces(key._1, key._2, key._3, g)
-          require(arrived.length <= need,
-            s"block $key received ${arrived.length} pieces, expected $need — " +
-              "duplicate tiles in the stream")
-          if (arrived.length == need) {
-            state.remove()
-            Iterator.single(Stitch.assembleBlock(key._1, key._2, key._3, arrived.toSeq, meta))
-          } else {
-            state.update(PieceBuf(arrived))
+          if (state.exists && state.get.done) {
+            // replayed tiles after emission: drop idempotently
             Iterator.empty
+          } else {
+            val arrived = (if (state.exists) state.get.pieces
+              else Array.empty[HaloPiece]) ++ it
+            val need = expectedPieces(key._1, key._2, key._3, g)
+            require(arrived.length <= need,
+              s"block $key received ${arrived.length} pieces, expected $need — " +
+                "duplicate tiles in the stream")
+            if (arrived.length == need) {
+              state.update(PieceBuf(Array.empty, done = true)) // tombstone
+              Iterator.single(
+                Stitch.assembleBlock(key._1, key._2, key._3, arrived.toSeq, meta))
+            } else {
+              state.update(PieceBuf(arrived, done = false))
+              Iterator.empty
+            }
           }
         })
   }

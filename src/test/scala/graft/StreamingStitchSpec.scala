@@ -72,6 +72,35 @@ class StreamingStitchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tiles replayed AFTER emission are dropped idempotently (at-least-once source)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Block]
+    val q = StreamingStitch.stitchStream(mem.toDS(), meta)
+      .writeStream.format("memory").queryName("stream_stitch_replay")
+      .outputMode("append").start()
+    try {
+      mem.addData(tiles: _*)
+      q.processAllAvailable()
+      assert(s.table("stream_stitch_replay").count() == 12)
+      // full replay: every block already emitted -> tombstones drop all
+      mem.addData(tiles: _*)
+      q.processAllAvailable()
+      assert(s.table("stream_stitch_replay").count() == 12)
+    } finally q.stop()
+  }
+
+  test("invalid geometry fails fast, like the batch path") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Block]
+    intercept[IllegalArgumentException] {
+      StreamingStitch.stitchStream(mem.toDS(), meta.copy(overlap = Array(0, 2, 2)))
+    }
+  }
+
   test("expectedPieces counts in-grid neighbors per axis") {
     // corner of a 3x2x2 grid: 2*2*2; interior x edge: 3*2*2
     assert(StreamingStitch.expectedPieces(0, 0, 0, g) == 8)
