@@ -101,6 +101,41 @@ class StreamingStitchSpec extends SparkSpec {
     }
   }
 
+  test("random geometries: streaming equals batch bit-for-bit under shuffled arrival") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val r = new scala.util.Random(12)
+    (1 to 3).foreach { round =>
+      def pick(lo: Int, hi: Int) = lo + r.nextInt(hi - lo + 1)
+      val rbs = Array(pick(4, 9), pick(4, 9), pick(4, 9))
+      val ro = rbs.map(b => pick(1, b / 2))
+      val rg = Array(pick(1, 3), pick(1, 3), pick(1, 3))
+      val rMeta = GridMeta(Array.tabulate(3)(i => rbs(i).toLong * rg(i)), rbs, ro, rg, 1)
+      val cs = Array.tabulate(3)(i => rbs(i) + 2 * ro(i))
+      val rTiles = for {
+        x <- 0 until rg(0); y <- 0 until rg(1); z <- 0 until rg(2)
+      } yield Block(BlockIndex(x, y, z), cs(0), cs(1), cs(2), 1,
+        Array.tabulate(cs(0) * cs(1) * cs(2))(i =>
+          (x * 7 + y * 5 + z * 3 + (i % 17)).toFloat * 0.5f))
+      val want = Stitch.stitchBlocks(BlockGrid.fromTiles(s, rTiles, rbs, ro, rg, 1))
+        .ds.collect().map(b => ((b.bi.bx, b.bi.by, b.bi.bz), b.data.toSeq)).toMap
+      val mem = MemoryStream[Block]
+      val q = StreamingStitch.stitchStream(mem.toDS(), rMeta)
+        .writeStream.format("memory").queryName(s"stream_stitch_rand$round")
+        .outputMode("append").start()
+      try {
+        r.shuffle(rTiles).grouped(4).foreach { slice =>
+          mem.addData(slice: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = s.table(s"stream_stitch_rand$round").as[Block].collect()
+        .map(b => ((b.bi.bx, b.bi.by, b.bi.bz), b.data.toSeq)).toMap
+      assert(got == want, s"geometry bs=${rbs.toSeq} o=${ro.toSeq} g=${rg.toSeq} differs")
+    }
+  }
+
   test("expectedPieces counts in-grid neighbors per axis") {
     // corner of a 3x2x2 grid: 2*2*2; interior x edge: 3*2*2
     assert(StreamingStitch.expectedPieces(0, 0, 0, g) == 8)
