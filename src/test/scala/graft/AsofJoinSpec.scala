@@ -43,6 +43,33 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(0).getTimestamp(out(0).fieldIndex("rts")) == t(9)) // same row's ts
   }
 
+  test("random corpora: asof equals the brute-force most-recent-at-or-before") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Int) = new Timestamp(sec * 1000L)
+    Seq(31, 77).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      // duplicate timestamps ON PURPOSE — the tie semantics (>= match)
+      // must hold under collisions too; rid tie-break makes the brute
+      // force deterministic the same way the engine's ordering is
+      val left = Seq.tabulate(120)(i => (r.nextInt(6).toLong, t(r.nextInt(40)), i.toLong))
+      val right = Seq.tabulate(80)(i => (r.nextInt(6).toLong, t(r.nextInt(40)), i.toLong))
+      val got = AsofJoin.asof(
+          left.toDF("user_id", "ts", "lid"),
+          right.toDF("user_id", "ts", "rid"), "user_id", "ts",
+          Map("rid" -> "matched"))
+        .select("lid", "matched").collect()
+        .map(row => row.getLong(0) -> (if (row.isNullAt(1)) -1L else row.getLong(1)))
+        .toMap
+      val want = left.map { case (u, ts, lid) =>
+        val cands = right.filter(x => x._1 == u && !x._2.after(ts))
+        lid -> (if (cands.isEmpty) -1L
+          else cands.maxBy(x => (x._2.getTime, x._3))._3)
+      }.toMap
+      assert(got == want, s"seed=$seed: ${(got.toSet -- want.toSet).take(5)}")
+    }
+  }
+
   test("driver entry() returns rows on sf0.001") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
