@@ -530,6 +530,10 @@ object LlmOps {
     "q60_curation_pipeline" -> Q(
       (s, d) => {
         val dd = docs(s, d)
+        // qual feeds both the eligibility gate and the final stats join;
+        // persisting the per-doc scalars (4 columns, no text) saves a full
+        // second tokenize pass over the corpus — at 100 TB this is the
+        // difference between one scan and two.
         val qual = dd
           .select(col("doc_id"), toks(col("text")).as("t"))
           .select(col("doc_id"), size(col("t")).as("n_tokens"),
@@ -538,6 +542,7 @@ object LlmOps {
             round(col("stop_cnt") * lit(1000.0) / col("n_tokens"), 0).cast("long"))
           .withColumn("good",
             col("n_tokens") >= 20 && col("stop_milli").between(10, 500))
+          .persist()
         val t = toks(col("text"))
         def hits(words: Seq[String]): Column =
           size(filter(t, x => x.isin(words: _*)))
@@ -556,7 +561,11 @@ object LlmOps {
           .join(lang.filter(col("is_en")).select("doc_id"), "doc_id")
         val ex = elig.groupBy(col("text"))
           .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-        val survivors = dd.join(ex, "doc_id")
+        // survivors feed the pair join AND the final anti-join; persist
+        // (memory-and-disk, spill-safe) so the gate+dedup stages upstream
+        // run once. A production run at scale would write this boundary
+        // to parquet instead — same plan cut, durable across job retries.
+        val survivors = dd.join(ex, "doc_id").persist()
         val pairs = Dedup.jaccardPairs(s,
           survivors.select(col("doc_id").as("id"), col("text")), minJaccard = 0.9)
         val dropped = Dedup.connectedComponents(pairs)
