@@ -34,22 +34,42 @@ object Wav {
     bb.array()
   }
 
-  /** wrap signed 16-bit PCM samples (little-endian shorts) as a WAV blob */
-  def build16(sampleRate: Int, data: Array[Short]): Array[Byte] = {
+  /** wrap signed 16-bit PCM samples (little-endian shorts) as a mono WAV blob */
+  def build16(sampleRate: Int, data: Array[Short]): Array[Byte] =
+    build16(sampleRate, 1, data)
+
+  /** wrap channel-INTERLEAVED signed 16-bit PCM frames as a WAV blob
+    * (`data` holds frame 0's samples for channels 0..c-1, then frame 1's,
+    * … — the canonical WAV interleaving)
+    */
+  def build16(sampleRate: Int, channels: Int, data: Array[Short]): Array[Byte] = {
+    require(channels >= 1, s"channels must be >= 1, got $channels")
+    require(data.length % channels == 0,
+      s"${data.length} samples do not divide into $channels channels")
     val n = data.length * 2
+    val align = channels * 2
     val bb = ByteBuffer.allocate(44 + n).order(ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
       .put("WAVE".getBytes("US-ASCII"))
     bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1) // PCM
-      .putShort(1) // mono
+      .putShort(channels.toShort)
       .putInt(sampleRate)
-      .putInt(sampleRate * 2) // byte rate = rate × block align (2)
-      .putShort(2) // block align
+      .putInt(sampleRate * align) // byte rate = rate × block align
+      .putShort(align.toShort) // block align
       .putShort(16) // bits per sample
     bb.put("data".getBytes("US-ASCII")).putInt(n)
     data.foreach(bb.putShort)
     bb.array()
+  }
+
+  /** channel `c` of an interleaved PCM payload (strided view copy) */
+  def channel(p: Pcm, c: Int): Array[Int] = {
+    require(c >= 0 && c < p.channels, s"channel $c of ${p.channels}")
+    require(p.samples.length % p.channels == 0,
+      s"${p.samples.length} samples do not divide into ${p.channels} channels")
+    val frames = p.samples.length / p.channels
+    Array.tabulate(frames)(f => p.samples(f * p.channels + c))
   }
 
   private def fourcc(bb: ByteBuffer): String = {
@@ -82,6 +102,7 @@ object Wav {
           val fmt = bb.getShort()
           require(fmt == 1, s"only PCM supported, got format $fmt")
           channels = bb.getShort()
+          require(channels >= 1, s"channel count must be >= 1, got $channels")
           rate = bb.getInt
           bb.getInt // byte rate (derived; ignored)
           bb.getShort // block align (derived; ignored)

@@ -100,6 +100,52 @@ object ImageOps {
       .orderBy("doc_id")
   }
 
+  /** STEREO audio decode over channel-interleaved 16-bit WAV blobs:
+    * per-channel sum and peak |v| plus the frame-paired integer dot
+    * product Σ l[i]·r[i] — the dot is what pins the DE-INTERLEAVING
+    * (an off-by-one or channel swap changes the pairing, not just the
+    * marginals). Left/right are distinct closed-form waveforms so a
+    * swap flips l_sum/r_sum too.
+    */
+  def stereoFeatures(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val blobs = docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (50 + id % 37).toInt
+        val inter = new Array[Short](2 * n)
+        var i = 0
+        while (i < n) {
+          inter(2 * i) = ((id * 13 + i * 7) % 4001 - 2000).toShort
+          inter(2 * i + 1) = ((id * 19 + i * 11) % 4001 - 2000).toShort
+          i += 1
+        }
+        (id, graft.io.Wav.build16(16000, 2, inter))
+      }
+      .toDF("doc_id", "wav")
+    blobs.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val p = graft.io.Wav.parse(bytes)
+          require(p.channels == 2, s"doc $id: expected stereo, got ${p.channels}")
+          val l = graft.io.Wav.channel(p, 0)
+          val r = graft.io.Wav.channel(p, 1)
+          var lSum = 0L; var rSum = 0L; var lPeak = 0; var rPeak = 0; var dot = 0L
+          var i = 0
+          while (i < l.length) {
+            lSum += l(i); rSum += r(i)
+            val la = math.abs(l(i)); if (la > lPeak) lPeak = la
+            val ra = math.abs(r(i)); if (ra > rPeak) rPeak = ra
+            dot += l(i).toLong * r(i)
+            i += 1
+          }
+          (id, p.channels, l.length.toLong, lSum, rSum, lPeak, rPeak, dot)
+        }
+      }
+      .toDF("doc_id", "channels", "n_frames", "l_sum", "r_sum",
+        "l_peak_abs", "r_peak_abs", "lr_dot")
+      .orderBy("doc_id")
+  }
+
   /** frame-sample over FSEQ video blobs: every 3rd frame's bytes only */
   def frameSampleFeatures(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
@@ -194,6 +240,29 @@ object ImageOps {
              |FROM dims d JOIN en e USING (doc_id)
              |LEFT JOIN zc z ON d.doc_id = z.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- STEREO decode: two distinct closed-form waveforms interleaved
+    //      as 2-channel 16-bit PCM; the frame-paired dot product pins
+    //      the de-interleaving itself, the distinct marginals pin
+    //      channel identity ----
+    "q68_stereo_decode" -> Q(
+      (s, d) => stereoFeatures(s, Tables.documents(s, d)),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 50 + doc_id % 37 AS n FROM documents),
+             |smp AS (
+             |  -- n <= 86; frame i: left (id*13+i*7)%4001-2000,
+             |  --                   right (id*19+i*11)%4001-2000
+             |  SELECT d.doc_id, i.i,
+             |         (d.doc_id*13 + i.i*7) % 4001 - 2000 AS l,
+             |         (d.doc_id*19 + i.i*11) % 4001 - 2000 AS r
+             |  FROM dims d, range(86) i(i)
+             |  WHERE i.i < d.n)
+             |SELECT doc_id, 2 AS channels, CAST(count(*) AS BIGINT) AS n_frames,
+             |       CAST(sum(l) AS BIGINT) AS l_sum, CAST(sum(r) AS BIGINT) AS r_sum,
+             |       CAST(max(abs(l)) AS INT) AS l_peak_abs,
+             |       CAST(max(abs(r)) AS INT) AS r_peak_abs,
+             |       CAST(sum(l*r) AS BIGINT) AS lr_dot
+             |FROM smp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- video frame-sample: every 3rd frame of an 8×6 gray FSEQ
     //      blob, summing only sampled frames' bytes — the oracle walks

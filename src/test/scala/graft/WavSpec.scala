@@ -58,6 +58,20 @@ class WavSpec extends AnyFunSuite {
     assert(p.samples.toSeq == data.map(_.toInt).toSeq)
   }
 
+  test("stereo build16/parse round-trip de-interleaves per channel") {
+    val l = Array[Short](10, -20, 30, -40)
+    val r = Array[Short](1, 2, -3, Short.MinValue)
+    val inter = Array.tabulate(8)(i => if (i % 2 == 0) l(i / 2) else r(i / 2))
+    val p = Wav.parse(Wav.build16(48000, 2, inter))
+    assert(p.channels == 2)
+    assert(p.samples.length == 8) // interleaved payload intact
+    assert(Wav.channel(p, 0).toSeq == l.map(_.toInt).toSeq)
+    assert(Wav.channel(p, 1).toSeq == r.map(_.toInt).toSeq)
+    intercept[IllegalArgumentException](Wav.channel(p, 2))
+    // samples not divisible into channels must fail, not truncate
+    intercept[IllegalArgumentException](Wav.build16(48000, 2, Array[Short](1, 2, 3)))
+  }
+
   test("malformed blobs fail loudly, not with garbage features") {
     val ok = Wav.build8(16000, Array[Byte](1, 2, 3))
     intercept[IllegalArgumentException](Wav.parse(ok.take(20))) // truncated
