@@ -97,6 +97,21 @@ object Ann {
     PqOps.pqTopK(s, emb, queries, k, subQ, codes, iters, rerank,
       excludeSelfId, maxProbeBatch, id, vec, qid, qvec)
 
+  /** Approximate cosine top-k via OPTIMIZED product quantization
+    * ([[OpqOps.opqTopK]]): a learned orthogonal rotation (trained on the
+    * deterministic sample by alternating codebook fit and a Procrustes
+    * step) applied before the PQ split, so cross-subspace correlation is
+    * captured instead of wasted. Same output shape as [[pqTopK]].
+    */
+  def opqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+      subQ: Int = 8, codes: Int = 16, iters: Int = 3, rerank: Int = 100,
+      opqIters: Int = 8,
+      excludeSelfId: Boolean = true, maxProbeBatch: Int = 4096,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame =
+    OpqOps.opqTopK(s, emb, queries, k, subQ, codes, iters, rerank, opqIters,
+      excludeSelfId, maxProbeBatch, id, vec, qid, qvec)
+
   /** Approximate cosine top-k via IVFADC ([[IvfPqOps.ivfPqTopK]]): IVF
     * cell pruning composed with PQ residual codes — the 10⁹-vector
     * architecture (prune the scan AND compress what's scanned). Output:

@@ -35,7 +35,7 @@ object PqOps {
   private def sq(x: Double): Double = x * x
 
   /** greedy farthest-point selection over sampled subvectors */
-  private def kCenter(pts: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+  private[llm] def kCenter(pts: Array[Array[Double]], k: Int): Array[Array[Double]] = {
     val n = pts.length
     val chosen = scala.collection.mutable.ArrayBuffer(0)
     val minD = Array.fill(n)(Double.MaxValue)
@@ -70,7 +70,7 @@ object PqOps {
     best
   }
 
-  private def normalized(s: SparkSession, df: DataFrame, id: String, vec: String) = {
+  private[llm] def normalized(s: SparkSession, df: DataFrame, id: String, vec: String) = {
     import s.implicits._
     df.select(col(id), col(vec)).as[(Long, Seq[Float])]
       .map { case (i, v) =>
@@ -146,14 +146,28 @@ object PqOps {
     * with a clear message instead of silently OOMing the driver. Larger
     * query sets should be chunked by the caller (each chunk is an
     * independent probe).
+    *
+    * `rotation` (OPQ, [[OpqOps]]): an orthogonal d×d matrix applied to the
+    * normalized corpus AND query vectors before quantization. Rotation
+    * preserves dot products, so the ADC scores still approximate the
+    * original cosine — only the subspace decomposition changes (that is
+    * the point: the rotation is trained to make the split quantize well).
+    * The exact re-rank reads the ORIGINAL vectors either way.
     */
   def pqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
       subQ: Int = 8, codes: Int = 16, iters: Int = 3, rerank: Int = 100,
       excludeSelfId: Boolean = true, maxProbeBatch: Int = 4096,
       id: String = "id", vec: String = "vec",
-      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+      qid: String = "qid", qvec: String = "qvec",
+      rotation: Option[Array[Array[Double]]] = None): DataFrame = {
     import s.implicits._
-    val norm = normalized(s, emb, id, vec).cache()
+    val bR = rotation.map(s.sparkContext.broadcast(_))
+    def rot(v: Array[Double]): Array[Double] = bR match {
+      case Some(b) => OpqOps.matVec(b.value, v)
+      case None => v
+    }
+    val norm = normalized(s, emb, id, vec)
+      .map { case (i, v) => (i, rot(v)) }.cache()
     val books = trainCodebooks(s, norm.map { case (i, v) => (i, 0, v) }, subQ, codes, iters)
     val bc = s.sparkContext.broadcast(books)
     val sub = books(0)(0).length
@@ -170,7 +184,8 @@ object PqOps {
     require(qRows.length <= maxProbeBatch,
       s"pqTopK probe batch exceeds maxProbeBatch=$maxProbeBatch — chunk the query set")
     val qTables = qRows.sortBy(_._1)
-      .map { case (q, v) =>
+      .map { case (q, v0) =>
+        val v = rot(v0) // same space as the codebooks
         (q, Array.tabulate(subQ, codes) { (qi, c) =>
           var d = 0.0
           var j = 0

@@ -53,6 +53,15 @@ class LibraryApiSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("Ann.opqTopK matches the q69 driver entry") {
+    val q = emb.filter(col("id") < 8).select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = Ann.opqTopK(spark, emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = graft.llm.OpqOps.all("q69_opq_ann").fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
+
   test("Ann.ivfPqTopK matches the q56 driver entry") {
     val q = emb.filter(col("id") < 8).select(col("id").as("qid"), col("vec").as("qvec"))
     val got = Ann.ivfPqTopK(spark, emb, q, 5).collect()
