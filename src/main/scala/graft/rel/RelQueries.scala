@@ -688,5 +688,32 @@ object RelQueries {
              |      JOIN r ON s.d BETWEEN r.d_start AND r.d_end GROUP BY s.d)
              |SELECT DATE '1970-01-01' + CAST(s.d AS INT) AS day, COALESCE(c.n_open, 0) AS n_open
              |FROM spine s LEFT JOIN c USING (d) ORDER BY day""".stripMargin)),
+
+    // ---- Bloom RUNTIME semi-join ([[BloomJoin]]): lineitem is
+    //      pre-filtered by a Bloom filter of the URGENT orders' keys
+    //      BEFORE the join shuffle — ~80% of the fact rows never enter
+    //      the exchange. Results are exact regardless of fpp (the join
+    //      eliminates false positives), so the oracle is the plain
+    //      join. BloomJoinSpec pins the plan shape (probe below the
+    //      exchange, codegen'd); BloomBench measures the shuffle cut.
+    //      expectedNdv overestimates (wastes bits, never correctness).
+    "q70_bloom_join" -> Q(
+      (s, d) => {
+        val urgent = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("l_orderkey"))
+        val li = lineitem(s, d).select(col("l_orderkey"),
+          col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+        BloomJoin.bloomEquiJoin(s, li, urgent, "l_orderkey", expectedNdv = 100000)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
   )
 }
