@@ -85,6 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VecFunctions.vecDotDescriptor)
     ext.injectFunction(VecFunctions.vecCosineDescriptor)
+    ext.injectFunction(ZValue.descriptor)
   }
 }
 

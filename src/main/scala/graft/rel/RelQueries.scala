@@ -715,5 +715,48 @@ object RelQueries {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_orderpriority = '1-URGENT'
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- Z-ORDER clustered layout ([[graft.io.Layout.zorderWrite]]):
+    //      lineitem rewritten clustered along the Morton curve of
+    //      (l_partkey, l_suppkey), then a RECTANGLE predicate on both
+    //      columns reads it back. The entry pins that the layout
+    //      rewrite PRESERVES the data (oracle = the same rectangle on
+    //      the original table); the scan-byte cut the clustering exists
+    //      for is measured in LayoutBench (BASELINE.md) — row-group
+    //      min/max pruning is an IO effect, invisible to row results.
+    "q71_zorder_scan" -> Q(
+      (s, d) => {
+        val dir = zorderDirFor(s, d)
+        s.read.parquet(dir)
+          .filter(col("l_partkey").between(100, 300) &&
+            col("l_suppkey").between(10, 40))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"),
+            cents(col("l_extendedprice")).as("sum_base_cents"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
   )
+
+  /** one z-ordered lineitem rewrite per dataset for the q71 entry */
+  private val zordered = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def zorderDirFor(s: SparkSession, d: String): String =
+    zordered.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft-q71")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      graft.io.Layout.zorderWrite(s, lineitem(s, d),
+        "l_partkey", "l_suppkey", work.toString, files = 8)
+      work.toString
+    })
 }
