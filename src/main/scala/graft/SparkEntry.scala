@@ -24,7 +24,8 @@ object SparkEntry {
       graft.llm.IvfOps.all ++ graft.rel.SqlSurface.all ++
       graft.llm.SketchAggOps.all ++ graft.streaming.StreamingOps.all ++
       graft.llm.PqOps.all ++ graft.llm.IvfPqOps.all ++ graft.llm.ImageOps.all ++
-      graft.llm.AnnIndex.all ++ graft.llm.DedupIndex.all ++ graft.llm.OpqOps.all
+      graft.llm.AnnIndex.all ++ graft.llm.DedupIndex.all ++ graft.llm.OpqOps.all ++
+      graft.llm.Bpe.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
