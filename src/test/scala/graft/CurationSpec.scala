@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Curation
+
+/** Decontamination and PII scrubbing: gram windows must match the
+  * 3-gram hash family's conventions, planted eval overlap must be found
+  * (and only it), and the scrub must count and redact exactly.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("gramHashes: windows, dedup, and the k=3 case matches shingles64Of") {
+    val toks = "a b c d c d a b c".split(" ")
+    assert(Curation.gramHashes(toks, 3).toSeq ==
+      graft.llm.SketchOps.shingles64Of(toks).distinct.toSeq)
+    assert(Curation.gramHashes("a b".split(" "), 3).isEmpty)
+    // 'x y x y x y': grams (x y x),(y x y),(x y x),(y x y) → 2 distinct
+    assert(Curation.gramHashes("x y x y x y".split(" "), 3).length == 2)
+  }
+
+  test("contamination finds exactly the docs overlapping the eval set") {
+    val s = spark
+    import s.implicits._
+    val w = (n: Int, seed: Int) =>
+      Array.tabulate(n)(i => s"w${(i * 31 + seed * 7919) % 97}").mkString(" ")
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val train = Seq(
+      (0L, s"${w(20, 1)} $shared ${w(5, 2)}"), // contains the eval 10-gram run
+      (1L, w(40, 3)), // disjoint
+      (2L, shared) // IS the shared run
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, s"${w(6, 9)} $shared")).toDF("doc_id", "text")
+    val got = Curation.contamination(s, train, eval, k = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the shared run has 10 tokens → 3 distinct 8-grams
+    assert(got == Map(0L -> 3L, 2L -> 3L), s"got $got")
+  }
+
+  test("piiScrub counts and redacts emails and phones exactly") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "mail me at a.b_c1@host9.org or x@y.io thanks"),
+      (1L, "call +1-415-555-0134 or +1-212-555-0188 now"),
+      (2L, "clean text, no pii at all")
+    ).toDF("doc_id", "text")
+    val got = Curation.piiScrub(s, docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq.sortBy(_._1)
+    assert(got(0)._2 == 2 && got(0)._3 == 0)
+    assert(got(0)._4 == "mail me at [EMAIL] or [EMAIL] thanks")
+    assert(got(1)._2 == 0 && got(1)._3 == 2)
+    assert(got(1)._4 == "call [PHONE] or [PHONE] now")
+    assert(got(2)._2 == 0 && got(2)._3 == 0 && got(2)._4 == "clean text, no pii at all")
+  }
+}
