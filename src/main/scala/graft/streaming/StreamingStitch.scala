@@ -61,17 +61,53 @@ object StreamingStitch {
     * the stitchBlocks input contract) under `meta`. Append-mode output:
     * one finished Block per completed neighborhood.
     */
-  def stitchStream(tiles: Dataset[Block], meta: GridMeta): Dataset[Block] = {
+  def stitchStream(tiles: Dataset[Block], meta: GridMeta): Dataset[Block] =
+    stitchStreamImpl(tiles, meta, None)
+
+  /** [[stitchStream]] with BOUNDED WAITING: a block whose neighborhood
+    * has not completed `partialAfterMs` after its last piece arrived is
+    * emitted PARTIAL — missing pieces contribute zero, exactly the
+    * `boundary=0.` semantics the batch path applies at the domain edge
+    * (stitch.py:113-121), now applied at the data's edge. "The stitch
+    * is as complete as the data, and it finishes." Pieces arriving
+    * after the partial emission are dropped idempotently (the same
+    * tombstone that makes replays safe), so an at-least-once source
+    * cannot double-blend a timed-out block.
+    *
+    * Deployment note: pair this with a real trigger interval
+    * (`.trigger(Trigger.ProcessingTime(...))`) — processing-time
+    * timeouts fire in no-data micro-batches, and the default
+    * as-fast-as-possible trigger turns an idle stalled stream into a
+    * busy loop of empty state-store commits.
+    */
+  def stitchStream(tiles: Dataset[Block], meta: GridMeta,
+      partialAfterMs: Long): Dataset[Block] = {
+    require(partialAfterMs > 0, s"partialAfterMs must be > 0, got $partialAfterMs")
+    stitchStreamImpl(tiles, meta, Some(partialAfterMs))
+  }
+
+  private def stitchStreamImpl(tiles: Dataset[Block], meta: GridMeta,
+      partialAfterMs: Option[Long]): Dataset[Block] = {
     Stitch.requireStitchable(meta) // same geometry contract as the batch
     // path — without it, o=0 would leave every block waiting forever
     // and 2o>bs would silently blend wrong
     val g = meta.blockGrid
+    val timeoutConf = if (partialAfterMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     tiles
       .flatMap(b => Stitch.piecesOf(b, meta))
       .groupByKey(p => (p.tx, p.ty, p.tz))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         (key: (Int, Int, Int), it: Iterator[HaloPiece], state: GroupState[PieceBuf]) => {
-          if (state.exists && state.get.done) {
+          if (state.hasTimedOut) {
+            // acquisition stalled for this block: emit what arrived
+            // (absent pieces are zero — boundary=0 at the data's edge)
+            val buf = state.get
+            state.update(PieceBuf(Array.empty, done = true)) // tombstone
+            if (buf.done || buf.pieces.isEmpty) Iterator.empty
+            else Iterator.single(
+              Stitch.assembleBlock(key._1, key._2, key._3, buf.pieces.toSeq, meta))
+          } else if (state.exists && state.get.done) {
             // replayed tiles after emission: drop idempotently
             Iterator.empty
           } else {
@@ -87,6 +123,9 @@ object StreamingStitch {
                 Stitch.assembleBlock(key._1, key._2, key._3, arrived.toSeq, meta))
             } else {
               state.update(PieceBuf(arrived, done = false))
+              // the clock restarts on each arrival: "stalled" means no
+              // progress for the duration, not slow acquisition
+              partialAfterMs.foreach(state.setTimeoutDuration)
               Iterator.empty
             }
           }

@@ -72,6 +72,77 @@ class StreamingStitchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("timeout emits PARTIAL blocks (missing pieces = zero), then late tiles are dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // 4-wide grid: x=3 blocks receive NO pieces from the partial feed,
+    // so they must stay silent through the stall and complete late
+    val g4 = Array(4, 2, 2)
+    val meta4 = GridMeta(Array(24L, 12L, 12L), bs, o, g4, 1)
+    val tiles4: Seq[Block] = for {
+      x <- 0 until 4; y <- 0 until 2; z <- 0 until 2
+    } yield Block(BlockIndex(x, y, z), 10, 10, 10, 1,
+      Array.tabulate(1000)(i => (x * 131 + y * 37 + z * 11 + (i % 13)).toFloat * 0.25f))
+    val mem = MemoryStream[Block]
+    val q = StreamingStitch.stitchStream(mem.toDS(), meta4, partialAfterMs = 5000L)
+      .writeStream.format("memory").queryName("stream_stitch_to")
+      // a real trigger interval: timeouts fire via paced no-data
+      // batches instead of a busy loop (the deployment guidance in the
+      // stitchStream scaladoc)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .outputMode("append").start()
+    // processAllAvailable never returns while processing-time timeouts
+    // are pending (the engine always has another no-data batch
+    // scheduled), so this test synchronizes by polling the sink
+    def awaitCount(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (s.table("stream_stitch_to").count() < n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(s.table("stream_stitch_to").count() >= n,
+        s"sink stuck below $n rows")
+    }
+    try {
+      // feed only the x <= 1 tiles: the four x=0 blocks complete, the
+      // x=1/x=2 blocks wait on x>=2 tiles that never come
+      val fed = tiles4.filter(_.bi.bx <= 1)
+      mem.addData(fed: _*)
+      awaitCount(4)
+      // expected: the batch kernels applied to the pieces that DID
+      // arrive — absent neighbors contribute zero
+      val want = fed.flatMap(b => Stitch.piecesOf(b, meta4))
+        .groupBy(p => (p.tx, p.ty, p.tz))
+        .map { case (k, ps) =>
+          k -> Stitch.assembleBlock(k._1, k._2, k._3, ps, meta4).data.toSeq
+        }
+      // the stall passes → no-data batches fire the timeouts: every
+      // block with >=1 arrived piece emits (x<=1 complete-or-partial,
+      // x=2 partial); x=3 blocks have no state and stay silent
+      awaitCount(want.size.toLong)
+      val got = s.table("stream_stitch_to").as[Block].collect()
+        .map(b => ((b.bi.bx, b.bi.by, b.bi.bz), b.data.toSeq)).toMap
+      assert(got.keySet == want.keySet, s"emitted ${got.keySet}")
+      assert(got.keySet.forall(_._1 <= 2), "x=3 blocks must not emit without pieces")
+      want.foreach { case (k, w) =>
+        assert(got(k) == w, s"block $k differs from the batch kernels") }
+      // the rest of the acquisition arrives LATE: emitted partials must
+      // not change (tombstones drop the late pieces); x=3 completes
+      // fully once its whole neighborhood is in
+      mem.addData(tiles4.filter(_.bi.bx >= 2): _*)
+      awaitCount(16)
+      val after = s.table("stream_stitch_to").as[Block].collect()
+        .map(b => ((b.bi.bx, b.bi.by, b.bi.bz), b.data.toSeq)).toMap
+      assert(after.size == 16, s"expected all 16 blocks, got ${after.size}")
+      want.foreach { case (k, w) =>
+        assert(after(k) == w, s"late tiles changed emitted block $k") }
+      // x=3 blocks completed normally: bit-identical to the full batch
+      val full = Stitch.stitchBlocks(BlockGrid.fromTiles(s, tiles4, bs, o, g4, 1))
+        .ds.collect().map(b => ((b.bi.bx, b.bi.by, b.bi.bz), b.data.toSeq)).toMap
+      after.keys.filter(_._1 == 3).foreach { k =>
+        assert(after(k) == full(k), s"completed block $k differs from batch") }
+    } finally q.stop()
+  }
+
   test("tiles replayed AFTER emission are dropped idempotently (at-least-once source)") {
     val s = spark
     import s.implicits._
