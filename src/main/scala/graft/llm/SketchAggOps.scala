@@ -112,5 +112,62 @@ object SketchAggOps {
              |  CAST(max(CASE WHEN vr = (5*(m-1))//10 THEN n_tokens END) AS BIGINT) AS p50_est,
              |  CAST(max(CASE WHEN vr = (9*(m-1))//10 THEN n_tokens END) AS BIGINT) AS p90_est
              |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- heavy hitters through a Count-Min sketch
+    //      ([[graft.functions.CmsAgg]]): one 4×512 sketch over every
+    //      corpus token, point-queried for the exact top-20 terms. The
+    //      bucket indexes are md5-prefix arithmetic BOTH engines state
+    //      exactly, so the oracle rebuilds the sketch in SQL and
+    //      reproduces every estimate bit-for-bit — and the defining
+    //      overestimate guarantee (est ≥ true count) is a column the
+    //      driver hash-checks. ----
+    "q76_cms_heavy_hitters" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val depth = 4; val width = 512
+        def idxCol(tok: org.apache.spark.sql.Column, i: Int) =
+          pmod(conv(substring(md5(concat(tok, lit("#"), lit(i)).cast("binary")), 1, 7), 16, 10)
+            .cast("long"), lit(width.toLong))
+        val tok = Tables.documents(s, d)
+          .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        val agg = new graft.functions.CmsAgg(depth, width)
+        val sketch = tok
+          .select(array((0 until depth).map(i => idxCol(col("token"), i)): _*).as("idx"))
+          .as[Seq[Long]]
+          .select(agg.toColumn)
+          .head()
+        val top = tok.groupBy("token").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("token")).limit(20)
+          .as[(String, Long)].collect()
+        def idxOf(t: String, i: Int): Long = {
+          val md5hex = java.security.MessageDigest.getInstance("MD5")
+            .digest((t + "#" + i).getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(md5hex.take(7), 16) % width
+        }
+        top.toSeq.map { case (t, tf) =>
+          val est = graft.functions.CmsAgg.estimate(sketch,
+            (0 until depth).map(i => idxOf(t, i)), depth, width)
+          (t, tf, est, est >= tf)
+        }.toDF("token", "tf", "cms_est", "overestimate")
+          .orderBy(col("tf").desc, col("token"))
+      },
+      Some("""WITH tok AS (SELECT
+             |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             |  FROM documents),
+             |idx AS (SELECT token, i.i,
+             |    ('0x' || substr(md5(token || '#' || i.i), 1, 7))::BIGINT % 512 AS idx
+             |  FROM tok CROSS JOIN range(4) i(i)),
+             |counters AS (SELECT i, idx, count(*) AS c FROM idx GROUP BY i, idx),
+             |top AS (SELECT token, count(*) AS tf FROM tok
+             |  GROUP BY token ORDER BY tf DESC, token LIMIT 20),
+             |q AS (SELECT t.token, t.tf, i.i,
+             |    ('0x' || substr(md5(t.token || '#' || i.i), 1, 7))::BIGINT % 512 AS idx
+             |  FROM top t CROSS JOIN range(4) i(i)),
+             |est AS (SELECT q.token, min(c.c) AS cms_est FROM q
+             |  JOIN counters c ON c.i = q.i AND c.idx = q.idx GROUP BY q.token)
+             |SELECT t.token, t.tf, e.cms_est, e.cms_est >= t.tf AS overestimate
+             |FROM top t JOIN est e USING (token)
+             |ORDER BY t.tf DESC, t.token""".stripMargin)),
   )
 }
