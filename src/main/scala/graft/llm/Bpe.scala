@@ -112,14 +112,20 @@ object Bpe {
         val (a, b, _) = top(0)
         merges += Merge(a, b)
         val prev = words
-        words = words.map { case (sym, f) => (applyMerge(sym, a, b), f) }
+        var next = prev.map { case (sym, f) => (applyMerge(sym, a, b), f) }
           .persist()
         // cut lineage every few steps (iterated-map growth, like
-        // Dedup.connectedComponents) and release the superseded table
+        // Dedup.connectedComponents); the eager localCheckpoint
+        // materializes first, so the superseded cache can be released
         step += 1
-        if (step % 4 == 0) words = words.localCheckpoint()
-        words.count()
+        if (step % 4 == 0) {
+          val ck = next.localCheckpoint()
+          next.unpersist()
+          next = ck
+        }
+        next.count()
         prev.unpersist()
+        words = next
       }
     }
     words.unpersist()
