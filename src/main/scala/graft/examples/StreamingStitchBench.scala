@@ -47,12 +47,22 @@ object StreamingStitchBench {
       }
       else Seq((3, 128, 16, 4), (4, 128, 16, 4))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")
-      .getOrCreate()
+    // SPARK_GRAFT_STATESTORE=rocksdb swaps the in-flight piece store:
+    // HDFS-backed keeps state in executor heap and snapshots per batch
+    // (big float arrays churn the heap); RocksDB keeps it off-heap with
+    // incremental changelogs — the knob that matters when arrival
+    // disorder makes in-flight state large
+    val spark = (sys.env.get("SPARK_GRAFT_STATESTORE") match {
+      case Some("rocksdb") => builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case _ => builder
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
