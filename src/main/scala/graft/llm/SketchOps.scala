@@ -259,6 +259,31 @@ object SketchOps {
       .toDF("doc_id", "sample_rate", "bits", "n_samples", "sample_sum", "peak")
   }
 
+  /** QUARANTINE decode: the strict parser's failures become counted
+    * rows instead of a failed job — what the decode boundary actually
+    * does over 100 TB of crawled blobs, where some fraction IS
+    * malformed and "skip and count" beats both crashing and silent
+    * garbage. (ok, sample_sum) per blob; bad blobs carry ok=false and
+    * the failure stays observable in the output instead of a log.
+    */
+  private[llm] def decodeWavLenient(s: SparkSession, blobs: DataFrame): DataFrame = {
+    import s.implicits._
+    blobs.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val p = graft.io.Wav.parse(bytes)
+            var sum = 0L
+            p.samples.foreach(sum += _)
+            (id, true, sum)
+          } catch {
+            case _: IllegalArgumentException => (id, false, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "ok", "sample_sum")
+  }
+
   /** 8-bit path: each text's UTF-8 bytes as unsigned 8-bit PCM. The
     * DuckDB oracle recomputes the features with CHARACTER arithmetic
     * (len/unicode), exact only while bytes = codepoints — i.e. pure
@@ -439,5 +464,44 @@ object SketchOps {
              |  list_max(list_transform(string_split(text, ''), x -> unicode(x))) AS peak,
              |  source
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- decode QUARANTINE: every 13th blob is deterministically
+    //      corrupted (first magic byte zeroed — the strict parser
+    //      rejects it), and the lenient path counts the casualties per
+    //      source while decoding the rest. The oracle knows exactly
+    //      which docs are corrupt and recomputes the survivors' sample
+    //      sums with q40's character arithmetic (same ASCII guard). ----
+    "q77_decode_quarantine" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val nonAscii = docs
+          .filter(octet_length(col("text")) =!= length(col("text"))).count()
+        require(nonAscii == 0L,
+          s"q77's oracle equates UTF-8 bytes with codepoints; corpus has " +
+            s"$nonAscii non-ASCII docs")
+        val blobs = docs
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, b) =>
+            val wav = graft.io.Wav.build8(16000, b)
+            if (id % 13 == 0) wav(0) = 0 // break the RIFF magic
+            (id, wav)
+          }
+          .toDF("doc_id", "wav")
+        decodeWavLenient(s, blobs)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+            sum(when(col("ok"), col("sample_sum")).otherwise(0L)).as("ok_sample_sum"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN doc_id % 13 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+             |  CAST(sum(CASE WHEN doc_id % 13 != 0
+             |    THEN list_sum(list_transform(string_split(text, ''), x -> unicode(x)))
+             |    ELSE 0 END) AS BIGINT) AS ok_sample_sum
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
   )
 }
