@@ -160,10 +160,18 @@ object AnnIndex {
   def saveIvfPq(s: SparkSession, emb: DataFrame, dir: String,
       cells: Int = 16, coarseIters: Int = 3, multiAssign: Int = 2,
       subQ: Int = 8, codes: Int = 16, pqIters: Int = 3,
-      id: String = "id", vec: String = "vec"): Unit = {
+      id: String = "id", vec: String = "vec", opqIters: Int = 0): Unit = {
     import s.implicits._
-    val (cents, books, encoded) = IvfPqOps.trainEncode(
-      s, emb, cells, coarseIters, multiAssign, subQ, codes, pqIters, id, vec)
+    val (cents, books, rot, encoded) = IvfPqOps.trainEncode(
+      s, emb, cells, coarseIters, multiAssign, subQ, codes, pqIters, id, vec,
+      opqIters)
+    // the OPQ rotation (if trained) is part of the index: codes only
+    // decode in its space, so it persists next to the codebooks
+    rot.foreach { r =>
+      r.zipWithIndex.map { case (row, i) => (i, row) }.toSeq
+        .toDF("i", "row")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+    }
     encoded.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
     emb.select(col(id), col(vec)).write.mode("overwrite").parquet(s"$dir/vectors")
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
@@ -192,8 +200,12 @@ object AnnIndex {
       .map(_._2.sortBy(_._2).map(_._3)).toArray // codebook-sized collect
     val encoded = s.read.parquet(s"$dir/codes")
     val vectors = s.read.parquet(s"$dir/vectors")
+    val rot =
+      if (!new java.io.File(s"$dir/rotation").exists()) None
+      else Some(s.read.parquet(s"$dir/rotation").as[(Int, Array[Double])]
+        .collect().sortBy(_._1).map(_._2))
     IvfPqOps.probeEncoded(s, cents, books, encoded, vectors, queries, k,
-      nProbe, rerank, excludeSelfId, maxProbeBatch, id, vec, qid, qvec)
+      nProbe, rerank, excludeSelfId, maxProbeBatch, id, vec, qid, qvec, rot)
   }
 
   /** one index build per (session, dataset): the q65 entries both serve

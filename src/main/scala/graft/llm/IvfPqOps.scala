@@ -45,8 +45,9 @@ object IvfPqOps {
   private[llm] def trainEncode(s: SparkSession, emb: DataFrame,
       cells: Int, coarseIters: Int, multiAssign: Int,
       subQ: Int, codes: Int, pqIters: Int,
-      id: String, vec: String)
-      : (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
+      id: String, vec: String, opqIters: Int = 0)
+      : (Array[Array[Double]], Array[Array[Array[Double]]],
+         Option[Array[Array[Double]]], DataFrame) = {
     import s.implicits._
     val norm = IvfOps.normalized(s, emb, id, vec).cache()
     val cents = IvfOps.trainCentroids(s, norm, cells, coarseIters)
@@ -62,17 +63,37 @@ object IvfPqOps {
       }
     }.cache()
     norm.unpersist()
+    // OPQ over the RESIDUAL space (opqIters > 0): rotation preserves
+    // dot products, so dot(q, r) = dot(R·q, R·r) and the ADC
+    // decomposition is unchanged — only the subspace split the residual
+    // codebooks quantize improves. Trained driver-locally on the same
+    // deterministic (hash, id, cell)-ordered sample cut PQ uses.
+    val rot: Option[Array[Array[Double]]] =
+      if (opqIters <= 0) None
+      else {
+        val sampleN = math.max(4 * codes, 256)
+        val pts = resid
+          .map { case (i, c, r) => (SketchOps.splitmix64(i), i, c, r) }
+          .orderBy(col("_1"), col("_2"), col("_3")).limit(sampleN)
+          .collect().sortBy(t => (t._1, t._2, t._3)).map(_._4)
+        Some(OpqOps.trainRotation(pts, subQ, codes, opqIters))
+      }
+    val bRot = rot.map(s.sparkContext.broadcast(_))
+    val rotated = bRot match {
+      case Some(br) => resid.map { case (i, c, r) => (i, c, OpqOps.matVec(br.value, r)) }
+      case None => resid
+    }
     // the assigned cell rides along as the trainCodebooks tag: multiple
     // assignment emits one residual per (id, cell), and (id, cell) is the
     // total order the sample cut and Lloyd folds sort by — without it,
     // which residual lands in the sample (and the float fold order) would
     // follow shuffle arrival order and the pinned q56 oracle could drift
-    val books = PqOps.trainCodebooks(s, resid.map(t => (t._1, t._2, t._3)), subQ, codes, pqIters)
+    val books = PqOps.trainCodebooks(s, rotated.map(t => (t._1, t._2, t._3)), subQ, codes, pqIters)
     val bb = s.sparkContext.broadcast(books)
     val sub = books(0)(0).length
     // the index: (id, cell, subQ code ids) — 4+subQ bytes of payload per
     // vector at serving time; this replaces the corpus in the scan
-    val encoded = resid.map { case (i, c, r) =>
+    val encoded = rotated.map { case (i, c, r) =>
       (i, c, Array.tabulate(subQ)(qi => PqOps.nearestCode(bb.value(qi), r, qi * sub)))
     }.toDF(id, "cell", "code")
       .cache()
@@ -81,7 +102,7 @@ object IvfPqOps {
     // normalize + assign + encode lineage from the raw corpus
     encoded.count()
     resid.unpersist()
-    (cents, books, encoded)
+    (cents, books, rot, encoded)
   }
 
   /** IVFADC probe against an index (in-memory or loaded): identical
@@ -93,7 +114,8 @@ object IvfPqOps {
       cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
       encoded: DataFrame, vectors: DataFrame, queries: DataFrame, k: Int,
       nProbe: Int, rerank: Int, excludeSelfId: Boolean, maxProbeBatch: Int,
-      id: String, vec: String, qid: String, qvec: String): DataFrame = {
+      id: String, vec: String, qid: String, qvec: String,
+      rot: Option[Array[Array[Double]]] = None): DataFrame = {
     import s.implicits._
     val sub = books(0)(0).length
     val subQ = books.length
@@ -116,10 +138,14 @@ object IvfPqOps {
           while (j < v.length) { d += cents(c)(j) * v(j); j += 1 }
           c -> d
         }.toMap
+        // the residual table probes in the (optionally OPQ-rotated)
+        // residual space: dot(q, r) = dot(R·q, R·r), so R applies to the
+        // query here and nowhere else — the coarse term stays unrotated
+        val vq = rot.map(OpqOps.matVec(_, v)).getOrElse(v)
         val table = Array.tabulate(subQ, codes) { (qi, cc) =>
           var d = 0.0
           var j = 0
-          while (j < sub) { d += books(qi)(cc)(j) * v(qi * sub + j); j += 1 }
+          while (j < sub) { d += books(qi)(cc)(j) * vq(qi * sub + j); j += 1 }
           d
         }
         q -> (coarse, table)
@@ -177,21 +203,34 @@ object IvfPqOps {
       subQ: Int = 8, codes: Int = 16, pqIters: Int = 3, rerank: Int = 100,
       excludeSelfId: Boolean = true, maxProbeBatch: Int = 4096,
       id: String = "id", vec: String = "vec",
-      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
-    val (cents, books, encoded) =
-      trainEncode(s, emb, cells, coarseIters, multiAssign, subQ, codes, pqIters, id, vec)
+      qid: String = "qid", qvec: String = "qvec",
+      opqIters: Int = 0): DataFrame = {
+    val (cents, books, rot, encoded) =
+      trainEncode(s, emb, cells, coarseIters, multiAssign, subQ, codes, pqIters,
+        id, vec, opqIters)
     probeEncoded(s, cents, books, encoded, emb, queries, k,
-      nProbe, rerank, excludeSelfId, maxProbeBatch, id, vec, qid, qvec)
+      nProbe, rerank, excludeSelfId, maxProbeBatch, id, vec, qid, qvec, rot)
   }
 
-  private def ivfPqTop5(s: SparkSession, d: String): DataFrame = {
+  private def ivfPqTop5(s: SparkSession, d: String, opqIters: Int = 0): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") < 8)
       .select(col("id").as("qid"), col("vec").as("qvec"))
-    ivfPqTopK(s, e, q, k = 5)
+    ivfPqTopK(s, e, q, k = 5, opqIters = opqIters)
       .select(col("qid"), col("rn"), col("id").as("nn_id"), col("cos"),
         col("n_candidates"))
+  }
+
+  private def recallOf(s: SparkSession, d: String, opqIters: Int): DataFrame = {
+    val approx = ivfPqTop5(s, d, opqIters).select(col("qid"), col("nn_id").as("vec_id"))
+    SketchOps.exactTop5(s, d)
+      .join(approx.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits").cast("double") / 5).as("recall_at_5"))
+      .orderBy("qid")
   }
 
   val all: ListMap[String, Q] = ListMap(
@@ -210,19 +249,27 @@ object IvfPqOps {
     //      seeding + ordered folds; oracle pinned from the measured
     //      output (stable across independent runs). ----
     "q56_ivfpq_recall" -> Q(
-      (s, d) => {
-        val approx = ivfPqTop5(s, d).select(col("qid"), col("nn_id").as("vec_id"))
-        SketchOps.exactTop5(s, d)
-          .join(approx.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
-          .groupBy("qid")
-          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
-          .select(col("qid"), col("n_hits"),
-            (col("n_hits").cast("double") / 5).as("recall_at_5"))
-          .orderBy("qid")
-      },
+      (s, d) => recallOf(s, d, opqIters = 0),
       Some("""SELECT qid, n_hits, CAST(recall AS DOUBLE) AS recall_at_5
              |FROM (VALUES (0, 3, 0.6), (1, 4, 0.8), (2, 5, 1.0), (3, 4, 0.8),
              |  (4, 4, 0.8), (5, 5, 1.0), (6, 5, 1.0), (7, 5, 1.0))
+             |  AS t(qid, n_hits, recall)
+             |ORDER BY qid""".stripMargin)),
+
+    // ---- OPQ-rotated residual codes: the CVPR'13 rotation applied
+    //      where it belongs in the IVFADC stack — on the residual
+    //      space, whose codebooks do the fine quantization. Same
+    //      deterministic machinery (ordered sample, Jacobi SVD), so the
+    //      recall pins like q56's. Measured 0.85 vs q56's 0.875: this
+    //      fixture's residuals are near-isotropic, so the rotation has
+    //      nothing to exploit and lands in a slightly different local
+    //      optimum (the honest result, matching q69 vs q55); OpqSpec
+    //      carries the proof of where rotation wins. ----
+    "q78_opq_ivfadc_recall" -> Q(
+      (s, d) => recallOf(s, d, opqIters = 8),
+      Some("""SELECT qid, n_hits, CAST(recall AS DOUBLE) AS recall_at_5
+             |FROM (VALUES (0, 3, 0.6), (1, 4, 0.8), (2, 5, 1.0), (3, 4, 0.8),
+             |  (4, 4, 0.8), (5, 5, 1.0), (6, 4, 0.8), (7, 5, 1.0))
              |  AS t(qid, n_hits, recall)
              |ORDER BY qid""".stripMargin)),
   )

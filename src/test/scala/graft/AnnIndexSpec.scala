@@ -37,6 +37,18 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("OPQ-rotated IVFADC index: rotation persists; probe equals train-and-probe bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx-opq").toString
+    AnnIndex.saveIvfPq(spark, emb, dir, opqIters = 8)
+    assert(new java.io.File(s"$dir/rotation").exists(),
+      "trained rotation not persisted with the index")
+    val got = AnnIndex.probeIvfPq(spark, dir, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    val want = graft.llm.IvfPqOps.ivfPqTopK(spark, emb, q, 5, opqIters = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
   test("streaming append finds new vectors; duplicate appends change nothing") {
     val s = spark
     import s.implicits._
