@@ -82,6 +82,52 @@ object Curation {
       regexp_replace(regexp_replace(col(text), emailRe, "[EMAIL]"),
         phoneRe, "[PHONE]").as("scrubbed"))
 
+  /** DETERMINISTIC mixture sampling — reweighting sources in a training
+    * mix ("web 0.6, code 0.3, papers 0.1") without a random number
+    * generator: a doc survives iff its md5-prefix hash falls under the
+    * source's rate threshold. Pure function of (id, rate): reproducible
+    * across runs/engines (the KMV hash trick), stable under
+    * re-partitioning, and upgrade-friendly — raising a rate only ADDS
+    * docs, never swaps the kept set. One narrow filter over the scan.
+    */
+  def mixtureSample(s: SparkSession, docs: DataFrame, rates: Map[String, Double],
+      id: String = "doc_id", source: String = "source"): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), s"rates must be in [0,1]: $rates")
+    // 60-bit md5 prefix (both engines compute it exactly) vs rate·2^60
+    val hv = conv(substring(md5(col(id).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val threshold = rates.foldLeft(lit(0L)) { case (acc, (src, r)) =>
+      when(col(source) === src, lit((r * (1L << 60).toDouble).toLong)).otherwise(acc)
+    }
+    docs.filter(hv < threshold)
+  }
+
+  /** Gopher-style REPETITION signals (Rae et al. 2021, "Scaling language
+    * models: ... Gopher", §A1.1 repetition filters): the fraction of
+    * duplicate 3-grams and the share of the most frequent 2-gram —
+    * degenerate generated/boilerplate text scores high on both. Exact
+    * integer ratios in milli-units, one narrow map over the scan.
+    */
+  def repetitionSignals(s: SparkSession, docs: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import s.implicits._
+    docs.select(col(id), col(text)).as[(Long, String)]
+      .map { case (i, t) =>
+        val toks = SketchOps.tokensOf(t)
+        val g3 = if (toks.length < 3) Array.empty[String]
+          else Array.tabulate(toks.length - 2)(j =>
+            toks(j) + " " + toks(j + 1) + " " + toks(j + 2))
+        val dup3milli = if (g3.isEmpty) 0L
+          else ((g3.length - g3.distinct.length) * 1000L) / g3.length
+        val g2 = if (toks.length < 2) Array.empty[String]
+          else Array.tabulate(toks.length - 1)(j => toks(j) + " " + toks(j + 1))
+        val top2milli = if (g2.isEmpty) 0L
+          else (g2.groupBy(identity).values.map(_.length).max * 1000L) / g2.length
+        (i, g3.length.toLong, dup3milli, top2milli)
+      }
+      .toDF(id, "n_grams3", "dup3_milli", "top2_milli")
+  }
+
   // ---- fixtures for the driver entries ------------------------------
   // the corpus carries no PII and no eval set; both are synthesized
   // DETERMINISTICALLY from the documents table (the q40/q58 fixture
@@ -152,5 +198,56 @@ object Curation {
              |  length(regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '[EMAIL]', 'g'),
              |    '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS scrubbed_len
              |FROM pii ORDER BY doc_id""".stripMargin)),
+
+    // ---- mixture sampling: per-source keep rates through the
+    //      hash-threshold rule; the oracle applies the identical
+    //      md5-prefix arithmetic, so the kept SET (not just counts)
+    //      is cross-checked via per-source counts + id sums ----
+    "q79_mixture_sample" -> Q(
+      (s, d) => mixtureSample(s, Tables.documents(s, d),
+          Map("src0" -> 1.0, "src1" -> 0.6, "src2" -> 0.3, "src3" -> 0.1))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source"),
+      Some(s"""SELECT source, count(*) AS n_kept,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM (SELECT source, doc_id,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+             |  FROM documents) t
+             |WHERE hv < CASE source
+             |  WHEN 'src0' THEN ${(1.0 * (1L << 60).toDouble).toLong}
+             |  WHEN 'src1' THEN ${(0.6 * (1L << 60).toDouble).toLong}
+             |  WHEN 'src2' THEN ${(0.3 * (1L << 60).toDouble).toLong}
+             |  WHEN 'src3' THEN ${(0.1 * (1L << 60).toDouble).toLong}
+             |  ELSE 0 END
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- repetition quality signals (Gopher-style): duplicate-3-gram
+    //      and top-2-gram fractions in exact integer milli-units ----
+    "q80_repetition_signals" -> Q(
+      (s, d) => repetitionSignals(s, Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+             |g3 AS (SELECT doc_id,
+             |    CASE WHEN len(w) < 3 THEN []::VARCHAR[] ELSE
+             |      list_transform(range(1, len(w)-1),
+             |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS g
+             |  FROM t),
+             |g2 AS (SELECT doc_id, unnest(
+             |    CASE WHEN len(w) < 2 THEN []::VARCHAR[] ELSE
+             |      list_transform(range(1, len(w)),
+             |        i -> w[i] || ' ' || w[i+1]) END) AS p
+             |  FROM t),
+             |top2 AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM (
+             |    SELECT doc_id, p, count(*) AS c FROM g2 GROUP BY doc_id, p) x
+             |  GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  CAST(len(g3.g) AS BIGINT) AS n_grams3,
+             |  CAST(CASE WHEN len(g3.g) = 0 THEN 0 ELSE
+             |    ((len(g3.g) - len(list_distinct(g3.g))) * 1000) // len(g3.g) END AS BIGINT)
+             |    AS dup3_milli,
+             |  CAST(coalesce((top2.mx * 1000) // top2.n, 0) AS BIGINT) AS top2_milli
+             |FROM t JOIN g3 USING (doc_id) LEFT JOIN top2 USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin)),
   )
 }

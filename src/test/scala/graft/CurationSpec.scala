@@ -36,6 +36,39 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(0L -> 3L, 2L -> 3L), s"got $got")
   }
 
+  test("mixtureSample: rates bound keep fractions; raising a rate only ADDS docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq.tabulate(2000)(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", "text")).toDF("doc_id", "source", "text")
+    def kept(rA: Double) = Curation.mixtureSample(s, docs, Map("a" -> rA, "b" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val half = kept(0.5); val more = kept(0.8)
+    // all of source b survives at rate 1.0; a's fraction tracks the rate
+    assert(half.count(_._2 == "b") == 1000)
+    val aHalf = half.count(_._2 == "a")
+    assert(aHalf > 400 && aHalf < 600, s"rate 0.5 kept $aHalf of 1000")
+    // monotone upgrade: the 0.5 set is a SUBSET of the 0.8 set
+    assert(half.subsetOf(more), "raising a rate swapped kept docs")
+  }
+
+  test("repetitionSignals: degenerate text scores high, varied text low") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam spam spam"),
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "a b") // too short for 3-grams
+    ).toDF("doc_id", "text")
+    val got = Curation.repetitionSignals(s, docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // "spam"x8: 6 identical 3-grams → 5/6 dup; every 2-gram identical
+    assert(got(0L) == ((6L, 833L, 1000L)))
+    val (n1, dup1, top1) = got(1L)
+    assert(n1 == 8 && dup1 == 0 && top1 <= 200)
+    assert(got(2L) == ((0L, 0L, 1000L))) // one 2-gram, trivially the top
+  }
+
   test("piiScrub counts and redacts emails and phones exactly") {
     val s = spark
     import s.implicits._
