@@ -16,7 +16,9 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q34_ngram_jaccard", "q38_knn_lsh", "q41_embed_neardup",
         "q27_date_spine", "q50_sql_ann", "q51_kmv_distinct", "q53_tfidf",
-        "q60_curation_pipeline", "q63_interval_stab", "q64_sample_quantiles")
+        "q60_curation_pipeline", "q63_interval_stab", "q64_sample_quantiles",
+        "q67_dedup_index_probe", "q70_bloom_join", "q71_zorder_scan",
+        "q73_decontaminate", "q75_sequence_pack", "q76_cms_heavy_hitters")
     val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")
