@@ -59,6 +59,33 @@ object Pack {
       .toDF("seq_id", id)
   }
 
+  /** Overlapping-window CHUNKING — long documents become training
+    * examples by slicing their token stream into `window`-token chunks
+    * advancing by `stride` (stride < window ⇒ overlap, the standard
+    * context-continuity trick). A doc of n tokens yields
+    * `ceil((n−window)/stride)+1` chunks (one if n ≤ window); the tail
+    * chunk keeps its natural length instead of padding silently. Pure
+    * per-doc arithmetic: one narrow flatMap over the scan.
+    */
+  def chunkDocs(s: SparkSession, docs: DataFrame, window: Int, stride: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import s.implicits._
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs.select(col(id), col(text)).as[(Long, String)]
+      .flatMap { case (i, t) =>
+        val toks = SketchOps.tokensOf(t)
+        val n = toks.length
+        val chunks = if (n <= window) 1 else (n - window + stride - 1) / stride + 1
+        (0 until chunks).iterator.map { c =>
+          val start = c * stride
+          val len = math.min(window, n - start)
+          (i, c, len.toLong, toks(start), toks(start + len - 1))
+        }
+      }
+      .toDF(id, "chunk_idx", "n_chunk_tokens", "first_token", "last_token")
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- packing summary at maxTokens=256 over 64-doc ranges; the
     //      oracle replays the same greedy fold as a recursive CTE, so
@@ -92,5 +119,25 @@ object Pack {
              |SELECT part * 100000 + seq AS seq_id, count(*) AS n_docs,
              |  CAST(sum(n) AS BIGINT) AS seq_tokens
              |FROM pack GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- overlapping-window chunking at window=64 stride=48 (25%
+    //      overlap); first/last tokens in the output make any slicing
+    //      off-by-one visible to the hash compare ----
+    "q81_chunk_windows" -> Q(
+      (s, d) => chunkDocs(s, Tables.documents(s, d), window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+             |dims AS (SELECT doc_id, w, len(w) AS n,
+             |    CASE WHEN len(w) <= 64 THEN 1
+             |         ELSE (len(w) - 64 + 47) // 48 + 1 END AS chunks
+             |  FROM t)
+             |SELECT doc_id, CAST(c.c AS INT) AS chunk_idx,
+             |  CAST(least(64, n - c.c * 48) AS BIGINT) AS n_chunk_tokens,
+             |  w[c.c * 48 + 1] AS first_token,
+             |  w[c.c * 48 + least(64, n - c.c * 48)] AS last_token
+             |FROM dims CROSS JOIN range(100) c(c)
+             |WHERE c.c < chunks
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
   )
 }

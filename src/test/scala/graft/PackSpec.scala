@@ -19,6 +19,31 @@ class PackSpec extends SparkSpec {
     assert(Pack.packRange(Seq.empty, 10).isEmpty)
   }
 
+  test("chunkDocs: window/stride arithmetic, tail length, overlap continuity") {
+    val s = spark
+    import s.implicits._
+    // 10 tokens, window 4, stride 3 → starts 0,3,6; the last window
+    // ends exactly at the tail, so no extra chunk
+    val docs = Seq((7L, (0 until 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Pack.chunkDocs(s, docs, window = 4, stride = 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((0, 4L, "t0", "t3"), (1, 4L, "t3", "t6"), (2, 4L, "t6", "t9")))
+    // 11 tokens: starts 0,3,6,9 — the tail chunk keeps its short length
+    val docs11 = Seq((8L, (0 until 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got11 = Pack.chunkDocs(s, docs11, window = 4, stride = 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    assert(got11 == Seq((0, 4L, "t0", "t3"), (1, 4L, "t3", "t6"),
+      (2, 4L, "t6", "t9"), (3, 2L, "t9", "t10")))
+    // short doc: exactly one chunk of its own length
+    val one = Pack.chunkDocs(s, Seq((1L, "a b c")).toDF("doc_id", "text"), 64, 48)
+      .collect()
+    assert(one.length == 1 && one(0).getLong(2) == 3L)
+    intercept[IllegalArgumentException](
+      Pack.chunkDocs(s, docs, window = 4, stride = 5).collect())
+  }
+
   test("distributed packing matches the local reference and ignores input partitioning") {
     val s = spark
     import s.implicits._
