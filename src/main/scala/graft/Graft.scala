@@ -205,4 +205,72 @@ object Graft {
   /** Cosine similarity with the oracle-parity expression shape. */
   def vecCosine(spark: SparkSession, a: Column, b: Column): Column =
     functions.VecFunctions.vecCosine(spark, a, b)
+
+  /** OPQ (learned-rotation PQ) approximate cosine top-k ([[llm.OpqOps.opqTopK]]). */
+  def opqTopK(spark: SparkSession, emb: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    llm.Ann.opqTopK(spark, emb, queries, k)
+
+  /** Bloom runtime semi-join: pre-filter the probe side before the join
+    * shuffle ([[rel.BloomJoin.bloomEquiJoin]]); results are exact.
+    */
+  def bloomEquiJoin(spark: SparkSession, probe: DataFrame, build: DataFrame,
+      key: String, expectedNdv: Long, fpp: Double = 0.01): DataFrame =
+    rel.BloomJoin.bloomEquiJoin(spark, probe, build, key, expectedNdv, fpp)
+
+  /** Z-order clustered parquet write for two-column range pruning
+    * ([[io.Layout.zorderWrite]]).
+    */
+  def zorderWrite(spark: SparkSession, df: DataFrame, c1: String, c2: String,
+      path: String, files: Int): Unit =
+    io.Layout.zorderWrite(spark, df, c1, c2, path, files)
+
+  /** Codegen'd Morton interleave of two non-negative bigint columns. */
+  def zValue(spark: SparkSession, a: Column, b: Column): Column =
+    functions.ZValue.zValue(spark, a, b)
+
+  /** Train a BPE subword vocabulary on the corpus ([[llm.Bpe.train]]). */
+  def bpeTrain(spark: SparkSession, docs: DataFrame, numMerges: Int): Seq[llm.Bpe.Merge] =
+    llm.Bpe.train(spark, docs, numMerges)
+
+  /** Per-doc token counts under trained BPE merges ([[llm.Bpe.tokenCounts]]). */
+  def bpeTokenCounts(spark: SparkSession, docs: DataFrame,
+      merges: Seq[llm.Bpe.Merge]): DataFrame =
+    llm.Bpe.tokenCounts(spark, docs, merges)
+
+  /** Build a persisted near-dup index ([[llm.DedupIndex.save]]). */
+  def saveDedupIndex(spark: SparkSession, docs: DataFrame, dir: String): Unit =
+    llm.DedupIndex.save(spark, docs, dir)
+
+  /** Probe new docs against a saved near-dup index ([[llm.DedupIndex.probe]]). */
+  def probeDedupIndex(spark: SparkSession, dir: String, newDocs: DataFrame,
+      minJaccard: Double): DataFrame =
+    llm.DedupIndex.probe(spark, dir, newDocs, minJaccard)
+
+  /** Training docs sharing long n-grams with an eval set
+    * ([[llm.Curation.contamination]]).
+    */
+  def contamination(spark: SparkSession, train: DataFrame, eval: DataFrame,
+      k: Int = 8): DataFrame =
+    llm.Curation.contamination(spark, train, eval, k)
+
+  /** Count + redact emails/phones ([[llm.Curation.piiScrub]]). */
+  def piiScrub(spark: SparkSession, docs: DataFrame): DataFrame =
+    llm.Curation.piiScrub(spark, docs)
+
+  /** Deterministic per-source mixture sampling ([[llm.Curation.mixtureSample]]). */
+  def mixtureSample(spark: SparkSession, docs: DataFrame,
+      rates: Map[String, Double]): DataFrame =
+    llm.Curation.mixtureSample(spark, docs, rates)
+
+  /** Gopher-style repetition quality signals ([[llm.Curation.repetitionSignals]]). */
+  def repetitionSignals(spark: SparkSession, docs: DataFrame): DataFrame =
+    llm.Curation.repetitionSignals(spark, docs)
+
+  /** Greedy first-fit sequence packing ([[llm.Pack.packSequences]]). */
+  def packSequences(spark: SparkSession, docs: DataFrame, maxTokens: Long): DataFrame =
+    llm.Pack.packSequences(spark, docs, maxTokens)
+
+  /** Overlapping-window doc chunking ([[llm.Pack.chunkDocs]]). */
+  def chunkDocs(spark: SparkSession, docs: DataFrame, window: Int, stride: Int): DataFrame =
+    llm.Pack.chunkDocs(spark, docs, window, stride)
 }
