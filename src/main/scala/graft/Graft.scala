@@ -31,6 +31,24 @@ object Graft {
       meta: core.GridMeta): org.apache.spark.sql.Dataset[core.Block] =
     streaming.StreamingStitch.stitchStream(tiles, meta)
 
+  /** Streaming stitch with PROCESSING-TIME bounded waiting: stalled
+    * blocks emit partial after `partialAfterMs` of no arrivals.
+    */
+  def stitchBlocksStream(tiles: org.apache.spark.sql.Dataset[core.Block],
+      meta: core.GridMeta, partialAfterMs: Long): org.apache.spark.sql.Dataset[core.Block] =
+    streaming.StreamingStitch.stitchStream(tiles, meta, partialAfterMs)
+
+  /** Streaming stitch with EVENT-TIME bounded waiting: tiles carry an
+    * acquisition timestamp; a block emits partial when the watermark
+    * passes its last piece's time + `stallGapMs` — deterministic,
+    * replay-identical ([[streaming.StreamingStitch.stitchStreamByWatermark]]).
+    */
+  def stitchBlocksStreamByWatermark(
+      tiles: org.apache.spark.sql.Dataset[(core.Block, java.sql.Timestamp)],
+      meta: core.GridMeta, stallGapMs: Long,
+      watermarkDelay: String = "0 seconds"): org.apache.spark.sql.Dataset[core.Block] =
+    streaming.StreamingStitch.stitchStreamByWatermark(tiles, meta, stallGapMs, watermarkDelay)
+
   /** Dense blended deformation field from a grid of local affines
     * (local_affine.py:110-139); zero shuffles, broadcast side input.
     */

@@ -86,6 +86,86 @@ object StreamingStitch {
     stitchStreamImpl(tiles, meta, Some(partialAfterMs))
   }
 
+  /** buffered pieces + the latest event time seen, for the
+    * watermark-driven variant
+    */
+  final case class EtBuf(pieces: Array[HaloPiece], maxTs: Long, done: Boolean)
+  private implicit val etBufEnc: Encoder[EtBuf] = Encoders.product[EtBuf]
+  private implicit val pieceTsEnc: Encoder[(HaloPiece, java.sql.Timestamp)] =
+    Encoders.tuple(Encoders.product[HaloPiece], Encoders.TIMESTAMP)
+  private implicit val blockTsEnc: Encoder[(Block, java.sql.Timestamp)] =
+    Encoders.tuple(BlockGrid.blockEncoder, Encoders.TIMESTAMP)
+
+  /** EVENT-TIME bounded waiting: tiles carry an acquisition timestamp,
+    * the stream declares a watermark on it, and a block whose
+    * neighborhood makes no EVENT-TIME progress for `stallGapMs` —
+    * watermark passes its last piece's timestamp + gap — emits PARTIAL
+    * (missing pieces = zero, the batch path's boundary=0 at the data's
+    * edge). Unlike the processing-time variant this is deterministic:
+    * "stalled" is a property of the DATA (acquisition clock), not of
+    * how fast the cluster happens to run, so replays produce identical
+    * output — and the spec needs no wall-clock sleeps. Late pieces
+    * after a partial emission drop against the same tombstone that
+    * makes replays idempotent.
+    *
+    * `watermarkDelay` is the out-of-orderness bound of the tile
+    * TIMESTAMPS (Spark watermark semantics), e.g. "0 seconds" for an
+    * in-order acquisition clock.
+    */
+  def stitchStreamByWatermark(tiles: Dataset[(Block, java.sql.Timestamp)],
+      meta: GridMeta, stallGapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[Block] = {
+    Stitch.requireStitchable(meta)
+    require(stallGapMs > 0, s"stallGapMs must be > 0, got $stallGapMs")
+    val g = meta.blockGrid
+    // the watermark goes on the PIECE rows: a typed flatMap strips
+    // column metadata, and EventTimeTimeout requires the watermarked
+    // column to be visible at the stateful operator itself
+    tiles
+      .flatMap { case (b, ts) =>
+        Stitch.piecesOf(b, meta).iterator.map(p => (p, ts))
+      }
+      .toDF("piece", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(HaloPiece, java.sql.Timestamp)]
+      .groupByKey { case (p, _) => (p.tx, p.ty, p.tz) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Int, Int), it: Iterator[(HaloPiece, java.sql.Timestamp)],
+            state: GroupState[EtBuf]) => {
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.update(EtBuf(Array.empty, buf.maxTs, done = true)) // tombstone
+            if (buf.done || buf.pieces.isEmpty) Iterator.empty
+            else Iterator.single(
+              Stitch.assembleBlock(key._1, key._2, key._3, buf.pieces.toSeq, meta))
+          } else if (state.exists && state.get.done) {
+            Iterator.empty // late pieces after emission: drop idempotently
+          } else {
+            val rows = it.toArray
+            val prev = if (state.exists) state.get
+              else EtBuf(Array.empty, Long.MinValue, done = false)
+            val arrived = prev.pieces ++ rows.map(_._1)
+            val maxTs = (prev.maxTs +: rows.map(_._2.getTime)).max
+            val need = expectedPieces(key._1, key._2, key._3, g)
+            require(arrived.length <= need,
+              s"block $key received ${arrived.length} pieces, expected $need — " +
+                "duplicate tiles in the stream")
+            if (arrived.length == need) {
+              state.update(EtBuf(Array.empty, maxTs, done = true)) // tombstone
+              Iterator.single(
+                Stitch.assembleBlock(key._1, key._2, key._3, arrived.toSeq, meta))
+            } else {
+              state.update(EtBuf(arrived, maxTs, done = false))
+              // stall clock: event time of the LAST piece + gap (never
+              // at-or-behind the watermark, which Spark rejects)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + stallGapMs, state.getCurrentWatermarkMs + 1))
+              Iterator.empty
+            }
+          }
+        })
+  }
+
   private def stitchStreamImpl(tiles: Dataset[Block], meta: GridMeta,
       partialAfterMs: Option[Long]): Dataset[Block] = {
     Stitch.requireStitchable(meta) // same geometry contract as the batch

@@ -143,6 +143,64 @@ class StreamingStitchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark-driven partials: stall is EVENT-time, deterministic, no wall clock") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val g4 = Array(4, 2, 2)
+    val meta4 = GridMeta(Array(24L, 12L, 12L), bs, o, g4, 1)
+    val tiles4: Seq[Block] = for {
+      x <- 0 until 4; y <- 0 until 2; z <- 0 until 2
+    } yield Block(BlockIndex(x, y, z), 10, 10, 10, 1,
+      Array.tabulate(1000)(i => (x * 131 + y * 37 + z * 11 + (i % 13)).toFloat * 0.25f))
+    def at(ms: Long)(b: Block) = (b, new java.sql.Timestamp(ms))
+    val gap = 60000L // one MINUTE of acquisition-clock stall — wall time irrelevant
+    val mem = MemoryStream[(Block, java.sql.Timestamp)]
+    val q = StreamingStitch.stitchStreamByWatermark(mem.toDS(), meta4, stallGapMs = gap)
+      .writeStream.format("memory").queryName("stream_stitch_wm")
+      .outputMode("append").start()
+    try {
+      // acquisition reaches t=10s then stalls: x<=1 tiles only
+      val fed = tiles4.filter(_.bi.bx <= 1)
+      mem.addData(fed.map(at(10000L)): _*)
+      q.processAllAvailable()
+      assert(s.table("stream_stitch_wm").count() == 4) // x=0 complete
+      val want = fed.flatMap(b => Stitch.piecesOf(b, meta4))
+        .groupBy(p => (p.tx, p.ty, p.tz))
+        .map { case (k, ps) =>
+          k -> Stitch.assembleBlock(k._1, k._2, k._3, ps, meta4).data.toSeq
+        }
+      // the acquisition clock jumps past the gap: tile (3,0,0) arrives
+      // at t=10s+gap+1s, advancing the watermark — x=1 blocks (untouched
+      // by it) time out and emit partial; x=2 blocks got a fresh piece
+      mem.addData(at(10000L + gap + 1000L)(tiles4.find(_.bi == BlockIndex(3, 0, 0)).get))
+      q.processAllAvailable()
+      val got = s.table("stream_stitch_wm").as[Block].collect()
+        .map(b => ((b.bi.bx, b.bi.by, b.bi.bz), b.data.toSeq)).toMap
+      val partialKeys = want.keySet.filter(_._1 == 1)
+      assert(got.keySet == want.keySet.filter(_._1 == 0) ++ partialKeys,
+        s"emitted ${got.keySet}")
+      partialKeys.foreach { k =>
+        assert(got(k) == want(k), s"partial block $k differs from the batch kernels") }
+      // the rest arrives LATE in processing order but with a FRESH event
+      // time (rows at-or-behind the watermark would be dropped by the
+      // engine's late-data filter before the operator): x=1 partials
+      // stay immutable, x>=2 completes fully and matches the batch
+      mem.addData(tiles4.filter(b => b.bi.bx >= 2 && b.bi != BlockIndex(3, 0, 0))
+        .map(at(10000L + gap + 2000L)): _*)
+      q.processAllAvailable()
+      val after = s.table("stream_stitch_wm").as[Block].collect()
+        .map(b => ((b.bi.bx, b.bi.by, b.bi.bz), b.data.toSeq)).toMap
+      assert(after.size == 16, s"expected all 16 blocks, got ${after.size}")
+      partialKeys.foreach { k =>
+        assert(after(k) == want(k), s"late tiles changed emitted block $k") }
+      val full = Stitch.stitchBlocks(BlockGrid.fromTiles(s, tiles4, bs, o, g4, 1))
+        .ds.collect().map(b => ((b.bi.bx, b.bi.by, b.bi.bz), b.data.toSeq)).toMap
+      after.keys.filter(_._1 >= 2).foreach { k =>
+        assert(after(k) == full(k), s"completed block $k differs from batch") }
+    } finally q.stop()
+  }
+
   test("tiles replayed AFTER emission are dropped idempotently (at-least-once source)") {
     val s = spark
     import s.implicits._
