@@ -74,7 +74,12 @@ object Bmp {
     require(hdrSize >= infoHeader, s"unsupported DIB header size $hdrSize")
     val width = bb.getInt
     val heightRaw = bb.getInt
-    require(width > 0 && heightRaw != 0, s"bad dimensions ${width}x$heightRaw")
+    // Int.MinValue would survive math.abs (stays negative) and turn the
+    // bounds checks below into vacuous negative-LHS comparisons, dying
+    // later with NegativeArraySizeException instead of this codec's
+    // IllegalArgumentException contract (which quarantine catches)
+    require(width > 0 && heightRaw != 0 && heightRaw != Int.MinValue,
+      s"bad dimensions ${width}x$heightRaw")
     val topDown = heightRaw < 0 // negative height = top-down, per the spec
     val height = math.abs(heightRaw)
     require(bb.getShort() == 1, "planes must be 1")

@@ -117,19 +117,20 @@ object AnnIndex {
     import s.implicits._
     val cents = readCentroids(s, dir)
     val bc = s.sparkContext.broadcast(cents)
-    // persisted: consumed twice (driver-side cell-union collect, then
-    // the candidate join) — without it the per-query normalize +
-    // centroid loop would run twice per probe batch. Tiny: nProbe ints
-    // per query.
-    val probes = IvfOps.normalized(s, queries, qid, qvec)
+    // collected once: nProbe ints per query — no bigger than the
+    // broadcast the candidate join ships anyway, and collecting (rather
+    // than persist()ing for the two consumers) leaves nothing cached in
+    // executor storage after the probe batch returns (a long-lived
+    // serving session would otherwise accrue one cached plan per batch)
+    val probeRows = IvfOps.normalized(s, queries, qid, qvec)
       .flatMap { case (q, v) =>
         IvfOps.nearestCells(bc.value, v, nProbe).map(c => (q, c))
       }
-      .toDF(qid, "cell")
-      .persist()
+      .collect()
+    val probes = probeRows.toSeq.toDF(qid, "cell")
     // the union of probe cells decides which index partitions exist in
-    // the plan at all (≤ `cells` ints — driver-side by construction)
-    val probeCells = probes.select("cell").distinct().as[Int].collect().toSeq
+    // the plan at all (≤ `cells` ints)
+    val probeCells = probeRows.map(_._2).distinct.toSeq
     val idx = prunedAssignments(s, dir, probeCells)
     val cand = broadcast(probes).join(idx.select(col(id), col("cell")), "cell")
       .filter(if (excludeSelfId) col(id) =!= col(qid) else lit(true))
@@ -166,11 +167,19 @@ object AnnIndex {
       s, emb, cells, coarseIters, multiAssign, subQ, codes, pqIters, id, vec,
       opqIters)
     // the OPQ rotation (if trained) is part of the index: codes only
-    // decode in its space, so it persists next to the codebooks
-    rot.foreach { r =>
-      r.zipWithIndex.map { case (row, i) => (i, row) }.toSeq
-        .toDF("i", "row")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+    // decode in its space, so it persists next to the codebooks — and a
+    // rotation-less save must REMOVE any stale rotation/ from a prior
+    // rotated save, or a later probe would rotate queries against codes
+    // encoded unrotated
+    rot match {
+      case Some(r) =>
+        r.zipWithIndex.map { case (row, i) => (i, row) }.toSeq
+          .toDF("i", "row")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
     }
     encoded.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
     emb.select(col(id), col(vec)).write.mode("overwrite").parquet(s"$dir/vectors")
@@ -200,8 +209,14 @@ object AnnIndex {
       .map(_._2.sortBy(_._2).map(_._3)).toArray // codebook-sized collect
     val encoded = s.read.parquet(s"$dir/codes")
     val vectors = s.read.parquet(s"$dir/vectors")
+    // existence check through the dir's own Hadoop FileSystem — a
+    // java.io.File test is always false on HDFS/S3 and would silently
+    // skip the rotation (unrotated queries scored against
+    // rotated-residual codebooks: degraded recall, no error)
+    val rotPath = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+    val rotFs = rotPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val rot =
-      if (!new java.io.File(s"$dir/rotation").exists()) None
+      if (!rotFs.exists(rotPath)) None
       else Some(s.read.parquet(s"$dir/rotation").as[(Int, Array[Double])]
         .collect().sortBy(_._1).map(_._2))
     IvfPqOps.probeEncoded(s, cents, books, encoded, vectors, queries, k,

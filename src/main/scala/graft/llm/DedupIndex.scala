@@ -100,7 +100,7 @@ object DedupIndex {
       .select(col(id).as("corpus_id"), col("sh").as("csh"))
       .dropDuplicates("corpus_id")
     val newSh = p.map { case (i, sh, _) => (i, sh) }.toDF("new_id", "nsh")
-    cand.join(corpusSh, "corpus_id").join(newSh, "new_id")
+    val res = cand.join(corpusSh, "corpus_id").join(newSh, "new_id")
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (nid, cid, csh, nsh) =>
         val inter = interSize(nsh, csh)
@@ -109,6 +109,12 @@ object DedupIndex {
       }
       .toDF("new_id", "corpus_id", "inter", "jac")
       .filter(col("jac") >= minJaccard)
+    // serving hygiene (the advertised long-lived path): materialize the
+    // (near-dup pairs only) result so the prepared-probe cache releases
+    // per batch instead of accruing in executor storage
+    val out = res.localCheckpoint(true)
+    p.unpersist()
+    out
   }
 
   /** Streaming index maintenance: index arriving docs (shingles +

@@ -189,10 +189,17 @@ object IvfPqOps {
       .join(broadcast(queries.select(col(qid), col(qvec))), qid)
       .withColumn("cos",
         graft.functions.VecFunctions.vecCosine(s, col(qvec), col(vec)))
-    graft.functions.TopK.perKeyTopK(reranked, k, qid, id, "cos")
+    val res = graft.functions.TopK.perKeyTopK(reranked, k, qid, id, "cos")
       .join(broadcast(nc), qid)
       .select(col(qid), col("rn"), col(id), col("cos"), col("n_candidates"))
       .orderBy(qid, "rn")
+    // serving hygiene: the result is k×|batch| rows — materialize it
+    // (localCheckpoint blocks are GC-tracked, unlike CacheManager
+    // entries) so the ADC cache can be RELEASED here instead of
+    // accruing one cached plan per probe batch in executor storage
+    val out = res.localCheckpoint(true)
+    scored.unpersist()
+    out
   }
 
   /** Approximate cosine top-k per query via IVFADC. Output: (qid, rn,
@@ -208,8 +215,12 @@ object IvfPqOps {
     val (cents, books, rot, encoded) =
       trainEncode(s, emb, cells, coarseIters, multiAssign, subQ, codes, pqIters,
         id, vec, opqIters)
-    probeEncoded(s, cents, books, encoded, emb, queries, k,
+    // probeEncoded materializes its result, so the code-table cache from
+    // trainEncode is no longer referenced by any pending plan
+    val out = probeEncoded(s, cents, books, encoded, emb, queries, k,
       nProbe, rerank, excludeSelfId, maxProbeBatch, id, vec, qid, qvec, rot)
+    encoded.unpersist()
+    out
   }
 
   private def ivfPqTop5(s: SparkSession, d: String, opqIters: Int = 0): DataFrame = {

@@ -1,7 +1,9 @@
 package graft.rel
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Interval joins as EQUI-joins via range binning — the scale-correct
   * form of `points JOIN ranges ON t BETWEEN start AND end`.
@@ -23,9 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** exact floor division for any sign (SQL `div` truncates toward 0) */
+  /** Exact floor division for any sign: `c - pmod(c, w)` is an exact
+    * multiple of `w`, divided with INTEGER semantics (SQL `div`). The
+    * numerator is exact, so `div`'s truncate-toward-zero equals floor.
+    * Column `/` would route through double and lose mantissa bits past
+    * 2⁵³ — silently mis-binning nanosecond-epoch axes (RangeJoinSpec
+    * pins a >2⁵³ case).
+    */
   private def floorDiv(c: org.apache.spark.sql.Column, w: Long) =
-    ((c - pmod(c, lit(w))) / w).cast("long")
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression((c - pmod(c, lit(w))).cast("long")),
+      ColumnBridge.expression(lit(w))))
 
   /** Inner join of `points` rows to `ranges` rows where
     * `start <= t <= end` (inclusive, integral axis), executed as an

@@ -33,7 +33,8 @@ import graft.stitch.{HaloPiece, Stitch}
   */
 object StreamingStitch {
 
-  /** pieces buffered for one in-flight output block; after emission the
+  /** pieces buffered for one in-flight output block; replays BEFORE
+    * emission dedup against the buffer by srcKey, and after emission the
     * state collapses to an empty TOMBSTONE (`done = true`) so replayed
     * tiles from an at-least-once source are dropped idempotently
     * instead of re-opening the block and emitting a duplicate. The
@@ -144,12 +145,16 @@ object StreamingStitch {
             val rows = it.toArray
             val prev = if (state.exists) state.get
               else EtBuf(Array.empty, Long.MinValue, done = false)
-            val arrived = prev.pieces ++ rows.map(_._1)
+            // dedup by source tile: a replay BEFORE the neighborhood
+            // completes re-delivers identical pieces — keeping the first
+            // per srcKey makes at-least-once delivery safe in the
+            // buffering phase too, not just after the tombstone
+            val arrived = (prev.pieces ++ rows.map(_._1)).distinctBy(_.srcKey)
             val maxTs = (prev.maxTs +: rows.map(_._2.getTime)).max
             val need = expectedPieces(key._1, key._2, key._3, g)
             require(arrived.length <= need,
-              s"block $key received ${arrived.length} pieces, expected $need — " +
-                "duplicate tiles in the stream")
+              s"block $key received ${arrived.length} distinct pieces, expected " +
+                s"$need — tiles outside the declared grid geometry")
             if (arrived.length == need) {
               state.update(EtBuf(Array.empty, maxTs, done = true)) // tombstone
               Iterator.single(
@@ -191,12 +196,15 @@ object StreamingStitch {
             // replayed tiles after emission: drop idempotently
             Iterator.empty
           } else {
-            val arrived = (if (state.exists) state.get.pieces
-              else Array.empty[HaloPiece]) ++ it
+            // dedup by source tile (see the event-time variant): replays
+            // before completion are dropped here, replays after it hit
+            // the tombstone — at-least-once safe in both phases
+            val arrived = ((if (state.exists) state.get.pieces
+              else Array.empty[HaloPiece]) ++ it).distinctBy(_.srcKey)
             val need = expectedPieces(key._1, key._2, key._3, g)
             require(arrived.length <= need,
-              s"block $key received ${arrived.length} pieces, expected $need — " +
-                "duplicate tiles in the stream")
+              s"block $key received ${arrived.length} distinct pieces, expected " +
+                s"$need — tiles outside the declared grid geometry")
             if (arrived.length == need) {
               state.update(PieceBuf(Array.empty, done = true)) // tombstone
               Iterator.single(

@@ -49,6 +49,23 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("re-saving without OPQ removes the stale rotation from a prior rotated save") {
+    // a rotation-less save into a dir that previously held a rotated
+    // index must not leave rotation/ behind — probeIvfPq would apply a
+    // rotation the codes were not encoded with (silently wrong ADC)
+    val dir = java.nio.file.Files.createTempDirectory("annidx-stale").toString
+    AnnIndex.saveIvfPq(spark, emb, dir, opqIters = 8)
+    assert(new java.io.File(s"$dir/rotation").exists())
+    AnnIndex.saveIvfPq(spark, emb, dir, opqIters = 0)
+    assert(!new java.io.File(s"$dir/rotation").exists(),
+      "stale rotation survived an unrotated re-save")
+    val got = AnnIndex.probeIvfPq(spark, dir, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    val want = graft.llm.IvfPqOps.ivfPqTopK(spark, emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
   test("streaming append finds new vectors; duplicate appends change nothing") {
     val s = spark
     import s.implicits._

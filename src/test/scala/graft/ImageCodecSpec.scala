@@ -70,6 +70,12 @@ class ImageCodecSpec extends AnyFunSuite {
     val hugeW = ok.clone()
     ByteBuffer.wrap(hugeW).order(ByteOrder.LITTLE_ENDIAN).putInt(18, 715827883)
     intercept[IllegalArgumentException](Bmp.parse(hugeW))
+    // height = Int.MinValue survives math.abs (stays negative) and would
+    // slip past the bounds checks as a negative LHS, dying with
+    // NegativeArraySizeException outside the codec's documented contract
+    val minH = ok.clone()
+    ByteBuffer.wrap(minH).order(ByteOrder.LITTLE_ENDIAN).putInt(22, Int.MinValue)
+    intercept[IllegalArgumentException](Bmp.parse(minH))
   }
 
   test("FSEQ round-trip and frame extraction") {

@@ -44,6 +44,31 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.size == got.toSet.size)
   }
 
+  test("exact binning past 2^53: nanosecond-epoch axes, small bin width") {
+    // at t ≈ 1.7e18 (ns-epoch 2023) with binWidth 3 the QUOTIENT exceeds
+    // 2^53, so the old double-division floorDiv mis-binned ~99% of points
+    // by up to ±64 bins — every such matching pair silently dropped
+    val s = spark
+    import s.implicits._
+    val base = 1700000000000000000L
+    val r = new scala.util.Random(11)
+    val points = (0 until 400)
+      .map(i => (i.toLong, base + r.nextInt(3000).toLong)).toDF("pid", "t")
+    val ranges = (0 until 40).map { i =>
+      val st = base + r.nextInt(3000).toLong
+      (i.toLong, st, st + r.nextInt(40).toLong)
+    }.toDF("rid", "d_start", "d_end")
+    val want = points.join(ranges,
+        col("t") >= col("d_start") && col("t") <= col("d_end"))
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    Seq(3L, 7L, 64L).foreach { w =>
+      val got = RangeJoin.binnedIntervalJoin(points, "t", ranges, "d_start", "d_end", w)
+        .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"binWidth=$w: ${got.size} vs ${want.size} pairs")
+    }
+  }
+
   test("the plan is an equi-join on the bin, not a nested loop") {
     val (points, ranges) = fixture
     val plan = RangeJoin

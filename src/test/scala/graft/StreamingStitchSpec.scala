@@ -220,6 +220,38 @@ class StreamingStitchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tiles replayed BEFORE their block completes dedup against the buffer") {
+    // an at-least-once source can re-deliver a tile while its targets
+    // are still buffering; the pieces must dedup by srcKey, not crash
+    // the completeness invariant, and the final output must still be
+    // bit-identical to the batch stitch
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val want = Stitch.stitchBlocks(BlockGrid.fromTiles(s, tiles, bs, o, g, 1))
+      .ds.collect().map(b => ((b.bi.bx, b.bi.by, b.bi.bz), b.data.toSeq)).toMap
+    val mem = MemoryStream[Block]
+    val q = StreamingStitch.stitchStream(mem.toDS(), meta)
+      .writeStream.format("memory").queryName("stream_stitch_predup")
+      .outputMode("append").start()
+    try {
+      val fed = tiles.filter(_.bi.bx <= 1) // x=1 blocks stay in-flight
+      mem.addData(fed: _*)
+      q.processAllAvailable()
+      assert(s.table("stream_stitch_predup").count() == 4)
+      mem.addData(fed: _*) // replay INTO the buffering phase
+      q.processAllAvailable()
+      assert(s.table("stream_stitch_predup").count() == 4,
+        "pre-completion replay must not emit or crash")
+      mem.addData(tiles.filterNot(_.bi.bx <= 1): _*)
+      q.processAllAvailable()
+      val got = s.table("stream_stitch_predup").as[Block].collect()
+        .map(b => ((b.bi.bx, b.bi.by, b.bi.bz), b.data.toSeq)).toMap
+      assert(got.keySet == want.keySet && got.size == 12)
+      got.keys.foreach(k => assert(got(k) == want(k), s"block $k differs"))
+    } finally q.stop()
+  }
+
   test("invalid geometry fails fast, like the batch path") {
     val s = spark
     import s.implicits._
