@@ -18,12 +18,15 @@ import graft.rel.Tables
   *
   * Scale shape (100 TB): the corpus is touched ONCE (word hash-agg —
   * the same shuffle as q45's vocab build); training then iterates over
-  * the vocab table, which is corpus-size-independent. Each step is one
-  * pair-keyed hash agg (map-side partials; only the argmax row reaches
-  * the driver) plus a narrow merge map; lineage is cut with
-  * localCheckpoint every few steps like connectedComponents. Tokenizing
-  * at serving time is a pure executor function over the broadcast merge
-  * list.
+  * the vocab table, which is corpus-size-independent. In the standard
+  * regime that vocabulary fits on the driver and the merge loop runs
+  * locally with a lazy-deletion heap ([[trainLocalMerges]] — a 32k-merge
+  * tokenizer trains in seconds, not 32k sequential Spark jobs); past
+  * `localVocabCap` the distributed loop takes over: one pair-keyed hash
+  * agg per step (map-side partials; only the argmax row reaches the
+  * driver) plus a narrow merge map, lineage cut with localCheckpoint
+  * every few steps like connectedComponents. Tokenizing at serving time
+  * is a pure executor function over the broadcast merge list.
   *
   * Determinism: pair counts are exact integers; the argmax tie-breaks
   * (count desc, a asc, b asc) — a total order, so the learned merges
@@ -65,11 +68,33 @@ object Bpe {
   }
 
   /** tokenize one word under an ordered merge list (training order IS
-    * application order — the BPE contract)
+    * application order — the BPE contract).
+    *
+    * A present-pair set makes each merge whose pair is absent an O(1)
+    * hash probe instead of an O(|word|) scan, so a real 32k-merge
+    * vocabulary costs ~32k probes + one pass per APPLIED merge (≤
+    * |word|−1 of them) per distinct word. Sequential application is
+    * preserved EXACTLY — the min-rank-first tokenizer most serving
+    * stacks use can diverge from the trainer's segmentation on
+    * vocabularies where the same fused string is derivable two ways, so
+    * it is deliberately not used here.
     */
   private[graft] def tokenizeWord(word: String, merges: Seq[Merge]): Array[String] = {
     var sym = symbolsOf(word)
-    merges.foreach { m => if (sym.length > 1) sym = applyMerge(sym, m.a, m.b) }
+    if (sym.length <= 1 || merges.isEmpty) return sym
+    val present = scala.collection.mutable.HashSet.empty[(String, String)]
+    def rebuild(): Unit = {
+      present.clear()
+      var i = 0
+      while (i < sym.length - 1) { present.add((sym(i), sym(i + 1))); i += 1 }
+    }
+    rebuild()
+    merges.foreach { m =>
+      if (sym.length > 1 && present.contains((m.a, m.b))) {
+        sym = applyMerge(sym, m.a, m.b)
+        rebuild()
+      }
+    }
     sym
   }
 
@@ -82,13 +107,134 @@ object Bpe {
       .groupByKey(identity).count()
   }
 
-  /** Train `numMerges` merges on the corpus. Only the per-step argmax
-    * row and the final merge list touch the driver.
+  /** Driver-local merge loop over a collected (word, freq) vocab —
+    * exact integer counts, the same (count desc, a asc, b asc) argmax
+    * and the same count≥2 stop rule as the distributed loop, so the
+    * learned merges are IDENTICAL (BpeSpec pins local ≡ distributed).
+    *
+    * A lazy-deletion max-heap ordered by the argmax total order makes
+    * each step O(touched pairs · log |heap|): dequeue entries until one
+    * matches the pair's CURRENT count (stale entries from earlier
+    * updates are discarded), re-count only the words that contain the
+    * merged pair (an `occurs` superset index narrows the scan), and
+    * re-enqueue every touched pair at its new count. A real 32k-merge
+    * vocabulary trains in seconds — the distributed loop at that
+    * parameter scale is 32k SEQUENTIAL Spark jobs, days of scheduler
+    * latency even though each job is cheap.
+    */
+  private[graft] def trainLocalMerges(vocab0: Array[(String, Long)],
+      numMerges: Int): Seq[Merge] = {
+    val syms: Array[Array[String]] = vocab0.map { case (w, _) => symbolsOf(w) }
+    val freq = vocab0.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occurs = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.BitSet]
+    // max count first, then lexicographically SMALLEST (a, b) — the
+    // distributed loop's (count desc, a asc, b asc)
+    val ord: Ordering[(Long, String, String)] = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val a = y._2.compareTo(x._2)
+          if (a != 0) a else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    var wi = 0
+    while (wi < syms.length) {
+      val sy = syms(wi)
+      var i = 0
+      while (i < sy.length - 1) {
+        val p = (sy(i), sy(i + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + freq(wi))
+        occurs.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += wi
+        i += 1
+      }
+      wi += 1
+    }
+    counts.foreach { case ((a, b), c) => if (c >= 2) pq.enqueue((c, a, b)) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    while (merges.length < numMerges && pq.nonEmpty) {
+      val (c, a, b) = pq.dequeue()
+      // live iff the recorded count is the pair's current count (every
+      // count change re-enqueues, so the current count is always present)
+      if (counts.getOrElse((a, b), 0L) == c) {
+        merges += Merge(a, b)
+        val touched = scala.collection.mutable.HashSet.empty[(String, String)]
+        // `occurs` is a SUPERSET index (membership is never retracted, so
+        // earlier merges leave stale entries): verify per word
+        occurs.getOrElse((a, b), scala.collection.mutable.BitSet.empty)
+          .toArray.foreach { w =>
+            val old = syms(w)
+            var has = false
+            var i = 0
+            while (!has && i < old.length - 1) {
+              if (old(i) == a && old(i + 1) == b) has = true
+              i += 1
+            }
+            if (has) {
+              i = 0
+              while (i < old.length - 1) {
+                val p = (old(i), old(i + 1))
+                counts.update(p, counts(p) - freq(w))
+                touched += p
+                i += 1
+              }
+              val neu = applyMerge(old, a, b)
+              syms(w) = neu
+              i = 0
+              while (i < neu.length - 1) {
+                val p = (neu(i), neu(i + 1))
+                counts.update(p, counts.getOrElse(p, 0L) + freq(w))
+                occurs.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += w
+                touched += p
+                i += 1
+              }
+            }
+          }
+        touched.foreach { p =>
+          val n = counts.getOrElse(p, 0L)
+          if (n >= 2) pq.enqueue((n, p._1, p._2))
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Train `numMerges` merges on the corpus. The corpus is touched ONCE
+    * (the word hash-agg); if the distinct-word vocabulary fits
+    * `localVocabCap` — the standard regime: vocabularies are
+    * corpus-size-INDEPENDENT and a few million words at most — the
+    * merge loop runs driver-locally ([[trainLocalMerges]], seconds for
+    * real vocabulary sizes). Above the cap the fully distributed loop
+    * takes over: one pair-keyed hash agg per step over the vocab table,
+    * only the argmax row reaching the driver. Both paths learn
+    * identical merges (same exact counts, argmax order, and stop rule —
+    * BpeSpec pins it).
     */
   def train(s: SparkSession, docs: DataFrame, numMerges: Int,
-      text: String = "text"): Seq[Merge] = {
+      text: String = "text", localVocabCap: Long = 1L << 21): Seq[Merge] = {
     import s.implicits._
-    var words = vocab(s, docs, text)
+    val v = vocab(s, docs, text).persist()
+    val n = v.count()
+    if (n <= localVocabCap) {
+      val arr = v.collect() // vocab-sized collect, bounded by the cap
+      v.unpersist()
+      trainLocalMerges(arr, numMerges)
+    } else {
+      val out = trainDistributedMerges(s, v, numMerges)
+      v.unpersist()
+      out
+    }
+  }
+
+  /** the distributed merge loop, for vocabularies past the local cap */
+  private def trainDistributedMerges(s: SparkSession,
+      v: org.apache.spark.sql.Dataset[(String, Long)], numMerges: Int): Seq[Merge] = {
+    import s.implicits._
+    var words = v
       .map { case (w, f) => (symbolsOf(w), f) }
       .persist()
     words.count() // materialize before the loop

@@ -54,12 +54,72 @@ class BpeSpec extends SparkSpec {
     val docs = Seq.tabulate(50)(i =>
       (i.toLong, Array.fill(8 + r.nextInt(10))(vocabWords(r.nextInt(vocabWords.length)))
         .mkString(" "))).toDF("doc_id", "text")
-    val got = Bpe.train(s, docs, numMerges = 12).map(m => (m.a, m.b))
+    // localVocabCap = 0 forces the DISTRIBUTED loop; the default-path
+    // (local heap) equivalence is pinned separately below
+    val got = Bpe.train(s, docs, numMerges = 12, localVocabCap = 0L).map(m => (m.a, m.b))
     val freq = docs.as[(Long, String)].collect()
       .flatMap(_._2.split(" ")).groupBy(identity)
       .map { case (w, g) => w -> g.length.toLong }
     val want = refTrain(freq, 12)
     assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("local heap trainer learns the SAME merges as the distributed loop") {
+    val s = spark
+    import s.implicits._
+    val r = new scala.util.Random(23)
+    // richer corpus than the parity fixture: overlapping suffixes AND
+    // random junk words exercise stale-heap entries and pair re-counts
+    val base = Array("low", "lower", "lowest", "slow", "slower", "glow",
+      "flow", "flows", "billow", "follow", "hollow", "yellow")
+    val docs = Seq.tabulate(120) { i =>
+      val junk = Seq.fill(3)(r.alphanumeric.take(2 + r.nextInt(5)).mkString.toLowerCase)
+      (i.toLong, (Seq.fill(10)(base(r.nextInt(base.length))) ++ junk).mkString(" "))
+    }.toDF("doc_id", "text")
+    val local = Bpe.train(s, docs, numMerges = 40).map(m => (m.a, m.b))
+    val dist = Bpe.train(s, docs, numMerges = 40, localVocabCap = 0L).map(m => (m.a, m.b))
+    assert(local == dist, s"local $local\ndistributed $dist")
+    // and both match the slow reference
+    val freq = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).filter(_.nonEmpty).groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    assert(local == refTrain(freq, 40))
+  }
+
+  test("local trainer handles a 1000+-merge vocabulary in one call") {
+    // parameter scale, not data scale: many distinct words so the pair
+    // space supports >1000 merges with count >= 2
+    val r = new scala.util.Random(41)
+    val vocab = Array.tabulate(6000) { i =>
+      val w = Seq.fill(4 + r.nextInt(10))(('a' + r.nextInt(12)).toChar).mkString
+      (w, 2L + r.nextInt(50))
+    }.distinctBy(_._1)
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainLocalMerges(vocab, numMerges = 1500)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 1500, s"only ${merges.length} merges learned")
+    info(f"1500 merges over ${vocab.length} words in $secs%.2f s")
+    // spot-check exactness against the slow reference on the same vocab
+    assert(merges.take(50).map(m => (m.a, m.b)) == refTrain(vocab.toMap, 50))
+  }
+
+  test("fast tokenizeWord equals naive sequential merge application") {
+    val r = new scala.util.Random(29)
+    val vocab = Array.tabulate(400) { _ =>
+      (Seq.fill(3 + r.nextInt(8))(('a' + r.nextInt(6)).toChar).mkString, 2L + r.nextInt(20))
+    }.distinctBy(_._1)
+    val merges = Bpe.trainLocalMerges(vocab, numMerges = 200)
+    assert(merges.length > 50, s"fixture too small: ${merges.length} merges")
+    def naive(word: String): Seq[String] = {
+      var sym = Bpe.symbolsOf(word)
+      merges.foreach { m => if (sym.length > 1) sym = Bpe.applyMerge(sym, m.a, m.b) }
+      sym.toSeq
+    }
+    val words = vocab.map(_._1) ++ Array.tabulate(200)(_ =>
+      Seq.fill(1 + r.nextInt(12))(('a' + r.nextInt(6)).toChar).mkString)
+    words.foreach { w =>
+      assert(Bpe.tokenizeWord(w, merges).toSeq == naive(w), s"diverged on '$w'")
+    }
   }
 
   test("training stops when no pair repeats, instead of learning noise") {
