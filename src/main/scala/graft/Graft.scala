@@ -291,4 +291,12 @@ object Graft {
   /** Overlapping-window doc chunking ([[llm.Pack.chunkDocs]]). */
   def chunkDocs(spark: SparkSession, docs: DataFrame, window: Int, stride: Int): DataFrame =
     llm.Pack.chunkDocs(spark, docs, window, stride)
+
+  /** Materialize packed training sequences — BPE token ids per doc,
+    * packed and concatenated per sequence, written under `dir` with the
+    * id↔token vocab ([[llm.Pack.materializeSequences]]).
+    */
+  def materializeSequences(spark: SparkSession, docs: DataFrame,
+      merges: Seq[llm.Bpe.Merge], dir: String, maxSeqTokens: Long): DataFrame =
+    llm.Pack.materializeSequences(spark, docs, merges, dir, maxSeqTokens)
 }

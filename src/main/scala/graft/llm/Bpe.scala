@@ -305,7 +305,7 @@ object Bpe {
   /** one trained merge list per dataset for the q72 entries */
   private val trained = scala.collection.concurrent.TrieMap[String, Seq[Merge]]()
 
-  private def mergesFor(s: SparkSession, d: String): Seq[Merge] =
+  private[llm] def mergesFor(s: SparkSession, d: String): Seq[Merge] =
     trained.getOrElseUpdate(d, train(s, Tables.documents(s, d), numMerges = 20))
 
   val all: ListMap[String, Q] = ListMap(

@@ -25,6 +25,13 @@ import graft.rel.Tables
   */
 object Pack {
 
+  /** seq_id = rangeId * stride + seqInRange; a range of `docsPerRange`
+    * docs yields at most `docsPerRange` sequences, so ids are
+    * collision-free iff docsPerRange ≤ the stride — enforced where
+    * ranges are formed
+    */
+  private[graft] val seqIdStride = 100000L
+
   /** greedy first-fit in id order: returns (doc_id, seqInRange) */
   private[graft] def packRange(docs: Seq[(Long, Long)], maxTokens: Long)
       : Seq[(Long, Int)] = {
@@ -49,14 +56,95 @@ object Pack {
       : DataFrame = {
     import s.implicits._
     require(maxTokens > 0 && docsPerRange > 0)
+    require(docsPerRange <= seqIdStride,
+      s"docsPerRange=$docsPerRange exceeds the seq_id stride $seqIdStride — ids would collide")
     docs.select(col(id), col(text)).as[(Long, String)]
       .map { case (i, t) => (i / docsPerRange, i, SketchOps.tokensOf(t).length.toLong) }
       .groupByKey(_._1)
       .flatMapGroups { (part, it) =>
         packRange(it.map(r => (r._2, r._3)).toSeq, maxTokens).iterator
-          .map { case (docId, seq) => (part * 100000L + seq, docId) }
+          .map { case (docId, seq) => (part * seqIdStride + seq, docId) }
       }
       .toDF("seq_id", id)
+  }
+
+  /** Materialized TRAINING SEQUENCES — the artifact the pipeline exists
+    * to produce: each doc tokenized to BPE token IDs under a trained
+    * vocabulary ([[Bpe.tokenizeWord]]), packed by the same greedy
+    * first-fit rule as [[packSequences]] but over BPE token counts (the
+    * thing that actually fills a context window), each sequence's ids
+    * concatenated in doc-id order.
+    *
+    * Written under `dir`:
+    *   - `vocab/` — (tid, tok): tid is the 0-based rank of the token
+    *     string. The token universe is CLOSED — every emitted token is
+    *     a single char or one merge's fusion, so |vocab| ≤ distinct
+    *     chars + |merges|, driver-small by construction.
+    *   - `sequences/` — (seq_id, n_docs, n_tokens, first_tid, last_tid,
+    *     token_ids). A sequence of only zero-token docs carries
+    *     first_tid = last_tid = -1.
+    * Returns `sequences/` reloaded, so the caller's plan reads the sink
+    * and no intermediate cache outlives the call.
+    *
+    * Scale shape (100 TB): tokenization is one narrow memoized map over
+    * the scan; the vocab collect is bounded by the closed universe; the
+    * ONE wide shuffle moves each doc's token ids to its range group
+    * (key = pure function of the id — deterministic, no hot keys), and
+    * each group assembles ≤ `docsPerRange` docs in memory —
+    * `docsPerRange` × avg doc tokens ints is the group-memory knob.
+    */
+  def materializeSequences(s: SparkSession, docs: DataFrame, merges: Seq[Bpe.Merge],
+      dir: String, maxSeqTokens: Long, docsPerRange: Long = 64,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import s.implicits._
+    require(maxSeqTokens > 0 && docsPerRange > 0)
+    require(docsPerRange <= seqIdStride,
+      s"docsPerRange=$docsPerRange exceeds the seq_id stride $seqIdStride — ids would collide")
+    val bm = s.sparkContext.broadcast(merges)
+    val toks = docs.select(col(id), col(text)).as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bm.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        it.map { case (i, t) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          SketchOps.tokensOf(t).foreach { w =>
+            if (w.nonEmpty) out ++= memo.getOrElseUpdate(w, Bpe.tokenizeWord(w, ms))
+          }
+          (i, out.toArray)
+        }
+      }
+      // consumed twice (vocab agg, then the id-mapped pack); disk
+      // spillover because the tokenized corpus is corpus-sized
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocabArr = toks.flatMap(_._2.iterator).distinct().collect().sorted
+    val bv = s.sparkContext.broadcast(vocabArr.zipWithIndex.toMap)
+    toks
+      .map { case (i, ts) => (i / docsPerRange, i, ts.map(bv.value)) }
+      .groupByKey(_._1)
+      .flatMapGroups { (range, it) =>
+        val ds = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+        val assign = packRange(ds.toSeq.map { case (i, t) => (i, t.length.toLong) },
+          maxSeqTokens)
+        // packRange emits in id order: group the consecutive run per seq
+        val bySeq = scala.collection.mutable.LinkedHashMap
+          .empty[Int, scala.collection.mutable.ArrayBuffer[Array[Int]]]
+        ds.iterator.zip(assign.iterator).foreach { case ((_, t), (_, sq)) =>
+          bySeq.getOrElseUpdate(sq,
+            scala.collection.mutable.ArrayBuffer.empty[Array[Int]]) += t
+        }
+        bySeq.iterator.map { case (sq, parts) =>
+          val flat = parts.toArray.flatten
+          (range * seqIdStride + sq, parts.length.toLong, flat.length.toLong,
+            if (flat.isEmpty) -1 else flat.head,
+            if (flat.isEmpty) -1 else flat.last, flat)
+        }
+      }
+      .toDF("seq_id", "n_docs", "n_tokens", "first_tid", "last_tid", "token_ids")
+      .write.mode("overwrite").parquet(s"$dir/sequences")
+    vocabArr.zipWithIndex.map { case (t, i) => (i, t) }.toSeq.toDF("tid", "tok")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    toks.unpersist()
+    s.read.parquet(s"$dir/sequences")
   }
 
   /** Overlapping-window CHUNKING — long documents become training
@@ -84,6 +172,50 @@ object Pack {
         }
       }
       .toDF(id, "chunk_idx", "n_chunk_tokens", "first_token", "last_token")
+  }
+
+  /** one materialized-artifact build per dataset for the q82 entry */
+  private val matDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def materializedFor(s: SparkSession, d: String): String =
+    matDirs.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft-q82")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      materializeSequences(s, Tables.documents(s, d), Bpe.mergesFor(s, d),
+        work.toString, maxSeqTokens = 256)
+      work.toString
+    })
+
+  /** the q72-pinned sf0.01 vocabulary, inlined INDEPENDENTLY of runtime
+    * training so the q82 oracle replays serving from first principles —
+    * trainer drift surfaces as a hash mismatch, exactly like q72
+    */
+  private val pinnedMerges = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"))
+
+  /** DuckDB expression replaying [[Bpe.tokenizeWord]] on word `v`:
+    * symbols delimited by chr(1) ON BOTH SIDES (so a pattern can never
+    * match across a fused symbol's interior), then one `replace` per
+    * merge in training order — SQL replace is non-overlapping
+    * left-to-right, exactly the greedy BPE pass, so "a a a" under (a,a)
+    * becomes ["aa","a"] in both engines.
+    */
+  private def bpeSqlExpr(v: String): String = {
+    def sym(x: String) = s"chr(1) || '$x' || chr(1)"
+    pinnedMerges.foldLeft(
+      s"chr(1) || array_to_string(string_split($v, ''), chr(1)) || chr(1)") {
+      case (acc, (a, b)) =>
+        s"replace($acc, ${sym(a)} || '$b' || chr(1), ${sym(a + b)})"
+    }
   }
 
   val all: ListMap[String, Q] = ListMap(
@@ -119,6 +251,58 @@ object Pack {
              |SELECT part * 100000 + seq AS seq_id, count(*) AS n_docs,
              |  CAST(sum(n) AS BIGINT) AS seq_tokens
              |FROM pack GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- the MATERIALIZED training artifact: BPE-tokenize (trained
+    //      vocabulary), map to 0-based sorted-rank token ids, pack by
+    //      BPE counts at maxSeqTokens=256, concatenate ids per
+    //      sequence. The oracle replays the WHOLE chain from first
+    //      principles: serving tokenization as chained replace() over
+    //      chr(1)-delimited symbols (greedy L2R in both engines), the
+    //      vocab rank, and the q75-style recursive-CTE pack — then
+    //      checks every sequence's doc count, token count, and
+    //      first/last token id against the artifact ----
+    "q82_materialize_sequences" -> Q(
+      (s, d) => s.read.parquet(s"${materializedFor(s, d)}/sequences")
+        .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+          col("first_tid"), col("last_tid"))
+        .orderBy("seq_id"),
+      Some(s"""WITH RECURSIVE d AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             |      w -> len(w) > 0) AS ws
+             |  FROM documents),
+             |tok AS (
+             |  SELECT doc_id,
+             |    flatten(list_transform(ws,
+             |      w -> string_split(trim(${bpeSqlExpr("w")}, chr(1)), chr(1)))) AS toks
+             |  FROM d),
+             |vocab AS (
+             |  SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS tid
+             |  FROM (SELECT DISTINCT unnest(toks) AS tok FROM tok)),
+             |counts AS (
+             |  SELECT doc_id, doc_id // 64 AS part, len(toks) AS n,
+             |    toks[1] AS first_tok, toks[len(toks)] AS last_tok
+             |  FROM tok),
+             |o AS (SELECT *, row_number() OVER (PARTITION BY part ORDER BY doc_id) AS rn
+             |  FROM counts),
+             |pack(part, rn, doc_id, n, first_tok, last_tok, seq, acc) AS (
+             |  SELECT part, rn, doc_id, n, first_tok, last_tok, 0, n FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.part, o.rn, o.doc_id, o.n, o.first_tok, o.last_tok,
+             |    CASE WHEN pack.acc + o.n <= 256 THEN pack.seq ELSE pack.seq + 1 END,
+             |    CASE WHEN pack.acc + o.n <= 256 THEN pack.acc + o.n ELSE o.n END
+             |  FROM pack JOIN o ON o.part = pack.part AND o.rn = pack.rn + 1),
+             |agg AS (
+             |  SELECT part * 100000 + seq AS seq_id, count(*) AS n_docs,
+             |    CAST(sum(n) AS BIGINT) AS n_tokens,
+             |    min_by(first_tok, rn) AS first_tok, max_by(last_tok, rn) AS last_tok
+             |  FROM pack GROUP BY 1)
+             |SELECT a.seq_id, a.n_docs, a.n_tokens,
+             |  CAST(v1.tid AS INT) AS first_tid, CAST(v2.tid AS INT) AS last_tid
+             |FROM agg a
+             |JOIN vocab v1 ON v1.tok = a.first_tok
+             |JOIN vocab v2 ON v2.tok = a.last_tok
+             |ORDER BY a.seq_id""".stripMargin)),
 
     // ---- overlapping-window chunking at window=64 stride=48 (25%
     //      overlap); first/last tokens in the output make any slicing

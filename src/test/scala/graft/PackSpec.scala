@@ -63,4 +63,65 @@ class PackSpec extends SparkSpec {
     }.sorted
     assert(a == want)
   }
+
+  test("docsPerRange beyond the seq_id stride fails fast instead of colliding ids") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Pack.packSequences(s, docs, maxTokens = 16, docsPerRange = 200000))
+    intercept[IllegalArgumentException](
+      Pack.materializeSequences(s, docs, Seq.empty, "/tmp/unused",
+        maxSeqTokens = 16, docsPerRange = 200000))
+  }
+
+  test("materializeSequences: artifact is lossless, ordered, bounded, partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val r = new scala.util.Random(31)
+    val wordPool = Array("low", "lower", "newest", "wide", "bright", "er", "stone")
+    val docsSeq = Seq.tabulate(90)(i =>
+      (i.toLong, Array.fill(1 + r.nextInt(30))(wordPool(r.nextInt(wordPool.length)))
+        .mkString(" ")))
+    val docs = docsSeq.toDF("doc_id", "text")
+    val merges = graft.llm.Bpe.train(s, docs, numMerges = 15)
+    assert(merges.nonEmpty)
+    def run(parts: Int, dir: String) =
+      Pack.materializeSequences(s, docs.repartition(parts), merges, dir,
+        maxSeqTokens = 48, docsPerRange = 25)
+    val dirA = java.nio.file.Files.createTempDirectory("mat-a").toString
+    val out = run(1, dirA)
+    val rows = out.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getInt(3), x.getInt(4), x.getSeq[Int](5))).sortBy(_._1)
+    // vocab decodes ids back to token strings
+    val vocab = s.read.parquet(s"$dirA/vocab").collect()
+      .map(x => x.getInt(0) -> x.getString(1)).toMap
+    // lossless: per sequence, decoded tokens concatenated == the BPE
+    // tokenization of its docs' words in id order
+    val assign = rows.flatMap { case (seqId, _, _, _, _, tids) => Seq(seqId -> tids) }.toMap
+    val expected = docsSeq.groupBy(_._1 / 25).toSeq.flatMap { case (part, ds) =>
+      val counts = ds.sortBy(_._1).map { case (i, t) =>
+        (i, t.split(" ").flatMap(w => graft.llm.Bpe.tokenizeWord(w, merges)))
+      }
+      Pack.packRange(counts.map { case (i, ts) => (i, ts.length.toLong) }, 48)
+        .zip(counts).groupBy(_._1._2).map { case (sq, run0) =>
+          (part * 100000L + sq) -> run0.flatMap(_._2._2)
+        }
+    }.toMap
+    assert(assign.keySet == expected.keySet)
+    expected.foreach { case (seqId, toks) =>
+      assert(assign(seqId).map(vocab) == toks.toSeq, s"sequence $seqId differs")
+    }
+    // summary columns agree with the arrays; token bound holds for
+    // multi-doc sequences (a single oversize doc may exceed it)
+    rows.foreach { case (_, nDocs, nToks, first, last, tids) =>
+      assert(nToks == tids.length && first == tids.head && last == tids.last)
+      assert(nDocs == 1 || nToks <= 48)
+    }
+    // partitioning-invariant: same artifact from a different input layout
+    val dirB = java.nio.file.Files.createTempDirectory("mat-b").toString
+    val rowsB = run(7, dirB).collect().map(x => (x.getLong(0), x.getLong(1),
+      x.getLong(2), x.getInt(3), x.getInt(4), x.getSeq[Int](5))).sortBy(_._1)
+    assert(rows.toSeq == rowsB.toSeq, "artifact depends on input partitioning")
+  }
 }
