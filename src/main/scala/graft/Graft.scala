@@ -209,6 +209,14 @@ object Graft {
   def dedupClusters(pairs: DataFrame): DataFrame =
     llm.Dedup.connectedComponents(pairs)
 
+  /** Substring-level exact dedup: per-doc merged spans of k-token grams
+    * occurring ≥ minCount times corpus-wide (Lee et al.'s ExactSubstr;
+    * [[llm.Dedup.repeatedSpans]]).
+    */
+  def repeatedSpans(spark: SparkSession, docs: DataFrame, k: Int,
+      minCount: Long = 2): DataFrame =
+    llm.Dedup.repeatedSpans(spark, docs, k, minCount)
+
   /** Exactly-once streaming parquet sink (file-sink commit log +
     * checkpointed offsets; restart resumes with no loss or duplicates).
     */

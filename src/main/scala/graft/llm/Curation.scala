@@ -21,11 +21,12 @@ import graft.rel.Tables
   */
 object Curation {
 
-  /** distinct 64-bit FNV hashes of the k-token grams of `toks` — the
-    * k-generalized [[SketchOps.shingles64Of]] (same hash, same
-    * separator), so a gram's hash is a pure function of its text
+  /** POSITIONAL 64-bit FNV hashes of the k-token grams of `toks` —
+    * index p holds the hash of toks[p, p+k); the k-generalized
+    * [[SketchOps.shingles64Of]] (same hash, same separator), so a
+    * gram's hash is a pure function of its text
     */
-  private[graft] def gramHashes(toks: Array[String], k: Int): Array[Long] = {
+  private[graft] def gramHashesPos(toks: Array[String], k: Int): Array[Long] = {
     if (toks.length < k) return Array.empty
     val out = new Array[Long](toks.length - k + 1)
     var i = 0
@@ -42,8 +43,12 @@ object Curation {
       out(i) = h
       i += 1
     }
-    out.distinct
+    out
   }
+
+  /** distinct k-gram hashes (the [[gramHashesPos]] set) */
+  private[graft] def gramHashes(toks: Array[String], k: Int): Array[Long] =
+    gramHashesPos(toks, k).distinct
 
   /** Training docs sharing at least one distinct k-gram with the eval
     * set: (id, n_shared_grams). The eval grams broadcast; the training

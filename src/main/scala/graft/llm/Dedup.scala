@@ -183,4 +183,70 @@ object Dedup {
           col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("ida"), col(s"b.$id").as("idb")).distinct()
   }
+
+  /** SUBSTRING-level exact dedup (Lee, Ippolito, Nystrom et al.,
+    * "Deduplicating training data makes language models better", ACL
+    * 2022 — the ExactSubstr modality): find, per doc, the merged token
+    * spans covered by k-token grams that occur at least `minCount`
+    * times ANYWHERE in the corpus (other docs or elsewhere in the same
+    * doc). A repeated substring of length ≥ k is exactly a run of such
+    * grams, so the merged spans are the text that modality removes —
+    * without the suffix array: for a fixed k the posting-list
+    * formulation suffices.
+    *
+    * Output: (id, n_spans, n_repeated_tokens, max_span_tokens,
+    * spans: array<struct<start,end>>) — token index intervals,
+    * inclusive, adjacency-merged; docs with no repeated gram are absent.
+    * Callers implementing removal cut `spans` from the token stream.
+    *
+    * Scale shape (100 TB): positions never pair up — the plan is
+    * per-POSITION classification, linear in the corpus. One hash agg
+    * over (gh) counts gram occurrences (8-byte keys, map-side
+    * partials); one equi-join marks the positions of grams past
+    * `minCount` (fan-out = the left side's own row count — no pair
+    * space, so no q34-style cap is needed); one per-doc group merges
+    * intervals (group size ≤ the doc's token count). The gram stream is
+    * recomputed for the join rather than cached — a second narrow
+    * tokenize pass beats pinning a corpus-sized cache at this scale.
+    * Cross-engine contract: grams compare by 64-bit FNV hash (q34/q73's
+    * contract — the string-gram oracle goes red on a collision).
+    */
+  def repeatedSpans(s: SparkSession, docs: DataFrame, k: Int,
+      minCount: Long = 2, id: String = "id", text: String = "text"): DataFrame = {
+    import s.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    def grams = docs.select(col(id), col(text)).as[(Long, String)]
+      .flatMap { case (i, t) =>
+        Curation.gramHashesPos(SketchOps.tokensOf(t), k)
+          .iterator.zipWithIndex.map { case (h, p) => (i, p, h) }
+      }
+      .toDF(id, "pos", "gh")
+    val heavy = grams.groupBy("gh")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select("gh")
+    grams.join(heavy, "gh")
+      .select(col(id), col("pos")).as[(Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (i, it) =>
+        val ps = it.map(_._2).toArray.sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var st = ps(0)
+        var en = ps(0) + k - 1
+        var j = 1
+        while (j < ps.length) {
+          val p = ps(j)
+          if (p <= en + 1) en = math.max(en, p + k - 1) // overlap or adjacency
+          else { spans += ((st, en)); st = p; en = p + k - 1 }
+          j += 1
+        }
+        spans += ((st, en))
+        (i, spans.length.toLong,
+          spans.iterator.map(x => x._2 - x._1 + 1L).sum,
+          spans.iterator.map(x => x._2 - x._1 + 1L).max,
+          spans.toSeq)
+      }
+      .toDF(id, "n_spans", "n_repeated_tokens", "max_span_tokens", "spans")
+  }
 }

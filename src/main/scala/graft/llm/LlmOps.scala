@@ -625,5 +625,54 @@ object LlmOps {
              |FROM kept k JOIN documents d ON k.doc_id = d.doc_id
              |JOIN qual q ON k.doc_id = q.doc_id
              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // ---- substring-level exact dedup (Lee et al. ACL 2022,
+    //      ExactSubstr): merged per-doc spans of 8-grams occurring ≥2×
+    //      corpus-wide, over documents ∪ planted shifted copies (docs
+    //      0-9 minus their first token, id+100000 — long shared
+    //      substrings by construction; natural within-doc repeats count
+    //      too). The oracle recomputes with STRING grams and a
+    //      gaps-and-islands interval merge — Spark compares 64-bit FNV
+    //      hashes, so a collision flips this red (q34/q73's contract).
+    //      ----
+    "q83_repeated_substrings" -> Q(
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val corpus = base.unionByName(docs(s, d).filter(col("doc_id") < 10)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+        Dedup.repeatedSpans(s, corpus, k = 8, id = "doc_id")
+          .select(col("doc_id"), col("n_spans"), col("n_repeated_tokens"),
+            col("max_span_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, regexp_replace(text, '^\S+\s+', '')
+             |  FROM documents WHERE doc_id < 10),
+             |t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+             |  FROM corpus),
+             |gg AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+             |      i -> {'pos': i, 'gram': array_to_string(w[i:i+7], ' ')})) AS u
+             |    FROM t WHERE len(w) >= 8) x),
+             |heavy AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) >= 2),
+             |m AS (SELECT doc_id, pos FROM gg JOIN heavy USING (gram)),
+             |isl AS (SELECT doc_id, pos,
+             |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+             |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM m),
+             |grp AS (SELECT doc_id, pos,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS UNBOUNDED PRECEDING) AS g
+             |  FROM isl),
+             |spans AS (SELECT doc_id, g, min(pos) AS st, max(pos) + 7 AS en
+             |  FROM grp GROUP BY doc_id, g)
+             |SELECT doc_id, count(*) AS n_spans,
+             |  CAST(sum(en - st + 1) AS BIGINT) AS n_repeated_tokens,
+             |  CAST(max(en - st + 1) AS BIGINT) AS max_span_tokens
+             |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

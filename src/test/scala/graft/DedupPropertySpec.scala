@@ -94,4 +94,33 @@ class DedupPropertySpec extends SparkSpec {
       assert(got == want, s"seed=$seed: ${got.toSet -- want.toSet} vs ${want.toSet -- got.toSet}")
     }
   }
+
+  test("repeatedSpans: cross-doc and within-doc repeats, interval merge, gaps") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g"),         // shares "a b c d" with doc 1
+      (1L, "x y a b c d z"),
+      (2L, "p q r p q r p q r"),     // within-doc: every 3-gram repeats
+      (3L, "m n o"),                 // unique — absent from output
+      (4L, "a b c q9 a b c")         // two NON-adjacent occurrences
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(s, docs, k = 3, id = "doc_id")
+      .select("doc_id", "n_spans", "n_repeated_tokens", "max_span_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // doc 0: grams at pos 0,1 merge -> [0,3] (4 tokens); doc 1: [2,5];
+    // doc 2: pos 0..6 -> [0,8] (9 tokens); doc 4: [0,2] and [4,6]
+    assert(got == Seq((0L, 1L, 4L, 4L), (1L, 1L, 4L, 4L),
+      (2L, 1L, 9L, 9L), (4L, 2L, 6L, 3L)), s"got $got")
+    // the spans themselves, for a removal caller
+    val spans = Dedup.repeatedSpans(s, docs, k = 3, id = "doc_id")
+      .filter(col("doc_id") === 4L)
+      .select(explode(col("spans"))).select("col._1", "col._2")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(spans == Seq((0, 2), (4, 6)))
+    // raising minCount past the occurrence count empties the result
+    assert(Dedup.repeatedSpans(s, docs, k = 3, minCount = 5, id = "doc_id")
+      .count() == 0)
+  }
 }
