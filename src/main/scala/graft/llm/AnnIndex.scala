@@ -167,20 +167,8 @@ object AnnIndex {
       s, emb, cells, coarseIters, multiAssign, subQ, codes, pqIters, id, vec,
       opqIters)
     // the OPQ rotation (if trained) is part of the index: codes only
-    // decode in its space, so it persists next to the codebooks — and a
-    // rotation-less save must REMOVE any stale rotation/ from a prior
-    // rotated save, or a later probe would rotate queries against codes
-    // encoded unrotated
-    rot match {
-      case Some(r) =>
-        r.zipWithIndex.map { case (row, i) => (i, row) }.toSeq
-          .toDF("i", "row")
-          .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
-      case None =>
-        val p = new org.apache.hadoop.fs.Path(s"$dir/rotation")
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-    }
+    // decode in its space, so it persists next to the codebooks
+    writeRotation(s, dir, rot)
     encoded.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
     emb.select(col(id), col(vec)).write.mode("overwrite").parquet(s"$dir/vectors")
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
@@ -192,6 +180,49 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
   }
 
+  private def readCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/codebooks")
+      .as[(Int, Int, Array[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray // codebook-sized collect
+  }
+
+  /** existence check through the dir's own Hadoop FileSystem — a
+    * java.io.File test is always false on HDFS/S3 and would silently
+    * skip the rotation (unrotated queries scored against
+    * rotated-residual codebooks: degraded recall, no error)
+    */
+  private def readRotation(s: SparkSession, dir: String): Option[Array[Array[Double]]] = {
+    import s.implicits._
+    val rotPath = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+    val rotFs = rotPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!rotFs.exists(rotPath)) None
+    else Some(s.read.parquet(s"$dir/rotation").as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2))
+  }
+
+  /** write (opqIters > 0) or REMOVE (opqIters == 0) the `rotation/`
+    * artifact — a rotation-less save into a dir that previously held a
+    * rotated index must delete the stale rotation, or a later probe
+    * would rotate queries against codes encoded unrotated
+    */
+  private def writeRotation(s: SparkSession, dir: String,
+      rot: Option[Array[Array[Double]]]): Unit = {
+    import s.implicits._
+    rot match {
+      case Some(r) =>
+        r.zipWithIndex.map { case (row, i) => (i, row) }.toSeq
+          .toDF("i", "row")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        ()
+    }
+  }
+
   /** Cosine top-k per query against a saved IVFADC index — bit-identical
     * to [[IvfPqOps.ivfPqTopK]] with the same build parameters, reading
     * only the probed cells' code partitions plus the re-rank joins.
@@ -201,26 +232,62 @@ object AnnIndex {
       maxProbeBatch: Int = 4096,
       id: String = "id", vec: String = "vec",
       qid: String = "qid", qvec: String = "qvec"): DataFrame = {
-    import s.implicits._
     val cents = readCentroids(s, dir)
-    val books = s.read.parquet(s"$dir/codebooks")
-      .as[(Int, Int, Array[Double])].collect()
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3)).toArray // codebook-sized collect
+    val books = readCodebooks(s, dir)
     val encoded = s.read.parquet(s"$dir/codes")
     val vectors = s.read.parquet(s"$dir/vectors")
-    // existence check through the dir's own Hadoop FileSystem — a
-    // java.io.File test is always false on HDFS/S3 and would silently
-    // skip the rotation (unrotated queries scored against
-    // rotated-residual codebooks: degraded recall, no error)
-    val rotPath = new org.apache.hadoop.fs.Path(s"$dir/rotation")
-    val rotFs = rotPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val rot =
-      if (!rotFs.exists(rotPath)) None
-      else Some(s.read.parquet(s"$dir/rotation").as[(Int, Array[Double])]
-        .collect().sortBy(_._1).map(_._2))
+    val rot = readRotation(s, dir)
     IvfPqOps.probeEncoded(s, cents, books, encoded, vectors, queries, k,
       nProbe, rerank, excludeSelfId, maxProbeBatch, id, vec, qid, qvec, rot)
+  }
+
+  /** Persist a FLAT PQ index under `dir`: `codebooks/`, the encoded
+    * corpus `codes/` (subQ bytes of payload per vector — no coarse
+    * partitioning: the flat-PQ ADC scan reads every code row by design,
+    * that is the "vectors don't fit, codes do" trade), `vectors/` (the
+    * id→vec store only the top-`rerank` candidates hit), and the OPQ
+    * `rotation/` when `opqIters > 0` (trained exactly as
+    * [[OpqOps.opqTopK]] trains it). Probing ([[probePq]]) is
+    * bit-identical to [[PqOps.pqTopK]] / [[OpqOps.opqTopK]] with the
+    * same parameters: both sides run [[PqOps.probeEncodedFlat]] on the
+    * same deterministically trained artifacts.
+    */
+  def savePq(s: SparkSession, emb: DataFrame, dir: String,
+      subQ: Int = 8, codes: Int = 16, iters: Int = 3, opqIters: Int = 0,
+      id: String = "id", vec: String = "vec"): Unit = {
+    import s.implicits._
+    val rot =
+      if (opqIters <= 0) None
+      else {
+        val sampleN = math.max(4 * codes, 256)
+        val pts = OpqOps.orderedSample(s, emb, id, vec, sampleN)
+        Some(OpqOps.trainRotation(pts, subQ, codes, opqIters))
+      }
+    val (books, encoded) =
+      PqOps.trainEncodeFlat(s, emb, subQ, codes, iters, id, vec, rot)
+    writeRotation(s, dir, rot)
+    encoded.write.mode("overwrite").parquet(s"$dir/codes")
+    emb.select(col(id), col(vec)).write.mode("overwrite").parquet(s"$dir/vectors")
+    books.zipWithIndex.flatMap { case (book, qi) =>
+      book.zipWithIndex.map { case (cent, code) => (qi, code, cent) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Cosine top-k per query against a saved flat-PQ index —
+    * bit-identical to [[PqOps.pqTopK]] with the same build parameters.
+    */
+  def probePq(s: SparkSession, dir: String, queries: DataFrame, k: Int,
+      rerank: Int = 100, excludeSelfId: Boolean = true,
+      maxProbeBatch: Int = 4096,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    val books = readCodebooks(s, dir)
+    val encoded = s.read.parquet(s"$dir/codes")
+    val vectors = s.read.parquet(s"$dir/vectors")
+    val rot = readRotation(s, dir)
+    PqOps.probeEncodedFlat(s, books, encoded, vectors, queries, k,
+      rerank, excludeSelfId, maxProbeBatch, id, vec, qid, qvec, rot)
   }
 
   /** one index build per (session, dataset): the q65 entries both serve
@@ -256,6 +323,38 @@ object AnnIndex {
         col("n_candidates"))
   }
 
+  /** one flat-PQ index build per (session, dataset) — the q84 entries
+    * both serve from it
+    */
+  private val builtPq = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def pqIndexDirFor(s: SparkSession, d: String): String =
+    builtPq.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft-q84")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      savePq(s, e, work.toString)
+      work.toString
+    })
+
+  /** q84 driver shape: serve the q55 probe batch from the saved index */
+  private def pqIndexTop5(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    probePq(s, pqIndexDirFor(s, d), q, k = 5)
+      .select(col("qid"), col("rn"), col("id").as("nn_id"), col("cos"),
+        col("n_candidates"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- IVF index lifecycle: persist partitioned-by-cell, probe via
     //      partition-pruned scans ----
@@ -269,5 +368,30 @@ object AnnIndex {
       (s, d) => IvfOps.recallVsExact(s, d,
         indexTop5(s, d).select(col("qid"), col("nn_id").as("vec_id"))),
       Some(IvfOps.ivfRecallOracle)),
+
+    // ---- flat-PQ index lifecycle: persist codebooks + codes + vectors,
+    //      probe via the same ADC scan train-and-probe runs ----
+    "q84_pq_index_ann" -> Q((s, d) => pqIndexTop5(s, d), None),
+
+    // ---- recall vs exact top-5: probing the SAVED flat-PQ index is
+    //      bit-identical to q55's train-and-probe (same deterministic
+    //      sample/k-center/Lloyd artifacts, same ADC scan, same
+    //      re-rank), so the pinned values equal q55_pq_recall's ----
+    "q84_pq_index_recall" -> Q(
+      (s, d) => {
+        val approx = pqIndexTop5(s, d).select(col("qid"), col("nn_id").as("vec_id"))
+        SketchOps.exactTop5(s, d)
+          .join(approx.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+          .select(col("qid"), col("n_hits"),
+            (col("n_hits").cast("double") / 5).as("recall_at_5"))
+          .orderBy("qid")
+      },
+      Some("""SELECT qid, n_hits, CAST(recall AS DOUBLE) AS recall_at_5
+             |FROM (VALUES (0, 5, 1.0), (1, 5, 1.0), (2, 4, 0.8), (3, 5, 1.0),
+             |  (4, 4, 0.8), (5, 5, 1.0), (6, 3, 0.6), (7, 5, 1.0))
+             |  AS t(qid, n_hits, recall)
+             |ORDER BY qid""".stripMargin)),
   )
 }

@@ -137,29 +137,19 @@ object PqOps {
     books
   }
 
-  /** Approximate cosine top-k per query via PQ/ADC with exact re-rank of
-    * the `rerank` best codes. Output: (qid, rn, id, cos, n_candidates =
-    * the re-rank depth actually scored exactly).
-    *
-    * The query side is collected to the driver to build the broadcast ADC
-    * tables — bounded by `maxProbeBatch`: a batch over the cap fails fast
-    * with a clear message instead of silently OOMing the driver. Larger
-    * query sets should be chunked by the caller (each chunk is an
-    * independent probe).
-    *
-    * `rotation` (OPQ, [[OpqOps]]): an orthogonal d×d matrix applied to the
-    * normalized corpus AND query vectors before quantization. Rotation
-    * preserves dot products, so the ADC scores still approximate the
-    * original cosine — only the subspace decomposition changes (that is
-    * the point: the rotation is trained to make the split quantize well).
-    * The exact re-rank reads the ORIGINAL vectors either way.
+  /** Train the flat-PQ artifacts over `emb` — the subQ codebooks and the
+    * encoded corpus (id, code) — in the (optionally OPQ-rotated)
+    * normalized space. [[pqTopK]] consumes them in-memory;
+    * [[AnnIndex.savePq]] persists them. `encoded` is returned LAZY and
+    * uncached: each caller materializes it exactly once (the ADC scan /
+    * the parquet write), and the recompute lineage past the unpersisted
+    * training cache is one narrow normalize+encode map.
     */
-  def pqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
-      subQ: Int = 8, codes: Int = 16, iters: Int = 3, rerank: Int = 100,
-      excludeSelfId: Boolean = true, maxProbeBatch: Int = 4096,
-      id: String = "id", vec: String = "vec",
-      qid: String = "qid", qvec: String = "qvec",
-      rotation: Option[Array[Array[Double]]] = None): DataFrame = {
+  private[llm] def trainEncodeFlat(s: SparkSession, emb: DataFrame,
+      subQ: Int, codes: Int, iters: Int,
+      id: String, vec: String,
+      rotation: Option[Array[Array[Double]]])
+      : (Array[Array[Array[Double]]], DataFrame) = {
     import s.implicits._
     val bR = rotation.map(s.sparkContext.broadcast(_))
     def rot(v: Array[Double]): Array[Double] = bR match {
@@ -176,6 +166,40 @@ object PqOps {
       (i, Array.tabulate(subQ)(qi => nearestCode(bc.value(qi), v, qi * sub)))
     }.toDF(id, "code")
     norm.unpersist()
+    (books, encoded)
+  }
+
+  /** Flat-PQ probe against trained artifacts (in-memory or loaded from
+    * [[AnnIndex.savePq]]): identical plan for both callers, so probing a
+    * SAVED index is bit-identical to train-and-probe.
+    *
+    * The query side is collected to the driver to build the broadcast ADC
+    * tables — bounded by `maxProbeBatch`: a batch over the cap fails fast
+    * with a clear message instead of silently OOMing the driver. Larger
+    * query sets should be chunked by the caller (each chunk is an
+    * independent probe).
+    *
+    * `rotation` (OPQ, [[OpqOps]]): the orthogonal d×d matrix the corpus
+    * was encoded under, applied here to the normalized QUERY vectors
+    * (driver-side — only the ADC tables see the rotated space). Rotation
+    * preserves dot products, so the ADC scores still approximate the
+    * original cosine. The exact re-rank reads `vectors` (the ORIGINAL
+    * uncompressed vectors) either way.
+    */
+  private[llm] def probeEncodedFlat(s: SparkSession,
+      books: Array[Array[Array[Double]]],
+      encoded: DataFrame, vectors: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int, excludeSelfId: Boolean, maxProbeBatch: Int,
+      id: String, vec: String, qid: String, qvec: String,
+      rotation: Option[Array[Array[Double]]]): DataFrame = {
+    import s.implicits._
+    val subQ = books.length
+    val codes = books(0).length
+    val sub = books(0)(0).length
+    def rot(v: Array[Double]): Array[Double] = rotation match {
+      case Some(r) => OpqOps.matVec(r, v)
+      case None => v
+    }
     // per-query ADC tables: table(qi)(c) = dot(q_sub, centroid) — exact
     // f64; broadcast with the query list (ANN serves small probe
     // batches). limit(cap+1) bounds the transfer BEFORE the collect.
@@ -195,7 +219,7 @@ object PqOps {
       }
     val bq = s.sparkContext.broadcast(qTables)
     // ADC scan: score every code row per query with subQ table lookups
-    val scored = encoded.as[(Long, Array[Int])]
+    val scored = encoded.select(col(id), col("code")).as[(Long, Array[Int])]
       .flatMap { case (i, code) =>
         bq.value.iterator.map { case (q, table) =>
           var sc = 0.0
@@ -213,7 +237,7 @@ object PqOps {
     val cand = graft.functions.TopK.perKeyTopK(scored, rerank, qid, id, "adc")
       .select(col(qid), col(id))
     val nc = cand.groupBy(qid).agg(count(lit(1)).as("n_candidates"))
-    val reranked = cand.join(emb.select(col(id), col(vec)), id)
+    val reranked = cand.join(vectors.select(col(id), col(vec)), id)
       .join(broadcast(queries.select(col(qid), col(qvec))), qid)
       .withColumn("cos",
         graft.functions.VecFunctions.vecCosine(s, col(qvec), col(vec)))
@@ -221,6 +245,24 @@ object PqOps {
       .join(broadcast(nc), qid)
       .select(col(qid), col("rn"), col(id), col("cos"), col("n_candidates"))
       .orderBy(qid, "rn")
+  }
+
+  /** Approximate cosine top-k per query via PQ/ADC with exact re-rank of
+    * the `rerank` best codes. Output: (qid, rn, id, cos, n_candidates =
+    * the re-rank depth actually scored exactly). Train-and-probe in one
+    * call — [[trainEncodeFlat]] then [[probeEncodedFlat]], the same two
+    * halves [[AnnIndex.savePq]]/[[AnnIndex.probePq]] run across a
+    * persistence boundary.
+    */
+  def pqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+      subQ: Int = 8, codes: Int = 16, iters: Int = 3, rerank: Int = 100,
+      excludeSelfId: Boolean = true, maxProbeBatch: Int = 4096,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec",
+      rotation: Option[Array[Array[Double]]] = None): DataFrame = {
+    val (books, encoded) = trainEncodeFlat(s, emb, subQ, codes, iters, id, vec, rotation)
+    probeEncodedFlat(s, books, encoded, emb.select(col(id), col(vec)), queries,
+      k, rerank, excludeSelfId, maxProbeBatch, id, vec, qid, qvec, rotation)
   }
 
   private def pqTop5(s: SparkSession, d: String): DataFrame = {

@@ -66,6 +66,32 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("probePq on a saved flat-PQ index equals pqTopK bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx-flatpq").toString
+    AnnIndex.savePq(spark, emb, dir)
+    val got = AnnIndex.probePq(spark, dir, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    val want = graft.llm.PqOps.pqTopK(spark, emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
+  test("OPQ-rotated flat-PQ index: rotation persists; probe equals opqTopK bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx-flatopq").toString
+    AnnIndex.savePq(spark, emb, dir, opqIters = 8)
+    assert(new java.io.File(s"$dir/rotation").exists(),
+      "trained rotation not persisted with the index")
+    val got = AnnIndex.probePq(spark, dir, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    val want = graft.llm.OpqOps.opqTopK(spark, emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == want)
+    // unrotated re-save into the same dir drops the stale rotation
+    AnnIndex.savePq(spark, emb, dir)
+    assert(!new java.io.File(s"$dir/rotation").exists(),
+      "stale rotation survived an unrotated flat-PQ re-save")
+  }
+
   test("streaming append finds new vectors; duplicate appends change nothing") {
     val s = spark
     import s.implicits._
