@@ -107,7 +107,14 @@ object StreamingStitch {
     * how fast the cluster happens to run, so replays produce identical
     * output — and the spec needs no wall-clock sleeps. Late pieces
     * after a partial emission drop against the same tombstone that
-    * makes replays idempotent.
+    * makes replays idempotent — and the tombstones themselves EVICT
+    * once the watermark passes their maxTs + gap (replays carry their
+    * original timestamps, by then below the watermark, so the
+    * event-time late filter drops them before the operator): total
+    * state tracks the in-flight window, not the emitted history. A
+    * piece with a FRESH timestamp above the watermark arriving after
+    * eviction is not a replay but data violating the declared stall
+    * contract; it re-opens the block.
     *
     * `watermarkDelay` is the out-of-orderness bound of the tile
     * TIMESTAMPS (Spark watermark semantics), e.g. "0 seconds" for an
@@ -133,14 +140,35 @@ object StreamingStitch {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
         (key: (Int, Int, Int), it: Iterator[(HaloPiece, java.sql.Timestamp)],
             state: GroupState[EtBuf]) => {
+          // every emission (complete or partial) leaves a `done` tombstone
+          // with an EVICTION timeout at maxTs + gap: once the watermark
+          // passes it, any REPLAYED piece (ts <= maxTs < watermark) is
+          // dropped by the event-time late filter before reaching this
+          // operator, so the tombstone is redundant and state.remove()s —
+          // long-running acquisitions hold state proportional to the
+          // in-flight window, not to everything ever emitted
+          // (StreamingStitchSpec pins state draining to zero).
+          def tombstone(maxTs: Long): Unit = {
+            state.update(EtBuf(Array.empty, maxTs, done = true))
+            state.setTimeoutTimestamp(
+              math.max(maxTs + stallGapMs, state.getCurrentWatermarkMs + 1))
+          }
           if (state.hasTimedOut) {
             val buf = state.get
-            state.update(EtBuf(Array.empty, buf.maxTs, done = true)) // tombstone
-            if (buf.done || buf.pieces.isEmpty) Iterator.empty
-            else Iterator.single(
-              Stitch.assembleBlock(key._1, key._2, key._3, buf.pieces.toSeq, meta))
+            if (buf.done) { state.remove(); Iterator.empty } // evict tombstone
+            else {
+              tombstone(buf.maxTs)
+              if (buf.pieces.isEmpty) Iterator.empty
+              else Iterator.single(
+                Stitch.assembleBlock(key._1, key._2, key._3, buf.pieces.toSeq, meta))
+            }
           } else if (state.exists && state.get.done) {
-            Iterator.empty // late pieces after emission: drop idempotently
+            // late pieces after emission: drop idempotently — and RE-ARM
+            // the eviction timeout: Spark clears a group's pending
+            // timeout on every function invocation, so a tombstone that
+            // just absorbed a replay would otherwise never evict
+            tombstone(state.get.maxTs)
+            Iterator.empty
           } else {
             val rows = it.toArray
             val prev = if (state.exists) state.get
@@ -156,7 +184,7 @@ object StreamingStitch {
               s"block $key received ${arrived.length} distinct pieces, expected " +
                 s"$need — tiles outside the declared grid geometry")
             if (arrived.length == need) {
-              state.update(EtBuf(Array.empty, maxTs, done = true)) // tombstone
+              tombstone(maxTs)
               Iterator.single(
                 Stitch.assembleBlock(key._1, key._2, key._3, arrived.toSeq, meta))
             } else {

@@ -201,6 +201,46 @@ class StreamingStitchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tombstones EVICT once the watermark passes maxTs + gap; replays within the gap stay idempotent") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def at(ms: Long)(b: Block) = (b, new java.sql.Timestamp(ms))
+    val gap = 60000L
+    val t0 = 10000L
+    val mem = MemoryStream[(Block, java.sql.Timestamp)]
+    val q = StreamingStitch.stitchStreamByWatermark(mem.toDS(), meta, stallGapMs = gap)
+      .writeStream.format("memory").queryName("stream_stitch_evict")
+      .outputMode("append").start()
+    try {
+      def stateRows: Long = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // full acquisition in one batch: all 12 blocks emit, leaving 12 tombstones
+      mem.addData(tiles.map(at(t0)): _*)
+      q.processAllAvailable()
+      assert(s.table("stream_stitch_evict").count() == 12)
+      assert(stateRows == 12, s"expected 12 tombstones, state has $stateRows")
+      // replay WITHIN the gap (watermark = t0, eviction due at t0+gap):
+      // tombstones drop every piece, nothing re-emits, state unchanged
+      mem.addData(tiles.map(at(t0)): _*)
+      q.processAllAvailable()
+      assert(s.table("stream_stitch_evict").count() == 12)
+      assert(stateRows == 12, s"replay within the gap disturbed state: $stateRows")
+      // the acquisition clock jumps past every tombstone's maxTs + gap;
+      // the fresh-ts pieces themselves drop against still-live tombstones
+      mem.addData(at(t0 + 2 * gap)(tiles.head))
+      q.processAllAvailable()
+      // a replay at the ORIGINAL timestamps is now entirely below the
+      // watermark: the late filter drops every row before the operator,
+      // the batch reaches the operator data-free, and every tombstone's
+      // pending eviction timeout fires -> state drains to zero
+      mem.addData(tiles.map(at(t0)): _*)
+      q.processAllAvailable()
+      assert(s.table("stream_stitch_evict").count() == 12,
+        "eviction round re-emitted blocks")
+      assert(stateRows == 0, s"tombstones survived watermark passage: $stateRows")
+    } finally q.stop()
+  }
+
   test("tiles replayed AFTER emission are dropped idempotently (at-least-once source)") {
     val s = spark
     import s.implicits._
