@@ -288,6 +288,13 @@ object Graft {
       rates: Map[String, Double]): DataFrame =
     llm.Curation.mixtureSample(spark, docs, rates)
 
+  /** Stratified mixture sampling by per-source token budgets
+    * ([[llm.Curation.mixtureSampleByBudget]]).
+    */
+  def mixtureSampleByBudget(spark: SparkSession, docs: DataFrame,
+      budgets: Map[String, Long]): DataFrame =
+    llm.Curation.mixtureSampleByBudget(spark, docs, budgets)
+
   /** Gopher-style repetition quality signals ([[llm.Curation.repetitionSignals]]). */
   def repetitionSignals(spark: SparkSession, docs: DataFrame): DataFrame =
     llm.Curation.repetitionSignals(spark, docs)

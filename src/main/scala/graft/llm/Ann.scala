@@ -144,4 +144,46 @@ object Ann {
       id: String = "id", vec: String = "vec",
       qid: String = "qid", qvec: String = "qvec"): DataFrame =
     AnnIndex.probeIvf(s, dir, queries, k, nProbe, excludeSelfId, id, vec, qid, qvec)
+
+  /** Persist an IVFADC index (coarse centroids, residual-PQ codebooks,
+    * cell-partitioned codes, re-rank vectors, optional OPQ rotation)
+    * ([[AnnIndex.saveIvfPq]]).
+    */
+  def saveIvfPqIndex(s: SparkSession, emb: DataFrame, dir: String,
+      cells: Int = 16, coarseIters: Int = 3, multiAssign: Int = 2,
+      subQ: Int = 8, codes: Int = 16, pqIters: Int = 3,
+      id: String = "id", vec: String = "vec", opqIters: Int = 0): Unit =
+    AnnIndex.saveIvfPq(s, emb, dir, cells, coarseIters, multiAssign,
+      subQ, codes, pqIters, id, vec, opqIters)
+
+  /** Probe a saved IVFADC index — bit-identical to [[ivfPqTopK]] with
+    * the same build parameters ([[AnnIndex.probeIvfPq]]).
+    */
+  def probeIvfPqIndex(s: SparkSession, dir: String, queries: DataFrame, k: Int,
+      nProbe: Int = 6, rerank: Int = 100, excludeSelfId: Boolean = true,
+      maxProbeBatch: Int = 4096,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame =
+    AnnIndex.probeIvfPq(s, dir, queries, k, nProbe, rerank, excludeSelfId,
+      maxProbeBatch, id, vec, qid, qvec)
+
+  /** Persist a flat-PQ index (codebooks + codes + re-rank vectors +
+    * optional OPQ rotation) ([[AnnIndex.savePq]]).
+    */
+  def savePqIndex(s: SparkSession, emb: DataFrame, dir: String,
+      subQ: Int = 8, codes: Int = 16, iters: Int = 3, opqIters: Int = 0,
+      id: String = "id", vec: String = "vec"): Unit =
+    AnnIndex.savePq(s, emb, dir, subQ, codes, iters, opqIters, id, vec)
+
+  /** Probe a saved flat-PQ index — bit-identical to [[pqTopK]] (or
+    * [[opqTopK]] when the index was saved with a rotation) with the
+    * same build parameters ([[AnnIndex.probePq]]).
+    */
+  def probePqIndex(s: SparkSession, dir: String, queries: DataFrame, k: Int,
+      rerank: Int = 100, excludeSelfId: Boolean = true,
+      maxProbeBatch: Int = 4096,
+      id: String = "id", vec: String = "vec",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame =
+    AnnIndex.probePq(s, dir, queries, k, rerank, excludeSelfId,
+      maxProbeBatch, id, vec, qid, qvec)
 }

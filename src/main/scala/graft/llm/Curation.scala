@@ -107,6 +107,90 @@ object Curation {
     docs.filter(hv < threshold)
   }
 
+  /** Stratified mixture sampling by per-source TOKEN BUDGETS — the form
+    * data mixing actually uses ("web: 300B tokens, code: 100B, papers:
+    * 30B"): per source, docs are ranked by the same deterministic
+    * md5-prefix hash [[mixtureSample]] thresholds on (ties broken by
+    * id), and the hash-order PREFIX is kept until the cumulative token
+    * count reaches the budget — a doc survives iff the tokens BEFORE it
+    * in hash order total under the budget (so the crossing doc is
+    * included and every source lands within one doc of its budget).
+    * Deterministic, re-partitioning-stable, and monotone: raising a
+    * budget only ADDS docs.
+    *
+    * Scale shape (100 TB): the naive formulation is a per-source global
+    * sort + running sum — a single-reducer window per source. Instead,
+    * the hash space is cut into `buckets` ranges (a bucket is a PREFIX
+    * of the hash, so bucket order refines hash order): one map-side-
+    * combinable agg yields per-(source, bucket) token sums (≤ sources ×
+    * `buckets` rows to the driver), which locate each source's BOUNDARY
+    * bucket — every bucket below it is kept whole by a narrow filter,
+    * every bucket above dropped, and only the boundary bucket (≈ 1/
+    * `buckets` of that source) pays the exact prefix-sum window. Output
+    * is IDENTICAL to the naive window (CurationSpec pins it).
+    */
+  def mixtureSampleByBudget(s: SparkSession, docs: DataFrame,
+      budgets: Map[String, Long], buckets: Int = 4096,
+      id: String = "doc_id", source: String = "source",
+      text: String = "text"): DataFrame = {
+    require(budgets.values.forall(_ >= 0), s"budgets must be >= 0: $budgets")
+    require(buckets > 0 && Integer.bitCount(buckets) == 1 && buckets <= (1 << 30),
+      s"buckets must be a positive power of two: $buckets")
+    import org.apache.spark.sql.expressions.Window
+    // the bucket is the hash's TOP bits, extracted by shift — Spark's
+    // `/` on longs is double division, inexact past 2^53, and a
+    // misbucketed boundary row would break "bucket order refines hash
+    // order" (the RangeJoin >2^53 lesson)
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    // same 60-bit md5 prefix as mixtureSample; token count = whitespace
+    // tokens of the trim/lower text (the tokensOf contract, in codegen)
+    val hv = conv(substring(md5(col(id).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val nToks = size(split(trim(lower(col(text))), "\\s+")).cast("long")
+    val withH = docs
+      .withColumn("hv", hv).withColumn("n_toks", nToks)
+      .withColumn("bucket", shiftright(col("hv"), shift).cast("int"))
+    // phase 1: per-(source, bucket) token totals — partial-agg'd map-side
+    val hist = withH.groupBy(source, "bucket")
+      .agg(sum(col("n_toks")).as("toks"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // per source: the boundary bucket (first whose cumulative total
+    // reaches the budget) and the tokens carried into it
+    val perSource = hist.groupBy(_._1).map { case (src, rows) =>
+      val budget = budgets.getOrElse(src, 0L)
+      var cum = 0L
+      var bStar = buckets // no boundary: budget above the source's total
+      var carry = 0L
+      rows.sortBy(_._2).foreach { case (_, b, t) =>
+        if (bStar == buckets) {
+          if (cum + t >= budget) { bStar = b; carry = cum }
+          cum += t
+        }
+      }
+      src -> (bStar, carry, budget)
+    }
+    def perSourceLit(f: ((Int, Long, Long)) => Long) =
+      perSource.foldLeft(lit(Long.MinValue)) { case (acc, (src, v)) =>
+        when(col(source) === src, lit(f(v))).otherwise(acc)
+      }
+    val bStarCol = perSourceLit(v => v._1.toLong)
+    val carryCol = perSourceLit(_._2)
+    val budgetCol = perSourceLit(_._3)
+    // phase 2: full buckets pass on a narrow filter; the boundary bucket
+    // replays the exact hash-order prefix sum (window over ~1/buckets of
+    // one source)
+    val fullBuckets = withH.filter(col("bucket") < bStarCol)
+    val cumBefore = sum(col("n_toks")).over(
+      Window.partitionBy(col(source)).orderBy(col("hv"), col(id))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val boundary = withH.filter(col("bucket") === bStarCol)
+      .withColumn("cum_before", coalesce(cumBefore, lit(0L)) + carryCol)
+      .filter(col("cum_before") < budgetCol)
+      .drop("cum_before")
+    fullBuckets.unionByName(boundary).drop("hv", "n_toks", "bucket")
+  }
+
   /** Gopher-style REPETITION signals (Rae et al. 2021, "Scaling language
     * models: ... Gopher", §A1.1 repetition filters): the fraction of
     * duplicate 3-grams and the share of the most frequent 2-gram —
@@ -225,6 +309,39 @@ object Curation {
              |  WHEN 'src2' THEN ${(0.3 * (1L << 60).toDouble).toLong}
              |  WHEN 'src3' THEN ${(0.1 * (1L << 60).toDouble).toLong}
              |  ELSE 0 END
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- stratified mixture sampling by per-source TOKEN BUDGETS:
+    //      the hash-order prefix until the budget, two-phase bucketed
+    //      plan; the oracle replays the NAIVE window formulation —
+    //      hash-green means the bucket decomposition is exact. Budgets
+    //      exercise both partial prefixes, a keep-everything source
+    //      (budget above its total) and a zero-budget source (absent
+    //      from the output) ----
+    "q85_mixture_budget" -> Q(
+      (s, d) => {
+        val kept = mixtureSampleByBudget(s, Tables.documents(s, d),
+          Map("src0" -> 2000L, "src1" -> 5000L, "src2" -> 10000000L, "src3" -> 0L))
+        kept
+          .withColumn("n_toks", size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+            sum(col("n_toks")).as("tok_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+             |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_toks,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+             |  FROM documents),
+             |u AS (SELECT source, doc_id, n_toks,
+             |    coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY hv, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             |  FROM t)
+             |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(n_toks) AS BIGINT) AS tok_sum
+             |FROM u
+             |WHERE cum < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
+             |  WHEN 'src2' THEN 10000000 ELSE 0 END
              |GROUP BY source ORDER BY source""".stripMargin)),
 
     // ---- repetition quality signals (Gopher-style): duplicate-3-gram

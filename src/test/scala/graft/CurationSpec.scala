@@ -52,6 +52,55 @@ class CurationSpec extends SparkSpec {
     assert(half.subsetOf(more), "raising a rate swapped kept docs")
   }
 
+  test("mixtureSampleByBudget: bucketed plan equals the naive hash-order prefix; budgets are monotone") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = (0L until 300L).map { i =>
+      val src = s"s${i % 3}"
+      val n = 1 + rnd.nextInt(12)
+      (i, src, Seq.fill(n)("tok").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    // the naive formulation: per-source hash-order running sum
+    def naive(budgets: Map[String, Long]): Set[Long] = {
+      import org.apache.spark.sql.expressions.Window
+      val hv = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+      val nToks = size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+      val cum = coalesce(sum(col("n_toks")).over(
+        Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      val budget = budgets.foldLeft(lit(-1L)) { case (acc, (src, b)) =>
+        when(col("source") === src, lit(b)).otherwise(acc)
+      }
+      docs.withColumn("hv", hv).withColumn("n_toks", nToks)
+        .withColumn("cum", cum).filter(col("cum") < budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    // budgets cover: partial prefix, keep-all (over total), zero
+    val budgets = Map("s0" -> 120L, "s1" -> 100000L, "s2" -> 0L)
+    for (buckets <- Seq(1, 2, 64, 4096)) {
+      val got = Curation.mixtureSampleByBudget(s, docs, budgets, buckets = buckets)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == naive(budgets), s"buckets=$buckets diverged from the naive window")
+    }
+    // monotone: raising every budget only ADDS docs
+    val low = Curation.mixtureSampleByBudget(s, docs, budgets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val high = Curation.mixtureSampleByBudget(s, docs,
+        budgets.map { case (k, v) => k -> (v + 150L) })
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high), "raising budgets removed docs")
+    // within one doc of the budget: kept tokens stop before budget +
+    // the crossing doc
+    val keptToks = Curation.mixtureSampleByBudget(s, docs, budgets)
+      .filter(col("source") === "s0")
+      .withColumn("n", size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(keptToks >= 120L && keptToks < 120L + 13L,
+      s"s0 kept $keptToks tokens for budget 120")
+  }
+
   test("repetitionSignals: degenerate text scores high, varied text low") {
     val s = spark
     import s.implicits._
