@@ -305,8 +305,13 @@ object Bpe {
   /** one trained merge list per dataset for the q72 entries */
   private val trained = scala.collection.concurrent.TrieMap[String, Seq[Merge]]()
 
-  private[llm] def mergesFor(s: SparkSession, d: String): Seq[Merge] =
+  private[llm] def mergesFor(s: SparkSession, d: String): Seq[Merge] = {
+    // both q72 entries pin VALUES (merges / token counts) learned from
+    // sf0.01's documents — fail loud on any other fixture
+    Tables.requirePinnedFixture(s, d, "documents", Tables.Sf001DocumentsFp,
+      "q72_bpe_merges/q72b_bpe_token_counts")
     trained.getOrElseUpdate(d, train(s, Tables.documents(s, d), numMerges = 20))
+  }
 
   val all: ListMap[String, Q] = ListMap(
     // ---- the learned vocabulary itself: first 20 merges in training

@@ -217,6 +217,10 @@ object SketchOps {
     * ground truth side of q38_recall (q37's shape, widened to 8 queries)
     */
   private[llm] def exactTop5(s: SparkSession, d: String): DataFrame = {
+    // every caller is a recall entry whose oracle pins VALUES measured
+    // on sf0.01 — fail loud on any other fixture instead of hash-red
+    Tables.requirePinnedFixture(s, d, "embeddings", Tables.Sf001EmbeddingsFp,
+      "this pinned-recall entry (q38/q47/q55/q56/q65/q69/q78/q84)")
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < AnnQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))

@@ -33,4 +33,40 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** FAIL-LOUD FIXTURE GUARD for entries whose oracle pins literal
+    * VALUES computed on /root/testdata/sf0.01 (ANN recall pins, BPE
+    * merge pins): running them against any other directory would go
+    * hash-red on CORRECT code with no hint why. The guard fingerprints
+    * the table (order-insensitive bit_xor of full-row xxhash64 — one
+    * cheap scan, cached per (dir, table) for the session) and throws a
+    * clear message on mismatch instead.
+    */
+  /** bit_xor/xxhash64 fingerprints of the sf0.01 tables the pinned
+    * oracle VALUES were measured on
+    */
+  private[graft] val Sf001DocumentsFp = -2554157057959591890L
+  private[graft] val Sf001EmbeddingsFp = -6491620474420027571L
+
+  private val fpCache = scala.collection.concurrent.TrieMap[(String, String), Long]()
+
+  private[graft] def fingerprint(s: SparkSession, d: String, name: String): Long =
+    fpCache.getOrElseUpdate((d, name), {
+      val df = t(s, d, name)
+      df.agg(bit_xor(xxhash64(df.columns.map(col): _*)))
+        .collect()(0).getLong(0)
+    })
+
+  /** throws unless `d`'s `name` table matches the fingerprint the
+    * entry's pinned oracle VALUES were computed on
+    */
+  private[graft] def requirePinnedFixture(s: SparkSession, d: String,
+      name: String, expected: Long, entry: String): Unit = {
+    val got = fingerprint(s, d, name)
+    if (got != expected) throw new IllegalStateException(
+      s"$entry pins oracle VALUES computed on /root/testdata/sf0.01's '$name' " +
+        s"table; $d holds a different '$name' (fingerprint $got, expected " +
+        s"$expected) — the hash compare would go red on correct code. " +
+        "Run against sf0.01 or re-pin the oracle VALUES.")
+  }
 }
