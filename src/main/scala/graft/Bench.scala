@@ -18,20 +18,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ObservedMetricsLog.register(spark)
-    // headline set: representative operators, timed end-to-end (results
-    // drained via a cheap count over the final plan)
+    // headline set: representative operators, timed end-to-end — the
+    // round-over-round comparison series, unchanged since r3
     val headline = (graft.rel.RelQueries.all ++ graft.llm.LlmOps.all).collect {
       case (k, q) if q.headline => k -> q.fn
+    }.toSeq
+    // EXTENDED set: the r6/r7 operator surface (codecs, curation
+    // pipeline, interval join, persisted-index probe, bloom semi-join,
+    // Z-order scan, CMS, substring dedup, budget mixture) — a second
+    // series so regressions in the new surface show up in BENCH files.
+    // VALUES-pinned entries (recalls, BPE-derived) are excluded: their
+    // fixture guards fail loud off sf0.01 by design.
+    val extKeys = Seq("q58_image_decode", "q60_curation_pipeline",
+      "q63_interval_stab", "q67_dedup_index_probe", "q70_bloom_join",
+      "q71_zorder_scan", "q76_cms_heavy_hitters", "q83_repeated_substrings",
+      "q85_mixture_budget")
+    val extended = extKeys.map { k =>
+      k -> SparkEntry.queries.getOrElse(k,
+        sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     }
     // drain through the noop sink: forces full evaluation of every output
     // column (count() would let Catalyst prune unused aggregates)
     def drain(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    // one warm-up pass per query: measure steady-state execution, not
-    // first-call codegen/classloading (which a long-lived cluster amortizes)
-    headline.foreach { case (_, fn) =>
-      try drain(fn) catch { case _: Throwable => () }
-    }
     // Best-of-N per query, reps INTERLEAVED round-robin across queries:
     // the host is shared and sees periodic CPU-starvation bursts of
     // ~12-70s (3-6x slowdowns). Back-to-back reps of a ~1s query all fit
@@ -72,51 +81,67 @@ object Bench {
         (-1.0, 0.0)
       }
     }
-    val measured = scala.collection.mutable.Map[String, Vector[(Double, Double)]]()
-      .withDefaultValue(Vector.empty)
-    (1 to reps).foreach { _ =>
-      headline.foreach { case (name, fn) => measured(name) :+= timedRep(name, fn) }
-    }
-    def cleanOf(ts: Vector[(Double, Double)]) =
-      ts.filter { case (w, r) => w >= 0 && r >= cleanCpuRatio }
-    // retry rounds (still interleaved) for queries whose every rep was
-    // starved or failed — capped so a permanently-loaded host terminates
-    (1 to reps).foreach { _ =>
-      val unclean = headline.filter { case (name, _) => cleanOf(measured(name)).isEmpty }
-      unclean.foreach { case (name, fn) => measured(name) :+= timedRep(name, fn) }
-    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) -1.0
       else if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
-    val results = headline.map { case (name, _) =>
-      val ts = measured(name)
-      val ok = ts.filter(_._1 >= 0)
-      val clean = cleanOf(ts)
-      val best =
-        if (clean.nonEmpty) clean.map(_._1).min
-        else if (ok.nonEmpty) { // all reps starved: report, don't hide
-          System.err.println(s"[bench] $name: NO clean rep after ${ts.length} tries " +
-            s"(host starvation) — min is over starved reps")
-          ok.map(_._1).min
-        } else -1.0
-      (name, best, median(ok.map(_._1)), ts, ok.length - clean.length)
+    // one group = warm-up pass + interleaved reps + starved-retry rounds
+    def runGroup(group: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Seq[(String, Double, Double, Vector[(Double, Double)], Int)] = {
+      // one warm-up pass per query: measure steady-state execution, not
+      // first-call codegen/classloading (a long-lived cluster amortizes it)
+      group.foreach { case (_, fn) =>
+        try drain(fn) catch { case _: Throwable => () }
+      }
+      val measured = scala.collection.mutable.Map[String, Vector[(Double, Double)]]()
+        .withDefaultValue(Vector.empty)
+      (1 to reps).foreach { _ =>
+        group.foreach { case (name, fn) => measured(name) :+= timedRep(name, fn) }
+      }
+      def cleanOf(ts: Vector[(Double, Double)]) =
+        ts.filter { case (w, r) => w >= 0 && r >= cleanCpuRatio }
+      // retry rounds (still interleaved) for queries whose every rep was
+      // starved or failed — capped so a permanently-loaded host terminates
+      (1 to reps).foreach { _ =>
+        val unclean = group.filter { case (name, _) => cleanOf(measured(name)).isEmpty }
+        unclean.foreach { case (name, fn) => measured(name) :+= timedRep(name, fn) }
+      }
+      group.map { case (name, _) =>
+        val ts = measured(name)
+        val ok = ts.filter(_._1 >= 0)
+        val clean = cleanOf(ts)
+        val best =
+          if (clean.nonEmpty) clean.map(_._1).min
+          else if (ok.nonEmpty) { // all reps starved: report, don't hide
+            System.err.println(s"[bench] $name: NO clean rep after ${ts.length} tries " +
+              s"(host starvation) — min is over starved reps")
+            ok.map(_._1).min
+          } else -1.0
+        (name, best, median(ok.map(_._1)), ts, ok.length - clean.length)
+      }
     }
-    def obj(f: ((String, Double, Double, Vector[(Double, Double)], Int)) => String) =
-      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val qs = obj(_._2.toString)
-    val medJson = obj(_._3.toString)
-    // every rep per query (wall + cpu/wall), so the consumer can audit
-    // host-starvation variance instead of trusting a lone min; -1 marks
-    // a failed rep
-    val repJson = obj(_._4.map(_._1).mkString("[", ",", "]"))
-    val cpuJson = obj(_._4.map(t => f"${t._2}%.2f").mkString("[", ",", "]"))
-    val starvedJson = obj(_._5.toString)
+    val results = runGroup(headline)
+    val resultsExt = runGroup(extended)
+    def obj(rs: Seq[(String, Double, Double, Vector[(Double, Double)], Int)])(
+        f: ((String, Double, Double, Vector[(Double, Double)], Int)) => String) =
+      rs.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    def groupJson(tag: String, rs: Seq[(String, Double, Double, Vector[(Double, Double)], Int)]) = {
+      val qs = obj(rs)(_._2.toString)
+      val medJson = obj(rs)(_._3.toString)
+      // every rep per query (wall + cpu/wall), so the consumer can audit
+      // host-starvation variance instead of trusting a lone min; -1 marks
+      // a failed rep
+      val repJson = obj(rs)(_._4.map(_._1).mkString("[", ",", "]"))
+      val cpuJson = obj(rs)(_._4.map(t => f"${t._2}%.2f").mkString("[", ",", "]"))
+      val starvedJson = obj(rs)(_._5.toString)
+      s""""queries$tag":$qs,"queries${tag}_median":$medJson,"rep_times$tag":$repJson,"rep_cpu_ratio$tag":$cpuJson,"starved_reps$tag":$starvedJson"""
+    }
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMedian = results.map(_._3).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"queries":$qs,"queries_median":$medJson,"rep_times":$repJson,"rep_cpu_ratio":$cpuJson,"starved_reps":$starvedJson,"sf":"$sfDir"}"""
+    val totalExt = resultsExt.map(_._2).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"total_ext":$totalExt,${groupJson("", results)},${groupJson("_ext", resultsExt)},"sf":"$sfDir"}"""
     println(json)
     // belt-and-suspenders for consumers that can't see a clean stdout
     // (e.g. output multiplexed through a build-tool logger)
