@@ -295,6 +295,31 @@ object Graft {
       budgets: Map[String, Long]): DataFrame =
     llm.Curation.mixtureSampleByBudget(spark, docs, budgets)
 
+  /** Epoch-aware mixture upsampling ([[llm.Curation.mixtureUpsample]]). */
+  def mixtureUpsample(spark: SparkSession, docs: DataFrame,
+      weights: Map[String, Double]): DataFrame =
+    llm.Curation.mixtureUpsample(spark, docs, weights)
+
+  /** Span-level decontamination (mask, don't drop)
+    * ([[llm.Curation.decontaminateSpans]]).
+    */
+  def decontaminateSpans(spark: SparkSession, train: DataFrame,
+      eval: DataFrame, k: Int = 8): DataFrame =
+    llm.Curation.decontaminateSpans(spark, train, eval, k)
+
+  /** Deterministic seeded global shuffle for training order
+    * ([[llm.Curation.shuffleCorpus]]).
+    */
+  def shuffleCorpus(spark: SparkSession, docs: DataFrame, seed: Long): DataFrame =
+    llm.Curation.shuffleCorpus(spark, docs, seed)
+
+  /** Hashing-trick linear model scoring
+    * ([[llm.Curation.scoreQualityModel]]).
+    */
+  def scoreQualityModel(spark: SparkSession, docs: DataFrame,
+      weightsMilli: Array[Long]): DataFrame =
+    llm.Curation.scoreQualityModel(spark, docs, weightsMilli)
+
   /** Gopher-style repetition quality signals ([[llm.Curation.repetitionSignals]]). */
   def repetitionSignals(spark: SparkSession, docs: DataFrame): DataFrame =
     llm.Curation.repetitionSignals(spark, docs)

@@ -70,6 +70,63 @@ object Curation {
       .agg(countDistinct(col("gh")).as("n_shared_grams"))
   }
 
+  /** SPAN-LEVEL decontamination — the masking form real pipelines
+    * prefer over [[contamination]]'s doc dropping (a 10k-token doc
+    * sharing one 8-gram with an eval benchmark is data worth keeping
+    * minus 8 tokens): every train-side token covered by a k-gram that
+    * also appears in the eval set is masked, and each maximal masked
+    * RUN collapses to one `sentinel` token. Returns the full cleaned
+    * corpus: (id, n_tokens, n_masked, n_spans, clean_text).
+    *
+    * Scale shape: identical to [[contamination]] — the eval set's
+    * distinct gram hashes collect to the driver (small BY DEFINITION)
+    * and broadcast as a lookup set; the corpus is one narrow map, no
+    * shuffle, nothing text-sized leaves an executor.
+    */
+  def decontaminateSpans(s: SparkSession, train: DataFrame, eval: DataFrame,
+      k: Int = 8, sentinel: String = "[REMOVED]",
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import s.implicits._
+    val evalHashes = eval.select(col(text)).as[String]
+      .flatMap(t => gramHashes(SketchOps.tokensOf(t), k).iterator)
+      .distinct().collect().toSet
+    val bc = s.sparkContext.broadcast(evalHashes)
+    train.select(col(id), col(text)).as[(Long, String)]
+      .map { case (i, t) =>
+        val toks = SketchOps.tokensOf(t)
+        val gh = gramHashesPos(toks, k)
+        val masked = new Array[Boolean](toks.length)
+        var p = 0
+        while (p < gh.length) {
+          if (bc.value.contains(gh(p))) {
+            var j = p
+            while (j < p + k) { masked(j) = true; j += 1 }
+          }
+          p += 1
+        }
+        val sb = new StringBuilder
+        var nMasked = 0L
+        var nSpans = 0L
+        var q = 0
+        while (q < toks.length) {
+          if (masked(q)) {
+            nMasked += 1
+            if (q == 0 || !masked(q - 1)) {
+              nSpans += 1
+              if (sb.nonEmpty) sb.append(' ')
+              sb.append(sentinel)
+            }
+          } else {
+            if (sb.nonEmpty) sb.append(' ')
+            sb.append(toks(q))
+          }
+          q += 1
+        }
+        (i, toks.length.toLong, nMasked, nSpans, sb.toString)
+      }
+      .toDF(id, "n_tokens", "n_masked", "n_spans", "clean_text")
+  }
+
   // regex dialect note: these run under BOTH Java regex (Spark) and RE2
   // (DuckDB), so they use only the common subset — no backrefs, no
   // lookaround
@@ -191,6 +248,110 @@ object Curation {
     fullBuckets.unionByName(boundary).drop("hv", "n_toks", "bucket")
   }
 
+  /** Deterministic GLOBAL SHUFFLE for training order: every doc gets a
+    * unique position 0..n-1 in the order of a seeded hash (ties by id)
+    * — the "shuffle the corpus before packing" step every pretraining
+    * run needs, reproducible across runs, engines and partitionings,
+    * and re-shuffleable per epoch by changing `seed`.
+    *
+    * Scale shape: the naive `row_number() OVER (ORDER BY hash)` is a
+    * single-reducer global sort. Here the hash's top bits bucket the
+    * rows (bucket order refines hash order, the [[mixtureSampleByBudget]]
+    * trick): per-bucket counts (one map-side-combinable agg, ≤ `buckets`
+    * rows to the driver) become prefix OFFSETS, and each bucket ranks
+    * independently in parallel — position = offset(bucket) +
+    * rank-within-bucket. One shuffle keyed by bucket, each reducer
+    * sorting ~1/`buckets` of the data.
+    */
+  def shuffleCorpus(s: SparkSession, docs: DataFrame, seed: Long,
+      buckets: Int = 4096, id: String = "doc_id"): DataFrame = {
+    require(buckets > 0 && Integer.bitCount(buckets) == 1 && buckets <= (1 << 30),
+      s"buckets must be a positive power of two: $buckets")
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val hv = conv(substring(md5(
+        concat(lit(seed.toString), lit(":"), col(id).cast("string")).cast("binary")),
+      1, 15), 16, 10).cast("long")
+    val withH = docs.withColumn("hv", hv)
+      .withColumn("bucket", shiftright(col("hv"), shift).cast("int"))
+    val counts = withH.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, n) => val o = (b, acc); acc += n; o }
+    val offDf = offsets.toSeq.toDF("bucket", "offset")
+    withH
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("hv"), col(id))).cast("long"))
+      .join(broadcast(offDf), "bucket")
+      .withColumn("pos", col("offset") + col("rk") - 1)
+      .drop("hv", "bucket", "rk", "offset")
+  }
+
+  /** EPOCH-AWARE mixture UPSAMPLING — the other half of data mixing
+    * ([[mixtureSample]] downweights; this REPEATS): weight w means each
+    * doc of the source appears floor(w) times, plus once more iff its
+    * hash falls under frac(w) — the same deterministic md5 rule as
+    * [[mixtureSample]], so w = 2.5 replays every doc twice and a
+    * reproducible half of them a third time. Output carries a `copy`
+    * index (0-based) so downstream shuffling/packing can separate the
+    * epochs. Pure narrow flatMap (explode of a sequence), no shuffle;
+    * raising a weight only ADDS rows.
+    */
+  def mixtureUpsample(s: SparkSession, docs: DataFrame, weights: Map[String, Double],
+      id: String = "doc_id", source: String = "source"): DataFrame = {
+    require(weights.values.forall(_ >= 0), s"weights must be >= 0: $weights")
+    val hv = conv(substring(md5(col(id).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val whole = weights.foldLeft(lit(0L)) { case (acc, (src, w)) =>
+      when(col(source) === src, lit(math.floor(w).toLong)).otherwise(acc)
+    }
+    val fracThreshold = weights.foldLeft(lit(0L)) { case (acc, (src, w)) =>
+      when(col(source) === src,
+        lit(((w - math.floor(w)) * (1L << 60).toDouble).toLong)).otherwise(acc)
+    }
+    docs
+      .withColumn("n_copies", whole + when(hv < fracThreshold, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
+
+  /** Hashing-trick LINEAR MODEL scoring — the quality-classifier shape
+    * (fastText-style) at corpus scale: each token maps to one of `dim`
+    * features by hash, the model is a dense weight vector over those
+    * features, and a doc's score is the sum of its tokens' weights.
+    * Everything stays inside WHOLE-STAGE CODEGEN: the tokenization is
+    * `split`, the feature hash is the md5-prefix arithmetic, and the
+    * weight lookup is `element_at` on an array LITERAL (the broadcast
+    * form of a small dense model) folded by `aggregate` — no UDF, no
+    * shuffle, one narrow pass. Integer (milli-unit) weights make the
+    * fold exact and order-independent.
+    *
+    * Returns (id, n_tokens, score_sum) — score_sum in milli-units;
+    * callers divide by n_tokens for a per-token mean.
+    */
+  def scoreQualityModel(s: SparkSession, docs: DataFrame, weightsMilli: Array[Long],
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val dim = weightsMilli.length
+    require(dim > 0, "weightsMilli must be non-empty")
+    val w = typedlit(weightsMilli.toSeq)
+    val toks = filter(split(trim(lower(col(text))), "\\s+"),
+      t => length(t) > 0)
+    def feat(t: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"), lit(dim.toLong))
+    docs.select(col(id),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + element_at(w, feat(t).cast("int") + 1)).as("score_sum"))
+  }
+
+  /** the q89 model: dim-1024 weights from a fixed integer formula both
+    * engines can replay — w(f) = ((f * 2654435761) % 2003) - 1001
+    */
+  private[graft] def demoWeights(dim: Int): Array[Long] =
+    Array.tabulate(dim)(f => ((f.toLong * 2654435761L) % 2003L) - 1001L)
+
   /** Gopher-style REPETITION signals (Rae et al. 2021, "Scaling language
     * models: ... Gopher", §A1.1 repetition filters): the fraction of
     * duplicate 3-grams and the share of the most frequent 2-gram —
@@ -266,6 +427,41 @@ object Curation {
              |SELECT tg.doc_id, count(DISTINCT tg.g) AS n_shared_grams
              |FROM tg JOIN eg ON tg.g = eg.g
              |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin)),
+
+    // ---- span-level decontamination: masked-token and span counts per
+    //      contaminated doc. The oracle recomputes the mask with STRING
+    //      grams positionally and counts spans gaps-and-islands style —
+    //      Spark's 64-bit gram hashing (a collision would flip it red)
+    //      and run-collapse arithmetic both get cross-checked ----
+    "q86_decontaminate_spans" -> Q(
+      (s, d) => decontaminateSpans(s, Tables.documents(s, d), evalSet(s, d))
+        .filter(col("n_masked") > 0)
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"))
+        .orderBy("doc_id"),
+      Some("""WITH ev AS (SELECT regexp_replace(text, '^\S+\s+', '') AS text
+             |  FROM documents WHERE doc_id < 20),
+             |eg AS (SELECT DISTINCT g FROM (
+             |  SELECT unnest(list_transform(range(1, len(t)-6),
+             |    i -> array_to_string(t[i:i+7], ' '))) AS g
+             |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             |        FROM ev) x) y),
+             |d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |cont AS (SELECT d.doc_id, u.i AS p
+             |  FROM d, unnest(range(1, len(d.t)-6)) AS u(i)
+             |  WHERE array_to_string(d.t[u.i:u.i+7], ' ') IN (SELECT g FROM eg)),
+             |mask AS (SELECT DISTINCT doc_id, p2
+             |  FROM cont, unnest(range(p, p+8)) AS v(p2)),
+             |isl AS (SELECT doc_id, p2,
+             |    CASE WHEN lag(p2) OVER (PARTITION BY doc_id ORDER BY p2) = p2 - 1
+             |         THEN 0 ELSE 1 END AS is_start
+             |  FROM mask)
+             |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_masked,
+             |  CAST(sum(is_start) AS BIGINT) AS n_spans
+             |FROM isl JOIN d USING (doc_id)
+             |GROUP BY d.doc_id, len(d.t)
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // ---- PII scrub: counts + scrubbed length over the injected
     //      corpus; both engines run the same RE2-safe patterns ----
@@ -343,6 +539,62 @@ object Curation {
              |WHERE cum < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
              |  WHEN 'src2' THEN 10000000 ELSE 0 END
              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- deterministic global shuffle: the full doc_id -> position
+    //      permutation, hash-compared; the oracle is the naive global
+    //      row_number over the seeded hash order — hash-green means the
+    //      bucket-offset decomposition is an exact permutation ----
+    "q87_corpus_shuffle" -> Q(
+      (s, d) => shuffleCorpus(s, Tables.documents(s, d), seed = 7L)
+        .select(col("doc_id"), col("pos"))
+        .orderBy("pos"),
+      Some("""SELECT doc_id,
+             |  CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+             |FROM (SELECT doc_id,
+             |    ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+             |  FROM documents) t
+             |ORDER BY pos""".stripMargin)),
+
+    // ---- epoch-aware mixture upsampling: floor(w) whole epochs + a
+    //      deterministic hash-selected fractional epoch, copy indices
+    //      cross-checked via per-source count / id / copy sums ----
+    "q88_mixture_upsample" -> Q(
+      (s, d) => mixtureUpsample(s, Tables.documents(s, d),
+          Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25, "src3" -> 0.0))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum"),
+          sum(col("copy")).as("copy_sum"))
+        .orderBy("source"),
+      Some(s"""WITH c AS (SELECT source, doc_id,
+             |    CAST(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+             |      ELSE 0 END AS BIGINT)
+             |    + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |        < CASE source WHEN 'src0' THEN ${(0.5 * (1L << 60).toDouble).toLong}
+             |          WHEN 'src2' THEN ${(0.25 * (1L << 60).toDouble).toLong}
+             |          ELSE 0 END
+             |      THEN 1 ELSE 0 END AS n
+             |  FROM documents)
+             |SELECT source, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(copy) AS BIGINT) AS copy_sum
+             |FROM c, unnest(range(0, n)) AS u(copy)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- hashing-trick linear model scoring: md5-bucketed features,
+    //      integer milli-weights from a shared formula, aggregate()d
+    //      inside codegen; the oracle replays feature hash + weight
+    //      arithmetic per token ----
+    "q89_quality_model" -> Q(
+      (s, d) => scoreQualityModel(s, Tables.documents(s, d), demoWeights(1024))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(list_sum(list_transform(w, tok ->
+             |    ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024)
+             |      * 2654435761 % 2003) - 1001)), 0) AS BIGINT) AS score_sum
+             |FROM (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      x -> len(x) > 0) AS w
+             |  FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
 
     // ---- repetition quality signals (Gopher-style): duplicate-3-gram
     //      and top-2-gram fractions in exact integer milli-units ----

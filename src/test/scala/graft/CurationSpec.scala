@@ -101,6 +101,100 @@ class CurationSpec extends SparkSpec {
       s"s0 kept $keptToks tokens for budget 120")
   }
 
+  test("decontaminateSpans masks exactly the eval-gram-covered tokens and collapses runs") {
+    val s = spark
+    import s.implicits._
+    // doc 0: tokens 3..12 (0-based) contain the planted eval 8-gram run
+    // "e1..e10" → grams at starts 3,4,5 are contaminated → mask [3,12]
+    val evalRun = (1 to 10).map(i => s"e$i").mkString(" ")
+    val train = Seq(
+      (0L, s"a b c $evalRun x y z"),
+      (1L, "clean words only nothing shared here at all")).toDF("doc_id", "text")
+    val eval = Seq((9L, evalRun)).toDF("doc_id", "text")
+    val got = Curation.decontaminateSpans(s, train, eval, k = 8)
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    val r0 = got(0)
+    assert(r0.getLong(1) == 16 && r0.getLong(2) == 10 && r0.getLong(3) == 1,
+      s"doc 0: ${r0.toSeq}")
+    assert(r0.getString(4) == "a b c [REMOVED] x y z")
+    val r1 = got(1)
+    assert(r1.getLong(2) == 0 && r1.getString(4) == r1.getString(4).toLowerCase)
+    // two disjoint contaminated runs -> two sentinels
+    val train2 = Seq((0L, s"$evalRun mid1 mid2 mid3 $evalRun")).toDF("doc_id", "text")
+    val g2 = Curation.decontaminateSpans(s, train2, eval, k = 8).collect()(0)
+    assert(g2.getLong(3) == 2 && g2.getString(4) == "[REMOVED] mid1 mid2 mid3 [REMOVED]")
+  }
+
+  test("shuffleCorpus: positions are an exact permutation equal to the naive global order") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    def naive(seed: Long): Seq[Long] = {
+      import org.apache.spark.sql.expressions.Window
+      val hv = conv(substring(md5(
+          concat(lit(seed.toString), lit(":"), col("doc_id").cast("string")).cast("binary")),
+        1, 15), 16, 10).cast("long")
+      docs.withColumn("hv", hv)
+        .withColumn("pos", row_number().over(Window.orderBy(col("hv"), col("doc_id"))) - 1)
+        .orderBy("pos").select("doc_id").collect().map(_.getLong(0)).toSeq
+    }
+    for (buckets <- Seq(1, 16, 4096)) {
+      val got = Curation.shuffleCorpus(s, docs, seed = 7L, buckets = buckets)
+        .orderBy("pos").select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(got == naive(7L), s"buckets=$buckets diverged from the naive order")
+    }
+    // a different seed is a different permutation of the same ids
+    val p7 = Curation.shuffleCorpus(s, docs, 7L).select("pos").collect().map(_.getLong(0)).toSet
+    val o8 = Curation.shuffleCorpus(s, docs, 8L)
+      .orderBy("pos").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(p7 == (0L until 500L).toSet, "positions are not a permutation")
+    assert(o8 != naive(7L), "seed change did not change the order")
+  }
+
+  test("mixtureUpsample: whole epochs + deterministic fractional epoch, monotone in weight") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 200L).map(i => (i, "src", s"t$i")).toDF("doc_id", "source", "text")
+    val up = Curation.mixtureUpsample(s, docs, Map("src" -> 2.5))
+      .select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = up.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // every doc appears at least twice (copies 0,1), some exactly three times
+    assert(byDoc.size == 200 && byDoc.values.forall(c => c == Seq(0L, 1L) || c == Seq(0L, 1L, 2L)))
+    val n3 = byDoc.values.count(_.length == 3)
+    assert(n3 > 50 && n3 < 150, s"fractional epoch kept $n3/200 — not ~half")
+    // monotone: the 2.5x selection contains the 2.25x one
+    val lo = Curation.mixtureUpsample(s, docs, Map("src" -> 2.25))
+      .filter(col("copy") === 2).select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = byDoc.filter(_._2.length == 3).keySet
+    assert(lo.subsetOf(hi), "raising the weight swapped fractional-epoch docs")
+    // weight 0 drops the source entirely
+    assert(Curation.mixtureUpsample(s, docs, Map("src" -> 0.0)).count() == 0)
+  }
+
+  test("scoreQualityModel: exact integer fold, stays in codegen (no UDF in the plan)") {
+    val s = spark
+    import s.implicits._
+    val w = Curation.demoWeights(1024)
+    def featOf(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.substring(0, 15), 16) % 1024).toInt
+    }
+    val docs = Seq((0L, "Alpha beta GAMMA"), (1L, ""), (2L, "x")).toDF("doc_id", "text")
+    val df = Curation.scoreQualityModel(s, docs, w)
+    val got = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want0 = Seq("alpha", "beta", "gamma").map(t => w(featOf(t))).sum
+    assert(got(0) == ((0L, 3L, want0)))
+    assert(got(1) == ((1L, 0L, 0L)), "empty text must score (0, 0)")
+    assert(got(2) == ((2L, 1L, w(featOf("x")))))
+    // the scoring pass is pure codegen'd expressions — no (Scala/Python)
+    // UDF nodes anywhere in the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"), plan)
+  }
+
   test("repetitionSignals: degenerate text scores high, varied text low") {
     val s = spark
     import s.implicits._
