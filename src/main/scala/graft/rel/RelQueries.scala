@@ -740,6 +740,62 @@ object RelQueries {
              |FROM lineitem
              |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- PIVOT: long → wide reshaping with EXPLICIT value columns
+    //      (the scale-safe form — Spark's value-discovering overload
+    //      runs an extra distinct scan and caps at
+    //      spark.sql.pivotMaxValues; declaring them keeps one pass).
+    //      Absent (month, priority) cells coalesce to 0 so both
+    //      engines agree on missing combinations. ----
+    "q90_pivot_priority" -> Q(
+      (s, d) => orders(s, d)
+        .withColumn("mon", date_format(col("o_orderdate"), "yyyy-MM"))
+        .groupBy("mon")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("mon"),
+          coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("notspec"),
+          coalesce(col("5-LOW"), lit(0L)).as("low"))
+        .orderBy("mon"),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+             |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+             |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+             |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+             |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+             |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+             |FROM orders GROUP BY mon ORDER BY mon""".stripMargin)),
+
+    // ---- UNPIVOT: wide → long (Dataset.unpivot, the melt shape);
+    //      measures are pre-rounded to integer cents so the per-measure
+    //      sums stay order-independent and exact ----
+    "q91_unpivot_measures" -> Q(
+      (s, d) => lineitem(s, d)
+        .select(col("l_orderkey"),
+          round(col("l_quantity") * 100, 0).cast("long").as("quantity_c"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("extendedprice_c"),
+          round(col("l_discount") * 100, 0).cast("long").as("discount_c"),
+          round(col("l_tax") * 100, 0).cast("long").as("tax_c"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("quantity_c"), col("extendedprice_c"),
+            col("discount_c"), col("tax_c")),
+          "measure", "cents")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("measure"),
+      Some("""SELECT measure, count(*) AS n, CAST(sum(c) AS BIGINT) AS sum_cents
+             |FROM (
+             |  SELECT 'quantity_c' AS measure, CAST(round(l_quantity*100) AS BIGINT) AS c FROM lineitem
+             |  UNION ALL
+             |  SELECT 'extendedprice_c', CAST(round(l_extendedprice*100) AS BIGINT) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'discount_c', CAST(round(l_discount*100) AS BIGINT) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'tax_c', CAST(round(l_tax*100) AS BIGINT) FROM lineitem) t
+             |GROUP BY measure ORDER BY measure""".stripMargin)),
   )
 
   /** one z-ordered lineitem rewrite per dataset for the q71 entry */

@@ -152,6 +152,19 @@ class CurationSpec extends SparkSpec {
     assert(o8 != naive(7L), "seed change did not change the order")
   }
 
+  test("shuffleCorpus plan: bucket-hash exchange + local sort, NO global range sort") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val plan = Curation.shuffleCorpus(s, docs, seed = 7L)
+      .queryExecution.executedPlan.toString
+    // the window ranks WITHIN hash buckets (parallel reducers)...
+    assert(plan.contains("hashpartitioning(bucket"), s"no bucket exchange:\n$plan")
+    // ...and nothing range-partitions the full data into one total order
+    // (the single-reducer shape this operator exists to avoid)
+    assert(!plan.contains("rangepartitioning"), s"global sort crept in:\n$plan")
+  }
+
   test("mixtureUpsample: whole epochs + deterministic fractional epoch, monotone in weight") {
     val s = spark
     import s.implicits._
