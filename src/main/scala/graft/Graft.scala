@@ -209,6 +209,14 @@ object Graft {
   def dedupClusters(pairs: DataFrame): DataFrame =
     llm.Dedup.connectedComponents(pairs)
 
+  /** SemDeDup-shaped semantic dedup: cluster embeddings, flag docs with
+    * a smaller-id cluster-mate above the cosine threshold
+    * ([[llm.LlmOps.semDedup]]).
+    */
+  def semDedup(spark: SparkSession, emb: DataFrame, cells: Int = 16,
+      threshold: Double = 0.4): DataFrame =
+    llm.LlmOps.semDedup(spark, emb, cells = cells, threshold = threshold)
+
   /** Substring-level exact dedup: per-doc merged spans of k-token grams
     * occurring ≥ minCount times corpus-wide (Lee et al.'s ExactSubstr;
     * [[llm.Dedup.repeatedSpans]]).

@@ -100,6 +100,56 @@ object LlmOps {
 
   private val stopEn = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
+  /** SEMANTIC dedup, SemDeDup-shaped (Abbas et al. 2023, "SemDeDup:
+    * data-efficient learning at web-scale through semantic
+    * deduplication"): k-means-cluster the embeddings (the deterministic
+    * [[IvfOps.trainCentroids]]), then compare pairs only WITHIN each
+    * cluster — a doc is a duplicate iff a SMALLER-ID cluster-mate sits
+    * above the cosine threshold (SemDeDup keeps the point closest to
+    * the centroid; min-id is this engine's deterministic tie-stable
+    * representative rule). Returns every doc: (id, cell, dup_of) with
+    * dup_of null for kept docs.
+    *
+    * Scale shape: the quadratic pair space shrinks from n² to
+    * Σ|cell|² — with cells scaled so clusters stay bounded, the
+    * within-cell self-join is the same shuffle shape as the
+    * label-blocked q41. Flagged dups are SOUND by construction (the
+    * in-cluster cosine is exact); clustering only costs RECALL (true
+    * near-dup pairs split across cells), which q92's recall twin
+    * measures against the exact global pair set.
+    */
+  def semDedup(s: SparkSession, emb: DataFrame, cells: Int = 16,
+      iters: Int = 3, threshold: Double = 0.4,
+      id: String = "id", vec: String = "vec"): DataFrame = {
+    import s.implicits._
+    val norm = IvfOps.normalized(s, emb, id, vec).cache()
+    val cents = IvfOps.trainCentroids(s, norm, cells, iters)
+    val bc = s.sparkContext.broadcast(cents)
+    val cellOf = norm.map { case (i, v) =>
+      (i, IvfOps.nearestCells(bc.value, v, 1).head)
+    }.toDF(id, "cell")
+    // original f32 vectors ride to the pair scan so the cosine is the
+    // exact q41 expression (normalized doubles would change the fold).
+    // localCheckpoint (not cache): the self-join reads this twice and
+    // the result joins it a third time — checkpointing materializes it
+    // once, cuts the lineage, and the blocks release with the reference
+    // instead of squatting in executor storage (the probe-cache lesson)
+    val assigned = emb.select(col(id), col(vec))
+      .join(cellOf, id).select(col("cell"), col(id), col(vec))
+      .localCheckpoint()
+    norm.unpersist()
+    val a = assigned.select(col("cell"), col(id).as("ia"), col(vec).as("va"))
+    val b = assigned.select(col("cell"), col(id).as("ib"), col(vec).as("vb"))
+    val dupOf = a.join(b, "cell").filter(col("ia") < col("ib"))
+      .withColumn("cos",
+        graft.functions.VecFunctions.vecCosine(s, col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("ib").as(id))
+      .agg(min(col("ia")).as("dup_of"))
+    assigned.select(col(id), col("cell"))
+      .join(dupOf, Seq(id), "left")
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- text analysis: token counting + char-class stats ----
     "q30_text_stats" -> Q(
@@ -674,5 +724,62 @@ object LlmOps {
              |  CAST(sum(en - st + 1) AS BIGINT) AS n_repeated_tokens,
              |  CAST(max(en - st + 1) AS BIGINT) AS max_span_tokens
              |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- SEMANTIC dedup (SemDeDup-shaped): per-cluster doc/dup counts.
+    //      Deterministic k-means + exact in-cluster cosine → pinned
+    //      VALUES (fixture-guarded, the q72 pattern). ----
+    "q92_semdedup" -> Q(
+      (s, d) => {
+        Tables.requirePinnedFixture(s, d, "embeddings",
+          Tables.Sf001EmbeddingsFp, "q92_semdedup")
+        val e = embs(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+        semDedup(s, e)
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("dup_of").isNotNull, 1L).otherwise(0L)).as("n_dups"))
+          .orderBy("cell")
+      },
+      Some("""SELECT cell, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_dups AS BIGINT) AS n_dups
+             |FROM (VALUES (0, 33, 1), (1, 30, 3), (2, 32, 0), (3, 31, 3),
+             |  (4, 37, 1), (5, 33, 3), (6, 28, 0), (7, 36, 0), (8, 40, 0),
+             |  (9, 27, 1), (10, 36, 1), (11, 27, 2), (12, 24, 0), (13, 27, 2),
+             |  (14, 31, 2), (15, 28, 1)) AS t(cell, n_docs, n_dups)
+             |ORDER BY cell""".stripMargin)),
+
+    // ---- semDedup soundness + recall vs the EXACT global near-dup set
+    //      at the same threshold: every flagged dup must be a true dup
+    //      (n_correct = n_found — the in-cluster cosine is exact), and
+    //      clustering costs recall 20/53 = 0.377 HERE because this
+    //      synthetic corpus has no true near-dups, only weak 0.4-cosine
+    //      pairs that scatter across clusters; SemDeDup's regime is
+    //      0.95+ near-identical docs, which co-cluster (SemDedupSpec
+    //      proves planted near-dups are always caught). ----
+    "q92_semdedup_sound" -> Q(
+      (s, d) => {
+        Tables.requirePinnedFixture(s, d, "embeddings",
+          Tables.Sf001EmbeddingsFp, "q92_semdedup_sound")
+        val e = embs(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val found = semDedup(s, e)
+          .filter(col("dup_of").isNotNull).select(col("id").as("ib"))
+          .localCheckpoint()
+        val a = e.select(col("id").as("ia"), col("vec").as("va"))
+        val b = e.select(col("id").as("ib"), col("vec").as("vb"))
+        val truth = a.join(b, col("ia") < col("ib"))
+          .withColumn("cos",
+            graft.functions.VecFunctions.vecCosine(s, col("va"), col("vb")))
+          .filter(col("cos") >= 0.4)
+          .select(col("ib")).distinct()
+          .localCheckpoint()
+        val nTrue = truth.count()
+        val nFound = found.count()
+        val nCorrect = found.join(truth, "ib").count()
+        import s.implicits._
+        Seq((nTrue, nFound, nCorrect, nCorrect * 1000L / nTrue))
+          .toDF("n_true", "n_found", "n_correct", "recall_milli")
+      },
+      Some("""SELECT CAST(53 AS BIGINT) AS n_true, CAST(20 AS BIGINT) AS n_found,
+             |  CAST(20 AS BIGINT) AS n_correct,
+             |  CAST(377 AS BIGINT) AS recall_milli""".stripMargin)),
   )
 }
