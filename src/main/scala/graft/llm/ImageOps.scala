@@ -176,7 +176,146 @@ object ImageOps {
       .orderBy("doc_id")
   }
 
+  /** q93 fixture: docs with id ≡ 12 (mod 13) carry a PERTURBED COPY of
+    * doc id-1's image (id-1 is never itself a copy, so sources are
+    * always original patterns) — same geometry, same pixels, except
+    * every 37th
+    * pixel is brightened by +90 (mod 256): a localized edit that leaves
+    * the aHash within a few bits, NOT a byte-identical blob. Pixels use
+    * a SCRAMBLED function (multiply + double mod), not q58's linear
+    * gradient — gradients are degenerate for an average-hash (half the
+    * bits sit at the mean in the same pattern for every image), and the
+    * point of the fixture is distinct images getting distinct hashes.
+    * The oracle mirrors all of this arithmetic.
+    */
+  private[graft] def syntheticGrayNearDup(id: Long): Bmp.Gray = {
+    val isCopy = id % 13 == 12
+    val src = if (isCopy) id - 1 else id
+    val w = (5 + src % 12).toInt
+    val h = (4 + src % 9).toInt
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val base = ((src * 2654435761L + (y.toLong * w + x) * 40503L) % 509L % 256L).toInt
+      val add = if (isCopy && (y * w + x) % 37 == 0) 90 else 0
+      (base + add) % 256
+    }
+    Bmp.Gray(w, h, px)
+  }
+
+  /** PERCEPTUAL image near-dup — the multimodal dedup modality: decode
+    * each blob through the REAL BMP parser, compute an 8×8 average-hash
+    * (aHash: nearest-resize to 8×8, bit = cell ≥ mean — robust to
+    * brightness shifts and resizes that break exact-byte dedup), then
+    * find pairs by LSH BANDING the 64 bits into 4×16-bit bands (a
+    * candidate shares ≥1 exact band — pigeonhole: any pair within
+    * Hamming 3 is guaranteed a clean band) and verifying candidates
+    * with the exact Hamming distance. Returns (ia, ib, hamming ≤
+    * `maxHamming`) pairs.
+    *
+    * Scale shape: decode + hash is one narrow map (blobs never leave
+    * their partition; 8 bytes flow on per image); the pair space is the
+    * band-bucket join (4 shuffles of 8-byte rows), never n². The mean
+    * comparison is integer-exact (64·v ≥ Σv), so the hash — and the
+    * oracle's replay of it — has no float anywhere.
+    */
+  def imagePerceptualDups(s: SparkSession, blobs: DataFrame, maxHamming: Int = 8,
+      id: String = "doc_id", img: String = "img"): DataFrame = {
+    import s.implicits._
+    val hashed = blobs.select(col(id), col(img)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (i, bytes) =>
+          val g = Bmp.parse(bytes)
+          val rz = Bmp.resizeNearest(g, 8, 8)
+          var sum = 0L
+          rz.pixels.foreach(sum += _)
+          val bands = new Array[Long](4)
+          var c = 0
+          while (c < 64) {
+            if (rz.pixels(c) * 64L >= sum) bands(c / 16) |= 1L << (c % 16)
+            c += 1
+          }
+          (i, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+      .toDF(id, "b0", "b1", "b2", "b3")
+    val bandRows = hashed.select(col(id), col("b0"), col("b1"), col("b2"), col("b3"),
+      explode(array(
+        struct(lit(0).as("bi"), col("b0").as("bv")),
+        struct(lit(1).as("bi"), col("b1").as("bv")),
+        struct(lit(2).as("bi"), col("b2").as("bv")),
+        struct(lit(3).as("bi"), col("b3").as("bv")))).as("band"))
+      .select(col(id), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("band.bi").as("bi"), col("band.bv").as("bv"))
+    val a = bandRows.select(col(id).as("ia"), col("b0").as("a0"), col("b1").as("a1"),
+      col("b2").as("a2"), col("b3").as("a3"), col("bi"), col("bv"))
+    val b = bandRows.select(col(id).as("ib"), col("b0").as("c0"), col("b1").as("c1"),
+      col("b2").as("c2"), col("b3").as("c3"), col("bi"), col("bv"))
+    a.join(b, Seq("bi", "bv")).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("a0"), col("a1"), col("a2"), col("a3"),
+        col("c0"), col("c1"), col("c2"), col("c3"))
+      .distinct() // a pair may share several bands
+      .withColumn("hamming",
+        bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("ia"), col("ib"), col("hamming").cast("long").as("hamming"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- perceptual image near-dup: real BMP decode → integer aHash →
+    //      4×16-bit band join → exact Hamming verify. The fixture
+    //      plants brightness-perturbed copies (not byte-identical); the
+    //      oracle replays decode arithmetic, hash bits, banding AND
+    //      Hamming with range() joins + xor/bit_count ----
+    "q93_image_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map(id => (id, Bmp.build24(syntheticGrayNearDup(id))))
+          .toDF("doc_id", "img")
+        imagePerceptualDups(s, blobs).orderBy("ia", "ib")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 13 = 12
+             |         THEN doc_id - 1 ELSE doc_id END AS src,
+             |    CASE WHEN doc_id % 13 = 12 THEN 1 ELSE 0 END AS cpy
+             |  FROM documents),
+             |dims AS (SELECT doc_id, src, cpy,
+             |    5 + src % 12 AS w, 4 + src % 9 AS h FROM base),
+             |cells AS (SELECT d.doc_id, oy.oy * 8 + ox.ox AS idx,
+             |    (((d.src*2654435761 + (((oy.oy*d.h)//8)*d.w + (ox.ox*d.w)//8)*40503)
+             |        % 509) % 256
+             |     + CASE WHEN d.cpy = 1
+             |         AND (((oy.oy*d.h)//8)*d.w + (ox.ox*d.w)//8) % 37 = 0
+             |       THEN 90 ELSE 0 END) % 256 AS v
+             |  FROM dims d, range(8) ox(ox), range(8) oy(oy)),
+             |tot AS (SELECT doc_id, sum(v) AS s FROM cells GROUP BY doc_id),
+             |bits AS (SELECT c.doc_id, c.idx,
+             |    CASE WHEN c.v * 64 >= t.s THEN 1 ELSE 0 END AS bit
+             |  FROM cells c JOIN tot t USING (doc_id)),
+             |bands AS (SELECT doc_id, idx // 16 AS bi,
+             |    CAST(sum(bit * (1 << (idx % 16))) AS BIGINT) AS bv
+             |  FROM bits GROUP BY doc_id, bi),
+             |hx AS (SELECT doc_id,
+             |    max(CASE WHEN bi = 0 THEN bv END) AS b0,
+             |    max(CASE WHEN bi = 1 THEN bv END) AS b1,
+             |    max(CASE WHEN bi = 2 THEN bv END) AS b2,
+             |    max(CASE WHEN bi = 3 THEN bv END) AS b3
+             |  FROM bands GROUP BY doc_id),
+             |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             |  FROM bands a JOIN bands b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+             |SELECT c.ia, c.ib,
+             |  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+             |       bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT)
+             |    AS hamming
+             |FROM cand c JOIN hx x ON x.doc_id = c.ia JOIN hx y ON y.doc_id = c.ib
+             |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+             |      bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 8
+             |ORDER BY ia, ib""".stripMargin)),
+
     // ---- image decode through the real BMP parser (stride padding,
     //      bottom-up rows, BT.601 luminance) + 4×4 nearest resize; the
     //      oracle recomputes pixel sums/extrema and the resize's exact
