@@ -81,19 +81,38 @@ object DedupIndex {
   /** Near-dups of `newDocs` against the SAVED corpus: (new_id,
     * corpus_id, inter, jac) for pairs colliding in ≥1 LSH band with
     * exact Jaccard ≥ `minJaccard` over the stored shingle sets.
+    *
+    * `maxCandidates` bounds the exact-verification fan-out PER PROBE
+    * DOC (the q34 df-cap idea at the candidate stage): a pathological
+    * probe whose bands collide with everything verifies only its
+    * `maxCandidates` smallest corpus ids — deterministic, bounded-heap
+    * selection — instead of shipping the whole corpus's shingle sets.
+    * Pre/post-cap candidate counts surface through `observe()` metrics
+    * (`dedup_probe_pre_cap` / `dedup_probe_post_cap`), so capping is
+    * visible, never silent.
     */
   def probe(s: SparkSession, dir: String, newDocs: DataFrame,
-      minJaccard: Double,
+      minJaccard: Double, maxCandidates: Int = 4096,
       id: String = "id", text: String = "text"): DataFrame = {
     import s.implicits._
+    require(maxCandidates > 0, s"maxCandidates must be > 0, got $maxCandidates")
     val p = prepared(s, newDocs, id, text).cache()
     val probeBuckets = p.map { case (i, _, bands) => (i, bands) }
       .toDF("new_id", "bands")
       .select(col("new_id"), posexplode(col("bands")).as(Seq("band", "bh")))
     val corpusBuckets = s.read.parquet(s"$dir/buckets")
       .select(col(id).as("corpus_id"), col("band"), col("bh"))
-    val cand = probeBuckets.join(corpusBuckets, Seq("band", "bh"))
+    val candAll = probeBuckets.join(corpusBuckets, Seq("band", "bh"))
       .select(col("new_id"), col("corpus_id")).distinct()
+      .observe("dedup_probe_pre_cap", count(lit(1)).as("rows"))
+    // smallest corpus ids first: a total order, so the capped set is
+    // stable under partitioning; the bounded-heap partial agg keeps
+    // per-task memory at maxCandidates rows per probe doc
+    val cand = graft.functions.TopK.perKeyTopK(
+        candAll.withColumn("nega", -col("corpus_id")),
+        maxCandidates, "new_id", "corpus_id", "nega")
+      .select(col("new_id"), col("corpus_id"))
+      .observe("dedup_probe_post_cap", count(lit(1)).as("rows"))
     // duplicate rows from at-least-once appends are deterministic
     // copies: dedup by id on read keeps probe results identical
     val corpusSh = s.read.parquet(s"$dir/shingles")

@@ -80,4 +80,21 @@ class DedupIndexSpec extends SparkSpec {
     assert(after.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq ==
       found.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq)
   }
+
+  test("a pathological probe colliding with everything is capped at maxCandidates, smallest ids kept") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx-cap").toString
+    // 40 IDENTICAL docs: every band of every doc collides with every probe band
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    DedupIndex.save(s, (0L until 40L).map(i => (i, same)).toDF("id", "text"), dir)
+    val probeDoc = Seq((9000L, same)).toDF("id", "text")
+    val capped = DedupIndex.probe(s, dir, probeDoc, 0.5, maxCandidates = 5)
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    // exactly maxCandidates pairs verified, deterministically the
+    // smallest corpus ids (jac = 1.0 for all of them here)
+    assert(capped == Seq(0L, 1L, 2L, 3L, 4L), s"capped set was $capped")
+    // an uncapped probe still sees all 40
+    assert(DedupIndex.probe(s, dir, probeDoc, 0.5).count() == 40)
+  }
 }
