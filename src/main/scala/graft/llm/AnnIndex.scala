@@ -132,18 +132,26 @@ object AnnIndex {
     // the plan at all (≤ `cells` ints)
     val probeCells = probeRows.map(_._2).distinct.toSeq
     val idx = prunedAssignments(s, dir, probeCells)
-    val cand = broadcast(probes).join(idx.select(col(id), col("cell")), "cell")
+    // score DURING the pruned scan: the probe list and query vectors
+    // broadcast, the cosine evaluates in the same narrow pass that
+    // reads the cell partitions — the INDEX VECTORS NEVER SHUFFLE
+    // (an earlier formulation collected candidate ids, then joined the
+    // id→vec store by id: at 1M vectors that row join cost 4× the
+    // whole brute-force scan, AnnBench — the shuffle was the
+    // bottleneck, not the compute the pruning saves)
+    val scored = idx.join(broadcast(probes), "cell")
       .filter(if (excludeSelfId) col(id) =!= col(qid) else lit(true))
-      .select(col(qid), col(id)).distinct()
-    val nc = cand.groupBy(qid).agg(count(lit(1)).as("n_candidates"))
-    // each id's vec repeats once per assigned cell — identical copies,
-    // so dropDuplicates is deterministic in content
-    val vecs = idx.select(col(id), col(vec)).dropDuplicates(id)
-    val scored = cand.join(vecs, id)
       .join(broadcast(queries.select(col(qid), col(qvec))), qid)
       .withColumn("cos",
         graft.functions.VecFunctions.vecCosine(s, col(qvec), col(vec)))
-    graft.functions.TopK.perKeyTopK(scored, k, qid, id, "cos")
+      .select(col(qid), col(id), col("cos"))
+    // multi-assignment emits bit-identical (qid, id, cos) copies when a
+    // query probes several of an id's cells — collapse them map-side
+    // (max of identical doubles) so the shuffle carries deduped
+    // candidates, not the cross product
+    val dedup = scored.groupBy(col(qid), col(id)).agg(max(col("cos")).as("cos"))
+    val nc = dedup.groupBy(qid).agg(count(lit(1)).as("n_candidates"))
+    graft.functions.TopK.perKeyTopK(dedup, k, qid, id, "cos")
       .join(broadcast(nc), qid)
       .select(col(qid), col("rn"), col(id), col("cos"), col("n_candidates"))
       .orderBy(qid, "rn")

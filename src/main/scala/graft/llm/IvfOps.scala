@@ -54,7 +54,7 @@ object IvfOps {
 
   /** the `m` nearest centroid indices, ascending distance, ties by lowest
     * cell index — deterministic for the pinned recall oracle */
-  private[llm] def nearestCells(cents: Array[Array[Double]], v: Array[Double], m: Int): Array[Int] = {
+  private[graft] def nearestCells(cents: Array[Array[Double]], v: Array[Double], m: Int): Array[Int] = {
     val byDist = Array.tabulate(cents.length) { c =>
       var d = 0.0
       var j = 0
