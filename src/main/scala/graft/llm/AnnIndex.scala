@@ -40,7 +40,7 @@ object AnnIndex {
     norm.unpersist()
     // one narrow pass: normalize per row for cell lookup, store the
     // original f32 vector for bit-identical re-rank at probe time
-    assignRows(s, emb, cents, multiAssign, id, vec)
+    IvfOps.assignRows(s, emb, cents, multiAssign, id, vec)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "centroid")
@@ -53,33 +53,12 @@ object AnnIndex {
       .collect().sortBy(_._1).map(_._2) // codebook-sized collect
   }
 
-  /** per-row assignment against a fixed codebook: normalize for the
-    * cell lookup, keep the original f32 vector for re-rank
-    */
-  private def assignRows(s: SparkSession, df: DataFrame,
-      cents: Array[Array[Double]], multiAssign: Int,
-      id: String, vec: String): DataFrame = {
-    import s.implicits._
-    val bc = s.sparkContext.broadcast(cents)
-    df.select(col(id), col(vec)).as[(Long, Seq[Float])]
-      .flatMap { case (i, v) =>
-        var n = 0.0
-        var j = 0
-        while (j < v.length) { n += v(j).toDouble * v(j); j += 1 }
-        val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
-        val nv = Array.tabulate(v.length)(j => v(j) * inv)
-        val fv = v.toArray
-        IvfOps.nearestCells(bc.value, nv, multiAssign).iterator.map(c => (i, fv, c))
-      }
-      .toDF(id, vec, "cell")
-  }
-
   /** Streaming index MAINTENANCE: assign arriving vectors against the
     * STORED centroids (no retrain) and append them to the
     * cell-partitioned assignments via foreachBatch. Delivery is
     * at-least-once — which is CORRECT here, because the probe path is
-    * idempotent to duplicated assignment rows (candidates are
-    * `distinct()`ed and vectors deduped by id; AnnIndexSpec pins it).
+    * idempotent to duplicated assignment rows (bit-identical scored
+    * copies collapse in the (qid, id) max; AnnIndexSpec pins it).
     * Centroid drift is the standard serving tradeoff: periodic
     * re-train + atomic swap, with appends covering the gap.
     */
@@ -88,7 +67,7 @@ object AnnIndex {
       id: String = "id", vec: String = "vec")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val cents = readCentroids(s, dir)
-    assignRows(s, stream, cents, multiAssign, id, vec)
+    IvfOps.assignRows(s, stream, cents, multiAssign, id, vec)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").partitionBy("cell")

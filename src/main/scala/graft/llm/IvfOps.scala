@@ -145,6 +145,28 @@ object IvfOps {
     cents
   }
 
+  /** per-row assignment against a fixed codebook: normalize for the
+    * cell lookup, keep the ORIGINAL f32 vector so downstream cosine
+    * re-ranks are exact (shared by [[ivfTopK]] and [[AnnIndex.saveIvf]])
+    */
+  private[llm] def assignRows(s: SparkSession, df: DataFrame,
+      cents: Array[Array[Double]], multiAssign: Int,
+      id: String, vec: String): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    df.select(col(id), col(vec)).as[(Long, Seq[Float])]
+      .flatMap { case (i, v) =>
+        var n = 0.0
+        var j = 0
+        while (j < v.length) { n += v(j).toDouble * v(j); j += 1 }
+        val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+        val nv = Array.tabulate(v.length)(j => v(j) * inv)
+        val fv = v.toArray
+        nearestCells(bc.value, nv, multiAssign).iterator.map(c => (i, fv, c))
+      }
+      .toDF(id, vec, "cell")
+  }
+
   /** Approximate cosine top-k per query via IVF: train, multi-assign the
     * corpus, probe the `nProbe` nearest cells per query, re-rank the
     * candidate union by exact cosine. Library-shaped: caller DataFrames,
@@ -166,32 +188,32 @@ object IvfOps {
     norm.unpersist()
     val bc = s.sparkContext.broadcast(cents)
     // multiple assignment: each vector is listed under its multiAssign
-    // nearest cells, so probing nProbe cells also reaches the
-    // near-boundary vectors a primary-cell-only index would miss
-    val cellsDf = norm
-      .flatMap { case (i, v) =>
-        nearestCells(bc.value, v, multiAssign).map(c => (i, c))
-      }
-      .toDF(id, "cell")
+    // nearest cells (original f32 vec riding along), so probing nProbe
+    // cells also reaches the near-boundary vectors a primary-cell-only
+    // index would miss
+    val cellsDf = assignRows(s, emb, cents, multiAssign, id, vec)
     // probe list: the nProbe nearest cells per (normalized) query vector
     val probes = normalized(s, queries, qid, qvec)
       .flatMap { case (q, v) =>
         nearestCells(bc.value, v, nProbe).map(c => (q, c))
       }
       .toDF(qid, "cell")
-    // distinct: a vector can reach one query through several of its
-    // assigned cells — candidates are a set, n_candidates counts vectors
-    val cand = broadcast(probes).join(cellsDf, "cell")
-      .filter(if (excludeSelfId) col(id) =!= col(qid) else lit(true))
-      .select(col(qid), col(id)).distinct()
-    val e = emb.select(col(id), col(vec))
+    // score DURING the assignment pass (the probeIvf/AnnBench lesson:
+    // joining candidates back to the corpus by id shuffles the corpus;
+    // scoring inline ships nothing but (qid, id, cos) rows)
     val q = queries.select(col(qid), col(qvec))
-    val nc = cand.groupBy(qid).agg(count(lit(1)).as("n_candidates"))
-    val scored = cand.join(e, id)
+    val scored = cellsDf.join(broadcast(probes), "cell")
+      .filter(if (excludeSelfId) col(id) =!= col(qid) else lit(true))
       .join(broadcast(q), qid)
       .withColumn("cos",
         graft.functions.VecFunctions.vecCosine(s, col(qvec), col(vec)))
-    graft.functions.TopK.perKeyTopK(scored, k, qid, id, "cos")
+      .select(col(qid), col(id), col("cos"))
+    // a vector can reach one query through several of its assigned
+    // cells — bit-identical copies, collapsed map-side; candidates are
+    // a set, n_candidates counts vectors
+    val dedup = scored.groupBy(col(qid), col(id)).agg(max(col("cos")).as("cos"))
+    val nc = dedup.groupBy(qid).agg(count(lit(1)).as("n_candidates"))
+    graft.functions.TopK.perKeyTopK(dedup, k, qid, id, "cos")
       .join(broadcast(nc), qid)
       .select(col(qid), col("rn"), col(id), col("cos"), col("n_candidates"))
       .orderBy(qid, "rn")
