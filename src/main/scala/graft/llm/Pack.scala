@@ -81,8 +81,13 @@ object Pack {
     *     a single char or one merge's fusion, so |vocab| ≤ distinct
     *     chars + |merges|, driver-small by construction.
     *   - `sequences/` — (seq_id, n_docs, n_tokens, first_tid, last_tid,
-    *     token_ids). A sequence of only zero-token docs carries
-    *     first_tid = last_tid = -1.
+    *     token_ids, span_doc_ids, span_offs, span_lens). A sequence of
+    *     only zero-token docs carries first_tid = last_tid = -1. The
+    *     three span arrays (parallel, one entry per packed doc in
+    *     doc-id order) are the DOCUMENT BOUNDARIES inside the packed
+    *     stream — span_offs(k) is where doc span_doc_ids(k)'s tokens
+    *     start — which is what cross-document attention masking /
+    *     loss-reset needs at training time (q94 checks them).
     * Returns `sequences/` reloaded, so the caller's plan reads the sink
     * and no intermediate cache outlives the call.
     *
@@ -127,19 +132,30 @@ object Pack {
           maxSeqTokens)
         // packRange emits in id order: group the consecutive run per seq
         val bySeq = scala.collection.mutable.LinkedHashMap
-          .empty[Int, scala.collection.mutable.ArrayBuffer[Array[Int]]]
-        ds.iterator.zip(assign.iterator).foreach { case ((_, t), (_, sq)) =>
+          .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Int])]]
+        ds.iterator.zip(assign.iterator).foreach { case ((i, t), (_, sq)) =>
           bySeq.getOrElseUpdate(sq,
-            scala.collection.mutable.ArrayBuffer.empty[Array[Int]]) += t
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Int])]) += ((i, t))
         }
         bySeq.iterator.map { case (sq, parts) =>
-          val flat = parts.toArray.flatten
+          val flat = parts.iterator.flatMap(_._2).toArray
+          // doc boundaries inside the packed stream: offsets are the
+          // running sum of the preceding docs' token counts
+          val offs = new Array[Long](parts.length)
+          var off = 0L
+          var pi = 0
+          while (pi < parts.length) {
+            offs(pi) = off; off += parts(pi)._2.length; pi += 1
+          }
           (range * seqIdStride + sq, parts.length.toLong, flat.length.toLong,
             if (flat.isEmpty) -1 else flat.head,
-            if (flat.isEmpty) -1 else flat.last, flat)
+            if (flat.isEmpty) -1 else flat.last, flat,
+            parts.map(_._1).toArray, offs,
+            parts.map(_._2.length.toLong).toArray)
         }
       }
-      .toDF("seq_id", "n_docs", "n_tokens", "first_tid", "last_tid", "token_ids")
+      .toDF("seq_id", "n_docs", "n_tokens", "first_tid", "last_tid", "token_ids",
+        "span_doc_ids", "span_offs", "span_lens")
       .write.mode("overwrite").parquet(s"$dir/sequences")
     vocabArr.zipWithIndex.map { case (t, i) => (i, t) }.toSeq.toDF("tid", "tok")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
@@ -303,6 +319,50 @@ object Pack {
              |JOIN vocab v1 ON v1.tok = a.first_tok
              |JOIN vocab v2 ON v2.tok = a.last_tok
              |ORDER BY a.seq_id""".stripMargin)),
+
+    // ---- document BOUNDARIES inside the packed sequences — the span
+    //      table attention masking / loss reset consumes: (seq_id, ord,
+    //      doc_id, start_off, n_doc_tokens). The oracle extends q82's
+    //      replayed chain with a window prefix sum over the pack ----
+    "q94_sequence_boundaries" -> Q(
+      (s, d) => s.read.parquet(s"${materializedFor(s, d)}/sequences")
+        .select(col("seq_id"), posexplode(arrays_zip(
+          col("span_doc_ids"), col("span_offs"), col("span_lens"))))
+        .select(col("seq_id"), col("pos").cast("int").as("ord"),
+          col("col.span_doc_ids").as("doc_id"),
+          col("col.span_offs").as("start_off"),
+          col("col.span_lens").as("n_doc_tokens"))
+        .orderBy("seq_id", "ord"),
+      Some(s"""WITH RECURSIVE d AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             |      w -> len(w) > 0) AS ws
+             |  FROM documents),
+             |tok AS (
+             |  SELECT doc_id,
+             |    flatten(list_transform(ws,
+             |      w -> string_split(trim(${bpeSqlExpr("w")}, chr(1)), chr(1)))) AS toks
+             |  FROM d),
+             |counts AS (
+             |  SELECT doc_id, doc_id // 64 AS part, len(toks) AS n FROM tok),
+             |o AS (SELECT *, row_number() OVER (PARTITION BY part ORDER BY doc_id) AS rn
+             |  FROM counts),
+             |pack(part, rn, doc_id, n, seq, acc) AS (
+             |  SELECT part, rn, doc_id, n, 0, n FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.part, o.rn, o.doc_id, o.n,
+             |    CASE WHEN pack.acc + o.n <= 256 THEN pack.seq ELSE pack.seq + 1 END,
+             |    CASE WHEN pack.acc + o.n <= 256 THEN pack.acc + o.n ELSE o.n END
+             |  FROM pack JOIN o ON o.part = pack.part AND o.rn = pack.rn + 1)
+             |SELECT part * 100000 + seq AS seq_id,
+             |  CAST(row_number() OVER (PARTITION BY part, seq ORDER BY rn) - 1 AS INT)
+             |    AS ord,
+             |  doc_id,
+             |  CAST(coalesce(sum(n) OVER (PARTITION BY part, seq ORDER BY rn
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |    AS start_off,
+             |  CAST(n AS BIGINT) AS n_doc_tokens
+             |FROM pack ORDER BY seq_id, ord""".stripMargin)),
 
     // ---- overlapping-window chunking at window=64 stride=48 (25%
     //      overlap); first/last tokens in the output make any slicing
