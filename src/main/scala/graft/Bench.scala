@@ -30,9 +30,10 @@ object Bench {
     // VALUES-pinned entries (recalls, BPE-derived) are excluded: their
     // fixture guards fail loud off sf0.01 by design.
     val extKeys = Seq("q58_image_decode", "q60_curation_pipeline",
-      "q63_interval_stab", "q67_dedup_index_probe", "q70_bloom_join",
-      "q71_zorder_scan", "q76_cms_heavy_hitters", "q83_repeated_substrings",
-      "q85_mixture_budget")
+      "q63_interval_stab", "q65_ivf_index_ann", "q67_dedup_index_probe",
+      "q70_bloom_join", "q71_zorder_scan", "q76_cms_heavy_hitters",
+      "q83_repeated_substrings", "q84_pq_index_ann", "q85_mixture_budget",
+      "q93_image_neardup")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))
