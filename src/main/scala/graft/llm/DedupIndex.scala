@@ -107,19 +107,27 @@ object DedupIndex {
       .observe("dedup_probe_pre_cap", count(lit(1)).as("rows"))
     // smallest corpus ids first: a total order, so the capped set is
     // stable under partitioning; the bounded-heap partial agg keeps
-    // per-task memory at maxCandidates rows per probe doc
+    // per-task memory at maxCandidates rows per probe doc. Materialized
+    // (localCheckpoint, GC-scoped) because THREE consumers read it —
+    // the shingle-store filter, the verify join, and the observe sink
     val cand = graft.functions.TopK.perKeyTopK(
         candAll.withColumn("nega", -col("corpus_id")),
         maxCandidates, "new_id", "corpus_id", "nega")
       .select(col("new_id"), col("corpus_id"))
       .observe("dedup_probe_post_cap", count(lit(1)).as("rows"))
-    // duplicate rows from at-least-once appends are deterministic
-    // copies: dedup by id on read keeps probe results identical
+      .localCheckpoint(true)
+    // the corpus shingle store is filtered to candidate ids by a
+    // BROADCAST semi-join (cand is capped, the store is corpus-sized —
+    // the store streams through a narrow scan and never shuffles), and
+    // only then deduped: at-least-once appended duplicates are
+    // bit-identical rows, so dedup-after-filter equals dedup-on-read
+    // at a candidate-sized cost instead of a corpus-wide shuffle
     val corpusSh = s.read.parquet(s"$dir/shingles")
       .select(col(id).as("corpus_id"), col("sh").as("csh"))
+      .join(broadcast(cand.select("corpus_id").distinct()), "corpus_id")
       .dropDuplicates("corpus_id")
     val newSh = p.map { case (i, sh, _) => (i, sh) }.toDF("new_id", "nsh")
-    val res = cand.join(corpusSh, "corpus_id").join(newSh, "new_id")
+    val res = cand.join(corpusSh, "corpus_id").join(broadcast(newSh), "new_id")
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (nid, cid, csh, nsh) =>
         val inter = interSize(nsh, csh)

@@ -185,7 +185,12 @@ object IvfPqOps {
     val cand = graft.functions.TopK.perKeyTopK(scored, rerank, qid, id, "adc")
       .select(col(qid), col(id))
     val nc = scored.groupBy(qid).agg(count(lit(1)).as("n_candidates"))
-    val reranked = cand.join(vectors.select(col(id), col(vec)), id)
+    // candidate side broadcast (bounded by rerank × maxProbeBatch): the
+    // corpus-sized id→vec store streams through a narrow scan + hash
+    // join and NEVER SHUFFLES — joining the other way would re-shuffle
+    // the whole vector store per probe batch (the AnnBench lesson)
+    val reranked = vectors.select(col(id), col(vec))
+      .join(broadcast(cand), id)
       .join(broadcast(queries.select(col(qid), col(qvec))), qid)
       .withColumn("cos",
         graft.functions.VecFunctions.vecCosine(s, col(qvec), col(vec)))
