@@ -209,6 +209,15 @@ object Graft {
   def dedupClusters(pairs: DataFrame): DataFrame =
     llm.Dedup.connectedComponents(pairs)
 
+  /** Streaming dedup-on-ingest: per batch, drop intra-batch and
+    * vs-corpus near-dups, emit survivors, append them to the index
+    * ([[llm.DedupIndex.ingestStream]]).
+    */
+  def dedupIngestStream(spark: SparkSession, stream: DataFrame, dir: String,
+      outDir: String, checkpoint: String, minJaccard: Double)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    llm.DedupIndex.ingestStream(spark, stream, dir, outDir, checkpoint, minJaccard)
+
   /** SemDeDup-shaped semantic dedup: cluster embeddings, flag docs with
     * a smaller-id cluster-mate above the cosine threshold
     * ([[llm.LlmOps.semDedup]]).

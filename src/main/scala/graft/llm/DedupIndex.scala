@@ -175,6 +175,61 @@ object DedupIndex {
       .start()
   }
 
+  /** DEDUP-ON-INGEST — the crawler loop a continuously-fed training
+    * pipeline actually runs, composed from the pieces above: per
+    * micro-batch, (1) drop docs that are near-dups of a SMALLER-ID doc
+    * in the same batch ([[Dedup.jaccardPairs]] — the index can't know
+    * them yet), (2) drop docs that are near-dups of the INDEXED corpus
+    * ([[probe]]), (3) emit the survivors to `outDir` and APPEND them to
+    * the index — so later batches (and later crawls) dedup against
+    * them.
+    *
+    * Replay idempotency falls out of the index itself: a re-delivered
+    * batch re-probes docs that are NOW IN THE INDEX, each matches its
+    * own stored shingle set at Jaccard 1.0, and the whole batch drops —
+    * at-least-once delivery cannot emit a doc twice or double-append
+    * it. (Caveat: shingle-less docs — shorter than one shingle window —
+    * are never indexed, pass every probe, and WOULD re-emit on replay;
+    * a deployment that cares filters them upstream.)
+    *
+    * Scale shape per batch: the intra-batch pass is the q34 single
+    * shuffle over the BATCH (not the corpus); the probe is the capped
+    * band-bucket join against the stored index; appends are two
+    * partitioned parquet writes. The corpus text is never read.
+    */
+  def ingestStream(s: SparkSession, stream: DataFrame, dir: String,
+      outDir: String, checkpoint: String, minJaccard: Double,
+      maxCandidates: Int = 4096,
+      id: String = "id", text: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import s.implicits._
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.select(col(id), col(text)).cache()
+        // (1) intra-batch: keep the smallest id of each near-dup pair
+        val intraDup = Dedup.jaccardPairs(s, b, minJaccard, id = id, text = text)
+          .select(col("idb").as(id)).distinct()
+        val c1 = b.join(intraDup, Seq(id), "left_anti")
+        // (2) cross-batch/corpus: probe the persisted index
+        val crossDup = probe(s, dir, c1, minJaccard, maxCandidates, id, text)
+          .select(col("new_id").as(id)).distinct()
+        val fresh = c1.join(crossDup, Seq(id), "left_anti")
+          .localCheckpoint(true) // consumed by the emit AND two appends
+        // (3) emit survivors and index them
+        fresh.write.mode("append").parquet(outDir)
+        val prep = prepared(s, fresh, id, text).cache()
+        prep.map { case (i, sh, _) => (i, sh) }.toDF(id, "sh")
+          .write.mode("append").parquet(s"$dir/shingles")
+        prep.map { case (i, _, bands) => (i, bands) }.toDF(id, "bands")
+          .select(col(id), posexplode(col("bands")).as(Seq("band", "bh")))
+          .write.mode("append").parquet(s"$dir/buckets")
+        prep.unpersist()
+        b.unpersist(); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** one index build per (session, dataset) for the q67 entry */
   private val built = scala.collection.concurrent.TrieMap[String, String]()
 

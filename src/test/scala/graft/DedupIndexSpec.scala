@@ -81,6 +81,45 @@ class DedupIndexSpec extends SparkSpec {
       found.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq)
   }
 
+  test("dedup-on-ingest: intra-batch, vs-index and vs-earlier-batch dups all drop; replay emits nothing") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("ingest-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ingest-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("ingest-ck").toString
+    val docs = corpus(11, 30)
+    DedupIndex.save(s, docs.take(20).toDF("id", "text"), dir)
+    val mem = MemoryStream[(Long, String)]
+    val sq = DedupIndex.ingestStream(s, mem.toDF.toDF("id", "text"),
+      dir, outDir, ck, minJaccard = 0.5)
+    try {
+      // batch 1: two fresh docs, a near-dup of indexed doc 5, and an
+      // intra-batch near-dup pair (101 mutates 100)
+      val fresh1 = docs(20)._2; val fresh2 = docs(21)._2
+      mem.addData(Seq(
+        (100L, fresh1), (101L, mutate(fresh1)),
+        (102L, mutate(docs(5)._2)), (103L, fresh2)): _*)
+      sq.processAllAvailable()
+      val out1 = s.read.parquet(outDir).select("id").collect().map(_.getLong(0)).toSet
+      assert(out1 == Set(100L, 103L), s"batch 1 emitted $out1")
+      // batch 2: a near-dup of batch 1's survivor 103 (now indexed) +
+      // one fresh doc
+      mem.addData(Seq((200L, mutate(fresh2)), (201L, docs(22)._2)): _*)
+      sq.processAllAvailable()
+      val out2 = s.read.parquet(outDir).select("id").collect().map(_.getLong(0)).toSet
+      assert(out2 == Set(100L, 103L, 201L), s"batch 2 emitted $out2")
+      // replay of batch 1's payload (new delivery, same content+ids):
+      // every doc now matches ITSELF in the index at jac 1.0 -> nothing
+      // re-emits, nothing re-appends
+      mem.addData(Seq((100L, fresh1), (103L, fresh2)): _*)
+      sq.processAllAvailable()
+      val out3 = s.read.parquet(outDir).select("id").collect()
+      assert(out3.length == 3, s"replay re-emitted: ${out3.mkString(",")}")
+    } finally sq.stop()
+  }
+
   test("a pathological probe colliding with everything is capped at maxCandidates, smallest ids kept") {
     val s = spark
     import s.implicits._
