@@ -209,6 +209,14 @@ object Graft {
   def dedupClusters(pairs: DataFrame): DataFrame =
     llm.Dedup.connectedComponents(pairs)
 
+  /** Compact an appended near-dup index ([[llm.DedupIndex.compact]]). */
+  def compactDedupIndex(spark: SparkSession, dir: String): Unit =
+    llm.DedupIndex.compact(spark, dir)
+
+  /** Compact an appended IVF index ([[llm.AnnIndex.compactIvf]]). */
+  def compactIvfIndex(spark: SparkSession, dir: String): Unit =
+    llm.AnnIndex.compactIvf(spark, dir)
+
   /** Streaming dedup-on-ingest: per batch, drop intra-batch and
     * vs-corpus near-dups, emit survivors, append them to the index
     * ([[llm.DedupIndex.ingestStream]]).

@@ -77,6 +77,32 @@ object AnnIndex {
       .start()
   }
 
+  /** Index MAINTENANCE: compact the appended assignment log. An
+    * at-least-once append stream leaves bit-identical duplicate rows
+    * and many small files; probes stay CORRECT through them (the
+    * (qid, id) max collapses copies) but pay decode + dedup work per
+    * probe. Compaction rewrites the assignments deduped by (id, cell)
+    * — duplicates are identical, so content is unchanged and probes
+    * are bit-identical before/after (AnnIndexSpec).
+    *
+    * The rewrite goes to a sibling temp dir, then swaps via FS rename —
+    * not atomic against concurrent probes (HDFS rename is atomic,
+    * object stores are not); a serving deployment compacts into a NEW
+    * index dir and flips a pointer.
+    */
+  def compactIvf(s: SparkSession, dir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/assignments")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/assignments__compact")
+    val fs = cur.getFileSystem(conf)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    s.read.parquet(cur.toString)
+      .dropDuplicates("id", "cell")
+      .write.partitionBy("cell").parquet(tmp.toString)
+    fs.delete(cur, true)
+    require(fs.rename(tmp, cur), s"compaction swap failed for $cur")
+  }
+
   /** the partition-pruned index scan for a probe-cell set (exposed so
     * the spec can assert `PartitionFilters` on exactly this plan)
     */

@@ -175,6 +175,36 @@ object DedupIndex {
       .start()
   }
 
+  /** Index MAINTENANCE: compact the appended shingle/bucket logs —
+    * at-least-once appends leave bit-identical duplicate rows and small
+    * files; probes stay correct through them (dedup on read) but pay
+    * for it per probe. Dedup here is by full row (duplicates are
+    * identical), so content — and probe output — is unchanged
+    * (DedupIndexSpec). Same non-atomic swap caveat as
+    * [[AnnIndex.compactIvf]]: serving deployments compact into a new
+    * dir and flip a pointer.
+    */
+  def compact(s: SparkSession, dir: String, id: String = "id"): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    def swap(name: String)(rewrite: String => Unit): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${name}__compact")
+      val fs = cur.getFileSystem(conf)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      rewrite(tmp.toString)
+      fs.delete(cur, true)
+      require(fs.rename(tmp, cur), s"compaction swap failed for $cur")
+    }
+    swap("shingles") { out =>
+      s.read.parquet(s"$dir/shingles").dropDuplicates(id)
+        .write.parquet(out)
+    }
+    swap("buckets") { out =>
+      s.read.parquet(s"$dir/buckets").dropDuplicates(id, "band", "bh")
+        .write.parquet(out)
+    }
+  }
+
   /** DEDUP-ON-INGEST — the crawler loop a continuously-fed training
     * pipeline actually runs, composed from the pieces above: per
     * micro-batch, (1) drop docs that are near-dups of a SMALLER-ID doc

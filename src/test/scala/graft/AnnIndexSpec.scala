@@ -126,6 +126,38 @@ class AnnIndexSpec extends SparkSpec {
       probe.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq)
   }
 
+  test("compaction collapses duplicate appended rows; probe output is bit-identical") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("annidx-compact").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("annidx-cck1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("annidx-cck2").toString
+    AnnIndex.saveIvf(spark, emb.filter(col("id") >= 10), dir)
+    val newRows = emb.filter(col("id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    // the same rows appended twice (an at-least-once redelivery)
+    for (ck <- Seq(ck1, ck2)) {
+      val mem = MemoryStream[(Long, Seq[Float])]
+      mem.addData(newRows: _*)
+      val sq = AnnIndex.appendIvfStream(spark, mem.toDF.toDF("id", "vec"), dir, ck)
+      try sq.processAllAvailable() finally sq.stop()
+    }
+    val before = spark.read.parquet(s"$dir/assignments").count()
+    val probeBefore = AnnIndex.probeIvf(spark, dir, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    AnnIndex.compactIvf(spark, dir)
+    val after = spark.read.parquet(s"$dir/assignments").count()
+    val distinctRows = spark.read.parquet(s"$dir/assignments")
+      .select("id", "cell").distinct().count()
+    assert(after < before && after == distinctRows,
+      s"compaction: $before -> $after rows, distinct $distinctRows")
+    val probeAfter = AnnIndex.probeIvf(spark, dir, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    assert(probeAfter == probeBefore, "compaction changed probe output")
+  }
+
   test("the index scan is partition-pruned to the probe cells") {
     val dir = java.nio.file.Files.createTempDirectory("annidx").toString
     AnnIndex.saveIvf(spark, emb, dir)

@@ -120,6 +120,35 @@ class DedupIndexSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("compaction collapses replayed appended rows; probe results unchanged") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx-compact").toString
+    val docs = corpus(3, 40)
+    DedupIndex.save(s, docs.take(30).toDF("id", "text"), dir)
+    // append the last 10 docs TWICE (at-least-once redelivery)
+    for (i <- 1 to 2) {
+      val ck = java.nio.file.Files.createTempDirectory(s"dedupidx-cck$i").toString
+      val mem = MemoryStream[(Long, String)]
+      mem.addData(docs.drop(30): _*)
+      val sq = DedupIndex.appendStream(s, mem.toDF.toDF("id", "text"), dir, ck)
+      try sq.processAllAvailable() finally sq.stop()
+    }
+    val probes = Seq((5000L, mutate(docs(35)._2))).toDF("id", "text")
+    val before = DedupIndex.probe(s, dir, probes, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val shBefore = s.read.parquet(s"$dir/shingles").count()
+    DedupIndex.compact(s, dir)
+    val shAfter = s.read.parquet(s"$dir/shingles").count()
+    assert(shAfter == 40 && shBefore > shAfter,
+      s"compaction: shingles $shBefore -> $shAfter")
+    val after = DedupIndex.probe(s, dir, probes, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(after == before && before.nonEmpty, "compaction changed probe output")
+  }
+
   test("a pathological probe colliding with everything is capped at maxCandidates, smallest ids kept") {
     val s = spark
     import s.implicits._
