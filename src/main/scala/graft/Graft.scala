@@ -353,6 +353,11 @@ object Graft {
   def packSequences(spark: SparkSession, docs: DataFrame, maxTokens: Long): DataFrame =
     llm.Pack.packSequences(spark, docs, maxTokens)
 
+  /** Length-bucketed dynamic batching ([[llm.Pack.lengthBucketBatches]]). */
+  def lengthBucketBatches(spark: SparkSession, docs: DataFrame,
+      batchSize: Int, seed: Long): DataFrame =
+    llm.Pack.lengthBucketBatches(spark, docs, batchSize, seed)
+
   /** Overlapping-window doc chunking ([[llm.Pack.chunkDocs]]). */
   def chunkDocs(spark: SparkSession, docs: DataFrame, window: Int, stride: Int): DataFrame =
     llm.Pack.chunkDocs(spark, docs, window, stride)

@@ -264,10 +264,23 @@ object Curation {
     * sorting ~1/`buckets` of the data.
     */
   def shuffleCorpus(s: SparkSession, docs: DataFrame, seed: Long,
-      buckets: Int = 4096, id: String = "doc_id"): DataFrame = {
+      buckets: Int = 4096, id: String = "doc_id"): DataFrame =
+    hashOrderPositions(s, docs, Nil, seed, buckets, id)
+
+  /** the generalized bucket-offset machinery behind [[shuffleCorpus]]
+    * and [[Pack.lengthBucketBatches]]: a `pos` column = 0..|group|-1
+    * within each group of `groupCols` (the whole corpus when empty), in
+    * seeded-hash order with id tie-break. The per-(group, bucket)
+    * histogram is a map-side-combinable agg of ≤ |groups| × `buckets`
+    * rows, its prefix-sum offsets a WINDOW OVER THAT TINY TABLE (no
+    * driver collect), and the exact ranking runs per (group, bucket) in
+    * parallel — no group ever pays a single-reducer global sort.
+    */
+  private[llm] def hashOrderPositions(s: SparkSession, docs: DataFrame,
+      groupCols: Seq[String], seed: Long, buckets: Int,
+      id: String): DataFrame = {
     require(buckets > 0 && Integer.bitCount(buckets) == 1 && buckets <= (1 << 30),
       s"buckets must be a positive power of two: $buckets")
-    import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
     val hv = conv(substring(md5(
@@ -275,15 +288,24 @@ object Curation {
       1, 15), 16, 10).cast("long")
     val withH = docs.withColumn("hv", hv)
       .withColumn("bucket", shiftright(col("hv"), shift).cast("int"))
-    val counts = withH.groupBy("bucket").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (b, n) => val o = (b, acc); acc += n; o }
-    val offDf = offsets.toSeq.toDF("bucket", "offset")
+    val g = groupCols.map(col)
+    val hist = withH.groupBy(g :+ col("bucket"): _*).agg(count(lit(1)).as("n"))
+    // empty groupCols would make this a partition-less window — Spark
+    // plans that as a RANGE-partitioned global sort, the very shape the
+    // operator exists to avoid (harmless on the tiny hist, but it makes
+    // "no rangepartitioning in the plan" unpinnable) — a constant key
+    // keeps it a single hash-grouped reducer over ≤ buckets rows
+    val offGroups = if (g.nonEmpty) g else Seq(lit(0))
+    val offDf = hist.withColumn("offset",
+        coalesce(sum(col("n")).over(
+          Window.partitionBy(offGroups: _*).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("n")
     withH
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("bucket")).orderBy(col("hv"), col(id))).cast("long"))
-      .join(broadcast(offDf), "bucket")
+        Window.partitionBy(g :+ col("bucket"): _*).orderBy(col("hv"), col(id)))
+        .cast("long"))
+      .join(broadcast(offDf), groupCols :+ "bucket")
       .withColumn("pos", col("offset") + col("rk") - 1)
       .drop("hv", "bucket", "rk", "offset")
   }

@@ -190,6 +190,39 @@ object Pack {
       .toDF(id, "chunk_idx", "n_chunk_tokens", "first_token", "last_token")
   }
 
+  /** Length-bucketed BATCHING — the dynamic-batching step seq-training
+    * loaders run: docs bucket by token count (`lenBinWidth`-token bins,
+    * so one batch holds similar lengths and padding waste stays
+    * bounded), and within each bucket batches of `batchSize` fill in
+    * deterministic seeded-hash order. Output adds (n_tokens,
+    * len_bucket, batch_idx, pos_in_batch) — the last batch per bucket
+    * may run short rather than pad silently.
+    *
+    * Scale shape: positions come from [[Curation.hashOrderPositions]]'s
+    * bucket-offset decomposition grouped by len_bucket — per-bucket
+    * order without per-bucket single-reducer sorts; the batch
+    * arithmetic is exact integer division (pos − pos mod B over exact
+    * multiples — the RangeJoin >2^53 rule).
+    */
+  def lengthBucketBatches(s: SparkSession, docs: DataFrame, batchSize: Int,
+      seed: Long, lenBinWidth: Int = 32, buckets: Int = 4096,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(batchSize > 0, s"batchSize must be > 0, got $batchSize")
+    require(lenBinWidth > 0 && Integer.bitCount(lenBinWidth) == 1,
+      s"lenBinWidth must be a positive power of two: $lenBinWidth")
+    val lenShift = java.lang.Integer.numberOfTrailingZeros(lenBinWidth)
+    val withLen = docs
+      .withColumn("n_tokens",
+        size(split(trim(lower(col(text))), "\\s+")).cast("long"))
+      .withColumn("len_bucket", shiftright(col("n_tokens"), lenShift).cast("int"))
+    Curation.hashOrderPositions(s, withLen, Seq("len_bucket"), seed, buckets, id)
+      .withColumn("batch_idx",
+        ((col("pos") - pmod(col("pos"), lit(batchSize.toLong))) / batchSize)
+          .cast("long"))
+      .withColumn("pos_in_batch", pmod(col("pos"), lit(batchSize.toLong)))
+      .drop("pos")
+  }
+
   /** one materialized-artifact build per dataset for the q82 entry */
   private val matDirs = scala.collection.concurrent.TrieMap[String, String]()
 
@@ -363,6 +396,28 @@ object Pack {
              |    AS start_off,
              |  CAST(n AS BIGINT) AS n_doc_tokens
              |FROM pack ORDER BY seq_id, ord""".stripMargin)),
+
+    // ---- length-bucketed batching: 32-token bins, batches of 16 in
+    //      seeded-hash order; the full (doc_id -> batch slot) mapping
+    //      hash-compares against the naive per-bucket window oracle,
+    //      so the grouped bucket-offset decomposition must be an exact
+    //      per-bucket permutation ----
+    "q95_length_batches" -> Q(
+      (s, d) => lengthBucketBatches(s, Tables.documents(s, d),
+          batchSize = 16, seed = 11L)
+        .select(col("doc_id"), col("len_bucket"), col("batch_idx"),
+          col("pos_in_batch"))
+        .orderBy("len_bucket", "batch_idx", "pos_in_batch"),
+      Some("""SELECT doc_id, CAST(n // 32 AS INT) AS len_bucket,
+             |  CAST((rn - 1) // 16 AS BIGINT) AS batch_idx,
+             |  CAST((rn - 1) % 16 AS BIGINT) AS pos_in_batch
+             |FROM (SELECT doc_id, n,
+             |    row_number() OVER (PARTITION BY n // 32 ORDER BY hv, doc_id) AS rn
+             |  FROM (SELECT doc_id,
+             |      CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n,
+             |      ('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+             |    FROM documents) t) u
+             |ORDER BY len_bucket, batch_idx, pos_in_batch""".stripMargin)),
 
     // ---- overlapping-window chunking at window=64 stride=48 (25%
     //      overlap); first/last tokens in the output make any slicing
