@@ -325,6 +325,10 @@ object Graft {
       weights: Map[String, Double]): DataFrame =
     llm.Curation.mixtureUpsample(spark, docs, weights)
 
+  /** HTML → text extraction ([[llm.Curation.extractHtmlText]]). */
+  def extractHtmlText(spark: SparkSession, pages: DataFrame): DataFrame =
+    llm.Curation.extractHtmlText(spark, pages)
+
   /** Span-level decontamination (mask, don't drop)
     * ([[llm.Curation.decontaminateSpans]]).
     */

@@ -164,6 +164,32 @@ object Curation {
     docs.filter(hv < threshold)
   }
 
+  // extraction patterns shared with the q96 oracle — RE2-portable (no
+  // backrefs/lookaround), applied in this order: strip script/style
+  // blocks WITH their content, strip remaining tags, decode the three
+  // core entities, collapse whitespace
+  private[graft] val scriptBlockRe = "<(script|style)[^>]*>[^<]*</(script|style)>"
+  private[graft] val tagRe = "<[^>]*>"
+
+  /** HTML → TEXT extraction — the first stage of every web-crawl
+    * pipeline: script/style blocks drop with their payload, remaining
+    * tags become spaces (so adjacent block elements don't fuse words),
+    * the core entities decode (&lt; &gt; &amp; — amp LAST, or
+    * "&amp;lt;" would double-decode), and whitespace collapses. Returns
+    * (id, n_tags, clean_text). Pure narrow map over the scan — all
+    * regexp_replace chains inside codegen, no UDF.
+    */
+  def extractHtmlText(s: SparkSession, pages: DataFrame,
+      id: String = "doc_id", html: String = "html"): DataFrame = {
+    val noScript = regexp_replace(col(html), scriptBlockRe, " ")
+    val noTags = regexp_replace(noScript, tagRe, " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      noTags, "&lt;", "<"), "&gt;", ">"), "&amp;", "&")
+    pages.select(col(id),
+      regexp_count(col(html), lit(tagRe)).as("n_tags"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("clean_text"))
+  }
+
   /** Stratified mixture sampling by per-source TOKEN BUDGETS — the form
     * data mixing actually uses ("web: 300B tokens, code: 100B, papers:
     * 30B"): per source, docs are ranked by the same deterministic
@@ -414,6 +440,23 @@ object Curation {
       .select((col("doc_id") + 900000L).as("doc_id"),
         regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
 
+  /** HTML-wrapped corpus for q96 (the q74/q58 fixture pattern): each
+    * doc's text embedded in a deterministic page skeleton — nav/footer
+    * boilerplate, a script block that must vanish WITH its payload, an
+    * entity-escaped snippet derived from doc_id — so extraction has
+    * real work whose result both engines can recompute
+    */
+  private def htmlDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>body{margin:0}</style></head><body>"),
+        lit("<div class=\"nav\">Home | About</div>"),
+        lit("<script>var x = 1;</script>"),
+        lit("<p>"), col("text"), lit("</p>"),
+        lit("<p>snippet: &lt;tag&gt; &amp; more</p>"),
+        lit("<footer>(c) 2026 corp</footer></body></html>")).as("html"))
+
   /** PII-injected corpus: every 7th doc gains an email, every 11th a
     * phone number, both derived from doc_id
     */
@@ -449,6 +492,33 @@ object Curation {
              |SELECT tg.doc_id, count(DISTINCT tg.g) AS n_shared_grams
              |FROM tg JOIN eg ON tg.g = eg.g
              |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin)),
+
+    // ---- HTML -> text extraction over the wrapped corpus: tag counts
+    //      and the FULL cleaned text hash-compared — both engines run
+    //      the same RE2-safe strip/decode/collapse chain, so any
+    //      ordering or greediness drift goes red ----
+    "q96_html_extract" -> Q(
+      (s, d) => extractHtmlText(s, htmlDocs(s, d)).orderBy("doc_id"),
+      Some("""WITH pages AS (SELECT doc_id,
+             |    '<html><head><title>Doc ' || doc_id ||
+             |    '</title><style>body{margin:0}</style></head><body>' ||
+             |    '<div class="nav">Home | About</div>' ||
+             |    '<script>var x = 1;</script>' ||
+             |    '<p>' || text || '</p>' ||
+             |    '<p>snippet: &lt;tag&gt; &amp; more</p>' ||
+             |    '<footer>(c) 2026 corp</footer></body></html>' AS html
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT) AS n_tags,
+             |  trim(regexp_replace(
+             |    replace(replace(replace(
+             |      regexp_replace(
+             |        regexp_replace(html,
+             |          '<(script|style)[^>]*>[^<]*</(script|style)>', ' ', 'g'),
+             |        '<[^>]*>', ' ', 'g'),
+             |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+             |    '\s+', ' ', 'g')) AS clean_text
+             |FROM pages ORDER BY doc_id""".stripMargin)),
 
     // ---- span-level decontamination: masked-token and span counts per
     //      contaminated doc. The oracle recomputes the mask with STRING
