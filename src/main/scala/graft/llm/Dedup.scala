@@ -45,9 +45,11 @@ object Dedup {
     * row-count metrics (kept-vs-dropped visibility; Verify/Bench print
     * them via ObservedMetricsLog).
     *
-    * The cache backs the LAZY result, so it cannot be released here;
-    * long-lived sessions calling this repeatedly should
-    * spark.catalog.clearCache() between corpora.
+    * The shared intermediate (posting-list pairs + size markers) is
+    * localCheckpoint'ed, not cache()d: it feeds two consumers either
+    * way, but checkpoint blocks release with the reference — a
+    * long-lived session calling this per batch (dedup-on-ingest) no
+    * longer accrues one CacheManager entry per call.
     */
   def jaccardPairs(s: SparkSession, docs: DataFrame, minJaccard: Double,
       dfCap: Int = LlmOps.shingleDfCap,
@@ -95,7 +97,7 @@ object Dedup {
     val tagged = observePrefix.fold(tagged0)(p =>
       tagged0.observe(s"${p}_post_cap",
         sum(when(col("idb") === -1L, 1L).otherwise(0L)).as("rows")))
-      .cache() // feeds the pair counts AND the per-doc sizes
+      .localCheckpoint() // feeds the pair counts AND the per-doc sizes
     val sizes = tagged.filter(col("idb") === -1L)
       .groupBy(col("ida").as(id)).agg(count(lit(1)).as("n"))
     tagged.filter(col("idb") =!= -1L)
