@@ -186,6 +186,50 @@ object Dedup {
       .select(col(s"a.$id").as("ida"), col(s"b.$id").as("idb")).distinct()
   }
 
+  /** LINE-level exact dedup — the C4 move (Raffel et al., "Exploring the
+    * limits of transfer learning with a unified text-to-text
+    * transformer", JMLR 2020, §2.2: discard all but one of any span
+    * occurring more than once in the corpus), applied at line
+    * granularity as CCNet/RefinedWeb-style pipelines run it: every
+    * exact line keeps only its FIRST occurrence corpus-wide (smallest
+    * (id, line_no)); all later occurrences — boilerplate nav bars,
+    * cookie banners, repeated footers — drop. Returns the full corpus,
+    * one row per doc: (id, n_lines, n_kept, clean_text), where
+    * clean_text re-joins the kept lines with '\n' (empty when every
+    * line lost, e.g. an exact-duplicate doc).
+    *
+    * Scale shape (100 TB): line TEXT never shuffles on the decision
+    * path. Lines travel as 64-bit xxhash64 hashes: the winner per hash
+    * is a map-side-combinable min of the (id, line_no) struct, the
+    * keep decision is an equi-join of (lh, id, line_no) int rows, and
+    * the per-doc keep-index arrays meet the corpus in ONE doc-keyed
+    * join — the only stage that moves text — feeding a codegen'd
+    * filter-by-index rebuild (no UDF). Cross-engine contract: Spark
+    * dedups by hash, the oracle by line string — a collision goes red
+    * (the q34 contract).
+    */
+  def dedupLines(s: SparkSession, docs: DataFrame,
+      id: String = "id", text: String = "text"): DataFrame = {
+    val le = docs
+      .select(col(id), posexplode(split(col(text), "\n")).as(Seq("line_no", "line")))
+      .select(col(id), col("line_no"), xxhash64(col("line")).as("lh"))
+    val winners = le.groupBy("lh")
+      .agg(min(struct(col(id), col("line_no"))).as("w"))
+    val keptIdx = le.join(winners, "lh")
+      .filter(col(id) === col(s"w.$id") && col("line_no") === col("w.line_no"))
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(col("line_no"))).as("keep"))
+    val lines = split(col(text), "\n")
+    docs.join(keptIdx, Seq(id), "left")
+      .withColumn("keep", coalesce(col("keep"), lit(Array.empty[Int])))
+      .select(col(id),
+        size(lines).cast("long").as("n_lines"),
+        size(col("keep")).cast("long").as("n_kept"),
+        array_join(
+          filter(lines, (x, i) => array_contains(col("keep"), i)), "\n")
+          .as("clean_text"))
+  }
+
   /** SUBSTRING-level exact dedup (Lee, Ippolito, Nystrom et al.,
     * "Deduplicating training data makes language models better", ACL
     * 2022 — the ExactSubstr modality): find, per doc, the merged token

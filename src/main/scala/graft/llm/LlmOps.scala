@@ -30,6 +30,27 @@ object LlmOps {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def embs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
+  /** multi-line corpus for q97 (the q96 fixture pattern — the corpus
+    * has no newlines, so line structure is synthesized deterministically
+    * both engines can replay): each doc's normalized tokens chunk into
+    * 8-token lines, and shared boilerplate lines inject cross-doc
+    * duplicates by construction — a nav header on every 3rd doc, a
+    * footer on every 2nd — beyond the corpus's own exact-dup docs
+    */
+  private def lineDocs(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val nLines = ceil(size(toks).cast("double") / 8).cast("int")
+    val body = transform(sequence(lit(0), nLines - 1),
+      i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))
+    val hdr = when(col("doc_id") % 3 === 0,
+      array(lit("home about contact subscribe"))).otherwise(lit(Array.empty[String]))
+    val ftr = when(col("doc_id") % 2 === 0,
+      array(lit("copyright 2026 example corp all rights reserved")))
+      .otherwise(lit(Array.empty[String]))
+    docs(s, d).select(col("doc_id"),
+      array_join(concat(hdr, body, ftr), "\n").as("text"))
+  }
+
   /** Shingle document-frequency cap for q34: a shingle appearing in more
     * than this many docs is dropped before the pair self-join (bounding
     * any single join key to ≤ cap² candidate pairs) AND from the per-doc
@@ -724,6 +745,46 @@ object LlmOps {
              |  CAST(sum(en - st + 1) AS BIGINT) AS n_repeated_tokens,
              |  CAST(max(en - st + 1) AS BIGINT) AS max_span_tokens
              |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- LINE-level exact dedup (the C4 move at line granularity):
+    //      every exact line keeps only its first corpus-wide occurrence
+    //      — repeated boilerplate (the injected nav/footer lines, plus
+    //      every line of an exact-dup doc) drops everywhere else. The
+    //      FULL cleaned text of every doc is hash-compared; the oracle
+    //      replays chunking, first-occurrence choice, and reassembly
+    //      with string lines where Spark dedups by xxhash64 (a
+    //      collision goes red — the q34 contract). ----
+    "q97_line_dedup" -> Q(
+      (s, d) => Dedup.dedupLines(s, lineDocs(s, d), id = "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH ld AS (SELECT doc_id, array_to_string(
+             |    CASE WHEN doc_id % 3 = 0 THEN ['home about contact subscribe']
+             |         ELSE []::VARCHAR[] END ||
+             |    list_transform(range(1, CAST(ceil(len(t)/8.0) AS INT) + 1),
+             |      i -> array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')) ||
+             |    CASE WHEN doc_id % 2 = 0
+             |         THEN ['copyright 2026 example corp all rights reserved']
+             |         ELSE []::VARCHAR[] END, chr(10)) AS text
+             |  FROM (SELECT doc_id,
+             |      regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             |    FROM documents) x),
+             |lines AS (SELECT doc_id, u.line_no, u.line FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, len(l)+1),
+             |      i -> {'line_no': i - 1, 'line': l[i]})) AS u
+             |    FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+             |          FROM ld) y) x),
+             |r AS (SELECT doc_id, line_no, line,
+             |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+             |  FROM lines),
+             |k AS (SELECT doc_id, count(*) AS n_kept,
+             |    string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+             |  FROM r WHERE rn = 1 GROUP BY doc_id)
+             |SELECT ld.doc_id,
+             |  CAST(len(string_split(ld.text, chr(10))) AS BIGINT) AS n_lines,
+             |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+             |  coalesce(k.clean_text, '') AS clean_text
+             |FROM ld LEFT JOIN k USING (doc_id)
+             |ORDER BY ld.doc_id""".stripMargin)),
 
     // ---- SEMANTIC dedup (SemDeDup-shaped): per-cluster doc/dup counts.
     //      Deterministic k-means + exact in-cluster cosine → pinned

@@ -123,4 +123,31 @@ class DedupPropertySpec extends SparkSpec {
     assert(Dedup.repeatedSpans(s, docs, k = 3, minCount = 5, id = "doc_id")
       .count() == 0)
   }
+
+  test("dedupLines: first occurrence wins corpus-wide, exact-dup docs empty out") {
+    val s = spark
+    import s.implicits._
+    val nl = "\n"
+    val docs = Seq(
+      (0L, s"alpha beta${nl}boiler plate line"),      // first owner of both
+      (1L, s"boiler plate line${nl}gamma delta"),     // loses the boilerplate
+      (2L, s"alpha beta${nl}boiler plate line"),      // exact dup -> empty
+      (3L, s"solo line${nl}solo line${nl}epsilon"),   // within-doc repeat
+      (4L, "unique only")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(s, docs, id = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, s"alpha beta${nl}boiler plate line"),
+      (1L, 2L, 1L, "gamma delta"),
+      (2L, 2L, 0L, ""),
+      (3L, 3L, 2L, s"solo line${nl}epsilon"),
+      (4L, 1L, 1L, "unique only")), s"got $got")
+    // the decision path carries hashes and ints only — no text in the
+    // winner agg: re-running over a permuted row order is identical
+    val shuffled = Dedup.dedupLines(s, docs.repartition(7), id = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).sortBy(_._1).toSeq
+    assert(shuffled == got.map(t => (t._1, t._4)))
+  }
 }
