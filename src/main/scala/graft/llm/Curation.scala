@@ -274,6 +274,46 @@ object Curation {
     fullBuckets.unionByName(boundary).drop("hv", "n_toks", "bucket")
   }
 
+  // URL patterns shared with the q98 oracle — RE2-portable. The
+  // registered-domain rule is the last-two-labels heuristic (a public
+  // suffix list is a lookup-table refinement of the same shape).
+  private[graft] val urlHostRe = "^https?://([^/?#]+)"
+  private[graft] val regDomainRe = "([^.]+\\.[^.]+)$"
+
+  /** URL/DOMAIN curation stage — the web-crawl steps between HTML
+    * extraction and text filtering: parse each doc's URL into host and
+    * registered domain (codegen regexp, no UDF), drop blocklisted
+    * domains (the UT1-blocklist move; broadcast anti-join), and cap
+    * docs per registered domain (crawls are domain-skewed: without a
+    * cap, one link farm dominates the corpus) keeping a DETERMINISTIC
+    * hash-order prefix of each domain — the same seeded-hash order as
+    * [[shuffleCorpus]], so the kept set is reproducible and raising the
+    * cap only adds docs.
+    *
+    * Scale shape (100 TB): parsing is a narrow map; the blocklist
+    * broadcasts (small by definition); the per-domain cap is
+    * [[hashOrderPositions]] grouped by domain — per-(domain, bucket)
+    * histogram agg (map-side combinable), offsets via a window over
+    * that tiny table, exact ranking per bucket — no single-reducer
+    * sort, and a million-doc link-farm domain costs its bucket-sized
+    * rankings, not a global window.
+    */
+  def urlDomainFilter(s: SparkSession, docs: DataFrame, blocklist: Seq[String],
+      maxPerDomain: Int, seed: Long = 11L, buckets: Int = 4096,
+      id: String = "doc_id", url: String = "url"): DataFrame = {
+    import s.implicits._
+    require(maxPerDomain > 0, s"maxPerDomain must be > 0: $maxPerDomain")
+    val withDom = docs
+      .withColumn("host", regexp_extract(col(url), urlHostRe, 1))
+      .withColumn("domain", regexp_extract(col("host"), regDomainRe, 1))
+    val surv =
+      if (blocklist.isEmpty) withDom
+      else withDom.join(broadcast(blocklist.toDF("domain")), Seq("domain"), "left_anti")
+    hashOrderPositions(s, surv, Seq("domain"), seed, buckets, id)
+      .filter(col("pos") < maxPerDomain)
+      .drop("pos")
+  }
+
   /** Deterministic GLOBAL SHUFFLE for training order: every doc gets a
     * unique position 0..n-1 in the order of a seeded hash (ties by id)
     * — the "shuffle the corpus before packing" step every pretraining
@@ -470,6 +510,23 @@ object Curation {
             lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
             lit("-0199"))).otherwise(lit(""))).as("text"))
 
+  /** URL-carrying corpus for q98: a deterministic URL per doc — 111
+    * registered domains (37 bases × 3 TLDs), a www. subdomain on every
+    * 4th doc (exercising host ≠ domain), a query string on every 5th
+    * (must not leak into the host) — so parsing, blocklisting and the
+    * per-domain cap all have real work both engines can replay
+    */
+  private def urlDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("https://"),
+        when(col("doc_id") % 4 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), (col("doc_id") % 37).cast("string"),
+        element_at(typedlit(Seq(".com", ".org", ".io")),
+          (col("doc_id") % 3).cast("int") + 1),
+        lit("/page/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 5 === 0, lit("?ref=rss")).otherwise(lit("")))
+        .as("url"))
+
   val all: ListMap[String, Q] = ListMap(
     // ---- decontamination: which training docs share an 8-gram with
     //      the eval slice. The oracle recomputes the overlap with
@@ -519,6 +576,40 @@ object Curation {
              |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
              |    '\s+', ' ', 'g')) AS clean_text
              |FROM pages ORDER BY doc_id""".stripMargin)),
+
+    // ---- URL/domain stage: host + registered-domain parse, domain
+    //      blocklist anti-join, deterministic per-domain cap (3). The
+    //      kept SET with its parsed columns is hash-compared; the
+    //      oracle replays the regexes, the blocklist, and the cap as
+    //      the naive per-domain window over the same md5 hash order —
+    //      hash-green means the bucket-offset cap is exact. ----
+    "q98_url_domain_filter" -> Q(
+      (s, d) => urlDomainFilter(s, urlDocs(s, d),
+          blocklist = Seq("site1.com", "site7.org", "site13.io", "site20.com"),
+          maxPerDomain = 3)
+        .select(col("doc_id"), col("host"), col("domain"))
+        .orderBy("doc_id"),
+      Some("""WITH u AS (SELECT doc_id, 'https://' ||
+             |    CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+             |    'site' || (doc_id % 37) ||
+             |    CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+             |      ELSE '.io' END ||
+             |    '/page/' || doc_id ||
+             |    CASE WHEN doc_id % 5 = 0 THEN '?ref=rss' ELSE '' END AS url
+             |  FROM documents),
+             |h AS (SELECT doc_id,
+             |    regexp_extract(url, '^https?://([^/?#]+)', 1) AS host FROM u),
+             |dm AS (SELECT doc_id, host,
+             |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM h),
+             |f AS (SELECT * FROM dm WHERE domain NOT IN
+             |    ('site1.com', 'site7.org', 'site13.io', 'site20.com')),
+             |r AS (SELECT doc_id, host, domain,
+             |    row_number() OVER (PARTITION BY domain ORDER BY
+             |      ('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+             |      doc_id) AS rn
+             |  FROM f)
+             |SELECT doc_id, host, domain FROM r WHERE rn <= 3
+             |ORDER BY doc_id""".stripMargin)),
 
     // ---- span-level decontamination: masked-token and span counts per
     //      contaminated doc. The oracle recomputes the mask with STRING

@@ -241,4 +241,31 @@ class CurationSpec extends SparkSpec {
     assert(got(1)._4 == "call [PHONE] or [PHONE] now")
     assert(got(2)._2 == 0 && got(2)._3 == 0 && got(2)._4 == "clean text, no pii at all")
   }
+
+  test("urlDomainFilter: parse, blocklist, and a deterministic monotone per-domain cap") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "https://www.a.com/x"), (1L, "https://a.com/y?q=1"),
+      (2L, "https://sub.deep.a.com/z"), (3L, "https://b.org/1"),
+      (4L, "https://b.org/2"), (5L, "https://b.org/3"),
+      (6L, "https://bad.net/x"), (7L, "http://c.io/p#frag")
+    ).toDF("doc_id", "url")
+    val got = Curation.urlDomainFilter(s, docs, blocklist = Seq("bad.net"),
+        maxPerDomain = 2)
+      .select("doc_id", "host", "domain").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    // bad.net dropped; a.com has 3 members (www./bare/sub.deep. all
+    // normalize to the registered domain) and b.org has 3 — each keeps 2
+    assert(!got.exists(_._3 == "bad.net"))
+    assert(got.count(_._3 == "a.com") == 2 && got.count(_._3 == "b.org") == 2)
+    assert(got.exists(t => t._1 == 7L && t._2 == "c.io" && t._3 == "c.io"))
+    // host never contains scheme, path, query, or fragment
+    assert(got.forall(t => !t._2.contains("/") && !t._2.contains("?") && !t._2.contains("#")))
+    // raising the cap only ADDS docs (hash-order prefix is monotone)
+    val kept2 = got.map(_._1).toSet
+    val kept3 = Curation.urlDomainFilter(s, docs, Seq("bad.net"), maxPerDomain = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2.subsetOf(kept3) && kept3.size == 7)
+  }
 }
