@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.rel.Profile
+
+class ProfileSpec extends SparkSpec {
+
+  test("profile: null/distinct accounting and string-cast extrema") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Some("a"), 2.5), (2L, None, 1.0), (3L, Some("c"), 2.5),
+      (4L, None, -1.0), (5L, Some("a"), 9.0)
+    ).toDF("id", "tag", "v")
+    val got = Profile.profile(s, df, Seq("id", "tag", "v")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got("id") == ((5L, 0L, 5L, "1", "5")))
+    assert(got("tag") == ((5L, 2L, 2L, "a", "c")))
+    assert(got("v") == ((5L, 0L, 4L, "-1.0", "9.0")))
+  }
+
+  test("approx mode: no Expand in the plan, estimates near exact") {
+    val s = spark
+    import s.implicits._
+    val df = Seq.tabulate(5000)(i => (i.toLong, (i % 997).toString, i % 10))
+      .toDF("id", "k", "b")
+    val cols = Seq("id", "k", "b")
+    val exactPlan = Profile.profile(s, df, cols, exact = true)
+      .queryExecution.executedPlan.toString
+    val approxPlan = Profile.profile(s, df, cols, exact = false)
+      .queryExecution.executedPlan.toString
+    // multi-column count(DISTINCT) costs an Expand (rows x aggregates);
+    // the HLL mode must NOT — that's its whole point at scale
+    assert(exactPlan.contains("Expand"), "exact mode should plan via Expand")
+    assert(!approxPlan.contains("Expand"), "approx mode must not Expand")
+    val exact = Profile.profile(s, df, cols, exact = true).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Profile.profile(s, df, cols, exact = false).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c).toDouble, approx(c).toDouble)
+      assert(math.abs(a - e) / e < 0.1, s"$c: approx $a vs exact $e")
+    }
+    // null counting is sketch-independent: identical in both modes
+    assert(approx("b") >= 9 && approx("b") <= 11)
+  }
+}
