@@ -223,6 +223,48 @@ object Pack {
       .drop("pos")
   }
 
+  /** SHARDED artifact WRITER — the last step before a training run: the
+    * packed sequences split into fixed-size SHARDS (`seqsPerShard`
+    * each; the last may run short) in deterministic seeded-hash order
+    * (the [[Curation.shuffleCorpus]] order, so shard contents are
+    * reproducible and already shuffled for training), written
+    * hive-partitioned by `shard_id` under `dir/data` — a loader reads
+    * shard k via partition pruning without touching the rest — plus a
+    * MANIFEST under `dir/manifest`: per shard (n_seqs, n_tokens,
+    * tid_sum, seq_id_sum), the counts-and-checksums a loader verifies
+    * before trusting a shard. Returns the manifest reloaded from disk,
+    * so the caller checks what was actually written.
+    *
+    * Scale shape: positions come from the bucket-offset decomposition
+    * (no single-reducer sort), the shard index is exact integer
+    * arithmetic on the position, the write is one shuffle-free pass
+    * per partition, and the manifest is one map-side-combinable agg
+    * (tid_sum folds inside codegen via `aggregate`).
+    */
+  def writeShards(s: SparkSession, seqs: DataFrame, dir: String,
+      seqsPerShard: Long, seed: Long = 5L, buckets: Int = 4096,
+      id: String = "seq_id"): DataFrame = {
+    require(seqsPerShard > 0, s"seqsPerShard must be > 0: $seqsPerShard")
+    val n = seqsPerShard
+    val sharded = Curation.hashOrderPositions(s, seqs, Nil, seed, buckets, id)
+      .withColumn("shard_id",
+        ((col("pos") - pmod(col("pos"), lit(n))) / n).cast("long"))
+      .drop("pos")
+    sharded.write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$dir/data")
+    s.read.parquet(s"$dir/data")
+      // hive partition-column inference reads shard_id back as INT;
+      // the manifest keeps the written LONG type
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(aggregate(col("token_ids"), lit(0L), (acc, t) => acc + t))
+          .as("tid_sum"),
+        sum(col(id)).as("seq_id_sum"))
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+    s.read.parquet(s"$dir/manifest")
+  }
+
   /** one materialized-artifact build per dataset for the q82 entry */
   private val matDirs = scala.collection.concurrent.TrieMap[String, String]()
 
@@ -238,6 +280,24 @@ object Pack {
       }
       materializeSequences(s, Tables.documents(s, d), Bpe.mergesFor(s, d),
         work.toString, maxSeqTokens = 256)
+      work.toString
+    })
+
+  /** one shard build per dataset for q100, over the q82 artifact */
+  private val shardDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def shardsFor(s: SparkSession, d: String): String =
+    shardDirs.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft-q100")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      writeShards(s, s.read.parquet(s"${materializedFor(s, d)}/sequences"),
+        work.toString, seqsPerShard = 16)
       work.toString
     })
 
@@ -396,6 +456,60 @@ object Pack {
              |    AS start_off,
              |  CAST(n AS BIGINT) AS n_doc_tokens
              |FROM pack ORDER BY seq_id, ord""".stripMargin)),
+
+    // ---- the SHARDED artifact's manifest: per-shard sequence count,
+    //      token count, token-id sum and seq-id sum over hash-ordered
+    //      16-sequence shards of the q82 artifact. The oracle replays
+    //      the ENTIRE chain — serving BPE, vocab ranks, the pack, now
+    //      extended to per-doc token-id SUMS (every token id in the
+    //      artifact enters the check, not just first/last), then the
+    //      seeded hash order and shard arithmetic ----
+    "q100_shard_manifest" -> Q(
+      (s, d) => s.read.parquet(s"${shardsFor(s, d)}/manifest")
+        .select(col("shard_id"), col("n_seqs"), col("n_tokens"),
+          col("tid_sum"), col("seq_id_sum"))
+        .orderBy("shard_id"),
+      Some(s"""WITH RECURSIVE d AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             |      w -> len(w) > 0) AS ws
+             |  FROM documents),
+             |tok AS (
+             |  SELECT doc_id,
+             |    flatten(list_transform(ws,
+             |      w -> string_split(trim(${bpeSqlExpr("w")}, chr(1)), chr(1)))) AS toks
+             |  FROM d),
+             |vocab AS (
+             |  SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS tid
+             |  FROM (SELECT DISTINCT unnest(toks) AS tok FROM tok)),
+             |dt AS (SELECT doc_id, sum(v.tid) AS tsum
+             |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok) u
+             |  JOIN vocab v USING (tok) GROUP BY doc_id),
+             |counts AS (
+             |  SELECT doc_id, doc_id // 64 AS part, len(toks) AS n FROM tok),
+             |o AS (SELECT *, row_number() OVER (PARTITION BY part ORDER BY doc_id) AS rn
+             |  FROM counts),
+             |pack(part, rn, doc_id, n, seq, acc) AS (
+             |  SELECT part, rn, doc_id, n, 0, n FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.part, o.rn, o.doc_id, o.n,
+             |    CASE WHEN pack.acc + o.n <= 256 THEN pack.seq ELSE pack.seq + 1 END,
+             |    CASE WHEN pack.acc + o.n <= 256 THEN pack.acc + o.n ELSE o.n END
+             |  FROM pack JOIN o ON o.part = pack.part AND o.rn = pack.rn + 1),
+             |seqs AS (SELECT part * 100000 + seq AS seq_id,
+             |    CAST(sum(n) AS BIGINT) AS n_tokens,
+             |    CAST(sum(coalesce(dt.tsum, 0)) AS BIGINT) AS tid_sum
+             |  FROM pack LEFT JOIN dt USING (doc_id) GROUP BY 1),
+             |r AS (SELECT *, row_number() OVER (ORDER BY
+             |    ('0x' || substr(md5('5:' || CAST(seq_id AS VARCHAR)), 1, 15))::BIGINT,
+             |    seq_id) - 1 AS pos
+             |  FROM seqs)
+             |SELECT CAST(pos // 16 AS BIGINT) AS shard_id,
+             |  count(*) AS n_seqs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |  CAST(sum(tid_sum) AS BIGINT) AS tid_sum,
+             |  CAST(sum(seq_id) AS BIGINT) AS seq_id_sum
+             |FROM r GROUP BY 1 ORDER BY shard_id""".stripMargin)),
 
     // ---- length-bucketed batching: 32-token bins, batches of 16 in
     //      seeded-hash order; the full (doc_id -> batch slot) mapping

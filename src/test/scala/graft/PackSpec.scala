@@ -124,4 +124,47 @@ class PackSpec extends SparkSpec {
       x.getLong(2), x.getInt(3), x.getInt(4), x.getSeq[Int](5))).sortBy(_._1)
     assert(rows.toSeq == rowsB.toSeq, "artifact depends on input partitioning")
   }
+
+  test("writeShards: deterministic hash-order shards, manifest matches the data") {
+    val s = spark
+    import s.implicits._
+    val seqs = Seq.tabulate(23)(i =>
+      (1000L + i, 2L, 5L + i % 3, Array(i, i + 1, i + 2)))
+      .toDF("seq_id", "n_docs", "n_tokens", "token_ids")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val manifest = Pack.writeShards(s, seqs, dir, seqsPerShard = 4, seed = 9L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    // 23 seqs / 4 per shard -> shards 0..5, last short
+    assert(manifest.map(_._1) == (0L to 5L) && manifest.map(_._2).sum == 23)
+    assert(manifest.init.forall(_._2 == 4) && manifest.last._2 == 3)
+    // manifest sums equal direct recomputation from the written data
+    val data = s.read.parquet(s"$dir/data")
+      .select(col("shard_id").cast("long"), col("seq_id"), col("n_tokens"),
+        col("token_ids")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3).map(_.toLong).sum))
+    val byShard = data.groupBy(_._1).map { case (sh, rs) =>
+      (sh, rs.length.toLong, rs.map(_._3).sum, rs.map(_._4).sum, rs.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    assert(byShard == manifest, "manifest disagrees with written shards")
+    // shard k reads via partition pruning: a filtered scan touches one dir
+    val one = s.read.parquet(s"$dir/data").filter(col("shard_id") === 2L)
+    assert(one.count() == 4)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("shard_id"),
+      "shard filter should prune partitions")
+    // shard contents are the seeded hash order, not input order: the
+    // same write with a different seed moves sequences across shards
+    val dir2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    val m2 = Pack.writeShards(s, seqs, dir2, seqsPerShard = 4, seed = 10L)
+    val a = s.read.parquet(s"$dir/data")
+      .select(col("shard_id").cast("long"), col("seq_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = s.read.parquet(s"$dir2/data")
+      .select(col("shard_id").cast("long"), col("seq_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a != b, "different seeds should reshard")
+    assert(m2.agg(sum("n_seqs")).collect()(0).getLong(0) == 23)
+  }
 }
