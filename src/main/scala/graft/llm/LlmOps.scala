@@ -601,35 +601,34 @@ object LlmOps {
     "q60_curation_pipeline" -> Q(
       (s, d) => {
         val dd = docs(s, d)
-        // qual feeds both the eligibility gate and the final stats join;
-        // persisting the per-doc scalars (4 columns, no text) saves a full
-        // second tokenize pass over the corpus — at 100 TB this is the
-        // difference between one scan and two.
+        // ONE tokenize pass computes BOTH gates' signals (quality +
+        // language) — per-doc scalars only, no text, persisted to feed
+        // the eligibility filter and the final stats join. At 100 TB
+        // this is one corpus scan where the stage-by-stage composition
+        // would pay three (qual, lang, stats).
+        def hits(c: Column, words: Seq[String]): Column =
+          size(filter(c, x => x.isin(words: _*)))
         val qual = dd
-          .select(col("doc_id"), toks(col("text")).as("t"))
+          .select(col("doc_id"), toks(col("text")).as("t"), col("text"))
           .select(col("doc_id"), size(col("t")).as("n_tokens"),
-            size(filter(col("t"), x => x.isin(stopEn: _*))).as("stop_cnt"))
+            size(filter(col("t"), x => x.isin(stopEn: _*))).as("stop_cnt"),
+            hits(col("t"), Seq("the", "a", "of", "and", "is")).as("en_hits"),
+            hits(col("t"), Seq("der", "die", "das", "und", "ist")).as("de_hits"),
+            hits(col("t"), Seq("le", "la", "les", "et", "est")).as("fr_hits"),
+            hits(col("t"), Seq("el", "los", "las", "y", "es")).as("es_hits"),
+            length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", ""))
+              .as("cjk_cnt"))
           .withColumn("stop_milli",
             round(col("stop_cnt") * lit(1000.0) / col("n_tokens"), 0).cast("long"))
           .withColumn("good",
             col("n_tokens") >= 20 && col("stop_milli").between(10, 500))
-          .persist()
-        val t = toks(col("text"))
-        def hits(words: Seq[String]): Column =
-          size(filter(t, x => x.isin(words: _*)))
-        val lang = dd.select(col("doc_id"),
-            hits(Seq("the", "a", "of", "and", "is")).as("en_hits"),
-            hits(Seq("der", "die", "das", "und", "ist")).as("de_hits"),
-            hits(Seq("le", "la", "les", "et", "est")).as("fr_hits"),
-            hits(Seq("el", "los", "las", "y", "es")).as("es_hits"),
-            length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")).as("cjk_cnt"))
           .withColumn("is_en",
             col("cjk_cnt") === 0 && col("de_hits") <= col("en_hits") &&
               !(col("fr_hits") > col("en_hits") && col("fr_hits") >= col("es_hits")) &&
               col("es_hits") <= col("en_hits"))
+          .persist()
         val elig = dd
-          .join(qual.filter(col("good")).select("doc_id"), "doc_id")
-          .join(lang.filter(col("is_en")).select("doc_id"), "doc_id")
+          .join(qual.filter(col("good") && col("is_en")).select("doc_id"), "doc_id")
         val ex = elig.groupBy(col("text"))
           .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
         // survivors feed the pair join AND the final anti-join; persist
