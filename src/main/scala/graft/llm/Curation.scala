@@ -405,6 +405,30 @@ object Curation {
       .drop("n_copies")
   }
 
+  /** SNAPSHOT DIFF — "what changed since the last drop": compare two
+    * corpus snapshots by id and content hash, labeling every id
+    * `added` (new only), `removed` (old only), `changed` (both, text
+    * differs) or `unchanged`. The incremental-ingest primitive: a
+    * pipeline reprocesses added ∪ changed, tombstones removed, and
+    * skips the (overwhelming at crawl scale) unchanged majority.
+    *
+    * Scale shape (100 TB): both sides reduce to (id, md5) in the scan
+    * projection — text never shuffles — and the diff is one full-outer
+    * equi-join on id of 16-byte rows.
+    */
+  def snapshotDiff(s: SparkSession, oldSnap: DataFrame, newSnap: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    def h(df: DataFrame, hn: String) =
+      df.select(col(id), md5(col(text).cast("binary")).as(hn))
+    h(oldSnap, "h_old").join(h(newSnap, "h_new"), Seq(id), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed"))
+      .select(col(id), col("status"))
+  }
+
   /** Hashing-trick LINEAR MODEL scoring — the quality-classifier shape
     * (fastText-style) at corpus scale: each token maps to one of `dim`
     * features by hash, the model is a dense weight vector over those
@@ -609,6 +633,37 @@ object Curation {
              |      doc_id) AS rn
              |  FROM f)
              |SELECT doc_id, host, domain FROM r WHERE rn <= 3
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- snapshot diff: old = the corpus; new = a deterministic
+    //      mutation (every 13th doc removed, every 7th surviving doc's
+    //      text appended, 15 fresh ids added). The full (doc_id,
+    //      status) labeling is hash-compared ----
+    "q101_snapshot_diff" -> Q(
+      (s, d) => {
+        val old = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val neu = old.filter(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"),
+            concat(col("text"),
+              when(col("doc_id") % 7 === 0, lit(" v2")).otherwise(lit("")))
+              .as("text"))
+          .unionByName(old.filter(col("doc_id") < 15)
+            .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+        snapshotDiff(s, old, neu).orderBy("doc_id")
+      },
+      Some("""WITH old AS (SELECT doc_id, text FROM documents),
+             |new_snap AS (
+             |  SELECT doc_id, text ||
+             |      CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END AS text
+             |  FROM old WHERE doc_id % 13 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 700000, text FROM old WHERE doc_id < 15)
+             |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             |  CASE WHEN o.doc_id IS NULL THEN 'added'
+             |       WHEN n.doc_id IS NULL THEN 'removed'
+             |       WHEN o.text = n.text THEN 'unchanged'
+             |       ELSE 'changed' END AS status
+             |FROM old o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
     // ---- span-level decontamination: masked-token and span counts per

@@ -242,6 +242,17 @@ class CurationSpec extends SparkSpec {
     assert(got(2)._2 == 0 && got(2)._3 == 0 && got(2)._4 == "clean text, no pii at all")
   }
 
+  test("snapshotDiff labels added/removed/changed/unchanged exactly") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val neu = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(s, old, neu).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+  }
+
   test("urlDomainFilter: parse, blocklist, and a deterministic monotone per-domain cap") {
     val s = spark
     import s.implicits._
