@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Lexical
+
+class LexicalSpec extends SparkSpec {
+
+  test("bm25TopK equals a driver-side recomputation; ranks by rounded score then id") {
+    val s = spark
+    import s.implicits._
+    val docsSeq = Seq(
+      (0L, "join join join filter"),
+      (1L, "join filter scan scan scan scan"),
+      (2L, "filter filter"),
+      (3L, "nothing relevant here at all"),
+      (4L, "join"))
+    val docs = docsSeq.toDF("doc_id", "text")
+    val queries = Seq(0 -> Seq("join", "scan"), 1 -> Seq("filter"))
+    val got = Lexical.bm25TopK(s, docs, queries, k = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    // independent recomputation with plain scala doubles
+    val toks = docsSeq.map { case (i, t) => i -> t.split(" ").toSeq }
+    val n = toks.length.toDouble
+    val avg = toks.map(_._2.length).sum / n
+    def df(term: String) = toks.count(_._2.contains(term)).toDouble
+    def score(docToks: Seq[String], terms: Seq[String]): Double = {
+      val raw = terms.map { term =>
+        val tf = docToks.count(_ == term).toDouble
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - df(term) + 0.5) / (df(term) + 0.5)) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * docToks.length / avg))
+      }.sum
+      math.rint(raw * 1e6) / 1e6
+    }
+    val expected = queries.flatMap { case (qid, terms) =>
+      toks.map { case (i, ts) => (qid, i, score(ts, terms)) }
+        .filter(_._3 > 0)
+        .sortBy(t => (-t._3, t._2)).take(3)
+        .zipWithIndex.map { case ((q, i, sc), r) => (q, r + 1, i, sc) }
+    }
+    assert(got == expected, s"got $got\nexpected $expected")
+    // doc 3 matches no query term and must be absent entirely
+    assert(!got.exists(_._3 == 3L))
+    // the ranking is the bounded-heap aggregator, not a per-key window
+    val plan = Lexical.bm25TopK(s, docs, queries, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "ranking must not plan a window sort")
+  }
+}
