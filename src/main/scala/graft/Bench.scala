@@ -33,7 +33,13 @@ object Bench {
       "q63_interval_stab", "q65_ivf_index_ann", "q67_dedup_index_probe",
       "q70_bloom_join", "q71_zorder_scan", "q76_cms_heavy_hitters",
       "q83_repeated_substrings", "q84_pq_index_ann", "q85_mixture_budget",
-      "q93_image_neardup")
+      "q93_image_neardup",
+      // r7 continuation surface: line dedup, one-pass profile, snapshot
+      // diff, BM25. q100_shard_manifest is NOT here: it builds on the
+      // q72-pinned BPE vocabulary, so its fixture guard fail-louds off
+      // sf0.01 by design (same category as q82/q94).
+      "q97_line_dedup", "q99_profile",
+      "q101_snapshot_diff", "q102_bm25_topk")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

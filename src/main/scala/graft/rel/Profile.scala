@@ -7,23 +7,29 @@ import graft.rel.RelQueries.Q
 
 /** Dataset PROFILING — the "what is in this table" pass every pipeline
   * runs before trusting a new drop: one row per profiled column with
-  * (n_rows, n_nulls, n_distinct, min_value, max_value), computed in a
-  * SINGLE aggregation over ONE scan (all columns' aggregates evaluate
-  * together; the one result row explodes into per-column rows).
+  * (n_rows, n_nulls, n_distinct, min_value, max_value).
   *
-  * Distinct counts come in two modes. `exact = true` uses
-  * count(DISTINCT): Spark plans multi-column distinct via EXPAND — the
-  * scan's rows replicate once per distinct aggregate before the
-  * shuffle, so profiling c columns costs ~c× the shuffle rows. That is
-  * the oracle-checkable mode. `exact = false` uses
-  * approx_count_distinct (HyperLogLog++): partials are mergeable
-  * sketches, no expand, no distinct shuffle — ONE narrow pass whatever
-  * the column count, the mode to run at 100 TB (ProfileSpec pins the
-  * plans: no Expand in approx mode, and cross-checks its estimates
-  * against exact).
+  * Counts and extrema come from ONE grouping-free fold over one scan
+  * (all columns' aggregates evaluate together; no sort — a grouping-free
+  * SortAggregate is a straight fold even with string buffers).
   *
-  * min/max are cast to string so heterogeneous column types share one
-  * schema — callers needing typed extrema profile per column.
+  * Distinct counts come in two modes. `exact = true` unpivots to
+  * (col_name, value) pairs and counts ONE distinct per group: Spark
+  * plans that as a two-level hash aggregate (map-side (col, value)
+  * dedup, then a count per column) — NOT the multi-distinct
+  * Expand-plus-sort, which profiled 6+ s on a 600k-row table where
+  * this shape takes well under one (the Expand replicates every row
+  * per aggregate and SORTS the expansion; the pair agg's shuffle
+  * carries only per-partition-distinct values). `exact = false` swaps
+  * in approx_count_distinct (HyperLogLog++) inside the same single
+  * fold: mergeable sketches, no second branch, ONE narrow pass however
+  * many columns — the mode to run at 100 TB (ProfileSpec pins the plan
+  * shapes and cross-checks the estimates).
+  *
+  * min/max are computed in the column's native ordering, then cast to
+  * string so heterogeneous column types share one schema; distinctness
+  * is counted on the string form, which is injective per type for the
+  * standard types (long/int/double/string/date).
   */
 object Profile {
 
@@ -33,20 +39,34 @@ object Profile {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__cnt_$c"),
-        (if (exact) count_distinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        max(col(c)).cast("string").as(s"__max_$c")) ++
+        (if (exact) Nil
+         else Seq(approx_count_distinct(col(c)).as(s"__nd_$c")))
     }
     val one = df.agg(count(lit(1)).as("__n_rows"), aggs: _*)
-    one.select(explode(array(cols.map(c => struct(
+    val base = one.select(explode(array(cols.map(c => struct(
         lit(c).as("col_name"),
         col("__n_rows").as("n_rows"),
         (col("__n_rows") - col(s"__cnt_$c")).as("n_nulls"),
-        col(s"__nd_$c").cast("long").as("n_distinct"),
+        (if (exact) lit(0L) else col(s"__nd_$c").cast("long"))
+          .as("n_distinct"),
         col(s"__min_$c").as("min_value"),
         col(s"__max_$c").as("max_value"))): _*)).as("p"))
       .select("p.*")
+    if (!exact) base
+    else {
+      val pairs = df.select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+        .select("p.*")
+      val nd = pairs.groupBy("col_name")
+        .agg(count_distinct(col("v")).as("__nd"))
+      base.drop("n_distinct")
+        .join(broadcast(nd), Seq("col_name"), "left")
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          coalesce(col("__nd"), lit(0L)).as("n_distinct"),
+          col("min_value"), col("max_value"))
+    }
   }
 
   /** q99 fixture: lineitem plus a null-injected flag column, so the
@@ -69,9 +89,10 @@ object Profile {
        |FROM li""".stripMargin
 
   val all: ListMap[String, Q] = ListMap(
-    // ---- one-pass table profile: per-column rows with null/distinct
-    //      accounting and string-cast extrema; the oracle recomputes
-    //      each column's stats independently and unions them ----
+    // ---- one-pass-per-branch table profile: per-column rows with
+    //      null/distinct accounting and string-cast extrema; the
+    //      oracle recomputes each column's stats independently and
+    //      unions them ----
     "q99_profile" -> Q(
       (s, d) => profile(s, fixture(s, d), profCols).orderBy("col_name"),
       Some((s"""WITH li AS (SELECT *,
