@@ -373,4 +373,42 @@ object Graft {
   def materializeSequences(spark: SparkSession, docs: DataFrame,
       merges: Seq[llm.Bpe.Merge], dir: String, maxSeqTokens: Long): DataFrame =
     llm.Pack.materializeSequences(spark, docs, merges, dir, maxSeqTokens)
+
+  /** C4-style line-level exact dedup — first occurrence wins corpus-wide
+    * ([[llm.Dedup.dedupLines]]).
+    */
+  def dedupLines(spark: SparkSession, docs: DataFrame): DataFrame =
+    llm.Dedup.dedupLines(spark, docs)
+
+  /** URL/domain curation stage: parse, blocklist, per-domain cap
+    * ([[llm.Curation.urlDomainFilter]]).
+    */
+  def urlDomainFilter(spark: SparkSession, docs: DataFrame,
+      blocklist: Seq[String], maxPerDomain: Int): DataFrame =
+    llm.Curation.urlDomainFilter(spark, docs, blocklist, maxPerDomain)
+
+  /** Snapshot diff: added/removed/changed/unchanged by id + content hash
+    * ([[llm.Curation.snapshotDiff]]).
+    */
+  def snapshotDiff(spark: SparkSession, oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    llm.Curation.snapshotDiff(spark, oldSnap, newSnap)
+
+  /** Sharded training-artifact writer with a verifiable manifest
+    * ([[llm.Pack.writeShards]]).
+    */
+  def writeShards(spark: SparkSession, seqs: DataFrame, dir: String,
+      seqsPerShard: Long): DataFrame =
+    llm.Pack.writeShards(spark, seqs, dir, seqsPerShard)
+
+  /** One-pass per-column dataset profile; `exact = false` swaps
+    * count-distinct for HLL sketches ([[rel.Profile.profile]]).
+    */
+  def profile(spark: SparkSession, df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame =
+    rel.Profile.profile(spark, df, cols, exact)
+
+  /** BM25 lexical top-k for a query batch ([[llm.Lexical.bm25TopK]]). */
+  def bm25TopK(spark: SparkSession, docs: DataFrame,
+      queries: Seq[(Int, Seq[String])], k: Int): DataFrame =
+    llm.Lexical.bm25TopK(spark, docs, queries, k)
 }
