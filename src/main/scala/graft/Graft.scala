@@ -411,4 +411,17 @@ object Graft {
   def bm25TopK(spark: SparkSession, docs: DataFrame,
       queries: Seq[(Int, Seq[String])], k: Int): DataFrame =
     llm.Lexical.bm25TopK(spark, docs, queries, k)
+
+  /** Persist a bucket-partitioned lexical index
+    * ([[llm.Lexical.saveLexical]]).
+    */
+  def saveLexicalIndex(spark: SparkSession, docs: DataFrame, dir: String): Unit =
+    llm.Lexical.saveLexical(spark, docs, dir)
+
+  /** BM25 against a saved lexical index — bucket-pruned, bit-identical
+    * to [[bm25TopK]] ([[llm.Lexical.probeBm25]]).
+    */
+  def probeLexicalIndex(spark: SparkSession, dir: String,
+      queries: Seq[(Int, Seq[String])], k: Int): DataFrame =
+    llm.Lexical.probeBm25(spark, dir, queries, k)
 }

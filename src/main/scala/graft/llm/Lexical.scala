@@ -29,23 +29,20 @@ import graft.rel.Tables
   */
 object Lexical {
 
-  def bm25TopK(s: SparkSession, docs: DataFrame, queries: Seq[(Int, Seq[String])],
-      k: Int, k1: Double = 1.2, b: Double = 0.75,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
-    import s.implicits._
-    require(k > 0 && queries.nonEmpty)
+  /** normalized tokens + per-doc length: (id, len, t) */
+  private def withLen(docs: DataFrame, id: String, text: String): DataFrame = {
     val toks = filter(split(trim(lower(col(text))), "\\s+"), t => length(t) > 0)
-    val dl = docs.select(col(id), toks.as("t"))
+    docs.select(col(id), toks.as("t"))
       .select(col(id), size(col("t")).as("len"), col("t"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"))
-    val qterms = queries.flatMap(_._2).distinct
-    val post = dl.select(col(id), col("len"), explode(col("t")).as("term"))
-      .filter(col("term").isin(qterms: _*))
-      .groupBy(col("term"), col(id), col("len"))
-      .agg(count(lit(1)).as("tf"))
-    val dfd = post.groupBy("term").agg(count(lit(1)).as("df"))
-    val qdf = queries.flatMap { case (qi, ts) => ts.map(t => (qi, t)) }
-      .toDF("qid", "term")
+  }
+
+  /** the shared scoring core: postings (term, id, len, tf) + per-term
+    * df + 1-row corpus stats + (qid, term) → BM25 top-k. Both the
+    * scan path ([[bm25TopK]]) and the index probe ([[probeBm25]]) end
+    * here, which is what makes them bit-identical by construction.
+    */
+  private def scoreAndRank(post: DataFrame, dfd: DataFrame, stats: DataFrame,
+      qdf: DataFrame, k: Int, k1: Double, b: Double, id: String): DataFrame = {
     val scored = post
       .join(broadcast(dfd), "term")
       .join(broadcast(qdf), "term")
@@ -59,6 +56,78 @@ object Lexical {
     graft.functions.TopK.perKeyTopK(scored, k, "qid", id, "score_r6")
   }
 
+  def bm25TopK(s: SparkSession, docs: DataFrame, queries: Seq[(Int, Seq[String])],
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import s.implicits._
+    require(k > 0 && queries.nonEmpty)
+    val dl = withLen(docs, id, text)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"))
+    val qterms = queries.flatMap(_._2).distinct
+    val post = dl.select(col(id), col("len"), explode(col("t")).as("term"))
+      .filter(col("term").isin(qterms: _*))
+      .groupBy(col("term"), col(id), col("len"))
+      .agg(count(lit(1)).as("tf"))
+    val dfd = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val qdf = queries.flatMap { case (qi, ts) => ts.map(t => (qi, t)) }
+      .toDF("qid", "term")
+    scoreAndRank(post, dfd, stats, qdf, k, k1, b, id)
+  }
+
+  /** Persist a LEXICAL INDEX under `dir` — the serving-path shape of
+    * [[bm25TopK]] (which tokenizes the corpus per query batch; right
+    * for one-shot analytics, wrong for a query service):
+    *   - `postings/` — (term, doc_id, len, tf) parquet **partitioned
+    *     by `bucket` = hash(term) mod `buckets`**. The partitioning is
+    *     the point: a probe touches only its query terms' buckets and
+    *     hive partition pruning keeps every other bucket's files
+    *     UNREAD (`PartitionFilters` — LexicalSpec pins it), the
+    *     [[AnnIndex]] move applied to text.
+    *   - `stats/` — one row (n_docs, avg_len).
+    * Per-term df is NOT stored: it re-derives exactly from the pruned
+    * postings at probe time (count of a term's posting rows), so
+    * appends would not leave a stale df column behind.
+    */
+  def saveLexical(s: SparkSession, docs: DataFrame, dir: String,
+      buckets: Int = 64, id: String = "doc_id", text: String = "text"): Unit = {
+    require(buckets > 0, s"buckets must be > 0: $buckets")
+    val dl = withLen(docs, id, text)
+    dl.select(col(id), col("len"), explode(col("t")).as("term"))
+      .groupBy(col("term"), col(id), col("len"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    dl.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k against a saved index — bit-identical to [[bm25TopK]]
+    * on the same corpus (same postings, same df derivation, same
+    * scoring core), reading ONLY the query terms' bucket partitions.
+    */
+  def probeBm25(s: SparkSession, dir: String, queries: Seq[(Int, Seq[String])],
+      k: Int, buckets: Int = 64, k1: Double = 1.2, b: Double = 0.75,
+      id: String = "doc_id"): DataFrame = {
+    import s.implicits._
+    require(k > 0 && queries.nonEmpty)
+    val qterms = queries.flatMap(_._2).distinct
+    // the terms' buckets via the same engine hash the writer used —
+    // one |qterms|-row local computation (collected like probeIvf's
+    // probe cells; nothing corpus-sized)
+    val qBuckets = qterms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val post = s.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(qBuckets: _*))
+      .filter(col("term").isin(qterms: _*))
+      .select(col("term"), col(id), col("len"), col("tf"))
+    val dfd = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = s.read.parquet(s"$dir/stats")
+    val qdf = queries.flatMap { case (qi, ts) => ts.map(t => (qi, t)) }
+      .toDF("qid", "term")
+    scoreAndRank(post, dfd, stats, qdf, k, k1, b, id)
+  }
+
   /** the q102 query batch: corpus-frequent terms, one single-term query
     * and two multi-term ones so idf mixing and score summing both have
     * real work
@@ -68,40 +137,70 @@ object Lexical {
     1 -> Seq("vector", "scan", "filter"),
     2 -> Seq("customer"))
 
+  /** one index build per dataset for q103 */
+  private val builtIdx = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def indexDirFor(s: SparkSession, d: String): String =
+    builtIdx.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft-q103")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      saveLexical(s, Tables.documents(s, d), work.toString)
+      work.toString
+    })
+
+  /** the shared q102/q103 oracle: replays postings, df, idf and tf
+    * normalization with the identical expression shape, rounds to 6
+    * decimals, ranks with the same (score desc, id asc) tie-break
+    */
+  private val bm25OracleSql =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      x -> len(x) > 0) AS w
+      |  FROM documents),
+      |dl AS (SELECT doc_id, len(w) AS len, w FROM t),
+      |stats AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM dl),
+      |post AS (SELECT term, doc_id, len, count(*) AS tf
+      |  FROM (SELECT doc_id, len, unnest(w) AS term FROM dl) u
+      |  WHERE term IN ('join','hash','vector','scan','filter','customer')
+      |  GROUP BY term, doc_id, len),
+      |dfd AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+      |q(qid, term) AS (VALUES (0,'join'),(0,'hash'),(1,'vector'),
+      |  (1,'scan'),(1,'filter'),(2,'customer')),
+      |sc AS (SELECT q.qid, p.doc_id,
+      |    round(sum(ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))
+      |      * (p.tf * 2.2)
+      |      / (p.tf + 1.2 * (0.25 + 0.75 * p.len / s.avg_len))), 6)
+      |      AS score_r6
+      |  FROM post p JOIN dfd d USING (term) JOIN q USING (term)
+      |  CROSS JOIN stats s
+      |  GROUP BY q.qid, p.doc_id),
+      |r AS (SELECT qid, doc_id, score_r6,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY score_r6 DESC, doc_id) AS rn
+      |  FROM sc)
+      |SELECT qid, CAST(rn AS INT) AS rn, doc_id, score_r6
+      |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
-    // ---- BM25 top-5 per query: the oracle replays the same postings,
-    //      df, idf and tf-normalization arithmetic with the identical
-    //      expression shape, rounds to 6 decimals, and ranks with the
-    //      same (score desc, id asc) tie-break ----
+    // ---- BM25 top-5 per query from the corpus scan ----
     "q102_bm25_topk" -> Q(
       (s, d) => bm25TopK(s, Tables.documents(s, d), demoQueries, k = 5)
         .orderBy("qid", "rn"),
-      Some("""WITH t AS (SELECT doc_id,
-             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-             |      x -> len(x) > 0) AS w
-             |  FROM documents),
-             |dl AS (SELECT doc_id, len(w) AS len, w FROM t),
-             |stats AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM dl),
-             |post AS (SELECT term, doc_id, len, count(*) AS tf
-             |  FROM (SELECT doc_id, len, unnest(w) AS term FROM dl) u
-             |  WHERE term IN ('join','hash','vector','scan','filter','customer')
-             |  GROUP BY term, doc_id, len),
-             |dfd AS (SELECT term, count(*) AS df FROM post GROUP BY term),
-             |q(qid, term) AS (VALUES (0,'join'),(0,'hash'),(1,'vector'),
-             |  (1,'scan'),(1,'filter'),(2,'customer')),
-             |sc AS (SELECT q.qid, p.doc_id,
-             |    round(sum(ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))
-             |      * (p.tf * 2.2)
-             |      / (p.tf + 1.2 * (0.25 + 0.75 * p.len / s.avg_len))), 6)
-             |      AS score_r6
-             |  FROM post p JOIN dfd d USING (term) JOIN q USING (term)
-             |  CROSS JOIN stats s
-             |  GROUP BY q.qid, p.doc_id),
-             |r AS (SELECT qid, doc_id, score_r6,
-             |    row_number() OVER (PARTITION BY qid
-             |      ORDER BY score_r6 DESC, doc_id) AS rn
-             |  FROM sc)
-             |SELECT qid, CAST(rn AS INT) AS rn, doc_id, score_r6
-             |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+      Some(bm25OracleSql)),
+
+    // ---- the same query batch served from the SAVED lexical index:
+    //      bucket-pruned postings scan, df re-derived from the pruned
+    //      postings, same scoring core — bit-identical to q102, so it
+    //      shares q102's oracle ----
+    "q103_lexical_index" -> Q(
+      (s, d) => probeBm25(s, indexDirFor(s, d), demoQueries, k = 5)
+        .orderBy("qid", "rn"),
+      Some(bm25OracleSql)),
   )
 }

@@ -48,4 +48,27 @@ class LexicalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "ranking must not plan a window sort")
   }
+
+  test("saved lexical index: probe bit-identical to bm25TopK, bucket-pruned scan") {
+    val s = spark
+    import s.implicits._
+    val r = new scala.util.Random(17)
+    val vocab = Array.tabulate(50)(i => s"w$i")
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(5 + r.nextInt(30))(vocab(r.nextInt(vocab.length)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val queries = Seq(0 -> Seq("w3", "w17"), 1 -> Seq("w42"))
+    val dir = java.nio.file.Files.createTempDirectory("lexidx").toString
+    Lexical.saveLexical(s, docs, dir, buckets = 16)
+    val scan = Lexical.bm25TopK(s, docs, queries, k = 7).collect()
+      .map(r0 => (r0.getInt(0), r0.getInt(1), r0.getLong(2), r0.getDouble(3))).toSeq
+    val probe = Lexical.probeBm25(s, dir, queries, k = 7, buckets = 16).collect()
+      .map(r0 => (r0.getInt(0), r0.getInt(1), r0.getLong(2), r0.getDouble(3))).toSeq
+    assert(scan.sorted == probe.sorted, "probe must be bit-identical to the scan path")
+    // the probe plan prunes to the query terms' bucket partitions
+    val plan = Lexical.probeBm25(s, dir, queries, k = 7, buckets = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      "probe scan must carry a bucket partition filter")
+  }
 }
