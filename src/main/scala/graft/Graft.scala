@@ -424,4 +424,17 @@ object Graft {
   def probeLexicalIndex(spark: SparkSession, dir: String,
       queries: Seq[(Int, Seq[String])], k: Int): DataFrame =
     llm.Lexical.probeBm25(spark, dir, queries, k)
+
+  /** Stream new docs' postings into a saved lexical index
+    * ([[llm.Lexical.appendLexicalStream]]).
+    */
+  def appendLexicalStream(spark: SparkSession, stream: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    llm.Lexical.appendLexicalStream(spark, stream, dir, checkpoint)
+
+  /** Compact an appended lexical index and refresh its corpus stats
+    * ([[llm.Lexical.compactLexical]]).
+    */
+  def compactLexicalIndex(spark: SparkSession, dir: String): Unit =
+    llm.Lexical.compactLexical(spark, dir)
 }

@@ -74,6 +74,15 @@ object Lexical {
     scoreAndRank(post, dfd, stats, qdf, k, k1, b, id)
   }
 
+  /** the (term, doc_id, len, tf, bucket) posting rows of a doc batch */
+  private def postingsOf(docs: DataFrame, buckets: Int,
+      id: String, text: String): DataFrame =
+    withLen(docs, id, text)
+      .select(col(id), col("len"), explode(col("t")).as("term"))
+      .groupBy(col("term"), col(id), col("len"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+
   /** Persist a LEXICAL INDEX under `dir` — the serving-path shape of
     * [[bm25TopK]] (which tokenizes the corpus per query batch; right
     * for one-shot analytics, wrong for a query service):
@@ -83,27 +92,88 @@ object Lexical {
     *     hive partition pruning keeps every other bucket's files
     *     UNREAD (`PartitionFilters` — LexicalSpec pins it), the
     *     [[AnnIndex]] move applied to text.
-    *   - `stats/` — one row (n_docs, avg_len).
+    *   - `doclens/` — (doc_id, len), INCLUDING zero-token docs (which
+    *     have no postings but do count toward the corpus stats).
+    *   - `stats/` — one row (n_docs, avg_len), derived from doclens.
     * Per-term df is NOT stored: it re-derives exactly from the pruned
     * postings at probe time (count of a term's posting rows), so
-    * appends would not leave a stale df column behind.
+    * appends cannot strand a stale df column.
     */
   def saveLexical(s: SparkSession, docs: DataFrame, dir: String,
       buckets: Int = 64, id: String = "doc_id", text: String = "text"): Unit = {
     require(buckets > 0, s"buckets must be > 0: $buckets")
-    val dl = withLen(docs, id, text)
-    dl.select(col(id), col("len"), explode(col("t")).as("term"))
-      .groupBy(col("term"), col(id), col("len"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+    postingsOf(docs, buckets, id, text)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
-    dl.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"))
+    withLen(docs, id, text).select(col(id), col("len"))
+      .write.mode("overwrite").parquet(s"$dir/doclens")
+    writeStats(s, dir, id)
+  }
+
+  private def writeStats(s: SparkSession, dir: String, id: String): Unit =
+    s.read.parquet(s"$dir/doclens")
+      .dropDuplicates(id)
+      .agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+
+  /** Streaming index MAINTENANCE — the [[AnnIndex.appendIvfStream]]
+    * move: NEW docs' postings and doclens append per micro-batch.
+    * Delivery is at-least-once, which is SAFE here by construction:
+    * replays append bit-identical rows, and [[probeBm25]] dedups
+    * postings by (term, doc_id) before counting anything (identical
+    * copies collapse; df and tf cannot inflate). The contract is
+    * append-of-NEW-docs — an UPDATED doc needs rebuild/compaction, not
+    * append (two different posting rows for the same (term, doc) would
+    * be an arbitrary pick). `stats/` is NOT rewritten per batch: idf
+    * drifts slightly stale between [[compactLexical]] runs — the
+    * standard serving tradeoff (the IVF centroid-drift shape), while
+    * df stays exact because it is never stored.
+    */
+  def appendLexicalStream(s: SparkSession, stream: DataFrame, dir: String,
+      checkpoint: String, buckets: Int = 64,
+      id: String = "doc_id", text: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        postingsOf(batch, buckets, id, text)
+          .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+        withLen(batch, id, text).select(col(id), col("len"))
+          .write.mode("append").parquet(s"$dir/doclens")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Compact the appended index: postings dedup by (term, doc_id),
+    * doclens by doc_id (at-least-once copies are bit-identical, so
+    * content is unchanged), both rewritten via the temp-dir swap
+    * ([[AnnIndex.compactIvf]]'s caveats apply), and `stats/` REFRESHES
+    * from the deduped doclens — after compaction a probe is
+    * bit-identical to [[bm25TopK]] over the full appended corpus
+    * (LexicalSpec pins it).
+    */
+  def compactLexical(s: SparkSession, dir: String, id: String = "doc_id"): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    def swap(sub: String)(rewrite: (DataFrame, String) => Unit): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${sub}__compact")
+      val fs = cur.getFileSystem(conf)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      rewrite(s.read.parquet(cur.toString), tmp.toString)
+      fs.delete(cur, true)
+      require(fs.rename(tmp, cur), s"compaction swap failed for $cur")
+    }
+    swap("postings") { (df, out) =>
+      df.dropDuplicates("term", id)
+        .write.partitionBy("bucket").parquet(out)
+    }
+    swap("doclens") { (df, out) => df.dropDuplicates(id).write.parquet(out) }
+    writeStats(s, dir, id)
   }
 
   /** BM25 top-k against a saved index — bit-identical to [[bm25TopK]]
     * on the same corpus (same postings, same df derivation, same
     * scoring core), reading ONLY the query terms' bucket partitions.
+    * The (term, doc_id) dedup makes at-least-once appended duplicates
+    * harmless (bit-identical copies collapse before df/tf counting).
     */
   def probeBm25(s: SparkSession, dir: String, queries: Seq[(Int, Seq[String])],
       k: Int, buckets: Int = 64, k1: Double = 1.2, b: Double = 0.75,
@@ -121,6 +191,7 @@ object Lexical {
       .filter(col("bucket").isin(qBuckets: _*))
       .filter(col("term").isin(qterms: _*))
       .select(col("term"), col(id), col("len"), col("tf"))
+      .dropDuplicates("term", id)
     val dfd = post.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = s.read.parquet(s"$dir/stats")
     val qdf = queries.flatMap { case (qi, ts) => ts.map(t => (qi, t)) }
@@ -201,6 +272,36 @@ object Lexical {
     "q103_lexical_index" -> Q(
       (s, d) => probeBm25(s, indexDirFor(s, d), demoQueries, k = 5)
         .orderBy("qid", "rn"),
+      Some(bm25OracleSql)),
+
+    // ---- index LIFECYCLE under streaming appends: build on the first
+    //      480 docs, stream the tail in through the real micro-batch
+    //      engine in two batches PLUS a replayed batch (at-least-once),
+    //      compact (dedup + stats refresh), probe. Bit-identical to
+    //      q102 over the FULL corpus — shares the oracle — so the
+    //      append path, the duplicate collapse, and the stats refresh
+    //      all sit under the hash compare ----
+    "q104_lexical_append" -> Q(
+      (s, d) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val dir = java.nio.file.Files.createTempDirectory("graft-q104").toString
+        val ck = java.nio.file.Files.createTempDirectory("graft-q104-ck").toString
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        saveLexical(s, docs.filter(col("doc_id") < 480), dir)
+        val tail = docs.filter(col("doc_id") >= 480).as[(Long, String)].collect()
+        val (b1, b2) = tail.partition(_._1 < 490)
+        val mem = MemoryStream[(Long, String)]
+        val q = appendLexicalStream(s, mem.toDF.toDF("doc_id", "text"), dir, ck)
+        try {
+          mem.addData(b1.toSeq); q.processAllAvailable()
+          mem.addData(b2.toSeq); q.processAllAvailable()
+          mem.addData(b2.toSeq); q.processAllAvailable() // at-least-once replay
+        } finally q.stop()
+        compactLexical(s, dir)
+        probeBm25(s, dir, demoQueries, k = 5).orderBy("qid", "rn")
+      },
       Some(bm25OracleSql)),
   )
 }
