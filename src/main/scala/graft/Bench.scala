@@ -39,7 +39,7 @@ object Bench {
       // q72-pinned BPE vocabulary, so its fixture guard fail-louds off
       // sf0.01 by design (same category as q82/q94).
       "q97_line_dedup", "q99_profile",
-      "q101_snapshot_diff", "q102_bm25_topk")
+      "q101_snapshot_diff", "q102_bm25_topk", "q103_lexical_index")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -18,7 +18,9 @@ object PlanAudit {
         "q27_date_spine", "q50_sql_ann", "q51_kmv_distinct", "q53_tfidf",
         "q60_curation_pipeline", "q63_interval_stab", "q64_sample_quantiles",
         "q67_dedup_index_probe", "q70_bloom_join", "q71_zorder_scan",
-        "q73_decontaminate", "q75_sequence_pack", "q76_cms_heavy_hitters")
+        "q73_decontaminate", "q75_sequence_pack", "q76_cms_heavy_hitters",
+        "q97_line_dedup", "q98_url_domain_filter", "q99_profile",
+        "q101_snapshot_diff", "q102_bm25_topk", "q103_lexical_index")
     val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")
