@@ -407,6 +407,13 @@ object Graft {
       exact: Boolean = true): DataFrame =
     rel.Profile.profile(spark, df, cols, exact)
 
+  /** Equi-width histogram with out-of-range accounting
+    * ([[rel.Profile.histogram]]).
+    */
+  def histogram(spark: SparkSession, df: DataFrame, column: String,
+      nBins: Int, lo: Double, hi: Double): DataFrame =
+    rel.Profile.histogram(spark, df, column, nBins, lo, hi)
+
   /** BM25 lexical top-k for a query batch ([[llm.Lexical.bm25TopK]]). */
   def bm25TopK(spark: SparkSession, docs: DataFrame,
       queries: Seq[(Int, Seq[String])], k: Int): DataFrame =

@@ -69,6 +69,40 @@ object Profile {
     }
   }
 
+  /** Equi-width HISTOGRAM of a numeric column — the profiling
+    * companion a data drop gets after [[profile]] says the range:
+    * `nBins` equal bins over [lo, hi), values outside the range
+    * counted separately (never silently dropped). Returns one row per
+    * NON-EMPTY bin plus optional `__below`/`__above` rows:
+    * (bin, lo_edge, hi_edge, n). One map-side-combinable agg over one
+    * scan; bin arithmetic is the same float expression both engines
+    * evaluate identically (multiply/divide are IEEE-exact;
+    * cross-checked by the q105 oracle).
+    */
+  def histogram(s: SparkSession, df: DataFrame, column: String,
+      nBins: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBins > 0 && hi > lo, s"need nBins > 0 and hi > lo: $nBins, [$lo, $hi)")
+    val w = (hi - lo) / nBins
+    val v = col(column).cast("double")
+    val bin = when(v.isNull, lit(null))
+      .when(v < lo, lit(-1))
+      .when(v >= hi, lit(nBins))
+      .otherwise(floor((v - lo) / w).cast("int"))
+    df.select(bin.as("bin")).filter(col("bin").isNotNull)
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .select(
+        when(col("bin") === -1, "__below")
+          .when(col("bin") === nBins, "__above")
+          .otherwise(col("bin").cast("string")).as("bin"),
+        when(col("bin") === -1, lit(null))
+          .when(col("bin") === nBins, lit(null))
+          .otherwise(lit(lo) + col("bin") * w).as("lo_edge"),
+        when(col("bin") === -1, lit(null))
+          .when(col("bin") === nBins, lit(null))
+          .otherwise(lit(lo) + (col("bin") + 1) * w).as("hi_edge"),
+        col("n"))
+  }
+
   /** q99 fixture: lineitem plus a null-injected flag column, so the
     * null accounting has real work (the base table is null-free)
     */
@@ -100,5 +134,29 @@ object Profile {
               |       ELSE l_returnflag END AS rf_null FROM lineitem)
               |""".stripMargin +
         profCols.map(colSql).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))),
+
+    // ---- equi-width histogram of l_extendedprice: 20 bins over
+    //      [0, 80000), the out-of-range tail counted as __above (never
+    //      silently dropped); the oracle replays the identical bin
+    //      arithmetic (w = 4000.0 exactly; mul/div are IEEE-exact) ----
+    "q105_histogram" -> Q(
+      (s, d) => histogram(s, Tables.lineitem(s, d), "l_extendedprice",
+          nBins = 20, lo = 0.0, hi = 80000.0)
+        .orderBy("bin"),
+      Some("""WITH b AS (SELECT CASE WHEN l_extendedprice < 0.0 THEN -1
+             |      WHEN l_extendedprice >= 80000.0 THEN 20
+             |      ELSE CAST(floor((l_extendedprice - 0.0) / 4000.0) AS INT)
+             |    END AS bin
+             |  FROM lineitem),
+             |g AS (SELECT bin, count(*) AS n FROM b GROUP BY bin)
+             |SELECT CASE WHEN bin = -1 THEN '__below'
+             |            WHEN bin = 20 THEN '__above'
+             |            ELSE CAST(bin AS VARCHAR) END AS bin,
+             |  CAST(CASE WHEN bin = -1 OR bin = 20 THEN NULL
+             |       ELSE 0.0 + bin * 4000.0 END AS DOUBLE) AS lo_edge,
+             |  CAST(CASE WHEN bin = -1 OR bin = 20 THEN NULL
+             |       ELSE 0.0 + (bin + 1) * 4000.0 END AS DOUBLE) AS hi_edge,
+             |  n
+             |FROM g ORDER BY bin""".stripMargin)),
   )
 }

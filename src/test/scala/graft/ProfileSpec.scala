@@ -21,6 +21,26 @@ class ProfileSpec extends SparkSpec {
     assert(got("v") == ((5L, 0L, 4L, "-1.0", "9.0")))
   }
 
+  test("histogram: bin arithmetic, out-of-range accounting, nulls excluded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[java.lang.Double](-5.0, 0.0, 3.9, 4.0, 7.99, 8.0, 11.0, 12.0, 99.0, null)
+      .toDF("v")
+    val got = Profile.histogram(s, df, "v", nBins = 3, lo = 0.0, hi = 12.0)
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // bins: [0,4)={0.0,3.9}, [4,8)={4.0,7.99}, [8,12)={8.0,11.0};
+    // 12.0 and 99.0 are __above, -5.0 __below, null excluded
+    assert(got == Seq(
+      ("0", Some(0.0), Some(4.0), 2L),
+      ("1", Some(4.0), Some(8.0), 2L),
+      ("2", Some(8.0), Some(12.0), 2L),
+      ("__above", None, None, 2L),
+      ("__below", None, None, 1L)), s"got $got")
+  }
+
   test("approx mode: no Expand in the plan, estimates near exact") {
     val s = spark
     import s.implicits._
