@@ -286,8 +286,17 @@ object Lexical {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        val dir = java.nio.file.Files.createTempDirectory("graft-q104").toString
-        val ck = java.nio.file.Files.createTempDirectory("graft-q104-ck").toString
+        val work = java.nio.file.Files.createTempDirectory("graft-q104")
+        val ckDir = java.nio.file.Files.createTempDirectory("graft-q104-ck")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(work.toFile); rm(ckDir.toFile)
+        }
+        val dir = work.toString
+        val ck = ckDir.toString
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         saveLexical(s, docs.filter(col("doc_id") < 480), dir)
         val tail = docs.filter(col("doc_id") >= 480).as[(Long, String)].collect()

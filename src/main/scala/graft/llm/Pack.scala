@@ -245,6 +245,9 @@ object Pack {
       seqsPerShard: Long, seed: Long = 5L, buckets: Int = 4096,
       id: String = "seq_id"): DataFrame = {
     require(seqsPerShard > 0, s"seqsPerShard must be > 0: $seqsPerShard")
+    // an empty write would leave a partitioned dir parquet cannot infer
+    // a schema from — fail with intent instead of at first read
+    require(!seqs.isEmpty, "writeShards: no sequences to shard")
     val n = seqsPerShard
     val sharded = Curation.hashOrderPositions(s, seqs, Nil, seed, buckets, id)
       .withColumn("shard_id",
