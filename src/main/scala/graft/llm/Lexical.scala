@@ -41,7 +41,7 @@ object Lexical {
     * scan path ([[bm25TopK]]) and the index probe ([[probeBm25]]) end
     * here, which is what makes them bit-identical by construction.
     */
-  private def scoreAndRank(post: DataFrame, dfd: DataFrame, stats: DataFrame,
+  private[graft] def scoreAndRank(post: DataFrame, dfd: DataFrame, stats: DataFrame,
       qdf: DataFrame, k: Int, k1: Double, b: Double, id: String): DataFrame = {
     val scored = post
       .join(broadcast(dfd), "term")
