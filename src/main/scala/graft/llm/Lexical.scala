@@ -203,7 +203,7 @@ object Lexical {
     * and two multi-term ones so idf mixing and score summing both have
     * real work
     */
-  private val demoQueries = Seq(
+  private[llm] val demoQueries = Seq(
     0 -> Seq("join", "hash"),
     1 -> Seq("vector", "scan", "filter"),
     2 -> Seq("customer"))
