@@ -405,6 +405,47 @@ object Curation {
       .drop("n_copies")
   }
 
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT — A-ES (Efraimidis &
+    * Spirakis, IPL 2006): each row gets key u^(1/w) for a uniform
+    * u ∈ (0,1], and the k largest keys ARE a weighted sample without
+    * replacement. The curation use: "give me k docs per stratum,
+    * longer/higher-quality docs proportionally more likely" —
+    * importance-weighted eval-set and inspection-set draws.
+    *
+    * No RNG: u derives from the same 60-bit md5-prefix hash as
+    * [[mixtureSample]] (u = (hv+1)/2⁶⁰ ∈ (0,1], a pure function of the
+    * id), so the sample is reproducible across runs, engines and
+    * partitionings. Keys are rounded to 6 decimals BEFORE ranking with
+    * ties to the lower id (the q44 cross-engine contract; the rounding
+    * trades a hair of tail fidelity for an order that replays exactly
+    * in SQL). Rows with w ≤ 0 are excluded — u^(1/w) → 0 is the A-ES
+    * limit.
+    *
+    * Scale shape (100 TB): the key is a narrow map over the scan; the
+    * selection is the bounded-heap [[graft.functions.TopK]] per
+    * stratum — k rows per stratum per map partition cross the shuffle,
+    * never the corpus. No global sort, no window.
+    */
+  def weightedSample(s: SparkSession, docs: DataFrame, k: Int,
+      weight: org.apache.spark.sql.Column, stratum: Option[String] = None,
+      id: String = "doc_id"): DataFrame = {
+    require(k > 0, s"sample size must be > 0: $k")
+    val hv = conv(substring(md5(col(id).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val u = (hv + lit(1L)).cast("double") / lit((1L << 60).toDouble)
+    val keyed = docs
+      .withColumn("_w", weight.cast("double"))
+      .filter(col("_w") > 0)
+      .withColumn("key_r6", round(pow(u, lit(1.0) / col("_w")), 6))
+    val strat = stratum.getOrElse {
+      // single global stratum via a constant key
+      "_stratum"
+    }
+    val withStrat =
+      if (stratum.isDefined) keyed else keyed.withColumn(strat, lit(0))
+    graft.functions.TopK.perKeyTopK(withStrat, k, strat, id, "key_r6")
+  }
+
   /** SNAPSHOT DIFF — "what changed since the last drop": compare two
     * corpus snapshots by id and content hash, labeling every id
     * `added` (new only), `removed` (old only), `changed` (both, text
@@ -861,5 +902,30 @@ object Curation {
              |  CAST(coalesce((top2.mx * 1000) // top2.n, 0) AS BIGINT) AS top2_milli
              |FROM t JOIN g3 USING (doc_id) LEFT JOIN top2 USING (doc_id)
              |ORDER BY t.doc_id""".stripMargin)),
+
+    // ---- A-ES weighted sampling without replacement: top-8 docs per
+    //      source, token count as the weight, keys from the md5-prefix
+    //      uniform; the oracle replays u, pow and the rounded ranking ----
+    "q107_weighted_sample" -> Q(
+      (s, d) => weightedSample(s, Tables.documents(s, d), k = 8,
+          weight = size(filter(split(trim(lower(col("text"))), "\\s+"),
+            t => length(t) > 0)),
+          stratum = Some("source"))
+        .orderBy("source", "rn"),
+      Some(s"""WITH t AS (SELECT source, doc_id,
+             |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             |      x -> len(x) > 0)) AS DOUBLE) AS w,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+             |  FROM documents),
+             |k AS (SELECT source, doc_id,
+             |    round(pow(CAST(hv + 1 AS DOUBLE) / ${(1L << 60).toDouble},
+             |      CAST(1.0 AS DOUBLE) / w), 6) AS key_r6
+             |  FROM t WHERE w > 0),
+             |r AS (SELECT source, doc_id, key_r6,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY key_r6 DESC, doc_id) AS rn
+             |  FROM k)
+             |SELECT source, CAST(rn AS INT) AS rn, doc_id, key_r6
+             |FROM r WHERE rn <= 8 ORDER BY source, rn""".stripMargin)),
   )
 }
