@@ -531,6 +531,59 @@ object Curation {
       .toDF(id, "n_grams3", "dup3_milli", "top2_milli")
   }
 
+  /** BIGRAM-LM QUALITY SCORING — the CCNet/Wikipedia-LM perplexity
+    * filter reduced to its statistical core: an add-one-smoothed bigram
+    * model is trained on `modelCorpus` and every doc in `docs` gets its
+    * average token log-probability avg ln P(wᵢ | wᵢ₋₁), P = (c(wᵢ₋₁wᵢ)
+    * + 1) / (c(wᵢ₋₁) + V). Low scores flag gibberish / boilerplate /
+    * out-of-domain text; the downstream move is a threshold or the
+    * [[weightedSample]] weight.
+    *
+    * Scale shape (100 TB): the model is two aggregated count tables
+    * (unigrams, bigrams — Zipf-bounded distinct grams, NOT corpus-
+    * sized) plus a 1-row vocab count that joins as a broadcast. Scoring
+    * streams each doc's bigrams through two hash-joins keyed on the
+    * gram — the q34 shingle-join shape, one wide shuffle each, no
+    * driver state. Counts are exact integers; the only floats are the
+    * final ln and the avg, rounded to 6 decimals (the q44 contract) so
+    * the score replays across engines.
+    */
+  def bigramLmScore(s: SparkSession, modelCorpus: DataFrame, docs: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
+    def bigrams(t: org.apache.spark.sql.Column) =
+      when(size(t) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(t) - 2),
+          i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+
+    val model = modelCorpus.select(toks(col(text)).as("t"))
+    val uni = model.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = model.select(explode(bigrams(col("t"))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c2"))
+
+    val base = docs.select(col(id), toks(col(text)).as("t"))
+    val docBi = base.select(col(id), explode(bigrams(col("t"))).as("g"))
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+    // left joins: a bigram/unigram unseen by the model scores at the
+    // smoothed floor (c=0), it is not silently dropped
+    val scored = docBi
+      .join(big, Seq("g"), "left")
+      .join(uni, col("w1") === col("tok"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log(
+        (coalesce(col("c2"), lit(0L)) + 1).cast("double")
+          / (coalesce(col("c1"), lit(0L)) + col("v"))))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("avg_lp_r6"))
+    base.select(col(id))
+      .join(scored, Seq(id), "left")
+      .select(col(id), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_lp_r6"), lit(0.0)).as("avg_lp_r6"))
+  }
+
   // ---- fixtures for the driver entries ------------------------------
   // the corpus carries no PII and no eval set; both are synthesized
   // DETERMINISTICALLY from the documents table (the q40/q58 fixture
@@ -927,5 +980,39 @@ object Curation {
              |  FROM k)
              |SELECT source, CAST(rn AS INT) AS rn, doc_id, key_r6
              |FROM r WHERE rn <= 8 ORDER BY source, rn""".stripMargin)),
+
+    // ---- bigram-LM quality score, model trained on the corpus itself
+    //      (the in-domain perplexity shape); the oracle replays the
+    //      count tables, smoothing and avg-log arithmetic exactly ----
+    "q108_bigram_lm" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        bigramLmScore(s, docs, docs).orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      x -> len(x) > 0) AS w
+             |  FROM documents),
+             |db AS (SELECT doc_id, unnest(
+             |    CASE WHEN len(w) < 2 THEN []::VARCHAR[] ELSE
+             |      list_transform(range(1, len(w)),
+             |        i -> w[i] || ' ' || w[i+1]) END) AS g
+             |  FROM t),
+             |u AS (SELECT tok, count(*) AS c1
+             |  FROM (SELECT unnest(w) AS tok FROM t) x GROUP BY tok),
+             |v AS (SELECT count(*) AS v FROM u),
+             |b AS (SELECT g, count(*) AS c2 FROM db GROUP BY g),
+             |sc AS (SELECT db.doc_id,
+             |    ln(CAST(b.c2 + 1 AS DOUBLE) / (u.c1 + v.v)) AS lp
+             |  FROM db JOIN b USING (g)
+             |  JOIN u ON u.tok = split_part(db.g, ' ', 1)
+             |  CROSS JOIN v),
+             |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+             |    round(avg(lp), 6) AS avg_lp_r6
+             |  FROM sc GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |  coalesce(agg.avg_lp_r6, 0.0) AS avg_lp_r6
+             |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
   )
 }
