@@ -584,6 +584,43 @@ object Curation {
         coalesce(col("avg_lp_r6"), lit(0.0)).as("avg_lp_r6"))
   }
 
+  /** SOURCE-DIVERGENCE DIAGNOSTIC — how far each source's unigram
+    * distribution sits from the corpus mixture: KL(Pₛ ‖ Q) =
+    * Σ_t Pₛ(t)·ln(Pₛ(t)/Q(t)) per source, with Pₛ the source's token
+    * distribution and Q the whole corpus's. The data-mixing companion
+    * to [[mixtureSample]]/[[mixtureSampleByBudget]]: divergent sources
+    * are the ones whose up/down-weighting actually moves the mixture,
+    * and a drift in a source's KL across snapshots flags a distribution
+    * change upstream. No smoothing is needed: every source token is in
+    * the corpus by construction, so Q(t) > 0 wherever Pₛ(t) > 0.
+    *
+    * Scale shape (100 TB): two map-side-combinable count aggs (per
+    * (source, token), then per token), one join keyed on the token
+    * (Zipf-bounded distinct grams, not corpus-sized), per-source totals
+    * and the grand total enter as broadcasts, and the KL sum is one
+    * final tiny agg. Counts are exact integers; the only floats are the
+    * ratios and ln, with the per-source sum rounded to 6 decimals (the
+    * q44 contract).
+    */
+  def sourceDivergence(s: SparkSession, docs: DataFrame,
+      source: String = "source", text: String = "text"): DataFrame = {
+    val toks = filter(split(trim(lower(col(text))), "\\s+"), t => length(t) > 0)
+    val st = docs.select(col(source), explode(toks).as("tok"))
+      .groupBy(col(source), col("tok")).agg(count(lit(1)).as("c"))
+    val stot = st.groupBy(col(source)).agg(sum(col("c")).as("ts"))
+    val ttot = st.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+    val tt = st.agg(sum(col("c")).as("tot"))
+    val ps = col("c").cast("double") / col("ts")
+    val q = col("ct").cast("double") / col("tot")
+    st.join(ttot, "tok")
+      .join(broadcast(stot), source)
+      .crossJoin(broadcast(tt))
+      .withColumn("term", ps * log(ps / q))
+      .groupBy(col(source), col("ts"))
+      .agg(round(sum(col("term")), 6).as("kl_r6"))
+      .select(col(source), col("ts").as("n_tokens"), col("kl_r6"))
+  }
+
   // ---- fixtures for the driver entries ------------------------------
   // the corpus carries no PII and no eval set; both are synthesized
   // DETERMINISTICALLY from the documents table (the q40/q58 fixture
@@ -1014,5 +1051,24 @@ object Curation {
              |  CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
              |  coalesce(agg.avg_lp_r6, 0.0) AS avg_lp_r6
              |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
+
+    // ---- per-source KL divergence from the corpus mixture: the oracle
+    //      replays the count tables and the ratio/ln arithmetic ----
+    "q110_source_kl" -> Q(
+      (s, d) => sourceDivergence(s, Tables.documents(s, d)).orderBy("source"),
+      Some("""WITH t AS (SELECT source, unnest(
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      x -> len(x) > 0)) AS tok
+             |  FROM documents),
+             |st AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),
+             |stot AS (SELECT source, sum(c) AS ts FROM st GROUP BY source),
+             |ttot AS (SELECT tok, sum(c) AS ct FROM st GROUP BY tok),
+             |tt AS (SELECT sum(c) AS tot FROM st)
+             |SELECT source, CAST(ts AS BIGINT) AS n_tokens,
+             |  round(sum((CAST(c AS DOUBLE) / ts)
+             |    * ln((CAST(c AS DOUBLE) / ts) / (CAST(ct AS DOUBLE) / tot))), 6)
+             |    AS kl_r6
+             |FROM st JOIN stot USING (source) JOIN ttot USING (tok) CROSS JOIN tt
+             |GROUP BY source, ts ORDER BY source""".stripMargin)),
   )
 }

@@ -279,4 +279,22 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept2.subsetOf(kept3) && kept3.size == 7)
   }
+
+  test("sourceDivergence: zero for a corpus-identical source, hand value otherwise") {
+    import spark.implicits._
+    // one source IS the corpus -> KL = 0 exactly
+    val uni = Seq((0L, "one", "a b"), (1L, "one", "c")).toDF("doc_id", "source", "text")
+    val z = Curation.sourceDivergence(spark, uni).collect()
+    assert(z.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("one", 3L, 0.0)))
+    // two sources: s1 = {a,a}, s2 = {a,b}; Q = {a:3/4, b:1/4}
+    val two = Seq((0L, "s1", "a a"), (1L, "s2", "a b")).toDF("doc_id", "source", "text")
+    val got = Curation.sourceDivergence(spark, two).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val kl1 = r6(1.0 * math.log(1.0 / 0.75)) // P(a)=1
+    val kl2 = r6(0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25))
+    assert(got == Seq(("s1", 2L, kl1), ("s2", 2L, kl2)))
+    assert(got.forall(_._3 >= 0.0), "KL is non-negative")
+  }
 }
