@@ -115,6 +115,42 @@ object Pca {
     emb.select(col(id),
       array(m.comps.indices.map(j => projCol(col(vec), m, j)): _*).as("proj"))
 
+  /** PCA-SCREENED kNN — the composition PCA exists for in an ANN stack:
+    * generate candidates with cosine in the REDUCED space (p-dim dots,
+    * a d/p-fold cheaper scan), then re-rank only the `candMult`·k
+    * survivors per query with the exact full-space cosine. Exact at the
+    * top where it matters, approximate only in who gets scored — the
+    * same screen-then-verify shape as [[PqOps]]' ADC scan, with PCA
+    * instead of quantization as the cheap metric.
+    *
+    * Scale shape (100 TB): fit is sample-bounded ([[fitPca]]); both
+    * projections are zero-shuffle narrow maps; the reduced scan is the
+    * [[Ann.cosineTopK]] broadcast-queries + bounded-heap shape; the
+    * re-rank joins a |queries|·candMult·k candidate set (broadcast-
+    * small by construction) back to the corpus.
+    */
+  def pcaTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+      p: Int, candMult: Int = 4, sampleCap: Int = 65536,
+      id: String = "vec_id", vec: String = "embedding",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    require(k > 0 && candMult > 0, s"need k > 0 and candMult > 0: k=$k candMult=$candMult")
+    val m = fitPca(s, emb, p, sampleCap, id, vec)
+    val red = projectPca(s, emb, m, id, vec)
+      .select(col(id), col("proj").cast("array<float>").as("rvec"))
+    val redQ = projectPca(s, queries, m, qid, qvec)
+      .select(col(qid), col("proj").cast("array<float>").as("rqvec"))
+    val cand = Ann.cosineTopK(s, red, redQ, candMult * k,
+        id = id, vec = "rvec", qid = qid, qvec = "rqvec")
+      .select(col(qid), col(id))
+    val scored = cand
+      .join(emb.select(col(id), col(vec)), id)
+      .join(broadcast(queries.select(col(qid), col(qvec))), qid)
+      .withColumn("cos",
+        graft.functions.VecFunctions.vecCosine(s, col(qvec), col(vec)))
+    graft.functions.TopK.perKeyTopK(scored, k, qid, id, "cos")
+      .orderBy(qid, "rn")
+  }
+
   /** q109: fit p=4 on the full sf0.01 embeddings (500 ≤ sampleCap, so
     * the "sample" is the exact corpus in hash order), project, emit the
     * first 10 vectors' rounded coordinates. The oracle pins the values
@@ -151,6 +187,33 @@ object Pca {
       |  (9, -0.098492, 0.05571, -0.210585, 0.079352)
       |) t(vec_id, pc0, pc1, pc2, pc3) ORDER BY vec_id""".stripMargin
 
+  /** q111: PCA-screened top-5 for the 8 standard ANN probe queries
+    * (p=32 of d=64, candMult=8) vs the exact top-5 — per-query hit
+    * counts pinned (deterministic: fixed sample order, fixed Jacobi;
+    * a regression pin, not an analytic truth). [[SketchOps.exactTop5]]
+    * carries the fixture guard.
+    */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val approx = pcaTopK(s, e, q, k = 5, p = 32, candMult = 8)
+      .select(col("qid"), col("vec_id"))
+    val hits = SketchOps.exactTop5(s, d)
+      .join(approx.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+    hits.select(col("qid"), col("n_hits"),
+        (col("n_hits").cast("double") / 5).as("recall_at_5"))
+      .orderBy("qid")
+  }
+
   val all: ListMap[String, Q] = ListMap(
-    "q109_pca_project" -> Q(q109, Some(q109Oracle)))
+    "q109_pca_project" -> Q(q109, Some(q109Oracle)),
+    "q111_pca_screen_recall" -> Q(q111,
+      Some("""SELECT qid, n_hits, CAST(recall AS DOUBLE) AS recall_at_5
+             |FROM (VALUES (0, 5, 1.0), (1, 5, 1.0), (2, 5, 1.0), (3, 4, 0.8),
+             |  (4, 5, 1.0), (5, 5, 1.0), (6, 5, 1.0), (7, 5, 1.0))
+             |  AS t(qid, n_hits, recall)
+             |ORDER BY qid""".stripMargin)))
 }

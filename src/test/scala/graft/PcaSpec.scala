@@ -59,6 +59,26 @@ class PcaSpec extends SparkSpec {
       s"3 components should explain the planted data: $explained")
   }
 
+  test("pcaTopK: high recall vs exact kNN on clustered data at 4x reduction") {
+    val r = new scala.util.Random(111)
+    val d = 32
+    val centers = Array.fill(10)(Array.fill(d)(r.nextGaussian() * 3.0))
+    val pts = (0L until 300L).map { i =>
+      val c = centers((i % 10).toInt)
+      (i, Seq.tabulate(d)(j => (c(j) + 0.3 * r.nextGaussian()).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = graft.llm.Ann.cosineTopK(spark, df, q, 5,
+        id = "vec_id", vec = "embedding")
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = graft.llm.Pca.pcaTopK(spark, df, q, k = 5, p = 8)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@5 = $recall")
+  }
+
   test("refit is byte-stable") {
     val (pts, _) = planted(200, 6)
     val df = pts.toDF("vec_id", "embedding")
