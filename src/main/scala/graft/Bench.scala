@@ -39,7 +39,11 @@ object Bench {
       // q72-pinned BPE vocabulary, so its fixture guard fail-louds off
       // sf0.01 by design (same category as q82/q94).
       "q97_line_dedup", "q99_profile",
-      "q101_snapshot_diff", "q102_bm25_topk", "q103_lexical_index")
+      "q101_snapshot_diff", "q102_bm25_topk", "q103_lexical_index",
+      // this session's additions: rank fusion, A-ES weighted sampling,
+      // bigram-LM scoring, per-source KL (q109/q111 are fixture-pinned)
+      "q106_rrf_fusion", "q107_weighted_sample", "q108_bigram_lm",
+      "q110_source_kl")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -444,4 +444,59 @@ object Graft {
     */
   def compactLexicalIndex(spark: SparkSession, dir: String): Unit =
     llm.Lexical.compactLexical(spark, dir)
+
+  /** Reciprocal-rank fusion of per-query ranked lists — hybrid
+    * lexical+dense retrieval without score calibration
+    * ([[llm.Fusion.rrfFuse]]).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame =
+    llm.Fusion.rrfFuse(rankings, k, c)
+
+  /** Deterministic A-ES weighted sampling without replacement, k per
+    * stratum ([[llm.Curation.weightedSample]]).
+    */
+  def weightedSample(spark: SparkSession, docs: DataFrame, k: Int,
+      weight: Column, stratum: Option[String] = None): DataFrame =
+    llm.Curation.weightedSample(spark, docs, k, weight, stratum)
+
+  /** Add-one-smoothed bigram-LM quality scores for `docs` under a model
+    * trained on `modelCorpus` ([[llm.Curation.bigramLmScore]]).
+    */
+  def bigramLmScore(spark: SparkSession, modelCorpus: DataFrame,
+      docs: DataFrame): DataFrame =
+    llm.Curation.bigramLmScore(spark, modelCorpus, docs)
+
+  /** Per-source KL divergence from the corpus token mixture
+    * ([[llm.Curation.sourceDivergence]]).
+    */
+  def sourceDivergence(spark: SparkSession, docs: DataFrame): DataFrame =
+    llm.Curation.sourceDivergence(spark, docs)
+
+  /** Fit PCA on the deterministic bounded sample
+    * ([[llm.Pca.fitPca]]).
+    */
+  def fitPca(spark: SparkSession, emb: DataFrame, p: Int): llm.Pca.PcaModel =
+    llm.Pca.fitPca(spark, emb, p)
+
+  /** Zero-shuffle projection onto a fitted PCA model
+    * ([[llm.Pca.projectPca]]).
+    */
+  def projectPca(spark: SparkSession, emb: DataFrame,
+      m: llm.Pca.PcaModel): DataFrame =
+    llm.Pca.projectPca(spark, emb, m)
+
+  /** PCA-screened kNN: reduced-space candidates, exact full-space
+    * re-rank ([[llm.Pca.pcaTopK]]).
+    */
+  def pcaTopK(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+      k: Int, p: Int, candMult: Int = 4): DataFrame =
+    llm.Pca.pcaTopK(spark, emb, queries, k, p, candMult)
+
+  /** Leakage-free train/val/test split: assignment is a pure function
+    * of the near-dup cluster id, so near-dup pairs cannot straddle
+    * splits ([[llm.Curation.splitByCluster]]).
+    */
+  def splitByCluster(spark: SparkSession, docs: DataFrame, clusters: DataFrame,
+      fractions: Seq[(String, Double)]): DataFrame =
+    llm.Curation.splitByCluster(spark, docs, clusters, fractions)
 }

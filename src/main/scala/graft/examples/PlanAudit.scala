@@ -20,7 +20,9 @@ object PlanAudit {
         "q67_dedup_index_probe", "q70_bloom_join", "q71_zorder_scan",
         "q73_decontaminate", "q75_sequence_pack", "q76_cms_heavy_hitters",
         "q97_line_dedup", "q98_url_domain_filter", "q99_profile",
-        "q101_snapshot_diff", "q102_bm25_topk", "q103_lexical_index")
+        "q101_snapshot_diff", "q102_bm25_topk", "q103_lexical_index",
+        "q106_rrf_fusion", "q107_weighted_sample", "q108_bigram_lm",
+        "q110_source_kl", "q111_pca_screen_recall", "q112_leakage_split")
     val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")

@@ -621,6 +621,49 @@ object Curation {
       .select(col(source), col("ts").as("n_tokens"), col("kl_r6"))
   }
 
+  /** LEAKAGE-FREE SPLITTING — train/val/test assignment that near-dup
+    * pairs cannot straddle: the split is a pure function of the doc's
+    * near-dup CLUSTER id (docs without a cluster are their own
+    * singleton cluster), so every member of a cluster lands in the same
+    * split by construction — the eval-contamination failure mode of
+    * naive per-doc splitting ("test doc is a near-copy of a train doc")
+    * is structurally impossible for any pair the dedup stage caught.
+    * Assignment is the deterministic md5-prefix rule ([[mixtureSample]])
+    * over cumulative fraction thresholds: no RNG, reproducible, and
+    * re-splitting with a grown `fractions("train")` only MOVES docs
+    * between adjacent splits in hash order.
+    *
+    * `fractions` is ordered (name, fraction) with the fractions summing
+    * to 1; the last split takes the hash-space remainder so rounding
+    * cannot orphan rows.
+    *
+    * Scale shape (100 TB): one left join of (id, cluster) onto the
+    * corpus ids (16-byte rows — text never moves) and a narrow map for
+    * hash + threshold. Cluster discovery is the dedup family's job
+    * ([[Dedup.connectedComponents]]) and is priced there.
+    */
+  def splitByCluster(s: SparkSession, docs: DataFrame, clusters: DataFrame,
+      fractions: Seq[(String, Double)], id: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      s"fractions must be positive: $fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1: $fractions")
+    val withCl = docs.select(col(id))
+      .join(clusters.select(col(id), col("cluster_id")), Seq(id), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(id)))
+    val hv = conv(substring(md5(col("cluster_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    // first n-1 thresholds; the last split is the else-branch
+    val splitCol = fractions.init.zip(cum.init).reverse
+      .foldLeft(lit(fractions.last._1)) { case (acc, ((name, _), c)) =>
+        when(hv < lit((c * (1L << 60).toDouble).toLong), name).otherwise(acc)
+      }
+    // the when-chain above evaluates thresholds ascending (reverse fold
+    // builds: hv < t1 ? s1 : (hv < t2 ? s2 : ... last)
+    withCl.withColumn("split", splitCol)
+  }
+
   // ---- fixtures for the driver entries ------------------------------
   // the corpus carries no PII and no eval set; both are synthesized
   // DETERMINISTICALLY from the documents table (the q40/q58 fixture

@@ -483,6 +483,56 @@ object LlmOps {
              |SELECT u AS doc_id, min(root) AS cluster_id FROM reach
              |GROUP BY u ORDER BY doc_id""".stripMargin)),
 
+    // ---- leakage-free train/val/test split: assignment is a pure
+    //      function of the q49 near-dup cluster id (singletons cluster
+    //      as themselves), so near-dup pairs cannot straddle splits.
+    //      The oracle replays clusters (recursive CTE), the md5 rule
+    //      and the threshold arithmetic; thresholds interpolate from
+    //      the SAME Scala cumulative sums the operator computes, so
+    //      double rounding (0.8+0.1 != 0.9 exactly) cannot drift ----
+    "q112_leakage_split" -> {
+      val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val cum = fr.map(_._2).scanLeft(0.0)(_ + _).tail
+      val Seq(t1, t2) =
+        cum.init.map(c => (c * (1L << 60).toDouble).toLong)
+      Q(
+        (s, d) => {
+          val pairs = Dedup.jaccardPairs(s,
+            docs(s, d).select(col("doc_id").as("id"), col("text")), minJaccard = 0.9)
+          val clusters = Dedup.connectedComponents(pairs)
+            .select(col("id").as("doc_id"), col("cluster_id"))
+          Curation.splitByCluster(s, docs(s, d), clusters, fr)
+            .groupBy("split")
+            .agg(count(lit(1)).as("n_docs"),
+              countDistinct(col("cluster_id")).as("n_clusters"),
+              sum(col("doc_id")).as("id_sum"))
+            .orderBy("split")
+        },
+        Some(s"""WITH RECURSIVE ${pairOracleCtes()},
+               |p AS (SELECT da, db FROM i
+               |      JOIN z za ON i.da = za.doc_id JOIN z zb ON i.db = zb.doc_id
+               |      WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.9),
+               |ed AS (SELECT da AS u, db AS v FROM p UNION ALL SELECT db, da FROM p),
+               |reach(u, root) AS (
+               |  SELECT DISTINCT u, u FROM ed
+               |  UNION
+               |  SELECT ed.v, reach.root FROM reach JOIN ed ON ed.u = reach.u),
+               |cl AS (SELECT u AS doc_id, min(root) AS cluster_id FROM reach GROUP BY u),
+               |a AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+               |  FROM documents d LEFT JOIN cl USING (doc_id)),
+               |h AS (SELECT doc_id, cluster_id,
+               |    ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+               |  FROM a),
+               |sp AS (SELECT doc_id, cluster_id,
+               |    CASE WHEN hv < $t1 THEN 'train'
+               |      WHEN hv < $t2 THEN 'val' ELSE 'test' END AS split
+               |  FROM h)
+               |SELECT split, count(*) AS n_docs,
+               |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+               |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+               |FROM sp GROUP BY split ORDER BY split""".stripMargin))
+    },
+
     // ---- TF-IDF term weighting: top-5 terms per document (doc_id < 5)
     //      by tf · (N/df). The idf factor is LINEAR (N/df), not log —
     //      log() is a transcendental whose last ulp differs between

@@ -280,6 +280,33 @@ class CurationSpec extends SparkSpec {
     assert(kept2.subsetOf(kept3) && kept3.size == 7)
   }
 
+  test("splitByCluster: clusters never straddle splits; train grows monotonically") {
+    import spark.implicits._
+    // 60 docs, 20 clusters of 3 (planted near-dup groups)
+    val docs = (0L until 60L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val clusters = (0L until 60L).map(i => (i, i / 3 * 3)).toDF("doc_id", "cluster_id")
+    val fr = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val got = Curation.splitByCluster(spark, docs, clusters, fr)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.size == 60)
+    // leakage-free: one split per cluster
+    got.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.size == 1, s"cluster $c straddles splits")
+    }
+    assert(got.map(_._3).distinct.toSet.subsetOf(Set("train", "val", "test")))
+    // raising the train fraction only ADDS to train
+    val train1 = got.filter(_._3 == "train").map(_._1).toSet
+    val train2 = Curation.splitByCluster(spark, docs, clusters,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter(col("split") === "train").select("doc_id").as[Long].collect().toSet
+    assert(train1.subsetOf(train2), "growing the train fraction must only add docs")
+    // unclustered docs survive as singletons
+    val solo = Curation.splitByCluster(spark, docs, clusters.limit(0), fr)
+    assert(solo.count() == 60)
+    assert(solo.select("cluster_id").as[Long].collect().toSet == (0L until 60L).toSet)
+  }
+
   test("sourceDivergence: zero for a corpus-identical source, hand value otherwise") {
     import spark.implicits._
     // one source IS the corpus -> KL = 0 exactly
