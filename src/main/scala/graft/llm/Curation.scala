@@ -605,8 +605,14 @@ object Curation {
   def sourceDivergence(s: SparkSession, docs: DataFrame,
       source: String = "source", text: String = "text"): DataFrame = {
     val toks = filter(split(trim(lower(col(text))), "\\s+"), t => length(t) > 0)
+    // localCheckpoint (the jaccardPairs move): st feeds FOUR consumers
+    // (itself, per-source totals, per-token totals, the grand total) —
+    // without it each branch re-scans and re-explodes the corpus; with
+    // it the corpus is touched once and the branches read the
+    // Zipf-bounded (source, token, count) table
     val st = docs.select(col(source), explode(toks).as("tok"))
       .groupBy(col(source), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val stot = st.groupBy(col(source)).agg(sum(col("c")).as("ts"))
     val ttot = st.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
     val tt = st.agg(sum(col("c")).as("tot"))
