@@ -186,5 +186,54 @@ object StreamingOps {
              |    AS kmv_estimate,
              |  CAST(least(nh, ${graft.llm.SketchAggOps.K}) AS INT) AS sketch_size
              |FROM est ORDER BY event_type""".stripMargin)),
+
+    // ---- streaming QUANTILES: the bottom-k-by-hash sample (q64's
+    //      aggregator) as streaming state per event_type — k (hash, id,
+    //      value) triples per key, never the group. Like KMV (q61) the
+    //      retained set is a pure function of the input SET, independent
+    //      of arrival order and batch boundaries, so the streaming
+    //      p50/p90 estimates equal the batch estimates BIT-FOR-BIT and
+    //      the oracle replays them exactly: every order-independent
+    //      sketch in the engine streams unchanged. ----
+    "q113_stream_quantiles" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sch = s.read.parquet(s"$d/events.parquet").schema
+        val raw = s.readStream.schema(sch).parquet(s"$d/{events.parquet}")
+        val rows = raw.select(col("event_type"),
+          conv(substring(md5(col("event_id").cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("hv"),
+          col("event_id"), col("value"))
+        val agg = new graft.functions.BottomKSampleAgg(32)
+        val sk = rows.as[(String, Long, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3, t._4))
+          .agg(agg.toColumn)
+          .map { case (et, sb) =>
+            def q(num: Int) =
+              graft.functions.BottomKSample.quantile(sb.v, sb.id, num, 10)
+            (et, sb.v.length, q(5), q(9))
+          }
+          .toDF("event_type", "sample_size", "p50_est", "p90_est")
+        val q = sk.writeStream.format("memory").queryName("stream_quantiles")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("stream_quantiles").orderBy("event_type")
+      },
+      Some("""WITH v AS (SELECT event_type, event_id, value,
+             |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+             |  FROM events),
+             |s AS (SELECT event_type, event_id, value,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY hv, event_id) AS rn
+             |  FROM v),
+             |samp AS (SELECT event_type, event_id, value FROM s WHERE rn <= 32),
+             |r AS (SELECT event_type, value,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1 AS vr,
+             |    count(*) OVER (PARTITION BY event_type) AS m
+             |  FROM samp)
+             |SELECT event_type, CAST(max(m) AS INT) AS sample_size,
+             |  max(CASE WHEN vr = (5*(m-1))//10 THEN value END) AS p50_est,
+             |  max(CASE WHEN vr = (9*(m-1))//10 THEN value END) AS p90_est
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

@@ -197,4 +197,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).n_events == 3 && rows(0).session_start == baseUs &&
       rows(0).session_end == baseUs + 120L * us)
   }
+
+  test("streaming bottom-k sample state is batch-boundary independent (q113 core)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val r = new scala.util.Random(113)
+    val rows = (0L until 200L).map { i =>
+      (s"t${i % 3}", graft.llm.SketchOps.splitmix64(i), i, r.nextDouble() * 100)
+    }
+    def drain(batches: Seq[Seq[(String, Long, Long, Double)]], name: String) = {
+      val mem = MemoryStream[(String, Long, Long, Double)]
+      val agg = new graft.functions.BottomKSampleAgg(16)
+      val sk = mem.toDS()
+        .groupByKey(_._1).mapValues(t => (t._2, t._3, t._4)).agg(agg.toColumn)
+        .map { case (k, sb) => (k, sb.hv.toSeq, sb.id.toSeq, sb.v.toSeq) }
+        .toDF("k", "hv", "id", "v")
+      val q = sk.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).orderBy("k")
+        .as[(String, Seq[Long], Seq[Long], Seq[Double])].collect().toSeq
+    }
+    // one batch vs four batches vs four batches of a shuffled order —
+    // plus a REPLAYED batch (set semantics absorb duplicates)
+    val one = drain(Seq(rows), "bk_one")
+    val four = drain(rows.grouped(50).toSeq, "bk_four")
+    val shuffled = r.shuffle(rows.toList).grouped(50).toSeq
+    val replay = drain(shuffled ++ Seq(shuffled.head), "bk_replay")
+    assert(one == four, "batch boundaries changed the sample")
+    assert(one == replay, "arrival order or replay changed the sample")
+  }
 }
