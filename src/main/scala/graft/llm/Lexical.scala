@@ -199,6 +199,140 @@ object Lexical {
     scoreAndRank(post, dfd, stats, qdf, k, k1, b, id)
   }
 
+  // ---- VERSIONED (upsert-able) index ---------------------------------
+  // The append-only index above handles NEW docs; an UPDATED doc would
+  // leave two generations of posting rows with no way to tell them
+  // apart. The versioned layout makes updates first-class without ever
+  // rewriting storage on the write path: every doc row carries a `ver`
+  // (any monotone long per doc — a snapshot id, an ingest timestamp),
+  // postings/doclens APPEND under (doc_id, ver), and the probe resolves
+  // "current" at read time by joining postings against each doc's
+  // latest version — stale generations drop even for terms the new
+  // text no longer contains (the case probe-side (term, doc) dedup
+  // cannot fix). Same at-least-once safety: replayed appends are
+  // bit-identical rows, collapsed by (term, doc, ver) dedup.
+
+  /** (id, ver, len, t) tokens of a versioned doc batch */
+  private def withLenV(docs: DataFrame, id: String, text: String,
+      ver: String): DataFrame = {
+    val toks = filter(split(trim(lower(col(text))), "\\s+"), t => length(t) > 0)
+    docs.select(col(id), col(ver), toks.as("t"))
+      .select(col(id), col(ver), size(col("t")).as("len"), col("t"))
+  }
+
+  private def postingsOfV(docs: DataFrame, buckets: Int, id: String,
+      text: String, ver: String): DataFrame =
+    withLenV(docs, id, text, ver)
+      .select(col(id), col(ver), col("len"), explode(col("t")).as("term"))
+      .groupBy(col("term"), col(id), col(ver), col("len"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+
+  /** Base build of a VERSIONED lexical index: same bucket-partitioned
+    * layout as [[saveLexical]] plus the `ver` column; no `stats/` — the
+    * versioned probe derives corpus stats from the latest doclens at
+    * read time (exactness over staleness: one agg over 24-byte rows per
+    * probe batch, the price of update-correct idf).
+    */
+  def saveLexicalVersioned(s: SparkSession, docs: DataFrame, dir: String,
+      buckets: Int = 64, id: String = "doc_id", text: String = "text",
+      ver: String = "ver"): Unit = {
+    require(buckets > 0, s"buckets must be > 0: $buckets")
+    postingsOfV(docs, buckets, id, text, ver)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    withLenV(docs, id, text, ver).select(col(id), col(ver), col("len"))
+      .write.mode("overwrite").parquet(s"$dir/doclens")
+  }
+
+  /** Streaming UPSERTS: new docs AND new versions of existing docs
+    * append per micro-batch — no read-modify-write, no storage rewrite;
+    * [[probeBm25Latest]] resolves currency at read time. At-least-once
+    * replays are safe (bit-identical rows collapse in the probe's
+    * (term, doc, ver) dedup). A version must be ≥ any previous version
+    * of the same doc — the caller's snapshot/ingest clock provides it.
+    */
+  def upsertLexicalStream(s: SparkSession, stream: DataFrame, dir: String,
+      checkpoint: String, buckets: Int = 64, id: String = "doc_id",
+      text: String = "text", ver: String = "ver")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        postingsOfV(batch, buckets, id, text, ver)
+          .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+        withLenV(batch, id, text, ver).select(col(id), col(ver), col("len"))
+          .write.mode("append").parquet(s"$dir/doclens")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** BM25 top-k against the LATEST VERSION of every doc in a versioned
+    * index — bit-identical to [[bm25TopK]] over the effective corpus
+    * (each doc's newest text), with stale generations excluded by the
+    * (doc, latest-ver) join. Bucket pruning as in [[probeBm25]]; df and
+    * corpus stats derive from surviving rows only, so idf is exact
+    * under updates, not drifting-stale.
+    */
+  def probeBm25Latest(s: SparkSession, dir: String, queries: Seq[(Int, Seq[String])],
+      k: Int, buckets: Int = 64, k1: Double = 1.2, b: Double = 0.75,
+      id: String = "doc_id", ver: String = "ver"): DataFrame = {
+    import s.implicits._
+    require(k > 0 && queries.nonEmpty)
+    val dl = s.read.parquet(s"$dir/doclens").dropDuplicates(id, ver)
+    val latest = dl.groupBy(col(id)).agg(max(col(ver)).as(ver))
+    val stats = dl.join(latest, Seq(id, ver))
+      .agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"))
+    val qterms = queries.flatMap(_._2).distinct
+    val qBuckets = qterms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val post = s.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(qBuckets: _*))
+      .filter(col("term").isin(qterms: _*))
+      .select(col("term"), col(id), col(ver), col("len"), col("tf"))
+      .dropDuplicates("term", id, ver)
+      .join(latest, Seq(id, ver))
+      .select(col("term"), col(id), col("len"), col("tf"))
+    val dfd = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val qdf = queries.flatMap { case (qi, ts) => ts.map(t => (qi, t)) }
+      .toDF("qid", "term")
+    scoreAndRank(post, dfd, stats, qdf, k, k1, b, id)
+  }
+
+  /** Compact a versioned index: drop every non-latest generation (and
+    * at-least-once duplicates), temp-dir swap as [[compactLexical]].
+    * Probes are bit-identical before and after — compaction reclaims
+    * storage, it does not change semantics (q114 asserts it).
+    */
+  def compactLexicalVersioned(s: SparkSession, dir: String,
+      id: String = "doc_id", ver: String = "ver"): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val latest = s.read.parquet(s"$dir/doclens")
+      .groupBy(col(id)).agg(max(col(ver)).as(ver))
+    def swap(sub: String)(rewrite: (DataFrame, String) => Unit): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${sub}__compact")
+      val fs = cur.getFileSystem(conf)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      rewrite(s.read.parquet(cur.toString), tmp.toString)
+      fs.delete(cur, true)
+      require(fs.rename(tmp, cur), s"compaction swap failed for $cur")
+    }
+    // materialize latest to disk BEFORE the swaps delete its source
+    // files — distributed, never collected (doc-count-sized)
+    val ltPath = new org.apache.hadoop.fs.Path(s"$dir/__latest_compact")
+    latest.write.mode("overwrite").parquet(ltPath.toString)
+    try {
+      val lt = s.read.parquet(ltPath.toString)
+      swap("postings") { (df, out) =>
+        df.dropDuplicates("term", id, ver).join(lt, Seq(id, ver))
+          .write.partitionBy("bucket").parquet(out)
+      }
+      swap("doclens") { (df, out) =>
+        df.dropDuplicates(id, ver).join(lt, Seq(id, ver)).write.parquet(out)
+      }
+    } finally ltPath.getFileSystem(conf).delete(ltPath, true)
+  }
+
   /** the q102 query batch: corpus-frequent terms, one single-term query
     * and two multi-term ones so idf mixing and score summing both have
     * real work
@@ -312,5 +446,94 @@ object Lexical {
         probeBm25(s, dir, demoQueries, k = 5).orderBy("qid", "rn")
       },
       Some(bm25OracleSql)),
+
+    // ---- UPSERTS through the versioned index: base build on the full
+    //      corpus at ver 0, docs 0-99 UPDATED at ver 1 through the real
+    //      micro-batch engine (two batches + a replayed batch), probed
+    //      PRE-compaction — stale generations must drop at read time,
+    //      including terms the new text no longer contains (the update
+    //      mangles each doc's first token). The oracle replays BM25
+    //      over the EFFECTIVE corpus; a query on the term 'updated'
+    //      (df exactly 100 iff versioning works) makes staleness bugs
+    //      unmissable. Compaction parity is asserted in-entry: the
+    //      post-compaction probe must equal the pre-compaction one
+    //      bit-for-bit. ----
+    "q114_lexical_upsert" -> Q(
+      (s, d) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val work = java.nio.file.Files.createTempDirectory("graft-q114")
+        val ckDir = java.nio.file.Files.createTempDirectory("graft-q114-ck")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(work.toFile); rm(ckDir.toFile)
+        }
+        val dir = work.toString
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        saveLexicalVersioned(s, docs.withColumn("ver", lit(0L)), dir)
+        val updates = docs.filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            concat(lit("updated "), expr("substring(text, 4)")).as("text"),
+            lit(1L).as("ver"))
+          .as[(Long, String, Long)].collect()
+        val (b1, b2) = updates.partition(_._1 < 50)
+        val mem = MemoryStream[(Long, String, Long)]
+        val q = upsertLexicalStream(s,
+          mem.toDF.toDF("doc_id", "text", "ver"), dir, ckDir.toString)
+        try {
+          mem.addData(b1.toSeq); q.processAllAvailable()
+          mem.addData(b2.toSeq); q.processAllAvailable()
+          mem.addData(b1.toSeq); q.processAllAvailable() // at-least-once replay
+        } finally q.stop()
+        val qs = demoQueries :+ (3 -> Seq("updated"))
+        val pre = probeBm25Latest(s, dir, qs, k = 5).orderBy("qid", "rn")
+        // materialize BEFORE compaction swaps the files under the plan
+        val preRows = pre.collect().toSeq
+        compactLexicalVersioned(s, dir)
+        val postRows = probeBm25Latest(s, dir, qs, k = 5)
+          .orderBy("qid", "rn").collect().toSeq
+        require(preRows == postRows,
+          "compaction changed the versioned probe's output")
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(preRows).asJava),
+          pre.schema)
+      },
+      Some("""WITH eff AS (SELECT doc_id,
+             |    CASE WHEN doc_id < 100 THEN 'updated ' || substr(text, 4)
+             |      ELSE text END AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      x -> len(x) > 0) AS w
+             |  FROM eff),
+             |dl AS (SELECT doc_id, len(w) AS len, w FROM t),
+             |stats AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM dl),
+             |post AS (SELECT term, doc_id, len, count(*) AS tf
+             |  FROM (SELECT doc_id, len, unnest(w) AS term FROM dl) u
+             |  WHERE term IN ('join','hash','vector','scan','filter',
+             |    'customer','updated')
+             |  GROUP BY term, doc_id, len),
+             |dfd AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+             |q(qid, term) AS (VALUES (0,'join'),(0,'hash'),(1,'vector'),
+             |  (1,'scan'),(1,'filter'),(2,'customer'),(3,'updated')),
+             |sc AS (SELECT q.qid, p.doc_id,
+             |    round(sum(ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))
+             |      * (p.tf * 2.2)
+             |      / (p.tf + 1.2 * (0.25 + 0.75 * p.len / s.avg_len))), 6)
+             |      AS score_r6
+             |  FROM post p JOIN dfd d USING (term) JOIN q USING (term)
+             |  CROSS JOIN stats s
+             |  GROUP BY q.qid, p.doc_id),
+             |r AS (SELECT qid, doc_id, score_r6,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY score_r6 DESC, doc_id) AS rn
+             |  FROM sc)
+             |SELECT qid, CAST(rn AS INT) AS rn, doc_id, score_r6
+             |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
   )
 }
