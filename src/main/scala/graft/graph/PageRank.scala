@@ -1,0 +1,141 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** GRAPH AUTHORITY — PageRank (Page et al. 1999) in FIXED-POINT integer
+  * arithmetic. Corpus curation uses link-graph authority as a quality
+  * prior (Common Crawl ranks hosts harmonically/PageRank-ly and data
+  * pipelines mix by it), so the engine carries the operator natively.
+  *
+  * Why fixed-point: floating-point PageRank sums in-contributions in
+  * partition order — different engines (or two runs of the same engine)
+  * sum in different orders and drift in the last bits, compounding per
+  * iteration, which makes exact cross-engine verification impossible.
+  * Here rank mass is an INTEGER (1e12 micro-units across the graph):
+  * shares are integer division `r div deg`, damping is `(num * x) div
+  * den` — integer sums are order-independent, so ITERATION-FOR-
+  * ITERATION the result is bit-exact on any engine, and the DuckDB
+  * oracle replays all five iterations as chained CTEs and matches by
+  * hash, not by tolerance. The cost is bounded truncation error
+  * (< outdeg micro-units per node per iteration — at 1e12 total mass,
+  * relative error ~1e-9·deg); the determinism is worth far more than
+  * the ninth decimal of a quality prior.
+  *
+  * Scale shape (100 TB): the edge table is the big side — it is
+  * shuffled ONCE (repartition by src, cached); each iteration moves
+  * only the rank table (16-byte rows, one row per node) through a join
+  * keyed like the cached edges plus one message aggregation keyed by
+  * dst — the Pregel message pattern on DataFrames. Lineage is cut per
+  * iteration with localCheckpoint (the q49 connected-components
+  * pattern; swap to reliable checkpoint() on preemptible clusters).
+  * Driver state: nothing but the node count.
+  *
+  * Contract: `edges` is the DIRECTED edge list (u → v); pass both
+  * directions for an undirected graph. The node universe is the set of
+  * sources (every node must have outdeg ≥ 1 — true by construction for
+  * symmetrized graphs); rank mass reaching a sink that never appears
+  * as a source leaks, the standard simplified-PageRank treatment —
+  * callers who need dangling-mass redistribution symmetrize instead.
+  */
+object PageRank {
+
+  /** Fixed-point PageRank over `edges` (cols `u`, `v`): returns
+    * (node, rank_fp) with Σ rank_fp ≤ `mass` (truncation only).
+    * Damping d = dampNum/dampDen (default 85/100);
+    * r'(v) = (mass div n · (den−num)) div den + (num · Σ_{u→v} r(u)
+    * div deg(u)) div den — all operations on longs.
+    */
+  def pagerankFixedPoint(s: SparkSession, edges: DataFrame, iters: Int = 5,
+      dampNum: Int = 85, dampDen: Int = 100,
+      mass: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(dampNum > 0 && dampNum < dampDen, s"need 0 < num < den: $dampNum/$dampDen")
+    val ed = edges.select(col("u").cast("long"), col("v").cast("long"))
+      .distinct()
+      .repartition(col("u")) // the one edge shuffle; reused every iteration
+      .cache()
+    val deg = ed.groupBy("u").agg(count(lit(1)).as("d")).cache()
+    val n = deg.count()
+    require(n > 0, "empty edge set")
+    val rUnit = mass / n
+    val base = (rUnit * (dampDen - dampNum)) / dampDen
+    var ranks = deg.select(col("u").as("node"), lit(rUnit).as("r"))
+    for (_ <- 1 to iters) {
+      val shares = ranks.join(deg, ranks("node") === deg("u"))
+        .select(col("u"), expr("r div d").as("share"))
+      val inSums = ed.join(shares, "u")
+        .groupBy(col("v").as("node")).agg(sum("share").as("insum"))
+      // left join from the node universe: a node nobody links to still
+      // holds its base rank (cannot happen on symmetrized graphs, but
+      // the operator contract is directed)
+      ranks = deg.select(col("u").as("node"))
+        .join(inSums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(insum, 0L)) div $dampDen")).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** q116: authority over the customer↔supplier TRADE GRAPH — an edge
+    * per (customer, supplier) pair that co-occurs in an order
+    * (orders ⋈ lineitem), symmetrized; nodes disambiguate by parity
+    * (customer 2k, supplier 2k+1). 5 iterations at d = 0.85 over 1e12
+    * micro-units. The oracle unrolls the five iterations as chained
+    * CTEs in exact BIGINT arithmetic — chain-equality is the strongest
+    * pin an iterative operator can get.
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.orders(s, d).join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("u"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("v"))
+      .distinct()
+    e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  private val oracleSql: String = {
+    val mass = 1000000000000L
+    // one iteration: v's new rank from prev table `p`
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT d0.u AS node,
+         |    (SELECT base FROM consts) +
+         |      (85 * coalesce(m.s, 0)) // 100 AS r
+         |  FROM deg d0 LEFT JOIN (
+         |    SELECT ed.v, CAST(sum($prev.r // deg.d) AS BIGINT) AS s
+         |    FROM ed JOIN $prev ON ed.u = $prev.node
+         |            JOIN deg ON ed.u = deg.u
+         |    GROUP BY ed.v) m ON m.v = d0.u)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |ed AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |deg AS (SELECT u, count(*) AS d FROM ed GROUP BY u),
+       |consts AS (
+       |  SELECT CAST($mass AS BIGINT) // count(*) AS runit,
+       |    (CAST($mass AS BIGINT) // count(*)) * 15 // 100 AS base
+       |  FROM deg),
+       |r0 AS (SELECT u AS node, (SELECT runit FROM consts) AS r FROM deg),
+       |${(1 to 5).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  node // 2 AS key, CAST(r AS BIGINT) AS rank_fp
+       |FROM r5
+       |ORDER BY rank_fp DESC, kind, key""".stripMargin
+  }
+
+  val all: ListMap[String, Q] = ListMap(
+    "q116_pagerank" -> Q(
+      (s, d) => pagerankFixedPoint(s, tradeEdges(s, d), iters = 5)
+        .select(
+          when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+            .as("kind"),
+          expr("node div 2").as("key"), col("r").as("rank_fp"))
+        .orderBy(desc("rank_fp"), col("kind"), col("key")),
+      Some(oracleSql)),
+  )
+}
