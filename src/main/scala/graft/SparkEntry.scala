@@ -27,7 +27,8 @@ object SparkEntry {
       graft.llm.AnnIndex.all ++ graft.llm.DedupIndex.all ++ graft.llm.OpqOps.all ++
       graft.llm.Bpe.all ++ graft.llm.Curation.all ++ graft.llm.Pack.all ++
       graft.rel.Profile.all ++ graft.llm.Lexical.all ++ graft.llm.Fusion.all ++
-      graft.llm.Pca.all ++ graft.rel.FuzzyJoin.all ++ graft.graph.PageRank.all
+      graft.llm.Pca.all ++ graft.rel.FuzzyJoin.all ++ graft.graph.PageRank.all ++
+      graft.rel.Scd.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

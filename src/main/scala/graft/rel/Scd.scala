@@ -1,0 +1,90 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+
+/** SCD TYPE-2 STATE HISTORY — collapse an append-only event/attribute
+  * log into the slowly-changing-dimension form: one row per (entity,
+  * consecutive-run-of-equal-attribute) with a half-open validity
+  * interval [valid_from, valid_to), valid_to NULL on each entity's
+  * current row. The warehouse-classic "gaps and islands": runs are
+  * identified by a change flag (null-safe inequality against the
+  * previous row in event order) prefix-summed into an island id, then
+  * one aggregation per island. The inverse of [[AsofJoin]]: as-of
+  * probes a point in time against history; SCD2 BUILDS the history
+  * table those probes (and plain BETWEEN joins) serve from.
+  *
+  * Event order must be TOTAL per entity — a timestamp plus an explicit
+  * tiebreaker column (same-timestamp rows would otherwise make run
+  * boundaries nondeterministic; the contract makes the caller name the
+  * tiebreaker rather than silently relying on partition order).
+  *
+  * Scale shape (100 TB): one shuffle on the entity key; both window
+  * passes and the island aggregation share that single partitioning
+  * (Catalyst plans one Exchange). Per-entity history is processed
+  * sequentially within its partition — the right trade for dimension
+  * builds, where entities are many and per-entity histories are
+  * bounded; a single entity whose history dominates a partition is a
+  * data-model smell, not a plan smell. Null attributes are states
+  * (null-safe comparison), not gaps.
+  */
+object Scd {
+
+  /** Build the SCD2 table of `attr` runs per `key`, ordered by
+    * (`ts`, `tie`). Output: (key, state, valid_from, valid_to,
+    * n_events), valid_to = next run's valid_from or NULL (current).
+    */
+  def scd2(s: SparkSession, df: DataFrame, key: String, attr: String,
+      ts: String, tie: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = df
+      .withColumn("_chg",
+        when(col(attr) <=> lag(col(attr), 1).over(w), 0L).otherwise(1L))
+      .withColumn("_isl", sum(col("_chg")).over(wr))
+    val runs = flagged
+      .groupBy(col(key), col("_isl"))
+      .agg(max(col(attr)).as("state"), // constant within a run
+        min(col(ts)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wi = Window.partitionBy(col(key)).orderBy(col("_isl"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wi))
+      .select(col(key), col("state"), col("valid_from"), col("valid_to"),
+        col("n_events"))
+  }
+
+  /** q117: each user's event_type treated as a state machine — the
+    * SCD2 table of state runs over (ts, event_id) order. The oracle
+    * replays flag → prefix-sum → island aggregation → lead with the
+    * identical window frames; timestamps go out as wall-clock
+    * (timestamp_ntz vs DuckDB's TIMESTAMP cast, the q18 contract).
+    */
+  val all: ListMap[String, Q] = ListMap(
+    "q117_scd2" -> Q(
+      (s, d) => scd2(s, Tables.events(s, d), "user_id", "event_type",
+          "ts", "event_id")
+        .select(col("user_id").cast("long").as("user_id"), col("state"),
+          col("valid_from").cast("timestamp_ntz").as("valid_from"),
+          col("valid_to").cast("timestamp_ntz").as("valid_to"),
+          col("n_events"))
+        .orderBy("user_id", "valid_from"),
+      Some("""WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+             |    CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+             |w AS (SELECT *, CASE WHEN event_type IS NOT DISTINCT FROM
+             |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    THEN 0 ELSE 1 END AS chg FROM e),
+             |i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS isl FROM w),
+             |g AS (SELECT user_id, isl, max(event_type) AS state,
+             |    min(ts) AS valid_from, count(*) AS n_events
+             |  FROM i GROUP BY user_id, isl)
+             |SELECT user_id, state, valid_from,
+             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY isl) AS valid_to,
+             |  n_events
+             |FROM g ORDER BY user_id, valid_from""".stripMargin)),
+  )
+}
