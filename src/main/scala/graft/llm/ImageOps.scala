@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 import graft.rel.RelQueries.Q
 import graft.rel.Tables
-import graft.io.{Bmp, Fseq}
+import graft.io.{Bmp, Fseq, Wav}
 
 /** Multimodal IMAGE, VIDEO, and AUDIO-DSP column operators, completing
   * the decode / feature-extract / resize / frame-sample quartet next to
@@ -238,6 +238,38 @@ object ImageOps {
         }
       }
       .toDF(id, "b0", "b1", "b2", "b3")
+    bandPairs(hashed, id, maxHamming)
+  }
+
+  /** q119 fixture: docs with id ≡ 7 (mod 11) carry a GAIN-PERTURBED
+    * COPY of doc id-1's audio (id-1 is never itself a copy): same
+    * 2080-sample signed-16-bit waveform except every 29th sample is
+    * offset by +500 — a localized edit that nudges a frame energy or
+    * two, NOT a byte-identical blob. Samples are a scrambled integer
+    * function in [-12000, 12000] (headroom keeps the +500 clip-free)
+    * whose STRIDE depends on src — a src-independent stride would make
+    * every doc a phase shift of the same progression and correlate all
+    * fingerprints (measured: 833 background pairs at ≤6 bits vs 19
+    * with the per-src stride). Mirrored exactly by the oracle.
+    */
+  private[graft] def syntheticPcmNearDup(id: Long): Array[Short] = {
+    val isCopy = id % 11 == 7
+    val src = if (isCopy) id - 1 else id
+    Array.tabulate(2080) { i =>
+      val base = (src * 2654435761L + i.toLong * (69069L + src * 64L)) % 40009L % 24001L - 12000L
+      val add = if (isCopy && i % 29 == 0) 500L else 0L
+      (base + add).toShort
+    }
+  }
+
+  /** shared LSH tail of the perceptual dedups: 64-bit fingerprints as
+    * 4×16-bit bands (`id`, b0..b3) → band-bucket join → exact Hamming
+    * verify ≤ maxHamming. Pigeonhole: any pair within Hamming 3 shares
+    * a clean band and is GUARANTEED a candidate; beyond that the
+    * banding is probabilistic (and the oracle replays it, so the two
+    * engines miss identically).
+    */
+  private def bandPairs(hashed: DataFrame, id: String, maxHamming: Int): DataFrame = {
     val bandRows = hashed.select(col(id), col("b0"), col("b1"), col("b2"), col("b3"),
       explode(array(
         struct(lit(0).as("bi"), col("b0").as("bv")),
@@ -261,6 +293,43 @@ object ImageOps {
           bit_count(col("a3").bitwiseXOR(col("c3"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("ia"), col("ib"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** PERCEPTUAL audio near-dup — the audio twin of
+    * [[imagePerceptualDups]]: decode each blob through the REAL WAV
+    * parser, fingerprint by ENERGY-DELTA SIGNS (the Haitsma-Kalker
+    * robust-hash core, integer-exact here: 65 frames of 32 samples,
+    * bit f = Σ|s| of frame f+1 > frame f — robust to uniform gain and
+    * small local edits that break exact-byte dedup), then the same
+    * 4×16-bit band join + exact Hamming verify as the image path.
+    *
+    * Scale shape: decode + fingerprint is one narrow map (blobs never
+    * leave their partition; 32 bytes of bands flow on per clip); the
+    * pair space is the band-bucket join, never n².
+    */
+  def audioFingerprintDups(s: SparkSession, blobs: DataFrame, maxHamming: Int = 6,
+      id: String = "doc_id", wav: String = "audio"): DataFrame = {
+    import s.implicits._
+    val hashed = blobs.select(col(id), col(wav)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (i, bytes) =>
+          val p = Wav.parse(bytes)
+          val nf = p.samples.length / 32
+          val e = new Array[Long](nf)
+          var k = 0
+          while (k < nf * 32) { e(k / 32) += math.abs(p.samples(k)); k += 1 }
+          val bands = new Array[Long](4)
+          var f = 0
+          val nb = math.min(64, math.max(nf - 1, 0))
+          while (f < nb) {
+            if (e(f + 1) > e(f)) bands(f / 16) |= 1L << (f % 16)
+            f += 1
+          }
+          (i, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+      .toDF(id, "b0", "b1", "b2", "b3")
+    bandPairs(hashed, id, maxHamming)
   }
 
   val all: ListMap[String, Q] = ListMap(
@@ -314,6 +383,55 @@ object ImageOps {
              |FROM cand c JOIN hx x ON x.doc_id = c.ia JOIN hx y ON y.doc_id = c.ib
              |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
              |      bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 8
+             |ORDER BY ia, ib""".stripMargin)),
+
+    // ---- perceptual AUDIO near-dup: real WAV decode → integer
+    //      energy-delta fingerprint (65×32-sample frames, bit =
+    //      next-frame energy greater) → 4×16-bit band join → exact
+    //      Hamming verify. The fixture plants +500-offset copies every
+    //      29th sample; the oracle replays waveform, frame energies,
+    //      delta bits, banding AND Hamming ----
+    "q119_audio_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map(id => (id, Wav.build16(8000, syntheticPcmNearDup(id))))
+          .toDF("doc_id", "audio")
+        audioFingerprintDups(s, blobs).orderBy("ia", "ib")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 11 = 7 THEN doc_id - 1 ELSE doc_id END AS src,
+             |    CASE WHEN doc_id % 11 = 7 THEN 1 ELSE 0 END AS cpy
+             |  FROM documents),
+             |smp AS (SELECT b.doc_id, i.range AS i,
+             |    (b.src*2654435761 + i.range*(69069 + b.src*64)) % 40009 % 24001 - 12000
+             |      + CASE WHEN b.cpy = 1 AND i.range % 29 = 0 THEN 500 ELSE 0 END AS s
+             |  FROM base b, range(2080) i),
+             |en AS (SELECT doc_id, i // 32 AS f, sum(abs(s)) AS e
+             |  FROM smp GROUP BY doc_id, f),
+             |bits AS (SELECT a.doc_id, a.f AS bit,
+             |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS v
+             |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+             |  WHERE a.f < 64),
+             |bands AS (SELECT doc_id, bit // 16 AS bi,
+             |    CAST(sum(v * (1 << (bit % 16))) AS BIGINT) AS bv
+             |  FROM bits GROUP BY doc_id, bi),
+             |hx AS (SELECT doc_id,
+             |    max(CASE WHEN bi = 0 THEN bv END) AS b0,
+             |    max(CASE WHEN bi = 1 THEN bv END) AS b1,
+             |    max(CASE WHEN bi = 2 THEN bv END) AS b2,
+             |    max(CASE WHEN bi = 3 THEN bv END) AS b3
+             |  FROM bands GROUP BY doc_id),
+             |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             |  FROM bands a JOIN bands b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+             |SELECT c.ia, c.ib,
+             |  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+             |       bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT)
+             |    AS hamming
+             |FROM cand c JOIN hx x ON x.doc_id = c.ia JOIN hx y ON y.doc_id = c.ib
+             |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+             |      bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 6
              |ORDER BY ia, ib""".stripMargin)),
 
     // ---- image decode through the real BMP parser (stride padding,
