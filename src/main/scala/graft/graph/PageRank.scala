@@ -78,6 +78,12 @@ object PageRank {
           (lit(base) + expr(s"($dampNum * coalesce(insum, 0L)) div $dampDen")).as("r"))
         .localCheckpoint()
     }
+    // ranks are materialized (eager localCheckpoint) — the cached edge
+    // and degree tables are no longer reachable from the result plan,
+    // so release their executor storage instead of leaking it into a
+    // long-lived session (the serving-path cache-leak lesson)
+    ed.unpersist()
+    deg.unpersist()
     ranks
   }
 

@@ -66,9 +66,16 @@ object Triangles {
       .select(col("e1.u").as("u"), col("e1.v").as("v"), col("e2.v").as("w"))
     val tri = wedges.as("wg").join(ori.as("e3"),
       col("wg.v") === col("e3.u") && col("wg.w") === col("e3.v"))
-    tri.select(explode(array(col("wg.u"), col("wg.v"), col("wg.w"))).as("ok"))
+    val counts = tri
+      .select(explode(array(col("wg.u"), col("wg.v"), col("wg.w"))).as("ok"))
       .select((col("ok") % (1L << 32)).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      // per-node counts are tiny; materialize them (eager local
+      // checkpoint) so the cached edge table can be released here
+      // rather than leak into a long-lived session
+      .localCheckpoint()
+    und.unpersist()
+    counts
   }
 
   /** q118: the part CO-PURCHASE graph — parts are adjacent when they
