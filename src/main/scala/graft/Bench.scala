@@ -43,7 +43,13 @@ object Bench {
       // this session's additions: rank fusion, A-ES weighted sampling,
       // bigram-LM scoring, per-source KL (q109/q111 are fixture-pinned)
       "q106_rrf_fusion", "q107_weighted_sample", "q108_bigram_lm",
-      "q110_source_kl")
+      "q110_source_kl",
+      // second continuation: streaming quantiles stays out (streaming
+      // harness); q112 leakage split, fuzzy join, fixed-point pagerank,
+      // SCD2 build, triangle counting, audio near-dup are all
+      // sf-independent
+      "q112_leakage_split", "q115_fuzzy_join", "q116_pagerank",
+      "q117_scd2", "q118_triangles", "q119_audio_neardup", "q120_sessionize")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

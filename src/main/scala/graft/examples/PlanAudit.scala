@@ -22,7 +22,9 @@ object PlanAudit {
         "q97_line_dedup", "q98_url_domain_filter", "q99_profile",
         "q101_snapshot_diff", "q102_bm25_topk", "q103_lexical_index",
         "q106_rrf_fusion", "q107_weighted_sample", "q108_bigram_lm",
-        "q110_source_kl", "q111_pca_screen_recall", "q112_leakage_split")
+        "q110_source_kl", "q111_pca_screen_recall", "q112_leakage_split",
+        "q115_fuzzy_join", "q116_pagerank", "q117_scd2", "q118_triangles",
+        "q119_audio_neardup", "q120_sessionize")
     val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")

@@ -57,6 +57,33 @@ object Scd {
         col("n_events"))
   }
 
+  /** BATCH SESSIONIZATION — the time-gap twin of [[scd2]]'s
+    * state-change islands: a new session starts when the gap to the
+    * previous event exceeds `gapMicros`. Same single-Exchange shape
+    * (flag → prefix sum → one aggregation per island); gap arithmetic
+    * is exact integer microseconds, not interval math, so the oracle
+    * replays it with epoch_us. The batch complement of the streaming
+    * event-time-timeout sessionizer (q20's streaming twin) — replaying
+    * history through the batch form must agree with what the stream
+    * computed live, which is why both exist.
+    */
+  def sessionize(s: SparkSession, df: DataFrame, key: String, ts: String,
+      tie: String, gapMicros: Long): DataFrame = {
+    require(gapMicros > 0, s"gapMicros must be > 0: $gapMicros")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = df
+      .withColumn("_prev", lag(unix_micros(col(ts)), 1).over(w))
+      .withColumn("_chg",
+        when(col("_prev").isNull ||
+          unix_micros(col(ts)) - col("_prev") > gapMicros, 1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_chg")).over(wr))
+    flagged.groupBy(col(key), col("_isl"))
+      .agg(min(col(ts)).as("session_start"), max(col(ts)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col(key), col("session_start"), col("session_end"), col("n_events"))
+  }
+
   /** q117: each user's event_type treated as a state machine — the
     * SCD2 table of state runs over (ts, event_id) order. The oracle
     * replays flag → prefix-sum → island aggregation → lead with the
@@ -86,5 +113,30 @@ object Scd {
              |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY isl) AS valid_to,
              |  n_events
              |FROM g ORDER BY user_id, valid_from""".stripMargin)),
+
+    // ---- batch sessionization at a 30-minute gap: flag → prefix sum →
+    //      per-island aggregate, gap compared in exact integer
+    //      microseconds (epoch_us both sides, no interval arithmetic) ----
+    "q120_sessionize" -> Q(
+      (s, d) => sessionize(s, Tables.events(s, d), "user_id", "ts",
+          "event_id", gapMicros = 30L * 60 * 1000000)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+             |    CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+             |w AS (SELECT *, epoch_us(ts) -
+             |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    AS gap FROM e),
+             |f AS (SELECT *, CASE WHEN gap IS NULL OR gap > 1800000000
+             |    THEN 1 ELSE 0 END AS chg FROM w),
+             |i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS isl FROM f)
+             |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             |  count(*) AS n_events
+             |FROM i GROUP BY user_id, isl
+             |ORDER BY user_id, session_start""".stripMargin)),
   )
 }

@@ -47,6 +47,24 @@ class ScdSpec extends SparkSpec {
       (2L, Some("Q"), ts(0), None, 1L)))
   }
 
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    val s = spark
+    import s.implicits._
+    val gap = 10L * 60 * 1000000 // 10 minutes in micros
+    val ev = Seq(
+      (1L, ts(0), 0L), (1L, ts(5), 1L), (1L, ts(15), 2L), // 10m gap == NOT greater
+      (1L, ts(26), 3L), // 11m gap -> new session
+      (2L, ts(0), 4L))
+      .toDF("user_id", "t", "eid")
+    val got = graft.rel.Scd.sessionize(s, ev, "user_id", "t", "eid", gap)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, ts(0), ts(15), 3L), // exactly-10m gap stays in-session
+      (1L, ts(26), ts(26), 1L),
+      (2L, ts(0), ts(0), 1L)))
+  }
+
   test("the whole build plans exactly ONE shuffle (windows + islands share the key partitioning)") {
     val s = spark
     import s.implicits._
