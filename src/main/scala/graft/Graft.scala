@@ -499,4 +499,74 @@ object Graft {
   def splitByCluster(spark: SparkSession, docs: DataFrame, clusters: DataFrame,
       fractions: Seq[(String, Double)]): DataFrame =
     llm.Curation.splitByCluster(spark, docs, clusters, fractions)
+
+  /** Versioned (upsert-able) lexical index: postings append under
+    * (doc, ver); the probe serves each doc's LATEST version with
+    * update-exact idf ([[llm.Lexical.saveLexicalVersioned]]).
+    */
+  def saveLexicalVersioned(spark: SparkSession, docs: DataFrame, dir: String): Unit =
+    llm.Lexical.saveLexicalVersioned(spark, docs, dir)
+
+  /** Streaming upserts into a versioned lexical index
+    * ([[llm.Lexical.upsertLexicalStream]]).
+    */
+  def upsertLexicalStream(spark: SparkSession, stream: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    llm.Lexical.upsertLexicalStream(spark, stream, dir, checkpoint)
+
+  /** BM25 top-k over the LATEST version of every doc in a versioned
+    * lexical index ([[llm.Lexical.probeBm25Latest]]).
+    */
+  def probeBm25Latest(spark: SparkSession, dir: String,
+      queries: Seq[(Int, Seq[String])], k: Int): DataFrame =
+    llm.Lexical.probeBm25Latest(spark, dir, queries, k)
+
+  /** All row pairs of `df` whose `str` values are within Levenshtein
+    * distance ≤ maxDist — deletion-neighborhood blocking, exact verify
+    * ([[rel.FuzzyJoin.selfPairs]]).
+    */
+  def fuzzySelfPairs(spark: SparkSession, df: DataFrame, id: String,
+      str: String, maxDist: Int = 1): DataFrame =
+    rel.FuzzyJoin.selfPairs(spark, df, id, str, maxDist)
+
+  /** Cross-table fuzzy join within Levenshtein ≤ maxDist
+    * ([[rel.FuzzyJoin.joinPairs]]).
+    */
+  def fuzzyJoin(spark: SparkSession, left: DataFrame, lid: String, lstr: String,
+      right: DataFrame, rid: String, rstr: String, maxDist: Int = 1): DataFrame =
+    rel.FuzzyJoin.joinPairs(spark, left, lid, lstr, right, rid, rstr, maxDist)
+
+  /** Fixed-point integer PageRank — bit-exact on any engine
+    * ([[graph.PageRank.pagerankFixedPoint]]).
+    */
+  def pagerank(spark: SparkSession, edges: DataFrame, iters: Int = 5): DataFrame =
+    graph.PageRank.pagerankFixedPoint(spark, edges, iters)
+
+  /** Per-node triangle counts with degree-oriented wedge bounding
+    * ([[graph.Triangles.triangleCounts]]).
+    */
+  def triangleCounts(spark: SparkSession, edges: DataFrame): DataFrame =
+    graph.Triangles.triangleCounts(spark, edges)
+
+  /** SCD Type-2 state-history build: consecutive equal attribute runs
+    * as [valid_from, valid_to) intervals ([[rel.Scd.scd2]]).
+    */
+  def scd2(spark: SparkSession, df: DataFrame, key: String, attr: String,
+      ts: String, tie: String): DataFrame =
+    rel.Scd.scd2(spark, df, key, attr, ts, tie)
+
+  /** Batch sessionization at an integer-microsecond gap
+    * ([[rel.Scd.sessionize]]).
+    */
+  def sessionize(spark: SparkSession, df: DataFrame, key: String, ts: String,
+      tie: String, gapMicros: Long): DataFrame =
+    rel.Scd.sessionize(spark, df, key, ts, tie, gapMicros)
+
+  /** Perceptual audio near-dup pairs: WAV decode → gain-invariant
+    * energy-delta fingerprint → banded LSH → exact Hamming
+    * ([[llm.ImageOps.audioFingerprintDups]]).
+    */
+  def audioNearDups(spark: SparkSession, blobs: DataFrame,
+      maxHamming: Int = 6): DataFrame =
+    llm.ImageOps.audioFingerprintDups(spark, blobs, maxHamming)
 }
