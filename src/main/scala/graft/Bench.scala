@@ -49,7 +49,8 @@ object Bench {
       // SCD2 build, triangle counting, audio near-dup are all
       // sf-independent
       "q112_leakage_split", "q115_fuzzy_join", "q116_pagerank",
-      "q117_scd2", "q118_triangles", "q119_audio_neardup", "q120_sessionize")
+      "q117_scd2", "q118_triangles", "q119_audio_neardup", "q120_sessionize",
+      "q121_pit_lookup", "q122_bfs_hops")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

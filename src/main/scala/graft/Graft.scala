@@ -569,4 +569,11 @@ object Graft {
   def audioNearDups(spark: SparkSession, blobs: DataFrame,
       maxHamming: Int = 6): DataFrame =
     llm.ImageOps.audioFingerprintDups(spark, blobs, maxHamming)
+
+  /** Exact shortest-path distances from a seed set, capped at maxHops
+    * ([[graph.Bfs.boundedDistances]]).
+    */
+  def bfsDistances(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame =
+    graph.Bfs.boundedDistances(spark, edges, seeds, maxHops)
 }

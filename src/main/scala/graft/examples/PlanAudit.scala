@@ -24,7 +24,8 @@ object PlanAudit {
         "q106_rrf_fusion", "q107_weighted_sample", "q108_bigram_lm",
         "q110_source_kl", "q111_pca_screen_recall", "q112_leakage_split",
         "q115_fuzzy_join", "q116_pagerank", "q117_scd2", "q118_triangles",
-        "q119_audio_neardup", "q120_sessionize")
+        "q119_audio_neardup", "q120_sessionize", "q121_pit_lookup",
+        "q122_bfs_hops")
     val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")

@@ -1,0 +1,100 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** BOUNDED-HOP BFS — exact shortest-path distances from a seed set,
+  * capped at `maxHops`: the neighborhood/reachability primitive
+  * (blast-radius queries, influence frontiers, "within 3 hops of a
+  * flagged entity" fraud features). Unbounded BFS on a distributed
+  * engine is a convergence loop; the BOUNDED form — which is what
+  * feature pipelines actually ask for — is a fixed number of
+  * relational steps, so its cost is predictable and its oracle can
+  * replay every hop verbatim (chained CTEs, the q116 pattern).
+  *
+  * All arithmetic is integer (distances), all reductions are `min` —
+  * order-independent, so the result is bit-exact on any engine.
+  *
+  * Scale shape (100 TB): edges shuffle once (cached, partitioned by
+  * src); each hop joins the current distance table (8+8 bytes per
+  * reached node) to the cached edges and min-merges — traffic per hop
+  * is the reached set, not the graph. Lineage is cut per hop; caches
+  * released on return.
+  */
+object Bfs {
+
+  /** Distances ≤ maxHops from `seeds` (col `node`) over directed
+    * `edges` (cols `u`, `v`; symmetrize for undirected semantics).
+    * Output: (node, dist), one row per reached node, dist = exact
+    * hop-count shortest distance (seeds at 0).
+    */
+  def boundedDistances(s: SparkSession, edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val ed = edges.select(col("u").cast("long"), col("v").cast("long"))
+      .distinct()
+      .repartition(col("u"))
+      .cache()
+    var dist = seeds.select(col("node").cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      dist = dist
+        .unionAll(ed.join(dist, ed("u") === dist("node"))
+          .select(ed("v").as("node"), (dist("dist") + 1L).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    ed.unpersist()
+    dist
+  }
+
+  /** q122: the 3-hop neighborhood of nation-0 suppliers in the trade
+    * graph (q116's customer↔supplier edges) — every node within three
+    * trade links, with its exact distance. The oracle replays all
+    * three frontier expansions as chained CTEs (exact integer min).
+    */
+  val all: ListMap[String, Q] = ListMap(
+    "q122_bfs_hops" -> Q(
+      (s, d) => {
+        val e0 = Tables.orders(s, d).join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("u"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("v"))
+          .distinct()
+        val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+        val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey").cast("long") * 2 + 1).as("node"))
+        boundedDistances(s, edges, seeds, maxHops = 3)
+          .select(
+            when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+              .as("kind"),
+            expr("node div 2").as("key"), col("dist"))
+          .orderBy("dist", "kind", "key")
+      },
+      Some {
+        def hop(prev: String, cur: String): String =
+          s"""$cur AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM $prev
+             |  UNION ALL
+             |  SELECT ed.v AS node, $prev.dist + 1 AS dist
+             |  FROM ed JOIN $prev ON ed.u = $prev.node) GROUP BY node)""".stripMargin
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+           |ed AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+           |d0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS dist
+           |  FROM supplier WHERE s_nationkey = 0),
+           |${hop("d0", "d1")},
+           |${hop("d1", "d2")},
+           |${hop("d2", "d3")}
+           |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           |  node // 2 AS key, CAST(dist AS BIGINT) AS dist
+           |FROM d3 ORDER BY dist, kind, key""".stripMargin
+      }),
+  )
+}

@@ -138,5 +138,46 @@ object Scd {
              |  count(*) AS n_events
              |FROM i GROUP BY user_id, isl
              |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- point-in-time lookup: the SCD2 table SERVING its purpose —
+    //      each (user, probe-instant) resolves to the state valid at
+    //      that instant via the as-of join (intervals are contiguous,
+    //      so as-of on valid_from IS containment; probes before a
+    //      user's first interval resolve to NULL). Composition of
+    //      q117's build with the q16-era AsofJoin; the oracle replays
+    //      the islands chain and uses DuckDB's native ASOF LEFT JOIN ----
+    "q121_pit_lookup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val runs = scd2(s, Tables.events(s, d), "user_id", "event_type",
+            "ts", "event_id")
+          .select(col("user_id"), col("valid_from").as("ts"), col("state"))
+        val probes = Tables.events(s, d).select(col("user_id")).distinct()
+          .crossJoin(
+            Seq("2024-01-02 00:00:00", "2024-01-04 12:00:00", "2024-01-07 00:00:00")
+              .toDF("pt").select(to_timestamp(col("pt")).as("ts")))
+        AsofJoin.asof(probes, runs, "user_id", "ts", Map("state" -> "state"))
+          .select(col("user_id").cast("long").as("user_id"),
+            col("ts").cast("timestamp_ntz").as("probe_ts"), col("state"))
+          .orderBy("user_id", "probe_ts")
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+             |    CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+             |w AS (SELECT *, CASE WHEN event_type IS NOT DISTINCT FROM
+             |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    THEN 0 ELSE 1 END AS chg FROM e),
+             |i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS isl FROM w),
+             |runs AS (SELECT user_id, isl, max(event_type) AS state,
+             |    min(ts) AS valid_from FROM i GROUP BY user_id, isl),
+             |probes AS (SELECT u.user_id, v.t
+             |  FROM (SELECT DISTINCT user_id FROM e) u,
+             |    (VALUES (TIMESTAMP '2024-01-02 00:00:00'),
+             |            (TIMESTAMP '2024-01-04 12:00:00'),
+             |            (TIMESTAMP '2024-01-07 00:00:00')) v(t))
+             |SELECT p.user_id AS user_id, p.t AS probe_ts, r.state
+             |FROM probes p ASOF LEFT JOIN runs r
+             |  ON p.user_id = r.user_id AND p.t >= r.valid_from
+             |ORDER BY p.user_id, probe_ts""".stripMargin)),
   )
 }
