@@ -94,6 +94,11 @@ object FuzzyJoin {
     * over the cap are DROPPED and counted in the observation
     * `<observePrefix>_dropped_buckets` when a prefix is given. With no
     * drops the result is EXACT (the completeness guarantee).
+    *
+    * Contract: ids must be NON-NEGATIVE longs — the in-flight drop
+    * marker is (-1, -1), the same convention as [[graft.llm.Dedup
+    * .jaccardPairs]]'s size markers (all the engine's id spaces are
+    * parquet surrogate keys ≥ 0).
     */
   def selfPairs(s: SparkSession, df: DataFrame, id: String, str: String,
       maxDist: Int = 1, cap: Int = 10000,
