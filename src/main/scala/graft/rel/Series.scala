@@ -1,0 +1,152 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+
+/** TIME-SERIES OPERATORS over keyed ordered rows — the per-entity
+  * sequential analytics a monitoring/feature pipeline runs after the
+  * relational aggregates: exponential smoothing and robust rolling
+  * anomaly detection.
+  *
+  * The interesting one architecturally is [[ewmaFixedPoint]]: an EWMA
+  * is a NON-ASSOCIATIVE recurrence (s_i depends on s_{i-1}), so it
+  * cannot be a window aggregate or a tree reduction. The engine's
+  * shape for it is repartition-by-key + secondary sort + ONE
+  * sequential pass per partition with O(1) state per key — the batch
+  * twin of `mapGroupsWithState`. That is exactly one shuffle of the
+  * (already aggregated) series rows, no window buffering, no driver
+  * involvement; at 100 TB the cost is the same shuffle any groupBy on
+  * the key would pay, and state never exceeds one row regardless of
+  * series length.
+  *
+  * All arithmetic is FIXED-POINT INTEGER (the q116 PageRank trick):
+  * alpha = num/den applied as `(num*x + (den-num)*s) floorDiv den`,
+  * so results are bit-exact across engines and the DuckDB oracle can
+  * replay the recurrence with a recursive CTE (`//` is the same floor
+  * division).
+  */
+object Series {
+
+  /** Append column `smooth` = fixed-point EWMA of `value` within each
+    * `key` group ordered by `ord`: s_1 = x_1, then
+    * s_i = (num*x_i + (den-num)*s_{i-1}) floorDiv den.
+    *
+    * One shuffle (repartition by key); each partition is scanned once
+    * in (key, ord) order with constant state. Keys never straddle
+    * partitions, so the recurrence is exact.
+    */
+  def ewmaFixedPoint(df: DataFrame, key: String, ord: String, value: String,
+      num: Long, den: Long): DataFrame = {
+    require(den > 0 && num > 0 && num < den,
+      s"alpha = num/den must be in (0,1): $num/$den")
+    val outSchema = df.schema.add("smooth", LongType, nullable = false)
+    val keyIdx = df.schema.fieldIndex(key)
+    val valIdx = df.schema.fieldIndex(value)
+    df.repartition(col(key)).sortWithinPartitions(col(key), col(ord))
+      .mapPartitions { it =>
+        var prevKey: Any = null
+        var have = false
+        var state = 0L
+        it.map { r =>
+          val k = r.get(keyIdx)
+          val x = r.getLong(valIdx)
+          state =
+            if (!have || k != prevKey) x
+            else Math.floorDiv(num * x + (den - num) * state, den)
+          have = true
+          prevKey = k
+          Row.fromSeq(r.toSeq :+ state)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Daily value totals per user in integer cents — the shared series
+    * both entries smooth/score. Exact: per-event round to cents, then
+    * integer sums.
+    */
+  private def dailyCents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("daily_cents"))
+
+  private val dailySql =
+    """daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS daily_cents
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** Trailing-window LOWER MEDIAN (exact, integer): sort the window's
+    * values and take element (n+1) div 2 (1-based) — no interpolation,
+    * so the result stays integral and cross-engine exact.
+    */
+  private def lowerMedian(arr: Column): Column =
+    element_at(array_sort(arr), ((size(arr) + 1) / 2).cast("int"))
+
+  val all: ListMap[String, Q] = ListMap(
+    // ----------------------------------------------------------------
+    // q124: per-user EWMA of daily spend. alpha = 1/4:
+    // s_i = (x_i + 3 s_{i-1}) div 4. The oracle replays the recurrence
+    // as a recursive CTE joined on row_number (depth = series length,
+    // max 30 days in the fixture).
+    "q124_ewma_smooth" -> Q(
+      (s, d) => {
+        ewmaFixedPoint(dailyCents(s, d), "user_id", "day", "daily_cents",
+            num = 1, den = 4)
+          .withColumnRenamed("smooth", "smooth_cents")
+          .orderBy("user_id", "day")
+      },
+      Some(s"""WITH RECURSIVE $dailySql,
+         |base AS (SELECT user_id, day, daily_cents,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+         |  FROM daily),
+         |r AS (
+         |  SELECT user_id, day, rn, daily_cents, daily_cents AS smooth_cents
+         |  FROM base WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.user_id, b.day, b.rn, b.daily_cents,
+         |    (b.daily_cents + 3 * r.smooth_cents) // 4
+         |  FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+         |SELECT user_id, day, daily_cents, smooth_cents
+         |FROM r ORDER BY user_id, day""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q125: robust rolling anomaly flags — 7-day trailing lower-median
+    // and MAD (median absolute deviation), flag when the day's value
+    // sits >= 5 MAD+1 units off the median. Integer throughout; the
+    // window is a ROWS frame so the oracle's list()-window replays it
+    // exactly. The +1 on MAD avoids the zero-MAD degenerate flag.
+    "q125_rolling_anomaly" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+        val withArr = dailyCents(s, d).withColumn("arr",
+          collect_list(col("daily_cents")).over(w))
+        withArr
+          .withColumn("med7", lowerMedian(col("arr")))
+          .withColumn("mad7", lowerMedian(
+            transform(col("arr"), e => abs(e - col("med7")))))
+          .withColumn("anom",
+            when(abs(col("daily_cents") - col("med7")) >= lit(5L) * (col("mad7") + 1L),
+              1L).otherwise(0L))
+          .select("user_id", "day", "daily_cents", "med7", "mad7", "anom")
+          .orderBy("user_id", "day")
+      },
+      Some(s"""WITH $dailySql,
+         |w1 AS (SELECT user_id, day, daily_cents,
+         |    list(daily_cents) OVER (PARTITION BY user_id ORDER BY day
+         |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM daily),
+         |m AS (SELECT user_id, day, daily_cents, arr,
+         |    list_sort(arr)[(len(arr) + 1) // 2] AS med7 FROM w1),
+         |f AS (SELECT user_id, day, daily_cents, med7,
+         |    list_sort(list_transform(arr, e -> abs(e - med7)))
+         |      [(len(arr) + 1) // 2] AS mad7 FROM m)
+         |SELECT user_id, day, daily_cents, med7, mad7,
+         |  CAST(CASE WHEN abs(daily_cents - med7) >= 5 * (mad7 + 1)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS anom
+         |FROM f ORDER BY user_id, day""".stripMargin)),
+  )
+}
