@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.LongType
 import scala.collection.immutable.ListMap
 import graft.rel.RelQueries.Q
@@ -235,5 +236,113 @@ object StreamingOps {
              |  max(CASE WHEN vr = (5*(m-1))//10 THEN value END) AS p50_est,
              |  max(CASE WHEN vr = (9*(m-1))//10 THEN value END) AS p90_est
              |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- streaming RECURRENCE: q124's fixed-point EWMA as per-key
+    //      streaming state. An EWMA is non-associative, so its streaming
+    //      form is flatMapGroupsWithState — O(1) state per key (last
+    //      day, smoothed value, day count) carried across batches, the
+    //      exact streaming twin of Series.ewmaFixedPoint's secondary-sort
+    //      pass. Within a batch the group's days are aggregated and
+    //      folded in order; a batch arriving out of event-time order for
+    //      a key fails loud rather than silently corrupting the
+    //      recurrence (same contract the watermark gives windowed aggs).
+    //      Final per-user state must equal the batch recurrence
+    //      BIT-FOR-BIT, which the recursive-CTE oracle pins. ----
+    "q127_stream_ewma" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sch = s.read.parquet(s"$d/events.parquet").schema
+        val raw = s.readStream.schema(sch).parquet(s"$d/{events.parquet}")
+        val ev =
+          if (sch("ts").dataType == LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        val rows = ev.select(col("user_id").cast("long"),
+            unix_date(to_date(date_trunc("DAY", col("ts")))),
+            round(col("value") * 100, 0).cast("long"))
+          .as[(Long, Int, Long)]
+        val out = ewmaStream(rows)
+        val q = out.toDF("user_id", "n_days", "last_day_i", "smooth_cents")
+          .writeStream.format("memory").queryName("stream_ewma")
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+        // update mode re-emits a key's row each batch it changes in; keep
+        // the final emission per key (n_days strictly grows)
+        s.table("stream_ewma")
+          .groupBy("user_id")
+          .agg(max(struct(col("n_days"), col("last_day_i"), col("smooth_cents")))
+            .as("m"))
+          .select(col("user_id"), col("m.n_days").as("n_days"),
+            date_from_unix_date(col("m.last_day_i")).as("last_day"),
+            col("m.smooth_cents").as("smooth_cents"))
+          .orderBy("user_id")
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |base AS (SELECT user_id, day, cents,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+             |  FROM daily),
+             |r AS (
+             |  SELECT user_id, day, rn, cents AS smooth FROM base WHERE rn = 1
+             |  UNION ALL
+             |  SELECT b.user_id, b.day, b.rn, (b.cents + 3 * r.smooth) // 4
+             |  FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1),
+             |l AS (SELECT user_id, max(rn) AS mx FROM base GROUP BY user_id)
+             |SELECT r.user_id, CAST(l.mx AS BIGINT) AS n_days, r.day AS last_day,
+             |  r.smooth AS smooth_cents
+             |FROM r JOIN l ON r.user_id = l.user_id AND r.rn = l.mx
+             |ORDER BY r.user_id""".stripMargin)),
   )
+
+  /** Per-key EWMA streaming state: last folded day (epoch days), the
+    * smoothed value, and how many days the recurrence has consumed.
+    */
+  case class EwmaState(lastDay: Int, smooth: Long, nDays: Long)
+
+  /** The q127 pipeline minus source/sink: (key, epochDay, cents) rows →
+    * per-batch cumulative (key, n_days, last_day, smooth) emissions.
+    * Exposed so specs can drive it over a MemoryStream in multiple
+    * batches (cross-batch state carry, out-of-order rejection).
+    */
+  private[graft] def ewmaStream(rows: org.apache.spark.sql.Dataset[(Long, Int, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Int, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, (Long, Long, Int, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout)(ewmaGroup)
+  }
+
+  /** Fold one batch of a user's events into the EWMA state: aggregate
+    * the batch to daily cent totals, then run the s = (x + 3s) div 4
+    * recurrence over the days in order, seeding from carried state.
+    * Emits the key's cumulative (n_days, last_day, smooth) once per
+    * batch. No timeout is registered — state lives for the stream (150
+    * keys here; an eviction horizon would use the q61 watermark pattern).
+    */
+  private def ewmaGroup(uid: Long, it: Iterator[(Long, Int, Long)],
+      st: GroupState[EwmaState]): Iterator[(Long, Long, Int, Long)] = {
+    val daily = scala.collection.mutable.LongMap.empty[Long]
+    it.foreach { case (_, day, c) =>
+      daily(day.toLong) = daily.getOrElse(day.toLong, 0L) + c
+    }
+    if (daily.isEmpty) Iterator.empty
+    else {
+      val days = daily.keysIterator.toArray.sorted
+      var (lastDay, smooth, n) = st.getOption
+        .map(s0 => (s0.lastDay, s0.smooth, s0.nDays))
+        .getOrElse((Int.MinValue, 0L, 0L))
+      require(days.head > lastDay,
+        s"out-of-order batch for key $uid: day ${days.head} after $lastDay")
+      days.foreach { dl =>
+        val x = daily(dl)
+        smooth = if (n == 0L) x else Math.floorDiv(x + 3L * smooth, 4L)
+        n += 1
+        lastDay = dl.toInt
+      }
+      st.update(EwmaState(lastDay, smooth, n))
+      Iterator.single((uid, n, lastDay, smooth))
+    }
+  }
 }
