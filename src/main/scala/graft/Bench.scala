@@ -50,7 +50,11 @@ object Bench {
       // sf-independent
       "q112_leakage_split", "q115_fuzzy_join", "q116_pagerank",
       "q117_scd2", "q118_triangles", "q119_audio_neardup", "q120_sessionize",
-      "q121_pit_lookup", "q122_bfs_hops")
+      "q121_pit_lookup", "q122_bfs_hops",
+      // round-7 tail: k-core peel, secondary-sort EWMA, rolling
+      // median/MAD, target encoding (q127 stays out: streaming harness)
+      "q123_kcore", "q124_ewma_smooth", "q125_rolling_anomaly",
+      "q126_target_encode")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -576,4 +576,35 @@ object Graft {
   def bfsDistances(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame =
     graph.Bfs.boundedDistances(spark, edges, seeds, maxHops)
+
+  /** Nodes of the k-core (max subgraph with all degrees ≥ k) with their
+    * in-core degrees; throws if the peel has not stabilized within
+    * maxRounds ([[graph.KCore.kCore]]).
+    */
+  def kCore(spark: SparkSession, edges: DataFrame, k: Int,
+      maxRounds: Int = 20): DataFrame =
+    graph.KCore.kCore(spark, edges, k, maxRounds)
+
+  /** Fixed-point integer EWMA (alpha = num/den) per key in `ord` order,
+    * appended as column `smooth` — one shuffle, sequential per-key fold
+    * ([[rel.Series.ewmaFixedPoint]]).
+    */
+  def ewmaFixedPoint(df: DataFrame, key: String, ord: String, value: String,
+      num: Long, den: Long): DataFrame =
+    rel.Series.ewmaFixedPoint(df, key, ord, value, num, den)
+
+  /** Streaming twin of [[ewmaFixedPoint]] at alpha = 1/4: (key,
+    * epochDay, cents) rows → cumulative per-key (n_days, last_day,
+    * smooth) emissions each batch ([[streaming.StreamingOps.ewmaStream]]).
+    */
+  def ewmaStream(rows: org.apache.spark.sql.Dataset[(Long, Int, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Int, Long)] =
+    streaming.StreamingOps.ewmaStream(rows)
+
+  /** Leakage-safe out-of-fold target-encoding table over (category,
+    * fold, integral value) ([[rel.Encode.targetEncode]]).
+    */
+  def targetEncode(df: DataFrame, category: String, fold: String,
+      value: String): DataFrame =
+    rel.Encode.targetEncode(df, category, fold, value)
 }

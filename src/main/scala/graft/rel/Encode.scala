@@ -22,6 +22,28 @@ import graft.rel.RelQueries.Q
   */
 object Encode {
 
+  /** The out-of-fold encoding table for `df`: one row per (category,
+    * fold) with the target sum/count over the other folds and the
+    * integer floor-div mean (null when a category exists in only one
+    * fold). `value` must be an integral column (fixed-point the target
+    * first). Join this (broadcast — it is |categories|×|folds| rows)
+    * back onto rows by (category, fold) to attach the feature.
+    */
+  def targetEncode(df: org.apache.spark.sql.DataFrame, category: String,
+      fold: String, value: String): org.apache.spark.sql.DataFrame = {
+    val byFold = df.groupBy(col(category), col(fold))
+      .agg(sum(col(value)).as("fsum"), count(lit(1)).as("fcnt"))
+    val w = Window.partitionBy(category)
+    byFold
+      .withColumn("oof_sum", sum("fsum").over(w) - col("fsum"))
+      .withColumn("oof_cnt", sum("fcnt").over(w) - col("fcnt"))
+      .withColumn("oof_mean",
+        when(col("oof_cnt") === 0, lit(null))
+          .otherwise(expr("oof_sum div oof_cnt")))
+      .select(col(category), col(fold), col("oof_sum"), col("oof_cnt"),
+        col("oof_mean"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // q126: encode part brand by mean retail price (cents) with 5
     // hash folds on the part key. Output is the full encoding table:
@@ -32,16 +54,8 @@ object Encode {
           col("p_brand").as("brand"),
           (col("p_partkey") % 5).cast("long").as("fold"),
           round(col("p_retailprice") * 100, 0).cast("long").as("cents"))
-        val byFold = base.groupBy("brand", "fold")
-          .agg(sum("cents").as("fsum"), count(lit(1)).as("fcnt"))
-        val w = Window.partitionBy("brand")
-        byFold
-          .withColumn("oof_sum", sum("fsum").over(w) - col("fsum"))
-          .withColumn("oof_cnt", sum("fcnt").over(w) - col("fcnt"))
-          .withColumn("oof_mean_cents",
-            when(col("oof_cnt") === 0, lit(null))
-              .otherwise(expr("oof_sum div oof_cnt")))
-          .select("brand", "fold", "oof_sum", "oof_cnt", "oof_mean_cents")
+        targetEncode(base, "brand", "fold", "cents")
+          .withColumnRenamed("oof_mean", "oof_mean_cents")
           .orderBy("brand", "fold")
       },
       Some("""WITH base AS (SELECT p_brand AS brand, p_partkey % 5 AS fold,
