@@ -29,7 +29,8 @@ object SparkEntry {
       graft.rel.Profile.all ++ graft.llm.Lexical.all ++ graft.llm.Fusion.all ++
       graft.llm.Pca.all ++ graft.rel.FuzzyJoin.all ++ graft.graph.PageRank.all ++
       graft.rel.Scd.all ++ graft.graph.Triangles.all ++ graft.graph.Bfs.all ++
-      graft.graph.KCore.all ++ graft.rel.Series.all ++ graft.rel.Encode.all
+      graft.graph.KCore.all ++ graft.rel.Series.all ++ graft.rel.Encode.all ++
+      graft.rel.Funnel.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

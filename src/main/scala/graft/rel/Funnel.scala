@@ -1,0 +1,114 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+
+/** PRODUCT-ANALYTICS OPERATORS over the event stream: ordered funnel
+  * conversion and retention cohorts — the two queries every
+  * behavioral-analytics engine is asked for first.
+  *
+  * Both are exact and engine-portable: timestamps are compared as
+  * integer MICROSECONDS on both sides (Spark's native resolution;
+  * `epoch_us` in the oracle), so the nanosecond fixture truncates
+  * identically and strict `>` comparisons cannot diverge.
+  *
+  * Scale shape (100 TB): every stage is keyed by user_id — the funnel
+  * is a chain of filter → per-user min reductions joined user-to-user
+  * (co-partitioned, no second wide shuffle once AQE reuses the
+  * exchange), retention is one distinct + one self-join on the same
+  * key. Nothing is collected; counts are the only driver-bound rows.
+  */
+object Funnel {
+
+  /** Strictly-ordered funnel: users whose first `steps(0)` precedes a
+    * later `steps(1)`, precedes a later `steps(2)`, … Each stage finds
+    * the earliest qualifying event AFTER the previous stage's time
+    * (first-touch semantics). Returns (step, users) with steps
+    * numbered so the funnel reads in order.
+    */
+  def funnelCounts(events: DataFrame, typeCol: String, userCol: String,
+      tsMicrosCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsMicrosCol)).as("t"))
+    var out = Seq((s"1_${steps.head}", reached.count()))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val prev = reached
+      reached = events.filter(col(typeCol) === st).as("e")
+        .join(prev.as("p"), col(s"e.$userCol") === col(s"p.$userCol") &&
+          col(s"e.$tsMicrosCol") > col("p.t"))
+        .groupBy(col(s"e.$userCol").as(userCol))
+        .agg(min(col(s"e.$tsMicrosCol")).as("t"))
+      out = out :+ ((s"${i + 1}_$st", reached.count()))
+    }
+    out.toDF("step", "users")
+  }
+
+  /** Retention cohorts: users bucketed by first-active day; for each
+    * (cohort day, day offset), how many of that cohort were active.
+    * Offset 0 row is the cohort size.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, dayCol: String): DataFrame = {
+    val userDays = events.select(col(userCol), col(dayCol)).distinct()
+    val first = userDays.groupBy(col(userCol))
+      .agg(min(col(dayCol)).as("cohort_day"))
+    userDays.join(first, userCol)
+      .groupBy(col("cohort_day"),
+        datediff(col(dayCol), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  val all: ListMap[String, Q] = ListMap(
+    // q128: the view → click → purchase funnel with first-touch
+    // ordering. The driver compare needs a deterministic DataFrame, and
+    // the stage counts are three driver-side longs by construction
+    // (that is the operator's output, not a collect of data rows).
+    "q128_funnel" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("user_id"),
+            unix_micros(col("ts")).as("tus"))
+        funnelCounts(ev, "event_type", "user_id", "tus",
+            Seq("view", "click", "purchase"))
+          .orderBy("step")
+      },
+      Some("""WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+             |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+             |    AND epoch_us(e.ts) > t1.t
+             |  WHERE e.event_type = 'click' GROUP BY 1),
+             |t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+             |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+             |    AND epoch_us(e.ts) > t2.t
+             |  WHERE e.event_type = 'purchase' GROUP BY 1)
+             |SELECT step, users FROM (
+             |  SELECT '1_view' AS step, count(*) AS users FROM t1
+             |  UNION ALL SELECT '2_click', count(*) FROM t2
+             |  UNION ALL SELECT '3_purchase', count(*) FROM t3)
+             |ORDER BY step""".stripMargin)),
+
+    // q129: daily retention cohorts over the event fixture (30 days,
+    // 150 users → cohort 0 holds nearly everyone; the tail cohorts pin
+    // the first-seen logic).
+    "q129_retention" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("day"))
+        retentionCohorts(ev, "user_id", "day")
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+             |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+             |f AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+             |SELECT f.cohort_day,
+             |  CAST(date_diff('day', f.cohort_day, ud.day) AS BIGINT) AS day_offset,
+             |  count(*) AS active_users
+             |FROM ud JOIN f ON ud.user_id = f.user_id
+             |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)),
+  )
+}
