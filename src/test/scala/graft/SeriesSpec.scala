@@ -41,4 +41,14 @@ class SeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](run(Seq((1L, 1L, 1L)), 4, 4))
     intercept[IllegalArgumentException](run(Seq((1L, 1L, 1L)), 0, 4))
   }
+
+  test("plan shape: the recurrence costs exactly one shuffle") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).map(i => (i % 7, i, i * 3)).toDF("k", "t", "x")
+    val plan = Series.ewmaFixedPoint(df, "k", "t", "x", 1, 4)
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?m)^\\s*\\+?-? ?Exchange ".r.findAllIn(plan).length
+    assert(exchanges == 1, s"plan:\n$plan")
+  }
 }
