@@ -607,4 +607,18 @@ object Graft {
   def targetEncode(df: DataFrame, category: String, fold: String,
       value: String): DataFrame =
     rel.Encode.targetEncode(df, category, fold, value)
+
+  /** Strictly-ordered funnel conversion: per step, users whose first
+    * qualifying event follows their previous stage's first-touch time.
+    * Returns (step, users) rows ([[rel.Funnel.funnelCounts]]).
+    */
+  def funnel(events: DataFrame, typeCol: String, userCol: String,
+      tsMicrosCol: String, steps: Seq[String]): DataFrame =
+    rel.Funnel.funnelCounts(events, typeCol, userCol, tsMicrosCol, steps)
+
+  /** Retention cohorts keyed by first-active day: (cohort_day,
+    * day_offset, active_users) ([[rel.Funnel.retentionCohorts]]).
+    */
+  def retention(events: DataFrame, userCol: String, dayCol: String): DataFrame =
+    rel.Funnel.retentionCohorts(events, userCol, dayCol)
 }
