@@ -20,16 +20,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS); Spark reads it only as a long
-    * (spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench sessions).
-    * Normalize to a microsecond TimestampType with exact integer division
-    * — the same truncation DuckDB applies casting TIMESTAMP_NS->TIMESTAMP.
+  /** events.ts normalization: the driver has shipped this column as
+    * parquet TIMESTAMP(NANOS) (reads as a long under
+    * spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench sessions)
+    * and as TIMESTAMP(MICROS) without UTC adjustment (reads as
+    * TIMESTAMP_NTZ under Spark's NTZ inference). Normalize BOTH to a
+    * microsecond TimestampType: nanos divide exactly (the same truncation
+    * DuckDB applies casting TIMESTAMP_NS->TIMESTAMP); NTZ casts to LTZ as
+    * an epoch identity because every graft session pins
+    * spark.sql.session.timeZone=UTC — matching DuckDB's naive TIMESTAMP.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

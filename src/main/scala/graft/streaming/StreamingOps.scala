@@ -15,6 +15,20 @@ import graft.rel.RelQueries.Q
   */
 object StreamingOps {
 
+  /** Same ts normalization as [[graft.rel.Tables.events]], for streaming
+    * readers that source the parquet directly: nanos-as-long divides to
+    * micros; TIMESTAMP_NTZ casts to LTZ (epoch identity — sessions pin
+    * UTC). Watermarks/windows require TimestampType, so NTZ cannot pass
+    * through.
+    */
+  private def normTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => df
+  }
+
   /** Run [[EventStream.hourlyByType]] as a file-source streaming query in
     * COMPLETE mode, drained to completion (memory sink — the full result
     * stays on the driver, which is the point of a verification entry;
@@ -35,10 +49,7 @@ object StreamingOps {
     // sharing the prefix (a bare `events.parquet*` would silently widen
     // the source to e.g. events.parquet_bak)
     val raw = s.readStream.schema(sch).parquet(s"$dir/{events.parquet}")
-    val ev =
-      if (sch("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val ev = normTs(raw)
     val q = EventStream.hourlyByType(ev)
       .writeStream.format("memory").queryName(queryName)
       .outputMode("complete").start()
@@ -253,10 +264,7 @@ object StreamingOps {
         import s.implicits._
         val sch = s.read.parquet(s"$d/events.parquet").schema
         val raw = s.readStream.schema(sch).parquet(s"$d/{events.parquet}")
-        val ev =
-          if (sch("ts").dataType == LongType)
-            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else raw
+        val ev = normTs(raw)
         val rows = ev.select(col("user_id").cast("long"),
             unix_date(to_date(date_trunc("DAY", col("ts")))),
             round(col("value") * 100, 0).cast("long"))
