@@ -58,8 +58,12 @@ object Triangles {
       .join(deg.withColumnRenamed("x", "b").withColumnRenamed("d", "db"), "b")
       .select((col("da") * (1L << 32) + col("a")).as("oka"),
         (col("db") * (1L << 32) + col("b")).as("okb"))
+    // the oriented edge table feeds THREE join sides (wedge e1/e2 and
+    // the closing e3); cached, each side reads the shuffled result of
+    // the two degree joins instead of recomputing them
     val ori = okeyed.select(least(col("oka"), col("okb")).as("u"),
       greatest(col("oka"), col("okb")).as("v"))
+      .cache()
     // wedges from each orientation-source u: ordered out-neighbor pairs
     val wedges = ori.as("e1").join(ori.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
@@ -75,6 +79,7 @@ object Triangles {
       // rather than leak into a long-lived session
       .localCheckpoint()
     und.unpersist()
+    ori.unpersist()
     counts
   }
 
