@@ -54,7 +54,10 @@ object Bench {
       // round-7 tail: k-core peel, secondary-sort EWMA, rolling
       // median/MAD, target encoding (q127 stays out: streaming harness)
       "q123_kcore", "q124_ewma_smooth", "q125_rolling_anomaly",
-      "q126_target_encode")
+      "q126_target_encode",
+      // round-8 additions: PMI collocations, incremental agg
+      // maintenance, personalized pagerank, containment near-dup
+      "q130_pmi_cooccur", "q131_incr_agg", "q132_ppr", "q133_containment")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -25,7 +25,8 @@ object PlanAudit {
         "q110_source_kl", "q111_pca_screen_recall", "q112_leakage_split",
         "q115_fuzzy_join", "q116_pagerank", "q117_scd2", "q118_triangles",
         "q119_audio_neardup", "q120_sessionize", "q121_pit_lookup",
-        "q122_bfs_hops")
+        "q122_bfs_hops", "q130_pmi_cooccur", "q131_incr_agg",
+        "q132_ppr", "q133_containment")
     val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")

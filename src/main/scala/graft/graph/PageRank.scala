@@ -87,6 +87,68 @@ object PageRank {
     ranks
   }
 
+  /** Fixed-point PERSONALIZED PageRank: the restart mass returns to the
+    * `seeds` set instead of spreading uniformly — the "relevance to
+    * these entities" primitive (related-item retrieval, fraud-ring
+    * proximity, seed-expansion labeling). Same exact-long arithmetic as
+    * [[pagerankFixedPoint]], so the unrolled-CTE oracle pins every
+    * iteration: seeds start with `mass div |S|` each, everyone else 0;
+    * r'(v) = [v∈S]·(runit·(den−num)) div den
+    *         + (num · Σ_{u→v} r(u) div deg(u)) div den.
+    *
+    * Scale shape (100 TB): identical to pagerankFixedPoint — edges
+    * shuffle once and are reused cached; the seed membership table is
+    * broadcast into both the init and per-iteration projections (seed
+    * sets are small by definition — they're the query); per-iteration
+    * traffic is one share map + one message agg, lineage cut per
+    * round. Driver state: |S| and n only.
+    */
+  def personalizedPagerank(s: SparkSession, edges: DataFrame, seeds: DataFrame,
+      iters: Int = 5, dampNum: Int = 85, dampDen: Int = 100,
+      mass: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(dampNum > 0 && dampNum < dampDen, s"need 0 < num < den: $dampNum/$dampDen")
+    val ed = edges.select(col("u").cast("long"), col("v").cast("long"))
+      .distinct()
+      .repartition(col("u"))
+      .cache()
+    val deg = ed.groupBy("u").agg(count(lit(1)).as("d")).cache()
+    // seeds restricted to the node universe (a seed with no out-edges
+    // could never share its rank — excluding it keeps mass accounting
+    // honest), deduplicated, broadcast everywhere it's joined
+    val sd = broadcast(seeds.select(col("node").cast("long").as("node"))
+      .distinct()
+      .join(deg.select(col("u").as("node")), "node")
+      .withColumn("is_seed", lit(1L)))
+      .cache()
+    val k = sd.count()
+    require(k > 0, "no seed appears in the edge set's source universe")
+    val rUnit = mass / k
+    val base = (rUnit * (dampDen - dampNum)) / dampDen
+    var ranks = deg.select(col("u").as("node"))
+      .join(sd, Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed").isNotNull, lit(rUnit)).otherwise(lit(0L)).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val shares = ranks.join(deg, ranks("node") === deg("u"))
+        .select(col("u"), expr("r div d").as("share"))
+      val inSums = ed.join(shares, "u")
+        .groupBy(col("v").as("node")).agg(sum("share").as("insum"))
+      ranks = deg.select(col("u").as("node"))
+        .join(inSums, Seq("node"), "left")
+        .join(sd, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed").isNotNull, lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampNum * coalesce(insum, 0L)) div $dampDen")).as("r"))
+        .localCheckpoint()
+    }
+    ed.unpersist()
+    deg.unpersist()
+    sd.unpersist()
+    ranks
+  }
+
   /** q116: authority over the customer↔supplier TRADE GRAPH — an edge
     * per (customer, supplier) pair that co-occurs in an order
     * (orders ⋈ lineitem), symmetrized; nodes disambiguate by parity
@@ -134,6 +196,46 @@ object PageRank {
        |ORDER BY rank_fp DESC, kind, key""".stripMargin
   }
 
+  /** q132's oracle: the q116 preamble plus a seed CTE; restart mass
+    * (base) is paid only to seed rows, each iteration replayed in exact
+    * BIGINT arithmetic.
+    */
+  private val pprOracleSql: String = {
+    val mass = 1000000000000L
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT d0.u AS node,
+         |    CASE WHEN d0.u IN (SELECT node FROM sd)
+         |      THEN (SELECT base FROM consts) ELSE CAST(0 AS BIGINT) END +
+         |      (85 * coalesce(m.s, 0)) // 100 AS r
+         |  FROM deg d0 LEFT JOIN (
+         |    SELECT ed.v, CAST(sum($prev.r // deg.d) AS BIGINT) AS s
+         |    FROM ed JOIN $prev ON ed.u = $prev.node
+         |            JOIN deg ON ed.u = deg.u
+         |    GROUP BY ed.v) m ON m.v = d0.u)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |ed AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |deg AS (SELECT u, count(*) AS d FROM ed GROUP BY u),
+       |sd AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node FROM supplier
+       |  WHERE s_nationkey = 0
+       |    AND s_suppkey * 2 + 1 IN (SELECT u FROM deg)),
+       |consts AS (
+       |  SELECT CAST($mass AS BIGINT) // count(*) AS runit,
+       |    (CAST($mass AS BIGINT) // count(*)) * 15 // 100 AS base
+       |  FROM sd),
+       |r0 AS (SELECT u AS node,
+       |    CASE WHEN u IN (SELECT node FROM sd)
+       |      THEN (SELECT runit FROM consts) ELSE CAST(0 AS BIGINT) END AS r
+       |  FROM deg),
+       |${(1 to 5).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  node // 2 AS key, CAST(r AS BIGINT) AS rank_fp
+       |FROM r5
+       |ORDER BY rank_fp DESC, kind, key""".stripMargin
+  }
+
   val all: ListMap[String, Q] = ListMap(
     "q116_pagerank" -> Q(
       (s, d) => pagerankFixedPoint(s, tradeEdges(s, d), iters = 5)
@@ -143,5 +245,21 @@ object PageRank {
           expr("node div 2").as("key"), col("r").as("rank_fp"))
         .orderBy(desc("rank_fp"), col("kind"), col("key")),
       Some(oracleSql)),
+
+    // ---- q132: proximity to nation-0 suppliers in the trade graph —
+    //      restart mass returns to the seed set; the oracle unrolls all
+    //      five iterations with the seed-conditional base term ----
+    "q132_ppr" -> Q(
+      (s, d) => {
+        val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey").cast("long") * 2 + 1).as("node"))
+        personalizedPagerank(s, tradeEdges(s, d), seeds, iters = 5)
+          .select(
+            when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+              .as("kind"),
+            expr("node div 2").as("key"), col("r").as("rank_fp"))
+          .orderBy(desc("rank_fp"), col("kind"), col("key"))
+      },
+      Some(pprOracleSql)),
   )
 }

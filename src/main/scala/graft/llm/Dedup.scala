@@ -54,7 +54,39 @@ object Dedup {
   def jaccardPairs(s: SparkSession, docs: DataFrame, minJaccard: Double,
       dfCap: Int = LlmOps.shingleDfCap,
       id: String = "id", text: String = "text",
-      observePrefix: Option[String] = None): DataFrame = {
+      observePrefix: Option[String] = None): DataFrame =
+    pairCounts(s, docs, dfCap, id, text, observePrefix)
+      .withColumn("jac",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= minJaccard)
+      .select("ida", "idb", "inter", "jac")
+
+  /** Asymmetric CONTAINMENT pairs over the same capped-shingle pair
+    * machinery: containment = |A∩B| / min(|A|,|B|) — the quote /
+    * excerpt / superset-document modality Jaccard structurally misses
+    * (a 100-shingle doc fully embedded in a 10,000-shingle doc has
+    * Jaccard ≈ 0.01 but containment 1.0; Broder's resemblance-vs-
+    * containment distinction, SEQUENCES 1997). Reported in exact
+    * integer milli-units ((inter·1000) div min(na,nb)), so the pair
+    * list is hash-pinnable cross-engine. Same single-wide-shuffle
+    * physical shape and df-cap bounds as [[jaccardPairs]].
+    */
+  def containmentPairs(s: SparkSession, docs: DataFrame, minContMilli: Long,
+      dfCap: Int = LlmOps.shingleDfCap,
+      id: String = "id", text: String = "text",
+      observePrefix: Option[String] = None): DataFrame =
+    pairCounts(s, docs, dfCap, id, text, observePrefix)
+      .withColumn("n_small", least(col("na"), col("nb")))
+      .withColumn("cont_milli", expr("(inter * 1000) div least(na, nb)"))
+      .filter(col("cont_milli") >= minContMilli)
+      .select("ida", "idb", "inter", "n_small", "cont_milli")
+
+  /** The shared pair core: (ida, idb, inter, na, nb) for every doc pair
+    * sharing ≥ 1 kept shingle, under the inline df cap.
+    */
+  private def pairCounts(s: SparkSession, docs: DataFrame,
+      dfCap: Int, id: String, text: String,
+      observePrefix: Option[String]): DataFrame = {
     import s.implicits._
     val cap = dfCap
     // shingles travel as 64-bit FNV hashes, not strings: same grouping
@@ -104,9 +136,7 @@ object Dedup {
       .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed(id, "ida").withColumnRenamed("n", "na"), "ida")
       .join(sizes.withColumnRenamed(id, "idb").withColumnRenamed("n", "nb"), "idb")
-      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jac") >= minJaccard)
-      .select("ida", "idb", "inter", "jac")
+      .select("ida", "idb", "inter", "na", "nb")
   }
 
   /** Connected components over an undirected pair list — the step that

@@ -306,6 +306,27 @@ object LlmOps {
              |ORDER BY jac DESC, da, db LIMIT 20""".stripMargin),
       headline = true),
 
+    // ---- asymmetric containment near-dup (|A∩B| / min|A|,|B| — the
+    //      excerpt/superset modality); same shingle+cap machinery and
+    //      oracle preamble as q34, exact integer milli-units ----
+    "q133_containment" -> Q(
+      (s, d) => {
+        Dedup.containmentPairs(s,
+            docs(s, d).select(col("doc_id").as("id"), col("text")),
+            minContMilli = 500, observePrefix = Some("q133_shingles"))
+          .select(col("ida").as("da"), col("idb").as("db"),
+            col("inter"), col("n_small"), col("cont_milli"))
+          .orderBy(col("cont_milli").desc, col("inter").desc, col("da"), col("db"))
+          .limit(20)
+      },
+      Some(s"""WITH ${pairOracleCtes()}
+             |SELECT da, db, CAST(inter AS BIGINT) AS inter,
+             |  CAST(least(za.n, zb.n) AS BIGINT) AS n_small,
+             |  CAST((inter * 1000) // least(za.n, zb.n) AS BIGINT) AS cont_milli
+             |FROM i JOIN z za ON i.da = za.doc_id JOIN z zb ON i.db = zb.doc_id
+             |WHERE (inter * 1000) // least(za.n, zb.n) >= 500
+             |ORDER BY cont_milli DESC, inter DESC, da, db LIMIT 20""".stripMargin)),
+
     // ---- brute-force cosine top-k (exact ANN baseline) ----
     "q37_knn_cosine" -> Q(
       (s, d) => {
