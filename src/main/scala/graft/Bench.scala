@@ -57,7 +57,8 @@ object Bench {
       "q126_target_encode",
       // round-8 additions: PMI collocations, incremental agg
       // maintenance, personalized pagerank, containment near-dup
-      "q130_pmi_cooccur", "q131_incr_agg", "q132_ppr", "q133_containment")
+      "q130_pmi_cooccur", "q131_incr_agg", "q132_ppr", "q133_containment",
+      "q134_kmv_setops", "q135_markov_transitions")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

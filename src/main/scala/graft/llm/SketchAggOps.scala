@@ -67,6 +67,93 @@ object SketchAggOps {
              |  CAST(least(est.nh, $K) AS INT) AS sketch_size
              |FROM ex JOIN est ON ex.source = est.source ORDER BY ex.source""".stripMargin)),
 
+    // ---- KMV SET ALGEBRA (Beyer et al., SIGMOD'07): pairwise
+    //      union/intersection estimates computed purely from the
+    //      per-source sketches — the "overlap between shards/days
+    //      without touching raw data" operation sketch stores exist
+    //      for. Union sketch = k smallest of the two sketches' union;
+    //      ρ = fraction of union-sketch members present in BOTH input
+    //      sketches; intersection ≈ ρ · unionEstimate. Every step is a
+    //      pure function of the md5-prefix hashes, so the oracle
+    //      rebuilds sketches AND estimates exactly; the exact
+    //      intersection (one vocabulary join) rides along as the
+    //      driver-checked ground truth. Scale shape: the corpus is
+    //      touched only by the sketch build (map-side ≤ k-long
+    //      buffers); the pairwise algebra runs on k-long arrays —
+    //      #sources² rows of 512-byte work, nothing data-sized. ----
+    "q134_kmv_setops" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        val hashed = tok.withColumn("hv", kmvHash(col("token")))
+        val agg = new graft.functions.KmvAgg(K)
+        val sk = hashed.select(col("source"), col("hv")).as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2).agg(agg.toColumn).toDF("source", "kmv")
+          .select(col("source"), col("kmv.sketch").as("sk"))
+        val est = sk.as("x").join(sk.as("y"),
+            col("x.source") < col("y.source"))
+          .select(col("x.source").as("sa"), col("y.source").as("sb"),
+            col("x.sk").as("ska"), col("y.sk").as("skb"))
+          .as[(String, String, Array[Long], Array[Long])]
+          .map { case (sa, sb, ska, skb) =>
+            val lu = (ska ++ skb).distinct.sorted.take(K)
+            val ku = lu.length
+            // same arithmetic (and zero-hash guard) as KmvAgg.finish
+            val unionEst =
+              if (ku < K || lu.last == 0L) ku.toDouble
+              else (K - 1).toDouble * (1L << 60).toDouble / lu.last.toDouble
+            val inA = ska.toSet; val inB = skb.toSet
+            val rho = lu.count(h => inA(h) && inB(h)).toLong
+            val interEst = rho.toDouble * unionEst / ku.toDouble
+            (sa, sb, ku, unionEst, rho, interEst)
+          }
+          .toDF("sa", "sb", "ku", "union_est", "rho", "inter_est")
+        val st = tok.select("source", "token").distinct()
+        val exact = st.as("a").join(st.as("b"),
+            col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+          .agg(count(lit(1)).as("exact_inter"))
+        est.join(exact, Seq("sa", "sb"), "left")
+          .select(col("sa"), col("sb"), col("ku").cast("int").as("ku"),
+            round(col("union_est"), 6).as("union_est_r6"), col("rho"),
+            round(col("inter_est"), 6).as("inter_est_r6"),
+            coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+          .orderBy("sa", "sb")
+      },
+      Some(s"""WITH tok AS (SELECT source,
+             |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+             |  FROM documents),
+             |h AS (SELECT DISTINCT source,
+             |    ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv FROM tok),
+             |r AS (SELECT source, hv,
+             |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+             |sk AS (SELECT source, list(hv ORDER BY hv) AS l
+             |  FROM r WHERE rn <= $K GROUP BY source),
+             |pr AS (SELECT a.source AS sa, b.source AS sb, a.l AS la, b.l AS lb
+             |  FROM sk a JOIN sk b ON a.source < b.source),
+             |u AS (SELECT sa, sb, la, lb,
+             |    list_sort(list_distinct(la || lb))[1:$K] AS lu FROM pr),
+             |c AS (SELECT sa, sb, len(lu) AS ku,
+             |    CASE WHEN len(lu) < $K OR lu[len(lu)] = 0
+             |      THEN CAST(len(lu) AS DOUBLE)
+             |      ELSE CAST(${K - 1} AS DOUBLE) * 1152921504606846976 / lu[len(lu)] END
+             |      AS union_est,
+             |    len(list_filter(lu, x -> list_contains(la, x) AND list_contains(lb, x)))
+             |      AS rho
+             |  FROM u),
+             |st AS (SELECT DISTINCT source, token FROM tok),
+             |ex AS (SELECT a.source AS sa, b.source AS sb, count(*) AS exact_inter
+             |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT c.sa, c.sb, CAST(ku AS INT) AS ku,
+             |  round(union_est, 6) AS union_est_r6, CAST(rho AS BIGINT) AS rho,
+             |  round((CAST(rho AS DOUBLE) * union_est) / CAST(ku AS DOUBLE), 6)
+             |    AS inter_est_r6,
+             |  CAST(coalesce(ex.exact_inter, 0) AS BIGINT) AS exact_inter
+             |FROM c LEFT JOIN ex ON c.sa = ex.sa AND c.sb = ex.sb
+             |ORDER BY c.sa, c.sb""".stripMargin)),
+
     // ---- per-source approximate token-count quantiles from a
     //      deterministic bottom-32-by-hash row sample
     //      ([[graft.functions.BottomKSampleAgg]]): the sample and the

@@ -110,5 +110,40 @@ object Funnel {
              |  count(*) AS active_users
              |FROM ud JOIN f ON ud.user_id = f.user_id
              |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // ---- q135: first-order MARKOV TRANSITION MATRIX over per-user
+    //      event sequences — the "what happens after X" primitive
+    //      (next-action prediction features, anomalous-flow detection,
+    //      behavioral clustering input). One shuffle: the lead() window
+    //      keyed by user (the sessionize shape); the transition table
+    //      is |event_type|²-bounded, so the probability normalization
+    //      runs over a tiny aggregate. (ts, event_id) is a total order
+    //      within a user, and probabilities are exact integer
+    //      milli-units — both engines replay them bit-for-bit. ----
+    "q135_markov_transitions" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wf = Window.partitionBy(col("et_from"))
+        Tables.events(s, d)
+          .withColumn("et_to", lead(col("event_type"), 1).over(w))
+          .filter(col("et_to").isNotNull)
+          .groupBy(col("event_type").as("et_from"), col("et_to"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("tot", sum("n").over(wf))
+          .select(col("et_from"), col("et_to"), col("n"),
+            expr("(n * 1000) div tot").as("p_milli"))
+          .orderBy("et_from", "et_to")
+      },
+      Some("""WITH e AS (SELECT event_type AS et_from,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS et_to
+             |  FROM events),
+             |t AS (SELECT et_from, et_to, count(*) AS n FROM e
+             |  WHERE et_to IS NOT NULL GROUP BY 1, 2)
+             |SELECT et_from, et_to, CAST(n AS BIGINT) AS n,
+             |  CAST((n * 1000) // sum(n) OVER (PARTITION BY et_from) AS BIGINT)
+             |    AS p_milli
+             |FROM t ORDER BY et_from, et_to""".stripMargin)),
   )
 }
