@@ -145,5 +145,52 @@ object Funnel {
              |  CAST((n * 1000) // sum(n) OVER (PARTITION BY et_from) AS BIGINT)
              |    AS p_milli
              |FROM t ORDER BY et_from, et_to""".stripMargin)),
+
+    // ---- q137: RARE-TRANSITION flow anomaly signals — score each
+    //      user's event sequence against the corpus transition matrix
+    //      (q135's, self-trained): transition count, number of
+    //      below-10% transitions, and the rarest transition taken. All
+    //      integer milli-units, so bit-exact cross-engine. Scale shape:
+    //      the per-user transition stream is computed ONCE (one window
+    //      shuffle, checkpointed) and feeds both the matrix build and
+    //      the scoring join; the matrix is |event_type|²-bounded and
+    //      broadcast, so scoring is a narrow map + one user-keyed agg.
+    //      This is the sequence-analytics twin of q108's in-domain
+    //      perplexity: same train-on-self shape, exact arithmetic. ----
+    "q137_rare_transitions" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wf = Window.partitionBy(col("et_from"))
+        val tr = Tables.events(s, d)
+          .withColumn("et_to", lead(col("event_type"), 1).over(w))
+          .filter(col("et_to").isNotNull)
+          .select(col("user_id"), col("event_type").as("et_from"), col("et_to"))
+          .localCheckpoint() // feeds the matrix build AND the scoring join
+        val probs = tr.groupBy("et_from", "et_to").agg(count(lit(1)).as("n"))
+          .withColumn("tot", sum("n").over(wf))
+          .select(col("et_from"), col("et_to"), expr("(n * 1000) div tot").as("p_milli"))
+        tr.join(broadcast(probs), Seq("et_from", "et_to"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_trans"),
+            sum(when(col("p_milli") < 100, 1L).otherwise(0L)).as("n_rare"),
+            min("p_milli").as("min_p_milli"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type AS et_from,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS et_to
+             |  FROM events),
+             |tr AS (SELECT user_id, et_from, et_to FROM e WHERE et_to IS NOT NULL),
+             |t AS (SELECT et_from, et_to, count(*) AS n FROM tr GROUP BY 1, 2),
+             |p AS (SELECT et_from, et_to,
+             |    (n * 1000) // sum(n) OVER (PARTITION BY et_from) AS p_milli
+             |  FROM t)
+             |SELECT tr.user_id, count(*) AS n_trans,
+             |  CAST(sum(CASE WHEN p.p_milli < 100 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_rare,
+             |  CAST(min(p.p_milli) AS BIGINT) AS min_p_milli
+             |FROM tr JOIN p USING (et_from, et_to)
+             |GROUP BY tr.user_id ORDER BY tr.user_id""".stripMargin)),
   )
 }

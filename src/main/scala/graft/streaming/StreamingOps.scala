@@ -302,6 +302,66 @@ object StreamingOps {
              |  r.smooth AS smooth_cents
              |FROM r JOIN l ON r.user_id = l.user_id AND r.rn = l.mx
              |ORDER BY r.user_id""".stripMargin)),
+
+    // ---- streaming COUNT-MIN sketch: q76's aggregator maintained as
+    //      streaming state over the event file source (one 4×512
+    //      counter array — the at-scale pattern for streaming frequency
+    //      tracking: state is depth×width longs, never the key space).
+    //      Counter sums are order- and batch-boundary-independent, so
+    //      the streamed sketch equals the batch sketch BIT-FOR-BIT and
+    //      the oracle rebuilds every counter and estimate in SQL; the
+    //      overestimate guarantee rides along as a checked column. ----
+    "q136_stream_cms" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val depth = 4; val width = 512
+        def idxCol(c: org.apache.spark.sql.Column, i: Int) =
+          pmod(conv(substring(md5(concat(c, lit("#"), lit(i)).cast("binary")), 1, 7), 16, 10)
+            .cast("long"), lit(width.toLong))
+        val sch = s.read.parquet(s"$d/events.parquet").schema
+        val raw = s.readStream.schema(sch).parquet(s"$d/{events.parquet}")
+        val idx = raw.select(array((0 until depth).map(i =>
+          idxCol(col("user_id").cast("string"), i)): _*).as("idx")).as[Seq[Long]]
+        val agg = new graft.functions.CmsAgg(depth, width)
+        val sk = idx.groupByKey(_ => 0).agg(agg.toColumn).toDF("k", "cms")
+        val q = sk.writeStream.format("memory").queryName("stream_cms")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        val sketch = s.table("stream_cms").select("cms.*")
+          .as[graft.functions.CmsBuf].head()
+        val top = graft.rel.Tables.events(s, d)
+          .groupBy("user_id").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("user_id")).limit(20)
+          .as[(Long, Long)].collect()
+        def idxOf(u: Long, i: Int): Long = {
+          val md5hex = java.security.MessageDigest.getInstance("MD5")
+            .digest((u.toString + "#" + i).getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(md5hex.take(7), 16) % width
+        }
+        top.toSeq.map { case (u, tf) =>
+          val est = graft.functions.CmsAgg.estimate(sketch,
+            (0 until depth).map(i => idxOf(u, i)), depth, width)
+          (u, tf, est, est >= tf)
+        }.toDF("user_id", "tf", "cms_est", "overestimate")
+          .orderBy(col("tf").desc, col("user_id"))
+      },
+      Some("""WITH idx AS (SELECT CAST(user_id AS VARCHAR) AS uk, i.i,
+             |    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' || i.i), 1, 7))::BIGINT % 512
+             |      AS idx
+             |  FROM events CROSS JOIN range(4) i(i)),
+             |counters AS (SELECT i, idx, count(*) AS c FROM idx GROUP BY i, idx),
+             |top AS (SELECT user_id, count(*) AS tf FROM events
+             |  GROUP BY user_id ORDER BY tf DESC, user_id LIMIT 20),
+             |q AS (SELECT t.user_id, t.tf, i.i,
+             |    ('0x' || substr(md5(CAST(t.user_id AS VARCHAR) || '#' || i.i), 1, 7))::BIGINT % 512
+             |      AS idx
+             |  FROM top t CROSS JOIN range(4) i(i)),
+             |est AS (SELECT q.user_id, min(c.c) AS cms_est FROM q
+             |  JOIN counters c ON c.i = q.i AND c.idx = q.idx GROUP BY q.user_id)
+             |SELECT t.user_id, t.tf, e.cms_est, e.cms_est >= t.tf AS overestimate
+             |FROM top t JOIN est e USING (user_id)
+             |ORDER BY t.tf DESC, t.user_id""".stripMargin)),
   )
 
   /** Per-key EWMA streaming state: last folded day (epoch days), the
