@@ -30,7 +30,8 @@ object SparkEntry {
       graft.llm.Pca.all ++ graft.rel.FuzzyJoin.all ++ graft.graph.PageRank.all ++
       graft.rel.Scd.all ++ graft.graph.Triangles.all ++ graft.graph.Bfs.all ++
       graft.graph.KCore.all ++ graft.rel.Series.all ++ graft.rel.Encode.all ++
-      graft.rel.Funnel.all ++ graft.llm.Cooccur.all ++ graft.rel.Incremental.all
+      graft.rel.Funnel.all ++ graft.llm.Cooccur.all ++
+      graft.rel.Incremental.all ++ graft.rel.Quality.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

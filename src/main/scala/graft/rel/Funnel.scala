@@ -192,5 +192,45 @@ object Funnel {
              |  CAST(min(p.p_milli) AS BIGINT) AS min_p_milli
              |FROM tr JOIN p USING (et_from, et_to)
              |GROUP BY tr.user_id ORDER BY tr.user_id""".stripMargin)),
+
+    // ---- q138: per-event-type OLS TREND of daily revenue — least-
+    //      squares slope/intercept computed from EXACT LONG moment sums
+    //      (n, Σx, Σy, Σx², Σxy over epoch-day × daily cents), so the
+    //      closed-form numerator/denominator are integers both engines
+    //      pin bit-for-bit, and the only floating steps are two final
+    //      divisions. The moment-sum formulation IS the scale design:
+    //      one narrow pass + two map-side-combined aggs, no per-group
+    //      sorting, no matrix library — regression over a 100 TB fact
+    //      table reduced to five sums per key. ----
+    "q138_trend_ols" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            unix_date(to_date(date_trunc("DAY", col("ts")))).cast("long").as("x"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+          .select(col("event_type"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+          .withColumn("slope_r6",
+            round(col("num").cast("double") / col("den").cast("double"), 6))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+             |    CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |      AS x,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy
+             |  FROM daily GROUP BY event_type)
+             |SELECT event_type, n,
+             |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+             |  CAST(n * sxx - sx * sx AS BIGINT) AS den,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             |    AS slope_r6
+             |FROM m ORDER BY event_type""".stripMargin)),
   )
 }

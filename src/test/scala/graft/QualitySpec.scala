@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.rel.Quality
+
+class QualitySpec extends SparkSpec {
+
+  test("one-pass audit counts each rule independently") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 10.0, 0.1), (2L, -5.0, 0.2), (3L, 0.0, 1.5), (4L, 7.0, -0.1))
+      .toDF("k", "qty", "disc")
+    val got = Quality.audit(df, Seq(
+        "nonpos_qty" -> (col("qty") <= 0),
+        "disc_range" -> (col("disc") < 0 || col("disc") > 1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("nonpos_qty" -> 2L, "disc_range" -> 2L))
+    // single scan: the plan contains exactly one aggregate over the input
+    val plan = Quality.audit(df, Seq("a" -> (col("qty") < 0),
+      "b" -> (col("disc") > 1))).queryExecution.optimizedPlan
+    val nAgg = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.length
+    assert(nAgg == 1, s"row-local rules must fold into one pass, got $nAgg aggregates")
+  }
+
+  test("duplicate keys and orphans count exactly") {
+    val s = spark
+    import s.implicits._
+    val child = Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "b"), (9L, "x"))
+      .toDF("k", "v")
+    val parent = Seq((1L, "p"), (2L, "p")).toDF("pk", "v")
+    val dup = Quality.duplicateKeys(child, "dups", Seq("k", "v")).collect().head
+    assert(dup.getString(0) == "dups" && dup.getLong(1) == 2L)
+    val orph = Quality.orphans(child, "orph", "k", parent, "pk").collect().head
+    assert(orph.getString(0) == "orph" && orph.getLong(1) == 1L)
+    // clean child: zero, not null
+    val clean = Quality.duplicateKeys(parent, "d0", Seq("pk")).collect().head
+    assert(clean.getLong(1) == 0L)
+  }
+}
