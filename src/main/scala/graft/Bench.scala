@@ -60,7 +60,9 @@ object Bench {
       "q130_pmi_cooccur", "q131_incr_agg", "q132_ppr", "q133_containment",
       "q134_kmv_setops", "q135_markov_transitions",
       // q136 stays out: streaming harness, like q127
-      "q137_rare_transitions", "q138_trend_ols", "q139_data_quality")
+      // q140 stays out: streaming harness, like q127/q136
+      "q137_rare_transitions", "q138_trend_ols", "q139_data_quality",
+      "q141_psi_drift")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -84,5 +84,60 @@ object Incremental {
              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- q140: the STREAMING form of the same maintenance — the
+    //      aggregate state kept current by a foreachBatch upsert as
+    //      micro-batches arrive (the streaming-materialized-view
+    //      pattern: per batch, one partial agg over the batch + one
+    //      merge against key-cardinality-sized state; the stream is
+    //      never re-scanned). Three real micro-batches through the
+    //      file source (maxFilesPerTrigger=1), state alternating
+    //      between two parquet dirs (never overwrite what the same
+    //      job reads). Merge is exact-integer and commutative, so the
+    //      final state is bit-identical to q131's batch answer and
+    //      shares its oracle. ----
+    "q140_stream_incr_agg" -> Q(
+      (s, d) => {
+        val cut2 = lit("1998-09-02").cast("timestamp")
+        val work = java.nio.file.Files.createTempDirectory("graft-q140")
+        val in = s"$work/in"
+        val li = Tables.lineitem(s, d).filter(col("l_shipdate") <= cut2)
+        // three slices by ship year -> three files -> three micro-batches
+        Seq(col("l_shipdate") <= lit("1994-12-31").cast("timestamp"),
+            col("l_shipdate") > lit("1994-12-31").cast("timestamp") &&
+              col("l_shipdate") <= lit("1996-12-31").cast("timestamp"),
+            col("l_shipdate") > lit("1996-12-31").cast("timestamp"))
+          .foreach(p => li.filter(p).coalesce(1).write.mode("append").parquet(in))
+        val sch = s.read.parquet(in).schema
+        val src = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val stateA = s"$work/state_a"; val stateB = s"$work/state_b"
+        def statePath(gen: Long) = if (gen % 2 == 0) stateA else stateB
+        var gen = 0L
+        val q = src.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val delta = pricingState(batch)
+            val merged =
+              if (gen == 0L) delta
+              else mergeStates(s.read.parquet(statePath(gen - 1)), delta)
+            merged.write.mode("overwrite").parquet(statePath(gen))
+            gen += 1
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        require(gen >= 3, s"expected >= 3 micro-batches, got $gen")
+        s.read.parquet(statePath(gen - 1))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty_l,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+             |  count(*) AS count_order,
+             |  CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty_l,
+             |  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty_l
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
   )
 }

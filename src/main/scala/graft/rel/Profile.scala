@@ -158,5 +158,63 @@ object Profile {
              |       ELSE 0.0 + (bin + 1) * 4000.0 END AS DOUBLE) AS hi_edge,
              |  n
              |FROM g ORDER BY bin""".stripMargin)),
+
+    // ---- q141: PSI DISTRIBUTION DRIFT — population stability index of
+    //      each event type's value distribution between the early and
+    //      late half of the stream (the ML-ops drift monitor; PSI > 0.2
+    //      is the classic retrain trigger). Deterministic to the bone:
+    //      the era cut is exact integer day arithmetic ((min+max) div
+    //      2), bins are fixed-width with clamped overflow, counts are
+    //      integers, and the PSI sum follows q110's proven
+    //      round-6-after-ordered-double-terms pattern. Zero-in-either-
+    //      era bins are EXCLUDED (reported via n_bins_used, never
+    //      silently) rather than epsilon-fudged — exactness beats the
+    //      epsilon convention here. Scale: one narrow pass + one
+    //      (type × bin)-bounded agg; the cut is a single scalar agg
+    //      broadcast into the binning pass. ----
+    "q141_psi_drift" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"),
+          unix_date(to_date(date_trunc("DAY", col("ts")))).cast("long").as("day_i"),
+          least(greatest(floor(col("value") / 50), lit(0L)), lit(9L))
+            .cast("long").as("bin"))
+        val cutDf = ev.agg(expr("(min(day_i) + max(day_i)) div 2").as("cut"))
+        val b = ev.crossJoin(cutDf)
+          .groupBy("event_type", "bin")
+          .agg(sum(when(col("day_i") <= col("cut"), 1L).otherwise(0L)).as("ce"),
+            sum(when(col("day_i") > col("cut"), 1L).otherwise(0L)).as("cl"))
+        val t = b.groupBy("event_type").agg(sum("ce").as("te"), sum("cl").as("tl"))
+        b.join(t, "event_type")
+          .filter(col("ce") > 0 && col("cl") > 0)
+          .withColumn("term",
+            (col("ce").cast("double") / col("te") - col("cl").cast("double") / col("tl")) *
+              log((col("ce").cast("double") / col("te")) /
+                (col("cl").cast("double") / col("tl"))))
+          .groupBy("event_type")
+          .agg(max("te").as("n_early"), max("tl").as("n_late"),
+            count(lit(1)).as("n_bins_used"), round(sum("term"), 6).as("psi_r6"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |      AS day_i,
+             |    CAST(least(greatest(floor(value/50), 0), 9) AS BIGINT) AS bin
+             |  FROM events),
+             |c AS (SELECT (min(day_i) + max(day_i)) // 2 AS cut FROM e),
+             |b AS (SELECT event_type, bin,
+             |    CAST(sum(CASE WHEN day_i <= (SELECT cut FROM c) THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS ce,
+             |    CAST(sum(CASE WHEN day_i > (SELECT cut FROM c) THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS cl
+             |  FROM e GROUP BY 1, 2),
+             |t AS (SELECT event_type, sum(ce) AS te, sum(cl) AS tl FROM b GROUP BY 1)
+             |SELECT b.event_type, CAST(max(t.te) AS BIGINT) AS n_early,
+             |  CAST(max(t.tl) AS BIGINT) AS n_late,
+             |  CAST(count(*) AS BIGINT) AS n_bins_used,
+             |  round(sum((CAST(ce AS DOUBLE)/te - CAST(cl AS DOUBLE)/tl)
+             |    * ln((CAST(ce AS DOUBLE)/te) / (CAST(cl AS DOUBLE)/tl))), 6) AS psi_r6
+             |FROM b JOIN t USING (event_type)
+             |WHERE ce > 0 AND cl > 0
+             |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin)),
   )
 }

@@ -55,4 +55,17 @@ class IncrementalSpec extends SparkSpec {
     val af = collectState(left)(("A", "F"))
     assert(af._4 == 3L && af._5 == 9L)
   }
+
+  test("q140's streamed maintenance equals the batch aggregate on the fixture") {
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.SparkEntry.queries("q140_stream_incr_agg")(s, d)
+      .collect().map(_.toSeq).toSeq
+    val batch = Incremental.pricingState(
+        graft.rel.Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
 }
