@@ -232,5 +232,64 @@ object Funnel {
              |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
              |    AS slope_r6
              |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ---- q142: PEARSON CORRELATION between event types' daily revenue
+    //      series — the cross-metric co-movement diagnostic (do clicks
+    //      and purchases move together?). Same exact-moment-sum
+    //      discipline as q138: the daily series join on shared days,
+    //      all five moment sums are exact longs, the numerator and the
+    //      two variance terms are exact longs, and the only floating
+    //      steps are one multiply, one sqrt (IEEE exactly-rounded, so
+    //      cross-engine deterministic), one divide. Scale: one narrow
+    //      pass + a day-keyed join of |types|·|days| aggregates —
+    //      nothing data-sized past the first agg. Exactness bound:
+    //      Σy² in long cents stays exact while per-(type,day) revenue
+    //      < ~5×10⁸ cents over ~30 days (fits sf10⁺ here); past that,
+    //      rescale the unit — and a silent long wrap cannot pass
+    //      unnoticed, because the oracle's HUGEINT sums would go red.
+    //      ----
+    "q142_series_corr" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            unix_date(to_date(date_trunc("DAY", col("ts")))).cast("long").as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+        val m = daily.as("a").join(daily.as("b"),
+            col("a.day") === col("b.day") && col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("a.y")).as("sx"), sum(col("b.y")).as("sy"),
+            sum(col("a.y") * col("a.y")).as("sxx"),
+            sum(col("b.y") * col("b.y")).as("syy"),
+            sum(col("a.y") * col("b.y")).as("sxy"))
+        m.select(col("ta"), col("tb"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("dx"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("dy"))
+          .withColumn("corr_r6",
+            round(col("num").cast("double") /
+              sqrt(col("dx").cast("double") * col("dy").cast("double")), 6))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+             |    CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |      AS day,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             |    count(*) AS n, sum(a.y) AS sx, sum(b.y) AS sy,
+             |    sum(a.y * a.y) AS sxx, sum(b.y * b.y) AS syy,
+             |    sum(a.y * b.y) AS sxy
+             |  FROM daily a JOIN daily b
+             |    ON a.day = b.day AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT ta, tb, n,
+             |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+             |  CAST(n * sxx - sx * sx AS BIGINT) AS dx,
+             |  CAST(n * syy - sy * sy AS BIGINT) AS dy,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             |    AS corr_r6
+             |FROM m ORDER BY ta, tb""".stripMargin)),
   )
 }
