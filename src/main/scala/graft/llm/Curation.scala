@@ -925,6 +925,64 @@ object Curation {
              |  ELSE 0 END
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- q143: TEMPERATURE-SCALED mixture (the multilingual-/multi-
+    //      corpus rebalancing rule, Arivazhagan et al. 2019: sampling
+    //      weight ∝ size^α, α<1 upweights small sources) composed onto
+    //      the q85 budget machinery. Exactness: α = 0.5 via IEEE sqrt
+    //      (exactly rounded — pow's libm variance avoided), weights
+    //      snapped to integer MILLI-units before normalization so the
+    //      weight sum is an exact long and every budget is pure integer
+    //      arithmetic ((B·w) div Σw) — no float-sum-order flake
+    //      anywhere. Driver sees one row per source; the corpus is
+    //      touched by one token-count agg + the budget sampler. ----
+    "q143_temperature_mix" -> Q(
+      (s, d) => {
+        val totalBudget = 20000L
+        val docs = Tables.documents(s, d)
+        val totals = docs
+          .withColumn("n_toks", size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+          .groupBy("source").agg(sum("n_toks").as("toks"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // half-up like both engines' round() (rint's half-to-even would
+        // diverge from the oracle on an exact .5)
+        val wMilli = totals.map { case (src, t) =>
+          src -> math.floor(math.sqrt(t.toDouble) * 1000 + 0.5).toLong
+        }
+        val sw = wMilli.values.sum
+        val budgets = wMilli.map { case (src, w) => src -> (totalBudget * w) / sw }
+        val budgetCol = budgets.foldLeft(lit(-1L)) { case (acc, (src, b)) =>
+          when(col("source") === src, lit(b)).otherwise(acc)
+        }
+        mixtureSampleByBudget(s, docs, budgets)
+          .withColumn("n_toks", size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+            sum(col("n_toks")).as("tok_sum"))
+          .withColumn("budget", budgetCol)
+          .select("source", "budget", "n_kept", "id_sum", "tok_sum")
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+             |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_toks,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+             |  FROM documents),
+             |tot AS (SELECT source, sum(n_toks) AS toks FROM t GROUP BY source),
+             |w AS (SELECT source,
+             |    CAST(round(sqrt(CAST(toks AS DOUBLE)) * 1000) AS BIGINT) AS wm
+             |  FROM tot),
+             |sw AS (SELECT sum(wm) AS swm FROM w),
+             |b AS (SELECT source, (20000 * wm) // (SELECT swm FROM sw) AS budget FROM w),
+             |u AS (SELECT source, doc_id, n_toks,
+             |    coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY hv, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             |  FROM t)
+             |SELECT u.source, CAST(b.budget AS BIGINT) AS budget,
+             |  count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(n_toks) AS BIGINT) AS tok_sum
+             |FROM u JOIN b ON u.source = b.source
+             |WHERE u.cum < b.budget
+             |GROUP BY u.source, b.budget ORDER BY u.source""".stripMargin)),
+
     // ---- stratified mixture sampling by per-source TOKEN BUDGETS:
     //      the hash-order prefix until the budget, two-phase bucketed
     //      plan; the oracle replays the NAIVE window formulation —
