@@ -504,6 +504,58 @@ object LlmOps {
              |SELECT u AS doc_id, min(root) AS cluster_id FROM reach
              |GROUP BY u ORDER BY doc_id""".stripMargin)),
 
+    // ---- q145: GOLDEN-RECORD survivorship — turn q49's near-dup
+    //      clusters into one canonical record per cluster under a
+    //      DETERMINISTIC total-order policy (most tokens, ties to the
+    //      lower doc_id: "keep the richest copy"), with cluster
+    //      bookkeeping a dedup pipeline reports (member and token
+    //      counts). The entity-resolution step after clustering; the
+    //      policy being a total order is what makes the choice
+    //      replayable — the oracle reruns the recursive-CTE clusters
+    //      and the same row_number rule. Scale: clusters' member lists
+    //      are pair-bounded (q34's df-cap machinery); the policy is one
+    //      window over cluster-keyed members, nothing corpus-sized. ----
+    "q145_golden_record" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = Dedup.jaccardPairs(s,
+          docs(s, d).select(col("doc_id").as("id"), col("text")), minJaccard = 0.9)
+        val members = Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .join(docs(s, d).select(col("doc_id"),
+            size(filter(split(trim(lower(col("text"))), "\\s+"),
+              t => length(t) > 0)).cast("long").as("n_tokens")), "doc_id")
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_tokens").desc, col("doc_id"))
+        members
+          .withColumn("rn", row_number().over(w))
+          .groupBy("cluster_id")
+          .agg(max(when(col("rn") === 1, col("doc_id"))).as("canonical_id"),
+            count(lit(1)).as("n_members"), sum("n_tokens").as("tok_sum"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE ${pairOracleCtes()},
+             |p AS (SELECT da, db FROM i
+             |      JOIN z za ON i.da = za.doc_id JOIN z zb ON i.db = zb.doc_id
+             |      WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.9),
+             |ed AS (SELECT da AS u, db AS v FROM p UNION ALL SELECT db, da FROM p),
+             |reach(u, root) AS (
+             |  SELECT DISTINCT u, u FROM ed
+             |  UNION
+             |  SELECT ed.v, reach.root FROM reach JOIN ed ON ed.u = reach.u),
+             |cl AS (SELECT u AS doc_id, min(root) AS cluster_id FROM reach GROUP BY u),
+             |m AS (SELECT cl.doc_id, cl.cluster_id,
+             |    CAST(len(list_filter(regexp_split_to_array(trim(lower(d.text)), '\\s+'),
+             |      x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+             |    row_number() OVER (PARTITION BY cl.cluster_id
+             |      ORDER BY len(list_filter(regexp_split_to_array(trim(lower(d.text)), '\\s+'),
+             |        x -> len(x) > 0)) DESC, cl.doc_id) AS rn
+             |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+             |SELECT cluster_id, CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             |    AS canonical_id,
+             |  count(*) AS n_members, CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+             |FROM m GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
+
     // ---- leakage-free train/val/test split: assignment is a pure
     //      function of the q49 near-dup cluster id (singletons cluster
     //      as themselves), so near-dup pairs cannot straddle splits.

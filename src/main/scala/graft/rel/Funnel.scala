@@ -291,5 +291,51 @@ object Funnel {
              |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
              |    AS corr_r6
              |FROM m ORDER BY ta, tb""".stripMargin)),
+
+    // ---- q144: TIME-WEIGHTED AVERAGE (TWAP) per user — each value
+    //      weighted by how long it was "current" (until the user's next
+    //      event): the financial/metering aggregate where plain AVG is
+    //      simply wrong under irregular sampling. Exact to the bone:
+    //      holding durations are integer seconds (floor of the micro
+    //      difference), weights are cents·seconds in exact longs, and
+    //      the single division is the output. Scale: one user-keyed
+    //      window shuffle (the sessionize shape), then a map-side-
+    //      combined agg; numerator stays exact past 10⁶ events/user at
+    //      month-scale horizons (term ≤ 1.3e11 cents·s). Users whose
+    //      observed span is zero (one event, or all inside one second)
+    //      are excluded EXPLICITLY (dur_s > 0), never divided by zero.
+    //      ----
+    "q144_twap" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .withColumn("dt_s",
+            expr("(unix_micros(lead(ts, 1) over (partition by user_id order by ts, event_id)) - unix_micros(ts)) div 1000000"))
+          .filter(col("dt_s").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum("dt_s").as("dur_s"),
+            sum(col("cents") * col("dt_s")).as("num"))
+          .filter(col("dur_s") > 0)
+          .select(col("user_id"), col("n_intervals"), col("dur_s"), col("num"),
+            round(col("num").cast("double") / col("dur_s").cast("double"), 6)
+              .as("twap_cents_r6"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |    CAST(round(value * 100) AS BIGINT) AS cents,
+             |    (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             |      - epoch_us(ts)) // 1000000 AS dt_s
+             |  FROM events),
+             |g AS (SELECT user_id, count(*) AS n_intervals,
+             |    CAST(sum(dt_s) AS BIGINT) AS dur_s,
+             |    CAST(sum(cents * dt_s) AS BIGINT) AS num
+             |  FROM e WHERE dt_s IS NOT NULL GROUP BY user_id)
+             |SELECT user_id, n_intervals, dur_s, num,
+             |  round(CAST(num AS DOUBLE) / CAST(dur_s AS DOUBLE), 6) AS twap_cents_r6
+             |FROM g WHERE dur_s > 0 ORDER BY user_id""".stripMargin)),
   )
 }
