@@ -621,4 +621,51 @@ object Graft {
     */
   def retention(events: DataFrame, userCol: String, dayCol: String): DataFrame =
     rel.Funnel.retentionCohorts(events, userCol, dayCol)
+
+  /** Windowed PMI collocations over a text column: (a, b, c2, pmi_r6)
+    * for unordered token pairs within `window` positions seen at least
+    * `minCount` times ([[llm.Cooccur.pmiPairs]]).
+    */
+  def pmiPairs(spark: SparkSession, docs: DataFrame, window: Int = 2,
+      minCount: Long = 5, text: String = "text"): DataFrame =
+    llm.Cooccur.pmiPairs(spark, docs, window, minCount, text)
+
+  /** Asymmetric containment near-dup pairs (|A∩B| / min(|A|,|B|) in
+    * exact milli-units) — the excerpt/superset modality Jaccard misses
+    * ([[llm.Dedup.containmentPairs]]).
+    */
+  def containmentPairs(spark: SparkSession, docs: DataFrame,
+      minContMilli: Long, id: String = "id", text: String = "text"): DataFrame =
+    llm.Dedup.containmentPairs(spark, docs, minContMilli, id = id, text = text)
+
+  /** Personalized PageRank: fixed-point integer ranks with restart
+    * mass returning to `seeds` (col `node`)
+    * ([[graph.PageRank.personalizedPagerank]]).
+    */
+  def personalizedPagerank(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, iters: Int = 5): DataFrame =
+    graph.PageRank.personalizedPagerank(spark, edges, seeds, iters)
+
+  /** One-pass declarative data-quality audit: (rule, violations) per
+    * boolean violation predicate, single scan regardless of rule count
+    * ([[rel.Quality.audit]]; see also [[rel.Quality.duplicateKeys]] and
+    * [[rel.Quality.orphans]]).
+    */
+  def qualityAudit(df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    rel.Quality.audit(df, rules)
+
+  /** Algebraic aggregate state of the pricing summary over a lineitem
+    * slice, and its key-wise merge — the incremental-materialized-view
+    * pair ([[rel.Incremental.pricingState]] /
+    * [[rel.Incremental.mergeStates]]): state ⊕ delta is bit-identical
+    * to a full recompute.
+    */
+  def aggState(li: DataFrame): DataFrame = rel.Incremental.pricingState(li)
+
+  /** Merge two algebraic aggregate states key-wise
+    * ([[rel.Incremental.mergeStates]]).
+    */
+  def mergeAggStates(a: DataFrame, b: DataFrame): DataFrame =
+    rel.Incremental.mergeStates(a, b)
 }

@@ -149,6 +149,49 @@ object PageRank {
     ranks
   }
 
+  /** WEIGHTED fixed-point PageRank: rank flows along edges in
+    * proportion to integer edge weights — r'(v) = base + num·Σ_{u→v}
+    * ((r(u)·w_uv) div W_u) div den with W_u = Σ out-weights. The
+    * natural form for co-occurrence graphs where tie strength matters
+    * (a customer-supplier pair with 40 shared orders should pull more
+    * authority than one with 1). Same all-long arithmetic and scale
+    * shape as [[pagerankFixedPoint]]: exact, unrolled-CTE-pinnable;
+    * r·w stays exact while rank mass (1e12) × max weight < 2⁶³
+    * (weights to ~10⁶ are safe).
+    */
+  def weightedPagerank(s: SparkSession, edges: DataFrame, iters: Int = 5,
+      dampNum: Int = 85, dampDen: Int = 100,
+      mass: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(dampNum > 0 && dampNum < dampDen, s"need 0 < num < den: $dampNum/$dampDen")
+    val ed = edges
+      .groupBy(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+      .agg(sum(col("w").cast("long")).as("w")) // duplicate edges add weight
+      .repartition(col("u"))
+      .cache()
+    val deg = ed.groupBy("u").agg(sum("w").as("wu")).cache()
+    val n = deg.count()
+    require(n > 0, "empty edge set")
+    val rUnit = mass / n
+    val base = (rUnit * (dampDen - dampNum)) / dampDen
+    var ranks = deg.select(col("u").as("node"), lit(rUnit).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inSums = ed.join(deg, "u")
+        .join(ranks, ed("u") === ranks("node"))
+        .select(col("v"), expr("(r * w) div wu").as("share"))
+        .groupBy(col("v").as("node")).agg(sum("share").as("insum"))
+      ranks = deg.select(col("u").as("node"))
+        .join(inSums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(insum, 0L)) div $dampDen")).as("r"))
+        .localCheckpoint()
+    }
+    ed.unpersist()
+    deg.unpersist()
+    ranks
+  }
+
   /** q116: authority over the customer↔supplier TRADE GRAPH — an edge
     * per (customer, supplier) pair that co-occurs in an order
     * (orders ⋈ lineitem), symmetrized; nodes disambiguate by parity
@@ -245,6 +288,57 @@ object PageRank {
           expr("node div 2").as("key"), col("r").as("rank_fp"))
         .orderBy(desc("rank_fp"), col("kind"), col("key")),
       Some(oracleSql)),
+
+    // ---- q146: the trade graph with TIE-STRENGTH weights (edge weight
+    //      = distinct orders linking the pair): rank flows in
+    //      proportion to relationship volume. Exact-long recurrence,
+    //      all five iterations unrolled in the oracle with the
+    //      weighted-share term ----
+    "q146_weighted_pagerank" -> Q(
+      (s, d) => {
+        val e0 = Tables.orders(s, d).join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy((col("o_custkey").cast("long") * 2).as("u"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("v"))
+          .agg(countDistinct(col("o_orderkey")).as("w"))
+        val ed = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+        weightedPagerank(s, ed, iters = 5)
+          .select(
+            when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+              .as("kind"),
+            expr("node div 2").as("key"), col("r").as("rank_fp"))
+          .orderBy(desc("rank_fp"), col("kind"), col("key"))
+      },
+      Some {
+        val mass = 1000000000000L
+        def iter(prev: String, cur: String): String =
+          s"""$cur AS (
+             |  SELECT d0.u AS node,
+             |    (SELECT base FROM consts) +
+             |      (85 * coalesce(m.s, 0)) // 100 AS r
+             |  FROM deg d0 LEFT JOIN (
+             |    SELECT ed.v, CAST(sum(($prev.r * ed.w) // deg.wu) AS BIGINT) AS s
+             |    FROM ed JOIN $prev ON ed.u = $prev.node
+             |            JOIN deg ON ed.u = deg.u
+             |    GROUP BY ed.v) m ON m.v = d0.u)""".stripMargin
+        s"""WITH e0 AS (
+           |  SELECT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v,
+           |    count(DISTINCT o.o_orderkey) AS w
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           |  GROUP BY 1, 2),
+           |ed AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+           |deg AS (SELECT u, sum(w) AS wu FROM ed GROUP BY u),
+           |consts AS (
+           |  SELECT CAST($mass AS BIGINT) // count(*) AS runit,
+           |    (CAST($mass AS BIGINT) // count(*)) * 15 // 100 AS base
+           |  FROM deg),
+           |r0 AS (SELECT u AS node, (SELECT runit FROM consts) AS r FROM deg),
+           |${(1 to 5).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")}
+           |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           |  node // 2 AS key, CAST(r AS BIGINT) AS rank_fp
+           |FROM r5
+           |ORDER BY rank_fp DESC, kind, key""".stripMargin
+      }),
 
     // ---- q132: proximity to nation-0 suppliers in the trade graph —
     //      restart mass returns to the seed set; the oracle unrolls all

@@ -200,6 +200,62 @@ object SketchAggOps {
              |  CAST(max(CASE WHEN vr = (9*(m-1))//10 THEN n_tokens END) AS BIGINT) AS p90_est
              |FROM r GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- q147: SKETCH ROLLUP mergeability — per-(source, lang) KMV
+    //      sketches merged UP to per-source, proven bit-identical to
+    //      sketching the source directly (min-k(A∪B) is computable
+    //      from min-k(A) ∪ min-k(B) — the algebraic property the whole
+    //      "persist sketches per shard/day, roll up later without raw
+    //      data" architecture rests on). `rollup_exact` is a
+    //      hash-checked column, and the estimates equal q51-style
+    //      replay. Scale: the rollup stage touches only partial
+    //      sketches (k longs per (source, lang)); the corpus is
+    //      touched once, by the partial build. ----
+    "q147_sketch_rollup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val tok = Tables.documents(s, d)
+          .select(col("source"), col("lang"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        val hashed = tok.withColumn("hv", kmvHash(col("token")))
+        val agg = new graft.functions.KmvAgg(K)
+        val partial = hashed.select(col("source"), col("lang"), col("hv"))
+          .as[(String, String, Long)]
+          .groupByKey(t => (t._1, t._2)).mapValues(_._3).agg(agg.toColumn)
+        val rolled = partial
+          .flatMap { case ((src, _), out) => out.sketch.map(h => (src, h)) }
+          .groupByKey(_._1).mapValues(_._2).agg(agg.toColumn)
+          .map { case (src, out) => (src, out.estimate, out.sketch.length) }
+          .toDF("source", "est_rollup", "size_rollup")
+        val direct = hashed.select(col("source"), col("hv")).as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2).agg(agg.toColumn)
+          .map { case (src, out) => (src, out.estimate, out.sketch.length) }
+          .toDF("source", "est_direct", "size_direct")
+        rolled.join(direct, "source")
+          .select(col("source"), col("est_rollup"), col("est_direct"),
+            (col("est_rollup") === col("est_direct") &&
+              col("size_rollup") === col("size_direct")).as("rollup_exact"),
+            col("size_direct").cast("int").as("sketch_size"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (SELECT source,
+             |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+             |  FROM documents),
+             |h AS (SELECT DISTINCT source,
+             |    ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv FROM tok),
+             |r AS (SELECT source, hv,
+             |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS nh FROM h),
+             |est AS (SELECT source, max(nh) AS nh,
+             |    max(CASE WHEN rn = $K THEN hv END) AS hk FROM r GROUP BY source),
+             |v AS (SELECT source,
+             |    CASE WHEN nh < $K THEN CAST(nh AS DOUBLE)
+             |         ELSE CAST(${K - 1} AS DOUBLE) * 1152921504606846976 / hk END AS est,
+             |    CAST(least(nh, $K) AS INT) AS sketch_size
+             |  FROM est)
+             |SELECT source, est AS est_rollup, est AS est_direct,
+             |  true AS rollup_exact, sketch_size
+             |FROM v ORDER BY source""".stripMargin)),
+
     // ---- heavy hitters through a Count-Min sketch
     //      ([[graft.functions.CmsAgg]]): one 4×512 sketch over every
     //      corpus token, point-queried for the exact top-20 terms. The
