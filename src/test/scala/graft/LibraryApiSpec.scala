@@ -104,4 +104,19 @@ class LibraryApiSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(top.subsetOf(mh), s"missing: ${top -- mh}")
   }
+
+  test("round-8 facade methods agree with their oracle-checked entries") {
+    import org.apache.spark.sql.functions.desc
+    val viaFacade = Graft.pmiPairs(spark, Tables.documents(spark, d))
+      .orderBy(desc("pmi_r6"), col("a"), col("b")).limit(100)
+      .collect().map(_.toSeq).toSeq
+    val viaEntry = SparkEntry.queries("q130_pmi_cooccur")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFacade == viaEntry)
+    val cont = Graft.containmentPairs(spark, docs, minContMilli = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val contEntry = SparkEntry.queries("q133_containment")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(contEntry.subsetOf(cont), s"missing: ${contEntry -- cont}")
+  }
 }
