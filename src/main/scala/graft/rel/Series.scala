@@ -148,5 +148,90 @@ object Series {
          |  CAST(CASE WHEN abs(daily_cents - med7) >= 5 * (mad7 + 1)
          |    THEN 1 ELSE 0 END AS BIGINT) AS anom
          |FROM f ORDER BY user_id, day""".stripMargin)),
+
+    // ---- q148: PER-KEY RANK NORMALIZATION — map each value to its
+    //      within-group percentile rank in exact integer milli-units
+    //      ((rank−1)·1000 div (n−1)); the distribution-free feature
+    //      scaling a training pipeline applies before mixing
+    //      heterogeneous signals. (value, event_id) is a total order,
+    //      so ranks are deterministic; groups of one row pin to 0.
+    //      One window shuffle keyed by the group — the q120 shape. ----
+    "q148_rank_normalize" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("cents"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+          .select(col("event_id"), col("event_type"), col("cents"),
+            when(col("n") === 1, lit(0L))
+              .otherwise(expr("((rk - 1) * 1000) div (n - 1)")).as("rank_milli"))
+          .orderBy("event_type", "cents", "event_id")
+          .limit(500)
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |r AS (SELECT event_id, event_type, cents,
+             |    CAST(row_number() OVER (PARTITION BY event_type
+             |      ORDER BY cents, event_id) AS BIGINT) AS rk,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM e)
+             |SELECT event_id, event_type, cents,
+             |  CAST(CASE WHEN n = 1 THEN 0
+             |    ELSE ((rk - 1) * 1000) // (n - 1) END AS BIGINT) AS rank_milli
+             |FROM r ORDER BY event_type, cents, event_id LIMIT 500""".stripMargin)),
+
+    // ---- q149: WINSORIZED MEAN per key — clamp each value to the
+    //      group's p05/p95 RANK values before averaging (the outlier-
+    //      robust mean feature stores actually use; a plain mean lets
+    //      one fat-finger row poison a feature). Bounds are order
+    //      statistics at exact integer rank indices ((q·(n−1)) div 100
+    //      + 1 in rank space), clamping is integer, and the mean is an
+    //      exact-cents sum over count — the one division is the
+    //      output. Two windows over one group-keyed shuffle. ----
+    "q149_winsorized_mean" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("cents"), col("event_id"))
+        val wg = Window.partitionBy(col("event_type"))
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wg))
+          .withColumn("lo", max(when(col("rk") === expr("(5 * (n - 1)) div 100 + 1"),
+            col("cents"))).over(wg))
+          .withColumn("hi", max(when(col("rk") === expr("(95 * (n - 1)) div 100 + 1"),
+            col("cents"))).over(wg))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), max("lo").as("lo_cents"), max("hi").as("hi_cents"),
+            sum(least(greatest(col("cents"), col("lo")), col("hi"))).as("wsum"))
+          .select(col("event_type"), col("n"), col("lo_cents"), col("hi_cents"),
+            round(col("wsum").cast("double") / col("n").cast("double"), 6)
+              .as("wmean_cents_r6"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |r AS (SELECT event_type, cents,
+             |    CAST(row_number() OVER (PARTITION BY event_type
+             |      ORDER BY cents, event_id) AS BIGINT) AS rk,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM e),
+             |b AS (SELECT event_type, max(n) AS n,
+             |    max(CASE WHEN rk = (5 * (n - 1)) // 100 + 1 THEN cents END) AS lo,
+             |    max(CASE WHEN rk = (95 * (n - 1)) // 100 + 1 THEN cents END) AS hi
+             |  FROM r GROUP BY event_type)
+             |SELECT r.event_type, CAST(max(b.n) AS BIGINT) AS n,
+             |  CAST(max(b.lo) AS BIGINT) AS lo_cents,
+             |  CAST(max(b.hi) AS BIGINT) AS hi_cents,
+             |  round(CAST(sum(least(greatest(r.cents, b.lo), b.hi)) AS DOUBLE)
+             |    / CAST(max(b.n) AS DOUBLE), 6) AS wmean_cents_r6
+             |FROM r JOIN b USING (event_type)
+             |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin)),
   )
 }
