@@ -64,7 +64,8 @@ object Bench {
       "q137_rare_transitions", "q138_trend_ols", "q139_data_quality",
       "q141_psi_drift", "q142_series_corr", "q143_temperature_mix",
       "q144_twap", "q145_golden_record", "q146_weighted_pagerank",
-      "q147_sketch_rollup", "q148_rank_normalize", "q149_winsorized_mean")
+      "q147_sketch_rollup", "q148_rank_normalize", "q149_winsorized_mean",
+      "q150_centroid_sim")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -705,6 +705,47 @@ object LlmOps {
              |      FROM embeddings) t
              |GROUP BY label, idx ORDER BY label, idx""".stripMargin)),
 
+    // ---- q150: LABEL-CENTROID SIMILARITY MATRIX — pairwise cosine
+    //      between the q44 class centroids (label-space confusion
+    //      structure: which classes are embedding-adjacent — the
+    //      near-dup-across-labels / taxonomy-collapse diagnostic).
+    //      Determinism: centroids are snapped to round-6 means FIRST
+    //      (the exact doubles q44 pins cross-engine), then the cosine
+    //      accumulates in index order in both engines (Spark
+    //      `aggregate` folds left; DuckDB list_dot_product walks the
+    //      list), so the one division + sqrt is over identical
+    //      operands. Scale: |labels|² pairs of d-long arrays — the
+    //      corpus is touched only by the centroid agg. ----
+    "q150_centroid_sim" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val agg = new graft.functions.VecMeanAgg(64)
+        val cent = embs(s, d).select(col("label"), col("embedding"))
+          .as[(Int, Seq[Float])]
+          .groupByKey(_._1).mapValues(_._2).agg(agg.toColumn).toDF("label", "vm")
+          .select(col("label"), expr("transform(vm.mean, x -> round(x, 6))").as("c"))
+        cent.as("a").join(cent.as("b"), col("a.label") < col("b.label"))
+          .select(col("a.label").as("la"), col("b.label").as("lb"),
+            round(expr(
+              "aggregate(zip_with(a.c, b.c, (x, y) -> x * y), 0D, (acc, v) -> acc + v)" +
+                " / (sqrt(aggregate(a.c, 0D, (acc, x) -> acc + x * x))" +
+                " * sqrt(aggregate(b.c, 0D, (acc, x) -> acc + x * x)))"), 6)
+              .as("cos_r6"))
+          .orderBy("la", "lb")
+      },
+      Some("""WITH g AS (SELECT label, idx,
+             |    sum(CAST(x AS DOUBLE)) / count(*) AS m
+             |  FROM (SELECT label, unnest(embedding) AS x,
+             |          generate_subscripts(embedding, 1) AS idx FROM embeddings) t
+             |  GROUP BY label, idx),
+             |c AS (SELECT label, list(round(m, 6) ORDER BY idx) AS c
+             |  FROM g GROUP BY label)
+             |SELECT a.label AS la, b.label AS lb,
+             |  round(list_dot_product(a.c, b.c) /
+             |    (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))), 6)
+             |    AS cos_r6
+             |FROM c a JOIN c b ON a.label < b.label ORDER BY la, lb""".stripMargin)),
+
     // ---- the END-TO-END curation pipeline: the operators above
     //      composed the way a training-data run composes them —
     //      quality gate (q31 semantics) → language gate (q32) → exact
