@@ -65,7 +65,7 @@ object Bench {
       "q141_psi_drift", "q142_series_corr", "q143_temperature_mix",
       "q144_twap", "q145_golden_record", "q146_weighted_pagerank",
       "q147_sketch_rollup", "q148_rank_normalize", "q149_winsorized_mean",
-      "q150_centroid_sim")
+      "q150_centroid_sim", "q151_ks_drift")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -216,5 +216,70 @@ object Profile {
              |FROM b JOIN t USING (event_type)
              |WHERE ce > 0 AND cl > 0
              |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin)),
+
+    // ---- q151: two-sample KOLMOGOROV–SMIRNOV drift statistic per
+    //      event type (early vs late era, q141's cut) — the sup-norm
+    //      CDF distance that catches shape drift PSI's fixed bins can
+    //      blur. ENTIRELY INTEGER until the final division: evaluating
+    //      |F₁−F₂| at each distinct value as |cum₁·n₂ − cum₂·n₁| makes
+    //      the supremum an exact long max (no float CDFs to disagree
+    //      on), and D = d_num/(n₁·n₂) is one division, round-6. Scale:
+    //      one narrow pass, one (type, value)-keyed agg, one ordered
+    //      window per type — the CDF walk never materializes rows
+    //      beyond the distinct-value table. ----
+    "q151_ks_drift" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d).select(col("event_type"),
+          unix_date(to_date(date_trunc("DAY", col("ts")))).cast("long").as("day_i"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        val cutDf = ev.agg(expr("(min(day_i) + max(day_i)) div 2").as("cut"))
+        val g = ev.crossJoin(cutDf)
+          .groupBy("event_type", "cents")
+          .agg(sum(when(col("day_i") <= col("cut"), 1L).otherwise(0L)).as("c1"),
+            sum(when(col("day_i") > col("cut"), 1L).otherwise(0L)).as("c2"))
+        val wo = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wg = Window.partitionBy(col("event_type"))
+        g.withColumn("cum1", sum("c1").over(wo))
+          .withColumn("cum2", sum("c2").over(wo))
+          .withColumn("n1", sum("c1").over(wg))
+          .withColumn("n2", sum("c2").over(wg))
+          .filter(col("n1") > 0 && col("n2") > 0)
+          .groupBy("event_type")
+          .agg(max("n1").as("n1"), max("n2").as("n2"),
+            max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("d_num"))
+          .select(col("event_type"), col("n1"), col("n2"), col("d_num"),
+            round(col("d_num").cast("double") /
+              (col("n1").cast("double") * col("n2").cast("double")), 6).as("ks_r6"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |      AS day_i,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |c AS (SELECT (min(day_i) + max(day_i)) // 2 AS cut FROM e),
+             |g AS (SELECT event_type, cents,
+             |    CAST(sum(CASE WHEN day_i <= (SELECT cut FROM c) THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS c1,
+             |    CAST(sum(CASE WHEN day_i > (SELECT cut FROM c) THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS c2
+             |  FROM e GROUP BY 1, 2),
+             |w AS (SELECT event_type,
+             |    sum(c1) OVER (PARTITION BY event_type ORDER BY cents
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             |    sum(c2) OVER (PARTITION BY event_type ORDER BY cents
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+             |    sum(c1) OVER (PARTITION BY event_type) AS n1,
+             |    sum(c2) OVER (PARTITION BY event_type) AS n2
+             |  FROM g)
+             |SELECT event_type, CAST(max(n1) AS BIGINT) AS n1,
+             |  CAST(max(n2) AS BIGINT) AS n2,
+             |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+             |  round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+             |    / (CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE)), 6) AS ks_r6
+             |FROM w WHERE n1 > 0 AND n2 > 0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }
