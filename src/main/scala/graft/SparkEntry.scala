@@ -31,7 +31,8 @@ object SparkEntry {
       graft.rel.Scd.all ++ graft.graph.Triangles.all ++ graft.graph.Bfs.all ++
       graft.graph.KCore.all ++ graft.rel.Series.all ++ graft.rel.Encode.all ++
       graft.rel.Funnel.all ++ graft.llm.Cooccur.all ++
-      graft.rel.Incremental.all ++ graft.rel.Quality.all
+      graft.rel.Incremental.all ++ graft.rel.Quality.all ++
+      graft.rel.Intervals.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
