@@ -32,7 +32,8 @@ object SparkEntry {
       graft.graph.KCore.all ++ graft.rel.Series.all ++ graft.rel.Encode.all ++
       graft.rel.Funnel.all ++ graft.llm.Cooccur.all ++
       graft.rel.Incremental.all ++ graft.rel.Quality.all ++
-      graft.rel.Intervals.all ++ graft.rel.Stats.all
+      graft.rel.Intervals.all ++ graft.rel.Stats.all ++
+      graft.rel.Skyline.all ++ graft.rel.Basket.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
