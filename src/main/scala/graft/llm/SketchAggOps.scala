@@ -18,6 +18,16 @@ object SketchAggOps {
     */
   private[graft] val K = 64
 
+  /** HLL precision (q160): 2^9 = 512 registers */
+  private[graft] val HllP = 9
+
+  /** q160's raw-estimate numerator α·m²·2^(W+1), computed with the
+    * exact operation order [[graft.functions.HllAgg.estimate]] uses, so
+    * the SQL literal and the Scala runtime value are the same double
+    */
+  private[graft] val HllRawC: Double =
+    (0.7213 / (1.0 + 1.079 / 512.0)) * 512 * 512 * (1L << 52).toDouble
+
   /** the 60-bit md5-prefix hash BOTH engines compute exactly — the one
     * definition of the KMV hash, used by q51 and q61
     */
@@ -312,5 +322,88 @@ object SketchAggOps {
              |SELECT t.token, t.tf, e.cms_est, e.cms_est >= t.tf AS overestimate
              |FROM top t JOIN est e USING (token)
              |ORDER BY t.tf DESC, t.token""".stripMargin)),
+
+    // ---- q160: HYPERLOGLOG per-source distinct tokens
+    //      ([[graft.functions.HllAgg]], p=9 → 512 one-byte registers) —
+    //      the constant-size companion to q51's KMV, under the same
+    //      discipline: bucket and rank are pure integer functions of
+    //      the md5-prefix hash, the harmonic denominator is an EXACT
+    //      long in 2^-52 units, and the estimate is one pinned
+    //      division (or one ln on the linear-counting branch) both
+    //      engines evaluate identically. rollup_exact pins the
+    //      register-max merge: per-(source,lang) sketches folded up
+    //      equal the directly-built per-source sketch byte-for-byte
+    //      (the q147 mergeability property at O(1) register cost).
+    //      Scale: map-side 512-byte buffers; nothing data-sized ever
+    //      reaches the driver. ----
+    "q160_hll_distinct" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val tok = Tables.documents(s, d)
+          .select(col("source"), col("lang"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        val hashed = tok.withColumn("hv", kmvHash(col("token")))
+        val agg = new graft.functions.HllAgg(HllP)
+        val direct = hashed.select(col("source"), col("hv")).as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2).agg(agg.toColumn).toDF("source", "regs")
+        val rolled = hashed.select(col("source"), col("lang"), col("hv"))
+          .as[(String, String, Long)]
+          .groupByKey(t => (t._1, t._2)).mapValues(_._3).agg(agg.toColumn)
+          .map { case ((src, _), regs) => (src, regs) }
+          .groupByKey(_._1)
+          .mapGroups { (src, it) =>
+            val acc = new Array[Byte](1 << HllP)
+            it.foreach { case (_, r) =>
+              var i = 0
+              while (i < acc.length) { if (r(i) > acc(i)) acc(i) = r(i); i += 1 }
+            }
+            (src, acc)
+          }.toDF("source", "roll_regs")
+        val stats = direct.join(rolled, "source")
+          .as[(String, Array[Byte], Array[Byte])]
+          .map { case (src, regs, roll) =>
+            val est = graft.functions.HllAgg.estimate(regs, HllP)
+            val estR6 = BigDecimal(est)
+              .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+            (src, regs.count(_ == 0).toLong, regs.map(_.toLong).sum,
+              graft.functions.HllAgg.denomUnits(regs, HllP), estR6,
+              java.util.Arrays.equals(regs, roll))
+          }
+          .toDF("source", "n_zero", "sum_rho", "denom_52", "hll_estimate_r6",
+            "rollup_exact")
+        val exact = tok.groupBy("source")
+          .agg(countDistinct(col("token")).as("exact_distinct"))
+        stats.join(exact, "source")
+          .select(col("source"), col("n_zero"), col("sum_rho"), col("denom_52"),
+            col("hll_estimate_r6"), col("exact_distinct"), col("rollup_exact"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (SELECT source,
+             |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+             |  FROM documents),
+             |h AS (SELECT DISTINCT source,
+             |    ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv FROM tok),
+             |b AS (SELECT source, hv // 2251799813685248 AS bucket,
+             |    hv % 2251799813685248 AS rem FROM h),
+             |r AS (SELECT source, bucket,
+             |    max(CASE WHEN rem = 0 THEN 52
+             |        ELSE 52 - length(bin(rem)) END) AS reg
+             |  FROM b GROUP BY 1, 2),
+             |a AS (SELECT source, count(*) AS nb,
+             |    CAST(sum(reg) AS BIGINT) AS sum_rho,
+             |    CAST(sum(1::BIGINT << (52 - reg)) AS BIGINT) AS dpresent
+             |  FROM r GROUP BY 1),
+             |g AS (SELECT source, CAST(512 - nb AS BIGINT) AS n_zero, sum_rho,
+             |    dpresent + (512 - nb) * 4503599627370496 AS denom_52 FROM a),
+             |e AS (SELECT source, n_zero, sum_rho, denom_52,
+             |    $HllRawC / CAST(denom_52 AS DOUBLE) AS raw FROM g),
+             |ex AS (SELECT source, count(DISTINCT token) AS exact_distinct
+             |  FROM tok GROUP BY source)
+             |SELECT e.source, n_zero, sum_rho, denom_52,
+             |  round(CASE WHEN raw <= 1280.0 AND n_zero > 0
+             |    THEN 512.0 * ln(512.0 / CAST(n_zero AS DOUBLE))
+             |    ELSE raw END, 6) AS hll_estimate_r6,
+             |  exact_distinct, TRUE AS rollup_exact
+             |FROM e JOIN ex ON e.source = ex.source ORDER BY e.source""".stripMargin)),
   )
 }
