@@ -24,16 +24,17 @@ import graft.rel.RelQueries.Q
   * series length.
   *
   * All arithmetic is FIXED-POINT INTEGER (the q116 PageRank trick):
-  * alpha = num/den applied as `(num*x + (den-num)*s) floorDiv den`,
-  * so results are bit-exact across engines and the DuckDB oracle can
-  * replay the recurrence with a recursive CTE (`//` is the same floor
-  * division).
+  * alpha = num/den applied as `(num*x + (den-num)*s) quot den` with
+  * TRUNCATING division, so results are bit-exact across engines and
+  * the DuckDB oracle can replay the recurrence with a recursive CTE
+  * (DuckDB's `//` truncates toward zero on negatives — probed, NOT
+  * floor division; Scala's `/` on longs matches it exactly).
   */
 object Series {
 
   /** Append column `smooth` = fixed-point EWMA of `value` within each
     * `key` group ordered by `ord`: s_1 = x_1, then
-    * s_i = (num*x_i + (den-num)*s_{i-1}) floorDiv den.
+    * s_i = (num*x_i + (den-num)*s_{i-1}) quot den (truncating).
     *
     * One shuffle (repartition by key); each partition is scanned once
     * in (key, ord) order with constant state. Keys never straddle
@@ -54,12 +55,58 @@ object Series {
         it.map { r =>
           val k = r.get(keyIdx)
           val x = r.getLong(valIdx)
+          // TRUNCATING division (`/`), not floorDiv: DuckDB's `//`
+          // truncates toward zero on negatives (probed: (-7)//2 = -3),
+          // so floorDiv would silently diverge from the oracle the
+          // first time a series goes negative. Identical for the
+          // nonnegative common case.
           state =
             if (!have || k != prevKey) x
-            else Math.floorDiv(num * x + (den - num) * state, den)
+            else (num * x + (den - num) * state) / den
           have = true
           prevKey = k
           Row.fromSeq(r.toSeq :+ state)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Append `level`/`trend` = fixed-point Holt double-exponential
+    * smoothing of `value` within each `key` group ordered by `ord`:
+    * l_1 = x_1, b_1 = 0, then
+    *   l_i = (an·x_i + (ad−an)·(l_{i−1}+b_{i−1})) quot ad
+    *   b_i = (bn·(l_i−l_{i−1}) + (bd−bn)·b_{i−1}) quot bd
+    * with TRUNCATING division (`/` on longs): trend numerators go
+    * negative, and DuckDB's `//` truncates toward zero there — the
+    * recurrence must use the division both engines share.
+    * Same single-shuffle shape as [[ewmaFixedPoint]].
+    */
+  def holtFixedPoint(df: DataFrame, key: String, ord: String, value: String,
+      an: Long, ad: Long, bn: Long, bd: Long): DataFrame = {
+    require(ad > 0 && an > 0 && an < ad, s"alpha = an/ad must be in (0,1): $an/$ad")
+    require(bd > 0 && bn > 0 && bn < bd, s"beta = bn/bd must be in (0,1): $bn/$bd")
+    val outSchema = df.schema
+      .add("level", LongType, nullable = false)
+      .add("trend", LongType, nullable = false)
+    val keyIdx = df.schema.fieldIndex(key)
+    val valIdx = df.schema.fieldIndex(value)
+    df.repartition(col(key)).sortWithinPartitions(col(key), col(ord))
+      .mapPartitions { it =>
+        var prevKey: Any = null
+        var have = false
+        var l = 0L
+        var b = 0L
+        it.map { r =>
+          val k = r.get(keyIdx)
+          val x = r.getLong(valIdx)
+          if (!have || k != prevKey) { l = x; b = 0L }
+          else {
+            val lPrev = l
+            l = (an * x + (ad - an) * (l + b)) / ad
+            b = (bn * (l - lPrev) + (bd - bn) * b) / bd
+          }
+          have = true
+          prevKey = k
+          Row.fromSeq(r.toSeq :+ l :+ b)
         }
       }(Encoders.row(outSchema))
   }
@@ -233,5 +280,77 @@ object Series {
              |    / CAST(max(b.n) AS DOUBLE), 6) AS wmean_cents_r6
              |FROM r JOIN b USING (event_type)
              |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin)),
+
+    // ---- q161: REGULAR-GRID RESAMPLE WITH FORWARD FILL — each user's
+    //      irregular daily series stretched onto the dense day grid
+    //      between their first and last observation, gaps carrying the
+    //      last observed value (the join-ready shape time-series
+    //      feature pipelines need before lags/windows make sense).
+    //      Declarative throughout: sequence+explode builds the grid,
+    //      last(ignoreNulls) over a rows frame fills it; one user-keyed
+    //      shuffle. Grid size is calendar-bounded per user. The oracle
+    //      fills via the count-partition trick (no IGNORE NULLS needed). ----
+    "q161_resample_ffill" -> Q(
+      (s, d) => {
+        val daily = dailyCents(s, d)
+          .withColumn("di", unix_date(col("day")).cast("long"))
+        val grid = daily.groupBy("user_id")
+          .agg(min("di").as("d0"), max("di").as("d1"))
+          .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("di"))
+        val w = Window.partitionBy("user_id").orderBy("di")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily.select(col("user_id"), col("di"), col("daily_cents")),
+            Seq("user_id", "di"), "left")
+          .withColumn("cents_filled",
+            last(col("daily_cents"), ignoreNulls = true).over(w))
+          .withColumn("filled", col("daily_cents").isNull)
+          .select(col("user_id"), col("di").as("day_idx"), col("cents_filled"),
+            col("filled"))
+          .orderBy("user_id", "day_idx")
+      },
+      Some(s"""WITH $dailySql,
+         |d2 AS (SELECT user_id, CAST(day - DATE '1970-01-01' AS BIGINT) AS di,
+         |    daily_cents FROM daily),
+         |b AS (SELECT user_id, min(di) AS d0, max(di) AS d1 FROM d2 GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS di FROM b),
+         |j AS (SELECT g.user_id, g.di, d2.daily_cents
+         |  FROM grid g LEFT JOIN d2 USING (user_id, di)),
+         |f AS (SELECT *, count(daily_cents) OVER (PARTITION BY user_id
+         |    ORDER BY di ROWS UNBOUNDED PRECEDING) AS grp FROM j)
+         |SELECT user_id, di AS day_idx,
+         |  max(daily_cents) OVER (PARTITION BY user_id, grp) AS cents_filled,
+         |  daily_cents IS NULL AS filled
+         |FROM f ORDER BY user_id, day_idx""".stripMargin)),
+
+    // ---- q162: HOLT DOUBLE-EXPONENTIAL SMOOTHING — level + trend
+    //      state per user (the forecasting upgrade of q124's EWMA;
+    //      a trend term is what EWMA structurally cannot track). Same
+    //      engine shape: repartition-by-key + secondary sort + one
+    //      sequential pass with O(1) state. Fixed-point α=1/2, β=1/5
+    //      with TRUNCATING long division (Scala `/`), because trend
+    //      numerators go negative and DuckDB's `//` truncates toward
+    //      zero there — floorDiv would silently diverge on declining
+    //      series (probed: (-7)//2 = -3 in DuckDB). ----
+    "q162_holt_trend" -> Q(
+      (s, d) =>
+        holtFixedPoint(dailyCents(s, d), "user_id", "day", "daily_cents",
+            an = 1, ad = 2, bn = 1, bd = 5)
+          .orderBy("user_id", "day"),
+      Some(s"""WITH RECURSIVE $dailySql,
+         |base AS (SELECT user_id, day, daily_cents,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+         |  FROM daily),
+         |r AS (
+         |  SELECT user_id, day, rn, daily_cents,
+         |    daily_cents AS level, CAST(0 AS BIGINT) AS trend
+         |  FROM base WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.user_id, b.day, b.rn, b.daily_cents,
+         |    (b.daily_cents + (r.level + r.trend)) // 2,
+         |    (((b.daily_cents + (r.level + r.trend)) // 2 - r.level)
+         |      + 4 * r.trend) // 5
+         |  FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+         |SELECT user_id, day, daily_cents, level, trend
+         |FROM r ORDER BY user_id, day""".stripMargin)),
   )
 }

@@ -405,7 +405,9 @@ object StreamingOps {
         s"out-of-order batch for key $uid: day ${days.head} after $lastDay")
       days.foreach { dl =>
         val x = daily(dl)
-        smooth = if (n == 0L) x else Math.floorDiv(x + 3L * smooth, 4L)
+        // truncating division, matching Series.ewmaFixedPoint (and
+        // DuckDB //, which truncates toward zero on negatives)
+        smooth = if (n == 0L) x else (x + 3L * smooth) / 4L
         n += 1
         lastDay = dl.toInt
       }

@@ -26,10 +26,11 @@ class SeriesSpec extends SparkSpec {
     }
   }
 
-  test("negative values use floor division (DuckDB // semantics)") {
-    // s1=-3; s2=(1*(-2)+1*(-3)) floorDiv 2 = -5 floorDiv 2 = -3
+  test("negative values use truncating division (DuckDB // semantics)") {
+    // DuckDB // truncates toward zero ((-5)//2 = -2, NOT floor's -3):
+    // s1=-3; s2=(1*(-2)+1*(-3)) quot 2 = -5 quot 2 = -2
     val got = run(Seq((7L, 1L, -3L), (7L, 2L, -2L)), 1, 2)
-    assert(got((7L, 2L)) == -3L)
+    assert(got((7L, 2L)) == -2L)
   }
 
   test("rows arrive unordered; the operator imposes (key, ord) order") {
@@ -40,6 +41,46 @@ class SeriesSpec extends SparkSpec {
   test("alpha outside (0,1) is rejected") {
     intercept[IllegalArgumentException](run(Seq((1L, 1L, 1L)), 4, 4))
     intercept[IllegalArgumentException](run(Seq((1L, 1L, 1L)), 0, 4))
+  }
+
+  test("holt: level tracks and trend converges on a linear ramp; declining series truncate like DuckDB") {
+    val s = spark
+    import s.implicits._
+    // x_i = 100*i: alpha=1/2, beta=1/5 hand-replay of the first steps
+    val ramp = (1L to 6L).map(i => (1L, i, 100L * i))
+    val got = Series.holtFixedPoint(ramp.toDF("k", "t", "x"), "k", "t", "x", 1, 2, 1, 5)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
+    // l1=100,b1=0; l2=(200+100)/2=150,b2=(50+0)/5=10; l3=(300+160)/2=230,b3=(80+40)/5=24
+    assert(got(1L) == (100L, 0L) && got(2L) == (150L, 10L) && got(3L) == (230L, 24L), got)
+    // declining: l1=100,b1=0; l2=(0+100)/2=50, b2=(-50+0)/5=-10 (trunc, floor would differ on -49/5 style cases)
+    val dec = Series.holtFixedPoint(Seq((1L, 1L, 100L), (1L, 2L, 0L), (1L, 3L, 0L))
+        .toDF("k", "t", "x"), "k", "t", "x", 1, 2, 1, 5)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(dec(2L) == (50L, -10L), dec)
+    // step 3: l3=(0+40)/2=20, b3=(-30-40)/5=-14
+    assert(dec(3L) == (20L, -14L), dec)
+  }
+
+  test("resample forward-fills interior gaps only, inside each user's span") {
+    val s = spark
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("ffill").toString
+    val day = 86400000000L
+    // user 1: days 0,3 -> grid 0..3 with days 1,2 filled from day 0
+    Seq((1L, 0L * day, 1L, 2.0), (2L, 3L * day, 1L, 5.0))
+      .toDF("event_id", "tsl", "user_id", "value")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("tsl")).as("ts"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.lit("view").as("event_type"),
+        org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.functions.lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val got = SparkEntry.queries("q161_resample_ffill")(s, work)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((0L, 200L, false), (1L, 200L, true),
+      (2L, 200L, true), (3L, 500L, false)), got.toSeq)
   }
 
   test("plan shape: the recurrence costs exactly one shuffle") {
