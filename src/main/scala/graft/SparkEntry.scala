@@ -33,7 +33,8 @@ object SparkEntry {
       graft.rel.Funnel.all ++ graft.llm.Cooccur.all ++
       graft.rel.Incremental.all ++ graft.rel.Quality.all ++
       graft.rel.Intervals.all ++ graft.rel.Stats.all ++
-      graft.rel.Skyline.all ++ graft.rel.Basket.all
+      graft.rel.Skyline.all ++ graft.rel.Basket.all ++
+      graft.graph.LabelProp.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -53,6 +53,35 @@ object Bfs {
     dist
   }
 
+  /** Weighted bounded-hop shortest distances (Bellman-Ford unrolled k
+    * times): like [[boundedDistances]] but each edge carries a positive
+    * integer cost (col `w`) and the relaxation is `min(dist + w)`.
+    * After k rounds, `dist` is the exact cheapest cost among paths of
+    * ≤ k edges — the bounded form pipelines ask for, with the same
+    * per-hop traffic bound (the reached set, never the graph).
+    */
+  def weightedDistances(s: SparkSession, edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val ed = edges.select(col("u").cast("long"), col("v").cast("long"),
+        col("w").cast("long"))
+      .repartition(col("u"))
+      .cache()
+    var dist = seeds.select(col("node").cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      dist = dist
+        .unionAll(ed.join(dist, ed("u") === dist("node"))
+          .select(ed("v").as("node"), (dist("dist") + ed("w")).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    ed.unpersist()
+    dist
+  }
+
   /** q122: the 3-hop neighborhood of nation-0 suppliers in the trade
     * graph (q116's customer↔supplier edges) — every node within three
     * trade links, with its exact distance. The oracle replays all
@@ -87,6 +116,54 @@ object Bfs {
            |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
            |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
            |ed AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+           |d0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS dist
+           |  FROM supplier WHERE s_nationkey = 0),
+           |${hop("d0", "d1")},
+           |${hop("d1", "d2")},
+           |${hop("d2", "d3")}
+           |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           |  node // 2 AS key, CAST(dist AS BIGINT) AS dist
+           |FROM d3 ORDER BY dist, kind, key""".stripMargin
+      }),
+
+    // ---- q163: WEIGHTED SHORTEST PATHS (Bellman-Ford, 3 rounds) over
+    //      the trade graph with tie-strength costs: an edge between a
+    //      customer and supplier sharing n distinct orders costs
+    //      1000 div n milli-units — strong ties are short, so the
+    //      distance field reads as "how closely connected through the
+    //      supply network". Exact integer relaxations; the oracle
+    //      unrolls all three rounds. ----
+    "q163_weighted_paths" -> Q(
+      (s, d) => {
+        val e0 = Tables.orders(s, d).join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy((col("o_custkey").cast("long") * 2).as("u"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("v"))
+          .agg(countDistinct(col("o_orderkey")).as("n_ord"))
+          .select(col("u"), col("v"), expr("1000 div n_ord").as("w"))
+        val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+        val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey").cast("long") * 2 + 1).as("node"))
+        weightedDistances(s, edges, seeds, maxHops = 3)
+          .select(
+            when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+              .as("kind"),
+            expr("node div 2").as("key"), col("dist"))
+          .orderBy("dist", "kind", "key")
+      },
+      Some {
+        def hop(prev: String, cur: String): String =
+          s"""$cur AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM $prev
+             |  UNION ALL
+             |  SELECT ed.v AS node, $prev.dist + ed.w AS dist
+             |  FROM ed JOIN $prev ON ed.u = $prev.node) GROUP BY node)""".stripMargin
+        s"""WITH e0 AS (
+           |  SELECT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v,
+           |    1000 // count(DISTINCT o.o_orderkey) AS w
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           |  GROUP BY 1, 2),
+           |ed AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
            |d0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS dist
            |  FROM supplier WHERE s_nationkey = 0),
            |${hop("d0", "d1")},

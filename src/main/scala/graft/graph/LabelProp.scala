@@ -1,0 +1,104 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** LABEL PROPAGATION communities (Raghavan et al. 2007), made
+  * DETERMINISTIC: synchronous rounds where every node adopts the most
+  * frequent label among its neighbors, ties broken to the SMALLEST
+  * label — so the result is a pure function of the graph and the
+  * oracle can unroll every round. (Classic async LPA is
+  * order-dependent; an engine whose results can't be replayed can't be
+  * hash-checked, so the engine ships the synchronous variant.)
+  *
+  * The argmax is computed as two aggregations (max count per node,
+  * then min label at that count) rather than a struct-ordering trick,
+  * because that shape replays verbatim in SQL — same CTEs, same
+  * semantics, no engine-specific tuple comparison.
+  *
+  * Scale: edges shuffle once and stay cached; each round's traffic is
+  * the (node, label) table (16 bytes/node) joined to the cached edges,
+  * plus two label-keyed aggs; lineage cut per round.
+  */
+object LabelProp {
+
+  /** `rounds` synchronous LPA rounds over directed `edges` (u, v) —
+    * symmetrize for undirected. Initial label = node id. Nodes with no
+    * in-edges keep their label. Output: (node, label).
+    */
+  def propagate(s: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val ed = edges.select(col("u").cast("long"), col("v").cast("long"))
+      .repartition(col("v"))
+      .cache()
+    val nodes = ed.select(col("u").as("node"))
+      .unionAll(ed.select(col("v").as("node"))).distinct()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = ed.join(labels, ed("u") === labels("node"))
+        .groupBy(ed("v").as("n"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val mx = votes.groupBy(col("n")).agg(max(col("cnt")).as("mx"))
+        .withColumnRenamed("n", "mn")
+      val winner = votes.join(mx,
+          votes("n") === col("mn") && votes("cnt") === col("mx"))
+        .groupBy(votes("n").as("node")).agg(min(col("label")).as("label"))
+      labels = labels.select(col("node").as("old_node"), col("label").as("old_label"))
+        .join(winner, col("old_node") === col("node"), "left")
+        .select(col("old_node").as("node"),
+          coalesce(col("label"), col("old_label")).as("label"))
+        .localCheckpoint()
+    }
+    ed.unpersist()
+    labels
+  }
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q164: communities of the customer↔supplier trade graph
+    //      after 3 deterministic LPA rounds; one row per node with its
+    //      community label (the min-id convention makes labels
+    //      meaningful across engines). The oracle unrolls each round
+    //      as count → max-count → min-winning-label CTEs. ----
+    "q164_label_prop" -> Q(
+      (s, d) => {
+        val e0 = Tables.orders(s, d).join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("u"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("v"))
+          .distinct()
+        val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+        propagate(s, edges, rounds = 3)
+          .select(
+            when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+              .as("kind"),
+            expr("node div 2").as("key"), col("label"))
+          .orderBy("kind", "key")
+      },
+      Some {
+        def round(prev: String, cur: String): String =
+          s"""${cur}_c AS (SELECT ed.v AS n, $prev.label, count(*) AS cnt
+             |  FROM ed JOIN $prev ON ed.u = $prev.node GROUP BY 1, 2),
+             |${cur}_m AS (SELECT n, max(cnt) AS mx FROM ${cur}_c GROUP BY 1),
+             |${cur}_w AS (SELECT c.n AS node, min(c.label) AS label
+             |  FROM ${cur}_c c JOIN ${cur}_m m ON c.n = m.n AND c.cnt = m.mx
+             |  GROUP BY 1),
+             |$cur AS (SELECT p.node, coalesce(w.label, p.label) AS label
+             |  FROM $prev p LEFT JOIN ${cur}_w w ON p.node = w.node)""".stripMargin
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+           |ed AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+           |l0 AS (SELECT node, node AS label FROM
+           |  (SELECT DISTINCT u AS node FROM ed UNION SELECT DISTINCT v FROM ed)),
+           |${round("l0", "l1")},
+           |${round("l1", "l2")},
+           |${round("l2", "l3")}
+           |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           |  node // 2 AS key, CAST(label AS BIGINT) AS label
+           |FROM l3 ORDER BY kind, key""".stripMargin
+      }),
+  )
+}
