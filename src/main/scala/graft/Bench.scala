@@ -155,8 +155,14 @@ object Bench {
         (name, best, median(ok.map(_._1)), ts, ok.length - clean.length)
       }
     }
-    val results = runGroup(headline)
-    val resultsExt = runGroup(extended)
+    // SPARK_GRAFT_BENCH_ONLY=q118_triangles,q116_pagerank restricts both
+    // groups — local perf iteration on one query without the full sweep
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    def keep(g: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      g.filter { case (k, _) => only.forall(_.contains(k)) }
+    val results = runGroup(keep(headline))
+    val resultsExt = runGroup(keep(extended))
     def obj(rs: Seq[(String, Double, Double, Vector[(Double, Double)], Int)])(
         f: ((String, Double, Double, Vector[(Double, Double)], Int)) => String) =
       rs.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")

@@ -98,16 +98,20 @@ object KCore {
           .orderBy("part_key")
       },
       Some {
+        // every peel CTE references its predecessor TWICE: left inlined
+        // (DuckDB's default for CTEs) the chain expands 2^8-fold and the
+        // oracle runs for minutes instead of seconds — AS MATERIALIZED
+        // pins compute-once semantics (verified identical 1857-row core)
         def round(prev: String, cur: String): String =
-          s"""$cur AS (SELECT ed.u AS node FROM ed
+          s"""$cur AS MATERIALIZED (SELECT ed.u AS node FROM ed
              |  JOIN $prev a ON ed.u = a.node JOIN $prev b ON ed.v = b.node
              |  GROUP BY ed.u HAVING count(*) >= 80)""".stripMargin
-        s"""WITH pp AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        s"""WITH pp AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
            |    FROM lineitem a JOIN lineitem b
            |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-           |ed AS (SELECT pa AS u, pb AS v FROM pp
+           |ed AS MATERIALIZED (SELECT pa AS u, pb AS v FROM pp
            |  UNION ALL SELECT pb, pa FROM pp),
-           |c0 AS (SELECT DISTINCT u AS node FROM ed),
+           |c0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM ed),
            |${(1 to 8).map(i => round(s"c${i - 1}", s"c$i")).mkString(",\n")}
            |SELECT CAST(ed.u AS BIGINT) AS part_key,
            |  CAST(count(*) AS BIGINT) AS core_deg

@@ -99,7 +99,9 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     failures = []
+    import time
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         pdir = out_dir / name
         if not pdir.is_dir():
             failures.append((name, 'no spark output dir'))
@@ -131,7 +133,8 @@ def main():
         if err:
             failures.append((name, err))
         else:
-            print(f'OK   {name}: {len(spark_df)} rows')
+            print(f'OK   {name}: {len(spark_df)} rows ({time.time() - t0:.1f}s)',
+                  flush=True)
     for name, err in failures:
         print(f'FAIL {name}: {err}')
     rows_only = [k for k in
