@@ -1,0 +1,144 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** BEHAVIORAL / LONGITUDINAL ANALYTICS — the cohort-retention matrix,
+  * CUSUM changepoint scan, and calendar seasonality index: the three
+  * standard longitudinal reads on an orders/revenue stream.
+  *
+  * Exactness discipline (the q138/q142 house rule): month arithmetic is
+  * integer (y·12+m), revenue is exact cents, CUSUM is the n-scaled
+  * integer partial sum (n·Σ_{i≤t}x_i − t·Σx — no division at all), and
+  * the seasonality index is an integer milli-ratio. Every entry is
+  * bit-replayable by the DuckDB oracle.
+  */
+object Cohort {
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q165: COHORT RETENTION MATRIX — customers grouped by
+    //      first-order month; cell (cohort, k) counts cohort members
+    //      who ordered again k months later. THE subscription/repeat-
+    //      purchase health read. Month index is integer y·12+m, so both
+    //      engines bin identically with no interval arithmetic. Scale:
+    //      one shuffle on custkey for the first-order agg, one
+    //      broadcast-out co-keyed join back (first-order table is
+    //      |customers|, partitioned like orders), one matrix agg. ----
+    "q165_cohort_retention" -> Q(
+      (s, d) => {
+        val om = Tables.orders(s, d).select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("m"))
+        val first = om.groupBy("o_custkey").agg(min(col("m")).as("m0"))
+        om.join(first, "o_custkey")
+          .groupBy(col("m0"), (col("m") - col("m0")).as("offset_months"))
+          .agg(countDistinct(col("o_custkey")).as("n_customers"))
+          .select(
+            concat(format_string("%04d", (col("m0") / 12).cast("int")),
+              lit("-"),
+              format_string("%02d", (col("m0") % 12 + 1).cast("int")))
+              .as("cohort_month"),
+            col("offset_months"), col("n_customers"))
+          .orderBy("cohort_month", "offset_months")
+      },
+      Some("""WITH om AS (
+             |  SELECT o_custkey,
+             |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m
+             |  FROM orders),
+             |f AS (SELECT o_custkey, min(m) AS m0 FROM om GROUP BY o_custkey)
+             |SELECT printf('%04d-%02d', CAST(m0 // 12 AS INT),
+             |    CAST(m0 % 12 + 1 AS INT)) AS cohort_month,
+             |  om.m - f.m0 AS offset_months,
+             |  CAST(count(DISTINCT om.o_custkey) AS BIGINT) AS n_customers
+             |FROM om JOIN f ON om.o_custkey = f.o_custkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q166: CUSUM CHANGEPOINT SCAN — where did the daily-revenue
+    //      level shift? The classic offline CUSUM statistic
+    //      S_t = Σ_{i≤t}(x_i − x̄) peaks at the changepoint; computed
+    //      n-SCALED (n·cum_t − t·total, exact longs, division never
+    //      happens) so the argmax is bit-exact across engines. Output:
+    //      the 5 days with the largest |n·S_t|, i.e. the top candidate
+    //      changepoints. Scale: one day-keyed agg, one window cumsum
+    //      over days (|days| rows — tiny after the agg), 1-row total
+    //      broadcast. ----
+    "q166_cusum_changepoint" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.lineitem(s, d)
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("cents"))
+        val w = Window.orderBy("day")
+        val cum = daily.select(col("day"), col("cents"),
+          sum("cents").over(w).as("cum"),
+          row_number().over(w).cast("long").as("t"))
+        val tot = daily.agg(sum("cents").as("total"),
+          count(lit(1)).cast("long").as("n"))
+        cum.crossJoin(broadcast(tot))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            (col("n") * col("cum") - col("t") * col("total"))
+              .as("cusum_scaled"))
+          .orderBy(abs(col("cusum_scaled")).desc, col("day"))
+          .limit(5)
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(l_shipdate AS DATE) AS day,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM lineitem GROUP BY 1),
+             |c AS (SELECT day, cents,
+             |    CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS cum,
+             |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+             |  FROM daily),
+             |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+             |    CAST(count(*) AS BIGINT) AS n FROM daily)
+             |SELECT strftime(c.day, '%Y-%m-%d') AS day,
+             |  n * cum - t * total AS cusum_scaled
+             |FROM c, tot
+             |ORDER BY abs(n * cum - t * total) DESC, c.day LIMIT 5""".stripMargin)),
+
+    // ---- q169: DAY-OF-WEEK SEASONALITY INDEX — average daily revenue
+    //      per weekday relative to the overall daily average, as an
+    //      integer milli-ratio (1000 = flat). Weekday is computed from
+    //      the epoch-day modulo (0 = Thursday, 1970-01-01), NOT each
+    //      engine's locale-dependent dayofweek(). Scale: a day-keyed
+    //      agg then a 7-row agg; the 1-row total is a broadcast. ----
+    "q169_dow_seasonality" -> Q(
+      (s, d) => {
+        val daily = Tables.lineitem(s, d)
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("cents"))
+        val byDow = daily
+          .groupBy((datediff(col("day"), to_date(lit("1970-01-01"))) % 7)
+            .cast("long").as("dow_idx"))
+          .agg(sum("cents").as("dow_cents"),
+            count(lit(1)).cast("long").as("dow_days"))
+        val tot = daily.agg(sum("cents").as("total"),
+          count(lit(1)).cast("long").as("n_days"))
+        byDow.crossJoin(broadcast(tot))
+          .select(col("dow_idx"),
+            col("dow_cents"), col("dow_days"),
+            ((col("dow_cents") * col("n_days") * 1000) /
+              (col("dow_days") * col("total"))).cast("long")
+              .as("index_milli"))
+          .orderBy("dow_idx")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(l_shipdate AS DATE) AS day,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM lineitem GROUP BY 1),
+             |bd AS (SELECT CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS BIGINT)
+             |      AS dow_idx,
+             |    CAST(sum(cents) AS BIGINT) AS dow_cents,
+             |    CAST(count(*) AS BIGINT) AS dow_days
+             |  FROM daily GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+             |    CAST(count(*) AS BIGINT) AS n_days FROM daily)
+             |SELECT dow_idx, dow_cents, dow_days,
+             |  (dow_cents * n_days * 1000) // (dow_days * total) AS index_milli
+             |FROM bd, tot ORDER BY dow_idx""".stripMargin)),
+  )
+}
