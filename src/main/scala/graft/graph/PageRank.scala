@@ -63,18 +63,22 @@ object PageRank {
     require(n > 0, "empty edge set")
     val rUnit = mass / n
     val base = (rUnit * (dampDen - dampNum)) / dampDen
-    var ranks = deg.select(col("u").as("node"), lit(rUnit).as("r"))
+    // the static out-degree rides INSIDE the rank state (node, d, r):
+    // the share projection is then a narrow map — the per-iteration
+    // plan is exactly one edge join + one message aggregation + the
+    // node-universe join, nothing else
+    var ranks = deg.select(col("u").as("node"), col("d"), lit(rUnit).as("r"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
-      val shares = ranks.join(deg, ranks("node") === deg("u"))
-        .select(col("u"), expr("r div d").as("share"))
+      val shares = ranks.select(col("node").as("u"), expr("r div d").as("share"))
       val inSums = ed.join(shares, "u")
         .groupBy(col("v").as("node")).agg(sum("share").as("insum"))
       // left join from the node universe: a node nobody links to still
       // holds its base rank (cannot happen on symmetrized graphs, but
       // the operator contract is directed)
-      ranks = deg.select(col("u").as("node"))
+      ranks = deg.select(col("u").as("node"), col("d"))
         .join(inSums, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("d"),
           (lit(base) + expr(s"($dampNum * coalesce(insum, 0L)) div $dampDen")).as("r"))
         .localCheckpoint()
     }
@@ -84,7 +88,7 @@ object PageRank {
     // long-lived session (the serving-path cache-leak lesson)
     ed.unpersist()
     deg.unpersist()
-    ranks
+    ranks.select(col("node"), col("r"))
   }
 
   /** Fixed-point PERSONALIZED PageRank: the restart mass returns to the
@@ -125,28 +129,35 @@ object PageRank {
     require(k > 0, "no seed appears in the edge set's source universe")
     val rUnit = mass / k
     val base = (rUnit * (dampDen - dampNum)) / dampDen
-    var ranks = deg.select(col("u").as("node"))
+    // static per-node facts (out-degree + the seed-conditional restart
+    // term) fold into ONE cached node table and ride inside the rank
+    // state, so an iteration is a narrow share map + the edge join +
+    // the message agg + one node-universe join — no per-iteration deg
+    // or seed joins
+    val nodeBase = deg.select(col("u").as("node"), col("d"))
       .join(sd, Seq("node"), "left")
-      .select(col("node"),
-        when(col("is_seed").isNotNull, lit(rUnit)).otherwise(lit(0L)).as("r"))
+      .select(col("node"), col("d"),
+        when(col("is_seed").isNotNull, lit(base)).otherwise(lit(0L)).as("bt"),
+        when(col("is_seed").isNotNull, lit(rUnit)).otherwise(lit(0L)).as("r0"))
+      .cache()
+    var ranks = nodeBase.select(col("node"), col("d"), col("r0").as("r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val shares = ranks.join(deg, ranks("node") === deg("u"))
-        .select(col("u"), expr("r div d").as("share"))
+      val shares = ranks.select(col("node").as("u"), expr("r div d").as("share"))
       val inSums = ed.join(shares, "u")
         .groupBy(col("v").as("node")).agg(sum("share").as("insum"))
-      ranks = deg.select(col("u").as("node"))
+      ranks = nodeBase.select(col("node"), col("d"), col("bt"))
         .join(inSums, Seq("node"), "left")
-        .join(sd, Seq("node"), "left")
-        .select(col("node"),
-          (when(col("is_seed").isNotNull, lit(base)).otherwise(lit(0L)) +
+        .select(col("node"), col("d"),
+          (col("bt") +
             expr(s"($dampNum * coalesce(insum, 0L)) div $dampDen")).as("r"))
         .localCheckpoint()
     }
     ed.unpersist()
     deg.unpersist()
     sd.unpersist()
-    ranks
+    nodeBase.unpersist()
+    ranks.select(col("node"), col("r"))
   }
 
   /** WEIGHTED fixed-point PageRank: rank flows along edges in
@@ -174,22 +185,26 @@ object PageRank {
     require(n > 0, "empty edge set")
     val rUnit = mass / n
     val base = (rUnit * (dampDen - dampNum)) / dampDen
-    var ranks = deg.select(col("u").as("node"), lit(rUnit).as("r"))
+    // the static out-weight rides inside the rank state (node, wu, r):
+    // per-edge shares need r and wu at the source, which the state
+    // already carries — an iteration is the edge join + the message
+    // agg + one node-universe join, no per-iteration deg join
+    var ranks = deg.select(col("u").as("node"), col("wu"), lit(rUnit).as("r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val inSums = ed.join(deg, "u")
+      val inSums = ed
         .join(ranks, ed("u") === ranks("node"))
         .select(col("v"), expr("(r * w) div wu").as("share"))
         .groupBy(col("v").as("node")).agg(sum("share").as("insum"))
-      ranks = deg.select(col("u").as("node"))
+      ranks = deg.select(col("u").as("node"), col("wu"))
         .join(inSums, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("wu"),
           (lit(base) + expr(s"($dampNum * coalesce(insum, 0L)) div $dampDen")).as("r"))
         .localCheckpoint()
     }
     ed.unpersist()
     deg.unpersist()
-    ranks
+    ranks.select(col("node"), col("r"))
   }
 
   /** q116: authority over the customer↔supplier TRADE GRAPH — an edge
