@@ -34,7 +34,9 @@ object SparkEntry {
       graft.rel.Incremental.all ++ graft.rel.Quality.all ++
       graft.rel.Intervals.all ++ graft.rel.Stats.all ++
       graft.rel.Skyline.all ++ graft.rel.Basket.all ++
-      graft.graph.LabelProp.all ++ graft.rel.Cohort.all
+      graft.graph.LabelProp.all ++ graft.rel.Cohort.all ++
+      graft.rel.Categorical.all ++ graft.graph.Assortativity.all ++
+      graft.llm.Phrase.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

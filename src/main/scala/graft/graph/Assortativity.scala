@@ -1,0 +1,100 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** DEGREE ASSORTATIVITY — Pearson correlation of endpoint degrees over
+  * the edges of an undirected graph (Newman 2002): do hubs attach to
+  * hubs (assortative, r > 0, social graphs) or to leaves (dis-
+  * assortative, r < 0, purchase/infra graphs)? A one-number structural
+  * diagnostic the graph tier (q116/q118/q122/q123) reads before
+  * choosing skew strategies — a strongly disassortative graph is
+  * exactly the hub-and-spoke shape that needs the orientation trick.
+  *
+  * Exactness (the q142 Pearson discipline): all five moment sums
+  * (Σx, Σy, Σxy, Σx², Σy², over DIRECTED edge endpoints so x and y
+  * are symmetric) are exact integers carried as DECIMAL(38,0) — degree
+  * products overflow nothing at 38 digits — and the floating tail is
+  * one fixed parenthesized chain: num/ (sqrt(dx)·sqrt(dy)), each
+  * operand converted from the exact integer to IEEE double, rounded to
+  * 6. The DuckDB oracle replays the identical chain over HUGEINT sums.
+  *
+  * Scale shape (100 TB): one distinct + one degree agg + one
+  * degree-keyed join per side (the degree table is |V|-sized, joined
+  * on the edge's endpoint key) and a 1-row total agg. No driver state.
+  */
+object Assortativity {
+
+  /** Degree assortativity coefficient of the undirected graph (`a`,
+    * `b`). Returns one row: (m_directed, r6) where r6 is the Pearson
+    * coefficient over directed endpoint pairs rounded to 6 places.
+    */
+  def degreeAssortativity(s: SparkSession, edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val ed = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = ed.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    val pairs = ed
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    // exact integer moments in DECIMAL(38,0); m ≤ 2^63 edges and
+    // degrees ≤ |V| keep every product far under 38 digits
+    val dec = "decimal(38,0)"
+    val agg = pairs.agg(
+      count(lit(1)).cast(dec).as("m"),
+      sum(col("du")).cast(dec).as("sx"),
+      sum(col("dv")).cast(dec).as("sy"),
+      sum(col("du") * col("dv")).cast(dec).as("sxy"),
+      sum(col("du") * col("du")).cast(dec).as("sxx"),
+      sum(col("dv") * col("dv")).cast(dec).as("syy"))
+    agg.select(
+      col("m").cast("long").as("m_directed"),
+      round(
+        (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))),
+        6).as("r6"))
+  }
+
+  /** q168: assortativity of the part co-purchase graph (q118's edge
+    * build) — co-purchase graphs are classically near-neutral-to-
+    * disassortative; the exact value is pinned by the oracle replaying
+    * the same moment chain in HUGEINT.
+    */
+  val all: ListMap[String, Q] = ListMap(
+    "q168_assortativity" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        degreeAssortativity(s, edges)
+      },
+      Some("""WITH pp AS MATERIALIZED (
+             |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |ed AS MATERIALIZED (SELECT pa AS u, pb AS v FROM pp
+             |  UNION ALL SELECT pb, pa FROM pp),
+             |deg AS MATERIALIZED (SELECT u AS n, count(*) AS d FROM ed GROUP BY u),
+             |mo AS (SELECT count(*) AS m,
+             |    sum(du.d) AS sx, sum(dv.d) AS sy,
+             |    sum(du.d * dv.d) AS sxy,
+             |    sum(du.d * du.d) AS sxx,
+             |    sum(dv.d * dv.d) AS syy
+             |  FROM ed JOIN deg du ON ed.u = du.n JOIN deg dv ON ed.v = dv.n)
+             |SELECT CAST(m AS BIGINT) AS m_directed,
+             |  round(CAST(m * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+             |      sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6) AS r6
+             |FROM mo""".stripMargin)),
+  )
+}

@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** POSITIONAL PHRASE SEARCH — exact-adjacency phrase matching over the
+  * document corpus: "the tokens appear in THIS order, consecutively",
+  * the query class a bag-of-words index (q103 lexical index, q102
+  * BM25) cannot answer. Counted per document with a position-indexed
+  * scan expressed as a codegen'd array lambda — occurrences of
+  * [w₁, w₂] = |{ i : t_i = w₁ ∧ t_{i+1} = w₂ }| — so the whole
+  * operator is one narrow map over the corpus: no positional posting
+  * list is materialized, no join, no shuffle except the final order.
+  *
+  * Scale shape (100 TB): embarrassingly parallel per document; a
+  * serving deployment would pair this with the q103 inverted index as
+  * a candidate filter (docs containing both words) and run this exact
+  * check only on candidates — both halves exist in the engine.
+  */
+object Phrase {
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q171: count exact occurrences of the phrase "fast table" per
+    //      document (q103's whitespace token discipline); docs with ≥ 1
+    //      hit, ordered by (hits DESC, doc_id). The index arithmetic is
+    //      1-based in both engines and the i+1 lookup is guarded by
+    //      ranging only to len−1. ----
+    "q171_phrase_search" -> Q(
+      (s, d) => {
+        val toks = filter(split(trim(lower(col("text"))), "\\s+"),
+          t => length(t) > 0)
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"),
+            when(size(col("toks")) >= 2,
+              size(filter(sequence(lit(1), size(col("toks")) - 1),
+                i => element_at(col("toks"), i) === "fast" &&
+                  element_at(col("toks"), i + 1) === "table")))
+              .otherwise(0).cast("long").as("n_hits"))
+          .filter(col("n_hits") > 0)
+          .orderBy(col("n_hits").desc, col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      x -> len(x) > 0) AS toks
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(list_filter(range(1, len(toks)),
+             |    i -> toks[i] = 'fast' AND toks[i + 1] = 'table')) AS BIGINT)
+             |    AS n_hits
+             |FROM t
+             |WHERE len(list_filter(range(1, len(toks)),
+             |    i -> toks[i] = 'fast' AND toks[i + 1] = 'table')) > 0
+             |ORDER BY n_hits DESC, doc_id""".stripMargin)),
+  )
+}

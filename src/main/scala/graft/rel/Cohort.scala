@@ -140,5 +140,56 @@ object Cohort {
              |SELECT dow_idx, dow_cents, dow_days,
              |  (dow_cents * n_days * 1000) // (dow_days * total) AS index_milli
              |FROM bd, tot ORDER BY dow_idx""".stripMargin)),
+
+    // ---- q170: TOP SESSION PATHS — the 20 most common event-type
+    //      TRIGRAMS inside 30-minute sessions (q120's island machinery
+    //      inline), tie order pinned (count DESC, path ASC). The
+    //      navigation-pattern read product analytics runs on every
+    //      clickstream. Scale: one user-keyed window pass assigns
+    //      islands AND the two leads (same partitioning, one shuffle),
+    //      then a path-keyed count and a bounded top-20. ----
+    "q170_session_paths" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val isl = e
+          .withColumn("gap",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wu))
+          .withColumn("chg",
+            when(col("gap").isNull || col("gap") > 30L * 60 * 1000000, 1)
+              .otherwise(0))
+          .withColumn("isl", sum("chg").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val ws = Window.partitionBy("user_id", "isl").orderBy("ts", "event_id")
+        isl
+          .withColumn("t2", lead(col("event_type"), 1).over(ws))
+          .withColumn("t3", lead(col("event_type"), 2).over(ws))
+          .filter(col("t2").isNotNull && col("t3").isNotNull)
+          .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+            .as("path"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+             |    CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+             |w AS (SELECT *, epoch_us(ts) -
+             |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    AS gap FROM e),
+             |f AS (SELECT *, CASE WHEN gap IS NULL OR gap > 1800000000
+             |    THEN 1 ELSE 0 END AS chg FROM w),
+             |i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS isl FROM f),
+             |t AS (SELECT event_type AS t1,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id, isl
+             |      ORDER BY ts, event_id) AS t2,
+             |    lead(event_type, 2) OVER (PARTITION BY user_id, isl
+             |      ORDER BY ts, event_id) AS t3
+             |  FROM i)
+             |SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+             |FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+             |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin)),
   )
 }
