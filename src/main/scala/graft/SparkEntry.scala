@@ -36,7 +36,7 @@ object SparkEntry {
       graft.rel.Skyline.all ++ graft.rel.Basket.all ++
       graft.graph.LabelProp.all ++ graft.rel.Cohort.all ++
       graft.rel.Categorical.all ++ graft.graph.Assortativity.all ++
-      graft.llm.Phrase.all
+      graft.llm.Phrase.all ++ graft.rel.Summary.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,229 @@
+package graft.rel
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** SUMMARY & RESHAPING TIER — pivot/unpivot, exact weighted median,
+  * equi-width histograms, exact quartile order statistics, and the
+  * RANGE-frame rolling window: the reshape-and-describe operators a
+  * BI layer expects from an engine.
+  *
+  * Exactness discipline: money is exact cents, ranks and bin indices
+  * are integer formulas ((n−1)·k div 4, (v−mn)·B div span), and every
+  * tie order is pinned total — no percentile interpolation, no
+  * locale/calendar arithmetic.
+  */
+object Summary {
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q172: PIVOT — revenue cents by nation × order priority,
+    //      priorities pinned as explicit columns (dynamic pivot is a
+    //      two-pass affair at scale; serving layers pin the column set
+    //      exactly like this). Scale: one grouped agg; the pivot is a
+    //      projection shape, not extra shuffles. ----
+    "q172_pivot" -> Q(
+      (s, d) => {
+        val joined = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("o_orderpriority"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        joined.groupBy("n_name")
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .sum("cents")
+          .select(col("n_name"),
+            coalesce(col("1-URGENT"), lit(0L)).as("p1_urgent"),
+            coalesce(col("2-HIGH"), lit(0L)).as("p2_high"),
+            coalesce(col("3-MEDIUM"), lit(0L)).as("p3_medium"),
+            coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("p4_not_specified"),
+            coalesce(col("5-LOW"), lit(0L)).as("p5_low"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n.n_name,
+             |  CAST(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT'
+             |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS p1_urgent,
+             |  CAST(coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH'
+             |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS p2_high,
+             |  CAST(coalesce(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+             |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS p3_medium,
+             |  CAST(coalesce(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+             |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS p4_not_specified,
+             |  CAST(coalesce(sum(CASE WHEN o_orderpriority = '5-LOW'
+             |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS p5_low
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)),
+
+    // ---- q173: EXACT WEIGHTED MEDIAN — per return flag, the smallest
+    //      price v whose cumulative quantity weight reaches half the
+    //      total (2·cumw ≥ W, all longs): the robust "typical traded
+    //      price" weighted by volume. Tie order pinned by (cents,
+    //      orderkey, linenumber). Scale: one flag-keyed window pass
+    //      over pre-aggregated... rows carry only (flag, cents, qty). ----
+    "q173_weighted_median" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+        val w = Window.partitionBy("flag").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = li
+          .groupBy("flag", "cents").agg(sum("qty").as("qw"))
+          .withColumn("cumw", sum("qw").over(w))
+        val tot = li.groupBy("flag").agg(sum("qty").as("totw"))
+        cum.join(tot, "flag")
+          .filter(col("cumw") * 2 >= col("totw"))
+          .groupBy("flag")
+          .agg(min("cents").as("weighted_median_cents"),
+            min("totw").as("total_weight"))
+          .orderBy("flag")
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS flag,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             |    CAST(l_quantity AS BIGINT) AS qty
+             |  FROM lineitem),
+             |g AS (SELECT flag, cents, CAST(sum(qty) AS BIGINT) AS qw
+             |  FROM li GROUP BY 1, 2),
+             |c AS (SELECT flag, cents,
+             |    CAST(sum(qw) OVER (PARTITION BY flag ORDER BY cents
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw
+             |  FROM g),
+             |t AS (SELECT flag, CAST(sum(qty) AS BIGINT) AS totw
+             |  FROM li GROUP BY 1)
+             |SELECT c.flag, min(cents) AS weighted_median_cents,
+             |  min(totw) AS total_weight
+             |FROM c JOIN t ON c.flag = t.flag
+             |WHERE cumw * 2 >= totw
+             |GROUP BY c.flag ORDER BY c.flag""".stripMargin)),
+
+    // ---- q174: EQUI-WIDTH HISTOGRAM — 10 bins over order totals in
+    //      cents, integer bin edges from the exact global min/max
+    //      (bin = (v−mn)·10 div (span+1)): the one-pass distribution
+    //      sketch every profiler draws. Scale: 1-row min/max broadcast
+    //      + one narrow map + a 10-row agg. ----
+    "q174_histogram" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        val mm = o.agg(min("cents").as("mn"), max("cents").as("mx"))
+        o.crossJoin(broadcast(mm))
+          .select(expr("(cents - mn) * 10 div (mx - mn + 1)").as("bin"),
+            col("mn"), col("mx"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            min(expr("mn + (mx - mn + 1) * bin div 10")).as("bin_lo"))
+          .orderBy("bin")
+      },
+      Some("""WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |mm AS (SELECT min(cents) AS mn, max(cents) AS mx FROM o)
+             |SELECT (cents - mn) * 10 // (mx - mn + 1) AS bin,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(mn + (mx - mn + 1) * ((cents - mn) * 10 // (mx - mn + 1)) // 10)
+             |    AS BIGINT) AS bin_lo
+             |FROM o, mm GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q175: EXACT QUARTILES AS ORDER STATISTICS — p25/p50/p75 of
+    //      order totals per priority, each the element at integer rank
+    //      (n−1)·k div 4 + 1 in the pinned (cents, orderkey) total
+    //      order: distribution-free, interpolation-free, engine-
+    //      agnostic. Scale: one group-keyed window pass. ----
+    "q175_quartiles" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_orderpriority").as("pri"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          col("o_orderkey"))
+        val w = Window.partitionBy("pri").orderBy("cents", "o_orderkey")
+        val ranked = o
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("pri")))
+        ranked
+          .filter(expr("rk = (n - 1) * 1 div 4 + 1") ||
+            expr("rk = (n - 1) * 2 div 4 + 1") ||
+            expr("rk = (n - 1) * 3 div 4 + 1"))
+          .groupBy("pri")
+          .agg(
+            min(when(expr("rk = (n - 1) * 1 div 4 + 1"), col("cents")))
+              .as("p25_cents"),
+            min(when(expr("rk = (n - 1) * 2 div 4 + 1"), col("cents")))
+              .as("p50_cents"),
+            min(when(expr("rk = (n - 1) * 3 div 4 + 1"), col("cents")))
+              .as("p75_cents"))
+          .orderBy("pri")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS pri,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+             |  FROM orders),
+             |r AS (SELECT pri, cents,
+             |    CAST(row_number() OVER (PARTITION BY pri ORDER BY cents, o_orderkey)
+             |      AS BIGINT) AS rk,
+             |    CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+             |  FROM o)
+             |SELECT pri,
+             |  min(CASE WHEN rk = (n - 1) * 1 // 4 + 1 THEN cents END) AS p25_cents,
+             |  min(CASE WHEN rk = (n - 1) * 2 // 4 + 1 THEN cents END) AS p50_cents,
+             |  min(CASE WHEN rk = (n - 1) * 3 // 4 + 1 THEN cents END) AS p75_cents
+             |FROM r WHERE rk = (n - 1) * 1 // 4 + 1 OR rk = (n - 1) * 2 // 4 + 1
+             |  OR rk = (n - 1) * 3 // 4 + 1
+             |GROUP BY pri ORDER BY pri""".stripMargin)),
+
+    // ---- q176: UNPIVOT (melt) — part attributes to long (key, attr,
+    //      value) form, the inverse reshape of q172; values normalized
+    //      to exact integer units (size as-is, retail price in cents).
+    //      Scale: a narrow flatMap — rows × attributes, no shuffle
+    //      until the final order. ----
+    "q176_unpivot" -> Q(
+      (s, d) => {
+        Tables.part(s, d)
+          .select(col("p_partkey"),
+            col("p_size").cast("long").as("size_units"),
+            round(col("p_retailprice") * 100, 0).cast("long").as("price_cents"))
+          .select(col("p_partkey"), explode(map(
+            lit("size_units"), col("size_units"),
+            lit("price_cents"), col("price_cents"))).as(Seq("attr", "val")))
+          .orderBy("p_partkey", "attr")
+      },
+      Some("""SELECT p_partkey, attr, val FROM (
+             |  SELECT p_partkey, 'size_units' AS attr,
+             |    CAST(p_size AS BIGINT) AS val FROM part
+             |  UNION ALL
+             |  SELECT p_partkey, 'price_cents',
+             |    CAST(round(p_retailprice * 100) AS BIGINT) FROM part)
+             |ORDER BY p_partkey, attr""".stripMargin)),
+
+    // ---- q177: RANGE-FRAME ROLLING WINDOW — trailing 7-day revenue
+    //      per day computed with a RANGE frame over the integer day
+    //      index (days with no neighbors still see their true 7-day
+    //      trailing sum — a ROWS frame would silently skip calendar
+    //      gaps, which is the bug this operator exists to avoid). ----
+    "q177_range_window" -> Q(
+      (s, d) => {
+        val daily = Tables.lineitem(s, d)
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("cents"))
+          .withColumn("di",
+            datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+        val w = Window.orderBy("di").rangeBetween(-6, 0)
+        daily
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("cents"), sum("cents").over(w).as("trailing7_cents"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(l_shipdate AS DATE) AS day,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |    CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+             |      AS BIGINT) AS di
+             |  FROM lineitem GROUP BY 1, 3)
+             |SELECT strftime(day, '%Y-%m-%d') AS day, cents,
+             |  CAST(sum(cents) OVER (ORDER BY di
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS trailing7_cents
+             |FROM daily ORDER BY day""".stripMargin)),
+  )
+}
