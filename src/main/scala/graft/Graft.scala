@@ -668,4 +668,44 @@ object Graft {
     */
   def mergeAggStates(a: DataFrame, b: DataFrame): DataFrame =
     rel.Incremental.mergeStates(a, b)
+
+  /** Weighted fixed-point PageRank: rank flows in proportion to integer
+    * edge weights ([[graph.PageRank.weightedPagerank]]).
+    */
+  def weightedPagerank(spark: SparkSession, edges: DataFrame,
+      iters: Int = 5): DataFrame =
+    graph.PageRank.weightedPagerank(spark, edges, iters)
+
+  /** Degree assortativity coefficient of an undirected graph — exact
+    * integer moments, one two-sqrt floating tail
+    * ([[graph.Assortativity.degreeAssortativity]]).
+    */
+  def degreeAssortativity(spark: SparkSession, edges: DataFrame): DataFrame =
+    graph.Assortativity.degreeAssortativity(spark, edges)
+
+  /** Exact mode of `value` per `group` with a pinned total tie order
+    * ([[rel.Categorical.groupMode]]).
+    */
+  def groupMode(df: DataFrame, group: String, value: String): DataFrame =
+    rel.Categorical.groupMode(df, group, value)
+
+  /** Exact weighted median of `value` per `group` via the cumulative-
+    * weight threshold ([[rel.Summary.weightedMedian]]).
+    */
+  def weightedMedian(df: DataFrame, group: String, value: String,
+      weight: String): DataFrame =
+    rel.Summary.weightedMedian(df, group, value, weight)
+
+  /** Offline CUSUM changepoint statistic over an ordered series, as the
+    * exact n-scaled integer partial sum ([[rel.Cohort.cusumScan]]).
+    */
+  def cusumScan(df: DataFrame, ord: String, value: String): DataFrame =
+    rel.Cohort.cusumScan(df, ord, value)
+
+  /** Exact-adjacency phrase-occurrence counts per document — a codegen'd
+    * array lambda, no posting list ([[llm.Phrase.phraseCounts]]).
+    */
+  def phraseCounts(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame =
+    llm.Phrase.phraseCounts(docs, idCol, textCol, phrase)
 }

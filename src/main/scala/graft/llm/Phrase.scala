@@ -21,6 +21,28 @@ import graft.rel.Tables
   */
 object Phrase {
 
+  /** Exact-adjacency occurrence count of `phrase` (≥ 2 tokens, already
+    * lower-cased) per document: one narrow map — a codegen'd array
+    * lambda over the position range, no posting list, no shuffle.
+    * Output: (idCol, n_hits) for docs with ≥ 1 hit.
+    */
+  def phraseCounts(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrase.length >= 2, s"phrase needs >= 2 tokens: $phrase")
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val span = phrase.length
+    docs.select(col(idCol), toks.as("toks"))
+      .select(col(idCol),
+        when(size(col("toks")) >= span,
+          size(filter(sequence(lit(1), size(col("toks")) - (span - 1)),
+            i => phrase.zipWithIndex.map { case (p, k) =>
+              element_at(col("toks"), i + k) === p
+            }.reduce(_ && _))))
+          .otherwise(0).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- q171: count exact occurrences of the phrase "fast table" per
     //      document (q103's whitespace token discipline); docs with ≥ 1
@@ -28,20 +50,9 @@ object Phrase {
     //      1-based in both engines and the i+1 lookup is guarded by
     //      ranging only to len−1. ----
     "q171_phrase_search" -> Q(
-      (s, d) => {
-        val toks = filter(split(trim(lower(col("text"))), "\\s+"),
-          t => length(t) > 0)
-        Tables.documents(s, d)
-          .select(col("doc_id"), toks.as("toks"))
-          .select(col("doc_id"),
-            when(size(col("toks")) >= 2,
-              size(filter(sequence(lit(1), size(col("toks")) - 1),
-                i => element_at(col("toks"), i) === "fast" &&
-                  element_at(col("toks"), i + 1) === "table")))
-              .otherwise(0).cast("long").as("n_hits"))
-          .filter(col("n_hits") > 0)
-          .orderBy(col("n_hits").desc, col("doc_id"))
-      },
+      (s, d) => phraseCounts(Tables.documents(s, d), "doc_id", "text",
+          Seq("fast", "table"))
+        .orderBy(col("n_hits").desc, col("doc_id")),
       Some("""WITH t AS (SELECT doc_id,
              |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
              |      x -> len(x) > 0) AS toks

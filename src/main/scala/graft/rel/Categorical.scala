@@ -13,6 +13,20 @@ import graft.rel.Tables
   */
 object Categorical {
 
+  /** Exact MODE of `value` per `group`: the most frequent value, ties
+    * resolved by the pinned total order (count DESC, value ASC) so the
+    * winner is deterministic on any engine. One count shuffle + a
+    * group-keyed window. Output: (group, mode_<value>, mode_count).
+    */
+  def groupMode(df: org.apache.spark.sql.DataFrame, group: String,
+      value: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(group).orderBy(col("n").desc, col(value))
+    df.groupBy(col(group), col(value)).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col(group), col(value).as(s"mode_$value"), col("n").as("mode_count"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- q167: GROUP MODE — the modal return flag per part brand over
     //      the lineitem ⋈ part join, with the tie order pinned total
@@ -23,18 +37,11 @@ object Categorical {
     //      partkey-keyed and the part side prunes to two columns. ----
     "q167_group_mode" -> Q(
       (s, d) => {
-        val counted = Tables.lineitem(s, d)
+        val joined = Tables.lineitem(s, d)
           .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
             col("l_partkey") === col("p_partkey"))
-          .groupBy(col("p_brand"), col("l_returnflag"))
-          .agg(count(lit(1)).as("n"))
-        val w = Window.partitionBy("p_brand")
-          .orderBy(col("n").desc, col("l_returnflag"))
-        counted
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("p_brand"), col("l_returnflag").as("mode_returnflag"),
-            col("n").as("mode_count"))
+        groupMode(joined, "p_brand", "l_returnflag")
+          .withColumnRenamed("mode_l_returnflag", "mode_returnflag")
           .orderBy("p_brand")
       },
       Some("""WITH c AS (

@@ -17,6 +17,31 @@ import graft.rel.Tables
   */
 object Cohort {
 
+  /** Offline CUSUM changepoint statistic over an ordered series
+    * (`ord`, `value`): S_t = Σ_{i≤t}(x_i − x̄) computed n-SCALED
+    * (n·cum_t − t·total — exact longs, no division), so the peak
+    * location is bit-exact on any engine. Output: every point with its
+    * scaled statistic; callers rank by |cusum_scaled| for candidate
+    * changepoints. One global-window pass + a 1-row total broadcast.
+    */
+  def cusumScan(df: org.apache.spark.sql.DataFrame, ord: String,
+      value: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // internal aliases are underscore-prefixed so a caller's own `t`/
+    // `cum`/`n` column names cannot collide with them
+    val w = Window.orderBy(ord)
+    val cum = df.select(col(ord), col(value).cast("long").as("_x"))
+      .select(col(ord), col("_x"),
+        sum("_x").over(w).as("_cum"),
+        row_number().over(w).cast("long").as("_t"))
+    val tot = df.agg(sum(col(value).cast("long")).as("_total"),
+      count(lit(1)).cast("long").as("_n"))
+    cum.crossJoin(broadcast(tot))
+      .select(col(ord), col("_x").as(value),
+        (col("_n") * col("_cum") - col("_t") * col("_total"))
+          .as("cusum_scaled"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- q165: COHORT RETENTION MATRIX — customers grouped by
     //      first-order month; cell (cohort, k) counts cohort members
@@ -71,16 +96,9 @@ object Cohort {
           .groupBy(to_date(col("l_shipdate")).as("day"))
           .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
             .as("cents"))
-        val w = Window.orderBy("day")
-        val cum = daily.select(col("day"), col("cents"),
-          sum("cents").over(w).as("cum"),
-          row_number().over(w).cast("long").as("t"))
-        val tot = daily.agg(sum("cents").as("total"),
-          count(lit(1)).cast("long").as("n"))
-        cum.crossJoin(broadcast(tot))
+        cusumScan(daily, "day", "cents")
           .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-            (col("n") * col("cum") - col("t") * col("total"))
-              .as("cusum_scaled"))
+            col("cusum_scaled"))
           .orderBy(abs(col("cusum_scaled")).desc, col("day"))
           .limit(5)
       },

@@ -18,6 +18,29 @@ import graft.rel.Tables
   */
 object Summary {
 
+  /** EXACT WEIGHTED MEDIAN of `value` (long-valued) per `group`,
+    * weighted by `weight`: the smallest value whose cumulative weight
+    * reaches half the total (2·cumw ≥ W — exact longs, no
+    * interpolation). One (group, value) pre-aggregation bounds the
+    * window pass at distinct values, not raw rows.
+    */
+  def weightedMedian(df: org.apache.spark.sql.DataFrame, group: String,
+      value: String, weight: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(group).orderBy(value)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df
+      .groupBy(col(group), col(value))
+      .agg(sum(col(weight).cast("long")).as("qw"))
+      .withColumn("cumw", sum("qw").over(w))
+    val tot = df.groupBy(col(group))
+      .agg(sum(col(weight).cast("long")).as("totw"))
+    cum.join(tot, group)
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col(group))
+      .agg(min(col(value)).as(s"weighted_median_$value"),
+        min("totw").as("total_weight"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- q172: PIVOT — revenue cents by nation × order priority,
     //      priorities pinned as explicit columns (dynamic pivot is a
@@ -69,17 +92,7 @@ object Summary {
         val li = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
           round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
           col("l_quantity").cast("long").as("qty"))
-        val w = Window.partitionBy("flag").orderBy("cents")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = li
-          .groupBy("flag", "cents").agg(sum("qty").as("qw"))
-          .withColumn("cumw", sum("qw").over(w))
-        val tot = li.groupBy("flag").agg(sum("qty").as("totw"))
-        cum.join(tot, "flag")
-          .filter(col("cumw") * 2 >= col("totw"))
-          .groupBy("flag")
-          .agg(min("cents").as("weighted_median_cents"),
-            min("totw").as("total_weight"))
+        weightedMedian(li, "flag", "cents", "qty")
           .orderBy("flag")
       },
       Some("""WITH li AS (SELECT l_returnflag AS flag,
