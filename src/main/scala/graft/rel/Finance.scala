@@ -1,0 +1,97 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** FINANCIAL SERIES OPERATORS — OHLC bar construction and the Gini
+  * concentration coefficient: the two reads a revenue stream gets from
+  * a finance/market-structure consumer.
+  *
+  * Exactness: prices are exact cents; open/close are argmin/argmax
+  * under the pinned (ts, event_id) total order; Gini is computed from
+  * exact DECIMAL(38,0) rank-weighted sums with ONE integer division at
+  * the end (milli-units) — no floating point anywhere.
+  */
+object Finance {
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q179: OHLC BARS — per (event type, day): first/max/min/last
+    //      value in cents, the canonical bar build. First/last are
+    //      min_by/max_by under (ts, event_id) — a total order, so both
+    //      engines pick identical rows (DuckDB replays with ordered
+    //      first()/last() aggregates). Scale: one grouped agg, no
+    //      window, no sort until the bounded output. ----
+    "q179_ohlc_bars" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_type"),
+            to_date(col("ts")).as("day"),
+            col("ts"), col("event_id"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        ev.groupBy("event_type", "day")
+          .agg(
+            min_by(col("cents"), struct(col("ts"), col("event_id"))).as("open"),
+            max("cents").as("high"),
+            min("cents").as("low"),
+            max_by(col("cents"), struct(col("ts"), col("event_id"))).as("close"),
+            count(lit(1)).as("n_trades"))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("open"), col("high"), col("low"), col("close"),
+            col("n_trades"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    CAST(ts AS TIMESTAMP) AS ts, event_id,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             |  first(cents ORDER BY ts, event_id) AS open,
+             |  max(cents) AS high, min(cents) AS low,
+             |  last(cents ORDER BY ts, event_id) AS close,
+             |  count(*) AS n_trades
+             |FROM e GROUP BY event_type, day
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // ---- q180: GINI COEFFICIENT of customer revenue concentration —
+    //      G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over per-customer order
+    //      totals sorted ascending (ties broken by custkey, making the
+    //      rank-weighted sum a pinned total-order quantity). Carried in
+    //      DECIMAL(38,0)/HUGEINT so the rank-weighted sum cannot wrap,
+    //      emitted in integer milli-units. Scale: one custkey agg, one
+    //      rank window over |customers| rows, a 1-row reduction. ----
+    "q180_gini" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val perCust = Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("x"))
+        val w = Window.orderBy("x", "o_custkey")
+        val dec = "decimal(38,0)"
+        perCust
+          .withColumn("i", row_number().over(w).cast("long"))
+          .agg(count(lit(1)).cast(dec).as("n"),
+            sum(col("x")).cast(dec).as("sx"),
+            sum(col("i") * col("x")).cast(dec).as("six"))
+          .select(col("n").cast("long").as("n_customers"),
+            // `div` is integral division on decimals too — the numerator
+            // is non-negative, so truncation ≡ floor ≡ DuckDB's //
+            expr("(2 * six - (n + 1) * sx) * 1000 div (n * sx)")
+              .cast("long").as("gini_milli"))
+      },
+      Some("""WITH pc AS (SELECT o_custkey,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+             |  FROM pc),
+             |mo AS (SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six FROM r)
+             |SELECT CAST(n AS BIGINT) AS n_customers,
+             |  CAST((2 * six - (n + 1) * sx) * 1000 // (n * sx) AS BIGINT)
+             |    AS gini_milli
+             |FROM mo""".stripMargin)),
+  )
+}

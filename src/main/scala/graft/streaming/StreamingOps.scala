@@ -362,6 +362,52 @@ object StreamingOps {
              |SELECT t.user_id, t.tf, e.cms_est, e.cms_est >= t.tf AS overestimate
              |FROM top t JOIN est e USING (user_id)
              |ORDER BY t.tf DESC, t.user_id""".stripMargin)),
+
+    // ---- streaming SESSION WINDOWS: Spark's native session_window over
+    //      the event stream — per-user 30-minute-gap sessions maintained
+    //      as merging window state by the engine itself (the one window
+    //      shape whose streaming state MERGES adjacent entries rather
+    //      than bucketing). Boundary semantics pinned: session_window
+    //      starts a NEW session when the gap is ≥ the 30-min threshold
+    //      (an event landing exactly at prev + gap falls outside the
+    //      [start, last+gap) window), so the oracle's island rule is
+    //      `gap >= 1800000000` — one strict-vs-inclusive notch away
+    //      from q120's batch formulation, and exactly why the boundary
+    //      is hash-pinned. Complete mode + the finite file source makes
+    //      the final table the full session set: batch parity without
+    //      waiting out a watermark. ----
+    "q178_stream_sessions" -> Q(
+      (s, d) => {
+        val sch = s.read.parquet(s"$d/events.parquet").schema
+        val raw = s.readStream.schema(sch).parquet(s"$d/{events.parquet}")
+        val ev = normTs(raw)
+        val sess = ev
+          .groupBy(col("user_id").cast("long").as("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+        val q = sess.writeStream.format("memory").queryName("stream_sessions")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("stream_sessions")
+          .select(col("user_id"),
+            col("sw.start").cast("timestamp_ntz").as("session_start"),
+            col("last_ts").cast("timestamp_ntz").as("last_ts"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+             |    CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+             |w AS (SELECT *, epoch_us(ts) -
+             |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    AS gap FROM e),
+             |f AS (SELECT *, CASE WHEN gap IS NULL OR gap >= 1800000000
+             |    THEN 1 ELSE 0 END AS chg FROM w),
+             |i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS isl FROM f)
+             |SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+             |  count(*) AS n_events
+             |FROM i GROUP BY user_id, isl
+             |ORDER BY user_id, session_start""".stripMargin)),
   )
 
   /** Per-key EWMA streaming state: last folded day (epoch days), the
