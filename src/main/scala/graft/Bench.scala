@@ -65,7 +65,12 @@ object Bench {
       "q141_psi_drift", "q142_series_corr", "q143_temperature_mix",
       "q144_twap", "q145_golden_record", "q146_weighted_pagerank",
       "q147_sketch_rollup", "q148_rank_normalize", "q149_winsorized_mean",
-      "q150_centroid_sim", "q151_ks_drift")
+      "q150_centroid_sim", "q151_ks_drift",
+      // round-8 additions: cohort matrix, graph moments, window paths,
+      // weighted median, Gini, temporal reachability (q178 streaming
+      // stays out: streaming harness, like q127/q136/q140)
+      "q165_cohort_retention", "q168_assortativity", "q170_session_paths",
+      "q173_weighted_median", "q180_gini", "q181_temporal_reach")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))
