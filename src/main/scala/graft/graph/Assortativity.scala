@@ -96,5 +96,57 @@ object Assortativity {
              |    (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
              |      sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6) AS r6
              |FROM mo""".stripMargin)),
+
+    // ---- q188: EDGE EMBEDDEDNESS — per existing edge, how much do the
+    //      endpoints' FULL neighborhoods overlap? cn = |N(a) ∩ N(b)|,
+    //      jac_milli = cn·1000 div (da + db − cn) (endpoints are in
+    //      each other's neighborhood but never in the intersection, so
+    //      the union term needs no ±2 fudge). The strong-tie/weak-tie
+    //      diagnostic (Granovetter): high-embeddedness edges sit inside
+    //      communities, zero-embeddedness edges are bridges. Scale: the
+    //      adjacency-array join of q118 with FULL neighborhoods —
+    //      bounded per node by max degree; the intersection is the same
+    //      codegen'd array op. Top 20 by the pinned total order. ----
+    "q188_embeddedness" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val und = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .distinct()
+        val ed = und.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+        val adj = ed.groupBy(col("u").as("n"))
+          .agg(collect_list(col("v")).as("nb"), count(lit(1)).as("deg"))
+        und
+          .join(adj.select(col("n").as("a"), col("nb").as("na_"), col("deg").as("da")), "a")
+          .join(adj.select(col("n").as("b"), col("nb").as("nb_"), col("deg").as("db")), "b")
+          .select(col("a"), col("b"), col("da"), col("db"),
+            size(array_intersect(col("na_"), col("nb_"))).cast("long").as("cn"))
+          .withColumn("jac_milli", expr("cn * 1000 div (da + db - cn)"))
+          .orderBy(col("jac_milli").desc, col("cn").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH pp AS MATERIALIZED (
+             |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |ed AS MATERIALIZED (SELECT pa AS u, pb AS v FROM pp
+             |  UNION ALL SELECT pb, pa FROM pp),
+             |deg AS MATERIALIZED (SELECT u AS n, CAST(count(*) AS BIGINT) AS deg
+             |  FROM ed GROUP BY u),
+             |cn AS MATERIALIZED (
+             |  SELECT e.pa AS a, e.pb AS b, CAST(count(*) AS BIGINT) AS cn
+             |  FROM pp e JOIN ed x ON x.u = e.pa JOIN ed y ON y.u = e.pb
+             |    AND x.v = y.v
+             |  GROUP BY 1, 2)
+             |SELECT p.pa AS a, p.pb AS b, da.deg AS da, db.deg AS db,
+             |  coalesce(cn.cn, 0) AS cn,
+             |  coalesce(cn.cn, 0) * 1000 // (da.deg + db.deg - coalesce(cn.cn, 0))
+             |    AS jac_milli
+             |FROM pp p JOIN deg da ON p.pa = da.n JOIN deg db ON p.pb = db.n
+             |  LEFT JOIN cn ON cn.a = p.pa AND cn.b = p.pb
+             |ORDER BY jac_milli DESC, cn DESC, a, b LIMIT 20""".stripMargin)),
   )
 }

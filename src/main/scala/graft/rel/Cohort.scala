@@ -209,5 +209,44 @@ object Cohort {
              |SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
              |FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
              |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin)),
+
+    // ---- q185: SEASONALLY-ADJUSTED RESIDUALS — which days were
+    //      abnormal AFTER accounting for weekday shape? Residual is
+    //      n_d-SCALED (daily·n_d − Σ_dow, exact longs — the q166 trick
+    //      applied to the q169 decomposition: no division, so the
+    //      ranking is bit-exact). Top 10 |residual| days. ----
+    "q185_seasonal_residuals" -> Q(
+      (s, d) => {
+        val daily = Tables.lineitem(s, d)
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("cents"))
+          .withColumn("dow_idx",
+            (datediff(col("day"), to_date(lit("1970-01-01"))) % 7).cast("long"))
+        val byDow = daily.groupBy("dow_idx")
+          .agg(sum("cents").as("dow_cents"),
+            count(lit(1)).cast("long").as("dow_days"))
+        daily.join(broadcast(byDow), "dow_idx")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dow_idx"),
+            (col("cents") * col("dow_days") - col("dow_cents"))
+              .as("residual_scaled"))
+          .orderBy(abs(col("residual_scaled")).desc, col("day"))
+          .limit(10)
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(l_shipdate AS DATE) AS day,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |    CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) % 7
+             |      AS BIGINT) AS dow_idx
+             |  FROM lineitem GROUP BY 1, 3),
+             |bd AS (SELECT dow_idx, CAST(sum(cents) AS BIGINT) AS dow_cents,
+             |    CAST(count(*) AS BIGINT) AS dow_days
+             |  FROM daily GROUP BY 1)
+             |SELECT strftime(day, '%Y-%m-%d') AS day, daily.dow_idx,
+             |  cents * dow_days - dow_cents AS residual_scaled
+             |FROM daily JOIN bd ON daily.dow_idx = bd.dow_idx
+             |ORDER BY abs(cents * dow_days - dow_cents) DESC, day
+             |LIMIT 10""".stripMargin)),
   )
 }

@@ -93,5 +93,46 @@ object Finance {
              |  CAST((2 * six - (n + 1) * sx) * 1000 // (n * sx) AS BIGINT)
              |    AS gini_milli
              |FROM mo""".stripMargin)),
+
+    // ---- q186: PARETO / CONTRIBUTION ANALYSIS — revenue share and
+    //      cumulative share per nation in exact milli-units (share =
+    //      rev·1000 div total; cumulative share from the exact long
+    //      cumsum, divided once), ordered by the pinned (revenue DESC,
+    //      nation) total order: the 80/20 read on any dimension.
+    //      Scale: one join-agg, a 25-row window, a 1-row broadcast. ----
+    "q186_pareto_share" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byNation = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+        val w = Window.orderBy(col("rev").desc, col("n_name"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = byNation.agg(sum("rev").as("total"))
+        byNation
+          .withColumn("cum", sum("rev").over(w))
+          .crossJoin(broadcast(tot))
+          .select(col("n_name"), col("rev").as("rev_cents"),
+            expr("rev * 1000 div total").as("share_milli"),
+            expr("cum * 1000 div total").as("cum_share_milli"))
+          .orderBy(col("rev_cents").desc, col("n_name"))
+      },
+      Some("""WITH bn AS (
+             |  SELECT n.n_name,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |    JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |  GROUP BY 1),
+             |c AS (SELECT n_name, rev,
+             |    CAST(sum(rev) OVER (ORDER BY rev DESC, n_name
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM bn),
+             |t AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM bn)
+             |SELECT n_name, rev AS rev_cents,
+             |  rev * 1000 // total AS share_milli,
+             |  cum * 1000 // total AS cum_share_milli
+             |FROM c, t ORDER BY rev DESC, n_name""".stripMargin)),
   )
 }

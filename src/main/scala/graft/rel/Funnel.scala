@@ -337,5 +337,78 @@ object Funnel {
              |SELECT user_id, n_intervals, dur_s, num,
              |  round(CAST(num AS DOUBLE) / CAST(dur_s AS DOUBLE), 6) AS twap_cents_r6
              |FROM g WHERE dur_s > 0 ORDER BY user_id""".stripMargin)),
+
+    // ---- q187: FUNNEL TRANSITION-TIME STATISTICS — how long do users
+    //      take between funnel stages? Per transition of q128's
+    //      first-touch chain: count, min/max gap, and the EXACT lower
+    //      median gap as the order statistic at rank (n−1) div 2 + 1
+    //      (micros; ties broken by user_id so the rank order is total).
+    //      The product question behind every funnel: where do users
+    //      stall, not just where do they drop. ----
+    "q187_funnel_gap_stats" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("user_id"),
+            unix_micros(col("ts")).as("tus"))
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("tus").as("t1"))
+        val t2 = ev.filter(col("event_type") === "click").as("e")
+          .join(t1.as("p"), col("e.user_id") === col("p.user_id") &&
+            col("e.tus") > col("p.t1"))
+          .groupBy(col("e.user_id").as("user_id"))
+          .agg(min(col("e.tus")).as("t2"), min(col("p.t1")).as("t1"))
+        val t3 = ev.filter(col("event_type") === "purchase").as("e")
+          .join(t2.as("p"), col("e.user_id") === col("p.user_id") &&
+            col("e.tus") > col("p.t2"))
+          .groupBy(col("e.user_id").as("user_id"))
+          .agg(min(col("e.tus")).as("t3"), min(col("p.t2")).as("t2"))
+        def gapStats(df: DataFrame, from: String, to: String,
+            tag: String): DataFrame = {
+          val g = df.select(col("user_id"), (col(to) - col(from)).as("gap"))
+          val w = Window.orderBy("gap", "user_id")
+          g.withColumn("rk", row_number().over(w).cast("long"))
+            .withColumn("n", count(lit(1)).over(
+              Window.partitionBy()).cast("long"))
+            .groupBy()
+            .agg(max("n").as("n_users"), min("gap").as("min_us"),
+              max("gap").as("max_us"),
+              min(when(expr("rk = (n - 1) div 2 + 1"), col("gap")))
+                .as("median_us"))
+            .select(lit(tag).as("transition"), col("n_users"),
+              col("min_us"), col("median_us"), col("max_us"))
+        }
+        gapStats(t2, "t1", "t2", "1_view_to_click")
+          .unionAll(gapStats(t3, "t2", "t3", "2_click_to_purchase"))
+          .orderBy("transition")
+      },
+      Some("""WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2,
+             |    min(t1.t) AS t1
+             |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+             |    AND epoch_us(e.ts) > t1.t
+             |  WHERE e.event_type = 'click' GROUP BY 1),
+             |t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3,
+             |    min(t2.t2) AS t2
+             |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+             |    AND epoch_us(e.ts) > t2.t2
+             |  WHERE e.event_type = 'purchase' GROUP BY 1),
+             |g1 AS (SELECT user_id, t2 - t1 AS gap FROM t2),
+             |g2 AS (SELECT user_id, t3 - t2 AS gap FROM t3),
+             |s1 AS (SELECT gap, CAST(row_number() OVER (ORDER BY gap, user_id) AS BIGINT) AS rk,
+             |    CAST(count(*) OVER () AS BIGINT) AS n FROM g1),
+             |s2 AS (SELECT gap, CAST(row_number() OVER (ORDER BY gap, user_id) AS BIGINT) AS rk,
+             |    CAST(count(*) OVER () AS BIGINT) AS n FROM g2)
+             |SELECT transition, n_users, min_us, median_us, max_us FROM (
+             |  SELECT '1_view_to_click' AS transition, max(n) AS n_users,
+             |    min(gap) AS min_us,
+             |    min(CASE WHEN rk = (n - 1) // 2 + 1 THEN gap END) AS median_us,
+             |    max(gap) AS max_us FROM s1
+             |  UNION ALL
+             |  SELECT '2_click_to_purchase', max(n), min(gap),
+             |    min(CASE WHEN rk = (n - 1) // 2 + 1 THEN gap END), max(gap)
+             |  FROM s2)
+             |ORDER BY transition""".stripMargin)),
   )
 }
