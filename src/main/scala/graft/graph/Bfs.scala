@@ -82,6 +82,37 @@ object Bfs {
     dist
   }
 
+  /** Bounded-hop WIDEST (maximum-bottleneck) paths: the dual of
+    * [[weightedDistances]] — each edge carries a positive integer
+    * CAPACITY (col `w`); a path's capacity is its minimum edge, and a
+    * node's value is the MAXIMUM capacity over paths of ≤ k edges from
+    * the seeds (seeds at Long.MaxValue, the identity of min). Max-min
+    * is a monotone fold exactly like min-plus, so the same unrolled
+    * oracle discipline applies. The trust/throughput propagation read:
+    * "how strong is the strongest supply route into this node".
+    */
+  def widestPaths(s: SparkSession, edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val ed = edges.select(col("u").cast("long"), col("v").cast("long"),
+        col("w").cast("long"))
+      .repartition(col("u"))
+      .cache()
+    var cap = seeds.select(col("node").cast("long").as("node"))
+      .distinct()
+      .withColumn("cap", lit(Long.MaxValue))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      cap = cap
+        .unionAll(ed.join(cap, ed("u") === cap("node"))
+          .select(ed("v").as("node"), least(cap("cap"), ed("w")).as("cap")))
+        .groupBy("node").agg(max("cap").as("cap"))
+        .localCheckpoint()
+    }
+    ed.unpersist()
+    cap
+  }
+
   /** q122: the 3-hop neighborhood of nation-0 suppliers in the trade
     * graph (q116's customer↔supplier edges) — every node within three
     * trade links, with its exact distance. The oracle replays all
@@ -172,6 +203,53 @@ object Bfs {
            |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
            |  node // 2 AS key, CAST(dist AS BIGINT) AS dist
            |FROM d3 ORDER BY dist, kind, key""".stripMargin
+      }),
+
+    // ---- q189: WIDEST (maximum-bottleneck) SUPPLY ROUTES — the max-min
+    //      dual of q163: edge capacity = distinct shared orders, a
+    //      route's strength is its weakest link, each node reports its
+    //      strongest ≤3-hop route from the nation-0 suppliers. Seeds
+    //      carry the max-long identity (printed as-is; the oracle uses
+    //      the same literal). ----
+    "q189_widest_path" -> Q(
+      (s, d) => {
+        val e0 = Tables.orders(s, d).join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy((col("o_custkey").cast("long") * 2).as("u"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("v"))
+          .agg(countDistinct(col("o_orderkey")).as("w"))
+        val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+        val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey").cast("long") * 2 + 1).as("node"))
+        widestPaths(s, edges, seeds, maxHops = 3)
+          .select(
+            when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+              .as("kind"),
+            expr("node div 2").as("key"), col("cap").as("bottleneck"))
+          .orderBy(desc("bottleneck"), col("kind"), col("key"))
+      },
+      Some {
+        def hop(prev: String, cur: String): String =
+          s"""$cur AS MATERIALIZED (SELECT node, max(cap) AS cap FROM (
+             |  SELECT node, cap FROM $prev
+             |  UNION ALL
+             |  SELECT ed.v AS node, least($prev.cap, ed.w) AS cap
+             |  FROM ed JOIN $prev ON ed.u = $prev.node) GROUP BY node)""".stripMargin
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v,
+           |    CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS w
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           |  GROUP BY 1, 2),
+           |ed AS MATERIALIZED (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+           |c0 AS MATERIALIZED (SELECT DISTINCT s_suppkey * 2 + 1 AS node,
+           |    CAST(9223372036854775807 AS BIGINT) AS cap
+           |  FROM supplier WHERE s_nationkey = 0),
+           |${hop("c0", "c1")},
+           |${hop("c1", "c2")},
+           |${hop("c2", "c3")}
+           |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           |  node // 2 AS key, CAST(cap AS BIGINT) AS bottleneck
+           |FROM c3 ORDER BY bottleneck DESC, kind, key""".stripMargin
       }),
   )
 }

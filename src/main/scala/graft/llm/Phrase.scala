@@ -65,5 +65,48 @@ object Phrase {
              |WHERE len(list_filter(range(1, len(toks)),
              |    i -> toks[i] = 'fast' AND toks[i + 1] = 'table')) > 0
              |ORDER BY n_hits DESC, doc_id""".stripMargin)),
+
+    // ---- q191: PER-DOCUMENT KEYWORDS — the top-3 most distinctive
+    //      terms per document under the INTEGER tf·N div df salience
+    //      score (rank-equivalent to tf·idf without the logarithm, so
+    //      the ranking is exact and engine-portable), tie order (score
+    //      DESC, term ASC) pinned; docs 1–20 keep the output bounded.
+    //      Scale: tf is a (doc, term) agg, df a term agg joined back —
+    //      two keyed shuffles and a per-doc window. ----
+    "q191_doc_keywords" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = filter(split(trim(lower(col("text"))), "\\s+"),
+          t => length(t) > 0)
+        val terms = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = Tables.documents(s, d).count()
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))
+        tf.join(dfT, "term")
+          .withColumn("score", expr(s"tf * ${n}L div df"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3 && col("doc_id") <= 20)
+          .select(col("doc_id"), col("rk"), col("term"), col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(list_filter(
+             |      regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      x -> len(x) > 0)) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM t GROUP BY 1, 2),
+             |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |  FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |r AS (SELECT tf.doc_id, tf.term, tf.tf * n.n // df.df AS score,
+             |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY tf.tf * n.n // df.df DESC, tf.term) AS BIGINT) AS rk
+             |  FROM tf JOIN df ON tf.term = df.term, n)
+             |SELECT doc_id, rk, term, score
+             |FROM r WHERE rk <= 3 AND doc_id <= 20
+             |ORDER BY doc_id, rk""".stripMargin)),
   )
 }

@@ -190,5 +190,45 @@ object Stats {
              |    sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
              |      CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6) AS acf_r6
              |FROM m ORDER BY lag""".stripMargin)),
+
+    // ---- q190: TIME-DECAY ATTRIBUTION — q154's last-touch rule
+    //      replaced by the multi-touch decay model: every touch within
+    //      7 days before the purchase earns credit_milli_cents =
+    //      (purchase_cents · 1000) div (1 + gap_days) — exact integer
+    //      decay, no exponentials, so the credit table is hash-exact.
+    //      Scale: one user-keyed join with a time-band predicate (the
+    //      band bounds the per-purchase touch fan-out), one agg. ----
+    "q190_decay_attribution" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val touches = ev
+          .filter(col("event_type").isin("click", "view", "signup"))
+          .select(col("user_id"), col("event_type").as("touch_type"),
+            unix_micros(col("ts")).as("tt"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("pt"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        purchases.join(touches, Seq("user_id"))
+          .filter(col("tt") <= col("pt") &&
+            col("tt") > col("pt") - lit(7L * 86400L * 1000000L))
+          .withColumn("gap_days", expr("(pt - tt) div 86400000000"))
+          .groupBy("touch_type")
+          .agg(count(lit(1)).as("n_credits"),
+            sum(expr("(cents * 1000) div (1 + gap_days)"))
+              .as("credit_milli_cents"))
+          .orderBy("touch_type")
+      },
+      Some("""WITH t AS (SELECT user_id, event_type AS touch_type,
+             |    epoch_us(ts) AS tt
+             |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+             |p AS (SELECT user_id, epoch_us(ts) AS pt,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_credits,
+             |  CAST(sum((cents * 1000) // (1 + (pt - tt) // 86400000000))
+             |    AS BIGINT) AS credit_milli_cents
+             |FROM p JOIN t ON p.user_id = t.user_id
+             |  AND tt <= pt AND tt > pt - 604800000000
+             |GROUP BY touch_type ORDER BY touch_type""".stripMargin)),
   )
 }
