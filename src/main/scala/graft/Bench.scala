@@ -70,7 +70,12 @@ object Bench {
       // weighted median, Gini, temporal reachability (q178 streaming
       // stays out: streaming harness, like q127/q136/q140)
       "q165_cohort_retention", "q168_assortativity", "q170_session_paths",
-      "q173_weighted_median", "q180_gini", "q181_temporal_reach")
+      "q173_weighted_median", "q180_gini", "q181_temporal_reach",
+      // continuation: prefix-filtered join, embeddedness, widest paths,
+      // decay attribution, keywords (q178/q183 stay out: streaming
+      // harness / filesystem side effects)
+      "q182_prefix_jaccard", "q188_embeddedness", "q189_widest_path",
+      "q190_decay_attribution", "q191_doc_keywords")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -725,4 +725,19 @@ object Graft {
   def earliestArrival(spark: SparkSession, edges: DataFrame,
       seeds: DataFrame, rounds: Int): DataFrame =
     graph.Temporal.earliestArrival(spark, edges, seeds, rounds)
+
+  /** Bounded-hop maximum-bottleneck (widest) path capacities — the
+    * max-min dual of [[bfsDistances]] ([[graph.Bfs.widestPaths]]).
+    */
+  def widestPaths(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame =
+    graph.Bfs.widestPaths(spark, edges, seeds, maxHops)
+
+  /** Compact a many-small-files parquet table under a records-per-file
+    * bound, optionally sorted for tight min/max stats; returns
+    * (files_before, files_after, rows) ([[io.Layout.compact]]).
+    */
+  def compactTable(spark: SparkSession, inPath: String, outPath: String,
+      maxRecordsPerFile: Long, sortCols: Seq[String] = Nil): (Long, Long, Long) =
+    io.Layout.compact(spark, inPath, outPath, maxRecordsPerFile, sortCols)
 }

@@ -26,7 +26,9 @@ object PlanAudit {
         "q115_fuzzy_join", "q116_pagerank", "q117_scd2", "q118_triangles",
         "q119_audio_neardup", "q120_sessionize", "q121_pit_lookup",
         "q122_bfs_hops", "q130_pmi_cooccur", "q131_incr_agg",
-        "q132_ppr", "q133_containment")
+        "q132_ppr", "q133_containment",
+        "q165_cohort_retention", "q170_session_paths", "q181_temporal_reach",
+        "q182_prefix_jaccard", "q186_pareto_share", "q188_embeddedness")
     val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")
