@@ -61,6 +61,50 @@ object SqlSurface {
         s.sql(groupingSetsSql)
       },
       Some(groupingSetsSql)),
+
+    // ---- q193: the typed-Aggregator surface exposed to SQL TEXT —
+    //      `functions.udaf` wraps the KMV Aggregator and registers it
+    //      as a plain SQL function, so a SQL-only consumer gets the
+    //      mergeable sketch (map-side partials and all) without
+    //      touching the Dataset API; the estimate arithmetic replays
+    //      exactly in the q51 oracle form. ----
+    "q193_sql_udaf" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.{functions => F, Encoders}
+        s.udf.register("kmv_sketch",
+          F.udaf(new graft.functions.KmvAgg(64), Encoders.scalaLong))
+        Tables.documents(s, d).createOrReplaceTempView("documents")
+        s.sql(
+          """WITH tok AS (SELECT source,
+            |    explode(filter(split(trim(lower(text)), '\\s+'),
+            |      x -> length(x) > 0)) AS token
+            |  FROM documents),
+            |h AS (SELECT source,
+            |    CAST(conv(substring(md5(CAST(token AS BINARY)), 1, 15), 16, 10)
+            |      AS BIGINT) AS hv
+            |  FROM tok),
+            |sk AS (SELECT source, kmv_sketch(hv) AS s FROM h GROUP BY source)
+            |SELECT source, s.estimate AS kmv_estimate,
+            |  CAST(size(s.sketch) AS INT) AS sketch_size
+            |FROM sk ORDER BY source""".stripMargin)
+      },
+      Some("""WITH tok AS (SELECT source,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      x -> len(x) > 0)) AS token
+             |  FROM documents),
+             |h AS (SELECT DISTINCT source,
+             |    ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv FROM tok),
+             |r AS (SELECT source, hv,
+             |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS nh FROM h),
+             |est AS (SELECT source, max(nh) AS nh,
+             |    max(CASE WHEN rn = 64 THEN hv END) AS hk FROM r GROUP BY source)
+             |SELECT source,
+             |  CASE WHEN nh < 64 THEN CAST(nh AS DOUBLE)
+             |       ELSE CAST(63 AS DOUBLE) * 1152921504606846976 / hk END
+             |    AS kmv_estimate,
+             |  CAST(least(nh, 64) AS INT) AS sketch_size
+             |FROM est ORDER BY source""".stripMargin)),
   )
 
   /** a `def`, not a `val`: `all` captures it eagerly during object

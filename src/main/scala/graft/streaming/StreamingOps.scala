@@ -408,6 +408,38 @@ object StreamingOps {
              |  count(*) AS n_events
              |FROM i GROUP BY user_id, isl
              |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- STREAM-STATIC ENRICHMENT JOIN: the third streaming join
+    //      modality (stream-stream interval join and stream-side-input
+    //      broadcast already covered) — each micro-batch joins the
+    //      event stream against the STATIC customer dimension (users
+    //      are customer keys in this fixture), the pattern every
+    //      streaming pipeline uses for dimension enrichment. The dim
+    //      is broadcast per batch; purchase revenue rolls up per
+    //      market segment. Batch parity is the oracle. ----
+    "q192_stream_enrich" -> Q(
+      (s, d) => {
+        val sch = s.read.parquet(s"$d/events.parquet").schema
+        val raw = s.readStream.schema(sch).parquet(s"$d/{events.parquet}")
+        val ev = normTs(raw).filter(col("event_type") === "purchase")
+          .select(col("user_id").cast("long").as("user_id"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        val dim = broadcast(graft.rel.Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val agg = ev.join(dim, ev("user_id") === dim("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_cents"))
+        val q = agg.writeStream.format("memory").queryName("stream_enrich")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("stream_enrich").orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_purchases,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_cents
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |WHERE e.event_type = 'purchase'
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
   )
 
   /** Per-key EWMA streaming state: last folded day (epoch days), the
