@@ -15,6 +15,33 @@ object Maintenance {
   /** one fragmented-documents rewrite per dataset for the q183 entry */
   private val fragmented = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** one two-generation (v1 without `lang` / v2 with it) rewrite per
+    * dataset for the q195 schema-evolution entry; even doc_ids are the
+    * v1 generation
+    */
+  private val evolved = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def evolvedDirFor(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    evolved.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft-q195")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      val base = work.resolve("docs").toString
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars")) // v1 schema: no lang
+        .write.mode("overwrite").parquet(s"$base/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(s"$base/gen=2")
+      base
+    })
+
   private def fragmentedDirFor(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     fragmented.getOrElseUpdate(d, {
@@ -66,5 +93,27 @@ object Maintenance {
              |    AS BIGINT) AS files_after,
              |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS rows
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- q195: SCHEMA EVOLUTION READ — two parquet generations of the
+    //      documents table (v1 without `lang`, v2 with it) read through
+    //      ONE mergeSchema scan: old files surface the new column as
+    //      NULL, which is the lakehouse schema-evolution contract every
+    //      long-lived table depends on. The entry pins the unified
+    //      schema and the null-fill accounting; the oracle replays the
+    //      generation split from the source table. ----
+    "q195_schema_evolution" -> Q(
+      (s, d) => {
+        val base = evolvedDirFor(s, d)
+        s.read.option("mergeSchema", "true").parquet(base)
+          .groupBy(coalesce(col("lang"), lit("_absent_in_v1")).as("lang_read"))
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("lang_read")
+      },
+      Some("""SELECT lang_read, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM (
+             |  SELECT CASE WHEN doc_id % 2 = 0 THEN '_absent_in_v1' ELSE lang END
+             |    AS lang_read, n_chars
+             |  FROM documents)
+             |GROUP BY lang_read ORDER BY lang_read""".stripMargin)),
   )
 }

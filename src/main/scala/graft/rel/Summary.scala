@@ -275,5 +275,41 @@ object Summary {
              |  min(cents) AS lo_cents, max(cents) AS hi_cents,
              |  round(sum(pr), 6) AS sum_pr, round(sum(cd), 6) AS sum_cd
              |FROM r GROUP BY decile ORDER BY decile""".stripMargin)),
+
+    // ---- q194: FORWARD FILL (last observation carried forward) — the
+    //      canonical sparse-series densification: every event carries
+    //      the user's most recent purchase amount (events before the
+    //      first purchase stay NULL). One user-keyed window pass with
+    //      last(_, ignoreNulls) over the pinned (ts, event_id) order;
+    //      summarized per event type (count with/without a carried
+    //      value + exact carried sum) to keep the output bounded. ----
+    "q194_forward_fill" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            when(col("event_type") === "purchase",
+              round(col("value") * 100, 0).cast("long")).as("purchase_cents"))
+          .withColumn("carried", last("purchase_cents", ignoreNulls = true).over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            count(col("carried")).as("n_with_carry"),
+            sum("carried").as("carried_sum_cents"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             |    event_type,
+             |    CASE WHEN event_type = 'purchase'
+             |      THEN CAST(round(value * 100) AS BIGINT) END AS pc
+             |  FROM events),
+             |f AS (SELECT event_type,
+             |    last_value(pc IGNORE NULLS) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS carried
+             |  FROM e)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(carried) AS BIGINT) AS n_with_carry,
+             |  CAST(sum(carried) AS BIGINT) AS carried_sum_cents
+             |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

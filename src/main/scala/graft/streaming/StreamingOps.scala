@@ -440,6 +440,39 @@ object StreamingOps {
              |FROM events e JOIN customer c ON e.user_id = c.c_custkey
              |WHERE e.event_type = 'purchase'
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- the BUILT-IN watermark-bounded dedup operator
+    //      (`dropDuplicatesWithinWatermark`, the engine-native twin of
+    //      the hand-rolled q54-era stateful dedup): an at-least-once
+    //      source is simulated by unioning the stream with itself —
+    //      every event arrives exactly twice — and the operator must
+    //      emit each event_id once. First occurrences emit immediately
+    //      (the watermark governs state EVICTION, not emission), so the
+    //      append-mode memory table aggregates batch-side to the plain
+    //      batch-distinct oracle. ----
+    "q196_stream_dedup_watermark" -> Q(
+      (s, d) => {
+        val sch = s.read.parquet(s"$d/events.parquet").schema
+        def stream() = normTs(
+          s.readStream.schema(sch).parquet(s"$d/{events.parquet}"))
+          .select(col("event_id"), col("ts"), col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        val doubled = stream().unionAll(stream())
+        val deduped = doubled
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+        val q = deduped.writeStream.format("memory")
+          .queryName("stream_dedup_wm").outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("stream_dedup_wm")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 
   /** Per-key EWMA streaming state: last folded day (epoch days), the
