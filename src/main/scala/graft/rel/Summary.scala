@@ -311,5 +311,31 @@ object Summary {
              |  CAST(count(carried) AS BIGINT) AS n_with_carry,
              |  CAST(sum(carried) AS BIGINT) AS carried_sum_cents
              |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- q197: SLIDING WINDOWS — 2-hour windows advancing hourly
+    //      (each event belongs to exactly TWO), the overlap shape q18's
+    //      tumbling grid cannot express. The oracle replays the window
+    //      assignment arithmetic: an event at hour h lands in windows
+    //      starting h and h−1. ----
+    "q197_sliding_window" -> Q(
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+          .select(col("w.start").cast("timestamp_ntz").as("wstart"),
+            col("event_type"), col("cnt"), col("value_cents"))
+          .orderBy("wstart", "event_type")
+      },
+      Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |w AS (SELECT date_trunc('hour', ts)
+             |      - to_hours(CAST(o.o AS BIGINT)) AS wstart,
+             |    event_type, cents
+             |  FROM e CROSS JOIN (VALUES (0), (1)) o(o))
+             |SELECT wstart, event_type, count(*) AS cnt,
+             |  CAST(sum(cents) AS BIGINT) AS value_cents
+             |FROM w GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin)),
   )
 }

@@ -29,6 +29,26 @@ object StreamingOps {
     case _ => df
   }
 
+  /** one 8-file fragmentation of events per dataset, so the q198 file
+    * source delivers eight real micro-batches at maxFilesPerTrigger=1
+    */
+  private val multiBatch = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def multiBatchDirFor(s: SparkSession, d: String): String =
+    multiBatch.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft-q198")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      val dir = work.resolve("ev").toString
+      s.read.parquet(s"$d/events.parquet").repartition(8)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** Run [[EventStream.hourlyByType]] as a file-source streaming query in
     * COMPLETE mode, drained to completion (memory sink — the full result
     * stays on the driver, which is the point of a verification entry;
@@ -472,6 +492,35 @@ object StreamingOps {
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
              |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
              |    AS sum_cents
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- GENUINELY MULTI-BATCH incremental aggregation: the events
+    //      table is fragmented into 8 files and streamed with
+    //      maxFilesPerTrigger=1, so the per-type aggregate state is
+    //      built across EIGHT real micro-batches (most one-file
+    //      streaming entries see a single batch — this one pins the
+    //      cross-batch merge itself). Complete-mode final table must
+    //      equal the one-shot batch aggregate bit-for-bit. ----
+    "q198_stream_multibatch" -> Q(
+      (s, d) => {
+        val frag = multiBatchDirFor(s, d)
+        val sch = s.read.parquet(frag).schema
+        val raw = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(frag)
+        val agg = normTs(raw)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"),
+            max(col("event_id")).as("max_event_id"))
+        val q = agg.writeStream.format("memory").queryName("stream_multibatch")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("stream_multibatch").orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents,
+             |  CAST(max(event_id) AS BIGINT) AS max_event_id
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 
