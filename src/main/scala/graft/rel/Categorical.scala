@@ -53,5 +53,30 @@ object Categorical {
              |SELECT p_brand, l_returnflag AS mode_returnflag,
              |  CAST(n AS BIGINT) AS mode_count
              |FROM r WHERE rk = 1 ORDER BY p_brand""".stripMargin)),
+
+    // ---- q201: LISTAGG / STRING_AGG — the ordered string-aggregation
+    //      ANSI operator: per market segment, the distinct order
+    //      priorities its customers used, concatenated in a PINNED
+    //      (alphabetical) order — sort_array(collect_set) on the Spark
+    //      side, string_agg(DISTINCT … ORDER BY) in DuckDB; without the
+    //      pinned order string aggregation is engine-nondeterministic,
+    //      which is exactly why the order is part of the operator. ----
+    "q201_string_agg" -> Q(
+      (s, d) => {
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
+              .as("priorities"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |  string_agg(DISTINCT o_orderpriority, ','
+             |    ORDER BY o_orderpriority) AS priorities,
+             |  CAST(count(*) AS BIGINT) AS n_orders
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
   )
 }

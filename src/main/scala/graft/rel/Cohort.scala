@@ -248,5 +248,78 @@ object Cohort {
              |FROM daily JOIN bd ON daily.dow_idx = bd.dow_idx
              |ORDER BY abs(cents * dow_days - dow_cents) DESC, day
              |LIMIT 10""".stripMargin)),
+
+    // ---- q199: MONTH-OVER-MONTH GROWTH — revenue delta vs the
+    //      PRECEDING CALENDAR month (lag over the integer month index,
+    //      so a gap month yields NULL rather than silently comparing
+    //      across it), growth in exact milli-units
+    //      ((cur−prev)·1000 div prev). The first month and any
+    //      post-gap month report NULL growth. ----
+    "q199_mom_growth" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val monthly = Tables.orders(s, d)
+          .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("m"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+        val w = Window.orderBy("m")
+        monthly
+          .withColumn("prev_m", lag("m", 1).over(w))
+          .withColumn("prev_rev", lag("rev", 1).over(w))
+          .select(
+            concat(format_string("%04d", (col("m") / 12).cast("int")), lit("-"),
+              format_string("%02d", (col("m") % 12 + 1).cast("int"))).as("month"),
+            col("rev").as("rev_cents"),
+            when(col("prev_m") === col("m") - 1,
+              expr("(rev - prev_rev) * 1000 div prev_rev")).as("growth_milli"))
+          .orderBy("month")
+      },
+      Some("""WITH mo AS (SELECT
+             |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM orders GROUP BY 1),
+             |l AS (SELECT m, rev, lag(m) OVER (ORDER BY m) AS pm,
+             |    lag(rev) OVER (ORDER BY m) AS pr FROM mo)
+             |SELECT printf('%04d-%02d', CAST(m // 12 AS INT),
+             |    CAST(m % 12 + 1 AS INT)) AS month,
+             |  rev AS rev_cents,
+             |  CASE WHEN pm = m - 1 THEN (rev - pr) * 1000 // pr END AS growth_milli
+             |FROM l ORDER BY month""".stripMargin)),
+
+    // ---- q200: CUMULATIVE DISTINCT USERS per day — running-distinct
+    //      is not a window aggregate any engine supports directly; the
+    //      standard exact rewrite counts each user only on their FIRST
+    //      active day and cumsums: one distinct, one min-agg, one
+    //      |days|-row window. ----
+    "q200_cumulative_users" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val firstDay = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .groupBy("user_id").agg(min("day").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("new_users"))
+        val activeDays = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day")).distinct()
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        activeDays.join(firstDay, Seq("day"), "left")
+          .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+          .withColumn("cumulative_users", sum("new_users").over(w))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("new_users"), col("cumulative_users"))
+          .orderBy("day")
+      },
+      Some("""WITH fd AS (SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+             |  FROM events GROUP BY user_id),
+             |nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+             |  FROM fd GROUP BY day),
+             |ad AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+             |  FROM events)
+             |SELECT strftime(ad.day, '%Y-%m-%d') AS day,
+             |  coalesce(nu.new_users, 0) AS new_users,
+             |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY ad.day
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+             |FROM ad LEFT JOIN nu ON ad.day = nu.day
+             |ORDER BY day""".stripMargin)),
   )
 }
