@@ -32,21 +32,53 @@ object AsofJoin {
       right: DataFrame,
       key: String,
       ts: String,
-      rightCols: Map[String, String]): DataFrame = {
+      rightCols: Map[String, String]): DataFrame =
+    asofImpl(left, right, key, ts, rightCols, None)
+
+  /** As-of join with a TOLERANCE (pandas merge_asof's `tolerance`): a
+    * left row only matches a right row at most `toleranceMicros` old —
+    * staler carries resolve to null payload, exactly as if no right row
+    * existed. The carried right timestamp rides inside the payload
+    * struct, so the tolerance check is a narrow post-filter on the same
+    * single-shuffle plan. `ts` may be TimestampType or long micros.
+    */
+  def asofTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightCols: Map[String, String],
+      toleranceMicros: Long): DataFrame = {
+    require(toleranceMicros >= 0, s"tolerance must be >= 0: $toleranceMicros")
+    asofImpl(left, right, key, ts, rightCols, Some(toleranceMicros))
+  }
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightCols: Map[String, String],
+      tol: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq
     val carried = rightCols.values.toSeq
     // the right row travels as ONE struct so the carry is atomic: per-column
     // last(ignoreNulls) would skip null payload columns and stitch together
     // values from different right rows. The struct itself is non-null
     // exactly on right-side rows.
+    // with a tolerance, the right row's own timestamp travels in the
+    // struct so staleness is checkable after the carry
+    val payFields = rightCols.map { case (src, dst) =>
+      org.apache.spark.sql.types.StructField(dst, right.schema(src).dataType)
+    }.toSeq ++ tol.map(_ =>
+      org.apache.spark.sql.types.StructField("__rts", right.schema(ts).dataType))
+    val payExprs = rightCols.map { case (src, dst) => col(src).as(dst) }.toSeq ++
+      tol.map(_ => col(ts).as("__rts"))
     val l = left.withColumn("__side", lit(1))
       .withColumn("__rpay", lit(null).cast(
-        org.apache.spark.sql.types.StructType(rightCols.map { case (src, dst) =>
-          org.apache.spark.sql.types.StructField(dst, right.schema(src).dataType)
-        }.toSeq)))
+        org.apache.spark.sql.types.StructType(payFields)))
     val r = right.select(
-        Seq(col(key), col(ts),
-          struct(rightCols.map { case (src, dst) => col(src).as(dst) }.toSeq: _*).as("__rpay")): _*)
+        Seq(col(key), col(ts), struct(payExprs: _*).as("__rpay")): _*)
       .withColumn("__side", lit(0))
     // align schemas for the union
     val rAll = leftCols.filterNot(c => c == key || c == ts)
@@ -58,8 +90,16 @@ object AsofJoin {
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__rpay", last(col("__rpay"), ignoreNulls = true).over(w))
+    def micros(c: org.apache.spark.sql.Column) =
+      right.schema(ts).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    val withinTol = tol.fold(lit(true))(t =>
+      col("__rpay").isNotNull &&
+        micros(col(ts)) - micros(col("__rpay.__rts")) <= t)
     carried.foldLeft(filled.filter(col("__side") === 1)) { (df, c) =>
-      df.withColumn(c, col(s"__rpay.$c"))
+      df.withColumn(c, when(withinTol, col(s"__rpay.$c")))
     }.drop("__side", "__rpay")
   }
 }

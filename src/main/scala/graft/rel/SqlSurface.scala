@@ -105,7 +105,79 @@ object SqlSurface {
              |    AS kmv_estimate,
              |  CAST(least(nh, 64) AS INT) AS sketch_size
              |FROM est ORDER BY source""".stripMargin)),
+
+    // ---- q202: NULL-SAFE EQUALITY JOIN — Spark's `<=>` vs ANSI
+    //      `IS NOT DISTINCT FROM`: nulls match nulls, the semantics a
+    //      plain equi-join silently drops. Null keys are synthesized
+    //      with nullif on real columns so the match matrix includes a
+    //      genuine null↔null cell. ----
+    "q202_null_safe_join" -> Q(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(
+          """WITH a AS (SELECT nullif(o_orderstatus, 'O') AS k, count(*) AS na
+            |  FROM orders GROUP BY 1),
+            |b AS (SELECT nullif(l_linestatus, 'O') AS k, count(*) AS nb
+            |  FROM lineitem GROUP BY 1)
+            |SELECT coalesce(a.k, '_null_') AS k, a.na, b.nb
+            |FROM a JOIN b ON a.k <=> b.k
+            |ORDER BY k""".stripMargin)
+      },
+      Some("""WITH a AS (SELECT nullif(o_orderstatus, 'O') AS k,
+             |    CAST(count(*) AS BIGINT) AS na
+             |  FROM orders GROUP BY 1),
+             |b AS (SELECT nullif(l_linestatus, 'O') AS k,
+             |    CAST(count(*) AS BIGINT) AS nb
+             |  FROM lineitem GROUP BY 1)
+             |SELECT coalesce(a.k, '_null_') AS k, a.na, b.nb
+             |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+             |ORDER BY k""".stripMargin)),
+
+    // ---- q203: the ANSI aggregate FILTER clause — ONE text executed
+    //      verbatim by both engines (conditional aggregation without
+    //      CASE scaffolding). ----
+    "q203_filter_clause" -> Q(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(filterClauseSql)
+      },
+      Some(filterClauseSql)),
+
+    // ---- q204: LATERAL correlated subquery — per region, the top-2
+    //      nations by customer count computed in a correlated LATERAL
+    //      with its own ORDER BY / LIMIT: the "top-N per outer row"
+    //      shape that decorrelates to a ranked window. One portable
+    //      text, both engines. ----
+    "q204_lateral" -> Q(
+      (s, d) => {
+        Tables.region(s, d).createOrReplaceTempView("region")
+        Tables.nation(s, d).createOrReplaceTempView("nation")
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        s.sql(lateralSql)
+      },
+      Some(lateralSql)),
   )
+
+  private def filterClauseSql: String =
+    """SELECT o_orderstatus,
+      |  count(*) AS n_orders,
+      |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |    FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+      |    AS urgent_cents
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  private def lateralSql: String =
+    """SELECT r.r_name, t.n_name, t.n_cust
+      |FROM region r, LATERAL (
+      |  SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_cust
+      |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  GROUP BY n.n_name
+      |  ORDER BY n_cust DESC, n_name
+      |  LIMIT 2) t
+      |ORDER BY r.r_name, t.n_cust DESC, t.n_name""".stripMargin
 
   /** a `def`, not a `val`: `all` captures it eagerly during object
     * init, and a val declared after `all` would be null at that point

@@ -230,5 +230,48 @@ object Stats {
              |FROM p JOIN t ON p.user_id = t.user_id
              |  AND tt <= pt AND tt > pt - 604800000000
              |GROUP BY touch_type ORDER BY touch_type""".stripMargin)),
+
+    // ---- q205: AS-OF JOIN WITH TOLERANCE (pandas merge_asof
+    //      semantics) — q154's last-touch attribution where a touch
+    //      older than 24 h no longer counts: the carried right row is
+    //      nulled when staler than the tolerance, landing the purchase
+    //      in 'none'. Same single-shuffle as-of plan; the oracle takes
+    //      DuckDB's native ASOF join and ages out matches with the
+    //      identical integer-microsecond comparison. ----
+    "q205_asof_tolerance" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val touches = ev
+          .filter(col("event_type").isin("click", "view", "signup"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("event_type"), col("event_id")).as("touch_type"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        AsofJoin.asofTolerance(purchases, touches, "user_id", "ts",
+            Map("touch_type" -> "touch_type"),
+            toleranceMicros = 24L * 3600L * 1000000L)
+          .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("cents")).as("attributed_cents"))
+          .orderBy("touch_type")
+      },
+      Some("""WITH t AS (SELECT user_id, ts,
+             |    max_by(event_type, event_id) AS touch_type
+             |  FROM events WHERE event_type IN ('click', 'view', 'signup')
+             |  GROUP BY user_id, ts),
+             |p AS (SELECT user_id, ts,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |a AS (SELECT p.user_id, p.cents,
+             |    CASE WHEN t.ts IS NOT NULL
+             |        AND epoch_us(p.ts) - epoch_us(t.ts) <= 86400000000
+             |      THEN t.touch_type END AS touch_type
+             |  FROM p ASOF LEFT JOIN t
+             |    ON p.user_id = t.user_id AND t.ts <= p.ts)
+             |SELECT coalesce(touch_type, 'none') AS touch_type,
+             |  CAST(count(*) AS BIGINT) AS n_purchases,
+             |  CAST(sum(cents) AS BIGINT) AS attributed_cents
+             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
