@@ -78,5 +78,24 @@ object Categorical {
              |  CAST(count(*) AS BIGINT) AS n_orders
              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- q206: TOP-N WITH TIES — dense_rank keeps EVERY row achieving
+    //      the top-2 distinct sizes per brand (row_number's arbitrary
+    //      tie-cut is exactly what WITH TIES semantics exist to avoid;
+    //      the output row count is data-dependent, not N·groups). ----
+    "q206_top_with_ties" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("p_brand").orderBy(col("p_size").desc)
+        Tables.part(s, d)
+          .withColumn("rk", dense_rank().over(w))
+          .filter(col("rk") <= 2)
+          .select(col("p_brand"), col("rk"), col("p_size"), col("p_partkey"))
+          .orderBy("p_brand", "rk", "p_partkey")
+      },
+      Some("""SELECT p_brand, CAST(rk AS INT) AS rk, p_size, p_partkey FROM (
+             |  SELECT p_brand, p_size, p_partkey,
+             |    dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rk
+             |  FROM part) t
+             |WHERE rk <= 2 ORDER BY p_brand, rk, p_partkey""".stripMargin)),
   )
 }

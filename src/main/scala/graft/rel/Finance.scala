@@ -134,5 +134,79 @@ object Finance {
              |  rev * 1000 // total AS share_milli,
              |  cum * 1000 // total AS cum_share_milli
              |FROM c, t ORDER BY rev DESC, n_name""".stripMargin)),
+
+    // ---- q207: COEFFICIENT OF VARIATION — relative dispersion of
+    //      order totals per priority from exact DECIMAL(38,0) moment
+    //      sums; the floating tail is one sqrt + one divide
+    //      (cv = sqrt(n·Σx² − (Σx)²) / Σx, an algebraic rearrangement
+    //      with NO mean subtraction inside the sum), rounded to 6. ----
+    "q207_cv" -> Q(
+      (s, d) => {
+        val dec = "decimal(38,0)"
+        Tables.orders(s, d)
+          .select(col("o_orderpriority").as("pri"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("x"))
+          .groupBy("pri")
+          .agg(count(lit(1)).cast(dec).as("n"),
+            sum(col("x")).cast(dec).as("sx"),
+            sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"))
+          .select(col("pri"), col("n").cast("long").as("n_orders"),
+            round(
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+                col("sx").cast("double"), 6).as("cv6"))
+          .orderBy("pri")
+      },
+      Some("""SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n_orders,
+             |  round(sqrt(CAST(count(*) * sum(CAST(x AS HUGEINT) * x)
+             |      - CAST(sum(x) AS HUGEINT) * sum(x) AS DOUBLE))
+             |    / CAST(sum(x) AS DOUBLE), 6) AS cv6
+             |FROM (SELECT o_orderpriority,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q208: Z-SCORE OUTLIERS WITH ZERO FLOATS — |x − μ| > 1.7σ
+    //      (the fixture's near-uniform totals top out at z ≈ 1.77)
+    //      rewritten as the exact integer predicate
+    //      100·(n·x − Σx)² > 289·(n·Σx² − (Σx)²), carried in
+    //      DECIMAL(38,0)/HUGEINT: the outlier SET cannot drift by an
+    //      ulp between engines, which a floating z-score threshold
+    //      cannot promise. Top-10 outliers by the same exact
+    //      excess-over-threshold quantity. ----
+    "q208_zscore_outliers" -> Q(
+      (s, d) => {
+        val dec = "decimal(38,0)"
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("x"))
+        val mo = o.groupBy("pri")
+          .agg(count(lit(1)).cast(dec).as("n"),
+            sum(col("x")).cast(dec).as("sx"),
+            sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"))
+        o.join(broadcast(mo), "pri")
+          .withColumn("dev", col("n") * col("x") - col("sx"))
+          .withColumn("excess",
+            lit(100).cast(dec) * col("dev") * col("dev") -
+              lit(289).cast(dec) * (col("n") * col("sxx") - col("sx") * col("sx")))
+          .filter(col("excess") > 0)
+          .select(col("pri"), col("o_orderkey"), col("x").as("cents"),
+            col("excess").cast("double").as("excess_d"))
+          .orderBy(desc("excess_d"), col("pri"), col("o_orderkey"))
+          .limit(10)
+          .select(col("pri"), col("o_orderkey"), col("cents"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority AS pri,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+             |m AS (SELECT pri, CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(x) AS HUGEINT) AS sx,
+             |    sum(CAST(x AS HUGEINT) * x) AS sxx
+             |  FROM o GROUP BY pri),
+             |j AS (SELECT o.pri, o.o_orderkey, o.x,
+             |    100 * (n * x - sx) * (n * x - sx)
+             |      - 289 * (n * sxx - sx * sx) AS excess
+             |  FROM o JOIN m ON o.pri = m.pri)
+             |SELECT pri, o_orderkey, x AS cents
+             |FROM j WHERE excess > 0
+             |ORDER BY CAST(excess AS DOUBLE) DESC, pri, o_orderkey
+             |LIMIT 10""".stripMargin)),
   )
 }
