@@ -22,6 +22,15 @@ object Graft {
     */
   def stitchBlocks(grid: BlockGrid): BlockGrid = Stitch.stitchBlocks(grid)
 
+  /** Incremental re-stitch after tile replacement: recomputes exactly
+    * the changed tiles' 26-neighborhoods, bit-identical to a full
+    * re-stitch on those blocks — work proportional to the change, not
+    * the acquisition ([[Stitch.restitchBlocks]]).
+    */
+  def restitchBlocks(grid: BlockGrid,
+      changed: Seq[core.BlockIndex]): BlockGrid =
+    Stitch.restitchBlocks(grid, changed)
+
   /** Streaming stitch: same contract over an unbounded tile stream —
     * each output block emits when its last halo piece arrives,
     * bit-identical to [[stitchBlocks]]

@@ -174,6 +174,55 @@ object Stitch {
     BlockGrid(outMeta, merged)
   }
 
+  /** INCREMENTAL RE-STITCH — a tile was re-acquired/replaced: only the
+    * output blocks whose 26-neighborhood touches a changed tile can
+    * differ, so recompute exactly those. `affected` = changed tiles +
+    * their neighbors; the pieces feeding an affected target come from
+    * affected + THEIR neighbors (2 hops from the change), so the input
+    * is filtered to that set and the normal one-shuffle stitch runs on
+    * it, restricted to affected targets. Accumulation per target sees
+    * the identical piece set in the identical srcKey order, so every
+    * returned block is BIT-IDENTICAL to a full re-stitch
+    * (RestitchSpec) — at a fraction of the work: a k-tile change on an
+    * N-tile acquisition touches ≤ 27k targets and reads ≤ 125k tiles,
+    * independent of N. The update path a 100 TB microscope volume
+    * needs when one stage position is re-imaged.
+    *
+    * Returns only the affected output blocks (overlap-0 meta); callers
+    * overwrite those blocks in the stored full output (block IO is
+    * per-block parquet/npy, so the overwrite is file-local).
+    */
+  def restitchBlocks(grid: BlockGrid, changed: Seq[BlockIndex]): BlockGrid = {
+    val meta = grid.meta
+    requireStitchable(meta)
+    require(changed.nonEmpty, "restitch needs at least one changed tile")
+    val g = meta.blockGrid
+    def inBounds(x: Int, y: Int, z: Int): Boolean =
+      x >= 0 && y >= 0 && z >= 0 && x < g(0) && y < g(1) && z < g(2)
+    def neighborhood(s: Set[(Int, Int, Int)]): Set[(Int, Int, Int)] =
+      s.flatMap { case (x, y, z) =>
+        for {
+          dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1
+          if inBounds(x + dx, y + dy, z + dz)
+        } yield (x + dx, y + dy, z + dz)
+      }
+    val changed0 = changed.map(bi => (bi.bx, bi.by, bi.bz)).toSet
+    val affected = neighborhood(changed0)
+    val sources = neighborhood(affected)
+    val spark = grid.ds.sparkSession
+    val srcB = spark.sparkContext.broadcast(sources)
+    val affB = spark.sparkContext.broadcast(affected)
+    val sub = grid.ds.filter(b => srcB.value.contains((b.bi.bx, b.bi.by, b.bi.bz)))
+    val outMeta = meta.copy(overlap = Array(0, 0, 0))
+    val merged = emitPieces(BlockGrid(meta, sub))
+      .filter(p => affB.value.contains((p.tx, p.ty, p.tz)))
+      .groupByKey(p => (p.tx, p.ty, p.tz))
+      .mapGroups { (key, it) =>
+        assembleBlock(key._1, key._2, key._3, it.toSeq, meta)
+      }
+    BlockGrid(outMeta, merged)
+  }
+
   /** The stitch as the reference literally writes it (stitch.py:104-121):
     * `map_blocks(weight_block)` then
     * `map_overlap(merge_overlaps, depth=overlap, boundary=0, trim=False,
