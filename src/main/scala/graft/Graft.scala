@@ -31,6 +31,18 @@ object Graft {
       changed: Seq[core.BlockIndex]): BlockGrid =
     Stitch.restitchBlocks(grid, changed)
 
+  /** Incremental affine-field recompute after a local affine was
+    * re-estimated: only the changed cells' neighborhoods recompute,
+    * bit-identical to the full field
+    * ([[affine.LocalAffine.refieldBlocks]]).
+    */
+  def refieldBlocks(spark: SparkSession, shape: Array[Long],
+      spacing: Array[Float], affines: affine.AffineGrid,
+      blocksize: Array[Int], overlap: Array[Int],
+      changed: Seq[core.BlockIndex], displacement: Boolean = true): BlockGrid =
+    affine.LocalAffine.refieldBlocks(spark, shape, spacing, affines,
+      blocksize, overlap, changed, displacement)
+
   /** Streaming stitch: same contract over an unbounded tile stream —
     * each output block emits when its last halo piece arrives,
     * bit-identical to [[stitchBlocks]]

@@ -223,6 +223,56 @@ object LocalAffine {
     BlockGrid(meta, ds)
   }
 
+  /** INCREMENTAL FIELD RECOMPUTE — a local affine was re-estimated:
+    * [[mergeNeighbors]] reads only a block's ≤27 neighbor affines, so a
+    * changed affine at grid coordinate (x,y,z) can only alter field
+    * blocks in its 1-neighborhood. Recomputes exactly those blocks with
+    * the identical kernel on the identical inputs — bit-identical to
+    * re-running [[localAffinesToField]] (RefieldSpec) at work
+    * proportional to the change, not the volume. Callers overwrite the
+    * returned blocks in the stored field.
+    */
+  def refieldBlocks(
+      spark: SparkSession,
+      shape: Array[Long],
+      spacing: Array[Float],
+      affines: AffineGrid,
+      blocksize: Array[Int],
+      overlap: Array[Int],
+      changed: Seq[BlockIndex],
+      displacement: Boolean = true): BlockGrid = {
+    require(changed.nonEmpty, "refield needs at least one changed affine")
+    val grid = affines.gridDims
+    val bs = blocksize.clone()
+    requireValidOverlap(bs, overlap)
+    val meta = GridMeta(shape.clone(), bs, Array(0, 0, 0), grid.clone(), components = 3)
+    val sh = shape.clone(); val sp = spacing.clone(); val ov = overlap.clone()
+    val g = grid.clone()
+    val affected = changed.flatMap { bi =>
+      for {
+        dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1
+        x = bi.bx + dx; y = bi.by + dy; z = bi.bz + dz
+        if x >= 0 && y >= 0 && z >= 0 && x < g(0) && y < g(1) && z < g(2)
+        // the crop filter of the full path
+        if x.toLong * bs(0) < sh(0) && y.toLong * bs(1) < sh(1) &&
+          z.toLong * bs(2) < sh(2)
+      } yield BlockIndex(x, y, z)
+    }.distinct.sortBy(bi => (bi.bx, bi.by, bi.bz))
+    val bAff = spark.sparkContext.broadcast(affines)
+    import spark.implicits._
+    implicit val biEnc: Encoder[BlockIndex] =
+      org.apache.spark.sql.Encoders.product[BlockIndex]
+    val ds = spark.createDataset(affected)
+      .repartition(math.min(affected.size,
+        spark.sparkContext.defaultParallelism).max(1))
+      .map { bi =>
+        val full = mergeNeighbors(bi, bs, g, sp, bAff.value, ov, displacement)
+        Block(bi, bs(0), bs(1), bs(2), 3, full)
+      }(blockEnc)
+      .map(cropBlock(_, bs, sh))(blockEnc)
+    BlockGrid(meta, ds)
+  }
+
   /** Join-path field synthesis for affine grids too large to broadcast:
     * each affine row is flatMapped to its ≤27 neighbor target blocks,
     * grouped by target (ONE shuffle, hash-partitioned on the uniform
