@@ -119,6 +119,35 @@ object SparkEntry {
         .toDF("bx", "by", "bz", "x_min", "x_max", "y_min", "y_max", "z_min", "z_max")
         .orderBy("bx", "by", "bz")
     },
+    // incremental re-stitch SELF-VERIFYING entry: random 4^3 grid with
+    // tile (1,2,1) perturbed; restitchBlocks' 27-block neighborhood is
+    // compared BIT-FOR-BIT inside the query against a full re-stitch,
+    // and the oracle pins that all 27 comparisons hold
+    "stitch_restitch_delta" -> { (s, _) =>
+      import s.implicits._
+      val bs = Array(6, 6, 6); val o = Array(2, 2, 2); val g = Array(4, 4, 4)
+      val n = 10
+      val tiles = for {
+        x <- 0 until 4; y <- 0 until 4; z <- 0 until 4
+      } yield {
+        val rnd = new scala.util.Random(x * 100 + y * 10 + z)
+        val base = Array.fill(n * n * n)(rnd.nextFloat())
+        Block(BlockIndex(x, y, z),
+          n, n, n, 1,
+          if (x == 1 && y == 2 && z == 1) base.map(_ + 1.0f) else base)
+      }
+      val grid = BlockGrid.fromTiles(s, tiles, bs, o, g, 1)
+      val full = Stitch.stitchBlocks(grid).ds.collect()
+        .map(b => (b.bi.bx, b.bi.by, b.bi.bz) -> b.data).toMap
+      val fullB = s.sparkContext.broadcast(full)
+      Stitch.restitchBlocks(grid, Seq(BlockIndex(1, 2, 1)))
+        .ds.map { b =>
+          (b.bi.bx, b.bi.by, b.bi.bz,
+            java.util.Arrays.equals(b.data, fullB.value((b.bi.bx, b.bi.by, b.bi.bz))))
+        }
+        .toDF("bx", "by", "bz", "bit_identical")
+        .orderBy("bx", "by", "bz")
+    },
     // uniform +1 x-translation -> blended displacement field incl. the
     // reference's (4/3)^d seam quirk; per-block dx extrema as rows
     "affine_field_translate" -> { (s, _) =>
@@ -161,6 +190,9 @@ object SparkEntry {
     val reflectRows = (for {
       x <- 0 until 2; y <- 0 until 2; z <- 0 until 2
     } yield s"($x, $y, $z, 2.5, 2.5)").mkString(", ")
+    val restitchRows = (for {
+      dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1
+    } yield s"(${1 + dx}, ${2 + dy}, ${1 + dz}, TRUE)").mkString(", ")
     Map(
       "mapoverlap_reflect_const" ->
         (s"SELECT bx, by, bz, CAST(minval AS DOUBLE) AS minval, CAST(maxval AS DOUBLE) AS maxval " +
@@ -176,6 +208,9 @@ object SparkEntry {
       "stitch_blend_const" ->
         (s"SELECT bx, by, bz, CAST(minval AS DOUBLE) AS minval, CAST(maxval AS DOUBLE) AS maxval " +
           s"FROM (VALUES $blendRows) AS t(bx, by, bz, minval, maxval) ORDER BY bx, by, bz"),
+      "stitch_restitch_delta" ->
+        (s"SELECT bx, by, bz, bit_identical " +
+          s"FROM (VALUES $restitchRows) AS t(bx, by, bz, bit_identical) ORDER BY bx, by, bz"),
       "affine_field_translate" ->
         (s"SELECT bx, by, bz, CAST(dx_min AS DOUBLE) AS dx_min, CAST(dx_max AS DOUBLE) AS dx_max " +
           s"FROM (VALUES $affRows) AS t(bx, by, bz, dx_min, dx_max) ORDER BY bx, by, bz"),
