@@ -38,7 +38,8 @@ object SparkEntry {
       graft.rel.Categorical.all ++ graft.graph.Assortativity.all ++
       graft.llm.Phrase.all ++ graft.rel.Summary.all ++
       graft.rel.Finance.all ++ graft.graph.Temporal.all ++
-      graft.rel.Maintenance.all
+      graft.rel.Maintenance.all ++ graft.rel.Distribution.all ++
+      graft.graph.Scc.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

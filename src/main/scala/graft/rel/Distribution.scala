@@ -1,0 +1,218 @@
+package graft.rel
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** DISTRIBUTION DIAGNOSTICS — the shape-of-the-data tier: digit-law
+  * conformance (fraud screening), a nonparametric two-sample test,
+  * exact higher moments, and a mergeable power-of-two histogram.
+  *
+  * Exactness discipline (the q138/q142/q207 house rule): every
+  * aggregate that can be exact integer arithmetic IS (counts, cents,
+  * rank sums in doubled units, central-moment numerators in
+  * DECIMAL(38,0) ≡ DuckDB HUGEINT — exact in both engines, so
+  * accumulation order is irrelevant); each floating tail is one fixed,
+  * explicitly parenthesized chain of IEEE ops both engines evaluate
+  * identically, rounded to 6.
+  */
+object Distribution {
+
+  private val dec = DecimalType(38, 0)
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q209: BENFORD FIRST-DIGIT SCREEN — the classic fabricated-
+    //      numbers diagnostic: the leading digit of naturally occurring
+    //      amounts follows log10(1+1/d), so a ledger whose digit
+    //      histogram strays is flagged for audit. Exact: digits from
+    //      the decimal string of integer cents, counts and the observed
+    //      permille's single division; expected permille pinned as the
+    //      standard literal table (301...46) on BOTH sides, so no
+    //      cross-libm log10 enters the compare. Scale: one narrow map
+    //      + a 9-row agg; the window runs on the 9-row digit table. ----
+    "q209_benford" -> Q(
+      (s, d) => {
+        val digits = Tables.orders(s, d)
+          .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .filter(col("cents") > 0)
+          .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+        val expected = typedLit(Map(
+          1L -> 301L, 2L -> 176L, 3L -> 125L, 4L -> 97L, 5L -> 79L,
+          6L -> 67L, 7L -> 58L, 8L -> 51L, 9L -> 46L))
+        digits
+          .withColumn("total", sum("n_orders").over(Window.partitionBy()))
+          .withColumn("obs_permille_r6",
+            round(lit(1000.0) * col("n_orders").cast("double")
+              / col("total").cast("double"), 6))
+          .withColumn("exp_permille", expected(col("digit")))
+          .select("digit", "n_orders", "obs_permille_r6", "exp_permille")
+          .orderBy("digit")
+      },
+      Some("""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             |    count(*) AS n_orders
+             |  FROM c WHERE cents > 0 GROUP BY 1)
+             |SELECT digit, n_orders,
+             |  round(1000.0 * CAST(n_orders AS DOUBLE)
+             |    / CAST(sum(n_orders) OVER () AS DOUBLE), 6) AS obs_permille_r6,
+             |  CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+             |    WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58
+             |    WHEN 8 THEN 51 WHEN 9 THEN 46 END AS BIGINT) AS exp_permille
+             |FROM dg ORDER BY digit""".stripMargin)),
+
+    // ---- q210: MANN-WHITNEY RANK-SUM U — the nonparametric two-sample
+    //      test (complements the q155 chi-square gate): do AUTOMOBILE
+    //      and BUILDING customers' order values come from the same
+    //      distribution? U counts cross-pairs where one side exceeds
+    //      the other (ties ½) — reported in DOUBLED units (two_u), so
+    //      average tie-ranks never leave the integers. Computed from
+    //      the VALUE DISTRIBUTION, not per-row ranks: aggregate to
+    //      (value, count-per-side), then one cumulative sum over the
+    //      distinct-value table gives, for each value, how many of the
+    //      other side sit below it — 2·U₁ = Σ c₁(v)·(2·below₂(v)+c₂(v)).
+    //      Scale: the global window runs on the domain-bounded distinct-
+    //      value table, never the fact rows; the identity
+    //      2U₁+2U₂ = 2n₁n₂ is exposed by emitting both. ----
+    "q210_mannwhitney" -> Q(
+      (s, d) => {
+        val vals = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+          .select(round(col("o_totalprice") * 100, 0).cast("long").as("v"),
+            (col("c_mktsegment") === "AUTOMOBILE").cast("long").as("is_a"))
+        val dist = vals.groupBy("v")
+          .agg(sum(col("is_a")).as("c1"), sum(lit(1L) - col("is_a")).as("c2"))
+        val below = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        dist
+          .withColumn("below2", coalesce(sum("c2").over(below), lit(0L)))
+          .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+            sum(col("c1") * (lit(2L) * col("below2") + col("c2"))).as("two_u1"))
+          .withColumn("two_u2",
+            lit(2L) * col("n1") * col("n2") - col("two_u1"))
+          .select("n1", "n2", "two_u1", "two_u2")
+      },
+      Some("""WITH vals AS (
+             |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             |    CAST(c_mktsegment = 'AUTOMOBILE' AS BIGINT) AS is_a
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')),
+             |dist AS (SELECT v, sum(is_a) AS c1, sum(1 - is_a) AS c2
+             |  FROM vals GROUP BY v),
+             |cum AS (SELECT v, c1, c2,
+             |    coalesce(sum(c2) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below2
+             |  FROM dist),
+             |u AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             |    CAST(sum(c2) AS BIGINT) AS n2,
+             |    CAST(sum(c1 * (2 * below2 + c2)) AS BIGINT) AS two_u1
+             |  FROM cum)
+             |SELECT n1, n2, two_u1,
+             |  CAST(2 * n1 * n2 - two_u1 AS BIGINT) AS two_u2
+             |FROM u""".stripMargin)),
+
+    // ---- q212: EXACT HIGHER MOMENTS — per-flag skewness and excess
+    //      kurtosis of order quantities, the distribution-shape
+    //      diagnostic behind outlier policy choices. The power sums
+    //      Σx..Σx⁴ are exact longs (quantity ≤ 50); the central-moment
+    //      numerators M₂ = nΣx²−(Σx)², M₃ = n²Σx³−3nΣxΣx²+2(Σx)³,
+    //      M₄ = n³Σx⁴−4n²ΣxΣx³+6n(Σx)²Σx²−3(Σx)⁴ are exact integers in
+    //      DECIMAL(38,0) (≡ DuckDB HUGEINT — exact in both, so the
+    //      engines cannot drift however they associate). The normalized
+    //      shapes need no n at all: g₁² = M₃²/M₂³ (sign of M₃) and
+    //      g₂ = M₄/M₂² − 3 — the n-powers cancel — leaving one short
+    //      IEEE chain per output. Scale: one narrow pass, a 3-row agg. ----
+    "q212_moments" -> Q(
+      (s, d) => {
+        val sums = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("q").as("s1"),
+            sum(col("q") * col("q")).as("s2"),
+            sum(col("q") * col("q") * col("q")).as("s3"),
+            sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+        val nD = col("n").cast(dec); val s1D = col("s1").cast(dec)
+        val s2D = col("s2").cast(dec); val s3D = col("s3").cast(dec)
+        val s4D = col("s4").cast(dec)
+        val m2 = nD * s2D - s1D * s1D
+        val m3 = nD * nD * s3D - lit(3).cast(dec) * nD * s1D * s2D +
+          lit(2).cast(dec) * s1D * s1D * s1D
+        val m4 = nD * nD * nD * s4D -
+          lit(4).cast(dec) * nD * nD * s1D * s3D +
+          lit(6).cast(dec) * nD * s1D * s1D * s2D -
+          lit(3).cast(dec) * s1D * s1D * s1D * s1D
+        val m2d = m2.cast("double"); val m3d = m3.cast("double")
+        val m4d = m4.cast("double")
+        sums.select(col("l_returnflag"), col("n"),
+            round(col("s1").cast("double") / col("n").cast("double"), 6)
+              .as("mean_qty_r6"),
+            round(signum(m3d) * ((m3d * m3d) / ((m2d * m2d) * m2d)), 6)
+              .as("skew_sq_r6"),
+            round(m4d / (m2d * m2d) - lit(3.0d), 6).as("kurt_r6"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH sums AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    sum(q) AS s1, sum(q*q) AS s2, sum(q*q*q) AS s3,
+             |    sum(q*q*q*q) AS s4
+             |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+             |    FROM lineitem) GROUP BY l_returnflag),
+             |m AS (SELECT l_returnflag, n,
+             |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+             |    CAST(CAST(n AS HUGEINT)*s2 - CAST(s1 AS HUGEINT)*s1 AS DOUBLE) AS m2d,
+             |    CAST(CAST(n AS HUGEINT)*n*s3 - 3*CAST(n AS HUGEINT)*s1*s2
+             |      + 2*CAST(s1 AS HUGEINT)*s1*s1 AS DOUBLE) AS m3d,
+             |    CAST(CAST(n AS HUGEINT)*n*n*s4 - 4*CAST(n AS HUGEINT)*n*s1*s3
+             |      + 6*CAST(n AS HUGEINT)*s1*s1*s2
+             |      - 3*CAST(s1 AS HUGEINT)*s1*s1*s1 AS DOUBLE) AS m4d
+             |  FROM sums)
+             |SELECT l_returnflag, n, round(mean_qty, 6) AS mean_qty_r6,
+             |  round(sign(m3d) * ((m3d * m3d) / ((m2d * m2d) * m2d)), 6)
+             |    AS skew_sq_r6,
+             |  round(m4d / (m2d * m2d) - 3.0, 6) AS kurt_r6
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- q213: POWER-OF-TWO HISTOGRAM — the mergeable log₂ bucket
+    //      sketch: bucket(x) = bitlength(x) (≡ ⌊log₂x⌋+1) computed by
+    //      STRING LENGTH of the binary representation, so no floating
+    //      log ever runs — the classic trick for cross-engine (and
+    //      cross-libm) exactness. Buckets are mergeable by addition
+    //      (map-side combine does most of the work), the cumulative
+    //      column turns the histogram into a quantile sketch with
+    //      relative error ≤ 2×, and bounds come from integer shifts.
+    //      Scale: one narrow map, a ≤ 64-row agg, a ≤ 64-row window. ----
+    "q213_log2_histogram" -> Q(
+      (s, d) => {
+        val b = Tables.orders(s, d)
+          .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .filter(col("cents") > 0)
+          .select(length(bin(col("cents"))).cast("long").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_orders"))
+        b
+          .withColumn("cum_orders",
+            sum("n_orders").over(Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("lo_cents", expr("shiftleft(1L, cast(bucket AS int) - 1)"))
+          .withColumn("hi_cents", expr("shiftleft(1L, cast(bucket AS int)) - 1L"))
+          .select("bucket", "n_orders", "cum_orders", "lo_cents", "hi_cents")
+          .orderBy("bucket")
+      },
+      Some("""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |b AS (SELECT CAST(length(format('{:b}', cents)) AS BIGINT) AS bucket,
+             |    count(*) AS n_orders
+             |  FROM c WHERE cents > 0 GROUP BY 1)
+             |SELECT bucket, n_orders,
+             |  CAST(sum(n_orders) OVER (ORDER BY bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS cum_orders,
+             |  CAST(1::BIGINT << CAST(bucket - 1 AS INT) AS BIGINT) AS lo_cents,
+             |  CAST((1::BIGINT << CAST(bucket AS INT)) - 1 AS BIGINT) AS hi_cents
+             |FROM b ORDER BY bucket""".stripMargin))
+  )
+}
