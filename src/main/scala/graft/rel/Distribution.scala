@@ -213,6 +213,173 @@ object Distribution {
              |    AS cum_orders,
              |  CAST(1::BIGINT << CAST(bucket - 1 AS INT) AS BIGINT) AS lo_cents,
              |  CAST((1::BIGINT << CAST(bucket AS INT)) - 1 AS BIGINT) AS hi_cents
-             |FROM b ORDER BY bucket""".stripMargin))
+             |FROM b ORDER BY bucket""".stripMargin)),
+
+    // ---- q215: THEIL-SEN ROBUST SLOPE — the median of all pairwise
+    //      slopes of each event type's daily-revenue series: immune to
+    //      the outlier days that drag the q138 OLS line. Selection is
+    //      EXACT-RATIONAL: slopes are never materialized as floats —
+    //      pair i ranks below pair j iff dyᵢ·dxⱼ < dyⱼ·dxᵢ (dx > 0
+    //      throughout), so the lower-median pair is found by integer
+    //      cross-multiplication alone and the only float is the chosen
+    //      pair's single division (tied-slope pairs are the same
+    //      rational, hence the same double). Scale: pair count is
+    //      quadratic in the SERIES LENGTH, never the data — C(days,2)
+    //      per group, a bounded window; groups rank independently in
+    //      one shuffle on the group key. ----
+    "q215_theilsen" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            unix_date(to_date(date_trunc("DAY", col("ts")))).cast("long").as("x"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+        val a = daily.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
+        val b = daily.select(col("event_type").as("et2"), col("x").as("xb"),
+          col("y").as("yb"))
+        val pairs = a.join(b, col("event_type") === col("et2") && col("xa") < col("xb"))
+          .select(col("event_type"), col("xa"), col("xb"),
+            (col("yb") - col("ya")).as("dy"), (col("xb") - col("xa")).as("dx"))
+        val p2 = pairs.select(col("event_type").as("t2"), col("dy").as("dy2"),
+          col("dx").as("dx2"))
+        val ranked = pairs.join(p2, col("event_type") === col("t2"))
+          .groupBy(col("event_type"), col("xa"), col("xb"), col("dy"), col("dx"))
+          .agg(
+            sum(when(col("dy2") * col("dx") < col("dy") * col("dx2"), 1L)
+              .otherwise(0L)).as("below"),
+            sum(when(col("dy2") * col("dx") === col("dy") * col("dx2"), 1L)
+              .otherwise(0L)).as("eq"),
+            count(lit(1)).as("p_cnt"))
+        ranked
+          .filter(col("below") < expr("(p_cnt + 1) div 2") &&
+            expr("(p_cnt + 1) div 2") <= col("below") + col("eq"))
+          .groupBy("event_type")
+          .agg(max(col("p_cnt")).as("n_pairs"),
+            max(round(col("dy").cast("double") / col("dx").cast("double"), 6))
+              .as("slope_r6"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+             |    CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+             |      AS BIGINT) AS x,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |pairs AS (SELECT a.event_type, a.x AS xa, b.x AS xb,
+             |    b.y - a.y AS dy, b.x - a.x AS dx
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND a.x < b.x),
+             |ranked AS (SELECT p.event_type, p.xa, p.xb, p.dy, p.dx,
+             |    sum(CASE WHEN q.dy * p.dx < p.dy * q.dx THEN 1 ELSE 0 END)
+             |      AS below,
+             |    sum(CASE WHEN q.dy * p.dx = p.dy * q.dx THEN 1 ELSE 0 END)
+             |      AS eq,
+             |    count(*) AS p_cnt
+             |  FROM pairs p JOIN pairs q ON p.event_type = q.event_type
+             |  GROUP BY 1, 2, 3, 4, 5)
+             |SELECT event_type, CAST(max(p_cnt) AS BIGINT) AS n_pairs,
+             |  max(round(CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE), 6)) AS slope_r6
+             |FROM ranked
+             |WHERE below < (p_cnt + 1) // 2 AND (p_cnt + 1) // 2 <= below + eq
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- q216: HERFINDAHL-HIRSCHMAN CONCENTRATION — per-nation revenue
+    //      concentration across customers: HHI = Σ shareᵢ², the antitrust
+    //      / key-account-risk read ("how much of this market is one
+    //      buyer"). Exact: per-customer cents are longs, Σc² runs in
+    //      DECIMAL(38,0) ≡ HUGEINT (long² would wrap at real scale), and
+    //      each output is one fixed IEEE chain over exact operands. Also
+    //      emits the top customer's share — HHI's max term — so the
+    //      "one dominant account vs many mid-sized" cases separate.
+    //      Scale: one shuffle to (nation, customer), a 25-row agg. ----
+    "q216_hhi" -> Q(
+      (s, d) => {
+        val byCust = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nation"), col("c_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))
+        val cD = col("c").cast(dec)
+        byCust
+          .groupBy("nation")
+          .agg(count(lit(1)).as("n_cust"), sum("c").as("tot_cents"),
+            sum(cD * cD).cast(dec).as("sq"), max("c").as("topc"))
+          .select(col("nation"), col("n_cust"), col("tot_cents"),
+            round(col("sq").cast("double") /
+              (col("tot_cents").cast("double") * col("tot_cents").cast("double")),
+              6).as("hhi_r6"),
+            round(col("topc").cast("double") / col("tot_cents").cast("double"), 6)
+              .as("top_share_r6"))
+          .orderBy("nation")
+      },
+      Some("""WITH byCust AS (
+             |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_custkey,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS c
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2)
+             |SELECT nation, count(*) AS n_cust,
+             |  CAST(sum(c) AS BIGINT) AS tot_cents,
+             |  round(CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+             |    / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6)
+             |    AS hhi_r6,
+             |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+             |    AS top_share_r6
+             |FROM byCust GROUP BY nation ORDER BY nation""".stripMargin)),
+
+    // ---- q217: PERCENT-OF-PARENT HIERARCHY — the drill-down tree
+    //      financial reporting renders: nation revenue as a share of its
+    //      region, region revenue as a share of the world, in one
+    //      relation with a level tag. Exact cents throughout; each pct
+    //      is one division over exact operands. The parent totals come
+    //      from window sums OVER the aggregated tree (≤ |nations| rows),
+    //      so nothing re-reads facts — the q10 rollup gives the nodes,
+    //      this gives their parent-relative weights. NULLS FIRST pinned
+    //      on the region-row nation column in both dialects. ----
+    "q217_pct_of_parent" -> Q(
+      (s, d) => {
+        val nat = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        val natRows = nat
+          .withColumn("parent_cents",
+            sum("cents").over(Window.partitionBy("r_name")))
+          .select(lit("nation").as("lvl"), col("r_name"), col("n_name"),
+            col("cents"),
+            round(col("cents").cast("double") / col("parent_cents").cast("double"),
+              6).as("pct_of_parent_r6"))
+        val regRows = nat.groupBy("r_name")
+          .agg(sum("cents").as("cents"))
+          .withColumn("parent_cents", sum("cents").over(Window.partitionBy()))
+          .select(lit("region").as("lvl"), col("r_name"),
+            lit(null).cast("string").as("n_name"), col("cents"),
+            round(col("cents").cast("double") / col("parent_cents").cast("double"),
+              6).as("pct_of_parent_r6"))
+        natRows.unionAll(regRows)
+          .orderBy(col("lvl"), col("r_name"), col("n_name").asc_nulls_first)
+      },
+      Some("""WITH nat AS (
+             |  SELECT r_name, n_name,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  GROUP BY 1, 2),
+             |natrows AS (SELECT 'nation' AS lvl, r_name, n_name, cents,
+             |    round(CAST(cents AS DOUBLE)
+             |      / CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+             |      AS pct_of_parent_r6
+             |  FROM nat),
+             |reg AS (SELECT r_name, CAST(sum(cents) AS BIGINT) AS cents
+             |  FROM nat GROUP BY 1),
+             |regrows AS (SELECT 'region' AS lvl, r_name,
+             |    CAST(NULL AS VARCHAR) AS n_name, cents,
+             |    round(CAST(cents AS DOUBLE)
+             |      / CAST(sum(cents) OVER () AS DOUBLE), 6) AS pct_of_parent_r6
+             |  FROM reg)
+             |SELECT * FROM (SELECT * FROM natrows UNION ALL SELECT * FROM regrows)
+             |ORDER BY lvl, r_name, n_name NULLS FIRST""".stripMargin))
   )
 }
