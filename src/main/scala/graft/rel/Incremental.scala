@@ -139,5 +139,52 @@ object Incremental {
              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- q218: INCREMENTAL JOIN-VIEW MAINTENANCE — the delta algebra
+    //      for a materialized JOIN (the other IVM half: q131 maintains
+    //      an aggregate; real views are joins UNDER aggregates). With
+    //      appends ΔA, ΔB against snapshots A, B:
+    //        (A∪ΔA) ⋈ (B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+    //      so the refresh touches each delta against the OTHER side's
+    //      snapshot plus the delta×delta corner — never the persisted
+    //      view body. Splits are deterministic key residues (orders
+    //      mod 7, customers mod 5), the view body round-trips through
+    //      parquet like q131, and the oracle recomputes the full join
+    //      from scratch — bit-equality IS the correctness of the
+    //      algebra. Scale shape (100 TB): the three increment joins
+    //      are delta-sized on at least one side (broadcast the delta);
+    //      the view body is appended to, not rebuilt, and the final
+    //      read-time aggregate runs over view output, not base facts. ----
+    "q218_incr_join" -> Q(
+      (s, d) => {
+        val ords = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        val custs = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"))
+        val oBase = ords.filter(col("o_orderkey") % 7 =!= 0)
+        val oDelta = ords.filter(col("o_orderkey") % 7 === 0)
+        val cBase = custs.filter(col("c_custkey") % 5 =!= 0)
+        val cDelta = custs.filter(col("c_custkey") % 5 === 0)
+        def j(a: DataFrame, b: DataFrame): DataFrame =
+          a.join(b, col("o_custkey") === col("c_custkey"))
+            .select(col("o_orderkey"), col("nation"), col("cents"))
+        val work = java.nio.file.Files.createTempDirectory("graft-q218")
+        val viewPath = s"$work/order_cust_view"
+        j(oBase, cBase).write.mode("overwrite").parquet(viewPath)
+        // refresh: three delta terms appended to the persisted body
+        j(oDelta, cBase).unionAll(j(oBase, cDelta)).unionAll(j(oDelta, cDelta))
+          .write.mode("append").parquet(viewPath)
+        s.read.parquet(viewPath)
+          .groupBy("nation")
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+          .orderBy("nation")
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             |  count(*) AS n_rows,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

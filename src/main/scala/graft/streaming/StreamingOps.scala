@@ -522,7 +522,106 @@ object StreamingOps {
              |    AS sum_cents,
              |  CAST(max(event_id) AS BIGINT) AS max_event_id
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- q219: STREAMING PER-KEY QUOTA (rate limiter) — admit at most
+    //      k events per user for the stream's lifetime, first-come
+    //      first-served: the firehose-throttling / per-tenant-cap
+    //      operator (abuse control, freemium caps, budget-bounded
+    //      sampling). State per key is TWO LONGS (admitted count +
+    //      last-seen ts), which is what makes the operator viable on
+    //      unbounded keyed streams — contrast the q113 bounded-sample
+    //      state. Determinism contract: arrival order is event-time
+    //      order, delivered by day-sliced source files (three real
+    //      micro-batches) + an in-batch (ts, event_id) sort; a
+    //      monotonicity guard makes any violated delivery assumption
+    //      fail loud rather than silently admit the wrong rows. The
+    //      oracle replays admission as row_number ≤ k per user over the
+    //      same (ts, event_id) order. ----
+    "q219_stream_quota" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val work = java.nio.file.Files.createTempDirectory("graft-q219")
+        val in = s"$work/ev"
+        val ev = normTs(s.read.parquet(s"$d/events.parquet"))
+        // three day-range slices, written sequentially -> the file source
+        // (mtime order) delivers them as three time-ordered micro-batches
+        Seq(col("ts") < lit("2024-01-11").cast("timestamp"),
+            col("ts") >= lit("2024-01-11").cast("timestamp") &&
+              col("ts") < lit("2024-01-21").cast("timestamp"),
+            col("ts") >= lit("2024-01-21").cast("timestamp"))
+          .foreach(p => ev.filter(p).coalesce(1).write.mode("append").parquet(in))
+        val sch = s.read.parquet(in).schema
+        val raw = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val typed = normTs(raw).select(
+            col("user_id").cast("long"), col("event_id").cast("long"),
+            unix_micros(col("ts")), round(col("value") * 100, 0).cast("long"))
+          .as[(Long, Long, Long, Long)]
+        val admitted = typed.groupByKey(_._1)
+          .flatMapGroupsWithState[QuotaState, (Long, Long, Long)](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout)(quotaGroup(5))
+        val q = admitted.toDF("user_id", "event_id", "cents")
+          .writeStream.format("memory").queryName("stream_quota")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("stream_quota")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_admitted"), sum("cents").as("admitted_cents"),
+            max("event_id").as("last_admitted_event"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ranked AS (SELECT user_id, event_id,
+             |    CAST(round(value * 100) AS BIGINT) AS cents,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS rn
+             |  FROM events)
+             |SELECT CAST(user_id AS BIGINT) AS user_id,
+             |  count(*) AS n_admitted,
+             |  CAST(sum(cents) AS BIGINT) AS admitted_cents,
+             |  CAST(max(event_id) AS BIGINT) AS last_admitted_event
+             |FROM ranked WHERE rn <= 5
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
+
+  /** Per-key quota state: events admitted so far + the max event ts seen
+    * (micros) — the monotone-delivery guard.
+    */
+  case class QuotaState(admitted: Long, lastMicros: Long)
+
+  /** The q219 pipeline minus source/sink: (user, eventId, micros, cents)
+    * rows → admitted (user, eventId, cents). Exposed so specs can drive
+    * it over a MemoryStream across batch boundaries.
+    */
+  private[graft] def quotaStream(
+      rows: org.apache.spark.sql.Dataset[(Long, Long, Long, Long)], k: Int)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[QuotaState, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(quotaGroup(k))
+  }
+
+  /** Admit up to `k` events per key, first-come first-served: sort the
+    * batch's events by (ts, event_id) — event time IS arrival order
+    * under the day-sliced source — admit while under quota, and reject
+    * the rest forever. The guard `require(min ts > last seen)` turns a
+    * broken delivery-order assumption into a loud failure instead of a
+    * silently different admitted set.
+    */
+  private def quotaGroup(k: Int)(uid: Long, it: Iterator[(Long, Long, Long, Long)],
+      st: GroupState[QuotaState]): Iterator[(Long, Long, Long)] = {
+    val batch = it.toArray.sortBy(e => (e._3, e._2))
+    if (batch.isEmpty) Iterator.empty
+    else {
+      val st0 = st.getOption.getOrElse(QuotaState(0L, Long.MinValue))
+      require(batch.head._3 > st0.lastMicros,
+        s"out-of-order batch for key $uid: ${batch.head._3} after ${st0.lastMicros}")
+      val room = (k - st0.admitted).toInt.max(0)
+      val take = batch.take(room)
+      st.update(QuotaState(st0.admitted + take.length, batch.last._3))
+      take.iterator.map(e => (uid, e._2, e._4))
+    }
+  }
 
   /** Per-key EWMA streaming state: last folded day (epoch days), the
     * smoothed value, and how many days the recurrence has consumed.
