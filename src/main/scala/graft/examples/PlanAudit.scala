@@ -28,7 +28,9 @@ object PlanAudit {
         "q122_bfs_hops", "q130_pmi_cooccur", "q131_incr_agg",
         "q132_ppr", "q133_containment",
         "q165_cohort_retention", "q170_session_paths", "q181_temporal_reach",
-        "q182_prefix_jaccard", "q186_pareto_share", "q188_embeddedness")
+        "q182_prefix_jaccard", "q186_pareto_share", "q188_embeddedness",
+        "q211_scc", "q214_bitmap_rollup", "q215_theilsen", "q216_hhi",
+        "q218_incr_join")
     val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")

@@ -233,6 +233,9 @@ object Distribution {
           .groupBy(col("event_type"),
             unix_date(to_date(date_trunc("DAY", col("ts")))).cast("long").as("x"))
           .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+          // |types|·|days| rows: materialize once so the self-join's two
+          // branches don't each rescan the facts
+          .localCheckpoint()
         val a = daily.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
         val b = daily.select(col("event_type").as("et2"), col("x").as("xb"),
           col("y").as("yb"))
