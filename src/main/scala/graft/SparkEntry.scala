@@ -39,7 +39,8 @@ object SparkEntry {
       graft.llm.Phrase.all ++ graft.rel.Summary.all ++
       graft.rel.Finance.all ++ graft.graph.Temporal.all ++
       graft.rel.Maintenance.all ++ graft.rel.Distribution.all ++
-      graft.graph.Scc.all ++ graft.rel.ExactDistinct.all
+      graft.graph.Scc.all ++ graft.rel.ExactDistinct.all ++
+      graft.rel.Parity.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -108,4 +108,26 @@ object BitmapAgg {
     while (i < words.length) { c += java.lang.Long.bitCount(words(i)); i += 1 }
     c
   }
+
+  /** |a ∩ b| without materializing the intersection — the audience-
+    * overlap read over persisted bitmaps.
+    */
+  def andCardinality(a: Array[Byte], b: Array[Byte]): Long = {
+    val wa = deserialize(a); val wb = deserialize(b)
+    val n = math.min(wa.length, wb.length)
+    var c = 0L; var i = 0
+    while (i < n) { c += java.lang.Long.bitCount(wa(i) & wb(i)); i += 1 }
+    c
+  }
+
+  /** |a \ b| — the "did A but never B" exclusion count. */
+  def andNotCardinality(a: Array[Byte], b: Array[Byte]): Long = {
+    val wa = deserialize(a); val wb = deserialize(b)
+    var c = 0L; var i = 0
+    while (i < wa.length) {
+      val m = if (i < wb.length) wb(i) else 0L
+      c += java.lang.Long.bitCount(wa(i) & ~m); i += 1
+    }
+    c
+  }
 }

@@ -284,6 +284,56 @@ object Distribution {
              |WHERE below < (p_cnt + 1) // 2 AND (p_cnt + 1) // 2 <= below + eq
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- q221: TWO-PASS EXACT MEDIAN — the distributed selection
+    //      algorithm that replaces a global sort: pass 1 builds the q213
+    //      power-of-two histogram (one narrow map + a ≤64-row agg) and
+    //      the ≤64-row table comes to the driver (bounded by the VALUE
+    //      WIDTH, never the data) to locate the bucket holding rank
+    //      k = (n+1) div 2; pass 2 re-scans ONLY that bucket's rows,
+    //      aggregates them to (value, count), and one cumulative sum
+    //      over the bucket's distinct values picks the exact k-th
+    //      smallest. Lower-median semantics keep everything integral
+    //      (= DuckDB quantile_disc(0.5)). At 100 TB each refinement
+    //      cuts the candidate set ~2× minimum (historically ~50×: the
+    //      mass concentrates); production iterates pass 2 until the
+    //      bucket's distinct-value table is shuffle-tiny — one
+    //      refinement suffices here and the structure is the loop body. ----
+    "q221_exact_median_twopass" -> Q(
+      (s, d) => {
+        val cents = Tables.orders(s, d)
+          .select(round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+          .filter(col("c") > 0)
+          .localCheckpoint() // scanned by both passes
+        val hist = cents
+          .select(length(bin(col("c"))).cast("long").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("nb"))
+          .orderBy("bucket")
+          .collect() // ≤ 64 rows: bounded by value width, not data
+        val n = hist.map(_.getLong(1)).sum
+        val k = (n + 1) / 2
+        var cum = 0L; var target = 0L; var before = 0L
+        hist.foreach { r =>
+          if (target == 0L && cum + r.getLong(1) >= k) {
+            target = r.getLong(0); before = cum
+          }
+          cum += r.getLong(1)
+        }
+        val lo = 1L << (target - 1); val hi = (1L << target) - 1
+        val inBucket = cents.filter(col("c") >= lo && col("c") <= hi)
+          .groupBy("c").agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+        inBucket
+          .withColumn("cum_in", sum("cnt").over(w))
+          .filter(col("cum_in") >= lit(k - before))
+          .agg(min("c").as("median_cents"))
+          .select(lit(n).as("n_orders"), col("median_cents"))
+      },
+      Some("""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             |  FROM orders WHERE round(o_totalprice * 100) > 0)
+             |SELECT count(*) AS n_orders,
+             |  CAST(quantile_disc(c, 0.5) AS BIGINT) AS median_cents
+             |FROM c""".stripMargin)),
+
     // ---- q216: HERFINDAHL-HIRSCHMAN CONCENTRATION — per-nation revenue
     //      concentration across customers: HHI = Σ shareᵢ², the antitrust
     //      / key-account-risk read ("how much of this market is one

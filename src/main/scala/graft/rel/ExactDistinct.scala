@@ -61,6 +61,48 @@ object ExactDistinct {
              |SELECT w.event_type, w.week, w.n_users_exact, a.n_daily_sum, a.n_days
              |FROM weekly w JOIN agg a
              |  ON w.event_type = a.event_type AND w.week = a.week
-             |ORDER BY w.event_type, w.week""".stripMargin))
+             |ORDER BY w.event_type, w.week""".stripMargin)),
+
+    // ---- q220: BITMAP AUDIENCE SET-OPS — exact overlap ("did A and
+    //      B") and exclusion ("did A, never B") for every event-type
+    //      pair, computed from the PERSISTED per-type bitmaps by word
+    //      AND / AND-NOT — never by re-joining facts. This is the
+    //      audience-segmentation read path bitmap indexes exist for:
+    //      the facts are touched once to build |types| bitmaps; every
+    //      subsequent segment combination is pure bit arithmetic on
+    //      domain/8-byte payloads. The combine runs as a Scala udf over
+    //      the |types|²-row pair table — bounded by construction, not a
+    //      fact-side path (the q214 aggregators remain the hot path).
+    //      Oracle recomputes both counts from distinct (type, user)
+    //      pairs. ----
+    "q220_bitmap_audience" -> Q(
+      (s, d) => {
+        val bm = udaf(new BitmapAgg(1 << 16), Encoders.scalaLong)
+        val andCard = udf(BitmapAgg.andCardinality _)
+        val andNotCard = udf(BitmapAgg.andNotCardinality _)
+        val byType = Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(bm(col("user_id")).as("bmap"))
+          .localCheckpoint() // |types| rows; never rebuild per pair
+        val a = byType.select(col("event_type").as("type_a"), col("bmap").as("ba"))
+        val b = byType.select(col("event_type").as("type_b"), col("bmap").as("bb"))
+        a.join(b, col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            andCard(col("ba"), col("bb")).as("n_both"),
+            andNotCard(col("ba"), col("bb")).as("n_a_only"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+             |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    a.user_id AS ua, b.user_id AS ub
+             |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+             |    AND a.event_type < b.event_type),
+             |ovl AS (SELECT type_a, type_b, count(*) AS n_both
+             |  FROM pairs GROUP BY 1, 2),
+             |totals AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1)
+             |SELECT b.type_a, b.type_b, b.n_both,
+             |  CAST(t.n - b.n_both AS BIGINT) AS n_a_only
+             |FROM ovl b JOIN totals t ON t.event_type = b.type_a
+             |ORDER BY type_a, type_b""".stripMargin))
   )
 }

@@ -1,0 +1,89 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** ENGINE-PARITY PINS — entries whose point is the SEMANTICS, not the
+  * analytics: SQL null behavior and typed DECIMAL arithmetic are the
+  * two places engines classically diverge, so each gets a driver-gated
+  * entry that would go red the day this engine (or an upgrade of it)
+  * drifts from the ANSI behavior the oracle replays.
+  */
+object Parity {
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q222: NULL-SEMANTICS MATRIX — one relation exercising the
+    //      ANSI null rules an engine must honor together: a NULL
+    //      grouping key groups as its own row (pinned NULLS FIRST both
+    //      dialects), count(*) counts rows while count(col)/sum/min/max
+    //      skip nulls, a distinct count ignores nulls, and coalesce
+    //      re-defaults a null aggregate input. Nullable columns are
+    //      DERIVED (nullif / key-residue masking) so the fixture's
+    //      non-null schema still exercises every rule. ----
+    "q222_null_semantics" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          nullif(col("o_orderstatus"), lit("O")).as("grp"),
+          when(col("o_orderkey") % 10 === 0, lit(null).cast("long"))
+            .otherwise(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("cents_n"),
+          nullif(col("o_orderpriority"), lit("1-URGENT")).as("prio_n"))
+        o.groupBy("grp")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("cents_n")).as("n_nonnull"),
+            sum(col("cents_n")).as("sum_cents"),
+            min(col("cents_n")).as("min_cents"),
+            max(col("cents_n")).as("max_cents"),
+            countDistinct(col("prio_n")).as("n_prio"),
+            coalesce(sum(when(lit(false), lit(1L))), lit(0L)).as("sum_empty"))
+          .orderBy(col("grp").asc_nulls_first)
+      },
+      Some("""WITH o AS (SELECT nullif(o_orderstatus, 'O') AS grp,
+             |    CASE WHEN o_orderkey % 10 = 0 THEN NULL
+             |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents_n,
+             |    nullif(o_orderpriority, '1-URGENT') AS prio_n
+             |  FROM orders)
+             |SELECT grp, count(*) AS n_rows,
+             |  count(cents_n) AS n_nonnull,
+             |  CAST(sum(cents_n) AS BIGINT) AS sum_cents,
+             |  CAST(min(cents_n) AS BIGINT) AS min_cents,
+             |  CAST(max(cents_n) AS BIGINT) AS max_cents,
+             |  count(DISTINCT prio_n) AS n_prio,
+             |  coalesce(CAST(sum(CASE WHEN false THEN 1 END) AS BIGINT), 0)
+             |    AS sum_empty
+             |FROM o GROUP BY grp
+             |ORDER BY grp NULLS FIRST""".stripMargin)),
+
+    // ---- q223: TYPED-DECIMAL MONEY PIPELINE — the cents-long house
+    //      rule sidesteps decimals; this entry pins the typed road
+    //      instead: money as DECIMAL(12,2), summed (exact, no binary
+    //      float anywhere), min/max folded, everything surfaced at an
+    //      agreed DECIMAL(38,2) so both engines' widening rules meet at
+    //      the same wire type. The double→decimal cast itself is pinned
+    //      too: round-to-nearest at 2dp agrees across engines because a
+    //      binary double is never an exact .xx5. ----
+    "q223_decimal_money" -> Q(
+      (s, d) => {
+        val m = col("o_totalprice").cast(DecimalType(12, 2))
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(m).cast(DecimalType(38, 2)).as("sum_money"),
+            min(m).cast(DecimalType(38, 2)).as("min_money"),
+            max(m).cast(DecimalType(38, 2)).as("max_money"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+             |    AS sum_money,
+             |  CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+             |    AS min_money,
+             |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+             |    AS max_money
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
+  )
+}

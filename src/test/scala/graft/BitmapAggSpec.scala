@@ -55,6 +55,50 @@ class BitmapAggSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(2) < r.getLong(3)))
   }
 
+  test("and/andNot cardinalities agree with set arithmetic") {
+    val a = {
+      val b = new BitmapAgg(256)
+      val buf = Seq(1L, 5L, 64L, 65L, 200L).foldLeft(b.zero)(b.reduce)
+      b.finish(buf)
+    }
+    val c = {
+      val b = new BitmapAgg(256)
+      val buf = Seq(5L, 65L, 201L).foldLeft(b.zero)(b.reduce)
+      b.finish(buf)
+    }
+    assert(BitmapAgg.andCardinality(a, c) == 2L) // {5, 65}
+    assert(BitmapAgg.andNotCardinality(a, c) == 3L) // {1, 64, 200}
+    assert(BitmapAgg.andNotCardinality(c, a) == 1L) // {201}
+    assert(BitmapAgg.andCardinality(a, Array.emptyByteArray) == 0L)
+    assert(BitmapAgg.andNotCardinality(a, Array.emptyByteArray) == 5L)
+  }
+
+  test("q220: n_both + n_a_only = |type_a audience| on the fixture") {
+    val s = spark
+    import s.implicits._
+    val rows = ExactDistinct.all("q220_bitmap_audience")
+      .fn(s, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val perType = Tables.events(s, "/root/testdata/sf0.001")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == perType(r.getString(0)))
+    }
+  }
+
+  test("q221: two-pass median equals the sorted lower median") {
+    val s = spark
+    val cents = graft.rel.Tables.orders(s, "/root/testdata/sf0.001")
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .filter(col("c") > 0).collect().map(_.getLong(0)).sorted
+    val want = cents((cents.length - 1) / 2)
+    val got = Distribution.all("q221_exact_median_twopass")
+      .fn(s, "/root/testdata/sf0.001").collect().head
+    assert(got.getLong(0) == cents.length.toLong)
+    assert(got.getLong(1) == want)
+  }
+
   test("q215: Theil-Sen slope is the brute-force pairwise median") {
     val s = spark
     val daily = Tables.events(s, "/root/testdata/sf0.001")
