@@ -84,6 +84,41 @@ object Parity {
              |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
              |    AS max_money
              |FROM orders GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- q226: HIGHER-ORDER ARRAY FUNCTIONS — the lambda surface
+    //      (transform / filter / aggregate-fold / element_at with
+    //      negative index) exercised end-to-end on a DETERMINISTIC
+    //      array (collect_list is order-free only after sort_array —
+    //      that pin is half the point) and replayed through DuckDB's
+    //      list lambdas. All integer arithmetic, so the fold equals
+    //      the flat sum and every output hash-compares. ----
+    "q226_array_lambdas" -> Q(
+      (s, d) => {
+        val arr = Tables.orders(s, d)
+          .select(col("o_orderpriority"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .groupBy("o_orderpriority")
+          .agg(sort_array(collect_list(col("cents"))).as("l"))
+        arr.select(col("o_orderpriority"),
+            size(col("l")).cast("long").as("n_vals"),
+            aggregate(col("l"), lit(0L), (acc, x) => acc + x).as("sum_cents"),
+            size(filter(col("l"), x => x % 2 === 0)).cast("long").as("n_even"),
+            (element_at(col("l"), 1) + element_at(col("l"), -1))
+              .as("head_plus_tail"),
+            size(filter(col("l"), x => x > lit(30000000L))).cast("long")
+              .as("n_big"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH a AS (SELECT o_orderpriority,
+             |    list_sort(list(CAST(round(o_totalprice * 100) AS BIGINT))) AS l
+             |  FROM orders GROUP BY 1)
+             |SELECT o_orderpriority,
+             |  CAST(len(l) AS BIGINT) AS n_vals,
+             |  CAST(list_sum(l) AS BIGINT) AS sum_cents,
+             |  CAST(len(list_filter(l, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+             |  CAST(l[1] + l[-1] AS BIGINT) AS head_plus_tail,
+             |  CAST(len(list_filter(l, x -> x > 30000000)) AS BIGINT) AS n_big
+             |FROM a ORDER BY o_orderpriority""".stripMargin))
   )
 }
