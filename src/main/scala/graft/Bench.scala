@@ -75,7 +75,17 @@ object Bench {
       // decay attribution, keywords (q178/q183 stay out: streaming
       // harness / filesystem side effects)
       "q182_prefix_jaccard", "q188_embeddedness", "q189_widest_path",
-      "q190_decay_attribution", "q191_doc_keywords")
+      "q190_decay_attribution", "q191_doc_keywords",
+      // round-8 continuation: quotient-graph SCC, bitmap rollup +
+      // audience set-ops, Theil-Sen, HHI, incremental join view,
+      // MG heavy hitters, HDR percentiles, two-pass median (q219
+      // stays out: streaming harness; q218 has filesystem side
+      // effects but delta-sized ones — included deliberately so the
+      // IVM path's cost is tracked round-over-round)
+      "q211_scc", "q214_bitmap_rollup", "q215_theilsen", "q216_hhi",
+      "q218_incr_join", "q220_bitmap_audience",
+      "q221_exact_median_twopass", "q224_mg_heavy_hitters",
+      "q225_hdr_percentiles")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

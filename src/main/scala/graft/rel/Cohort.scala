@@ -321,5 +321,54 @@ object Cohort {
              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
              |FROM ad LEFT JOIN nu ON ad.day = nu.day
              |ORDER BY day""".stripMargin)),
+
+    // ---- q228: RFM SEGMENTATION — the classic customer-value cube:
+    //      quartile-code every customer on Recency (days since last
+    //      order, BELOW median recent), Frequency (order count) and
+    //      Monetary (lifetime cents), then size the 4×4×4 segments.
+    //      ntile(4) is deterministic once the window order is TOTAL, so
+    //      each ordering is pinned (metric, then custkey) in both
+    //      dialects — the standard cross-engine ntile trap, made safe.
+    //      Recency orders DESCENDING by last-order date (most recent =
+    //      quartile 1, the marketing convention). Scale: one shuffle to
+    //      per-customer facts; three window passes over the customer
+    //      table (entity-bounded, not fact-bounded); a ≤64-row agg. ----
+    "q228_rfm_segments" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val perCust = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("last_order"),
+            count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        val r = Window.orderBy(col("last_order").desc, col("o_custkey"))
+        val f = Window.orderBy(col("n_orders"), col("o_custkey"))
+        val m = Window.orderBy(col("cents"), col("o_custkey"))
+        perCust
+          .withColumn("r_q", ntile(4).over(r).cast("long"))
+          .withColumn("f_q", ntile(4).over(f).cast("long"))
+          .withColumn("m_q", ntile(4).over(m).cast("long"))
+          .groupBy("r_q", "f_q", "m_q")
+          .agg(count(lit(1)).as("n_customers"), sum("cents").as("sum_cents"))
+          .orderBy("r_q", "f_q", "m_q")
+      },
+      Some("""WITH perCust AS (
+             |  SELECT o_custkey, max(o_orderdate) AS last_order,
+             |    count(*) AS n_orders,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM orders GROUP BY 1),
+             |coded AS (SELECT cents,
+             |    CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey)
+             |      AS BIGINT) AS r_q,
+             |    CAST(ntile(4) OVER (ORDER BY n_orders, o_custkey)
+             |      AS BIGINT) AS f_q,
+             |    CAST(ntile(4) OVER (ORDER BY cents, o_custkey)
+             |      AS BIGINT) AS m_q
+             |  FROM perCust)
+             |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM coded GROUP BY 1, 2, 3
+             |ORDER BY r_q, f_q, m_q""".stripMargin)),
   )
 }

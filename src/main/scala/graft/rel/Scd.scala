@@ -179,5 +179,64 @@ object Scd {
              |FROM probes p ASOF LEFT JOIN runs r
              |  ON p.user_id = r.user_id AND p.t >= r.valid_from
              |ORDER BY p.user_id, probe_ts""".stripMargin)),
+
+    // ---- q227: BITEMPORAL AS-OF — the two-axis temporal query SCD2
+    //      (q117, one axis) cannot answer: "what did we BELIEVE on
+    //      transaction date T about facts VALID on date V". Corrections
+    //      arrive retroactively: a version recorded later (tx_from =
+    //      order date + 30d) amends a fact that was always valid from
+    //      its original date — so at T, orders corrected BY T show
+    //      amended cents, orders whose correction had not landed yet
+    //      show the original. Resolution is latest-tx-wins per key
+    //      among versions with tx_from ≤ T, restricted to valid_from ≤
+    //      V — one window over the filtered versions (partition-bounded
+    //      per key, the q117 scale argument). The audit/restatement
+    //      read every finance pipeline needs. ----
+    "q227_bitemporal" -> Q(
+      (s, d) => {
+        val t = lit("1997-01-01").cast("timestamp")
+        val v = lit("1996-12-01").cast("timestamp")
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          col("o_orderdate").as("valid_from"),
+          col("o_orderdate").as("tx_from"))
+        val corr = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            (round(col("o_totalprice") * 100, 0).cast("long") + 500L).as("cents"),
+            col("o_orderdate").as("valid_from"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("tx_from"))
+        val versions = base.unionAll(corr)
+        val w = Window.partitionBy("o_orderkey").orderBy(col("tx_from").desc)
+        versions
+          .filter(col("tx_from") <= t && col("valid_from") <= v)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH versions AS (
+             |  SELECT o_orderkey, o_orderpriority,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |    o_orderdate AS valid_from, o_orderdate AS tx_from
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderpriority,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS cents,
+             |    o_orderdate AS valid_from,
+             |    o_orderdate + INTERVAL 30 DAY AS tx_from
+             |  FROM orders WHERE o_orderkey % 13 = 0),
+             |belief AS (
+             |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             |      ORDER BY tx_from DESC) AS rn
+             |  FROM versions
+             |  WHERE tx_from <= TIMESTAMP '1997-01-01'
+             |    AND valid_from <= TIMESTAMP '1996-12-01')
+             |SELECT o_orderpriority, count(*) AS n_orders,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM belief WHERE rn = 1
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
   )
 }
