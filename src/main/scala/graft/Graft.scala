@@ -129,6 +129,15 @@ object Graft {
   def rechunk(grid: BlockGrid, newChunks: Array[Array[Int]]): BlockGrid =
     grid.rechunk(newChunks)
 
+  /** Mean-pool pyramid level: `factor`-per-axis downsample of an exact
+    * grid (the viewer-pyramid output step; dask's `da.coarsen(np.mean)`
+    * analogue with trailing partial cells averaged, not trimmed). One
+    * alignment rechunk at most, then a narrow per-block pool — see
+    * [[core.BlockGrid.downsample]].
+    */
+  def downsample(grid: BlockGrid, factor: Array[Int]): BlockGrid =
+    grid.downsample(factor)
+
   /** Build an in-memory block grid (tests / small inputs). */
   def gridFromTiles(
       spark: SparkSession,

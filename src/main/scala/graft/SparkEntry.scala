@@ -166,6 +166,38 @@ object SparkEntry {
         .toDF("bx", "by", "bz", "dx_min", "dx_max")
         .orderBy("bx", "by", "bz")
     },
+    // pyramid level: 2x mean-pool of a 9x6x6 x-coordinate ramp on a
+    // cropped (4,3,3) grid — pooling means are exact in fp (integer
+    // sums over cells, halves representable), so the oracle pins the
+    // CELL GEOMETRY analytically: interior cells average {2o, 2o+1} ->
+    // 2o+0.5; the trailing partial x-cell averages the single column 8.
+    // Exercises the alignment rechunk (3->2 on y/z), trailing-crop
+    // pooling, and the narrow per-block kernel through the driver gate.
+    "stitch_pyramid" -> { (s, _) =>
+      import s.implicits._
+      val sh = Array(9, 6, 6); val bs = Array(4, 3, 3)
+      val g = Array.tabulate(3)(ax => (sh(ax) + bs(ax) - 1) / bs(ax))
+      val tiles = for {
+        bx <- 0 until g(0); by <- 0 until g(1); bz <- 0 until g(2)
+      } yield {
+        val x0 = bx * bs(0)
+        val nx = math.min(bs(0), sh(0) - x0)
+        val ny = math.min(bs(1), sh(1) - by * bs(1))
+        val nz = math.min(bs(2), sh(2) - bz * bs(2))
+        val data = new Array[Float](nx * ny * nz)
+        var i = 0
+        for (x <- 0 until nx; _ <- 0 until ny; _ <- 0 until nz) {
+          data(i) = (x0 + x).toFloat; i += 1
+        }
+        Block(BlockIndex(bx, by, bz), nx, ny, nz, 1, data)
+      }
+      val meta = graft.core.GridMeta(sh.map(_.toLong), bs, Array(0, 0, 0), g, 1)
+      val grid = BlockGrid(meta, s.createDataset(tiles)(BlockGrid.blockEncoder))
+      grid.downsample(Array(2, 2, 2))
+        .ds.map(b => (b.bi.bx, b.bi.by, b.bi.bz, b.data.min.toDouble, b.data.max.toDouble))
+        .toDF("bx", "by", "bz", "minval", "maxval")
+        .orderBy("bx", "by", "bz")
+    },
   )
 
   /** Literal-VALUES oracles for the stitch entries. Values are the
@@ -216,6 +248,16 @@ object SparkEntry {
       "affine_field_translate" ->
         (s"SELECT bx, by, bz, CAST(dx_min AS DOUBLE) AS dx_min, CAST(dx_max AS DOUBLE) AS dx_max " +
           s"FROM (VALUES $affRows) AS t(bx, by, bz, dx_min, dx_max) ORDER BY bx, by, bz"),
+      // pooled x-ramp: block bx holds cells ox in [2bx, min(2bx+2, 5));
+      // cell ox < 4 averages {2ox, 2ox+1} -> 2ox + 0.5, cell 4 is the
+      // lone column 8 -> per-block min/max = (4bx+0.5, 4bx+2.5) for
+      // bx < 2, (8, 8) for the trailing block; y/z don't affect values
+      "stitch_pyramid" ->
+        ("""SELECT CAST(bx AS INT) AS bx, CAST(by AS INT) AS by, CAST(bz AS INT) AS bz,
+           |  CAST(CASE WHEN bx < 2 THEN 4*bx + 0.5 ELSE 8.0 END AS DOUBLE) AS minval,
+           |  CAST(CASE WHEN bx < 2 THEN 4*bx + 2.5 ELSE 8.0 END AS DOUBLE) AS maxval
+           |FROM range(3) tx(bx), range(3) ty(by), range(3) tz(bz)
+           |ORDER BY bx, by, bz""".stripMargin),
     )
   }
 }

@@ -361,6 +361,87 @@ final case class BlockGrid(meta: GridMeta, ds: Dataset[Block]) {
     * grids, the chunk-extent prefix sum on irregular ones); partial edge
     * blocks (post-crop) use their own extents.
     */
+  /** MULTISCALE DOWNSAMPLE — mean-pool by `factor` per axis: the pyramid
+    * level every microscopy stitching pipeline emits after fusion (the
+    * reference's outputs feed viewers that require pyramids; dask's
+    * `da.coarsen(np.mean, ...)` plays this role). Output voxel o is the
+    * mean of input cell [o·f, min((o+1)·f, shape)) — trailing partial
+    * cells average their ACTUAL voxels (no pad bias). Accumulation is a
+    * fixed x→y→z loop in double with one rounding to f32 at the end, so
+    * the result is bit-deterministic wherever a cell lands.
+    *
+    * Physical plan: ONE rechunk shuffle to align chunk boundaries to
+    * factor multiples (skipped when already aligned), then a NARROW
+    * per-block pool — cells never straddle blocks, so no halo exchange
+    * and the pooled level re-shards with zero extra traffic. At 100 TB
+    * the cost is the rechunk's array-volume shuffle at most; each
+    * further pyramid level is (1/∏f) the previous one's volume.
+    */
+  def downsample(factor: Array[Int]): BlockGrid = {
+    require(factor.length == 3 && factor.forall(_ >= 1),
+      s"downsample factor must be 3 positive ints: ${factor.toSeq}")
+    val m = meta
+    require(m.overlap.forall(_ == 0), "downsample requires an exact (overlap-0) grid")
+    if (factor.forall(_ == 1)) return this
+    // align chunk boundaries to factor multiples (trailing chunk crops)
+    val alignedBs = Array.tabulate(3) { ax =>
+      val f = factor(ax)
+      math.max(f, m.blocksize(ax) / f * f)
+    }
+    val aligned = {
+      val already = m.isRegular &&
+        (0 until 3).forall(ax => m.blocksize(ax) == alignedBs(ax))
+      if (already) this else rechunk(alignedBs)
+    }
+    val am = aligned.meta
+    val f0 = factor(0); val f1 = factor(1); val f2 = factor(2)
+    val c = m.components
+    val outShape = Array.tabulate(3)(ax => (am.shape(ax) + factor(ax) - 1) / factor(ax))
+    val outBs = Array.tabulate(3)(ax => alignedBs(ax) / factor(ax))
+    val outMeta = GridMeta(outShape, outBs, Array(0, 0, 0),
+      am.blockGrid.clone(), c)
+    aligned.mapBlocks(outMeta) { b =>
+      val on = Array((b.nx + f0 - 1) / f0, (b.ny + f1 - 1) / f1, (b.nz + f2 - 1) / f2)
+      val out = new Array[Float](on(0) * on(1) * on(2) * c)
+      var ox = 0
+      while (ox < on(0)) {
+        val x1 = math.min((ox + 1) * f0, b.nx)
+        var oy = 0
+        while (oy < on(1)) {
+          val y1 = math.min((oy + 1) * f1, b.ny)
+          var oz = 0
+          while (oz < on(2)) {
+            val z1 = math.min((oz + 1) * f2, b.nz)
+            var ch = 0
+            while (ch < c) {
+              var acc = 0.0d; var cnt = 0
+              var x = ox * f0
+              while (x < x1) {
+                var y = oy * f1
+                while (y < y1) {
+                  var z = oz * f2
+                  while (z < z1) {
+                    acc += b.data(((x * b.ny + y) * b.nz + z) * c + ch)
+                    cnt += 1
+                    z += 1
+                  }
+                  y += 1
+                }
+                x += 1
+              }
+              out(((ox * on(1) + oy) * on(2) + oz) * c + ch) = (acc / cnt).toFloat
+              ch += 1
+            }
+            oz += 1
+          }
+          oy += 1
+        }
+        ox += 1
+      }
+      Block(b.bi, on(0), on(1), on(2), c, out)
+    }
+  }
+
   def collectDense(): Array[Float] = {
     val sx = meta.shape(0).toInt; val sy = meta.shape(1).toInt; val sz = meta.shape(2).toInt
     val c = meta.components
