@@ -85,7 +85,7 @@ object Bench {
       "q211_scc", "q214_bitmap_rollup", "q215_theilsen", "q216_hhi",
       "q218_incr_join", "q220_bitmap_audience",
       "q221_exact_median_twopass", "q224_mg_heavy_hitters",
-      "q225_hdr_percentiles")
+      "q225_hdr_percentiles", "q229_welch_ab")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -433,6 +433,82 @@ object Distribution {
              |      / CAST(sum(cents) OVER () AS DOUBLE), 6) AS pct_of_parent_r6
              |  FROM reg)
              |SELECT * FROM (SELECT * FROM natrows UNION ALL SELECT * FROM regrows)
-             |ORDER BY lvl, r_name, n_name NULLS FIRST""".stripMargin))
+             |ORDER BY lvl, r_name, n_name NULLS FIRST""".stripMargin)),
+
+    // ---- q229: WELCH A/B MEAN-DIFFERENCE SCREEN — the means-based
+    //      two-sample test completing the tier's triad (q155 chi-square:
+    //      proportions; q210 Mann-Whitney: ranks; this: means under
+    //      unequal variances — the default experiment-analysis test).
+    //      All 10 segment pairs screened at once. Exact: per-segment
+    //      n (BIGINT) and Σv, Σv² in DECIMAL(38,0) ≡ HUGEINT (v² at
+    //      cents scale overflows BIGINT, not 38 digits); float tail is
+    //      ONE fixed chain both engines evaluate identically — casts of
+    //      exact integers and +,−,×,÷,sqrt are all correctly rounded
+    //      IEEE ops, so the doubles agree bit-for-bit (q168's two-sqrt
+    //      precedent), rounded to 6. The significance flag compares the
+    //      ROUNDED t so the boundary cannot float-drift. Scale: facts
+    //      touched once by a 5-row keyed agg; the pair join runs on the
+    //      5-row moment table. ----
+    "q229_welch_ab" -> Q(
+      (s, d) => {
+        val vals = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("v"))
+        welchPairs(vals)
+      },
+      Some("""WITH vals AS (
+             |  SELECT c_mktsegment AS seg,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |m AS (SELECT seg, count(*) AS n,
+             |    sum(CAST(v AS HUGEINT)) AS sv,
+             |    sum(CAST(v AS HUGEINT) * v) AS qv
+             |  FROM vals GROUP BY seg),
+             |t AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+             |    CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb,
+             |    round((CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE)
+             |        - CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE))
+             |      / sqrt(((CAST(a.qv AS DOUBLE)
+             |            - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE)
+             |              / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0))
+             |          / CAST(a.n AS DOUBLE)
+             |        + ((CAST(b.qv AS DOUBLE)
+             |            - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE)
+             |              / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0))
+             |          / CAST(b.n AS DOUBLE)), 6) AS t_r6
+             |  FROM m a, m b WHERE a.seg < b.seg)
+             |SELECT seg_a, seg_b, na, nb, t_r6,
+             |  abs(t_r6) >= 1.96 AS significant
+             |FROM t ORDER BY seg_a, seg_b""".stripMargin))
   )
+
+  /** Welch's unequal-variance t for every pair of groups in `vals`
+    * (columns: seg STRING, v LONG). Moments are exact (n BIGINT; Σv,
+    * Σv² in DECIMAL(38,0)); t's float tail is one fixed IEEE chain
+    * mirrored verbatim in the q229 oracle SQL — keep the two in sync.
+    */
+  private[graft] def welchPairs(vals: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = vals.groupBy("seg").agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast(dec)).as("sv"),
+      sum(col("v").cast(dec) * col("v").cast(dec)).as("qv"))
+    val a = m.select(col("seg").as("seg_a"), col("n").as("na"),
+      col("sv").as("sa"), col("qv").as("qa"))
+    val b = m.select(col("seg").as("seg_b"), col("n").as("nb"),
+      col("sv").as("sb"), col("qv").as("qb"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val varA = (d(col("qa")) - d(col("sa")) * d(col("sa")) / d(col("na"))) /
+      (d(col("na")) - lit(1.0))
+    val varB = (d(col("qb")) - d(col("sb")) * d(col("sb")) / d(col("nb"))) /
+      (d(col("nb")) - lit(1.0))
+    a.crossJoin(b).filter(col("seg_a") < col("seg_b"))
+      .withColumn("t_r6", round(
+        (d(col("sa")) / d(col("na")) - d(col("sb")) / d(col("nb")))
+          / sqrt(varA / d(col("na")) + varB / d(col("nb"))), 6))
+      .withColumn("significant", abs(col("t_r6")) >= lit(1.96))
+      .select("seg_a", "seg_b", "na", "nb", "t_r6", "significant")
+      .orderBy("seg_a", "seg_b")
+  }
 }

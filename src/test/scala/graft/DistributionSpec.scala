@@ -82,4 +82,24 @@ class DistributionSpec extends SparkSpec {
       assert(inBucket.toLong == r.getLong(1), s"bucket $bucket")
     }
   }
+
+  test("q229: welchPairs matches hand-computed Welch t on analytic groups") {
+    val s = spark
+    import s.implicits._
+    // A=[1,2,3]: mean 2, var 1; B=[2,4,6]: mean 4, var 4
+    //   t = (2-4)/sqrt(1/3 + 4/3) = -1.5491933384829668 -> -1.549193
+    // C=[10,10,11] vs D=[1,1,2]: t = 19.091883092036646 -> 19.091883
+    val vals = Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L), ("B", 2L), ("B", 4L), ("B", 6L),
+      ("C", 10L), ("C", 10L), ("C", 11L), ("D", 1L), ("D", 1L), ("D", 2L)
+    ).toDF("seg", "v")
+    val rows = Distribution.welchPairs(vals).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(rows.size == 6) // all 4C2 pairs, seg_a < seg_b
+    assert(rows(("A", "B")) == ((3L, 3L, -1.549193, false)))
+    assert(rows(("C", "D")) == ((3L, 3L, 19.091883, true)))
+    // antisymmetry through the pair order: D vs C never appears
+    assert(!rows.contains(("D", "C")))
+  }
 }
