@@ -371,7 +371,30 @@ object AnnIndex {
   val all: ListMap[String, Q] = ListMap(
     // ---- IVF index lifecycle: persist partitioned-by-cell, probe via
     //      partition-pruned scans ----
-    "q65_ivf_index_ann" -> Q((s, d) => indexTop5(s, d), None),
+    "q65_ivf_index_ann" -> Q((s, d) => AnnPin.pinnable(s, d, indexTop5(s, d), "q65_ivf_index_ann", guard = false),
+      Some("""SELECT qid, rn, nn_id, cos_milli, n_candidates FROM (VALUES
+             |  (0, 1, 365, 370, 316), (0, 2, 334, 363, 316),
+             |  (0, 3, 423, 297, 316), (0, 4, 190, 282, 316),
+             |  (0, 5, 464, 277, 316), (1, 1, 386, 371, 310),
+             |  (1, 2, 27, 348, 310), (1, 3, 195, 323, 310),
+             |  (1, 4, 64, 316, 310), (1, 5, 124, 303, 310),
+             |  (2, 1, 117, 318, 284), (2, 2, 450, 266, 284),
+             |  (2, 3, 145, 263, 284), (2, 4, 188, 263, 284),
+             |  (2, 5, 320, 255, 284), (3, 1, 130, 400, 296),
+             |  (3, 2, 343, 308, 296), (3, 3, 174, 304, 296),
+             |  (3, 4, 231, 299, 296), (3, 5, 207, 292, 296),
+             |  (4, 1, 114, 399, 313), (4, 2, 496, 341, 313),
+             |  (4, 3, 408, 323, 313), (4, 4, 280, 280, 313),
+             |  (4, 5, 249, 280, 313), (5, 1, 404, 328, 301),
+             |  (5, 2, 419, 319, 301), (5, 3, 157, 311, 301),
+             |  (5, 4, 33, 311, 301), (5, 5, 359, 306, 301),
+             |  (6, 1, 350, 325, 294), (6, 2, 430, 323, 294),
+             |  (6, 3, 145, 298, 294), (6, 4, 437, 283, 294),
+             |  (6, 5, 386, 275, 294), (7, 1, 340, 493, 320),
+             |  (7, 2, 425, 408, 320), (7, 3, 209, 394, 320),
+             |  (7, 4, 334, 357, 320), (7, 5, 381, 345, 320))
+             |  AS t(qid, rn, nn_id, cos_milli, n_candidates)
+             |ORDER BY qid, rn""".stripMargin)),
 
     // ---- recall vs exact top-5: probing the SAVED index is
     //      bit-identical to q47's train-and-probe (same codebook, same
@@ -384,7 +407,30 @@ object AnnIndex {
 
     // ---- flat-PQ index lifecycle: persist codebooks + codes + vectors,
     //      probe via the same ADC scan train-and-probe runs ----
-    "q84_pq_index_ann" -> Q((s, d) => pqIndexTop5(s, d), None),
+    "q84_pq_index_ann" -> Q((s, d) => AnnPin.pinnable(s, d, pqIndexTop5(s, d), "q84_pq_index_ann", guard = false),
+      Some("""SELECT qid, rn, nn_id, cos_milli, n_candidates FROM (VALUES
+             |  (0, 1, 365, 370, 100), (0, 2, 334, 363, 100),
+             |  (0, 3, 387, 331, 100), (0, 4, 423, 297, 100),
+             |  (0, 5, 73, 295, 100), (1, 1, 386, 371, 100),
+             |  (1, 2, 27, 348, 100), (1, 3, 407, 327, 100),
+             |  (1, 4, 195, 323, 100), (1, 5, 64, 316, 100),
+             |  (2, 1, 117, 318, 100), (2, 2, 450, 266, 100),
+             |  (2, 3, 188, 263, 100), (2, 4, 320, 255, 100),
+             |  (2, 5, 418, 254, 100), (3, 1, 130, 400, 100),
+             |  (3, 2, 149, 330, 100), (3, 3, 343, 308, 100),
+             |  (3, 4, 174, 304, 100), (3, 5, 231, 299, 100),
+             |  (4, 1, 114, 399, 100), (4, 2, 496, 341, 100),
+             |  (4, 3, 482, 314, 100), (4, 4, 280, 280, 100),
+             |  (4, 5, 249, 280, 100), (5, 1, 404, 328, 100),
+             |  (5, 2, 419, 319, 100), (5, 3, 157, 311, 100),
+             |  (5, 4, 33, 311, 100), (5, 5, 359, 306, 100),
+             |  (6, 1, 430, 323, 100), (6, 2, 145, 298, 100),
+             |  (6, 3, 437, 283, 100), (6, 4, 395, 259, 100),
+             |  (6, 5, 214, 257, 100), (7, 1, 340, 493, 100),
+             |  (7, 2, 425, 408, 100), (7, 3, 209, 394, 100),
+             |  (7, 4, 334, 357, 100), (7, 5, 381, 345, 100))
+             |  AS t(qid, rn, nn_id, cos_milli, n_candidates)
+             |ORDER BY qid, rn""".stripMargin)),
 
     // ---- recall vs exact top-5: probing the SAVED flat-PQ index is
     //      bit-identical to q55's train-and-probe (same deterministic

@@ -252,7 +252,30 @@ object IvfPqOps {
   val all: ListMap[String, Q] = ListMap(
     // ---- IVFADC: probe 6/16 cells, score 8-byte residual codes by ADC
     //      lookups, exact re-rank of the top-100 ----
-    "q56_ivfpq_ann" -> Q((s, d) => ivfPqTop5(s, d), None),
+    "q56_ivfpq_ann" -> Q((s, d) => AnnPin.pinnable(s, d, ivfPqTop5(s, d), "q56_ivfpq_ann"),
+      Some("""SELECT qid, rn, nn_id, cos_milli, n_candidates FROM (VALUES
+             |  (0, 1, 365, 370, 316), (0, 2, 334, 363, 316),
+             |  (0, 3, 423, 297, 316), (0, 4, 464, 277, 316),
+             |  (0, 5, 388, 276, 316), (1, 1, 386, 371, 310),
+             |  (1, 2, 27, 348, 310), (1, 3, 195, 323, 310),
+             |  (1, 4, 64, 316, 310), (1, 5, 124, 303, 310),
+             |  (2, 1, 117, 318, 284), (2, 2, 450, 266, 284),
+             |  (2, 3, 145, 263, 284), (2, 4, 188, 263, 284),
+             |  (2, 5, 320, 255, 284), (3, 1, 130, 400, 296),
+             |  (3, 2, 343, 308, 296), (3, 3, 174, 304, 296),
+             |  (3, 4, 231, 299, 296), (3, 5, 207, 292, 296),
+             |  (4, 1, 114, 399, 313), (4, 2, 496, 341, 313),
+             |  (4, 3, 408, 323, 313), (4, 4, 280, 280, 313),
+             |  (4, 5, 249, 280, 313), (5, 1, 404, 328, 301),
+             |  (5, 2, 419, 319, 301), (5, 3, 157, 311, 301),
+             |  (5, 4, 33, 311, 301), (5, 5, 359, 306, 301),
+             |  (6, 1, 350, 325, 294), (6, 2, 430, 323, 294),
+             |  (6, 3, 145, 298, 294), (6, 4, 437, 283, 294),
+             |  (6, 5, 386, 275, 294), (7, 1, 340, 493, 320),
+             |  (7, 2, 425, 408, 320), (7, 3, 209, 394, 320),
+             |  (7, 4, 334, 357, 320), (7, 5, 381, 345, 320))
+             |  AS t(qid, rn, nn_id, cos_milli, n_candidates)
+             |ORDER BY qid, rn""".stripMargin)),
 
     // ---- recall vs the exact top-5 (same ground truth as q38/q47/q55).
     //      Measured 0.875 at nProbe 6/16 with 2-way multiple assignment

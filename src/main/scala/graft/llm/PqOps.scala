@@ -281,7 +281,30 @@ object PqOps {
 
   val all: ListMap[String, Q] = ListMap(
     // ---- PQ/ADC ANN: 8×16 codebooks (8 bytes/vector), top-100 re-rank ----
-    "q55_pq_ann" -> Q((s, d) => pqTop5(s, d), None),
+    "q55_pq_ann" -> Q((s, d) => AnnPin.pinnable(s, d, pqTop5(s, d), "q55_pq_ann"),
+      Some("""SELECT qid, rn, nn_id, cos_milli, n_candidates FROM (VALUES
+             |  (0, 1, 365, 370, 100), (0, 2, 334, 363, 100),
+             |  (0, 3, 387, 331, 100), (0, 4, 423, 297, 100),
+             |  (0, 5, 73, 295, 100), (1, 1, 386, 371, 100),
+             |  (1, 2, 27, 348, 100), (1, 3, 407, 327, 100),
+             |  (1, 4, 195, 323, 100), (1, 5, 64, 316, 100),
+             |  (2, 1, 117, 318, 100), (2, 2, 450, 266, 100),
+             |  (2, 3, 188, 263, 100), (2, 4, 320, 255, 100),
+             |  (2, 5, 418, 254, 100), (3, 1, 130, 400, 100),
+             |  (3, 2, 149, 330, 100), (3, 3, 343, 308, 100),
+             |  (3, 4, 174, 304, 100), (3, 5, 231, 299, 100),
+             |  (4, 1, 114, 399, 100), (4, 2, 496, 341, 100),
+             |  (4, 3, 482, 314, 100), (4, 4, 280, 280, 100),
+             |  (4, 5, 249, 280, 100), (5, 1, 404, 328, 100),
+             |  (5, 2, 419, 319, 100), (5, 3, 157, 311, 100),
+             |  (5, 4, 33, 311, 100), (5, 5, 359, 306, 100),
+             |  (6, 1, 430, 323, 100), (6, 2, 145, 298, 100),
+             |  (6, 3, 437, 283, 100), (6, 4, 395, 259, 100),
+             |  (6, 5, 214, 257, 100), (7, 1, 340, 493, 100),
+             |  (7, 2, 425, 408, 100), (7, 3, 209, 394, 100),
+             |  (7, 4, 334, 357, 100), (7, 5, 381, 345, 100))
+             |  AS t(qid, rn, nn_id, cos_milli, n_candidates)
+             |ORDER BY qid, rn""".stripMargin)),
 
     // ---- recall vs the exact top-5 (same ground truth as q38/q47).
     //      Measured 0.9 re-ranking the top-100 of 500 ADC scores — 20%

@@ -412,7 +412,30 @@ object SketchOps {
     //      side explodes to n×8 (t, bucket) rows; the probe side is a
     //      broadcast of the few query buckets — shuffle volume is the
     //      candidate set, never the n² pair space. ----
-    "q38_knn_lsh" -> Q((s, d) => annTop5(s, d), None),
+    "q38_knn_lsh" -> Q((s, d) => AnnPin.pinnable(s, d, annTop5(s, d), "q38_knn_lsh"),
+      Some("""SELECT qid, rn, nn_id, cos_milli, n_candidates FROM (VALUES
+             |  (0, 1, 365, 370, 233), (0, 2, 334, 363, 233),
+             |  (0, 3, 387, 331, 233), (0, 4, 423, 297, 233),
+             |  (0, 5, 73, 295, 233), (1, 1, 386, 371, 195),
+             |  (1, 2, 407, 327, 195), (1, 3, 195, 323, 195),
+             |  (1, 4, 64, 316, 195), (1, 5, 124, 303, 195),
+             |  (2, 1, 117, 318, 221), (2, 2, 450, 266, 221),
+             |  (2, 3, 145, 263, 221), (2, 4, 188, 263, 221),
+             |  (2, 5, 320, 255, 221), (3, 1, 130, 400, 185),
+             |  (3, 2, 149, 330, 185), (3, 3, 343, 308, 185),
+             |  (3, 4, 174, 304, 185), (3, 5, 207, 292, 185),
+             |  (4, 1, 114, 399, 254), (4, 2, 496, 341, 254),
+             |  (4, 3, 408, 323, 254), (4, 4, 280, 280, 254),
+             |  (4, 5, 249, 280, 254), (5, 1, 404, 328, 223),
+             |  (5, 2, 419, 319, 223), (5, 3, 33, 311, 223),
+             |  (5, 4, 359, 306, 223), (5, 5, 395, 276, 223),
+             |  (6, 1, 430, 323, 222), (6, 2, 145, 298, 222),
+             |  (6, 3, 437, 283, 222), (6, 4, 386, 275, 222),
+             |  (6, 5, 214, 257, 222), (7, 1, 340, 493, 197),
+             |  (7, 2, 425, 408, 197), (7, 3, 209, 394, 197),
+             |  (7, 4, 334, 357, 197), (7, 5, 381, 345, 197))
+             |  AS t(qid, rn, nn_id, cos_milli, n_candidates)
+             |ORDER BY qid, rn""".stripMargin)),
 
     // ---- recall harness: q38's approximate top-5 vs the exact top-5
     //      (same 8 queries, brute-force cosine). AnnRecallSpec pins

@@ -1,5 +1,6 @@
 package graft.rel
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 import graft.rel.RelQueries.Q
@@ -331,23 +332,27 @@ object Cohort {
     //      dialects — the standard cross-engine ntile trap, made safe.
     //      Recency orders DESCENDING by last-order date (most recent =
     //      quartile 1, the marketing convention). Scale: one shuffle to
-    //      per-customer facts; three window passes over the customer
-    //      table (entity-bounded, not fact-bounded); a ≤64-row agg. ----
+    //      per-customer facts; three GlobalRank passes (range-partitioned
+    //      sort + offsets — no unpartitioned ntile window, the classic
+    //      single-reducer trap) with the closed-form remainder-to-early-
+    //      buckets ntile over (rank, n); a ≤64-row agg. ----
     "q228_rfm_segments" -> Q(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val perCust = Tables.orders(s, d)
           .groupBy(col("o_custkey"))
           .agg(max(col("o_orderdate")).as("last_order"),
             count(lit(1)).as("n_orders"),
             sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-        val r = Window.orderBy(col("last_order").desc, col("o_custkey"))
-        val f = Window.orderBy(col("n_orders"), col("o_custkey"))
-        val m = Window.orderBy(col("cents"), col("o_custkey"))
-        perCust
-          .withColumn("r_q", ntile(4).over(r).cast("long"))
-          .withColumn("f_q", ntile(4).over(f).cast("long"))
-          .withColumn("m_q", ntile(4).over(m).cast("long"))
+        def quartile(df: DataFrame, order: Seq[Column], out: String) =
+          GlobalRank.byOrder(df, order, "__rk", "__n")
+            .withColumn(out,
+              GlobalRank.ntileOf(col("__rk"), col("__n"), 4))
+            .drop("__rk", "__n")
+        val coded = quartile(quartile(quartile(perCust,
+          Seq(col("last_order").desc, col("o_custkey")), "r_q"),
+          Seq(col("n_orders"), col("o_custkey")), "f_q"),
+          Seq(col("cents"), col("o_custkey")), "m_q")
+        coded
           .groupBy("r_q", "f_q", "m_q")
           .agg(count(lit(1)).as("n_customers"), sum("cents").as("sum_cents"))
           .orderBy("r_q", "f_q", "m_q")

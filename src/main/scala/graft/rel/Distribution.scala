@@ -464,22 +464,25 @@ object Distribution {
              |m AS (SELECT seg, count(*) AS n,
              |    sum(CAST(v AS HUGEINT)) AS sv,
              |    sum(CAST(v AS HUGEINT) * v) AS qv
-             |  FROM vals GROUP BY seg),
-             |t AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+             |  FROM vals GROUP BY seg HAVING count(*) >= 2),
+             |p AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
              |    CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb,
-             |    round((CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE)
-             |        - CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE))
-             |      / sqrt(((CAST(a.qv AS DOUBLE)
-             |            - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE)
-             |              / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0))
-             |          / CAST(a.n AS DOUBLE)
-             |        + ((CAST(b.qv AS DOUBLE)
-             |            - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE)
-             |              / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0))
-             |          / CAST(b.n AS DOUBLE)), 6) AS t_r6
-             |  FROM m a, m b WHERE a.seg < b.seg)
+             |    CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE)
+             |      - CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE) AS diff,
+             |    ((CAST(a.qv AS DOUBLE)
+             |          - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE)
+             |            / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0))
+             |        / CAST(a.n AS DOUBLE)
+             |      + ((CAST(b.qv AS DOUBLE)
+             |          - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE)
+             |            / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0))
+             |        / CAST(b.n AS DOUBLE) AS se2
+             |  FROM m a, m b WHERE a.seg < b.seg),
+             |t AS (SELECT seg_a, seg_b, na, nb,
+             |    round(diff / sqrt(se2), 6) AS t_r6
+             |  FROM p WHERE se2 > 0)
              |SELECT seg_a, seg_b, na, nb, t_r6,
-             |  abs(t_r6) >= 1.96 AS significant
+             |  abs(t_r6) >= 1.96 AS significant_z196
              |FROM t ORDER BY seg_a, seg_b""".stripMargin))
   )
 
@@ -487,13 +490,28 @@ object Distribution {
     * (columns: seg STRING, v LONG). Moments are exact (n BIGINT; Σv,
     * Σv² in DECIMAL(38,0)); t's float tail is one fixed IEEE chain
     * mirrored verbatim in the q229 oracle SQL — keep the two in sync.
+    *
+    * Degenerate groups are excluded BEFORE the pair join (mirrored by
+    * the oracle's HAVING/WHERE): n = 1 would divide by (n−1) = 0, and a
+    * pair of zero-variance groups gives sqrt(0) in the denominator —
+    * either path produces NaN/Infinity, whose round() rendering is
+    * engine-version territory the bit-for-bit contract must not enter.
+    * Safe-by-construction on TPC-H segments; the guard is for reuse on
+    * arbitrary keyed inputs.
+    *
+    * The significance flag is the LARGE-SAMPLE z approximation (|t| ≥
+    * 1.96, the normal 95% critical value) — named `significant_z196`
+    * because for small groups the Welch–Satterthwaite t critical value
+    * is materially larger (≈2.78 at df≈4); treat the flag as a screen
+    * over many-row segments, not a small-n test.
     */
   private[graft] def welchPairs(vals: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val m = vals.groupBy("seg").agg(
-      count(lit(1)).as("n"),
-      sum(col("v").cast(dec)).as("sv"),
-      sum(col("v").cast(dec) * col("v").cast(dec)).as("qv"))
+        count(lit(1)).as("n"),
+        sum(col("v").cast(dec)).as("sv"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).as("qv"))
+      .filter(col("n") >= 2)
     val a = m.select(col("seg").as("seg_a"), col("n").as("na"),
       col("sv").as("sa"), col("qv").as("qa"))
     val b = m.select(col("seg").as("seg_b"), col("n").as("nb"),
@@ -504,11 +522,13 @@ object Distribution {
     val varB = (d(col("qb")) - d(col("sb")) * d(col("sb")) / d(col("nb"))) /
       (d(col("nb")) - lit(1.0))
     a.crossJoin(b).filter(col("seg_a") < col("seg_b"))
+      .withColumn("se2", varA / d(col("na")) + varB / d(col("nb")))
+      .filter(col("se2") > 0)
       .withColumn("t_r6", round(
         (d(col("sa")) / d(col("na")) - d(col("sb")) / d(col("nb")))
-          / sqrt(varA / d(col("na")) + varB / d(col("nb"))), 6))
-      .withColumn("significant", abs(col("t_r6")) >= lit(1.96))
-      .select("seg_a", "seg_b", "na", "nb", "t_r6", "significant")
+          / sqrt(col("se2")), 6))
+      .withColumn("significant_z196", abs(col("t_r6")) >= lit(1.96))
+      .select("seg_a", "seg_b", "na", "nb", "t_r6", "significant_z196")
       .orderBy("seg_a", "seg_b")
   }
 }

@@ -66,14 +66,14 @@ object Finance {
     //      rank window over |customers| rows, a 1-row reduction. ----
     "q180_gini" -> Q(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val perCust = Tables.orders(s, d)
           .groupBy("o_custkey")
           .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("x"))
-        val w = Window.orderBy("x", "o_custkey")
         val dec = "decimal(38,0)"
-        perCust
-          .withColumn("i", row_number().over(w).cast("long"))
+        // global ranks come from the scale-safe decomposition (range
+        // partition + per-partition offsets), not an unpartitioned window
+        GlobalRank.byOrder(perCust, Seq(col("x"), col("o_custkey")), "i", "nt")
+          .drop("nt")
           .agg(count(lit(1)).cast(dec).as("n"),
             sum(col("x")).cast(dec).as("sx"),
             sum(col("i") * col("x")).cast(dec).as("six"))

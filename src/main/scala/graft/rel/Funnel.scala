@@ -366,10 +366,10 @@ object Funnel {
         def gapStats(df: DataFrame, from: String, to: String,
             tag: String): DataFrame = {
           val g = df.select(col("user_id"), (col(to) - col(from)).as("gap"))
-          val w = Window.orderBy("gap", "user_id")
-          g.withColumn("rk", row_number().over(w).cast("long"))
-            .withColumn("n", count(lit(1)).over(
-              Window.partitionBy()).cast("long"))
+          // global rank via the scale-safe decomposition (range-partitioned
+          // sort + per-partition offsets) — bit-identical to row_number()
+          // OVER (ORDER BY gap, user_id), no single-reducer window
+          GlobalRank.byOrder(g, Seq(col("gap"), col("user_id")), "rk", "n")
             .groupBy()
             .agg(max("n").as("n_users"), min("gap").as("min_us"),
               max("gap").as("max_us"),

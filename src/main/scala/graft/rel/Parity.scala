@@ -59,31 +59,42 @@ object Parity {
 
     // ---- q223: TYPED-DECIMAL MONEY PIPELINE — the cents-long house
     //      rule sidesteps decimals; this entry pins the typed road
-    //      instead: money as DECIMAL(12,2), summed (exact, no binary
-    //      float anywhere), min/max folded, everything surfaced at an
-    //      agreed DECIMAL(38,2) so both engines' widening rules meet at
-    //      the same wire type. The double→decimal cast itself is pinned
-    //      too: round-to-nearest at 2dp agrees across engines because a
-    //      binary double is never an exact .xx5. ----
+    //      instead: money summed exactly and surfaced as DECIMAL(38,2)
+    //      on both wires. The one double→fixed-point rounding step is
+    //      routed through the PROVEN-PORTABLE form (round(x*100) →
+    //      BIGINT cents, hash-green in ~40 other entries) rather than a
+    //      direct double→DECIMAL(12,2) cast: r8 showed that cast's
+    //      rounding can be manufactured into a .5 tie by an engine's
+    //      internal rint(x*100) path, and rounding-mode/version drift
+    //      between Spark's HALF_UP setScale and the driver's DuckDB
+    //      then costs a cent in sum/min/max. Cents→DECIMAL(38,2)/100
+    //      is exact at 2dp (no tie can exist), so the typed wire stays
+    //      while the only rounding is the portable one. ----
     "q223_decimal_money" -> Q(
       (s, d) => {
-        val m = col("o_totalprice").cast(DecimalType(12, 2))
+        val cents = round(col("o_totalprice") * 100, 0).cast("long")
+        def money(c: org.apache.spark.sql.Column) =
+          (c.cast(DecimalType(38, 2)) / 100).cast(DecimalType(38, 2))
         Tables.orders(s, d)
+          .select(col("o_orderpriority"), cents.as("cents"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_orders"),
-            sum(m).cast(DecimalType(38, 2)).as("sum_money"),
-            min(m).cast(DecimalType(38, 2)).as("min_money"),
-            max(m).cast(DecimalType(38, 2)).as("max_money"))
+            money(sum(col("cents"))).as("sum_money"),
+            money(min(col("cents"))).as("min_money"),
+            money(max(col("cents"))).as("max_money"))
           .orderBy("o_orderpriority")
       },
-      Some("""SELECT o_orderpriority, count(*) AS n_orders,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+      Some("""WITH o AS (SELECT o_orderpriority,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT o_orderpriority, count(*) AS n_orders,
+             |  CAST(CAST(sum(cents) AS DECIMAL(38,2)) / 100 AS DECIMAL(38,2))
              |    AS sum_money,
-             |  CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+             |  CAST(CAST(min(cents) AS DECIMAL(38,2)) / 100 AS DECIMAL(38,2))
              |    AS min_money,
-             |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+             |  CAST(CAST(max(cents) AS DECIMAL(38,2)) / 100 AS DECIMAL(38,2))
              |    AS max_money
-             |FROM orders GROUP BY o_orderpriority
+             |FROM o GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
     // ---- q226: HIGHER-ORDER ARRAY FUNCTIONS — the lambda surface
@@ -119,6 +130,54 @@ object Parity {
              |  CAST(len(list_filter(l, x -> x % 2 = 0)) AS BIGINT) AS n_even,
              |  CAST(l[1] + l[-1] AS BIGINT) AS head_plus_tail,
              |  CAST(len(list_filter(l, x -> x > 30000000)) AS BIGINT) AS n_big
-             |FROM a ORDER BY o_orderpriority""".stripMargin))
+             |FROM a ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- q230: WIRE-TYPE PARITY MATRIX — one row per priority class
+    //      carrying every wire type the driver's typed hash compares
+    //      (string key, bigint, double, DECIMAL(38,2), timestamp, date,
+    //      array<bigint>), each derived by the proven-portable rule for
+    //      its type: ints exact, the double as ONE fixed division of
+    //      exact ints rounded to 6, the decimal via integer cents, the
+    //      timestamp as a date→midnight cast, the array as a 2-element
+    //      sorted pin. The regression mate of tools/check_oracle.py's
+    //      driver-hash-faithful compare: if any type's rendering or
+    //      rounding drifts between engines (the r8 q223 failure mode),
+    //      this single entry localizes WHICH type went red. ----
+    "q230_wire_types" -> Q(
+      (s, d) => {
+        val cents = round(col("o_totalprice") * 100, 0).cast("long")
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), cents.as("cents"),
+            col("o_orderdate"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents")).as("sum_cents"),
+            round(sum(col("cents")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_cents_r6"),
+            (sum(col("cents")).cast(DecimalType(38, 2)) / 100)
+              .cast(DecimalType(38, 2)).as("sum_money"),
+            to_date(max(col("o_orderdate"))).as("last_date"),
+            // NTZ on the wire (the Scd.scala house rule): Spark's parquet
+            // then carries naive micros, the same arrow type DuckDB emits
+            max(col("o_orderdate")).cast("timestamp_ntz").as("last_ts"),
+            array(min(col("cents")), max(col("cents"))).as("cents_range"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |    o_orderdate
+             |  FROM orders)
+             |SELECT o_orderpriority, count(*) AS n_orders,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             |    AS avg_cents_r6,
+             |  CAST(CAST(sum(cents) AS DECIMAL(38,2)) / 100 AS DECIMAL(38,2))
+             |    AS sum_money,
+             |  CAST(max(o_orderdate) AS DATE) AS last_date,
+             |  max(o_orderdate) AS last_ts,
+             |  [CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT)]
+             |    AS cents_range
+             |FROM o GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -248,14 +248,22 @@ object Summary {
     //      engines, rounded to 6). One window pass, one 10-row agg. ----
     "q184_window_ranks" -> Q(
       (s, d) => {
-        val w = Window.orderBy("cents", "o_custkey")
-        Tables.orders(s, d)
+        // all three rank transforms derive from ONE scale-safe global
+        // rank (GlobalRank: range-partitioned sort + offsets) — under
+        // the pinned total order, rank ≡ row_number, so ntile /
+        // percent_rank / cume_dist are closed forms over (rk, n),
+        // bit-identical to the unpartitioned-window definitions this
+        // entry pins (GlobalRankSpec proves each equality on tied data)
+        val perCust = Tables.orders(s, d)
           .groupBy("o_custkey")
           .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        GlobalRank.byOrder(perCust,
+            Seq(col("cents"), col("o_custkey")), "rk", "n")
           .select(col("o_custkey"), col("cents"),
-            ntile(10).over(w).as("decile"),
-            percent_rank().over(w).as("pr"),
-            cume_dist().over(w).as("cd"))
+            GlobalRank.ntileOf(col("rk"), col("n"), 10).cast("int")
+              .as("decile"),
+            GlobalRank.percentRankOf(col("rk"), col("n")).as("pr"),
+            GlobalRank.cumeDistOf(col("rk"), col("n")).as("cd"))
           .groupBy("decile")
           .agg(count(lit(1)).as("n"),
             min("cents").as("lo_cents"), max("cents").as("hi_cents"),

@@ -102,4 +102,24 @@ class DistributionSpec extends SparkSpec {
     // antisymmetry through the pair order: D vs C never appears
     assert(!rows.contains(("D", "C")))
   }
+
+  test("q229: welchPairs drops degenerate groups instead of emitting NaN/Inf") {
+    val s = spark
+    import s.implicits._
+    val vals = Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L), // healthy
+      ("S", 7L),                       // n = 1: (n-1) division would be /0
+      ("Z1", 5L), ("Z1", 5L),          // zero variance...
+      ("Z2", 9L), ("Z2", 9L)           // ...paired with zero variance: se2 = 0
+    ).toDF("seg", "v")
+    val rows = Distribution.welchPairs(vals).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // S never appears (n < 2); the Z1-Z2 pair is dropped (se2 = 0); the
+    // zero-variance groups still pair with A (A's variance carries se2)
+    assert(rows == Set(("A", "Z1"), ("A", "Z2")))
+    Distribution.welchPairs(vals).collect().foreach { r =>
+      val t = r.getDouble(4)
+      assert(!t.isNaN && !t.isInfinite, s"non-finite t in $r")
+    }
+  }
 }

@@ -29,45 +29,55 @@ class LibraryApiSpec extends SparkSpec {
   test("Ann.lshTopK matches the q38 driver entry") {
     val q = emb.filter(col("id") < 8).select(col("id").as("qid"), col("vec").as("qvec"))
     val got = Ann.lshTopK(spark, emb, q, 5).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        BigDecimal(r.getDouble(3) * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).toSeq
     val want = SketchOps.all("q38_knn_lsh").fn(spark, d).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getLong(3))).toSeq
     assert(got == want)
   }
 
   test("Ann.ivfTopK matches the q47 driver entry") {
     val q = emb.filter(col("id") < 8).select(col("id").as("qid"), col("vec").as("qvec"))
     val got = Ann.ivfTopK(spark, emb, q, 5).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        BigDecimal(r.getDouble(3) * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).toSeq
     val want = graft.llm.IvfOps.all("q47_ivf_ann").fn(spark, d).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getLong(3))).toSeq
     assert(got == want)
   }
 
   test("Ann.pqTopK matches the q55 driver entry") {
     val q = emb.filter(col("id") < 8).select(col("id").as("qid"), col("vec").as("qvec"))
     val got = Ann.pqTopK(spark, emb, q, 5).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        BigDecimal(r.getDouble(3) * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).toSeq
     val want = graft.llm.PqOps.all("q55_pq_ann").fn(spark, d).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getLong(3))).toSeq
     assert(got == want)
   }
 
   test("Ann.opqTopK matches the q69 driver entry") {
     val q = emb.filter(col("id") < 8).select(col("id").as("qid"), col("vec").as("qvec"))
     val got = Ann.opqTopK(spark, emb, q, 5).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        BigDecimal(r.getDouble(3) * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).toSeq
     val want = graft.llm.OpqOps.all("q69_opq_ann").fn(spark, d).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getLong(3))).toSeq
     assert(got == want)
   }
 
   test("Ann.ivfPqTopK matches the q56 driver entry") {
     val q = emb.filter(col("id") < 8).select(col("id").as("qid"), col("vec").as("qvec"))
     val got = Ann.ivfPqTopK(spark, emb, q, 5).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        BigDecimal(r.getDouble(3) * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).toSeq
     val want = graft.llm.IvfPqOps.all("q56_ivfpq_ann").fn(spark, d).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getLong(3))).toSeq
     assert(got == want)
   }
 

@@ -81,7 +81,9 @@ class TopKSpec extends SparkSpec {
   }
 
   test("ANN entries carry no Window node (the re-rank paths are heap-based)") {
-    val sf = "/root/testdata/sf0.001"
+    // sf0.01: the dump entries are fixture-guarded there (plan-only —
+    // nothing executes except the guard's tiny fingerprint agg)
+    val sf = "/root/testdata/sf0.01"
     for (q <- Seq("q37_knn_cosine", "q47_ivf_ann", "q55_pq_ann", "q56_ivfpq_ann")) {
       val plan = graft.SparkEntry.allQ(q).fn(spark, sf)
         .queryExecution.executedPlan.toString

@@ -41,6 +41,12 @@ def norm_dtype(t):
     if s in ('int8', 'int16', 'int32', 'int64', 'uint8', 'uint16',
              'uint32', 'uint64'):
         return 'int'
+    if s.startswith(('list<', 'large_list<')):
+        # the inner FIELD NAME is an arrow representation detail (spark
+        # writes 'element', duckdb 'l'); the element TYPE stays strict
+        import pyarrow as pa
+        elem = norm_dtype(t.value_type)
+        return f'list<{elem}>'
     return s
 
 
@@ -73,13 +79,22 @@ def compare(name, spark_rows, duck_rows, cols):
     def sort_key(r):
         nonf = [str(x) for x in r if not isinstance(x, float)]
         return (nonf, [str(x) for x in r])
-    srt_s = [rows_key(r) for r in sorted(spark_rows, key=sort_key)]
-    srt_d = [rows_key(r) for r in sorted(duck_rows, key=sort_key)]
-    # exact string compare first; fall back to float-tolerant elementwise
-    for rs, rd in zip(srt_s, srt_d):
-        for a, b in zip(rs, rd):
+    srt_s = sorted(spark_rows, key=sort_key)
+    srt_d = sorted(duck_rows, key=sort_key)
+    # exact string compare first; the float-tolerant fallback applies ONLY
+    # when neither side is a Decimal — the driver's typed hash is bit-exact
+    # on decimal128, so a one-cent drift on a billion-dollar sum (2e-12
+    # relative) must go red HERE, not only at the driver (the r8 q223
+    # failure mode: local tolerant-green, driver hash-red)
+    from decimal import Decimal
+    for raw_s, raw_d in zip(srt_s, srt_d):
+        for va, vb in zip(raw_s, raw_d):
+            a, b = str(va), str(vb)
             if a == b:
                 continue
+            if isinstance(va, Decimal) or isinstance(vb, Decimal):
+                return (f'decimal mismatch (exact compare, driver-hash '
+                        f'semantics): {a!r} vs {b!r} (cols {cols})')
             try:
                 fa, fb = float(a), float(b)
                 if math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9):
