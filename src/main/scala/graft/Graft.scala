@@ -318,6 +318,20 @@ object Graft {
       merges: Seq[llm.Bpe.Merge]): DataFrame =
     llm.Bpe.tokenCounts(spark, docs, merges)
 
+  /** Train a unigram-LM (SentencePiece-style) subword vocabulary on the
+    * corpus ([[llm.Unigram.train]] — deterministic hard-EM).
+    */
+  def unigramTrain(spark: SparkSession, docs: DataFrame,
+      targetVocab: Int): llm.Unigram.Vocab =
+    llm.Unigram.train(spark, docs, targetVocab)
+
+  /** Per-doc Viterbi token counts under a trained unigram vocabulary
+    * ([[llm.Unigram.tokenCounts]]).
+    */
+  def unigramTokenCounts(spark: SparkSession, docs: DataFrame,
+      vocab: llm.Unigram.Vocab): DataFrame =
+    llm.Unigram.tokenCounts(spark, docs, vocab)
+
   /** Build a persisted near-dup index ([[llm.DedupIndex.save]]). */
   def saveDedupIndex(spark: SparkSession, docs: DataFrame, dir: String): Unit =
     llm.DedupIndex.save(spark, docs, dir)

@@ -40,7 +40,8 @@ object SparkEntry {
       graft.rel.Finance.all ++ graft.graph.Temporal.all ++
       graft.rel.Maintenance.all ++ graft.rel.Distribution.all ++
       graft.graph.Scc.all ++ graft.rel.ExactDistinct.all ++
-      graft.rel.Parity.all ++ graft.rel.Frequency.all
+      graft.rel.Parity.all ++ graft.rel.Frequency.all ++
+      graft.llm.Unigram.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

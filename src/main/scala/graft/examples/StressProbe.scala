@@ -1,0 +1,91 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× STRESS PROBE for the bench tier's worst queries — the cheapest
+  * way to catch the next scale-killer before a plan audit has to: build
+  * a deterministic 10× replica tier from sf0.1 (each copy's entity keys
+  * shifted by a disjoint offset — same density, 10× volume, no
+  * cross-copy edges) and run the historically most expensive entries
+  * against it, asserting PLAN-SHAPE INVARIANCE first (the shuffle/
+  * exchange count at 10× must equal the count at 1× — a plan that
+  * changes shape with data size is the thing this probe exists to
+  * catch) and then recording wall time.
+  *
+  * Key offsets stay below 2³¹ (10⁷ per copy) so the triangle
+  * orientation packing's 31-bit id requirement keeps holding at 10×.
+  *
+  * Run: sbt "runMain graft.examples.StressProbe [srcDir] [factor]"
+  * Writes the replica tier to /tmp/graft_stress_sf<factor>x (reused if
+  * present), prints one STRESSPROBE json line.
+  */
+object StressProbe {
+  private val Probes = Seq("q118_triangles", "q116_pagerank",
+    "q182_prefix_jaccard", "q187_funnel_gap_stats", "q34_ngram_jaccard")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val out = s"/tmp/graft_stress_sf${factor}x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val off = 10_000_000L // per-copy key shift; factor·off stays < 2³¹
+    // (table, key columns to shift) — only the tables the probes read
+    val plans: Seq[(String, Seq[String])] = Seq(
+      ("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      ("orders", Seq("o_orderkey", "o_custkey")),
+      ("events", Seq("event_id", "user_id")),
+      ("documents", Seq("doc_id")))
+    if (!new java.io.File(s"$out/_built").exists()) {
+      plans.foreach { case (t, keys) =>
+        val base = spark.read.parquet(s"$src/$t.parquet")
+        val copies = (0 until factor).map { i =>
+          keys.foldLeft(base) { (df, k) =>
+            df.withColumn(k, col(k) + lit(i * off))
+          }
+        }
+        copies.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"[stress] built $t x$factor")
+      }
+      new java.io.File(s"$out/_built").createNewFile()
+    }
+
+    def exchanges(df: DataFrame): Int =
+      "(?m)^\\s*\\+?-? ?Exchange ".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+
+    val all = graft.SparkEntry.allQ
+    val results = Probes.map { name =>
+      val fn = all(name).fn
+      // plan-shape invariance gate BEFORE timing: same exchange count
+      // at 1× and at factor× (nothing collapses to a new shuffle shape
+      // or single-task stage as data grows)
+      val ex1 = exchanges(fn(spark, src))
+      val exN = exchanges(fn(spark, out))
+      require(ex1 == exN,
+        s"$name plan shape changed at ${factor}x: $ex1 exchanges -> $exN")
+      val t0 = System.nanoTime()
+      fn(spark, out).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $name: ${factor}x wall $wall%.1f s ($exN exchanges, invariant)")
+      (name, wall, exN)
+    }
+    val json = results.map { case (n, w, e) =>
+      f""""$n": {"sec": $w%.1f, "exchanges": $e}"""
+    }.mkString(s"""{"factor": $factor, """, ", ", "}")
+    println(s"STRESSPROBE $json")
+    spark.stop()
+  }
+}

@@ -26,6 +26,13 @@ object TriangleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // broadcast OFF (both planners): at bench size every join side
+      // fits a local broadcast and writes ~zero shuffle bytes, hiding
+      // exactly the volume this bench exists to measure — at cluster
+      // scale the edge tables exceed any broadcast threshold and the
+      // joins shuffle, so force the shuffle plan here
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,13 +50,27 @@ object TriangleBench {
       .filter(col("a") =!= col("b")).distinct().cache()
     und.count()
 
-    def time[T](f: => T): (T, Double) = {
+    // shuffle WRITE bytes per phase via a stage listener — the number
+    // that transfers to cluster scale (local wall under-sells hot-key
+    // shuffles). Stage events are async: settle before reading deltas.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def settle(): Long = { Thread.sleep(1500); shuffleBytes.get() }
+
+    def time[T](f: => T): (T, Double, Long) = {
+      val b0 = settle()
       val t0 = System.nanoTime(); val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
+      val dt = (System.nanoTime() - t0) / 1e9
+      (r, dt, settle() - b0)
     }
 
-    // --- oriented path (the operator) ---
-    val ((orientedTotal, orientedWedges), tOriented) = time {
+    // --- oriented path (the operator: adjacency-replication join +
+    //     neighborhood intersection; worst-case byte volume Σd⁺²) ---
+    val ((orientedTotal, orientedWedges), tOriented, bOriented) = time {
       val counts = Triangles.triangleCounts(spark, und)
       val total = counts.agg(sum("n_tri")).head.getLong(0) / 3
       // wedge volume of the oriented enumeration, re-derived
@@ -68,7 +89,7 @@ object TriangleBench {
     }
 
     // --- naive path: wedges from every center, triangles / 3 ---
-    val ((naiveTotal, naiveWedges), tNaive) = time {
+    val ((naiveTotal, naiveWedges), tNaive, bNaive) = time {
       val both = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
         .select(col("a").as("u"), col("b").as("v")) // u = center? no: path a-center, center-c
       val wedges = both.as("e1").join(both.as("e2"),
@@ -87,6 +108,8 @@ object TriangleBench {
       f""""oriented_wedges": $orientedWedges, "naive_wedges": $naiveWedges, """ +
       f""""wedge_cut": ${naiveWedges.toDouble / orientedWedges}%.1f, """ +
       f""""oriented_sec": $tOriented%.2f, "naive_sec": $tNaive%.2f, """ +
+      f""""oriented_shuffle_bytes": $bOriented, "naive_shuffle_bytes": $bNaive, """ +
+      f""""shuffle_cut": ${bNaive.toDouble / math.max(bOriented, 1L)}%.1f, """ +
       f""""speedup": ${tNaive / tOriented}%.2f}"""
     println(s"TRIANGLEBENCH $json")
     spark.stop()

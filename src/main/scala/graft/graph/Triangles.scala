@@ -41,16 +41,34 @@ object Triangles {
     * orientations accepted. Output: (node, n_tri) for nodes in ≥ 1
     * triangle.
     */
-  def triangleCounts(s: SparkSession, edges: DataFrame): DataFrame = {
+  def triangleCounts(s: SparkSession, edges: DataFrame,
+      adjRowBytesCap: Long = 1L << 28): DataFrame = {
     val und = edges
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
       .cache()
-    // ids must fit below the degree bits of the packed orientation key
-    val mx = und.agg(max(greatest(col("a"), col("b")))).head.getLong(0)
+    // ids must fit below the degree bits of the packed orientation key;
+    // m rides along in the same agg (no extra job) for the size guard
+    val hd = und.agg(max(greatest(col("a"), col("b"))).as("mx"),
+      count(lit(1)).as("m")).head
+    val mx = hd.getLong(0); val m = hd.getLong(1)
     require(mx < (1L << 31), s"node ids must fit in 31 bits: max id $mx")
+    // LOUD adjacency-row size guard: under the (deg, id) orientation
+    // d⁺(v) ≤ √(2m) for EVERY degree distribution (a node of degree
+    // ≤ √(2m) trivially; a node of degree > √(2m) only out-points to
+    // nodes of ≥ its degree, and fewer than √(2m) such nodes exist) —
+    // so the largest collect_list row carries ≤ √(2m) longs. That bound
+    // is a graph-size theorem, not a skew hope, but at extreme m the
+    // row itself gets big (m = 10¹²  →  ~1.4M entries ≈ 11 MB); past
+    // the cap fail loudly instead of letting a multi-GB row OOM an
+    // executor mid-shuffle. 2⁵⁴ edges before the default cap trips.
+    val adjBound = math.ceil(math.sqrt(2.0 * m)).toLong * 12L // 8B long + list overhead
+    require(adjBound <= adjRowBytesCap,
+      s"adjacency rows may reach ~$adjBound bytes (√(2·$m edges) longs) > " +
+        s"cap $adjRowBytesCap: split neighborhoods (hash-bucket the " +
+        "adjacency arrays) before intersecting at this scale")
     val deg = und.select(explode(array(col("a"), col("b"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("d"))
     val okeyed = und
