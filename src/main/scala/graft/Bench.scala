@@ -85,7 +85,10 @@ object Bench {
       "q211_scc", "q214_bitmap_rollup", "q215_theilsen", "q216_hhi",
       "q218_incr_join", "q220_bitmap_audience",
       "q221_exact_median_twopass", "q224_mg_heavy_hitters",
-      "q225_hdr_percentiles", "q229_welch_ab")
+      "q225_hdr_percentiles", "q229_welch_ab",
+      // round-9: the GlobalRank-rewritten rank family (q180 above) —
+      // tracked so the scale-safe ranking path's cost is a series
+      "q184_window_ranks", "q187_funnel_gap_stats", "q228_rfm_segments")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))
