@@ -318,6 +318,20 @@ object Graft {
       merges: Seq[llm.Bpe.Merge]): DataFrame =
     llm.Bpe.tokenCounts(spark, docs, merges)
 
+  /** Train a WordPiece subword vocabulary (likelihood-argmax merges,
+    * [[llm.WordPiece.train]]); returns (merges, serving vocab).
+    */
+  def wordpieceTrain(spark: SparkSession, docs: DataFrame,
+      numMerges: Int): (Seq[llm.WordPiece.Merge], llm.WordPiece.Vocab) =
+    llm.WordPiece.train(spark, docs, numMerges)
+
+  /** Per-doc greedy longest-match token counts under a trained
+    * WordPiece vocabulary ([[llm.WordPiece.tokenCounts]]).
+    */
+  def wordpieceTokenCounts(spark: SparkSession, docs: DataFrame,
+      vocab: llm.WordPiece.Vocab): DataFrame =
+    llm.WordPiece.tokenCounts(spark, docs, vocab)
+
   /** Train a unigram-LM (SentencePiece-style) subword vocabulary on the
     * corpus ([[llm.Unigram.train]] — deterministic hard-EM).
     */
