@@ -318,6 +318,20 @@ object Graft {
       merges: Seq[llm.Bpe.Merge]): DataFrame =
     llm.Bpe.tokenCounts(spark, docs, merges)
 
+  /** Per-query retrieval metrics — precision/recall@k, MRR, NDCG@k —
+    * of a ranking against graded qrels ([[llm.Eval.rankingMetrics]]).
+    */
+  def rankingMetrics(spark: SparkSession, ranked: DataFrame,
+      qrels: DataFrame, k: Int): DataFrame =
+    llm.Eval.rankingMetrics(spark, ranked, qrels, k)
+
+  /** Per-class precision/recall/F1 report from predictions vs labels
+    * ([[llm.Eval.classificationReport]]).
+    */
+  def classificationReport(spark: SparkSession, pred: DataFrame,
+      truth: DataFrame): DataFrame =
+    llm.Eval.classificationReport(spark, pred, truth)
+
   /** Train a WordPiece subword vocabulary (likelihood-argmax merges,
     * [[llm.WordPiece.train]]); returns (merges, serving vocab).
     */

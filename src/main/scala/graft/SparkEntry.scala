@@ -41,7 +41,8 @@ object SparkEntry {
       graft.rel.Maintenance.all ++ graft.rel.Distribution.all ++
       graft.graph.Scc.all ++ graft.rel.ExactDistinct.all ++
       graft.rel.Parity.all ++ graft.rel.Frequency.all ++
-      graft.llm.Unigram.all ++ graft.llm.WordPiece.all
+      graft.llm.Unigram.all ++ graft.llm.WordPiece.all ++
+      graft.llm.Eval.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,235 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** EVALUATION HARNESS — the measurement half every retrieval / curation
+  * pipeline needs next to its operators: ranking metrics (precision@k,
+  * recall@k, MRR, NDCG@k — the TREC/BEIR standard set) against graded
+  * relevance judgments, and a classification report (per-class
+  * precision/recall/F1 from a confusion join). Both are pure
+  * DataFrame compositions: one broadcast-joined pass over the ranking
+  * (or prediction) table plus entity-bounded aggs — nothing scales
+  * with the corpus beyond the ranked/predicted rows themselves.
+  *
+  * Exactness discipline: counts are longs; every emitted metric is ONE
+  * fixed IEEE chain over exact integers (single divisions; DCG terms
+  * (2^grade−1)/(ln(i+1)/ln 2) with integer grade and rank — the q168
+  * two-sqrt precedent), rounded to 6, and the per-query sums run over
+  * ≤ k terms (the q184 small-sum precedent), so the DuckDB oracle
+  * replays everything bit-for-bit.
+  */
+object Eval {
+
+  private def log2(c: Column): Column = log(c) / log(lit(2.0))
+
+  /** Per-query ranking metrics of `ranked` (qid, id, rn — rn 1-based)
+    * against graded `qrels` (qid, id, grade ≥ 1, rel BOOLEAN; absent =
+    * irrelevant): precision@k, recall@k and MRR over the caller-decided
+    * BINARY judgment `rel` (graded partial matches can stay non-
+    * relevant), NDCG@k over the full grades ((2^g − 1)/log2(i+1),
+    * ideal ranking = grades desc). Queries with zero relevant docs
+    * emit 0-metrics rather than dropping (the eval-set bug this
+    * operator exists to surface).
+    */
+  def rankingMetrics(s: SparkSession, ranked: DataFrame, qrels: DataFrame,
+      k: Int, id: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    val rel = qrels.select(col("qid"), col(id), col("grade"), col("rel"))
+    val nRel = rel.filter(col("rel")).groupBy("qid")
+      .agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.filter(col("rn") <= k)
+      .join(rel, Seq("qid", id), "left")
+      .withColumn("g", coalesce(col("grade"), lit(0L)))
+      .withColumn("r", coalesce(col("rel"), lit(false)))
+    val perQ = hits.groupBy("qid").agg(
+      sum(when(col("r"), 1L).otherwise(0L)).as("n_hit"),
+      coalesce(max(when(col("r"), lit(1.0) / col("rn"))), lit(0.0))
+        .as("mrr"),
+      coalesce(sum(when(col("g") >= 1,
+        (pow(lit(2.0), col("g")) - 1.0) / log2(col("rn") + 1))), lit(0.0))
+        .as("dcg"))
+    // ideal DCG: the query's own grades, best first, truncated at k
+    val iw = Window.partitionBy("qid").orderBy(col("grade").desc, col(id))
+    val idcg = rel.withColumn("i", row_number().over(iw))
+      .filter(col("i") <= k)
+      .groupBy("qid")
+      .agg(sum((pow(lit(2.0), col("grade")) - 1.0) / log2(col("i") + 1))
+        .as("idcg"))
+    perQ
+      .join(broadcast(nRel), Seq("qid"), "left")
+      .join(broadcast(idcg), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        round(col("n_hit").cast("double") / k, 6).as("prec_r6"),
+        round(when(coalesce(col("n_rel"), lit(0L)) > 0,
+          col("n_hit").cast("double") / col("n_rel")).otherwise(0.0), 6)
+          .as("rec_r6"),
+        round(col("mrr"), 6).as("mrr_r6"),
+        round(when(coalesce(col("idcg"), lit(0.0)) > 0,
+          col("dcg") / col("idcg")).otherwise(0.0), 6).as("ndcg_r6"))
+      .orderBy("qid")
+  }
+
+  /** Per-class classification report from `pred` (id, predicted) vs
+    * `truth` (id, label): support, predicted count, true positives,
+    * precision/recall/F1 — the confusion matrix's per-class margins.
+    * Classes = union of observed labels and predictions (a class the
+    * model never predicts still reports recall 0, and an invented
+    * class reports precision 0 — both are the bugs this surfaces).
+    */
+  def classificationReport(s: SparkSession, pred: DataFrame, truth: DataFrame,
+      id: String = "doc_id", predCol: String = "pred",
+      labelCol: String = "label"): DataFrame = {
+    val joined = truth.select(col(id), col(labelCol).as("label"))
+      .join(pred.select(col(id), col(predCol).as("pred")), Seq(id))
+    val byTrue = joined.groupBy(col("label").as("clazz"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("tp"))
+    val byPred = joined.groupBy(col("pred").as("clazz"))
+      .agg(count(lit(1)).as("n_pred"))
+    byTrue.join(byPred, Seq("clazz"), "full")
+      .select(col("clazz"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("prec_r6", round(when(col("n_pred") > 0,
+        col("tp").cast("double") / col("n_pred")).otherwise(0.0), 6))
+      .withColumn("rec_r6", round(when(col("n_true") > 0,
+        col("tp").cast("double") / col("n_true")).otherwise(0.0), 6))
+      // F1 from the ROUNDED p/r so the boundary cannot float-drift
+      .withColumn("f1_r6", round(when(col("prec_r6") + col("rec_r6") > 0,
+        lit(2.0) * col("prec_r6") * col("rec_r6")
+          / (col("prec_r6") + col("rec_r6"))).otherwise(0.0), 6))
+      .orderBy("clazz")
+  }
+
+  /** deterministic graded qrels for the q233 entry: a doc's grade for
+    * a query = how many of the query's terms it contains (1..|terms|);
+    * BINARY relevance = AND-match (every term present) — partial
+    * matches grade the NDCG ladder but do not count as relevant, so
+    * precision/recall/MRR discriminate. Replayed verbatim in SQL.
+    */
+  private[graft] def termMatchQrels(s: SparkSession, docs: DataFrame,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
+    import s.implicits._
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"),
+      x => length(x) > 0)
+    val qdf = broadcast(queries.flatMap { case (qi, ts) => ts.map(t => (qi, t)) }
+      .toDF("qid", "term"))
+    val nTerms = broadcast(queries.map { case (qi, ts) => (qi, ts.size.toLong) }
+      .toDF("qid", "n_terms"))
+    docs.select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+      .join(qdf, "term")
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("grade"))
+      .join(nTerms, "qid")
+      .withColumn("rel", col("grade") === col("n_terms"))
+      .drop("n_terms")
+  }
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q233: RETRIEVAL EVALUATION — the q102 BM25 ranking scored
+    //      against term-match graded qrels (grade = matched query
+    //      terms): precision/recall@5, MRR, NDCG@5 per query. The
+    //      oracle rebuilds the ranking (the q102 CTE, nested), the
+    //      qrels, and every metric in SQL — a full replay, no pins. ----
+    "q233_retrieval_eval" -> Q(
+      (s, d) => {
+        val ranked = Lexical.bm25TopK(s, Tables.documents(s, d),
+          Lexical.demoQueries, k = 5)
+        val qrels = termMatchQrels(s, Tables.documents(s, d),
+          Lexical.demoQueries)
+        rankingMetrics(s, ranked, qrels, k = 5)
+      },
+      Some(s"""WITH ranked AS (${Lexical.all("q102_bm25_topk").sql.get}),
+             |q(qid, term) AS (VALUES (0,'join'),(0,'hash'),(1,'vector'),
+             |  (1,'scan'),(1,'filter'),(2,'customer')),
+             |docterms AS (SELECT doc_id, unnest(list_distinct(
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             |      x -> len(x) > 0))) AS term
+             |  FROM documents),
+             |nt AS (SELECT qid, count(*) AS n_terms FROM q GROUP BY 1),
+             |qrels AS (SELECT q.qid, d.doc_id, count(*) AS grade,
+             |    count(*) = max(nt.n_terms) AS rel
+             |  FROM docterms d JOIN q USING (term) JOIN nt ON q.qid = nt.qid
+             |  GROUP BY 1, 2),
+             |nrel AS (SELECT qid, count(*) AS n_rel FROM qrels
+             |  WHERE rel GROUP BY 1),
+             |hits AS (SELECT r.qid, r.rn, coalesce(qr.grade, 0) AS g,
+             |    coalesce(qr.rel, false) AS rl
+             |  FROM ranked r LEFT JOIN qrels qr
+             |    ON r.qid = qr.qid AND r.doc_id = qr.doc_id
+             |  WHERE r.rn <= 5),
+             |perq AS (SELECT qid,
+             |    sum(CASE WHEN rl THEN 1 ELSE 0 END) AS n_hit,
+             |    coalesce(max(CASE WHEN rl THEN 1.0 / rn END), 0.0) AS mrr,
+             |    coalesce(sum(CASE WHEN g >= 1 THEN
+             |      (pow(2.0, g) - 1.0) / (ln(rn + 1) / ln(2.0)) END), 0.0)
+             |      AS dcg
+             |  FROM hits GROUP BY qid),
+             |ideal AS (SELECT qid,
+             |    sum((pow(2.0, grade) - 1.0) / (ln(i + 1) / ln(2.0))) AS idcg
+             |  FROM (SELECT qid, grade, row_number() OVER (PARTITION BY qid
+             |      ORDER BY grade DESC, doc_id) AS i FROM qrels) t
+             |  WHERE i <= 5 GROUP BY qid)
+             |SELECT p.qid, coalesce(n.n_rel, 0) AS n_rel,
+             |  round(CAST(p.n_hit AS DOUBLE) / 5, 6) AS prec_r6,
+             |  round(CASE WHEN coalesce(n.n_rel, 0) > 0
+             |    THEN CAST(p.n_hit AS DOUBLE) / n.n_rel ELSE 0.0 END, 6)
+             |    AS rec_r6,
+             |  round(p.mrr, 6) AS mrr_r6,
+             |  round(CASE WHEN coalesce(i.idcg, 0.0) > 0
+             |    THEN p.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg_r6
+             |FROM perq p LEFT JOIN nrel n ON p.qid = n.qid
+             |  LEFT JOIN ideal i ON p.qid = i.qid
+             |ORDER BY p.qid""".stripMargin)),
+
+    // ---- q234: LANGUAGE-ID CLASSIFICATION REPORT — q32's heuristic
+    //      predictions scored against the corpus's ground-truth lang
+    //      column: per-class support/precision/recall/F1. The oracle
+    //      nests q32's own CTE, so the metric layer sits on the same
+    //      replayed predictions. The fixture result is deliberately
+    //      damning — the synthetic corpus writes English-ish text under
+    //      every lang label, so the stopword heuristic predicts 'en'
+    //      for all 500 docs (en precision 0.436, every other class
+    //      recall 0) — which is precisely the report this operator
+    //      exists to produce; EvalSpec carries the non-degenerate
+    //      hand-computed cases. ----
+    "q234_langid_eval" -> Q(
+      (s, d) => {
+        val pred = LlmOps.all("q32_langid").fn(s, d)
+          .select(col("doc_id"), col("lang_pred").as("pred"))
+        val truth = Tables.documents(s, d).select(col("doc_id"),
+          col("lang").as("label"))
+        classificationReport(s, pred, truth)
+      },
+      Some(s"""WITH pred AS (${LlmOps.all("q32_langid").sql.get}),
+             |j AS (SELECT d.lang AS label, p.lang_pred AS pred
+             |  FROM documents d JOIN pred p ON d.doc_id = p.doc_id),
+             |bt AS (SELECT label AS clazz, count(*) AS n_true,
+             |    CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS tp
+             |  FROM j GROUP BY 1),
+             |bp AS (SELECT pred AS clazz, count(*) AS n_pred FROM j GROUP BY 1),
+             |m AS (SELECT coalesce(bt.clazz, bp.clazz) AS clazz,
+             |    coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+             |    coalesce(tp, 0) AS tp
+             |  FROM bt FULL JOIN bp ON bt.clazz = bp.clazz),
+             |pr AS (SELECT clazz, n_true, n_pred, tp,
+             |    round(CASE WHEN n_pred > 0
+             |      THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END, 6) AS prec_r6,
+             |    round(CASE WHEN n_true > 0
+             |      THEN CAST(tp AS DOUBLE) / n_true ELSE 0.0 END, 6) AS rec_r6
+             |  FROM m)
+             |SELECT clazz, n_true, n_pred, tp, prec_r6, rec_r6,
+             |  round(CASE WHEN prec_r6 + rec_r6 > 0
+             |    THEN 2.0 * prec_r6 * rec_r6 / (prec_r6 + rec_r6)
+             |    ELSE 0.0 END, 6) AS f1_r6
+             |FROM pr ORDER BY clazz""".stripMargin))
+  )
+}

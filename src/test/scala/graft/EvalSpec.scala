@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Eval
+
+/** Evaluation harness — hand-computed ground truth for the q233/q234
+  * metric layer, exercising the regions the fixture saturates (the
+  * corpus makes BM25's prec@5 ≡ 1.0): partial hits, missed relevants,
+  * zero-relevant queries, graded NDCG below 1, and the classification
+  * report's degenerate classes (never-predicted, invented).
+  */
+class EvalSpec extends SparkSpec {
+
+  test("rankingMetrics: hand-computed precision/recall/MRR/NDCG") {
+    val s = spark
+    import s.implicits._
+    // q0: ranked (1,2,3), relevant {2(g2,rel), 9(g1,rel)} ->
+    //   prec@3 = 1/3, rec = 1/2, mrr = 1/2
+    //   dcg = (2^2-1)/log2(3) = 3/1.584963; idcg = 3/1 + 1/1.584963
+    // q1: ranked (7,8), nothing relevant -> all zero, but PRESENT
+    // q2: ranked (5), relevant {5(g1)} -> everything 1
+    val ranked = Seq((0, 1L, 1), (0, 2L, 2), (0, 3L, 3),
+      (1, 7L, 1), (1, 8L, 2), (2, 5L, 1))
+      .toDF("qid", "doc_id", "rn")
+    val qrels = Seq((0, 2L, 2L, true), (0, 9L, 1L, true), (2, 5L, 1L, true))
+      .toDF("qid", "doc_id", "grade", "rel")
+    val m = Eval.rankingMetrics(s, ranked, qrels, k = 3).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(m.size == 3)
+    val (nRel0, p0, r0, mrr0, ndcg0) = m(0)
+    assert(nRel0 == 2L && p0 == 0.333333 && r0 == 0.5 && mrr0 == 0.5)
+    val dcg = 3.0 / (math.log(3.0) / math.log(2.0))
+    val idcg = 3.0 / (math.log(2.0) / math.log(2.0)) +
+      1.0 / (math.log(3.0) / math.log(2.0))
+    assert(math.abs(ndcg0 - dcg / idcg) < 1e-6)
+    assert(m(1) == ((0L, 0.0, 0.0, 0.0, 0.0))) // no relevant: zeros, kept
+    assert(m(2) == ((1L, 0.333333, 1.0, 1.0, 1.0)))
+  }
+
+  test("rankingMetrics: graded-but-not-relevant docs feed NDCG only") {
+    val s = spark
+    import s.implicits._
+    // doc 4 is a partial match (grade 1, rel=false): it counts toward
+    // DCG/IDCG but not precision/recall/MRR
+    val ranked = Seq((0, 4L, 1), (0, 6L, 2)).toDF("qid", "doc_id", "rn")
+    val qrels = Seq((0, 4L, 1L, false), (0, 6L, 2L, true))
+      .toDF("qid", "doc_id", "grade", "rel")
+    val r = Eval.rankingMetrics(s, ranked, qrels, k = 2).collect().head
+    assert(r.getLong(1) == 1L)        // n_rel counts only rel=true
+    assert(r.getDouble(2) == 0.5)     // prec: 1 of 2
+    assert(r.getDouble(4) == 0.5)     // mrr: first REL at rank 2
+    // dcg = 1/log2(2) + 3/log2(3); idcg = 3/log2(2) + 1/log2(3) -> < 1
+    assert(r.getDouble(5) < 1.0 && r.getDouble(5) > 0.0)
+  }
+
+  test("classificationReport: margins, invented and never-predicted classes") {
+    val s = spark
+    import s.implicits._
+    val truth = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "de"), (5L, "fr"))
+      .toDF("doc_id", "label")
+    val pred = Seq((1L, "en"), (2L, "de"), (3L, "de"), (4L, "xx"), (5L, "en"))
+      .toDF("doc_id", "pred")
+    val rows = Eval.classificationReport(s, pred, truth).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    // en: 2 true, 2 predicted, 1 tp -> p=r=f1=0.5
+    assert(rows("en") == ((2L, 2L, 1L, 0.5, 0.5, 0.5)))
+    // de: 2 true, 2 predicted, 1 tp
+    assert(rows("de") == ((2L, 2L, 1L, 0.5, 0.5, 0.5)))
+    // fr: never predicted -> recall 0, precision 0 (0 predicted)
+    assert(rows("fr") == ((1L, 0L, 0L, 0.0, 0.0, 0.0)))
+    // xx: invented class -> support 0, precision 0
+    assert(rows("xx") == ((0L, 1L, 0L, 0.0, 0.0, 0.0)))
+    assert(rows.size == 4)
+  }
+
+  test("termMatchQrels: grades count matched terms, rel is AND-match") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "join hash probe"), (2L, "join only here"),
+      (3L, "nothing relevant")).toDF("doc_id", "text")
+    val q = Eval.termMatchQrels(s, docs, Seq(0 -> Seq("join", "hash")))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(q(1L) == ((2L, true)))   // both terms -> rel
+    assert(q(2L) == ((1L, false)))  // partial -> graded, not rel
+    assert(!q.contains(3L))
+  }
+}
