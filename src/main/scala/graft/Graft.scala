@@ -332,6 +332,19 @@ object Graft {
       truth: DataFrame): DataFrame =
     llm.Eval.classificationReport(spark, pred, truth)
 
+  /** Cohen's κ chance-corrected agreement ([[llm.Eval.cohenKappa]]). */
+  def cohenKappa(spark: SparkSession, pred: DataFrame,
+      truth: DataFrame): DataFrame =
+    llm.Eval.cohenKappa(spark, pred, truth)
+
+  /** Temporal train/valid/test split with an embargo quarantine band
+    * before each cutoff ([[llm.Curation.temporalSplit]]).
+    */
+  def temporalSplit(docs: DataFrame, ts: String,
+      validFrom: java.sql.Timestamp, testFrom: java.sql.Timestamp,
+      embargo: java.time.Duration): DataFrame =
+    llm.Curation.temporalSplit(docs, ts, validFrom, testFrom, embargo)
+
   /** Train a WordPiece subword vocabulary (likelihood-argmax merges,
     * [[llm.WordPiece.train]]); returns (merges, serving vocab).
     */

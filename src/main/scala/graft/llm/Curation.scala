@@ -670,6 +670,37 @@ object Curation {
     withCl.withColumn("split", splitCol)
   }
 
+  /** TEMPORAL train/valid/test split with EMBARGO — the time-based
+    * leakage rule ([[splitByCluster]] handles near-dup leakage; this
+    * handles the OTHER leak: windowed/lagged features computed near a
+    * cutoff see across it). Rows at ts < `validFrom` are `train`, at
+    * [`validFrom`, `testFrom`) `valid`, at ≥ `testFrom` `test` — and
+    * every row within `embargo` BEFORE a cutoff is assigned `embargo`
+    * (quarantined, not silently dropped: the caller decides, and the
+    * counts surface in any split report). Timestamps compare as integer
+    * MICROSECONDS (the q128 funnel rule), so the boundaries are exact
+    * on both engines. A narrow map — no shuffle at all.
+    */
+  def temporalSplit(docs: DataFrame, ts: String,
+      validFrom: java.sql.Timestamp, testFrom: java.sql.Timestamp,
+      embargo: java.time.Duration): DataFrame = {
+    require(!testFrom.before(validFrom),
+      s"testFrom $testFrom must be >= validFrom $validFrom")
+    require(!embargo.isNegative, s"embargo must be >= 0: $embargo")
+    val tus = unix_micros(col(ts))
+    val v = validFrom.toInstant.getEpochSecond * 1000000L +
+      validFrom.toInstant.getNano / 1000L
+    val t = testFrom.toInstant.getEpochSecond * 1000000L +
+      testFrom.toInstant.getNano / 1000L
+    val e = embargo.toNanos / 1000L
+    docs.withColumn("split",
+      when(tus >= t, "test")
+        .when(tus >= t - e, "embargo")
+        .when(tus >= v, "valid")
+        .when(tus >= v - e, "embargo")
+        .otherwise("train"))
+  }
+
   // ---- fixtures for the driver entries ------------------------------
   // the corpus carries no PII and no eval set; both are synthesized
   // DETERMINISTICALLY from the documents table (the q40/q58 fixture
@@ -1177,5 +1208,48 @@ object Curation {
              |    AS kl_r6
              |FROM st JOIN stot USING (source) JOIN ttot USING (tok) CROSS JOIN tt
              |GROUP BY source, ts ORDER BY source""".stripMargin)),
+
+    // ---- q235: TEMPORAL SPLIT WITH EMBARGO — the time-based
+    //      leakage-free split over the event stream: train < Jan 22,
+    //      valid [Jan 22, Jan 27), test >= Jan 27, with a 12 h embargo
+    //      band QUARANTINED before each cutoff (windowed features
+    //      computed near a boundary would otherwise see across it).
+    //      Per-split counts, distinct users, and exact micro bounds pin
+    //      the boundary semantics; micros compare identically on both
+    //      engines (the q128 rule). Scale: a narrow map + a 4-row agg —
+    //      zero data shuffles beyond the agg. ----
+    "q235_temporal_split" -> Q(
+      (s, d) => {
+        val split = temporalSplit(
+          Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+          "ts",
+          java.sql.Timestamp.from(java.time.Instant.parse("2024-01-22T00:00:00Z")),
+          java.sql.Timestamp.from(java.time.Instant.parse("2024-01-27T00:00:00Z")),
+          java.time.Duration.ofHours(12))
+        split.groupBy("split")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(unix_micros(col("ts"))).as("min_us"),
+            max(unix_micros(col("ts"))).as("max_us"))
+          .orderBy("split")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+             |  FROM events),
+             |b(v, t, emb) AS (VALUES (
+             |  epoch_us(TIMESTAMP '2024-01-22 00:00:00'),
+             |  epoch_us(TIMESTAMP '2024-01-27 00:00:00'),
+             |  12 * 3600 * CAST(1000000 AS BIGINT))),
+             |s AS (SELECT event_id, user_id, tus,
+             |    CASE WHEN tus >= t THEN 'test'
+             |      WHEN tus >= t - emb THEN 'embargo'
+             |      WHEN tus >= v THEN 'valid'
+             |      WHEN tus >= v - emb THEN 'embargo'
+             |      ELSE 'train' END AS split
+             |  FROM e CROSS JOIN b)
+             |SELECT split, count(*) AS n_events,
+             |  count(DISTINCT user_id) AS n_users,
+             |  min(tus) AS min_us, max(tus) AS max_us
+             |FROM s GROUP BY split ORDER BY split""".stripMargin)),
   )
 }

@@ -230,6 +230,78 @@ object Eval {
              |  round(CASE WHEN prec_r6 + rec_r6 > 0
              |    THEN 2.0 * prec_r6 * rec_r6 / (prec_r6 + rec_r6)
              |    ELSE 0.0 END, 6) AS f1_r6
-             |FROM pr ORDER BY clazz""".stripMargin))
+             |FROM pr ORDER BY clazz""".stripMargin)),
+
+    // ---- q236: COHEN'S KAPPA — chance-corrected agreement between the
+    //      langid predictions and the ground truth: κ = (p_o − p_e) /
+    //      (1 − p_e) with p_o = Σtp/n and p_e = Σ(n_pred·n_true)/n².
+    //      Both p's are single divisions of EXACT integer numerators
+    //      (Σ n_pred·n_true fits a long at any realistic class count),
+    //      κ one further fixed chain, all rounded to 6. On this fixture
+    //      κ ≈ 0 — accuracy 0.436 is exactly the all-'en' chance level,
+    //      the number that exposes "high accuracy" as majority-class
+    //      artifact. Scale: the confusion margins are class-bounded. ----
+    "q236_agreement_kappa" -> Q(
+      (s, d) => {
+        val pred = LlmOps.all("q32_langid").fn(s, d)
+          .select(col("doc_id"), col("lang_pred").as("pred"))
+        val truth = Tables.documents(s, d).select(col("doc_id"),
+          col("lang").as("label"))
+        cohenKappa(s, pred, truth)
+      },
+      Some(s"""WITH pred AS (${LlmOps.all("q32_langid").sql.get}),
+             |j AS (SELECT d.lang AS label, p.lang_pred AS pred
+             |  FROM documents d JOIN pred p ON d.doc_id = p.doc_id),
+             |bt AS (SELECT label AS clazz, count(*) AS n_true,
+             |    CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS tp
+             |  FROM j GROUP BY 1),
+             |bp AS (SELECT pred AS clazz, count(*) AS n_pred FROM j GROUP BY 1),
+             |m AS (SELECT coalesce(bt.clazz, bp.clazz) AS clazz,
+             |    coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+             |    coalesce(tp, 0) AS tp
+             |  FROM bt FULL JOIN bp ON bt.clazz = bp.clazz),
+             |tot AS (SELECT CAST(sum(n_true) AS BIGINT) AS n,
+             |    CAST(sum(tp) AS BIGINT) AS agree,
+             |    CAST(sum(n_pred * n_true) AS BIGINT) AS chance
+             |  FROM m)
+             |SELECT n, agree,
+             |  round(CAST(agree AS DOUBLE) / n, 6) AS po_r6,
+             |  round(CAST(chance AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+             |    AS pe_r6,
+             |  round(CASE
+             |    WHEN CAST(chance AS DOUBLE) / (CAST(n AS DOUBLE) * n) = 1.0
+             |    THEN 0.0
+             |    ELSE (CAST(agree AS DOUBLE) / n
+             |        - CAST(chance AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+             |      / (1.0 - CAST(chance AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+             |    END, 6) AS kappa_r6
+             |FROM tot""".stripMargin))
   )
+
+  /** Cohen's κ from the confusion margins of [[classificationReport]]'s
+    * join — one row (n, agree, p_o, p_e, κ), every numerator exact.
+    * Degenerate case: p_e = 1 (one class everywhere on both sides)
+    * yields κ = 0 by convention rather than 0/0.
+    */
+  def cohenKappa(s: SparkSession, pred: DataFrame, truth: DataFrame,
+      id: String = "doc_id", predCol: String = "pred",
+      labelCol: String = "label"): DataFrame = {
+    val m = classificationReport(s, pred, truth, id, predCol, labelCol)
+      .select(col("n_true"), col("n_pred"), col("tp"))
+    m.agg(sum(col("n_true")).as("n"), sum(col("tp")).as("agree"),
+        sum(col("n_pred") * col("n_true")).as("chance"))
+      .select(col("n"), col("agree"),
+        round(col("agree").cast("double") / col("n"), 6).as("po_r6"),
+        round(col("chance").cast("double") /
+          (col("n").cast("double") * col("n")), 6).as("pe_r6"),
+        round(when(col("chance").cast("double") /
+            (col("n").cast("double") * col("n")) === 1.0, 0.0)
+          .otherwise((col("agree").cast("double") / col("n")
+              - col("chance").cast("double") /
+                (col("n").cast("double") * col("n")))
+            / (lit(1.0) - col("chance").cast("double") /
+                (col("n").cast("double") * col("n")))), 6)
+          .as("kappa_r6"))
+  }
 }

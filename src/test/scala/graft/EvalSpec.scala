@@ -75,6 +75,52 @@ class EvalSpec extends SparkSpec {
     assert(rows.size == 4)
   }
 
+  test("cohenKappa: hand-computed, incl. kappa 0 at chance agreement") {
+    val s = spark
+    import s.implicits._
+    // 2x2: truth a,a,b,b; pred a,b,a,b -> po = 0.5, pe = 0.5, kappa 0
+    val truth = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("doc_id", "label")
+    val pred = Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b"))
+      .toDF("doc_id", "pred")
+    val r = Eval.cohenKappa(s, pred, truth).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.5
+      && r.getDouble(4) == 0.0)
+    // perfect agreement -> kappa 1
+    val perfect = Eval.cohenKappa(s, truth.withColumnRenamed("label", "pred"),
+      truth).collect().head
+    assert(perfect.getDouble(4) == 1.0)
+    // one class everywhere on both sides: pe = 1 -> kappa 0 by
+    // convention, not 0/0
+    val onec = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "label")
+    val k1 = Eval.cohenKappa(s, onec.withColumnRenamed("label", "pred"),
+      onec).collect().head
+    assert(k1.getDouble(4) == 0.0)
+  }
+
+  test("temporalSplit: boundary semantics and embargo bands") {
+    val s = spark
+    import s.implicits._
+    def ts(str: String) =
+      java.sql.Timestamp.from(java.time.Instant.parse(str))
+    val rows = Seq(
+      (1L, ts("2024-01-10T00:00:00Z")), // train
+      (2L, ts("2024-01-21T13:00:00Z")), // inside 12h pre-valid embargo
+      (3L, ts("2024-01-22T00:00:00Z")), // exactly validFrom -> valid
+      (4L, ts("2024-01-25T00:00:00Z")), // valid
+      (5L, ts("2024-01-26T23:59:59Z")), // inside pre-test embargo
+      (6L, ts("2024-01-27T00:00:00Z")), // exactly testFrom -> test
+      (7L, ts("2024-01-29T00:00:00Z"))  // test
+    ).toDF("id", "ts")
+    val got = graft.llm.Curation.temporalSplit(rows, "ts",
+        ts("2024-01-22T00:00:00Z"), ts("2024-01-27T00:00:00Z"),
+        java.time.Duration.ofHours(12))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "train", 2L -> "embargo", 3L -> "valid",
+      4L -> "valid", 5L -> "embargo", 6L -> "test", 7L -> "test"))
+  }
+
   test("termMatchQrels: grades count matched terms, rel is AND-match") {
     val s = spark
     import s.implicits._
