@@ -332,6 +332,14 @@ object Graft {
       truth: DataFrame): DataFrame =
     llm.Eval.classificationReport(spark, pred, truth)
 
+  /** Apply a CDC change batch (I/U/D + sequence, last-writer-wins) to a
+    * keyed snapshot ([[rel.Cdc.applyBatch]] — the MERGE INTO primitive).
+    */
+  def cdcApply(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      seqCol: String = "seq", opCol: String = "op",
+      tieBreak: Option[String] = None): DataFrame =
+    rel.Cdc.applyBatch(base, changes, keys, seqCol, opCol, tieBreak)
+
   /** Cohen's κ chance-corrected agreement ([[llm.Eval.cohenKappa]]). */
   def cohenKappa(spark: SparkSession, pred: DataFrame,
       truth: DataFrame): DataFrame =

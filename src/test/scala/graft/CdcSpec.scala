@@ -1,0 +1,70 @@
+package graft
+
+import graft.rel.Cdc
+
+/** CDC batch apply — edge semantics the q237 fixture can't isolate:
+  * delete of an absent key (no-op, no ghost row), insert over an
+  * existing key (upsert overwrites), intra-batch last-writer-wins with
+  * an explicit tie-break at EQUAL sequence, delete-then-reinsert in one
+  * batch (the later op wins whole-row), and pass-through of untouched
+  * base rows. Plus the plan guard: winner selection is a hash
+  * aggregation, not a per-key window.
+  */
+class CdcSpec extends SparkSpec {
+
+  private def s = spark
+
+  test("upsert/delete semantics incl. absent-key delete and reinsert") {
+    val sp = s
+    import sp.implicits._
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val changes = Seq(
+      (2L, 99L, "U", 1L),  // update existing
+      (3L, 0L, "D", 1L),   // delete existing
+      (4L, 40L, "I", 1L),  // insert new
+      (5L, 0L, "D", 1L),   // delete ABSENT key: must not create a row
+      (6L, 60L, "D", 1L),  // delete...
+      (6L, 61L, "I", 2L)   // ...then reinsert later in the same batch
+    ).toDF("k", "v", "op", "seq")
+    val got = Cdc.applyBatch(base, changes, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 10L, 2L -> 99L, 4L -> 40L, 6L -> 61L))
+  }
+
+  test("equal-sequence conflicts resolve by the explicit tie-break") {
+    val sp = s
+    import sp.implicits._
+    val base = Seq((1L, 0L)).toDF("k", "v")
+    val changes = Seq(
+      (1L, 111L, "U", 5L, 2L), // same seq, higher change id -> wins
+      (1L, 222L, "U", 5L, 1L)
+    ).toDF("k", "v", "op", "seq", "cid")
+    val got = Cdc.applyBatch(base, changes, Seq("k"), tieBreak = Some("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 111L))
+  }
+
+  test("multi-column keys and multi-column payloads") {
+    val sp = s
+    import sp.implicits._
+    val base = Seq((1L, "a", 10L, "x"), (1L, "b", 20L, "y"))
+      .toDF("k1", "k2", "v", "w")
+    val changes = Seq((1L, "b", 21L, "z", "U", 1L))
+      .toDF("k1", "k2", "v", "w", "op", "seq")
+    val got = Cdc.applyBatch(base, changes, Seq("k1", "k2"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(got == Map((1L, "a") -> ((10L, "x")), (1L, "b") -> ((21L, "z"))))
+  }
+
+  test("plan: winner selection aggregates, no per-key Window") {
+    val sp = s
+    import sp.implicits._
+    val base = Seq((1L, 10L)).toDF("k", "v")
+    val changes = Seq((1L, 11L, "U", 1L)).toDF("k", "v", "op", "seq")
+    val plan = Cdc.applyBatch(base, changes, Seq("k"))
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("Aggregate") || plan.contains("HashAggregate"), plan)
+  }
+}
