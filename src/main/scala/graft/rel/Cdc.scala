@@ -52,6 +52,104 @@ object Cdc {
         : _*)
   }
 
+  /** VERSIONED state apply — the micro-batch/streaming form of
+    * [[applyBatch]], safe under REPLAY and out-of-order batch delivery:
+    * the state carries each key's applied sequence and a tombstone
+    * flag, and a change only lands if its sequence is STRICTLY greater
+    * than the state's — so re-delivering a batch (at-least-once
+    * sources) is a no-op, and a late-arriving stale change cannot
+    * resurrect a newer delete (tombstones are retained, not dropped;
+    * [[snapshotOf]] filters them at read time; a production loop ages
+    * them out like DedupIndex's eviction). `seqCol` must be a total
+    * order per key ACROSS batches — the replayability contract.
+    */
+  def applyVersioned(state: DataFrame, changes: DataFrame, keys: Seq[String],
+      seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    val payload = state.columns
+      .filterNot(c => keys.contains(c) || c == seqCol || c == "deleted").toSeq
+    val winners = changes
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(
+        struct((payload.map(col) ++ Seq(col(opCol).as("__op"),
+          col(seqCol).as("__seq"))): _*), col(seqCol))
+        .as("__w"))
+      .select(keys.map(col) ++ payload.map(p => col(s"__w.$p").as(s"__c_$p"))
+        ++ Seq(col("__w.__op").as("__op"), col("__w.__seq").as("__cseq")): _*)
+    val takeWinner = col("__op").isNotNull &&
+      (col(seqCol).isNull || col("__cseq") > col(seqCol))
+    state.join(winners, keys, "full")
+      .select(keys.map(col) ++
+        payload.map(p =>
+          when(takeWinner, col(s"__c_$p")).otherwise(col(p)).as(p)) ++
+        Seq(when(takeWinner, col("__cseq")).otherwise(col(seqCol)).as(seqCol),
+          when(takeWinner, col("__op") === "D")
+            .otherwise(coalesce(col("deleted"), lit(false))).as("deleted")): _*)
+  }
+
+  /** lift a plain snapshot into versioned state (sequence 0, live) */
+  def bootstrapState(base: DataFrame, seq0: Long = 0L,
+      seqCol: String = "seq"): DataFrame =
+    base.withColumn(seqCol, lit(seq0)).withColumn("deleted", lit(false))
+
+  /** the live snapshot a versioned state represents */
+  def snapshotOf(state: DataFrame, seqCol: String = "seq"): DataFrame =
+    state.filter(!col("deleted")).drop(seqCol, "deleted")
+
+  /** q237's oracle — shared verbatim by q238: the streaming loop must
+    * land on the exact batch-merge result
+    */
+  private val cdcOracle =
+    """WITH a AS (SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderstatus AS status
+      |  FROM orders),
+      |base AS (SELECT * FROM a WHERE k % 7 <> 0),
+      |changes AS (
+      |  SELECT k, cents, status, 'D' AS op, 2 AS seq
+      |    FROM a WHERE k % 10 = 0
+      |  UNION ALL
+      |  SELECT k, cents + 100, 'U', 'U', 2 FROM a WHERE k % 10 = 1
+      |  UNION ALL
+      |  SELECT k, cents + 999, 'X', 'U', 1 FROM a WHERE k % 10 = 1
+      |  UNION ALL
+      |  SELECT k, cents, 'I', 'I', 1 FROM a
+      |    WHERE k % 7 = 0 AND k % 10 = 2),
+      |w AS (SELECT k, cents, status, op FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY k
+      |      ORDER BY seq DESC) AS rn FROM changes) t WHERE rn = 1)
+      |SELECT coalesce(b.k, w.k) AS k,
+      |  CASE WHEN w.op IS NOT NULL THEN w.cents ELSE b.cents END
+      |    AS cents,
+      |  CASE WHEN w.op IS NOT NULL THEN w.status ELSE b.status END
+      |    AS status
+      |FROM base b FULL JOIN w ON b.k = w.k
+      |WHERE w.op IS NULL OR w.op <> 'D'
+      |ORDER BY k""".stripMargin
+
+  /** the q237/q238 shared fixture: snapshot + the change set */
+  private def fixture(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val all0 = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), cents.as("cents"),
+        col("o_orderstatus").as("status"))
+    val base = all0.filter(col("k") % 7 =!= 0)
+    val deletes = all0.filter(col("k") % 10 === 0)
+      .select(col("k"), col("cents"), col("status"),
+        lit("D").as("op"), lit(2L).as("seq"))
+    val updLate = all0.filter(col("k") % 10 === 1)
+      .select(col("k"), (col("cents") + 100).as("cents"),
+        lit("U").as("status"), lit("U").as("op"), lit(2L).as("seq"))
+    val updEarly = all0.filter(col("k") % 10 === 1)
+      .select(col("k"), (col("cents") + 999).as("cents"),
+        lit("X").as("status"), lit("U").as("op"), lit(1L).as("seq"))
+    val inserts = all0.filter(col("k") % 7 === 0 && col("k") % 10 === 2)
+      .select(col("k"), col("cents"), lit("I").as("status"),
+        lit("I").as("op"), lit(1L).as("seq"))
+    (base, deletes.unionByName(updLate).unionByName(updEarly)
+      .unionByName(inserts))
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- q237: CDC APPLY over an orders snapshot — deletes (keys
     //      %10=0), conflicting double-updates (keys %10=1 get seq 1
@@ -63,52 +161,52 @@ object Cdc {
     //      may sort; the operator must not). ----
     "q237_cdc_apply" -> Q(
       (s, d) => {
-        val cents = round(col("o_totalprice") * 100, 0).cast("long")
-        val all0 = Tables.orders(s, d)
-          .select(col("o_orderkey").as("k"), cents.as("cents"),
-            col("o_orderstatus").as("status"))
-        val base = all0.filter(col("k") % 7 =!= 0)
-        val deletes = all0.filter(col("k") % 10 === 0)
-          .select(col("k"), col("cents"), col("status"),
-            lit("D").as("op"), lit(2L).as("seq"))
-        val updLate = all0.filter(col("k") % 10 === 1)
-          .select(col("k"), (col("cents") + 100).as("cents"),
-            lit("U").as("status"), lit("U").as("op"), lit(2L).as("seq"))
-        val updEarly = all0.filter(col("k") % 10 === 1)
-          .select(col("k"), (col("cents") + 999).as("cents"),
-            lit("X").as("status"), lit("U").as("op"), lit(1L).as("seq"))
-        val inserts = all0.filter(col("k") % 7 === 0 && col("k") % 10 === 2)
-          .select(col("k"), col("cents"), lit("I").as("status"),
-            lit("I").as("op"), lit(1L).as("seq"))
-        val changes = deletes.unionByName(updLate)
-          .unionByName(updEarly).unionByName(inserts)
+        val (base, changes) = fixture(s, d)
         applyBatch(base, changes, Seq("k")).orderBy("k")
       },
-      Some("""WITH a AS (SELECT o_orderkey AS k,
-             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-             |    o_orderstatus AS status
-             |  FROM orders),
-             |base AS (SELECT * FROM a WHERE k % 7 <> 0),
-             |changes AS (
-             |  SELECT k, cents, status, 'D' AS op, 2 AS seq
-             |    FROM a WHERE k % 10 = 0
-             |  UNION ALL
-             |  SELECT k, cents + 100, 'U', 'U', 2 FROM a WHERE k % 10 = 1
-             |  UNION ALL
-             |  SELECT k, cents + 999, 'X', 'U', 1 FROM a WHERE k % 10 = 1
-             |  UNION ALL
-             |  SELECT k, cents, 'I', 'I', 1 FROM a
-             |    WHERE k % 7 = 0 AND k % 10 = 2),
-             |w AS (SELECT k, cents, status, op FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY k
-             |      ORDER BY seq DESC) AS rn FROM changes) t WHERE rn = 1)
-             |SELECT coalesce(b.k, w.k) AS k,
-             |  CASE WHEN w.op IS NOT NULL THEN w.cents ELSE b.cents END
-             |    AS cents,
-             |  CASE WHEN w.op IS NOT NULL THEN w.status ELSE b.status END
-             |    AS status
-             |FROM base b FULL JOIN w ON b.k = w.k
-             |WHERE w.op IS NULL OR w.op <> 'D'
-             |ORDER BY k""".stripMargin))
+      Some(cdcOracle)),
+
+    // ---- q238: STREAMING CDC APPLY — the same change set driven
+    //      through the REAL micro-batch engine (file source, one file
+    //      per trigger): seq-1 changes, then seq-2 changes, then the
+    //      seq-2 file REPLAYED (at-least-once delivery). Each batch
+    //      applies via [[applyVersioned]] against parquet state
+    //      generations (the q140 A/B pattern); the strictly-greater
+    //      sequence rule makes the replay a no-op and tombstones keep
+    //      deletes stable. Final snapshot ≡ the q237 batch merge —
+    //      SHARED oracle, so the streaming loop's idempotence sits
+    //      under the driver's hash compare. ----
+    "q238_stream_cdc" -> Q(
+      (s, d) => {
+        val (base, changes) = fixture(s, d)
+        val work = java.nio.file.Files.createTempDirectory("graft-q238")
+        val in = s"$work/in"
+        // one file per batch: seq 1, seq 2, then seq 2 AGAIN (replay)
+        changes.filter(col("seq") === 1).coalesce(1)
+          .write.mode("append").parquet(in)
+        changes.filter(col("seq") === 2).coalesce(1)
+          .write.mode("append").parquet(in)
+        changes.filter(col("seq") === 2).coalesce(1)
+          .write.mode("append").parquet(in)
+        val sch = s.read.parquet(in).schema
+        val src = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val stateA = s"$work/state_a"; val stateB = s"$work/state_b"
+        def statePath(gen: Long) = if (gen % 2 == 0) stateA else stateB
+        bootstrapState(base).write.mode("overwrite").parquet(stateA)
+        var gen = 1L
+        val q = src.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            applyVersioned(s.read.parquet(statePath(gen - 1)), batch, Seq("k"))
+              .write.mode("overwrite").parquet(statePath(gen))
+            gen += 1
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        require(gen >= 4, s"expected >= 3 micro-batches, got ${gen - 1}")
+        snapshotOf(s.read.parquet(statePath(gen - 1))).orderBy("k")
+      },
+      Some(cdcOracle))
   )
 }

@@ -57,6 +57,33 @@ class CdcSpec extends SparkSpec {
     assert(got == Map((1L, "a") -> ((10L, "x")), (1L, "b") -> ((21L, "z"))))
   }
 
+  test("applyVersioned: replay is a no-op, stale changes cannot resurrect") {
+    val sp = s
+    import sp.implicits._
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val st0 = Cdc.bootstrapState(base)
+    val b1 = Seq((1L, 11L, "U", 5L), (2L, 0L, "D", 5L)).toDF("k", "v", "op", "seq")
+    val st1 = Cdc.applyVersioned(st0, b1, Seq("k"))
+    assert(Cdc.snapshotOf(st1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 11L))
+    // replay the same batch: state unchanged (strictly-greater rule)
+    val st2 = Cdc.applyVersioned(st1, b1, Seq("k"))
+    assert(Cdc.snapshotOf(st2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 11L))
+    // a STALE update (seq 3 < the delete's 5) must not resurrect key 2
+    // (the tombstone carries the delete's sequence)
+    val stale = Seq((2L, 99L, "U", 3L)).toDF("k", "v", "op", "seq")
+    val st3 = Cdc.applyVersioned(st2, stale, Seq("k"))
+    assert(Cdc.snapshotOf(st3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 11L))
+    // a NEWER reinsert (seq 7 > 5) does land
+    val revive = Seq((2L, 77L, "I", 7L)).toDF("k", "v", "op", "seq")
+    val st4 = Cdc.applyVersioned(st3, revive, Seq("k"))
+    assert(Cdc.snapshotOf(st4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(1L -> 11L, 2L -> 77L))
+  }
+
   test("plan: winner selection aggregates, no per-key Window") {
     val sp = s
     import sp.implicits._
