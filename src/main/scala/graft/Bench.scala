@@ -88,7 +88,10 @@ object Bench {
       "q225_hdr_percentiles", "q229_welch_ab",
       // round-9: the GlobalRank-rewritten rank family (q180 above) —
       // tracked so the scale-safe ranking path's cost is a series
-      "q184_window_ranks", "q187_funnel_gap_stats", "q228_rfm_segments")
+      "q184_window_ranks", "q187_funnel_gap_stats", "q228_rfm_segments",
+      // round-9 continuation: retrieval eval + CDC merge (q238 stays
+      // out: streaming harness, like q127/q136/q140)
+      "q233_retrieval_eval", "q237_cdc_apply")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

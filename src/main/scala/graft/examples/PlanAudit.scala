@@ -30,7 +30,8 @@ object PlanAudit {
         "q165_cohort_retention", "q170_session_paths", "q181_temporal_reach",
         "q182_prefix_jaccard", "q186_pareto_share", "q188_embeddedness",
         "q211_scc", "q214_bitmap_rollup", "q215_theilsen", "q216_hhi",
-        "q218_incr_join")
+        "q218_incr_join", "q233_retrieval_eval", "q235_temporal_split",
+        "q237_cdc_apply")
     val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")

@@ -13,11 +13,16 @@ import graft.rel.RelQueries.Q
   * (I/U) or deletes (D); untouched base keys pass through.
   *
   * Scale shape (100 TB): the intra-batch winner is a `max_by` HASH
-  * aggregation (map-side combinable — no per-key window, no sort), and
-  * the apply is ONE full-outer join keyed on the snapshot key. Change
-  * batches are usually tiny next to the base, so AQE broadcasts the
-  * winner side and the base is never shuffled; at worst it is one
-  * co-partitioned join. Nothing driver-side.
+  * aggregation (map-side combinable — no per-key window, no sort). The
+  * apply deliberately AVOIDS the textbook full-outer join — FULL OUTER
+  * cannot broadcast, so it would shuffle the whole base for a
+  * kilobyte-sized change batch. Instead: untouched = base ANTI-JOIN
+  * winners (the small side broadcasts — the base never shuffles),
+  * upserts = the winners themselves (a CDC change row carries the full
+  * row image). The versioned/streaming form needs the state's sequence
+  * and keeps one key-partitioned join; a production loop stores the
+  * state generations BUCKETED by key so that exchange also disappears.
+  * Nothing driver-side.
   */
 object Cdc {
 
@@ -44,12 +49,13 @@ object Cdc {
         .as("__w"))
       .select(keys.map(col) ++ payload.map(p => col(s"__w.$p").as(s"__c_$p"))
         :+ col("__w.__op").as("__op"): _*)
-    base.join(winners, keys, "full")
-      .filter(coalesce(col("__op") =!= "D", lit(true))) // D: drop the key
-      .select(keys.map(col) ++ payload.map(p =>
-        // winner payload when the key was touched, else the base row
-        when(col("__op").isNotNull, col(s"__c_$p")).otherwise(col(p)).as(p))
-        : _*)
+    // anti + union, NOT a full-outer join: the winner side broadcasts,
+    // the base passes through without a shuffle (CdcSpec pins the shape)
+    val untouched = base.join(broadcast(winners.select(keys.map(col): _*)),
+      keys, "left_anti")
+    val upserts = winners.filter(col("__op") =!= "D")
+      .select(keys.map(col) ++ payload.map(p => col(s"__c_$p").as(p)): _*)
+    untouched.unionByName(upserts)
   }
 
   /** VERSIONED state apply — the micro-batch/streaming form of

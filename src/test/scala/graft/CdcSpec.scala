@@ -84,7 +84,7 @@ class CdcSpec extends SparkSpec {
       == Map(1L -> 11L, 2L -> 77L))
   }
 
-  test("plan: winner selection aggregates, no per-key Window") {
+  test("plan: hash-agg winners, broadcast anti join, no full-outer SMJ") {
     val sp = s
     import sp.implicits._
     val base = Seq((1L, 10L)).toDF("k", "v")
@@ -93,5 +93,10 @@ class CdcSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("Aggregate") || plan.contains("HashAggregate"), plan)
+    // the 100x-scale claim: the base side anti-joins against a BROADCAST
+    // winner set — never a full-outer SMJ that would shuffle the base
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan)
+    assert(!plan.contains("FullOuter"), plan)
   }
 }
