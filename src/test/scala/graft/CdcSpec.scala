@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.rel.Cdc
 
 /** CDC batch apply — edge semantics the q237 fixture can't isolate:
@@ -82,6 +83,47 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.snapshotOf(st4).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
       == Map(1L -> 11L, 2L -> 77L))
+  }
+
+  test("property: versioned batch application is ORDER-INDEPENDENT " +
+      "and equals the one-shot batch apply") {
+    val sp = s
+    import sp.implicits._
+    // with unique sequences per key, the versioned state machine must
+    // converge to the per-key max-seq change regardless of how the
+    // change set is split into batches OR the order batches arrive —
+    // the exactly-once-effect claim behind q238, as a property
+    var seed = 987654321L
+    def r(): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.abs(seed)
+    }
+    for (trial <- 0 until 12) {
+      val base = (0L until 8L).filter(_ => r() % 2 == 0)
+        .map(k => (k, r() % 100)).toDF("k", "v")
+      val nCh = 6 + (r() % 10).toInt
+      val changes = (1 to nCh).map { i =>
+        val op = Seq("I", "U", "D")((r() % 3).toInt)
+        (r() % 12, r() % 100, op, i.toLong) // seq globally unique
+      }.toDF("k", "v", "op", "seq")
+      val want = Cdc.applyBatch(base, changes, Seq("k"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      // random split into 3 batches, applied in a random ORDER
+      val parts = (0 until 3).map(p =>
+        changes.filter(pmod(xxhash64(col("seq") + trial), lit(3)) === p))
+      val order = r() % 6 match {
+        case 0 => Seq(0, 1, 2); case 1 => Seq(0, 2, 1)
+        case 2 => Seq(1, 0, 2); case 3 => Seq(1, 2, 0)
+        case 4 => Seq(2, 0, 1); case _ => Seq(2, 1, 0)
+      }
+      val finalState = order.foldLeft(Cdc.bootstrapState(base)) {
+        (st, p) => Cdc.applyVersioned(st, parts(p), Seq("k"))
+          .localCheckpoint() // keep the fold's lineage flat
+      }
+      val got = Cdc.snapshotOf(finalState)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == want, s"trial=$trial order=$order got=$got want=$want")
+    }
   }
 
   test("plan: hash-agg winners, broadcast anti join, no full-outer SMJ") {
