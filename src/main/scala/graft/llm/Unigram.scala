@@ -243,6 +243,7 @@ object Unigram {
     val chars = sub.filter(r => r._1.length == 1).collect()
     val multis = sub.filter(r => r._1.length > 1 && r._2 >= 2)
       .orderBy(col("_2").desc, col("_1").asc).limit(maxSeed).collect()
+    sub.unpersist() // both consumers done
     var counts: Map[String, Long] = (chars ++ multis).toMap
     def distReestimate(cur: Map[String, Long]): Map[String, Long] = {
       val voc = Vocab(cur.toSeq.sortBy { case (p, c) => (-c, p) })
