@@ -137,7 +137,13 @@ object Eval {
     //      against term-match graded qrels (grade = matched query
     //      terms): precision/recall@5, MRR, NDCG@5 per query. The
     //      oracle rebuilds the ranking (the q102 CTE, nested), the
-    //      qrels, and every metric in SQL — a full replay, no pins. ----
+    //      qrels, and every metric in SQL — a full replay, no pins.
+    //      On this corpus precision/MRR/NDCG sit at 1.0 (hundreds of
+    //      AND-match docs, so BM25's top-5 are all relevant — the
+    //      saturation is itself a guard: any ranking regression that
+    //      lets a non-match into the top-5 drops them) and recall@5 =
+    //      5/n_rel carries the discriminating signal; EvalSpec pins
+    //      the non-saturated metric regions on hand data. ----
     "q233_retrieval_eval" -> Q(
       (s, d) => {
         val ranked = Lexical.bm25TopK(s, Tables.documents(s, d),

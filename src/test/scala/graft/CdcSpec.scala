@@ -126,6 +126,45 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("bucketed state generations: the state side applies SHUFFLE-FREE") {
+    val sp = s
+    import sp.implicits._
+    // the production claim in Cdc's scaladoc, pinned: store the state
+    // bucketed by the key (bucket count = shuffle partitions, so the
+    // winner agg's output partitioning already matches) and the ENTIRE
+    // versioned apply plans exactly ONE exchange — the tiny winners
+    // agg — while the big state scan feeds the join straight from disk
+    val state = Cdc.bootstrapState(
+      (1L to 100L).map(k => (k, k * 10)).toDF("k", "v"))
+    // clear any residue of an earlier run (table AND its location —
+    // a failed run can leave the warehouse dir without the table)
+    sp.sql("DROP TABLE IF EXISTS cdc_state_gen0")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File("spark-warehouse/cdc_state_gen0"))
+    graft.io.Bucketing.writeBucketed(state, "cdc_state_gen0",
+      buckets = 4, key = "k")
+    val changes = Seq((3L, 999L, "U", 1L), (101L, 1L, "I", 1L))
+      .toDF("k", "v", "op", "seq")
+    val next = Cdc.applyVersioned(
+      sp.table("cdc_state_gen0"), changes, Seq("k"))
+    // executedPlan, not sparkPlan: exchanges are inserted by
+    // EnsureRequirements, which only runs for the executed plan
+    val plan = next.queryExecution.executedPlan.toString
+    // join children render with ':-'/'+-' prefixes at varying indents;
+    // ' Exchange ' (spaces) counts the nodes without matching
+    // ReusedExchange
+    val exchanges = " Exchange ".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange (winners agg):\n$plan")
+    // and the result is still right
+    val got = Cdc.snapshotOf(next).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) == 999L && got(101L) == 1L && got(1L) == 10L
+      && got.size == 101)
+    sp.sql("DROP TABLE IF EXISTS cdc_state_gen0")
+  }
+
   test("plan: hash-agg winners, broadcast anti join, no full-outer SMJ") {
     val sp = s
     import sp.implicits._
