@@ -670,6 +670,14 @@ object Graft {
       maxHops: Int): DataFrame =
     graph.Bfs.boundedDistances(spark, edges, seeds, maxHops)
 
+  /** Connected components of an undirected edge list in O(log n)
+    * rounds via large-star/small-star — use over [[dedupClusters]]
+    * when component diameters can be large
+    * ([[graph.ConnectedComponents.connectedComponents]]).
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame =
+    graph.ConnectedComponents.connectedComponents(spark, edges)
+
   /** Nodes of the k-core (max subgraph with all degrees ≥ k) with their
     * in-core degrees; throws if the peel has not stabilized within
     * maxRounds ([[graph.KCore.kCore]]).

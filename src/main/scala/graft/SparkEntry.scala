@@ -42,7 +42,8 @@ object SparkEntry {
       graft.graph.Scc.all ++ graft.rel.ExactDistinct.all ++
       graft.rel.Parity.all ++ graft.rel.Frequency.all ++
       graft.llm.Unigram.all ++ graft.llm.WordPiece.all ++
-      graft.llm.Eval.all ++ graft.rel.Cdc.all
+      graft.llm.Eval.all ++ graft.rel.Cdc.all ++
+      graft.graph.ConnectedComponents.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

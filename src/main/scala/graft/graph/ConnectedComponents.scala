@@ -1,0 +1,153 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** CONNECTED COMPONENTS via alternating LARGE-STAR / SMALL-STAR
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC 2014) — the O(log n)-round formulation that replaces the
+  * O(diameter) min-label propagation the dedup-cluster machinery
+  * (q49) uses. On a 100 TB corpus the difference is decisive: a long
+  * chain (diameter ~n) costs propagation one shuffle PER HOP, while
+  * the star algorithm contracts the chain geometrically — every round
+  * halves (at least) the height of each component's tree, so even a
+  * path graph closes in ~log₂ n rounds (CcSpec pins exactly that on a
+  * 64-node path: ≤ 8 rounds where propagation would need 63).
+  *
+  * Round anatomy (all rows are (hi, lo) pairs with hi > lo):
+  *   LARGE-STAR  — center every node u on the min m of its closed
+  *     neighborhood; re-hang each STRICTLY LARGER neighbor v on m.
+  *     One symmetrized self-join-free pass: per-center min (a
+  *     map-side-combinable agg) + one join back to the adjacency.
+  *   SMALL-STAR  — orient edges high→low, center on the high end,
+  *     re-hang the center and its smaller neighbors on the
+  *     neighborhood min. Same two-shuffle shape.
+  * The edge set never grows (each emitted edge replaces one read
+  * edge), intermediates stay O(|E|), and both halves are pure
+  * min-aggregations — deterministic, so the result is a function of
+  * the graph alone and an SQL oracle can replay it as a transitive
+  * closure. Fixpoint = the edge multiset is unchanged by a round
+  * (checked with count + one anti-join; both frames are distinct).
+  *
+  * At the fixpoint every component is a star: each non-root node
+  * carries exactly one edge (node, root) with root = the component's
+  * min node id — the same canonical labeling q49 and Scc use.
+  */
+object ConnectedComponents {
+
+  /** Components of the undirected graph `edges` (cols `u`, `v`, any
+    * integer type; direction and duplicates ignored, self-loops
+    * dropped). Returns (node, comp_id, comp_size) with comp_id = min
+    * node id in the component. Isolated nodes never appear in an edge
+    * list, so every returned node has degree ≥ 1.
+    */
+  def connectedComponents(s: SparkSession, edges: DataFrame): DataFrame =
+    ccWithRounds(s, edges)._1
+
+  /** Same, also returning the number of large+small rounds the
+    * fixpoint took (spec'd logarithmic on a path graph). */
+  private[graft] def ccWithRounds(s: SparkSession, edges: DataFrame)
+      : (DataFrame, Int) = {
+    // canonical internal form: (hi, lo), hi > lo, distinct
+    var cur = edges
+      .select(greatest(col("u").cast("long"), col("v").cast("long")).as("hi"),
+        least(col("u").cast("long"), col("v").cast("long")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var converged = cur.isEmpty
+    while (!converged) {
+      // LARGE-STAR: symmetrize, per-center closed-neighborhood min,
+      // re-hang strictly larger neighbors on it. Emitted (v, m) keeps
+      // v > m because m ≤ center < v.
+      val sym = cur.select(col("hi").as("c"), col("lo").as("n"))
+        .unionAll(cur.select(col("lo").as("c"), col("hi").as("n")))
+      val mins = sym.groupBy("c").agg(min(col("n")).as("mn"))
+        .select(col("c"), least(col("mn"), col("c")).as("m"))
+      val large = sym.join(mins, "c")
+        .filter(col("n") > col("c"))
+        .select(col("n").as("hi"), col("m").as("lo"))
+        .distinct()
+      // SMALL-STAR: already oriented high→low; center on hi, re-hang
+      // the smaller neighbors AND the center on the neighborhood min.
+      // m ≤ lo < hi, so both emissions keep the (hi, lo) invariant.
+      val minsS = large.groupBy(col("hi").as("c"))
+        .agg(min(col("lo")).as("m"))
+      val j = large.join(minsS, large("hi") === minsS("c"))
+      val next = j.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionAll(j.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint()
+      rounds += 1
+      // fixpoint: both sides distinct, so equal counts + empty
+      // one-sided difference ⇒ equal sets
+      converged = next.count() == cur.count() &&
+        next.exceptAll(cur).isEmpty
+      cur = next
+    }
+    val members = cur.select(col("hi").as("node"), col("lo").as("comp_id"))
+    val roots = cur.select(col("lo").as("node"), col("lo").as("comp_id"))
+      .distinct()
+    val comp = members.unionAll(roots)
+    val sizes = comp.groupBy("comp_id").agg(count(lit(1)).as("comp_size"))
+    (comp.join(sizes, "comp_id").select("node", "comp_id", "comp_size"),
+      rounds)
+  }
+
+  /** q239: components of the part co-purchase graph — parts are linked
+    * when some order contains BOTH at near-full quantity (≥ 49). The
+    * tight quantity filter keeps the graph sparse and FRAGMENTED (many
+    * small components, not one giant blob), which is exactly the regime
+    * where component ids carry signal — and where the oracle's
+    * transitive closure stays Σ|comp|²-bounded. The oracle replays the
+    * closure as a recursive CTE and labels with the min reachable id.
+    */
+  val all: ListMap[String, Q] = ListMap(
+    "q239_connected_components" -> Q(
+      (s, d) => {
+        val hot = Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 49)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val edges = hot.as("a").join(hot.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .distinct()
+        connectedComponents(s, edges)
+          .select(col("node").cast("long").as("node"),
+            col("comp_id").cast("long").as("comp_id"),
+            col("comp_size").cast("long").as("comp_size"))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey
+             |   AND a.l_partkey < b.l_partkey
+             |  WHERE a.l_quantity >= 49 AND b.l_quantity >= 49
+             |  GROUP BY 1, 2),
+             |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+             |reach(u, v) AS (
+             |  SELECT u, v FROM sym
+             |  UNION
+             |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+             |-- reflexive closure (DISTINCT wrapper: plain UNION over a
+             |-- recursive CTE read does not dedup in DuckDB)
+             |allr AS (SELECT DISTINCT u, v FROM (
+             |  SELECT u, v FROM reach
+             |  UNION ALL SELECT u, u FROM sym)),
+             |comp AS (SELECT u AS node, min(v) AS comp_id
+             |  FROM allr GROUP BY u),
+             |sz AS (SELECT comp_id, count(*) AS n FROM comp GROUP BY 1)
+             |SELECT CAST(c.node AS BIGINT) AS node,
+             |  CAST(c.comp_id AS BIGINT) AS comp_id,
+             |  CAST(sz.n AS BIGINT) AS comp_size
+             |FROM comp c JOIN sz ON c.comp_id = sz.comp_id
+             |ORDER BY node""".stripMargin))
+  )
+}
