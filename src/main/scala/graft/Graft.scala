@@ -239,6 +239,14 @@ object Graft {
   def dedupClusters(pairs: DataFrame): DataFrame =
     llm.Dedup.connectedComponents(pairs)
 
+  /** Sorted-neighborhood candidate pairs: rows within `w` positions in
+    * `sortCols` order — linear pair volume even under heavy boilerplate
+    * skew ([[llm.SortedNeighborhood.neighborhoodPairs]]).
+    */
+  def sortedNeighborhoodPairs(df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column], id: String, w: Int): DataFrame =
+    llm.SortedNeighborhood.neighborhoodPairs(df, sortCols, id, w)
+
   /** Compact an appended near-dup index ([[llm.DedupIndex.compact]]). */
   def compactDedupIndex(spark: SparkSession, dir: String): Unit =
     llm.DedupIndex.compact(spark, dir)

@@ -31,7 +31,8 @@ object PlanAudit {
         "q182_prefix_jaccard", "q186_pareto_share", "q188_embeddedness",
         "q211_scc", "q214_bitmap_rollup", "q215_theilsen", "q216_hhi",
         "q218_incr_join", "q233_retrieval_eval", "q235_temporal_split",
-        "q237_cdc_apply", "q239_connected_components")
+        "q237_cdc_apply", "q239_connected_components",
+        "q240_sorted_neighborhood")
     val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")
