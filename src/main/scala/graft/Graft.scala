@@ -239,6 +239,19 @@ object Graft {
   def dedupClusters(pairs: DataFrame): DataFrame =
     llm.Dedup.connectedComponents(pairs)
 
+  /** Per-QI-group k-anonymity / l-diversity audit
+    * ([[rel.Privacy.kAnonymityAudit]]).
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+      sensitive: org.apache.spark.sql.Column, minK: Long, minL: Long): DataFrame =
+    rel.Privacy.kAnonymityAudit(df, qiCols, sensitive, minK, minL)
+
+  /** Null out quasi-identifiers on rows in sub-`minK` groups
+    * ([[rel.Privacy.suppressSmallGroups]]).
+    */
+  def suppressSmallGroups(df: DataFrame, qiCols: Seq[String], minK: Long): DataFrame =
+    rel.Privacy.suppressSmallGroups(df, qiCols, minK)
+
   /** Sorted-neighborhood candidate pairs: rows within `w` positions in
     * `sortCols` order — linear pair volume even under heavy boilerplate
     * skew ([[llm.SortedNeighborhood.neighborhoodPairs]]).

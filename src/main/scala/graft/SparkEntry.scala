@@ -43,7 +43,8 @@ object SparkEntry {
       graft.rel.Parity.all ++ graft.rel.Frequency.all ++
       graft.llm.Unigram.all ++ graft.llm.WordPiece.all ++
       graft.llm.Eval.all ++ graft.rel.Cdc.all ++
-      graft.graph.ConnectedComponents.all ++ graft.llm.SortedNeighborhood.all
+      graft.graph.ConnectedComponents.all ++ graft.llm.SortedNeighborhood.all ++
+      graft.rel.Privacy.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

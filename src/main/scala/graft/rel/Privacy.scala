@@ -1,0 +1,96 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+
+/** PRIVACY RISK AUDIT for release/training corpora — the structural
+  * complement to the PII scrub (q74): scrubbing removes direct
+  * identifiers, but a row can still be re-identified through its
+  * QUASI-IDENTIFIER combination (Sweeney 2002). The audit computes,
+  * per QI group, k-anonymity (group size — how many records hide this
+  * combination) and l-diversity (distinct sensitive values — whether
+  * knowing the group reveals the sensitive attribute even without
+  * singling a row out), and flags violations of both thresholds.
+  *
+  * Scale shape: ONE keyed aggregation over the QI columns — count is
+  * map-side combinable; the exact distinct runs as Spark's standard
+  * two-phase expand-agg, keyed by (QI, sensitive), so no per-group
+  * state exceeds the distinct-value count and nothing is collected.
+  * Suppression (the enforcement half) is the same aggregate joined
+  * back on the QI key — group sizes are entity-bounded, so the join
+  * broadcasts when the QI space is small and hash-partitions when it
+  * is not; no windows anywhere.
+  */
+object Privacy {
+
+  /** Per-QI-group audit: (qiCols…, k_size, l_div, k_violation,
+    * l_violation). `k_size` = rows in the group; `l_div` = distinct
+    * non-null `sensitive` values; violations flag k_size < minK /
+    * l_div < minL.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String], sensitive: Column,
+      minK: Long, minL: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("k_size"),
+        countDistinct(sensitive).as("l_div"))
+      .withColumn("k_violation", col("k_size") < minK)
+      .withColumn("l_violation", col("l_div") < minL)
+  }
+
+  /** Suppression: null out every QI column on rows whose QI group has
+    * fewer than `minK` members, leaving compliant groups untouched —
+    * the minimal-distortion enforcement for the audit's k half.
+    */
+  def suppressSmallGroups(df: DataFrame, qiCols: Seq[String], minK: Long)
+      : DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val counts = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__kanon_n"))
+    val joined = df.join(counts, qiCols)
+    val small = col("__kanon_n") < minK
+    qiCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(c, when(small, lit(null)).otherwise(col(c)))
+    }.drop("__kanon_n")
+  }
+
+  /** q241: audit the customer table with QI = (nation, market segment)
+    * and sensitive = the account-balance band (2000-dollar buckets via
+    * the integer-cents house rule — the +100000 shift keeps the
+    * dividend non-negative so floor ≡ truncation and both engines run
+    * the identical exact double op). One row per QI group with k, l,
+    * and both violation flags; at this corpus scale several (nation,
+    * segment) cells fall under k = 10 — real findings, not an empty
+    * report.
+    */
+  val all: ListMap[String, Q] = ListMap(
+    "q241_k_anonymity" -> Q(
+      (s, d) => {
+        val cents = round(col("c_acctbal") * 100).cast("long")
+        val band = floor((cents + lit(100000L)) / lit(200000.0)).cast("long")
+        kAnonymityAudit(
+          Tables.customer(s, d)
+            .select(col("c_nationkey").cast("long").as("nation"),
+              col("c_mktsegment").as("seg"), band.as("bal_band")),
+          Seq("nation", "seg"), col("bal_band"), minK = 10L, minL = 3L)
+          .select(col("nation"), col("seg"), col("k_size").cast("long"),
+            col("l_div").cast("long"), col("k_violation"), col("l_violation"))
+          .orderBy("nation", "seg")
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             |    c_mktsegment AS seg,
+             |    CAST(floor((CAST(round(c_acctbal * 100) AS BIGINT)
+             |      + 100000) / 200000.0) AS BIGINT) AS bal_band
+             |  FROM customer),
+             |g AS (SELECT nation, seg, count(*) AS k_size,
+             |    count(DISTINCT bal_band) AS l_div
+             |  FROM b GROUP BY 1, 2)
+             |SELECT nation, seg, CAST(k_size AS BIGINT) AS k_size,
+             |  CAST(l_div AS BIGINT) AS l_div,
+             |  k_size < 10 AS k_violation, l_div < 3 AS l_violation
+             |FROM g ORDER BY nation, seg""".stripMargin))
+  )
+}

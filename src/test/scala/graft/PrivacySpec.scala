@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.rel.Privacy
+
+/** k-anonymity audit + suppression semantics on hand data: exact k and
+  * l per group, null-sensitive handling, and the suppression transform
+  * nulling QI columns only in sub-threshold groups.
+  */
+class PrivacySpec extends SparkSpec {
+  private def s = spark
+
+  private def people = {
+    val sp = s
+    import sp.implicits._
+    Seq(
+      // (zip, age_band, disease)
+      ("02139", "20-30", "flu"), ("02139", "20-30", "flu"),
+      ("02139", "20-30", "cold"),                    // k=3, l=2
+      ("02139", "30-40", "flu"),                     // k=1, l=1
+      ("94110", "20-30", "flu"), ("94110", "20-30", "cold"),
+      ("94110", "20-30", "asthma"), ("94110", "20-30", "flu"),
+      ("94110", "20-30", null)                       // k=5, l=3 (null excluded)
+    ).toDF("zip", "age", "disease")
+  }
+
+  test("audit computes exact k and l; nulls excluded from l") {
+    val got = Privacy.kAnonymityAudit(people, Seq("zip", "age"),
+        col("disease"), minK = 3L, minL = 3L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    assert(got(("02139", "20-30")) == ((3L, 2L, false, true)))
+    assert(got(("02139", "30-40")) == ((1L, 1L, true, true)))
+    assert(got(("94110", "20-30")) == ((5L, 3L, false, false)))
+  }
+
+  test("suppression nulls QI columns exactly on sub-k groups") {
+    val out = Privacy.suppressSmallGroups(people, Seq("zip", "age"), 3L)
+      .collect()
+    assert(out.length == people.count())
+    val suppressed = out.filter(r => r.isNullAt(0) || r.isNullAt(1))
+    // only the k=1 group is suppressed — both QI cols nulled, payload kept
+    assert(suppressed.length == 1)
+    assert(suppressed.head.isNullAt(0) && suppressed.head.isNullAt(1)
+      && suppressed.head.getString(2) == "flu")
+    // compliant groups untouched
+    assert(out.count(r => r.getString(0) == "94110") == 5)
+  }
+
+  test("single QI column and all-compliant data yield no violations") {
+    val sp = s
+    import sp.implicits._
+    val df = (1 to 20).map(i => ("a", s"v${i % 4}")).toDF("g", "x")
+    val row = Privacy.kAnonymityAudit(df, Seq("g"), col("x"), 10L, 4L)
+      .collect().head
+    assert(row.getLong(1) == 20L && row.getLong(2) == 4L
+      && !row.getBoolean(3) && !row.getBoolean(4))
+  }
+}
