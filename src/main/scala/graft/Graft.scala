@@ -356,6 +356,12 @@ object Graft {
   /** Apply a CDC change batch (I/U/D + sequence, last-writer-wins) to a
     * keyed snapshot ([[rel.Cdc.applyBatch]] — the MERGE INTO primitive).
     */
+  /** SCD2 version history straight from a sequenced CDC change log
+    * ([[rel.Cdc.scd2History]]).
+    */
+  def cdcHistory(changes: DataFrame, keys: Seq[String]): DataFrame =
+    rel.Cdc.scd2History(changes, keys)
+
   def cdcApply(base: DataFrame, changes: DataFrame, keys: Seq[String],
       seqCol: String = "seq", opCol: String = "op",
       tieBreak: Option[String] = None): DataFrame =

@@ -101,6 +101,34 @@ object Cdc {
   def snapshotOf(state: DataFrame, seqCol: String = "seq"): DataFrame =
     state.filter(!col("deleted")).drop(seqCol, "deleted")
 
+  /** SCD2 HISTORY from a CDC change log — the time-travel complement
+    * to [[applyBatch]] (which keeps only the latest version): every
+    * accepted I/U change becomes a version row valid over
+    * [its sequence, the key's next change's sequence), deletes close
+    * the preceding interval without opening one, and a key's last
+    * non-delete version is flagged current. This is q117's SCD2 shape
+    * derived from the CHANGE LOG instead of snapshot diffs — the
+    * CDC-native path that never needs two full snapshots.
+    *
+    * Requires (keys, seqCol) unique — a sequenced CDC log's contract;
+    * collapse same-sequence conflicts with [[applyBatch]]'s
+    * last-writer-wins first if the source can violate it.
+    *
+    * Scale: ONE per-key window (lead over the key's own changes) —
+    * hash-partitioned by key, never global; entity-bounded partitions.
+    */
+  def scd2History(changes: DataFrame, keys: Seq[String],
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol))
+    changes
+      .withColumn("valid_to_seq", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .withColumn("is_current", col("valid_to_seq").isNull)
+      .withColumnRenamed(seqCol, "valid_from_seq")
+      .drop(opCol)
+  }
+
   /** q237's oracle — shared verbatim by q238: the streaming loop must
     * land on the exact batch-merge result
     */
@@ -213,6 +241,42 @@ object Cdc {
         require(gen >= 4, s"expected >= 3 micro-batches, got ${gen - 1}")
         snapshotOf(s.read.parquet(statePath(gen - 1))).orderBy("k")
       },
-      Some(cdcOracle))
+      Some(cdcOracle)),
+
+    // ---- q242: SCD2 HISTORY FROM A CDC LOG — each customer's orders
+    //      replayed as that customer's change log (seq = o_orderkey,
+    //      globally unique, so the (key, seq) uniqueness contract
+    //      holds by construction — l_linenumber deliberately NOT used:
+    //      the synthetic lineitem duplicates (orderkey, linenumber));
+    //      'P'-status orders become deletes, so keys carry ~10-version
+    //      histories with mid-stream deletes and delete-then-reinsert
+    //      runs. Full history hash-compares: every interval boundary,
+    //      every closed-by-delete row, every current flag. Oracle
+    //      replays the per-key lead window verbatim. ----
+    "q242_cdc_scd2" -> Q(
+      (s, d) => {
+        val log = Tables.orders(s, d).select(
+          col("o_custkey").cast("long").as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          when(col("o_orderstatus") === "P", "D").otherwise("U").as("op"),
+          col("o_orderkey").cast("long").as("seq"))
+        scd2History(log, Seq("k"))
+          .select(col("k"), col("cents"), col("valid_from_seq"),
+            col("valid_to_seq"), col("is_current"))
+          .orderBy("k", "valid_from_seq")
+      },
+      Some("""WITH log AS (
+             |  SELECT CAST(o_custkey AS BIGINT) AS k,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |    CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+             |    CAST(o_orderkey AS BIGINT) AS seq
+             |  FROM orders),
+             |v AS (SELECT k, cents, op, seq,
+             |    lead(seq) OVER (PARTITION BY k ORDER BY seq) AS nxt
+             |  FROM log)
+             |SELECT k, cents, seq AS valid_from_seq, nxt AS valid_to_seq,
+             |  nxt IS NULL AS is_current
+             |FROM v WHERE op <> 'D'
+             |ORDER BY k, valid_from_seq""".stripMargin))
   )
 }

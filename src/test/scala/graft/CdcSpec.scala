@@ -165,6 +165,44 @@ class CdcSpec extends SparkSpec {
     sp.sql("DROP TABLE IF EXISTS cdc_state_gen0")
   }
 
+  test("scd2History: versions, delete-closed intervals, reinsert, current") {
+    val sp = s
+    import sp.implicits._
+    val log = Seq(
+      // key 1: U,U,D,I — two closed versions, a gap, then a current one
+      (1L, 10L, "U", 1L), (1L, 11L, "U", 2L), (1L, 0L, "D", 3L),
+      (1L, 12L, "I", 5L),
+      // key 2: delete-last — history exists but nothing is current
+      (2L, 20L, "I", 1L), (2L, 0L, "D", 4L),
+      // key 3: single insert, current forever
+      (3L, 30L, "I", 7L)
+    ).toDF("k", "v", "op", "seq")
+    val got = Cdc.scd2History(log, Seq("k"))
+      .select("k", "v", "valid_from_seq", "valid_to_seq", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 10L, 1L, 2L, false),   // closed by the next update
+      (1L, 11L, 2L, 3L, false),   // closed by the delete
+      (1L, 12L, 5L, -1L, true),   // reinsert after delete is current
+      (2L, 20L, 1L, 4L, false),   // closed by the final delete…
+      (3L, 30L, 7L, -1L, true)))  // …so key 2 has NO current row
+  }
+
+  test("scd2History plan: the one window is partitioned by the key") {
+    val sp = s
+    import sp.implicits._
+    val log = Seq((1L, 10L, "U", 1L)).toDF("k", "v", "op", "seq")
+    val plan = Cdc.scd2History(log, Seq("k")).queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"partition-less window: ${w.simpleStringWithNodeId()}"))
+  }
+
   test("plan: hash-agg winners, broadcast anti join, no full-outer SMJ") {
     val sp = s
     import sp.implicits._
