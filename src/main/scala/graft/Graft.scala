@@ -239,6 +239,15 @@ object Graft {
   def dedupClusters(pairs: DataFrame): DataFrame =
     llm.Dedup.connectedComponents(pairs)
 
+  /** Fellegi–Sunter linkage scores over candidate pairs: exact
+    * milli-bit weight sum + match/possible/nonmatch class
+    * ([[rel.Linkage.fellegiSunterScore]]).
+    */
+  def fellegiSunterScore(pairs: DataFrame,
+      fields: Seq[rel.Linkage.FieldCompare],
+      upperMilli: Long, lowerMilli: Long): DataFrame =
+    rel.Linkage.fellegiSunterScore(pairs, fields, upperMilli, lowerMilli)
+
   /** Per-QI-group k-anonymity / l-diversity audit
     * ([[rel.Privacy.kAnonymityAudit]]).
     */
