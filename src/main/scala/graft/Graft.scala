@@ -714,6 +714,15 @@ object Graft {
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame =
     graph.ConnectedComponents.connectedComponents(spark, edges)
 
+  /** Fold a delta edge batch into existing component labels via the
+    * label-quotient graph — corpus touched by two joins, iteration
+    * bounded by the batch
+    * ([[graph.ConnectedComponents.incrementalComponents]]).
+    */
+  def incrementalComponents(spark: SparkSession, labels: DataFrame,
+      newEdges: DataFrame): DataFrame =
+    graph.ConnectedComponents.incrementalComponents(spark, labels, newEdges)
+
   /** Nodes of the k-core (max subgraph with all degrees ≥ k) with their
     * in-core degrees; throws if the peel has not stabilized within
     * maxRounds ([[graph.KCore.kCore]]).

@@ -99,6 +99,48 @@ object ConnectedComponents {
       rounds)
   }
 
+  /** INCREMENTAL component maintenance: fold a batch of NEW edges into
+    * an existing labeling without re-running CC on the corpus. Edges
+    * can only MERGE components (deletions need a rebuild — same
+    * contract as every monotone incremental structure in this repo),
+    * and min-id labels compose: the merged component's label is the
+    * min over the merged labels' members = the min over the labels
+    * themselves. So the batch reduces to CC ON THE QUOTIENT — each new
+    * edge mapped to the (label(u), label(v)) pair it bridges — whose
+    * size is bounded by the BATCH's edge count, never the corpus; the
+    * corpus-sized label table is touched by exactly two non-iterative
+    * hash joins (map endpoints in, remap merged labels out) plus the
+    * size re-aggregation. Equivalence to full recompute on the union
+    * is spec-pinned and q244 puts it under the driver's oracle.
+    */
+  def incrementalComponents(s: SparkSession, labels: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    val e = newEdges
+      .select(greatest(col("u").cast("long"), col("v").cast("long")).as("u"),
+        least(col("u").cast("long"), col("v").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val touched = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node"))).distinct()
+    val newNodes = touched.join(labels.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("comp_id"))
+    val allLab = labels.select(col("node"), col("comp_id"))
+      .unionAll(newNodes)
+    val mapped = e
+      .join(allLab.select(col("node").as("u"), col("comp_id").as("lu")), "u")
+      .join(allLab.select(col("node").as("v"), col("comp_id").as("lv")), "v")
+      .select(col("lu").as("u"), col("lv").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val remap = connectedComponents(s, mapped)
+      .select(col("node").as("comp_id"), col("comp_id").as("__cc_new"))
+    val lab2 = allLab.join(remap, Seq("comp_id"), "left")
+      .select(col("node"),
+        coalesce(col("__cc_new"), col("comp_id")).as("comp_id"))
+    val sizes = lab2.groupBy("comp_id").agg(count(lit(1)).as("comp_size"))
+    lab2.join(sizes, "comp_id").select("node", "comp_id", "comp_size")
+  }
+
   /** q239: components of the part co-purchase graph — parts are linked
     * when some order contains BOTH at near-full quantity (≥ 49). The
     * tight quantity filter keeps the graph sparse and FRAGMENTED (many
@@ -107,47 +149,75 @@ object ConnectedComponents {
     * transitive closure stays Σ|comp|²-bounded. The oracle replays the
     * closure as a recursive CTE and labels with the min reachable id.
     */
+  /** the q239/q244 shared fixture: part co-purchase edges, optionally
+    * restricted to orders of one parity (the q244 base/delta split) */
+  private def coPurchaseEdges(s: SparkSession, d: String,
+      parity: Option[Int]): DataFrame = {
+    val hot0 = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val hot = parity.fold(hot0)(p => hot0.filter(col("l_orderkey") % 2 === p))
+    hot.as("a").join(hot.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+  }
+
+  private def ordered(df: DataFrame): DataFrame = df
+    .select(col("node").cast("long").as("node"),
+      col("comp_id").cast("long").as("comp_id"),
+      col("comp_size").cast("long").as("comp_size"))
+    .orderBy("node")
+
+  /** q239's transitive-closure oracle — shared verbatim by q244: the
+    * incremental fold must land exactly on the full recompute. */
+  private val closureOracle =
+    """WITH RECURSIVE e AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey
+      |   AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_quantity >= 49 AND b.l_quantity >= 49
+      |  GROUP BY 1, 2),
+      |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM sym
+      |  UNION
+      |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      |-- reflexive closure (DISTINCT wrapper: plain UNION over a
+      |-- recursive CTE read does not dedup in DuckDB)
+      |allr AS (SELECT DISTINCT u, v FROM (
+      |  SELECT u, v FROM reach
+      |  UNION ALL SELECT u, u FROM sym)),
+      |comp AS (SELECT u AS node, min(v) AS comp_id
+      |  FROM allr GROUP BY u),
+      |sz AS (SELECT comp_id, count(*) AS n FROM comp GROUP BY 1)
+      |SELECT CAST(c.node AS BIGINT) AS node,
+      |  CAST(c.comp_id AS BIGINT) AS comp_id,
+      |  CAST(sz.n AS BIGINT) AS comp_size
+      |FROM comp c JOIN sz ON c.comp_id = sz.comp_id
+      |ORDER BY node""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q239_connected_components" -> Q(
+      (s, d) => ordered(connectedComponents(s, coPurchaseEdges(s, d, None))),
+      Some(closureOracle)),
+
+    // ---- q244: INCREMENTAL component maintenance — bootstrap labels
+    //      from the even-order half of the co-purchase graph, then fold
+    //      the odd-order half in as a delta batch. The iterative work
+    //      runs only on the label-quotient graph the delta bridges;
+    //      the result must be INDISTINGUISHABLE from a full recompute,
+    //      so the oracle is q239's closure over the union, verbatim. ----
+    "q244_incr_components" -> Q(
       (s, d) => {
-        val hot = Tables.lineitem(s, d)
-          .filter(col("l_quantity") >= 49)
-          .select(col("l_orderkey"), col("l_partkey"))
-        val edges = hot.as("a").join(hot.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-          .distinct()
-        connectedComponents(s, edges)
-          .select(col("node").cast("long").as("node"),
-            col("comp_id").cast("long").as("comp_id"),
-            col("comp_size").cast("long").as("comp_size"))
-          .orderBy("node")
+        val base = connectedComponents(s, coPurchaseEdges(s, d, Some(0)))
+        ordered(incrementalComponents(s, base.select("node", "comp_id"),
+          coPurchaseEdges(s, d, Some(1))))
       },
-      Some("""WITH RECURSIVE e AS (
-             |  SELECT a.l_partkey AS u, b.l_partkey AS v
-             |  FROM lineitem a JOIN lineitem b
-             |    ON a.l_orderkey = b.l_orderkey
-             |   AND a.l_partkey < b.l_partkey
-             |  WHERE a.l_quantity >= 49 AND b.l_quantity >= 49
-             |  GROUP BY 1, 2),
-             |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
-             |reach(u, v) AS (
-             |  SELECT u, v FROM sym
-             |  UNION
-             |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
-             |-- reflexive closure (DISTINCT wrapper: plain UNION over a
-             |-- recursive CTE read does not dedup in DuckDB)
-             |allr AS (SELECT DISTINCT u, v FROM (
-             |  SELECT u, v FROM reach
-             |  UNION ALL SELECT u, u FROM sym)),
-             |comp AS (SELECT u AS node, min(v) AS comp_id
-             |  FROM allr GROUP BY u),
-             |sz AS (SELECT comp_id, count(*) AS n FROM comp GROUP BY 1)
-             |SELECT CAST(c.node AS BIGINT) AS node,
-             |  CAST(c.comp_id AS BIGINT) AS comp_id,
-             |  CAST(sz.n AS BIGINT) AS comp_size
-             |FROM comp c JOIN sz ON c.comp_id = sz.comp_id
-             |ORDER BY node""".stripMargin))
+      Some(closureOracle))
   )
+
+
 }

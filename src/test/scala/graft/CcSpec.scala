@@ -72,6 +72,45 @@ class CcSpec extends SparkSpec {
     assert(got == Map(1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L)))
   }
 
+  test("incremental fold over a delta batch equals full recompute") {
+    val sp = s
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Seq.tabulate(30)(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    // delta: bridges between existing components, brand-new nodes,
+    // a new-to-new edge, and a no-op duplicate of a base edge
+    val delta = Seq.tabulate(15)(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b } ++
+      Seq((100L, 101L), (101L, 5L), (200L, 201L), base.head)
+    val labels = ConnectedComponents
+      .connectedComponents(sp, base.toDF("u", "v"))
+      .select("node", "comp_id")
+    val inc = ConnectedComponents
+      .incrementalComponents(sp, labels, delta.toDF("u", "v"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = ConnectedComponents
+      .connectedComponents(sp, (base ++ delta).toDF("u", "v"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(inc == full)
+  }
+
+  test("incremental with an empty delta is the identity labeling") {
+    val sp = s
+    import sp.implicits._
+    val labels = ConnectedComponents
+      .connectedComponents(sp, Seq((1L, 2L), (3L, 4L)).toDF("u", "v"))
+      .select("node", "comp_id")
+    val out = ConnectedComponents.incrementalComponents(sp, labels,
+        Seq.empty[(Long, Long)].toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 2L), (4L, 3L, 2L)))
+  }
+
   test("empty edge list yields empty result without iterating") {
     val sp = s
     import sp.implicits._
