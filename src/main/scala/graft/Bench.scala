@@ -91,7 +91,13 @@ object Bench {
       "q184_window_ranks", "q187_funnel_gap_stats", "q228_rfm_segments",
       // round-9 continuation: retrieval eval + CDC merge (q238 stays
       // out: streaming harness, like q127/q136/q140)
-      "q233_retrieval_eval", "q237_cdc_apply")
+      "q233_retrieval_eval", "q237_cdc_apply",
+      // round-9 second continuation: log-round CC + its incremental
+      // fold, SNM blocking, Fellegi-Sunter scoring, CDC history,
+      // k-anonymity audit (q245 stays out: streaming harness)
+      "q239_connected_components", "q240_sorted_neighborhood",
+      "q241_k_anonymity", "q242_cdc_scd2", "q243_fellegi_sunter",
+      "q244_incr_components")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

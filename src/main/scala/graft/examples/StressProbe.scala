@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object StressProbe {
   private val Probes = Seq("q118_triangles", "q116_pagerank",
     "q182_prefix_jaccard", "q187_funnel_gap_stats", "q34_ngram_jaccard",
-    "q237_cdc_apply")
+    "q237_cdc_apply", "q239_connected_components")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

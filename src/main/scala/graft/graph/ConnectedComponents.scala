@@ -141,15 +141,7 @@ object ConnectedComponents {
     lab2.join(sizes, "comp_id").select("node", "comp_id", "comp_size")
   }
 
-  /** q239: components of the part co-purchase graph — parts are linked
-    * when some order contains BOTH at near-full quantity (≥ 49). The
-    * tight quantity filter keeps the graph sparse and FRAGMENTED (many
-    * small components, not one giant blob), which is exactly the regime
-    * where component ids carry signal — and where the oracle's
-    * transitive closure stays Σ|comp|²-bounded. The oracle replays the
-    * closure as a recursive CTE and labels with the min reachable id.
-    */
-  /** the q239/q244 shared fixture: part co-purchase edges, optionally
+  /** the q239/q244/q245 shared fixture: part co-purchase edges, optionally
     * restricted to orders of one parity (the q244 base/delta split) */
   private def coPurchaseEdges(s: SparkSession, d: String,
       parity: Option[Int]): DataFrame = {
@@ -170,8 +162,9 @@ object ConnectedComponents {
       col("comp_size").cast("long").as("comp_size"))
     .orderBy("node")
 
-  /** q239's transitive-closure oracle — shared verbatim by q244: the
-    * incremental fold must land exactly on the full recompute. */
+  /** q239's transitive-closure oracle — shared verbatim by q244 and
+    * q245: the incremental/streaming folds must land exactly on the
+    * full recompute. */
   private val closureOracle =
     """WITH RECURSIVE e AS (
       |  SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -200,6 +193,13 @@ object ConnectedComponents {
       |ORDER BY node""".stripMargin
 
   val all: ListMap[String, Q] = ListMap(
+    // ---- q239: components of the part co-purchase graph — parts are
+    //      linked when some order contains BOTH at near-full quantity
+    //      (≥ 49). The tight filter keeps the graph sparse and
+    //      FRAGMENTED (many small components, not one giant blob) —
+    //      exactly the regime where component ids carry signal, and
+    //      where the oracle's transitive closure stays Σ|comp|²-
+    //      bounded. Oracle: recursive-CTE closure, min reachable id. ----
     "q239_connected_components" -> Q(
       (s, d) => ordered(connectedComponents(s, coPurchaseEdges(s, d, None))),
       Some(closureOracle)),
@@ -216,8 +216,55 @@ object ConnectedComponents {
         ordered(incrementalComponents(s, base.select("node", "comp_id"),
           coPurchaseEdges(s, d, Some(1))))
       },
+      Some(closureOracle)),
+
+    // ---- q245: STREAMING component maintenance — the q244 fold driven
+    //      through the real engine (file source, one edge file per
+    //      trigger: orders ≡1 mod 4, then ≡3 mod 4, then ≡3 REPLAYED
+    //      for at-least-once delivery — edge merges are idempotent, so
+    //      the replay must be a label-level no-op). Labels live in A/B
+    //      parquet generations (the q140/q238 pattern); the final
+    //      labeling must equal the full batch recompute — the SAME
+    //      closure oracle, so streaming idempotence sits under the
+    //      driver gate. ----
+    "q245_stream_components" -> Q(
+      (s, d) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-q245")
+          .toString
+        val in = s"$work/in"
+        val delta = coPurchaseEdges(s, d, Some(1))
+        // deterministic 2-way split of the odd-order delta by edge hash
+        val d1 = delta.filter(pmod(col("u") + col("v"), lit(2)) === 0)
+        val d2 = delta.filter(pmod(col("u") + col("v"), lit(2)) === 1)
+        d1.coalesce(1).write.mode("append").parquet(in)
+        d2.coalesce(1).write.mode("append").parquet(in)
+        d2.coalesce(1).write.mode("append").parquet(in) // replay
+        val sch = s.read.parquet(in).schema
+        val src = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val stateA = s"$work/state_a"; val stateB = s"$work/state_b"
+        def statePath(gen: Long) = if (gen % 2 == 0) stateA else stateB
+        connectedComponents(s, coPurchaseEdges(s, d, Some(0)))
+          .select("node", "comp_id")
+          .write.mode("overwrite").parquet(stateA)
+        var gen = 1L
+        val q = src.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            incrementalComponents(s, s.read.parquet(statePath(gen - 1)), batch)
+              .select("node", "comp_id")
+              .write.mode("overwrite").parquet(statePath(gen))
+            gen += 1
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        require(gen >= 4, s"expected >= 3 micro-batches, got ${gen - 1}")
+        val lab = s.read.parquet(statePath(gen - 1))
+        val sizes = lab.groupBy("comp_id")
+          .agg(count(lit(1)).as("comp_size"))
+        ordered(lab.join(sizes, "comp_id")
+          .select("node", "comp_id", "comp_size"))
+      },
       Some(closureOracle))
   )
-
-
 }
