@@ -239,6 +239,14 @@ object Graft {
   def dedupClusters(pairs: DataFrame): DataFrame =
     llm.Dedup.connectedComponents(pairs)
 
+  /** End-to-end entity resolution over a documents corpus: SNM block →
+    * Fellegi–Sunter score → component cluster → golden record
+    * ([[rel.EntityResolution.resolveDocuments]]).
+    */
+  def resolveEntities(spark: SparkSession, docs: DataFrame, w: Int,
+      matchMilli: Long): DataFrame =
+    rel.EntityResolution.resolveDocuments(spark, docs, w, matchMilli)
+
   /** Fellegi–Sunter linkage scores over candidate pairs: exact
     * milli-bit weight sum + match/possible/nonmatch class
     * ([[rel.Linkage.fellegiSunterScore]]).

@@ -44,7 +44,8 @@ object SparkEntry {
       graft.llm.Unigram.all ++ graft.llm.WordPiece.all ++
       graft.llm.Eval.all ++ graft.rel.Cdc.all ++
       graft.graph.ConnectedComponents.all ++ graft.llm.SortedNeighborhood.all ++
-      graft.rel.Privacy.all ++ graft.rel.Linkage.all
+      graft.rel.Privacy.all ++ graft.rel.Linkage.all ++
+      graft.rel.EntityResolution.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
