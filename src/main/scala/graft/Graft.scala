@@ -370,6 +370,22 @@ object Graft {
       truth: DataFrame): DataFrame =
     llm.Eval.classificationReport(spark, pred, truth)
 
+  /** Per-group exact tie-aware AUC of an integer score against a
+    * boolean label, with the exact integer numerator
+    * ([[llm.Eval.groupedAuc]]).
+    */
+  def groupedAuc(df: DataFrame, group: org.apache.spark.sql.Column,
+      score: org.apache.spark.sql.Column,
+      label: org.apache.spark.sql.Column): DataFrame =
+    llm.Eval.groupedAuc(df, group, score, label)
+
+  /** Laplace-smoothed weight-of-evidence encoding table per category
+    * ([[rel.Encode.woeEncode]]).
+    */
+  def woeEncode(df: DataFrame, category: String,
+      label: org.apache.spark.sql.Column): DataFrame =
+    rel.Encode.woeEncode(df, category, label)
+
   /** Apply a CDC change batch (I/U/D + sequence, last-writer-wins) to a
     * keyed snapshot ([[rel.Cdc.applyBatch]] — the MERGE INTO primitive).
     */

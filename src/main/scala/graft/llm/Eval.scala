@@ -132,7 +132,71 @@ object Eval {
       .drop("n_terms")
   }
 
+  /** Per-group EXACT AUC of `score` (an integer column) against the
+    * boolean `label`, from the tie-aware rank-sum identity: AUC =
+    * [Σ_s pos_s·(2·Σ_{s'<s} neg_{s'} + neg_s)] / (2·P·N) — concordant
+    * pairs count 1, score-ties ½. The numerator is an EXACT long sum
+    * over the per-distinct-score table, so the only float op is the
+    * final division (rounded to 6, one IEEE op both engines share).
+    *
+    * Scale: one keyed agg collapses the corpus onto (group, score)
+    * rows — bounded by the score DOMAIN, not the corpus — and the
+    * prefix sum runs per group (a PARTITIONED window over that small
+    * table). Groups with no positives or no negatives have no defined
+    * AUC and are excluded (mirrored in the oracle). Nothing touches
+    * corpus-sized data after the first agg.
+    */
+  def groupedAuc(df: DataFrame, group: Column, score: Column, label: Column)
+      : DataFrame = {
+    val per = df.groupBy(group.as("grp"), score.as("s"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("pos"),
+        sum(when(label, 0L).otherwise(1L)).as("neg"))
+    val w = Window.partitionBy("grp").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = per
+      .withColumn("cumneg", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .withColumn("num2", col("pos") * (lit(2L) * col("cumneg") + col("neg")))
+    contrib.groupBy("grp")
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("num2")).as("auc_num2"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .withColumn("auc_r6", round(col("auc_num2").cast("double") /
+        (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q247: GROUPED EXACT AUC — how well document length predicts
+    //      English, per source. Ranking metric for scorer evaluation
+    //      (the ROC-area companion to q210's Mann-Whitney U — same
+    //      statistic, presented as the classifier-eval number with an
+    //      exact integer numerator carried in the output). ----
+    "q247_grouped_auc" -> Q(
+      (s, d) => groupedAuc(Tables.documents(s, d),
+          col("source"), col("n_chars"), col("lang") === "en")
+        .select(col("grp").as("source"), col("n_pos"), col("n_neg"),
+          col("auc_num2"), col("auc_r6"))
+        .orderBy("source"),
+      Some("""WITH per AS (
+             |  SELECT source AS grp, n_chars AS s,
+             |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+             |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+             |  FROM documents GROUP BY 1, 2),
+             |c AS (SELECT grp, pos, neg,
+             |    coalesce(sum(neg) OVER (PARTITION BY grp ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS cumneg
+             |  FROM per),
+             |g AS (SELECT grp, sum(pos) AS n_pos, sum(neg) AS n_neg,
+             |    sum(pos * (2 * cumneg + neg)) AS auc_num2
+             |  FROM c GROUP BY 1)
+             |SELECT grp AS source, CAST(n_pos AS BIGINT) AS n_pos,
+             |  CAST(n_neg AS BIGINT) AS n_neg,
+             |  CAST(auc_num2 AS BIGINT) AS auc_num2,
+             |  round(CAST(auc_num2 AS DOUBLE)
+             |    / (2.0 * n_pos * n_neg), 6) AS auc_r6
+             |FROM g WHERE n_pos > 0 AND n_neg > 0
+             |ORDER BY source""".stripMargin)),
+
     // ---- q233: RETRIEVAL EVALUATION — the q102 BM25 ranking scored
     //      against term-match graded qrels (grade = matched query
     //      terms): precision/recall@5, MRR, NDCG@5 per query. The

@@ -44,7 +44,58 @@ object Encode {
         col("oof_mean"))
   }
 
+  /** WEIGHT-OF-EVIDENCE encoding table: per category, WoE =
+    * ln(((pos_c+0.5)/P) / ((neg_c+0.5)/N)) — the credit-scoring
+    * categorical encoding (Laplace-smoothed so single-class categories
+    * stay finite), the log-odds companion to [[targetEncode]]'s mean
+    * encoding. Counts are exact longs; the float tail is ONE fixed
+    * IEEE chain (two divisions, one division, one ln, rounded to 6)
+    * mirrored verbatim in the oracle SQL. No information-value sum is
+    * emitted: IV is a float SUM over categories, and unordered float
+    * summation is exactly the nondeterminism this repo's house rules
+    * exclude — derive it downstream if approximation is acceptable.
+    *
+    * Scale: one keyed agg (map-side combinable) to |categories| rows +
+    * one broadcastable scalar cross of the global totals.
+    */
+  def woeEncode(df: org.apache.spark.sql.DataFrame, category: String,
+      label: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val per = df.groupBy(col(category))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(label, 0L).otherwise(1L)).as("n_neg"))
+    val tot = per.agg(sum("n_pos").as("tp"), sum("n_neg").as("tn"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("woe_r6", round(log(
+        ((col("n_pos") + lit(0.5)) / col("tp")) /
+          ((col("n_neg") + lit(0.5)) / col("tn"))), 6))
+      .select(col(category), col("n_pos"), col("n_neg"), col("woe_r6"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q248: WoE-encode market segment against the high-balance
+    //      label (> 4500.00, integer-cents compare). Oracle replays
+    //      the identical smoothed log-odds chain. ----
+    "q248_woe_encode" -> Q(
+      (s, d) => woeEncode(
+          Tables.customer(s, d).select(col("c_mktsegment").as("seg"),
+            round(col("c_acctbal") * 100).cast("long").as("cents")),
+          "seg", col("cents") > 450000L)
+        .orderBy("seg"),
+      Some("""WITH b AS (
+             |  SELECT c_mktsegment AS seg,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) > 450000 AS y
+             |  FROM customer),
+             |per AS (SELECT seg,
+             |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+             |    sum(CASE WHEN y THEN 0 ELSE 1 END) AS n_neg
+             |  FROM b GROUP BY 1),
+             |tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM per)
+             |SELECT seg, CAST(n_pos AS BIGINT) AS n_pos,
+             |  CAST(n_neg AS BIGINT) AS n_neg,
+             |  round(ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)), 6)
+             |    AS woe_r6
+             |FROM per, tot ORDER BY seg""".stripMargin)),
+
     // q126: encode part brand by mean retail price (cents) with 5
     // hash folds on the part key. Output is the full encoding table:
     // out-of-fold sum/count and the integer mean each fold would use.

@@ -132,4 +132,31 @@ class EvalSpec extends SparkSpec {
     assert(q(2L) == ((1L, false)))  // partial -> graded, not rel
     assert(!q.contains(3L))
   }
+
+  test("groupedAuc: perfect, inverted, tied, and undefined groups") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      // g1: perfect separation -> AUC 1
+      ("g1", 1L, false), ("g1", 2L, false), ("g1", 3L, true), ("g1", 4L, true),
+      // g2: perfectly inverted -> AUC 0
+      ("g2", 9L, false), ("g2", 1L, true),
+      // g3: all mass on one tied score -> AUC 1/2 exactly
+      ("g3", 5L, true), ("g3", 5L, false), ("g3", 5L, true), ("g3", 5L, false),
+      // g4: 3 pos / 1 neg, one discordant pair -> AUC 2/3
+      ("g4", 1L, true), ("g4", 2L, false), ("g4", 3L, true), ("g4", 4L, true),
+      // g5: no negatives -> undefined, excluded
+      ("g5", 1L, true), ("g5", 2L, true)
+    ).toDF("g", "s", "y")
+    val got = graft.llm.Eval.groupedAuc(df, col("g"), col("s"), col("y"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got("g1") == ((2L, 2L, 8L, 1.0)))
+    assert(got("g2") == ((1L, 1L, 0L, 0.0)))
+    assert(got("g3") == ((2L, 2L, 4L, 0.5)))  // 2·(2·0+2) = 4 of 2·2·2·1
+    assert(got("g4") == ((3L, 1L, 4L, 0.666667)))
+    assert(!got.contains("g5"))
+  }
 }
