@@ -256,6 +256,19 @@ object Graft {
       upperMilli: Long, lowerMilli: Long): DataFrame =
     rel.Linkage.fellegiSunterScore(pairs, fields, upperMilli, lowerMilli)
 
+  /** Top-N key-skew report with exact shares and the salt factor to
+    * hand [[saltedEquiJoin]] directly ([[rel.SkewJoin.skewReport]]).
+    */
+  def skewReport(df: DataFrame, key: String, partitions: Int, topN: Int): DataFrame =
+    rel.SkewJoin.skewReport(df, key, partitions, topN)
+
+  /** Smallest-qualifying-width global recoding of a numeric QI
+    * ([[rel.Privacy.generalizeNumericQi]]).
+    */
+  def generalizeNumericQi(df: DataFrame, catQi: String,
+      numQi: org.apache.spark.sql.Column, widths: Seq[Long], minK: Long): DataFrame =
+    rel.Privacy.generalizeNumericQi(df, catQi, numQi, widths, minK)
+
   /** Per-QI-group k-anonymity / l-diversity audit
     * ([[rel.Privacy.kAnonymityAudit]]).
     */

@@ -56,6 +56,42 @@ object Privacy {
     }.drop("__kanon_n")
   }
 
+  /** GLOBAL RECODING generalization — the enforcement half that keeps
+    * utility where [[suppressSmallGroups]] destroys it: coarsen a
+    * numeric quasi-identifier to the SMALLEST bucket width (from a
+    * caller-supplied ladder, conventionally powers of two) at which
+    * every (categorical QI, bucket) group reaches `minK`. One scan
+    * fans each row out over the ladder (|ladder| ≤ ~20 — a bounded
+    * explode, not a shuffle multiplier), one keyed agg per candidate
+    * width runs inside a single groupBy(width, qi, bucket), and the
+    * qualifying-width argmin is a ladder-sized aggregation. Returns
+    * the generalized groups under the chosen width, with the width as
+    * a column. Negative values are handled by the caller shifting to
+    * non-negative (the q241 integer-cents convention) so floor ≡
+    * truncation and both engines run the identical double op.
+    *
+    * If NO ladder width qualifies the result is empty — ladders should
+    * end with a width wide enough to pool everything (the spec pins
+    * this contract loudly rather than silently suppressing).
+    */
+  def generalizeNumericQi(df: DataFrame, catQi: String, numQi: Column,
+      widths: Seq[Long], minK: Long): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ > 0), "need positive widths")
+    val fanned = df.select(col(catQi), numQi.as("__gq_v"))
+      .withColumn("__gq_w", explode(array(widths.map(lit): _*)))
+      .withColumn("__gq_b",
+        floor(col("__gq_v") / col("__gq_w").cast("double")).cast("long"))
+    val groups = fanned.groupBy(col("__gq_w"), col(catQi), col("__gq_b"))
+      .agg(count(lit(1)).as("k_size"))
+    val qualifying = groups.groupBy("__gq_w")
+      .agg(min(col("k_size")).as("__gq_min"))
+      .filter(col("__gq_min") >= minK)
+      .agg(min(col("__gq_w")).as("__gq_w"))
+    groups.join(broadcast(qualifying), "__gq_w")
+      .select(col(catQi), col("__gq_w").as("width"),
+        col("__gq_b").as("bucket"), col("k_size"))
+  }
+
   /** q241: audit the customer table with QI = (nation, market segment)
     * and sensitive = the account-balance band (2000-dollar buckets via
     * the integer-cents house rule — the +100000 shift keeps the
@@ -91,6 +127,41 @@ object Privacy {
              |SELECT nation, seg, CAST(k_size AS BIGINT) AS k_size,
              |  CAST(l_div AS BIGINT) AS l_div,
              |  k_size < 10 AS k_violation, l_div < 3 AS l_violation
-             |FROM g ORDER BY nation, seg""".stripMargin))
+             |FROM g ORDER BY nation, seg""".stripMargin)),
+
+    // ---- q249: GLOBAL RECODING — coarsen the balance (shifted cents)
+    //      to the smallest power-of-2-of-100 width at which every
+    //      (segment, bucket) cell holds ≥ 25 customers; emit the
+    //      generalized groups under that width. The oracle fans the
+    //      same ladder with a VALUES CTE and replays the argmin. ----
+    "q249_generalize" -> Q(
+      (s, d) => {
+        val cents = round(col("c_acctbal") * 100).cast("long") + lit(100000L)
+        generalizeNumericQi(
+          Tables.customer(s, d)
+            .select(col("c_mktsegment").as("seg"), cents.as("v")),
+          "seg", col("v"), widths = (0 to 14).map(j => 100L << j), minK = 25L)
+          .select(col("seg"), col("width"), col("bucket"),
+            col("k_size").cast("long"))
+          .orderBy("seg", "bucket")
+      },
+      Some("""WITH w(w) AS (VALUES (100),(200),(400),(800),(1600),(3200),
+             |  (6400),(12800),(25600),(51200),(102400),(204800),(409600),
+             |  (819200),(1638400)),
+             |b AS (SELECT c_mktsegment AS seg,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS v
+             |  FROM customer),
+             |f AS (SELECT w.w, b.seg,
+             |    CAST(floor(v / CAST(w.w AS DOUBLE)) AS BIGINT) AS bucket
+             |  FROM b, w),
+             |g AS (SELECT w, seg, bucket, count(*) AS k_size
+             |  FROM f GROUP BY 1, 2, 3),
+             |q AS (SELECT min(w) AS w FROM (
+             |  SELECT w, min(k_size) AS mk FROM g GROUP BY 1) t
+             |  WHERE mk >= 25)
+             |SELECT g.seg, CAST(g.w AS BIGINT) AS width,
+             |  g.bucket, CAST(g.k_size AS BIGINT) AS k_size
+             |FROM g JOIN q ON g.w = q.w
+             |ORDER BY seg, bucket""".stripMargin))
   )
 }

@@ -49,6 +49,30 @@ class PrivacySpec extends SparkSpec {
     assert(out.count(r => r.getString(0) == "94110") == 5)
   }
 
+  test("generalizeNumericQi picks the smallest qualifying width") {
+    val sp = s
+    import sp.implicits._
+    // values 0..7 in one category: width 1 → k=1 per bucket (fails
+    // k=4); width 2 → k=2 (fails); width 4 → k=4 (qualifies)
+    val df = (0L to 7L).map(v => ("a", v)).toDF("cat", "v")
+    val got = Privacy.generalizeNumericQi(df, "cat", col("v"),
+        widths = Seq(1L, 2L, 4L, 8L), minK = 4L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("a", 4L, 0L, 4L), ("a", 4L, 1L, 4L)))
+  }
+
+  test("generalizeNumericQi: no qualifying width yields an empty result") {
+    val sp = s
+    import sp.implicits._
+    // two categories of 2 rows each can never reach k=3 at any width
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("cat", "v")
+    assert(Privacy.generalizeNumericQi(df, "cat", col("v"),
+      widths = Seq(1L, 1024L), minK = 3L).isEmpty)
+  }
+
   test("single QI column and all-compliant data yield no violations") {
     val sp = s
     import sp.implicits._

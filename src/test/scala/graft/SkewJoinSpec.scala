@@ -37,4 +37,21 @@ class SkewJoinSpec extends SparkSpec {
     val counts = spread.map(_.getAs[Long]("count"))
     assert(counts.min > 100, s"salt skewed: ${counts.toSeq}") // ~250 ± noise each
   }
+
+  test("skewReport: exact counts, ppm, salt factor, pinned tie order") {
+    val sp = spark
+    import sp.implicits._
+    // key 1: 6 rows, key 2: 2, keys 3/4: 1 each (tie broken by key asc)
+    val df = (Seq.fill(6)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L, 4L)).toDF("k")
+    val got = SkewJoin.skewReport(df, "k", partitions = 4, topN = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      // 6/10 = 600000 ppm; ceil(6*4/10) = 3 salts
+      (1L, 6L, 600000L, 3L),
+      // 2/10 = 200000 ppm; ceil(8/10) = 1
+      (2L, 2L, 200000L, 1L),
+      // tie at n=1: key 3 before key 4, and only topN=3 rows
+      (3L, 1L, 100000L, 1L)))
+  }
 }
