@@ -256,6 +256,21 @@ object Graft {
       upperMilli: Long, lowerMilli: Long): DataFrame =
     rel.Linkage.fellegiSunterScore(pairs, fields, upperMilli, lowerMilli)
 
+  /** Build, persist, and register a materialized view; subsequent
+    * coarser-grain SUM/COUNT aggregations over the base are answered
+    * from it transparently by the injected optimizer rule
+    * ([[plans.MvRegistry.materialize]], [[plans.MvRewriteRule]]).
+    */
+  def materializeView(spark: SparkSession, name: String, base: DataFrame,
+      basePathSuffix: String, mvPath: String, groupCols: Seq[String],
+      sums: Seq[(String, Column)], withCount: Option[String]): Unit =
+    plans.MvRegistry.materialize(spark, name, base, basePathSuffix, mvPath,
+      groupCols, sums, withCount)
+
+  /** Drop a registered materialized view from the rewrite registry. */
+  def dropMaterializedView(name: String): Unit =
+    plans.MvRegistry.unregister(name)
+
   /** Top-N key-skew report with exact shares and the salt factor to
     * hand [[saltedEquiJoin]] directly ([[rel.SkewJoin.skewReport]]).
     */

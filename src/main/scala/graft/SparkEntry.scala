@@ -45,7 +45,8 @@ object SparkEntry {
       graft.llm.Eval.all ++ graft.rel.Cdc.all ++
       graft.graph.ConnectedComponents.all ++ graft.llm.SortedNeighborhood.all ++
       graft.rel.Privacy.all ++ graft.rel.Linkage.all ++
-      graft.rel.EntityResolution.all ++ graft.rel.SkewJoin.all
+      graft.rel.EntityResolution.all ++ graft.rel.SkewJoin.all ++
+      graft.plans.MvQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -86,6 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VecFunctions.vecDotDescriptor)
     ext.injectFunction(VecFunctions.vecCosineDescriptor)
     ext.injectFunction(ZValue.descriptor)
+    // MV query rewrite (no-op until an MV is registered; see
+    // graft.plans.MvRegistry)
+    ext.injectOptimizerRule(session => new graft.plans.MvRewriteRule(session))
   }
 }
 

@@ -1,0 +1,208 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** MATERIALIZED-VIEW QUERY REWRITE — a Catalyst optimizer rule that
+  * transparently answers aggregations from a pre-aggregated parquet
+  * MV when the query's grain is COARSER than (or equal to) the MV's:
+  * `SUM(e)` re-aggregates as the sum of the MV's partial sums,
+  * `COUNT(*)` as the sum of the MV's per-grain row counts (both are
+  * algebraic, so partials at the fine grain compose exactly — the
+  * same mergeability argument as the repo's bitmap/sketch rollups,
+  * applied at the OPTIMIZER layer). At 100 TB this converts a
+  * corpus-wide scan + shuffle into a scan of |MV grain| rows.
+  *
+  * Idiomatic extension-point usage, not plan surgery: the rule is
+  * injected via `SparkSessionExtensions.injectOptimizerRule` (the
+  * same `GraftExtensions` every session in this repo loads), runs in
+  * the user-provided batch AFTER the main optimizer, and rewrites
+  * `Aggregate` nodes only when EVERY output expression is derivable —
+  * otherwise the plan is untouched. Output attribute exprIds are
+  * preserved through the rewrite so parent operators never notice.
+  *
+  * Matching scope (deliberately strict — a rewrite must be provably
+  * sound or not happen): the aggregate's child is the registered base
+  * relation (bare or under an attribute-only Project), grouping
+  * expressions are plain columns ⊆ the MV grain, and every aggregate
+  * is an undistinct, unfiltered SUM over a registered expression or
+  * COUNT(*)/COUNT(1). Expressions are matched by normalized
+  * POST-OPTIMIZATION form ([[MvRegistry.sumKey]] derives the
+  * registration key through the same optimizer, so the two sides
+  * cannot drift on cast insertion or constant folding). Filters,
+  * joins, distinct aggregates, AVG, or expressions the MV does not
+  * carry all leave the query on the base-table path.
+  */
+object MvRegistry {
+
+  /** One registered MV: a parquet at `mvPath` holding `groupCols` plus
+    * partial-sum columns (`sums`: normalized source expression → MV
+    * column) and optionally a per-grain row count (`countCol`).
+    */
+  final case class MvDef(name: String, mvPath: String, baseSuffix: String,
+      groupCols: Seq[String], sums: Map[String, String],
+      countCol: Option[String])
+
+  private val defs =
+    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  def register(d: MvDef): Unit = defs.put(d.name, d)
+  def unregister(name: String): Unit = defs.remove(name)
+  def registered: Seq[MvDef] = {
+    import scala.jdk.CollectionConverters._
+    defs.values.asScala.toSeq.sortBy(_.name)
+  }
+
+  /** Normalized matching key of an expression: attribute ids dropped,
+    * names lowercased, rendered to SQL.
+    */
+  private[plans] def normalize(e: Expression): String = e.transform {
+    case a: AttributeReference => UnresolvedAttribute(a.name.toLowerCase)
+  }.sql.toLowerCase
+
+  /** The registration key for `SUM(c)` over `base` — derived through
+    * the optimizer so it matches the post-optimization form the rule
+    * sees (analyzer cast insertion, constant folding and all).
+    */
+  def sumKey(base: DataFrame, c: Column): String = {
+    val plan = base.select(c.as("__mv_key")).queryExecution.optimizedPlan
+    val e = plan.collectFirst {
+      case Project(exprs, _) => exprs.head match {
+        case Alias(child, _) => child
+        case other => other
+      }
+    }.getOrElse(sys.error("sumKey: no Project in optimized plan"))
+    normalize(e)
+  }
+
+  /** Build + write + register an MV over `base` in one call; returns
+    * the MV DataFrame. `sums` maps output column name → source column.
+    */
+  def materialize(spark: SparkSession, name: String, base: DataFrame,
+      basePathSuffix: String, mvPath: String, groupCols: Seq[String],
+      sums: Seq[(String, Column)], withCount: Option[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val aggs = sums.map { case (n, c) => sum(c).as(n) } ++
+      withCount.map(n => count(lit(1)).as(n))
+    base.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    register(MvDef(name, mvPath, basePathSuffix, groupCols.map(_.toLowerCase),
+      sums.map { case (n, c) => sumKey(base, c) -> n }.toMap,
+      withCount))
+  }
+}
+
+/** q251: the MV rewrite under the driver's correctness gate — the
+  * ENTRY materializes a (priority, status) MV of order totals, then
+  * runs a priority-only rollup; the rule must answer it from the MV
+  * (self-checked: the entry REQUIRES the rewritten plan scans the MV
+  * and not the base), while the ORACLE computes the same rollup from
+  * the raw orders table in DuckDB — so the hash gate proves the
+  * rewrite is semantics-preserving, not just plan-shaped.
+  */
+object MvQueries {
+  import scala.collection.immutable.ListMap
+  import graft.rel.RelQueries.Q
+  import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+
+  val all: ListMap[String, Q] = ListMap(
+    "q251_mv_rewrite" -> Q(
+      (s, d) => {
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val work = java.nio.file.Files.createTempDirectory("graft-q251")
+          .toString
+        // scope the registration to THIS tier's orders file — a suffix
+        // like "/orders.parquet" would also claim other sf dirs' tables
+        MvRegistry.materialize(s, "q251_orders_mv", graft.rel.Tables.orders(s, d),
+          s"$d/orders.parquet", s"$work/mv.parquet",
+          Seq("o_orderpriority", "o_orderstatus"),
+          Seq("sum_cents" -> cents), withCount = Some("n_rows"))
+        val q = graft.rel.Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(sum(cents).as("sum_cents"), count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("mv.parquet") && !plan.contains("orders.parquet"),
+          s"MV rewrite did not fire:\n$plan")
+        q
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |    AS BIGINT) AS sum_cents,
+             |  count(*) AS n_orders
+             |FROM orders GROUP BY 1
+             |ORDER BY o_orderpriority""".stripMargin))
+  )
+}
+
+class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import MvRegistry._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (registered.isEmpty) return plan
+    plan.transformUp {
+      case agg @ Aggregate(_, _, child, _) =>
+        basePathOf(child).flatMap { path =>
+          registered.filter(d => path.endsWith(d.baseSuffix)).view
+            .flatMap(d => tryRewrite(agg, d)).headOption
+        }.getOrElse(agg)
+    }
+  }
+
+  /** the registered base, bare or under an attribute-only Project */
+  private def basePathOf(p: LogicalPlan): Option[String] = p match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.headOption.map(_.toString)
+    case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      basePathOf(child)
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate, d: MvDef): Option[LogicalPlan] = {
+    // grouping must be plain columns within the MV grain
+    val groupNames = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name.toLowerCase
+      case _ => return None
+    }
+    if (!groupNames.forall(d.groupCols.contains)) return None
+
+    val mvPlan = spark.read.parquet(d.mvPath).queryExecution.analyzed
+    def mvAttr(name: String): Option[Attribute] =
+      mvPlan.output.find(_.name.equalsIgnoreCase(name))
+
+    val rewritten = agg.aggregateExpressions.map {
+      case a: AttributeReference if groupNames.contains(a.name.toLowerCase) =>
+        mvAttr(a.name) match {
+          case Some(m) => Alias(m, a.name)(exprId = a.exprId)
+          case None => return None
+        }
+      case al @ Alias(ae: AggregateExpression, name)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        val merged: Option[Expression] = ae.aggregateFunction match {
+          case s: Sum =>
+            d.sums.get(normalize(s.child)).flatMap(mvAttr).map(m =>
+              Sum(m).toAggregateExpression())
+          case c: Count if c.children.forall(_.foldable) =>
+            d.countCol.flatMap(mvAttr).map(m =>
+              // count is non-null; keep that contract on the merged sum
+              Coalesce(Seq(Sum(m).toAggregateExpression(), Literal(0L))))
+          case _ => None
+        }
+        merged match {
+          case Some(m) => Alias(m, name)(exprId = al.exprId)
+          case None => return None
+        }
+      case _ => return None
+    }
+    val newGroups = agg.groupingExpressions.map {
+      case a: AttributeReference => mvAttr(a.name).get
+    }
+    Some(Aggregate(newGroups, rewritten, mvPlan))
+  }
+}
