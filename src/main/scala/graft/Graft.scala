@@ -271,6 +271,13 @@ object Graft {
   def dropMaterializedView(name: String): Unit =
     plans.MvRegistry.unregister(name)
 
+  /** Fold an append-only base delta into a registered MV — delta-sized
+    * work, provably equal to a rebuild ([[plans.MvMaintenance.refresh]]).
+    */
+  def refreshMaterializedView(spark: SparkSession, name: String,
+      delta: DataFrame, sums: Seq[(String, Column)], newMvPath: String): Unit =
+    plans.MvMaintenance.refresh(spark, name, delta, sums, newMvPath)
+
   /** Top-N key-skew report with exact shares and the salt factor to
     * hand [[saltedEquiJoin]] directly ([[rel.SkewJoin.skewReport]]).
     */

@@ -98,6 +98,35 @@ object MvRegistry {
   }
 }
 
+object MvMaintenance {
+  import org.apache.spark.sql.functions.{col, count, lit, sum}
+
+  /** INCREMENTAL REFRESH: fold an APPEND-ONLY delta of base rows into
+    * a registered MV — partial sums and counts are algebraic, so the
+    * merged MV equals a from-scratch rebuild over base ∪ delta
+    * (spec-pinned). Cost: one grain-keyed agg over the DELTA plus a
+    * re-agg of |grain| + |delta grain| rows — never the base corpus.
+    * The same two-generation discipline as the repo's other persisted
+    * artifacts: write to a new path, then re-register atomically.
+    */
+  def refresh(spark: SparkSession, name: String, delta: DataFrame,
+      sums: Seq[(String, Column)], newMvPath: String): Unit = {
+    val d = MvRegistry.registered.find(_.name == name)
+      .getOrElse(sys.error(s"no registered MV named $name"))
+    val aggs = sums.map { case (n, c) => sum(c).as(n) } ++
+      d.countCol.map(n => count(lit(1)).as(n))
+    val deltaAgg = delta.groupBy(d.groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val mergeAggs = sums.map { case (n, _) => sum(col(n)).as(n) } ++
+      d.countCol.map(n => sum(col(n)).cast("long").as(n))
+    val merged = spark.read.parquet(d.mvPath).unionByName(deltaAgg)
+      .groupBy(d.groupCols.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+    merged.write.mode("overwrite").parquet(newMvPath)
+    MvRegistry.register(d.copy(mvPath = newMvPath))
+  }
+}
+
 /** q251: the MV rewrite under the driver's correctness gate — the
   * ENTRY materializes a (priority, status) MV of order totals, then
   * runs a priority-only rollup; the rule must answer it from the MV

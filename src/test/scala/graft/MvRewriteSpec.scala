@@ -66,6 +66,37 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRegistry.unregister("mv_facts2")
   }
 
+  test("incremental refresh equals a from-scratch rebuild; queries follow") {
+    val sp = spark
+    import sp.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-mv4").toString
+    val basePath = s"$work/facts.parquet"
+    val rows0 = (1 to 60).map(i => (s"g${i % 5}", s"h${i % 3}", i.toLong))
+    rows0.toDF("g", "h", "v").write.mode("overwrite").parquet(basePath)
+    val base = sp.read.parquet(basePath)
+    MvRegistry.materialize(sp, "mv_inc", base, "/facts.parquet",
+      s"$work/mv0.parquet", Seq("g", "h"),
+      Seq("sum_v" -> col("v")), withCount = Some("n"))
+    try {
+      // append a delta to the base AND fold it into the MV
+      val rows1 = (61 to 90).map(i => (s"g${i % 5}", s"h${i % 3}", i.toLong))
+      rows1.toDF("g", "h", "v").write.mode("append").parquet(basePath)
+      graft.plans.MvMaintenance.refresh(sp, "mv_inc",
+        rows1.toDF("g", "h", "v"), Seq("sum_v" -> col("v")),
+        s"$work/mv1.parquet")
+      // the refreshed MV answers queries over the grown base exactly
+      val q = sp.read.parquet(basePath).groupBy("g")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      val plan = scannedPaths(q)
+      assert(plan.contains("mv1.parquet"), s"refreshed MV not scanned:\n$plan")
+      val got = q.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val direct = (rows0 ++ rows1).groupBy(_._1).map { case (g, xs) =>
+        g -> (xs.map(_._3).sum, xs.size.toLong) }
+      assert(got == direct)
+    } finally MvRegistry.unregister("mv_inc")
+  }
+
   test("with nothing registered every plan is untouched") {
     val sp = spark
     import sp.implicits._
