@@ -256,6 +256,13 @@ object Graft {
       upperMilli: Long, lowerMilli: Long): DataFrame =
     rel.Linkage.fellegiSunterScore(pairs, fields, upperMilli, lowerMilli)
 
+  /** SQ8 scalar-quantized ANN: byte codes on per-dimension ladders,
+    * asymmetric cosine, per-query top-k ([[llm.SqOps.sqTopK]]).
+    */
+  def sqTopK(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+      k: Int): DataFrame =
+    llm.SqOps.sqTopK(spark, emb, queries, k)
+
   /** Build, persist, and register a materialized view; subsequent
     * coarser-grain SUM/COUNT aggregations over the base are answered
     * from it transparently by the injected optimizer rule
