@@ -581,6 +581,88 @@ object StreamingOps {
              |  CAST(max(event_id) AS BIGINT) AS last_admitted_event
              |FROM ranked WHERE rn <= 5
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q253: LATE-DATA ACCOUNTING — watermark observability on
+    //      the streaming dedup operator (the stateful op that filters
+    //      late input and exports numRowsDroppedByWatermark;
+    //      aggregations in Spark finalize a never-seen late window
+    //      instead of dropping it — measured, and why this entry
+    //      audits dedup). Spark >= 3.5 filters lateness against the
+    //      PREVIOUS micro-batch's watermark (watermarkForLateEvents
+    //      leniency), so the fixture inserts a replay batch between
+    //      the watermark-advancing batch and the late one:
+    //        b1: every order at hour 10/11  -> sets wm ~10:06
+    //        b2: exact replays of k%17==0   -> dedup swallows them,
+    //            and the b1 watermark becomes the operative late bar
+    //        b3: k%5==0 at hour 2 (DROPPED late) + k%5==1 at hour 12
+    //      The entry emits per-hour admitted counts + the engine's own
+    //      dropped-row total; every number replays in SQL because the
+    //      batches are pure functions of the order keys. ----
+    "q253_stream_late_audit" -> Q(
+      (s, d) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-q253")
+          .toString
+        val in = s"$work/in"
+        val k = col("o_orderkey").cast("long")
+        // epoch seconds, session TZ is UTC: 2024-01-01 hours 2/10/12
+        val base = graft.rel.Tables.orders(s, d).select(k.as("k"))
+        val batch1 = base.select(col("k"),
+          (lit(1704103200L) + pmod(col("k"), lit(2)) * 3600 +
+            pmod(col("k"), lit(7)) * 60).cast("timestamp").as("ts"))
+        def ts(hourEpoch: Long) =
+          (lit(hourEpoch) + pmod(col("k"), lit(7)) * 60).cast("timestamp")
+        def writeBatch(df: DataFrame): Unit = {
+          val before = Option(new java.io.File(in).listFiles()).toSeq
+            .flatten.filter(_.getName.startsWith("part-")).toSet
+          df.coalesce(1).write.mode("append").parquet(in)
+          // the file source orders the backlog by (mtime, path); ties
+          // would reorder batches — force the intended order (q57)
+          if (before.nonEmpty) {
+            val m = before.map(_.lastModified()).max
+            Option(new java.io.File(in).listFiles()).toSeq.flatten
+              .filter(f => f.getName.startsWith("part-") && !before(f))
+              .foreach(f => f.setLastModified(m + 60000))
+          }
+        }
+        writeBatch(batch1)
+        writeBatch(batch1.filter(pmod(col("k"), lit(17)) === 0))
+        writeBatch(base.filter(pmod(col("k"), lit(5)) === 0)
+          .select(col("k"), ts(1704074400L).as("ts"))
+          .unionAll(base.filter(pmod(col("k"), lit(5)) === 1)
+            .select(col("k"), ts(1704110400L).as("ts"))))
+        val sch = s.read.parquet(in).schema
+        val src = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val admitted = src.withWatermark("ts", "1 hour")
+          .dropDuplicates("k", "ts")
+        val q = admitted.writeStream.format("memory")
+          .queryName("stream_late_audit").outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val dropped = q.recentProgress
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .map(_.numRowsDroppedByWatermark).sum
+        s.table("stream_late_audit")
+          .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+          .agg(count(lit(1)).as("n_admitted"))
+          .withColumn("late_dropped_total", lit(dropped))
+          .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+            col("n_admitted").cast("long"), col("late_dropped_total"))
+          .orderBy("hour_start")
+      },
+      Some("""WITH k AS (SELECT o_orderkey AS k FROM orders),
+             |c AS (
+             |  SELECT TIMESTAMP '2024-01-01 10:00:00' AS hour_start,
+             |    count(*) AS n_admitted FROM k WHERE k % 2 = 0
+             |  UNION ALL
+             |  SELECT TIMESTAMP '2024-01-01 11:00:00', count(*)
+             |  FROM k WHERE k % 2 = 1
+             |  UNION ALL
+             |  SELECT TIMESTAMP '2024-01-01 12:00:00', count(*)
+             |  FROM k WHERE k % 5 = 1),
+             |dr AS (SELECT count(*) AS n FROM k WHERE k % 5 = 0)
+             |SELECT hour_start, CAST(n_admitted AS BIGINT) AS n_admitted,
+             |  CAST(dr.n AS BIGINT) AS late_dropped_total
+             |FROM c, dr ORDER BY hour_start""".stripMargin)),
   )
 
   /** Per-key quota state: events admitted so far + the max event ts seen
