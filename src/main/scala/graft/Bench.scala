@@ -97,7 +97,12 @@ object Bench {
       // k-anonymity audit (q245 stays out: streaming harness)
       "q239_connected_components", "q240_sorted_neighborhood",
       "q241_k_anonymity", "q242_cdc_scd2", "q243_fellegi_sunter",
-      "q244_incr_components")
+      "q244_incr_components",
+      // round-9 third continuation: composed ER, grouped AUC, WoE,
+      // generalization, skew report, MV rewrite (q252 ANN dump is
+      // fixture-guarded to sf0.01; q245/q253 are streaming harnesses)
+      "q246_entity_resolution", "q247_grouped_auc", "q248_woe_encode",
+      "q249_generalize", "q250_skew_report", "q251_mv_rewrite")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))
