@@ -46,7 +46,8 @@ object SparkEntry {
       graft.graph.ConnectedComponents.all ++ graft.llm.SortedNeighborhood.all ++
       graft.rel.Privacy.all ++ graft.rel.Linkage.all ++
       graft.rel.EntityResolution.all ++ graft.rel.SkewJoin.all ++
-      graft.plans.MvQueries.all ++ graft.llm.SqOps.all
+      graft.plans.MvQueries.all ++ graft.llm.SqOps.all ++
+      graft.rel.Sampling.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

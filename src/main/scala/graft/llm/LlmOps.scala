@@ -306,6 +306,41 @@ object LlmOps {
              |ORDER BY jac DESC, da, db LIMIT 20""".stripMargin),
       headline = true),
 
+    // ---- q255: CROSS-SOURCE DUPLICATION MATRIX — where the near-dups
+    //      COME FROM: every ≥ 0.5-Jaccard pair attributed to its
+    //      unordered (source, source) cell. The mirror-crawl /
+    //      re-scrape diagnostic a corpus audit runs before choosing
+    //      which source to drop; reuses the exact q34 pair machinery
+    //      (hash-green, so the jac doubles are engine-identical and
+    //      the threshold decision cannot diverge). ----
+    "q255_source_overlap" -> Q(
+      (s, d) => {
+        val pairs = Dedup.jaccardPairs(s,
+            docs(s, d).select(col("doc_id").as("id"), col("text")),
+            minJaccard = 0.0)
+          .filter(col("jac") >= 0.5)
+          .select(col("ida").as("da"), col("idb").as("db"))
+        val src = docs(s, d).select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+          .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+          .groupBy(least(col("sa"), col("sb")).as("source_lo"),
+            greatest(col("sa"), col("sb")).as("source_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_lo", "source_hi")
+      },
+      Some(s"""WITH ${pairOracleCtes()},
+             |p AS (SELECT da, db
+             |  FROM i JOIN z za ON i.da = za.doc_id
+             |  JOIN z zb ON i.db = zb.doc_id
+             |  WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5),
+             |m AS (SELECT least(a.source, b.source) AS source_lo,
+             |    greatest(a.source, b.source) AS source_hi
+             |  FROM p JOIN documents a ON p.da = a.doc_id
+             |  JOIN documents b ON p.db = b.doc_id)
+             |SELECT source_lo, source_hi, count(*) AS n_pairs
+             |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- prefix-filtered Jaccard join at a REAL threshold (t = 0.4):
     //      df-ordered prefixes bound the candidate space, exact verify
     //      restores bit-parity with the full q34 pair machinery; the
