@@ -278,6 +278,19 @@ object Graft {
   def dropMaterializedView(name: String): Unit =
     plans.MvRegistry.unregister(name)
 
+  /** Declare a verified PK/FK constraint between two parquet tables;
+    * inner joins that read no dimension column are then eliminated by
+    * the injected optimizer rule ([[plans.FkRegistry]],
+    * [[plans.FkJoinEliminationRule]]).
+    */
+  def declareForeignKey(name: String, factPathSuffix: String, fkCol: String,
+      dimPathSuffix: String, pkCol: String): Unit =
+    plans.FkRegistry.register(plans.FkRegistry.FkConstraint(
+      name, factPathSuffix, fkCol, dimPathSuffix, pkCol))
+
+  /** Drop a declared PK/FK constraint. */
+  def dropForeignKey(name: String): Unit = plans.FkRegistry.unregister(name)
+
   /** Fold an append-only base delta into a registered MV — delta-sized
     * work, provably equal to a rebuild ([[plans.MvMaintenance.refresh]]).
     */

@@ -86,9 +86,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VecFunctions.vecDotDescriptor)
     ext.injectFunction(VecFunctions.vecCosineDescriptor)
     ext.injectFunction(ZValue.descriptor)
-    // MV query rewrite (no-op until an MV is registered; see
-    // graft.plans.MvRegistry)
+    // MV query rewrite + FK join elimination (both no-ops until
+    // something is registered; see graft.plans.{MvRegistry, FkRegistry})
     ext.injectOptimizerRule(session => new graft.plans.MvRewriteRule(session))
+    ext.injectOptimizerRule(session => new graft.plans.FkJoinEliminationRule(session))
   }
 }
 
