@@ -102,7 +102,9 @@ object Bench {
       // generalization, skew report, MV rewrite (q252 ANN dump is
       // fixture-guarded to sf0.01; q245/q253 are streaming harnesses)
       "q246_entity_resolution", "q247_grouped_auc", "q248_woe_encode",
-      "q249_generalize", "q250_skew_report", "q251_mv_rewrite")
+      "q249_generalize", "q250_skew_report", "q251_mv_rewrite",
+      "q254_stratified_sample", "q255_source_overlap",
+      "q256_join_elimination")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

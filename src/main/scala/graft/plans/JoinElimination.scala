@@ -123,9 +123,92 @@ class FkJoinEliminationRule(spark: SparkSession) extends Rule[LogicalPlan] {
 object FkQueries {
   import scala.collection.immutable.ListMap
   import graft.rel.RelQueries.Q
-  import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+  import org.apache.spark.sql.functions.{col, count, lit, round, sum, when}
+  import org.apache.spark.sql.DataFrame
+
+  /** REFERENTIAL-INTEGRITY AUDIT — the verification q256's declaration
+    * contract demands, as an operator: for one claimed fact.fk →
+    * dim.pk relationship, count dangling foreign keys (non-null fk
+    * with no dim match — one broadcast-able anti-join), null fks
+    * (excluded from the FK contract but worth surfacing), and
+    * duplicate primary keys (one keyed agg), plus the verdict flag.
+    * Run it, read `fk_valid`, then declare. One row out.
+    */
+  def fkAudit(name: String, fact: DataFrame, fkCol: String,
+      dim: DataFrame, pkCol: String): DataFrame = {
+    val pks = dim.select(col(pkCol).as("__pk"))
+    val dangling = fact.select(col(fkCol).as("__fk"))
+      .filter(col("__fk").isNotNull)
+      // no broadcast hint: the dim key set can itself be fact-sized
+      // (lineitem->orders); AQE broadcasts when it is actually small
+      .join(pks, col("__fk") === col("__pk"), "left_anti")
+      .agg(count(lit(1)).as("n_dangling"))
+    val nulls = fact.agg(
+      sum(when(col(fkCol).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+    val dups = pks.groupBy("__pk").agg(count(lit(1)).as("__n"))
+      .agg(sum(when(col("__n") > 1, col("__n")).otherwise(0L))
+        .as("n_dup_pk_rows"))
+    dangling.crossJoin(nulls).crossJoin(dups)
+      .select(lit(name).as("relationship"), col("n_dangling"),
+        col("n_null_fk"), col("n_dup_pk_rows"),
+        (col("n_dangling") === 0 && col("n_dup_pk_rows") === 0)
+          .as("fk_valid"))
+  }
 
   val all: ListMap[String, Q] = ListMap(
+    // ---- q257: the audit for three claimed relationships of the
+    //      TPC-H-ish schema in one relation — orders→customer and
+    //      lineitem→{orders, part}. Whatever the synthetic generator
+    //      did (including violations) is the point: the audit REPORTS
+    //      it, and the oracle replays every count. ----
+    "q257_fk_audit" -> Q(
+      (s, d) => {
+        import graft.rel.Tables
+        fkAudit("orders.o_custkey->customer.c_custkey",
+            Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey")
+          .unionByName(fkAudit("lineitem.l_orderkey->orders.o_orderkey",
+            Tables.lineitem(s, d), "l_orderkey",
+            Tables.orders(s, d), "o_orderkey"))
+          .unionByName(fkAudit("lineitem.l_partkey->part.p_partkey",
+            Tables.lineitem(s, d), "l_partkey",
+            Tables.part(s, d), "p_partkey"))
+          .orderBy("relationship")
+      },
+      Some("""WITH rel AS (
+             |  SELECT 'orders.o_custkey->customer.c_custkey' AS relationship,
+             |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+             |      AND o_custkey NOT IN (SELECT c_custkey FROM customer
+             |                            WHERE c_custkey IS NOT NULL))
+             |      AS n_dangling,
+             |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+             |      AS n_null_fk,
+             |    (SELECT coalesce(sum(n), 0) FROM (
+             |      SELECT count(*) AS n FROM customer GROUP BY c_custkey
+             |      HAVING count(*) > 1)) AS n_dup_pk_rows
+             |  UNION ALL
+             |  SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+             |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+             |      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+             |                             WHERE o_orderkey IS NOT NULL)),
+             |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL),
+             |    (SELECT coalesce(sum(n), 0) FROM (
+             |      SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+             |      HAVING count(*) > 1))
+             |  UNION ALL
+             |  SELECT 'lineitem.l_partkey->part.p_partkey',
+             |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+             |      AND l_partkey NOT IN (SELECT p_partkey FROM part
+             |                            WHERE p_partkey IS NOT NULL)),
+             |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+             |    (SELECT coalesce(sum(n), 0) FROM (
+             |      SELECT count(*) AS n FROM part GROUP BY p_partkey
+             |      HAVING count(*) > 1)))
+             |SELECT relationship, CAST(n_dangling AS BIGINT) AS n_dangling,
+             |  CAST(n_null_fk AS BIGINT) AS n_null_fk,
+             |  CAST(n_dup_pk_rows AS BIGINT) AS n_dup_pk_rows,
+             |  n_dangling = 0 AND n_dup_pk_rows = 0 AS fk_valid
+             |FROM rel ORDER BY relationship""".stripMargin)),
     "q256_join_elimination" -> Q(
       (s, d) => {
         FkRegistry.register(FkRegistry.FkConstraint("q256_orders_customer",
