@@ -793,6 +793,13 @@ object Graft {
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame =
     graph.ConnectedComponents.connectedComponents(spark, edges)
 
+  /** Per-node local clustering coefficients (exact triangle/degree
+    * pairs, rounded division)
+    * ([[graph.Triangles.clusteringCoefficients]]).
+    */
+  def clusteringCoefficients(spark: SparkSession, edges: DataFrame): DataFrame =
+    graph.Triangles.clusteringCoefficients(spark, edges)
+
   /** Fold a delta edge batch into existing component labels via the
     * label-quotient graph — corpus touched by two joins, iteration
     * bounded by the batch

@@ -127,6 +127,36 @@ object Triangles {
     counts
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per node: 2·tri(v) / (deg(v)·(deg(v)−1))
+    * — how close each node's neighborhood is to a clique, the standard
+    * community-tightness signal on top of the triangle machinery.
+    * Degrees come from one agg over the same canonical undirected edge
+    * set; zero-triangle nodes keep coefficient 0 (left join), degree-1
+    * nodes are excluded (undefined denominator). The count pair is
+    * exact; the one float op is the rounded division, a fixed chain
+    * both engines share.
+    */
+  def clusteringCoefficients(s: SparkSession, edges: DataFrame,
+      adjRowBytesCap: Long = 1L << 28): DataFrame = {
+    val und = edges
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(s, edges, adjRowBytesCap)
+    deg.join(tri, Seq("node"), "left")
+      .filter(col("degree") >= 2)
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_r6", round(
+        lit(2.0) * col("n_tri") /
+          (col("degree") * (col("degree") - lit(1.0))), 6))
+  }
+
   /** q118: the part CO-PURCHASE graph — parts are adjacent when they
     * co-occur in an order (per-order pair fan-out is C(basket, 2),
     * bounded by basket size, so the edge build needs no cap). The
@@ -155,5 +185,40 @@ object Triangles {
              |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
              |SELECT CAST(k AS BIGINT) AS part_key, count(*) AS n_tri
              |FROM r GROUP BY k ORDER BY part_key""".stripMargin)),
+
+    // ---- q258: local clustering coefficients of the q118 graph —
+    //      exact (tri, degree) pairs, one rounded division; degree-1
+    //      nodes excluded, triangle-free nodes at 0. ----
+    "q258_clustering_coeff" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        clusteringCoefficients(s, edges)
+          .select(col("node").cast("long"), col("degree").cast("long"),
+            col("n_tri").cast("long"), col("coeff_r6"))
+          .orderBy("node")
+      },
+      Some("""WITH pp AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+             |    FROM lineitem a JOIN lineitem b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |tri AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+             |  FROM pp e1 JOIN pp e2 ON e1.pb = e2.pa
+             |    JOIN pp e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+             |r AS (SELECT x AS k FROM tri
+             |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+             |t AS (SELECT k, count(*) AS n_tri FROM r GROUP BY k),
+             |deg AS (SELECT k, count(*) AS degree FROM (
+             |  SELECT pa AS k FROM pp UNION ALL SELECT pb FROM pp)
+             |  GROUP BY k)
+             |SELECT CAST(deg.k AS BIGINT) AS node,
+             |  CAST(degree AS BIGINT) AS degree,
+             |  CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+             |  round(2.0 * coalesce(t.n_tri, 0)
+             |    / (degree * (degree - 1.0)), 6) AS coeff_r6
+             |FROM deg LEFT JOIN t ON deg.k = t.k
+             |WHERE degree >= 2 ORDER BY node""".stripMargin)),
   )
 }

@@ -53,4 +53,25 @@ class TrianglesSpec extends SparkSpec {
       run(Seq((0L, 1L << 31)))
     }
   }
+
+  test("clustering coefficients: clique 1.0, mixed node, pendant excluded") {
+    val sp = spark
+    import sp.implicits._
+    // triangle {1,2,3} with a pendant 4 hanging off node 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("a", "b")
+    val got = Triangles.clusteringCoefficients(sp, edges)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))          // closed neighborhood
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 0.333333)))     // 2·1/(3·2)
+    assert(!got.contains(4L))                   // degree 1: undefined
+    // triangle-free node with degree >= 2 reports coefficient 0
+    val path = Seq((10L, 11L), (11L, 12L)).toDF("a", "b")
+    val mid = Triangles.clusteringCoefficients(sp, path).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(mid == Map(11L -> 0.0))
+  }
 }
