@@ -444,6 +444,14 @@ object Graft {
   /** Apply a CDC change batch (I/U/D + sequence, last-writer-wins) to a
     * keyed snapshot ([[rel.Cdc.applyBatch]] — the MERGE INTO primitive).
     */
+  /** Diff two keyed snapshots into the minimal I/U/D change batch;
+    * applyBatch(a, cdcDiff(a, b)) reconstructs b exactly
+    * ([[rel.Cdc.diff]]).
+    */
+  def cdcDiff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+      seq: Long = 1L): DataFrame =
+    rel.Cdc.diff(oldSnap, newSnap, keys, seq)
+
   /** SCD2 version history straight from a sequenced CDC change log
     * ([[rel.Cdc.scd2History]]).
     */

@@ -129,6 +129,44 @@ object Cdc {
       .drop(opCol)
   }
 
+  /** CHANGE-LOG GENERATION — the inverse of [[applyBatch]]: diff two
+    * keyed snapshots into the minimal I/U/D batch that transforms the
+    * old into the new. The closure property `applyBatch(a, diff(a, b))
+    * ≡ b` is what makes the pair a complete replication toolkit
+    * (spec-pinned on randomized snapshots); diff feeds scd2History for
+    * log-shaped archival of snapshot-shaped sources. One full outer
+    * join on the key — at scale both sides shuffle once on the key
+    * they are usually already bucketed by (the q237-family layout).
+    * Payload comparison is null-safe per column (a NULL→value change
+    * is a U, not a no-op).
+    */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+      seq: Long = 1L, seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    val payload = oldSnap.columns.filterNot(keys.contains)
+    require(payload.sameElements(newSnap.columns.filterNot(keys.contains)),
+      "snapshots must share the same payload columns")
+    val o = oldSnap.select(
+      struct(keys.map(col): _*).as("__k"),
+      struct(payload.map(col): _*).as("__po"))
+    val n = newSnap.select(
+      struct(keys.map(col): _*).as("__k"),
+      struct(payload.map(col): _*).as("__pn"))
+    val j = o.join(n, Seq("__k"), "full_outer")
+    val op = when(col("__po").isNull, "I")
+      .when(col("__pn").isNull, "D")
+      .otherwise("U")
+    j.filter(col("__po").isNull || col("__pn").isNull ||
+        !(col("__po") <=> col("__pn")))
+      .select(Seq(col("__k.*")) ++
+        // payload chosen per ROW, not per column: a per-column coalesce
+        // would resurrect the OLD value wherever the new payload is
+        // legitimately NULL (value→NULL updates — caught by the
+        // apply∘diff closure property)
+        payload.map(c => when(col("__pn").isNull, col(s"__po.$c"))
+          .otherwise(col(s"__pn.$c")).as(c)) ++
+        Seq(op.as(opCol), lit(seq).as(seqCol)): _*)
+  }
+
   /** q237's oracle — shared verbatim by q238: the streaming loop must
     * land on the exact batch-merge result
     */
@@ -242,6 +280,41 @@ object Cdc {
         snapshotOf(s.read.parquet(statePath(gen - 1))).orderBy("k")
       },
       Some(cdcOracle)),
+
+    // ---- q259: CHANGE-LOG GENERATION — diff two order snapshots
+    //      (deletes %10=0, cent-bumped updates %10=1, inserted fresh
+    //      keys for %10=2) into the minimal I/U/D batch. The oracle
+    //      states the EXPECTED log in closed form from the fixture's
+    //      construction — the strongest shape: the diff must emit
+    //      exactly the edits that were made, nothing else. The
+    //      apply∘diff ≡ identity closure is property-pinned in
+    //      CdcSpec. ----
+    "q259_cdc_diff" -> Q(
+      (s, d) => {
+        val a = Tables.orders(s, d).select(
+          col("o_orderkey").cast("long").as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          col("o_orderstatus").as("status"))
+        val b = a.filter(col("k") % 10 =!= 0)
+          .select(col("k"),
+            when(col("k") % 10 === 1, col("cents") + 100)
+              .otherwise(col("cents")).as("cents"), col("status"))
+          .unionAll(a.filter(col("k") % 10 === 2)
+            .select((col("k") + 100000000L).as("k"), col("cents"),
+              lit("I").as("status")))
+        diff(a, b, Seq("k")).orderBy("k")
+      },
+      Some("""WITH a AS (SELECT o_orderkey AS k,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |    o_orderstatus AS status
+             |  FROM orders)
+             |SELECT k, cents, status, 'D' AS op, 1 AS seq
+             |  FROM a WHERE k % 10 = 0
+             |UNION ALL
+             |SELECT k, cents + 100, status, 'U', 1 FROM a WHERE k % 10 = 1
+             |UNION ALL
+             |SELECT k + 100000000, cents, 'I', 'I', 1 FROM a WHERE k % 10 = 2
+             |ORDER BY k""".stripMargin)),
 
     // ---- q242: SCD2 HISTORY FROM A CDC LOG — each customer's orders
     //      replayed as that customer's change log (seq = o_orderkey,

@@ -165,6 +165,29 @@ class CdcSpec extends SparkSpec {
     sp.sql("DROP TABLE IF EXISTS cdc_state_gen0")
   }
 
+  test("property: applyBatch(a, diff(a, b)) reconstructs b exactly") {
+    val sp = s
+    import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      // random keyed snapshots with overlapping keys, null payloads,
+      // and identical rows (which must NOT appear in the diff)
+      def snap() = (1L to 60L).flatMap { k =>
+        if (rnd.nextInt(4) == 0) None
+        else Some((k, if (rnd.nextInt(6) == 0) null
+          else s"v${rnd.nextInt(3)}", rnd.nextInt(5).toLong))
+      }.toDF("k", "s", "n")
+      val (a, b) = (snap(), snap())
+      val log = Cdc.diff(a, b, Seq("k"))
+      // no-op keys (identical payload) must be absent from the log
+      val noop = a.intersect(b).select("k")
+      assert(log.join(noop, "k").isEmpty)
+      val rebuilt = Cdc.applyBatch(a, log, Seq("k"))
+      assert(rebuilt.exceptAll(b).isEmpty && b.exceptAll(rebuilt).isEmpty,
+        "apply(diff) did not reconstruct the target snapshot")
+    }
+  }
+
   test("scd2History: versions, delete-closed intervals, reinsert, current") {
     val sp = s
     import sp.implicits._
