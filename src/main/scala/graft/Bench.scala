@@ -104,7 +104,11 @@ object Bench {
       "q246_entity_resolution", "q247_grouped_auc", "q248_woe_encode",
       "q249_generalize", "q250_skew_report", "q251_mv_rewrite",
       "q254_stratified_sample", "q255_source_overlap",
-      "q256_join_elimination")
+      "q256_join_elimination",
+      // round-9 final stretch: FK audit, clustering coefficients,
+      // CDC diff, blocking quality
+      "q257_fk_audit", "q258_clustering_coeff", "q259_cdc_diff",
+      "q260_blocking_quality")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

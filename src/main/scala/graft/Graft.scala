@@ -247,6 +247,13 @@ object Graft {
       matchMilli: Long): DataFrame =
     rel.EntityResolution.resolveDocuments(spark, docs, w, matchMilli)
 
+  /** Pairs-completeness and reduction-ratio of a blocking stage vs a
+    * ground-truth pair set ([[rel.EntityResolution.blockingQuality]]).
+    */
+  def blockingQuality(candidates: DataFrame, truePairs: DataFrame,
+      nRecords: Long): DataFrame =
+    rel.EntityResolution.blockingQuality(candidates, truePairs, nRecords)
+
   /** Fellegi–Sunter linkage scores over candidate pairs: exact
     * milli-bit weight sum + match/possible/nonmatch class
     * ([[rel.Linkage.fellegiSunterScore]]).

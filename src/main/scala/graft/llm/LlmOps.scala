@@ -306,6 +306,59 @@ object LlmOps {
              |ORDER BY jac DESC, da, db LIMIT 20""".stripMargin),
       headline = true),
 
+    // ---- q260: BLOCKING QUALITY of the sorted-neighborhood blocker —
+    //      pairs completeness (recall of the candidate stage against
+    //      the ≥ 0.5-Jaccard ground truth) and reduction ratio (the
+    //      fraction of C(n,2) never touched), the two numbers every
+    //      blocker is judged by. Exact counts, engine-computed rounded
+    //      divisions, full SQL replay of BOTH pair sets. ----
+    "q260_blocking_quality" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val n = dd.count()
+        val cands = graft.llm.SortedNeighborhood.neighborhoodPairs(
+          dd.select(col("doc_id"),
+            lower(substring(col("text"), 1, 32)).as("key")),
+          Seq(col("key"), col("doc_id")), "doc_id", w = 10)
+        val truth = Dedup.jaccardPairs(s,
+            dd.select(col("doc_id").as("id"), col("text")),
+            minJaccard = 0.0)
+          .filter(col("jac") >= 0.5)
+          .select(col("ida").as("id_a"), col("idb").as("id_b"))
+        graft.rel.EntityResolution.blockingQuality(cands, truth, n)
+          .select(col("n_candidates").cast("long"), col("n_true").cast("long"),
+            col("n_hit").cast("long"), col("pairs_completeness_r6"),
+            col("reduction_ratio_r6"))
+      },
+      Some(s"""WITH ${pairOracleCtes()},
+             |tp AS (SELECT da AS lo, db AS hi
+             |  FROM i JOIN z za ON i.da = za.doc_id
+             |  JOIN z zb ON i.db = zb.doc_id
+             |  WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5),
+             |r AS (SELECT doc_id,
+             |    row_number() OVER (ORDER BY lower(substr(text, 1, 32)),
+             |      doc_id) AS rk
+             |  FROM documents),
+             |cp AS (SELECT a.doc_id AS lo, b.doc_id AS hi
+             |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 10),
+             |cc AS (SELECT least(lo, hi) AS lo, greatest(lo, hi) AS hi
+             |  FROM cp GROUP BY 1, 2),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |agg AS (SELECT
+             |  (SELECT count(*) FROM cc) AS n_candidates,
+             |  (SELECT count(*) FROM tp) AS n_true,
+             |  (SELECT count(*) FROM cc JOIN tp
+             |     ON cc.lo = tp.lo AND cc.hi = tp.hi) AS n_hit)
+             |SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+             |  CAST(n_true AS BIGINT) AS n_true,
+             |  CAST(n_hit AS BIGINT) AS n_hit,
+             |  CASE WHEN n_true = 0 THEN 1.0
+             |    ELSE round(CAST(n_hit AS DOUBLE) / n_true, 6) END
+             |    AS pairs_completeness_r6,
+             |  round(1.0 - CAST(n_candidates AS DOUBLE)
+             |    / (nn.n * (nn.n - 1) / 2), 6) AS reduction_ratio_r6
+             |FROM agg, nn""".stripMargin)),
+
     // ---- q255: CROSS-SOURCE DUPLICATION MATRIX — where the near-dups
     //      COME FROM: every ≥ 0.5-Jaccard pair attributed to its
     //      unordered (source, source) cell. The mirror-crawl /

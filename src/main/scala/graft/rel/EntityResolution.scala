@@ -65,6 +65,36 @@ object EntityResolution {
       .select("doc_id", "cluster_id", "cluster_size", "golden_id")
   }
 
+  /** BLOCKING QUALITY — the two numbers every blocker is judged by
+    * (Christen 2012): PAIRS COMPLETENESS = |candidates ∩ true pairs| /
+    * |true pairs| (recall of the blocking stage — what the pipeline
+    * can never get back) and REDUCTION RATIO = 1 − |candidates| /
+    * C(n,2) (how much of the quadratic space it refused to touch).
+    * Exact integer counts + two fixed rounded divisions; candidate and
+    * truth sets join on canonicalized (lo, hi) pairs so orientation
+    * can't double- or zero-count.
+    */
+  def blockingQuality(candidates: DataFrame, truePairs: DataFrame,
+      nRecords: Long): DataFrame = {
+    def canon(df: DataFrame) = df.select(
+      least(col("id_a"), col("id_b")).as("lo"),
+      greatest(col("id_a"), col("id_b")).as("hi")).distinct()
+    val c = canon(candidates); val t = canon(truePairs)
+    // all four numbers and both rounded divisions are ENGINE
+    // expressions (1-row aggs crossed), so the oracle's identical SQL
+    // chain cannot round differently
+    val nC = c.agg(count(lit(1)).as("n_candidates"))
+    val nT = t.agg(count(lit(1)).as("n_true"))
+    val hit = c.join(t, Seq("lo", "hi")).agg(count(lit(1)).as("n_hit"))
+    val total = nRecords * (nRecords - 1) / 2
+    nC.crossJoin(nT).crossJoin(hit)
+      .withColumn("pairs_completeness_r6",
+        when(col("n_true") === 0, 1.0)
+          .otherwise(round(col("n_hit").cast("double") / col("n_true"), 6)))
+      .withColumn("reduction_ratio_r6",
+        round(lit(1.0) - col("n_candidates").cast("double") / lit(total), 6))
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- q246: the full ER pipeline on documents — block w=10, score
     //      on (lang, source, len band), accept ≥ 4000 milli-bits,
