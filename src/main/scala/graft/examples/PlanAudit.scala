@@ -32,7 +32,8 @@ object PlanAudit {
         "q211_scc", "q214_bitmap_rollup", "q215_theilsen", "q216_hhi",
         "q218_incr_join", "q233_retrieval_eval", "q235_temporal_split",
         "q237_cdc_apply", "q239_connected_components",
-        "q240_sorted_neighborhood")
+        "q240_sorted_neighborhood", "q246_entity_resolution",
+        "q255_source_overlap", "q258_clustering_coeff")
     val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")
