@@ -108,7 +108,7 @@ object Bench {
       // round-9 final stretch: FK audit, clustering coefficients,
       // CDC diff, blocking quality
       "q257_fk_audit", "q258_clustering_coeff", "q259_cdc_diff",
-      "q260_blocking_quality")
+      "q260_blocking_quality", "q261_multipass_snm", "q262_fd_audit")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -54,6 +54,22 @@ object SortedNeighborhood {
         (col("rk_b") - col("rk_a")).as("rank_gap"))
   }
 
+  /** MULTI-PASS SNM (the Hernández–Stolfo recall fix): one pass per
+    * sort key, canonical-pair union — a near-dup pair missed by one
+    * key's window (different prefixes, same tail) is caught by
+    * another's. Pair volume stays linear: ≤ |keys|·w·n.
+    */
+  def multiPassPairs(df: DataFrame,
+      passes: Seq[Seq[org.apache.spark.sql.Column]], id: String, w: Int)
+      : DataFrame = {
+    require(passes.nonEmpty, "need at least one pass")
+    passes.map(p => neighborhoodPairs(df, p, id, w)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b")))
+      .reduce(_ unionAll _)
+      .distinct()
+  }
+
   /** q240: SNM near-dup pairs over the documents corpus — sort key =
     * lowercased 32-char prefix (id tie-break), window 10, verified by
     * Levenshtein ≤ 8 on the 64-char prefixes. The oracle replays the
@@ -97,6 +113,39 @@ object SortedNeighborhood {
              |  CAST(id_b AS BIGINT) AS id_b,
              |  CAST(rank_gap AS BIGINT) AS rank_gap, lev
              |FROM p WHERE lev <= 8
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- q261: MULTI-PASS SNM — prefix pass ∪ reversed-text (suffix)
+    //      pass: dup pairs whose edits hit the head sort adjacently in
+    //      the second pass and vice versa. Canonical distinct pairs;
+    //      oracle replays both windows and the union. ----
+    "q261_multipass_snm" -> Q(
+      (s, d) => {
+        val dd = Tables.documents(s, d).select(col("doc_id"),
+          lower(substring(col("text"), 1, 32)).as("k1"),
+          substring(reverse(lower(col("text"))), 1, 32).as("k2"))
+        multiPassPairs(dd,
+          Seq(Seq(col("k1"), col("doc_id")), Seq(col("k2"), col("doc_id"))),
+          "doc_id", w = 10)
+          .select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, lower(substr(text, 1, 32)) AS k1,
+             |    substr(reverse(lower(text)), 1, 32) AS k2
+             |  FROM documents),
+             |r1 AS (SELECT doc_id,
+             |    row_number() OVER (ORDER BY k1, doc_id) AS rk FROM k),
+             |r2 AS (SELECT doc_id,
+             |    row_number() OVER (ORDER BY k2, doc_id) AS rk FROM k),
+             |p AS (
+             |  SELECT a.doc_id AS x, b.doc_id AS y FROM r1 a JOIN r1 b
+             |    ON b.rk > a.rk AND b.rk - a.rk < 10
+             |  UNION
+             |  SELECT a.doc_id, b.doc_id FROM r2 a JOIN r2 b
+             |    ON b.rk > a.rk AND b.rk - a.rk < 10)
+             |SELECT DISTINCT CAST(least(x, y) AS BIGINT) AS id_a,
+             |  CAST(greatest(x, y) AS BIGINT) AS id_b
+             |FROM p ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -53,7 +53,61 @@ object Quality {
     * counts pin at zero — the checked claim is the counts, whatever
     * they are.)
     */
+  /** FUNCTIONAL-DEPENDENCY AUDIT — does X → Y actually hold in the
+    * data? Per claimed dependency: distinct X values, X values bound
+    * to MORE than one Y (the violations), the worst fan-out, and the
+    * verdict. One keyed count-distinct per dependency (two map-side
+    * combinable aggs), one summary row out — the schema-inference /
+    * normalization pre-check, and the FD sibling of the q257 key
+    * audit.
+    */
+  def fdAudit(name: String, df: DataFrame, lhs: Seq[String], rhs: String)
+      : DataFrame = {
+    val per = df.groupBy(lhs.map(col): _*)
+      .agg(countDistinct(col(rhs)).as("__nrhs"))
+    per.agg(count(lit(1)).as("n_lhs"),
+        sum(when(col("__nrhs") > 1, 1L).otherwise(0L)).as("n_violating_lhs"),
+        max(col("__nrhs")).as("max_fanout"))
+      .select(lit(name).as("dependency"), col("n_lhs"),
+        col("n_violating_lhs"), col("max_fanout"),
+        (col("n_violating_lhs") === 0).as("fd_holds"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q262: FD audit for two claimed dependencies — nation →
+    //      region (holds by schema construction) and customer nation →
+    //      market segment (massively violated: segments are assigned
+    //      independently of geography, and the audit proves it with
+    //      the fan-out). Oracle replays both audits. ----
+    "q262_fd_audit" -> Q(
+      (s, d) => {
+        fdAudit("nation.n_nationkey->n_regionkey",
+            Tables.nation(s, d), Seq("n_nationkey"), "n_regionkey")
+          .unionByName(fdAudit("customer.c_nationkey->c_mktsegment",
+            Tables.customer(s, d), Seq("c_nationkey"), "c_mktsegment"))
+          .orderBy("dependency")
+      },
+      Some("""WITH f1 AS (SELECT n_nationkey,
+             |    count(DISTINCT n_regionkey) AS nr
+             |  FROM nation GROUP BY 1),
+             |f2 AS (SELECT c_nationkey,
+             |    count(DISTINCT c_mktsegment) AS nr
+             |  FROM customer GROUP BY 1),
+             |rel AS (
+             |  SELECT 'customer.c_nationkey->c_mktsegment' AS dependency,
+             |    count(*) AS n_lhs,
+             |    sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS n_violating_lhs,
+             |    max(nr) AS max_fanout
+             |  FROM f2
+             |  UNION ALL
+             |  SELECT 'nation.n_nationkey->n_regionkey', count(*),
+             |    sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END), max(nr)
+             |  FROM f1)
+             |SELECT dependency, CAST(n_lhs AS BIGINT) AS n_lhs,
+             |  CAST(n_violating_lhs AS BIGINT) AS n_violating_lhs,
+             |  CAST(max_fanout AS BIGINT) AS max_fanout,
+             |  n_violating_lhs = 0 AS fd_holds
+             |FROM rel ORDER BY dependency""".stripMargin)),
     "q139_data_quality" -> Q(
       (s, d) => {
         val li = Tables.lineitem(s, d)

@@ -39,4 +39,23 @@ class QualitySpec extends SparkSpec {
     val clean = Quality.duplicateKeys(parent, "d0", Seq("pk")).collect().head
     assert(clean.getLong(1) == 0L)
   }
+
+  test("fdAudit: holding and violated dependencies with exact fan-outs") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "r1", "a"), (1L, "r1", "b"), // x=1 -> one region, two segs
+      (2L, "r1", "a"), (2L, "r1", "a"),
+      (3L, "r2", "a"), (3L, "r2", "b"), (3L, "r2", "c")
+    ).toDF("x", "region", "seg")
+    val holds = Quality.fdAudit("x->region", df, Seq("x"), "region")
+      .collect().head
+    assert(holds.getLong(1) == 3L && holds.getLong(2) == 0L
+      && holds.getLong(3) == 1L && holds.getBoolean(4))
+    val broken = Quality.fdAudit("x->seg", df, Seq("x"), "seg")
+      .collect().head
+    // x=1 (2 segs) and x=3 (3 segs) violate; worst fan-out 3
+    assert(broken.getLong(1) == 3L && broken.getLong(2) == 2L
+      && broken.getLong(3) == 3L && !broken.getBoolean(4))
+  }
 }

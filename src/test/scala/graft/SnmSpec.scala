@@ -46,6 +46,29 @@ class SnmSpec extends SparkSpec {
     assert(rows.length == (w - 1) * n - (w - 1) * w / 2)
   }
 
+  test("multi-pass union catches pairs only one key sorts adjacently") {
+    val sp = s
+    import sp.implicits._
+    // docs 1/2 share a PREFIX; docs 3/4 share only a SUFFIX — with
+    // filler pushing them far apart on the prefix key
+    val filler = (10L until 40L).map(i => (i, f"f$i%02d junk", s"x$i"))
+    val df = (Seq(
+      (1L, "aaa same head", "t1"), (2L, "aaa same head!", "t2"),
+      (3L, "bbb 123", "zz common tail"), (4L, "yyy 456", "zz common tail"))
+      ++ filler.map { case (i, a, b) => (i, a, b) })
+      .toDF("id", "head", "tail")
+    def pairsOf(keys: Seq[Seq[org.apache.spark.sql.Column]]) =
+      SortedNeighborhood.multiPassPairs(df, keys, "id", w = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val headOnly = pairsOf(Seq(Seq(col("head"), col("id"))))
+    val both = pairsOf(Seq(Seq(col("head"), col("id")),
+      Seq(col("tail"), col("id"))))
+    assert(headOnly.contains((1L, 2L)) && !headOnly.contains((3L, 4L)))
+    assert(both.contains((1L, 2L)) && both.contains((3L, 4L)))
+    // union is canonical + distinct: no reversed or duplicate pairs
+    assert(both.forall { case (a, b) => a < b })
+  }
+
   test("plan: no unpartitioned Window anywhere in the pair pipeline") {
     val sp = s
     import sp.implicits._
