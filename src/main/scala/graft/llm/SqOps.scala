@@ -70,6 +70,13 @@ object SqOps {
   def sqTopK(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int)
       : DataFrame = {
     val (mn, step) = ladder(emb, "vec")
+    // the ladders are inlined as array LITERALS inside the transform
+    // lambdas — ideal at embedding dims (2 constants/dim), but the
+    // expression tree grows linearly with d; past ~1k dims switch to a
+    // broadcast-variable kernel instead of letting codegen degrade
+    require(mn.length <= 1024,
+      s"SQ8 literal-ladder path caps at 1024 dims (got ${mn.length}); " +
+        "use a broadcast-ladder kernel beyond that")
     val codes = emb.select(col("id"), encode(col("vec"), mn, step).as("codes"))
     val dq = codes.select(col("id"),
       dequantize(col("codes"), mn, step).as("dqvec"))
