@@ -63,9 +63,21 @@ object StressProbe {
       new java.io.File(s"$out/_built").createNewFile()
     }
 
-    def exchanges(df: DataFrame): Int =
-      "(?m)^\\s*\\+?-? ?Exchange ".r
-        .findAllIn(df.queryExecution.executedPlan.toString).length
+    // typed walk, not a rendered-string regex: Exchange nodes on ':'-
+    // prefixed join branches would escape a line-anchored pattern and
+    // let a shape change inside a join's left branch slip the gate.
+    // AdaptiveSparkPlanExec is a leaf wrapper, so descend explicitly.
+    def countEx(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => countEx(a.executedPlan)
+        case _ => 0
+      }
+      self + inner + p.children.map(countEx).sum
+    }
+    def exchanges(df: DataFrame): Int = countEx(df.queryExecution.executedPlan)
 
     val all = graft.SparkEntry.allQ
     val results = Probes.map { name =>

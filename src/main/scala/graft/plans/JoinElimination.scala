@@ -63,6 +63,32 @@ class FkJoinEliminationRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The dim subtree may be DROPPED only when dropping it provably
+    * removes no fact rows: a bare/attribute-pruned relation, or one
+    * under `IsNotNull(pk)`-only filters (the optimizer infers those
+    * from the inner equi-join; a null pk never matches any fk, so they
+    * never reduce the match set). ANY other dim-side predicate — e.g.
+    * a user filter on the dimension — makes the join row-reducing and
+    * the elimination unsound, so it blocks the rewrite. `basePathOf`
+    * deliberately stays filter-transparent (it only ORIENTS the match);
+    * this gate is where soundness lives.
+    */
+  private def dimDroppable(p: LogicalPlan, pkId: ExprId): Boolean = p match {
+    case LogicalRelation(_: HadoopFsRelation, _, _, _, _) => true
+    case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      dimDroppable(child, pkId)
+    case Filter(cond, child) =>
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      conjuncts(cond).forall {
+        case IsNotNull(a: AttributeReference) => a.exprId == pkId
+        case _ => false
+      } && dimDroppable(child, pkId)
+    case _ => false
+  }
+
   private def tryEliminate(p: Project, j: Join): Option[LogicalPlan] = {
     if (j.joinType != Inner) return None
     val cond = j.condition match {
@@ -85,7 +111,8 @@ class FkJoinEliminationRule(spark: SparkSession) extends Rule[LogicalPlan] {
         (fk, pk) match {
           case (Some(fkA), Some(pkA))
               if Set(cond._1.exprId, cond._2.exprId) ==
-                Set(fkA.exprId, pkA.exprId) =>
+                Set(fkA.exprId, pkA.exprId) &&
+                dimDroppable(dim, pkA.exprId) =>
             val refs = p.projectList.flatMap(_.references)
             val dimOut = dim.outputSet
             if (refs.exists(r => dimOut.contains(r) && r.exprId != pkA.exprId))
@@ -214,17 +241,23 @@ object FkQueries {
         FkRegistry.register(FkRegistry.FkConstraint("q256_orders_customer",
           s"$d/orders.parquet", "o_custkey",
           s"$d/customer.parquet", "c_custkey"))
-        val q = graft.rel.Tables.orders(s, d)
-          .join(graft.rel.Tables.customer(s, d),
-            col("o_custkey") === col("c_custkey"))
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n_orders"),
-            sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
-          .orderBy("o_orderpriority")
-        val plan = q.queryExecution.executedPlan.toString
-        require(!plan.contains("customer.parquet") && !plan.contains("Join"),
-          s"join was not eliminated:\n$plan")
-        q
+        // forcing executedPlan here PINS the rewritten plan on the
+        // returned DataFrame (queryExecution caches), so the constraint
+        // can be unregistered before the entry returns — a later query
+        // in the same session never sees q256's registration
+        try {
+          val q = graft.rel.Tables.orders(s, d)
+            .join(graft.rel.Tables.customer(s, d),
+              col("o_custkey") === col("c_custkey"))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n_orders"),
+              sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+            .orderBy("o_orderpriority")
+          val plan = q.queryExecution.executedPlan.toString
+          require(!plan.contains("customer.parquet") && !plan.contains("Join"),
+            s"join was not eliminated:\n$plan")
+          q
+        } finally FkRegistry.unregister("q256_orders_customer")
       },
       Some("""SELECT o_orderpriority, count(*) AS n_orders,
              |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -152,14 +152,21 @@ object MvQueries {
           s"$d/orders.parquet", s"$work/mv.parquet",
           Seq("o_orderpriority", "o_orderstatus"),
           Seq("sum_cents" -> cents), withCount = Some("n_rows"))
-        val q = graft.rel.Tables.orders(s, d)
-          .groupBy("o_orderpriority")
-          .agg(sum(cents).as("sum_cents"), count(lit(1)).as("n_orders"))
-          .orderBy("o_orderpriority")
-        val plan = q.queryExecution.executedPlan.toString
-        require(plan.contains("mv.parquet") && !plan.contains("orders.parquet"),
-          s"MV rewrite did not fire:\n$plan")
-        q
+        // forcing executedPlan pins the MV-rewritten plan on the returned
+        // DataFrame; unregistering in finally keeps the per-run temp-dir
+        // MV from silently answering UNRELATED same-session aggregates
+        // over the same orders path (stale after appends, broken if the
+        // temp dir is cleaned)
+        try {
+          val q = graft.rel.Tables.orders(s, d)
+            .groupBy("o_orderpriority")
+            .agg(sum(cents).as("sum_cents"), count(lit(1)).as("n_orders"))
+            .orderBy("o_orderpriority")
+          val plan = q.queryExecution.executedPlan.toString
+          require(plan.contains("mv.parquet") && !plan.contains("orders.parquet"),
+            s"MV rewrite did not fire:\n$plan")
+          q
+        } finally MvRegistry.unregister("q251_orders_mv")
       },
       Some("""SELECT o_orderpriority,
              |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
@@ -217,7 +224,10 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case s: Sum =>
             d.sums.get(normalize(s.child)).flatMap(mvAttr).map(m =>
               Sum(m).toAggregateExpression())
-          case c: Count if c.children.forall(_.foldable) =>
+          // foldable AND non-nullable: COUNT(1)/COUNT(*) forms only.
+          // COUNT(NULL) is also all-foldable but counts ZERO per group —
+          // answering it from the MV row-count would be wrong
+          case c: Count if c.children.forall(ch => ch.foldable && !ch.nullable) =>
             d.countCol.flatMap(mvAttr).map(m =>
               // count is non-null; keep that contract on the merged sum
               Coalesce(Seq(Sum(m).toAggregateExpression(), Literal(0L))))

@@ -46,8 +46,19 @@ object GlobalRank {
   def byOrder(df: DataFrame, sortCols: Seq[Column], out: String = "rk",
       outN: String = "n_total"): DataFrame = {
     require(sortCols.nonEmpty, "sortCols must be non-empty (and a total order)")
+    // MATERIALIZE the ranged child (lazy local checkpoint) before fanning
+    // out to the histogram and ranking branches: both must observe the
+    // SAME range partitioning, and without this the two exchange subtrees
+    // can be column-pruned into different shapes, ReuseExchange then does
+    // not fire, and each exchange re-samples range boundaries with a
+    // different rddId-seeded reservoir — per-partition ranks consistent
+    // with one boundary set, offsets with another: silent rank corruption.
+    // The checkpoint pins ONE rdd (one boundary sample); both branches
+    // scan it. GlobalRankSpec pins the plan shape (no range exchange
+    // downstream of the checkpoint, every Window partitioned).
     val ranged = df.repartitionByRange(sortCols: _*)
       .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint(false)
     val hist = ranged.groupBy("__gr_pid").agg(count(lit(1)).as("__gr_n"))
     // constant-but-NON-FOLDABLE partition key (pid mod 1 ≡ 0): keeps the
     // prefix-sum window a hash-grouped single reducer over ≤ P rows while

@@ -96,6 +96,29 @@ class GlobalRankSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 1.0)
   }
 
+  test("one boundary sample: both branches read the checkpointed range " +
+      "partitioning, no downstream range exchange") {
+    // the histogram and ranking branches MUST observe the same range
+    // boundaries; byOrder pins this by local-checkpointing the ranged
+    // child, so the fanned-out plan scans one materialized RDD and
+    // contains NO range exchange at all (a second range exchange would
+    // mean a second, independently-seeded boundary sample — silent rank
+    // corruption at scale)
+    val df = tied(4000, 6, 77L)
+    val qe = GlobalRank.byOrder(df, Seq(col("v"), col("id")), "rk", "n")
+      .queryExecution
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val ranges = qe.sparkPlan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    assert(ranges.isEmpty,
+      s"range exchange downstream of the checkpoint:\n${qe.sparkPlan}")
+    assert(qe.sparkPlan.toString.contains("ExistingRDD"),
+      s"ranged child not materialized as an RDD scan:\n${qe.sparkPlan}")
+  }
+
   test("plan shape: no partition-less sort-window over the data") {
     val df = tied(1000, 6, 91L)
     // sparkPlan (pre-AQE tree): the adaptive wrapper hides its children

@@ -63,6 +63,27 @@ class JoinEliminationSpec extends SparkSpec {
     } finally FkRegistry.unregister("spec_fk2")
   }
 
+  test("untouched: FILTERED dimension — dropping it would resurrect " +
+      "fact rows the join filters out") {
+    val sp = spark
+    val (work, factPath, dimPath) = fixture("4")
+    FkRegistry.register(FkRegistry.FkConstraint("spec_fk4",
+      s"$work/fact.parquet", "fk", s"$work/dim.parquet", "pk"))
+    try {
+      // dim filter keeps only pk=10 — the join now REDUCES the fact
+      // (fid 2 joins pk 20 and must drop); eliminating it would be the
+      // unsound rewrite this gate exists to block
+      val q = sp.read.parquet(factPath)
+        .join(sp.read.parquet(dimPath).filter(col("name") === "a"),
+          col("fk") === col("pk"))
+        .select(col("fid"), col("v"))
+      assert(planOf(q).contains("Join"),
+        s"filtered-dim join was unsoundly eliminated:\n${planOf(q)}")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 5L), (3L, 2L)))
+    } finally FkRegistry.unregister("spec_fk4")
+  }
+
   test("untouched: dim column read, outer join, unregistered tables") {
     val sp = spark
     val (work, factPath, dimPath) = fixture("3")
