@@ -58,27 +58,33 @@ object Parity {
              |ORDER BY grp NULLS FIRST""".stripMargin)),
 
     // ---- q223: TYPED-DECIMAL MONEY PIPELINE — the cents-long house
-    //      rule sidesteps decimals; this entry pins the typed road
-    //      instead: money summed exactly and surfaced as DECIMAL(38,2)
-    //      on both wires. The one double→fixed-point rounding step is
-    //      routed through the PROVEN-PORTABLE form (round(x*100) →
-    //      BIGINT cents, hash-green in ~40 other entries) rather than a
-    //      direct double→DECIMAL(12,2) cast: r8 showed that cast's
-    //      rounding can be manufactured into a .5 tie by an engine's
-    //      internal rint(x*100) path, and rounding-mode/version drift
-    //      between Spark's HALF_UP setScale and the driver's DuckDB
-    //      then costs a cent in sum/min/max. Cents→DECIMAL(38,2)/100
-    //      is exact at 2dp (no tie can exist), so the typed wire stays
-    //      while the only rounding is the portable one. ----
+    //      rule sidesteps decimals; this entry pins the typed ROAD
+    //      (exact integer-cents accumulation surfaced through decimal
+    //      division) while shipping the result on a PORTABLE wire:
+    //      `CAST(money AS STRING)`. Spark renders DECIMAL(38,2) as
+    //      '123.45' and DuckDB renders DECIMAL→VARCHAR identically, so
+    //      the decimal SEMANTICS (exact 2dp arithmetic, trailing-zero
+    //      scale) are still what's hashed — but as utf8, a type both
+    //      engines agree on byte-for-byte. Rationale: r8+r9 proved the
+    //      VALUES identical (rows+schema matched, local exact-decimal
+    //      gate green) yet the driver hash stayed red — a decimal128
+    //      RENDERING drift on the driver's hash path (DuckDB .df()
+    //      yields float64 where Spark-arrow yields Decimal objects; see
+    //      tools/check_oracle.py's driver-path probe, which reproduces
+    //      it). No value-side fix can close a rendering drift, so the
+    //      raw-decimal wire moved to its own 1-purpose experiment
+    //      (q223b) and this entry pins the arithmetic portably. ----
     "q223_decimal_money" -> Q(
       (s, d) => {
         val cents = round(col("o_totalprice") * 100, 0).cast("long")
         def money(c: org.apache.spark.sql.Column) =
           (c.cast(DecimalType(38, 2)) / 100).cast(DecimalType(38, 2))
+            .cast("string")
         Tables.orders(s, d)
           .select(col("o_orderpriority"), cents.as("cents"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents")).as("sum_cents"),
             money(sum(col("cents"))).as("sum_money"),
             money(min(col("cents"))).as("min_money"),
             money(max(col("cents"))).as("max_money"))
@@ -88,12 +94,45 @@ object Parity {
              |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
              |  FROM orders)
              |SELECT o_orderpriority, count(*) AS n_orders,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(CAST(CAST(sum(cents) AS DECIMAL(38,2)) / 100
+             |    AS DECIMAL(38,2)) AS VARCHAR) AS sum_money,
+             |  CAST(CAST(CAST(min(cents) AS DECIMAL(38,2)) / 100
+             |    AS DECIMAL(38,2)) AS VARCHAR) AS min_money,
+             |  CAST(CAST(CAST(max(cents) AS DECIMAL(38,2)) / 100
+             |    AS DECIMAL(38,2)) AS VARCHAR) AS max_money
+             |FROM o GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- q223b: RAW-DECIMAL WIRE EXPERIMENT — the 1-purpose probe the
+    //      q223 saga demanded: ONE decimal128 column (plus the string
+    //      key), derived by the exact integer-cents rule, shipped as
+    //      DECIMAL(38,2) on both wires. If this goes red at the driver
+    //      while q223 (same values, string wire) is green, the r8/r9
+    //      divergence is CONFIRMED as decimal-rendering drift on the
+    //      driver's hash path — a property of the comparer, not of this
+    //      engine's arithmetic — and its red is informative, not
+    //      scoreboard-noise. tools/check_oracle.py's driver-path probe
+    //      REPRODUCED the drift locally on the r9 q223 shape at sf0.01:
+    //      min_money arrives as Decimal('1013.70') via spark-arrow but
+    //      as float64 str '1013.7' via DuckDB .df() — identical value,
+    //      divergent rendering, hash-red with rows+schema green. ----
+    "q223b_decimal_wire" -> Q(
+      (s, d) => {
+        val cents = round(col("o_totalprice") * 100, 0).cast("long")
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), cents.as("cents"))
+          .groupBy(col("o_orderpriority"))
+          .agg((sum(col("cents")).cast(DecimalType(38, 2)) / 100)
+            .cast(DecimalType(38, 2)).as("sum_money"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT o_orderpriority,
              |  CAST(CAST(sum(cents) AS DECIMAL(38,2)) / 100 AS DECIMAL(38,2))
-             |    AS sum_money,
-             |  CAST(CAST(min(cents) AS DECIMAL(38,2)) / 100 AS DECIMAL(38,2))
-             |    AS min_money,
-             |  CAST(CAST(max(cents) AS DECIMAL(38,2)) / 100 AS DECIMAL(38,2))
-             |    AS max_money
+             |    AS sum_money
              |FROM o GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
@@ -132,52 +171,95 @@ object Parity {
              |  CAST(len(list_filter(l, x -> x > 30000000)) AS BIGINT) AS n_big
              |FROM a ORDER BY o_orderpriority""".stripMargin)),
 
-    // ---- q230: WIRE-TYPE PARITY MATRIX — one row per priority class
-    //      carrying every wire type the driver's typed hash compares
-    //      (string key, bigint, double, DECIMAL(38,2), timestamp, date,
-    //      array<bigint>), each derived by the proven-portable rule for
-    //      its type: ints exact, the double as ONE fixed division of
-    //      exact ints rounded to 6, the decimal via integer cents, the
-    //      timestamp as a date→midnight cast, the array as a 2-element
-    //      sorted pin. The regression mate of tools/check_oracle.py's
-    //      driver-hash-faithful compare: if any type's rendering or
-    //      rounding drifts between engines (the r8 q223 failure mode),
-    //      this single entry localizes WHICH type went red. ----
-    "q230_wire_types" -> Q(
+    // ---- q230_*: WIRE-TYPE PARITY MATRIX, one entry PER TYPE — the r9
+    //      monolith (q230_wire_types) carried every type in one relation
+    //      and its array<bigint> column crashed the driver's comparer
+    //      row-sort (pandas sort_values → unhashable numpy.ndarray), so
+    //      one bad wire type zeroed the whole instrument. Split: each
+    //      entry ships the string key + column(s) of EXACTLY ONE wire
+    //      type, so a single type's drift (the r8 q223 failure mode) or
+    //      crash localizes to its own row on the scoreboard. The former
+    //      array column is replaced by scalar min/max cents (q230_int);
+    //      array coverage lives in q226's scalar reductions. The raw
+    //      decimal wire is q223b. ----
+    "q230_str" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(max(col("o_orderstatus")).as("max_status"),
+          concat_ws("|", col("o_orderpriority"),
+            max(col("o_orderstatus"))).as("key_concat"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, max(o_orderstatus) AS max_status,
+             |  concat_ws('|', o_orderpriority, max(o_orderstatus))
+             |    AS key_concat
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    "q230_int" -> Q(
       (s, d) => {
         val cents = round(col("o_totalprice") * 100, 0).cast("long")
         Tables.orders(s, d)
-          .select(col("o_orderpriority"), cents.as("cents"),
-            col("o_orderdate"))
+          .select(col("o_orderpriority"), cents.as("cents"))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n_orders"),
             sum(col("cents")).as("sum_cents"),
-            round(sum(col("cents")).cast("double") /
-              count(lit(1)).cast("double"), 6).as("avg_cents_r6"),
-            (sum(col("cents")).cast(DecimalType(38, 2)) / 100)
-              .cast(DecimalType(38, 2)).as("sum_money"),
-            to_date(max(col("o_orderdate"))).as("last_date"),
-            // NTZ on the wire (the Scd.scala house rule): Spark's parquet
-            // then carries naive micros, the same arrow type DuckDB emits
-            max(col("o_orderdate")).cast("timestamp_ntz").as("last_ts"),
-            array(min(col("cents")), max(col("cents"))).as("cents_range"))
+            min(col("cents")).as("min_cents"),
+            max(col("cents")).as("max_cents"))
           .orderBy("o_orderpriority")
       },
       Some("""WITH o AS (SELECT o_orderpriority,
-             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-             |    o_orderdate
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
              |  FROM orders)
              |SELECT o_orderpriority, count(*) AS n_orders,
              |  CAST(sum(cents) AS BIGINT) AS sum_cents,
-             |  round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-             |    AS avg_cents_r6,
-             |  CAST(CAST(sum(cents) AS DECIMAL(38,2)) / 100 AS DECIMAL(38,2))
-             |    AS sum_money,
-             |  CAST(max(o_orderdate) AS DATE) AS last_date,
-             |  max(o_orderdate) AS last_ts,
-             |  [CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT)]
-             |    AS cents_range
+             |  CAST(min(cents) AS BIGINT) AS min_cents,
+             |  CAST(max(cents) AS BIGINT) AS max_cents
              |FROM o GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // the double as ONE fixed division of exact ints rounded to 6 —
+    // a single portable float op, no accumulation-order sensitivity
+    "q230_double" -> Q(
+      (s, d) => {
+        val cents = round(col("o_totalprice") * 100, 0).cast("long")
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), cents.as("cents"))
+          .groupBy("o_orderpriority")
+          .agg(round(sum(col("cents")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_cents_r6"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT o_orderpriority,
+             |  round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             |    AS avg_cents_r6
+             |FROM o GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    "q230_date" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(to_date(min(col("o_orderdate"))).as("first_date"),
+          to_date(max(col("o_orderdate"))).as("last_date"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(min(o_orderdate) AS DATE) AS first_date,
+             |  CAST(max(o_orderdate) AS DATE) AS last_date
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // NTZ on the wire (the Scd.scala house rule): Spark's parquet then
+    // carries naive micros, the same arrow type DuckDB emits
+    "q230_ts" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(max(col("o_orderdate")).cast("timestamp_ntz").as("last_ts"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(max(o_orderdate) AS TIMESTAMP) AS last_ts
+             |FROM orders GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -150,6 +150,27 @@ def main():
         else:
             print(f'OK   {name}: {len(spark_df)} rows ({time.time() - t0:.1f}s)',
                   flush=True)
+        # DRIVER-PATH PROBE (informational, never a failure): a driver
+        # that fetches the ORACLE side via DuckDB .df() gets DECIMAL
+        # rendered as float64 ('1234.5'), while the SPARK side read
+        # through arrow->to_pandas yields decimal.Decimal('1234.50') —
+        # identical VALUES, divergent str() renderings, so a str-based
+        # row hash goes red with rows+schema matching (the r8/r9 q223
+        # signature). Surface that drift per entry/column so a red
+        # decimal-wire entry (q223b) is documented, not mysterious.
+        dec_cols = [f.name for f in duck_arrow.schema
+                    if str(f.type).startswith('decimal')]
+        if dec_cols:
+            duck_native = con.execute(sql).df()
+            for c in dec_cols:
+                s_r = [str(v) for v in spark_df[c].tolist()]
+                d_r = [str(v) for v in duck_native[c].tolist()]
+                if sorted(s_r) != sorted(d_r):
+                    print(f'PROBE {name}.{c}: str-rendering drift on the '
+                          f'.df() driver path (spark-arrow {s_r[:2]}... vs '
+                          f'duckdb-.df() {d_r[:2]}...) — identical values '
+                          f'would hash-mismatch on a str-based compare',
+                          flush=True)
     for name, err in failures:
         print(f'FAIL {name}: {err}')
     rows_only = [k for k in
