@@ -771,6 +771,13 @@ object Graft {
   def triangleCounts(spark: SparkSession, edges: DataFrame): DataFrame =
     graph.Triangles.triangleCounts(spark, edges)
 
+  /** Per-edge triangle counts = common-neighbor count of each existing
+    * edge (edge embeddedness numerator) on the same √(2m)-bounded
+    * oriented machinery ([[graph.Triangles.edgeTriangleCounts]]).
+    */
+  def edgeTriangleCounts(spark: SparkSession, edges: DataFrame): DataFrame =
+    graph.Triangles.edgeTriangleCounts(spark, edges)
+
   /** SCD Type-2 state-history build: consecutive equal attribute runs
     * as [valid_from, valid_to) intervals ([[rel.Scd.scd2]]).
     */

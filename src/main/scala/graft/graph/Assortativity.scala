@@ -103,30 +103,39 @@ object Assortativity {
     //      each other's neighborhood but never in the intersection, so
     //      the union term needs no ±2 fudge). The strong-tie/weak-tie
     //      diagnostic (Granovetter): high-embeddedness edges sit inside
-    //      communities, zero-embeddedness edges are bridges. Scale: the
-    //      adjacency-array join of q118 with FULL neighborhoods —
-    //      bounded per node by max degree; the intersection is the same
-    //      codegen'd array op. Top 20 by the pinned total order. ----
+    //      communities, zero-embeddedness edges are bridges.
+    //      Scale: cn of an EXISTING edge ≡ that edge's triangle count,
+    //      so this rides Triangles.edgeTriangleCountsOf — the oriented
+    //      intersection whose adjacency rows the d⁺ ≤ √(2m) theorem
+    //      bounds — instead of collecting FULL neighborhoods (O(d_max)
+    //      rows with no theorem behind them: one power-law hub row was
+    //      an executor OOM waiting to happen). One canonical edge
+    //      build feeds degrees, the counter, and the final join. ----
     "q188_embeddedness" -> Q(
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        val und = li.as("x").join(li.as("y"),
+        val edges = li.as("x").join(li.as("y"),
             col("x.l_orderkey") === col("y.l_orderkey") &&
               col("x.l_partkey") < col("y.l_partkey"))
           .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-          .distinct()
-        val ed = und.select(col("a").as("u"), col("b").as("v"))
-          .unionAll(und.select(col("b").as("u"), col("a").as("v")))
-        val adj = ed.groupBy(col("u").as("n"))
-          .agg(collect_list(col("v")).as("nb"), count(lit(1)).as("deg"))
-        und
-          .join(adj.select(col("n").as("a"), col("nb").as("na_"), col("deg").as("da")), "a")
-          .join(adj.select(col("n").as("b"), col("nb").as("nb_"), col("deg").as("db")), "b")
+        val und = Triangles.canonicalEdges(edges).cache()
+        val degX = und.select(explode(array(col("a"), col("b"))).as("x"))
+          .groupBy("x").agg(count(lit(1)).as("d"))
+          .localCheckpoint()
+        val cn = Triangles.edgeTriangleCountsOf(s, und, degOpt = Some(degX))
+        val top = und
+          .join(degX.select(col("x").as("a"), col("d").as("da")), "a")
+          .join(degX.select(col("x").as("b"), col("d").as("db")), "b")
+          .join(cn, Seq("a", "b"), "left")
           .select(col("a"), col("b"), col("da"), col("db"),
-            size(array_intersect(col("na_"), col("nb_"))).cast("long").as("cn"))
+            coalesce(col("cn"), lit(0L)).as("cn"))
           .withColumn("jac_milli", expr("cn * 1000 div (da + db - cn)"))
           .orderBy(col("jac_milli").desc, col("cn").desc, col("a"), col("b"))
           .limit(20)
+          // 20 rows; eager so the cached edge set can be released now
+          .localCheckpoint()
+        und.unpersist()
+        top.orderBy(col("jac_milli").desc, col("cn").desc, col("a"), col("b"))
       },
       Some("""WITH pp AS MATERIALIZED (
              |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb

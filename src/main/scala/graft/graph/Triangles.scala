@@ -36,19 +36,27 @@ import graft.rel.Tables
   */
 object Triangles {
 
-  /** Per-node triangle counts of the undirected graph given by edge
-    * list (`a`, `b`) — self-loops dropped, duplicates collapsed, both
-    * orientations accepted. Output: (node, n_tri) for nodes in ≥ 1
-    * triangle.
+  /** Canonicalize an arbitrary (`a`, `b`) edge list: self-loops
+    * dropped, duplicates collapsed, both input orientations accepted,
+    * output pinned to a < b. Every public entry point funnels through
+    * this ONCE; compositions (clusteringCoefficients, embeddedness)
+    * cache the result and hand it to the `*Of` variants so the — often
+    * dominant — raw edge build is never executed twice.
     */
-  def triangleCounts(s: SparkSession, edges: DataFrame,
-      adjRowBytesCap: Long = 1L << 28): DataFrame = {
-    val und = edges
-      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
-      .cache()
+  def canonicalEdges(edges: DataFrame): DataFrame = edges
+    .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    .filter(col("a") =!= col("b"))
+    .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+    .distinct()
+
+  /** Guard + orientation build shared by the per-node and per-edge
+    * counters. Validates the packed-okey id range and the adjacency-row
+    * byte bound, then orients every canonical edge from the (deg, id)-
+    * smaller endpoint. Returns (oriented edges in okey space — NOT
+    * cached, callers own that — and the (x, d) degree table).
+    */
+  private def orientGuarded(und: DataFrame, adjRowBytesCap: Long,
+      degOpt: Option[DataFrame]): (DataFrame, DataFrame) = {
     // ids must fit below the degree bits of the packed orientation key;
     // m rides along in the same agg (no extra job) for the size guard
     val hd = und.agg(max(greatest(col("a"), col("b"))).as("mx"),
@@ -69,19 +77,45 @@ object Triangles {
       s"adjacency rows may reach ~$adjBound bytes (√(2·$m edges) longs) > " +
         s"cap $adjRowBytesCap: split neighborhoods (hash-bucket the " +
         "adjacency arrays) before intersecting at this scale")
-    val deg = und.select(explode(array(col("a"), col("b"))).as("x"))
-      .groupBy("x").agg(count(lit(1)).as("d"))
+    val deg = degOpt.getOrElse(
+      und.select(explode(array(col("a"), col("b"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("d")))
     val okeyed = und
       .join(deg.withColumnRenamed("x", "a").withColumnRenamed("d", "da"), "a")
       .join(deg.withColumnRenamed("x", "b").withColumnRenamed("d", "db"), "b")
       .select((col("da") * (1L << 32) + col("a")).as("oka"),
         (col("db") * (1L << 32) + col("b")).as("okb"))
+    (okeyed.select(least(col("oka"), col("okb")).as("u"),
+      greatest(col("oka"), col("okb")).as("v")), deg)
+  }
+
+  /** Per-node triangle counts of the undirected graph given by edge
+    * list (`a`, `b`) — self-loops dropped, duplicates collapsed, both
+    * orientations accepted. Output: (node, n_tri) for nodes in ≥ 1
+    * triangle.
+    */
+  def triangleCounts(s: SparkSession, edges: DataFrame,
+      adjRowBytesCap: Long = 1L << 28): DataFrame = {
+    val und = canonicalEdges(edges).cache()
+    val counts = triangleCountsOf(s, und, adjRowBytesCap)
+    und.unpersist()
+    counts
+  }
+
+  /** Per-node counts from an ALREADY-canonical (a < b, distinct) edge
+    * set the CALLER has cached — the composition entry point that keeps
+    * an expensive raw edge build (e.g. the C(basket,2) co-purchase
+    * self-join) from running once per consumer. The result is eagerly
+    * materialized (localCheckpoint), so the caller may unpersist `und`
+    * as soon as every OTHER consumer of it has also run.
+    */
+  def triangleCountsOf(s: SparkSession, und: DataFrame,
+      adjRowBytesCap: Long = 1L << 28,
+      degOpt: Option[DataFrame] = None): DataFrame = {
     // the oriented edge table feeds THREE join sides (wedge e1/e2 and
     // the closing e3); cached, each side reads the shuffled result of
     // the two degree joins instead of recomputing them
-    val ori = okeyed.select(least(col("oka"), col("okb")).as("u"),
-      greatest(col("oka"), col("okb")).as("v"))
-      .cache()
+    val ori = orientGuarded(und, adjRowBytesCap, degOpt)._1.cache()
     // Edge-iterator with NEIGHBORHOOD INTERSECTION instead of the wedge
     // join: each triangle {a,b,c} oriented a→b, a→c, b→c is found
     // exactly once, on its edge (a,b), as c ∈ N⁺(a) ∩ N⁺(b). The wedge
@@ -122,7 +156,69 @@ object Triangles {
       // checkpoint) so the cached edge table can be released here
       // rather than leak into a long-lived session
       .localCheckpoint()
+    ori.unpersist()
+    counts
+  }
+
+  /** PER-EDGE triangle counts — for each existing canonical edge
+    * (a, b), the number of triangles containing it, which is exactly
+    * |N(a) ∩ N(b)| on the undirected graph (common neighbors of an
+    * existing edge ≡ closing nodes of that edge). Built on the SAME
+    * oriented √(2m)-bounded machinery as the per-node counter — each
+    * triangle {u→v→w} is found once on its oriented edge (u, v) and
+    * credited to its three edges (u,v) += |cs| collapses to the edge
+    * itself, (u,w) and (v,w) += 1 per closing node — so no FULL
+    * neighborhood is ever collected: the only arrays are the oriented
+    * adjacency rows the d⁺ ≤ √(2m) theorem bounds. (The naive
+    * formulation — join full undirected neighborhoods onto each edge
+    * and intersect — carries O(d_max) rows with NO theorem behind
+    * them: one hub row at power-law scale is an executor OOM.)
+    * Output: (a, b, cn) for edges in ≥ 1 triangle, canonical a < b;
+    * edges in no triangle are absent (left-join + coalesce at the
+    * call site).
+    */
+  /** Per-edge triangle counts of an arbitrary edge list — the public
+    * wrapper over [[edgeTriangleCountsOf]] for callers without a
+    * pre-canonicalized edge set.
+    */
+  def edgeTriangleCounts(s: SparkSession, edges: DataFrame,
+      adjRowBytesCap: Long = 1L << 28): DataFrame = {
+    val und = canonicalEdges(edges).cache()
+    val counts = edgeTriangleCountsOf(s, und, adjRowBytesCap)
     und.unpersist()
+    counts
+  }
+
+  def edgeTriangleCountsOf(s: SparkSession, und: DataFrame,
+      adjRowBytesCap: Long = 1L << 28,
+      degOpt: Option[DataFrame] = None): DataFrame = {
+    val ori = orientGuarded(und, adjRowBytesCap, degOpt)._1.cache()
+    val adj = ori.groupBy(col("u").as("n")).agg(collect_list(col("v")).as("nb"))
+    val common = ori
+      .join(adj.select(col("n").as("u"), col("nb").as("nba")), "u")
+      .join(adj.select(col("n").as("v"), col("nb").as("nbb")), "v")
+      .select(col("u"), col("v"),
+        array_intersect(col("nba"), col("nbb")).as("cs"))
+      .filter(size(col("cs")) > 0)
+    // credit the three edges of each triangle: (u,v) gets the whole
+    // closing set in one row; (u,w) and (v,w) get 1 per closing node —
+    // 2·|closing triangles| + |closing edges| shuffled rows, same
+    // budget shape as the per-node counter
+    val credits = common.select(col("u").as("p"), col("v").as("q"),
+        size(col("cs")).cast("long").as("c"))
+      .unionAll(common.select(col("u").as("p"), explode(col("cs")).as("q"))
+        .select(col("p"), col("q"), lit(1L).as("c")))
+      .unionAll(common.select(col("v").as("p"), explode(col("cs")).as("q"))
+        .select(col("p"), col("q"), lit(1L).as("c")))
+    // okeys → node ids, re-canonicalized to the caller's a < b order
+    // (okey order is (deg, id) order, not id order)
+    val ids = credits.select((col("p") % (1L << 32)).as("x"),
+      (col("q") % (1L << 32)).as("y"), col("c"))
+    val counts = ids
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("c"))
+      .groupBy("a", "b").agg(sum("c").as("cn"))
+      .localCheckpoint()
     ori.unpersist()
     counts
   }
@@ -138,16 +234,19 @@ object Triangles {
     */
   def clusteringCoefficients(s: SparkSession, edges: DataFrame,
       adjRowBytesCap: Long = 1L << 28): DataFrame = {
-    val und = edges
-      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .distinct()
-    val deg = und.select(col("a").as("node"))
-      .unionAll(und.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("degree"))
-    val tri = triangleCounts(s, edges, adjRowBytesCap)
+    // ONE canonical edge build feeds both the degree agg and the
+    // triangle counter (for q258's C(basket,2) co-purchase build —
+    // the heaviest stage — this halves the work vs composing the
+    // public triangleCounts, which would re-canonicalize internally).
+    // The |V|-sized degree table is eagerly materialized so `und` can
+    // be released before the lazy final join runs.
+    val und = canonicalEdges(edges).cache()
+    val degX = und.select(explode(array(col("a"), col("b"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val tri = triangleCountsOf(s, und, adjRowBytesCap, Some(degX))
+    und.unpersist()
+    val deg = degX.select(col("x").as("node"), col("d").as("degree"))
     deg.join(tri, Seq("node"), "left")
       .filter(col("degree") >= 2)
       .select(col("node"), col("degree"),

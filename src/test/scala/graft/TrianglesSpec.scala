@@ -54,6 +54,46 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  private def bruteEdge(edges: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val nb = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    und.toSeq.map { case (a, b) => (a, b) -> (nb(a) & nb(b)).size.toLong }
+      .filter(_._2 > 0).toMap
+  }
+
+  test("per-edge counts (common neighbors of an existing edge) match " +
+      "brute-force neighborhood intersection") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 300)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val got = Triangles.edgeTriangleCounts(s, edges.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == bruteEdge(edges))
+    // consistency with the per-node counter: each node's triangle count
+    // is half the sum of its incident edges' counts (each triangle at a
+    // node covers exactly two incident edges)
+    val perNode = run(edges)
+    val fromEdges = got.toSeq
+      .flatMap { case ((a, b), c) => Seq(a -> c, b -> c) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum / 2 }
+    assert(fromEdges == perNode)
+  }
+
+  test("per-edge path honors the loud adjacency-row guard") {
+    val s = spark
+    import s.implicits._
+    val edges = (0 until 200)
+      .map(i => (i.toLong, ((i + 1) % 200).toLong)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Triangles.edgeTriangleCounts(s, edges, adjRowBytesCap = 8L)
+    }
+    assert(e.getMessage.contains("adjacency rows"))
+  }
+
   test("clustering coefficients: clique 1.0, mixed node, pendant excluded") {
     val sp = spark
     import sp.implicits._
