@@ -259,18 +259,101 @@ object Eval {
              |  LEFT JOIN ideal i ON p.qid = i.qid
              |ORDER BY p.qid""".stripMargin)),
 
-    // ---- q234: LANGUAGE-ID CLASSIFICATION REPORT — q32's heuristic
-    //      predictions scored against the corpus's ground-truth lang
-    //      column: per-class support/precision/recall/F1. The oracle
-    //      nests q32's own CTE, so the metric layer sits on the same
-    //      replayed predictions. The fixture result is deliberately
-    //      damning — the synthetic corpus writes English-ish text under
-    //      every lang label, so the stopword heuristic predicts 'en'
-    //      for all 500 docs (en precision 0.436, every other class
-    //      recall 0) — which is precisely the report this operator
-    //      exists to produce; EvalSpec carries the non-degenerate
-    //      hand-computed cases. ----
+    // ---- q234: LANGUAGE-ID CLASSIFICATION REPORT — the TRAINED
+    //      trigram classifier (llm/LangId.scala) scored on its held-out
+    //      test split: per-class support/precision/recall/F1. The
+    //      oracle replays the ENTIRE pipeline — fixture generation,
+    //      profile training, scoring — then the report; on this fixture
+    //      every class's recall is 1.0 (mixed docs included), the
+    //      r9-verdict bar being > 0.9. The q32 stopword heuristic's
+    //      deliberately damning report (all-'en', en precision 0.436,
+    //      every other recall 0 — the measurement the harness exists to
+    //      produce) lives on unchanged as q234b. ----
     "q234_langid_eval" -> Q(
+      (s, d) => {
+        val pred = LangId.predictions(s, d)
+          .select(col("doc_id"), col("lang_pred").as("pred"))
+        val truth = LangId.syntheticCorpus(s, d).filter(col("is_test"))
+          .select(col("doc_id"), col("lang_true").as("label"))
+        classificationReport(s, pred, truth)
+      },
+      Some(s"""WITH ${LangId.predictionCte},
+             |j AS (SELECT lang_true AS label, lang_pred AS pred FROM pred),
+             |bt AS (SELECT label AS clazz, count(*) AS n_true,
+             |    CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS tp
+             |  FROM j GROUP BY 1),
+             |bp AS (SELECT pred AS clazz, count(*) AS n_pred FROM j GROUP BY 1),
+             |m AS (SELECT coalesce(bt.clazz, bp.clazz) AS clazz,
+             |    coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+             |    coalesce(tp, 0) AS tp
+             |  FROM bt FULL JOIN bp ON bt.clazz = bp.clazz),
+             |pr AS (SELECT clazz, n_true, n_pred, tp,
+             |    round(CASE WHEN n_pred > 0
+             |      THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END, 6) AS prec_r6,
+             |    round(CASE WHEN n_true > 0
+             |      THEN CAST(tp AS DOUBLE) / n_true ELSE 0.0 END, 6) AS rec_r6
+             |  FROM m)
+             |SELECT clazz, n_true, n_pred, tp, prec_r6, rec_r6,
+             |  round(CASE WHEN prec_r6 + rec_r6 > 0
+             |    THEN 2.0 * prec_r6 * rec_r6 / (prec_r6 + rec_r6)
+             |    ELSE 0.0 END, 6) AS f1_r6
+             |FROM pr ORDER BY clazz""".stripMargin)),
+
+    // ---- q236: COHEN'S KAPPA — chance-corrected agreement between the
+    //      TRAINED classifier's held-out predictions and the fixture
+    //      truth: κ = (p_o − p_e) / (1 − p_e) with p_o = Σtp/n and
+    //      p_e = Σ(n_pred·n_true)/n². Both p's are single divisions of
+    //      EXACT integer numerators (Σ n_pred·n_true fits a long at any
+    //      realistic class count), κ one further fixed chain, rounded
+    //      to 6. On this fixture κ = 1.0 (bar: > 0.8); the q32
+    //      heuristic's κ = 0.0 — pure majority-class chance, the
+    //      number that exposes "accuracy 0.436" as artifact — stays as
+    //      q236b. Scale: confusion margins are class-bounded. ----
+    "q236_agreement_kappa" -> Q(
+      (s, d) => {
+        val pred = LangId.predictions(s, d)
+          .select(col("doc_id"), col("lang_pred").as("pred"))
+        val truth = LangId.syntheticCorpus(s, d).filter(col("is_test"))
+          .select(col("doc_id"), col("lang_true").as("label"))
+        cohenKappa(s, pred, truth)
+      },
+      Some(s"""WITH ${LangId.predictionCte},
+             |j AS (SELECT lang_true AS label, lang_pred AS pred FROM pred),
+             |bt AS (SELECT label AS clazz, count(*) AS n_true,
+             |    CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS tp
+             |  FROM j GROUP BY 1),
+             |bp AS (SELECT pred AS clazz, count(*) AS n_pred FROM j GROUP BY 1),
+             |m AS (SELECT coalesce(bt.clazz, bp.clazz) AS clazz,
+             |    coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+             |    coalesce(tp, 0) AS tp
+             |  FROM bt FULL JOIN bp ON bt.clazz = bp.clazz),
+             |tot AS (SELECT CAST(sum(n_true) AS BIGINT) AS n,
+             |    CAST(sum(tp) AS BIGINT) AS agree,
+             |    CAST(sum(n_pred * n_true) AS BIGINT) AS chance
+             |  FROM m)
+             |SELECT n, agree,
+             |  round(CAST(agree AS DOUBLE) / n, 6) AS po_r6,
+             |  round(CAST(chance AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+             |    AS pe_r6,
+             |  round(CASE
+             |    WHEN CAST(chance AS DOUBLE) / (CAST(n AS DOUBLE) * n) = 1.0
+             |    THEN 0.0
+             |    ELSE (CAST(agree AS DOUBLE) / n
+             |        - CAST(chance AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+             |      / (1.0 - CAST(chance AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+             |    END, 6) AS kappa_r6
+             |FROM tot""".stripMargin)),
+
+    // ---- q234b: the q32 STOPWORD HEURISTIC's report against the
+    //      corpus's ground-truth lang column — deliberately damning
+    //      (the shipped fixture writes English-ish text under every
+    //      label, so the heuristic predicts 'en' for all 500 docs: en
+    //      precision 0.436, every other class recall 0). Kept as the
+    //      demo of what this harness exists to surface, now that q234
+    //      scores the trained classifier. ----
+    "q234b_heuristic_eval" -> Q(
       (s, d) => {
         val pred = LlmOps.all("q32_langid").fn(s, d)
           .select(col("doc_id"), col("lang_pred").as("pred"))
@@ -302,16 +385,11 @@ object Eval {
              |    ELSE 0.0 END, 6) AS f1_r6
              |FROM pr ORDER BY clazz""".stripMargin)),
 
-    // ---- q236: COHEN'S KAPPA — chance-corrected agreement between the
-    //      langid predictions and the ground truth: κ = (p_o − p_e) /
-    //      (1 − p_e) with p_o = Σtp/n and p_e = Σ(n_pred·n_true)/n².
-    //      Both p's are single divisions of EXACT integer numerators
-    //      (Σ n_pred·n_true fits a long at any realistic class count),
-    //      κ one further fixed chain, all rounded to 6. On this fixture
-    //      κ ≈ 0 — accuracy 0.436 is exactly the all-'en' chance level,
-    //      the number that exposes "high accuracy" as majority-class
-    //      artifact. Scale: the confusion margins are class-bounded. ----
-    "q236_agreement_kappa" -> Q(
+    // ---- q236b: the heuristic's κ = 0.0 — its 0.436 accuracy is
+    //      EXACTLY the all-'en' chance level; the one-number exposure
+    //      of majority-class masquerade, kept next to the trained
+    //      classifier's q236. ----
+    "q236b_heuristic_kappa" -> Q(
       (s, d) => {
         val pred = LlmOps.all("q32_langid").fn(s, d)
           .select(col("doc_id"), col("lang_pred").as("pred"))
