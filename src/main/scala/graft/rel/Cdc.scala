@@ -92,6 +92,60 @@ object Cdc {
             .otherwise(coalesce(col("deleted"), lit(false))).as("deleted")): _*)
   }
 
+  /** Null-fill into `df` every column `ref` has and it lacks (minus
+    * `exclude`), typed from `ref`'s schema — the add-column half of
+    * lakehouse schema evolution (Delta/Iceberg mergeSchema semantics).
+    */
+  private def withMissingFrom(df: DataFrame, ref: DataFrame,
+      exclude: Set[String]): DataFrame = {
+    val have = df.columns.toSet
+    ref.schema.fields
+      .filterNot(f => have(f.name) || exclude(f.name))
+      .foldLeft(df)((acc, f) =>
+        acc.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
+  /** SCHEMA-EVOLVING batch apply — [[applyBatch]] for the common
+    * lakehouse case the fixed-schema form rejects: a change batch that
+    * ADDS columns lands against an old-schema snapshot (the new columns
+    * null-fill on untouched base rows), and an old-producer batch lands
+    * against an evolved snapshot (its rows' unknown columns null-fill —
+    * the full-row-image contract means a producer that doesn't know a
+    * column writes NULL for it, exactly Delta's CDC merge behavior).
+    * Key columns must exist on both sides; only payload evolves.
+    */
+  def applyBatchEvolving(base: DataFrame, changes: DataFrame,
+      keys: Seq[String], seqCol: String = "seq", opCol: String = "op",
+      tieBreak: Option[String] = None): DataFrame = {
+    keys.foreach(k => require(
+      base.columns.contains(k) && changes.columns.contains(k),
+      s"key column $k must exist on both sides (keys never evolve)"))
+    val meta = Set(seqCol, opCol) ++ tieBreak
+    applyBatch(
+      withMissingFrom(base, changes, meta),
+      withMissingFrom(changes, base, Set.empty),
+      keys, seqCol, opCol, tieBreak)
+  }
+
+  /** SCHEMA-EVOLVING versioned apply — [[applyVersioned]] with the same
+    * add-column alignment: the state parquet written by generation N−1
+    * may predate columns a generation-N change batch carries (and vice
+    * versa for replayed old batches). Compose with mergeSchema reads
+    * when a consumer scans several state generations at once (the q195
+    * machinery).
+    */
+  def applyVersionedEvolving(state: DataFrame, changes: DataFrame,
+      keys: Seq[String], seqCol: String = "seq", opCol: String = "op")
+      : DataFrame = {
+    keys.foreach(k => require(
+      state.columns.contains(k) && changes.columns.contains(k),
+      s"key column $k must exist on both sides (keys never evolve)"))
+    applyVersioned(
+      withMissingFrom(state, changes, Set(opCol)),
+      withMissingFrom(changes, state, Set("deleted")),
+      keys, seqCol, opCol)
+  }
+
   /** lift a plain snapshot into versioned state (sequence 0, live) */
   def bootstrapState(base: DataFrame, seq0: Long = 0L,
       seqCol: String = "seq"): DataFrame =
@@ -350,6 +404,66 @@ object Cdc {
              |SELECT k, cents, seq AS valid_from_seq, nxt AS valid_to_seq,
              |  nxt IS NULL AS is_current
              |FROM v WHERE op <> 'D'
-             |ORDER BY k, valid_from_seq""".stripMargin))
+             |ORDER BY k, valid_from_seq""".stripMargin)),
+
+    // ---- q265: CDC SCHEMA EVOLUTION — a two-generation-schema change
+    //      log applied through parquet state generations: batch 1
+    //      (seq 1) still speaks the OLD schema (k, cents, status);
+    //      batch 2 (seq 2) arrives from an upgraded producer with an
+    //      added `channel` column. Generation 0 is the old-schema
+    //      bootstrap; each batch lands via [[applyVersionedEvolving]],
+    //      so gen 2's parquet carries the evolved schema with `channel`
+    //      null-filled on every row batch 2 didn't touch. The final
+    //      snapshot hash-compares against a closed-form DuckDB replay
+    //      (including the NULL channel on untouched/old-updated rows —
+    //      the exact add-column contract). ----
+    "q265_cdc_evolve" -> Q(
+      (s, d) => {
+        val a = Tables.orders(s, d).select(
+          col("o_orderkey").cast("long").as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          col("o_orderstatus").as("status"))
+        // batch 1: OLD schema — cents bump for k%5=0
+        val b1 = a.filter(col("k") % 5 === 0)
+          .select(col("k"), (col("cents") + 50).as("cents"), col("status"),
+            lit("U").as("op"), lit(1L).as("seq"))
+        // batch 2: NEW schema (adds channel) — updates k%5=1, deletes k%5=2
+        val b2 = a.filter(col("k") % 5 === 1)
+          .select(col("k"), (col("cents") + 7).as("cents"),
+            lit("W").as("status"), lit("web").as("channel"),
+            lit("U").as("op"), lit(2L).as("seq"))
+          .unionByName(a.filter(col("k") % 5 === 2)
+            .select(col("k"), col("cents"), col("status"),
+              lit(null).cast("string").as("channel"),
+              lit("D").as("op"), lit(2L).as("seq")))
+        val work = java.nio.file.Files.createTempDirectory("graft-q265")
+        def gen(i: Int) = s"$work/state_$i"
+        bootstrapState(a).write.mode("overwrite").parquet(gen(0))
+        applyVersionedEvolving(s.read.parquet(gen(0)), b1, Seq("k"))
+          .write.mode("overwrite").parquet(gen(1))
+        applyVersionedEvolving(s.read.parquet(gen(1)), b2, Seq("k"))
+          .write.mode("overwrite").parquet(gen(2))
+        // a consumer scanning ALL generations needs the q195 machinery:
+        // mergeSchema unifies gen 0/1 (old schema) with gen 2 (evolved)
+        val merged = s.read.option("mergeSchema", "true")
+          .parquet(gen(0), gen(1), gen(2))
+        require(merged.columns.contains("channel"),
+          s"mergeSchema read lost the evolved column: ${merged.columns.toSeq}")
+        snapshotOf(s.read.parquet(gen(2)))
+          .select("k", "cents", "status", "channel").orderBy("k")
+      },
+      Some("""WITH a AS (SELECT o_orderkey AS k,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |    o_orderstatus AS status
+             |  FROM orders)
+             |SELECT k,
+             |  CASE WHEN k % 5 = 0 THEN cents + 50
+             |       WHEN k % 5 = 1 THEN cents + 7
+             |       ELSE cents END AS cents,
+             |  CASE WHEN k % 5 = 1 THEN 'W' ELSE status END AS status,
+             |  CASE WHEN k % 5 = 1 THEN 'web'
+             |       ELSE CAST(NULL AS VARCHAR) END AS channel
+             |FROM a WHERE k % 5 <> 2
+             |ORDER BY k""".stripMargin))
   )
 }

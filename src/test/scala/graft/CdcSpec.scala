@@ -32,6 +32,53 @@ class CdcSpec extends SparkSpec {
     assert(got == Map(1L -> 10L, 2L -> 99L, 4L -> 40L, 6L -> 61L))
   }
 
+  test("schema evolution: add-column batch against an old snapshot, " +
+      "old-producer batch against the evolved snapshot") {
+    val sp = s
+    import sp.implicits._
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    // upgraded producer: adds column c
+    val b1 = Seq((2L, 99L, "x", "U", 1L), (4L, 40L, "y", "I", 1L))
+      .toDF("k", "v", "c", "op", "seq")
+    val snap1 = Cdc.applyBatchEvolving(base, b1, Seq("k"))
+    val got1 = snap1.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.getString(2)))).toMap
+    // untouched rows null-fill the new column; updated rows carry it
+    assert(got1 == Map(1L -> (10L, None), 2L -> (99L, Some("x")),
+      3L -> (30L, None), 4L -> (40L, Some("y"))))
+    // old producer (no c) updates an evolved row: the full-row-image
+    // contract means its unknown column lands as NULL
+    val b2 = Seq((2L, 50L, "U", 2L)).toDF("k", "v", "op", "seq")
+    val got2 = Cdc.applyBatchEvolving(snap1, b2, Seq("k")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.getString(2)))).toMap
+    assert(got2(2L) == (50L, None) && got2(4L) == (40L, Some("y")))
+    // the fixed-schema form pins base's payload: a wider batch applies
+    // but its extra column is DROPPED — the reason Evolving exists
+    val fixed = Cdc.applyBatch(base, b1, Seq("k"))
+    assert(fixed.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("schema evolution, versioned streaming: generations widen " +
+      "mid-stream and replay stays a no-op") {
+    val sp = s
+    import sp.implicits._
+    val st0 = Cdc.bootstrapState(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    val b1 = Seq((2L, 99L, "w", "U", 1L)).toDF("k", "v", "c", "op", "seq")
+    val st1 = Cdc.applyVersionedEvolving(st0, b1, Seq("k"))
+    assert(st1.columns.toSeq == Seq("k", "v", "c", "seq", "deleted"))
+    // replaying the SAME widened batch is a no-op
+    val st2 = Cdc.applyVersionedEvolving(st1, b1, Seq("k"))
+    assert(st2.collect().map(_.toSeq).toSet ==
+      st1.collect().map(_.toSeq).toSet)
+    // an old-schema batch still applies against the widened state
+    val b2 = Seq((1L, 11L, "U", 2L)).toDF("k", "v", "op", "seq")
+    val got = Cdc.snapshotOf(Cdc.applyVersionedEvolving(st2, b2, Seq("k")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), Option(r.getString(2))))
+      .toMap
+    assert(got == Map(1L -> (11L, None), 2L -> (99L, Some("w"))))
+  }
+
   test("equal-sequence conflicts resolve by the explicit tie-break") {
     val sp = s
     import sp.implicits._
