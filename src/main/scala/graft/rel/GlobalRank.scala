@@ -82,6 +82,49 @@ object GlobalRank {
       .drop("__gr_pid", "__gr_rn", "__gr_off")
   }
 
+  /** Global PREFIX SUM in `sortCols` order — the same offset
+    * decomposition as [[byOrder]] extended to a running value sum:
+    * adds `outRk` = global 1-based rank, `outCum` = Σ value over rows
+    * with rank ≤ this row's (exactly `sum(value) OVER (ORDER BY
+    * sortCols ROWS UNBOUNDED PRECEDING)` under the total-order
+    * contract), `outN` = row count, `outTotal` = Σ value — the
+    * quadruple a CUSUM / running-balance scan needs, with no
+    * partition-less window anywhere: the histogram carries (count,
+    * sum) per range partition, offsets come from the tiny
+    * constant-keyed prefix window, and each partition scans its own
+    * rows in parallel. `value` must be integral (exact long sums).
+    */
+  def prefixSumByOrder(df: DataFrame, sortCols: Seq[Column], value: Column,
+      outCum: String = "cum", outRk: String = "rk",
+      outN: String = "n_total", outTotal: String = "sum_total"): DataFrame = {
+    require(sortCols.nonEmpty, "sortCols must be non-empty (and a total order)")
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .withColumn("__gr_x", value.cast("long"))
+      .localCheckpoint(false)
+    val hist = ranged.groupBy("__gr_pid")
+      .agg(count(lit(1)).as("__gr_n"), sum("__gr_x").as("__gr_s"))
+    val k0 = pmod(col("__gr_pid"), lit(1))
+    val prior = Window.partitionBy(k0).orderBy("__gr_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = hist
+      .withColumn("__gr_off", coalesce(sum(col("__gr_n")).over(prior), lit(0L)))
+      .withColumn("__gr_soff", coalesce(sum(col("__gr_s")).over(prior), lit(0L)))
+      .withColumn(outN, sum(col("__gr_n")).over(Window.partitionBy(k0)))
+      .withColumn(outTotal, sum(col("__gr_s")).over(Window.partitionBy(k0)))
+      .drop("__gr_n", "__gr_s")
+    val inPart = Window.partitionBy("__gr_pid").orderBy(sortCols: _*)
+    ranged
+      .withColumn("__gr_rn", row_number().over(inPart).cast("long"))
+      .withColumn("__gr_cs", sum("__gr_x")
+        .over(inPart.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(off), Seq("__gr_pid"))
+      .withColumn(outRk, col("__gr_off") + col("__gr_rn"))
+      .withColumn(outCum, col("__gr_soff") + col("__gr_cs"))
+      .drop("__gr_pid", "__gr_rn", "__gr_off", "__gr_cs", "__gr_soff",
+        "__gr_x")
+  }
+
   /** `ntile(k) OVER (ORDER BY <total order>)` as a closed form over
     * (rank, n): the first (n mod k) buckets take ⌈n/k⌉ rows, the rest
     * ⌊n/k⌋ — the remainder-to-early-buckets rule both Spark and ANSI

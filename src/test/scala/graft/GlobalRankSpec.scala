@@ -119,6 +119,38 @@ class GlobalRankSpec extends SparkSpec {
       s"ranged child not materialized as an RDD scan:\n${qe.sparkPlan}")
   }
 
+  test("prefixSumByOrder equals the naive global running sum, and " +
+      "its plan has no partition-less window") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 3000).map(i => (i.toLong, rnd.nextInt(100).toLong - 50))
+      .toDF("id", "x")
+    val got = GlobalRank.prefixSumByOrder(df, Seq(col("id")), col("x"))
+    // naive reference: the very unpartitioned window the utility kills
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+    val ref = df.select(col("id"),
+        sum("x").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .as("cum"),
+        row_number().over(w).cast("long").as("rk"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val gm = got.collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("cum"), r.getAs[Long]("rk"))).toMap
+    assert(gm == ref)
+    val tot = got.select("n_total", "sum_total").distinct().collect()
+    assert(tot.length == 1 && tot(0).getLong(0) == 3000L)
+    // plan: every window carries a partition spec
+    val plan = got.queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    plan.foreach {
+      case we: WindowExec =>
+        assert(we.partitionSpec.nonEmpty, s"partition-less window:\n$we")
+      case _ =>
+    }
+  }
+
   test("plan shape: no partition-less sort-window over the data") {
     val df = tied(1000, 6, 91L)
     // sparkPlan (pre-AQE tree): the adaptive wrapper hides its children
