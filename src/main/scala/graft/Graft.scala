@@ -470,6 +470,51 @@ object Graft {
       tieBreak: Option[String] = None): DataFrame =
     rel.Cdc.applyBatch(base, changes, keys, seqCol, opCol, tieBreak)
 
+  /** Schema-evolving CDC apply: add-column change batches land against
+    * old-schema snapshots and vice versa, null-filling per the
+    * lakehouse mergeSchema contract ([[rel.Cdc.applyBatchEvolving]]).
+    */
+  def cdcApplyEvolving(base: DataFrame, changes: DataFrame,
+      keys: Seq[String], seqCol: String = "seq", opCol: String = "op",
+      tieBreak: Option[String] = None): DataFrame =
+    rel.Cdc.applyBatchEvolving(base, changes, keys, seqCol, opCol, tieBreak)
+
+  /** Schema-evolving versioned (replay-safe) CDC state apply
+    * ([[rel.Cdc.applyVersionedEvolving]]).
+    */
+  def cdcApplyVersionedEvolving(state: DataFrame, changes: DataFrame,
+      keys: Seq[String], seqCol: String = "seq",
+      opCol: String = "op"): DataFrame =
+    rel.Cdc.applyVersionedEvolving(state, changes, keys, seqCol, opCol)
+
+  /** Train per-language character-trigram profiles with exact integer
+    * micro-frequency weights ([[llm.LangId.trainProfiles]]).
+    */
+  def langidTrain(train: DataFrame): DataFrame =
+    llm.LangId.trainProfiles(train)
+
+  /** Classify (id, text) rows against trained trigram profiles —
+    * deterministic integer argmax ([[llm.LangId.predict]]).
+    */
+  def langidPredict(docs: DataFrame, profiles: DataFrame,
+      id: String = "doc_id"): DataFrame =
+    llm.LangId.predict(docs, profiles, id)
+
+  /** Binary (1-bit) quantization ANN: sign codes on exact-median
+    * thresholds, popcount Hamming shortlist, exact cosine re-rank
+    * ([[llm.BinaryAnn.binaryTopK]]).
+    */
+  def binaryAnnTopK(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+      k: Int, rerank: Int): DataFrame =
+    llm.BinaryAnn.binaryTopK(spark, emb, queries, k, rerank)
+
+  /** Global prefix sum without a partition-less window
+    * ([[rel.GlobalRank.prefixSumByOrder]]).
+    */
+  def prefixSumByOrder(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+      value: org.apache.spark.sql.Column): DataFrame =
+    rel.GlobalRank.prefixSumByOrder(df, sortCols, value)
+
   /** Cohen's κ chance-corrected agreement ([[llm.Eval.cohenKappa]]). */
   def cohenKappa(spark: SparkSession, pred: DataFrame,
       truth: DataFrame): DataFrame =
