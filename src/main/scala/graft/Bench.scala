@@ -108,7 +108,13 @@ object Bench {
       // round-9 final stretch: FK audit, clustering coefficients,
       // CDC diff, blocking quality
       "q257_fk_audit", "q258_clustering_coeff", "q259_cdc_diff",
-      "q260_blocking_quality", "q261_multipass_snm", "q262_fd_audit")
+      "q260_blocking_quality", "q261_multipass_snm", "q262_fd_audit",
+      // round-10: trained langid (train+infer), CDC schema evolution,
+      // cusum on the prefix-sum decomposition (q188 already above, now
+      // on the per-edge triangle machinery; q263's binary ANN dump is
+      // fixture-guarded to sf0.01 like q252)
+      "q264_langid_trigram", "q265_cdc_evolve",
+      "q166_cusum_changepoint")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))
