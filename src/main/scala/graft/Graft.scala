@@ -508,6 +508,19 @@ object Graft {
       k: Int, rerank: Int): DataFrame =
     llm.BinaryAnn.binaryTopK(spark, emb, queries, k, rerank)
 
+  /** Persist a binary (1-bit) ANN index: thresholds + packed codes +
+    * vectors ([[llm.BinaryAnn.saveBinary]]).
+    */
+  def saveBinaryIndex(spark: SparkSession, emb: DataFrame, dir: String): Unit =
+    llm.BinaryAnn.saveBinary(spark, emb, dir)
+
+  /** Probe a saved binary ANN index — bit-identical to
+    * [[binaryAnnTopK]] on the same corpus ([[llm.BinaryAnn.probeBinary]]).
+    */
+  def probeBinaryIndex(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, rerank: Int): DataFrame =
+    llm.BinaryAnn.probeBinary(spark, dir, queries, k, rerank)
+
   /** Global prefix sum without a partition-less window
     * ([[rel.GlobalRank.prefixSumByOrder]]).
     */

@@ -107,6 +107,90 @@ object BinaryAnn {
     graft.functions.TopK.perKeyTopK(scored, k, "qid", "id", "cos")
   }
 
+  /** BINARY INDEX LIFECYCLE — the [[AnnIndex]] house shape for the
+    * 1-bit rung. Layout under `dir`:
+    *   - `thresholds/` — (pos, thr) parquet, d rows
+    *   - `codes/`      — (id, codes array<long>) — the d/8-byte scan
+    *                     artifact, 32× smaller than the corpus
+    *   - `vectors/`    — (id, vec) — the re-rank source, touched only
+    *                     for the |queries|·R shortlist
+    * Probing a saved index is BIT-IDENTICAL to [[binaryTopK]] on the
+    * same corpus (same thresholds → same codes → same shortlist → same
+    * exact re-rank; BinaryAnnSpec pins it).
+    */
+  def saveBinary(s: SparkSession, emb: DataFrame, dir: String,
+      id: String = "id", vec: String = "vec"): Unit = {
+    import s.implicits._
+    val thr = thresholds(emb, vec)
+    thr.zipWithIndex.map { case (t, i) => (i, t) }.toSeq.toDF("pos", "thr")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/thresholds")
+    emb.select(col(id), packBits(col(vec), thr).as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    emb.select(col(id), col(vec))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  private def readThresholds(s: SparkSession, dir: String): Array[Double] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/thresholds").as[(Int, Double)]
+      .collect().sortBy(_._1).map(_._2) // d-sized collect
+  }
+
+  /** Streaming index MAINTENANCE: pack arriving vectors with the
+    * STORED thresholds (no re-fit) and append. At-least-once delivery
+    * is correct here for the same reason as the IVF append path:
+    * duplicated rows produce bit-identical scored copies that collapse
+    * in the probe's (qid, id) max. Threshold drift under a shifting
+    * distribution is the standard serving tradeoff — periodic re-fit +
+    * atomic swap, appends covering the gap.
+    */
+  def appendBinaryStream(s: SparkSession, stream: DataFrame, dir: String,
+      checkpoint: String, id: String = "id", vec: String = "vec")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val thr = readThresholds(s, dir)
+    stream.select(col(id), packBits(col(vec), thr).as("codes"), col(vec))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col(id), col("codes"))
+          .write.mode("append").parquet(s"$dir/codes")
+        batch.select(col(id), col(vec))
+          .write.mode("append").parquet(s"$dir/vectors")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** Two-stage probe against a saved index — output identical to
+    * [[binaryTopK]] with the same corpus: (qid, rn, id, cos).
+    */
+  def probeBinary(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int, rerank: Int, excludeSelfId: Boolean = true): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val thr = readThresholds(s, dir)
+    val qcodes = queries.select(col("qid"),
+      packBits(col("qvec"), thr).as("qc"))
+    val codes = s.read.parquet(s"$dir/codes")
+    val cand = if (excludeSelfId)
+      broadcast(qcodes).join(codes, col("id") =!= col("qid"))
+    else broadcast(qcodes).crossJoin(codes)
+    val ham = cand.withColumn("negham", -hamming(col("codes"), col("qc")))
+      // an at-least-once append stream leaves bit-identical duplicate
+      // rows in codes/ — collapse them per (qid, id) map-side (the
+      // probeIvf house rule) so copies can't occupy several heap slots
+      .groupBy("qid", "id").agg(max("negham").as("negham"))
+    val shortlist = graft.functions.TopK
+      .perKeyTopK(ham, rerank, "qid", "id", "negham")
+      .select(col("qid"), col("id"))
+    val scored = shortlist
+      .join(s.read.parquet(s"$dir/vectors"), "id")
+      .join(broadcast(queries), "qid")
+      .withColumn("cos",
+        graft.functions.VecFunctions.vecCosine(s, col("qvec"), col("vec")))
+      // same collapse for duplicated vectors/ rows
+      .groupBy("qid", "id").agg(max("cos").as("cos"))
+    graft.functions.TopK.perKeyTopK(scored, k, "qid", "id", "cos")
+  }
+
   private def binTop5(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -118,11 +202,11 @@ object BinaryAnn {
         lit(n - 1).as("n_candidates"))
   }
 
-  val all: ListMap[String, Q] = ListMap(
-    // ---- binary ANN: sign codes, popcount prefilter, exact re-rank ----
-    "q263_binary_ann" -> Q(
-      (s, d) => AnnPin.pinnable(s, d, binTop5(s, d), "q263_binary_ann"),
-      Some("""SELECT qid, rn, nn_id, cos_milli, n_candidates FROM (VALUES
+  /** q263's pinned dump — shared verbatim by q266: probing a saved
+    * index must be bit-identical to the train-and-probe path.
+    */
+  private val binDumpOracle =
+    """SELECT qid, rn, nn_id, cos_milli, n_candidates FROM (VALUES
              |  (0, 1, 365, 370, 499), (0, 2, 334, 363, 499),
              |  (0, 3, 387, 331, 499), (0, 4, 423, 297, 499),
              |  (0, 5, 73, 295, 499), (1, 1, 386, 371, 499),
@@ -144,7 +228,33 @@ object BinaryAnn {
              |  (7, 2, 425, 408, 499), (7, 3, 209, 394, 499),
              |  (7, 4, 334, 357, 499), (7, 5, 221, 325, 499))
              |  AS t(qid, rn, nn_id, cos_milli, n_candidates)
-             |ORDER BY qid, rn""".stripMargin)),
+             |ORDER BY qid, rn""".stripMargin
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- binary ANN: sign codes, popcount prefilter, exact re-rank ----
+    "q263_binary_ann" -> Q(
+      (s, d) => AnnPin.pinnable(s, d, binTop5(s, d), "q263_binary_ann"),
+      Some(binDumpOracle)),
+
+    // ---- q266: the SAVED-INDEX serving path — build once, persist
+    //      thresholds + packed codes + vectors, probe from the stored
+    //      artifacts; the dump shares q263's VALUES pin verbatim, so
+    //      the driver itself checks probe ≡ train-and-probe. ----
+    "q266_binary_index" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val n = e.count()
+        val q = e.filter(col("id") < 8)
+          .select(col("id").as("qid"), col("vec").as("qvec"))
+        val work = java.nio.file.Files.createTempDirectory("graft-q266")
+        saveBinary(s, e, s"$work/idx")
+        val dump = probeBinary(s, s"$work/idx", q, k = 5, rerank = 100)
+          .select(col("qid"), col("rn"), col("id").as("nn_id"), col("cos"),
+            lit(n - 1).as("n_candidates"))
+        AnnPin.pinnable(s, d, dump, "q266_binary_index")
+      },
+      Some(binDumpOracle)),
 
     // ---- recall vs the exact top-5 (same ground truth as q38/q252) ----
     "q263_binary_recall" -> Q(

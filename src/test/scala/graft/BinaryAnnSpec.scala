@@ -39,6 +39,55 @@ class BinaryAnnSpec extends SparkSpec {
     assert(t1.toSeq == t2.toSeq && t1.length == 64)
   }
 
+  test("saved-index probe is bit-identical to train-and-probe; " +
+      "streaming appends with at-least-once duplicates stay correct") {
+    val s = spark
+    import s.implicits._
+    val e = graft.rel.Tables.embeddings(s, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val base = e.filter(col("id") % 3 =!= 0)
+    val arriving = e.filter(col("id") % 3 === 0)
+    val q = e.filter(col("id") < 6)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val work = java.nio.file.Files.createTempDirectory("binidx")
+    BinaryAnn.saveBinary(s, base, s"$work/idx")
+    // bit-identity on the base corpus
+    val viaIndex = BinaryAnn.probeBinary(s, s"$work/idx", q, 5, 60)
+      .select("qid", "rn", "id", "cos").collect().map(_.toSeq).toSet
+    val direct = BinaryAnn.binaryTopK(s, base, q, 5, 60)
+      .select("qid", "rn", "id", "cos").collect().map(_.toSeq).toSet
+    assert(viaIndex == direct && viaIndex.nonEmpty)
+    // stream the remaining vectors in, WITH a duplicated delivery
+    val in = s"$work/in"
+    arriving.write.mode("append").parquet(in)
+    arriving.write.mode("append").parquet(in) // at-least-once replay
+    val src = s.readStream.schema(s.read.parquet(in).schema).parquet(in)
+    val sq = BinaryAnn.appendBinaryStream(s, src, s"$work/idx", s"$work/ckpt")
+    try sq.processAllAvailable() finally sq.stop()
+    // probing the appended index equals train-and-probe on the FULL
+    // corpus: duplicate rows collapse in the (qid, id) max
+    val appended = BinaryAnn.probeBinary(s, s"$work/idx", q, 5, 60)
+      .select("qid", "rn", "id").collect().map(_.toSeq).toSet
+    // same thresholds as the saved index (fit on base), full corpus
+    val thrBase = BinaryAnn.thresholds(base, "vec")
+    val full = {
+      val codes = e.select(col("id"),
+        BinaryAnn.packBits(col("vec"), thrBase).as("codes"))
+      val qc = q.select(col("qid"),
+        BinaryAnn.packBits(col("qvec"), thrBase).as("qc"))
+      val ham = broadcast(qc).join(codes, col("id") =!= col("qid"))
+        .withColumn("negham", -BinaryAnn.hamming(col("codes"), col("qc")))
+      val sl = graft.functions.TopK.perKeyTopK(ham, 60, "qid", "id", "negham")
+        .select("qid", "id")
+      val scored = sl.join(e, "id").join(broadcast(q), "qid")
+        .withColumn("cos", graft.functions.VecFunctions
+          .vecCosine(s, col("qvec"), col("vec")))
+      graft.functions.TopK.perKeyTopK(scored, 5, "qid", "id", "cos")
+        .select("qid", "rn", "id").collect().map(_.toSeq).toSet
+    }
+    assert(appended == full)
+  }
+
   test("recall@5 vs the exact scan clears the 0.8 bar (r9 verdict " +
       "item 6) and the two-stage result is deterministic") {
     val s = spark
