@@ -508,6 +508,13 @@ object Graft {
       k: Int, rerank: Int): DataFrame =
     llm.BinaryAnn.binaryTopK(spark, emb, queries, k, rerank)
 
+  /** Token-window document chunking with overlap — the RAG/packing
+    * splitter; one narrow pass, per-doc-bounded fan-out
+    * ([[llm.Chunk.chunkDocuments]]).
+    */
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame =
+    llm.Chunk.chunkDocuments(docs, window, stride)
+
   /** Persist a binary (1-bit) ANN index: thresholds + packed codes +
     * vectors ([[llm.BinaryAnn.saveBinary]]).
     */

@@ -48,7 +48,8 @@ object SparkEntry {
       graft.rel.EntityResolution.all ++ graft.rel.SkewJoin.all ++
       graft.plans.MvQueries.all ++ graft.llm.SqOps.all ++
       graft.rel.Sampling.all ++ graft.plans.FkQueries.all ++
-      graft.llm.LangId.all ++ graft.llm.BinaryAnn.all
+      graft.llm.LangId.all ++ graft.llm.BinaryAnn.all ++
+      graft.llm.Chunk.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
