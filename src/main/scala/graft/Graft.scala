@@ -515,6 +515,33 @@ object Graft {
   def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame =
     llm.Chunk.chunkDocuments(docs, window, stride)
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * most-similar OTHER-label vectors ([[llm.Mining.hardNegatives]]).
+    */
+  def hardNegatives(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+      k: Int): DataFrame =
+    llm.Mining.hardNegatives(spark, emb, queries, k)
+
+  /** Exact mutual-kNN graph over an embedding table: undirected u < v
+    * edges present in both top-k lists ([[llm.Mining.mutualKnn]]).
+    */
+  def mutualKnn(spark: SparkSession, emb: DataFrame, k: Int): DataFrame =
+    llm.Mining.mutualKnn(spark, emb, k)
+
+  /** IVF-bucketed approximate kNN edges — the 100 TB all-pairs shape
+    * (per-cell blocks, no corpus n²; [[llm.Mining.knnEdgesIvf]]).
+    */
+  def knnEdgesIvf(spark: SparkSession, emb: DataFrame, k: Int,
+      cells: Int = 16, multiAssign: Int = 2): DataFrame =
+    llm.Mining.knnEdgesIvf(spark, emb, k, cells = cells,
+      multiAssign = multiAssign)
+
+  /** Semantic clusters: connected components of the mutual-kNN graph,
+    * singletons included ([[llm.Mining.semanticClusters]]).
+    */
+  def semanticClusters(spark: SparkSession, emb: DataFrame, k: Int): DataFrame =
+    llm.Mining.semanticClusters(spark, emb, k)
+
   /** Persist a binary (1-bit) ANN index: thresholds + packed codes +
     * vectors ([[llm.BinaryAnn.saveBinary]]).
     */

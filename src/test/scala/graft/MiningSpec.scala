@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Mining
+
+class MiningSpec extends SparkSpec {
+
+  /** 3 tight same-label pods on distinct axes + a lone outlier: every
+    * neighbor structure is known by construction. */
+  private def fixture = {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    Seq(
+      // pod A (label 0) around +x
+      (0L, v(1.0, 0.00, 0.0), 0),
+      (1L, v(1.0, 0.02, 0.0), 0),
+      (2L, v(1.0, 0.04, 0.0), 0),
+      // pod B (label 1) around +y
+      (3L, v(0.00, 1.0, 0.0), 1),
+      (4L, v(0.02, 1.0, 0.0), 1),
+      (5L, v(0.04, 1.0, 0.0), 1),
+      // lone outlier (label 2) on +z
+      (6L, v(0.0, 0.0, 1.0), 2)
+    ).toDF("id", "vec", "label")
+  }
+
+  test("hardNegatives excludes self and same-label; nearest other-class wins") {
+    val e = fixture
+    val q = e.filter(col("id") === 2)
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        col("label").as("qlabel"))
+    val got = Mining.hardNegatives(spark, e, q, 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // all of pod A (labels equal) excluded; nearest other-label is pod
+    // B's closest-to-x member (id 5, x component 0.04), then 4, then 3
+    assert(got.toSeq == Seq((1, 5L), (2, 4L), (3, 3L)))
+  }
+
+  test("mutualKnn: edges inside pods only; ranks are both directions' positions") {
+    val e = fixture.select("id", "vec")
+    val got = Mining.mutualKnn(spark, e, 2)
+      .orderBy("u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // k=2 inside a 3-pod: every within-pod pair is mutual; the outlier
+    // and cross-pod pairs never are
+    assert(got == Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L)))
+    // symmetry of the rank pair: (u,v) ranks are each ≤ k
+    Mining.mutualKnn(spark, e, 2).collect().foreach { r =>
+      assert(r.getInt(2) <= 2 && r.getInt(3) <= 2)
+    }
+  }
+
+  test("semanticClusters: pods become components, the outlier a singleton") {
+    val e = fixture.select("id", "vec")
+    val got = Mining.semanticClusters(spark, e, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == Seq(
+      (0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L),
+      (3L, 3L, 3L), (4L, 3L, 3L), (5L, 3L, 3L),
+      (6L, 6L, 1L)))  // singleton keeps its own id, size 1
+  }
+
+  test("knnEdgesIvf: pair space is cell-bounded and recall is total " +
+      "when pods fit in cells") {
+    val e = fixture.select("id", "vec")
+    // 4 cells over 7 clustered points: every within-pod pair shares a
+    // cell, so the IVF graph reproduces the exact mutual graph
+    val a = Mining.knnEdgesIvf(spark, e, 2, cells = 4, multiAssign = 2)
+    val approxMutual = a.as("l").join(a.as("r"),
+        col("l.src") === col("r.dst") && col("l.dst") === col("r.src") &&
+          col("l.src") < col("l.dst"))
+      .select(col("l.src"), col("l.dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(approxMutual == Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L)))
+    // no self edges, ranks bounded by k
+    a.collect().foreach { r =>
+      assert(r.getLong(0) != r.getLong(1) && r.getInt(2) <= 2)
+    }
+  }
+}
