@@ -542,6 +542,14 @@ object Graft {
   def semanticClusters(spark: SparkSession, emb: DataFrame, k: Int): DataFrame =
     llm.Mining.semanticClusters(spark, emb, k)
 
+  /** MMR-diversified retrieval: bounded top-`poolSize` relevance pool,
+    * then integer-milli greedy diversification to k results
+    * ([[llm.Mmr.mmrTopK]]).
+    */
+  def mmrTopK(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+      k: Int, poolSize: Int, lambdaMilli: Int = 700): DataFrame =
+    llm.Mmr.mmrTopK(spark, emb, queries, k, poolSize, lambdaMilli)
+
   /** Persist a binary (1-bit) ANN index: thresholds + packed codes +
     * vectors ([[llm.BinaryAnn.saveBinary]]).
     */
