@@ -550,6 +550,12 @@ object Graft {
       k: Int, poolSize: Int, lambdaMilli: Int = 700): DataFrame =
     llm.Mmr.mmrTopK(spark, emb, queries, k, poolSize, lambdaMilli)
 
+  /** Per-label centroid outliers in exact integer arithmetic — the
+    * embedding-quality audit ([[llm.Outliers.centroidOutliers]]).
+    */
+  def centroidOutliers(spark: SparkSession, emb: DataFrame, k: Int): DataFrame =
+    llm.Outliers.centroidOutliers(spark, emb, k)
+
   /** Persist a binary (1-bit) ANN index: thresholds + packed codes +
     * vectors ([[llm.BinaryAnn.saveBinary]]).
     */

@@ -49,7 +49,8 @@ object SparkEntry {
       graft.plans.MvQueries.all ++ graft.llm.SqOps.all ++
       graft.rel.Sampling.all ++ graft.plans.FkQueries.all ++
       graft.llm.LangId.all ++ graft.llm.BinaryAnn.all ++
-      graft.llm.Chunk.all ++ graft.llm.Mining.all ++ graft.llm.Mmr.all
+      graft.llm.Chunk.all ++ graft.llm.Mining.all ++ graft.llm.Mmr.all ++
+      graft.llm.Outliers.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
