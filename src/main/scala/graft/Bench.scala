@@ -114,7 +114,12 @@ object Bench {
       // on the per-edge triangle machinery; q263's binary ANN dump is
       // fixture-guarded to sf0.01 like q252)
       "q264_langid_trigram", "q265_cdc_evolve",
-      "q166_cusum_changepoint")
+      "q166_cusum_changepoint",
+      // round-10 continuation: chunking, contrastive mining, the exact
+      // mutual-kNN graph + semantic clusters, centroid outliers (q271/
+      // q272 stay out: fixture-guarded to sf0.01 like q252/q263)
+      "q267_chunking", "q268_hard_negatives", "q269_mutual_knn",
+      "q270_semantic_clusters", "q273_centroid_outliers")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))
