@@ -110,4 +110,82 @@ object TopK {
       .select(col(key), (col("pos") + 1).cast("int").as(rnName),
         col("col.i").as(id), col("col.s").as(score))
   }
+
+  /** parallel arrays sorted by (score desc, id asc), length ≤ k — the
+    * exact-integer twin of [[Buf]] for LONG scores
+    */
+  case class LBuf(scores: Array[Long], ids: Array[Long])
+
+  @inline private def betterL(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  /** [[TopKAgg]] with EXACT LONG scores — for the integer-key paths
+    * (centroid-outlier dist_key, Hamming distances): a long key past
+    * 2⁵³ loses bits in the double cast and near-ties could swap, so the
+    * exact-integer operators keep their scores in long end-to-end.
+    */
+  class TopKLongAgg(k: Int) extends Aggregator[(Long, Long), LBuf, LBuf] {
+    require(k > 0, s"top-k needs k > 0, got $k")
+
+    def zero: LBuf = LBuf(Array.emptyLongArray, Array.emptyLongArray)
+
+    def reduce(b: LBuf, a: (Long, Long)): LBuf = {
+      val (id, score) = a
+      val n = b.scores.length
+      if (n == k && !betterL(score, id, b.scores(n - 1), b.ids(n - 1))) return b
+      var pos = n
+      while (pos > 0 && betterL(score, id, b.scores(pos - 1), b.ids(pos - 1))) pos -= 1
+      val m = math.min(n + 1, k)
+      val ns = new Array[Long](m)
+      val ni = new Array[Long](m)
+      System.arraycopy(b.scores, 0, ns, 0, pos)
+      System.arraycopy(b.ids, 0, ni, 0, pos)
+      ns(pos) = score
+      ni(pos) = id
+      val tail = m - pos - 1
+      if (tail > 0) {
+        System.arraycopy(b.scores, pos, ns, pos + 1, tail)
+        System.arraycopy(b.ids, pos, ni, pos + 1, tail)
+      }
+      LBuf(ns, ni)
+    }
+
+    def merge(x: LBuf, y: LBuf): LBuf = {
+      if (y.scores.isEmpty) return x
+      if (x.scores.isEmpty) return y
+      val m = math.min(x.scores.length + y.scores.length, k)
+      val ns = new Array[Long](m)
+      val ni = new Array[Long](m)
+      var i = 0; var j = 0; var o = 0
+      while (o < m) {
+        val takeX = j >= y.scores.length ||
+          (i < x.scores.length && betterL(x.scores(i), x.ids(i), y.scores(j), y.ids(j)))
+        if (takeX) { ns(o) = x.scores(i); ni(o) = x.ids(i); i += 1 }
+        else { ns(o) = y.scores(j); ni(o) = y.ids(j); j += 1 }
+        o += 1
+      }
+      LBuf(ns, ni)
+    }
+
+    def finish(b: LBuf): LBuf = b
+    def bufferEncoder: Encoder[LBuf] = Encoders.product[LBuf]
+    def outputEncoder: Encoder[LBuf] = Encoders.product[LBuf]
+  }
+
+  def topKLong(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new TopKLongAgg(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+
+  /** [[perKeyTopK]] with exact long scores — same (score desc, id asc)
+    * total order, no double cast anywhere, so integer keys rank
+    * bit-exactly all the way to ±2⁶³.
+    */
+  def perKeyTopKLong(df: DataFrame, k: Int, key: String, id: String, score: String,
+      rnName: String = "rn"): DataFrame = {
+    df.groupBy(col(key))
+      .agg(topKLong(k)(col(id).cast("long"), col(score).cast("long")).as("_top"))
+      .select(col(key),
+        posexplode(arrays_zip(col("_top.ids").as("i"), col("_top.scores").as("s"))))
+      .select(col(key), (col("pos") + 1).cast("int").as(rnName),
+        col("col.i").as(id), col("col.s").as(score))
+  }
 }

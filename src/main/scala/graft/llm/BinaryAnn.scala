@@ -17,9 +17,10 @@ import graft.rel.Tables
   * production-standard two-stage shape (sign quantization + Hamming
   * prefilter + re-rank).
   *
-  * Determinism discipline: the threshold is the per-dimension MIDRANGE
-  * (min+max)/2 — min/max are exact order-independent float aggregates,
-  * unlike a float mean whose distributed summation order drifts — so
+  * Determinism discipline: the threshold is the per-dimension EXACT
+  * MEDIAN — an exact order statistic is order-independent, unlike a
+  * float mean whose distributed summation order drifts (and a midrange
+  * split measured 10pp worse on recall@5; see [[thresholds]]) — so
   * codes are bit-reproducible; Hamming is integer; both top-k stages
   * use the bounded-heap aggregator's (score desc, id) total order. The
   * dump VALUES-pins like its q252/q55 siblings.
@@ -124,9 +125,12 @@ object BinaryAnn {
     val thr = thresholds(emb, vec)
     thr.zipWithIndex.map { case (t, i) => (i, t) }.toSeq.toDF("pos", "thr")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/thresholds")
-    emb.select(col(id), packBits(col(vec), thr).as("codes"))
+    // on-disk layout is name-canonical ("id"/"vec") regardless of the
+    // caller's column names — probeBinary and stream appends with
+    // different caller names stay schema-stable
+    emb.select(col(id).as("id"), packBits(col(vec), thr).as("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes")
-    emb.select(col(id), col(vec))
+    emb.select(col(id).as("id"), col(vec).as("vec"))
       .write.mode("overwrite").parquet(s"$dir/vectors")
   }
 
@@ -148,16 +152,48 @@ object BinaryAnn {
       checkpoint: String, id: String = "id", vec: String = "vec")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val thr = readThresholds(s, dir)
-    stream.select(col(id), packBits(col(vec), thr).as("codes"), col(vec))
+    // same canonical aliasing as saveBinary: an append batch with
+    // caller names ≠ the save's caller names must not fork the
+    // codes/vectors parquet schema
+    stream.select(col(id).as("id"), packBits(col(vec), thr).as("codes"),
+        col(vec).as("vec"))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select(col(id), col("codes"))
+        batch.select(col("id"), col("codes"))
           .write.mode("append").parquet(s"$dir/codes")
-        batch.select(col(id), col(vec))
+        batch.select(col("id"), col("vec"))
           .write.mode("append").parquet(s"$dir/vectors")
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
+
+  /** Log COMPACTION for the append-maintained index — the hygiene op
+    * every sibling index has ([[AnnIndex.compactIvf]],
+    * [[Lexical.compactLexical]]): at-least-once appends leave
+    * bit-identical duplicate rows in `codes/` and `vectors/` that
+    * probes collapse per (qid, id) but the logs accumulate forever.
+    * Rewrites each log with exact whole-row duplicates removed (same
+    * id, same codes/vector — appends re-pack with the STORED
+    * thresholds, so a replayed row is bit-identical by construction)
+    * via the house temp-dir-then-atomic-swap. Probe output is
+    * bit-identical before/after (BinaryAnnSpec pins it).
+    */
+  def compactBinary(s: SparkSession, dir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    def swap(sub: String): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${sub}__compact")
+      val fs = cur.getFileSystem(conf)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      s.read.parquet(cur.toString)
+        .dropDuplicates() // whole-row: only bit-identical replays collapse
+        .write.parquet(tmp.toString)
+      fs.delete(cur, true)
+      require(fs.rename(tmp, cur), s"compaction swap failed for $cur")
+    }
+    swap("codes")
+    swap("vectors")
   }
 
   /** Two-stage probe against a saved index — output identical to

@@ -54,10 +54,17 @@ object LangId {
       "molto", "anche", "quando", "essere"))
 
   /** All character trigrams of `text` (positions 1..len−2), as the
-    * codegen'd transform-over-sequence both engines share.
+    * codegen'd transform-over-sequence both engines share. Texts
+    * shorter than 3 chars yield an EMPTY array — guarded explicitly,
+    * because an unguarded `sequence(1, len−2)` auto-selects step −1
+    * when the upper bound drops below 1 (len 2 → [1,0]) and would emit
+    * bogus substr positions where the DuckDB oracle's
+    * `range(1, len−1)` is empty.
     */
   def charTrigrams(text: Column): Column =
-    transform(sequence(lit(1), length(text) - 2), p => text.substr(p, lit(3)))
+    when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2), p => text.substr(p, lit(3))))
+      .otherwise(array().cast("array<string>"))
 
   /** The deterministic multilingual fixture: (doc_id, lang_true,
     * is_test, text). lang = langs[doc_id mod 5] (balanced classes),

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 import graft.rel.RelQueries.Q
@@ -24,12 +23,17 @@ import graft.rel.Tables
   *
   * Scale shape (100 TB): one narrow explode of the scan, a per-(group,
   * dim) partial-aggregated sum (map-side combine — (groups × dims)
-  * rows, tiny), a broadcast join back, and a per-group bounded window.
-  * Nothing quadratic, no driver state. Overflow guard: |n·µ − S| ≤
-  * 2·n·µmax, so Σ_j squares ≤ dims·(2·n·µmax)² must stay under 2⁶³ —
-  * with µmax ≈ 1000 (unit-ish embeddings) and 64 dims that holds to
-  * n ≈ 1.9×10⁵ per group; a loud inline `raise_error` fires past the
-  * cap instead of silently wrapping (the adjRowBytesCap discipline).
+  * rows, tiny), a broadcast join back, and a map-side-combining
+  * bounded-heap top-k per group ([[graft.functions.TopK.perKeyTopKLong]]
+  * — LONG scores, so the integer key never rides a lossy double cast;
+  * no per-group window sort). Nothing quadratic, no driver state.
+  * Overflow guard: |n·µ_j − S_j| ≤ 2·n·µmax_j, so Σ_j squares is
+  * bounded by Σ_j (2·n·µmax_j)² — that bound is computed per group
+  * from the OBSERVED per-dimension |µ| maxima (not an assumed unit
+  * range: unnormalized embeddings with µ ~ 10⁵ would wrap long far
+  * below any row-count cap), and a loud inline `raise_error` fires
+  * when it could exceed 2⁶³ — or when a group outgrows `groupSizeCap`
+  * — instead of silently wrapping (the adjRowBytesCap discipline).
   */
 object Outliers {
 
@@ -45,24 +49,43 @@ object Outliers {
       .select(col(id), col(label), posexplode(col(vec)).as(Seq("j", "v")))
       .select(col(id), col(label), col("j"),
         round(col("v").cast("double") * 1000, 0).cast("long").as("mu"))
-    val cs = m.groupBy(col(label), col("j"))
-      .agg(sum("mu").as("s_j"), count(lit(1)).as("n"))
-      // loud overflow guard: past the cap the integer key could wrap
-      .withColumn("n", when(col("n") > groupSizeCap,
-        raise_error(concat(lit("centroidOutliers: group "),
-          col(label).cast("string"),
-          lit(s" exceeds groupSizeCap=$groupSizeCap — the exact integer " +
-            "key would overflow; stratify or raise the cap only with a " +
-            "re-derived bound")))).otherwise(col("n")))
+    val cs0 = m.groupBy(col(label), col("j"))
+      .agg(sum("mu").as("s_j"), count(lit(1)).as("n"),
+        max(abs(col("mu"))).as("mx"))
+    // per-group worst-case key Σ_j (2·n·µmax_j)², evaluated in double
+    // (a BOUND check — conservative is fine); the guard fires from the
+    // observed µ magnitudes, so unnormalized embeddings can't slip a
+    // wrapped key past a row-count-only cap
+    val chk = cs0.groupBy(col(label))
+      .agg(sum(pow(lit(2.0) * col("n") * col("mx"), 2)).as("__bound"),
+        max("n").as("__nmax"))
+    val cs = cs0.join(chk, Seq(label))
+      // loud overflow guard: past either cap the integer key could wrap
+      .withColumn("n",
+        when(col("__nmax") > groupSizeCap,
+          raise_error(concat(lit("centroidOutliers: group "),
+            col(label).cast("string"),
+            lit(s" exceeds groupSizeCap=$groupSizeCap — the exact integer " +
+              "key would overflow; stratify or raise the cap only with a " +
+              "re-derived bound"))))
+        .when(col("__bound") > lit(9.0e18),
+          raise_error(concat(lit("centroidOutliers: group "),
+            col(label).cast("string"),
+            lit(" worst-case key Σ_j (2·n·µmax_j)² exceeds Long.MaxValue " +
+              "(unnormalized embeddings?) — the exact integer key would " +
+              "overflow; normalize or rescale the vectors"))))
+        .otherwise(col("n")))
+      .select(col(label), col("j"), col("s_j"), col("n"))
     val diff = col("n") * col("mu") - col("s_j")
     val d = m.join(broadcast(cs), Seq(label, "j"))
       .groupBy(col(id), col(label))
       .agg(sum(diff * diff).as("dist_key"))
-    val w = Window.partitionBy(col(label))
-      .orderBy(col("dist_key").desc, col(id))
-    d.select(col(label), row_number().over(w).as("rn"), col(id),
-        col("dist_key"))
-      .filter(col("rn") <= k)
+    // bounded-heap top-k with EXACT LONG scores (the window form sorts
+    // each label's full group on one task — the single-key wall at the
+    // realistic few-labels/many-rows audit shape; the double-cast TopK
+    // would lose integer bits past 2⁵³)
+    graft.functions.TopK.perKeyTopKLong(d, k, label, id, "dist_key")
+      .select(col(label), col("rn"), col(id), col("dist_key"))
   }
 
   val all: ListMap[String, Q] = ListMap(

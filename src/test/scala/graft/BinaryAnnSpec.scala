@@ -88,6 +88,65 @@ class BinaryAnnSpec extends SparkSpec {
     assert(appended == full)
   }
 
+  test("non-default caller column names land name-canonical on disk: " +
+      "probe and cross-named appends stay schema-stable") {
+    val s = spark
+    val e = graft.rel.Tables.embeddings(s, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 4)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val work = java.nio.file.Files.createTempDirectory("binidx-names")
+    // save under caller names (vid, emb) ≠ canonical
+    BinaryAnn.saveBinary(s,
+      e.filter(col("id") % 2 === 0)
+        .select(col("id").as("vid"), col("vec").as("emb")),
+      s"$work/idx", id = "vid", vec = "emb")
+    assert(s.read.parquet(s"$work/idx/codes").columns.toSeq == Seq("id", "codes"))
+    assert(s.read.parquet(s"$work/idx/vectors").columns.toSeq == Seq("id", "vec"))
+    // append under a THIRD naming — must not fork the parquet schema
+    val in = s"$work/in"
+    e.filter(col("id") % 2 === 1)
+      .select(col("id").as("k"), col("vec").as("v"))
+      .write.parquet(in)
+    val src = s.readStream.schema(s.read.parquet(in).schema).parquet(in)
+    val sq = BinaryAnn.appendBinaryStream(s, src, s"$work/idx", s"$work/ckpt",
+      id = "k", vec = "v")
+    try sq.processAllAvailable() finally sq.stop()
+    // probe resolves (no unresolved-column failure) and sees all rows
+    val got = BinaryAnn.probeBinary(s, s"$work/idx", q, 5, 60)
+    assert(got.count() == 4 * 5)
+  }
+
+  test("compactBinary: replayed appends shrink the logs, probe output " +
+      "bit-identical before and after") {
+    val s = spark
+    import s.implicits._
+    val e = graft.rel.Tables.embeddings(s, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val work = java.nio.file.Files.createTempDirectory("binidx-compact")
+    BinaryAnn.saveBinary(s, e.filter(col("id") % 3 =!= 0), s"$work/idx")
+    val in = s"$work/in"
+    val arriving = e.filter(col("id") % 3 === 0)
+    arriving.write.mode("append").parquet(in)
+    arriving.write.mode("append").parquet(in) // at-least-once replay
+    val src = s.readStream.schema(s.read.parquet(in).schema).parquet(in)
+    val sq = BinaryAnn.appendBinaryStream(s, src, s"$work/idx", s"$work/ckpt")
+    try sq.processAllAvailable() finally sq.stop()
+    val n = e.count()
+    val dupCodes = s.read.parquet(s"$work/idx/codes").count()
+    assert(dupCodes > n) // the replay really left duplicates
+    val before = BinaryAnn.probeBinary(s, s"$work/idx", q, 5, 60)
+      .collect().map(_.toSeq).toSet
+    BinaryAnn.compactBinary(s, s"$work/idx")
+    assert(s.read.parquet(s"$work/idx/codes").count() == n)
+    assert(s.read.parquet(s"$work/idx/vectors").count() == n)
+    val after = BinaryAnn.probeBinary(s, s"$work/idx", q, 5, 60)
+      .collect().map(_.toSeq).toSet
+    assert(after == before && after.nonEmpty)
+  }
+
   test("recall@5 vs the exact scan clears the 0.8 bar (r9 verdict " +
       "item 6) and the two-stage result is deterministic") {
     val s = spark

@@ -80,6 +80,31 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("perKeyTopKLong: exact long scores — bit-exact ranking past 2^53 " +
+      "where the double cast would collapse near-ties") {
+    val s = spark
+    import s.implicits._
+    // consecutive longs above 2^60: indistinguishable after a double
+    // cast (ulp = 256 there), fully ordered in the long aggregator
+    val base = 1L << 60
+    val df = (0 until 8).map(i => (1, i.toLong, base + i))
+      .toDF("key", "id", "score")
+    val got = TopK.perKeyTopKLong(df, 3, "key", "id", "score")
+      .orderBy("rn").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, 7L, base + 7), (2, 6L, base + 6), (3, 5L, base + 5)))
+    // ties break to the smaller id, same as the double variant
+    val tied = Seq((1, 5L, 9L), (1, 2L, 9L), (1, 7L, 9L)).toDF("key", "id", "score")
+    val t = TopK.perKeyTopKLong(tied, 2, "key", "id", "score")
+      .orderBy("rn").collect().map(_.getLong(2)).toSeq
+    assert(t == Seq(2L, 5L))
+    // same plan discipline as the double variant
+    val plan = TopK.perKeyTopKLong(df, 3, "key", "id", "score")
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2 &&
+      !plan.contains("Window"), plan)
+  }
+
   test("ANN entries carry no Window node (the re-rank paths are heap-based)") {
     // sf0.01: the dump entries are fixture-guarded there (plan-only —
     // nothing executes except the guard's tiny fingerprint agg)
