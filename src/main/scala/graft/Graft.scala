@@ -542,6 +542,23 @@ object Graft {
   def semanticClusters(spark: SparkSession, emb: DataFrame, k: Int): DataFrame =
     llm.Mining.semanticClusters(spark, emb, k)
 
+  /** Semantic clusters over the IVF-bucketed mutual graph — the 100 TB
+    * clustering path: no all-pairs scoring, no whole-corpus query
+    * broadcast ([[llm.Mining.semanticClustersIvf]]).
+    */
+  def semanticClustersIvf(spark: SparkSession, emb: DataFrame, k: Int,
+      cells: Int = 16, multiAssign: Int = 2): DataFrame =
+    llm.Mining.semanticClustersIvf(spark, emb, k, cells = cells,
+      multiAssign = multiAssign)
+
+  /** Components of a caller-supplied undirected (u, v) similarity edge
+    * set over `emb`'s id domain, singletons included
+    * ([[llm.Mining.semanticClustersFromEdges]]).
+    */
+  def semanticClustersFromEdges(spark: SparkSession, emb: DataFrame,
+      edges: DataFrame): DataFrame =
+    llm.Mining.semanticClustersFromEdges(spark, emb, edges)
+
   /** MMR-diversified retrieval: bounded top-`poolSize` relevance pool,
     * then integer-milli greedy diversification to k results
     * ([[llm.Mmr.mmrTopK]]).

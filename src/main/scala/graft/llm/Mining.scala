@@ -63,19 +63,34 @@ object Mining {
         id = id, vec = vec, qid = "__qid", qvec = "__qvec")
       .select(col("__qid").as("src"), col(id).as("dst"), col("rn"))
 
-  /** Mutual-kNN graph: undirected edges u < v where each endpoint lies
-    * in the other's top-k. Output: (u, v, rank_uv, rank_vu) — pure
-    * integers, fully portable across engines.
+  /** Mutual-ize a directed (src, dst, rn) edge table: undirected edges
+    * u < v where each endpoint lies in the other's top-k — one
+    * self-equi-join on the (already k-bounded) edge set, so the join
+    * input is n·k rows regardless of corpus size.
     */
-  def mutualKnn(s: SparkSession, emb: DataFrame, k: Int,
-      id: String = "id", vec: String = "vec"): DataFrame = {
-    val e = knnEdges(s, emb, k, id, vec)
+  private def mutualize(e: DataFrame): DataFrame =
     e.as("l").join(e.as("r"),
         col("l.src") === col("r.dst") && col("l.dst") === col("r.src") &&
           col("l.src") < col("l.dst"))
       .select(col("l.src").as("u"), col("l.dst").as("v"),
         col("l.rn").as("rank_uv"), col("r.rn").as("rank_vu"))
-  }
+
+  /** Mutual-kNN graph: undirected edges u < v where each endpoint lies
+    * in the other's top-k. Output: (u, v, rank_uv, rank_vu) — pure
+    * integers, fully portable across engines.
+    */
+  def mutualKnn(s: SparkSession, emb: DataFrame, k: Int,
+      id: String = "id", vec: String = "vec"): DataFrame =
+    mutualize(knnEdges(s, emb, k, id, vec))
+
+  /** Mutual-ized [[knnEdgesIvf]] — the 100 TB mutual graph: per-cell
+    * candidate pairs, bounded heaps, then the same n·k-bounded
+    * mutualizing self-join as the exact path.
+    */
+  def mutualKnnIvf(s: SparkSession, emb: DataFrame, k: Int,
+      cells: Int = 16, iters: Int = 3, multiAssign: Int = 2,
+      id: String = "id", vec: String = "vec"): DataFrame =
+    mutualize(knnEdgesIvf(s, emb, k, cells, iters, multiAssign, id, vec))
 
   /** IVF-bucketed approximate kNN edges — the 100 TB all-pairs shape:
     * train a coarse quantizer, multi-assign every vector to its
@@ -112,9 +127,32 @@ object Mining {
     * min node id in the cluster.
     */
   def semanticClusters(s: SparkSession, emb: DataFrame, k: Int,
-      id: String = "id", vec: String = "vec"): DataFrame = {
-    val edges = mutualKnn(s, emb, k, id, vec).select(col("u"), col("v"))
-    val cc = graft.graph.ConnectedComponents.connectedComponents(s, edges)
+      id: String = "id", vec: String = "vec"): DataFrame =
+    semanticClustersFromEdges(s, emb, mutualKnn(s, emb, k, id, vec), id)
+
+  /** Semantic clusters over the IVF-bucketed mutual graph — the shape a
+    * 100 TB corpus actually runs ([[mutualKnnIvf]] edges, same
+    * star-contraction CC): the exact path's all-pairs scoring (and its
+    * whole-corpus query broadcast) never happens. q274 pins cluster
+    * agreement vs the exact path; MiningSpec pins exact ≡ IVF on
+    * planted pods.
+    */
+  def semanticClustersIvf(s: SparkSession, emb: DataFrame, k: Int,
+      cells: Int = 16, iters: Int = 3, multiAssign: Int = 2,
+      id: String = "id", vec: String = "vec"): DataFrame =
+    semanticClustersFromEdges(s, emb,
+      mutualKnnIvf(s, emb, k, cells, iters, multiAssign, id, vec), id)
+
+  /** Components of ANY undirected (u, v) edge set over `emb`'s id
+    * domain, singletons included — the edge source is the pluggable
+    * part (exact mutual graph, IVF mutual graph, or a caller-built
+    * similarity graph); the clustering is always the O(log n)
+    * star-contraction.
+    */
+  def semanticClustersFromEdges(s: SparkSession, emb: DataFrame,
+      edges: DataFrame, id: String = "id"): DataFrame = {
+    val cc = graft.graph.ConnectedComponents.connectedComponents(s,
+      edges.select(col("u"), col("v")))
     emb.select(col(id).cast("long").as("node"))
       .join(cc.withColumnRenamed("node", "__n"),
         col("node") === col("__n"), "left")
@@ -246,5 +284,42 @@ object Mining {
             col("n_hit").cast("long"))
       },
       Some("""SELECT n_exact, n_ivf, n_hit FROM (VALUES (509, 514, 485))
-             |  AS t(n_exact, n_ivf, n_hit)""".stripMargin)))
+             |  AS t(n_exact, n_ivf, n_hit)""".stripMargin)),
+
+    // ---- q274: the 100 TB clustering path's agreement with the exact
+    //      one — semanticClustersIvf (IVF mutual graph at 4-way cell
+    //      assignment, k=2, the q270 parameters) vs semanticClusters
+    //      (exact all-pairs), compared at the co-clustered-PAIR level
+    //      (the label-free way to compare clusterings): ONE integer
+    //      row. The diagnostic pair join is per-cluster quadratic —
+    //      fine here because the mutual-kNN regime keeps clusters
+    //      fragmented by construction (q270: max 14 nodes) and the
+    //      entry is fixture-guarded; the OPERATOR under test carries no
+    //      such join. VALUES-pinned like q271 (the approximate side has
+    //      no SQL replay; the exact side replays as q270). ----
+    "q274_semantic_clusters_ivf" -> Q(
+      (s, d) => {
+        Tables.requirePinnedFixture(s, d, "embeddings",
+          Tables.Sf001EmbeddingsFp, "q274_semantic_clusters_ivf")
+        val e = embs(s, d).select(col("vec_id").as("id"),
+          col("embedding").as("vec"))
+        def coPairs(c: DataFrame): DataFrame = c.as("a").join(c.as("b"),
+            col("a.comp_id") === col("b.comp_id") &&
+              col("a.node") < col("b.node"))
+          .select(col("a.node").as("u"), col("b.node").as("v"))
+        val exact = coPairs(semanticClusters(s, e, 2))
+        val ivf = coPairs(semanticClustersIvf(s, e, 2, multiAssign = 4))
+        val both = exact.join(ivf, Seq("u", "v"), "left_semi")
+        exact.agg(count(lit(1)).as("n_pairs_exact"))
+          .crossJoin(ivf.agg(count(lit(1)).as("n_pairs_ivf")))
+          .crossJoin(both.agg(count(lit(1)).as("n_pairs_both")))
+          .select(col("n_pairs_exact").cast("long"),
+            col("n_pairs_ivf").cast("long"), col("n_pairs_both").cast("long"),
+            expr("n_pairs_both * 1000 div n_pairs_exact")
+              .cast("long").as("pair_recall_milli"))
+      },
+      Some("""SELECT n_pairs_exact, n_pairs_ivf, n_pairs_both,
+             |  pair_recall_milli
+             |FROM (VALUES (976, 1016, 910, 932))
+             |  AS t(n_pairs_exact, n_pairs_ivf, n_pairs_both, pair_recall_milli)""".stripMargin)))
 }

@@ -61,6 +61,36 @@ class MiningSpec extends SparkSpec {
       (6L, 6L, 1L)))  // singleton keeps its own id, size 1
   }
 
+  test("semanticClustersIvf ≡ semanticClusters on the planted pods " +
+      "(r10 verdict item 1: the 100 TB path clusters the same groups)") {
+    val e = fixture.select("id", "vec")
+    val exact = Mining.semanticClusters(spark, e, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val ivf = Mining.semanticClustersIvf(spark, e, 2, cells = 4, multiAssign = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(ivf == exact)
+    assert(ivf == Seq(
+      (0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L),
+      (3L, 3L, 3L), (4L, 3L, 3L), (5L, 3L, 3L),
+      (6L, 6L, 1L)))
+  }
+
+  test("semanticClustersFromEdges: a caller edge set drives the same " +
+      "CC machinery, singletons preserved") {
+    val s = spark
+    import s.implicits._
+    val e = fixture.select("id", "vec")
+    // hand edges: merge the two pods through one bridge edge 2-3
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val got = Mining.semanticClustersFromEdges(spark, e, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == Seq(
+      (0L, 0L, 6L), (1L, 0L, 6L), (2L, 0L, 6L),
+      (3L, 0L, 6L), (4L, 0L, 6L), (5L, 0L, 6L),
+      (6L, 6L, 1L)))
+  }
+
   test("knnEdgesIvf: pair space is cell-bounded and recall is total " +
       "when pods fit in cells") {
     val e = fixture.select("id", "vec")
