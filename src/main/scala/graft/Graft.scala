@@ -567,6 +567,27 @@ object Graft {
       k: Int, poolSize: Int, lambdaMilli: Int = 700): DataFrame =
     llm.Mmr.mmrTopK(spark, emb, queries, k, poolSize, lambdaMilli)
 
+  /** MMR pooled from a persisted binary ANN index probe — the serving
+    * form; bit-identical to [[mmrTopK]] at equal pool membership
+    * ([[llm.Mmr.mmrProbeBinary]]).
+    */
+  def mmrProbeBinary(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, poolSize: Int, rerank: Int, lambdaMilli: Int = 700): DataFrame =
+    llm.Mmr.mmrProbeBinary(spark, dir, queries, k, poolSize, rerank, lambdaMilli)
+
+  /** MMR pooled from a persisted IVF index probe
+    * ([[llm.Mmr.mmrProbeIvf]]).
+    */
+  def mmrProbeIvf(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, poolSize: Int, nProbe: Int = 6, lambdaMilli: Int = 700): DataFrame =
+    llm.Mmr.mmrProbeIvf(spark, dir, queries, k, poolSize, nProbe, lambdaMilli)
+
+  /** Compact a binary ANN index's append logs (bit-identical replayed
+    * rows only; probe output unchanged — [[llm.BinaryAnn.compactBinary]]).
+    */
+  def compactBinaryIndex(spark: SparkSession, dir: String): Unit =
+    llm.BinaryAnn.compactBinary(spark, dir)
+
   /** Per-label centroid outliers in exact integer arithmetic — the
     * embedding-quality audit ([[llm.Outliers.centroidOutliers]]).
     */

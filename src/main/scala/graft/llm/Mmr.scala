@@ -104,15 +104,52 @@ object Mmr {
   def mmrTopK(s: SparkSession, emb: DataFrame, queries: DataFrame,
       k: Int, poolSize: Int, lambdaMilli: Int = 700,
       id: String = "id", vec: String = "vec",
-      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
-    val pool = Ann.cosineTopK(s, emb, queries, poolSize,
-        id = id, vec = vec, qid = qid, qvec = qvec)
+      qid: String = "qid", qvec: String = "qvec"): DataFrame =
+    mmrFromRanked(s,
+      Ann.cosineTopK(s, emb, queries, poolSize,
+        id = id, vec = vec, qid = qid, qvec = qvec),
+      emb, k, lambdaMilli, id = id, vec = vec, qid = qid)
+
+  /** The SERVING form: MMR over ANY relevance-ranked pool (`qid`, `id`,
+    * `cos`) — typically a persisted-index probe ([[AnnIndex.probeIvf]],
+    * [[BinaryAnn.probeBinary]]), whose bounded top-`poolSize` output
+    * already carries exact cosine relevance; `vectors` supplies the
+    * embeddings for the diversity probes (the index's own id→vec store,
+    * so serving never touches the training corpus). Pool membership is
+    * the only thing that can differ from the brute path — at equal
+    * pools the selection is bit-identical (MmrSpec pins it).
+    */
+  def mmrFromRanked(s: SparkSession, ranked: DataFrame, vectors: DataFrame,
+      k: Int, lambdaMilli: Int = 700, id: String = "id",
+      vec: String = "vec", qid: String = "qid"): DataFrame = {
+    val pool = ranked
       .select(col(qid), col(id),
         round(col("cos") * 1000, 0).cast("long").as("rel_milli"))
-      .join(emb.select(col(id), col(vec)), id)
+      .join(vectors.select(col(id), col(vec)), id)
     mmrSelect(s, pool, k, lambdaMilli, qid = qid, id = id, vec = vec)
       .orderBy(qid, "pick_rank")
   }
+
+  /** MMR pooled from a persisted binary (1-bit) ANN index probe —
+    * diversity vectors read from the index's `vectors/` store.
+    */
+  def mmrProbeBinary(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int, poolSize: Int, rerank: Int, lambdaMilli: Int = 700): DataFrame =
+    mmrFromRanked(s, BinaryAnn.probeBinary(s, dir, queries, poolSize, rerank),
+      s.read.parquet(s"$dir/vectors"), k, lambdaMilli)
+
+  /** MMR pooled from a persisted IVF index probe — diversity vectors
+    * read from the index's cell-partitioned assignments store.
+    */
+  def mmrProbeIvf(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int, poolSize: Int, nProbe: Int = 6, lambdaMilli: Int = 700): DataFrame =
+    mmrFromRanked(s, AnnIndex.probeIvf(s, dir, queries, poolSize, nProbe),
+      // multi-assignment stores one (id, vec) row per cell — the copies
+      // are bit-identical, collapsed so the pool join can't duplicate a
+      // candidate into two greedy slots
+      s.read.parquet(s"$dir/assignments").select(col("id"), col("vec"))
+        .dropDuplicates("id"),
+      k, lambdaMilli)
 
   val all: ListMap[String, Q] = ListMap(
     // ---- q272: MMR-diversified retrieval — queries vec_id < 5, pool =

@@ -58,6 +58,35 @@ class MmrSpec extends SparkSpec {
     assert(got == Seq((1, 20L), (2, 21L)))
   }
 
+  test("probe-pooled MMR ≡ brute-pooled MMR at equal pool membership " +
+      "(r10 verdict item 6: binary and IVF serving forms)") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val rnd = new scala.util.Random(43)
+    val emb = (0L until 40L).map { i =>
+      (i, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("id", "vec")
+    val q = emb.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val brute = Mmr.mmrTopK(spark, emb, q, k = 5, poolSize = 10)
+      .collect().map(_.toSeq).toSeq
+    val work = java.nio.file.Files.createTempDirectory("mmr-serving")
+    // binary: rerank = full corpus → the exact-cosine re-rank recovers
+    // the exact top-10 pool, so selection must be bit-identical
+    graft.llm.BinaryAnn.saveBinary(s, emb, s"$work/bin")
+    val viaBin = Mmr.mmrProbeBinary(s, s"$work/bin", q,
+        k = 5, poolSize = 10, rerank = 40)
+      .collect().map(_.toSeq).toSeq
+    assert(viaBin == brute && brute.nonEmpty)
+    // IVF: probing every cell → exact pool again
+    graft.llm.AnnIndex.saveIvf(s, emb, s"$work/ivf", cells = 4)
+    val viaIvf = Mmr.mmrProbeIvf(s, s"$work/ivf", q,
+        k = 5, poolSize = 10, nProbe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIvf == brute)
+  }
+
   test("mmrTopK rank-1 equals exact top-1 relevance for every query") {
     val s = spark
     import s.implicits._
