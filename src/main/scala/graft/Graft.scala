@@ -588,6 +588,27 @@ object Graft {
   def compactBinaryIndex(spark: SparkSession, dir: String): Unit =
     llm.BinaryAnn.compactBinary(spark, dir)
 
+  /** End-to-end hybrid retrieval: token-window chunking → chunk-BM25
+    * collapsed to best-window document scores → RRF fusion with the
+    * dense ranking ([[llm.Pipeline.hybridChunkRetrieve]]).
+    */
+  def hybridChunkRetrieve(spark: SparkSession, docs: DataFrame,
+      queries: Seq[(Int, Seq[String])], emb: DataFrame, qvecs: DataFrame,
+      window: Int = 40, stride: Int = 30,
+      kPerSystem: Int = 10, kFused: Int = 10): DataFrame =
+    llm.Pipeline.hybridChunkRetrieve(spark, docs, queries, emb, qvecs,
+      window, stride, kPerSystem, kFused)
+
+  /** The full retrieval chain with its measurement tail: hybrid
+    * retrieve → MMR diversification → ranking metrics
+    * ([[llm.Pipeline.retrieveDiversifyEval]]).
+    */
+  def retrieveDiversifyEval(spark: SparkSession, docs: DataFrame,
+      queries: Seq[(Int, Seq[String])], emb: DataFrame, qvecs: DataFrame,
+      qrels: DataFrame, k: Int, lambdaMilli: Int = 700): DataFrame =
+    llm.Pipeline.retrieveDiversifyEval(spark, docs, queries, emb, qvecs,
+      qrels, k, lambdaMilli)
+
   /** Per-label centroid outliers in exact integer arithmetic — the
     * embedding-quality audit ([[llm.Outliers.centroidOutliers]]).
     */

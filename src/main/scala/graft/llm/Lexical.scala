@@ -42,8 +42,18 @@ object Lexical {
     * here, which is what makes them bit-identical by construction.
     */
   private[graft] def scoreAndRank(post: DataFrame, dfd: DataFrame, stats: DataFrame,
-      qdf: DataFrame, k: Int, k1: Double, b: Double, id: String): DataFrame = {
-    val scored = post
+      qdf: DataFrame, k: Int, k1: Double, b: Double, id: String): DataFrame =
+    graft.functions.TopK.perKeyTopK(
+      scoreOf(post, dfd, stats, qdf, k1, b, id), k, "qid", id, "score_r6")
+
+  /** the scoring half of [[scoreAndRank]]: every matching (qid, id)
+    * with its rounded BM25 score, UNranked — for consumers that
+    * aggregate before ranking (the chunk→document collapse in
+    * [[Pipeline.hybridChunkRetrieve]])
+    */
+  private[graft] def scoreOf(post: DataFrame, dfd: DataFrame, stats: DataFrame,
+      qdf: DataFrame, k1: Double, b: Double, id: String): DataFrame =
+    post
       .join(broadcast(dfd), "term")
       .join(broadcast(qdf), "term")
       .crossJoin(broadcast(stats))
@@ -53,14 +63,15 @@ object Lexical {
           / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avg_len"))))
       .groupBy(col("qid"), col(id))
       .agg(round(sum(col("tscore")), 6).as("score_r6"))
-    graft.functions.TopK.perKeyTopK(scored, k, "qid", id, "score_r6")
-  }
 
-  def bm25TopK(s: SparkSession, docs: DataFrame, queries: Seq[(Int, Seq[String])],
-      k: Int, k1: Double = 1.2, b: Double = 0.75,
+  /** ALL (qid, id, score_r6) BM25 matches of a query batch — the
+    * [[bm25TopK]] scoring chain without the final bounded heap.
+    */
+  def bm25Scores(s: SparkSession, docs: DataFrame, queries: Seq[(Int, Seq[String])],
+      k1: Double = 1.2, b: Double = 0.75,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     import s.implicits._
-    require(k > 0 && queries.nonEmpty)
+    require(queries.nonEmpty)
     val dl = withLen(docs, id, text)
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"))
     val qterms = queries.flatMap(_._2).distinct
@@ -71,7 +82,15 @@ object Lexical {
     val dfd = post.groupBy("term").agg(count(lit(1)).as("df"))
     val qdf = queries.flatMap { case (qi, ts) => ts.map(t => (qi, t)) }
       .toDF("qid", "term")
-    scoreAndRank(post, dfd, stats, qdf, k, k1, b, id)
+    scoreOf(post, dfd, stats, qdf, k1, b, id)
+  }
+
+  def bm25TopK(s: SparkSession, docs: DataFrame, queries: Seq[(Int, Seq[String])],
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(k > 0)
+    graft.functions.TopK.perKeyTopK(
+      bm25Scores(s, docs, queries, k1, b, id, text), k, "qid", id, "score_r6")
   }
 
   /** the (term, doc_id, len, tf, bucket) posting rows of a doc batch */
