@@ -119,7 +119,10 @@ object Bench {
       // mutual-kNN graph + semantic clusters, centroid outliers (q271/
       // q272 stay out: fixture-guarded to sf0.01 like q252/q263)
       "q267_chunking", "q268_hard_negatives", "q269_mutual_knn",
-      "q270_semantic_clusters", "q273_centroid_outliers")
+      "q270_semantic_clusters", "q273_centroid_outliers",
+      // round-11: the composed retrieval pipeline's replayable half
+      // (q274/q276 stay out: fixture-guarded to sf0.01 like q271/q272)
+      "q275_retrieval_pipeline")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -23,7 +23,22 @@ import org.apache.spark.sql.functions._
 object StressProbe {
   private val Probes = Seq("q118_triangles", "q116_pagerank",
     "q182_prefix_jaccard", "q187_funnel_gap_stats", "q34_ngram_jaccard",
-    "q237_cdc_apply", "q239_connected_components")
+    "q237_cdc_apply", "q239_connected_components",
+    // r10 verdict item 5: the top bench wall's brand-new oriented-
+    // intersection plan must hold shape at 10×
+    "q188_embeddedness")
+
+  // operator-level probes for paths whose driver entries can't run off
+  // the pinned fixture (q274 is fixture-guarded; q270 is the
+  // deliberately-exact oracle anchor whose all-pairs edge stage is the
+  // thing the IVF path exists to avoid): the 100 TB semantic-clustering
+  // composition itself, probed directly.
+  private val OpProbes: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] = Seq(
+    "semantic_clusters_ivf" -> ((s, d) =>
+      graft.llm.Mining.semanticClustersIvf(s,
+        s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 2, multiAssign = 4)))
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -47,9 +62,12 @@ object StressProbe {
       ("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")),
       ("orders", Seq("o_orderkey", "o_custkey")),
       ("events", Seq("event_id", "user_id")),
-      ("documents", Seq("doc_id")))
-    if (!new java.io.File(s"$out/_built").exists()) {
-      plans.foreach { case (t, keys) =>
+      ("documents", Seq("doc_id")),
+      ("embeddings", Seq("vec_id")))
+    // per-table build check (not one global marker): a replica tier
+    // built by an older probe version may lack newly-probed tables
+    plans.foreach { case (t, keys) =>
+      if (!new java.io.File(s"$out/$t.parquet/_SUCCESS").exists()) {
         val base = spark.read.parquet(s"$src/$t.parquet")
         val copies = (0 until factor).map { i =>
           keys.foldLeft(base) { (df, k) =>
@@ -60,7 +78,6 @@ object StressProbe {
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
         println(s"[stress] built $t x$factor")
       }
-      new java.io.File(s"$out/_built").createNewFile()
     }
 
     // typed walk, not a rendered-string regex: Exchange nodes on ':'-
@@ -80,8 +97,9 @@ object StressProbe {
     def exchanges(df: DataFrame): Int = countEx(df.queryExecution.executedPlan)
 
     val all = graft.SparkEntry.allQ
-    val results = Probes.map { name =>
-      val fn = all(name).fn
+    val targets: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] =
+      Probes.map(n => n -> all(n).fn) ++ OpProbes
+    val results = targets.map { case (name, fn) =>
       // plan-shape invariance gate BEFORE timing: same exchange count
       // at 1× and at factor× (nothing collapses to a new shuffle shape
       // or single-task stage as data grows)

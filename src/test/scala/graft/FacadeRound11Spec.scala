@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 facade methods delegate to (and agree with) their kernels. */
+class FacadeRound11Spec extends SparkSpec {
+
+  private def embFixture = {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    Seq(
+      (0L, v(1.0, 0.00, 0.0)), (1L, v(1.0, 0.02, 0.0)), (2L, v(1.0, 0.04, 0.0)),
+      (3L, v(0.00, 1.0, 0.0)), (4L, v(0.02, 1.0, 0.0)), (5L, v(0.04, 1.0, 0.0)),
+      (6L, v(0.0, 0.0, 1.0))
+    ).toDF("id", "vec")
+  }
+
+  test("semanticClustersIvf / semanticClustersFromEdges facades equal the kernels") {
+    val s = spark
+    import s.implicits._
+    val e = embFixture
+    val viaFacade = Graft.semanticClustersIvf(s, e, 2, cells = 4)
+      .collect().map(_.toSeq).toSet
+    val viaKernel = graft.llm.Mining.semanticClustersIvf(s, e, 2, cells = 4)
+      .collect().map(_.toSeq).toSet
+    assert(viaFacade == viaKernel && viaFacade.nonEmpty)
+    val edges = Seq((0L, 1L), (3L, 4L)).toDF("u", "v")
+    assert(Graft.semanticClustersFromEdges(s, e, edges)
+      .collect().map(_.toSeq).toSet ==
+      graft.llm.Mining.semanticClustersFromEdges(s, e, edges)
+        .collect().map(_.toSeq).toSet)
+  }
+
+  test("MMR serving facades + binary compaction delegate end-to-end") {
+    val s = spark
+    val e = embFixture
+    val q = e.filter(col("id") < 2)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val work = java.nio.file.Files.createTempDirectory("facade-r11")
+    Graft.saveBinaryIndex(s, e, s"$work/bin")
+    val got = Graft.mmrProbeBinary(s, s"$work/bin", q,
+        k = 3, poolSize = 5, rerank = 7)
+      .collect().map(_.toSeq).toSeq
+    assert(got == graft.llm.Mmr.mmrProbeBinary(s, s"$work/bin", q, 3, 5, 7)
+      .collect().map(_.toSeq).toSeq)
+    Graft.compactBinaryIndex(s, s"$work/bin") // no-dup log: must be a no-op
+    assert(Graft.mmrProbeBinary(s, s"$work/bin", q, 3, 5, 7)
+      .collect().map(_.toSeq).toSeq == got)
+    graft.llm.AnnIndex.saveIvf(s, e, s"$work/ivf", cells = 4)
+    assert(Graft.mmrProbeIvf(s, s"$work/ivf", q, 3, 5, nProbe = 4)
+      .collect().map(_.toSeq).toSeq ==
+      graft.llm.Mmr.mmrProbeIvf(s, s"$work/ivf", q, 3, 5, 4)
+        .collect().map(_.toSeq).toSeq)
+  }
+
+  test("retrieval-pipeline facades reproduce the kernel chain") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "beta delta"), (2L, "needle haystack")
+    ).toDF("doc_id", "text")
+    val e = embFixture.filter(col("id") < 3)
+    val queries = Seq(0 -> Seq("beta"), 1 -> Seq("needle"))
+    val qv = e.filter(col("id") < 2)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val fused = Graft.hybridChunkRetrieve(s, docs, queries, e, qv,
+      window = 10, stride = 10, kPerSystem = 3, kFused = 3)
+    assert(fused.collect().map(_.toSeq).toSet ==
+      graft.llm.Pipeline.hybridChunkRetrieve(s, docs, queries, e, qv,
+        10, 10, 3, 3).collect().map(_.toSeq).toSet)
+    val qrels = graft.llm.Eval.termMatchQrels(s, docs, queries)
+    assert(Graft.retrieveDiversifyEval(s, docs, queries, e, qv, qrels, k = 2)
+      .count() == 2)
+  }
+}
