@@ -34,11 +34,17 @@ object StressProbe {
   // thing the IVF path exists to avoid): the 100 TB semantic-clustering
   // composition itself, probed directly.
   private val OpProbes: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] = Seq(
-    "semantic_clusters_ivf" -> ((s, d) =>
-      graft.llm.Mining.semanticClustersIvf(s,
-        s.read.parquet(s"$d/embeddings.parquet")
-          .select(col("vec_id").as("id"), col("embedding").as("vec")),
-        k = 2, multiAssign = 4)))
+    "semantic_clusters_ivf" -> ((s, d) => {
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      // the deployment sizing rule under test: cells ∝ n keeps the
+      // per-cell candidate block CONSTANT as the corpus grows (a fixed
+      // cell count makes the per-cell self-join quadratic again —
+      // measured 365 s at 10× with cells=16 before this)
+      val cells = math.max(16, (e.count() / 125L).toInt)
+      graft.llm.Mining.semanticClustersIvf(s, e, k = 2, cells = cells,
+        multiAssign = 4)
+    }))
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

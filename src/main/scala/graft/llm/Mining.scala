@@ -99,6 +99,14 @@ object Mining {
     * cross-corpus n² never materializes; the same bucketed discipline
     * as the LSH dedup band join). Exact cosine re-rank inside the
     * bounded per-src top-k heap. Output: (src, dst, rn).
+    *
+    * SIZING: `cells` must grow with the corpus — cells ≈ n/B for a
+    * target per-cell block B of a few hundred keeps the per-cell pair
+    * space (multiAssign·n/cells)² CONSTANT per cell and the total pair
+    * count LINEAR in n. A fixed cell count re-creates the quadratic
+    * blow-up this operator exists to avoid (StressProbe measured 365 s
+    * vs 15 s at 10× sf0.1 volume with cells frozen vs cells ∝ n — a
+    * 24× wall from the sizing rule alone).
     */
   def knnEdgesIvf(s: SparkSession, emb: DataFrame, k: Int,
       cells: Int = 16, iters: Int = 3, multiAssign: Int = 2,
