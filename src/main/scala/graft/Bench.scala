@@ -122,7 +122,11 @@ object Bench {
       "q270_semantic_clusters", "q273_centroid_outliers",
       // round-11: the composed retrieval pipeline's replayable half
       // (q274/q276 stay out: fixture-guarded to sf0.01 like q271/q272)
-      "q275_retrieval_pipeline")
+      "q275_retrieval_pipeline",
+      // round-11 continuation: incremental cluster maintenance (exact
+      // bootstrap + threshold-attach fold — the q270 cost class plus
+      // the quotient fold)
+      "q277_clusters_delta")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

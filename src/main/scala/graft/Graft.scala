@@ -559,6 +559,32 @@ object Graft {
       edges: DataFrame): DataFrame =
     llm.Mining.semanticClustersFromEdges(spark, emb, edges)
 
+  /** Threshold-attach edges under corpus growth: pairs at cosine ≥
+    * tauMilli/1000 touching the batch — the monotone (merge-only)
+    * incremental edge producer ([[llm.Mining.attachEdges]]).
+    */
+  def attachEdges(spark: SparkSession, corpus: DataFrame, batch: DataFrame,
+      tauMilli: Int): DataFrame =
+    llm.Mining.attachEdges(spark, corpus, batch, tauMilli)
+
+  /** Incremental semantic-cluster maintenance: fold an arrival batch
+    * into existing labels via threshold attach + the quotient-sized
+    * components fold — no corpus re-clustering
+    * ([[llm.Mining.clustersDelta]]).
+    */
+  def clustersDelta(spark: SparkSession, labels: DataFrame,
+      corpus: DataFrame, batch: DataFrame, tauMilli: Int): DataFrame =
+    llm.Mining.clustersDelta(spark, labels, corpus, batch, tauMilli)
+
+  /** The large-batch maintenance shape: IVF-celled attach under the
+    * cells ∝ n sizing rule ([[llm.Mining.clustersDeltaIvf]]).
+    */
+  def clustersDeltaIvf(spark: SparkSession, labels: DataFrame,
+      corpus: DataFrame, batch: DataFrame, tauMilli: Int,
+      cells: Int = 16, multiAssign: Int = 2): DataFrame =
+    llm.Mining.clustersDeltaIvf(spark, labels, corpus, batch, tauMilli,
+      cells = cells, multiAssign = multiAssign)
+
   /** MMR-diversified retrieval: bounded top-`poolSize` relevance pool,
     * then integer-milli greedy diversification to k results
     * ([[llm.Mmr.mmrTopK]]).

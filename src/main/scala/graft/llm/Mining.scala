@@ -151,6 +151,108 @@ object Mining {
     semanticClustersFromEdges(s, emb,
       mutualKnnIvf(s, emb, k, cells, iters, multiAssign, id, vec), id)
 
+  /** THRESHOLD-ATTACH edges for corpus growth: undirected pairs u < v
+    * with cosine ≥ tauMilli/1000 and AT LEAST ONE endpoint in `batch`
+    * — the incremental-maintenance edge producer. Mutual-kNN RANKS
+    * cannot be maintained incrementally (a new vector can evict an old
+    * top-k member, so rank mutuality is non-monotone under appends); a
+    * similarity THRESHOLD is monotone — appending vectors only ADDS
+    * edges — which is exactly the merge-only contract
+    * [[graft.graph.ConnectedComponents.incrementalComponents]] needs.
+    * This is the production semantic-dedup maintenance pattern:
+    * bootstrap clusters from the mutual graph, attach arrivals by
+    * threshold, rebuild periodically to re-fragment.
+    *
+    * Brute form — pair space is |batch|·(n+|batch|) by construction
+    * (the batch rides a broadcast; the corpus is scanned once), never
+    * corpus n². Exact and SQL-replayable; the 100 TB shape for LARGE
+    * batches is [[attachEdgesIvf]].
+    */
+  def attachEdges(s: SparkSession, corpus: DataFrame, batch: DataFrame,
+      tauMilli: Int, id: String = "id", vec: String = "vec"): DataFrame = {
+    require(tauMilli >= 0 && tauMilli <= 1000,
+      s"tauMilli in [0,1000]: $tauMilli")
+    val all = corpus.select(col(id), col(vec))
+      .unionAll(batch.select(col(id), col(vec)))
+    broadcast(batch.select(col(id).as("__bid"), col(vec).as("__bvec")))
+      .join(all, col(id) =!= col("__bid"))
+      .filter(cosine(s, col("__bvec"), col(vec)) >=
+        lit(tauMilli).cast("double") / 1000)
+      .select(least(col("__bid"), col(id)).cast("long").as("u"),
+        greatest(col("__bid"), col(id)).cast("long").as("v"))
+      // batch-batch pairs surface once from each endpoint's broadcast row
+      .distinct()
+  }
+
+  /** IVF-bucketed [[attachEdges]] — the large-batch shape: corpus∪batch
+    * multi-assigned to coarse cells, batch rows joined only against
+    * their own cells' blocks (the [[knnEdgesIvf]] discipline and the
+    * same cells ∝ n sizing rule), threshold filter inside the cell
+    * join. Approximate exactly like the IVF graph: a pair whose
+    * endpoints share no cell is missed — MiningSpec pins parity with
+    * the brute form on planted pods.
+    */
+  def attachEdgesIvf(s: SparkSession, corpus: DataFrame, batch: DataFrame,
+      tauMilli: Int, cells: Int = 16, iters: Int = 3, multiAssign: Int = 2,
+      id: String = "id", vec: String = "vec"): DataFrame = {
+    require(tauMilli >= 0 && tauMilli <= 1000,
+      s"tauMilli in [0,1000]: $tauMilli")
+    val all = corpus.select(col(id), col(vec))
+      .unionAll(batch.select(col(id), col(vec)))
+    val norm = IvfOps.normalized(s, all, id, vec).cache()
+    val cents = IvfOps.trainCentroids(s, norm, cells, iters)
+    norm.unpersist()
+    val allA = IvfOps.assignRows(s, all, cents, multiAssign, id, vec)
+    val batchA = IvfOps.assignRows(s, batch, cents, multiAssign, id, vec)
+      .select(col("cell"), col(id).as("__bid"), col(vec).as("__bvec"))
+    batchA.join(allA, Seq("cell"))
+      .filter(col(id) =!= col("__bid") &&
+        cosine(s, col("__bvec"), col(vec)) >=
+          lit(tauMilli).cast("double") / 1000)
+      .select(least(col("__bid"), col(id)).cast("long").as("u"),
+        greatest(col("__bid"), col(id)).cast("long").as("v"))
+      .distinct()
+  }
+
+  /** INCREMENTAL cluster maintenance: fold a new-embedding batch into
+    * existing labels without re-clustering the corpus — batch nodes
+    * enter as singletons, the attach edges merge components through
+    * the quotient-sized
+    * [[graft.graph.ConnectedComponents.incrementalComponents]] fold
+    * (iterative work bounded by the BATCH's edge count, the corpus
+    * label table touched by two hash joins). The result is exactly
+    * CC over (bootstrap edges ∪ attach edges) — spec-pinned, and the
+    * q277 oracle replays that union closure in SQL.
+    */
+  def clustersDeltaFromEdges(s: SparkSession, labels: DataFrame,
+      batch: DataFrame, edges: DataFrame, id: String = "id"): DataFrame = {
+    val lab = labels.select(col("node").cast("long").as("node"),
+      col("comp_id").cast("long").as("comp_id"))
+    val newNodes = batch.select(col(id).cast("long").as("node"))
+      .join(lab.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("comp_id"))
+    graft.graph.ConnectedComponents.incrementalComponents(s,
+      lab.unionAll(newNodes), edges.select(col("u"), col("v")))
+  }
+
+  /** [[clustersDeltaFromEdges]] with brute [[attachEdges]] — the exact
+    * small-batch path (and the q277 oracle anchor). */
+  def clustersDelta(s: SparkSession, labels: DataFrame, corpus: DataFrame,
+      batch: DataFrame, tauMilli: Int, id: String = "id",
+      vec: String = "vec"): DataFrame =
+    clustersDeltaFromEdges(s, labels, batch,
+      attachEdges(s, corpus, batch, tauMilli, id, vec), id)
+
+  /** [[clustersDeltaFromEdges]] with [[attachEdgesIvf]] — the 100 TB
+    * large-batch path (same sizing rule as [[knnEdgesIvf]]). */
+  def clustersDeltaIvf(s: SparkSession, labels: DataFrame,
+      corpus: DataFrame, batch: DataFrame, tauMilli: Int,
+      cells: Int = 16, iters: Int = 3, multiAssign: Int = 2,
+      id: String = "id", vec: String = "vec"): DataFrame =
+    clustersDeltaFromEdges(s, labels, batch,
+      attachEdgesIvf(s, corpus, batch, tauMilli, cells, iters,
+        multiAssign, id, vec), id)
+
   /** Components of ANY undirected (u, v) edge set over `emb`'s id
     * domain, singletons included — the edge source is the pluggable
     * part (exact mutual graph, IVF mutual graph, or a caller-built
@@ -176,10 +278,11 @@ object Mining {
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
 
-  /** the exact-side SQL the q269/q270 oracles share: directed kNN ranks
-    * over the embeddings table (row_number ties broken by vec_id — the
-    * TopK aggregator's total order) */
-  private def knnRankSql = {
+  /** the exact-side SQL the q269/q270/q277 oracles share: directed kNN
+    * ranks over the embeddings table (row_number ties broken by vec_id —
+    * the TopK aggregator's total order). `extra` restricts the pair
+    * domain (q277 ranks only the pre-batch corpus). */
+  private def knnRankSql(extra: String = "") = {
     val cos = """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"""
@@ -187,7 +290,7 @@ object Mining {
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
        |    row_number() OVER (PARTITION BY a.vec_id
        |      ORDER BY $cos DESC, b.vec_id) AS rn
-       |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)""".stripMargin
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id$extra)""".stripMargin
   }
 
   val all: ListMap[String, Q] = ListMap(
@@ -226,7 +329,7 @@ object Mining {
       (s, d) => mutualKnn(s,
           embs(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
           3).orderBy("u", "v"),
-      Some(s"""WITH $knnRankSql
+      Some(s"""WITH ${knnRankSql()}
              |SELECT l.src AS u, l.dst AS v,
              |  CAST(l.rn AS INT) AS rank_uv, CAST(r2.rn AS INT) AS rank_vu
              |FROM r l JOIN r r2 ON l.src = r2.dst AND l.dst = r2.src
@@ -241,7 +344,7 @@ object Mining {
       (s, d) => semanticClusters(s,
           embs(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
           2).orderBy("node"),
-      Some(s"""WITH RECURSIVE $knnRankSql,
+      Some(s"""WITH RECURSIVE ${knnRankSql()},
              |me AS (SELECT l.src AS u, l.dst AS v
              |  FROM r l JOIN r r2 ON l.src = r2.dst AND l.dst = r2.src
              |  WHERE l.rn <= 2 AND r2.rn <= 2 AND l.src < l.dst),
@@ -329,5 +432,56 @@ object Mining {
       Some("""SELECT n_pairs_exact, n_pairs_ivf, n_pairs_both,
              |  pair_recall_milli
              |FROM (VALUES (976, 1016, 910, 932))
-             |  AS t(n_pairs_exact, n_pairs_ivf, n_pairs_both, pair_recall_milli)""".stripMargin)))
+             |  AS t(n_pairs_exact, n_pairs_ivf, n_pairs_both, pair_recall_milli)""".stripMargin)),
+
+    // ---- q277: INCREMENTAL cluster maintenance under corpus growth —
+    //      bootstrap mutual-2NN clusters on the pre-batch corpus
+    //      (vec_id < 450, the q270 operator), then fold the 50-vector
+    //      arrival batch in by threshold attach (τ = 0.35) through the
+    //      quotient-sized incrementalComponents fold. Fully exact: the
+    //      oracle replays BOTH edge sources in SQL (base-restricted
+    //      mutual ranks; cos ≥ 350/1000 pairs touching the batch) and
+    //      closes over their union — the fold must be
+    //      indistinguishable from a full recompute on the union graph
+    //      (the q244 contract, on the semantic tier). ----
+    "q277_clusters_delta" -> Q(
+      (s, d) => {
+        val e = embs(s, d).select(col("vec_id").as("id"),
+          col("embedding").as("vec"))
+        val base = e.filter(col("id") < 450)
+        val batch = e.filter(col("id") >= 450)
+        val boot = semanticClusters(s, base, 2)
+        clustersDelta(s, boot.select("node", "comp_id"), base, batch, 350)
+          .orderBy("node")
+      },
+      Some(s"""WITH RECURSIVE ${knnRankSql(" AND a.vec_id < 450 AND b.vec_id < 450")},
+             |me AS (SELECT l.src AS u, l.dst AS v
+             |  FROM r l JOIN r r2 ON l.src = r2.dst AND l.dst = r2.src
+             |  WHERE l.rn <= 2 AND r2.rn <= 2 AND l.src < l.dst),
+             |att AS (SELECT a.vec_id AS u, b.vec_id AS v
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.vec_id < b.vec_id
+             |   AND (a.vec_id >= 450 OR b.vec_id >= 450)
+             |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+             |    >= CAST(350 AS DOUBLE) / 1000),
+             |alle AS (SELECT u, v FROM me UNION SELECT u, v FROM att),
+             |sym AS (SELECT u, v FROM alle UNION SELECT v, u FROM alle),
+             |reach(u, v) AS (
+             |  SELECT u, v FROM sym
+             |  UNION
+             |  SELECT r3.u, s.v FROM reach r3 JOIN sym s ON r3.v = s.u),
+             |allr AS (SELECT DISTINCT u, v FROM (
+             |  SELECT u, v FROM reach
+             |  UNION ALL SELECT u, u FROM sym)),
+             |comp AS (SELECT u AS node, min(v) AS comp_id FROM allr GROUP BY u),
+             |sz AS (SELECT comp_id, count(*) AS n FROM comp GROUP BY 1)
+             |SELECT CAST(e.vec_id AS BIGINT) AS node,
+             |  CAST(coalesce(c.comp_id, e.vec_id) AS BIGINT) AS comp_id,
+             |  CAST(coalesce(sz.n, 1) AS BIGINT) AS comp_size
+             |FROM embeddings e
+             |LEFT JOIN comp c ON c.node = e.vec_id
+             |LEFT JOIN sz ON sz.comp_id = c.comp_id
+             |ORDER BY node""".stripMargin)))
 }

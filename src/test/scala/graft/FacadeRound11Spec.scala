@@ -32,6 +32,31 @@ class FacadeRound11Spec extends SparkSpec {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("attachEdges / clustersDelta(+Ivf) facades equal the kernels") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val corpus = embFixture.filter(col("id") =!= 5L)
+    val batch = Seq((5L, v(0.04, 1.0, 0.0)), (7L, v(0.0, 0.0, -1.0)))
+      .toDF("id", "vec")
+    assert(Graft.attachEdges(s, corpus, batch, 900)
+      .collect().map(_.toSeq).toSet ==
+      graft.llm.Mining.attachEdges(s, corpus, batch, 900)
+        .collect().map(_.toSeq).toSet)
+    val boot = graft.llm.Mining.semanticClusters(s, corpus, 2)
+      .select("node", "comp_id")
+    val viaFacade = Graft.clustersDelta(s, boot, corpus, batch, 900)
+      .collect().map(_.toSeq).toSet
+    assert(viaFacade ==
+      graft.llm.Mining.clustersDelta(s, boot, corpus, batch, 900)
+        .collect().map(_.toSeq).toSet)
+    assert(viaFacade.nonEmpty)
+    assert(Graft.clustersDeltaIvf(s, boot, corpus, batch, 900, cells = 4)
+      .collect().map(_.toSeq).toSet ==
+      graft.llm.Mining.clustersDeltaIvf(s, boot, corpus, batch, 900,
+        cells = 4).collect().map(_.toSeq).toSet)
+  }
+
   test("MMR serving facades + binary compaction delegate end-to-end") {
     val s = spark
     val e = embFixture

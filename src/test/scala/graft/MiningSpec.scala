@@ -109,4 +109,79 @@ class MiningSpec extends SparkSpec {
       assert(r.getLong(0) != r.getLong(1) && r.getInt(2) <= 2)
     }
   }
+
+  /** corpus-growth fixture: pods A/B and the outlier are the standing
+    * corpus; the batch brings one vector per pod plus a fresh loner. */
+  private def growth = {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val corpus = Seq(
+      (0L, v(1.0, 0.00, 0.0)), (1L, v(1.0, 0.02, 0.0)),
+      (2L, v(1.0, 0.04, 0.0)),                             // pod A
+      (3L, v(0.00, 1.0, 0.0)), (4L, v(0.02, 1.0, 0.0)),    // pod B
+      (6L, v(0.0, 0.0, 1.0))                               // outlier
+    ).toDF("id", "vec")
+    val batch = Seq(
+      (5L, v(0.04, 1.0, 0.0)),   // joins pod B
+      (8L, v(1.0, 0.01, 0.0)),   // joins pod A
+      (7L, v(0.0, 0.0, -1.0))    // attaches nowhere -> new singleton
+    ).toDF("id", "vec")
+    (corpus, batch)
+  }
+
+  test("attachEdges: threshold pairs touch the batch only; " +
+      "cross-pod and loner pairs stay out") {
+    val (corpus, batch) = growth
+    val got = Mining.attachEdges(spark, corpus, batch, 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((0L, 8L), (1L, 8L), (2L, 8L), (3L, 5L), (4L, 5L)))
+    assertThrows[IllegalArgumentException] {
+      Mining.attachEdges(spark, corpus, batch, 1001)
+    }
+  }
+
+  test("attachEdgesIvf ≡ attachEdges on the planted pods " +
+      "(the large-batch cell-bounded form loses nothing when pods fit cells)") {
+    val (corpus, batch) = growth
+    val brute = Mining.attachEdges(spark, corpus, batch, 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val ivf = Mining.attachEdgesIvf(spark, corpus, batch, 900,
+        cells = 4, multiAssign = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(ivf == brute)
+  }
+
+  test("clustersDelta ≡ full recompute on the union graph; " +
+      "edge-free batch nodes become singletons (the q244 contract)") {
+    val (corpus, batch) = growth
+    val boot = Mining.semanticClusters(spark, corpus, 2)
+    val fold = Mining.clustersDelta(spark,
+        boot.select("node", "comp_id"), corpus, batch, 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(fold == Seq(
+      (0L, 0L, 4L), (1L, 0L, 4L), (2L, 0L, 4L),
+      (3L, 3L, 3L), (4L, 3L, 3L), (5L, 3L, 3L),
+      (6L, 6L, 1L), (7L, 7L, 1L), (8L, 0L, 4L)))
+    // the pin behind the q277 oracle: the fold is indistinguishable
+    // from star-contraction CC over (bootstrap edges UNION attach edges)
+    val allEmb = corpus.unionAll(batch)
+    val unionEdges = Mining.mutualKnn(spark, corpus, 2).select("u", "v")
+      .unionAll(Mining.attachEdges(spark, corpus, batch, 900))
+    val full = Mining.semanticClustersFromEdges(spark, allEmb, unionEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(fold == full)
+  }
+
+  test("clustersDeltaIvf ≡ clustersDelta when pods fit cells") {
+    val (corpus, batch) = growth
+    val boot = Mining.semanticClusters(spark, corpus, 2)
+      .select("node", "comp_id")
+    val brute = Mining.clustersDelta(spark, boot, corpus, batch, 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val ivf = Mining.clustersDeltaIvf(spark, boot, corpus, batch, 900,
+        cells = 4, multiAssign = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(ivf == brute)
+  }
 }
