@@ -454,7 +454,73 @@ object Mining {
         clustersDelta(s, boot.select("node", "comp_id"), base, batch, 350)
           .orderBy("node")
       },
-      Some(s"""WITH RECURSIVE ${knnRankSql(" AND a.vec_id < 450 AND b.vec_id < 450")},
+      Some(deltaClosureOracle)),
+
+    // ---- q278: STREAMING cluster maintenance — the q277 fold driven
+    //      through the real engine (file source, the arrival batch
+    //      split into two trigger files by id parity, the second
+    //      REPLAYED for at-least-once delivery; threshold-attach edges
+    //      are deterministic and merges idempotent, so the replay must
+    //      be a label-level no-op). Each fold's corpus is everything
+    //      absorbed so far (labels ⋉ embeddings), which makes
+    //      per-batch attach edge sets UNION to the one-shot batch's —
+    //      so the streamed result lands on the SAME closure oracle as
+    //      q277, shared verbatim (the q244/q245 precedent on the
+    //      semantic tier). Labels live in A/B parquet generations. ----
+    "q278_stream_clusters_delta" -> Q(
+      (s, d) => {
+        val e = embs(s, d).select(col("vec_id").as("id"),
+          col("embedding").as("vec"))
+        val base = e.filter(col("id") < 450)
+        val work = java.nio.file.Files.createTempDirectory("graft-q278")
+          .toString
+        val in = s"$work/in"
+        val arr = e.filter(col("id") >= 450)
+        arr.filter(col("id") % 2 === 0).coalesce(1)
+          .write.mode("append").parquet(in)
+        val odd = arr.filter(col("id") % 2 === 1)
+        odd.coalesce(1).write.mode("append").parquet(in)
+        odd.coalesce(1).write.mode("append").parquet(in) // replay
+        val sch = s.read.parquet(in).schema
+        val src = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val stateA = s"$work/state_a"; val stateB = s"$work/state_b"
+        def statePath(gen: Long) = if (gen % 2 == 0) stateA else stateB
+        semanticClusters(s, base, 2)
+          .select("node", "comp_id")
+          .write.mode("overwrite").parquet(stateA)
+        var gen = 1L
+        val q = src.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val lab = s.read.parquet(statePath(gen - 1))
+            val corpus = e.join(lab.select(col("node").as("id")),
+              Seq("id"), "left_semi")
+            clustersDeltaFromEdges(s, lab, batch.toDF(),
+                attachEdges(s, corpus, batch.toDF(), 350))
+              .select("node", "comp_id")
+              .write.mode("overwrite").parquet(statePath(gen))
+            gen += 1
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        require(gen >= 4, s"expected >= 3 micro-batches, got ${gen - 1}")
+        val lab = s.read.parquet(statePath(gen - 1))
+        val sizes = lab.groupBy("comp_id")
+          .agg(count(lit(1)).as("comp_size"))
+        lab.join(sizes, "comp_id")
+          .select(col("node").cast("long"), col("comp_id").cast("long"),
+            col("comp_size").cast("long"))
+          .orderBy("node")
+      },
+      Some(deltaClosureOracle)))
+
+  /** q277's full-chain closure oracle — shared verbatim by q278: the
+    * streaming fold must be indistinguishable from the one-shot fold,
+    * which must be indistinguishable from a full recompute on the
+    * union graph. */
+  private def deltaClosureOracle: String =
+    s"""WITH RECURSIVE ${knnRankSql(" AND a.vec_id < 450 AND b.vec_id < 450")},
              |me AS (SELECT l.src AS u, l.dst AS v
              |  FROM r l JOIN r r2 ON l.src = r2.dst AND l.dst = r2.src
              |  WHERE l.rn <= 2 AND r2.rn <= 2 AND l.src < l.dst),
@@ -483,5 +549,5 @@ object Mining {
              |FROM embeddings e
              |LEFT JOIN comp c ON c.node = e.vec_id
              |LEFT JOIN sz ON sz.comp_id = c.comp_id
-             |ORDER BY node""".stripMargin)))
+             |ORDER BY node""".stripMargin
 }

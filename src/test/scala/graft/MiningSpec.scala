@@ -173,6 +173,31 @@ class MiningSpec extends SparkSpec {
     assert(fold == full)
   }
 
+  test("sub-batch folds compose: two clustersDelta steps (each attaching " +
+      "against everything absorbed so far) ≡ the one-shot fold — the " +
+      "q278 streaming contract, incl. idempotent replay") {
+    val (corpus, batch) = growth
+    val boot = Mining.semanticClusters(spark, corpus, 2)
+      .select("node", "comp_id")
+    val oneShot = Mining.clustersDelta(spark, boot, corpus, batch, 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val b1 = batch.filter(col("id") <= 5L)   // {5}
+    val b2 = batch.filter(col("id") > 5L)    // {7, 8}
+    val step1 = Mining.clustersDelta(spark, boot, corpus, b1, 900)
+      .select("node", "comp_id")
+    val corpus2 = corpus.unionAll(b1)
+    val step2 = Mining.clustersDelta(spark, step1, corpus2, b2, 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(step2 == oneShot)
+    // at-least-once replay of the last sub-batch is a label-level no-op
+    val replay = Mining.clustersDelta(spark,
+        Mining.clustersDelta(spark, step1, corpus2, b2, 900)
+          .select("node", "comp_id"),
+        corpus2.unionAll(b2), b2, 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(replay == oneShot)
+  }
+
   test("clustersDeltaIvf ≡ clustersDelta when pods fit cells") {
     val (corpus, batch) = growth
     val boot = Mining.semanticClusters(spark, corpus, 2)
