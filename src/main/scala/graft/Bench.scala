@@ -125,7 +125,10 @@ object Bench {
       "q275_retrieval_pipeline",
       // round-11 continuation: incremental cluster maintenance (exact
       // bootstrap + threshold-attach fold — the q270 cost class plus
-      // the quotient fold)
+      // the quotient fold). q278 stays out (streaming harness, the
+      // q245 rule); q279 stays out: its wall is TWO exact q270 oracle
+      // anchors, while the operator under test (contingency agreement)
+      // is three hash aggs — benching it would time the anchors.
       "q277_clusters_delta")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

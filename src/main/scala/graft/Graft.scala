@@ -585,6 +585,15 @@ object Graft {
     llm.Mining.clustersDeltaIvf(spark, labels, corpus, batch, tauMilli,
       cells = cells, multiAssign = multiAssign)
 
+  /** Pair-level agreement of two clusterings (Rand / adjusted Rand in
+    * exact truncated milli) via the contingency of label co-occurrence
+    * sizes — no pair materialization; the rebuild-drift monitor
+    * ([[llm.Eval.clusteringAgreement]]).
+    */
+  def clusteringAgreement(spark: SparkSession, a: DataFrame,
+      b: DataFrame): DataFrame =
+    llm.Eval.clusteringAgreement(spark, a, b)
+
   /** MMR-diversified retrieval: bounded top-`poolSize` relevance pool,
     * then integer-milli greedy diversification to k results
     * ([[llm.Mmr.mmrTopK]]).

@@ -424,8 +424,150 @@ object Eval {
              |        - CAST(chance AS DOUBLE) / (CAST(n AS DOUBLE) * n))
              |      / (1.0 - CAST(chance AS DOUBLE) / (CAST(n AS DOUBLE) * n))
              |    END, 6) AS kappa_r6
-             |FROM tot""".stripMargin))
+             |FROM tot""".stripMargin)),
+
+    // ---- q279: CLUSTERING AGREEMENT as the rebuild-drift monitor —
+    //      mutual-2NN clusters vs mutual-3NN clusters over the same
+    //      embeddings (the k-sensitivity diagnostic a semantic-dedup
+    //      tuning pass runs). k=2 edges nest inside k=3's, so the
+    //      coarsening is one-sided: pairs_both = pairs_a exactly.
+    //      Oracle: FULL SQL replay — one shared rank CTE, TWO
+    //      recursive closures, the contingency arithmetic in HUGEINT
+    //      with the same truncating integer division. ----
+    "q279_clustering_agreement" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+          col("embedding").as("vec"))
+        clusteringAgreement(s,
+          Mining.semanticClusters(s, e, 2).select("node", "comp_id"),
+          Mining.semanticClusters(s, e, 3).select("node", "comp_id"))
+      },
+      Some(s"""WITH RECURSIVE ${Mining.knnRankSql()},
+             |me2 AS (SELECT l.src AS u, l.dst AS v
+             |  FROM r l JOIN r r2 ON l.src = r2.dst AND l.dst = r2.src
+             |  WHERE l.rn <= 2 AND r2.rn <= 2 AND l.src < l.dst),
+             |me3 AS (SELECT l.src AS u, l.dst AS v
+             |  FROM r l JOIN r r2 ON l.src = r2.dst AND l.dst = r2.src
+             |  WHERE l.rn <= 3 AND r2.rn <= 3 AND l.src < l.dst),
+             |sym2 AS (SELECT u, v FROM me2 UNION SELECT v, u FROM me2),
+             |sym3 AS (SELECT u, v FROM me3 UNION SELECT v, u FROM me3),
+             |reach2(u, v) AS (
+             |  SELECT u, v FROM sym2
+             |  UNION
+             |  SELECT q2.u, s2.v FROM reach2 q2 JOIN sym2 s2 ON q2.v = s2.u),
+             |reach3(u, v) AS (
+             |  SELECT u, v FROM sym3
+             |  UNION
+             |  SELECT q3.u, s3.v FROM reach3 q3 JOIN sym3 s3 ON q3.v = s3.u),
+             |allr2 AS (SELECT DISTINCT u, v FROM (
+             |  SELECT u, v FROM reach2
+             |  UNION ALL SELECT u, u FROM sym2)),
+             |allr3 AS (SELECT DISTINCT u, v FROM (
+             |  SELECT u, v FROM reach3
+             |  UNION ALL SELECT u, u FROM sym3)),
+             |c2 AS (SELECT u AS node, min(v) AS comp_id FROM allr2 GROUP BY u),
+             |c3 AS (SELECT u AS node, min(v) AS comp_id FROM allr3 GROUP BY u),
+             |j AS (SELECT coalesce(a.comp_id, e.vec_id) AS la,
+             |    coalesce(b.comp_id, e.vec_id) AS lb
+             |  FROM embeddings e
+             |  LEFT JOIN c2 a ON a.node = e.vec_id
+             |  LEFT JOIN c3 b ON b.node = e.vec_id),
+             |cont AS (SELECT la, lb, CAST(count(*) AS HUGEINT) AS m
+             |  FROM j GROUP BY 1, 2),
+             |sums AS (SELECT CAST(sum(m) AS HUGEINT) AS n,
+             |    CAST(sum(m * (m - 1)) AS HUGEINT) AS sb2 FROM cont),
+             |ma AS (SELECT CAST(sum(sz * (sz - 1)) AS HUGEINT) AS pa2 FROM (
+             |  SELECT sum(m) AS sz FROM cont GROUP BY la)),
+             |mb AS (SELECT CAST(sum(sz * (sz - 1)) AS HUGEINT) AS pb2 FROM (
+             |  SELECT sum(m) AS sz FROM cont GROUP BY lb)),
+             |x AS (SELECT n, n * (n - 1) AS t2, pa2, pb2, sb2
+             |  FROM sums, ma, mb)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  CAST(pa2 // 2 AS BIGINT) AS pairs_a,
+             |  CAST(pb2 // 2 AS BIGINT) AS pairs_b,
+             |  CAST(sb2 // 2 AS BIGINT) AS pairs_both,
+             |  CAST((1000 * (t2 - pa2 - pb2 + 2 * sb2)) // t2 AS BIGINT)
+             |    AS rand_milli,
+             |  CAST(CASE WHEN t2 * (pa2 + pb2) = 2 * pa2 * pb2 THEN 1000
+             |    ELSE (2000 * (t2 * sb2 - pa2 * pb2))
+             |      // (t2 * (pa2 + pb2) - 2 * pa2 * pb2) END AS BIGINT)
+             |    AS ari_milli
+             |FROM x""".stripMargin))
   )
+
+  /** PAIR-LEVEL CLUSTERING AGREEMENT without materializing pairs
+    * (Rand, JASA 1971; Hubert & Arabie, J. Classification 1985 for the
+    * adjusted form): two labelings of one node domain compared through
+    * the CONTINGENCY of (label_a, label_b) co-occurrence counts —
+    * three hash aggregations, no per-cluster quadratic co-pair join
+    * (the q274 diagnostic's caveat is exactly what this replaces for
+    * monitoring semantic-dedup rebuilds at corpus scale).
+    *
+    * Exactness: all arithmetic runs on DOUBLED pair counts
+    * Σ m·(m−1) (pure products — no halving division anywhere) in
+    * DECIMAL(38,0); rand/ari milli come from the truncating integer
+    * `div` both engines share. The OUTPUT pair counts are the true
+    * (halved) values. Loud guards, not silent wraps: pair counts past
+    * Long after halving, and the ARI cross-products past 38 digits
+    * (n ≳ 10⁹ — past that read the exact count columns and do the
+    * 256-bit ratio yourself), both raise_error.
+    *
+    * @param a (node, comp_id) labeling A
+    * @param b (node, comp_id) labeling B — compared on the INNER join
+    *          of the two node domains
+    * @return one row: (n, pairs_a, pairs_b, pairs_both, rand_milli,
+    *         ari_milli)
+    */
+  def clusteringAgreement(s: SparkSession, a: DataFrame, b: DataFrame,
+      node: String = "node", label: String = "comp_id"): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d2(c: Column): Column = c.cast(dec) * (c.cast(dec) - 1)
+    val j = a.select(col(node).as("__n"), col(label).as("__la"))
+      .join(b.select(col(node).as("__n"), col(label).as("__lb")), "__n")
+    // contingency cells once (cached: three marginal folds read them —
+    // cells are |labels_a × labels_b|-bounded, tiny relative to nodes)
+    val cells = j.groupBy("__la", "__lb").agg(count(lit(1)).as("m"))
+      .cache()
+    val sums = cells.agg(
+      sum(col("m")).cast(dec).as("n"),
+      sum(d2(col("m"))).as("sb2"))
+    val pa2 = cells.groupBy("__la").agg(sum(col("m")).as("sz"))
+      .agg(sum(d2(col("sz"))).as("pa2"))
+    val pb2 = cells.groupBy("__lb").agg(sum(col("m")).as("sz"))
+      .agg(sum(d2(col("sz"))).as("pb2"))
+    sums.crossJoin(pa2).crossJoin(pb2)
+      .withColumn("t2", d2(col("n")))
+      // the ARI cross-products (2000·t2·sb2) need ~2× T's digits: a
+      // loud ceiling at t2 ≤ 1e17 (n ≈ 4.5e8) keeps every product
+      // inside DECIMAL(38,0). The guard rides the `n` output column so
+      // column pruning cannot elide it.
+      .withColumn("n", when(col("t2") > lit("100000000000000000").cast(dec),
+        raise_error(lit("clusteringAgreement: pair space exceeds the " +
+          "exact DECIMAL(38,0) ARI range (n > ~4.5e8); shard the " +
+          "comparison or widen the ratio arithmetic")))
+        .otherwise(col("n")))
+      // rand = (T − pa − pb + 2·Sb)/T — identical on doubled counts
+      .withColumn("rand_milli",
+        when(col("t2") === 0, lit(1000L)) // 0/1-node domain: agree
+        .otherwise(expr("(1000 * (t2 - pa2 - pb2 + 2 * sb2)) div t2")))
+      // ari = (T·Sb − pa·pb) / (T·(pa+pb)/2 − pa·pb): doubled counts
+      // scale num and den by 4; the residual /2 in den is cleared by
+      // doubling num once more — pure products, ONE truncating div
+      .withColumn("ari_milli",
+        when(col("t2") * (col("pa2") + col("pb2")) ===
+            lit(2).cast(dec) * col("pa2") * col("pb2"),
+          // degenerate den = 0 (both labelings trivial): perfect
+          // agreement by convention
+          lit(1000L))
+        .otherwise(expr(
+          """(2000 * (t2 * sb2 - pa2 * pb2))
+             div (t2 * (pa2 + pb2) - 2 * pa2 * pb2)""")))
+      .select(col("n").cast("long").as("n"),
+        expr("pa2 div 2").cast("long").as("pairs_a"),
+        expr("pb2 div 2").cast("long").as("pairs_b"),
+        expr("sb2 div 2").cast("long").as("pairs_both"),
+        col("rand_milli").cast("long"), col("ari_milli").cast("long"))
+  }
 
   /** Cohen's κ from the confusion margins of [[classificationReport]]'s
     * join — one row (n, agree, p_o, p_e, κ), every numerator exact.

@@ -278,11 +278,12 @@ object Mining {
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
 
-  /** the exact-side SQL the q269/q270/q277 oracles share: directed kNN
-    * ranks over the embeddings table (row_number ties broken by vec_id —
-    * the TopK aggregator's total order). `extra` restricts the pair
-    * domain (q277 ranks only the pre-batch corpus). */
-  private def knnRankSql(extra: String = "") = {
+  /** the exact-side SQL the q269/q270/q277 oracles share (and Eval's
+    * q279 borrows): directed kNN ranks over the embeddings table
+    * (row_number ties broken by vec_id — the TopK aggregator's total
+    * order). `extra` restricts the pair domain (q277 ranks only the
+    * pre-batch corpus). */
+  private[llm] def knnRankSql(extra: String = "") = {
     val cos = """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"""

@@ -55,6 +55,7 @@ object Mmr {
           .toArray.sortBy(_._1)
         val n = cs.length
         def simMilli(a: Array[Float], b: Array[Float]): Long = {
+          if (a.isEmpty || b.isEmpty) return 0L // vector-less candidate
           var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
           while (j < a.length) {
             d += a(j).toDouble * b(j); na += a(j).toDouble * a(j)
@@ -125,7 +126,12 @@ object Mmr {
     val pool = ranked
       .select(col(qid), col(id),
         round(col("cos") * 1000, 0).cast("long").as("rel_milli"))
-      .join(vectors.select(col(id), col(vec)), id)
+      // LEFT join: a ranked candidate missing from the vector store
+      // stays in the pool as diversity-neutral (empty vec → sim 0 — the
+      // zero-norm rule in mmrSelect) instead of silently vanishing from
+      // the diversified list
+      .join(vectors.select(col(id), col(vec)), Seq(id), "left")
+      .withColumn(vec, coalesce(col(vec), array().cast("array<float>")))
     mmrSelect(s, pool, k, lambdaMilli, qid = qid, id = id, vec = vec)
       .orderBy(qid, "pick_rank")
   }

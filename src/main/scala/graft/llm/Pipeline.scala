@@ -62,7 +62,14 @@ object Pipeline {
       id: String = "doc_id", text: String = "text",
       embId: String = "id", embVec: String = "vec"): DataFrame = {
     val chunks = Chunk.chunkDocuments(docs, window, stride, id, text)
-      .select((col(id) * 1000000L + col("chunk_idx")).as("cid"),
+      // loud guard, not silent collision: a ≥10⁶-chunk document would
+      // alias into the next doc_id's cid range
+      .select(when(col("chunk_idx") >= 1000000L,
+          raise_error(concat(lit("hybridChunkRetrieve: document "),
+            col(id).cast("string"),
+            lit(" exceeds 1e6 chunks — the doc_id*1e6+chunk_idx cid " +
+              "packing would collide; raise the stride or re-pack"))))
+          .otherwise(col(id) * 1000000L + col("chunk_idx")).as("cid"),
         col("chunk_text"))
     val chunkScores = Lexical.bm25Scores(s, chunks, queries,
       id = "cid", text = "chunk_text")
@@ -99,7 +106,12 @@ object Pipeline {
     val pool = fused.select(col("qid").cast("long").as("qid"),
         col(id).cast("long").as("id"),
         round(col("rrf_r6") * 1000000, 0).cast("long").as("rel_milli"))
-      .join(emb.select(col(embId).as("id"), col(embVec).as("vec")), "id")
+      // LEFT join (the mmrFromRanked rule): a lexical-only hit with no
+      // embedding row enters the MMR stage diversity-neutral rather
+      // than silently dropping out of the final ranking
+      .join(emb.select(col(embId).as("id"), col(embVec).as("vec")),
+        Seq("id"), "left")
+      .withColumn("vec", coalesce(col("vec"), array().cast("array<float>")))
     val picked = Mmr.mmrSelect(s, pool, k, lambdaMilli)
       .select(col("qid"), col("id").as(id), col("pick_rank").as("rn"))
     Eval.rankingMetrics(s, picked, qrels, k, id)

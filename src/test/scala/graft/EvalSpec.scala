@@ -159,4 +159,38 @@ class EvalSpec extends SparkSpec {
     assert(got("g4") == ((3L, 1L, 4L, 0.666667)))
     assert(!got.contains("g5"))
   }
+
+  test("clusteringAgreement: the textbook contingency, hand-computed " +
+      "rand and ARI in truncated milli") {
+    val s = spark
+    import s.implicits._
+    // A: {1,2,3 | 4,5,6}, B: {1,2 | 3,4,5,6} — T=15, pa=6, pb=7, Sb=4
+    // rand = 10/15 → 666; ari = 18/55.5 → 324 (trunc)
+    val a = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "comp_id")
+    val b = Seq((1L, 7L), (2L, 7L),
+      (3L, 8L), (4L, 8L), (5L, 8L), (6L, 8L)).toDF("node", "comp_id")
+    val got = graft.llm.Eval.clusteringAgreement(spark, a, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).head
+    assert(got == ((6L, 6L, 7L, 4L, 666L, 324L)))
+  }
+
+  test("clusteringAgreement: label-id permutations of the SAME partition " +
+      "are perfect agreement; trivial vs trivial hits the degenerate rule") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, 10L), (2L, 10L), (3L, 30L), (4L, 30L))
+      .toDF("node", "comp_id")
+    val sameRenamed = Seq((1L, 99L), (2L, 99L), (3L, 1L), (4L, 1L))
+      .toDF("node", "comp_id")
+    val got = graft.llm.Eval.clusteringAgreement(spark, a, sameRenamed)
+      .collect().map(r => (r.getLong(4), r.getLong(5))).head
+    assert(got == ((1000L, 1000L)))
+    // all-singletons vs all-singletons: den = 0 → convention ari 1000
+    val singles = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "comp_id")
+    val deg = graft.llm.Eval.clusteringAgreement(spark, singles, singles)
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(5))).head
+    assert(deg == ((0L, 1000L, 1000L)))
+  }
 }

@@ -57,6 +57,15 @@ class FacadeRound11Spec extends SparkSpec {
         cells = 4).collect().map(_.toSeq).toSet)
   }
 
+  test("clusteringAgreement facade equals the kernel") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, 10L), (2L, 10L), (3L, 30L)).toDF("node", "comp_id")
+    val b = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "comp_id")
+    assert(Graft.clusteringAgreement(s, a, b).collect().map(_.toSeq).toSeq ==
+      graft.llm.Eval.clusteringAgreement(s, a, b).collect().map(_.toSeq).toSeq)
+  }
+
   test("MMR serving facades + binary compaction delegate end-to-end") {
     val s = spark
     val e = embFixture

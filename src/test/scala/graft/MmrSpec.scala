@@ -87,6 +87,25 @@ class MmrSpec extends SparkSpec {
     assert(viaIvf == brute)
   }
 
+  test("a ranked candidate missing from the vector store stays in the " +
+      "pool as diversity-neutral instead of silently vanishing") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // ranked pool has doc 99 (highest relevance) with NO vector row
+    val ranked = Seq(
+      (1L, 99L, 0.99), (1L, 10L, 0.9), (1L, 11L, 0.89)
+    ).toDF("qid", "id", "cos")
+    val vectors = Seq(
+      (10L, v(1.0, 0.0, 0.0)), (11L, v(0.999, 0.045, 0.0))
+    ).toDF("id", "vec")
+    val got = Mmr.mmrFromRanked(spark, ranked, vectors, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    // 99 is selected first on relevance (sim probes against it read 0 —
+    // the zero-norm rule), and the full pool survives
+    assert(got == Seq((1, 99L), (2, 10L), (3, 11L)))
+  }
+
   test("mmrTopK rank-1 equals exact top-1 relevance for every query") {
     val s = spark
     import s.implicits._
