@@ -253,6 +253,37 @@ object Mining {
       attachEdgesIvf(s, corpus, batch, tauMilli, cells, iters,
         multiAssign, id, vec), id)
 
+  /** SemDeDup-style THRESHOLD CLUSTERING (Abbas et al., 2023: cluster
+    * by embedding similarity, keep one representative per cluster):
+    * components of the cos ≥ tauMilli/1000 graph over the WHOLE table,
+    * with the keep rule surfaced as a column (`keep` = node is its
+    * cluster's min id — the deterministic representative). Brute edge
+    * scoring IS all-pairs: this form is the oracle anchor and
+    * small-corpus path, exactly like [[mutualKnn]]; the 100 TB shape
+    * is [[thresholdClustersIvf]].
+    * Output: (node, comp_id, comp_size, keep).
+    */
+  def thresholdClusters(s: SparkSession, emb: DataFrame, tauMilli: Int,
+      id: String = "id", vec: String = "vec"): DataFrame =
+    withKeep(semanticClustersFromEdges(s, emb,
+      attachEdges(s, emb.where(lit(false)), emb, tauMilli, id, vec), id))
+
+  /** The 100 TB threshold clustering: IVF-celled edge scoring (the
+    * [[attachEdgesIvf]] per-cell discipline under the cells ∝ n sizing
+    * rule) into the same star-contraction CC — no all-pairs scoring,
+    * no whole-corpus broadcast. MiningSpec pins parity with the brute
+    * form on planted pods.
+    */
+  def thresholdClustersIvf(s: SparkSession, emb: DataFrame, tauMilli: Int,
+      cells: Int = 16, iters: Int = 3, multiAssign: Int = 2,
+      id: String = "id", vec: String = "vec"): DataFrame =
+    withKeep(semanticClustersFromEdges(s, emb,
+      attachEdgesIvf(s, emb.where(lit(false)), emb, tauMilli,
+        cells, iters, multiAssign, id, vec), id))
+
+  private def withKeep(clusters: DataFrame): DataFrame =
+    clusters.withColumn("keep", col("node") === col("comp_id"))
+
   /** Components of ANY undirected (u, v) edge set over `emb`'s id
     * domain, singletons included — the edge source is the pluggable
     * part (exact mutual graph, IVF mutual graph, or a caller-built
@@ -514,7 +545,44 @@ object Mining {
             col("comp_size").cast("long"))
           .orderBy("node")
       },
-      Some(deltaClosureOracle)))
+      Some(deltaClosureOracle)),
+
+    // ---- q280: SemDeDup threshold clustering over the whole corpus —
+    //      components of the cos ≥ 350/1000 graph, keep-one-per-
+    //      cluster rule surfaced (keep = min-id representative; at
+    //      sf0.01: 338 nodes in 75 non-trivial clusters, 162
+    //      singletons → 237 keepers). Exact SQL replay: threshold
+    //      pairs + one recursive closure. ----
+    "q280_threshold_clusters" -> Q(
+      (s, d) => thresholdClusters(s,
+          embs(s, d).select(col("vec_id").as("id"),
+            col("embedding").as("vec")), 350)
+        .orderBy("node"),
+      Some("""WITH RECURSIVE att AS (SELECT a.vec_id AS u, b.vec_id AS v
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.vec_id < b.vec_id
+             |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+             |    >= CAST(350 AS DOUBLE) / 1000),
+             |sym AS (SELECT u, v FROM att UNION SELECT v, u FROM att),
+             |reach(u, v) AS (
+             |  SELECT u, v FROM sym
+             |  UNION
+             |  SELECT r3.u, s.v FROM reach r3 JOIN sym s ON r3.v = s.u),
+             |allr AS (SELECT DISTINCT u, v FROM (
+             |  SELECT u, v FROM reach
+             |  UNION ALL SELECT u, u FROM sym)),
+             |comp AS (SELECT u AS node, min(v) AS comp_id FROM allr GROUP BY u),
+             |sz AS (SELECT comp_id, count(*) AS n FROM comp GROUP BY 1)
+             |SELECT CAST(e.vec_id AS BIGINT) AS node,
+             |  CAST(coalesce(c.comp_id, e.vec_id) AS BIGINT) AS comp_id,
+             |  CAST(coalesce(sz.n, 1) AS BIGINT) AS comp_size,
+             |  coalesce(c.comp_id, e.vec_id) = e.vec_id AS keep
+             |FROM embeddings e
+             |LEFT JOIN comp c ON c.node = e.vec_id
+             |LEFT JOIN sz ON sz.comp_id = c.comp_id
+             |ORDER BY node""".stripMargin)))
 
   /** q277's full-chain closure oracle — shared verbatim by q278: the
     * streaming fold must be indistinguishable from the one-shot fold,

@@ -198,6 +198,39 @@ class MiningSpec extends SparkSpec {
     assert(replay == oneShot)
   }
 
+  test("thresholdClusters: pods cluster at high tau with min-id keepers; " +
+      "IVF form identical when pods fit cells") {
+    val e = fixture.select("id", "vec")
+    val got = Mining.thresholdClusters(spark, e, 900)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sorted.toSeq
+    assert(got == Seq(
+      (0L, 0L, 3L, true), (1L, 0L, 3L, false), (2L, 0L, 3L, false),
+      (3L, 3L, 3L, true), (4L, 3L, 3L, false), (5L, 3L, 3L, false),
+      (6L, 6L, 1L, true)))
+    // keepers = one per cluster, and exactly the SemDeDup survivors
+    assert(got.count(_._4) == 3)
+    val ivf = Mining.thresholdClustersIvf(spark, e, 900,
+        cells = 4, multiAssign = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sorted.toSeq
+    assert(ivf == got)
+  }
+
+  test("clustersDelta with an edge-free EMPTY batch leaves labels " +
+      "untouched (the quiet-day maintenance run)") {
+    val (corpus, batch) = growth
+    val boot = Mining.semanticClusters(spark, corpus, 2)
+    val before = boot
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val after = Mining.clustersDelta(spark, boot.select("node", "comp_id"),
+        corpus, batch.where(org.apache.spark.sql.functions.lit(false)), 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(after == before)
+  }
+
   test("clustersDeltaIvf ≡ clustersDelta when pods fit cells") {
     val (corpus, batch) = growth
     val boot = Mining.semanticClusters(spark, corpus, 2)
