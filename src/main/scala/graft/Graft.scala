@@ -1194,4 +1194,28 @@ object Graft {
   def compactTable(spark: SparkSession, inPath: String, outPath: String,
       maxRecordsPerFile: Long, sortCols: Seq[String] = Nil): (Long, Long, Long) =
     io.Layout.compact(spark, inPath, outPath, maxRecordsPerFile, sortCols)
+
+  /** DSIR importance weights — length-normalized log-likelihood ratio of
+    * each raw-pool doc under add-one n-gram multinomials trained on
+    * `target` vs `raw` (Xie et al. NeurIPS 2023;
+    * [[llm.Dsir.dsirWeights]]).
+    */
+  def dsirWeights(spark: SparkSession, target: DataFrame, raw: DataFrame): DataFrame =
+    llm.Dsir.dsirWeights(spark, target, raw)
+
+  /** DSIR Gumbel-top-k importance resampling with deterministic
+    * hash-seeded noise; τ = tauMilli/1000, τ=0 is top-k by weight
+    * ([[llm.Dsir.dsirGumbelTopK]]).
+    */
+  def dsirSample(spark: SparkSession, target: DataFrame, raw: DataFrame,
+      k: Int, tauMilli: Int): DataFrame =
+    llm.Dsir.dsirGumbelTopK(spark, target, raw, k, tauMilli)
+
+  /** DSIR weights under the m-bucket hashed feature model — the
+    * broadcastable fixed-size form for corpus-scale pools
+    * ([[llm.Dsir.dsirWeightsHashed]]).
+    */
+  def dsirWeightsHashed(spark: SparkSession, target: DataFrame, raw: DataFrame,
+      buckets: Int): DataFrame =
+    llm.Dsir.dsirWeightsHashed(spark, target, raw, buckets)
 }

@@ -107,4 +107,20 @@ class FacadeRound11Spec extends SparkSpec {
     assert(Graft.retrieveDiversifyEval(s, docs, queries, e, qv, qrels, k = 2)
       .count() == 2)
   }
+
+  test("DSIR facades equal the kernels") {
+    val s = spark
+    import s.implicits._
+    val target = Seq((100L, "cat sat mat")).toDF("doc_id", "text")
+    val raw = Seq((1L, "cat sat mat"), (2L, "dog ran far")).toDF("doc_id", "text")
+    assert(Graft.dsirWeights(s, target, raw).collect().map(_.toSeq).toSet ==
+      graft.llm.Dsir.dsirWeights(s, target, raw).collect().map(_.toSeq).toSet)
+    assert(Graft.dsirSample(s, target, raw, 2, 500).collect().map(_.toSeq).toSeq ==
+      graft.llm.Dsir.dsirGumbelTopK(s, target, raw, 2, 500)
+        .collect().map(_.toSeq).toSeq)
+    assert(Graft.dsirWeightsHashed(s, target, raw, 1 << 16)
+      .collect().map(_.toSeq).toSet ==
+      graft.llm.Dsir.dsirWeightsHashed(s, target, raw, 1 << 16)
+        .collect().map(_.toSeq).toSet)
+  }
 }
