@@ -1218,4 +1218,19 @@ object Graft {
   def dsirWeightsHashed(spark: SparkSession, target: DataFrame, raw: DataFrame,
       buckets: Int): DataFrame =
     llm.Dsir.dsirWeightsHashed(spark, target, raw, buckets)
+
+  /** Train DSIR's frozen model triple (target counts, raw counts,
+    * totals) — persist once, score every ingested batch
+    * ([[llm.Dsir.trainModels]]).
+    */
+  def dsirTrainModels(spark: SparkSession, target: DataFrame,
+      raw: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    llm.Dsir.trainModels(spark, target, raw)
+
+  /** Score docs against frozen DSIR models — the batch/streaming-shared
+    * ingest-time kernel ([[llm.Dsir.dsirScoreWithModels]]).
+    */
+  def dsirScore(spark: SparkSession, docs: DataFrame, tm: DataFrame,
+      rm: DataFrame, totals: DataFrame): DataFrame =
+    llm.Dsir.dsirScoreWithModels(spark, docs, tm, rm, totals)
 }

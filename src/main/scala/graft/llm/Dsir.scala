@@ -70,21 +70,37 @@ object Dsir {
     weighted(s, target, raw, id, text)
       .select(col(id), col("n_grams"), round(col("avg_lr"), 6).as("avg_lr_r6"))
 
-  /** (id, n_grams, avg_lr) with avg_lr unrounded — the selection
-    * operators add noise BEFORE the single terminal rounding. */
-  private def weighted(s: SparkSession, target: DataFrame, raw: DataFrame,
-      id: String, text: String): DataFrame = {
-    val tg = gramStream(target, id, text)
-    val rg = gramStream(raw, id, text)
-    val tm = tg.groupBy("g").agg(count(lit(1)).as("ct"))
-    val rm = rg.groupBy("g").agg(count(lit(1)).as("cr"))
+  /** Train the frozen model triple: (gram→ct target counts, gram→cr raw
+    * counts, 1-row totals (v, nt, nr) with v = |union vocab|). Persist
+    * these once, score forever — the 100 TB shape is train-on-snapshot,
+    * then score every ingested batch against the frozen tables
+    * ([[dsirScoreWithModels]]). */
+  def trainModels(s: SparkSession, target: DataFrame, raw: DataFrame,
+      id: String = "doc_id", text: String = "text"): (DataFrame, DataFrame, DataFrame) = {
+    val tm = gramStream(target, id, text).groupBy("g").agg(count(lit(1)).as("ct"))
+    val rm = gramStream(raw, id, text).groupBy("g").agg(count(lit(1)).as("cr"))
     // smoothing dimension: the union vocabulary (= raw's when target ⊆ raw)
     val totals = rm.select(col("g"), col("cr"))
       .join(tm.select(col("g"), col("ct")), Seq("g"), "full_outer")
       .agg(count(lit(1)).as("v"),
         sum(coalesce(col("ct"), lit(0L))).as("nt"),
         sum(coalesce(col("cr"), lit(0L))).as("nr"))
-    val scored = rg
+    (tm, rm, totals)
+  }
+
+  /** Score `docs` against frozen models — the shared kernel of the batch
+    * and streaming paths. Grams unseen by a model take its smoothed
+    * floor (c = 0); gram-less docs surface at the 0-weight floor.
+    * Output: (id, n_grams, avg_lr_r6). */
+  def dsirScoreWithModels(s: SparkSession, docs: DataFrame,
+      tm: DataFrame, rm: DataFrame, totals: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    scoreWith(docs, tm, rm, totals, id, text)
+      .select(col(id), col("n_grams"), round(col("avg_lr"), 6).as("avg_lr_r6"))
+
+  private def scoreWith(docs: DataFrame, tm: DataFrame, rm: DataFrame,
+      totals: DataFrame, id: String, text: String): DataFrame = {
+    val scored = gramStream(docs, id, text)
       .join(rm, Seq("g"), "left")
       .join(tm, Seq("g"), "left")
       .crossJoin(broadcast(totals))
@@ -93,10 +109,18 @@ object Dsir {
           - log((coalesce(col("cr"), lit(0L)) + 1).cast("double") / (col("nr") + col("v"))))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_grams"), avg(col("lr")).as("avg_lr"))
-    raw.select(col(id)).distinct()
+    docs.select(col(id)).distinct()
       .join(scored, Seq(id), "left")
       .select(col(id), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("avg_lr"), lit(0.0)).as("avg_lr"))
+  }
+
+  /** (id, n_grams, avg_lr) with avg_lr unrounded — the selection
+    * operators add noise BEFORE the single terminal rounding. */
+  private def weighted(s: SparkSession, target: DataFrame, raw: DataFrame,
+      id: String, text: String): DataFrame = {
+    val (tm, rm, totals) = trainModels(s, target, raw, id, text)
+    scoreWith(raw, tm, rm, totals, id, text)
   }
 
   /** Deterministic standard-Gumbel noise for a doc id: u = (Knuth-hash
@@ -260,5 +284,62 @@ object Dsir {
       (s, d) => hashedAgreement(s,
           docs(s, d).filter(col("lang") === "en"), docs(s, d),
           k = 25, buckets = 16384),
-      Some("SELECT * FROM (VALUES (CAST(25 AS BIGINT), CAST(24 AS BIGINT), CAST(960 AS BIGINT))) t(k, n_overlap, agree_milli)")))
+      Some("SELECT * FROM (VALUES (CAST(25 AS BIGINT), CAST(24 AS BIGINT), CAST(960 AS BIGINT))) t(k, n_overlap, agree_milli)")),
+
+    // ---- q284: STREAMING score-at-ingest — models trained once on the
+    //      snapshot, persisted, then the corpus arrives as a file stream
+    //      (3 micro-batches, last one REPLAYED: at-least-once delivery);
+    //      each batch scores against the frozen tables and folds into
+    //      id-keyed state (dedup makes replays idempotent). The fold
+    //      must be indistinguishable from one-shot batch scoring — the
+    //      oracle is q281's SQL verbatim. ----
+    "q284_dsir_stream_score" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val (tm0, rm0, tot0) = trainModels(s,
+          all.filter(col("lang") === "en"), all)
+        val work = java.nio.file.Files.createTempDirectory("graft-q284")
+          .toString
+        tm0.write.parquet(s"$work/tm"); rm0.write.parquet(s"$work/rm")
+        tot0.write.parquet(s"$work/tot")
+        val tm = s.read.parquet(s"$work/tm")
+        val rm = s.read.parquet(s"$work/rm")
+        val tot = s.read.parquet(s"$work/tot")
+        val in = s"$work/in"
+        all.filter(col("doc_id") < 150).select("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(in)
+        all.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+          .select("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(in)
+        val b3 = all.filter(col("doc_id") >= 300).select("doc_id", "text")
+        b3.coalesce(1).write.mode("append").parquet(in)
+        b3.coalesce(1).write.mode("append").parquet(in) // replayed delivery
+        val sch = s.read.parquet(in).schema
+        val src = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val stateA = s"$work/state_a"; val stateB = s"$work/state_b"
+        def statePath(gen: Long) = if (gen % 2 == 0) stateA else stateB
+        // gen-0 state: empty, right schema
+        dsirScoreWithModels(s, all.limit(0), tm, rm, tot)
+          .write.parquet(stateA)
+        var gen = 1L
+        val q = src.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val scored = dsirScoreWithModels(s, batch.toDF(), tm, rm, tot)
+            s.read.parquet(statePath(gen - 1)).unionByName(scored)
+              .dropDuplicates("doc_id")
+              .write.mode("overwrite").parquet(statePath(gen))
+            gen += 1
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        require(gen >= 5, s"expected >= 4 micro-batches, got ${gen - 1}")
+        s.read.parquet(statePath(gen - 1)).orderBy("doc_id")
+      },
+      Some(s"""WITH $weightSqlCtes
+             |SELECT t.doc_id,
+             |  CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,
+             |  coalesce(round(agg.avg_lr, 6), 0.0) AS avg_lr_r6
+             |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin)))
 }

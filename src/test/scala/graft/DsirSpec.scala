@@ -93,6 +93,24 @@ class DsirSpec extends SparkSpec {
     assert(agree.getLong(0) == 3L && agree.getLong(1) == 3L && agree.getLong(2) == 1000L)
   }
 
+  test("frozen-model scoring equals the one-shot batch path, incl. unseen grams") {
+    val s = spark
+    import s.implicits._
+    val (tm, rm, tot) = Dsir.trainModels(s, target, raw)
+    val viaModels = Dsir.dsirScoreWithModels(s, raw, tm, rm, tot)
+      .collect().map(_.toSeq).toSet
+    val oneShot = Dsir.dsirWeights(s, target, raw).collect().map(_.toSeq).toSet
+    assert(viaModels == oneShot)
+    // a doc with grams NEITHER model saw scores at both smoothed floors
+    // (lr = ln((0+1)/(nt+v)) - ln((0+1)/(nr+v)) per gram), not an error
+    val novel = Seq((9L, "zzz qqq")).toDF("doc_id", "text")
+    val scored = Dsir.dsirScoreWithModels(s, novel, tm, rm, tot).collect()(0)
+    assert(scored.getLong(1) == 3L) // zzz, qqq, "zzz qqq"
+    val v = 11; val nt = 10; val nr = 13 // fixture model sizes
+    val exp = math.rint((math.log(1.0 / (nt + v)) - math.log(1.0 / (nr + v))) * 1e6) / 1e6
+    assert(scored.getDouble(2) == exp)
+  }
+
   test("tiny m degrades gracefully: agreement row still well-formed") {
     val agree = Dsir.hashedAgreement(spark, target, raw, k = 3, buckets = 2).collect()(0)
     assert(agree.getLong(0) == 3L)
