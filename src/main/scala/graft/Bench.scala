@@ -129,7 +129,12 @@ object Bench {
       // q245 rule); q279 stays out: its wall is TWO exact q270 oracle
       // anchors, while the operator under test (contingency agreement)
       // is three hash aggs — benching it would time the anchors.
-      "q277_clusters_delta")
+      "q277_clusters_delta",
+      // round-11 DSIR tier: exact weights (two model builds + the
+      // gram-keyed scoring joins) and the Gumbel selection on top.
+      // q283 stays out (its wall is the exact anchor run twice);
+      // q284 stays out (streaming harness, the q245 rule).
+      "q281_dsir_weights", "q282_dsir_gumbel")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))
