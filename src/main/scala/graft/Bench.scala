@@ -134,7 +134,10 @@ object Bench {
       // gram-keyed scoring joins) and the Gumbel selection on top.
       // q283 stays out (its wall is the exact anchor run twice);
       // q284 stays out (streaming harness, the q245 rule).
-      "q281_dsir_weights", "q282_dsir_gumbel")
+      "q281_dsir_weights", "q282_dsir_gumbel",
+      // RM3 full loop (first pass + relevance model + weighted second
+      // pass; q285 stays out — it is a strict prefix of q286's chain)
+      "q286_rm3_rerank")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

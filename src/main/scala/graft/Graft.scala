@@ -1233,4 +1233,21 @@ object Graft {
   def dsirScore(spark: SparkSession, docs: DataFrame, tm: DataFrame,
       rm: DataFrame, totals: DataFrame): DataFrame =
     llm.Dsir.dsirScoreWithModels(spark, docs, tm, rm, totals)
+
+  /** RM3 pseudo-relevance-feedback expansion terms: top-m of
+    * α·P(t|R) + (1−α)·P_orig over BM25 feedback docs
+    * ([[llm.Rm3.rm3Expansion]]).
+    */
+  def rm3Expansion(spark: SparkSession, docs: DataFrame,
+      queries: Seq[(Int, Seq[String])], nFb: Int, mExp: Int,
+      alphaMilli: Int): DataFrame =
+    llm.Rm3.rm3Expansion(spark, docs, queries, nFb, mExp, alphaMilli)
+
+  /** Full RM3 loop: expand, then weighted-BM25 second-pass top-k
+    * ([[llm.Rm3.rm3Rerank]]).
+    */
+  def rm3Rerank(spark: SparkSession, docs: DataFrame,
+      queries: Seq[(Int, Seq[String])], nFb: Int, mExp: Int,
+      alphaMilli: Int, k: Int): DataFrame =
+    llm.Rm3.rm3Rerank(spark, docs, queries, nFb, mExp, alphaMilli, k)
 }

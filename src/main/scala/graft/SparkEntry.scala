@@ -50,7 +50,8 @@ object SparkEntry {
       graft.rel.Sampling.all ++ graft.plans.FkQueries.all ++
       graft.llm.LangId.all ++ graft.llm.BinaryAnn.all ++
       graft.llm.Chunk.all ++ graft.llm.Mining.all ++ graft.llm.Mmr.all ++
-      graft.llm.Outliers.all ++ graft.llm.Pipeline.all ++ graft.llm.Dsir.all
+      graft.llm.Outliers.all ++ graft.llm.Pipeline.all ++ graft.llm.Dsir.all ++
+      graft.llm.Rm3.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
