@@ -26,7 +26,12 @@ object StressProbe {
     "q237_cdc_apply", "q239_connected_components",
     // r10 verdict item 5: the top bench wall's brand-new oriented-
     // intersection plan must hold shape at 10×
-    "q188_embeddedness")
+    "q188_embeddedness",
+    // r11 continuation tier: DSIR exact scoring (two gram-keyed model
+    // aggs + the scoring joins — the Zipf-bounded-model claim under
+    // load) and the full RM3 loop (feedback broadcasts must STAY
+    // broadcasts as the corpus grows)
+    "q281_dsir_weights", "q286_rm3_rerank")
 
   // operator-level probes for paths whose driver entries can't run off
   // the pinned fixture (q274 is fixture-guarded; q270 is the
