@@ -79,14 +79,28 @@ object Dsir {
       id: String = "doc_id", text: String = "text"): (DataFrame, DataFrame, DataFrame) = {
     val tm = gramStream(target, id, text).groupBy("g").agg(count(lit(1)).as("ct"))
     val rm = gramStream(raw, id, text).groupBy("g").agg(count(lit(1)).as("cr"))
-    // smoothing dimension: the union vocabulary (= raw's when target ⊆ raw)
-    val totals = rm.select(col("g"), col("cr"))
+    (tm, rm, totalsOf(tm, rm))
+  }
+
+  /** The 1-row (v, nt, nr) totals of a model pair. The smoothing
+    * dimension v is the UNION vocabulary (= raw's when target ⊆ raw) —
+    * derived, never stored, so folded models stay consistent. */
+  def totalsOf(tm: DataFrame, rm: DataFrame): DataFrame =
+    rm.select(col("g"), col("cr"))
       .join(tm.select(col("g"), col("ct")), Seq("g"), "full_outer")
       .agg(count(lit(1)).as("v"),
         sum(coalesce(col("ct"), lit(0L))).as("nt"),
         sum(coalesce(col("cr"), lit(0L))).as("nr"))
-    (tm, rm, totals)
-  }
+
+  /** Fold a batch's gram counts into a model — the n-gram multinomial's
+    * sufficient statistics are ADDITIVE, so incremental maintenance is
+    * one count-keyed outer sum; fold(train(A), train(B)) ≡ train(A∪B)
+    * exactly, no approximation. `cnt` names the count column ("ct" for
+    * target models, "cr" for raw). */
+  def foldCounts(a: DataFrame, b: DataFrame, cnt: String): DataFrame =
+    a.select(col("g"), col(cnt))
+      .unionByName(b.select(col("g"), col(cnt)))
+      .groupBy("g").agg(sum(col(cnt)).as(cnt))
 
   /** Score `docs` against frozen models — the shared kernel of the batch
     * and streaming paths. Grams unseen by a model take its smoothed
@@ -336,6 +350,32 @@ object Dsir {
         try q.processAllAvailable() finally q.stop()
         require(gen >= 5, s"expected >= 4 micro-batches, got ${gen - 1}")
         s.read.parquet(statePath(gen - 1)).orderBy("doc_id")
+      },
+      Some(s"""WITH $weightSqlCtes
+             |SELECT t.doc_id,
+             |  CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,
+             |  coalesce(round(agg.avg_lr, 6), 0.0) AS avg_lr_r6
+             |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
+
+    // ---- q287: INCREMENTAL model maintenance — the multinomials'
+    //      sufficient statistics are additive, so folding a batch's
+    //      counts into a snapshot's models must be INDISTINGUISHABLE
+    //      from full retraining: snapshot = doc_id < 250, batch = the
+    //      rest, scores from the folded models over the whole corpus
+    //      against q281's full-retrain SQL verbatim. ----
+    "q287_dsir_model_fold" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val snap = all.filter(col("doc_id") < 250)
+        val batch = all.filter(col("doc_id") >= 250)
+        val (tm0, rm0, _) = trainModels(s,
+          snap.filter(col("lang") === "en"), snap)
+        val (tmB, rmB, _) = trainModels(s,
+          batch.filter(col("lang") === "en"), batch)
+        val tm = foldCounts(tm0, tmB, "ct")
+        val rm = foldCounts(rm0, rmB, "cr")
+        dsirScoreWithModels(s, all, tm, rm, totalsOf(tm, rm))
+          .orderBy("doc_id")
       },
       Some(s"""WITH $weightSqlCtes
              |SELECT t.doc_id,

@@ -111,6 +111,22 @@ class DsirSpec extends SparkSpec {
     assert(scored.getDouble(2) == exp)
   }
 
+  test("model fold is exact: fold(train(A), train(B)) scores == train(A∪B) scores") {
+    val s = spark
+    import s.implicits._
+    val a = raw.filter(org.apache.spark.sql.functions.col("doc_id") <= 2)
+    val b = raw.filter(org.apache.spark.sql.functions.col("doc_id") > 2)
+    val (tmA, rmA, _) = Dsir.trainModels(s, target, a)
+    // target corpus unchanged across the fold; its batch model is empty
+    val (tmB, rmB, _) = Dsir.trainModels(s, target.limit(0), b)
+    val tm = Dsir.foldCounts(tmA, tmB, "ct")
+    val rm = Dsir.foldCounts(rmA, rmB, "cr")
+    val folded = Dsir.dsirScoreWithModels(s, raw, tm, rm, Dsir.totalsOf(tm, rm))
+      .collect().map(_.toSeq).toSet
+    val retrained = Dsir.dsirWeights(s, target, raw).collect().map(_.toSeq).toSet
+    assert(folded == retrained)
+  }
+
   test("tiny m degrades gracefully: agreement row still well-formed") {
     val agree = Dsir.hashedAgreement(spark, target, raw, k = 3, buckets = 2).collect()(0)
     assert(agree.getLong(0) == 3L)
