@@ -137,7 +137,10 @@ object Bench {
       "q281_dsir_weights", "q282_dsir_gumbel",
       // RM3 full loop (first pass + relevance model + weighted second
       // pass; q285 stays out — it is a strict prefix of q286's chain)
-      "q286_rm3_rerank")
+      "q286_rm3_rerank",
+      // query-likelihood rankers (both benched: Dirichlet and JM share
+      // the postings prep but diverge in the scoring shape)
+      "q288_ql_dirichlet", "q289_ql_jm")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

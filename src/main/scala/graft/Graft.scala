@@ -1250,4 +1250,18 @@ object Graft {
       queries: Seq[(Int, Seq[String])], nFb: Int, mExp: Int,
       alphaMilli: Int, k: Int): DataFrame =
     llm.Rm3.rm3Rerank(spark, docs, queries, nFb, mExp, alphaMilli, k)
+
+  /** Dirichlet-smoothed query-likelihood retrieval, bounded-heap top-k
+    * ([[llm.Ql.qlDirichletTopK]]).
+    */
+  def qlDirichletTopK(spark: SparkSession, docs: DataFrame,
+      queries: Seq[(Int, Seq[String])], k: Int, mu: Double = 500.0): DataFrame =
+    llm.Ql.qlDirichletTopK(spark, docs, queries, k, mu)
+
+  /** Jelinek–Mercer-smoothed query-likelihood retrieval, bounded-heap
+    * top-k ([[llm.Ql.qlJmTopK]]).
+    */
+  def qlJmTopK(spark: SparkSession, docs: DataFrame,
+      queries: Seq[(Int, Seq[String])], k: Int, lambdaMilli: Int = 400): DataFrame =
+    llm.Ql.qlJmTopK(spark, docs, queries, k, lambdaMilli)
 }

@@ -123,4 +123,20 @@ class FacadeRound11Spec extends SparkSpec {
       graft.llm.Dsir.dsirWeightsHashed(s, target, raw, 1 << 16)
         .collect().map(_.toSeq).toSet)
   }
+
+  test("query-likelihood facades equal the kernels") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b c"))
+      .toDF("doc_id", "text")
+    val q = Seq(0 -> Seq("a", "b"))
+    assert(Graft.qlDirichletTopK(s, docs, q, k = 3, mu = 1.0)
+      .collect().map(_.toSeq).toSeq ==
+      graft.llm.Ql.qlDirichletTopK(s, docs, q, 3, 1.0)
+        .collect().map(_.toSeq).toSeq)
+    assert(Graft.qlJmTopK(s, docs, q, k = 3, lambdaMilli = 400)
+      .collect().map(_.toSeq).toSeq ==
+      graft.llm.Ql.qlJmTopK(s, docs, q, 3, 400)
+        .collect().map(_.toSeq).toSeq)
+  }
 }
