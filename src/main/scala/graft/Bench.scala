@@ -140,7 +140,12 @@ object Bench {
       "q286_rm3_rerank",
       // query-likelihood rankers (both benched: Dirichlet and JM share
       // the postings prep but diverge in the scoring shape)
-      "q288_ql_dirichlet", "q289_ql_jm")
+      "q288_ql_dirichlet", "q289_ql_jm",
+      // experiment/eval-stats tier: CUPED moments, the 40-replicate
+      // Poisson bootstrap (the map-side-combine R-way expansion),
+      // the two-pass-median MAD screen, the calibration table
+      "q290_cuped", "q291_bootstrap_ci", "q292_mad_outliers",
+      "q293_calibration_bins")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -1264,4 +1264,44 @@ object Graft {
   def qlJmTopK(spark: SparkSession, docs: DataFrame,
       queries: Seq[(Int, Seq[String])], k: Int, lambdaMilli: Int = 400): DataFrame =
     llm.Ql.qlJmTopK(spark, docs, queries, k, lambdaMilli)
+
+  /** CUPED variance-reduced per-variant experiment summary
+    * ([[rel.Experiment.cuped]]).
+    */
+  def cuped(units: DataFrame, variant: String = "variant",
+      x: String = "x", y: String = "y"): DataFrame =
+    rel.Experiment.cuped(units, variant, x, y)
+
+  /** Deterministic Poisson-bootstrap percentile CI for per-group means
+    * ([[rel.Experiment.bootstrapCi]]).
+    */
+  def bootstrapCi(df: DataFrame, group: String, id: String,
+      valueMilli: String, reps: Int = 40): DataFrame =
+    rel.Experiment.bootstrapCi(df, group, id, valueMilli, reps)
+
+  /** Exact lower median of a non-negative long column, two-pass
+    * histogram selection ([[rel.Robust.exactMedianNonNeg]]).
+    */
+  def exactMedianNonNeg(df: DataFrame, c: String): (Long, Long) =
+    rel.Robust.exactMedianNonNeg(df, c)
+
+  /** Median/MAD modified z-score outlier summary
+    * ([[rel.Robust.madOutlierSummary]]).
+    */
+  def madOutlierSummary(spark: SparkSession, df: DataFrame, c: String): DataFrame =
+    rel.Robust.madOutlierSummary(spark, df, c)
+
+  /** Calibration reliability table over integer-milli probabilities
+    * ([[llm.Eval.calibrationBins]]).
+    */
+  def calibrationBins(scored: DataFrame, pMilli: String = "p_milli",
+      label: String = "y", bins: Int = 10): DataFrame =
+    llm.Eval.calibrationBins(scored, pMilli, label, bins)
+
+  /** Scalar ECE + Brier calibration summary
+    * ([[llm.Eval.calibrationSummary]]).
+    */
+  def calibrationSummary(scored: DataFrame, pMilli: String = "p_milli",
+      label: String = "y", bins: Int = 10): DataFrame =
+    llm.Eval.calibrationSummary(scored, pMilli, label, bins)
 }

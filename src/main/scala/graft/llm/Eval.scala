@@ -164,7 +164,153 @@ object Eval {
         (lit(2.0) * col("n_pos") * col("n_neg")), 6))
   }
 
+  /** Per-row prep shared by the calibration operators: validated
+    * integer-milli probability, validated 0/1 label, fixed-width bin
+    * index least(⌊p·bins/1000⌋, bins−1). Out-of-range inputs fail
+    * loudly (a silent clamp would fake calibration).
+    */
+  private def calibPrepped(scored: DataFrame, pMilli: String, label: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 1000, s"bins=$bins")
+    val p0 = col(pMilli).cast("long")
+    val p = when(p0.isNull || p0 < 0 || p0 > 1000,
+      raise_error(concat(lit("calibration: pMilli outside [0,1000]: "),
+        p0.cast("string")))).otherwise(p0)
+    val y0 = col(label).cast("long")
+    val y = when(y0.isNull || (y0 =!= 0L && y0 =!= 1L),
+      raise_error(concat(lit("calibration: label not 0/1: "),
+        y0.cast("string")))).otherwise(y0)
+    scored.select(p.as("p"), y.as("y"))
+      .withColumn("bin",
+        least(floor((col("p") * lit(bins.toLong)).cast("double") / lit(1000.0))
+          .cast("int"), lit(bins - 1)))
+  }
+
+  /** CALIBRATION RELIABILITY TABLE (Murphy & Winkler 1977; the ECE
+    * binning of Naeini, Cooper & Hauskrecht AAAI'15): integer-milli
+    * predicted probabilities vs binary labels in `bins` fixed-width
+    * bins. Per bin: n, mean confidence, empirical accuracy, |gap| —
+    * everything exact integers until one terminal division per column
+    * (rounded to 6). Empty bins are absent (both engines). Scale: one
+    * narrow map + a ≤bins-row hash aggregation.
+    */
+  def calibrationBins(scored: DataFrame, pMilli: String = "p_milli",
+      label: String = "y", bins: Int = 10): DataFrame = {
+    val conf = col("sp").cast("double") / (lit(1000.0) * col("n").cast("double"))
+    val acc = col("pos").cast("double") / col("n").cast("double")
+    calibPrepped(scored, pMilli, label, bins)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"), sum(col("y")).as("pos"))
+      .select(col("bin"), col("n"),
+        round(conf, 6).as("conf_r6"),
+        round(acc, 6).as("acc_r6"),
+        round(abs(conf - acc), 6).as("gap_r6"))
+      .orderBy("bin")
+  }
+
+  /** Scalar calibration summary: n, ECE (the n-weighted mean |gap|
+    * over the same bins — exact integer numerator Σ_b|Σp − 1000·pos|),
+    * and the Brier score (Brier 1950) with the exact integer numerator
+    * Σ(p − 1000y)². One row.
+    */
+  def calibrationSummary(scored: DataFrame, pMilli: String = "p_milli",
+      label: String = "y", bins: Int = 10): DataFrame = {
+    val rows = calibPrepped(scored, pMilli, label, bins).localCheckpoint()
+    val ece = rows.groupBy("bin")
+      .agg(sum(col("p")).as("sp"), sum(col("y")).as("pos"),
+        count(lit(1)).as("nb"))
+      .agg(sum(abs(col("sp") - (lit(1000L) * col("pos")))
+          .cast("decimal(38,0)")).as("edev"),
+        sum(col("nb")).as("n"))
+    val sq = rows.agg(
+      sum(((col("p") - (lit(1000L) * col("y")))
+        * (col("p") - (lit(1000L) * col("y")))).cast("decimal(38,0)")).as("sq"))
+    ece.crossJoin(sq).select(col("n"),
+      round(col("edev").cast("double")
+        / (lit(1000.0) * col("n").cast("double")), 6).as("ece_r6"),
+      round(col("sq").cast("double")
+        / (lit(1000000.0) * col("n").cast("double")), 6).as("brier_r6"))
+  }
+
+  /** The q293 fixture: calibrate the CHEAP 1024-bucket hashed linear
+    * quality model (q89) against the 65536-bucket reference model's
+    * sign as ground truth — the distillation audit ("is the small
+    * model's score a calibrated predictor of the big model's
+    * verdict?"). p_milli is a clipped integer link of the small score
+    * (centered at its corpus-typical 9000, ±20000 swing → /40), so
+    * the whole fixture is exact integer arithmetic in both engines.
+    */
+  private def calibDemoScores(s: SparkSession, d: String): DataFrame = {
+    val small = Curation.scoreQualityModel(s, Tables.documents(s, d),
+      Curation.demoWeights(1024)).select(col("doc_id"), col("score_sum").as("s1"))
+    val big = Curation.scoreQualityModel(s, Tables.documents(s, d),
+      Curation.demoWeights(65536)).select(col("doc_id"), col("score_sum").as("s2"))
+    small.join(big, "doc_id")
+      .select(col("doc_id"),
+        floor(least(greatest(col("s1") + lit(11000L), lit(0L)), lit(40000L))
+          .cast("double") / lit(40.0)).cast("long").as("p_milli"),
+        when(col("s2") > 0, 1L).otherwise(0L).as("y"))
+  }
+
+  /** shared oracle prelude for q293/q293b: both hashed models (the q89
+    * formula at 1024 and 65536 buckets), the clipped link, the label */
+  private def calibSqlCtes: String =
+    """t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      x -> len(x) > 0) AS w
+      |  FROM documents),
+      |sc AS (SELECT doc_id,
+      |    CAST(coalesce(list_sum(list_transform(w, tok ->
+      |      ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024)
+      |        * 2654435761 % 2003) - 1001)), 0) AS BIGINT) AS s1,
+      |    CAST(coalesce(list_sum(list_transform(w, tok ->
+      |      ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 65536)
+      |        * 2654435761 % 2003) - 1001)), 0) AS BIGINT) AS s2
+      |  FROM t),
+      |p AS (SELECT doc_id,
+      |    least(greatest(s1 + 11000, 0), 40000) // 40 AS p_milli,
+      |    CASE WHEN s2 > 0 THEN 1 ELSE 0 END AS y
+      |  FROM sc),
+      |b AS (SELECT least((p_milli * 10) // 1000, 9) AS bin, p_milli, y
+      |  FROM p)""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q293: CALIBRATION RELIABILITY TABLE — the 1024-bucket quality
+    //      model's clipped-link probability vs the 65536-bucket
+    //      reference verdict, 10 bins. ----
+    "q293_calibration_bins" -> Q(
+      (s, d) => calibrationBins(calibDemoScores(s, d)),
+      Some(s"""WITH $calibSqlCtes,
+             |g AS (SELECT bin, count(*) AS n, sum(p_milli) AS sp,
+             |    sum(y) AS pos
+             |  FROM b GROUP BY bin)
+             |SELECT CAST(bin AS INT) AS bin, n,
+             |  round(CAST(sp AS DOUBLE) / (1000.0 * CAST(n AS DOUBLE)), 6)
+             |    AS conf_r6,
+             |  round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc_r6,
+             |  round(abs((CAST(sp AS DOUBLE) / (1000.0 * CAST(n AS DOUBLE)))
+             |    - (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS gap_r6
+             |FROM g ORDER BY bin""".stripMargin)),
+
+    // ---- q293b: the scalar summary — ECE + Brier, exact integer
+    //      numerators, one row. ----
+    "q293b_calibration_summary" -> Q(
+      (s, d) => calibrationSummary(calibDemoScores(s, d)),
+      Some(s"""WITH $calibSqlCtes,
+             |g AS (SELECT bin, count(*) AS nb, sum(p_milli) AS sp,
+             |    sum(y) AS pos
+             |  FROM b GROUP BY bin),
+             |e AS (SELECT sum(abs(sp - (1000 * pos))) AS edev, sum(nb) AS n
+             |  FROM g),
+             |q AS (SELECT sum(CAST((p_milli - (1000 * y))
+             |    * (p_milli - (1000 * y)) AS HUGEINT)) AS sq FROM b)
+             |SELECT CAST(e.n AS BIGINT) AS n,
+             |  round(CAST(e.edev AS DOUBLE) / (1000.0 * CAST(e.n AS DOUBLE)), 6)
+             |    AS ece_r6,
+             |  round(CAST(q.sq AS DOUBLE)
+             |    / (1000000.0 * CAST(e.n AS DOUBLE)), 6) AS brier_r6
+             |FROM e, q""".stripMargin)),
+
     // ---- q247: GROUPED EXACT AUC — how well document length predicts
     //      English, per source. Ranking metric for scorer evaluation
     //      (the ROC-area companion to q210's Mann-Whitney U — same

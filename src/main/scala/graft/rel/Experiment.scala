@@ -1,0 +1,290 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** EXPERIMENT-ANALYSIS tier II: variance reduction and resampling
+  * uncertainty — the two operators an A/B platform runs on every metric
+  * after the q155/q229 significance gates.
+  *
+  *  - CUPED (Deng, Xu, Kohavi & Walker WSDM'13 "Improving the
+  *    sensitivity of online controlled experiments"): adjust the
+  *    in-experiment metric Y by the pre-experiment covariate X,
+  *    Y' = Y − θ·(X − E[X]) with θ = cov(X,Y)/var(X) pooled across
+  *    variants; the adjustment is mean-preserving over the pooled
+  *    population and cuts variance by the squared correlation.
+  *  - POISSON BOOTSTRAP (Chamandy, Muralidharan, Najmi & Naidu 2012,
+  *    "Estimating uncertainty for massive data streams", Google TR;
+  *    Kleiner et al.'s motivation applies): classical bootstrap
+  *    resampling is impossible at 100 TB (each replicate would
+  *    reshuffle the corpus), but Poisson(1) per-(row, replicate)
+  *    weights are independent of everything, so ALL replicates ride
+  *    ONE narrow pass with map-side combine — the shuffle carries
+  *    |groups|·R partial sums, never data.
+  *
+  * Exactness discipline (the q138/q155 house rule): metric values are
+  * integer MILLI units; every sum is exact (DECIMAL(38,0) against
+  * overflow, matching DuckDB's HUGEINT sums); the floating tail of each
+  * output column is one fixed, explicitly parenthesized chain of IEEE
+  * ops both engines evaluate identically, rounded to 6. Bootstrap
+  * weights come from the house Knuth-hash uniform (the q282 Gumbel
+  * recipe) through hard-coded 17-digit Poisson(1) CDF literals — no
+  * libm exp() whose last ulp could differ between engines — so a
+  * replicate replays bit-for-bit in DuckDB.
+  */
+object Experiment {
+
+  /** |x| and |y| per unit must stay below this for the per-row long
+    * product x·y to be exact; beyond it the operator fails loudly
+    * (observed magnitudes, not an assumed range — the r10 q273 rule).
+    * 3_037_000_499² < Long.MaxValue < 3_037_000_500².
+    */
+  private val MilliCap = 3037000499L
+
+  private def guarded(c: Column, name: String): Column =
+    when(abs(c) > MilliCap,
+      raise_error(concat(lit(s"cuped: |$name| milli exceeds exact-product cap: "),
+        c.cast("string")))).otherwise(c)
+
+  /** CUPED variance-reduced per-variant summary.
+    *
+    * Input: one row per experiment unit with an integer-MILLI
+    * pre-period covariate `x`, in-period metric `y`, and a variant
+    * key. θ is the pooled cov(X,Y)/var(X) (the standard single-θ
+    * form — per-variant θ would bias the delta); var(X)=0 degenerates
+    * to θ=0 (no adjustment), pinned in ExperimentSpec.
+    *
+    * Output (one row per variant, ordered):
+    *   variant, n_units, mean_y_r6, mean_cuped_r6, var_y_r6,
+    *   var_cuped_r6, theta_r6 — means/variances in METRIC units
+    *   (milli/1000), variances population (divide by n, matching
+    *   var_pop).
+    *
+    * Scale shape: one hash aggregation unit→variant moments (the
+    * unit table itself is the caller's one shuffle), a 2-row pooled
+    * fold, broadcast back — no second pass over units.
+    */
+  def cuped(units: DataFrame, variant: String = "variant",
+      x: String = "x", y: String = "y"): DataFrame = {
+    val xg = guarded(col(x).cast("long"), x)
+    val yg = guarded(col(y).cast("long"), y)
+    val mom = units
+      .select(col(variant).as("variant"), xg.as("xv"), yg.as("yv"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xv").cast("decimal(38,0)")).as("sx"),
+        sum(col("yv").cast("decimal(38,0)")).as("sy"),
+        sum((col("xv") * col("yv")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("xv") * col("xv")).cast("decimal(38,0)")).as("sx2"),
+        sum((col("yv") * col("yv")).cast("decimal(38,0)")).as("sy2"))
+    val pool = mom.agg(
+      sum(col("n")).cast("double").as("np"),
+      sum(col("sx")).cast("double").as("sxp"),
+      sum(col("sy")).cast("double").as("syp"),
+      sum(col("sxy")).cast("double").as("sxyp"),
+      sum(col("sx2")).cast("double").as("sx2p"))
+    val withPool = mom.crossJoin(broadcast(pool))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val sxyD = col("sxy").cast("double"); val sx2D = col("sx2").cast("double")
+    val sy2D = col("sy2").cast("double")
+    val den = (col("np") * col("sx2p")) - (col("sxp") * col("sxp"))
+    val theta = when(den === 0.0, lit(0.0))
+      .otherwise(((col("np") * col("sxyp")) - (col("sxp") * col("syp"))) / den)
+    val varY = (sy2D / nD) - ((syD / nD) * (syD / nD))
+    val covV = (sxyD / nD) - ((sxD / nD) * (syD / nD))
+    val varX = (sx2D / nD) - ((sxD / nD) * (sxD / nD))
+    withPool.select(
+      col("variant"), col("n").as("n_units"),
+      round((syD / nD) / 1000.0, 6).as("mean_y_r6"),
+      round(((syD - (theta * (sxD - (nD * (col("sxp") / col("np")))))) / nD)
+        / 1000.0, 6).as("mean_cuped_r6"),
+      round(varY / 1000000.0, 6).as("var_y_r6"),
+      round((varY - ((lit(2.0) * theta) * covV) + ((theta * theta) * varX))
+        / 1000000.0, 6).as("var_cuped_r6"),
+      round(theta, 6).as("theta_r6"))
+      .orderBy("variant")
+  }
+
+  /** Poisson(1) CDF thresholds, 17 significant digits — LITERALS, not
+    * exp() calls, so both engines compare against bit-identical
+    * doubles. P(X ≤ k) for k = 0..7; weights cap at 8
+    * (P(X > 8) ≈ 1.1e-6 — the tail mass folds into 8).
+    */
+  private[rel] val PoissonCdf: Array[Double] = Array(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253)
+
+  private def poissonWeight(u: Column): Column =
+    PoissonCdf.zipWithIndex.foldRight(lit(8L): Column) {
+      case ((cdf, k), rest) => when(u < lit(cdf), lit(k.toLong)).otherwise(rest)
+    }
+
+  /** Deterministic Poisson-bootstrap percentile CI for per-group means.
+    *
+    * Each (row, replicate) gets weight w ~ Poisson(1) from the
+    * Knuth-hash uniform of (id, replicate) — deterministic, so the
+    * whole resample replays bit-for-bit in SQL. Replicate r's mean is
+    * Σw·v / Σw (exact integer sums, one double division); the CI is
+    * the ⌈0.025·R⌉-th / ⌈0.975·R⌉-th smallest replicate mean (ties by
+    * replicate index). Replicates whose weights all land 0 are
+    * dropped (only possible for groups with ≲ a handful of rows —
+    * the CI ranks then read from the survivors).
+    *
+    * Output: (group, n, mean_r6, lo_r6, hi_r6) in metric units.
+    *
+    * Scale shape: the R-way expansion happens INSIDE the map task and
+    * collapses by partial aggregation to |groups|·R rows before the
+    * shuffle; the per-group rank window orders exactly R rows. No
+    * data-sized resample ever exists.
+    */
+  def bootstrapCi(df: DataFrame, group: String, id: String,
+      valueMilli: String, reps: Int = 40): DataFrame = {
+    require(reps >= 2 && reps <= 10000, s"reps=$reps")
+    val loRank = math.max(1, math.ceil(0.025 * reps).toInt)
+    val hiRank = math.ceil(0.975 * reps).toInt
+    val base = df.select(col(group).as("grp"), col(id).cast("long").as("id"),
+      guarded(col(valueMilli).cast("long"), valueMilli).as("v"))
+    val pt = base.groupBy("grp").agg(count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(38,0)")).as("sv"))
+    val u = (pmod((col("id") * lit(2654435761L))
+      + ((col("rep") + lit(1L)) * lit(940572985L)), lit(2147483648L))
+      .cast("double") + 1) / lit(2147483649.0)
+    val rmeans = base
+      .withColumn("rep", explode(sequence(lit(0L), lit(reps - 1L))))
+      .withColumn("w", poissonWeight(u))
+      .groupBy(col("grp"), col("rep"))
+      .agg(sum(col("w")).as("ws"),
+        sum((col("w") * col("v")).cast("decimal(38,0)")).as("wv"))
+      .filter(col("ws") > 0)
+      .select(col("grp"), col("rep"),
+        (col("wv").cast("double") / col("ws").cast("double")).as("rmean"))
+    val win = Window.partitionBy("grp").orderBy(col("rmean"), col("rep"))
+    val ci = rmeans.withColumn("rn", row_number().over(win))
+      .groupBy("grp")
+      .agg(min(when(col("rn") === loRank, col("rmean"))).as("lo"),
+        min(when(col("rn") === hiRank, col("rmean"))).as("hi"))
+    pt.join(ci, "grp")
+      .select(col("grp"), col("n"),
+        round((col("sv").cast("double") / col("n").cast("double")) / 1000.0, 6)
+          .as("mean_r6"),
+        round(col("lo") / 1000.0, 6).as("lo_r6"),
+        round(col("hi") / 1000.0, 6).as("hi_r6"))
+      .orderBy("grp")
+  }
+
+  // --------------------------------------------------------------------
+  //  driver entries
+  // --------------------------------------------------------------------
+
+  /** CASE chain matching poissonWeight, for the oracle SQL */
+  private def poissonCaseSql: String =
+    PoissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q290: CUPED — per-user purchase revenue in the back half of
+    //      January adjusted by the front half; variants by user parity.
+    //      Units = every user with any event (the metric defaults to 0),
+    //      so the population is fixed independent of the metric. ----
+    "q290_cuped" -> Q(
+      (s, d) => {
+        val split = lit("2024-01-16").cast("timestamp")
+        val isP = col("event_type") === "purchase"
+        val milli = round(col("value") * 1000, 0).cast("long")
+        val units = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(isP && col("ts") < split, milli).otherwise(0L)).as("x"),
+            sum(when(isP && col("ts") >= split, milli).otherwise(0L)).as("y"))
+          .withColumn("variant", pmod(col("user_id"), lit(2L)))
+        cuped(units, "variant", "x", "y")
+      },
+      Some("""WITH units AS (SELECT user_id, user_id % 2 AS variant,
+             |    sum(CASE WHEN event_type = 'purchase'
+             |          AND ts < TIMESTAMP '2024-01-16 00:00:00'
+             |        THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS x,
+             |    sum(CASE WHEN event_type = 'purchase'
+             |          AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+             |        THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS y
+             |  FROM events GROUP BY user_id),
+             |mom AS (SELECT variant, count(*) AS n,
+             |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             |    sum(CAST(x * y AS HUGEINT)) AS sxy,
+             |    sum(CAST(x * x AS HUGEINT)) AS sx2,
+             |    sum(CAST(y * y AS HUGEINT)) AS sy2
+             |  FROM units GROUP BY variant),
+             |pool AS (SELECT CAST(sum(n) AS DOUBLE) AS np,
+             |    CAST(sum(sx) AS DOUBLE) AS sxp, CAST(sum(sy) AS DOUBLE) AS syp,
+             |    CAST(sum(sxy) AS DOUBLE) AS sxyp,
+             |    CAST(sum(sx2) AS DOUBLE) AS sx2p
+             |  FROM mom),
+             |t AS (SELECT m.*, p.np, p.sxp, p.syp,
+             |    CASE WHEN ((p.np * p.sx2p) - (p.sxp * p.sxp)) = 0.0 THEN 0.0
+             |      ELSE ((p.np * p.sxyp) - (p.sxp * p.syp))
+             |        / ((p.np * p.sx2p) - (p.sxp * p.sxp)) END AS theta
+             |  FROM mom m CROSS JOIN pool p)
+             |SELECT CAST(variant AS BIGINT) AS variant, n AS n_units,
+             |  round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 1000.0, 6)
+             |    AS mean_y_r6,
+             |  round(((CAST(sy AS DOUBLE) - (theta * (CAST(sx AS DOUBLE)
+             |      - (CAST(n AS DOUBLE) * (sxp / np))))) / CAST(n AS DOUBLE))
+             |    / 1000.0, 6) AS mean_cuped_r6,
+             |  round(((CAST(sy2 AS DOUBLE) / CAST(n AS DOUBLE))
+             |      - ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+             |    / 1000000.0, 6) AS var_y_r6,
+             |  round((((CAST(sy2 AS DOUBLE) / CAST(n AS DOUBLE))
+             |      - ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+             |    - ((2.0 * theta) * ((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE))
+             |      - ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))))
+             |    + ((theta * theta) * ((CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE))
+             |      - ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))))
+             |    / 1000000.0, 6) AS var_cuped_r6,
+             |  round(theta, 6) AS theta_r6
+             |FROM t ORDER BY variant""".stripMargin)),
+
+    // ---- q291: POISSON BOOTSTRAP CI — per-event-type mean value with a
+    //      40-replicate deterministic resample; the whole resample
+    //      replays in SQL (hash uniforms + CDF literals + rank picks). ----
+    "q291_bootstrap_ci" -> Q(
+      (s, d) => bootstrapCi(
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 1000, 0).cast("long").as("v")),
+        "event_type", "event_id", "v", reps = 40)
+        .withColumnRenamed("grp", "event_type"),
+      Some(s"""WITH e AS (SELECT event_type AS grp, event_id AS id,
+             |    CAST(round(value * 1000) AS BIGINT) AS v FROM events),
+             |pt AS (SELECT grp, count(*) AS n, sum(CAST(v AS HUGEINT)) AS sv
+             |  FROM e GROUP BY grp),
+             |r AS (SELECT grp, rep, v,
+             |    (CAST(((id * 2654435761) + ((rep + 1) * 940572985))
+             |        % 2147483648 AS DOUBLE) + 1) / 2147483649.0 AS u
+             |  FROM e, unnest(range(0, 40)) AS t(rep)),
+             |m AS (SELECT grp, rep,
+             |    CAST(sum(CAST(($poissonCaseSql) * v AS HUGEINT)) AS DOUBLE)
+             |      / CAST(sum($poissonCaseSql) AS DOUBLE) AS rmean
+             |  FROM r GROUP BY grp, rep
+             |  HAVING sum($poissonCaseSql) > 0),
+             |rk AS (SELECT grp, rmean, row_number() OVER (
+             |    PARTITION BY grp ORDER BY rmean, rep) AS rn FROM m)
+             |SELECT pt.grp AS event_type, pt.n,
+             |  round((CAST(pt.sv AS DOUBLE) / CAST(pt.n AS DOUBLE)) / 1000.0, 6)
+             |    AS mean_r6,
+             |  round(min(CASE WHEN rk.rn = 1 THEN rk.rmean END) / 1000.0, 6)
+             |    AS lo_r6,
+             |  round(min(CASE WHEN rk.rn = 39 THEN rk.rmean END) / 1000.0, 6)
+             |    AS hi_r6
+             |FROM pt JOIN rk ON pt.grp = rk.grp
+             |GROUP BY pt.grp, pt.n, pt.sv ORDER BY event_type""".stripMargin)))
+}

@@ -1,0 +1,117 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** ROBUST OUTLIER STATISTICS: the median/MAD modified z-score screen
+  * (Iglewicz & Hoaglin 1993, "How to detect and handle outliers",
+  * ASQC vol. 16: M = 0.6745·(x − median)/MAD, flag |M| > 3.5) — the
+  * robust sibling of the q208 mean/σ z-score, immune to the outliers
+  * it hunts.
+  *
+  * Both medians (of the values, then of the absolute deviations) are
+  * EXACT lower medians via the q221 two-pass histogram-refinement
+  * selection, factored here into the reusable [[exactMedianNonNeg]]:
+  * no global sort ever happens. The outlier test itself is pure
+  * integer arithmetic — 0.6745·dev/MAD > 3.5 ⇔ 6745·dev > 35000·MAD —
+  * so the flag count is exact, and only the reported maximum modified
+  * z-score touches floating point (one fixed division, rounded to 6).
+  *
+  * Scale shape: two narrow scans per median (≤64-row histogram agg +
+  * one-bucket refinement, driver state bounded by the VALUE WIDTH,
+  * never the data), one final scan for the flags. The deviation scan
+  * reuses the checkpointed cents.
+  */
+object Robust {
+
+  /** Exact LOWER median ((n+1) div 2-th smallest — DuckDB
+    * quantile_disc(0.5)) of a non-negative long column, by power-of-two
+    * histogram + single-bucket refinement (the q221 plan, with the
+    * 0-bucket handled: bin(0) and bin(1) share width 1, so bucket 1
+    * spans [0, 1]). Returns (n, median); requires n > 0. The input is
+    * scanned twice — callers pass something cheap to rescan
+    * (checkpointed or a column off a parquet scan).
+    */
+  def exactMedianNonNeg(df: DataFrame, c: String): (Long, Long) = {
+    val vals = df.select(col(c).cast("long").as("c"))
+    val hist = vals
+      .select(length(bin(col("c"))).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("nb"))
+      .orderBy("bucket")
+      .collect() // ≤ 64 rows: bounded by value width, not data
+    val n = hist.map(_.getLong(1)).sum
+    require(n > 0, "exactMedianNonNeg: empty input")
+    val k = (n + 1) / 2
+    var cum = 0L; var target = 0L; var before = 0L
+    hist.foreach { r =>
+      if (target == 0L && cum + r.getLong(1) >= k) {
+        target = r.getLong(0); before = cum
+      }
+      cum += r.getLong(1)
+    }
+    val lo = if (target <= 1) 0L else 1L << (target - 1)
+    val hi = (1L << target) - 1
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("c").rowsBetween(Long.MinValue, 0)
+    val med = vals.filter(col("c") >= lo && col("c") <= hi)
+      .groupBy("c").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_in", sum("cnt").over(w))
+      .filter(col("cum_in") >= lit(k - before))
+      .agg(min("c").as("m"))
+      .collect()(0).getLong(0) // the k-th smallest: a 1-row result
+    (n, med)
+  }
+
+  /** Modified z-score outlier summary over a non-negative long metric:
+    * one row (n, median, mad, n_outliers, max_mz_r6). mad = 0 (over
+    * half the values equal the median) degenerates per Iglewicz-Hoaglin
+    * to flagging every value off the median, and max_mz_r6 is null
+    * (the score is undefined).
+    */
+  def madOutlierSummary(s: SparkSession, df: DataFrame, c: String): DataFrame = {
+    val vals = df.select(col(c).cast("long").as("c")).localCheckpoint()
+    val (n, med) = exactMedianNonNeg(vals, "c")
+    val devs = vals.select(abs(col("c") - lit(med)).as("d"))
+    val (_, mad) = exactMedianNonNeg(devs, "d")
+    val mz: org.apache.spark.sql.Column =
+      if (mad > 0)
+        round((lit(0.6745) * col("maxd").cast("double")) / lit(mad.toDouble), 6)
+      else lit(null).cast("double")
+    devs
+      .agg(sum(when(lit(6745L) * col("d") > lit(35000L) * lit(mad), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(col("d")).as("maxd"))
+      .select(lit(n).as("n"), lit(med).as("median"), lit(mad).as("mad"),
+        col("n_outliers"), mz.as("max_mz_r6"))
+  }
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q292: MAD OUTLIER SCREEN over order totals in cents — the
+    //      robust flag count + the worst offender's modified z. Oracle:
+    //      DuckDB quantile_disc(0.5) twice (= lower median, the q221
+    //      pinned convention) + the same integer flag rule. ----
+    "q292_mad_outliers" -> Q(
+      (s, d) => madOutlierSummary(s,
+        Tables.orders(s, d)
+          .select(round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+          .filter(col("c") > 0),
+        "c"),
+      Some("""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             |  FROM orders WHERE round(o_totalprice * 100) > 0),
+             |m AS (SELECT CAST(quantile_disc(c, 0.5) AS BIGINT) AS med,
+             |    count(*) AS n FROM c),
+             |dv AS (SELECT abs(c.c - m.med) AS d, m.med, m.n FROM c, m),
+             |md AS (SELECT CAST(quantile_disc(d, 0.5) AS BIGINT) AS mad FROM dv)
+             |SELECT any_value(dv.n) AS n, any_value(dv.med) AS median,
+             |  any_value(md.mad) AS mad,
+             |  CAST(sum(CASE WHEN 6745 * dv.d > 35000 * md.mad
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  CASE WHEN any_value(md.mad) > 0
+             |    THEN round((0.6745 * CAST(max(dv.d) AS DOUBLE))
+             |      / CAST(any_value(md.mad) AS DOUBLE), 6)
+             |    ELSE NULL END AS max_mz_r6
+             |FROM dv, md""".stripMargin)))
+}

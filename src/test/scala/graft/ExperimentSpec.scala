@@ -1,0 +1,120 @@
+package graft
+
+import graft.rel.Experiment
+
+/** CUPED + Poisson bootstrap (rel/Experiment.scala): hand-computed θ
+  * and adjusted means, the mean-preservation law, degenerations, the
+  * loud magnitude guard, and bootstrap determinism / degeneracy.
+  */
+class ExperimentSpec extends SparkSpec {
+
+  private def units = {
+    val s = spark
+    import s.implicits._
+    // y = 2x + e with small e; variants split the slope's range so
+    // the raw variant means differ while the CUPED-adjusted ones
+    // converge toward the treatment effect
+    Seq(
+      (0L, 1000L, 2100L), (0L, 3000L, 6050L), (0L, 5000L, 9950L),
+      (1L, 2000L, 4300L), (1L, 4000L, 8350L), (1L, 6000L, 12250L)
+    ).toDF("variant", "x", "y")
+  }
+
+  /** the same moments by driver-side arithmetic */
+  private def handCuped(rows: Seq[(Long, Long, Long)]) = {
+    val n = rows.size.toDouble
+    val sx = rows.map(_._2).sum.toDouble
+    val sy = rows.map(_._3).sum.toDouble
+    val sxy = rows.map(r => r._2 * r._3).sum.toDouble
+    val sx2 = rows.map(r => r._2 * r._2).sum.toDouble
+    val theta = ((n * sxy) - (sx * sy)) / ((n * sx2) - (sx * sx))
+    (theta, sx / n)
+  }
+
+  test("theta and per-variant adjusted means match hand arithmetic") {
+    val rows = Seq(
+      (0L, 1000L, 2100L), (0L, 3000L, 6050L), (0L, 5000L, 9950L),
+      (1L, 2000L, 4300L), (1L, 4000L, 8350L), (1L, 6000L, 12250L))
+    val (theta, mxp) = handCuped(rows)
+    val got = Experiment.cuped(units).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(got(0L).getDouble(6) - math.rint(theta * 1e6) / 1e6) < 1e-9)
+    for (v <- Seq(0L, 1L)) {
+      val g = rows.filter(_._1 == v)
+      val nv = g.size.toDouble
+      val my = g.map(_._3).sum / nv / 1000.0
+      val mc = ((g.map(_._3).sum - (theta * (g.map(_._2).sum - (nv * mxp))))
+        / nv) / 1000.0
+      assert(math.abs(got(v).getDouble(2) - math.rint(my * 1e6) / 1e6) < 1e-9)
+      assert(math.abs(got(v).getDouble(3) - math.rint(mc * 1e6) / 1e6) < 1e-9,
+        s"variant $v cuped mean")
+    }
+  }
+
+  test("CUPED is mean-preserving over the pooled population and cuts variance") {
+    val got = Experiment.cuped(units).collect()
+    val pooledRaw = got.map(r => r.getLong(1) * r.getDouble(2)).sum
+    val pooledAdj = got.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(pooledRaw - pooledAdj) < 1e-3)
+    got.foreach { r =>
+      assert(r.getDouble(5) <= r.getDouble(4) + 1e-9,
+        s"variant ${r.getLong(0)}: var_cuped ${r.getDouble(5)} > var_y ${r.getDouble(4)}")
+    }
+    // strongly correlated covariate: the cut must be large, not marginal
+    assert(got.map(_.getDouble(5)).sum < 0.05 * got.map(_.getDouble(4)).sum)
+  }
+
+  test("zero-variance covariate degenerates to theta=0 and no adjustment") {
+    val s = spark
+    import s.implicits._
+    val flat = Seq((0L, 7L, 100L), (0L, 7L, 300L), (1L, 7L, 200L))
+      .toDF("variant", "x", "y")
+    val got = Experiment.cuped(flat).collect()
+    got.foreach { r =>
+      assert(r.getDouble(6) == 0.0)
+      assert(r.getDouble(2) == r.getDouble(3))
+      assert(r.getDouble(4) == r.getDouble(5))
+    }
+  }
+
+  test("milli magnitudes past the exact-product cap raise loudly") {
+    val s = spark
+    import s.implicits._
+    val big = Seq((0L, 4000000000L, 1L), (1L, 2L, 2L)).toDF("variant", "x", "y")
+    val e = intercept[Exception] { Experiment.cuped(big).collect() }
+    assert(e.getMessage != null)
+  }
+
+  test("bootstrap is deterministic and brackets the mean on a constant column") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).map(i => ("g", i, 5000L)).toDF("grp", "id", "v")
+    val a = Experiment.bootstrapCi(df, "grp", "id", "v", reps = 40).collect()
+    val b = Experiment.bootstrapCi(df, "grp", "id", "v", reps = 40).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // every replicate mean of a constant column is the constant
+    assert(a.head.getDouble(2) == 5.0)
+    assert(a.head.getDouble(3) == 5.0)
+    assert(a.head.getDouble(4) == 5.0)
+  }
+
+  test("bootstrap CI straddles the point mean and orders lo <= hi on real-ish data") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 500L).map(i => ("g", i, (i % 97) * 100L)).toDF("grp", "id", "v")
+    val r = Experiment.bootstrapCi(df, "grp", "id", "v", reps = 40).collect().head
+    val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(lo <= hi)
+    assert(lo <= mean && mean <= hi,
+      s"mean $mean outside [$lo, $hi] — 40-rep Poisson CI should cover it here")
+  }
+
+  test("invalid reps fail loudly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", 1L, 1L)).toDF("grp", "id", "v")
+    intercept[IllegalArgumentException] {
+      Experiment.bootstrapCi(df, "grp", "id", "v", reps = 1)
+    }
+  }
+}

@@ -139,4 +139,29 @@ class FacadeRound11Spec extends SparkSpec {
       graft.llm.Ql.qlJmTopK(s, docs, q, 3, 400)
         .collect().map(_.toSeq).toSeq)
   }
+
+  test("experiment / robust / calibration facades equal the kernels") {
+    val s = spark
+    import s.implicits._
+    val units = Seq((0L, 10L, 25L), (0L, 20L, 41L), (1L, 30L, 65L))
+      .toDF("variant", "x", "y")
+    assert(Graft.cuped(units).collect().map(_.toSeq).toSeq ==
+      graft.rel.Experiment.cuped(units).collect().map(_.toSeq).toSeq)
+    val ev = (1L to 50L).map(i => ("g", i, i * 10L)).toDF("grp", "id", "v")
+    assert(Graft.bootstrapCi(ev, "grp", "id", "v", reps = 10)
+      .collect().map(_.toSeq).toSeq ==
+      graft.rel.Experiment.bootstrapCi(ev, "grp", "id", "v", 10)
+        .collect().map(_.toSeq).toSeq)
+    val vals = Seq(1L, 2L, 3L, 4L, 100L).toDF("c")
+    assert(Graft.exactMedianNonNeg(vals, "c") ==
+      graft.rel.Robust.exactMedianNonNeg(vals, "c"))
+    assert(Graft.madOutlierSummary(s, vals, "c").collect().map(_.toSeq).toSeq ==
+      graft.rel.Robust.madOutlierSummary(s, vals, "c")
+        .collect().map(_.toSeq).toSeq)
+    val scored = Seq((100L, 0L), (900L, 1L), (450L, 1L)).toDF("p_milli", "y")
+    assert(Graft.calibrationBins(scored).collect().map(_.toSeq).toSeq ==
+      graft.llm.Eval.calibrationBins(scored).collect().map(_.toSeq).toSeq)
+    assert(Graft.calibrationSummary(scored).collect().map(_.toSeq).toSeq ==
+      graft.llm.Eval.calibrationSummary(scored).collect().map(_.toSeq).toSeq)
+  }
 }

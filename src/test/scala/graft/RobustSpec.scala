@@ -1,0 +1,61 @@
+package graft
+
+import graft.rel.Robust
+
+/** Exact-median helper + MAD modified-z outliers (rel/Robust.scala):
+  * lower-median convention on odd/even/duplicate/zero inputs, the
+  * Iglewicz-Hoaglin hand case, and the mad = 0 degeneration.
+  */
+class RobustSpec extends SparkSpec {
+
+  private def df(xs: Seq[Long]) = {
+    val s = spark
+    import s.implicits._
+    xs.toDF("c")
+  }
+
+  test("exactMedianNonNeg matches the lower-median on odd, even, duplicated, and zero-heavy inputs") {
+    val cases = Seq(
+      Seq(5L, 1L, 3L),                      // odd
+      Seq(4L, 1L, 3L, 2L),                  // even -> lower middle = 2
+      Seq(7L, 7L, 7L, 7L),                  // constant
+      Seq(0L, 0L, 0L, 5L, 9L),              // zeros in the 0-bucket
+      Seq(0L, 1L, 2L),                      // spans the shared width-1 bucket
+      (1L to 1000L).map(_ * 3),             // wide range, many buckets
+      Seq(1L << 40, (1L << 40) + 5, 2L))    // huge values
+    for (xs <- cases) {
+      val sorted = xs.sorted
+      val expect = sorted(((xs.size + 1) / 2) - 1)
+      val (n, med) = Robust.exactMedianNonNeg(df(xs), "c")
+      assert(n == xs.size)
+      assert(med == expect, s"input $xs: got $med want $expect")
+    }
+  }
+
+  test("empty input fails loudly") {
+    intercept[IllegalArgumentException] {
+      Robust.exactMedianNonNeg(df(Seq.empty), "c")
+    }
+  }
+
+  test("MAD summary reproduces the hand case {1,2,3,4,5,100}") {
+    // lower median = 3; devs {2,1,0,1,2,97} -> sorted {0,1,1,2,2,97},
+    // mad = 3rd smallest = 1; outliers: 6745*d > 35000 -> d >= 6 -> {97};
+    // max modified z = 0.6745*97/1 = 65.4265
+    val r = Robust.madOutlierSummary(spark, df(Seq(1L, 2L, 3L, 4L, 5L, 100L)), "c")
+      .collect().head
+    assert(r.getLong(0) == 6)
+    assert(r.getLong(1) == 3)
+    assert(r.getLong(2) == 1)
+    assert(r.getLong(3) == 1)
+    assert(math.abs(r.getDouble(4) - 65.4265) < 1e-9)
+  }
+
+  test("mad = 0 degenerates: every off-median value flags, score is null") {
+    val r = Robust.madOutlierSummary(spark, df(Seq(5L, 5L, 5L, 5L, 9L, 2L)), "c")
+      .collect().head
+    assert(r.getLong(2) == 0)      // mad
+    assert(r.getLong(3) == 2)      // 9 and 2
+    assert(r.isNullAt(4))
+  }
+}
