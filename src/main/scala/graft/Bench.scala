@@ -145,7 +145,9 @@ object Bench {
       // Poisson bootstrap (the map-side-combine R-way expansion),
       // the two-pass-median MAD screen, the calibration table
       "q290_cuped", "q291_bootstrap_ci", "q292_mad_outliers",
-      "q293_calibration_bins")
+      "q293_calibration_bins",
+      // agreement + guardrail + ratio-CI companions
+      "q294_krippendorff_alpha", "q295_srm_check", "q296_delta_ratio")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -1304,4 +1304,26 @@ object Graft {
   def calibrationSummary(scored: DataFrame, pMilli: String = "p_milli",
       label: String = "y", bins: Int = 10): DataFrame =
     llm.Eval.calibrationSummary(scored, pMilli, label, bins)
+
+  /** Krippendorff's alpha (nominal, missing ratings allowed), exact
+    * truncated milli ([[llm.Eval.krippendorffAlpha]]).
+    */
+  def krippendorffAlpha(spark: SparkSession, ratings: DataFrame,
+      unit: String = "unit", rater: String = "rater",
+      value: String = "value"): DataFrame =
+    llm.Eval.krippendorffAlpha(spark, ratings, unit, rater, value)
+
+  /** Sample-ratio-mismatch chi-square guardrail
+    * ([[rel.Experiment.srmCheck]]).
+    */
+  def srmCheck(assignments: DataFrame, variant: String,
+      expectedMilli: Map[String, Long]): DataFrame =
+    rel.Experiment.srmCheck(assignments, variant, expectedMilli)
+
+  /** Delta-method CI for a per-variant ratio metric
+    * ([[rel.Experiment.deltaRatioCi]]).
+    */
+  def deltaRatioCi(units: DataFrame, variant: String = "variant",
+      x: String = "x", y: String = "y"): DataFrame =
+    rel.Experiment.deltaRatioCi(units, variant, x, y)
 }

@@ -31,7 +31,12 @@ object StressProbe {
     // aggs + the scoring joins — the Zipf-bounded-model claim under
     // load) and the full RM3 loop (feedback broadcasts must STAY
     // broadcasts as the corpus grows)
-    "q281_dsir_weights", "q286_rm3_rerank")
+    "q281_dsir_weights", "q286_rm3_rerank",
+    // r11 continuation II: the third lexical ranker (query-term postings
+    // prune + collection-model broadcast must hold shape), and the
+    // experiment tier (CUPED's moment aggs; the bootstrap's R-way
+    // map-side expansion must NOT become a data-sized shuffle)
+    "q288_ql_dirichlet", "q290_cuped", "q291_bootstrap_ci")
 
   // operator-level probes for paths whose driver entries can't run off
   // the pinned fixture (q274 is fixture-guarded; q270 is the

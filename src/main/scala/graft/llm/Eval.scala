@@ -274,7 +274,148 @@ object Eval {
       |b AS (SELECT least((p_milli * 10) // 1000, 9) AS bin, p_milli, y
       |  FROM p)""".stripMargin
 
+  /** lcm(1 .. k) for k = 1..12 — the per-unit pair denominators
+    * (m_u − 1) all divide this, so scaling coincidence contributions by
+    * it keeps Krippendorff's arithmetic in exact integers.
+    */
+  private val Lcm1To: Map[Long, Long] = Map(1L -> 1L, 2L -> 2L, 3L -> 6L,
+    4L -> 12L, 5L -> 60L, 6L -> 60L, 7L -> 420L, 8L -> 840L, 9L -> 2520L,
+    10L -> 2520L, 11L -> 27720L, 12L -> 27720L)
+
+  /** KRIPPENDORFF'S ALPHA, nominal data (Krippendorff 2004 §11; Hayes &
+    * Krippendorff 2007, "Answering the call for a standard reliability
+    * measure"): chance-corrected agreement over ANY number of raters
+    * WITH missing ratings — the generalization the two-rater q236 kappa
+    * cannot express. Input: (unit, rater, value) rows; units with < 2
+    * ratings are unpairable and drop out (the standard rule).
+    *
+    * EXACT-INTEGER formulation: the coincidence-matrix contributions
+    * carry per-unit denominators (m_u − 1), so everything is scaled by
+    * L = lcm(1 .. m_max − 1) — then, using
+    * Σ_{c≠k} o_uck = (m_u² − Σ_c n_uc²), nominal α reduces to
+    *
+    *   α = 1 − (n−1) · Σ_u L·(m_u²−Σn_uc²)/(m_u−1) / (L·(n² − Σ_c n_c²))
+    *
+    * with n = Σ m_u pairable ratings and n_c the value marginals over
+    * pairable units — NO per-(c,k) coincidence join is ever formed
+    * (the q279 contingency-not-copairs rule). α, D_o, D_e land in
+    * truncated milli via the `div` both engines share. m_max > 13
+    * raters-per-unit or n > 10¹⁵ ratings exceed the exact-lcm /
+    * 38-digit headroom and fail loudly. All-singleton value margins
+    * (D_e = 0) return α = 1000 by convention.
+    *
+    * Scale shape: two hash aggregations (unit×value, then unit), a
+    * value-domain-bounded marginal agg, two scalar folds — driver
+    * state is one (units, m_max) row.
+    */
+  def krippendorffAlpha(s: SparkSession, ratings: DataFrame,
+      unit: String = "unit", rater: String = "rater",
+      value: String = "value"): DataFrame = {
+    val r = ratings.select(col(unit).as("u"), col(rater).as("r"),
+      col(value).cast("string").as("v"))
+    // duplicate (unit, rater) ratings are a data error, not a vote
+    val checked = r.groupBy("u", "r")
+      .agg(count(lit(1)).as("c"), min("v").as("v"))
+      .select(col("u"),
+        when(col("c") > 1, raise_error(concat(
+          lit("krippendorffAlpha: duplicate (unit, rater) rating at unit "),
+          col("u").cast("string")))).otherwise(col("v")).as("v"))
+    val uv = checked.groupBy("u", "v").agg(count(lit(1)).as("nuc"))
+      .localCheckpoint()
+    val perUnit = uv.groupBy("u")
+      .agg(sum(col("nuc")).as("m"),
+        sum(col("nuc") * col("nuc")).as("s2"))
+      .filter(col("m") >= 2)
+      .localCheckpoint()
+    val head = perUnit.agg(count(lit(1)).as("units"), max(col("m")).as("mmax"))
+      .collect()(0)
+    val units = head.getLong(0)
+    require(units > 0, "krippendorffAlpha: no unit has >= 2 ratings")
+    val mMax = head.getLong(1)
+    require(mMax <= 13,
+      s"krippendorffAlpha: $mMax ratings on one unit exceeds the exact-lcm bound (13)")
+    val L = Lcm1To(mMax - 1)
+    val donum = perUnit
+      .select(expr(s"(((m * m) - s2) * $L) div (m - 1)").as("du"))
+      .agg(sum(col("du").cast("decimal(38,0)")).as("donum"))
+    val tot = uv.join(perUnit.select("u"), Seq("u"), "left_semi")
+      .groupBy("v").agg(sum(col("nuc")).as("nc"))
+      .agg(sum(col("nc").cast("decimal(38,0)")).as("n"),
+        sum(col("nc").cast("decimal(19,0)")
+          * col("nc").cast("decimal(19,0)")).as("s2c"))
+    tot.crossJoin(donum)
+      .select(lit(units).as("n_units"),
+        when(col("n") > lit(1000000000000000L).cast("decimal(38,0)"),
+          raise_error(lit("krippendorffAlpha: > 1e15 ratings exceeds 38-digit headroom")))
+          .otherwise(col("n").cast("long")).as("n_ratings"),
+        lit(mMax.toInt).as("m_max"),
+        expr(s"(1000 * donum) div ($L * n)").cast("long").as("do_milli"),
+        expr("(1000 * ((n * n) - s2c)) div (n * (n - 1))").cast("long")
+          .as("de_milli"),
+        expr(s"""CASE WHEN ((n * n) - s2c) = 0 THEN 1000
+                 ELSE (1000 * (($L * ((n * n) - s2c)) - ((n - 1) * donum)))
+                   div ($L * ((n * n) - s2c)) END""").cast("long")
+          .as("alpha_milli"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q294: KRIPPENDORFF'S ALPHA — three deterministic "annotators"
+    //      over document language: the lang column, a copy corrupted on
+    //      every 7th doc (rotated label), and a copy MISSING on every
+    //      3rd doc — the missing-data case kappa can't score. ----
+    "q294_krippendorff_alpha" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val rot = when(col("lang") === "de", "en")
+          .when(col("lang") === "en", "es").when(col("lang") === "es", "fr")
+          .when(col("lang") === "fr", "zh").otherwise("de")
+        val r1 = docs.select(col("doc_id").as("unit"),
+          lit("r1").as("rater"), col("lang").as("value"))
+        val r2 = docs.select(col("doc_id").as("unit"),
+          lit("r2").as("rater"),
+          when(pmod(col("doc_id"), lit(7L)) === 0, rot)
+            .otherwise(col("lang")).as("value"))
+        val r3 = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+          .select(col("doc_id").as("unit"), lit("r3").as("rater"),
+            col("lang").as("value"))
+        krippendorffAlpha(s, r1.unionAll(r2).unionAll(r3))
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id AS u, 'r1' AS rt, lang AS v FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, 'r2', CASE WHEN doc_id % 7 = 0 THEN
+             |      CASE lang WHEN 'de' THEN 'en' WHEN 'en' THEN 'es'
+             |        WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh' ELSE 'de' END
+             |    ELSE lang END FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, 'r3', lang FROM documents WHERE doc_id % 3 != 0),
+             |uv AS (SELECT u, v, count(*) AS nuc FROM r GROUP BY u, v),
+             |pu AS (SELECT u, sum(nuc) AS m, sum(nuc * nuc) AS s2
+             |  FROM uv GROUP BY u HAVING sum(nuc) >= 2),
+             |lc AS (SELECT CASE max(m) - 1 WHEN 1 THEN 1 WHEN 2 THEN 2
+             |    WHEN 3 THEN 6 WHEN 4 THEN 12 WHEN 5 THEN 60 WHEN 6 THEN 60
+             |    WHEN 7 THEN 420 WHEN 8 THEN 840 WHEN 9 THEN 2520
+             |    WHEN 10 THEN 2520 WHEN 11 THEN 27720 ELSE 27720 END AS L,
+             |    max(m) AS mmax, count(*) AS units FROM pu),
+             |dn AS (SELECT sum(CAST((((m * m) - s2) * (SELECT L FROM lc))
+             |    // (m - 1) AS HUGEINT)) AS donum FROM pu),
+             |nc AS (SELECT v, sum(nuc) AS nc FROM uv JOIN pu USING (u)
+             |  GROUP BY v),
+             |tt AS (SELECT CAST(sum(nc) AS HUGEINT) AS n,
+             |    sum(CAST(nc AS HUGEINT) * CAST(nc AS HUGEINT)) AS s2c
+             |  FROM nc)
+             |SELECT lc.units AS n_units, CAST(tt.n AS BIGINT) AS n_ratings,
+             |  CAST(lc.mmax AS INT) AS m_max,
+             |  CAST((1000 * dn.donum) // (lc.L * tt.n) AS BIGINT) AS do_milli,
+             |  CAST((1000 * ((tt.n * tt.n) - tt.s2c))
+             |    // (tt.n * (tt.n - 1)) AS BIGINT) AS de_milli,
+             |  CAST(CASE WHEN ((tt.n * tt.n) - tt.s2c) = 0 THEN 1000
+             |    ELSE (1000 * ((lc.L * ((tt.n * tt.n) - tt.s2c))
+             |        - ((tt.n - 1) * dn.donum)))
+             |      // (lc.L * ((tt.n * tt.n) - tt.s2c)) END AS BIGINT)
+             |    AS alpha_milli
+             |FROM lc, dn, tt""".stripMargin)),
+
     // ---- q293: CALIBRATION RELIABILITY TABLE — the 1024-bucket quality
     //      model's clipped-link probability vs the 65536-bucket
     //      reference verdict, 10 bins. ----

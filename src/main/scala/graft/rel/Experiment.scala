@@ -178,6 +178,120 @@ object Experiment {
       .orderBy("grp")
   }
 
+  /** χ²₀.₀₅ critical values for df = 1..10 — literals so the flag is
+    * reproducible anywhere (no special-function libm).
+    */
+  private val Chi2Crit05: Array[Double] = Array(
+    3.841458820694124, 5.991464547107979, 7.814727903251179,
+    9.487729036781154, 11.070497693516351, 12.591587243743977,
+    14.067140449340169, 15.50731305586545, 16.918977604620448,
+    18.307038053275146)
+
+  /** SAMPLE-RATIO-MISMATCH guardrail (the standard pre-analysis gate —
+    * Fabijan et al. KDD'19 "Diagnosing sample ratio mismatch"): χ²
+    * goodness-of-fit of observed per-variant assignment counts against
+    * expected MILLI weights (must sum to 1000). An experiment whose
+    * traffic split is off is analyzed no further — every downstream
+    * metric is biased.
+    *
+    * Output: one row (n, k, chi2_r6, crit_r6, srm) with srm = the 5%
+    * flag for df = k−1 ≤ 10 (larger designs: compare chi2_r6 yourself,
+    * crit/srm are null). Counts and expectations are exact integers;
+    * the χ² terms are one fixed IEEE chain each, summed over ≤ k
+    * values. Scale: one hash aggregation to k rows.
+    */
+  def srmCheck(assignments: DataFrame, variant: String,
+      expectedMilli: Map[String, Long]): DataFrame = {
+    require(expectedMilli.values.sum == 1000L,
+      s"srmCheck: expected milli weights must sum to 1000, got ${expectedMilli.values.sum}")
+    require(expectedMilli.values.forall(_ > 0), "srmCheck: zero expected weight")
+    val s = assignments.sparkSession
+    import s.implicits._
+    val k = expectedMilli.size
+    val exp = expectedMilli.toSeq.sortBy(_._1).toDF("variant", "w")
+    val obs0 = assignments
+      .select(col(variant).cast("string").as("variant"))
+      .groupBy("variant").agg(count(lit(1)).as("obs"))
+    // full join: a variant MISSING from the data still contributes its
+    // (0 − exp)² term — that is the worst mismatch, not a no-op — and
+    // an observed variant outside the design fails loudly
+    val joined = exp.join(obs0, Seq("variant"), "full")
+      .select(
+        when(col("w").isNull, raise_error(concat(
+          lit("srmCheck: observed variant outside the design: "),
+          col("variant")))).otherwise(col("w")).as("w"),
+        coalesce(col("obs"), lit(0L)).as("obs"))
+    val tot = joined.agg(sum(col("obs")).as("n"))
+    // χ² = Σ (obs − n·w/1000)² / (n·w/1000), written over exact
+    // integers: ((1000·obs − n·w)²) / (1000·n·w) per variant
+    val term = ((lit(1000L) * col("obs") - col("n") * col("w"))
+      .cast("double") * (lit(1000L) * col("obs") - col("n") * col("w"))
+      .cast("double")) / (lit(1000.0) * (col("n") * col("w")).cast("double"))
+    val chi2 = joined.crossJoin(broadcast(tot))
+      .agg(min(col("n")).as("n"), sum(term).as("chi2"))
+    val crit: Option[Double] =
+      if (k - 1 >= 1 && k - 1 <= 10) Some(Chi2Crit05(k - 2)) else None
+    chi2.select(col("n"), lit(k).as("k"),
+      round(col("chi2"), 6).as("chi2_r6"),
+      crit.map(c => lit(c)).getOrElse(lit(null).cast("double")).as("crit_r6"),
+      crit.map(c => col("chi2") > lit(c))
+        .getOrElse(lit(null).cast("boolean")).as("srm"))
+  }
+
+  /** z₀.₉₇₅ — the two-sided 95% normal critical value, as a literal. */
+  private val Z975 = 1.959963984540054
+
+  /** DELTA-METHOD CI for a RATIO metric (Deng, Knoblich & Lu KDD'18,
+    * "Applying the Delta method in metric analytics"): per variant,
+    * R = Σy/Σx over units (e.g. revenue per purchase with per-user
+    * purchase counts x), with Var(R) ≈ (σ²_y − 2R·σ_xy + R²·σ²_x)
+    * / (n·x̄²) from per-unit moments — the unit-level CLT that a naive
+    * row-level variance gets wrong when rows correlate within units.
+    * CI = R ± z·SE in metric units (y MILLI per x).
+    *
+    * Output per variant: (variant, n_units, ratio_r6, se_r6, lo_r6,
+    * hi_r6). Variants with Σx ≤ 0 fail loudly (the ratio is
+    * undefined). Same exact-moment discipline and scale shape as
+    * [[cuped]].
+    */
+  def deltaRatioCi(units: DataFrame, variant: String = "variant",
+      x: String = "x", y: String = "y"): DataFrame = {
+    val xg = guarded(col(x).cast("long"), x)
+    val yg = guarded(col(y).cast("long"), y)
+    val mom = units
+      .select(col(variant).as("variant"), xg.as("xv"), yg.as("yv"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xv").cast("decimal(38,0)")).as("sx"),
+        sum(col("yv").cast("decimal(38,0)")).as("sy"),
+        sum((col("xv") * col("yv")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("xv") * col("xv")).cast("decimal(38,0)")).as("sx2"),
+        sum((col("yv") * col("yv")).cast("decimal(38,0)")).as("sy2"))
+    val nD = col("n").cast("double")
+    val sxD0 = col("sx").cast("double")
+    val sxD = when(col("sx") <= 0, raise_error(concat(
+      lit("deltaRatioCi: sum(x) <= 0 for variant "),
+      col("variant").cast("string")))).otherwise(sxD0)
+    val syD = col("sy").cast("double")
+    val sxyD = col("sxy").cast("double"); val sx2D = col("sx2").cast("double")
+    val sy2D = col("sy2").cast("double")
+    val ratio = syD / sxD
+    val varY = (sy2D / nD) - ((syD / nD) * (syD / nD))
+    val covXY = (sxyD / nD) - ((sxD / nD) * (syD / nD))
+    val varX = (sx2D / nD) - ((sxD / nD) * (sxD / nD))
+    // greatest(·, 0): the delta variance is ≥ 0 analytically but its
+    // fp evaluation can land −ε when y is an exact multiple of x
+    val se = sqrt(greatest((varY - ((lit(2.0) * ratio) * covXY)
+      + ((ratio * ratio) * varX)) / (nD * ((sxD / nD) * (sxD / nD))),
+      lit(0.0)))
+    mom.select(col("variant"), col("n").as("n_units"),
+      round(ratio, 6).as("ratio_r6"),
+      round(se, 6).as("se_r6"),
+      round(ratio - (lit(Z975) * se), 6).as("lo_r6"),
+      round(ratio + (lit(Z975) * se), 6).as("hi_r6"))
+      .orderBy("variant")
+  }
+
   // --------------------------------------------------------------------
   //  driver entries
   // --------------------------------------------------------------------
@@ -286,5 +400,76 @@ object Experiment {
              |  round(min(CASE WHEN rk.rn = 39 THEN rk.rmean END) / 1000.0, 6)
              |    AS hi_r6
              |FROM pt JOIN rk ON pt.grp = rk.grp
-             |GROUP BY pt.grp, pt.n, pt.sv ORDER BY event_type""".stripMargin)))
+             |GROUP BY pt.grp, pt.n, pt.sv ORDER BY event_type""".stripMargin)),
+
+    // ---- q295: SAMPLE-RATIO MISMATCH — user parity split audited
+    //      against a deliberately off 450/550 design: the χ² statistic
+    //      is tiny at sf0.01 (srm = false) and crosses the 5% critical
+    //      value as n grows — the guardrail's scale sensitivity is the
+    //      point. ----
+    "q295_srm_check" -> Q(
+      (s, d) => srmCheck(
+        Tables.events(s, d).select(col("user_id")).distinct()
+          .select(pmod(col("user_id"), lit(2L)).cast("string").as("variant")),
+        "variant", Map("0" -> 450L, "1" -> 550L)),
+      Some("""WITH a AS (SELECT CAST(user_id % 2 AS VARCHAR) AS variant
+             |  FROM (SELECT DISTINCT user_id FROM events)),
+             |o AS (SELECT variant, count(*) AS obs FROM a GROUP BY variant),
+             |j AS (SELECT CASE v.variant WHEN '0' THEN 450 ELSE 550 END AS w,
+             |    coalesce(o.obs, 0) AS obs
+             |  FROM (VALUES ('0'), ('1')) AS v(variant)
+             |  LEFT JOIN o ON v.variant = o.variant),
+             |t AS (SELECT sum(obs) AS n FROM j)
+             |SELECT CAST(min(t.n) AS BIGINT) AS n, CAST(2 AS INT) AS k,
+             |  round(sum((CAST(1000 * j.obs - t.n * j.w AS DOUBLE)
+             |      * CAST(1000 * j.obs - t.n * j.w AS DOUBLE))
+             |    / (1000.0 * CAST(t.n * j.w AS DOUBLE))), 6) AS chi2_r6,
+             |  CAST(3.841458820694124 AS DOUBLE) AS crit_r6,
+             |  sum((CAST(1000 * j.obs - t.n * j.w AS DOUBLE)
+             |      * CAST(1000 * j.obs - t.n * j.w AS DOUBLE))
+             |    / (1000.0 * CAST(t.n * j.w AS DOUBLE)))
+             |    > 3.841458820694124 AS srm
+             |FROM j, t""".stripMargin)),
+
+    // ---- q296: DELTA-METHOD RATIO CI — revenue per purchase by user
+    //      parity, per-user (purchase count, purchase milli) moments;
+    //      the unit-level CLT a row-level variance would get wrong. ----
+    "q296_delta_ratio" -> Q(
+      (s, d) => {
+        val isP = col("event_type") === "purchase"
+        deltaRatioCi(Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sum(when(isP, 1L).otherwise(0L)).as("x"),
+            sum(when(isP, round(col("value") * 1000, 0).cast("long"))
+              .otherwise(0L)).as("y"))
+          .withColumn("variant", pmod(col("user_id"), lit(2L))))
+      },
+      Some("""WITH units AS (SELECT user_id, user_id % 2 AS variant,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+             |    sum(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS y
+             |  FROM events GROUP BY user_id),
+             |mom AS (SELECT variant, count(*) AS n,
+             |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             |    CAST(sum(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy,
+             |    CAST(sum(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sx2,
+             |    CAST(sum(CAST(y * y AS HUGEINT)) AS DOUBLE) AS sy2
+             |  FROM units GROUP BY variant),
+             |t AS (SELECT variant, n, sy / sx AS ratio,
+             |    sqrt(greatest(
+             |      (((sy2 / CAST(n AS DOUBLE))
+             |          - ((sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))))
+             |        - ((2.0 * (sy / sx)) * ((sxy / CAST(n AS DOUBLE))
+             |          - ((sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))))
+             |        + (((sy / sx) * (sy / sx)) * ((sx2 / CAST(n AS DOUBLE))
+             |          - ((sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))))))
+             |      / (CAST(n AS DOUBLE) * ((sx / CAST(n AS DOUBLE))
+             |        * (sx / CAST(n AS DOUBLE)))), 0.0)) AS se
+             |  FROM mom)
+             |SELECT CAST(variant AS BIGINT) AS variant, n AS n_units,
+             |  round(ratio, 6) AS ratio_r6, round(se, 6) AS se_r6,
+             |  round(ratio - (1.959963984540054 * se), 6) AS lo_r6,
+             |  round(ratio + (1.959963984540054 * se), 6) AS hi_r6
+             |FROM t ORDER BY variant""".stripMargin)))
 }

@@ -117,4 +117,87 @@ class ExperimentSpec extends SparkSpec {
       Experiment.bootstrapCi(df, "grp", "id", "v", reps = 1)
     }
   }
+
+  test("SRM chi-square matches hand arithmetic and flags at the 5% line") {
+    val s = spark
+    import s.implicits._
+    // 60/40 under a 500/500 design: chi2 = (10^2/50)*2 = 4.0 > 3.8415
+    val a = (1 to 60).map(_ => "A") ++ (1 to 40).map(_ => "B")
+    val r = Experiment.srmCheck(a.toDF("variant"), "variant",
+      Map("A" -> 500L, "B" -> 500L)).collect().head
+    assert(r.getLong(0) == 100 && r.getInt(1) == 2)
+    assert(r.getDouble(2) == 4.0)
+    assert(math.abs(r.getDouble(3) - 3.841458820694124) < 1e-12)
+    assert(r.getBoolean(4))
+    // 50/50 exact: chi2 = 0, no flag
+    val b = (1 to 50).map(_ => "A") ++ (1 to 50).map(_ => "B")
+    val r2 = Experiment.srmCheck(b.toDF("variant"), "variant",
+      Map("A" -> 500L, "B" -> 500L)).collect().head
+    assert(r2.getDouble(2) == 0.0 && !r2.getBoolean(4))
+  }
+
+  test("SRM counts a variant MISSING from the data as its full (0-exp)^2 term") {
+    val s = spark
+    import s.implicits._
+    // all 10 rows in A under 500/500: chi2 = (10-5)^2/5 + (0-5)^2/5 = 10
+    val r = Experiment.srmCheck((1 to 10).map(_ => "A").toDF("variant"),
+      "variant", Map("A" -> 500L, "B" -> 500L)).collect().head
+    assert(r.getDouble(2) == 10.0 && r.getBoolean(4))
+  }
+
+  test("SRM guards: off-design variant, bad weights") {
+    val s = spark
+    import s.implicits._
+    intercept[Exception] {
+      Experiment.srmCheck(Seq("A", "C").toDF("variant"), "variant",
+        Map("A" -> 500L, "B" -> 500L)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Experiment.srmCheck(Seq("A").toDF("variant"), "variant",
+        Map("A" -> 400L, "B" -> 500L))
+    }
+  }
+
+  test("delta-method ratio CI: exact-multiple units give se = 0 and a point CI") {
+    val s = spark
+    import s.implicits._
+    val units = Seq((0L, 2L, 6000L), (0L, 5L, 15000L), (1L, 1L, 3000L),
+      (1L, 3L, 9000L)).toDF("variant", "x", "y")
+    val got = Experiment.deltaRatioCi(units).collect()
+    got.foreach { r =>
+      assert(r.getDouble(2) == 3000.0)
+      assert(r.getDouble(3) == 0.0)
+      assert(r.getDouble(4) == 3000.0 && r.getDouble(5) == 3000.0)
+    }
+  }
+
+  test("delta-method ratio CI matches hand moments on a mixed fixture") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((0L, 1L, 500L), (0L, 3L, 2500L), (0L, 2L, 1000L),
+      (0L, 0L, 0L))
+    val got = Experiment.deltaRatioCi(rows.toDF("variant", "x", "y"))
+      .collect().head
+    val n = rows.size.toDouble
+    val sx = rows.map(_._2).sum.toDouble; val sy = rows.map(_._3).sum.toDouble
+    val sxy = rows.map(r => r._2 * r._3).sum.toDouble
+    val sx2 = rows.map(r => r._2 * r._2).sum.toDouble
+    val sy2 = rows.map(r => r._3 * r._3).sum.toDouble
+    val ratio = sy / sx
+    val se = math.sqrt(math.max(((sy2 / n - (sy / n) * (sy / n))
+      - (2.0 * ratio) * (sxy / n - (sx / n) * (sy / n))
+      + (ratio * ratio) * (sx2 / n - (sx / n) * (sx / n)))
+      / (n * ((sx / n) * (sx / n))), 0.0))
+    assert(math.abs(got.getDouble(2) - math.rint(ratio * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(got.getDouble(3) - math.rint(se * 1e6) / 1e6) < 1e-6)
+    assert(got.getDouble(4) <= got.getDouble(2) &&
+      got.getDouble(2) <= got.getDouble(5))
+  }
+
+  test("delta-method ratio CI fails loudly when a variant has sum(x) <= 0") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((0L, 0L, 100L), (0L, 0L, 200L)).toDF("variant", "x", "y")
+    intercept[Exception] { Experiment.deltaRatioCi(bad).collect() }
+  }
 }

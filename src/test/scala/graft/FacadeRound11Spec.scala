@@ -163,5 +163,17 @@ class FacadeRound11Spec extends SparkSpec {
       graft.llm.Eval.calibrationBins(scored).collect().map(_.toSeq).toSeq)
     assert(Graft.calibrationSummary(scored).collect().map(_.toSeq).toSeq ==
       graft.llm.Eval.calibrationSummary(scored).collect().map(_.toSeq).toSeq)
+    val ratings = Seq((1L, "a", "x"), (1L, "b", "x"), (2L, "a", "x"),
+      (2L, "b", "y")).toDF("unit", "rater", "value")
+    assert(Graft.krippendorffAlpha(s, ratings).collect().map(_.toSeq).toSeq ==
+      graft.llm.Eval.krippendorffAlpha(s, ratings).collect().map(_.toSeq).toSeq)
+    val asg = Seq("A", "A", "B").toDF("variant")
+    val w = Map("A" -> 500L, "B" -> 500L)
+    assert(Graft.srmCheck(asg, "variant", w).collect().map(_.toSeq).toSeq ==
+      graft.rel.Experiment.srmCheck(asg, "variant", w)
+        .collect().map(_.toSeq).toSeq)
+    val ru = Seq((0L, 2L, 600L), (0L, 4L, 1100L)).toDF("variant", "x", "y")
+    assert(Graft.deltaRatioCi(ru).collect().map(_.toSeq).toSeq ==
+      graft.rel.Experiment.deltaRatioCi(ru).collect().map(_.toSeq).toSeq)
   }
 }
