@@ -1326,4 +1326,25 @@ object Graft {
   def deltaRatioCi(units: DataFrame, variant: String = "variant",
       x: String = "x", y: String = "y"): DataFrame =
     rel.Experiment.deltaRatioCi(units, variant, x, y)
+
+  /** Additive CUPED sufficient statistics / fold / readout — the
+    * incremental maintenance triple ([[rel.Experiment.cupedMoments]],
+    * [[rel.Experiment.cupedFold]], [[rel.Experiment.cupedFromMoments]]).
+    */
+  def cupedMoments(units: DataFrame, variant: String = "variant",
+      x: String = "x", y: String = "y"): DataFrame =
+    rel.Experiment.cupedMoments(units, variant, x, y)
+
+  def cupedFold(a: DataFrame, b: DataFrame): DataFrame =
+    rel.Experiment.cupedFold(a, b)
+
+  def cupedFromMoments(mom: DataFrame): DataFrame =
+    rel.Experiment.cupedFromMoments(mom)
+
+  /** t-closeness audit: per-QI-group ordered EMD vs the global
+    * sensitive distribution ([[rel.Privacy.tClosenessAudit]]).
+    */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String], sensitive: Column,
+      tMilli: Long): DataFrame =
+    rel.Privacy.tClosenessAudit(df, qiCols, sensitive, tMilli)
 }

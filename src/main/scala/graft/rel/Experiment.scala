@@ -69,10 +69,24 @@ object Experiment {
     * fold, broadcast back — no second pass over units.
     */
   def cuped(units: DataFrame, variant: String = "variant",
+      x: String = "x", y: String = "y"): DataFrame =
+    cupedFromMoments(cupedMoments(units, variant, x, y))
+
+  /** The per-variant sufficient statistics behind [[cuped]] —
+    * (variant, n, sx, sy, sxy, sx2, sy2), every sum exact. ADDITIVE
+    * over unit batches: new experiment units fold in by summation
+    * ([[cupedFold]]), so maintaining a running CUPED readout costs one
+    * batch-sized aggregation, never a re-scan — fold(moments(A),
+    * moments(B)) ≡ moments(A ∪ B) EXACTLY (integer sums associate),
+    * the q287 DSIR-fold law on the experiment tier. Batches must
+    * partition the units (a unit straddling batches would count as two
+    * units — split by unit key, not by event time).
+    */
+  def cupedMoments(units: DataFrame, variant: String = "variant",
       x: String = "x", y: String = "y"): DataFrame = {
     val xg = guarded(col(x).cast("long"), x)
     val yg = guarded(col(y).cast("long"), y)
-    val mom = units
+    units
       .select(col(variant).as("variant"), xg.as("xv"), yg.as("yv"))
       .groupBy("variant")
       .agg(count(lit(1)).as("n"),
@@ -81,6 +95,17 @@ object Experiment {
         sum((col("xv") * col("yv")).cast("decimal(38,0)")).as("sxy"),
         sum((col("xv") * col("xv")).cast("decimal(38,0)")).as("sx2"),
         sum((col("yv") * col("yv")).cast("decimal(38,0)")).as("sy2"))
+  }
+
+  /** Fold two [[cupedMoments]] tables (additive by variant). */
+  def cupedFold(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy("variant")
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"),
+        sum(col("sx2")).as("sx2"), sum(col("sy2")).as("sy2"))
+
+  /** The CUPED readout from a moment table — [[cuped]]'s second half. */
+  def cupedFromMoments(mom: DataFrame): DataFrame = {
     val pool = mom.agg(
       sum(col("n")).cast("double").as("np"),
       sum(col("sx")).cast("double").as("sxp"),
@@ -296,31 +321,29 @@ object Experiment {
   //  driver entries
   // --------------------------------------------------------------------
 
+  /** the q290/q298 unit table: per-user purchase milli in the front /
+    * back half of January, variants by user parity */
+  private def cupedDemoUnits(s: SparkSession, d: String): DataFrame = {
+    val split = lit("2024-01-16").cast("timestamp")
+    val isP = col("event_type") === "purchase"
+    val milli = round(col("value") * 1000, 0).cast("long")
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(isP && col("ts") < split, milli).otherwise(0L)).as("x"),
+        sum(when(isP && col("ts") >= split, milli).otherwise(0L)).as("y"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+  }
+
   /** CASE chain matching poissonWeight, for the oracle SQL */
   private def poissonCaseSql: String =
     PoissonCdf.zipWithIndex
       .map { case (c, k) => s"WHEN u < $c THEN $k" }
       .mkString("CASE ", " ", " ELSE 8 END")
 
-  val all: ListMap[String, Q] = ListMap(
-    // ---- q290: CUPED — per-user purchase revenue in the back half of
-    //      January adjusted by the front half; variants by user parity.
-    //      Units = every user with any event (the metric defaults to 0),
-    //      so the population is fixed independent of the metric. ----
-    "q290_cuped" -> Q(
-      (s, d) => {
-        val split = lit("2024-01-16").cast("timestamp")
-        val isP = col("event_type") === "purchase"
-        val milli = round(col("value") * 1000, 0).cast("long")
-        val units = Tables.events(s, d)
-          .groupBy(col("user_id"))
-          .agg(
-            sum(when(isP && col("ts") < split, milli).otherwise(0L)).as("x"),
-            sum(when(isP && col("ts") >= split, milli).otherwise(0L)).as("y"))
-          .withColumn("variant", pmod(col("user_id"), lit(2L)))
-        cuped(units, "variant", "x", "y")
-      },
-      Some("""WITH units AS (SELECT user_id, user_id % 2 AS variant,
+  /** the q290/q298 oracle: full-retrain CUPED over all units */
+  private val cupedSql: String =
+    """WITH units AS (SELECT user_id, user_id % 2 AS variant,
              |    sum(CASE WHEN event_type = 'purchase'
              |          AND ts < TIMESTAMP '2024-01-16 00:00:00'
              |        THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS x,
@@ -365,7 +388,33 @@ object Experiment {
              |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))))
              |    / 1000000.0, 6) AS var_cuped_r6,
              |  round(theta, 6) AS theta_r6
-             |FROM t ORDER BY variant""".stripMargin)),
+             |FROM t ORDER BY variant""".stripMargin
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q290: CUPED — per-user purchase revenue in the back half of
+    //      January adjusted by the front half; variants by user parity.
+    //      Units = every user with any event (the metric defaults to 0),
+    //      so the population is fixed independent of the metric. ----
+    "q290_cuped" -> Q(
+      (s, d) => cuped(cupedDemoUnits(s, d), "variant", "x", "y"),
+      Some(cupedSql)),
+
+    // ---- q298: INCREMENTAL CUPED — the unit population split by user
+    //      hash into two batches, per-batch moments folded by addition,
+    //      readout from the fold. The oracle is q290's full-retrain SQL
+    //      VERBATIM (the q287 DSIR precedent): hash-green means
+    //      fold(moments(A), moments(B)) is indistinguishable from
+    //      recomputing over all units. ----
+    "q298_cuped_incremental" -> Q(
+      (s, d) => {
+        val units = cupedDemoUnits(s, d)
+        val a = cupedMoments(units.filter(pmod(col("user_id"), lit(5L)) < 3),
+          "variant", "x", "y")
+        val b = cupedMoments(units.filter(pmod(col("user_id"), lit(5L)) >= 3),
+          "variant", "x", "y")
+        cupedFromMoments(cupedFold(a, b))
+      },
+      Some(cupedSql)),
 
     // ---- q291: POISSON BOOTSTRAP CI — per-event-type mean value with a
     //      40-replicate deterministic resample; the whole resample

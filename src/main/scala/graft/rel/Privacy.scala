@@ -92,6 +92,66 @@ object Privacy {
         col("__gq_b").as("bucket"), col("k_size"))
   }
 
+  /** T-CLOSENESS AUDIT, ordered EMD (Li, Li & Venkatasubramanian
+    * ICDE'07, "t-closeness: privacy beyond k-anonymity and
+    * l-diversity", §4's ordered-distance): k and l say nothing when a
+    * small group's sensitive DISTRIBUTION leaks (all high balances in
+    * one (nation, segment) cell passes l = 3 and still discloses).
+    * Per QI group, the earth-mover's distance between the group's
+    * sensitive-value distribution and the GLOBAL one over the ordered
+    * domain:  t = (1/(m−1)) · Σ_i |Σ_{j≤i} (p_j − q_j)|.
+    *
+    * EXACT: with integer counts (c_v per group of size k; g_v global
+    * of n), each cumulative term is |Σc·n − Σg·k| / (k·n), so
+    * t_milli = (1000 · Σ_i |cumC_i·n − cumG_i·k|) div ((m−1)·k·n) —
+    * pure integers (DECIMAL(38,0) against n² headroom) until the one
+    * truncating div both engines share. Values ABSENT from a group
+    * still shift its cumulative mass — every group is completed over
+    * the full ordered domain first.
+    *
+    * Scale shape: the sensitive domain is value-bounded (m bands), so
+    * the completion is a groups × m fan-out off a broadcast domain
+    * table, the per-group window orders exactly m rows, and nothing
+    * scales beyond |groups|·m. Output: (qiCols…, k_size,
+    * t_emd_milli, t_violation).
+    */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String], sensitive: Column,
+      tMilli: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tMilli >= 0 && tMilli <= 1000, s"tMilli=$tMilli")
+    val base = df.select(qiCols.map(col) :+ sensitive.cast("long").as("__tc_v"): _*)
+      .filter(col("__tc_v").isNotNull)
+    val dom = base.groupBy(col("__tc_v")).agg(count(lit(1)).as("__tc_g"))
+    val groups = base.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("k_size"))
+    val cv = base.groupBy(qiCols.map(col) :+ col("__tc_v"): _*)
+      .agg(count(lit(1)).as("__tc_c"))
+    val completed = groups.crossJoin(broadcast(dom))
+      .join(cv, qiCols :+ "__tc_v", "left")
+      .withColumn("__tc_c", coalesce(col("__tc_c"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*).orderBy("__tc_v")
+      .rowsBetween(Long.MinValue, 0)
+    val tot = dom.agg(sum(col("__tc_g")).as("__tc_n"),
+      count(lit(1)).as("__tc_m"))
+    completed
+      .withColumn("__tc_cc", sum(col("__tc_c")).over(w))
+      .withColumn("__tc_cg", sum(col("__tc_g")).over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy(qiCols.map(col) :+ col("k_size") :+ col("__tc_n")
+        :+ col("__tc_m"): _*)
+      .agg(sum(abs((col("__tc_cc").cast("decimal(38,0)") * col("__tc_n"))
+        - (col("__tc_cg").cast("decimal(38,0)") * col("k_size"))))
+        .as("__tc_num"))
+      .select(qiCols.map(col) :+ col("k_size") :+
+        when(col("__tc_m") <= 1, lit(0L)).otherwise(
+          expr("""(1000 * __tc_num) div ((__tc_m - 1)
+                  * (CAST(k_size AS DECIMAL(19,0))
+                    * CAST(__tc_n AS DECIMAL(19,0))))""")
+            .cast("long")).as("t_emd_milli"): _*)
+      .withColumn("t_violation", col("t_emd_milli") > tMilli)
+  }
+
   /** q241: audit the customer table with QI = (nation, market segment)
     * and sensitive = the account-balance band (2000-dollar buckets via
     * the integer-cents house rule — the +100000 shift keeps the
@@ -102,6 +162,59 @@ object Privacy {
     * report.
     */
   val all: ListMap[String, Q] = ListMap(
+    // ---- q297: T-CLOSENESS — the q241 fixture's distribution half:
+    //      per (nation, segment) group, ordered EMD between the
+    //      balance-band distribution and the global one, flagged at
+    //      t = 0.25. Some small cells legitimately exceed it — real
+    //      findings over the same groups q241 already flags on k/l. ----
+    "q297_t_closeness" -> Q(
+      (s, d) => {
+        val cents = round(col("c_acctbal") * 100).cast("long")
+        val band = floor((cents + lit(100000L)) / lit(200000.0)).cast("long")
+        tClosenessAudit(
+          Tables.customer(s, d)
+            .select(col("c_nationkey").cast("long").as("nation"),
+              col("c_mktsegment").as("seg"), band.as("bal_band")),
+          Seq("nation", "seg"), col("bal_band"), tMilli = 250L)
+          .orderBy("nation", "seg")
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             |    c_mktsegment AS seg,
+             |    CAST(floor((CAST(round(c_acctbal * 100) AS BIGINT)
+             |      + 100000) / 200000.0) AS BIGINT) AS v
+             |  FROM customer),
+             |dom AS (SELECT v, count(*) AS g FROM b GROUP BY v),
+             |tot AS (SELECT CAST(sum(g) AS HUGEINT) AS n, count(*) AS m
+             |  FROM dom),
+             |grp AS (SELECT nation, seg, count(*) AS k_size
+             |  FROM b GROUP BY 1, 2),
+             |cv AS (SELECT nation, seg, v, count(*) AS c
+             |  FROM b GROUP BY 1, 2, 3),
+             |comp AS (SELECT g.nation, g.seg, g.k_size, d.v, d.g,
+             |    coalesce(cv.c, 0) AS c
+             |  FROM grp g CROSS JOIN dom d
+             |  LEFT JOIN cv ON cv.nation = g.nation AND cv.seg = g.seg
+             |    AND cv.v = d.v),
+             |cum AS (SELECT nation, seg, k_size,
+             |    sum(c) OVER (PARTITION BY nation, seg ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             |    sum(g) OVER (PARTITION BY nation, seg ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg
+             |  FROM comp),
+             |agg AS (SELECT nation, seg, k_size,
+             |    sum(abs((CAST(cc AS HUGEINT) * (SELECT n FROM tot))
+             |      - (CAST(cg AS HUGEINT) * k_size))) AS num
+             |  FROM cum GROUP BY 1, 2, 3),
+             |fin AS (SELECT nation, seg, CAST(k_size AS BIGINT) AS k_size,
+             |    CAST((1000 * num) // (((SELECT m FROM tot) - 1)
+             |      * (CAST(k_size AS HUGEINT) * (SELECT n FROM tot)))
+             |      AS BIGINT) AS t_emd_milli
+             |  FROM agg)
+             |SELECT nation, seg, k_size, t_emd_milli,
+             |  t_emd_milli > 250 AS t_violation
+             |FROM fin ORDER BY nation, seg""".stripMargin)),
+
     "q241_k_anonymity" -> Q(
       (s, d) => {
         val cents = round(col("c_acctbal") * 100).cast("long")

@@ -194,6 +194,24 @@ class ExperimentSpec extends SparkSpec {
       got.getDouble(2) <= got.getDouble(5))
   }
 
+  test("CUPED moment fold law: fold(moments(A), moments(B)) == moments(A ∪ B), readout bit-equal") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 40L).map(i =>
+      (i % 2, (i * 37) % 500, ((i * 37) % 500) * 2 + (i % 7)))
+    val all = rows.toDF("variant", "x", "y")
+    val a = rows.filter(_._1 == 0).toDF("variant", "x", "y")
+      .unionAll(rows.filter(r => r._1 == 1 && r._2 < 250).toDF("variant", "x", "y"))
+    val b = rows.filter(r => r._1 == 1 && r._2 >= 250).toDF("variant", "x", "y")
+    val folded = Experiment.cupedFold(
+      Experiment.cupedMoments(a), Experiment.cupedMoments(b))
+    val full = Experiment.cupedMoments(all)
+    assert(folded.collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet)
+    assert(Experiment.cupedFromMoments(folded).collect().map(_.toSeq).toSeq ==
+      Experiment.cuped(all).collect().map(_.toSeq).toSeq)
+  }
+
   test("delta-method ratio CI fails loudly when a variant has sum(x) <= 0") {
     val s = spark
     import s.implicits._

@@ -175,5 +175,18 @@ class FacadeRound11Spec extends SparkSpec {
     val ru = Seq((0L, 2L, 600L), (0L, 4L, 1100L)).toDF("variant", "x", "y")
     assert(Graft.deltaRatioCi(ru).collect().map(_.toSeq).toSeq ==
       graft.rel.Experiment.deltaRatioCi(ru).collect().map(_.toSeq).toSeq)
+    val mom = Graft.cupedMoments(units)
+    assert(Graft.cupedFromMoments(Graft.cupedFold(mom, mom))
+      .collect().map(_.toSeq).toSeq ==
+      graft.rel.Experiment.cupedFromMoments(
+        graft.rel.Experiment.cupedFold(mom, mom))
+        .collect().map(_.toSeq).toSeq)
+    val priv = Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("g", "v")
+    assert(Graft.tClosenessAudit(priv, Seq("g"),
+      org.apache.spark.sql.functions.col("v"), 100L)
+      .collect().map(_.toSeq).toSet ==
+      graft.rel.Privacy.tClosenessAudit(priv, Seq("g"),
+        org.apache.spark.sql.functions.col("v"), 100L)
+        .collect().map(_.toSeq).toSet)
   }
 }

@@ -82,4 +82,38 @@ class PrivacySpec extends SparkSpec {
     assert(row.getLong(1) == 20L && row.getLong(2) == 4L
       && !row.getBoolean(3) && !row.getBoolean(4))
   }
+
+  test("t-closeness: ordered EMD matches hand arithmetic, including absent values") {
+    val sp = s
+    import sp.implicits._
+    // global over values {1,2,3}: g = (2,2,2), n = 6, m = 3
+    // group a = {1,1}: p=(1,0,0), q=(1/3,1/3,1/3)
+    //   cum diffs |1-1/3|=2/3, |1-2/3|=1/3 -> t = (2/3+1/3)/2 = 1/2
+    // group b = {2,3,2,3}: p=(0,1/2,1/2)
+    //   cum |0-1/3|=1/3, |1/2-2/3|=1/6 -> t = (1/3+1/6)/2 = 1/4
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 3L), ("b", 2L),
+      ("b", 3L)).toDF("g", "v")
+    val got = Privacy.tClosenessAudit(df, Seq("g"), col("v"), tMilli = 300L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got("a") == (500L, true))
+    assert(got("b") == (250L, false))
+  }
+
+  test("t-closeness: a group matching the global distribution scores 0") {
+    val sp = s
+    import sp.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    val got = Privacy.tClosenessAudit(df, Seq("g"), col("v"), 100L)
+      .collect()
+    got.foreach(r => assert(r.getLong(2) == 0L && !r.getBoolean(3)))
+  }
+
+  test("t-closeness: single-value domain (m = 1) scores 0 by convention") {
+    val sp = s
+    import sp.implicits._
+    val df = Seq(("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    Privacy.tClosenessAudit(df, Seq("g"), col("v"), 100L).collect()
+      .foreach(r => assert(r.getLong(2) == 0L))
+  }
 }
