@@ -416,6 +416,49 @@ object Experiment {
       },
       Some(cupedSql)),
 
+    // ---- q299: STREAMING CUPED — the unit table arrives as a file
+    //      stream (3 micro-batches by user residue, the LAST REPLAYED:
+    //      at-least-once delivery); each trigger upserts user-keyed
+    //      state (dedup makes replays idempotent — the q284 rule:
+    //      additive moments alone would double-count a redelivery, so
+    //      idempotence lives at the unit key), readout = the CUPED
+    //      fold over the final state. Oracle = q290's full-retrain SQL
+    //      verbatim. ----
+    "q299_cuped_stream" -> Q(
+      (s, d) => {
+        val units = cupedDemoUnits(s, d).localCheckpoint()
+        val work = java.nio.file.Files.createTempDirectory("graft-q299")
+          .toString
+        val in = s"$work/in"
+        units.filter(pmod(col("user_id"), lit(3L)) === 0)
+          .coalesce(1).write.mode("append").parquet(in)
+        units.filter(pmod(col("user_id"), lit(3L)) === 1)
+          .coalesce(1).write.mode("append").parquet(in)
+        val b3 = units.filter(pmod(col("user_id"), lit(3L)) === 2)
+        b3.coalesce(1).write.mode("append").parquet(in)
+        b3.coalesce(1).write.mode("append").parquet(in) // replayed delivery
+        val sch = s.read.parquet(in).schema
+        val src = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val stateA = s"$work/state_a"; val stateB = s"$work/state_b"
+        def statePath(gen: Long) = if (gen % 2 == 0) stateA else stateB
+        units.limit(0).write.parquet(stateA) // gen-0: empty, right schema
+        var gen = 1L
+        val q = src.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            s.read.parquet(statePath(gen - 1)).unionByName(batch.toDF())
+              .dropDuplicates("user_id")
+              .write.mode("overwrite").parquet(statePath(gen))
+            gen += 1
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        require(gen >= 5, s"expected >= 4 micro-batches, got ${gen - 1}")
+        cuped(s.read.parquet(statePath(gen - 1)), "variant", "x", "y")
+      },
+      Some(cupedSql)),
+
     // ---- q291: POISSON BOOTSTRAP CI — per-event-type mean value with a
     //      40-replicate deterministic resample; the whole resample
     //      replays in SQL (hash uniforms + CDF literals + rank picks). ----
