@@ -168,6 +168,35 @@ object Experiment {
     * shuffle; the per-group rank window orders exactly R rows. No
     * data-sized resample ever exists.
     */
+  /** The replicate-mean stage of [[bootstrapCi]], exposed for the
+    * bench: `shuffleExpanded = true` forces the R×-expanded weighted
+    * rows across the wire before aggregating (the shape a naive
+    * "materialize each resample, then aggregate" implementation has) —
+    * same output, cluster-hostile plan. ExperimentBench measures the
+    * difference in shuffle bytes.
+    */
+  private[graft] def bootstrapMeans(df: DataFrame, group: String, id: String,
+      valueMilli: String, reps: Int, shuffleExpanded: Boolean = false)
+      : DataFrame = {
+    val base = df.select(col(group).as("grp"), col(id).cast("long").as("id"),
+      guarded(col(valueMilli).cast("long"), valueMilli).as("v"))
+    val u = (pmod((col("id") * lit(2654435761L))
+      + ((col("rep") + lit(1L)) * lit(940572985L)), lit(2147483648L))
+      .cast("double") + 1) / lit(2147483649.0)
+    val weighted = base
+      .withColumn("rep", explode(sequence(lit(0L), lit(reps - 1L))))
+      .withColumn("w", poissonWeight(u))
+    val shaped = if (shuffleExpanded)
+      weighted.repartition(col("grp"), col("rep")) else weighted
+    shaped
+      .groupBy(col("grp"), col("rep"))
+      .agg(sum(col("w")).as("ws"),
+        sum((col("w") * col("v")).cast("decimal(38,0)")).as("wv"))
+      .filter(col("ws") > 0)
+      .select(col("grp"), col("rep"),
+        (col("wv").cast("double") / col("ws").cast("double")).as("rmean"))
+  }
+
   def bootstrapCi(df: DataFrame, group: String, id: String,
       valueMilli: String, reps: Int = 40): DataFrame = {
     require(reps >= 2 && reps <= 10000, s"reps=$reps")
@@ -177,18 +206,7 @@ object Experiment {
       guarded(col(valueMilli).cast("long"), valueMilli).as("v"))
     val pt = base.groupBy("grp").agg(count(lit(1)).as("n"),
       sum(col("v").cast("decimal(38,0)")).as("sv"))
-    val u = (pmod((col("id") * lit(2654435761L))
-      + ((col("rep") + lit(1L)) * lit(940572985L)), lit(2147483648L))
-      .cast("double") + 1) / lit(2147483649.0)
-    val rmeans = base
-      .withColumn("rep", explode(sequence(lit(0L), lit(reps - 1L))))
-      .withColumn("w", poissonWeight(u))
-      .groupBy(col("grp"), col("rep"))
-      .agg(sum(col("w")).as("ws"),
-        sum((col("w") * col("v")).cast("decimal(38,0)")).as("wv"))
-      .filter(col("ws") > 0)
-      .select(col("grp"), col("rep"),
-        (col("wv").cast("double") / col("ws").cast("double")).as("rmean"))
+    val rmeans = bootstrapMeans(df, group, id, valueMilli, reps)
     val win = Window.partitionBy("grp").orderBy(col("rmean"), col("rep"))
     val ci = rmeans.withColumn("rn", row_number().over(win))
       .groupBy("grp")
