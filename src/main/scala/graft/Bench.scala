@@ -146,9 +146,10 @@ object Bench {
       // the two-pass-median MAD screen, the calibration table
       "q290_cuped", "q291_bootstrap_ci", "q292_mad_outliers",
       "q293_calibration_bins",
-      // agreement + guardrail + ratio-CI companions, t-closeness
+      // agreement + guardrail + ratio-CI companions, t-closeness,
+      // Kaplan-Meier retention
       "q294_krippendorff_alpha", "q295_srm_check", "q296_delta_ratio",
-      "q297_t_closeness")
+      "q297_t_closeness", "q300_kaplan_meier")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

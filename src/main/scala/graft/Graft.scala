@@ -1347,4 +1347,11 @@ object Graft {
   def tClosenessAudit(df: DataFrame, qiCols: Seq[String], sensitive: Column,
       tMilli: Long): DataFrame =
     rel.Privacy.tClosenessAudit(df, qiCols, sensitive, tMilli)
+
+  /** Kaplan-Meier product-limit survival curve under right-censoring
+    * ([[rel.Survival.kaplanMeier]]).
+    */
+  def kaplanMeier(df: DataFrame, duration: String = "t",
+      event: String = "e"): DataFrame =
+    rel.Survival.kaplanMeier(df, duration, event)
 }

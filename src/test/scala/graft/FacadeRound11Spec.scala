@@ -188,5 +188,8 @@ class FacadeRound11Spec extends SparkSpec {
       graft.rel.Privacy.tClosenessAudit(priv, Seq("g"),
         org.apache.spark.sql.functions.col("v"), 100L)
         .collect().map(_.toSeq).toSet)
+    val km = Seq((1L, 1L), (2L, 0L), (3L, 1L)).toDF("t", "e")
+    assert(Graft.kaplanMeier(km).collect().map(_.toSeq).toSeq ==
+      graft.rel.Survival.kaplanMeier(km).collect().map(_.toSeq).toSeq)
   }
 }
