@@ -149,7 +149,9 @@ object Bench {
       // agreement + guardrail + ratio-CI companions, t-closeness,
       // Kaplan-Meier retention
       "q294_krippendorff_alpha", "q295_srm_check", "q296_delta_ratio",
-      "q297_t_closeness", "q300_kaplan_meier")
+      "q297_t_closeness", "q300_kaplan_meier",
+      // one-pass Gram sufficient statistics; chi2 term selection
+      "q301_gram_normal_eq", "q302_chi2_features")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

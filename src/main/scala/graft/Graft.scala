@@ -1354,4 +1354,20 @@ object Graft {
   def kaplanMeier(df: DataFrame, duration: String = "t",
       event: String = "e"): DataFrame =
     rel.Survival.kaplanMeier(df, duration, event)
+
+  /** One-pass exact Gram table over integer columns
+    * ([[rel.Gram.gramMatrix]]) and the driver-side ridge solve
+    * ([[rel.Gram.ridgeSolveFromGram]]).
+    */
+  def gramMatrix(df: DataFrame, cols: Seq[String]): DataFrame =
+    rel.Gram.gramMatrix(df, cols)
+
+  def ridgeSolveFromGram(gram: DataFrame, lambdaMilli: Long,
+      interceptIdx: Int = -1): Array[Double] =
+    rel.Gram.ridgeSolveFromGram(gram, lambdaMilli, interceptIdx)
+
+  /** Chi-square term selection per label ([[llm.Features.chiSquareTerms]]). */
+  def chiSquareTerms(spark: SparkSession, docs: DataFrame, k: Int,
+      minDf: Long): DataFrame =
+    llm.Features.chiSquareTerms(spark, docs, k, minDf)
 }

@@ -53,7 +53,8 @@ object SparkEntry {
       graft.llm.Outliers.all ++ graft.llm.Pipeline.all ++ graft.llm.Dsir.all ++
       graft.llm.Rm3.all ++ graft.llm.Ql.all ++
       graft.rel.Experiment.all ++ graft.rel.Robust.all ++
-      graft.rel.Survival.all
+      graft.rel.Survival.all ++ graft.rel.Gram.all ++
+      graft.llm.Features.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,135 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** NORMAL-EQUATIONS GRAM MATRIX — "model training as aggregation", the
+  * one-pass pattern behind every closed-form linear fit at cluster
+  * scale: X is never materialized or shuffled; the d(d+1)/2 pairwise
+  * product sums (plus n) collapse by map-side combine into a single
+  * driver-sized row, and the d×d solve happens where d² lives — on the
+  * driver. With the TARGET as the last column, one pass yields XᵀX,
+  * Xᵀy and yᵀy together; ridge is then (XᵀX + λI)β = Xᵀy
+  * ([[ridgeSolveFromGram]]).
+  *
+  * Exactness: inputs are integer-valued longs under the q290 magnitude
+  * cap (per-row products stay exact), sums in DECIMAL(38,0) — the Gram
+  * table is EXACT and SQL-replayable; only the driver solve is
+  * floating point (spec-pinned on exact-fit fixtures, not
+  * driver-gated).
+  */
+object Gram {
+
+  private val Cap = 3037000499L // sqrt(Long.MaxValue), the q290 rule
+
+  private def guarded(c: Column, name: String): Column =
+    when(abs(c) > Cap,
+      raise_error(concat(lit(s"gramMatrix: |$name| exceeds exact-product cap: "),
+        c.cast("string")))).otherwise(c)
+
+  /** Upper-triangle Gram table over integer-valued columns:
+    * one row per 0 ≤ i ≤ j < d with (i, j, n, s = Σ xᵢ·xⱼ, exact).
+    */
+  def gramMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val d = cols.size
+    require(d >= 1 && d <= 32, s"gramMatrix: d=$d outside [1, 32]")
+    val base = df.select(cols.zipWithIndex.map { case (c, i) =>
+      guarded(col(c).cast("long"), c).as(s"__g$i")
+    }: _*)
+    val pairs = for { i <- 0 until d; j <- i until d } yield (i, j)
+    val aggs = pairs.map { case (i, j) =>
+      sum((col(s"__g$i") * col(s"__g$j")).cast("decimal(38,0)"))
+        .as(s"s_${i}_$j")
+    }
+    val one = base.agg(count(lit(1)).as("n"), aggs: _*)
+    val stackExpr = s"stack(${pairs.size}, " + pairs.map { case (i, j) =>
+      s"$i, $j, s_${i}_$j"
+    }.mkString(", ") + ") AS (i, j, s)"
+    one.select(col("n"), expr(stackExpr))
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        col("n"), col("s"))
+      .orderBy("i", "j")
+  }
+
+  /** Ridge solve from a [[gramMatrix]] table whose LAST index is the
+    * target y: returns β for (XᵀX + λI)β = Xᵀy with λ =
+    * lambdaMilli/1000 (λ is NOT applied to an index the caller marks
+    * as intercept via `interceptIdx`). Collects ≤ d(d+1)/2 rows —
+    * bounded by d², never by data. Gaussian elimination with partial
+    * pivoting on the driver; λ = 0 on an exactly-consistent system
+    * recovers the exact coefficients (GramSpec pins it).
+    */
+  def ridgeSolveFromGram(gram: DataFrame, lambdaMilli: Long,
+      interceptIdx: Int = -1): Array[Double] = {
+    require(lambdaMilli >= 0, s"lambdaMilli=$lambdaMilli")
+    val rows = gram.select("i", "j", "s").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2).doubleValue()))
+      .toMap
+    val dAll = rows.keys.map(_._2).max + 1
+    require(dAll >= 2, "need at least one feature and the target")
+    val d = dAll - 1 // last index is y
+    val a = Array.ofDim[Double](d, d + 1)
+    for (i <- 0 until d) {
+      for (j <- 0 until d)
+        a(i)(j) = rows(if (i <= j) (i, j) else (j, i))
+      if (i != interceptIdx) a(i)(i) += lambdaMilli / 1000.0
+      a(i)(d) = rows((i, d))
+    }
+    for (p <- 0 until d) {
+      val piv = (p until d).maxBy(r => math.abs(a(r)(p)))
+      require(math.abs(a(piv)(p)) > 0.0, s"gram matrix singular at column $p")
+      val tmp = a(p); a(p) = a(piv); a(piv) = tmp
+      for (r <- p + 1 until d) {
+        val f = a(r)(p) / a(p)(p)
+        for (c <- p to d) a(r)(c) -= f * a(p)(c)
+      }
+    }
+    val beta = new Array[Double](d)
+    for (p <- (d - 1) to 0 by -1) {
+      var acc = a(p)(d)
+      for (c <- p + 1 until d) acc -= a(p)(c) * beta(c)
+      beta(p) = acc / a(p)(p)
+    }
+    beta
+  }
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q301: NORMAL-EQUATIONS GRAM over documents — intercept,
+    //      token count, char count, and the q89 model score as target:
+    //      the exact one-pass sufficient statistics for the ridge fit
+    //      (the solve itself is driver-side, spec-pinned). ----
+    "q301_gram_normal_eq" -> Q(
+      (s, d) => {
+        val feat = graft.llm.Curation.scoreQualityModel(s,
+          Tables.documents(s, d), graft.llm.Curation.demoWeights(1024))
+          .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+            "doc_id")
+          .select(lit(1L).as("x0"), col("n_tokens").as("x1"),
+            col("n_chars").as("x2"), col("score_sum").as("x3"))
+        gramMatrix(feat, Seq("x0", "x1", "x2", "x3"))
+          .select(col("i"), col("j"), col("n"), col("s").cast("long").as("s"))
+      },
+      Some {
+        val pairs = for { i <- 0 until 4; j <- i until 4 } yield (i, j)
+        val selects = pairs.map { case (i, j) =>
+          s"""SELECT $i AS i, $j AS j, count(*) AS n,
+             |  CAST(sum(CAST(x$i * x$j AS HUGEINT)) AS BIGINT) AS s FROM t"""
+            .stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH raw AS (SELECT doc_id, n_chars,
+           |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+           |      x -> len(x) > 0) AS w
+           |  FROM documents),
+           |t AS (SELECT 1 AS x0, CAST(len(w) AS BIGINT) AS x1,
+           |    CAST(n_chars AS BIGINT) AS x2,
+           |    CAST(coalesce(list_sum(list_transform(w, tok ->
+           |      ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024)
+           |        * 2654435761 % 2003) - 1001)), 0) AS BIGINT) AS x3
+           |  FROM raw)
+           |SELECT i, j, n, s FROM ($selects)
+           |ORDER BY i, j""".stripMargin
+      }))
+}

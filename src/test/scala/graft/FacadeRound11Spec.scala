@@ -191,5 +191,18 @@ class FacadeRound11Spec extends SparkSpec {
     val km = Seq((1L, 1L), (2L, 0L), (3L, 1L)).toDF("t", "e")
     assert(Graft.kaplanMeier(km).collect().map(_.toSeq).toSeq ==
       graft.rel.Survival.kaplanMeier(km).collect().map(_.toSeq).toSeq)
+    val gm = Seq((1L, 2L, 5L), (3L, 4L, 11L)).toDF("x0", "x1", "y")
+    assert(Graft.gramMatrix(gm, Seq("x0", "x1", "y"))
+      .collect().map(_.toSeq).toSeq ==
+      graft.rel.Gram.gramMatrix(gm, Seq("x0", "x1", "y"))
+        .collect().map(_.toSeq).toSeq)
+    assert(Graft.ridgeSolveFromGram(
+      Graft.gramMatrix(gm, Seq("x0", "x1", "y")), 0).toSeq ==
+      graft.rel.Gram.ridgeSolveFromGram(
+        graft.rel.Gram.gramMatrix(gm, Seq("x0", "x1", "y")), 0).toSeq)
+    val fd = Seq((1L, "aa bb", "x"), (2L, "bb", "y")).toDF("doc_id", "text", "lang")
+    assert(Graft.chiSquareTerms(s, fd, 2, 1L).collect().map(_.toSeq).toSeq ==
+      graft.llm.Features.chiSquareTerms(s, fd, 2, 1L)
+        .collect().map(_.toSeq).toSeq)
   }
 }

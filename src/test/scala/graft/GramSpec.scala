@@ -1,0 +1,65 @@
+package graft
+
+import graft.rel.Gram
+
+/** Gram matrix + ridge solve (rel/Gram.scala): hand-checked sums, the
+  * exact-recovery law at lambda = 0, shrinkage at lambda > 0, the
+  * intercept exemption, and the loud guards.
+  */
+class GramSpec extends SparkSpec {
+
+  test("gram table matches hand sums on a small fixture") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, 2L, 5L), (3L, 4L, 25L), (5L, 6L, 45L))
+    val got = Gram.gramMatrix(rows.toDF("a", "b", "c"), Seq("a", "b", "c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDecimal(3).longValueExact())).toMap
+    val cols = Seq(rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    for (i <- 0 until 3; j <- i until 3) {
+      val expect = cols(i).zip(cols(j)).map { case (x, y) => x * y }.sum
+      assert(got((i, j)) == (3L, expect), s"($i,$j)")
+    }
+  }
+
+  test("lambda = 0 on an exactly consistent system recovers the coefficients") {
+    val s = spark
+    import s.implicits._
+    // y = 7 + 2*x1 + 3*x2 exactly
+    val rows = (1L to 20L).map(i => (1L, i, (i * i) % 13,
+      7L + 2 * i + 3 * ((i * i) % 13)))
+    val gram = Gram.gramMatrix(rows.toDF("x0", "x1", "x2", "y"),
+      Seq("x0", "x1", "x2", "y"))
+    val beta = Gram.ridgeSolveFromGram(gram, lambdaMilli = 0)
+    assert(math.abs(beta(0) - 7.0) < 1e-8)
+    assert(math.abs(beta(1) - 2.0) < 1e-8)
+    assert(math.abs(beta(2) - 3.0) < 1e-8)
+  }
+
+  test("ridge shrinks non-intercept coefficients; the intercept exemption holds") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 30L).map(i => (1L, i % 7, 10L + 5 * (i % 7) + (i % 3)))
+    val gram = Gram.gramMatrix(rows.toDF("x0", "x1", "y"),
+      Seq("x0", "x1", "y"))
+    val b0 = Gram.ridgeSolveFromGram(gram, 0, interceptIdx = 0)
+    val bR = Gram.ridgeSolveFromGram(gram, 5000L, interceptIdx = 0)
+    assert(math.abs(bR(1)) < math.abs(b0(1)), "slope must shrink under ridge")
+  }
+
+  test("guards: dimension cap, magnitude cap, singular system") {
+    val s = spark
+    import s.implicits._
+    intercept[IllegalArgumentException] {
+      Gram.gramMatrix(Seq(1L).toDF("a"), (0 to 32).map(_ => "a"))
+    }
+    intercept[Exception] {
+      Gram.gramMatrix(Seq(4000000000L).toDF("a"), Seq("a")).collect()
+    }
+    // duplicate column -> XtX singular
+    val g = Gram.gramMatrix(Seq((2L, 2L, 4L), (3L, 3L, 6L)).toDF("a", "b", "y"),
+      Seq("a", "b", "y"))
+    intercept[IllegalArgumentException] { Gram.ridgeSolveFromGram(g, 0) }
+  }
+}
