@@ -150,8 +150,10 @@ object Bench {
       // Kaplan-Meier retention
       "q294_krippendorff_alpha", "q295_srm_check", "q296_delta_ratio",
       "q297_t_closeness", "q300_kaplan_meier",
-      // one-pass Gram sufficient statistics; chi2 term selection
-      "q301_gram_normal_eq", "q302_chi2_features")
+      // one-pass Gram sufficient statistics; chi2 term selection;
+      // log-rank survival comparison; grouped conformal thresholds
+      "q301_gram_normal_eq", "q302_chi2_features",
+      "q303_logrank", "q304_conformal")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -1370,4 +1370,23 @@ object Graft {
   def chiSquareTerms(spark: SparkSession, docs: DataFrame, k: Int,
       minDf: Long): DataFrame =
     llm.Features.chiSquareTerms(spark, docs, k, minDf)
+
+  /** Two-group log-rank survival test ([[rel.Survival.logRank]]). */
+  def logRank(df: DataFrame, duration: String = "t", event: String = "e",
+      group: String = "g"): DataFrame =
+    rel.Survival.logRank(df, duration, event, group)
+
+  /** Grouped exact k-th smallest, two-pass histogram selection
+    * ([[rel.Robust.groupedExactKth]]).
+    */
+  def groupedExactKth(df: DataFrame, group: String, c: String,
+      kOf: Long => Long): DataFrame =
+    rel.Robust.groupedExactKth(df, group, c, kOf)
+
+  /** Split-conformal per-group thresholds
+    * ([[rel.Robust.conformalThresholds]]).
+    */
+  def conformalThresholds(df: DataFrame, group: String, scoreMilli: String,
+      alphaMilli: Long): DataFrame =
+    rel.Robust.conformalThresholds(df, group, scoreMilli, alphaMilli)
 }

@@ -65,6 +65,75 @@ object Robust {
     (n, med)
   }
 
+  /** GROUPED exact k-th smallest (k a per-group function of n) — the
+    * two-pass histogram selection run for EVERY group in one pair of
+    * scans: pass 1 aggregates the (group, power-of-two bucket)
+    * histogram (driver state bounded by groups × value width — this is
+    * a GROUP-BOUNDED primitive, document the group count like the
+    * Distribution.scala windows); the driver locates each group's
+    * target bucket; pass 2 re-scans only the in-bucket rows with the
+    * per-group bounds broadcast, and a per-group window over ONE
+    * bucket's distinct values picks the k-th. No group is ever sorted
+    * whole — the single-task full-group sort is exactly what this
+    * replaces. Returns (group, n, k, value).
+    */
+  def groupedExactKth(df: DataFrame, group: String, c: String,
+      kOf: Long => Long): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val vals = df.select(col(group).cast("string").as("g"),
+      col(c).cast("long").as("c"))
+    val hist = vals
+      .select(col("g"), length(bin(col("c"))).cast("long").as("bucket"))
+      .groupBy("g", "bucket").agg(count(lit(1)).as("nb"))
+      .collect() // bounded: groups × ≤64 buckets
+      .groupBy(_.getString(0))
+    require(hist.nonEmpty, "groupedExactKth: empty input")
+    val bounds = hist.toSeq.map { case (g, rows) =>
+      val byBucket = rows.map(r => r.getLong(1) -> r.getLong(2))
+        .sortBy(_._1)
+      val n = byBucket.map(_._2).sum
+      val k = kOf(n)
+      require(k >= 1 && k <= n, s"groupedExactKth: k=$k outside [1, $n] for group $g")
+      var cum = 0L; var target = 0L; var before = 0L
+      byBucket.foreach { case (b, nb) =>
+        if (target == 0L && cum + nb >= k) { target = b; before = cum }
+        cum += nb
+      }
+      val lo = if (target <= 1) 0L else 1L << (target - 1)
+      val hi = (1L << target) - 1
+      (g, n, k, lo, hi, k - before)
+    }.toDF("g", "n", "k", "lo", "hi", "need")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("c").rowsBetween(Long.MinValue, 0)
+    vals.join(broadcast(bounds), "g")
+      .filter(col("c") >= col("lo") && col("c") <= col("hi"))
+      .groupBy(col("g"), col("n"), col("k"), col("need"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_in", sum("cnt").over(w))
+      .filter(col("cum_in") >= col("need"))
+      .groupBy(col("g"), col("n"), col("k"))
+      .agg(min(col("c")).as("value"))
+      .select(col("g").as(group), col("n"), col("k"), col("value"))
+      .orderBy(group)
+  }
+
+  /** SPLIT-CONFORMAL threshold per group (Vovk et al.; Angelopoulos &
+    * Bates 2021, "A gentle introduction to conformal prediction"):
+    * q̂ = the ⌈(1−α)(n+1)⌉-th smallest calibration nonconformity score
+    * (clamped to n) — predictions within q̂ of the point estimate then
+    * cover with probability ≥ 1−α on exchangeable data. Exact integer
+    * rank selection via [[groupedExactKth]] — no sort, no
+    * interpolation ambiguity. Output: (group, n, k, qhat_milli).
+    */
+  def conformalThresholds(df: DataFrame, group: String, scoreMilli: String,
+      alphaMilli: Long): DataFrame = {
+    require(alphaMilli >= 1 && alphaMilli <= 999, s"alphaMilli=$alphaMilli")
+    groupedExactKth(df, group, scoreMilli, n =>
+      math.min(n, ((1000L - alphaMilli) * (n + 1) + 999L) / 1000L))
+      .withColumnRenamed("value", "qhat_milli")
+  }
+
   /** Modified z-score outlier summary over a non-negative long metric:
     * one row (n, median, mad, n_outliers, max_mz_r6). mad = 0 (over
     * half the values equal the median) degenerates per Iglewicz-Hoaglin

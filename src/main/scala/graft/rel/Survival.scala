@@ -70,6 +70,72 @@ object Survival {
       .orderBy("t")
   }
 
+  /** χ²₀.₀₅, df = 1 — the two-group log-rank significance line. */
+  private val Chi2Crit1df = 3.841458820694124
+
+  /** LOG-RANK TEST (Mantel 1966; Peto & Peto 1972): are two groups'
+    * survival curves the same? Per event time, the observed group-1
+    * deaths vs the hypergeometric expectation and variance,
+    *
+    *   O−E = d₁ − d·n₁/n,   V = d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1),
+    *
+    * χ² = (Σ(O−E))²/ΣV against the df-1 critical value. Counts are
+    * exact integers; the per-time terms are fixed IEEE chains; BOTH
+    * running sums ride the ORDER-PINNED cumulative window (the q300
+    * rule — an unordered double sum would let engines disagree in the
+    * last ulp). ΣV = 0 (no events, or every event at a single-group
+    * time) yields χ² = 0 by convention. Output one row:
+    * (n_event_times, oe_sum_r6, var_sum_r6, chi2_r6, significant).
+    */
+  def logRank(df: DataFrame, duration: String = "t", event: String = "e",
+      group: String = "g"): DataFrame = {
+    val e0 = col(event).cast("long")
+    val e = when(e0 === 1L, 1L).when(e0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("logRank: event must be 0/1: "), e0.cast("string"))))
+    val g0 = col(group).cast("long")
+    val g = when(g0 === 1L, 1L).when(g0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("logRank: group must be 0/1: "), g0.cast("string"))))
+    val base = df.select(col(duration).cast("long").as("t"),
+      e.as("e"), g.as("g"))
+    val per = base.groupBy("t")
+      .agg(count(lit(1)).as("leaving"), sum(col("e")).as("d"),
+        sum(col("g")).as("leaving1"),
+        sum(col("e") * col("g")).as("d1"))
+    val wPrev = Window.orderBy("t").rowsBetween(Long.MinValue, -1)
+    val wCum = Window.orderBy("t").rowsBetween(Long.MinValue, 0)
+    val tot = base.agg(count(lit(1)).as("n_total"),
+      sum(col("g")).as("n1_total"))
+    val nD = col("n_risk").cast("double")
+    val n1D = col("n1_risk").cast("double")
+    val dD = col("d").cast("double"); val d1D = col("d1").cast("double")
+    val oe = d1D - (dD * (n1D / nD))
+    val v = when(col("n_risk") > 1,
+      ((dD * (n1D / nD)) * (lit(1.0) - (n1D / nD)))
+        * ((nD - dD) / (nD - lit(1.0)))).otherwise(lit(0.0))
+    per.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("leaving")).over(wPrev), lit(0L)))
+      .withColumn("n1_risk",
+        col("n1_total") - coalesce(sum(col("leaving1")).over(wPrev), lit(0L)))
+      .withColumn("cum_oe",
+        sum(when(col("d") > 0, oe).otherwise(lit(0.0))).over(wCum))
+      .withColumn("cum_v",
+        sum(when(col("d") > 0, v).otherwise(lit(0.0))).over(wCum))
+      .withColumn("is_event", when(col("d") > 0, 1L).otherwise(0L))
+      .withColumn("cum_ev", sum(col("is_event")).over(wCum))
+      .agg(max(struct(col("t"), col("cum_ev"), col("cum_oe"), col("cum_v")))
+        .as("last"))
+      .select(col("last.cum_ev").as("n_event_times"),
+        round(col("last.cum_oe"), 6).as("oe_sum_r6"),
+        round(col("last.cum_v"), 6).as("var_sum_r6"),
+        when(col("last.cum_v") === 0.0, lit(0.0))
+          .otherwise(round((col("last.cum_oe") * col("last.cum_oe"))
+            / col("last.cum_v"), 6)).as("chi2_r6"))
+      .withColumn("significant", col("chi2_r6") > lit(Chi2Crit1df))
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- q300: KAPLAN-MEIER purchase-retention curve — per user with
     //      ≥ 1 purchase, lifetime = days from first event to last
@@ -124,5 +190,111 @@ object Survival {
              |  CAST(n_censored AS BIGINT) AS n_censored,
              |  CASE WHEN dead = 1 THEN 0.0
              |    ELSE round(exp(cl), 6) END AS surv_r6
-             |FROM s ORDER BY t""".stripMargin)))
+             |FROM s ORDER BY t""".stripMargin)),
+
+    // ---- q303: LOG-RANK TEST — do even- and odd-id users churn from
+    //      purchasing at the same rate? The q300 fixture split by user
+    //      parity; hypergeometric O−E and V per event time, χ² vs the
+    //      df-1 critical value. ----
+    "q303_logrank" -> Q(
+      (s, d) => {
+        val lastP = max(when(col("event_type") === "purchase", col("ts")))
+        logRank(
+          Tables.events(s, d)
+            .groupBy(col("user_id"))
+            .agg(
+              datediff(to_date(lastP), to_date(min(col("ts"))))
+                .cast("long").as("t"),
+              when(lastP <= lit("2024-01-24").cast("timestamp"), 1L)
+                .otherwise(0L).as("e"))
+            .withColumn("g", pmod(col("user_id"), lit(2L)))
+            .filter(col("t").isNotNull),
+          "t", "e", "g")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+             |      CAST(max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |        AS DATE)) AS BIGINT) AS t,
+             |    CASE WHEN max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |        <= TIMESTAMP '2024-01-24 00:00:00'
+             |      THEN 1 ELSE 0 END AS e,
+             |    user_id % 2 AS g
+             |  FROM events GROUP BY user_id
+             |  HAVING max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |    IS NOT NULL),
+             |per AS (SELECT t, count(*) AS leaving, sum(e) AS d,
+             |    sum(g) AS leaving1, sum(e * g) AS d1 FROM u GROUP BY t),
+             |tot AS (SELECT count(*) AS n_total, sum(g) AS n1_total FROM u),
+             |k AS (SELECT t, d, d1,
+             |    (SELECT n_total FROM tot) - coalesce(sum(leaving) OVER (
+             |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS n_risk,
+             |    (SELECT n1_total FROM tot) - coalesce(sum(leaving1) OVER (
+             |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS n1_risk
+             |  FROM per),
+             |cm AS (SELECT t,
+             |    sum(CASE WHEN d > 0 THEN CAST(d1 AS DOUBLE)
+             |        - (CAST(d AS DOUBLE) * (CAST(n1_risk AS DOUBLE)
+             |          / CAST(n_risk AS DOUBLE))) ELSE 0.0 END)
+             |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND CURRENT ROW) AS cum_oe,
+             |    sum(CASE WHEN d > 0 THEN CASE WHEN n_risk > 1 THEN
+             |        ((CAST(d AS DOUBLE) * (CAST(n1_risk AS DOUBLE)
+             |          / CAST(n_risk AS DOUBLE)))
+             |        * (1.0 - (CAST(n1_risk AS DOUBLE)
+             |          / CAST(n_risk AS DOUBLE))))
+             |        * ((CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE))
+             |          / (CAST(n_risk AS DOUBLE) - 1.0))
+             |      ELSE 0.0 END ELSE 0.0 END)
+             |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND CURRENT ROW) AS cum_v,
+             |    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+             |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND CURRENT ROW) AS cum_ev
+             |  FROM k),
+             |lr AS (SELECT cum_ev, cum_oe, cum_v FROM cm
+             |  ORDER BY t DESC LIMIT 1)
+             |SELECT CAST(cum_ev AS BIGINT) AS n_event_times,
+             |  round(cum_oe, 6) AS oe_sum_r6, round(cum_v, 6) AS var_sum_r6,
+             |  CASE WHEN cum_v = 0.0 THEN 0.0
+             |    ELSE round((cum_oe * cum_oe) / cum_v, 6) END AS chi2_r6,
+             |  (CASE WHEN cum_v = 0.0 THEN 0.0
+             |    ELSE round((cum_oe * cum_oe) / cum_v, 6) END)
+             |    > 3.841458820694124 AS significant
+             |FROM lr""".stripMargin)),
+
+    // ---- q304: SPLIT-CONFORMAL THRESHOLDS — per return flag, the 90%
+    //      conformal radius of |price − flag median| nonconformity
+    //      scores; both the median and the conformal rank ride the
+    //      grouped two-pass exact selection (no per-group sort). ----
+    "q304_conformal" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("flag"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+          .localCheckpoint()
+        val med = Robust.groupedExactKth(li, "flag", "c", n => (n + 1) / 2)
+          .select(col("flag"), col("value").as("med"))
+        val scores = li.join(broadcast(med), "flag")
+          .select(col("flag"), abs(col("c") - col("med")).as("score"))
+        Robust.conformalThresholds(scores, "flag", "score",
+          alphaMilli = 100L)
+      },
+      Some("""WITH c AS (SELECT l_returnflag AS flag,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+             |  FROM lineitem),
+             |m AS (SELECT flag, CAST(quantile_disc(c, 0.5) AS BIGINT) AS med
+             |  FROM c GROUP BY flag),
+             |sc AS (SELECT c.flag, abs(c.c - m.med) AS score
+             |  FROM c JOIN m USING (flag)),
+             |st AS (SELECT flag, count(*) AS n FROM sc GROUP BY flag),
+             |r AS (SELECT flag, n,
+             |    least(n, ((900 * (n + 1)) + 999) // 1000) AS k FROM st),
+             |rk AS (SELECT flag, score, row_number() OVER (
+             |    PARTITION BY flag ORDER BY score) AS rn FROM sc)
+             |SELECT r.flag AS flag, r.n, CAST(r.k AS BIGINT) AS k,
+             |  rk.score AS qhat_milli
+             |FROM r JOIN rk ON rk.flag = r.flag AND rk.rn = r.k
+             |ORDER BY r.flag""".stripMargin)))
 }

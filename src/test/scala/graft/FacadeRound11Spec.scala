@@ -204,5 +204,19 @@ class FacadeRound11Spec extends SparkSpec {
     assert(Graft.chiSquareTerms(s, fd, 2, 1L).collect().map(_.toSeq).toSeq ==
       graft.llm.Features.chiSquareTerms(s, fd, 2, 1L)
         .collect().map(_.toSeq).toSeq)
+    val lr = Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 0L, 0L))
+      .toDF("t", "e", "g")
+    assert(Graft.logRank(lr).collect().map(_.toSeq).toSeq ==
+      graft.rel.Survival.logRank(lr).collect().map(_.toSeq).toSeq)
+    val gk = Seq(("a", 5L), ("a", 1L), ("a", 9L), ("b", 2L), ("b", 4L))
+      .toDF("g", "c")
+    assert(Graft.groupedExactKth(gk, "g", "c", n => (n + 1) / 2)
+      .collect().map(_.toSeq).toSeq ==
+      graft.rel.Robust.groupedExactKth(gk, "g", "c", n => (n + 1) / 2)
+        .collect().map(_.toSeq).toSeq)
+    assert(Graft.conformalThresholds(gk, "g", "c", 100L)
+      .collect().map(_.toSeq).toSeq ==
+      graft.rel.Robust.conformalThresholds(gk, "g", "c", 100L)
+        .collect().map(_.toSeq).toSeq)
   }
 }

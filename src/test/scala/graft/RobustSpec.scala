@@ -58,4 +58,41 @@ class RobustSpec extends SparkSpec {
     assert(r.getLong(3) == 2)      // 9 and 2
     assert(r.isNullAt(4))
   }
+
+  private def gdf(rows: Seq[(String, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("g", "c")
+  }
+
+  test("groupedExactKth matches per-group sorted ranks for several k rules") {
+    val rows = (1L to 200L).map(i => (s"g${i % 3}", (i * 37) % 97)) ++
+      Seq(("g0", 0L), ("g0", 0L)) // zeros in the shared width-1 bucket
+    val byG = rows.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2).sorted }
+    for (kOf <- Seq[Long => Long](n => (n + 1) / 2, _ => 1L, n => n,
+      n => math.max(1L, (n * 9) / 10))) {
+      val got = Robust.groupedExactKth(gdf(rows), "g", "c", kOf)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      for ((g, sorted) <- byG) {
+        val n = sorted.size.toLong
+        val k = kOf(n)
+        assert(got(g) == (n, k, sorted((k - 1).toInt)), s"group $g k=$k")
+      }
+    }
+  }
+
+  test("conformal threshold picks the ceil((1-alpha)(n+1))-th score and covers") {
+    val scores = (1L to 19L).map(i => ("a", i * 10))
+    val r = Robust.conformalThresholds(gdf(scores), "g", "c", 100L)
+      .collect().head
+    // n=19: k = min(19, (900*20+999)//1000) = 18 -> 18th smallest = 180
+    assert(r.getLong(1) == 19 && r.getLong(2) == 18 && r.getLong(3) == 180)
+    val covered = scores.count(_._2 <= r.getLong(3))
+    assert(covered >= 18)
+    intercept[IllegalArgumentException] {
+      Robust.conformalThresholds(gdf(scores), "g", "c", 0L)
+    }
+  }
 }

@@ -58,4 +58,61 @@ class SurvivalSpec extends SparkSpec {
       Survival.kaplanMeier(df(Seq((1L, 2L)))).collect()
     }
   }
+
+  private def gdf(rows: Seq[(Long, Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("t", "e", "g")
+  }
+
+  /** independent double reference for the log-rank sums */
+  private def refLogRank(rows: Seq[(Long, Long, Long)]): (Double, Double) = {
+    val times = rows.map(_._1).distinct.sorted
+    var oe = 0.0; var v = 0.0
+    for (t <- times) {
+      val atRisk = rows.filter(_._1 >= t)
+      val n = atRisk.size.toDouble
+      val n1 = atRisk.count(_._3 == 1).toDouble
+      val here = rows.filter(_._1 == t)
+      val d = here.count(_._2 == 1).toDouble
+      val d1 = here.count(r => r._2 == 1 && r._3 == 1).toDouble
+      if (d > 0) {
+        oe += d1 - (d * (n1 / n))
+        if (n > 1) v += ((d * (n1 / n)) * (1.0 - (n1 / n))) * ((n - d) / (n - 1.0))
+      }
+    }
+    (oe, v)
+  }
+
+  test("log-rank: mirrored groups give chi2 = 0; the reference sums match") {
+    val mirrored = Seq((1L, 1L), (3L, 1L), (5L, 0L), (8L, 1L))
+      .flatMap { case (t, e) => Seq((t, e, 0L), (t, e, 1L)) }
+    val r = Survival.logRank(gdf(mirrored)).collect().head
+    assert(r.getDouble(1) == 0.0) // O-E sums to exactly 0 per time
+    assert(r.getDouble(3) == 0.0 && !r.getBoolean(4))
+    val (oe, v) = refLogRank(mirrored)
+    assert(math.abs(r.getDouble(1) - math.rint(oe * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(r.getDouble(2) - math.rint(v * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("log-rank: clearly separated curves are significant and match the reference") {
+    val rows = (1L to 20L).map(i => (i % 5 + 1, 1L, 0L)) ++
+      (1L to 20L).map(i => (i % 5 + 10, 1L, 1L))
+    val r = Survival.logRank(gdf(rows)).collect().head
+    val (oe, v) = refLogRank(rows)
+    assert(math.abs(r.getDouble(1) - math.rint(oe * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(r.getDouble(2) - math.rint(v * 1e6) / 1e6) < 1e-9)
+    val chi2 = (oe * oe) / v
+    assert(math.abs(r.getDouble(3) - math.rint(chi2 * 1e6) / 1e6) < 1e-5)
+    assert(r.getBoolean(4), s"chi2 ${r.getDouble(3)} should flag")
+  }
+
+  test("log-rank: no events gives chi2 = 0 by convention; bad group raises") {
+    val r = Survival.logRank(gdf(Seq((1L, 0L, 0L), (2L, 0L, 1L))))
+      .collect().head
+    assert(r.getLong(0) == 0 && r.getDouble(3) == 0.0)
+    intercept[Exception] {
+      Survival.logRank(gdf(Seq((1L, 1L, 2L)))).collect()
+    }
+  }
 }
