@@ -1389,4 +1389,11 @@ object Graft {
   def conformalThresholds(df: DataFrame, group: String, scoreMilli: String,
       alphaMilli: Long): DataFrame =
     rel.Robust.conformalThresholds(df, group, scoreMilli, alphaMilli)
+
+  /** Grouped exact quantiles, one histogram pass for all (group, q)
+    * ([[rel.Robust.groupedExactQuantiles]]).
+    */
+  def groupedExactQuantiles(df: DataFrame, group: String, c: String,
+      qMillis: Seq[Long]): DataFrame =
+    rel.Robust.groupedExactQuantiles(df, group, c, qMillis)
 }

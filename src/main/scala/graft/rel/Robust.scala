@@ -78,7 +78,21 @@ object Robust {
     * replaces. Returns (group, n, k, value).
     */
   def groupedExactKth(df: DataFrame, group: String, c: String,
-      kOf: Long => Long): DataFrame = {
+      kOf: Long => Long): DataFrame =
+    groupedExactRanks(df, group, c, n => Seq(0L -> kOf(n)))
+      .select(col(group), col("n"), col("k"), col("value"))
+      .orderBy(group)
+
+  /** The multi-rank core behind [[groupedExactKth]] /
+    * [[conformalThresholds]] / [[groupedExactQuantiles]]: SEVERAL
+    * ranks per group off ONE histogram pass — `ranksOf(n)` returns
+    * (tag, k) pairs (k the 1-based rank to select); the second pass
+    * unions every group's target buckets (a broadcast bounds join) and
+    * one per-(group, tag) window over a single bucket's distinct
+    * values picks each value. Returns (group, tag, n, k, value).
+    */
+  def groupedExactRanks(df: DataFrame, group: String, c: String,
+      ranksOf: Long => Seq[(Long, Long)]): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val vals = df.select(col(group).cast("string").as("g"),
@@ -88,34 +102,53 @@ object Robust {
       .groupBy("g", "bucket").agg(count(lit(1)).as("nb"))
       .collect() // bounded: groups × ≤64 buckets
       .groupBy(_.getString(0))
-    require(hist.nonEmpty, "groupedExactKth: empty input")
-    val bounds = hist.toSeq.map { case (g, rows) =>
+    require(hist.nonEmpty, "groupedExactRanks: empty input")
+    val bounds = hist.toSeq.flatMap { case (g, rows) =>
       val byBucket = rows.map(r => r.getLong(1) -> r.getLong(2))
         .sortBy(_._1)
       val n = byBucket.map(_._2).sum
-      val k = kOf(n)
-      require(k >= 1 && k <= n, s"groupedExactKth: k=$k outside [1, $n] for group $g")
-      var cum = 0L; var target = 0L; var before = 0L
-      byBucket.foreach { case (b, nb) =>
-        if (target == 0L && cum + nb >= k) { target = b; before = cum }
-        cum += nb
+      ranksOf(n).map { case (tag, k) =>
+        require(k >= 1 && k <= n,
+          s"groupedExactRanks: k=$k outside [1, $n] for group $g (tag $tag)")
+        var cum = 0L; var target = 0L; var before = 0L
+        byBucket.foreach { case (b, nb) =>
+          if (target == 0L && cum + nb >= k) { target = b; before = cum }
+          cum += nb
+        }
+        val lo = if (target <= 1) 0L else 1L << (target - 1)
+        val hi = (1L << target) - 1
+        (g, tag, n, k, lo, hi, k - before)
       }
-      val lo = if (target <= 1) 0L else 1L << (target - 1)
-      val hi = (1L << target) - 1
-      (g, n, k, lo, hi, k - before)
-    }.toDF("g", "n", "k", "lo", "hi", "need")
+    }.toDF("g", "tag", "n", "k", "lo", "hi", "need")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("g").orderBy("c").rowsBetween(Long.MinValue, 0)
+      .partitionBy("g", "tag").orderBy("c").rowsBetween(Long.MinValue, 0)
     vals.join(broadcast(bounds), "g")
       .filter(col("c") >= col("lo") && col("c") <= col("hi"))
-      .groupBy(col("g"), col("n"), col("k"), col("need"), col("c"))
+      .groupBy(col("g"), col("tag"), col("n"), col("k"), col("need"), col("c"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum_in", sum("cnt").over(w))
       .filter(col("cum_in") >= col("need"))
-      .groupBy(col("g"), col("n"), col("k"))
+      .groupBy(col("g"), col("tag"), col("n"), col("k"))
       .agg(min(col("c")).as("value"))
-      .select(col("g").as(group), col("n"), col("k"), col("value"))
-      .orderBy(group)
+      .select(col("g").as(group), col("tag"), col("n"), col("k"), col("value"))
+      .orderBy(group, "tag")
+  }
+
+  /** GROUPED EXACT QUANTILES in one histogram pass — the scalable
+    * replacement for `percentile` sorts: every requested quantile of
+    * every group rides the same two scans. Rank convention =
+    * quantile_disc: k = ⌊q·(n−1)⌋ + 1 (lower quantile, matching the
+    * q221-pinned identity at q = 500). Output: (group, q_milli, n,
+    * value).
+    */
+  def groupedExactQuantiles(df: DataFrame, group: String, c: String,
+      qMillis: Seq[Long]): DataFrame = {
+    require(qMillis.nonEmpty && qMillis.forall(q => q >= 0 && q <= 1000),
+      s"qMillis=$qMillis")
+    groupedExactRanks(df, group, c,
+      n => qMillis.map(q => q -> ((q * (n - 1)) / 1000L + 1L)))
+      .select(col(group), col("tag").as("q_milli"), col("n"), col("value"))
+      .orderBy(group, "q_milli")
   }
 
   /** SPLIT-CONFORMAL threshold per group (Vovk et al.; Angelopoulos &
@@ -158,6 +191,31 @@ object Robust {
   }
 
   val all: ListMap[String, Q] = ListMap(
+    // ---- q305: GROUPED EXACT PERCENTILES — p50/p90/p99 of line-item
+    //      prices per return flag, every quantile of every group off
+    //      ONE histogram pass; the oracle replays the exact rank
+    //      convention via row_number (no quantile-function
+    //      interpolation ambiguity). ----
+    "q305_grouped_percentiles" -> Q(
+      (s, d) => groupedExactQuantiles(
+        Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("c")),
+        "flag", "c", Seq(500L, 900L, 990L)),
+      Some("""WITH c AS (SELECT l_returnflag AS flag,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+             |  FROM lineitem),
+             |rk AS (SELECT flag, c, row_number() OVER (
+             |    PARTITION BY flag ORDER BY c) AS rn FROM c),
+             |st AS (SELECT flag, count(*) AS n FROM c GROUP BY flag),
+             |q(q_milli) AS (VALUES (500), (900), (990)),
+             |t AS (SELECT st.flag, q.q_milli, st.n,
+             |    ((q.q_milli * (st.n - 1)) // 1000) + 1 AS k
+             |  FROM st CROSS JOIN q)
+             |SELECT t.flag AS flag, CAST(t.q_milli AS BIGINT) AS q_milli,
+             |  t.n, rk.c AS value
+             |FROM t JOIN rk ON rk.flag = t.flag AND rk.rn = t.k
+             |ORDER BY flag, q_milli""".stripMargin)),
+
     // ---- q292: MAD OUTLIER SCREEN over order totals in cents — the
     //      robust flag count + the worst offender's modified z. Oracle:
     //      DuckDB quantile_disc(0.5) twice (= lower median, the q221

@@ -83,6 +83,19 @@ class RobustSpec extends SparkSpec {
     }
   }
 
+  test("groupedExactQuantiles: every (group, q) matches the sorted rank in one histogram pass") {
+    val rows = (1L to 151L).map(i => (s"g${i % 2}", (i * 53) % 1009))
+    val qs = Seq(0L, 250L, 500L, 900L, 1000L)
+    val got = Robust.groupedExactQuantiles(gdf(rows), "g", "c", qs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    for ((g, xs) <- rows.groupBy(_._1); q <- qs) {
+      val sorted = xs.map(_._2).sorted
+      val k = (q * (sorted.size - 1)) / 1000 + 1
+      assert(got((g, q)) == sorted((k - 1).toInt), s"group $g q=$q")
+    }
+  }
+
   test("conformal threshold picks the ceil((1-alpha)(n+1))-th score and covers") {
     val scores = (1L to 19L).map(i => ("a", i * 10))
     val r = Robust.conformalThresholds(gdf(scores), "g", "c", 100L)
