@@ -85,25 +85,34 @@ object Robust {
 
   /** The multi-rank core behind [[groupedExactKth]] /
     * [[conformalThresholds]] / [[groupedExactQuantiles]]: SEVERAL
-    * ranks per group off ONE histogram pass — `ranksOf(n)` returns
-    * (tag, k) pairs (k the 1-based rank to select); the second pass
-    * unions every group's target buckets (a broadcast bounds join) and
-    * one per-(group, tag) window over a single bucket's distinct
-    * values picks each value. Returns (group, tag, n, k, value).
+    * ranks per group, selected by ITERATIVE HISTOGRAM REFINEMENT
+    * (distributed quickselect — the loop q221's single refinement is
+    * the body of): `ranksOf(n)` returns (tag, k) pairs; each round
+    * histograms every live (group, tag) range into ≤ 64 sub-buckets
+    * (one narrow scan, ≤ groups·tags·65 rows to the driver — bounded
+    * by the DESIGN, never the data) and narrows each range 64×, until
+    * every range spans < 4096 values; the final per-(group, tag)
+    * window then orders at most 4096 distinct values — NO task ever
+    * holds a group, which is the entire point vs the per-group sort
+    * window (QuantileBench measures the max-task cut). Rounds ≤
+    * ⌈63/6⌉ + 1; typically 2–4. Returns (group, tag, n, k, value).
     */
   def groupedExactRanks(df: DataFrame, group: String, c: String,
       ranksOf: Long => Seq[(Long, Long)]): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val vals = df.select(col(group).cast("string").as("g"),
-      col(c).cast("long").as("c"))
+      col(c).cast("long").as("c")).localCheckpoint()
+    // round 0: the power-of-two width histogram seeds the ranges
     val hist = vals
       .select(col("g"), length(bin(col("c"))).cast("long").as("bucket"))
       .groupBy("g", "bucket").agg(count(lit(1)).as("nb"))
       .collect() // bounded: groups × ≤64 buckets
       .groupBy(_.getString(0))
     require(hist.nonEmpty, "groupedExactRanks: empty input")
-    val bounds = hist.toSeq.flatMap { case (g, rows) =>
+    // (g, tag, n, k, lo, hi, need): the k-th smallest in-group is the
+    // need-th smallest among values in [lo, hi]
+    var state = hist.toSeq.flatMap { case (g, rows) =>
       val byBucket = rows.map(r => r.getLong(1) -> r.getLong(2))
         .sortBy(_._1)
       val n = byBucket.map(_._2).sum
@@ -119,7 +128,43 @@ object Robust {
         val hi = (1L << target) - 1
         (g, tag, n, k, lo, hi, k - before)
       }
-    }.toDF("g", "tag", "n", "k", "lo", "hi", "need")
+    }
+    val MaxSpan = 4096L
+    var rounds = 0
+    while (state.exists { case (_, _, _, _, lo, hi, _) => hi - lo >= MaxSpan }
+        && rounds < 16) {
+      rounds += 1
+      val live = state.filter { case (_, _, _, _, lo, hi, _) => hi - lo >= MaxSpan }
+      val steps = live.map { case (g, tag, _, _, lo, hi, _) =>
+        (g, tag) -> ((hi - lo) / 64L + 1L)
+      }.toMap
+      val bdf = live.map { case (g, tag, _, _, lo, hi, _) =>
+        (g, tag, lo, hi, steps((g, tag)))
+      }.toDF("g", "tag", "lo", "hi", "step")
+      val subCounts = vals.join(broadcast(bdf), "g")
+        .filter(col("c") >= col("lo") && col("c") <= col("hi"))
+        .groupBy(col("g"), col("tag"),
+          ((col("c") - col("lo")) / col("step")).cast("long").as("sub"))
+        .agg(count(lit(1)).as("nb"))
+        .collect() // ≤ live-ranges × 65 rows
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).map { case (kk, xs) => kk -> xs.map(_._2).sortBy(_._1) }
+      state = state.map {
+        case st @ (g, tag, n, k, lo, hi, need) if hi - lo >= MaxSpan =>
+          val step = steps((g, tag))
+          var cum = 0L; var sub = -1L; var before = 0L
+          subCounts((g, tag)).foreach { case (sb, nb) =>
+            if (sub < 0 && cum + nb >= need) { sub = sb; before = cum }
+            cum += nb
+          }
+          (g, tag, n, k, lo + sub * step,
+            math.min(hi, lo + (sub + 1) * step - 1), need - before)
+        case st => st
+      }
+    }
+    val bounds = state
+      .toDF("g", "tag", "n", "k", "lo", "hi", "need")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("g", "tag").orderBy("c").rowsBetween(Long.MinValue, 0)
     vals.join(broadcast(bounds), "g")
