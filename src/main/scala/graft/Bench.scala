@@ -153,7 +153,8 @@ object Bench {
       // one-pass Gram sufficient statistics; chi2 term selection;
       // log-rank survival comparison; grouped conformal thresholds
       "q301_gram_normal_eq", "q302_chi2_features",
-      "q303_logrank", "q304_conformal", "q305_grouped_percentiles")
+      "q303_logrank", "q304_conformal", "q305_grouped_percentiles",
+      "q306_mann_kendall")
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -1396,4 +1396,8 @@ object Graft {
   def groupedExactQuantiles(df: DataFrame, group: String, c: String,
       qMillis: Seq[Long]): DataFrame =
     rel.Robust.groupedExactQuantiles(df, group, c, qMillis)
+
+  /** Mann-Kendall trend test per group ([[rel.Distribution.mannKendall]]). */
+  def mannKendall(daily: DataFrame): DataFrame =
+    rel.Distribution.mannKendall(daily)
 }

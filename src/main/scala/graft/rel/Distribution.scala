@@ -1,5 +1,6 @@
 package graft.rel
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -22,6 +23,46 @@ import graft.rel.Tables
 object Distribution {
 
   private val dec = DecimalType(38, 0)
+
+  /** MANN-KENDALL TREND TEST over (grp, x, y) integer series rows
+    * (Mann 1945; tie-corrected variance per Kendall): S, the exact
+    * 18·Var(S) numerator, and the continuity-corrected Z per group.
+    * Var = 0 (constant series) gives Z = 0 by convention. Pair space
+    * is C(series length, 2) per group — bounded by the series, never
+    * the data (the q215 rule). Output: (grp, n_days, s_stat, var18,
+    * z_r6, significant).
+    */
+  def mannKendall(daily0: DataFrame): DataFrame = {
+    val daily = daily0.select(col("grp"), col("x").cast("long").as("x"),
+      col("y").cast("long").as("y")).localCheckpoint()
+    val a = daily.select(col("grp"), col("x").as("xa"), col("y").as("ya"))
+    val b = daily.select(col("grp").as("g2"), col("x").as("xb"),
+      col("y").as("yb"))
+    val sTab = a.join(b, col("grp") === col("g2") && col("xa") < col("xb"))
+      .groupBy("grp")
+      .agg(sum(when(col("yb") > col("ya"), 1L)
+        .when(col("yb") < col("ya"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy(col("grp"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("grp")
+      .agg(sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .as("tie_corr"))
+    val nD = col("n_days")
+    val var18 = (nD * (nD - 1) * (lit(2L) * nD + 5)) - col("tie_corr")
+    val sD = col("s_stat").cast("double")
+    val sdv = sqrt(col("var18").cast("double") / lit(18.0))
+    val z = when(col("var18") === 0L, lit(0.0))
+      .otherwise(when(col("s_stat") > 0, (sD - 1.0) / sdv)
+        .when(col("s_stat") < 0, (sD + 1.0) / sdv)
+        .otherwise(lit(0.0)))
+    sTab.join(ties, "grp")
+      .withColumn("var18", var18)
+      .select(col("grp"), col("n_days"), col("s_stat"), col("var18"),
+        round(z, 6).as("z_r6"))
+      .withColumn("significant", abs(col("z_r6")) > lit(1.959963984540054))
+      .orderBy("grp")
+  }
 
   val all: ListMap[String, Q] = ListMap(
     // ---- q209: BENFORD FIRST-DIGIT SCREEN — the classic fabricated-
@@ -214,6 +255,58 @@ object Distribution {
              |  CAST(1::BIGINT << CAST(bucket - 1 AS INT) AS BIGINT) AS lo_cents,
              |  CAST((1::BIGINT << CAST(bucket AS INT)) - 1 AS BIGINT) AS hi_cents
              |FROM b ORDER BY bucket""".stripMargin)),
+
+    // ---- q306: MANN-KENDALL TREND TEST (Mann 1945; Kendall's τ with
+    //      the tie-corrected variance) — the significance companion to
+    //      q215's Theil-Sen slope: S = Σ_{i<j} sign(yⱼ − yᵢ) over each
+    //      event type's daily-revenue series, 18·Var(S) = n(n−1)(2n+5)
+    //      − Σ_t t(t−1)(2t+5) over tie groups, Z continuity-corrected.
+    //      EXACT: S, the variance numerator, and every tie count are
+    //      integers; the only floats are one sqrt + one division
+    //      (rounded to 6). Var = 0 (constant series) gives Z = 0 by
+    //      convention. Pair space is C(days, 2) per group — bounded by
+    //      the SERIES LENGTH, never the data (the q215 rule). ----
+    "q306_mann_kendall" -> Q(
+      (s, d) => mannKendall(
+        Tables.events(s, d)
+          .groupBy(col("event_type").as("grp"),
+            unix_date(to_date(date_trunc("DAY", col("ts")))).cast("long").as("x"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("y")))
+        .withColumnRenamed("grp", "event_type"),
+      Some("""WITH daily AS (SELECT event_type,
+             |    CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+             |      AS BIGINT) AS x,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT a.event_type,
+             |    sum(CASE WHEN b.y > a.y THEN 1
+             |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS s_stat
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND a.x < b.x
+             |  GROUP BY a.event_type),
+             |tg AS (SELECT event_type, y, count(*) AS t FROM daily
+             |  GROUP BY event_type, y),
+             |ti AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+             |    CAST(sum((t * (t - 1)) * ((2 * t) + 5)) AS BIGINT)
+             |      AS tie_corr
+             |  FROM tg GROUP BY event_type),
+             |v AS (SELECT st.event_type, ti.n_days,
+             |    CAST(st.s_stat AS BIGINT) AS s_stat,
+             |    ((ti.n_days * (ti.n_days - 1)) * ((2 * ti.n_days) + 5))
+             |      - ti.tie_corr AS var18
+             |  FROM st JOIN ti ON st.event_type = ti.event_type),
+             |z AS (SELECT event_type, n_days, s_stat,
+             |    CAST(var18 AS BIGINT) AS var18,
+             |    round(CASE WHEN var18 = 0 THEN 0.0
+             |      WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+             |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             |      WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+             |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             |      ELSE 0.0 END, 6) AS z_r6
+             |  FROM v)
+             |SELECT event_type, n_days, s_stat, var18, z_r6,
+             |  abs(z_r6) > 1.959963984540054 AS significant
+             |FROM z ORDER BY event_type""".stripMargin)),
 
     // ---- q215: THEIL-SEN ROBUST SLOPE — the median of all pairwise
     //      slopes of each event type's daily-revenue series: immune to

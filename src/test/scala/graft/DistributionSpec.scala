@@ -122,4 +122,24 @@ class DistributionSpec extends SparkSpec {
       assert(!t.isNaN && !t.isInfinite, s"non-finite t in $r")
     }
   }
+
+  test("mann-kendall: monotone series hits the closed form; ties and constants behave") {
+    val sp = spark
+    import sp.implicits._
+    // strictly increasing, n=10: S = C(10,2) = 45; no ties ->
+    // var18 = 10*9*25 = 2250, Var = 125, z = 44/sqrt(125)
+    val up = (1L to 10L).map(i => ("up", i, i * 100))
+    // constant, n=6: tie_corr = 6*5*17 = n(n-1)(2n+5) -> var18 = 0, z = 0
+    val flat = (1L to 6L).map(i => ("flat", i, 7L))
+    // strictly decreasing, n=10: S = -45, z = -44/sqrt(125)
+    val down = (1L to 10L).map(i => ("down", i, 1000 - i * 10))
+    val got = Distribution.mannKendall((up ++ flat ++ down).toDF("grp", "x", "y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    val zUp = math.rint(44.0 / math.sqrt(2250.0 / 18.0) * 1e6) / 1e6
+    assert(got("up") == (10L, 45L, 2250L, zUp, true))
+    assert(got("down") == (10L, -45L, 2250L, -zUp, true))
+    assert(got("flat") == (6L, 0L, 0L, 0.0, false))
+  }
 }

@@ -218,5 +218,9 @@ class FacadeRound11Spec extends SparkSpec {
       .collect().map(_.toSeq).toSeq ==
       graft.rel.Robust.conformalThresholds(gk, "g", "c", 100L)
         .collect().map(_.toSeq).toSeq)
+    val mk = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 15L))
+      .toDF("grp", "x", "y")
+    assert(Graft.mannKendall(mk).collect().map(_.toSeq).toSeq ==
+      graft.rel.Distribution.mannKendall(mk).collect().map(_.toSeq).toSeq)
   }
 }
