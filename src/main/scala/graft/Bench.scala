@@ -155,6 +155,7 @@ object Bench {
       "q301_gram_normal_eq", "q302_chi2_features",
       "q303_logrank", "q304_conformal", "q305_grouped_percentiles",
       "q306_mann_kendall")
+      // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
         sys.error(s"bench extended key $k missing from SparkEntry.queries"))

@@ -512,6 +512,68 @@ object Experiment {
              |FROM pt JOIN rk ON pt.grp = rk.grp
              |GROUP BY pt.grp, pt.n, pt.sv ORDER BY event_type""".stripMargin)),
 
+    // ---- q307: STREAMING SRM MONITOR — assignments arrive as a file
+    //      stream (3 micro-batches, last REPLAYED); each trigger
+    //      upserts unit-keyed state (replays idempotent at the unit
+    //      key, the q299 rule) and the guardrail reads the cumulative
+    //      counts. Final readout = srmCheck over the absorbed state;
+    //      oracle = q295's one-shot SQL verbatim. ----
+    "q307_srm_stream" -> Q(
+      (s, d) => {
+        val asg = Tables.events(s, d).select(col("user_id")).distinct()
+          .select(col("user_id"),
+            pmod(col("user_id"), lit(2L)).cast("string").as("variant"))
+          .localCheckpoint()
+        val work = java.nio.file.Files.createTempDirectory("graft-q307")
+          .toString
+        val in = s"$work/in"
+        asg.filter(pmod(col("user_id"), lit(3L)) === 0)
+          .coalesce(1).write.mode("append").parquet(in)
+        asg.filter(pmod(col("user_id"), lit(3L)) === 1)
+          .coalesce(1).write.mode("append").parquet(in)
+        val b3 = asg.filter(pmod(col("user_id"), lit(3L)) === 2)
+        b3.coalesce(1).write.mode("append").parquet(in)
+        b3.coalesce(1).write.mode("append").parquet(in) // replayed delivery
+        val sch = s.read.parquet(in).schema
+        val src = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val stateA = s"$work/state_a"; val stateB = s"$work/state_b"
+        def statePath(gen: Long) = if (gen % 2 == 0) stateA else stateB
+        asg.limit(0).write.parquet(stateA)
+        var gen = 1L
+        val q = src.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            s.read.parquet(statePath(gen - 1)).unionByName(batch.toDF())
+              .dropDuplicates("user_id")
+              .write.mode("overwrite").parquet(statePath(gen))
+            gen += 1
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        require(gen >= 5, s"expected >= 4 micro-batches, got ${gen - 1}")
+        srmCheck(s.read.parquet(statePath(gen - 1)), "variant",
+          Map("0" -> 450L, "1" -> 550L))
+      },
+      Some("""WITH a AS (SELECT CAST(user_id % 2 AS VARCHAR) AS variant
+             |  FROM (SELECT DISTINCT user_id FROM events)),
+             |o AS (SELECT variant, count(*) AS obs FROM a GROUP BY variant),
+             |j AS (SELECT CASE v.variant WHEN '0' THEN 450 ELSE 550 END AS w,
+             |    coalesce(o.obs, 0) AS obs
+             |  FROM (VALUES ('0'), ('1')) AS v(variant)
+             |  LEFT JOIN o ON v.variant = o.variant),
+             |t AS (SELECT sum(obs) AS n FROM j)
+             |SELECT CAST(min(t.n) AS BIGINT) AS n, CAST(2 AS INT) AS k,
+             |  round(sum((CAST(1000 * j.obs - t.n * j.w AS DOUBLE)
+             |      * CAST(1000 * j.obs - t.n * j.w AS DOUBLE))
+             |    / (1000.0 * CAST(t.n * j.w AS DOUBLE))), 6) AS chi2_r6,
+             |  CAST(3.841458820694124 AS DOUBLE) AS crit_r6,
+             |  sum((CAST(1000 * j.obs - t.n * j.w AS DOUBLE)
+             |      * CAST(1000 * j.obs - t.n * j.w AS DOUBLE))
+             |    / (1000.0 * CAST(t.n * j.w AS DOUBLE)))
+             |    > 3.841458820694124 AS srm
+             |FROM j, t""".stripMargin)),
+
     // ---- q295: SAMPLE-RATIO MISMATCH — user parity split audited
     //      against a deliberately off 450/550 design: the χ² statistic
     //      is tiny at sf0.01 (srm = false) and crosses the 5% critical
