@@ -1400,4 +1400,10 @@ object Graft {
   /** Mann-Kendall trend test per group ([[rel.Distribution.mannKendall]]). */
   def mannKendall(daily: DataFrame): DataFrame =
     rel.Distribution.mannKendall(daily)
+
+  /** Pearson correlation matrix from an intercept-bearing gram table
+    * ([[rel.Gram.corrFromGram]]).
+    */
+  def corrFromGram(gram: DataFrame): DataFrame =
+    rel.Gram.corrFromGram(gram)
 }

@@ -96,22 +96,112 @@ object Gram {
     beta
   }
 
+  /** PEARSON CORRELATION MATRIX derived from a [[gramMatrix]] table
+    * whose index 0 is an all-ones intercept column (so s₀ⱼ = Σxⱼ and
+    * the table already carries every first and second moment):
+    *
+    *   r(i,j) = (n·sᵢⱼ − sᵢ·sⱼ) / (√(n·sᵢᵢ − sᵢ²) · √(n·sⱼⱼ − sⱼ²))
+    *
+    * — the whole matrix is a few self-joins over the ≤ d(d+1)/2-row
+    * gram table; the corpus is never touched again. Zero-variance
+    * columns yield null (undefined). Output: (i, j, n, corr_r6) for
+    * 1 ≤ i < j.
+    */
+  def corrFromGram(gram: DataFrame): DataFrame = {
+    val g = gram.select(col("i"), col("j"), col("n"),
+      col("s").cast("decimal(38,0)").as("s"))
+    val off = g.filter(col("i") > 0 && col("j") > col("i"))
+      .select(col("i"), col("j"), col("n"), col("s").as("sij"))
+    val firsts = g.filter(col("i") === 0 && col("j") > 0)
+      .select(col("j").as("k"), col("s").as("sk"))
+    val diags = g.filter(col("i") === col("j") && col("i") > 0)
+      .select(col("i").as("k"), col("s").as("skk"))
+    val joined = off
+      .join(firsts.select(col("k").as("i"), col("sk").as("si")), "i")
+      .join(firsts.select(col("k").as("j"), col("sk").as("sj")), "j")
+      .join(diags.select(col("k").as("i"), col("skk").as("sii")), "i")
+      .join(diags.select(col("k").as("j"), col("skk").as("sjj")), "j")
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = (nD * d("sij")) - (d("si") * d("sj"))
+    val deni = (nD * d("sii")) - (d("si") * d("si"))
+    val denj = (nD * d("sjj")) - (d("sj") * d("sj"))
+    joined.select(col("i"), col("j"), col("n"),
+      when(deni <= 0.0 || denj <= 0.0, lit(null).cast("double"))
+        .otherwise(round(num / (sqrt(deni) * sqrt(denj)), 6)).as("corr_r6"))
+      .orderBy("i", "j")
+  }
+
+  /** the q301/q308 feature frame: intercept, token count, char count,
+    * the q89 model score */
+  private def gramDemoFeatures(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.llm.Curation.scoreQualityModel(s,
+      Tables.documents(s, d), graft.llm.Curation.demoWeights(1024))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id")
+      .select(lit(1L).as("x0"), col("n_tokens").as("x1"),
+        col("n_chars").as("x2"), col("score_sum").as("x3"))
+
+  /** the q301/q308 oracle prelude: the feature frame in SQL */
+  private val gramSqlT: String =
+    """raw AS (SELECT doc_id, n_chars,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      x -> len(x) > 0) AS w
+      |  FROM documents),
+      |t AS (SELECT 1 AS x0, CAST(len(w) AS BIGINT) AS x1,
+      |    CAST(n_chars AS BIGINT) AS x2,
+      |    CAST(coalesce(list_sum(list_transform(w, tok ->
+      |      ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024)
+      |        * 2654435761 % 2003) - 1001)), 0) AS BIGINT) AS x3
+      |  FROM raw)""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q308: PEARSON CORRELATION MATRIX — every feature pair's r
+    //      derived from the one-pass gram table (the corpus is touched
+    //      once; the matrix is arithmetic over d(d+1)/2 rows). ----
+    "q308_corr_matrix" -> Q(
+      (s, d) => corrFromGram(
+        gramMatrix(gramDemoFeatures(s, d), Seq("x0", "x1", "x2", "x3"))),
+      Some {
+        val pairs = Seq((1, 2), (1, 3), (2, 3))
+        val selects = pairs.map { case (i, j) =>
+          s"""SELECT $i AS i, $j AS j, count(*) AS n,
+             |  CASE WHEN ((CAST(count(*) AS DOUBLE)
+             |        * CAST(sum(CAST(x$i * x$i AS HUGEINT)) AS DOUBLE))
+             |      - (CAST(sum(CAST(x$i AS HUGEINT)) AS DOUBLE)
+             |        * CAST(sum(CAST(x$i AS HUGEINT)) AS DOUBLE))) <= 0.0
+             |    OR ((CAST(count(*) AS DOUBLE)
+             |        * CAST(sum(CAST(x$j * x$j AS HUGEINT)) AS DOUBLE))
+             |      - (CAST(sum(CAST(x$j AS HUGEINT)) AS DOUBLE)
+             |        * CAST(sum(CAST(x$j AS HUGEINT)) AS DOUBLE))) <= 0.0
+             |  THEN NULL
+             |  ELSE round(((CAST(count(*) AS DOUBLE)
+             |      * CAST(sum(CAST(x$i * x$j AS HUGEINT)) AS DOUBLE))
+             |    - (CAST(sum(CAST(x$i AS HUGEINT)) AS DOUBLE)
+             |      * CAST(sum(CAST(x$j AS HUGEINT)) AS DOUBLE)))
+             |    / (sqrt((CAST(count(*) AS DOUBLE)
+             |        * CAST(sum(CAST(x$i * x$i AS HUGEINT)) AS DOUBLE))
+             |      - (CAST(sum(CAST(x$i AS HUGEINT)) AS DOUBLE)
+             |        * CAST(sum(CAST(x$i AS HUGEINT)) AS DOUBLE)))
+             |      * sqrt((CAST(count(*) AS DOUBLE)
+             |        * CAST(sum(CAST(x$j * x$j AS HUGEINT)) AS DOUBLE))
+             |      - (CAST(sum(CAST(x$j AS HUGEINT)) AS DOUBLE)
+             |        * CAST(sum(CAST(x$j AS HUGEINT)) AS DOUBLE)))), 6)
+             |  END AS corr_r6 FROM t""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $gramSqlT
+           |SELECT i, j, n, corr_r6 FROM ($selects)
+           |ORDER BY i, j""".stripMargin
+      }),
+
     // ---- q301: NORMAL-EQUATIONS GRAM over documents — intercept,
     //      token count, char count, and the q89 model score as target:
     //      the exact one-pass sufficient statistics for the ridge fit
     //      (the solve itself is driver-side, spec-pinned). ----
     "q301_gram_normal_eq" -> Q(
-      (s, d) => {
-        val feat = graft.llm.Curation.scoreQualityModel(s,
-          Tables.documents(s, d), graft.llm.Curation.demoWeights(1024))
-          .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
-            "doc_id")
-          .select(lit(1L).as("x0"), col("n_tokens").as("x1"),
-            col("n_chars").as("x2"), col("score_sum").as("x3"))
-        gramMatrix(feat, Seq("x0", "x1", "x2", "x3"))
-          .select(col("i"), col("j"), col("n"), col("s").cast("long").as("s"))
-      },
+      (s, d) => gramMatrix(gramDemoFeatures(s, d), Seq("x0", "x1", "x2", "x3"))
+        .select(col("i"), col("j"), col("n"), col("s").cast("long").as("s")),
       Some {
         val pairs = for { i <- 0 until 4; j <- i until 4 } yield (i, j)
         val selects = pairs.map { case (i, j) =>
@@ -119,16 +209,7 @@ object Gram {
              |  CAST(sum(CAST(x$i * x$j AS HUGEINT)) AS BIGINT) AS s FROM t"""
             .stripMargin
         }.mkString("\nUNION ALL\n")
-        s"""WITH raw AS (SELECT doc_id, n_chars,
-           |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-           |      x -> len(x) > 0) AS w
-           |  FROM documents),
-           |t AS (SELECT 1 AS x0, CAST(len(w) AS BIGINT) AS x1,
-           |    CAST(n_chars AS BIGINT) AS x2,
-           |    CAST(coalesce(list_sum(list_transform(w, tok ->
-           |      ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024)
-           |        * 2654435761 % 2003) - 1001)), 0) AS BIGINT) AS x3
-           |  FROM raw)
+        s"""WITH $gramSqlT
            |SELECT i, j, n, s FROM ($selects)
            |ORDER BY i, j""".stripMargin
       }))

@@ -222,5 +222,8 @@ class FacadeRound11Spec extends SparkSpec {
       .toDF("grp", "x", "y")
     assert(Graft.mannKendall(mk).collect().map(_.toSeq).toSeq ==
       graft.rel.Distribution.mannKendall(mk).collect().map(_.toSeq).toSeq)
+    val cg = Graft.gramMatrix(gm, Seq("x0", "x1", "y"))
+    assert(Graft.corrFromGram(cg).collect().map(_.toSeq).toSeq ==
+      graft.rel.Gram.corrFromGram(cg).collect().map(_.toSeq).toSeq)
   }
 }

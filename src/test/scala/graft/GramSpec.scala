@@ -48,6 +48,35 @@ class GramSpec extends SparkSpec {
     assert(math.abs(bR(1)) < math.abs(b0(1)), "slope must shrink under ridge")
   }
 
+  test("correlation matrix from the gram: exact +/-1 lines, a hand value, and the zero-variance null") {
+    val s = spark
+    import s.implicits._
+    // x2 = 2*x1 (r = 1), x3 = 10 - x1 (r = -1), x4 constant (undefined)
+    val rows = (1L to 9L).map(i => (1L, i, 2 * i, 10 - i, 4L))
+    val gram = Gram.gramMatrix(rows.toDF("x0", "x1", "x2", "x3", "x4"),
+      Seq("x0", "x1", "x2", "x3", "x4"))
+    val got = Gram.corrFromGram(gram).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got((1, 2)) == Some(1.0))
+    assert(got((1, 3)) == Some(-1.0))
+    assert(got((2, 3)) == Some(-1.0))
+    assert(got((1, 4)) == None && got((2, 4)) == None && got((3, 4)) == None)
+    // hand Pearson on a non-degenerate pair
+    val xs = Seq(1.0, 2.0, 4.0, 9.0); val ys = Seq(2.0, 1.0, 7.0, 8.0)
+    val g2 = Gram.gramMatrix(
+      xs.zip(ys).map { case (a, b) => (1L, a.toLong, b.toLong) }
+        .toDF("x0", "x1", "x2"), Seq("x0", "x1", "x2"))
+    val n = xs.size.toDouble
+    val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum -
+      xs.sum * ys.sum
+    val den = math.sqrt(n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+      math.sqrt(n * ys.map(b => b * b).sum - ys.sum * ys.sum)
+    val want = math.rint(num / den * 1e6) / 1e6
+    assert(math.abs(Gram.corrFromGram(g2).collect().head.getDouble(3)
+      - want) < 1e-9)
+  }
+
   test("guards: dimension cap, magnitude cap, singular system") {
     val s = spark
     import s.implicits._
