@@ -154,7 +154,7 @@ object Bench {
       // log-rank survival comparison; grouped conformal thresholds
       "q301_gram_normal_eq", "q302_chi2_features",
       "q303_logrank", "q304_conformal", "q305_grouped_percentiles",
-      "q306_mann_kendall", "q308_corr_matrix")
+      "q306_mann_kendall", "q308_corr_matrix", "q309_spearman")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

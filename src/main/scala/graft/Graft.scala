@@ -1406,4 +1406,10 @@ object Graft {
     */
   def corrFromGram(gram: DataFrame): DataFrame =
     rel.Gram.corrFromGram(gram)
+
+  /** Spearman rank correlation matrix over integer columns
+    * ([[rel.Gram.spearmanPairs]]).
+    */
+  def spearmanPairs(df: DataFrame, id: String, cols: Seq[String]): DataFrame =
+    rel.Gram.spearmanPairs(df, id, cols)
 }

@@ -156,7 +156,103 @@ object Gram {
       |        * 2654435761 % 2003) - 1001)), 0) AS BIGINT) AS x3
       |  FROM raw)""".stripMargin
 
+  /** SPEARMAN RANK CORRELATION MATRIX (Spearman 1904, average ranks on
+    * ties): ρ = Pearson over the rank transform, computed here as
+    * Pearson over DOUBLED average ranks (2·minrank + ties − 1 — an
+    * integer, so the gram stays exact; the 2× cancels in r). Ranks
+    * come from [[GlobalRank.byOrder]] — the range-partitioned rank
+    * decomposition, never an unpartitioned sort window — with
+    * per-value min-rank/tie-count joined back on the value. One rank
+    * pass per column, one id-keyed join each, then the [[gramMatrix]]
+    * → [[corrFromGram]] tail. Output: (i, j, n, rho_r6), i < j
+    * indexing `cols` 1-based.
+    */
+  def spearmanPairs(df: DataFrame, id: String, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 31, s"cols=${cols.size}")
+    val base = df.select(col(id).as("__sp_id") +:
+      cols.zipWithIndex.map { case (c, k) =>
+        col(c).cast("long").as(s"__v$k")
+      }: _*).localCheckpoint()
+    var acc: DataFrame = base.select(col("__sp_id"))
+    cols.indices.foreach { k =>
+      val ranked = GlobalRank.byOrder(
+        base.select(col("__sp_id"), col(s"__v$k")),
+        Seq(col(s"__v$k"), col("__sp_id")), out = "__rk")
+      val byVal = ranked.groupBy(col(s"__v$k"))
+        .agg(min(col("__rk")).as("__minrk"), count(lit(1)).as("__cnt"))
+      val r2 = ranked.join(byVal, s"__v$k")
+        .select(col("__sp_id"),
+          ((lit(2L) * col("__minrk")) + col("__cnt") - 1).as(s"__r$k"))
+      acc = acc.join(r2, "__sp_id")
+    }
+    val frame = acc.withColumn("__x0", lit(1L))
+    corrFromGram(gramMatrix(frame,
+      "__x0" +: cols.indices.map(k => s"__r$k")))
+      .withColumnRenamed("corr_r6", "rho_r6")
+  }
+
+  /** the q308/q309 oracle pair chain: Pearson selects over `xs` */
+  private def corrSelectsSql(xs: Int => String, from: String,
+      out: String): String = {
+    val pairs = Seq((1, 2), (1, 3), (2, 3))
+    pairs.map { case (i, j) =>
+      val (a, b) = (xs(i), xs(j))
+      s"""SELECT $i AS i, $j AS j, count(*) AS n,
+         |  CASE WHEN ((CAST(count(*) AS DOUBLE)
+         |        * CAST(sum(CAST($a * $a AS HUGEINT)) AS DOUBLE))
+         |      - (CAST(sum(CAST($a AS HUGEINT)) AS DOUBLE)
+         |        * CAST(sum(CAST($a AS HUGEINT)) AS DOUBLE))) <= 0.0
+         |    OR ((CAST(count(*) AS DOUBLE)
+         |        * CAST(sum(CAST($b * $b AS HUGEINT)) AS DOUBLE))
+         |      - (CAST(sum(CAST($b AS HUGEINT)) AS DOUBLE)
+         |        * CAST(sum(CAST($b AS HUGEINT)) AS DOUBLE))) <= 0.0
+         |  THEN NULL
+         |  ELSE round(((CAST(count(*) AS DOUBLE)
+         |      * CAST(sum(CAST($a * $b AS HUGEINT)) AS DOUBLE))
+         |    - (CAST(sum(CAST($a AS HUGEINT)) AS DOUBLE)
+         |      * CAST(sum(CAST($b AS HUGEINT)) AS DOUBLE)))
+         |    / (sqrt((CAST(count(*) AS DOUBLE)
+         |        * CAST(sum(CAST($a * $a AS HUGEINT)) AS DOUBLE))
+         |      - (CAST(sum(CAST($a AS HUGEINT)) AS DOUBLE)
+         |        * CAST(sum(CAST($a AS HUGEINT)) AS DOUBLE)))
+         |      * sqrt((CAST(count(*) AS DOUBLE)
+         |        * CAST(sum(CAST($b * $b AS HUGEINT)) AS DOUBLE))
+         |      - (CAST(sum(CAST($b AS HUGEINT)) AS DOUBLE)
+         |        * CAST(sum(CAST($b AS HUGEINT)) AS DOUBLE)))), 6)
+         |  END AS $out FROM $from""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q309: SPEARMAN RANK CORRELATION — the robust sibling of
+    //      q308 over the same feature pairs: doubled average ranks
+    //      (integers, ties handled exactly), then the identical
+    //      Pearson chain. Rank windows replay directly in SQL;
+    //      Spark's side rides the GlobalRank decomposition. ----
+    "q309_spearman" -> Q(
+      (s, d) => spearmanPairs(
+        graft.llm.Curation.scoreQualityModel(s, Tables.documents(s, d),
+            graft.llm.Curation.demoWeights(1024))
+          .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+            "doc_id")
+          .select(col("doc_id"), col("n_tokens").as("f1"),
+            col("n_chars").as("f2"), col("score_sum").as("f3")),
+        "doc_id", Seq("f1", "f2", "f3")),
+      Some {
+        s"""WITH $gramSqlT,
+           |r AS (SELECT
+           |    (2 * rank() OVER (ORDER BY x1))
+           |      + (count(*) OVER (PARTITION BY x1)) - 1 AS r1,
+           |    (2 * rank() OVER (ORDER BY x2))
+           |      + (count(*) OVER (PARTITION BY x2)) - 1 AS r2,
+           |    (2 * rank() OVER (ORDER BY x3))
+           |      + (count(*) OVER (PARTITION BY x3)) - 1 AS r3
+           |  FROM t)
+           |SELECT i, j, n, rho_r6
+           |FROM (${corrSelectsSql(k => s"r$k", "r", "rho_r6")})
+           |ORDER BY i, j""".stripMargin
+      }),
+
     // ---- q308: PEARSON CORRELATION MATRIX — every feature pair's r
     //      derived from the one-pass gram table (the corpus is touched
     //      once; the matrix is arithmetic over d(d+1)/2 rows). ----
@@ -164,34 +260,9 @@ object Gram {
       (s, d) => corrFromGram(
         gramMatrix(gramDemoFeatures(s, d), Seq("x0", "x1", "x2", "x3"))),
       Some {
-        val pairs = Seq((1, 2), (1, 3), (2, 3))
-        val selects = pairs.map { case (i, j) =>
-          s"""SELECT $i AS i, $j AS j, count(*) AS n,
-             |  CASE WHEN ((CAST(count(*) AS DOUBLE)
-             |        * CAST(sum(CAST(x$i * x$i AS HUGEINT)) AS DOUBLE))
-             |      - (CAST(sum(CAST(x$i AS HUGEINT)) AS DOUBLE)
-             |        * CAST(sum(CAST(x$i AS HUGEINT)) AS DOUBLE))) <= 0.0
-             |    OR ((CAST(count(*) AS DOUBLE)
-             |        * CAST(sum(CAST(x$j * x$j AS HUGEINT)) AS DOUBLE))
-             |      - (CAST(sum(CAST(x$j AS HUGEINT)) AS DOUBLE)
-             |        * CAST(sum(CAST(x$j AS HUGEINT)) AS DOUBLE))) <= 0.0
-             |  THEN NULL
-             |  ELSE round(((CAST(count(*) AS DOUBLE)
-             |      * CAST(sum(CAST(x$i * x$j AS HUGEINT)) AS DOUBLE))
-             |    - (CAST(sum(CAST(x$i AS HUGEINT)) AS DOUBLE)
-             |      * CAST(sum(CAST(x$j AS HUGEINT)) AS DOUBLE)))
-             |    / (sqrt((CAST(count(*) AS DOUBLE)
-             |        * CAST(sum(CAST(x$i * x$i AS HUGEINT)) AS DOUBLE))
-             |      - (CAST(sum(CAST(x$i AS HUGEINT)) AS DOUBLE)
-             |        * CAST(sum(CAST(x$i AS HUGEINT)) AS DOUBLE)))
-             |      * sqrt((CAST(count(*) AS DOUBLE)
-             |        * CAST(sum(CAST(x$j * x$j AS HUGEINT)) AS DOUBLE))
-             |      - (CAST(sum(CAST(x$j AS HUGEINT)) AS DOUBLE)
-             |        * CAST(sum(CAST(x$j AS HUGEINT)) AS DOUBLE)))), 6)
-             |  END AS corr_r6 FROM t""".stripMargin
-        }.mkString("\nUNION ALL\n")
         s"""WITH $gramSqlT
-           |SELECT i, j, n, corr_r6 FROM ($selects)
+           |SELECT i, j, n, corr_r6
+           |FROM (${corrSelectsSql(k => s"x$k", "t", "corr_r6")})
            |ORDER BY i, j""".stripMargin
       }),
 

@@ -77,6 +77,36 @@ class GramSpec extends SparkSpec {
       - want) < 1e-9)
   }
 
+  test("spearman: monotone-nonlinear pairs hit exactly +/-1; ties match the average-rank reference") {
+    val s = spark
+    import s.implicits._
+    // f2 = f1^3 (monotone, nonlinear -> rho = 1 while Pearson < 1);
+    // f3 reversed with TIES
+    val rows = Seq((1L, 1L, 1L, 9L), (2L, 2L, 8L, 7L), (3L, 3L, 27L, 7L),
+      (4L, 5L, 125L, 7L), (5L, 8L, 512L, 2L))
+    val got = Gram.spearmanPairs(rows.toDF("id", "f1", "f2", "f3"),
+      "id", Seq("f1", "f2", "f3")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(got((1, 2)) == 1.0)
+    // independent average-rank reference for the tied pair (f1, f3)
+    def avgRanks(xs: Seq[Long]): Seq[Double] = {
+      val sorted = xs.sorted.zipWithIndex
+      val byV = sorted.groupBy(_._1)
+        .map { case (v, g) => v -> g.map(_._2 + 1).sum.toDouble / g.size }
+      xs.map(byV)
+    }
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size.toDouble
+      val num = n * a.zip(b).map { case (x, y) => x * y }.sum - a.sum * b.sum
+      val den = math.sqrt(n * a.map(x => x * x).sum - a.sum * a.sum) *
+        math.sqrt(n * b.map(y => y * y).sum - b.sum * b.sum)
+      num / den
+    }
+    val want = pearson(avgRanks(rows.map(_._2)), avgRanks(rows.map(_._4)))
+    assert(math.abs(got((1, 3)) - math.rint(want * 1e6) / 1e6) < 1e-6)
+    assert(got((1, 3)) < 0)
+  }
+
   test("guards: dimension cap, magnitude cap, singular system") {
     val s = spark
     import s.implicits._
