@@ -235,7 +235,99 @@ object Robust {
         col("n_outliers"), mz.as("max_mz_r6"))
   }
 
+  /** WINSORIZED + TRIMMED MEANS per group (Tukey & McLaughlin 1963,
+    * "Less vulnerable confidence and significance procedures";
+    * winsorizing after Charles P. Winsor): the standard robust-metric
+    * pair over a heavy-tailed measure — clamp values outside the
+    * [loMilli, hiMilli] exact group quantiles (winsorize), or drop
+    * them (trim). The quantile bounds come from
+    * [[groupedExactQuantiles]] (the iterative histogram selection —
+    * quantile_disc rank convention, NO per-group sort), so the whole
+    * operator is two narrow histogram scans plus ONE clamp/filter
+    * pass; sums are exact integer cents through decimal(38,0) with a
+    * single IEEE division each.
+    *
+    * Output per group: (group, n, lo_cents, hi_cents, wins_mean_r6,
+    * n_trim, trim_mean_r6) — means in metric units (cents/100). The
+    * trim subset is value-based (v within the CLOSED quantile
+    * interval), matching the clamp convention exactly; it is never
+    * empty (both bounds are attained group values).
+    */
+  def winsorizedSummary(df: DataFrame, group: String, c: String,
+      loMilli: Long = 50L, hiMilli: Long = 950L): DataFrame = {
+    require(loMilli < hiMilli && loMilli >= 0 && hiMilli <= 1000,
+      s"winsorizedSummary: bad quantile bounds [$loMilli, $hiMilli]")
+    val vals = df.select(col(group).cast("string").as("g"),
+      col(c).cast("long").as("v"))
+    val bounds = groupedExactQuantiles(vals, "g", "v", Seq(loMilli, hiMilli))
+      .groupBy("g")
+      .agg(min(when(col("q_milli") === loMilli, col("value"))).as("lo"),
+        min(when(col("q_milli") === hiMilli, col("value"))).as("hi"),
+        min("n").as("n"))
+    val isIn = col("v") >= col("lo") && col("v") <= col("hi")
+    vals.join(broadcast(bounds), "g")
+      .groupBy("g")
+      .agg(min("n").as("n"), min("lo").as("lo"), min("hi").as("hi"),
+        sum(least(greatest(col("v"), col("lo")), col("hi"))
+          .cast("decimal(38,0)")).as("sw"),
+        sum(when(isIn, col("v")).otherwise(0L).cast("decimal(38,0)"))
+          .as("st"),
+        sum(when(isIn, 1L).otherwise(0L)).as("n_trim"))
+      .select(col("g").as(group), col("n"),
+        col("lo").as("lo_cents"), col("hi").as("hi_cents"),
+        round((col("sw").cast("double") / col("n").cast("double")) / 100.0, 6)
+          .as("wins_mean_r6"),
+        col("n_trim"),
+        round((col("st").cast("double") / col("n_trim").cast("double")) / 100.0,
+          6).as("trim_mean_r6"))
+      .orderBy(group)
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q313: WINSORIZED + TRIMMED MEANS of order totals per market
+    //      segment at the p05/p95 exact quantile bounds — the robust
+    //      revenue metric over heavy tails; the oracle replays the
+    //      quantile_disc rank convention via row_number and the same
+    //      clamp/filter chain. ----
+    "q313_winsorized" -> Q(
+      (s, d) => winsorizedSummary(
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("v")),
+        "seg", "v", 50L, 950L),
+      Some("""WITH c AS (SELECT c_mktsegment AS seg,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |rk AS (SELECT seg, v, row_number() OVER (
+             |    PARTITION BY seg ORDER BY v) AS rn FROM c),
+             |st AS (SELECT seg, count(*) AS n FROM c GROUP BY seg),
+             |q(q_milli) AS (VALUES (50), (950)),
+             |t AS (SELECT st.seg, q.q_milli, st.n,
+             |    ((q.q_milli * (st.n - 1)) // 1000) + 1 AS k
+             |  FROM st CROSS JOIN q),
+             |b AS (SELECT t.seg,
+             |    min(CASE WHEN t.q_milli = 50 THEN rk.v END) AS lo,
+             |    min(CASE WHEN t.q_milli = 950 THEN rk.v END) AS hi,
+             |    CAST(min(t.n) AS BIGINT) AS n
+             |  FROM t JOIN rk ON rk.seg = t.seg AND rk.rn = t.k
+             |  GROUP BY t.seg)
+             |SELECT c.seg AS seg, any_value(b.n) AS n,
+             |  any_value(b.lo) AS lo_cents, any_value(b.hi) AS hi_cents,
+             |  round((CAST(sum(CAST(least(greatest(c.v, b.lo), b.hi)
+             |        AS HUGEINT)) AS DOUBLE)
+             |      / CAST(any_value(b.n) AS DOUBLE)) / 100.0, 6)
+             |    AS wins_mean_r6,
+             |  CAST(sum(CASE WHEN c.v >= b.lo AND c.v <= b.hi
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_trim,
+             |  round((CAST(sum(CASE WHEN c.v >= b.lo AND c.v <= b.hi
+             |        THEN CAST(c.v AS HUGEINT) ELSE 0 END) AS DOUBLE)
+             |      / CAST(sum(CASE WHEN c.v >= b.lo AND c.v <= b.hi
+             |        THEN 1 ELSE 0 END) AS DOUBLE)) / 100.0, 6)
+             |    AS trim_mean_r6
+             |FROM c JOIN b ON c.seg = b.seg
+             |GROUP BY c.seg ORDER BY seg""".stripMargin)),
+
     // ---- q305: GROUPED EXACT PERCENTILES — p50/p90/p99 of line-item
     //      prices per return flag, every quantile of every group off
     //      ONE histogram pass; the oracle replays the exact rank

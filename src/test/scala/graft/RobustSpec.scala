@@ -108,4 +108,34 @@ class RobustSpec extends SparkSpec {
       Robust.conformalThresholds(gdf(scores), "g", "c", 0L)
     }
   }
+
+  test("winsorizedSummary matches hand clamp/trim at exact quantile bounds") {
+    // group a: 1..10 in cents*100 plus one huge outlier; p100/p900 of
+    // n=11 -> k = (q*(n-1))//1000 + 1 -> k_lo=2, k_hi=10
+    val rows = ((1L to 10L).map(i => ("a", i * 100L)) :+ ("a", 1000000L)) ++
+      (1L to 5L).map(i => ("b", i * 100L))
+    val got = Robust.winsorizedSummary(gdf(rows), "g", "c", 100L, 900L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def hand(xs: Seq[Long]) = {
+      val sorted = xs.sorted
+      val n = sorted.size
+      val lo = sorted(((100L * (n - 1)) / 1000L).toInt)
+      val hi = sorted(((900L * (n - 1)) / 1000L).toInt)
+      val wins = sorted.map(v => math.min(math.max(v, lo), hi))
+      val trim = sorted.filter(v => v >= lo && v <= hi)
+      (n.toLong, lo, hi, wins.sum.toDouble / n / 100.0,
+        trim.size.toLong, trim.sum.toDouble / trim.size / 100.0)
+    }
+    for ((g, xs) <- rows.groupBy(_._1)) {
+      val (n, lo, hi, wm, nt, tm) = hand(xs.map(_._2))
+      val r = got(g)
+      assert(r.getLong(1) == n && r.getLong(2) == lo && r.getLong(3) == hi,
+        s"group $g bounds")
+      assert(math.abs(r.getDouble(4) - wm) < 5e-7, s"group $g wins mean")
+      assert(r.getLong(5) == nt)
+      assert(math.abs(r.getDouble(6) - tm) < 5e-7, s"group $g trim mean")
+    }
+    // the outlier is clamped, not counted: group a trim excludes it
+    assert(got("a").getLong(5) == 9L)
+  }
 }
