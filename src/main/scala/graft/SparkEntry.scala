@@ -54,7 +54,8 @@ object SparkEntry {
       graft.llm.Rm3.all ++ graft.llm.Ql.all ++
       graft.rel.Experiment.all ++ graft.rel.Robust.all ++
       graft.rel.Survival.all ++ graft.rel.Gram.all ++
-      graft.llm.Features.all ++ graft.rel.Inference.all
+      graft.llm.Features.all ++ graft.rel.Inference.all ++
+      graft.graph.LinkPrediction.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
