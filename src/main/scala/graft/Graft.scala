@@ -1412,4 +1412,46 @@ object Graft {
     */
   def spearmanPairs(df: DataFrame, id: String, cols: Seq[String]): DataFrame =
     rel.Gram.spearmanPairs(df, id, cols)
+
+  /** Kruskal–Wallis H test across k groups, tie-corrected
+    * ([[rel.Inference.kruskalWallis]]).
+    */
+  def kruskalWallis(df: DataFrame, group: String, value: String): DataFrame =
+    rel.Inference.kruskalWallis(df, group, value)
+
+  /** Deterministic randomization-test p-values per test key
+    * ([[rel.Inference.permutationPValues]]).
+    */
+  def permutationPValues(df: DataFrame, test: Column, id: Column,
+      valueCents: Column, sideB: Column, reps: Int = 199): DataFrame =
+    rel.Inference.permutationPValues(df, test, id, valueCents, sideB, reps)
+
+  /** Benjamini–Hochberg step-up over exact-rational p-values
+    * ([[rel.Inference.bhStepUp]]).
+    */
+  def bhStepUp(tests: DataFrame, testCol: String, pNum: String,
+      pDen: String, alphaMilli: Long = 50L): DataFrame =
+    rel.Inference.bhStepUp(tests, testCol, pNum, pDen, alphaMilli)
+
+  /** Two-sample minimum-detectable-effect readout at α=0.05/power=0.80
+    * ([[rel.Inference.mdeTwoSample]]).
+    */
+  def mdeTwoSample(units: DataFrame, variant: String = "variant",
+      valueMilli: String = "y"): DataFrame =
+    rel.Inference.mdeTwoSample(units, variant, valueMilli)
+
+  /** Winsorized + trimmed means per group at exact quantile bounds
+    * ([[rel.Robust.winsorizedSummary]]).
+    */
+  def winsorizedSummary(df: DataFrame, group: String, c: String,
+      loMilli: Long = 50L, hiMilli: Long = 950L): DataFrame =
+    rel.Robust.winsorizedSummary(df, group, c, loMilli, hiMilli)
+
+  /** Link prediction: common-neighbor + resource-allocation scores for
+    * non-adjacent distance-2 pairs ([[graph.LinkPrediction
+    * .linkPredictionScores]]).
+    */
+  def linkPredictionScores(spark: SparkSession, edges: DataFrame,
+      degCap: Long = 4096L, topN: Int = 50): DataFrame =
+    graph.LinkPrediction.linkPredictionScores(spark, edges, degCap, topN)
 }

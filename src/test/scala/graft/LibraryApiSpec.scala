@@ -129,4 +129,30 @@ class LibraryApiSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
     assert(contEntry.subsetOf(cont), s"missing: ${contEntry -- cont}")
   }
+
+  test("round-11 inference facade methods agree with their entries") {
+    import org.apache.spark.sql.functions.{col, round => sqlRound}
+    val viaFacade = Graft.kruskalWallis(
+      Tables.orders(spark, d).select(col("o_orderpriority").as("g"),
+        sqlRound(col("o_totalprice") * 100, 0).cast("long").as("v")),
+      "g", "v").collect().map(_.toSeq).toSeq
+    val viaEntry = SparkEntry.queries("q310_kruskal_wallis")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFacade == viaEntry)
+    val wf = Graft.winsorizedSummary(
+      Tables.orders(spark, d)
+        .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          sqlRound(col("o_totalprice") * 100, 0).cast("long").as("v")),
+      "seg", "v").collect().map(_.toSeq).toSeq
+    val we = SparkEntry.queries("q313_winsorized")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(wf == we)
+    val lf = Graft.linkPredictionScores(spark, {
+      val s = spark
+      import s.implicits._
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    }).collect().map(_.toSeq).toSeq
+    assert(lf.size == 1 && lf.head(3) == 500000L)
+  }
 }
