@@ -154,7 +154,14 @@ object Bench {
       // log-rank survival comparison; grouped conformal thresholds
       "q301_gram_normal_eq", "q302_chi2_features",
       "q303_logrank", "q304_conformal", "q305_grouped_percentiles",
-      "q306_mann_kendall", "q308_corr_matrix", "q309_spearman")
+      "q306_mann_kendall", "q308_corr_matrix", "q309_spearman",
+      // round-11 final stretch: the k-group rank test, the 199-rep
+      // randomization family under BH (the map-side R-way expansion,
+      // same cost class as q291), winsorized means over the grouped
+      // selection, link prediction's wedge space, 4-round HITS
+      // (q311 stays out — it is a strict subset of q312's family)
+      "q310_kruskal_wallis", "q312_bh_fdr", "q313_winsorized",
+      "q315_link_prediction", "q316_hits")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
