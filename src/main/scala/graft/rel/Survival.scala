@@ -70,6 +70,53 @@ object Survival {
       .orderBy("t")
   }
 
+  /** NELSON–AALEN cumulative hazard (Nelson 1972, Aalen 1978) over the
+    * same (duration, event) unit rows as [[kaplanMeier]]:
+    *
+    *   H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ,   Var(H(t)) = Σ_{tᵢ ≤ t} dᵢ/nᵢ²,
+    *
+    * plus the Fleming–Harrington survival transform S̃(t) = exp(−H(t))
+    * — the hazard-side companion the KM curve's product form hides
+    * (cumulative hazard is the quantity additive across time and
+    * comparable across cohorts). Counts are exact integers from the
+    * same one hash aggregation; each term is one fixed IEEE chain and
+    * both running sums ride the ORDER-PINNED cumulative window (the
+    * q300 rule), so the oracle replays bit-for-bit. Same domain-bounded
+    * window shape as [[kaplanMeier]] — distinct (calendar-granular)
+    * durations only.
+    *
+    * Output per distinct duration, ordered:
+    * (t, n_risk, d_events, cumhaz_r6, var_r6, fh_surv_r6).
+    */
+  def nelsonAalen(df: DataFrame, duration: String = "t",
+      event: String = "e"): DataFrame = {
+    val e0 = col(event).cast("long")
+    val e = when(e0 === 1L, 1L).when(e0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("nelsonAalen: event must be 0 (censored) or 1 (observed): "),
+        e0.cast("string"))))
+    val base = df.select(col(duration).cast("long").as("t"), e.as("e"))
+    val tot = base.agg(count(lit(1)).as("n_total"))
+    val per = base.groupBy("t")
+      .agg(count(lit(1)).as("leaving"), sum(col("e")).as("d"))
+    val wPrev = Window.orderBy("t").rowsBetween(Long.MinValue, -1)
+    val wCum = Window.orderBy("t").rowsBetween(Long.MinValue, 0)
+    per.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("leaving")).over(wPrev), lit(0L)))
+      .withColumn("cumhaz", sum(
+        col("d").cast("double") / col("n_risk").cast("double")).over(wCum))
+      .withColumn("cumvar", sum(
+        col("d").cast("double") /
+          (col("n_risk").cast("double") * col("n_risk").cast("double")))
+        .over(wCum))
+      .select(col("t"), col("n_risk"), col("d").as("d_events"),
+        round(col("cumhaz"), 6).as("cumhaz_r6"),
+        round(col("cumvar"), 6).as("var_r6"),
+        round(exp(-col("cumhaz")), 6).as("fh_surv_r6"))
+      .orderBy("t")
+  }
+
   /** χ²₀.₀₅, df = 1 — the two-group log-rank significance line. */
   private val Chi2Crit1df = 3.841458820694124
 
@@ -190,6 +237,56 @@ object Survival {
              |  CAST(n_censored AS BIGINT) AS n_censored,
              |  CASE WHEN dead = 1 THEN 0.0
              |    ELSE round(exp(cl), 6) END AS surv_r6
+             |FROM s ORDER BY t""".stripMargin)),
+
+    // ---- q317: NELSON-AALEN cumulative hazard on the q300 fixture —
+    //      the additive hazard-side reading of the same retention
+    //      data, with the Fleming-Harrington survival transform. ----
+    "q317_nelson_aalen" -> Q(
+      (s, d) => {
+        val lastP = max(when(col("event_type") === "purchase", col("ts")))
+        nelsonAalen(
+          Tables.events(s, d)
+            .groupBy(col("user_id"))
+            .agg(
+              datediff(to_date(lastP), to_date(min(col("ts"))))
+                .cast("long").as("t"),
+              when(lastP <= lit("2024-01-24").cast("timestamp"), 1L)
+                .otherwise(0L).as("e"))
+            .filter(col("t").isNotNull),
+          "t", "e")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+             |      CAST(max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |        AS DATE)) AS BIGINT) AS t,
+             |    CASE WHEN max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |        <= TIMESTAMP '2024-01-24 00:00:00'
+             |      THEN 1 ELSE 0 END AS e
+             |  FROM events GROUP BY user_id
+             |  HAVING max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |    IS NOT NULL),
+             |tot AS (SELECT count(*) AS n_total FROM u),
+             |per AS (SELECT t, count(*) AS leaving, sum(e) AS d
+             |  FROM u GROUP BY t),
+             |k AS (SELECT t, leaving, d,
+             |    (SELECT n_total FROM tot) - coalesce(sum(leaving) OVER (
+             |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS n_risk
+             |  FROM per),
+             |s AS (SELECT t, n_risk, d,
+             |    sum(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+             |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND CURRENT ROW) AS ch,
+             |    sum(CAST(d AS DOUBLE)
+             |        / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+             |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND CURRENT ROW) AS cv
+             |  FROM k)
+             |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(d AS BIGINT) AS d_events,
+             |  round(ch, 6) AS cumhaz_r6, round(cv, 6) AS var_r6,
+             |  round(exp(-ch), 6) AS fh_surv_r6
              |FROM s ORDER BY t""".stripMargin)),
 
     // ---- q303: LOG-RANK TEST — do even- and odd-id users churn from

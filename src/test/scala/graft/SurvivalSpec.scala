@@ -115,4 +115,28 @@ class SurvivalSpec extends SparkSpec {
       Survival.logRank(gdf(Seq((1L, 1L, 2L)))).collect()
     }
   }
+
+  test("nelson-aalen hand case: hazard terms accumulate d/n and d/n^2") {
+    val s = spark
+    import s.implicits._
+    // units: death@1, death@2, censor@3, death@4
+    // t=1: n=4 d=1 -> H=1/4, V=1/16; t=2: n=3 d=1 -> H+=1/3, V+=1/9;
+    // t=3: censor only; t=4: n=1 d=1 -> H+=1, V+=1
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 1L)).toDF("t", "e")
+    val got = Survival.nelsonAalen(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L)._1 == 4 && got(1L)._2 == 1)
+    assert(got(1L)._3 == 0.25 && got(1L)._4 == 0.0625)
+    assert(got(2L)._3 == r6(0.25 + 1.0 / 3) &&
+      got(2L)._4 == r6(0.0625 + 1.0 / 9))
+    assert(got(3L)._2 == 0 && got(3L)._3 == got(2L)._3)
+    assert(got(4L)._3 == r6(0.25 + 1.0 / 3 + 1.0))
+    assert(got(4L)._5 == r6(math.exp(-(0.25 + 1.0 / 3 + 1.0))))
+    // NA cumulative hazard never exceeds -ln(KM) termwise identity
+    // check at the first event: exp(-1/4) >= 1 - 1/4
+    assert(got(1L)._5 >= 0.75)
+  }
 }
