@@ -161,7 +161,10 @@ object Bench {
       // selection, link prediction's wedge space, 4-round HITS
       // (q311 stays out — it is a strict subset of q312's family)
       "q310_kruskal_wallis", "q312_bh_fdr", "q313_winsorized",
-      "q315_link_prediction", "q316_hits")
+      "q315_link_prediction", "q316_hits",
+      // cumulative-hazard scan; exact 2^k Shapley coalition expansion;
+      // scaled-integer ACF (q320 Ljung-Box rides the same acfRaw core)
+      "q317_nelson_aalen", "q318_shapley_attribution", "q319_acf")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

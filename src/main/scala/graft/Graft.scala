@@ -1454,4 +1454,40 @@ object Graft {
   def linkPredictionScores(spark: SparkSession, edges: DataFrame,
       degCap: Long = 4096L, topN: Int = 50): DataFrame =
     graph.LinkPrediction.linkPredictionScores(spark, edges, degCap, topN)
+
+  /** HITS hubs/authorities on directed (u, v) edges, fixed-point
+    * integers with max-norm renormalization per half-step
+    * ([[graph.Hits.hitsFixedPoint]]).
+    */
+  def hitsFixedPoint(spark: SparkSession, edges: DataFrame,
+      iters: Int = 4): DataFrame =
+    graph.Hits.hitsFixedPoint(spark, edges, iters)
+
+  /** Nelson–Aalen cumulative hazard + Fleming–Harrington survival
+    * transform under right-censoring ([[rel.Survival.nelsonAalen]]).
+    */
+  def nelsonAalen(df: DataFrame, duration: String = "t",
+      event: String = "e"): DataFrame =
+    rel.Survival.nelsonAalen(df, duration, event)
+
+  /** Exact Shapley-value channel attribution over per-user exposure
+    * coalitions, k ≤ 8 channels ([[rel.Shapley.shapleyAttribution]]).
+    */
+  def shapleyAttribution(events: DataFrame, channels: Seq[String],
+      convType: String, userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame =
+    rel.Shapley.shapleyAttribution(events, channels, convType, userCol, typeCol)
+
+  /** Exact per-lag autocorrelation of one integer series keyed by a
+    * long time index ([[rel.Series.acfExact]]).
+    */
+  def acfExact(df: DataFrame, ord: String, value: String,
+      maxLag: Int): DataFrame =
+    rel.Series.acfExact(df, ord, value, maxLag)
+
+  /** Ljung–Box white-noise portmanteau test at lag depth h over a
+    * regular complete series ([[rel.Series.ljungBox]]).
+    */
+  def ljungBox(df: DataFrame, ord: String, value: String, h: Int): DataFrame =
+    rel.Series.ljungBox(df, ord, value, h)
 }

@@ -57,7 +57,7 @@ object Inference {
   private val Z80 = 0.8416212335729143
 
   /** χ²₀.₀₅ critical values, df = 1..10 (the q295 literals) */
-  private val Chi2Crit05: Array[Double] = Array(
+  private[rel] val Chi2Crit05: Array[Double] = Array(
     3.841458820694124, 5.991464547107979, 7.814727903251179,
     9.487729036781154, 11.070497693516351, 12.591587243743977,
     14.067140449340169, 15.50731305586545, 16.918977604620448,

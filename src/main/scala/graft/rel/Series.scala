@@ -111,6 +111,118 @@ object Series {
       }(Encoders.row(outSchema))
   }
 
+  /** Per-lag AUTOCORRELATION FUNCTION (Box & Jenkins 1970, "Time
+    * Series Analysis") of ONE integer series keyed by a long time
+    * index — the diagnostic a forecasting pipeline reads before
+    * choosing its model order (is yesterday predictive? is there a
+    * weekly echo at lag 7?).
+    *
+    *   r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * Exactness: both sums are computed on SCALED integer deviations
+    * n·x_t − S (the q273 quantization — multiplying through by n
+    * clears the mean's division), carried as decimal(38,0) so products
+    * near 10²² stay exact; the n² scale factor cancels in the ratio,
+    * whose ONE double division is the output. The oracle replays the
+    * identical integers in HUGEINT. Zero-variance series → null acf.
+    * Pairs are matched by t+k EQUALITY, so a gap in the series drops
+    * exactly the same pairs in both engines.
+    *
+    * Scale shape: the series is an AGGREGATE keyed by calendar time —
+    * domain-bounded (the Distribution.scala adjudication), so every
+    * join here is on a tiny table and broadcast; the 100 TB cost is
+    * the one hash aggregation that produces the series, which the
+    * caller owns. The series is localCheckpointed once so the three
+    * consumers (mean, denominator, lag pairs) don't re-run that
+    * upstream aggregation.
+    */
+  def acfExact(df: DataFrame, ord: String, value: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"acfExact: maxLag must be >= 0: $maxLag")
+    acfRaw(df, ord, value, maxLag)
+      .select(col("lag"), col("n_pairs"), col("n"),
+        round(col("r"), 6).as("acf_r6"))
+      .orderBy("lag")
+  }
+
+  /** LJUNG–BOX portmanteau test (Ljung & Box 1978, Biometrika) — "is
+    * this series white noise?", the one-number readout over the first
+    * h autocorrelations:
+    *
+    *   Q = n(n+2) Σ_{k=1..h} r_k² / (n−k)   ~   χ²_h under H₀.
+    *
+    * Rides [[acfExact]]'s exact-integer r_k numerators/denominator;
+    * each term is one fixed IEEE chain and the sum over k RIDES THE
+    * ORDER-PINNED cumulative window over the h-row lag table (the
+    * q300 rule). The formula's n−k presumes a REGULAR COMPLETE series
+    * — enforced loudly: any lag whose pair count differs from n−k
+    * raises rather than returning a silently-miscalibrated statistic.
+    * Output one row: (h, n, q_r6, significant) against χ²₀.₀₅(h).
+    */
+  def ljungBox(df: DataFrame, ord: String, value: String, h: Int): DataFrame = {
+    require(h >= 1 && h <= Inference.Chi2Crit05.length,
+      s"ljungBox: 1 <= h <= ${Inference.Chi2Crit05.length}: $h")
+    val crit = Inference.Chi2Crit05(h - 1)
+    val r = acfRaw(df, ord, value, h).filter(col("lag") >= 1)
+      .withColumn("ok", when(col("n_pairs") === col("n") - col("lag"),
+        lit(1L)).otherwise(raise_error(concat(
+          lit("ljungBox: series is not regular/complete at lag "),
+          col("lag").cast("string")))))
+    val nD = col("n").cast("double")
+    val term = (col("r") * col("r")) / (nD - col("lag").cast("double"))
+    val wCum = Window.orderBy("lag").rowsBetween(Long.MinValue, 0)
+    r.withColumn("cum", sum(term * col("ok").cast("double")).over(wCum))
+      .agg(max(struct(col("lag"), col("n"), col("cum"))).as("last"))
+      // a lag with ZERO pairs (h >= series length) never reaches the
+      // n_pairs guard above — it has no row at all. Catch it here: the
+      // last surviving lag must be h itself, else Q silently dropped
+      // terms.
+      .select(when(col("last.lag") === h.toLong, lit(h.toLong))
+          .otherwise(raise_error(concat(
+            lit(s"ljungBox: series too short for h = $h (last lag with "
+              + "pairs: "), col("last.lag").cast("string"), lit(")"))))
+          .as("h"),
+        col("last.n").as("n"),
+        round(col("last.n").cast("double") * (col("last.n").cast("double") + 2.0)
+          * col("last.cum"), 6).as("q_r6"))
+      .withColumn("significant", col("q_r6") > lit(crit))
+  }
+
+  /** The shared ACF core with the UNROUNDED ratio column `r` — the
+    * Ljung–Box terms must square the full-precision autocorrelation,
+    * not the 6-rounded display value. Zero-variance series → null r
+    * (an explicit guard: a double 0/0 would be NaN, not null, and the
+    * two engines disagree on NaN rendering).
+    */
+  private def acfRaw(df: DataFrame, ord: String, value: String,
+      maxLag: Int): DataFrame = {
+    val ser = df.select(col(ord).cast("long").as("t"),
+      col(value).cast("long").as("x")).localCheckpoint(true)
+    val tot = ser.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(20,0)")).as("sx"))
+    val dev = ser.crossJoin(broadcast(tot))
+      .select(col("t"),
+        (col("x").cast("decimal(20,0)") * col("n") - col("sx")).as("dev"),
+        col("n"))
+      .localCheckpoint(true)
+    val den = dev.agg(sum(col("dev") * col("dev")).as("den"),
+      max(col("n")).as("n"))
+    val lags = ser.sparkSession.range(0L, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val a = dev.select(col("t"), col("dev"))
+    val b = dev.select(col("t").as("t2"), col("dev").as("dev2"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("t2") === col("t") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dev") * col("dev2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"), col("n"),
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") / col("den").cast("double"))
+          .as("r"))
+  }
+
   /** Daily value totals per user in integer cents — the shared series
     * both entries smooth/score. Exact: per-event round to cents, then
     * integer sums.
@@ -125,6 +237,22 @@ object Series {
       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS daily_cents
       |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** Global (all-user) daily revenue in integer cents keyed by epoch
+    * day — the single regular series the ACF/Ljung–Box entries read.
+    */
+  private def globalDailyCents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .select(unix_date(col("day")).cast("long").as("t"), col("cents"))
+
+  private val globalDailySql =
+    """g AS (
+      |  SELECT CAST(CAST(date_trunc('day', ts) AS DATE)
+      |      - DATE '1970-01-01' AS BIGINT) AS t,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS x
+      |  FROM events GROUP BY 1)""".stripMargin
 
   /** Trailing-window LOWER MEDIAN (exact, integer): sort the window's
     * values and take element (n+1) div 2 (1-based) — no interpolation,
@@ -352,5 +480,60 @@ object Series {
          |  FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
          |SELECT user_id, day, daily_cents, level, trend
          |FROM r ORDER BY user_id, day""".stripMargin)),
+
+    // ---- q319: AUTOCORRELATION FUNCTION of the global daily-revenue
+    //      series at lags 0..10 — the model-order diagnostic (lag-0
+    //      pins 1.0 as the sanity anchor). Scaled-integer deviations
+    //      n·x−S in decimal(38,0) / HUGEINT; the one double division
+    //      per lag is the output. The series is calendar-bounded (30
+    //      rows); the 100 TB cost is the one events aggregation. ----
+    "q319_acf" -> Q(
+      (s, d) => acfExact(globalDailyCents(s, d), "t", "cents", maxLag = 10),
+      Some(s"""WITH $globalDailySql,
+         |tot AS (SELECT count(*) AS n, sum(x) AS sx FROM g),
+         |dv AS (SELECT t, CAST(tot.n AS HUGEINT) * x - tot.sx AS dev,
+         |    tot.n AS n FROM g, tot),
+         |den AS (SELECT sum(dev * dev) AS den, max(n) AS n FROM dv),
+         |lags AS (SELECT CAST(unnest(generate_series(0, 10)) AS BIGINT) AS lag),
+         |p AS (SELECT l.lag, count(*) AS n_pairs, sum(a.dev * b.dev) AS num
+         |  FROM dv a CROSS JOIN lags l JOIN dv b ON b.t = a.t + l.lag
+         |  GROUP BY l.lag)
+         |SELECT p.lag AS lag, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(den.n AS BIGINT) AS n,
+         |  CASE WHEN den.den = 0 THEN NULL
+         |    ELSE round(CAST(p.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6)
+         |  END AS acf_r6
+         |FROM p, den ORDER BY lag""".stripMargin)),
+
+    // ---- q320: LJUNG-BOX white-noise test at h=10 over the same
+    //      series — per-lag terms off the identical exact integers,
+    //      the lag sum order-pinned (the q300 rule), χ²₀.₀₅(10)
+    //      literal. The n−k calibration is guarded: a gappy series
+    //      raises loudly instead of mis-stating Q. ----
+    "q320_ljung_box" -> Q(
+      (s, d) => ljungBox(globalDailyCents(s, d), "t", "cents", h = 10),
+      Some(s"""WITH $globalDailySql,
+         |tot AS (SELECT count(*) AS n, sum(x) AS sx FROM g),
+         |dv AS (SELECT t, CAST(tot.n AS HUGEINT) * x - tot.sx AS dev,
+         |    tot.n AS n FROM g, tot),
+         |den AS (SELECT sum(dev * dev) AS den, max(n) AS n FROM dv),
+         |lags AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS lag),
+         |p AS (SELECT l.lag, sum(a.dev * b.dev) AS num
+         |  FROM dv a CROSS JOIN lags l JOIN dv b ON b.t = a.t + l.lag
+         |  GROUP BY l.lag),
+         |r AS (SELECT p.lag, den.n,
+         |    CAST(p.num AS DOUBLE) / CAST(den.den AS DOUBLE) AS r
+         |  FROM p, den),
+         |c AS (SELECT lag, n, sum((r * r)
+         |      / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)))
+         |    OVER (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS cum
+         |  FROM r)
+         |SELECT CAST(10 AS BIGINT) AS h, CAST(n AS BIGINT) AS n,
+         |  round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * cum, 6)
+         |    AS q_r6,
+         |  round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * cum, 6)
+         |    > 18.307038053275146 AS significant
+         |FROM c WHERE lag = 10""".stripMargin)),
   )
 }

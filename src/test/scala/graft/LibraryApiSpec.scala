@@ -155,4 +155,44 @@ class LibraryApiSpec extends SparkSpec {
     }).collect().map(_.toSeq).toSeq
     assert(lf.size == 1 && lf.head(3) == 500000L)
   }
+
+  test("round-11 continuation facade methods agree with their entries") {
+    import org.apache.spark.sql.functions.{col, round => sqlRound}
+    val s = spark
+    import s.implicits._
+    // acf + ljung-box over the q319/q320 global daily revenue series
+    val daily = Tables.events(spark, d)
+      .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(sum(sqlRound(col("value") * 100, 0).cast("long")).as("cents"))
+      .select(unix_date(col("day")).cast("long").as("t"), col("cents"))
+    val af = Graft.acfExact(daily, "t", "cents", 10).collect().map(_.toSeq).toSeq
+    val ae = SparkEntry.queries("q319_acf")(spark, d).collect().map(_.toSeq).toSeq
+    assert(af == ae)
+    val jf = Graft.ljungBox(daily, "t", "cents", 10).collect().map(_.toSeq).toSeq
+    val je = SparkEntry.queries("q320_ljung_box")(spark, d).collect().map(_.toSeq).toSeq
+    assert(jf == je)
+    // nelson-aalen on the q317 retention fixture
+    val lastP = max(when(col("event_type") === "purchase", col("ts")))
+    val units = Tables.events(spark, d).groupBy(col("user_id"))
+      .agg(datediff(to_date(lastP), to_date(min(col("ts")))).cast("long").as("t"),
+        when(lastP <= lit("2024-01-24").cast("timestamp"), 1L)
+          .otherwise(0L).as("e"))
+      .filter(col("t").isNotNull)
+    val nf = Graft.nelsonAalen(units).collect().map(_.toSeq).toSeq
+    val ne = SparkEntry.queries("q317_nelson_aalen")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(nf == ne)
+    // hits on the analytic co-endorsement star: 1->2, 3->2 — node 2 is
+    // the sole authority, 1 and 3 tie as hubs at full scale
+    val hg = Graft.hitsFixedPoint(spark, Seq((1L, 2L), (3L, 2L)).toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hg(2L) == ((0L, graft.graph.Hits.Scale)))
+    assert(hg(1L) == ((graft.graph.Hits.Scale, 0L)) && hg(1L) == hg(3L))
+    // shapley with one channel: phi = the exposed conversion rate
+    val ev = Seq((1L, "a"), (1L, "buy"), (2L, "a"))
+      .toDF("user_id", "event_type")
+    val sh = Graft.shapleyAttribution(ev, Seq("a"), "buy").collect()
+    assert(sh.length == 1 && sh.head.getString(0) == "a"
+      && sh.head.getLong(1) == 500000L && sh.head.getDouble(2) == 0.5)
+  }
 }

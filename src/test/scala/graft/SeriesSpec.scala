@@ -92,4 +92,69 @@ class SeriesSpec extends SparkSpec {
     val exchanges = "(?m)^\\s*\\+?-? ?Exchange ".r.findAllIn(plan).length
     assert(exchanges == 1, s"plan:\n$plan")
   }
+
+  private def acfOf(rows: Seq[(Long, Long)], maxLag: Int)
+      : Map[Long, (Long, Option[Double])] = {
+    val s = spark
+    import s.implicits._
+    Series.acfExact(rows.toDF("t", "x"), "t", "x", maxLag)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+  }
+
+  test("acf: hand case 1,2,3,4 — lag0 pins 1.0, hand ratios at 1..3") {
+    // dev (scaled by n=4): -6,-2,2,6; den=80; num1=20, num2=-24, num3=-36
+    val got = acfOf(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)), 3)
+    assert(got(0L) == ((4L, Some(1.0))))
+    assert(got(1L) == ((3L, Some(0.25))))
+    assert(got(2L) == ((2L, Some(-0.3))))
+    assert(got(3L) == ((1L, Some(-0.45))))
+  }
+
+  test("acf: zero-variance series yields null, not NaN") {
+    val got = acfOf(Seq((0L, 5L), (1L, 5L), (2L, 5L)), 1)
+    assert(got(0L)._2.isEmpty && got(1L)._2.isEmpty)
+  }
+
+  test("acf: a gap drops exactly the unmatched pairs") {
+    // t = 0,1,3: lag-1 pairs only (0,1); lag-2 pairs only (1,3)
+    val got = acfOf(Seq((0L, 1L), (1L, 4L), (3L, 9L)), 2)
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L)
+  }
+
+  test("ljung-box: hand replay on 1,2,3,4,5,6 at h=2") {
+    val s = spark
+    import s.implicits._
+    // n=6, dev(x6): -15,-9,-3,3,9,15; den=630
+    // num1 = 135+27-9+27+135 = 315 -> r1 = 0.5
+    // num2 = 45-27+(-27)+45 = ... (-15)(-3)+(-9)(3)+(-3)(9)+(3)(15) = 45-27-27+45 = 36 -> r2 = 36/630
+    val df = (1L to 6L).map(i => (i - 1, i)).toDF("t", "x")
+    val out = Series.ljungBox(df, "t", "x", h = 2).collect()
+    assert(out.length == 1)
+    val r1 = 315.0 / 630.0; val r2 = 36.0 / 630.0
+    val q = 6.0 * 8.0 * (r1 * r1 / 5.0 + r2 * r2 / 4.0)
+    val exp = BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getLong(0) == 2L && out.head.getLong(1) == 6L)
+    assert(out.head.getDouble(2) == exp, s"got ${out.head.getDouble(2)} want $exp")
+    assert(!out.head.getBoolean(3)) // 2.4455 < 5.99
+  }
+
+  test("ljung-box: a gappy series raises loudly (n-k calibration)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, 1L), (1L, 4L), (3L, 9L), (4L, 2L)).toDF("t", "x")
+    val e = intercept[Exception](Series.ljungBox(df, "t", "x", h = 1).collect())
+    assert(e.getMessage != null && e.getMessage.contains("not regular"),
+      e.getMessage)
+  }
+
+  test("ljung-box: h beyond the series length raises instead of dropping terms") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, 1L), (1L, 4L), (2L, 9L)).toDF("t", "x")
+    val e = intercept[Exception](Series.ljungBox(df, "t", "x", h = 5).collect())
+    assert(e.getMessage != null && e.getMessage.contains("too short"),
+      e.getMessage)
+  }
 }
