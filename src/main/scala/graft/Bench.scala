@@ -163,8 +163,10 @@ object Bench {
       "q310_kruskal_wallis", "q312_bh_fdr", "q313_winsorized",
       "q315_link_prediction", "q316_hits",
       // cumulative-hazard scan; exact 2^k Shapley coalition expansion;
-      // scaled-integer ACF (q320 Ljung-Box rides the same acfRaw core)
-      "q317_nelson_aalen", "q318_shapley_attribution", "q319_acf")
+      // scaled-integer ACF (q320 Ljung-Box rides the same acfRaw core);
+      // Markov removal-effect absorption (one journey-window shuffle)
+      "q317_nelson_aalen", "q318_shapley_attribution", "q319_acf",
+      "q321_markov_attribution")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

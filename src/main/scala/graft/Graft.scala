@@ -1490,4 +1490,13 @@ object Graft {
     */
   def ljungBox(df: DataFrame, ord: String, value: String, h: Int): DataFrame =
     rel.Series.ljungBox(df, ord, value, h)
+
+  /** Markov-chain removal-effect attribution over per-user journeys,
+    * fixed-horizon integer absorption
+    * ([[rel.Attribution.markovRemovalEffects]]).
+    */
+  def markovRemovalEffects(events: DataFrame, channels: Seq[String],
+      convType: String, iters: Int = 8): DataFrame =
+    rel.Attribution.markovRemovalEffects(events, channels, convType,
+      iters = iters)
 }

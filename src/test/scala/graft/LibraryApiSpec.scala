@@ -194,5 +194,12 @@ class LibraryApiSpec extends SparkSpec {
     val sh = Graft.shapleyAttribution(ev, Seq("a"), "buy").collect()
     assert(sh.length == 1 && sh.head.getString(0) == "a"
       && sh.head.getLong(1) == 500000L && sh.head.getDouble(2) == 0.5)
+    // markov removal effects agree with the q321 entry
+    val mf = Graft.markovRemovalEffects(Tables.events(spark, d),
+      Seq("view", "click", "signup", "error"), "purchase")
+      .collect().map(_.toSeq).toSeq
+    val me = SparkEntry.queries("q321_markov_attribution")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(mf == me)
   }
 }
