@@ -166,7 +166,9 @@ object Bench {
       // scaled-integer ACF (q320 Ljung-Box rides the same acfRaw core);
       // Markov removal-effect absorption (one journey-window shuffle)
       "q317_nelson_aalen", "q318_shapley_attribution", "q319_acf",
-      "q321_markov_attribution")
+      "q321_markov_attribution",
+      // broadcast eval-gram collision audit over the documents corpus
+      "q322_decontamination")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

@@ -1499,4 +1499,13 @@ object Graft {
       convType: String, iters: Int = 8): DataFrame =
     rel.Attribution.markovRemovalEffects(events, channels, convType,
       iters = iters)
+
+  /** Eval-set decontamination audit: train docs sharing any word
+    * n-gram with a broadcast eval set
+    * ([[llm.Decontam.contaminationAudit]]).
+    */
+  def contaminationAudit(spark: SparkSession, train: DataFrame,
+      eval: DataFrame, n: Int, id: String = "id",
+      text: String = "text"): DataFrame =
+    llm.Decontam.contaminationAudit(spark, train, eval, n, id, text)
 }

@@ -56,7 +56,8 @@ object SparkEntry {
       graft.rel.Survival.all ++ graft.rel.Gram.all ++
       graft.llm.Features.all ++ graft.rel.Inference.all ++
       graft.graph.LinkPrediction.all ++ graft.graph.Hits.all ++
-      graft.rel.Shapley.all ++ graft.rel.Attribution.all
+      graft.rel.Shapley.all ++ graft.rel.Attribution.all ++
+      graft.llm.Decontam.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** TRAINING-DATA DECONTAMINATION — the n-gram collision audit between
+  * a training corpus and a held-out evaluation set (the procedure of
+  * Brown et al. 2020, GPT-3 appendix C, and Chowdhery et al. 2022,
+  * PaLM §8: a train document sharing any length-n word gram with an
+  * eval document is flagged, because benchmark leakage inflates every
+  * downstream score it touches).
+  *
+  * Grams are exact word n-grams over the house tokenization
+  * (trim → lower → split on whitespace), kept as STRINGS — the flag
+  * must be explainable (the colliding gram is part of the report), so
+  * no hashing on this path. Documents shorter than n words carry no
+  * grams (an explicit guard: Spark's `sequence` auto-selects step −1
+  * when the upper bound dips below the lower — the q264 LangId lesson
+  * — where the oracle's `range` is simply empty).
+  *
+  * Scale shape: eval sets are benchmark-sized (thousands of docs, a
+  * few million grams) while the train side is the 100 TB corpus — so
+  * the eval gram table is BROADCAST and the train side streams through
+  * a map-side hash join with no shuffle of train grams at all; the one
+  * wide operation is the per-doc aggregation of the (rare) hits.
+  * The caller owns keeping `eval` broadcast-sized; a corpus-scale
+  * right side belongs in [[Dedup.jaccardPairs]]' shuffle machinery
+  * instead.
+  */
+object Decontam {
+
+  /** Word n-grams of `text` as distinct strings — empty below n
+    * tokens.
+    */
+  private def gramsOf(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val gram = (i: Column) => concat_ws(" ",
+      (0 until n).map(j => element_at(toks, i + lit(j))): _*)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)), gram)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Contamination report: one row per train doc sharing ≥ 1 word
+    * n-gram with any eval doc — (id, grams_hit, eval_docs_hit,
+    * top_gram), ordered by id, where top_gram is the lexicographically
+    * first colliding gram (the deterministic exhibit for the report).
+    */
+  def contaminationAudit(s: SparkSession, train: DataFrame, eval: DataFrame,
+      n: Int, id: String = "id", text: String = "text"): DataFrame = {
+    require(n >= 2 && n <= 32, s"contaminationAudit: 2 <= n <= 32: $n")
+    val tg = train.select(col(id), explode(gramsOf(col(text), n)).as("g"))
+    val eg = eval.select(col(id).as("eid"),
+      explode(gramsOf(col(text), n)).as("g"))
+    tg.join(broadcast(eg), "g")
+      .groupBy(col(id))
+      .agg(countDistinct(col("g")).as("grams_hit"),
+        countDistinct(col("eid")).as("eval_docs_hit"),
+        min(col("g")).as("top_gram"))
+      .orderBy(col(id))
+  }
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q322: DECONTAMINATION AUDIT of the documents corpus — the
+    //      held-out eval set is the deterministic doc_id % 13 == 0
+    //      slice (the planted near-dup groups straddle it, so the
+    //      audit has real positives); 4-word grams over the house
+    //      tokenization; eval grams broadcast. ----
+    "q322_decontamination" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("text"))
+        contaminationAudit(s,
+          docs.filter(col("id") % 13 =!= 0),
+          docs.filter(col("id") % 13 === 0), n = 4)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |s AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(1, len(t) - 2),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+             |    AS sh
+             |  FROM toks),
+             |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |tr AS (SELECT doc_id, g FROM e WHERE doc_id % 13 <> 0),
+             |ev AS (SELECT doc_id AS eid, g FROM e WHERE doc_id % 13 = 0)
+             |SELECT tr.doc_id AS doc_id,
+             |  count(DISTINCT tr.g) AS grams_hit,
+             |  count(DISTINCT ev.eid) AS eval_docs_hit,
+             |  min(tr.g) AS top_gram
+             |FROM tr JOIN ev ON tr.g = ev.g
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}

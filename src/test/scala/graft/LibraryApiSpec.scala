@@ -201,5 +201,15 @@ class LibraryApiSpec extends SparkSpec {
     val me = SparkEntry.queries("q321_markov_attribution")(spark, d)
       .collect().map(_.toSeq).toSeq
     assert(mf == me)
+    // decontamination audit agrees with the q322 entry
+    val allDocs = Tables.documents(spark, d)
+      .select(col("doc_id").as("id"), col("text"))
+    val cf = Graft.contaminationAudit(spark,
+        allDocs.filter(col("id") % 13 =!= 0),
+        allDocs.filter(col("id") % 13 === 0), n = 4)
+      .collect().map(_.toSeq).toSeq
+    val ce = SparkEntry.queries("q322_decontamination")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(cf == ce)
   }
 }
