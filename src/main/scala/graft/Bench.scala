@@ -167,8 +167,9 @@ object Bench {
       // Markov removal-effect absorption (one journey-window shuffle)
       "q317_nelson_aalen", "q318_shapley_attribution", "q319_acf",
       "q321_markov_attribution",
-      // broadcast eval-gram collision audit over the documents corpus
-      "q322_decontamination")
+      // broadcast eval-gram collision audit over the documents corpus;
+      // BT preference fit (one duel extraction + 10 tiny MM rounds)
+      "q322_decontamination", "q323_bradley_terry")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

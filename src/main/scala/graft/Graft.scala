@@ -1508,4 +1508,11 @@ object Graft {
       eval: DataFrame, n: Int, id: String = "id",
       text: String = "text"): DataFrame =
     llm.Decontam.contaminationAudit(spark, train, eval, n, id, text)
+
+  /** Bradley–Terry strengths from (winner, loser) preference rows,
+    * fixed-point integer MM rounds ([[rel.Preference.bradleyTerry]]).
+    */
+  def bradleyTerry(comparisons: DataFrame, winner: String = "w",
+      loser: String = "l", iters: Int = 10): DataFrame =
+    rel.Preference.bradleyTerry(comparisons, winner, loser, iters)
 }

@@ -57,7 +57,7 @@ object SparkEntry {
       graft.llm.Features.all ++ graft.rel.Inference.all ++
       graft.graph.LinkPrediction.all ++ graft.graph.Hits.all ++
       graft.rel.Shapley.all ++ graft.rel.Attribution.all ++
-      graft.llm.Decontam.all
+      graft.llm.Decontam.all ++ graft.rel.Preference.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -211,5 +211,10 @@ class LibraryApiSpec extends SparkSpec {
     val ce = SparkEntry.queries("q322_decontamination")(spark, d)
       .collect().map(_.toSeq).toSeq
     assert(cf == ce)
+    // bradley-terry on an analytic shutout
+    val bt = Graft.bradleyTerry(
+      Seq(("m1", "m2"), ("m1", "m2")).toDF("w", "l")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(bt == Seq(("m1", 1000000L), ("m2", 0L)))
   }
 }
