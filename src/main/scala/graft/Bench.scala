@@ -168,8 +168,11 @@ object Bench {
       "q317_nelson_aalen", "q318_shapley_attribution", "q319_acf",
       "q321_markov_attribution",
       // broadcast eval-gram collision audit over the documents corpus;
-      // BT preference fit (one duel extraction + 10 tiny MM rounds)
-      "q322_decontamination", "q323_bradley_terry")
+      // BT preference fit (one duel extraction + 10 tiny MM rounds);
+      // the exact/HyperANF neighborhood-function rungs (pair-set BFS
+      // vs linear register state — the 100 TB contrast measured live)
+      "q322_decontamination", "q323_bradley_terry",
+      "q324_neighborhood_exact", "q325_hyperanf_hll")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

@@ -1515,4 +1515,20 @@ object Graft {
   def bradleyTerry(comparisons: DataFrame, winner: String = "w",
       loser: String = "l", iters: Int = 10): DataFrame =
     rel.Preference.bradleyTerry(comparisons, winner, loser, iters)
+
+  /** Exact neighborhood function N(t) + effective-diameter curve over
+    * undirected (u, v) edges
+    * ([[graph.Anf.neighborhoodFunctionExact]]).
+    */
+  def neighborhoodFunctionExact(spark: SparkSession, edges: DataFrame,
+      maxT: Int): DataFrame =
+    graph.Anf.neighborhoodFunctionExact(spark, edges, maxT)
+
+  /** HyperANF: the HLL-register neighborhood function — linear state,
+    * integer-micro estimates, row-replayable registers
+    * ([[graph.Anf.neighborhoodFunctionHll]]).
+    */
+  def neighborhoodFunctionHll(spark: SparkSession, edges: DataFrame,
+      maxT: Int): DataFrame =
+    graph.Anf.neighborhoodFunctionHll(spark, edges, maxT)
 }

@@ -57,7 +57,8 @@ object SparkEntry {
       graft.llm.Features.all ++ graft.rel.Inference.all ++
       graft.graph.LinkPrediction.all ++ graft.graph.Hits.all ++
       graft.rel.Shapley.all ++ graft.rel.Attribution.all ++
-      graft.llm.Decontam.all ++ graft.rel.Preference.all
+      graft.llm.Decontam.all ++ graft.rel.Preference.all ++
+      graft.graph.Anf.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -216,5 +216,12 @@ class LibraryApiSpec extends SparkSpec {
       Seq(("m1", "m2"), ("m1", "m2")).toDF("w", "l")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(bt == Seq(("m1", 1000000L), ("m2", 0L)))
+    // neighborhood function rungs on the analytic path graph
+    val pg = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val nx = Graft.neighborhoodFunctionExact(spark, pg, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(nx == Seq((0L, 3L), (1L, 7L), (2L, 9L)))
+    val nh = Graft.neighborhoodFunctionHll(spark, pg, 2).collect()
+    assert(nh.length == 3 && nh.last.getLong(2) == 1000L)
   }
 }
