@@ -172,7 +172,9 @@ object Bench {
       // the exact/HyperANF neighborhood-function rungs (pair-set BFS
       // vs linear register state — the 100 TB contrast measured live)
       "q322_decontamination", "q323_bradley_terry",
-      "q324_neighborhood_exact", "q325_hyperanf_hll")
+      "q324_neighborhood_exact", "q325_hyperanf_hll",
+      // closed-form isotonic fit: one corpus agg + k^3 on 20 bins
+      "q326_isotonic_calibration")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

@@ -1531,4 +1531,11 @@ object Graft {
   def neighborhoodFunctionHll(spark: SparkSession, edges: DataFrame,
       maxT: Int): DataFrame =
     graph.Anf.neighborhoodFunctionHll(spark, edges, maxT)
+
+  /** Isotonic (monotone) calibration fit over pre-binned unit rows by
+    * the closed-form minimax identity ([[rel.Isotonic.isotonicFit]]).
+    */
+  def isotonicFit(df: DataFrame, bin: String = "bin",
+      y: String = "y"): DataFrame =
+    rel.Isotonic.isotonicFit(df, bin, y)
 }

@@ -223,5 +223,9 @@ class LibraryApiSpec extends SparkSpec {
     assert(nx == Seq((0L, 3L), (1L, 7L), (2L, 9L)))
     val nh = Graft.neighborhoodFunctionHll(spark, pg, 2).collect()
     assert(nh.length == 3 && nh.last.getLong(2) == 1000L)
+    // isotonic on the canonical violation
+    val iso = Graft.isotonicFit(Seq((1L, 1L), (2L, 0L), (3L, 1L))
+      .toDF("bin", "y")).collect().map(_.getDouble(4)).toSeq
+    assert(iso == Seq(0.5, 0.5, 1.0))
   }
 }
