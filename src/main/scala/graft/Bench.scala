@@ -173,8 +173,9 @@ object Bench {
       // vs linear register state — the 100 TB contrast measured live)
       "q322_decontamination", "q323_bradley_terry",
       "q324_neighborhood_exact", "q325_hyperanf_hll",
-      // closed-form isotonic fit: one corpus agg + k^3 on 20 bins
-      "q326_isotonic_calibration")
+      // closed-form isotonic fit: one corpus agg + k^3 on 20 bins;
+      // Theil-Sen robust trend (calendar-bounded pair space)
+      "q326_isotonic_calibration", "q327_theil_sen")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

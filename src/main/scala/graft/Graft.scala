@@ -1538,4 +1538,10 @@ object Graft {
   def isotonicFit(df: DataFrame, bin: String = "bin",
       y: String = "y"): DataFrame =
     rel.Isotonic.isotonicFit(df, bin, y)
+
+  /** Theil–Sen robust trend: lower-median pairwise slope +
+    * Hettmansperger intercept ([[rel.Series.theilSen]]).
+    */
+  def theilSen(df: DataFrame, ord: String, value: String): DataFrame =
+    rel.Series.theilSen(df, ord, value)
 }

@@ -223,6 +223,50 @@ object Series {
           .as("r"))
   }
 
+  /** THEIL–SEN ROBUST TREND (Theil 1950; Sen 1968) of one integer
+    * series — the lower-median of all pairwise slopes, with the
+    * Hettmansperger intercept (lower-median residual). Immune to up to
+    * ~29% outliers where the q138 OLS line is dragged by one bad day;
+    * the natural companion readout to q306's Mann–Kendall trend TEST
+    * (MK says WHETHER there is a trend, Theil–Sen says HOW STEEP).
+    *
+    * Determinism: each slope is ONE IEEE division of exact integer
+    * differences; medians are order statistics under the TOTAL order
+    * (value, tᵢ, tⱼ) — never interpolated — so both engines pick the
+    * identical pair. The pair space is quadratic in the series length,
+    * which is calendar-bounded (the Distribution.scala adjudication):
+    * the corpus pass is the one aggregation that builds the series.
+    * Output one row: (n_points, n_pairs, slope_r6, intercept_r6).
+    */
+  def theilSen(df: DataFrame, ord: String, value: String): DataFrame = {
+    val ser = df.select(col(ord).cast("long").as("t"),
+      col(value).cast("long").as("y")).localCheckpoint(true)
+    val a = ser.select(col("t").as("ti"), col("y").as("yi"))
+    val b = ser.select(col("t").as("tj"), col("y").as("yj"))
+    val pairs = a.join(b, col("ti") < col("tj"))
+      .select(col("ti"), col("tj"),
+        ((col("yj") - col("yi")).cast("double")
+          / (col("tj") - col("ti")).cast("double")).as("slope"))
+    val wS = Window.orderBy("slope", "ti", "tj")
+    val slopeMed = pairs
+      .withColumn("rn", row_number().over(wS).cast("long"))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rn") === expr("(np + 1) div 2"))
+      .select(col("slope").as("ts_slope"), col("np"))
+    val resid = ser.crossJoin(broadcast(slopeMed))
+      .select(col("t"), col("np"), col("ts_slope"),
+        (col("y").cast("double") - col("ts_slope") * col("t").cast("double"))
+          .as("r"))
+    val wR = Window.orderBy("r", "t")
+    resid
+      .withColumn("rn", row_number().over(wR).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("n").as("n_points"), col("np").as("n_pairs"),
+        round(col("ts_slope"), 6).as("slope_r6"),
+        round(col("r"), 6).as("intercept_r6"))
+  }
+
   /** Daily value totals per user in integer cents — the shared series
     * both entries smooth/score. Exact: per-event round to cents, then
     * integer sums.
@@ -535,5 +579,32 @@ object Series {
          |  round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * cum, 6)
          |    > 18.307038053275146 AS significant
          |FROM c WHERE lag = 10""".stripMargin)),
+
+    // ---- q327: THEIL-SEN robust trend of the global daily-revenue
+    //      series — the outlier-immune slope next to q138's OLS and
+    //      q306's Mann-Kendall test; lower-median order statistics
+    //      under the (value, ti, tj) total order, never interpolated. ----
+    "q327_theil_sen" -> Q(
+      (s, d) => theilSen(globalDailyCents(s, d), "t", "cents"),
+      Some(s"""WITH $globalDailySql,
+         |g2 AS (SELECT t, CAST(x AS BIGINT) AS y FROM g),
+         |p AS (SELECT a.t AS ti, b.t AS tj,
+         |    CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+         |  FROM g2 a JOIN g2 b ON a.t < b.t),
+         |pr AS (SELECT slope,
+         |    row_number() OVER (ORDER BY slope, ti, tj) AS rn,
+         |    count(*) OVER () AS np
+         |  FROM p),
+         |sm AS (SELECT slope AS ts_slope, np FROM pr WHERE rn = (np + 1) // 2),
+         |r0 AS (SELECT g2.t, sm.np, sm.ts_slope,
+         |    CAST(g2.y AS DOUBLE) - sm.ts_slope * CAST(g2.t AS DOUBLE) AS r
+         |  FROM g2, sm),
+         |rr AS (SELECT t, np, ts_slope, r,
+         |    row_number() OVER (ORDER BY r, t) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM r0)
+         |SELECT CAST(n AS BIGINT) AS n_points, CAST(np AS BIGINT) AS n_pairs,
+         |  round(ts_slope, 6) AS slope_r6, round(r, 6) AS intercept_r6
+         |FROM rr WHERE rn = (n + 1) // 2""".stripMargin)),
   )
 }

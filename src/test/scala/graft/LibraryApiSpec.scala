@@ -227,5 +227,14 @@ class LibraryApiSpec extends SparkSpec {
     val iso = Graft.isotonicFit(Seq((1L, 1L), (2L, 0L), (3L, 1L))
       .toDF("bin", "y")).collect().map(_.getDouble(4)).toSeq
     assert(iso == Seq(0.5, 0.5, 1.0))
+    // theil-sen agrees with the q327 entry on the fixture series
+    val daily2 = Tables.events(spark, d)
+      .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(sum(sqlRound(col("value") * 100, 0).cast("long")).as("cents"))
+      .select(unix_date(col("day")).cast("long").as("t"), col("cents"))
+    val tsf = Graft.theilSen(daily2, "t", "cents").collect().map(_.toSeq).toSeq
+    val tse = SparkEntry.queries("q327_theil_sen")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(tsf == tse)
   }
 }

@@ -149,6 +149,27 @@ class SeriesSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("theil-sen: exact line recovered; one fat-finger day cannot drag it") {
+    val s = spark
+    import s.implicits._
+    // y = 3t + 7 exactly, except t=5 spikes to 1000
+    val rows = (0L to 9L).map(t => (t, if (t == 5) 1000L else 3 * t + 7))
+    val out = Series.theilSen(rows.toDF("t", "y"), "t", "y").collect().head
+    assert(out.getLong(0) == 10L && out.getLong(1) == 45L)
+    assert(out.getDouble(2) == 3.0, s"slope ${out.getDouble(2)}")
+    assert(out.getDouble(3) == 7.0, s"intercept ${out.getDouble(3)}")
+  }
+
+  test("theil-sen: lower-median convention on an even pair count") {
+    val s = spark
+    import s.implicits._
+    // 4 points -> 6 pairs, lower median = rank (6+1) div 2 = 3
+    val rows = Seq((0L, 0L), (1L, 1L), (2L, 4L), (3L, 9L))
+    val out = Series.theilSen(rows.toDF("t", "y"), "t", "y").collect().head
+    // slopes sorted: 1,2,3,3,4,5 -> rank3 = 3.0
+    assert(out.getDouble(2) == 3.0, s"slope ${out.getDouble(2)}")
+  }
+
   test("ljung-box: h beyond the series length raises instead of dropping terms") {
     val s = spark
     import s.implicits._
