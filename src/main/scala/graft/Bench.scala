@@ -174,8 +174,10 @@ object Bench {
       "q322_decontamination", "q323_bradley_terry",
       "q324_neighborhood_exact", "q325_hyperanf_hll",
       // closed-form isotonic fit: one corpus agg + k^3 on 20 bins;
-      // Theil-Sen robust trend (calendar-bounded pair space)
-      "q326_isotonic_calibration", "q327_theil_sen")
+      // Theil-Sen robust trend (calendar-bounded pair space);
+      // stratified ATE (one user agg + domain-bounded stratum scan)
+      "q326_isotonic_calibration", "q327_theil_sen",
+      "q328_stratified_ate")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

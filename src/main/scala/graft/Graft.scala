@@ -1544,4 +1544,11 @@ object Graft {
     */
   def theilSen(df: DataFrame, ord: String, value: String): DataFrame =
     rel.Series.theilSen(df, ord, value)
+
+  /** Stratified ATE (discrete-propensity IPW) with loud positivity
+    * handling ([[rel.Causal.stratifiedAte]]).
+    */
+  def stratifiedAte(df: DataFrame, treat: String = "treat",
+      y: String = "y", stratum: String = "s"): DataFrame =
+    rel.Causal.stratifiedAte(df, treat, y, stratum)
 }

@@ -58,7 +58,8 @@ object SparkEntry {
       graft.graph.LinkPrediction.all ++ graft.graph.Hits.all ++
       graft.rel.Shapley.all ++ graft.rel.Attribution.all ++
       graft.llm.Decontam.all ++ graft.rel.Preference.all ++
-      graft.graph.Anf.all ++ graft.rel.Isotonic.all
+      graft.graph.Anf.all ++ graft.rel.Isotonic.all ++
+      graft.rel.Causal.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -236,5 +236,11 @@ class LibraryApiSpec extends SparkSpec {
     val tse = SparkEntry.queries("q327_theil_sen")(spark, d)
       .collect().map(_.toSeq).toSeq
     assert(tsf == tse)
+    // stratified ate on the simpson fixture: naive 72, adjusted 0
+    val simpson = (Seq((1L, 10L, 0L)) ++ Seq.fill(9)((0L, 10L, 0L)) ++
+      Seq.fill(9)((1L, 100L, 1L)) ++ Seq((0L, 100L, 1L)))
+      .toDF("treat", "y", "s")
+    val sa = Graft.stratifiedAte(simpson).collect().head
+    assert(sa.getDouble(4) == 72.0 && sa.getDouble(5) == 0.0)
   }
 }
