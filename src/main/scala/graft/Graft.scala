@@ -1551,4 +1551,10 @@ object Graft {
   def stratifiedAte(df: DataFrame, treat: String = "treat",
       y: String = "y", stratum: String = "s"): DataFrame =
     rel.Causal.stratifiedAte(df, treat, y, stratum)
+
+  /** Benford first-digit audit with the χ²(8) conformance readout
+    * ([[rel.Quality.benfordAudit]]).
+    */
+  def benfordAudit(df: DataFrame, c: String): DataFrame =
+    rel.Quality.benfordAudit(df, c)
 }

@@ -1,6 +1,7 @@
 package graft.rel
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 import graft.rel.RelQueries.Q
@@ -73,6 +74,63 @@ object Quality {
         (col("n_violating_lhs") === 0).as("fd_holds"))
   }
 
+  /** Benford first-digit expectations log₁₀(1+1/d), d = 1..9, in
+    * micro units — literals generated once here and embedded in BOTH
+    * the plan and the oracle (the q325 literal-table rule: no runtime
+    * libm on either side).
+    */
+  private[rel] val BenfordMicro: IndexedSeq[Long] =
+    (1 to 9).map(dd => math.round(math.log10(1.0 + 1.0 / dd) * 1e6))
+
+  /** BENFORD'S-LAW AUDIT (Newcomb 1881, Benford 1938; Nigrini 1996's
+    * fraud screen): observed first-significant-digit distribution of a
+    * positive integer column vs log₁₀(1+1/d), with the χ²(8) goodness
+    * of fit. A fabricated or truncated money column fails this screen
+    * before any semantic check can see it. Counts exact from one hash
+    * aggregation over the 9-digit domain; expectations are the literal
+    * micro table; each χ² term one IEEE chain and the digit sum
+    * ORDER-PINNED (q300 rule). Output per digit, ordered: (digit,
+    * n_obs, obs_milli, exp_milli, chi2_r6, conforms) — the last two
+    * constant across rows, the per-digit report self-contained.
+    * Non-positive values are excluded (no first significant digit).
+    */
+  def benfordAudit(df: DataFrame, c: String): DataFrame = {
+    val pos = df.select(col(c).cast("long").as("v")).filter(col("v") > 0)
+    val observed = pos.select(
+      substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    // dense 1..9 domain: a digit that never occurs still owes its
+    // (0 - expected)^2/expected term — dropping it understates chi2
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").as("digit"))
+      .join(observed, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+    val expCol = BenfordMicro.zipWithIndex
+      .map { case (vv, i) => ((i + 1).toLong, vv) }
+      .foldRight(lit(null).cast("long")) { case ((dd, vv), rest) =>
+        when(col("digit") === dd, lit(vv)).otherwise(rest)
+      }
+    val tot = digits.agg(sum("n_obs").as("n"))
+    val wCum = Window.orderBy("digit").rowsBetween(Long.MinValue, 0)
+    val terms = digits.crossJoin(broadcast(tot))
+      .withColumn("exp_micro", expCol)
+      .withColumn("expected",
+        col("n").cast("double") * col("exp_micro").cast("double") / 1e6)
+      .withColumn("term",
+        (col("n_obs").cast("double") - col("expected"))
+          * (col("n_obs").cast("double") - col("expected")) / col("expected"))
+      .withColumn("chi2", sum("term").over(wCum))
+      .withColumn("chi2_last", max(struct(col("digit"), col("chi2")))
+        .over(Window.partitionBy()))
+    terms.select(col("digit"), col("n_obs"),
+        expr("(n_obs * 1000) div n").as("obs_milli"),
+        expr("exp_micro div 1000").as("exp_milli"),
+        round(col("chi2_last.chi2"), 6).as("chi2_r6"))
+      .withColumn("conforms",
+        col("chi2_r6") <= lit(Inference.Chi2Crit05(7)))
+      .orderBy("digit")
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- q262: FD audit for two claimed dependencies — nation →
     //      region (holds by schema construction) and customer nation →
@@ -141,5 +199,43 @@ object Quality {
              |    FROM lineitem WHERE l_orderkey NOT IN
              |      (SELECT o_orderkey FROM orders))
              |ORDER BY rule""".stripMargin)),
+
+    // ---- q329: BENFORD first-digit audit of lineitem money values —
+    //      the fraud/fabrication screen, per-digit observed vs
+    //      log10(1+1/d) with the chi-square(8) readout; the expected
+    //      table is the literal micro array embedded in both engines. ----
+    "q329_benford_audit" -> Q(
+      (s, d) => benfordAudit(
+        Tables.lineitem(s, d)
+          .select(round(col("l_extendedprice") * 100, 0).cast("long")
+            .as("cents")),
+        "cents"),
+      Some(s"""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+             |    AS v FROM lineitem
+             |  WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
+             |o AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+             |    AS digit, count(*) AS n_obs
+             |  FROM v GROUP BY 1),
+             |dom AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT)
+             |    AS digit),
+             |ex AS (SELECT * FROM (VALUES ${Quality.BenfordMicro.zipWithIndex
+               .map { case (vv, i) => s"(${i + 1}, $vv)" }
+               .mkString(", ")}) AS t(digit, exp_micro)),
+             |dd AS (SELECT dom.digit, coalesce(o.n_obs, 0) AS n_obs
+             |  FROM dom LEFT JOIN o USING (digit)),
+             |tot AS (SELECT sum(n_obs) AS n FROM dd),
+             |t AS (SELECT dd.digit, dd.n_obs, ex.exp_micro, tot.n,
+             |    CAST(tot.n AS DOUBLE) * CAST(ex.exp_micro AS DOUBLE) / 1e6
+             |      AS expected
+             |  FROM dd JOIN ex ON ex.digit = dd.digit, tot),
+             |x AS (SELECT sum((CAST(n_obs AS DOUBLE) - expected)
+             |    * (CAST(n_obs AS DOUBLE) - expected) / expected
+             |    ORDER BY digit) AS chi2 FROM t)
+             |SELECT t.digit, CAST(t.n_obs AS BIGINT) AS n_obs,
+             |  CAST((t.n_obs * 1000) // t.n AS BIGINT) AS obs_milli,
+             |  CAST(t.exp_micro // 1000 AS BIGINT) AS exp_milli,
+             |  round(x.chi2, 6) AS chi2_r6,
+             |  round(x.chi2, 6) <= 15.50731305586545 AS conforms
+             |FROM t, x ORDER BY t.digit""".stripMargin)),
   )
 }

@@ -58,4 +58,32 @@ class QualitySpec extends SparkSpec {
     assert(broken.getLong(1) == 3L && broken.getLong(2) == 2L
       && broken.getLong(3) == 3L && !broken.getBoolean(4))
   }
+
+  test("benford: dense digit domain, missing digits owe their chi2 term") {
+    val s = spark
+    import s.implicits._
+    // every value starts with 1: 8 digits have zero observations but
+    // still appear with their expected term driving chi2 up
+    val df = ((1L to 48L).map(k => 100L + k) ++ Seq(0L, -7L)).toDF("v")
+    val got = Quality.benfordAudit(df, "v").collect()
+    assert(got.length == 9)
+    val byDigit = got.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(byDigit(1L) == ((48L, 1000L))) // zero/negative excluded
+    (2L to 9L).foreach(dd => assert(byDigit(dd) == ((0L, 0L))))
+    // d=1 term alone: (48 - 48*0.30103)^2 / (48*0.30103) ~ 78 >> crit
+    assert(!got.head.getBoolean(5)) // wildly non-benford
+    // constant columns identical on every row
+    assert(got.map(_.getDouble(4)).distinct.length == 1)
+  }
+
+  test("benford: a log-uniform sample conforms") {
+    val s = spark
+    import s.implicits._
+    // 10^(k/97) for k = 0..96*3 spans three decades nearly log-uniform
+    val vals = (0 until 291).map(k => math.pow(10.0, 2 + k / 97.0).toLong)
+    val got = Quality.benfordAudit(vals.toDF("v"), "v").collect()
+    assert(got.head.getBoolean(5),
+      s"chi2 = ${got.head.getDouble(4)} should conform")
+  }
 }
