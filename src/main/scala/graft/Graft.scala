@@ -1557,4 +1557,12 @@ object Graft {
     */
   def benfordAudit(df: DataFrame, c: String): DataFrame =
     rel.Quality.benfordAudit(df, c)
+
+  /** Streaming-legal decontamination audit for a streaming train side
+    * against a static broadcast eval set
+    * ([[llm.Decontam.contaminationAuditStream]]).
+    */
+  def contaminationAuditStream(train: DataFrame, eval: DataFrame,
+      n: Int, id: String = "id", text: String = "text"): DataFrame =
+    llm.Decontam.contaminationAuditStream(train, eval, n, id, text)
 }

@@ -63,6 +63,49 @@ object Decontam {
       .orderBy(col(id))
   }
 
+  /** The STREAMING-LEGAL twin of [[contaminationAudit]]: identical
+    * output by construction, but the per-doc aggregation uses
+    * `size(collect_set(...))` because Spark refuses `countDistinct`
+    * in a streaming aggregation — the set state is bounded by the
+    * doc's gram count. Works on a streaming `train` side against a
+    * static broadcast eval set (the ingest-time decontamination gate:
+    * flag leaks as documents ARRIVE, before they reach a shard).
+    */
+  def contaminationAuditStream(train: DataFrame, eval: DataFrame,
+      n: Int, id: String = "id", text: String = "text"): DataFrame = {
+    require(n >= 2 && n <= 32, s"contaminationAuditStream: 2 <= n <= 32: $n")
+    val tg = train.select(col(id), explode(gramsOf(col(text), n)).as("g"))
+    val eg = eval.select(col(id).as("eid"),
+      explode(gramsOf(col(text), n)).as("g"))
+    tg.join(broadcast(eg), "g")
+      .groupBy(col(id))
+      .agg(size(collect_set(col("g"))).cast("long").as("grams_hit"),
+        size(collect_set(col("eid"))).cast("long").as("eval_docs_hit"),
+        min(col("g")).as("top_gram"))
+  }
+
+  /** The q322/q330 oracle — one SQL string shared by the batch entry
+    * and its streaming twin, so their contracts cannot drift.
+    */
+  private val OracleSql =
+    """WITH toks AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+      |    AS sh
+      |  FROM toks),
+      |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |tr AS (SELECT doc_id, g FROM e WHERE doc_id % 13 <> 0),
+      |ev AS (SELECT doc_id AS eid, g FROM e WHERE doc_id % 13 = 0)
+      |SELECT tr.doc_id AS doc_id,
+      |  count(DISTINCT tr.g) AS grams_hit,
+      |  count(DISTINCT ev.eid) AS eval_docs_hit,
+      |  min(tr.g) AS top_gram
+      |FROM tr JOIN ev ON tr.g = ev.g
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     // ---- q322: DECONTAMINATION AUDIT of the documents corpus — the
     //      held-out eval set is the deterministic doc_id % 13 == 0
@@ -78,22 +121,31 @@ object Decontam {
           docs.filter(col("id") % 13 === 0), n = 4)
           .withColumnRenamed("id", "doc_id")
       },
-      Some("""WITH toks AS (SELECT doc_id,
-             |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
-             |  FROM documents),
-             |s AS (SELECT doc_id, list_distinct(list_transform(
-             |    range(1, len(t) - 2),
-             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
-             |    AS sh
-             |  FROM toks),
-             |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-             |tr AS (SELECT doc_id, g FROM e WHERE doc_id % 13 <> 0),
-             |ev AS (SELECT doc_id AS eid, g FROM e WHERE doc_id % 13 = 0)
-             |SELECT tr.doc_id AS doc_id,
-             |  count(DISTINCT tr.g) AS grams_hit,
-             |  count(DISTINCT ev.eid) AS eval_docs_hit,
-             |  min(tr.g) AS top_gram
-             |FROM tr JOIN ev ON tr.g = ev.g
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some(OracleSql)),
+
+    // ---- q330: STREAMING decontamination — the identical audit as a
+    //      stream-static join at INGEST: train docs arrive as a
+    //      stream, the eval gram set is static and broadcast, leaks
+    //      are flagged before a document reaches a shard. Same oracle
+    //      string as q322: streaming-vs-batch parity enforced by the
+    //      driver hash. ----
+    "q330_stream_decontam" -> Q(
+      (s, d) => {
+        val sch = s.read.parquet(s"$d/documents.parquet").schema
+        val raw = s.readStream.schema(sch).parquet(s"$d/{documents.parquet}")
+        val train = raw.select(col("doc_id").as("id"), col("text"))
+          .filter(col("id") % 13 =!= 0)
+        val evalDocs = Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("text"))
+          .filter(col("id") % 13 === 0)
+        val out = contaminationAuditStream(train, evalDocs, n = 4)
+        val q = out.writeStream.format("memory")
+          .queryName("stream_decontam").outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("stream_decontam")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(OracleSql)),
   )
 }

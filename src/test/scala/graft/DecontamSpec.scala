@@ -67,4 +67,18 @@ class DecontamSpec extends SparkSpec {
     intercept[IllegalArgumentException](audit(Seq((1L, "a")), Seq((2L, "a")), 1))
     intercept[IllegalArgumentException](audit(Seq((1L, "a")), Seq((2L, "a")), 33))
   }
+
+  test("streaming-legal twin produces identical rows to the batch audit") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "a b c d e"),
+      (3L, "nothing shared here at all"))
+    val eval = Seq((100L, "we saw the quick brown fox yesterday"),
+      (101L, "x a b c d y"), (102L, "b c d e"))
+    val b = Decontam.contaminationAudit(spark, docs(train), docs(eval), 4)
+      .collect().map(_.toSeq).toSeq
+    val st = Decontam.contaminationAuditStream(docs(train), docs(eval), 4)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(b == st)
+  }
 }
