@@ -1565,4 +1565,11 @@ object Graft {
   def contaminationAuditStream(train: DataFrame, eval: DataFrame,
       n: Int, id: String = "id", text: String = "text"): DataFrame =
     llm.Decontam.contaminationAuditStream(train, eval, n, id, text)
+
+  /** k-truss: surviving (a, b, support) edges after triangle-support
+    * peeling to the fixed point ([[graph.Truss.kTruss]]).
+    */
+  def kTruss(spark: SparkSession, edges: DataFrame, k: Int,
+      maxRounds: Int = 8): DataFrame =
+    graph.Truss.kTruss(spark, edges, k, maxRounds)
 }
