@@ -178,8 +178,9 @@ object Bench {
       // stratified ATE (one user agg + domain-bounded stratum scan)
       "q326_isotonic_calibration", "q327_theil_sen",
       "q328_stratified_ate", "q329_benford_audit",
-      // edge peel on the shrinking co-purchase graph (triangle rider)
-      "q331_ktruss")
+      // edge peel on the shrinking co-purchase graph (triangle rider);
+      // the heuristic attribution family (one journey window shuffle)
+      "q331_ktruss", "q332_rule_attribution")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

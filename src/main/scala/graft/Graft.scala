@@ -1572,4 +1572,13 @@ object Graft {
   def kTruss(spark: SparkSession, edges: DataFrame, k: Int,
       maxRounds: Int = 8): DataFrame =
     graph.Truss.kTruss(spark, edges, k, maxRounds)
+
+  /** Heuristic attribution family: linear / U-shaped position /
+    * time-decay credits per channel
+    * ([[rel.Attribution.ruleAttribution]]).
+    */
+  def ruleAttribution(events: DataFrame, channels: Seq[String],
+      convType: String, halfLifeDays: Int = 1): DataFrame =
+    rel.Attribution.ruleAttribution(events, channels, convType,
+      halfLifeDays)
 }

@@ -36,7 +36,15 @@ object StressProbe {
     // prune + collection-model broadcast must hold shape), and the
     // experiment tier (CUPED's moment aggs; the bootstrap's R-way
     // map-side expansion must NOT become a data-sized shuffle)
-    "q288_ql_dirichlet", "q290_cuped", "q291_bootstrap_ci")
+    "q288_ql_dirichlet", "q290_cuped", "q291_bootstrap_ci",
+    // r11 continuation IV: the neighborhood-function ladder — the
+    // exact rung's pair state grows with Σ comp² (watch its wall; its
+    // plan must still hold shape) while the HyperANF rung's register
+    // state stays n·m rows (the 100 TB contrast, measured live); the
+    // Markov absorption (journey window + k+1 tiny chains) and the BT
+    // duel extraction (one pair join + count agg) must stay flat
+    "q324_neighborhood_exact", "q325_hyperanf_hll",
+    "q321_markov_attribution", "q323_bradley_terry")
 
   // operator-level probes for paths whose driver entries can't run off
   // the pinned fixture (q274 is fixture-guarded; q270 is the
@@ -79,20 +87,29 @@ object StressProbe {
       ("orders", Seq("o_orderkey", "o_custkey")),
       ("events", Seq("event_id", "user_id")),
       ("documents", Seq("doc_id")),
-      ("embeddings", Seq("vec_id")))
+      ("embeddings", Seq("vec_id")),
+      // q323's duel extraction: suppkeys shift (disjoint per copy),
+      // nationkeys deliberately DON'T — every copy maps onto the same
+      // 25 nations, so the item set stays fixed while duel volume
+      // grows 10× (the realistic leaderboard shape). nation itself is
+      // a dimension: copied once, never replicated (an empty key list
+      // below means verbatim single copy).
+      ("supplier", Seq("s_suppkey")),
+      ("nation", Seq.empty))
     // per-table build check (not one global marker): a replica tier
     // built by an older probe version may lack newly-probed tables
     plans.foreach { case (t, keys) =>
       if (!new java.io.File(s"$out/$t.parquet/_SUCCESS").exists()) {
         val base = spark.read.parquet(s"$src/$t.parquet")
-        val copies = (0 until factor).map { i =>
-          keys.foldLeft(base) { (df, k) =>
-            df.withColumn(k, col(k) + lit(i * off))
-          }
-        }
-        copies.reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$out/$t.parquet")
-        println(s"[stress] built $t x$factor")
+        val replicated =
+          if (keys.isEmpty) base // dimension table: one verbatim copy
+          else (0 until factor).map { i =>
+            keys.foldLeft(base) { (df, k) =>
+              df.withColumn(k, col(k) + lit(i * off))
+            }
+          }.reduce(_ unionAll _)
+        replicated.write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"[stress] built $t x${if (keys.isEmpty) 1 else factor}")
       }
     }
 

@@ -140,6 +140,61 @@ object Attribution {
       .orderBy("channel")
   }
 
+  /** RULE-BASED ATTRIBUTION — the three standard heuristic credit
+    * rules next to the model-based q318/q321 (side-by-side disagreement
+    * between rules is itself the diagnostic marketers read):
+    * LINEAR (equal split), POSITION (the 40/20/40 U-shape: first and
+    * last touch 400‰ each, middles share 200‰), and TIME-DECAY
+    * (credit ∝ 2^(−age/halfLife), ages in whole days before the
+    * conversion). Journeys are the q321 extraction (touches strictly
+    * before first conversion, (ts, id) order); only converters
+    * credit. All shares are integer milli with TRUNCATING division —
+    * per-journey totals may fall a few milli short of 1000 (floors
+    * are NOT redistributed; determinism beats cosmetics, documented),
+    * and the decay weights are exact powers of two via shifts, so
+    * both engines replay every credit bit-for-bit. One user-keyed
+    * window shuffle, then a channel-keyed aggregation.
+    */
+  def ruleAttribution(events: DataFrame, channels: Seq[String],
+      convType: String, halfLifeDays: Int = 1, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(channels.nonEmpty && channels.distinct.size == channels.size,
+      "channels must be non-empty and distinct")
+    require(!channels.contains(convType), "convType cannot be a channel")
+    require(halfLifeDays >= 1, s"halfLifeDays >= 1: $halfLifeDays")
+    val fp = events.groupBy(col(userCol).as("uid"))
+      .agg(min(when(col(typeCol) === convType, col(tsCol))).as("fpts"))
+      .filter(col("fpts").isNotNull)
+    val touches = events.select(col(userCol).as("uid"),
+        col(typeCol).as("ch"), col(tsCol).as("ts0"), col(idCol).as("eid"))
+      .filter(col("ch").isin(channels: _*))
+      .join(fp, "uid")
+      .filter(col("ts0") < col("fpts"))
+    val w = Window.partitionBy("uid").orderBy("ts0", "eid")
+    val wAll = Window.partitionBy("uid")
+    val t1 = touches
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("ageh",
+        least(expr(s"datediff(to_date(fpts), to_date(ts0)) div $halfLifeDays"),
+          lit(40L)))
+      .withColumn("dw", expr("1000000 div shiftleft(cast(1 as bigint), " +
+        "cast(ageh as int))"))
+      .withColumn("dwsum", sum(col("dw")).over(wAll))
+    val credited = t1.select(col("ch"), col("uid"),
+      expr("1000 div n").as("lin"),
+      when(col("n") === 1L, lit(1000L))
+        .when(col("rn") === 1L || col("rn") === col("n"), lit(400L))
+        .otherwise(expr("200 div (n - 2)")).as("pos"),
+      expr("(dw * 1000) div dwsum").as("dec"))
+    credited.groupBy(col("ch").as("channel"))
+      .agg(sum("lin").as("linear_milli"), sum("pos").as("position_milli"),
+        sum("dec").as("decay_milli"),
+        countDistinct(col("uid")).as("conversions_touched"))
+      .orderBy("channel")
+  }
+
   /** The q321 oracle: journey extraction + per-variant transition
     * matrices as MATERIALIZED CTEs, then `iters` absorption rounds
     * unrolled — each round CTE referenced exactly once (the q316
@@ -218,5 +273,47 @@ object Attribution {
       (s, d) => markovRemovalEffects(Tables.events(s, d), Channels,
         convType = "purchase", iters = 8),
       Some(markovOracleSql(Channels, "purchase", iters = 8))),
+
+    // ---- q332: the HEURISTIC attribution family (linear, 40/20/40
+    //      position, 1-day-half-life time decay) over the same
+    //      journey universe as q318/q321 — the full attribution
+    //      spectrum: last-touch (q154), rules (here), Shapley (q318),
+    //      Markov (q321). ----
+    "q332_rule_attribution" -> Q(
+      (s, d) => ruleAttribution(Tables.events(s, d), Channels,
+        convType = "purchase", halfLifeDays = 1),
+      Some(s"""WITH fp AS (SELECT user_id AS uid,
+             |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS fpts
+             |  FROM events GROUP BY user_id
+             |  HAVING min(CASE WHEN event_type = 'purchase' THEN ts END)
+             |    IS NOT NULL),
+             |t AS (SELECT e.user_id AS uid, e.event_type AS ch,
+             |    row_number() OVER (PARTITION BY e.user_id
+             |      ORDER BY e.ts, e.event_id) AS rn,
+             |    count(*) OVER (PARTITION BY e.user_id) AS n,
+             |    least(date_diff('day', CAST(e.ts AS DATE),
+             |      CAST(fp.fpts AS DATE)) // 1, 40) AS ageh
+             |  FROM events e JOIN fp ON fp.uid = e.user_id
+             |  WHERE e.event_type IN (${Channels.map(c => s"'$c'")
+               .mkString(", ")})
+             |    AND e.ts < fp.fpts),
+             |t2 AS (SELECT uid, ch, rn, n, ageh,
+             |    1000000 // (1::BIGINT << CAST(ageh AS INT)) AS dw,
+             |    sum(1000000 // (1::BIGINT << CAST(ageh AS INT)))
+             |      OVER (PARTITION BY uid) AS dwsum
+             |  FROM t),
+             |cr AS (SELECT ch, uid,
+             |    1000 // n AS lin,
+             |    CASE WHEN n = 1 THEN 1000
+             |      WHEN rn = 1 OR rn = n THEN 400
+             |      ELSE 200 // (n - 2) END AS pos,
+             |    (dw * 1000) // dwsum AS dec
+             |  FROM t2)
+             |SELECT ch AS channel,
+             |  CAST(sum(lin) AS BIGINT) AS linear_milli,
+             |  CAST(sum(pos) AS BIGINT) AS position_milli,
+             |  CAST(sum(dec) AS BIGINT) AS decay_milli,
+             |  CAST(count(DISTINCT uid) AS BIGINT) AS conversions_touched
+             |FROM cr GROUP BY ch ORDER BY ch""".stripMargin)),
   )
 }

@@ -82,4 +82,41 @@ class AttributionSpec extends SparkSpec {
     intercept[IllegalArgumentException](run(Seq((1L, 1L, "a")), Seq("a", "a")))
     intercept[IllegalArgumentException](run(Seq((1L, 1L, "a")), Seq("buy")))
   }
+
+  private def rules(rows: Seq[(Long, Long, String)], channels: Seq[String])
+      : Map[String, (Long, Long, Long, Long)] =
+    Attribution.ruleAttribution(ev(rows), channels, "buy", halfLifeDays = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  test("rule attribution: linear, U-shape, and decay on a 3-touch journey") {
+    // one user: a, b, c, buy — same day, so decay weights are equal
+    val got = rules(Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (1L, 4L, "buy")), Seq("a", "b", "c"))
+    // linear: 1000 div 3 = 333 each; position: 400/200/400;
+    // decay: equal ages -> 333 each
+    assert(got("a") == ((333L, 400L, 333L, 1L)))
+    assert(got("b") == ((333L, 200L, 333L, 1L)))
+    assert(got("c") == ((333L, 400L, 333L, 1L)))
+  }
+
+  test("rule attribution: single-touch journeys take the full 1000 everywhere") {
+    val got = rules(Seq((1L, 1L, "a"), (1L, 2L, "buy")), Seq("a", "b"))
+    assert(got("a") == ((1000L, 1000L, 1000L, 1L)) && !got.contains("b"))
+  }
+
+  test("rule attribution: non-converters contribute nothing") {
+    val got = rules(Seq((1L, 1L, "a"), (1L, 2L, "buy"), (2L, 1L, "a")),
+      Seq("a"))
+    assert(got("a")._4 == 1L && got("a")._1 == 1000L)
+  }
+
+  test("rule attribution: decay favors the touch nearest conversion") {
+    // touches 2 days and 0 days before conversion: weights 250000 vs
+    // 1000000 -> shares 200 / 800
+    val rows = Seq((1L, 1L, "a"), (1L, 2L * 86400 + 1, "b"),
+      (1L, 2L * 86400 + 2, "buy"))
+    val got = rules(rows, Seq("a", "b"))
+    assert(got("a")._3 == 200L && got("b")._3 == 800L, got)
+  }
 }
