@@ -180,7 +180,9 @@ object Bench {
       "q328_stratified_ate", "q329_benford_audit",
       // edge peel on the shrinking co-purchase graph (triangle rider);
       // the heuristic attribution family (one journey window shuffle)
-      "q331_ktruss", "q332_rule_attribution")
+      "q331_ktruss", "q332_rule_attribution",
+      // partition-quality score: two aggs over the tagged edge set
+      "q333_modularity")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

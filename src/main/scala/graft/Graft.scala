@@ -1581,4 +1581,11 @@ object Graft {
       convType: String, halfLifeDays: Int = 1): DataFrame =
     rel.Attribution.ruleAttribution(events, channels, convType,
       halfLifeDays)
+
+  /** Newman–Girvan modularity of a node partition, exact-integer
+    * numerators ([[graph.Modularity.modularity]]).
+    */
+  def modularity(spark: SparkSession, edges: DataFrame,
+      labels: DataFrame): DataFrame =
+    graph.Modularity.modularity(spark, edges, labels)
 }

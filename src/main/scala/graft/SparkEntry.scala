@@ -59,7 +59,8 @@ object SparkEntry {
       graft.rel.Shapley.all ++ graft.rel.Attribution.all ++
       graft.llm.Decontam.all ++ graft.rel.Preference.all ++
       graft.graph.Anf.all ++ graft.rel.Isotonic.all ++
-      graft.rel.Causal.all ++ graft.graph.Truss.all
+      graft.rel.Causal.all ++ graft.graph.Truss.all ++
+      graft.graph.Modularity.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
