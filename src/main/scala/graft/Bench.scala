@@ -181,8 +181,9 @@ object Bench {
       // edge peel on the shrinking co-purchase graph (triangle rider);
       // the heuristic attribution family (one journey window shuffle)
       "q331_ktruss", "q332_rule_attribution",
-      // partition-quality score: two aggs over the tagged edge set
-      "q333_modularity")
+      // partition-quality score: two aggs over the tagged edge set;
+      // OBF sequential monitor (3 snapshot aggs, boundary literals)
+      "q333_modularity", "q334_group_sequential")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

@@ -1588,4 +1588,11 @@ object Graft {
   def modularity(spark: SparkSession, edges: DataFrame,
       labels: DataFrame): DataFrame =
     graph.Modularity.modularity(spark, edges, labels)
+
+  /** Group-sequential z-monitoring against O'Brien–Fleming boundaries
+    * over per-look snapshot units ([[rel.Experiment.groupSequential]]).
+    */
+  def groupSequential(units: DataFrame, lookCol: String,
+      variant: String = "variant", value: String = "y"): DataFrame =
+    rel.Experiment.groupSequential(units, lookCol, variant, value)
 }

@@ -339,6 +339,83 @@ object Experiment {
   //  driver entries
   // --------------------------------------------------------------------
 
+  /** GROUP-SEQUENTIAL MONITORING under O'Brien–Fleming boundaries
+    * (O'Brien & Fleming 1979; Pocock 1977 for the framing) — the
+    * peeking guardrail: an experiment read at K interim looks must
+    * compare each look's z-statistic against a SPENDING BOUNDARY, not
+    * the fixed-horizon 1.96, or the realized false-positive rate
+    * triples. OBF boundaries at overall α = 0.05 (two-sided) are the
+    * PUBLISHED table constants — literals embedded in both engines
+    * (the q325 rule; they come from numerical integration no SQL
+    * engine should re-run):
+    *   K=2: 2.7965, 1.9774   K=3: 3.4711, 2.4544, 2.0040
+    *   K=4: 4.0486, 2.8626, 2.3373, 2.0243
+    * Each look is a SNAPSHOT the caller built — the full unit table
+    * as of that look's calendar boundary (the metric accrues per
+    * unit; enrollment need not stagger). Per look the two-sample z
+    * rides exact integer (n, Σ, Σ²) moments — one fixed IEEE chain
+    * each, no cross-look sums, so no ordering concern. Output per
+    * look, ordered: (look, n_a, n_b, z_r6, boundary, cross) —
+    * `cross` marks the first look an honest sequential design would
+    * have stopped at.
+    */
+  private val ObfBounds: Map[Int, Seq[Double]] = Map(
+    2 -> Seq(2.7965, 1.9774),
+    3 -> Seq(3.4711, 2.4544, 2.0040),
+    4 -> Seq(4.0486, 2.8626, 2.3373, 2.0243))
+
+  def groupSequential(units: DataFrame, lookCol: String,
+      variant: String = "variant", value: String = "y"): DataFrame = {
+    val v = col(variant).cast("string")
+    val base = units.select(col(lookCol).cast("long").as("lk"),
+      when(v === "A", 0L).when(v === "B", 1L)
+        .otherwise(raise_error(concat(
+          lit("groupSequential: variant must be A/B: "), v))).as("g"),
+      col(value).cast("long").as("yv"))
+    val k = base.agg(countDistinct(col("lk")).as("k"))
+    // each look is a SNAPSHOT the caller built (the full unit table as
+    // of that look's boundary) — per-look moments, no cross-look sums
+    val cum = base.groupBy("lk")
+      .agg(sum(when(col("g") === 0L, 1L).otherwise(0L)).as("cna"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("cnb"),
+        sum(when(col("g") === 0L, col("yv")).otherwise(0L)).as("csa"),
+        sum(when(col("g") === 1L, col("yv")).otherwise(0L)).as("csb"),
+        sum(when(col("g") === 0L, col("yv") * col("yv")).otherwise(0L))
+          .as("cqa"),
+        sum(when(col("g") === 1L, col("yv") * col("yv")).otherwise(0L))
+          .as("cqb"))
+      .withColumn("look", row_number().over(Window.orderBy("lk")).cast("long"))
+      .crossJoin(broadcast(k))
+    // boundary literal per (K, look) — a when-chain over the published
+    // table; an unsupported look count raises loudly
+    val boundary = ObfBounds.foldLeft(
+      raise_error(concat(lit("groupSequential: no OBF table for K = "),
+        col("k").cast("string"))).cast("double")) {
+      case (rest, (kk, bs)) =>
+        when(col("k") === kk.toLong,
+          bs.zipWithIndex.foldLeft(lit(Double.NaN)) {
+            case (inner, (b, i)) =>
+              when(col("look") === (i + 1).toLong, lit(b)).otherwise(inner)
+          }).otherwise(rest)
+    }
+    // variance needs >= 2 units per arm per look — raise rather than
+    // let the (n-1) division surface as an engine-dependent error
+    val guardN = (c: Column) => when(c >= 2L, c)
+      .otherwise(raise_error(lit(
+        "groupSequential: every look needs >= 2 units per arm")))
+    val naD = guardN(col("cna")).cast("double")
+    val nbD = guardN(col("cnb")).cast("double")
+    val ma = col("csa").cast("double") / naD
+    val mb = col("csb").cast("double") / nbD
+    val va = (col("cqa").cast("double") - naD * ma * ma) / (naD - 1.0)
+    val vb = (col("cqb").cast("double") - nbD * mb * mb) / (nbD - 1.0)
+    val z = (mb - ma) / sqrt(va / naD + vb / nbD)
+    cum.select(col("look"), col("cna").as("n_a"), col("cnb").as("n_b"),
+        round(z, 6).as("z_r6"), boundary.as("boundary"))
+      .withColumn("cross", abs(col("z_r6")) > col("boundary"))
+      .orderBy("look")
+  }
+
   /** the q290/q298 unit table: per-user purchase milli in the front /
     * back half of January, variants by user parity */
   private def cupedDemoUnits(s: SparkSession, d: String): DataFrame = {
@@ -643,5 +720,75 @@ object Experiment {
              |  round(ratio, 6) AS ratio_r6, round(se, 6) AS se_r6,
              |  round(ratio - (1.959963984540054 * se), 6) AS lo_r6,
              |  round(ratio + (1.959963984540054 * se), 6) AS hi_r6
-             |FROM t ORDER BY variant""".stripMargin)))
+             |FROM t ORDER BY variant""".stripMargin)),
+
+    // ---- q334: GROUP-SEQUENTIAL MONITOR — 3 calendar looks (days
+    //      1-10 / 1-20 / full month as cumulative per-user purchase
+    //      snapshots over the fixed enrolled population), per-user
+    //      purchase milli under the parity A/B split, each look's z
+    //      against the published OBF K=3 boundary. ----
+    "q334_group_sequential" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val bounds = Seq((1L, "2024-01-11"), (2L, "2024-01-21"),
+          (3L, "2024-01-31")).toDF("lk", "cutoff")
+        val users = Tables.events(s, d).select(col("user_id")).distinct()
+        val pur = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            round(col("value") * 1000, 0).cast("long").as("milli"))
+        val units = users.crossJoin(broadcast(bounds))
+          .join(pur, Seq("user_id"), "left")
+          .groupBy(col("user_id"), col("lk"))
+          .agg(sum(when(col("ts") < col("cutoff").cast("timestamp"),
+            col("milli")).otherwise(0L)).as("y0"))
+          .select(col("lk"), coalesce(col("y0"), lit(0L)).as("y"),
+            when(col("user_id") % 2 === 0, "A").otherwise("B").as("variant"))
+        groupSequential(units, lookCol = "lk")
+      },
+      Some("""WITH bounds AS (SELECT * FROM (VALUES
+             |    (1, TIMESTAMP '2024-01-11 00:00:00'),
+             |    (2, TIMESTAMP '2024-01-21 00:00:00'),
+             |    (3, TIMESTAMP '2024-01-31 00:00:00')) AS t(lk, cutoff)),
+             |us AS (SELECT DISTINCT user_id FROM events),
+             |pur AS (SELECT user_id, ts,
+             |    CAST(round(value * 1000) AS BIGINT) AS milli
+             |  FROM events WHERE event_type = 'purchase'),
+             |u AS (SELECT us.user_id, b.lk,
+             |    CASE WHEN us.user_id % 2 = 0 THEN 0 ELSE 1 END AS g,
+             |    coalesce(sum(CASE WHEN pur.ts < b.cutoff
+             |      THEN pur.milli ELSE 0 END), 0) AS yv
+             |  FROM us CROSS JOIN bounds b
+             |  LEFT JOIN pur ON pur.user_id = us.user_id
+             |  GROUP BY us.user_id, b.lk),
+             |c AS (SELECT row_number() OVER (ORDER BY lk) AS look,
+             |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS cna,
+             |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS cnb,
+             |    sum(CASE WHEN g = 0 THEN yv ELSE 0 END) AS csa,
+             |    sum(CASE WHEN g = 1 THEN yv ELSE 0 END) AS csb,
+             |    sum(CASE WHEN g = 0 THEN yv * yv ELSE 0 END) AS cqa,
+             |    sum(CASE WHEN g = 1 THEN yv * yv ELSE 0 END) AS cqb
+             |  FROM u GROUP BY lk),
+             |z AS (SELECT look, cna, cnb,
+             |    ((CAST(csb AS DOUBLE) / CAST(cnb AS DOUBLE))
+             |      - (CAST(csa AS DOUBLE) / CAST(cna AS DOUBLE)))
+             |    / sqrt(
+             |      ((CAST(cqa AS DOUBLE) - CAST(cna AS DOUBLE)
+             |        * (CAST(csa AS DOUBLE) / CAST(cna AS DOUBLE))
+             |        * (CAST(csa AS DOUBLE) / CAST(cna AS DOUBLE)))
+             |        / (CAST(cna AS DOUBLE) - 1.0)) / CAST(cna AS DOUBLE)
+             |      + ((CAST(cqb AS DOUBLE) - CAST(cnb AS DOUBLE)
+             |        * (CAST(csb AS DOUBLE) / CAST(cnb AS DOUBLE))
+             |        * (CAST(csb AS DOUBLE) / CAST(cnb AS DOUBLE)))
+             |        / (CAST(cnb AS DOUBLE) - 1.0)) / CAST(cnb AS DOUBLE))
+             |    AS z
+             |  FROM c)
+             |SELECT CAST(look AS BIGINT) AS look,
+             |  CAST(cna AS BIGINT) AS n_a, CAST(cnb AS BIGINT) AS n_b,
+             |  round(z, 6) AS z_r6,
+             |  CAST(CASE look WHEN 1 THEN 3.4711 WHEN 2 THEN 2.4544
+             |    ELSE 2.0040 END AS DOUBLE) AS boundary,
+             |  abs(round(z, 6)) > CAST(CASE look WHEN 1 THEN 3.4711
+             |    WHEN 2 THEN 2.4544 ELSE 2.0040 END AS DOUBLE) AS cross
+             |FROM z ORDER BY look""".stripMargin)))
 }

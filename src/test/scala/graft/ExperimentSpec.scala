@@ -218,4 +218,43 @@ class ExperimentSpec extends SparkSpec {
     val bad = Seq((0L, 0L, 100L), (0L, 0L, 200L)).toDF("variant", "x", "y")
     intercept[Exception] { Experiment.deltaRatioCi(bad).collect() }
   }
+
+  test("group-sequential: hand z against the published OBF K=2 boundary") {
+    val s = spark
+    import s.implicits._
+    // look 1: A [0,10] B [20,30] -> z = 20/sqrt(50) = 2.828427 > 2.7965
+    // look 2: same units accrued more: A [0,10,0,10] B [20,30,20,30]
+    //   var = 100/3, z = 20/sqrt((100/3)/4*2) = 20/sqrt(16.6667) = 4.898979
+    val rows = Seq(
+      (1L, "A", 0L), (1L, "A", 10L), (1L, "B", 20L), (1L, "B", 30L),
+      (2L, "A", 0L), (2L, "A", 10L), (2L, "A", 0L), (2L, "A", 10L),
+      (2L, "B", 20L), (2L, "B", 30L), (2L, "B", 20L), (2L, "B", 30L))
+      .toDF("lk", "variant", "y")
+    val got = Experiment.groupSequential(rows, "lk").collect()
+    assert(got.length == 2)
+    val l1 = got.head; val l2 = got(1)
+    assert(l1.getLong(1) == 2L && l1.getLong(2) == 2L)
+    assert(l1.getDouble(3) == 2.828427 && l1.getDouble(4) == 2.7965)
+    assert(l1.getBoolean(5), "look 1 crosses the OBF boundary")
+    assert(l2.getDouble(4) == 1.9774 && l2.getBoolean(5))
+  }
+
+  test("group-sequential: unsupported look counts and variants raise") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((1L, "A", 0L), (1L, "A", 2L), (1L, "B", 1L),
+      (1L, "B", 3L)).toDF("lk", "variant", "y")
+    val e1 = intercept[Exception](Experiment.groupSequential(one, "lk")
+      .collect())
+    assert(e1.getMessage.contains("no OBF table"), e1.getMessage)
+    val bad = Seq((1L, "C", 0L), (2L, "A", 1L)).toDF("lk", "variant", "y")
+    val e2 = intercept[Exception](Experiment.groupSequential(bad, "lk")
+      .collect())
+    assert(e2.getMessage.contains("variant must be A/B"), e2.getMessage)
+    val thin = Seq((1L, "A", 0L), (1L, "B", 1L), (2L, "A", 0L),
+      (2L, "B", 1L)).toDF("lk", "variant", "y")
+    val e3 = intercept[Exception](Experiment.groupSequential(thin, "lk")
+      .collect())
+    assert(e3.getMessage.contains(">= 2 units per arm"), e3.getMessage)
+  }
 }
