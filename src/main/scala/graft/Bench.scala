@@ -183,7 +183,9 @@ object Bench {
       "q331_ktruss", "q332_rule_attribution",
       // partition-quality score: two aggs over the tagged edge set;
       // OBF sequential monitor (3 snapshot aggs, boundary literals)
-      "q333_modularity", "q334_group_sequential")
+      "q333_modularity", "q334_group_sequential",
+      // gains/lift deciles on the GlobalRank range decomposition
+      "q335_lift_table")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

@@ -1595,4 +1595,11 @@ object Graft {
   def groupSequential(units: DataFrame, lookCol: String,
       variant: String = "variant", value: String = "y"): DataFrame =
     rel.Experiment.groupSequential(units, lookCol, variant, value)
+
+  /** Cumulative gains / lift table over a scored population, exact
+    * milli via the GlobalRank decomposition ([[llm.Eval.liftTable]]).
+    */
+  def liftTable(df: DataFrame, score: Column, label: Column,
+      tiebreak: Column, k: Int = 10): DataFrame =
+    llm.Eval.liftTable(df, score, label, tiebreak, k)
 }

@@ -164,6 +164,52 @@ object Eval {
         (lit(2.0) * col("n_pos") * col("n_neg")), 6))
   }
 
+  /** CUMULATIVE GAINS / LIFT TABLE — the business-facing twin of
+    * [[groupedAuc]]: rank units by score DESCENDING, cut into k
+    * equal-ish tiles (the ANSI ntile remainder rule), and report per
+    * tile how much of the total positive mass the top tiles capture
+    * (cum_gain) and how over-represented positives are inside each
+    * tile (lift). "The top decile captures 38% of converters at 3.8×
+    * base rate" is this table's first row.
+    *
+    * Scale shape: the global ranking is [[graft.rel.GlobalRank]]'s
+    * range decomposition (never a partition-less window); tiles come
+    * from the closed-form ntile; per-tile counts are exact integers;
+    * gains/lift are exact-integer milli with decimal(38,0) cross
+    * products (pos·n overflows a long at 100 TB — the q319 rule).
+    * Ties order by (score desc, tiebreak) — a TOTAL order, both
+    * engines pick identical tiles. Zero positives raises loudly (a
+    * lift table over no positives is a report about nothing).
+    */
+  def liftTable(df: DataFrame, score: Column, label: Column,
+      tiebreak: Column, k: Int = 10): DataFrame = {
+    require(k >= 2 && k <= 100, s"liftTable: 2 <= k <= 100: $k")
+    val y0 = label.cast("long")
+    val base = df.select(score.cast("long").as("sc"),
+      when(y0 === 0L || y0 === 1L, y0).otherwise(raise_error(concat(
+        lit("liftTable: label must be 0/1: "), y0.cast("string")))).as("y"),
+      tiebreak.cast("long").as("tb"))
+    val ranked = graft.rel.GlobalRank.byOrder(base,
+      Seq(col("sc").desc, col("tb")), "rk", "n_total")
+    val per = ranked
+      .withColumn("tile",
+        graft.rel.GlobalRank.ntileOf(col("rk"), col("n_total"), k))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"),
+        max("n_total").as("nt"))
+    val tot = per.agg(sum("pos").as("tp"))
+    val wCum = Window.orderBy("tile").rowsBetween(Long.MinValue, 0)
+    per.crossJoin(broadcast(tot))
+      .withColumn("tp", when(col("tp") > 0, col("tp"))
+        .otherwise(raise_error(lit("liftTable: no positive labels"))))
+      .withColumn("cumpos", sum("pos").over(wCum))
+      .select(col("tile"), col("n"), col("pos"),
+        expr("(cumpos * 1000) div tp").as("cum_gain_milli"),
+        expr("(cast(pos as decimal(38,0)) * nt * 1000)" +
+          " div (cast(tp as decimal(38,0)) * n)").as("lift_milli"))
+      .orderBy("tile")
+  }
+
   /** Per-row prep shared by the calibration operators: validated
     * integer-milli probability, validated 0/1 label, fixed-width bin
     * index least(⌊p·bins/1000⌋, bins−1). Out-of-range inputs fail
@@ -483,6 +529,47 @@ object Eval {
              |    / (2.0 * n_pos * n_neg), 6) AS auc_r6
              |FROM g WHERE n_pos > 0 AND n_neg > 0
              |ORDER BY source""".stripMargin)),
+
+    // ---- q335: CUMULATIVE GAINS / LIFT deciles of order price
+    //      predicting the >= 4-item indicator (the q326 relation,
+    //      read as a scoring model): global ranking via the
+    //      GlobalRank range decomposition, tiles by the closed-form
+    //      ntile, exact-integer milli gains/lift. ----
+    "q335_lift_table" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(count(lit(1)).as("items"))
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").as("ok"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .join(li, "ok")
+        liftTable(o, col("cents"),
+          when(col("items") >= 4, 1L).otherwise(0L), col("ok"), k = 10)
+      },
+      Some("""WITH li AS (SELECT l_orderkey AS ok, count(*) AS items
+             |  FROM lineitem GROUP BY 1),
+             |o AS (SELECT o_orderkey AS ok,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |    CASE WHEN li.items >= 4 THEN 1 ELSE 0 END AS y
+             |  FROM orders JOIN li ON li.ok = o_orderkey),
+             |r AS (SELECT y,
+             |    ntile(10) OVER (ORDER BY cents DESC, ok) AS tile,
+             |    count(*) OVER () AS nt
+             |  FROM o),
+             |p AS (SELECT tile, count(*) AS n, sum(y) AS pos, max(nt) AS nt
+             |  FROM r GROUP BY tile),
+             |t AS (SELECT sum(pos) AS tp FROM p),
+             |c AS (SELECT p.tile, p.n, p.pos, p.nt, t.tp,
+             |    sum(p.pos) OVER (ORDER BY p.tile ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS cumpos
+             |  FROM p, t)
+             |SELECT CAST(tile AS BIGINT) AS tile, CAST(n AS BIGINT) AS n,
+             |  CAST(pos AS BIGINT) AS pos,
+             |  CAST((cumpos * 1000) // tp AS BIGINT) AS cum_gain_milli,
+             |  CAST((CAST(pos AS HUGEINT) * nt * 1000)
+             |    // (CAST(tp AS HUGEINT) * n) AS BIGINT) AS lift_milli
+             |FROM c ORDER BY tile""".stripMargin)),
 
     // ---- q233: RETRIEVAL EVALUATION — the q102 BM25 ranking scored
     //      against term-match graded qrels (grade = matched query

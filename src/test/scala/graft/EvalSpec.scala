@@ -193,4 +193,36 @@ class EvalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(5))).head
     assert(deg == ((0L, 1000L, 1000L)))
   }
+
+  test("lift table: hand gains and lift on a perfect-ish top-heavy score") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // scores 10..1, positives on the top three scores; k=5 -> 2/tile
+    val df = (1L to 10L).map(i => (i, 11L - i, if (i <= 3) 1L else 0L))
+      .toDF("id", "sc", "y")
+    val got = graft.llm.Eval.liftTable(df, col("sc"), col("y"), col("id"),
+      k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // tile1: pos 2/2, cum 666, lift (2*10*1000)/(3*2) = 3333
+    // tile2: pos 1/2, cum 1000, lift (1*10*1000)/(3*2) = 1666
+    assert(got.head == ((1L, 2L, 2L, 666L, 3333L)))
+    assert(got(1) == ((2L, 2L, 1L, 1000L, 1666L)))
+    assert(got.drop(2).forall(t => t._3 == 0L && t._4 == 1000L && t._5 == 0L))
+  }
+
+  test("lift table: bad labels and zero positives raise loudly") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val bad = Seq((1L, 5L, 2L), (2L, 4L, 0L)).toDF("id", "sc", "y")
+    val e1 = intercept[Exception](graft.llm.Eval.liftTable(bad, col("sc"),
+      col("y"), col("id"), k = 2).collect())
+    assert(e1.getMessage.contains("label must be 0/1"), e1.getMessage)
+    val none = Seq((1L, 5L, 0L), (2L, 4L, 0L)).toDF("id", "sc", "y")
+    val e2 = intercept[Exception](graft.llm.Eval.liftTable(none, col("sc"),
+      col("y"), col("id"), k = 2).collect())
+    assert(e2.getMessage.contains("no positive labels"), e2.getMessage)
+  }
 }
