@@ -184,8 +184,9 @@ object Bench {
       // partition-quality score: two aggs over the tagged edge set;
       // OBF sequential monitor (3 snapshot aggs, boundary literals)
       "q333_modularity", "q334_group_sequential",
-      // gains/lift deciles on the GlobalRank range decomposition
-      "q335_lift_table")
+      // gains/lift deciles on the GlobalRank range decomposition;
+      // trigram-pruned infix search (build + intersect + verify)
+      "q335_lift_table", "q336_trigram_like")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

@@ -1602,4 +1602,16 @@ object Graft {
   def liftTable(df: DataFrame, score: Column, label: Column,
       tiebreak: Column, k: Int = 10): DataFrame =
     llm.Eval.liftTable(df, score, label, tiebreak, k)
+
+  /** Trigram posting table for infix search
+    * ([[llm.Trigram.buildTrigramPostings]]) and the accelerated
+    * `LIKE '%pattern%'` through it ([[llm.Trigram.likeSearch]]).
+    */
+  def buildTrigramPostings(docs: DataFrame, id: String = "id",
+      text: String = "text"): DataFrame =
+    llm.Trigram.buildTrigramPostings(docs, id, text)
+
+  def likeSearch(spark: SparkSession, docs: DataFrame, postings: DataFrame,
+      pattern: String, id: String = "id", text: String = "text"): DataFrame =
+    llm.Trigram.likeSearch(spark, docs, postings, pattern, id, text)
 }
