@@ -168,17 +168,11 @@ object Anf {
       .orderBy("t")
   }
 
-  /** The shared symmetrized min-support-2 co-purchase edge CTE (the
-    * q315 graph).
-    */
+  /** Symmetrized form of the shared co-purchase CTE. */
   private val EdgeSql =
-    """lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-      |  FROM lineitem),
-      |e0 AS (SELECT x.p AS a, y.p AS b
-      |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
-      |  GROUP BY x.p, y.p HAVING count(*) >= 2),
-      |e AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
-      |  UNION ALL SELECT b AS u, a AS v FROM e0)""".stripMargin
+    s"""${CoPurchase.Sql},
+       |e AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+       |  UNION ALL SELECT b AS u, a AS v FROM e0)""".stripMargin
 
   private def exactOracleSql(maxT: Int): String = {
     val rounds = (1 to maxT).map { r =>
@@ -253,17 +247,9 @@ object Anf {
     */
   private val MaxT = 8
 
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val lp = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    lp.as("x").join(lp.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("u"), col("y.p").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select("u", "v")
-  }
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    CoPurchase.edges(s, d)
+      .select(col("a").as("u"), col("b").as("v"))
 
   val all: ListMap[String, Q] = ListMap(
     // ---- q324: EXACT neighborhood function of the q315 co-purchase

@@ -73,23 +73,10 @@ object LinkPrediction {
     //      candidates meaningful): top-50 non-adjacent pairs by
     //      resource allocation, common neighbors breaking ties. ----
     "q315_link_prediction" -> Q(
-      (s, d) => {
-        val lp = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val edges = lp.as("x").join(lp.as("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-          .select("a", "b")
-        linkPredictionScores(s, edges, degCap = 4096L, topN = 50)
-      },
-      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-             |  FROM lineitem),
-             |e AS (SELECT x.p AS a, y.p AS b
-             |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
-             |  GROUP BY x.p, y.p HAVING count(*) >= 2),
+      (s, d) => linkPredictionScores(s, CoPurchase.edges(s, d),
+        degCap = 4096L, topN = 50),
+      Some(s"""WITH ${CoPurchase.Sql},
+             |e AS (SELECT a, b FROM e0),
              |nb AS (SELECT a AS x, b AS y FROM e
              |  UNION ALL SELECT b AS x, a AS y FROM e),
              |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d

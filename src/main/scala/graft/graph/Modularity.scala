@@ -83,25 +83,13 @@ object Modularity {
     //      detection loop: LabelProp/CC propose, this scores). ----
     "q333_modularity" -> Q(
       (s, d) => {
-        val lp = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val edges = lp.as("x").join(lp.as("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-          .select("a", "b")
         val labels = Tables.part(s, d)
           .select(col("p_partkey").as("node"),
             col("p_brand").as("community"))
-        modularity(s, edges, labels)
+        modularity(s, CoPurchase.edges(s, d), labels)
       },
-      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-             |  FROM lineitem),
-             |e AS (SELECT x.p AS a, y.p AS b
-             |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
-             |  GROUP BY x.p, y.p HAVING count(*) >= 2),
+      Some(s"""WITH ${CoPurchase.Sql},
+             |e AS (SELECT a, b FROM e0),
              |lab AS (SELECT p_partkey AS node, p_brand AS c FROM part),
              |tg AS (SELECT e.a, e.b, la.c AS ca, lb.c AS cb
              |  FROM e JOIN lab la ON la.node = e.a

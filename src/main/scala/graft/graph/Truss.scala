@@ -86,11 +86,7 @@ object Truss {
          |  FROM t${r - 1} e LEFT JOIN c$r ON c$r.a = e.a AND c$r.b = e.b
          |  WHERE coalesce(c$r.cn, 0) >= $minSup)""".stripMargin
     }.mkString(",\n")
-    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-       |  FROM lineitem),
-       |e0 AS (SELECT x.p AS a, y.p AS b
-       |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
-       |  GROUP BY x.p, y.p HAVING count(*) >= 2),
+    s"""WITH ${CoPurchase.Sql},
        |t0 AS MATERIALIZED (SELECT a, b FROM e0),
        |$body
        |SELECT a, b, CAST(support AS BIGINT) AS support
@@ -104,18 +100,7 @@ object Truss {
     //      2 rounds, the oracle unrolls 4 — post-stable rounds are
     //      no-ops). ----
     "q331_ktruss" -> Q(
-      (s, d) => {
-        val lp = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val edges = lp.as("x").join(lp.as("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-          .select("a", "b")
-        kTruss(s, edges, k = 3, maxRounds = 4)
-      },
+      (s, d) => kTruss(s, CoPurchase.edges(s, d), k = 3, maxRounds = 4),
       Some(trussOracleSql(k = 3, rounds = 4))),
   )
 }

@@ -185,7 +185,15 @@ object Eval {
       tiebreak: Column, k: Int = 10): DataFrame = {
     require(k >= 2 && k <= 100, s"liftTable: 2 <= k <= 100: $k")
     val y0 = label.cast("long")
-    val base = df.select(score.cast("long").as("sc"),
+    // the score must be INTEGRAL — a probability passed here would
+    // silently truncate to 0 and the "ranking" would degrade to the
+    // tiebreak order (callers with fractional scores pre-scale to
+    // milli). Checked, not just documented.
+    val scG = when(score.cast("double") === score.cast("long").cast("double"),
+      score.cast("long")).otherwise(raise_error(concat(
+      lit("liftTable: score must be integral (pre-scale to milli): "),
+      score.cast("string"))))
+    val base = df.select(scG.as("sc"),
       when(y0 === 0L || y0 === 1L, y0).otherwise(raise_error(concat(
         lit("liftTable: label must be 0/1: "), y0.cast("string")))).as("y"),
       tiebreak.cast("long").as("tb"))

@@ -72,30 +72,37 @@ object Attribution {
     val s = events.sparkSession
     import s.implicits._
 
-    val fp = events.groupBy(col(userCol).as("uid"))
+    val fpC = events.groupBy(col(userCol).as("uid"))
       .agg(min(when(col(typeCol) === convType, col(tsCol))).as("fpts"))
       .withColumn("conv", col("fpts").isNotNull)
+      .localCheckpoint(true) // unit-sized; the touch join + zero-touch
+                             // branch both read it
     val touches = events.select(col(userCol).as("uid"),
         col(typeCol).as("ch"), col(tsCol).as("ts0"), col(idCol).as("eid"))
       .filter(col("ch").isin(channels: _*))
-      .join(fp, "uid")
+      .join(fpC, "uid")
       .filter(col("fpts").isNull || col("ts0") < col("fpts"))
     val w = Window.partitionBy("uid").orderBy("ts0", "eid")
     val wAll = Window.partitionBy("uid")
+    // materialize the windowed journey ONCE: steps, lasts, and the
+    // zero-touch anti-join all read it — without this the events
+    // corpus + the fp aggregation re-evaluate once per union branch,
+    // which is exactly the "corpus touched once" claim breaking
     val t1 = touches
       .withColumn("f", coalesce(lag(col("ch"), 1).over(w), lit("START")))
       .withColumn("rn", row_number().over(w))
       .withColumn("nt", count(lit(1)).over(wAll))
+      .localCheckpoint(true)
     val steps = t1.select(col("f"), col("ch").as("t"))
     val lasts = t1.filter(col("rn") === col("nt"))
       .select(col("ch").as("f"),
         when(col("conv"), lit("CONV")).otherwise(lit("NULL")).as("t"))
-    val zeroTouchConv = fp.filter(col("conv"))
-      .join(touches.select("uid").distinct(), Seq("uid"), "left_anti")
+    val zeroTouchConv = fpC.filter(col("conv"))
+      .join(t1.select("uid").distinct(), Seq("uid"), "left_anti")
       .select(lit("START").as("f"), lit("CONV").as("t"))
     val cnt = steps.union(lasts).union(zeroTouchConv)
       .groupBy("f", "t").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // corpus touched once; everything below is tiny
+      .localCheckpoint(true) // everything below is (k+3)^2-sized
 
     val variants = ("FULL" +: channels).toDF("v")
     val vcnt = cnt.crossJoin(broadcast(variants))
@@ -179,12 +186,20 @@ object Attribution {
       .withColumn("ageh",
         least(expr(s"datediff(to_date(fpts), to_date(ts0)) div $halfLifeDays"),
           lit(40L)))
-      .withColumn("dw", expr("1000000 div shiftleft(cast(1 as bigint), " +
-        "cast(ageh as int))"))
+      // floor at 1 micro: a journey whose every touch is >= 20
+      // half-lives old would otherwise truncate all weights to 0 and
+      // the share division below would divide by zero (ANSI: a crash;
+      // non-ANSI: nulls) — ancient touches keep a minimal equal weight
+      .withColumn("dw", greatest(expr(
+        "1000000 div shiftleft(cast(1 as bigint), cast(ageh as int))"),
+        lit(1L)))
       .withColumn("dwsum", sum(col("dw")).over(wAll))
     val credited = t1.select(col("ch"), col("uid"),
       expr("1000 div n").as("lin"),
       when(col("n") === 1L, lit(1000L))
+        // no middle touch at n = 2: the U-shape's 200-milli middle
+        // share folds into the endpoints (500/500), not into thin air
+        .when(col("n") === 2L, lit(500L))
         .when(col("rn") === 1L || col("rn") === col("n"), lit(400L))
         .otherwise(expr("200 div (n - 2)")).as("pos"),
       expr("(dw * 1000) div dwsum").as("dec"))
@@ -298,13 +313,15 @@ object Attribution {
                .mkString(", ")})
              |    AND e.ts < fp.fpts),
              |t2 AS (SELECT uid, ch, rn, n, ageh,
-             |    1000000 // (1::BIGINT << CAST(ageh AS INT)) AS dw,
-             |    sum(1000000 // (1::BIGINT << CAST(ageh AS INT)))
+             |    greatest(1000000 // (1::BIGINT << CAST(ageh AS INT)), 1)
+             |      AS dw,
+             |    sum(greatest(1000000 // (1::BIGINT << CAST(ageh AS INT)), 1))
              |      OVER (PARTITION BY uid) AS dwsum
              |  FROM t),
              |cr AS (SELECT ch, uid,
              |    1000 // n AS lin,
              |    CASE WHEN n = 1 THEN 1000
+             |      WHEN n = 2 THEN 500
              |      WHEN rn = 1 OR rn = n THEN 400
              |      ELSE 200 // (n - 2) END AS pos,
              |    (dw * 1000) // dwsum AS dec

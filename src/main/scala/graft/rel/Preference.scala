@@ -73,10 +73,17 @@ object Preference {
       .union(d.select(col("l").as("i"), col("w").as("j"), col("c")))
       .groupBy("i", "j").agg(sum("c").as("n0"))
     val wins = d.groupBy(col("w").as("i")).agg(sum("c").as("w0"))
-    val base = n.join(wins, Seq("i"), "left")
+    // the CountCap must bound the PER-ITEM TOTAL Σ_j n_ij, not just
+    // each pair: Σ_j t_ij ≤ (Σ_j n_ij)·10¹² is the aggregation that
+    // must stay inside a long (a per-pair cap alone lets two
+    // floor-strength opponents overflow the sum — caught in review)
+    val ntot = n.groupBy("i").agg(sum("n0").as("ncomp"))
+    val base = n.join(wins, Seq("i"), "left").join(ntot, Seq("i"))
       .select(col("i"), col("j"),
-        when(col("n0") > CountCap, raise_error(
-          lit(s"bradleyTerry: pair count exceeds $CountCap")))
+        when(col("ncomp") > CountCap, raise_error(
+          lit(s"bradleyTerry: per-item comparison total exceeds $CountCap")))
+          .when(col("n0") > CountCap, raise_error(
+            lit(s"bradleyTerry: pair count exceeds $CountCap")))
           .otherwise(col("n0")).as("n"),
         when(coalesce(col("w0"), lit(0L)) > CountCap, raise_error(
           lit(s"bradleyTerry: win count exceeds $CountCap")))

@@ -110,7 +110,10 @@ object Quality {
       .foldRight(lit(null).cast("long")) { case ((dd, vv), rest) =>
         when(col("digit") === dd, lit(vv)).otherwise(rest)
       }
-    val tot = digits.agg(sum("n_obs").as("n"))
+    // no positive values -> no first digits: raise, don't divide by 0
+    val tot = digits.agg(
+      when(sum("n_obs") > 0, sum("n_obs")).otherwise(raise_error(
+        lit("benfordAudit: no positive values to audit"))).as("n"))
     val wCum = Window.orderBy("digit").rowsBetween(Long.MinValue, 0)
     val terms = digits.crossJoin(broadcast(tot))
       .withColumn("exp_micro", expCol)

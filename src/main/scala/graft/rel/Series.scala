@@ -168,6 +168,12 @@ object Series {
         lit(1L)).otherwise(raise_error(concat(
           lit("ljungBox: series is not regular/complete at lag "),
           col("lag").cast("string")))))
+      // zero-variance series: r is null by acfRaw's guard — Q is
+      // undefined; raise rather than emit (h, n, null, null) a caller
+      // would misread as a verdict
+      .withColumn("r", when(col("r").isNotNull, col("r"))
+        .otherwise(raise_error(lit(
+          "ljungBox: zero-variance series (Q undefined)"))))
     val nD = col("n").cast("double")
     val term = (col("r") * col("r")) / (nD - col("lag").cast("double"))
     val wCum = Window.orderBy("lag").rowsBetween(Long.MinValue, 0)

@@ -105,6 +105,21 @@ class AttributionSpec extends SparkSpec {
     assert(got("a") == ((1000L, 1000L, 1000L, 1L)) && !got.contains("b"))
   }
 
+  test("rule attribution: 2-touch U-shape folds the middle share into 500/500") {
+    val got = rules(Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "buy")),
+      Seq("a", "b"))
+    assert(got("a")._2 == 500L && got("b")._2 == 500L, got)
+  }
+
+  test("rule attribution: all-ancient touches keep a floor weight, no crash") {
+    // both touches ~25 half-lives before conversion: raw weights
+    // truncate to 0; the floor keeps them equal at 1 micro -> 500/500
+    val rows = Seq((1L, 1L, "a"), (1L, 2L, "b"),
+      (1L, 25L * 86400 + 5, "buy"))
+    val got = rules(rows, Seq("a", "b"))
+    assert(got("a")._3 == 500L && got("b")._3 == 500L, got)
+  }
+
   test("rule attribution: non-converters contribute nothing") {
     val got = rules(Seq((1L, 1L, "a"), (1L, 2L, "buy"), (2L, 1L, "a")),
       Seq("a"))

@@ -224,5 +224,10 @@ class EvalSpec extends SparkSpec {
     val e2 = intercept[Exception](graft.llm.Eval.liftTable(none, col("sc"),
       col("y"), col("id"), k = 2).collect())
     assert(e2.getMessage.contains("no positive labels"), e2.getMessage)
+    // fractional scores must raise, not silently truncate to 0
+    val frac = Seq((1L, 0.9, 1L), (2L, 0.4, 0L)).toDF("id", "sc", "y")
+    val e3 = intercept[Exception](graft.llm.Eval.liftTable(frac, col("sc"),
+      col("y"), col("id"), k = 2).collect())
+    assert(e3.getMessage.contains("must be integral"), e3.getMessage)
   }
 }

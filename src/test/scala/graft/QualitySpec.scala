@@ -77,6 +77,15 @@ class QualitySpec extends SparkSpec {
     assert(got.map(_.getDouble(4)).distinct.length == 1)
   }
 
+  test("benford: no positive values raises instead of dividing by zero") {
+    val s = spark
+    import s.implicits._
+    val e = intercept[Exception](
+      Quality.benfordAudit(Seq(0L, -3L).toDF("v"), "v").collect())
+    assert(e.getMessage != null && e.getMessage.contains("no positive values"),
+      e.getMessage)
+  }
+
   test("benford: a log-uniform sample conforms") {
     val s = spark
     import s.implicits._

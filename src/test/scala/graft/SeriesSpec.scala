@@ -178,4 +178,13 @@ class SeriesSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("too short"),
       e.getMessage)
   }
+
+  test("ljung-box: a zero-variance series raises (Q undefined), acf stays null") {
+    val s = spark
+    import s.implicits._
+    val df = (0L to 5L).map(t => (t, 7L)).toDF("t", "x")
+    val e = intercept[Exception](Series.ljungBox(df, "t", "x", h = 2).collect())
+    assert(e.getMessage != null && e.getMessage.contains("zero-variance"),
+      e.getMessage)
+  }
 }
