@@ -1553,10 +1553,18 @@ object Graft {
     rel.Causal.stratifiedAte(df, treat, y, stratum)
 
   /** Benford first-digit audit with the χ²(8) conformance readout
-    * ([[rel.Quality.benfordAudit]]).
+    * ([[rel.Quality.benfordAudit]]); the mergeable counts stage and
+    * batch readout are exposed separately for streaming ingest
+    * ([[rel.Quality.benfordCounts]] / [[rel.Quality.benfordFromCounts]]).
     */
   def benfordAudit(df: DataFrame, c: String): DataFrame =
     rel.Quality.benfordAudit(df, c)
+
+  def benfordCounts(df: DataFrame, c: String): DataFrame =
+    rel.Quality.benfordCounts(df, c)
+
+  def benfordFromCounts(observed: DataFrame): DataFrame =
+    rel.Quality.benfordFromCounts(observed)
 
   /** Streaming-legal decontamination audit for a streaming train side
     * against a static broadcast eval set

@@ -94,14 +94,27 @@ object Quality {
     * constant across rows, the per-digit report self-contained.
     * Non-positive values are excluded (no first significant digit).
     */
-  def benfordAudit(df: DataFrame, c: String): DataFrame = {
-    val pos = df.select(col(c).cast("long").as("v")).filter(col("v") > 0)
-    val observed = pos.select(
-      substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+  def benfordAudit(df: DataFrame, c: String): DataFrame =
+    benfordFromCounts(benfordCounts(df, c))
+
+  /** The MERGEABLE half of [[benfordAudit]]: per-first-digit counts —
+    * a plain streaming-legal aggregation, so the audit can run at
+    * ingest (the q330 split: the stream maintains state, the readout
+    * is batch over the 9-row table).
+    */
+  def benfordCounts(df: DataFrame, c: String): DataFrame =
+    df.select(col(c).cast("long").as("v")).filter(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).cast("long")
+        .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+
+  /** The readout half: (digit, n_obs) counts → the full per-digit
+    * report with the χ²(8) conformance flag.
+    */
+  def benfordFromCounts(observed: DataFrame): DataFrame = {
     // dense 1..9 domain: a digit that never occurs still owes its
     // (0 - expected)^2/expected term — dropping it understates chi2
-    val digits = df.sparkSession.range(1, 10)
+    val digits = observed.sparkSession.range(1, 10)
       .select(col("id").as("digit"))
       .join(observed, Seq("digit"), "left")
       .na.fill(0L, Seq("n_obs"))
@@ -133,6 +146,38 @@ object Quality {
         col("chi2_r6") <= lit(Inference.Chi2Crit05(7)))
       .orderBy("digit")
   }
+
+  /** One oracle string for q329 and its streaming twin — the q330
+    * shared-contract rule.
+    */
+  private val BenfordOracleSql: Option[String] = Some(
+    s"""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+       |    AS v FROM lineitem
+       |  WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
+       |o AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+       |    AS digit, count(*) AS n_obs
+       |  FROM v GROUP BY 1),
+       |dom AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT)
+       |    AS digit),
+       |ex AS (SELECT * FROM (VALUES ${Quality.BenfordMicro.zipWithIndex
+         .map { case (vv, i) => s"(${i + 1}, $vv)" }
+         .mkString(", ")}) AS t(digit, exp_micro)),
+       |dd AS (SELECT dom.digit, coalesce(o.n_obs, 0) AS n_obs
+       |  FROM dom LEFT JOIN o USING (digit)),
+       |tot AS (SELECT sum(n_obs) AS n FROM dd),
+       |t AS (SELECT dd.digit, dd.n_obs, ex.exp_micro, tot.n,
+       |    CAST(tot.n AS DOUBLE) * CAST(ex.exp_micro AS DOUBLE) / 1e6
+       |      AS expected
+       |  FROM dd JOIN ex ON ex.digit = dd.digit, tot),
+       |x AS (SELECT sum((CAST(n_obs AS DOUBLE) - expected)
+       |    * (CAST(n_obs AS DOUBLE) - expected) / expected
+       |    ORDER BY digit) AS chi2 FROM t)
+       |SELECT t.digit, CAST(t.n_obs AS BIGINT) AS n_obs,
+       |  CAST((t.n_obs * 1000) // t.n AS BIGINT) AS obs_milli,
+       |  CAST(t.exp_micro // 1000 AS BIGINT) AS exp_milli,
+       |  round(x.chi2, 6) AS chi2_r6,
+       |  round(x.chi2, 6) <= 15.50731305586545 AS conforms
+       |FROM t, x ORDER BY t.digit""".stripMargin)
 
   val all: ListMap[String, Q] = ListMap(
     // ---- q262: FD audit for two claimed dependencies — nation →
@@ -213,32 +258,27 @@ object Quality {
           .select(round(col("l_extendedprice") * 100, 0).cast("long")
             .as("cents")),
         "cents"),
-      Some(s"""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
-             |    AS v FROM lineitem
-             |  WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
-             |o AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
-             |    AS digit, count(*) AS n_obs
-             |  FROM v GROUP BY 1),
-             |dom AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT)
-             |    AS digit),
-             |ex AS (SELECT * FROM (VALUES ${Quality.BenfordMicro.zipWithIndex
-               .map { case (vv, i) => s"(${i + 1}, $vv)" }
-               .mkString(", ")}) AS t(digit, exp_micro)),
-             |dd AS (SELECT dom.digit, coalesce(o.n_obs, 0) AS n_obs
-             |  FROM dom LEFT JOIN o USING (digit)),
-             |tot AS (SELECT sum(n_obs) AS n FROM dd),
-             |t AS (SELECT dd.digit, dd.n_obs, ex.exp_micro, tot.n,
-             |    CAST(tot.n AS DOUBLE) * CAST(ex.exp_micro AS DOUBLE) / 1e6
-             |      AS expected
-             |  FROM dd JOIN ex ON ex.digit = dd.digit, tot),
-             |x AS (SELECT sum((CAST(n_obs AS DOUBLE) - expected)
-             |    * (CAST(n_obs AS DOUBLE) - expected) / expected
-             |    ORDER BY digit) AS chi2 FROM t)
-             |SELECT t.digit, CAST(t.n_obs AS BIGINT) AS n_obs,
-             |  CAST((t.n_obs * 1000) // t.n AS BIGINT) AS obs_milli,
-             |  CAST(t.exp_micro // 1000 AS BIGINT) AS exp_milli,
-             |  round(x.chi2, 6) AS chi2_r6,
-             |  round(x.chi2, 6) <= 15.50731305586545 AS conforms
-             |FROM t, x ORDER BY t.digit""".stripMargin)),
+      BenfordOracleSql),
+
+    // ---- q337: STREAMING BENFORD MONITOR — the q329 audit at
+    //      ingest: the stream maintains the mergeable per-digit
+    //      counts (a plain streaming aggregation), the χ² readout
+    //      runs batch over the 9-row state (the q330 split). Same
+    //      oracle as q329: streaming-vs-batch parity enforced by the
+    //      driver hash. ----
+    "q337_stream_benford" -> Q(
+      (s, d) => {
+        val sch = s.read.parquet(s"$d/lineitem.parquet").schema
+        val raw = s.readStream.schema(sch).parquet(s"$d/{lineitem.parquet}")
+        val counts = benfordCounts(
+          raw.select(round(col("l_extendedprice") * 100, 0).cast("long")
+            .as("cents")), "cents")
+        val q = counts.writeStream.format("memory")
+          .queryName("stream_benford").outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        benfordFromCounts(s.table("stream_benford"))
+      },
+      BenfordOracleSql),
   )
+
 }

@@ -86,6 +86,16 @@ class QualitySpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("benford: the counts/readout split composes to the one-shot audit") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 48L).map(k => 100L + k) ++ Seq(900L, 77L)).toDF("v")
+    val once = Quality.benfordAudit(df, "v").collect().map(_.toSeq).toSeq
+    val split = Quality.benfordFromCounts(Quality.benfordCounts(df, "v"))
+      .collect().map(_.toSeq).toSeq
+    assert(once == split)
+  }
+
   test("benford: a log-uniform sample conforms") {
     val s = spark
     import s.implicits._
