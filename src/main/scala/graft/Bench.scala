@@ -185,8 +185,9 @@ object Bench {
       // OBF sequential monitor (3 snapshot aggs, boundary literals)
       "q333_modularity", "q334_group_sequential",
       // gains/lift deciles on the GlobalRank range decomposition;
-      // trigram-pruned infix search (build + intersect + verify)
-      "q335_lift_table", "q336_trigram_like")
+      // trigram-pruned infix search (build + intersect + verify);
+      // sliding exact distinct (one fact pass + 7-way bitmap merges)
+      "q335_lift_table", "q336_trigram_like", "q338_sliding_distinct")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

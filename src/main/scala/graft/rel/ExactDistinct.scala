@@ -103,6 +103,60 @@ object ExactDistinct {
              |SELECT b.type_a, b.type_b, b.n_both,
              |  CAST(t.n - b.n_both AS BIGINT) AS n_a_only
              |FROM ovl b JOIN totals t ON t.event_type = b.type_a
-             |ORDER BY type_a, type_b""".stripMargin))
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    // ---- q338: SLIDING EXACT DISTINCT — trailing-7-day distinct
+    //      users per day, the metric a naive window CANNOT compute
+    //      (distinct is not re-aggregatable, and count(DISTINCT) over
+    //      a RANGE frame re-touches 7 days of facts per output day).
+    //      Here the facts are touched ONCE (the daily bitmap
+    //      partials); each output day OR-merges 7 tiny bitmaps — the
+    //      same persisted-partial architecture as q214, turned
+    //      sideways into a sliding frame. The window join is on the
+    //      day table (calendar-bounded); Σ-of-daily rides along to
+    //      make the non-additivity visible. ----
+    "q338_sliding_distinct" -> Q(
+      (s, d) => {
+        val bm = udaf(new BitmapAgg(1 << 16), Encoders.scalaLong)
+        val mergeCard = udaf(new BitmapMergeCardAgg, Encoders.BINARY)
+        val daily = Tables.events(s, d)
+          .groupBy(unix_date(to_date(date_trunc("DAY", col("ts"))))
+            .cast("long").as("di"))
+          .agg(bm(col("user_id")).as("bmap"),
+            countDistinct(col("user_id")).as("nd"))
+          .localCheckpoint(true) // facts touched once; the join below
+                                 // reads 30 bitmap rows
+        val days = daily.select(col("di").as("day_idx"))
+        days.join(daily,
+            col("di").between(col("day_idx") - 6, col("day_idx")))
+          .groupBy("day_idx")
+          .agg(mergeCard(col("bmap")).as("distinct_7d"),
+            sum(col("nd")).as("daily_sum_7d"),
+            count(lit(1)).as("n_days_in_window"))
+          .orderBy("day_idx")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(CAST(date_trunc('day', ts) AS DATE)
+             |      - DATE '1970-01-01' AS BIGINT) AS di,
+             |    count(DISTINCT user_id) AS nd
+             |  FROM events GROUP BY 1),
+             |ev AS (SELECT CAST(CAST(date_trunc('day', ts) AS DATE)
+             |      - DATE '1970-01-01' AS BIGINT) AS di, user_id
+             |  FROM events),
+             |w AS (SELECT d.di AS day_idx,
+             |    count(DISTINCT e.user_id) AS distinct_7d
+             |  FROM daily d JOIN ev e
+             |    ON e.di BETWEEN d.di - 6 AND d.di
+             |  GROUP BY 1),
+             |ds AS (SELECT d.di AS day_idx,
+             |    CAST(sum(d2.nd) AS BIGINT) AS daily_sum_7d,
+             |    count(*) AS n_days_in_window
+             |  FROM daily d JOIN daily d2
+             |    ON d2.di BETWEEN d.di - 6 AND d.di
+             |  GROUP BY 1)
+             |SELECT w.day_idx, CAST(w.distinct_7d AS BIGINT) AS distinct_7d,
+             |  ds.daily_sum_7d, ds.n_days_in_window
+             |FROM w JOIN ds USING (day_idx)
+             |ORDER BY day_idx""".stripMargin))
   )
 }
