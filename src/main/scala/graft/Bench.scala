@@ -187,7 +187,9 @@ object Bench {
       // gains/lift deciles on the GlobalRank range decomposition;
       // trigram-pruned infix search (build + intersect + verify);
       // sliding exact distinct (one fact pass + 7-way bitmap merges)
-      "q335_lift_table", "q336_trigram_like", "q338_sliding_distinct")
+      "q335_lift_table", "q336_trigram_like", "q338_sliding_distinct",
+      // per-stratum risk sets + two order-pinned pools
+      "q339_logrank_stratified")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

@@ -1566,6 +1566,15 @@ object Graft {
   def benfordFromCounts(observed: DataFrame): DataFrame =
     rel.Quality.benfordFromCounts(observed)
 
+  /** Mantel–Haenszel stratified log-rank: the two-group survival test
+    * adjusted for a confounding stratum
+    * ([[rel.Survival.logRankStratified]]).
+    */
+  def logRankStratified(df: DataFrame, duration: String = "t",
+      event: String = "e", group: String = "g",
+      stratum: String = "s"): DataFrame =
+    rel.Survival.logRankStratified(df, duration, event, group, stratum)
+
   /** Streaming-legal decontamination audit for a streaming train side
     * against a static broadcast eval set
     * ([[llm.Decontam.contaminationAuditStream]]).

@@ -183,6 +183,87 @@ object Survival {
       .withColumn("significant", col("chi2_r6") > lit(Chi2Crit1df))
   }
 
+  /** STRATIFIED (Mantel–Haenszel) LOG-RANK (Mantel 1966; Peto & Peto
+    * 1972 §4): the two-group survival comparison ADJUSTED for a
+    * confounding stratum — risk sets, O−E and V are computed WITHIN
+    * each stratum (a heavy-user stratum cannot masquerade as a
+    * treatment effect, the survival-side q328 adjustment), then
+    * pooled: χ² = (Σ_s Σ_t (O−E))² / Σ_s Σ_t V against χ²(1).
+    *
+    * Same exactness contract as [[logRank]]: integer counts from one
+    * hash aggregation keyed (stratum, time); per-time terms fixed
+    * IEEE chains; the running sums ride cumulative windows
+    * PARTITIONED BY STRATUM and ordered by time (domain-bounded
+    * frames), and the cross-stratum pool is an ORDER-PINNED
+    * cumulative over the stratum table (the q300 rule, twice).
+    * Output one row:
+    * (n_strata, n_event_times, oe_sum_r6, var_sum_r6, chi2_r6,
+    * significant).
+    */
+  def logRankStratified(df: DataFrame, duration: String = "t",
+      event: String = "e", group: String = "g",
+      stratum: String = "s"): DataFrame = {
+    val e0 = col(event).cast("long")
+    val e = when(e0 === 1L, 1L).when(e0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("logRankStratified: event must be 0/1: "), e0.cast("string"))))
+    val g0 = col(group).cast("long")
+    val g = when(g0 === 1L, 1L).when(g0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("logRankStratified: group must be 0/1: "), g0.cast("string"))))
+    val base = df.select(col(stratum).cast("long").as("s"),
+      col(duration).cast("long").as("t"), e.as("e"), g.as("g"))
+    val per = base.groupBy("s", "t")
+      .agg(count(lit(1)).as("leaving"), sum(col("e")).as("d"),
+        sum(col("g")).as("leaving1"),
+        sum(col("e") * col("g")).as("d1"))
+    val tot = base.groupBy("s")
+      .agg(count(lit(1)).as("n_total"), sum(col("g")).as("n1_total"))
+    val wPrev = Window.partitionBy("s").orderBy("t")
+      .rowsBetween(Long.MinValue, -1)
+    val nD = col("n_risk").cast("double")
+    val n1D = col("n1_risk").cast("double")
+    val dD = col("d").cast("double"); val d1D = col("d1").cast("double")
+    val oe = d1D - (dD * (n1D / nD))
+    val v = when(col("n_risk") > 1,
+      ((dD * (n1D / nD)) * (lit(1.0) - (n1D / nD)))
+        * ((nD - dD) / (nD - lit(1.0)))).otherwise(lit(0.0))
+    val wCumS = Window.partitionBy("s").orderBy("t")
+      .rowsBetween(Long.MinValue, 0)
+    val stratumTotals = per.join(tot, Seq("s"))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("leaving")).over(wPrev), lit(0L)))
+      .withColumn("n1_risk",
+        col("n1_total") - coalesce(sum(col("leaving1")).over(wPrev), lit(0L)))
+      .withColumn("cum_oe",
+        sum(when(col("d") > 0, oe).otherwise(lit(0.0))).over(wCumS))
+      .withColumn("cum_v",
+        sum(when(col("d") > 0, v).otherwise(lit(0.0))).over(wCumS))
+      .withColumn("cum_ev",
+        sum(when(col("d") > 0, 1L).otherwise(0L)).over(wCumS))
+      .groupBy("s")
+      .agg(max(struct(col("t"), col("cum_ev"), col("cum_oe"), col("cum_v")))
+        .as("z"))
+      .select(col("s"), col("z.cum_ev").as("ev_s"),
+        col("z.cum_oe").as("oe_s"), col("z.cum_v").as("v_s"))
+    val wPool = Window.orderBy("s").rowsBetween(Long.MinValue, 0)
+    stratumTotals
+      .withColumn("p_oe", sum("oe_s").over(wPool))
+      .withColumn("p_v", sum("v_s").over(wPool))
+      .withColumn("p_ev", sum("ev_s").over(wPool))
+      .withColumn("p_n", count(lit(1)).over(wPool))
+      .agg(max(struct(col("s"), col("p_n"), col("p_ev"), col("p_oe"),
+        col("p_v"))).as("z"))
+      .select(col("z.p_n").as("n_strata"),
+        col("z.p_ev").as("n_event_times"),
+        round(col("z.p_oe"), 6).as("oe_sum_r6"),
+        round(col("z.p_v"), 6).as("var_sum_r6"),
+        when(col("z.p_v") === 0.0, lit(0.0))
+          .otherwise(round((col("z.p_oe") * col("z.p_oe")) / col("z.p_v"), 6))
+          .as("chi2_r6"))
+      .withColumn("significant", col("chi2_r6") > lit(Chi2Crit1df))
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- q300: KAPLAN-MEIER purchase-retention curve — per user with
     //      ≥ 1 purchase, lifetime = days from first event to last
@@ -393,5 +474,82 @@ object Survival {
              |SELECT r.flag AS flag, r.n, CAST(r.k AS BIGINT) AS k,
              |  rk.score AS qhat_milli
              |FROM r JOIN rk ON rk.flag = r.flag AND rk.rn = r.k
-             |ORDER BY r.flag""".stripMargin)))
+             |ORDER BY r.flag""".stripMargin)),
+
+    // ---- q339: STRATIFIED LOG-RANK on the q303 retention comparison,
+    //      adjusted for the q328 activity confounder (events div 20,
+    //      capped at 4) — risk sets within stratum, O-E and V pooled
+    //      across strata. ----
+    "q339_logrank_stratified" -> Q(
+      (s, d) => {
+        val lastP = max(when(col("event_type") === "purchase", col("ts")))
+        logRankStratified(
+          Tables.events(s, d)
+            .groupBy(col("user_id"))
+            .agg(
+              datediff(to_date(lastP), to_date(min(col("ts"))))
+                .cast("long").as("t"),
+              when(lastP <= lit("2024-01-24").cast("timestamp"), 1L)
+                .otherwise(0L).as("e"),
+              least(floor(count(lit(1)) / 20).cast("long"), lit(4L))
+                .as("strat"))
+            .withColumn("g", pmod(col("user_id"), lit(2L)))
+            .filter(col("t").isNotNull),
+          "t", "e", "g", "strat")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+             |      CAST(max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |        AS DATE)) AS BIGINT) AS t,
+             |    CASE WHEN max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |        <= TIMESTAMP '2024-01-24 00:00:00'
+             |      THEN 1 ELSE 0 END AS e,
+             |    user_id % 2 AS g,
+             |    least(count(*) // 20, 4) AS s
+             |  FROM events GROUP BY user_id
+             |  HAVING max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |    IS NOT NULL),
+             |per AS (SELECT s, t, count(*) AS leaving, sum(e) AS d,
+             |    sum(g) AS leaving1, sum(e * g) AS d1
+             |  FROM u GROUP BY s, t),
+             |tot AS (SELECT s, count(*) AS n_total, sum(g) AS n1_total
+             |  FROM u GROUP BY s),
+             |k AS (SELECT per.s, per.t, per.leaving, per.d, per.d1,
+             |    tot.n_total - coalesce(sum(per.leaving) OVER (
+             |      PARTITION BY per.s ORDER BY per.t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS n_risk,
+             |    tot.n1_total - coalesce(sum(per.leaving1) OVER (
+             |      PARTITION BY per.s ORDER BY per.t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS n1_risk
+             |  FROM per JOIN tot USING (s)),
+             |c AS (SELECT s,
+             |    sum(CASE WHEN d > 0 THEN CAST(d1 AS DOUBLE)
+             |      - (CAST(d AS DOUBLE) * (CAST(n1_risk AS DOUBLE)
+             |        / CAST(n_risk AS DOUBLE))) ELSE 0.0 END
+             |      ORDER BY t) AS oe_s,
+             |    sum(CASE WHEN d > 0 AND n_risk > 1
+             |      THEN ((CAST(d AS DOUBLE) * (CAST(n1_risk AS DOUBLE)
+             |          / CAST(n_risk AS DOUBLE)))
+             |        * (1.0 - (CAST(n1_risk AS DOUBLE)
+             |          / CAST(n_risk AS DOUBLE))))
+             |        * ((CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE))
+             |          / (CAST(n_risk AS DOUBLE) - 1.0))
+             |      ELSE 0.0 END ORDER BY t) AS v_s,
+             |    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS ev_s
+             |  FROM k GROUP BY s),
+             |p AS (SELECT count(*) AS n_strata,
+             |    CAST(sum(ev_s) AS BIGINT) AS n_event_times,
+             |    sum(oe_s ORDER BY s) AS oe_sum,
+             |    sum(v_s ORDER BY s) AS var_sum
+             |  FROM c)
+             |SELECT n_strata, n_event_times,
+             |  round(oe_sum, 6) AS oe_sum_r6, round(var_sum, 6) AS var_sum_r6,
+             |  CASE WHEN var_sum = 0.0 THEN 0.0
+             |    ELSE round((oe_sum * oe_sum) / var_sum, 6) END AS chi2_r6,
+             |  CASE WHEN var_sum = 0.0 THEN 0.0
+             |    ELSE round((oe_sum * oe_sum) / var_sum, 6) END
+             |    > 3.841458820694124 AS significant
+             |FROM p""".stripMargin)))
 }

@@ -139,4 +139,42 @@ class SurvivalSpec extends SparkSpec {
     // check at the first event: exp(-1/4) >= 1 - 1/4
     assert(got(1L)._5 >= 0.75)
   }
+
+  test("stratified log-rank: one stratum reduces exactly to the plain test") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 0L, 1L), (4L, 1L, 0L),
+      (5L, 0L, 1L), (6L, 1L, 0L))
+    val df1 = rows.toDF("t", "e", "g")
+    val plain = Survival.logRank(df1).collect().head
+    val strat = Survival.logRankStratified(
+      df1.withColumn("s", org.apache.spark.sql.functions.lit(0L)))
+      .collect().head
+    assert(strat.getLong(0) == 1L)
+    assert(strat.getDouble(2) == plain.getDouble(1)
+      && strat.getDouble(3) == plain.getDouble(2)
+      && strat.getDouble(4) == plain.getDouble(3))
+  }
+
+  test("stratified log-rank: a pure stratum effect is adjusted away") {
+    val s = spark
+    import s.implicits._
+    // stratum 0: group 1 only, all die at t=1; stratum 1: group 0
+    // only, all die at t=5. Pooled naive log-rank would scream; the
+    // stratified test sees single-group strata -> O-E = 0, V = 0
+    val rows = Seq((1L, 1L, 1L, 0L), (1L, 1L, 1L, 0L),
+      (5L, 1L, 0L, 1L), (5L, 1L, 0L, 1L))
+    val got = Survival.logRankStratified(rows.toDF("t", "e", "g", "s"))
+      .collect().head
+    assert(got.getLong(0) == 2L && got.getDouble(4) == 0.0
+      && !got.getBoolean(5), got.toString)
+  }
+
+  test("stratified log-rank: bad event/group codes raise loudly") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1L, 2L, 0L, 0L)).toDF("t", "e", "g", "s")
+    val e1 = intercept[Exception](Survival.logRankStratified(bad).collect())
+    assert(e1.getMessage.contains("event must be 0/1"), e1.getMessage)
+  }
 }
