@@ -188,8 +188,8 @@ object Bench {
       // trigram-pruned infix search (build + intersect + verify);
       // sliding exact distinct (one fact pass + 7-way bitmap merges)
       "q335_lift_table", "q336_trigram_like", "q338_sliding_distinct",
-      // per-stratum risk sets + two order-pinned pools
-      "q339_logrank_stratified")
+      // per-stratum risk sets + two order-pinned pools; Kendall tau-b
+      "q339_logrank_stratified", "q340_kendall_tau")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

@@ -1575,6 +1575,13 @@ object Graft {
       stratum: String = "s"): DataFrame =
     rel.Survival.logRankStratified(df, duration, event, group, stratum)
 
+  /** Kendall τ-b rank concordance between two aligned integer series
+    * ([[rel.Series.kendallTau]]).
+    */
+  def kendallTau(df: DataFrame, ord: String, x: String,
+      y: String): DataFrame =
+    rel.Series.kendallTau(df, ord, x, y)
+
   /** Streaming-legal decontamination audit for a streaming train side
     * against a static broadcast eval set
     * ([[llm.Decontam.contaminationAuditStream]]).

@@ -273,6 +273,56 @@ object Series {
         round(col("r"), 6).as("intercept_r6"))
   }
 
+  /** KENDALL'S τ-b (Kendall 1938; the tie-corrected τ-b of Kendall
+    * 1945) between two integer series aligned on a key — the third
+    * rung of the correlation family next to Pearson (q308) and
+    * Spearman (q309): concordant-minus-discordant pair counts,
+    *
+    *   τ-b = (C − D) / √((n₀ − n₁)(n₀ − n₂)),
+    *   n₀ = n(n−1)/2, n₁ = Σ ties_x, n₂ = Σ ties_y,
+    *
+    * where EVERYTHING except the final two IEEE steps (one sqrt, one
+    * division) is an exact integer: C, D, and the tie terms come from
+    * one self-join over the aligned pair space, which is bounded
+    * because the series is an AGGREGATE keyed by calendar time (the
+    * Distribution.scala adjudication — the same reason q306's
+    * Mann–Kendall S, which is exactly C − D against time, is safe).
+    * Zero variance on either side → null (0/0 would be NaN and the
+    * engines disagree on NaN rendering). Output one row:
+    * (n, n_pairs, concordant, discordant, ties_x, ties_y, tau_r6).
+    */
+  def kendallTau(df: DataFrame, ord: String, x: String, y: String)
+      : DataFrame = {
+    val ser = df.select(col(ord).cast("long").as("t"),
+      col(x).cast("long").as("xv"), col(y).cast("long").as("yv"))
+      .localCheckpoint(true)
+    val a = ser.select(col("t").as("ti"), col("xv").as("xi"),
+      col("yv").as("yi"))
+    val b = ser.select(col("t").as("tj"), col("xv").as("xj"),
+      col("yv").as("yj"))
+    val pairs = a.join(b, col("ti") < col("tj"))
+      .select(
+        (signum(col("xj") - col("xi")) * signum(col("yj") - col("yi")))
+          .cast("long").as("sg"),
+        (col("xi") === col("xj")).cast("long").as("tx"),
+        (col("yi") === col("yj")).cast("long").as("ty"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sg") === 1L, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("sg") === -1L, 1L).otherwise(0L)).as("discordant"),
+        sum(col("tx")).as("ties_x"), sum(col("ty")).as("ties_y"))
+      .crossJoin(broadcast(ser.agg(count(lit(1)).as("n"))))
+      .select(col("n"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("ties_x"), col("ties_y"),
+        when(col("n_pairs") === col("ties_x")
+            || col("n_pairs") === col("ties_y"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("concordant") - col("discordant")).cast("double")
+              / sqrt((col("n_pairs") - col("ties_x")).cast("double")
+                * (col("n_pairs") - col("ties_y")).cast("double")), 6))
+          .as("tau_r6"))
+  }
+
   /** Daily value totals per user in integer cents — the shared series
     * both entries smooth/score. Exact: per-event round to cents, then
     * integer sums.
@@ -612,5 +662,50 @@ object Series {
          |SELECT CAST(n AS BIGINT) AS n_points, CAST(np AS BIGINT) AS n_pairs,
          |  round(ts_slope, 6) AS slope_r6, round(r, 6) AS intercept_r6
          |FROM rr WHERE rn = (n + 1) // 2""".stripMargin)),
+
+    // ---- q340: KENDALL τ-b between daily revenue and daily event
+    //      volume — the rank-concordance rung beside q308 Pearson /
+    //      q309 Spearman; exact C/D/tie integers off the calendar-
+    //      bounded pair space, two IEEE steps at the edge. ----
+    "q340_kendall_tau" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"),
+            count(lit(1)).as("n_ev"))
+          .select(unix_date(col("day")).cast("long").as("t"),
+            col("cents"), col("n_ev"))
+        kendallTau(daily, "t", "cents", "n_ev")
+      },
+      Some("""WITH g AS (
+             |  SELECT CAST(CAST(date_trunc('day', ts) AS DATE)
+             |      - DATE '1970-01-01' AS BIGINT) AS t,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS xv,
+             |    count(*) AS yv
+             |  FROM events GROUP BY 1),
+             |p AS (SELECT
+             |    CAST(sign(b.xv - a.xv) * sign(b.yv - a.yv) AS BIGINT) AS sg,
+             |    CAST(a.xv = b.xv AS BIGINT) AS tx,
+             |    CAST(a.yv = b.yv AS BIGINT) AS ty
+             |  FROM g a JOIN g b ON a.t < b.t),
+             |c AS (SELECT count(*) AS n_pairs,
+             |    sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS concordant,
+             |    sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS discordant,
+             |    sum(tx) AS ties_x, sum(ty) AS ties_y
+             |  FROM p),
+             |n0 AS (SELECT count(*) AS n FROM g)
+             |SELECT n0.n, CAST(c.n_pairs AS BIGINT) AS n_pairs,
+             |  CAST(c.concordant AS BIGINT) AS concordant,
+             |  CAST(c.discordant AS BIGINT) AS discordant,
+             |  CAST(c.ties_x AS BIGINT) AS ties_x,
+             |  CAST(c.ties_y AS BIGINT) AS ties_y,
+             |  CASE WHEN c.n_pairs = c.ties_x OR c.n_pairs = c.ties_y
+             |    THEN NULL
+             |    ELSE round(CAST(c.concordant - c.discordant AS DOUBLE)
+             |      / sqrt(CAST(c.n_pairs - c.ties_x AS DOUBLE)
+             |        * CAST(c.n_pairs - c.ties_y AS DOUBLE)), 6)
+             |  END AS tau_r6
+             |FROM c, n0""".stripMargin)),
   )
 }

@@ -179,6 +179,29 @@ class SeriesSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("kendall tau-b: perfect concordance, reversal, and tie correction") {
+    val s = spark
+    import s.implicits._
+    def tau(rows: Seq[(Long, Long, Long)]) =
+      Series.kendallTau(rows.toDF("t", "x", "y"), "t", "x", "y")
+        .collect().head
+    // monotone together: tau = 1
+    val up = tau((1L to 5L).map(i => (i, i, i * 10)))
+    assert(up.getDouble(6) == 1.0 && up.getLong(2) == 10L)
+    // perfectly opposed: tau = -1
+    val dn = tau((1L to 5L).map(i => (i, i, 60L - i)))
+    assert(dn.getDouble(6) == -1.0)
+    // tie correction: x = (1,1,2), y = (1,2,3): C=2, D=0, tx=1, ty=0
+    // tau-b = 2 / sqrt(2 * 3) = 0.816497
+    val tb = tau(Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 2L, 3L)))
+    assert(tb.getLong(2) == 2L && tb.getLong(4) == 1L)
+    assert(tb.getDouble(6) == BigDecimal(2.0 / math.sqrt(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // one side constant -> null, not NaN
+    val cz = tau(Seq((1L, 5L, 1L), (2L, 5L, 2L), (3L, 5L, 3L)))
+    assert(cz.isNullAt(6))
+  }
+
   test("ljung-box: a zero-variance series raises (Q undefined), acf stays null") {
     val s = spark
     import s.implicits._
