@@ -60,7 +60,8 @@ object SparkEntry {
       graft.llm.Decontam.all ++ graft.rel.Preference.all ++
       graft.graph.Anf.all ++ graft.rel.Isotonic.all ++
       graft.rel.Causal.all ++ graft.graph.Truss.all ++
-      graft.graph.Modularity.all ++ graft.llm.Trigram.all
+      graft.graph.Modularity.all ++ graft.llm.Trigram.all ++
+      graft.llm.Rbo.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

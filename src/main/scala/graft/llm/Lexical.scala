@@ -382,7 +382,7 @@ object Lexical {
     * normalization with the identical expression shape, rounds to 6
     * decimals, ranks with the same (score desc, id asc) tie-break
     */
-  private val bm25OracleSql =
+  private[llm] val bm25OracleSql =
     """WITH t AS (SELECT doc_id,
       |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
       |      x -> len(x) > 0) AS w

@@ -149,16 +149,23 @@ object Ql {
 
   /** shared oracle prelude: tokens, lengths, query bag with qtf,
     * query-term postings, collection model p_c over surviving terms */
-  private def qlSqlCtes: String =
-    """t AS (SELECT doc_id,
-      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+  private def qlSqlCtes: String = qlSqlCtesFor(
+    """(0,'join',1),(0,'hash',1),
+      |  (1,'vector',1),(1,'scan',1),(1,'filter',1),
+      |  (2,'customer',2),(2,'zzz',1)""".stripMargin)
+
+  /** The same prelude with a caller-supplied (qid, term, qtf) VALUES
+    * body — q341's RBO oracle replays this ranker over the BM25
+    * query set.
+    */
+  private[llm] def qlSqlCtesFor(queryValues: String): String =
+    s"""t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
       |      x -> len(x) > 0) AS w
       |  FROM documents),
       |dl AS (SELECT doc_id, len(w) AS len, w FROM t),
       |cstat AS (SELECT sum(len) AS c_len FROM dl),
-      |q(qid, term, qtf) AS (VALUES (0,'join',1),(0,'hash',1),
-      |  (1,'vector',1),(1,'scan',1),(1,'filter',1),
-      |  (2,'customer',2),(2,'zzz',1)),
+      |q(qid, term, qtf) AS (VALUES $queryValues),
       |qt AS (SELECT DISTINCT term FROM q),
       |tok AS (SELECT doc_id, len, unnest(w) AS term FROM dl),
       |post AS (SELECT term, doc_id, len, count(*) AS tf
@@ -167,29 +174,40 @@ object Ql {
       |  FROM tok JOIN qt USING (term) CROSS JOIN cstat
       |  GROUP BY term)""".stripMargin
 
+  /** The full Dirichlet-QL replay over a caller-supplied query VALUES
+    * body — shared by q288 and q341's RBO composition.
+    */
+  private[llm] def qlDirichletOracleSqlFor(queryValues: String): String =
+    s"""WITH ${qlSqlCtesFor(queryValues)},
+       |qc AS (SELECT qid, sum(qtf * ln(500.0 * pc)) AS cq,
+       |    sum(qtf) AS lq
+       |  FROM q JOIN pc USING (term) GROUP BY qid),
+       |ms AS (SELECT q.qid, p.doc_id, p.len,
+       |    sum(q.qtf * ln(1.0 + p.tf / (500.0 * pc.pc))) AS ms
+       |  FROM post p JOIN q USING (term) JOIN pc USING (term)
+       |  GROUP BY q.qid, p.doc_id, p.len),
+       |sc AS (SELECT ms.qid, ms.doc_id,
+       |    round(ms.ms + qc.cq - qc.lq * ln(ms.len + 500.0), 6)
+       |      AS score_r6
+       |  FROM ms JOIN qc USING (qid)),
+       |r AS (SELECT qid, doc_id, score_r6, row_number() OVER (
+       |    PARTITION BY qid ORDER BY score_r6 DESC, doc_id) AS rn
+       |  FROM sc)
+       |SELECT qid, CAST(rn AS INT) AS rn, doc_id, score_r6
+       |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  private def qlDirichletOracleSql: String = qlDirichletOracleSqlFor(
+    """(0,'join',1),(0,'hash',1),
+      |  (1,'vector',1),(1,'scan',1),(1,'filter',1),
+      |  (2,'customer',2),(2,'zzz',1)""".stripMargin)
+
   val all: ListMap[String, Q] = ListMap(
     // ---- q288: Dirichlet query likelihood — sparse decomposition,
     //      per-query constants, length normalizer, top-5. ----
     "q288_ql_dirichlet" -> Q(
       (s, d) => qlDirichletTopK(s, Tables.documents(s, d), demoQueries,
         k = 5, mu = 500.0),
-      Some(s"""WITH $qlSqlCtes,
-             |qc AS (SELECT qid, sum(qtf * ln(500.0 * pc)) AS cq,
-             |    sum(qtf) AS lq
-             |  FROM q JOIN pc USING (term) GROUP BY qid),
-             |ms AS (SELECT q.qid, p.doc_id, p.len,
-             |    sum(q.qtf * ln(1.0 + p.tf / (500.0 * pc.pc))) AS ms
-             |  FROM post p JOIN q USING (term) JOIN pc USING (term)
-             |  GROUP BY q.qid, p.doc_id, p.len),
-             |sc AS (SELECT ms.qid, ms.doc_id,
-             |    round(ms.ms + qc.cq - qc.lq * ln(ms.len + 500.0), 6)
-             |      AS score_r6
-             |  FROM ms JOIN qc USING (qid)),
-             |r AS (SELECT qid, doc_id, score_r6, row_number() OVER (
-             |    PARTITION BY qid ORDER BY score_r6 DESC, doc_id) AS rn
-             |  FROM sc)
-             |SELECT qid, CAST(rn AS INT) AS rn, doc_id, score_r6
-             |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+      Some(qlDirichletOracleSql)),
 
     // ---- q289: Jelinek–Mercer query likelihood, λ = 0.4, top-5. ----
     "q289_ql_jm" -> Q(
