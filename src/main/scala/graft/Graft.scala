@@ -644,6 +644,36 @@ object Graft {
     llm.Pipeline.retrieveDiversifyEval(spark, docs, queries, emb, qvecs,
       qrels, k, lambdaMilli)
 
+  /** Persist the chunk-level lexical index the served retrieval
+    * pipeline reads ([[llm.Pipeline.saveChunkLexical]]).
+    */
+  def saveChunkLexical(spark: SparkSession, docs: DataFrame, dir: String,
+      window: Int = 40, stride: Int = 30, buckets: Int = 64): Unit =
+    llm.Pipeline.saveChunkLexical(spark, docs, dir, window, stride, buckets)
+
+  /** The SERVED hybrid retrieval pipeline: lexical pooled from a
+    * persisted chunk index, dense from a persisted IVF index — the
+    * corpus is never touched at query time
+    * ([[llm.Pipeline.hybridProbeRetrieve]]).
+    */
+  def hybridProbeRetrieve(spark: SparkSession, lexDir: String, annDir: String,
+      queries: Seq[(Int, Seq[String])], qvecs: DataFrame,
+      kPerSystem: Int = 10, kFused: Int = 10, nProbe: Int = 6,
+      buckets: Int = 64): DataFrame =
+    llm.Pipeline.hybridProbeRetrieve(spark, lexDir, annDir, queries, qvecs,
+      kPerSystem, kFused, nProbe, buckets)
+
+  /** The served full retrieval chain with MMR diversification and
+    * ranking metrics, diversity vectors from the index's own id→vec
+    * store ([[llm.Pipeline.retrieveDiversifyEvalProbe]]).
+    */
+  def retrieveDiversifyEvalProbe(spark: SparkSession, lexDir: String,
+      annDir: String, queries: Seq[(Int, Seq[String])], qvecs: DataFrame,
+      qrels: DataFrame, k: Int, lambdaMilli: Int = 700,
+      nProbe: Int = 6): DataFrame =
+    llm.Pipeline.retrieveDiversifyEvalProbe(spark, lexDir, annDir, queries,
+      qvecs, qrels, k, lambdaMilli, nProbe = nProbe)
+
   /** Per-label centroid outliers in exact integer arithmetic — the
     * embedding-quality audit ([[llm.Outliers.centroidOutliers]]).
     */

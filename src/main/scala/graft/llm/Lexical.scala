@@ -197,8 +197,33 @@ object Lexical {
   def probeBm25(s: SparkSession, dir: String, queries: Seq[(Int, Seq[String])],
       k: Int, buckets: Int = 64, k1: Double = 1.2, b: Double = 0.75,
       id: String = "doc_id"): DataFrame = {
+    require(k > 0)
+    val (post, dfd, stats, qdf) = probeParts(s, dir, queries, buckets, id)
+    scoreAndRank(post, dfd, stats, qdf, k, k1, b, id)
+  }
+
+  /** ALL (qid, id, score_r6) BM25 matches against a saved index — the
+    * [[probeBm25]] chain without the final bounded heap (the probe-path
+    * twin of [[bm25Scores]]), for consumers that aggregate before
+    * ranking — the chunk→document collapse in
+    * [[Pipeline.hybridProbeRetrieve]]. Same pruned-bucket read, same
+    * (term, doc) dedup, so appended duplicates stay harmless.
+    */
+  def probeBm25Scores(s: SparkSession, dir: String, queries: Seq[(Int, Seq[String])],
+      buckets: Int = 64, k1: Double = 1.2, b: Double = 0.75,
+      id: String = "doc_id"): DataFrame = {
+    val (post, dfd, stats, qdf) = probeParts(s, dir, queries, buckets, id)
+    scoreOf(post, dfd, stats, qdf, k1, b, id)
+  }
+
+  /** the shared probe-side derivation: pruned postings, re-derived df,
+    * stored stats, (qid, term) batch
+    */
+  private def probeParts(s: SparkSession, dir: String,
+      queries: Seq[(Int, Seq[String])], buckets: Int, id: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    require(k > 0 && queries.nonEmpty)
+    require(queries.nonEmpty)
     val qterms = queries.flatMap(_._2).distinct
     // the terms' buckets via the same engine hash the writer used —
     // one |qterms|-row local computation (collected like probeIvf's
@@ -215,7 +240,7 @@ object Lexical {
     val stats = s.read.parquet(s"$dir/stats")
     val qdf = queries.flatMap { case (qi, ts) => ts.map(t => (qi, t)) }
       .toDF("qid", "term")
-    scoreAndRank(post, dfd, stats, qdf, k, k1, b, id)
+    (post, dfd, stats, qdf)
   }
 
   // ---- VERSIONED (upsert-able) index ---------------------------------

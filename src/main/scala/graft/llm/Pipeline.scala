@@ -61,7 +61,23 @@ object Pipeline {
       kPerSystem: Int = 10, kFused: Int = 10,
       id: String = "doc_id", text: String = "text",
       embId: String = "id", embVec: String = "vec"): DataFrame = {
-    val chunks = Chunk.chunkDocuments(docs, window, stride, id, text)
+    val chunks = cidChunks(docs, window, stride, id, text)
+    val chunkScores = Lexical.bm25Scores(s, chunks, queries,
+      id = "cid", text = "chunk_text")
+    val lexRank = lexDocRank(chunkScores, kPerSystem, id)
+    val denseRank = Ann.cosineTopK(s, emb, qvecs, kPerSystem,
+        id = embId, vec = embVec)
+      .withColumnRenamed(embId, id)
+    fuseRanked(lexRank, denseRank, kFused, id)
+  }
+
+  /** (cid, chunk_text) token windows with the doc_id·10⁶ + chunk_idx
+    * cid packing — the one chunking both the scan path and the
+    * persisted chunk index derive from, so their postings agree.
+    */
+  private def cidChunks(docs: DataFrame, window: Int, stride: Int,
+      id: String, text: String): DataFrame =
+    Chunk.chunkDocuments(docs, window, stride, id, text)
       // loud guard, not silent collision: a ≥10⁶-chunk document would
       // alias into the next doc_id's cid range
       .select(when(col("chunk_idx") >= 1000000L,
@@ -71,21 +87,91 @@ object Pipeline {
               "packing would collide; raise the stride or re-pack"))))
           .otherwise(col(id) * 1000000L + col("chunk_idx")).as("cid"),
         col("chunk_text"))
-    val chunkScores = Lexical.bm25Scores(s, chunks, queries,
-      id = "cid", text = "chunk_text")
-    // document's best window, then the bounded per-query doc ranking
+
+  /** chunk scores → document's best window → bounded per-query ranking */
+  private def lexDocRank(chunkScores: DataFrame, kPerSystem: Int,
+      id: String): DataFrame = {
     val docScores = chunkScores
       .select(col("qid"), expr("cid div 1000000").as(id), col("score_r6"))
       .groupBy("qid", id).agg(max("score_r6").as("best_r6"))
-    val lexRank = graft.functions.TopK.perKeyTopK(
-      docScores, kPerSystem, "qid", id, "best_r6")
-    val denseRank = Ann.cosineTopK(s, emb, qvecs, kPerSystem,
-        id = embId, vec = embVec)
-      .withColumnRenamed(embId, id)
+    graft.functions.TopK.perKeyTopK(docScores, kPerSystem, "qid", id, "best_r6")
+  }
+
+  private def fuseRanked(lexRank: DataFrame, denseRank: DataFrame,
+      kFused: Int, id: String): DataFrame =
     Fusion.rrfFuse(Seq(lexRank, denseRank), kFused, id = id)
       .select(col("qid").cast("int").as("qid"), col("rn"), col(id),
         col("rrf_r6"))
       .orderBy("qid", "rn")
+
+  /** Persist the CHUNK-level lexical index the probe-served pipeline
+    * reads: the corpus is chunked once (same cid packing as
+    * [[hybridChunkRetrieve]]) and [[Lexical.saveLexical]] lays the
+    * chunk postings out bucket-partitioned. Build once, probe per
+    * query batch — the index replaces the per-batch corpus
+    * re-tokenization, which is the whole serving case at 100 TB.
+    */
+  def saveChunkLexical(s: SparkSession, docs: DataFrame, dir: String,
+      window: Int = 40, stride: Int = 30, buckets: Int = 64,
+      id: String = "doc_id", text: String = "text"): Unit =
+    Lexical.saveLexical(s, cidChunks(docs, window, stride, id, text), dir,
+      buckets, id = "cid", text = "chunk_text")
+
+  /** The SERVED form of [[hybridChunkRetrieve]]: lexical from a
+    * persisted chunk index ([[saveChunkLexical]] →
+    * [[Lexical.probeBm25Scores]] — only the query terms' bucket
+    * partitions are read), dense from a persisted IVF index
+    * ([[AnnIndex.saveIvf]] → [[AnnIndex.probeIvf]] — only the probed
+    * cell partitions are read). Neither side touches the corpus: the
+    * pipeline a RAG deployment actually serves, where the index build
+    * is amortized across every query batch.
+    *
+    * Determinism: at `nProbe` ≥ the index's cell count the dense rung
+    * scans every cell and is bit-identical to [[Ann.cosineTopK]], so
+    * the whole fused output equals the scan-path pipeline
+    * (PipelineProbeSpec pins it); at partial `nProbe` only dense POOL
+    * MEMBERSHIP can differ — scores, collapse, fusion and tie-breaks
+    * are the same code paths.
+    */
+  def hybridProbeRetrieve(s: SparkSession, lexDir: String, annDir: String,
+      queries: Seq[(Int, Seq[String])], qvecs: DataFrame,
+      kPerSystem: Int = 10, kFused: Int = 10, nProbe: Int = 6,
+      buckets: Int = 64, id: String = "doc_id",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    val chunkScores = Lexical.probeBm25Scores(s, lexDir, queries,
+      buckets, id = "cid")
+    val lexRank = lexDocRank(chunkScores, kPerSystem, id)
+    val denseRank = AnnIndex.probeIvf(s, annDir, qvecs, kPerSystem,
+        nProbe, qid = qid, qvec = qvec)
+      .withColumnRenamed("id", id)
+    fuseRanked(lexRank, denseRank, kFused, id)
+  }
+
+  /** The served full chain: [[hybridProbeRetrieve]] → MMR (diversity
+    * vectors from the IVF index's own id→vec store, never the corpus)
+    * → ranking metrics. The probe-served twin of
+    * [[retrieveDiversifyEval]], same integer-micro relevance and
+    * left-join diversity-neutral rule.
+    */
+  def retrieveDiversifyEvalProbe(s: SparkSession, lexDir: String,
+      annDir: String, queries: Seq[(Int, Seq[String])], qvecs: DataFrame,
+      qrels: DataFrame, k: Int, lambdaMilli: Int = 700,
+      kPerSystem: Int = 10, kFused: Int = 10, nProbe: Int = 6,
+      buckets: Int = 64, id: String = "doc_id"): DataFrame = {
+    val fused = hybridProbeRetrieve(s, lexDir, annDir, queries, qvecs,
+      kPerSystem, kFused, nProbe, buckets, id)
+    // multi-assignment stores one (id, vec) row per cell — bit-identical
+    // copies, collapsed so the pool join can't duplicate a candidate
+    val vectors = s.read.parquet(s"$annDir/assignments")
+      .select(col("id"), col("vec")).dropDuplicates("id")
+    val pool = fused.select(col("qid").cast("long").as("qid"),
+        col(id).cast("long").as("id"),
+        round(col("rrf_r6") * 1000000, 0).cast("long").as("rel_milli"))
+      .join(vectors, Seq("id"), "left")
+      .withColumn("vec", coalesce(col("vec"), array().cast("array<float>")))
+    val picked = Mmr.mmrSelect(s, pool, k, lambdaMilli)
+      .select(col("qid"), col("id").as(id), col("pick_rank").as("rn"))
+    Eval.rankingMetrics(s, picked, qrels, k, id)
   }
 
   /** The diversify-and-measure tail: MMR over the fused pool (relevance
@@ -127,19 +213,39 @@ object Pipeline {
     Tables.embeddings(s, d).filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-  val all: ListMap[String, Q] = ListMap(
-    // ---- q275: the replayable half of the pipeline — chunk → BM25
-    //      over chunks → best-window doc collapse → RRF with the exact
-    //      dense ranking. ONE nested SQL oracle replays every stage:
-    //      the q267 chunk CTE feeding the q102 BM25 chain feeding the
-    //      q106 fusion arithmetic. ----
-    "q275_retrieval_pipeline" -> Q(
-      (s, d) => hybridChunkRetrieve(s,
+  /** one chunk-lexical + IVF index build per dataset for q342 (the
+    * q103 `indexDirFor` pattern)
+    */
+  private val builtIdx = scala.collection.concurrent.TrieMap[String, String]()
+  private val ServedCells = 16
+
+  private def servedDirsFor(s: SparkSession, d: String): String =
+    builtIdx.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft-q342")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      saveChunkLexical(s,
         Tables.documents(s, d).select(col("doc_id"), col("text")),
-        queryBatch,
-        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-        denseQueries(s, d), embId = "vec_id", embVec = "embedding"),
-      Some("""WITH t AS (SELECT doc_id,
+        s"$work/lex")
+      AnnIndex.saveIvf(s,
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        s"$work/ann", cells = ServedCells)
+      work.toString
+    })
+
+  /** the shared q275/q342 oracle: replays chunking, chunk-BM25,
+    * best-window collapse, exact dense ranking and RRF arithmetic —
+    * q342's full-probe serve is bit-identical to the scan path by
+    * construction, so one SQL replays both
+    */
+  private val pipelineOracleSql =
+    """WITH t AS (SELECT doc_id,
              |    regexp_split_to_array(trim(text), '\s+') AS toks
              |  FROM documents),
              |c AS (SELECT doc_id, toks, len(toks) AS n, u.s AS s
@@ -189,7 +295,36 @@ object Pipeline {
              |      ORDER BY rrf_r6 DESC, doc_id) AS rn
              |  FROM f)
              |SELECT CAST(qid AS INT) AS qid, CAST(rn AS INT) AS rn, doc_id, rrf_r6
-             |FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
+             |FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q275: the replayable half of the pipeline — chunk → BM25
+    //      over chunks → best-window doc collapse → RRF with the exact
+    //      dense ranking. ONE nested SQL oracle replays every stage:
+    //      the q267 chunk CTE feeding the q102 BM25 chain feeding the
+    //      q106 fusion arithmetic. ----
+    "q275_retrieval_pipeline" -> Q(
+      (s, d) => hybridChunkRetrieve(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        queryBatch,
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        denseQueries(s, d), embId = "vec_id", embVec = "embedding"),
+      Some(pipelineOracleSql)),
+
+    // ---- q342: the SERVED pipeline — the same retrieve, pooling
+    //      lexical from the persisted chunk index and dense from the
+    //      persisted IVF index, probing ALL cells so the dense rung is
+    //      exact and the q275 oracle replays the whole fused output
+    //      bit-for-bit. What the entry proves: the serve path (pruned
+    //      bucket reads + pruned cell reads, corpus never touched)
+    //      reproduces the scan path exactly. ----
+    "q342_retrieval_pipeline_served" -> Q(
+      (s, d) => {
+        val work = servedDirsFor(s, d)
+        hybridProbeRetrieve(s, s"$work/lex", s"$work/ann", queryBatch,
+          denseQueries(s, d), nProbe = ServedCells)
+      },
+      Some(pipelineOracleSql)),
 
     // ---- q276: the full chain's tail — MMR diversification of the
     //      q275 pool (λ=0.7, k=5, RRF-micro relevance) measured by
