@@ -1665,6 +1665,28 @@ object Graft {
       text: String = "text"): DataFrame =
     llm.Trigram.buildTrigramPostings(docs, id, text)
 
+  /** Persisted trigram index lifecycle: build ([[llm.Trigram.saveTrigram]]),
+    * pruned-bucket probe ([[llm.Trigram.probeTrigram]]), streaming
+    * append ([[llm.Trigram.appendTrigramStream]]) and compaction
+    * ([[llm.Trigram.compactTrigram]]).
+    */
+  def saveTrigram(spark: SparkSession, docs: DataFrame, dir: String,
+      buckets: Int = 64, id: String = "id", text: String = "text"): Unit =
+    llm.Trigram.saveTrigram(spark, docs, dir, buckets, id, text)
+
+  def probeTrigram(spark: SparkSession, dir: String, pattern: String,
+      buckets: Int = 64, id: String = "id", text: String = "text"): DataFrame =
+    llm.Trigram.probeTrigram(spark, dir, pattern, buckets, id, text)
+
+  def appendTrigramStream(spark: SparkSession, stream: DataFrame, dir: String,
+      checkpoint: String, buckets: Int = 64,
+      id: String = "id", text: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    llm.Trigram.appendTrigramStream(spark, stream, dir, checkpoint, buckets, id, text)
+
+  def compactTrigram(spark: SparkSession, dir: String, id: String = "id"): Unit =
+    llm.Trigram.compactTrigram(spark, dir, id)
+
   def likeSearch(spark: SparkSession, docs: DataFrame, postings: DataFrame,
       pattern: String, id: String = "id", text: String = "text"): DataFrame =
     llm.Trigram.likeSearch(spark, docs, postings, pattern, id, text)
