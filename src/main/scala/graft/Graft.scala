@@ -1643,6 +1643,20 @@ object Graft {
       labels: DataFrame): DataFrame =
     graph.Modularity.modularity(spark, edges, labels)
 
+  /** Deterministic synchronous label-propagation communities over an
+    * undirected edge list ([[graph.LabelProp.propagate]]).
+    */
+  def labelPropagate(spark: SparkSession, edges: DataFrame,
+      rounds: Int): DataFrame =
+    graph.LabelProp.propagate(spark, edges, rounds)
+
+  /** Community DETECTION with its quality readout: LPA proposes a
+    * partition, modularity scores it ([[graph.LabelProp.lpaCommunities]]).
+    */
+  def lpaCommunities(spark: SparkSession, edges: DataFrame,
+      rounds: Int): DataFrame =
+    graph.LabelProp.lpaCommunities(spark, edges, rounds)
+
   /** Group-sequential z-monitoring against O'Brien–Fleming boundaries
     * over per-look snapshot units ([[rel.Experiment.groupSequential]]).
     */

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.graph.{Bfs, LabelProp}
 
 /** Deterministic LPA (q164) and weighted Bellman-Ford (q163) semantics. */
@@ -19,6 +20,35 @@ class LabelPropSpec extends SparkSpec {
     // round 1 via the min tie-break, and it propagates)
     assert(Set(1L, 2L, 3L).map(got) == Set(1L), got)
     assert(Set(10L, 11L, 12L).map(got) == Set(3L), got)
+  }
+
+  test("planted partition: LPA communities score at least the perturbed planting (q344 quality pin)") {
+    val s = spark
+    import s.implicits._
+    // planted partition: 4 cliques of 6 nodes (blocks 0-3), one bridge
+    // edge between consecutive blocks — dense inside, sparse across
+    val blocks = (0 until 4).map(b => (0 until 6).map(i => b * 10L + i))
+    val inEdges = blocks.flatMap(ns =>
+      for (i <- ns.indices; j <- i + 1 until ns.size) yield (ns(i), ns(j)))
+    val bridges = (0 until 3).map(b => (b * 10L + 5, (b + 1) * 10L))
+    val e = (inEdges ++ bridges).toDF("u", "v")
+    val report = LabelProp.lpaCommunities(s, e, rounds = 5)
+      .collect()
+    val qFound = report.head.getDouble(5)
+    // the planted labeling, perturbed: one node per block misassigned
+    // to the neighbor block — the quality bar LPA must clear
+    val planted = blocks.zipWithIndex.flatMap { case (ns, b) =>
+      ns.map(n => (n, if (n % 10 == 5) ((b + 1) % 4).toString else b.toString))
+    }.toDF("node", "community")
+    val canon = e.select(col("u").as("a"), col("v").as("b"))
+    val qPerturbed = graft.graph.Modularity.modularity(s, canon, planted)
+      .collect().head.getDouble(5)
+    assert(qFound > 0.5, s"found partition must be strongly modular: $qFound")
+    assert(qFound >= qPerturbed,
+      s"LPA partition ($qFound) must score >= the perturbed planting ($qPerturbed)")
+    // and LPA actually recovers the planted blocks (4 communities of 6)
+    val sizes = report.map(r => r.getLong(1)).sorted.toSeq
+    assert(sizes == Seq(6L, 6L, 6L, 6L), sizes)
   }
 
   test("weighted distances relax through cheaper multi-hop paths") {
