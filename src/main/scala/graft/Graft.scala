@@ -1605,6 +1605,22 @@ object Graft {
       stratum: String = "s"): DataFrame =
     rel.Survival.logRankStratified(df, duration, event, group, stratum)
 
+  /** Cox proportional hazards, single covariate, Breslow ties —
+    * replayable fixed-round Newton in integer micro-units
+    * ([[rel.Survival.coxPh]]).
+    */
+  def coxPh(df: DataFrame, duration: String = "t", event: String = "e",
+      covariate: String = "x", iters: Int = 8): DataFrame =
+    rel.Survival.coxPh(df, duration, event, covariate, iters)
+
+  /** Stratified Cox PH: shared effect, per-stratum baseline hazard
+    * ([[rel.Survival.coxPhStratified]]).
+    */
+  def coxPhStratified(df: DataFrame, duration: String = "t",
+      event: String = "e", covariate: String = "x",
+      stratum: String = "s", iters: Int = 8): DataFrame =
+    rel.Survival.coxPhStratified(df, duration, event, covariate, stratum, iters)
+
   /** Kendall τ-b rank concordance between two aligned integer series
     * ([[rel.Series.kendallTau]]).
     */

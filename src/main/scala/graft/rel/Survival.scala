@@ -264,6 +264,185 @@ object Survival {
       .withColumn("significant", col("chi2_r6") > lit(Chi2Crit1df))
   }
 
+  // ---- Cox proportional hazards ------------------------------------
+
+  private val XmCap = 1000000L     // |x| ≤ 1000 after milli quantization
+  private val LpCap = 20000000000L // |xm·β_micro| ≤ 2e10 ⇔ |xβ| ≤ 20
+
+  /** COX PROPORTIONAL HAZARDS (Cox 1972), single covariate, Breslow
+    * tie handling — the regression rung the KM/Nelson-Aalen/log-rank
+    * ladder ([[kaplanMeier]]) stops short of: hazard h(t|x) =
+    * h₀(t)·e^{βx}, β fit by `iters` FIXED Newton rounds on the partial
+    * likelihood (fixed rounds = replayable, the q316/q323 contract):
+    *
+    *   U(β) = Σ_t [ sx_t − d_t·R1_t/R0_t ]
+    *   I(β) = Σ_t d_t·[ R2_t/R0_t − (R1_t/R0_t)² ],   β ← β + U/I,
+    *
+    * with R0/R1/R2 the risk-set sums of w, x·w, x²·w over units still
+    * at risk at t, and sx/d the event-side covariate sum and count.
+    *
+    * Cross-engine determinism (the house recipe): the covariate
+    * quantizes to integer MILLI-units and β lives in integer
+    * MICRO-units, so each round's weight w = round(e^{xm·β/10⁹}·10⁶)
+    * is ONE fixed IEEE exp per unit quantized to an integer; all
+    * risk-set sums then ride exact decimal(38,0)/HUGEINT integers
+    * (order-free — the Modularity move), U and I are fixed IEEE
+    * chains over the ORDER-PINNED distinct-time window (q300 rule),
+    * and the β update re-quantizes to micro. Every round's β is an
+    * integer both engines agree on bit-for-bit.
+    *
+    * Loud guards: covariate past ±1000 (standardize first), linear
+    * predictor past ±20 (w would overflow the integer domain — a
+    * diverging fit or an unscaled covariate), non-positive
+    * information (degenerate covariate).
+    *
+    * Scale shape: the corpus collapses once to (t, e, xm) and is
+    * localCheckpointed; each round is ONE narrow pass + a hash agg to
+    * the distinct-time table + domain-bounded cumulative windows
+    * (calendar-granular durations, the KM adjudication) + a 1-row β —
+    * never a unit-count-sized window, never a collect of unit rows.
+    *
+    * Output (1 row): (beta_micro, hr_r6, se_r6, score_r6, n_events,
+    * n_units) — se from the information at the FINAL β (one extra
+    * evaluation pass), score_r6 the final U (≈0 at convergence).
+    */
+  def coxPh(df: DataFrame, duration: String = "t", event: String = "e",
+      covariate: String = "x", iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"1 <= iters <= 16: $iters")
+    val e0 = col(event).cast("long")
+    val ev = when(e0 === 1L, 1L).when(e0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("coxPh: event must be 0 (censored) or 1 (observed): "),
+        e0.cast("string"))))
+    val xm0 = round(col(covariate).cast("double") * 1000, 0).cast("long")
+    val base0 = df.select(col(duration).cast("long").as("t"), ev.as("e"),
+        xm0.as("xm0"))
+      .select(col("t"), col("e"),
+        when(abs(col("xm0")) > XmCap, raise_error(concat(
+          lit("coxPh: |covariate| exceeds 1000 after milli quantization" +
+            " — standardize it: "), col("xm0").cast("string"))))
+          .otherwise(col("xm0")).as("xm"))
+    // CENTER the covariate at its rounded-milli mean: hazard ratios are
+    // shift-invariant, and centering keeps the weight domain near 1
+    // (an uncentered x of constant sign drives every e^{xβ} jointly
+    // huge or jointly underflowing-to-0 as β moves — observed as a
+    // zero risk-set sum on the q345 fixture). The mean rides an exact
+    // long sum divided in double (n < 2⁵³, sum < 2⁶³: both engines
+    // compute the identical IEEE quotient), rounded to a long.
+    val cbar = base0.agg(
+      round(avg(col("xm")), 0).cast("long").as("cbar"))
+    val base = base0.crossJoin(broadcast(cbar))
+      .select(lit("_").as("s"), col("t"), col("e"),
+        (col("xm") - col("cbar")).as("xm"))
+      .localCheckpoint(true) // corpus touched once; rounds re-read this
+    coxFit(base, iters)
+  }
+
+  /** STRATIFIED Cox PH: one shared β, a separate baseline hazard per
+    * stratum — risk sets form WITHIN each stratum (the q339
+    * per-stratum seam applied to the regression rung) and the score/
+    * information contributions pool across strata. Same quantization,
+    * centering (global — hazard ratios are shift-invariant within
+    * every stratum), clamped fixed-round Newton, and determinism
+    * contract as [[coxPh]].
+    */
+  def coxPhStratified(df: DataFrame, duration: String = "t",
+      event: String = "e", covariate: String = "x",
+      stratum: String = "s", iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"1 <= iters <= 16: $iters")
+    val e0 = col(event).cast("long")
+    val ev = when(e0 === 1L, 1L).when(e0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("coxPhStratified: event must be 0 (censored) or 1 (observed): "),
+        e0.cast("string"))))
+    val xm0 = round(col(covariate).cast("double") * 1000, 0).cast("long")
+    val base0 = df.select(col(stratum).cast("string").as("s"),
+        col(duration).cast("long").as("t"), ev.as("e"), xm0.as("xm0"))
+      .select(col("s"), col("t"), col("e"),
+        when(abs(col("xm0")) > XmCap, raise_error(concat(
+          lit("coxPhStratified: |covariate| exceeds 1000 after milli " +
+            "quantization — standardize it: "), col("xm0").cast("string"))))
+          .otherwise(col("xm0")).as("xm"))
+    val cbar = base0.agg(
+      round(avg(col("xm")), 0).cast("long").as("cbar"))
+    val base = base0.crossJoin(broadcast(cbar))
+      .select(col("s"), col("t"), col("e"), (col("xm") - col("cbar")).as("xm"))
+      .localCheckpoint(true)
+    coxFit(base, iters)
+  }
+
+  /** the shared fixed-round Newton core over (s, t, e, xm) unit rows —
+    * the plain fit is the one-stratum case (s = "_")
+    */
+  private def coxFit(base: DataFrame, iters: Int): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+
+    /** one Newton evaluation at the 1-row β: returns (b, u, i) */
+    def scoreInfo(betaDf: DataFrame): DataFrame = {
+      val lp = col("xm") * col("b")
+      val lpg = when(abs(lp) > LpCap, raise_error(
+        lit("coxPh: |linear predictor| exceeds 20 — diverging fit or " +
+          "unscaled covariate"))).otherwise(lp)
+      val w = round(exp(lpg.cast("double") / lit(1e9)) * 1e6, 0).cast(dec38)
+      val pt = base.crossJoin(broadcast(betaDf))
+        .withColumn("w", w)
+        .groupBy("s", "t", "b")
+        .agg(sum(col("w")).as("s0"),
+          sum(col("xm") * col("w")).as("s1"),
+          sum((col("xm") * col("xm")).cast(dec38) * col("w")).as("s2"),
+          sum(col("e")).as("d"),
+          sum(when(col("e") === 1L, col("xm")).otherwise(0L)).as("sx"))
+      // risk sets form WITHIN a stratum; the U/I folds pool across
+      // strata in (s, t) order — both windows stay domain-bounded
+      // (strata × distinct calendar durations)
+      val wSuf = Window.partitionBy("s").orderBy(col("t").desc)
+        .rowsBetween(Long.MinValue, 0)
+      val wCum = Window.orderBy("s", "t").rowsBetween(Long.MinValue, 0)
+      pt.withColumn("r0", sum("s0").over(wSuf))
+        .withColumn("r1", sum("s1").over(wSuf))
+        .withColumn("r2", sum("s2").over(wSuf))
+        .withColumn("rr", col("r1").cast("double") / col("r0").cast("double"))
+        .withColumn("uc",
+          (col("sx").cast("double") - col("d").cast("double") * col("rr"))
+            / lit(1000.0))
+        .withColumn("ic", col("d").cast("double")
+          * (col("r2").cast("double") / col("r0").cast("double")
+            - col("rr") * col("rr")) / lit(1000000.0))
+        .withColumn("ucum", sum("uc").over(wCum))
+        .withColumn("icum", sum("ic").over(wCum))
+        .agg(max(struct(col("s"), col("t"), col("b"), col("ucum"),
+          col("icum"))).as("z"))
+        .select(col("z.b").as("b"), col("z.ucum").as("u"), col("z.icum").as("i"))
+    }
+
+    var beta = base.sparkSession.range(1).select(lit(0L).as("b"))
+    for (_ <- 1 to iters) {
+      // the Newton step is CLAMPED to ±1 per round (a fixed trust
+      // region): on a weakly-identified covariate the information is
+      // near zero and the raw step overshoots past the weight domain
+      // in one round. The clamp preserves the fixed point (at
+      // convergence U≈0 so the step is inside the region) and keeps
+      // every round deterministic.
+      beta = scoreInfo(beta).select(
+        when(col("i") <= 0.0, raise_error(
+          lit("coxPh: non-positive information — degenerate covariate")))
+          .otherwise(round((col("b").cast("double") / lit(1e6)
+            + greatest(least(col("u") / col("i"), lit(1.0)), lit(-1.0)))
+            * lit(1e6), 0).cast("long")).as("b"))
+        .localCheckpoint(true) // eager: a lazy chain re-runs all rounds
+    }
+    val fin = scoreInfo(beta)
+    val stats = base.agg(count(lit(1)).as("n_units"), sum("e").as("n_events"))
+    fin.crossJoin(broadcast(stats))
+      .select(col("b").as("beta_micro"),
+        round(exp(col("b").cast("double") / lit(1e6)), 6).as("hr_r6"),
+        when(col("i") <= 0.0, raise_error(
+          lit("coxPh: non-positive information — degenerate covariate")))
+          .otherwise(round(lit(1.0) / sqrt(col("i")), 6)).as("se_r6"),
+        round(col("u"), 6).as("score_r6"),
+        col("n_events"), col("n_units"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- q300: KAPLAN-MEIER purchase-retention curve — per user with
     //      ≥ 1 purchase, lifetime = days from first event to last
@@ -551,5 +730,125 @@ object Survival {
              |  CASE WHEN var_sum = 0.0 THEN 0.0
              |    ELSE round((oe_sum * oe_sum) / var_sum, 6) END
              |    > 3.841458820694124 AS significant
-             |FROM p""".stripMargin)))
+             |FROM p""".stripMargin)),
+
+    // ---- q345: COX PH on the q300 retention fixture — does activity
+    //      level (ln(1+events)) predict the churn hazard? Six Newton
+    //      rounds unrolled in the oracle (MATERIALIZED round CTEs, the
+    //      q323 lesson), each replaying the integer-quantized weight,
+    //      the HUGEINT risk-set sums, and the order-pinned U/I chains
+    //      bit-for-bit; the final row re-evaluates at the converged β
+    //      for the reported se/score. ----
+    "q345_cox_ph" -> Q(
+      (s, d) => {
+        val lastP = max(when(col("event_type") === "purchase", col("ts")))
+        val units = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            datediff(to_date(lastP), to_date(min(col("ts"))))
+              .cast("long").as("t"),
+            when(lastP <= lit("2024-01-24").cast("timestamp"), 1L)
+              .otherwise(0L).as("e"),
+            log((count(lit(1)) + 1).cast("double")).as("x"))
+          .filter(col("t").isNotNull)
+        coxPh(units, "t", "e", "x", iters = 6)
+      },
+      Some(coxOracleSql(6, strat = false))),
+
+    // ---- q346: STRATIFIED Cox PH — the q345 fit with a separate
+    //      baseline hazard per stratum (the user's lexicographically
+    //      smallest event type: a deterministic behavioral cohort).
+    //      Same unrolled-rounds oracle with the per-stratum risk-set
+    //      windows and (s, t)-ordered pooling folds. ----
+    "q346_cox_ph_stratified" -> Q(
+      (s, d) => {
+        val lastP = max(when(col("event_type") === "purchase", col("ts")))
+        val units = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            datediff(to_date(lastP), to_date(min(col("ts"))))
+              .cast("long").as("t"),
+            when(lastP <= lit("2024-01-24").cast("timestamp"), 1L)
+              .otherwise(0L).as("e"),
+            log((count(lit(1)) + 1).cast("double")).as("x"),
+            min(col("event_type")).as("s"))
+          .filter(col("t").isNotNull)
+        coxPhStratified(units, "t", "e", "x", "s", iters = 6)
+      },
+      Some(coxOracleSql(6, strat = true))))
+
+  /** The q345 oracle: the q300 unit CTE plus the ln(1+count) covariate
+    * in milli-units, then `iters` Newton rounds unrolled — each round's
+    * (u, i) evaluation nests weight quantization → per-time HUGEINT
+    * sums → suffix-window risk sums → the ordered U/I folds. Round CTEs
+    * MATERIALIZED: each is referenced twice (the weight pass and the
+    * update row — the q316/q123 exponential-replay lesson).
+    */
+  private def coxEvalSql(prev: String, strat: Boolean): String = {
+    val gb = if (strat) "s, t" else "t"
+    val pb = if (strat) "PARTITION BY s " else ""
+    val sCol = if (strat) "s, " else ""
+    s"""(SELECT sum(uc ORDER BY $gb) AS u, sum(ic ORDER BY $gb) AS i FROM (
+       |  SELECT ${sCol}t,
+       |    (CAST(sx AS DOUBLE) - CAST(d AS DOUBLE) * rr) / 1000.0 AS uc,
+       |    CAST(d AS DOUBLE) * (CAST(r2 AS DOUBLE) / CAST(r0 AS DOUBLE)
+       |      - rr * rr) / 1000000.0 AS ic
+       |  FROM (SELECT ${sCol}t, d, sx, r0, r2,
+       |      CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE) AS rr
+       |    FROM (SELECT ${sCol}t, d, sx,
+       |        sum(s0) OVER (${pb}ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+       |          PRECEDING AND CURRENT ROW) AS r0,
+       |        sum(s1) OVER (${pb}ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+       |          PRECEDING AND CURRENT ROW) AS r1,
+       |        sum(s2) OVER (${pb}ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+       |          PRECEDING AND CURRENT ROW) AS r2
+       |      FROM (SELECT ${sCol}t, sum(w) AS s0, sum(xm * w) AS s1,
+       |          sum(xm * xm * w) AS s2, sum(e) AS d,
+       |          sum(CASE WHEN e = 1 THEN xm ELSE 0 END) AS sx
+       |        FROM (SELECT ${if (strat) "uu.s, " else ""}uu.t, uu.e, uu.xm,
+       |            CAST(round(exp(CAST(uu.xm * p2.b AS DOUBLE) / 1e9)
+       |              * 1e6, 0) AS HUGEINT) AS w
+       |          FROM u uu, $prev p2)
+       |        GROUP BY $gb)))))""".stripMargin
+  }
+
+  private def coxOracleSql(iters: Int, strat: Boolean): String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT CAST(round((p.b / 1e6
+         |      + LEAST(GREATEST(x.u / x.i, -1.0), 1.0)) * 1e6, 0)
+         |    AS BIGINT) AS b
+         |  FROM $prev p, ${coxEvalSql(prev, strat)} x)""".stripMargin
+    val rounds = (1 to iters)
+      .map(k => round(if (k == 1) "r0" else s"r${k - 1}", s"r$k"))
+      .mkString(",\n")
+    val sSel = if (strat) "min(event_type) AS s,\n      " else ""
+    val sCol = if (strat) "s, " else ""
+    s"""WITH u0 AS MATERIALIZED (SELECT ${sCol}t, e,
+       |    CAST(round(ln(CAST(cnt + 1 AS DOUBLE)) * 1000, 0) AS BIGINT) AS xm
+       |  FROM (SELECT user_id, $sSel
+       |      CAST(date_diff('day', CAST(min(ts) AS DATE),
+       |        CAST(max(CASE WHEN event_type = 'purchase' THEN ts END)
+       |          AS DATE)) AS BIGINT) AS t,
+       |      CASE WHEN max(CASE WHEN event_type = 'purchase' THEN ts END)
+       |          <= TIMESTAMP '2024-01-24 00:00:00'
+       |        THEN 1 ELSE 0 END AS e,
+       |      count(*) AS cnt
+       |    FROM events GROUP BY user_id
+       |    HAVING max(CASE WHEN event_type = 'purchase' THEN ts END)
+       |      IS NOT NULL)),
+       |u AS MATERIALIZED (SELECT ${sCol}t, e,
+       |    xm - (SELECT CAST(round(avg(xm), 0) AS BIGINT) FROM u0) AS xm
+       |  FROM u0),
+       |r0 AS (SELECT CAST(0 AS BIGINT) AS b),
+       |$rounds,
+       |fin AS MATERIALIZED (SELECT p.b, x.u, x.i
+       |  FROM r$iters p, ${coxEvalSql(s"r$iters", strat)} x),
+       |stats AS (SELECT count(*) AS n_units, sum(e) AS n_events FROM u)
+       |SELECT b AS beta_micro, round(exp(b / 1e6), 6) AS hr_r6,
+       |  round(1.0 / sqrt(i), 6) AS se_r6, round(u, 6) AS score_r6,
+       |  CAST(n_events AS BIGINT) AS n_events,
+       |  CAST(n_units AS BIGINT) AS n_units
+       |FROM fin, stats""".stripMargin
+  }
 }
