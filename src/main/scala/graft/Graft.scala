@@ -1030,6 +1030,22 @@ object Graft {
       maxHamming: Int = 6): DataFrame =
     llm.ImageOps.audioFingerprintDups(spark, blobs, maxHamming)
 
+  /** Perceptual image near-dup pairs over BMP blobs: decode → 8×8
+    * aHash → banded LSH → exact Hamming
+    * ([[llm.ImageOps.imagePerceptualDups]]).
+    */
+  def imageNearDups(spark: SparkSession, blobs: DataFrame,
+      maxHamming: Int = 8): DataFrame =
+    llm.ImageOps.imagePerceptualDups(spark, blobs, maxHamming)
+
+  /** The same image near-dup over PNG blobs (real zlib decode, all
+    * five filters), corrupt blobs quarantined
+    * ([[llm.ImageOps.imagePerceptualDupsPng]]).
+    */
+  def imageNearDupsPng(spark: SparkSession, blobs: DataFrame,
+      maxHamming: Int = 8): DataFrame =
+    llm.ImageOps.imagePerceptualDupsPng(spark, blobs, maxHamming)
+
   /** Exact shortest-path distances from a seed set, capped at maxHops
     * ([[graph.Bfs.boundedDistances]]).
     */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 import graft.rel.RelQueries.Q
 import graft.rel.Tables
-import graft.io.{Bmp, Fseq, Wav}
+import graft.io.{Bmp, Fseq, Png, Wav}
 
 /** Multimodal IMAGE, VIDEO, and AUDIO-DSP column operators, completing
   * the decode / feature-extract / resize / frame-sample quartet next to
@@ -218,23 +218,57 @@ object ImageOps {
     * comparison is integer-exact (64·v ≥ Σv), so the hash — and the
     * oracle's replay of it — has no float anywhere.
     */
+  /** the shared 8×8 average-hash: (b0..b3) 16-bit bands of the 64-bit
+    * aHash — one function so the BMP and PNG paths hash identically
+    */
+  private def aHashBands(g: Bmp.Gray): (Long, Long, Long, Long) = {
+    val rz = Bmp.resizeNearest(g, 8, 8)
+    var sum = 0L
+    rz.pixels.foreach(sum += _)
+    val bands = new Array[Long](4)
+    var c = 0
+    while (c < 64) {
+      if (rz.pixels(c) * 64L >= sum) bands(c / 16) |= 1L << (c % 16)
+      c += 1
+    }
+    (bands(0), bands(1), bands(2), bands(3))
+  }
+
   def imagePerceptualDups(s: SparkSession, blobs: DataFrame, maxHamming: Int = 8,
       id: String = "doc_id", img: String = "img"): DataFrame = {
     import s.implicits._
     val hashed = blobs.select(col(id), col(img)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (i, bytes) =>
-          val g = Bmp.parse(bytes)
-          val rz = Bmp.resizeNearest(g, 8, 8)
-          var sum = 0L
-          rz.pixels.foreach(sum += _)
-          val bands = new Array[Long](4)
-          var c = 0
-          while (c < 64) {
-            if (rz.pixels(c) * 64L >= sum) bands(c / 16) |= 1L << (c % 16)
-            c += 1
+          val (b0, b1, b2, b3) = aHashBands(Bmp.parse(bytes))
+          (i, b0, b1, b2, b3)
+        }
+      }
+      .toDF(id, "b0", "b1", "b2", "b3")
+    bandPairs(hashed, id, maxHamming)
+  }
+
+  /** [[imagePerceptualDups]] over PNG blobs ([[graft.io.Png]] — real
+    * Inflater + all-five-defilter decode), with a LENIENT boundary:
+    * blobs the strict parser rejects are QUARANTINED (skipped and
+    * countable by the caller via an anti-join on the output's id
+    * domain), not silently hashed as garbage — the q77 decode-
+    * quarantine contract applied to images. Hashing is [[aHashBands]],
+    * so a PNG and a BMP of the same raster produce the identical hash.
+    */
+  def imagePerceptualDupsPng(s: SparkSession, blobs: DataFrame,
+      maxHamming: Int = 8, id: String = "doc_id",
+      img: String = "img"): DataFrame = {
+    import s.implicits._
+    val hashed = blobs.select(col(id), col(img)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (i, bytes) =>
+          try {
+            val (b0, b1, b2, b3) = aHashBands(Png.parse(bytes))
+            Some((i, b0, b1, b2, b3))
+          } catch {
+            case _: IllegalArgumentException => None // quarantined
           }
-          (i, bands(0), bands(1), bands(2), bands(3))
         }
       }
       .toDF(id, "b0", "b1", "b2", "b3")
@@ -351,6 +385,65 @@ object ImageOps {
              |         THEN doc_id - 1 ELSE doc_id END AS src,
              |    CASE WHEN doc_id % 13 = 12 THEN 1 ELSE 0 END AS cpy
              |  FROM documents),
+             |dims AS (SELECT doc_id, src, cpy,
+             |    5 + src % 12 AS w, 4 + src % 9 AS h FROM base),
+             |cells AS (SELECT d.doc_id, oy.oy * 8 + ox.ox AS idx,
+             |    (((d.src*2654435761 + (((oy.oy*d.h)//8)*d.w + (ox.ox*d.w)//8)*40503)
+             |        % 509) % 256
+             |     + CASE WHEN d.cpy = 1
+             |         AND (((oy.oy*d.h)//8)*d.w + (ox.ox*d.w)//8) % 37 = 0
+             |       THEN 90 ELSE 0 END) % 256 AS v
+             |  FROM dims d, range(8) ox(ox), range(8) oy(oy)),
+             |tot AS (SELECT doc_id, sum(v) AS s FROM cells GROUP BY doc_id),
+             |bits AS (SELECT c.doc_id, c.idx,
+             |    CASE WHEN c.v * 64 >= t.s THEN 1 ELSE 0 END AS bit
+             |  FROM cells c JOIN tot t USING (doc_id)),
+             |bands AS (SELECT doc_id, idx // 16 AS bi,
+             |    CAST(sum(bit * (1 << (idx % 16))) AS BIGINT) AS bv
+             |  FROM bits GROUP BY doc_id, bi),
+             |hx AS (SELECT doc_id,
+             |    max(CASE WHEN bi = 0 THEN bv END) AS b0,
+             |    max(CASE WHEN bi = 1 THEN bv END) AS b1,
+             |    max(CASE WHEN bi = 2 THEN bv END) AS b2,
+             |    max(CASE WHEN bi = 3 THEN bv END) AS b3
+             |  FROM bands GROUP BY doc_id),
+             |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             |  FROM bands a JOIN bands b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+             |SELECT c.ia, c.ib,
+             |  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+             |       bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT)
+             |    AS hamming
+             |FROM cand c JOIN hx x ON x.doc_id = c.ia JOIN hx y ON y.doc_id = c.ib
+             |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+             |      bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 8
+             |ORDER BY ia, ib""".stripMargin)),
+
+    // ---- q347: the q93 near-dup machinery on PNG — the format real
+    //      crawled corpora use. Same planted-copy fixture encoded
+    //      through the real zlib PNG writer with the row filter
+    //      CYCLING over all five types (every defilter branch runs on
+    //      every image), every 13th blob corrupted (signature byte
+    //      zeroed) and QUARANTINED by the lenient decode boundary. The
+    //      PNG raster decodes to the identical grayscale, so the
+    //      oracle is q93's hash replay minus the corrupt ids. ----
+    "q347_png_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val png = Png.buildGray(syntheticGrayNearDup(id), filterMode = -1)
+            if (id % 13 == 0) png(0) = 0 // break the signature
+            (id, png)
+          }
+          .toDF("doc_id", "img")
+        imagePerceptualDupsPng(s, blobs).orderBy("ia", "ib")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 13 = 12
+             |         THEN doc_id - 1 ELSE doc_id END AS src,
+             |    CASE WHEN doc_id % 13 = 12 THEN 1 ELSE 0 END AS cpy
+             |  FROM documents WHERE doc_id % 13 != 0),
              |dims AS (SELECT doc_id, src, cpy,
              |    5 + src % 12 AS w, 4 + src % 9 AS h FROM base),
              |cells AS (SELECT d.doc_id, oy.oy * 8 + ox.ox AS idx,
