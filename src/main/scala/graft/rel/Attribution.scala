@@ -161,6 +161,14 @@ object Attribution {
     * and the decay weights are exact powers of two via shifts, so
     * both engines replay every credit bit-for-bit. One user-keyed
     * window shuffle, then a channel-keyed aggregation.
+    *
+    * TIMEZONE: decay ages come from `datediff(to_date(ts))`, which
+    * follows the Spark SESSION timezone — this repo pins UTC
+    * (`spark.sql.session.timeZone`), and the q332 oracle's
+    * `CAST(ts AS DATE)` matches only under that setting. A caller in
+    * a non-UTC session gets day boundaries at local midnight; pass
+    * timestamps already truncated to the day they should credit to
+    * (or run with the UTC session) for timezone-independent credits.
     */
   def ruleAttribution(events: DataFrame, channels: Seq[String],
       convType: String, halfLifeDays: Int = 1, userCol: String = "user_id",

@@ -26,7 +26,11 @@ import graft.rel.Tables
   * sum rides the ORDER-PINNED cumulative window (the q300 rule) over
   * the domain-bounded stratum table. Output one row:
   * (strata_used, strata_dropped, n_treated, n_control, naive_r6,
-  * ate_r6).
+  * ate_r6). NOTE: `naive_r6` is the unadjusted treated-vs-control
+  * difference over the USED strata's units only (the same population
+  * `ate_r6` is estimated on — a like-for-like confounding readout),
+  * NOT the whole-input naive difference: units in dropped
+  * (positivity-violating) strata contribute to neither column.
   */
 object Causal {
 

@@ -356,8 +356,10 @@ object Experiment {
     * rides exact integer (n, Σ, Σ²) moments — one fixed IEEE chain
     * each, no cross-look sums, so no ordering concern. Output per
     * look, ordered: (look, n_a, n_b, z_r6, boundary, cross) —
-    * `cross` marks the first look an honest sequential design would
-    * have stopped at.
+    * `cross` flags EACH look whose |z| exceeds that look's boundary
+    * (the earliest flagged look is where an honest sequential design
+    * would have stopped; later flags are the monitoring trace, not
+    * additional stops).
     */
   private val ObfBounds: Map[Int, Seq[Double]] = Map(
     2 -> Seq(2.7965, 1.9774),
