@@ -44,7 +44,10 @@ object StressProbe {
     // Markov absorption (journey window + k+1 tiny chains) and the BT
     // duel extraction (one pair join + count agg) must stay flat
     "q324_neighborhood_exact", "q325_hyperanf_hll",
-    "q321_markov_attribution", "q323_bradley_terry")
+    "q321_markov_attribution", "q323_bradley_terry",
+    // r12 verdict item 7: the k-truss peel loop — the second iterative
+    // class (monotone shrink over cached triangles) the gate defends
+    "q331_ktruss")
 
   // operator-level probes for paths whose driver entries can't run off
   // the pinned fixture (q274 is fixture-guarded; q270 is the
@@ -62,7 +65,52 @@ object StressProbe {
       val cells = math.max(16, (e.count() / 125L).toInt)
       graft.llm.Mining.semanticClustersIvf(s, e, k = 2, cells = cells,
         multiAssign = 4)
+    }),
+    // r12 item 7: the incremental-fold class at its 100 TB form — the
+    // q277 fold with the IVF attach rung (the exact attach is the
+    // documented all-pairs oracle anchor; probing IT at 10× would
+    // measure the shape the operator exists to avoid). Base/batch
+    // split by id mod 10 so BOTH sides scale with the tier; cells ∝
+    // corpus (the q274 sizing rule).
+    "clusters_delta_ivf" -> ((s, d) => {
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val base = e.filter(col("id") % 10 =!= 0)
+      val batch = e.filter(col("id") % 10 === 0)
+      val cells = math.max(16, (e.count() / 125L).toInt)
+      val boot = graft.llm.Mining.semanticClustersIvf(s, base, k = 2,
+        cells = cells, multiAssign = 4)
+      graft.llm.Mining.clustersDeltaIvf(s, boot.select("node", "comp_id"),
+        base, batch, tauMilli = 350, cells = cells, multiAssign = 4)
+    }),
+    // r12 item 7: the persisted trigram probe — the q343 serving path.
+    // The index builds ONCE per tier dir (cached); the probed plan's
+    // shape must not depend on corpus size (fixed bucket count, the
+    // pattern's gram set bounds the read).
+    "trigram_probe_served" -> ((s, d) => {
+      val dir = trigramDirs.getOrElseUpdate(d, {
+        val work = java.nio.file.Files
+          .createTempDirectory("graft-stress-trgm").toString
+        graft.llm.Trigram.saveTrigram(s,
+          s.read.parquet(s"$d/documents.parquet")
+            .select(col("doc_id").as("id"), col("text")), work)
+        work
+      })
+      graft.llm.Trigram.probeTrigram(s, dir, "fast merge")
+    }),
+    // r12 item 8: the DSIR hashed rung — the form the 100 TB story
+    // rests on. Beyond shape invariance, the loop below asserts ZERO
+    // gram-keyed exchanges on this probe: the m-bucket model collapses
+    // map-side (b-keyed, m-bounded) and broadcasts, so no shuffle may
+    // ever be partitioned on the raw gram column.
+    "dsir_hashed_topk" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      graft.llm.Dsir.dsirTopKHashed(s,
+        docs.filter(col("lang") === "en"), docs, k = 25, buckets = 16384)
     }))
+
+  private val trigramDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -129,9 +177,37 @@ object StressProbe {
     }
     def exchanges(df: DataFrame): Int = countEx(df.queryExecution.executedPlan)
 
+    // gram-keyed exchange detector for the DSIR hashed probe: an
+    // exchange hash-partitioned on the raw gram column `g` would mean
+    // the vocabulary is being shuffled — the exact thing the m-bucket
+    // model exists to avoid (b-keyed, m-bounded exchanges are fine)
+    def gramKeyedEx(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      val self = p match {
+        case e: ShuffleExchangeLike => e.outputPartitioning match {
+          case h: HashPartitioning
+            if h.expressions.exists(_.references.exists(_.name == "g")) => 1
+          case _ => 0
+        }
+        case _ => 0
+      }
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => gramKeyedEx(a.executedPlan)
+        case _ => 0
+      }
+      self + inner + p.children.map(gramKeyedEx).sum
+    }
+
     val all = graft.SparkEntry.allQ
+    // SPARK_GRAFT_PROBE_ONLY=name1,name2 restricts the probe list —
+    // iterating on one new probe without the full 20-probe sweep
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(',').toSet)
     val targets: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] =
-      Probes.map(n => n -> all(n).fn) ++ OpProbes
+      (Probes.map(n => n -> all(n).fn) ++ OpProbes)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = targets.map { case (name, fn) =>
       // plan-shape invariance gate BEFORE timing: same exchange count
       // at 1× and at factor× (nothing collapses to a new shuffle shape
@@ -140,6 +216,12 @@ object StressProbe {
       val exN = exchanges(fn(spark, out))
       require(ex1 == exN,
         s"$name plan shape changed at ${factor}x: $ex1 exchanges -> $exN")
+      if (name == "dsir_hashed_topk") {
+        val g = gramKeyedEx(fn(spark, out).queryExecution.executedPlan)
+        require(g == 0,
+          s"dsir_hashed_topk: $g gram-keyed exchange(s) — the vocabulary " +
+            "is shuffling; the m-bucket model must keep scoring map-side")
+      }
       val t0 = System.nanoTime()
       fn(spark, out).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
