@@ -1598,6 +1598,21 @@ object Graft {
       y: String = "y", stratum: String = "s"): DataFrame =
     rel.Causal.stratifiedAte(df, treat, y, stratum)
 
+  /** Logistic regression (intercept + one covariate), replayable
+    * fixed-round Newton ([[rel.Logistic.logisticFit]]).
+    */
+  def logisticFit(df: DataFrame, label: String = "y",
+      covariate: String = "x", iters: Int = 8): DataFrame =
+    rel.Logistic.logisticFit(df, label, covariate, iters)
+
+  /** IPW ATE on a logistic propensity with clipped weights
+    * ([[rel.Logistic.ipwAte]]).
+    */
+  def ipwAte(df: DataFrame, treat: String = "treat", outcome: String = "yo",
+      covariate: String = "x", iters: Int = 8,
+      clipMilli: Int = 10): DataFrame =
+    rel.Logistic.ipwAte(df, treat, outcome, covariate, iters, clipMilli)
+
   /** Benford first-digit audit with the χ²(8) conformance readout
     * ([[rel.Quality.benfordAudit]]); the mergeable counts stage and
     * batch readout are exposed separately for streaming ingest

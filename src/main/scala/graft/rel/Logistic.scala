@@ -209,5 +209,138 @@ object Logistic {
           .as("ate_r6"))
   }
 
-  val all: ListMap[String, Q] = ListMap.empty
+  // ------------------------------------------------------------------
+  // driver entries + oracles
+  // ------------------------------------------------------------------
+
+  /** one Newton evaluation at $prev's (a, b): the six HUGEINT
+    * sufficient statistics → real-unit U/I + det, over the centered
+    * unit CTE `u(y, xm[, yo])`
+    */
+  private def evalSql(prev: String): String =
+    s"""(SELECT u0, u1, i00, i01, i11, i00 * i11 - i01 * i01 AS det FROM (
+       |  SELECT CAST(su0 AS DOUBLE) / 1e6 AS u0,
+       |    CAST(su1 AS DOUBLE) / 1e9 AS u1,
+       |    CAST(si00 AS DOUBLE) / 1e12 AS i00,
+       |    CAST(si01 AS DOUBLE) / 1e15 AS i01,
+       |    CAST(si11 AS DOUBLE) / 1e18 AS i11
+       |  FROM (SELECT
+       |      sum(y * 1000000 - pm) AS su0,
+       |      sum(xm * (y * 1000000 - pm)) AS su1,
+       |      sum(w) AS si00, sum(xm * w) AS si01,
+       |      sum(CAST(xm * xm AS HUGEINT) * w) AS si11
+       |    FROM (SELECT y, xm, pm, pm * (1000000 - pm) AS w
+       |      FROM (SELECT uu.y, uu.xm,
+       |          CAST(round(1e6 / (1 + exp(-CAST(p2.a * 1000 + uu.xm * p2.b
+       |            AS DOUBLE) / 1e9)), 0) AS BIGINT) AS pm
+       |        FROM u uu, $prev p2)))))""".stripMargin
+
+  private def roundsSql(iters: Int): String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT CAST(round((p.a / 1e6 + LEAST(GREATEST(
+         |      (x.i11 * x.u0 - x.i01 * x.u1) / x.det, -1.0), 1.0))
+         |      * 1e6, 0) AS BIGINT) AS a,
+         |    CAST(round((p.b / 1e6 + LEAST(GREATEST(
+         |      (x.i00 * x.u1 - x.i01 * x.u0) / x.det, -1.0), 1.0))
+         |      * 1e6, 0) AS BIGINT) AS b
+         |  FROM $prev p, ${evalSql(prev)} x)""".stripMargin
+    "r0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b),\n" +
+      (1 to iters)
+        .map(k => round(if (k == 1) "r0" else s"r${k - 1}", s"r$k"))
+        .mkString(",\n")
+  }
+
+  /** the q348/q349 unit CTEs: per-user label/treat, ln(1+count)
+    * covariate in centered milli-units (+ spend for the IPW entry)
+    */
+  private val unitSql =
+    """u0 AS MATERIALIZED (SELECT y, yo,
+      |    CAST(round(ln(CAST(cnt + 1 AS DOUBLE)) * 1000, 0) AS BIGINT) AS xm
+      |  FROM (SELECT user_id,
+      |      max(CASE WHEN event_type = 'signup'
+      |        AND ts < TIMESTAMP '2024-01-05 00:00:00'
+      |        THEN 1 ELSE 0 END) AS y,
+      |      sum(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS yo,
+      |      count(*) AS cnt
+      |    FROM events GROUP BY user_id)),
+      |u AS MATERIALIZED (SELECT y, yo,
+      |    xm - (SELECT CAST(round(avg(xm), 0) AS BIGINT) FROM u0) AS xm
+      |  FROM u0)""".stripMargin
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q348: LOGISTIC REGRESSION — does activity level predict an
+    //      early signup? Six Newton rounds unrolled (MATERIALIZED
+    //      round CTEs), each replaying the micro-quantized sigmoid,
+    //      the HUGEINT sufficient statistics, the 2×2 solve and the
+    //      clamped update bit-for-bit; the final row re-evaluates at
+    //      the converged (a, b) for the reported standard errors. ----
+    "q348_logistic" -> Q(
+      (s, d) => logisticFit(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "signup"
+              && col("ts") < lit("2024-01-05").cast("timestamp"), 1L)
+              .otherwise(0L)).as("y"),
+            log((count(lit(1)) + 1).cast("double")).as("x")),
+        "y", "x", iters = 6),
+      Some(s"""WITH $unitSql,
+             |${roundsSql(6)},
+             |fin AS MATERIALIZED (SELECT p.a, p.b, x.i00, x.i11, x.det
+             |  FROM r6 p, ${evalSql("r6")} x),
+             |stats AS (SELECT count(*) AS n_units, sum(y) AS n_pos FROM u)
+             |SELECT a AS a_micro, b AS b_micro,
+             |  round(exp(b / 1e6), 6) AS or_r6,
+             |  round(sqrt(i11 / det), 6) AS se_a_r6,
+             |  round(sqrt(i00 / det), 6) AS se_b_r6,
+             |  CAST(n_units AS BIGINT) AS n_units,
+             |  CAST(n_pos AS BIGINT) AS n_pos
+             |FROM fin, stats""".stripMargin)),
+
+    // ---- q349: IPW ATE on a logistic propensity — the q328 question
+    //      ("did early signup lift spend?") adjusted on the CONTINUOUS
+    //      activity covariate instead of the coarse stratum buckets:
+    //      fit e(x), clip to [1, 99]%, Hájek-normalized weighted
+    //      means via exact integer 10¹²/ê weights. ----
+    "q349_ipw_ate" -> Q(
+      (s, d) => ipwAte(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "signup"
+              && col("ts") < lit("2024-01-05").cast("timestamp"), 1L)
+              .otherwise(0L)).as("treat"),
+            sum(when(col("event_type") === "purchase",
+              round(col("value") * 100, 0).cast("long")).otherwise(0L))
+              .as("spend"),
+            log((count(lit(1)) + 1).cast("double")).as("x")),
+        "treat", "spend", "x", iters = 6, clipMilli = 10),
+      Some(s"""WITH $unitSql,
+             |${roundsSql(6)},
+             |sc AS MATERIALIZED (SELECT uu.y, uu.yo,
+             |    LEAST(GREATEST(CAST(round(1e6 / (1 + exp(
+             |      -CAST(p.a * 1000 + uu.xm * p.b AS DOUBLE) / 1e9)), 0)
+             |      AS BIGINT), 10000), 990000) AS e
+             |  FROM u uu, r6 p),
+             |w AS (SELECT y, yo,
+             |    CASE WHEN y = 1 THEN 1000000000000 // e
+             |      ELSE 1000000000000 // (1000000 - e) END AS wt
+             |  FROM sc),
+             |agg AS (SELECT
+             |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0,
+             |    sum(CASE WHEN y = 1 THEN yo ELSE 0 END) AS sy1,
+             |    sum(CASE WHEN y = 0 THEN yo ELSE 0 END) AS sy0,
+             |    sum(CASE WHEN y = 1 THEN yo * wt ELSE 0 END) AS swy1,
+             |    sum(CASE WHEN y = 1 THEN wt ELSE 0 END) AS sw1,
+             |    sum(CASE WHEN y = 0 THEN yo * wt ELSE 0 END) AS swy0,
+             |    sum(CASE WHEN y = 0 THEN wt ELSE 0 END) AS sw0
+             |  FROM w)
+             |SELECT p.a AS a_micro, p.b AS b_micro,
+             |  CAST(n1 AS BIGINT) AS n_treated, CAST(n0 AS BIGINT) AS n_control,
+             |  round(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |    - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS naive_r6,
+             |  round(CAST(swy1 AS DOUBLE) / CAST(sw1 AS DOUBLE)
+             |    - CAST(swy0 AS DOUBLE) / CAST(sw0 AS DOUBLE), 6) AS ate_r6
+             |FROM agg, r6 p""".stripMargin)))
 }
