@@ -1636,6 +1636,13 @@ object Graft {
       stratum: String = "s"): DataFrame =
     rel.Survival.logRankStratified(df, duration, event, group, stratum)
 
+  /** Aalen–Johansen competing-risks cumulative incidence
+    * ([[rel.Survival.competingRisks]]).
+    */
+  def competingRisks(df: DataFrame, duration: String = "t",
+      cause: String = "c"): DataFrame =
+    rel.Survival.competingRisks(df, duration, cause)
+
   /** Cox proportional hazards, single covariate, Breslow ties —
     * replayable fixed-round Newton in integer micro-units
     * ([[rel.Survival.coxPh]]).

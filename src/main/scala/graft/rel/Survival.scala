@@ -264,6 +264,66 @@ object Survival {
       .withColumn("significant", col("chi2_r6") > lit(Chi2Crit1df))
   }
 
+  /** COMPETING RISKS cumulative incidence (Aalen–Johansen 1978) — the
+    * multi-cause rung of the ladder: when units can exit for SEVERAL
+    * mutually-exclusive reasons (voluntary churn vs. involuntary, death
+    * vs. transplant), 1−KM per cause OVERSTATES each cause's incidence
+    * (it treats competing events as censoring, redistributing their
+    * mass). The correct per-cause probability is
+    *
+    *   CIF_k(t) = Σ_{tᵢ ≤ t} S(tᵢ₋₁) · d_{k,i}/nᵢ,
+    *
+    * with S the ALL-CAUSE Kaplan–Meier survival. Σ_k CIF_k(∞) + S(∞)
+    * = 1 (the CompetingRisksSpec pin).
+    *
+    * `cause` is 0 for right-censored, ≥ 1 for an observed exit cause
+    * (anything negative raises loudly). Exactness: the q300 recipe —
+    * exact integer counts from one hash aggregation, S as
+    * exp(Σ ln((n−d)/n)) over the ORDER-PINNED cumulative window
+    * (S(tᵢ₋₁) is the same sum over the EXCLUSIVE-prior frame), CIF
+    * increments one fixed IEEE chain each, accumulated per cause over
+    * the (cause, t)-partitioned ordered window. Domain-bounded
+    * windows: distinct calendar durations × causes.
+    *
+    * Output per (distinct duration with ≥1 event of that cause),
+    * ordered: (t, cause, n_risk, d_events, cif_r6).
+    */
+  def competingRisks(df: DataFrame, duration: String = "t",
+      cause: String = "c"): DataFrame = {
+    val c0 = col(cause).cast("long")
+    val cv = when(c0 >= 0L, c0).otherwise(raise_error(concat(
+      lit("competingRisks: cause must be 0 (censored) or >= 1: "),
+      c0.cast("string"))))
+    val base = df.select(col(duration).cast("long").as("t"), cv.as("c"))
+    val tot = base.agg(count(lit(1)).as("n_total"))
+    val per = base.groupBy("t")
+      .agg(count(lit(1)).as("leaving"),
+        sum(when(col("c") > 0L, 1L).otherwise(0L)).as("d"))
+    val wPrev = Window.orderBy("t").rowsBetween(Long.MinValue, -1)
+    val timeline = per.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("leaving")).over(wPrev), lit(0L)))
+      .withColumn("lnf", when(col("d") > 0 && col("n_risk") > col("d"),
+        log((col("n_risk") - col("d")).cast("double")
+          / col("n_risk").cast("double"))).otherwise(lit(0.0)))
+      // S(tᵢ₋₁): the exclusive-prior fold — 1 at the first time; 0
+      // only if everything already died, at which point no later rows
+      // exist (every row has leaving ≥ 1)
+      .withColumn("sprev", exp(coalesce(sum(col("lnf")).over(wPrev), lit(0.0))))
+      .select(col("t"), col("n_risk"), col("sprev"))
+    val perCause = base.filter(col("c") > 0L)
+      .groupBy("t", "c").agg(count(lit(1)).as("dk"))
+    val wCif = Window.partitionBy("c").orderBy("t")
+      .rowsBetween(Long.MinValue, 0)
+    perCause.join(timeline, Seq("t"))
+      .withColumn("inc",
+        col("sprev") * col("dk").cast("double") / col("n_risk").cast("double"))
+      .withColumn("cif_r6", round(sum(col("inc")).over(wCif), 6))
+      .select(col("t"), col("c").as("cause"), col("n_risk"),
+        col("dk").as("d_events"), col("cif_r6"))
+      .orderBy("t", "cause")
+  }
+
   // ---- Cox proportional hazards ------------------------------------
 
   private val XmCap = 1000000L     // |x| ≤ 1000 after milli quantization
@@ -775,7 +835,69 @@ object Survival {
           .filter(col("t").isNotNull)
         coxPhStratified(units, "t", "e", "x", "s", iters = 6)
       },
-      Some(coxOracleSql(6, strat = true))))
+      Some(coxOracleSql(6, strat = true))),
+
+    // ---- q350: COMPETING RISKS on the q300 retention fixture, churn
+    //      split into two causes — cause 1 "drifted away" (events
+    //      continued after the last purchase) vs cause 2 "hard stop"
+    //      (the last purchase WAS the last event); still-active users
+    //      censored as in q300. The oracle replays counts, the
+    //      exclusive-prior KM fold, and the per-cause CIF windows. ----
+    "q350_competing_risks" -> Q(
+      (s, d) => {
+        val lastP = max(when(col("event_type") === "purchase", col("ts")))
+        val lastAny = max(col("ts"))
+        competingRisks(
+          Tables.events(s, d)
+            .groupBy(col("user_id"))
+            .agg(
+              datediff(to_date(lastP), to_date(min(col("ts"))))
+                .cast("long").as("t"),
+              when(lastP > lit("2024-01-24").cast("timestamp"), 0L)
+                .when(lastAny > lastP, 1L).otherwise(2L).as("c"))
+            .filter(col("t").isNotNull),
+          "t", "c")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+             |      CAST(max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |        AS DATE)) AS BIGINT) AS t,
+             |    CASE WHEN max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |        > TIMESTAMP '2024-01-24 00:00:00' THEN 0
+             |      WHEN max(ts) > max(CASE WHEN event_type = 'purchase'
+             |        THEN ts END) THEN 1
+             |      ELSE 2 END AS c
+             |  FROM events GROUP BY user_id
+             |  HAVING max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |    IS NOT NULL),
+             |tot AS (SELECT count(*) AS n_total FROM u),
+             |per AS (SELECT t, count(*) AS leaving,
+             |    sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS d
+             |  FROM u GROUP BY t),
+             |tl AS (SELECT t, leaving, d,
+             |    (SELECT n_total FROM tot) - coalesce(sum(leaving) OVER (
+             |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS n_risk
+             |  FROM per),
+             |tl2 AS (SELECT t, n_risk,
+             |    exp(coalesce(sum(CASE WHEN d > 0 AND n_risk > d
+             |      THEN ln(CAST(n_risk - d AS DOUBLE)
+             |        / CAST(n_risk AS DOUBLE)) ELSE 0.0 END)
+             |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND 1 PRECEDING), 0.0)) AS sprev
+             |  FROM tl),
+             |pc AS (SELECT t, c, count(*) AS dk FROM u
+             |  WHERE c > 0 GROUP BY t, c),
+             |j AS (SELECT pc.t, pc.c, tl2.n_risk, pc.dk,
+             |    tl2.sprev * CAST(pc.dk AS DOUBLE)
+             |      / CAST(tl2.n_risk AS DOUBLE) AS inc
+             |  FROM pc JOIN tl2 ON pc.t = tl2.t)
+             |SELECT t, c AS cause, CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(dk AS BIGINT) AS d_events,
+             |  round(sum(inc) OVER (PARTITION BY c ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             |    AS cif_r6
+             |FROM j ORDER BY t, cause""".stripMargin)))
 
   /** The q345 oracle: the q300 unit CTE plus the ln(1+count) covariate
     * in milli-units, then `iters` Newton rounds unrolled — each round's
