@@ -351,5 +351,34 @@ object Pipeline {
              |  (1, 280, 1.0, 0.017857, 1.0, 1.0),
              |  (2, 394, 1.0, 0.01269, 1.0, 1.0))
              |  AS t(qid, n_rel, p, r, m, n)
+             |ORDER BY qid""".stripMargin)),
+
+    // ---- q351: the SERVED full chain — q276's retrieve → MMR →
+    //      metrics, pooling from the persisted indexes (diversity
+    //      vectors from the IVF id→vec store, never the corpus). At
+    //      full probe the pools equal the scan path's, MMR relevance
+    //      uses the same fused RRF micros, and the metric rows land on
+    //      q276's exact VALUES pins — the composed serve is
+    //      end-to-end indistinguishable from the batch chain. ----
+    "q351_retrieval_pipeline_served_mmr" -> Q(
+      (s, d) => {
+        Tables.requirePinnedFixture(s, d, "documents",
+          Tables.Sf001DocumentsFp, "q351_retrieval_pipeline_served_mmr")
+        Tables.requirePinnedFixture(s, d, "embeddings",
+          Tables.Sf001EmbeddingsFp, "q351_retrieval_pipeline_served_mmr")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val work = servedDirsFor(s, d)
+        retrieveDiversifyEvalProbe(s, s"$work/lex", s"$work/ann",
+          queryBatch, denseQueries(s, d),
+          Eval.termMatchQrels(s, docs, queryBatch), k = 5,
+          nProbe = ServedCells)
+      },
+      Some("""SELECT qid, n_rel, CAST(p AS DOUBLE) AS prec_r6,
+             |  CAST(r AS DOUBLE) AS rec_r6, CAST(m AS DOUBLE) AS mrr_r6,
+             |  CAST(n AS DOUBLE) AS ndcg_r6
+             |FROM (VALUES (0, 322, 0.6, 0.009317, 1.0, 0.759964),
+             |  (1, 280, 1.0, 0.017857, 1.0, 1.0),
+             |  (2, 394, 1.0, 0.01269, 1.0, 1.0))
+             |  AS t(qid, n_rel, p, r, m, n)
              |ORDER BY qid""".stripMargin)))
 }
