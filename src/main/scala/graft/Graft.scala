@@ -1711,6 +1711,20 @@ object Graft {
       rounds: Int): DataFrame =
     graph.LabelProp.lpaCommunities(spark, edges, rounds)
 
+  /** Louvain-style one-level local moving, deterministic 2-coloring
+    * schedule ([[graph.Louvain.localMove]]).
+    */
+  def louvainMove(spark: SparkSession, edges: DataFrame,
+      rounds: Int): DataFrame =
+    graph.Louvain.localMove(spark, edges, rounds)
+
+  /** Local-moving partition scored by the exact-integer modularity
+    * report ([[graph.Louvain.louvainCommunities]]).
+    */
+  def louvainCommunities(spark: SparkSession, edges: DataFrame,
+      rounds: Int): DataFrame =
+    graph.Louvain.louvainCommunities(spark, edges, rounds)
+
   /** Group-sequential z-monitoring against O'Brien–Fleming boundaries
     * over per-look snapshot units ([[rel.Experiment.groupSequential]]).
     */

@@ -61,7 +61,8 @@ object SparkEntry {
       graft.graph.Anf.all ++ graft.rel.Isotonic.all ++
       graft.rel.Causal.all ++ graft.graph.Truss.all ++
       graft.graph.Modularity.all ++ graft.llm.Trigram.all ++
-      graft.llm.Rbo.all ++ graft.rel.Logistic.all
+      graft.llm.Rbo.all ++ graft.rel.Logistic.all ++
+      graft.graph.Louvain.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
