@@ -39,46 +39,58 @@ object TrigramBench {
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .select(col("doc_id").as("id"), col("text"))
 
-    val bytesRead = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        bytesRead.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
-    })
-    def settle(): Long = { Thread.sleep(1500); bytesRead.get() }
-    def time[T](f: => T): (T, Double, Long) = {
-      val b0 = settle()
+    def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f
-      val dt = (System.nanoTime() - t0) / 1e9
-      (r, dt, settle() - b0)
+      (r, (System.nanoTime() - t0) / 1e9)
     }
 
     // index build (timed separately: the one-time cost)
     val dir = java.nio.file.Files.createTempDirectory("graft-trgm-bench").toString
-    val (_, buildWall, _) = time {
+    val (_, buildWall) = time {
       Trigram.saveTrigram(spark, docs, dir)
     }
 
     // rebuild path: what a no-index deployment pays PER BATCH —
-    // postings derived from the raw corpus, then intersect + verify
-    val (scanRows, scanWall, scanBytes) = time {
+    // postings derived from the raw corpus (one full shingle pass),
+    // then intersect + verify
+    val (scanRows, scanWall) = time {
       Trigram.likeSearch(spark, docs, Trigram.buildTrigramPostings(docs),
         pattern).collect().map(_.getLong(0)).toSeq
     }
     // probe path: pruned bucket reads of the persisted store
-    val (probeRows, probeWall, probeBytes) = time {
+    val (probeRows, probeWall) = time {
       Trigram.probeTrigram(spark, dir, pattern)
         .collect().map(_.getLong(0)).toSeq
     }
     require(scanRows == probeRows,
       s"probe must equal the scan answer: ${scanRows.size} vs ${probeRows.size}")
 
-    println(f"[trgm] corpus docs: ${docs.count()}, matches: ${scanRows.size}")
-    println(f"[trgm] one-time index build: $buildWall%.2f s")
-    println(f"[trgm] per-query REBUILD: $scanWall%.2f s, ${scanBytes / 1e6}%.2f MB read")
-    println(f"[trgm] per-query PROBE:   $probeWall%.2f s, ${probeBytes / 1e6}%.2f MB read")
-    println(f"[trgm] cut: wall ${scanWall / probeWall}%.1fx, bytes ${scanBytes.toDouble / probeBytes.max(1)}%.1fx")
-    println(s"""TRGMBENCH {"build_s": $buildWall, "scan_s": $scanWall, "probe_s": $probeWall, "scan_mb": ${scanBytes / 1e6}, "probe_mb": ${probeBytes / 1e6}}""")
+    // the pruning fraction, measured at the FILESYSTEM level (the
+    // upper bound on what the probe's partition filter can touch):
+    // bytes under the pattern's gram-bucket directories vs the whole
+    // posting store. This is the number that transfers — the probe's
+    // IO is bounded by the pattern's buckets regardless of corpus size.
+    def dirBytes(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+    val p = pattern.toLowerCase
+    val grams = (0 to p.length - 3).map(i => p.substring(i, i + 3)).distinct
+    import spark.implicits._
+    val qBuckets = grams.toDF("g")
+      .select(pmod(xxhash64(col("g")), lit(64L)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val store = new java.io.File(s"$dir/postings")
+    val total = dirBytes(store)
+    val pruned = Option(store.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("bucket=") &&
+        qBuckets.contains(f.getName.stripPrefix("bucket=").toInt))
+      .map(dirBytes).sum
+    println(f"[trgm] corpus docs: ${docs.count()}, matches: ${scanRows.size}, pattern grams: ${grams.size}")
+    println(f"[trgm] one-time index build: $buildWall%.2f s; posting store ${total / 1e6}%.2f MB")
+    println(f"[trgm] per-query REBUILD: $scanWall%.2f s (full corpus shingle pass)")
+    println(f"[trgm] per-query PROBE:   $probeWall%.2f s, touching ${pruned / 1e6}%.2f MB (${100.0 * pruned / total}%.1f%% of the store; ${qBuckets.size}/64 buckets)")
+    println(f"[trgm] wall cut ${scanWall / probeWall}%.1fx; store fraction cut ${total.toDouble / pruned.max(1)}%.1fx")
+    println(s"""TRGMBENCH {"build_s": $buildWall, "scan_s": $scanWall, "probe_s": $probeWall, "store_mb": ${total / 1e6}, "probe_mb": ${pruned / 1e6}}""")
     spark.stop()
   }
 }
