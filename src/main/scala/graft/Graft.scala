@@ -761,6 +761,18 @@ object Graft {
   def piiScrub(spark: SparkSession, docs: DataFrame): DataFrame =
     llm.Curation.piiScrub(spark, docs)
 
+  /** Luhn-verified payment-card detection + redaction
+    * ([[llm.Curation.piiCards]]).
+    */
+  def piiCards(spark: SparkSession, docs: DataFrame): DataFrame =
+    llm.Curation.piiCards(spark, docs)
+
+  /** Flesch–Kincaid grade + Reading Ease readability features
+    * ([[llm.TextStats.readability]]).
+    */
+  def readability(spark: SparkSession, docs: DataFrame): DataFrame =
+    llm.TextStats.readability(spark, docs)
+
   /** Deterministic per-source mixture sampling ([[llm.Curation.mixtureSample]]). */
   def mixtureSample(spark: SparkSession, docs: DataFrame,
       rates: Map[String, Double]): DataFrame =

@@ -152,6 +152,39 @@ object Curation {
     * re-partitioning, and upgrade-friendly — raising a rate only ADDS
     * docs, never swaps the kept set. One narrow filter over the scan.
     */
+  /** the Luhn predicate over a 16-digit candidate string `c`, as a
+    * SQL lambda body — shared verbatim between the engine expr and the
+    * oracle so the checksum arithmetic cannot drift
+    */
+  private def luhnBody(c: String): String =
+    s"aggregate(transform(sequence(1, 16), i -> " +
+      s"CASE WHEN (16 - i) % 2 = 1 " +
+      s"THEN CASE WHEN 2 * CAST(substring($c, i, 1) AS INT) > 9 " +
+      s"THEN 2 * CAST(substring($c, i, 1) AS INT) - 9 " +
+      s"ELSE 2 * CAST(substring($c, i, 1) AS INT) END " +
+      s"ELSE CAST(substring($c, i, 1) AS INT) END), 0, (a, x) -> a + x) " +
+      s"% 10 = 0"
+
+  /** PAYMENT-CARD PII: find 16-digit runs, VERIFY each with the Luhn
+    * check digit (ISO/IEC 7812 — the reason card scrubbing can't be
+    * regex-only: most random 16-digit strings are ids/phone
+    * concatenations, and only ~10% pass Luhn), and redact the verified
+    * ones to `[CARD]` via a fold over the valid candidates. Counts
+    * report candidates vs verified so a pipeline can audit its
+    * false-positive surface. Pure per-row expression chain — no
+    * shuffle carries text (the [[piiScrub]] shape).
+    */
+  def piiCards(s: SparkSession, docs: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    docs
+      .withColumn("cand", expr("regexp_extract_all(text, '[0-9]{16}', 0)"))
+      .withColumn("valid", expr(s"filter(cand, c -> ${luhnBody("c")})"))
+      .select(col(id),
+        size(col("cand")).cast("long").as("n_candidates"),
+        size(col("valid")).cast("long").as("n_valid"),
+        expr("aggregate(valid, text, (acc, cc) -> replace(acc, cc, '[CARD]'))")
+          .as("scrubbed"))
+
   def mixtureSample(s: SparkSession, docs: DataFrame, rates: Map[String, Double],
       id: String = "doc_id", source: String = "source"): DataFrame = {
     require(rates.values.forall(r => r >= 0 && r <= 1), s"rates must be in [0,1]: $rates")
@@ -932,6 +965,49 @@ object Curation {
              |  length(regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '[EMAIL]', 'g'),
              |    '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS scrubbed_len
              |FROM pii ORDER BY doc_id""".stripMargin)),
+
+    // ---- q354: Luhn-VERIFIED card scrubbing — every 13th doc plants
+    //      a Luhn-valid card, every 17th a 16-digit run that FAILS the
+    //      check digit (the false-positive a regex-only scrubber would
+    //      redact); the engine and the oracle share the checksum
+    //      lambda verbatim, and the scrubbed length proves only the
+    //      verified runs were folded out. ----
+    "q354_pii_cards" -> Q(
+      (s, d) => piiCards(s,
+          Tables.documents(s, d).select(col("doc_id"),
+            concat(col("text"),
+              when(col("doc_id") % 13 === 0,
+                lit(" card 4532015112830366 on file")).otherwise(lit("")),
+              when(col("doc_id") % 17 === 0,
+                lit(" ref 4111111111111112 batch")).otherwise(lit("")))
+              .as("text")))
+        .select(col("doc_id"), col("n_candidates"), col("n_valid"),
+          length(col("scrubbed")).as("scrubbed_len"))
+        .orderBy("doc_id"),
+      Some(s"""WITH pii AS (SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 13 = 0
+             |      THEN ' card 4532015112830366 on file' ELSE '' END ||
+             |    CASE WHEN doc_id % 17 = 0
+             |      THEN ' ref 4111111111111112 batch' ELSE '' END AS text
+             |  FROM documents),
+             |x AS (SELECT doc_id, text,
+             |    regexp_extract_all(text, '[0-9]{16}') AS cand
+             |  FROM pii),
+             |v AS (SELECT doc_id, text, cand,
+             |    list_filter(cand, c -> list_sum(list_transform(range(1, 17),
+             |      i -> CASE WHEN (16 - i) % 2 = 1
+             |        THEN CASE WHEN 2 * CAST(substr(c, i, 1) AS INT) > 9
+             |          THEN 2 * CAST(substr(c, i, 1) AS INT) - 9
+             |          ELSE 2 * CAST(substr(c, i, 1) AS INT) END
+             |        ELSE CAST(substr(c, i, 1) AS INT) END)) % 10 = 0)
+             |      AS valid
+             |  FROM x)
+             |SELECT doc_id, CAST(len(cand) AS BIGINT) AS n_candidates,
+             |  CAST(len(valid) AS BIGINT) AS n_valid,
+             |  length(CASE WHEN len(valid) = 0 THEN text
+             |    ELSE list_reduce(list_prepend(text, valid),
+             |      (a, b) -> replace(a, b, '[CARD]')) END) AS scrubbed_len
+             |FROM v ORDER BY doc_id""".stripMargin)),
 
     // ---- mixture sampling: per-source keep rates through the
     //      hash-threshold rule; the oracle applies the identical

@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.rel.RelQueries.Q
+import graft.rel.Tables
+
+/** READABILITY SCORING (Flesch 1948 / Kincaid et al. 1975) — the
+  * classic text-difficulty features next to the q60 quality signals:
+  * both the Flesch Reading Ease and the Flesch–Kincaid grade level are
+  * fixed linear functions of words-per-sentence and
+  * syllables-per-word, so the whole operator is the three integer
+  * counts plus one pinned IEEE chain per doc.
+  *
+  * Counting rules (deterministic, regex-replayable — real syllable
+  * counting needs a pronunciation lexicon; the vowel-group heuristic
+  * is the standard corpus-scale proxy and the one the oracle can
+  * recompute):
+  *   - words: whitespace tokens of the lowercased text
+  *   - sentences: occurrences of [.!?], floored at 1
+  *   - syllables: per word, the count of maximal [aeiouy]+ runs,
+  *     floored at 1; summed over words
+  *
+  * Scale shape: one narrow pass, no shuffle carries text; per-row
+  * expression chain only (the piiScrub shape).
+  *
+  * Output per doc: (id, n_words, n_sentences, n_syllables, fk_r6,
+  * ease_r6).
+  */
+object TextStats {
+
+  def readability(s: SparkSession, docs: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    docs
+      .withColumn("w",
+        expr("filter(split(trim(lower(text)), '\\\\s+'), x -> length(x) > 0)"))
+      .withColumn("n_words", greatest(lit(1L), size(col("w")).cast("long")))
+      .withColumn("n_sentences",
+        greatest(lit(1L), expr("regexp_count(text, '[.!?]')").cast("long")))
+      .withColumn("n_syllables", expr(
+        "aggregate(transform(w, x -> greatest(1, " +
+          "size(regexp_extract_all(x, '[aeiouy]+', 0)))), " +
+          "CAST(0 AS BIGINT), (a, v) -> a + CAST(v AS BIGINT))"))
+      .select(col(id), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(0.39) * (col("n_words").cast("double")
+            / col("n_sentences").cast("double"))
+          + lit(11.8) * (col("n_syllables").cast("double")
+            / col("n_words").cast("double"))
+          - lit(15.59), 6).as("fk_r6"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double")
+            / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double")
+            / col("n_words").cast("double")), 6).as("ease_r6"))
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q355: Flesch-Kincaid grade + Reading Ease over the corpus —
+    //      the oracle recomputes the three counts with the identical
+    //      regex rules and replays both pinned linear chains. ----
+    "q355_readability" -> Q(
+      (s, d) => readability(s, Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      x -> len(x) > 0) AS w,
+             |    greatest(1, len(regexp_extract_all(text, '[.!?]')))
+             |      AS n_sentences
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |    greatest(1, len(w)) AS n_words,
+             |    CAST(n_sentences AS BIGINT) AS n_sentences,
+             |    list_sum(list_transform(w, x -> greatest(1,
+             |      len(regexp_extract_all(x, '[aeiouy]+'))))) AS n_syllables
+             |  FROM t)
+             |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_sentences,
+             |  CAST(n_syllables AS BIGINT) AS n_syllables,
+             |  round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             |    - 15.59, 6) AS fk_r6,
+             |  round(206.835
+             |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+             |    6) AS ease_r6
+             |FROM c ORDER BY doc_id""".stripMargin)),
+  )
+}

@@ -225,6 +225,48 @@ object Trigram {
              |WHERE lower(text) LIKE '%fast merge%'
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- q353: the index LIFECYCLE under streaming appends — build
+    //      on the first 480 docs, stream the tail through the real
+    //      micro-batch engine (two batches + a replayed batch:
+    //      at-least-once), compact, probe. Bit-identical to the brute
+    //      LIKE over the FULL corpus, so append, duplicate collapse
+    //      and compaction all sit under the hash compare (the q104
+    //      lexical-lifecycle pattern on the trigram store). ----
+    "q353_trigram_stream" -> Q(
+      (s, d) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val work = java.nio.file.Files.createTempDirectory("graft-q353")
+        val ckDir = java.nio.file.Files.createTempDirectory("graft-q353-ck")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(work.toFile); rm(ckDir.toFile)
+        }
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("text"))
+        saveTrigram(s, docs.filter(col("id") < 480), work.toString)
+        val tail = docs.filter(col("id") >= 480).as[(Long, String)].collect()
+        val (b1, b2) = tail.partition(_._1 < 490)
+        val mem = MemoryStream[(Long, String)]
+        val q = appendTrigramStream(s, mem.toDF.toDF("id", "text"),
+          work.toString, ckDir.toString)
+        try {
+          mem.addData(b1.toSeq); q.processAllAvailable()
+          mem.addData(b2.toSeq); q.processAllAvailable()
+          mem.addData(b2.toSeq); q.processAllAvailable() // at-least-once replay
+        } finally q.stop()
+        compactTrigram(s, work.toString)
+        probeTrigram(s, work.toString, "fast merge")
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE lower(text) LIKE '%fast merge%'
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- q343: the same search through the PERSISTED index — build
     //      once per dataset, probe reads only the pattern's gram
     //      buckets; same brute-LIKE oracle, so the driver hash proves
