@@ -773,6 +773,12 @@ object Graft {
   def readability(spark: SparkSession, docs: DataFrame): DataFrame =
     llm.TextStats.readability(spark, docs)
 
+  /** Per-doc character-entropy quality signal
+    * ([[llm.TextStats.charEntropy]]).
+    */
+  def charEntropy(spark: SparkSession, docs: DataFrame): DataFrame =
+    llm.TextStats.charEntropy(spark, docs)
+
   /** Deterministic per-source mixture sampling ([[llm.Curation.mixtureSample]]). */
   def mixtureSample(spark: SparkSession, docs: DataFrame,
       rates: Map[String, Double]): DataFrame =

@@ -1,0 +1,94 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+/** Minimal WARC (ISO 28500 / WARC/1.0) reader+writer — pure JVM, the
+  * container format web-crawl corpora (Common Crawl) actually arrive
+  * in. A WARC file is a sequence of records:
+  *
+  *   WARC/1.0\r\n
+  *   <header-name>: <value>\r\n ...
+  *   Content-Length: N\r\n
+  *   \r\n
+  *   <N payload bytes>\r\n\r\n
+  *
+  * Parse is STRICT in the [[Bmp]]/[[Wav]]/[[Png]] tradition: version
+  * line, mandatory WARC-Type / Content-Length headers, exact
+  * Content-Length framing, the record-terminating CRLF CRLF — a 100 TB
+  * ingest meets truncated and gzip-misframed records, and a counted
+  * loud failure beats silently mis-framed payload bytes leaking into
+  * the next record.
+  *
+  * Scale shape note: real WARCs are per-record gzip members; this
+  * reader handles the UNCOMPRESSED stream (decompress per-member with
+  * java.util.zip ahead of it). The parallelism unit is the WARC FILE —
+  * files map to partitions, records never span files.
+  */
+object Warc {
+
+  final case class Record(headers: Map[String, String], payload: Array[Byte]) {
+    def warcType: String = headers.getOrElse("WARC-Type", "")
+    def targetUri: Option[String] = headers.get("WARC-Target-URI")
+  }
+
+  /** Serialize records to one WARC stream. */
+  def build(records: Seq[(Map[String, String], Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { case (hdrs, payload) =>
+      val sb = new StringBuilder
+      sb.append("WARC/1.0\r\n")
+      hdrs.foreach { case (k, v) =>
+        require(!k.contains(':') || k.startsWith("WARC"),
+          s"bad header name: $k")
+        sb.append(k).append(": ").append(v).append("\r\n")
+      }
+      sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+      out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+      out.write(payload)
+      out.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+    }
+    out.toByteArray
+  }
+
+  /** Strict parse of an uncompressed WARC stream into its records. */
+  def parse(bytes: Array[Byte]): Seq[Record] = {
+    val recs = Seq.newBuilder[Record]
+    var pos = 0
+    def line(): String = {
+      val start = pos
+      while (pos + 1 < bytes.length &&
+        !(bytes(pos) == '\r' && bytes(pos + 1) == '\n')) pos += 1
+      require(pos + 1 < bytes.length, "truncated WARC (no CRLF)")
+      val s = new String(bytes, start, pos - start, StandardCharsets.UTF_8)
+      pos += 2
+      s
+    }
+    while (pos < bytes.length) {
+      val version = line()
+      require(version == "WARC/1.0" || version == "WARC/1.1",
+        s"not a WARC record at offset: '$version'")
+      var headers = Map.empty[String, String]
+      var h = line()
+      while (h.nonEmpty) {
+        val i = h.indexOf(':')
+        require(i > 0, s"malformed WARC header: '$h'")
+        headers += (h.substring(0, i).trim -> h.substring(i + 1).trim)
+        h = line()
+      }
+      require(headers.contains("WARC-Type"), "record missing WARC-Type")
+      val len = headers.getOrElse("Content-Length",
+        throw new IllegalArgumentException("record missing Content-Length"))
+        .toLong
+      require(len >= 0 && pos + len + 4 <= bytes.length,
+        s"Content-Length $len overruns the stream")
+      val payload = java.util.Arrays.copyOfRange(bytes, pos, (pos + len).toInt)
+      pos += len.toInt
+      require(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
+        bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n',
+        "record not terminated by CRLF CRLF")
+      pos += 4
+      recs += Record(headers, payload)
+    }
+    recs.result()
+  }
+}

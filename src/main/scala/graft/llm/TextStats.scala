@@ -54,7 +54,62 @@ object TextStats {
           - lit(84.6) * (col("n_syllables").cast("double")
             / col("n_words").cast("double")), 6).as("ease_r6"))
 
+  /** CHARACTER-ENTROPY quality signal — Shannon entropy of the per-doc
+    * character distribution, the classic gibberish/boilerplate
+    * detector (natural prose sits ~4.0–4.5 bits-of-e; runs of one
+    * character → 0; uniform noise → ln(alphabet)): low-entropy docs
+    * are repetition/padding, implausibly-high ones are encoded blobs.
+    *
+    * Exactness: per-(doc, char) counts are exact integers from one
+    * hash aggregation; entropy is computed as ln(n) − (Σ c·ln c)/n
+    * with the Σ folded over the ORDER-PINNED per-doc character window
+    * (chars sort lexicographically in both engines), so the IEEE chain
+    * replays. The window frame is the doc's distinct-character set —
+    * alphabet-bounded, never text-length-bounded.
+    *
+    * Output per doc: (id, n_chars, n_distinct, entropy_r6) in nats.
+    * Empty texts are excluded (entropy undefined).
+    */
+  def charEntropy(s: SparkSession, docs: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .filter(length(col(text)) > 0)
+      .select(col(id), explode(split(col(text), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col(id), col("ch")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(id).orderBy("ch")
+      .rowsBetween(Long.MinValue, 0)
+    counts
+      .withColumn("tcum",
+        sum(col("c").cast("double") * log(col("c").cast("double"))).over(wCum))
+      .groupBy(col(id))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        max(struct(col("ch"), col("tcum"))).as("z"))
+      .select(col(id), col("n_chars"), col("n_distinct"),
+        round(log(col("n_chars").cast("double"))
+          - col("z.tcum") / col("n_chars").cast("double"), 6)
+          .as("entropy_r6"))
+      .orderBy(id)
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q357: per-doc character entropy — counts + the ordered
+    //      Σ c·ln c fold, replayed in DuckDB with its ordered
+    //      aggregate over the same lexicographic character order. ----
+    "q357_char_entropy" -> Q(
+      (s, d) => charEntropy(s, Tables.documents(s, d)),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+             |  FROM documents WHERE length(text) > 0),
+             |ct AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+             |  count(*) AS n_distinct,
+             |  round(ln(CAST(sum(c) AS DOUBLE))
+             |    - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY ch)
+             |      / CAST(sum(c) AS DOUBLE), 6) AS entropy_r6
+             |FROM ct GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- q355: Flesch-Kincaid grade + Reading Ease over the corpus —
     //      the oracle recomputes the three counts with the identical
     //      regex rules and replays both pinned linear chains. ----

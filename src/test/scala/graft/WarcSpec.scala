@@ -1,0 +1,41 @@
+package graft
+
+import graft.io.Warc
+
+/** WARC reader/writer (q356): round-trip and the strict-parse guards. */
+class WarcSpec extends SparkSpec {
+
+  private def rec(id: Long, body: String) =
+    (Map("WARC-Type" -> "response",
+      "WARC-Target-URI" -> s"http://x/doc/$id"),
+      body.getBytes("UTF-8"))
+
+  test("multi-record round-trip preserves headers and payload bytes") {
+    val bytes = Warc.build(Seq(rec(1, "hello world"), rec(2, ""),
+      rec(3, "payload with\r\nCRLF inside")))
+    val got = Warc.parse(bytes)
+    assert(got.map(_.targetUri.get) ==
+      Seq("http://x/doc/1", "http://x/doc/2", "http://x/doc/3"))
+    assert(new String(got(2).payload, "UTF-8") == "payload with\r\nCRLF inside",
+      "Content-Length framing must survive CRLF bytes inside the payload")
+    assert(got(1).payload.isEmpty)
+    assert(got.forall(_.warcType == "response"))
+  }
+
+  test("strict guards: truncation, bad version, missing headers, bad terminator") {
+    val good = Warc.build(Seq(rec(1, "abcdef")))
+    intercept[IllegalArgumentException] {
+      Warc.parse(java.util.Arrays.copyOf(good, good.length - 3))
+    }
+    val badVer = good.clone(); badVer(5) = '9'
+    intercept[IllegalArgumentException](Warc.parse(badVer))
+    // drop the WARC-Type header
+    intercept[IllegalArgumentException] {
+      Warc.parse(Warc.build(Seq(
+        (Map("WARC-Target-URI" -> "http://x"), "p".getBytes))))
+    }
+    // corrupt the record terminator
+    val badTerm = good.clone(); badTerm(badTerm.length - 1) = 'X'
+    intercept[IllegalArgumentException](Warc.parse(badTerm))
+  }
+}
