@@ -1616,6 +1616,21 @@ object Graft {
       y: String = "y", stratum: String = "s"): DataFrame =
     rel.Causal.stratifiedAte(df, treat, y, stratum)
 
+  /** Difference-in-differences over (treat, period, y) unit rows
+    * ([[rel.Causal.diffInDiff]]).
+    */
+  def diffInDiff(df: DataFrame, treat: String = "treat",
+      period: String = "period", y: String = "y"): DataFrame =
+    rel.Causal.diffInDiff(df, treat, period, y)
+
+  /** Raking / iterative proportional fitting to target marginals
+    * ([[rel.Raking.rake]]).
+    */
+  def rake(units: DataFrame, rowVar: String, colVar: String,
+      rowTargets: DataFrame, colTargets: DataFrame,
+      iters: Int = 6): DataFrame =
+    rel.Raking.rake(units, rowVar, colVar, rowTargets, colTargets, iters)
+
   /** Logistic regression (intercept + one covariate), replayable
     * fixed-round Newton ([[rel.Logistic.logisticFit]]).
     */

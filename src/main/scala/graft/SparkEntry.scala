@@ -62,7 +62,8 @@ object SparkEntry {
       graft.rel.Causal.all ++ graft.graph.Truss.all ++
       graft.graph.Modularity.all ++ graft.llm.Trigram.all ++
       graft.llm.Rbo.all ++ graft.rel.Logistic.all ++
-      graft.graph.Louvain.all ++ graft.llm.TextStats.all
+      graft.graph.Louvain.all ++ graft.llm.TextStats.all ++
+      graft.rel.Raking.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

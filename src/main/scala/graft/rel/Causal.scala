@@ -1,6 +1,6 @@
 package graft.rel
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
@@ -92,7 +92,163 @@ object Causal {
           .as("ate_r6"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES (the two-group × two-period canonical
+    * design): DiD = (ȳ_treated,post − ȳ_treated,pre) −
+    * (ȳ_control,post − ȳ_control,pre) — the causal estimate under the
+    * parallel-trends assumption, with the SE from the four independent
+    * cell variances, se² = Σ_cells s²/n.
+    *
+    * Exactness: all four cells' (n, Σy, Σy²) are exact integers from
+    * ONE hash aggregation (conditional sums — no pivot, no second
+    * pass); each mean/variance is a fixed IEEE chain on a 1-row
+    * aggregate, so the oracle replays bit-for-bit. Loud guards: an
+    * empty cell (the design is undefined) and n < 2 in any cell (no
+    * variance).
+    *
+    * Output (1 row): (n_t_pre, n_t_post, n_c_pre, n_c_post, did_r6,
+    * se_r6, z_r6).
+    */
+  def diffInDiff(df: DataFrame, treat: String = "treat",
+      period: String = "period", y: String = "y"): DataFrame = {
+    val t0 = col(treat).cast("long"); val p0 = col(period).cast("long")
+    val tv = when(t0 === 1L, 1L).when(t0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("diffInDiff: treat must be 0 or 1: "), t0.cast("string"))))
+    val pv = when(p0 === 1L, 1L).when(p0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("diffInDiff: period must be 0 (pre) or 1 (post): "),
+        p0.cast("string"))))
+    val base = df.select(tv.as("t"), pv.as("p"),
+      col(y).cast("long").as("yv"))
+    def cell(t: Int, p: Int, what: String): Column = what match {
+      case "n" => sum(when(col("t") === t && col("p") === p, 1L).otherwise(0L))
+      case "s" => sum(when(col("t") === t && col("p") === p, col("yv"))
+        .otherwise(0L))
+      case "q" => sum(when(col("t") === t && col("p") === p,
+        (col("yv") * col("yv")).cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))
+        .otherwise(lit(0L).cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))))
+    }
+    val agg = base.agg(
+      cell(1, 0, "n").as("n10"), cell(1, 0, "s").as("s10"), cell(1, 0, "q").as("q10"),
+      cell(1, 1, "n").as("n11"), cell(1, 1, "s").as("s11"), cell(1, 1, "q").as("q11"),
+      cell(0, 0, "n").as("n00"), cell(0, 0, "s").as("s00"), cell(0, 0, "q").as("q00"),
+      cell(0, 1, "n").as("n01"), cell(0, 1, "s").as("s01"), cell(0, 1, "q").as("q01"))
+    def m(n: String, s: String): Column =
+      col(s).cast("double") / col(n).cast("double")
+    // sample variance from exact moments: (n·Σy² − (Σy)²) / (n(n−1))
+    def v(n: String, s: String, q: String): Column =
+      (col(n).cast("double") * col(q).cast("double")
+        - col(s).cast("double") * col(s).cast("double")) /
+        (col(n).cast("double") * (col(n).cast("double") - lit(1.0)))
+    val guard = Seq("n10", "n11", "n00", "n01")
+      .map(n => when(col(n) < 2L, raise_error(lit(
+        s"diffInDiff: cell $n has < 2 units — design undefined")))
+        .otherwise(col(n)).as(n))
+    agg.select(guard ++ Seq(col("s10"), col("q10"), col("s11"), col("q11"),
+      col("s00"), col("q00"), col("s01"), col("q01")): _*)
+      .withColumn("did",
+        (m("n11", "s11") - m("n10", "s10")) - (m("n01", "s01") - m("n00", "s00")))
+      .withColumn("se", sqrt(
+        v("n11", "s11", "q11") / col("n11").cast("double")
+          + v("n10", "s10", "q10") / col("n10").cast("double")
+          + v("n01", "s01", "q01") / col("n01").cast("double")
+          + v("n00", "s00", "q00") / col("n00").cast("double")))
+      .select(col("n10").as("n_t_pre"), col("n11").as("n_t_post"),
+        col("n00").as("n_c_pre"), col("n01").as("n_c_post"),
+        round(col("did"), 6).as("did_r6"),
+        round(col("se"), 6).as("se_r6"),
+        when(col("se") === 0.0, lit(0.0))
+          .otherwise(round(col("did") / col("se"), 6)).as("z_r6"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q358: DIFF-IN-DIFF — "did early signup lift second-half
+    //      spend beyond its first-half baseline?": the q328 treatment,
+    //      outcome = per-user purchase cents per calendar half, every
+    //      user present in BOTH periods (absent halves are true zero
+    //      spend, not missing data). One conditional aggregation
+    //      carries all twelve cell moments; the oracle replays the
+    //      means/variances/z from the same exact integers. ----
+    "q358_diff_in_diff" -> Q(
+      (s, d) => {
+        val users = Tables.events(s, d).groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "signup"
+            && col("ts") < lit("2024-01-05").cast("timestamp"), 1L)
+            .otherwise(0L)).as("treat"))
+        val spend = Tables.events(s, d)
+          .withColumn("period",
+            when(col("ts") < lit("2024-01-15").cast("timestamp"), 0L)
+              .otherwise(1L))
+          .groupBy(col("user_id"), col("period"))
+          .agg(sum(when(col("event_type") === "purchase",
+            round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("y"))
+        val periods = s.range(2).select(col("id").as("period"))
+        val units = users.crossJoin(periods)
+          .join(spend, Seq("user_id", "period"), "left")
+          .select(col("treat"), col("period"), coalesce(col("y"), lit(0L)).as("y"))
+        diffInDiff(units)
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    max(CASE WHEN event_type = 'signup'
+             |      AND ts < TIMESTAMP '2024-01-05 00:00:00'
+             |      THEN 1 ELSE 0 END) AS t
+             |  FROM events GROUP BY user_id),
+             |sp AS (SELECT user_id,
+             |    CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+             |      THEN 0 ELSE 1 END AS p,
+             |    sum(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+             |  FROM events GROUP BY 1, 2),
+             |un AS (SELECT u.t, pr.p, coalesce(sp.y, 0) AS y
+             |  FROM u CROSS JOIN (VALUES (0), (1)) pr(p)
+             |  LEFT JOIN sp ON sp.user_id = u.user_id AND sp.p = pr.p),
+             |c AS (SELECT
+             |    sum(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END) AS n10,
+             |    sum(CASE WHEN t = 1 AND p = 0 THEN y ELSE 0 END) AS s10,
+             |    sum(CASE WHEN t = 1 AND p = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS q10,
+             |    sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS n11,
+             |    sum(CASE WHEN t = 1 AND p = 1 THEN y ELSE 0 END) AS s11,
+             |    sum(CASE WHEN t = 1 AND p = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS q11,
+             |    sum(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END) AS n00,
+             |    sum(CASE WHEN t = 0 AND p = 0 THEN y ELSE 0 END) AS s00,
+             |    sum(CASE WHEN t = 0 AND p = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS q00,
+             |    sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END) AS n01,
+             |    sum(CASE WHEN t = 0 AND p = 1 THEN y ELSE 0 END) AS s01,
+             |    sum(CASE WHEN t = 0 AND p = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS q01
+             |  FROM un),
+             |x AS (SELECT *,
+             |    (CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+             |      - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+             |    - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+             |      - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) AS did,
+             |    sqrt(
+             |      (CAST(n11 AS DOUBLE) * CAST(q11 AS DOUBLE)
+             |        - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE))
+             |        / (CAST(n11 AS DOUBLE) * (CAST(n11 AS DOUBLE) - 1.0))
+             |        / CAST(n11 AS DOUBLE)
+             |      + (CAST(n10 AS DOUBLE) * CAST(q10 AS DOUBLE)
+             |        - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE))
+             |        / (CAST(n10 AS DOUBLE) * (CAST(n10 AS DOUBLE) - 1.0))
+             |        / CAST(n10 AS DOUBLE)
+             |      + (CAST(n01 AS DOUBLE) * CAST(q01 AS DOUBLE)
+             |        - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE))
+             |        / (CAST(n01 AS DOUBLE) * (CAST(n01 AS DOUBLE) - 1.0))
+             |        / CAST(n01 AS DOUBLE)
+             |      + (CAST(n00 AS DOUBLE) * CAST(q00 AS DOUBLE)
+             |        - CAST(s00 AS DOUBLE) * CAST(s00 AS DOUBLE))
+             |        / (CAST(n00 AS DOUBLE) * (CAST(n00 AS DOUBLE) - 1.0))
+             |        / CAST(n00 AS DOUBLE)) AS se
+             |  FROM c)
+             |SELECT CAST(n10 AS BIGINT) AS n_t_pre,
+             |  CAST(n11 AS BIGINT) AS n_t_post,
+             |  CAST(n00 AS BIGINT) AS n_c_pre,
+             |  CAST(n01 AS BIGINT) AS n_c_post,
+             |  round(did, 6) AS did_r6, round(se, 6) AS se_r6,
+             |  CASE WHEN se = 0.0 THEN 0.0 ELSE round(did / se, 6) END AS z_r6
+             |FROM x""".stripMargin)),
+
     // ---- q328: STRATIFIED ATE of "did signing up EARLY (first 4
     //      days) lift purchase spend?" — outcome = total purchase
     //      cents, confounder = activity stratum (total events div 20,
