@@ -50,6 +50,42 @@ object Warc {
     out.toByteArray
   }
 
+  /** Serialize records as a MULTI-MEMBER GZIP stream — one gzip member
+    * per record, the Common Crawl on-disk layout (each record
+    * independently decompressible, so a reader can skip by member
+    * boundaries).
+    */
+  def buildGz(records: Seq[(Map[String, String], Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(build(Seq(r)))
+      gz.finish()
+    }
+    out.toByteArray
+  }
+
+  /** Parse a gzipped WARC: decompresses ALL members (JDK
+    * GZIPInputStream reads concatenated members transparently) and
+    * parses the concatenated stream — per-member framing and the
+    * record framing coincide by construction, and a truncated or
+    * corrupt member surfaces as either a zip error or the strict
+    * record-framing raise.
+    */
+  def parseGz(bytes: Array[Byte]): Seq[Record] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    in.close()
+    parse(out.toByteArray)
+  }
+
   /** Strict parse of an uncompressed WARC stream into its records. */
   def parse(bytes: Array[Byte]): Seq[Record] = {
     val recs = Seq.newBuilder[Record]

@@ -554,6 +554,56 @@ object SketchOps {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- q360: the GZIPPED twin of q356 — one gzip member per record
+    //      (the Common Crawl .warc.gz layout), decompressed through
+    //      the JDK's concatenated-member Inflater and parsed by the
+    //      same strict reader; identical per-source features, same
+    //      oracle. ----
+    "q360_warc_gz" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val nonAscii = docs
+          .filter(octet_length(col("text")) =!= length(col("text"))).count()
+        require(nonAscii == 0L,
+          s"q360's oracle equates UTF-8 bytes with codepoints; corpus has " +
+            s"$nonAscii non-ASCII docs")
+        val blobs = docs.select(col("source"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .groupByKey(_._1)
+          .mapGroups { (src: String, it: Iterator[(String, Long, String)]) =>
+            val recs = it.toSeq.sortBy(_._2).map { case (_, id, text) =>
+              (Map("WARC-Type" -> "response",
+                "WARC-Target-URI" -> s"http://corpus.local/doc/$id",
+                "WARC-Record-ID" -> s"<urn:graft:$id>"),
+                text.getBytes("UTF-8"))
+            }
+            (src, graft.io.Warc.buildGz(recs))
+          }.toDF("source", "warc")
+        blobs.as[(String, Array[Byte])]
+          .flatMap { case (src, bytes) =>
+            graft.io.Warc.parseGz(bytes).map { r =>
+              val id = r.targetUri.get.split('/').last.toLong
+              var bs = 0L
+              r.payload.foreach(b => bs += (b & 0xff))
+              (src, id, r.payload.length.toLong, bs)
+            }
+          }.toDF("source", "doc_id", "n_bytes", "bsum")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_records"),
+            sum("n_bytes").as("payload_bytes"),
+            sum("bsum").as("byte_sum"),
+            sum("doc_id").as("id_sum"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_records,
+             |  CAST(sum(length(text)) AS BIGINT) AS payload_bytes,
+             |  CAST(sum(coalesce(list_sum(list_transform(
+             |    string_split(text, ''), x -> unicode(x))), 0)) AS BIGINT)
+             |    AS byte_sum,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     "q77_decode_quarantine" -> Q(
       (s, d) => {
         import s.implicits._

@@ -22,6 +22,21 @@ class WarcSpec extends SparkSpec {
     assert(got.forall(_.warcType == "response"))
   }
 
+  test("gzip multi-member round-trip (the Common Crawl layout) and corrupt-member raise") {
+    val recs = Seq(rec(1, "hello"), rec(2, "world wide web"))
+    val gz = Warc.buildGz(recs.map(r => (r._1, r._2)))
+    val got = Warc.parseGz(gz)
+    assert(got.map(r => new String(r.payload, "UTF-8")) ==
+      Seq("hello", "world wide web"))
+    // two independent members: the second starts with its own magic
+    val magic2 = gz.indexOfSlice(Array(0x1f.toByte, 0x8b.toByte), 2)
+    assert(magic2 > 0, "expected a second gzip member")
+    // truncate the last member's CRC/ISIZE trailer: the member check
+    // must fail loudly, never return a silently-short record list
+    intercept[Exception](
+      Warc.parseGz(java.util.Arrays.copyOf(gz, gz.length - 6)))
+  }
+
   test("strict guards: truncation, bad version, missing headers, bad terminator") {
     val good = Warc.build(Seq(rec(1, "abcdef")))
     intercept[IllegalArgumentException] {
