@@ -1616,6 +1616,13 @@ object Graft {
       y: String = "y", stratum: String = "s"): DataFrame =
     rel.Causal.stratifiedAte(df, treat, y, stratum)
 
+  /** Per-feature best Gini stump split — the leakage/importance audit
+    * ([[rel.Tree.splitGains]]).
+    */
+  def splitGains(df: DataFrame, features: Seq[String],
+      label: String = "y"): DataFrame =
+    rel.Tree.splitGains(df, features, label)
+
   /** Difference-in-differences over (treat, period, y) unit rows
     * ([[rel.Causal.diffInDiff]]).
     */
