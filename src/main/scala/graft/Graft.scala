@@ -1616,6 +1616,13 @@ object Graft {
       y: String = "y", stratum: String = "s"): DataFrame =
     rel.Causal.stratifiedAte(df, treat, y, stratum)
 
+  /** Frequent ordered subsequences of per-key event sequences, up to
+    * length 3 ([[rel.SeqMine.frequentSequences]]).
+    */
+  def frequentSequences(df: DataFrame, key: String, ord: String,
+      tie: String, item: String, minSupport: Long): DataFrame =
+    rel.SeqMine.frequentSequences(df, key, ord, tie, item, minSupport)
+
   /** Per-feature best Gini stump split — the leakage/importance audit
     * ([[rel.Tree.splitGains]]).
     */
