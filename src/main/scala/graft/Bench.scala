@@ -189,7 +189,36 @@ object Bench {
       // sliding exact distinct (one fact pass + 7-way bitmap merges)
       "q335_lift_table", "q336_trigram_like", "q338_sliding_distinct",
       // per-stratum risk sets + two order-pinned pools; Kendall tau-b
-      "q339_logrank_stratified", "q340_kendall_tau")
+      "q339_logrank_stratified", "q340_kendall_tau",
+      // round-12: the SERVED retrieval pipeline (persisted chunk-BM25
+      // + IVF probes — q342's wall includes the per-dataset index
+      // build once, then the pruned probes) and the persisted trigram
+      // probe (q343; q336's wall is the per-batch posting rebuild the
+      // index retires). q351 stays out: fixture-guarded to sf0.01
+      // (the q272 rule); q353 stays out (streaming harness).
+      "q342_retrieval_pipeline_served", "q343_trigram_index",
+      // community find+judge: LPA partition + modularity report;
+      // one-level Louvain local moving (2 coloring-scheduled rounds)
+      "q344_lpa_modularity", "q352_louvain_move",
+      // survival regression rungs: 6 Newton rounds each, one corpus
+      // pass per round + domain-bounded risk-set windows
+      "q345_cox_ph", "q346_cox_ph_stratified",
+      // Aalen-Johansen per-cause incidence (the q300 cost class)
+      "q350_competing_risks",
+      // PNG decode + aHash near-dup (the q93 cost class on the real
+      // format); Luhn card scrub + readability + entropy (per-row
+      // expression chains over the corpus); WARC round-trip ingest
+      // (q360 adds the per-member gzip cost on the same shape)
+      "q347_png_neardup", "q354_pii_cards", "q355_readability",
+      "q356_warc_ingest", "q357_char_entropy", "q360_warc_gz",
+      // logistic fit + the IPW chain on top (6 integer Newton rounds,
+      // one corpus pass each); 2x2 DiD from one conditional agg;
+      // 4-round IPF raking on domain-bounded cells
+      "q348_logistic", "q349_ipw_ate", "q358_diff_in_diff",
+      "q359_raking",
+      // stump split gains (distinct-value windows over 3 features);
+      // subsequence mining (alphabet-bounded position joins)
+      "q361_split_gain", "q362_seq_patterns")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
