@@ -86,6 +86,50 @@ object Warc {
     parse(out.toByteArray)
   }
 
+  /** Serialize records as a MULTI-FRAME ZSTD stream — one frame per
+    * record, the `.warc.zst` layout (zstd-jni ships on the Spark
+    * classpath). Same skippable-per-record property as [[buildGz]].
+    */
+  def buildZst(records: Seq[(Map[String, String], Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      out.write(com.github.luben.zstd.Zstd.compress(build(Seq(r))))
+    }
+    out.toByteArray
+  }
+
+  /** Parse a zstd-compressed WARC by an EXPLICIT frame walk: each
+    * frame's compressed size is read from its header, the frame
+    * decompressed against its declared content size, and any leftover
+    * or short bytes raise — ZstdInputStream was measured to silently
+    * EOF on a truncated trailing frame (returning the records decoded
+    * so far), the exact failure this reader's strictness contract
+    * forbids.
+    */
+  def parseZst(bytes: Array[Byte]): Seq[Record] = {
+    import com.github.luben.zstd.Zstd
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    while (pos < bytes.length) {
+      val rest = java.util.Arrays.copyOfRange(bytes, pos, bytes.length)
+      val fsize =
+        try Zstd.findFrameCompressedSize(rest)
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"truncated/corrupt zstd frame at offset $pos: ${e.getMessage}")
+        }
+      require(fsize > 0 && pos + fsize <= bytes.length,
+        s"truncated zstd frame at offset $pos")
+      val frame = java.util.Arrays.copyOfRange(bytes, pos, pos + fsize.toInt)
+      val csize = Zstd.getFrameContentSize(frame)
+      require(csize >= 0 && csize <= Int.MaxValue,
+        s"zstd frame at offset $pos lacks a valid content size")
+      out.write(Zstd.decompress(frame, csize.toInt))
+      pos += fsize.toInt
+    }
+    parse(out.toByteArray)
+  }
+
   /** Strict parse of an uncompressed WARC stream into its records. */
   def parse(bytes: Array[Byte]): Seq[Record] = {
     val recs = Seq.newBuilder[Record]

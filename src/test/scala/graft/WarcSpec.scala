@@ -37,6 +37,16 @@ class WarcSpec extends SparkSpec {
       Warc.parseGz(java.util.Arrays.copyOf(gz, gz.length - 6)))
   }
 
+  test("zstd multi-frame round-trip (.warc.zst) and truncation raise") {
+    val recs = Seq(rec(1, "alpha"), rec(2, "beta gamma"))
+    val zst = Warc.buildZst(recs.map(r => (r._1, r._2)))
+    val got = Warc.parseZst(zst)
+    assert(got.map(r => new String(r.payload, "UTF-8")) ==
+      Seq("alpha", "beta gamma"))
+    intercept[Exception](
+      Warc.parseZst(java.util.Arrays.copyOf(zst, zst.length - 5)))
+  }
+
   test("strict guards: truncation, bad version, missing headers, bad terminator") {
     val good = Warc.build(Seq(rec(1, "abcdef")))
     intercept[IllegalArgumentException] {
