@@ -47,7 +47,11 @@ object StressProbe {
     "q321_markov_attribution", "q323_bradley_terry",
     // r12 verdict item 7: the k-truss peel loop — the second iterative
     // class (monotone shrink over cached triangles) the gate defends
-    "q331_ktruss")
+    "q331_ktruss",
+    // r12: the two community detectors — fixed synchronous rounds over
+    // the 10× trade graph (LPA label votes + the modularity report;
+    // Louvain gain argmax under the coloring schedule)
+    "q344_lpa_modularity", "q352_louvain_move")
 
   // operator-level probes for paths whose driver entries can't run off
   // the pinned fixture (q274 is fixture-guarded; q270 is the
