@@ -1064,6 +1064,13 @@ object Graft {
       maxHamming: Int = 8): DataFrame =
     llm.ImageOps.imagePerceptualDupsPng(spark, blobs, maxHamming)
 
+  /** The same image near-dup over GIF blobs (real LZW decode),
+    * corrupt blobs quarantined ([[llm.ImageOps.imagePerceptualDupsGif]]).
+    */
+  def imageNearDupsGif(spark: SparkSession, blobs: DataFrame,
+      maxHamming: Int = 8): DataFrame =
+    llm.ImageOps.imagePerceptualDupsGif(spark, blobs, maxHamming)
+
   /** Exact shortest-path distances from a seed set, capped at maxHops
     * ([[graph.Bfs.boundedDistances]]).
     */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 import graft.rel.RelQueries.Q
 import graft.rel.Tables
-import graft.io.{Bmp, Fseq, Png, Wav}
+import graft.io.{Bmp, Fseq, Gif, Png, Wav}
 
 /** Multimodal IMAGE, VIDEO, and AUDIO-DSP column operators, completing
   * the decode / feature-extract / resize / frame-sample quartet next to
@@ -258,13 +258,26 @@ object ImageOps {
     */
   def imagePerceptualDupsPng(s: SparkSession, blobs: DataFrame,
       maxHamming: Int = 8, id: String = "doc_id",
-      img: String = "img"): DataFrame = {
+      img: String = "img"): DataFrame =
+    lenientDups(s, blobs, Png.parse, maxHamming, id, img)
+
+  /** [[imagePerceptualDupsPng]]'s GIF twin ([[graft.io.Gif]] — real
+    * LZW decode), same lenient quarantine boundary and shared hash.
+    */
+  def imagePerceptualDupsGif(s: SparkSession, blobs: DataFrame,
+      maxHamming: Int = 8, id: String = "doc_id",
+      img: String = "img"): DataFrame =
+    lenientDups(s, blobs, Gif.parse, maxHamming, id, img)
+
+  private def lenientDups(s: SparkSession, blobs: DataFrame,
+      decode: Array[Byte] => Bmp.Gray, maxHamming: Int,
+      id: String, img: String): DataFrame = {
     import s.implicits._
     val hashed = blobs.select(col(id), col(img)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (i, bytes) =>
           try {
-            val (b0, b1, b2, b3) = aHashBands(Png.parse(bytes))
+            val (b0, b1, b2, b3) = aHashBands(decode(bytes))
             Some((i, b0, b1, b2, b3))
           } catch {
             case _: IllegalArgumentException => None // quarantined
@@ -366,6 +379,50 @@ object ImageOps {
     bandPairs(hashed, id, maxHamming)
   }
 
+  /** the shared q347/q363 oracle: the q93 hash replay minus the
+    * quarantined (corrupt) ids — format-independent, because PNG and
+    * GIF decode to the identical raster
+    */
+  private val corruptNearDupOracle =
+    """WITH base AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 13 = 12
+             |         THEN doc_id - 1 ELSE doc_id END AS src,
+             |    CASE WHEN doc_id % 13 = 12 THEN 1 ELSE 0 END AS cpy
+             |  FROM documents WHERE doc_id % 13 != 0),
+             |dims AS (SELECT doc_id, src, cpy,
+             |    5 + src % 12 AS w, 4 + src % 9 AS h FROM base),
+             |cells AS (SELECT d.doc_id, oy.oy * 8 + ox.ox AS idx,
+             |    (((d.src*2654435761 + (((oy.oy*d.h)//8)*d.w + (ox.ox*d.w)//8)*40503)
+             |        % 509) % 256
+             |     + CASE WHEN d.cpy = 1
+             |         AND (((oy.oy*d.h)//8)*d.w + (ox.ox*d.w)//8) % 37 = 0
+             |       THEN 90 ELSE 0 END) % 256 AS v
+             |  FROM dims d, range(8) ox(ox), range(8) oy(oy)),
+             |tot AS (SELECT doc_id, sum(v) AS s FROM cells GROUP BY doc_id),
+             |bits AS (SELECT c.doc_id, c.idx,
+             |    CASE WHEN c.v * 64 >= t.s THEN 1 ELSE 0 END AS bit
+             |  FROM cells c JOIN tot t USING (doc_id)),
+             |bands AS (SELECT doc_id, idx // 16 AS bi,
+             |    CAST(sum(bit * (1 << (idx % 16))) AS BIGINT) AS bv
+             |  FROM bits GROUP BY doc_id, bi),
+             |hx AS (SELECT doc_id,
+             |    max(CASE WHEN bi = 0 THEN bv END) AS b0,
+             |    max(CASE WHEN bi = 1 THEN bv END) AS b1,
+             |    max(CASE WHEN bi = 2 THEN bv END) AS b2,
+             |    max(CASE WHEN bi = 3 THEN bv END) AS b3
+             |  FROM bands GROUP BY doc_id),
+             |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             |  FROM bands a JOIN bands b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+             |SELECT c.ia, c.ib,
+             |  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+             |       bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT)
+             |    AS hamming
+             |FROM cand c JOIN hx x ON x.doc_id = c.ia JOIN hx y ON y.doc_id = c.ib
+             |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+             |      bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 8
+             |ORDER BY ia, ib""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     // ---- perceptual image near-dup: real BMP decode → integer aHash →
     //      4×16-bit band join → exact Hamming verify. The fixture
@@ -439,44 +496,24 @@ object ImageOps {
           .toDF("doc_id", "img")
         imagePerceptualDupsPng(s, blobs).orderBy("ia", "ib")
       },
-      Some("""WITH base AS (SELECT doc_id,
-             |    CASE WHEN doc_id % 13 = 12
-             |         THEN doc_id - 1 ELSE doc_id END AS src,
-             |    CASE WHEN doc_id % 13 = 12 THEN 1 ELSE 0 END AS cpy
-             |  FROM documents WHERE doc_id % 13 != 0),
-             |dims AS (SELECT doc_id, src, cpy,
-             |    5 + src % 12 AS w, 4 + src % 9 AS h FROM base),
-             |cells AS (SELECT d.doc_id, oy.oy * 8 + ox.ox AS idx,
-             |    (((d.src*2654435761 + (((oy.oy*d.h)//8)*d.w + (ox.ox*d.w)//8)*40503)
-             |        % 509) % 256
-             |     + CASE WHEN d.cpy = 1
-             |         AND (((oy.oy*d.h)//8)*d.w + (ox.ox*d.w)//8) % 37 = 0
-             |       THEN 90 ELSE 0 END) % 256 AS v
-             |  FROM dims d, range(8) ox(ox), range(8) oy(oy)),
-             |tot AS (SELECT doc_id, sum(v) AS s FROM cells GROUP BY doc_id),
-             |bits AS (SELECT c.doc_id, c.idx,
-             |    CASE WHEN c.v * 64 >= t.s THEN 1 ELSE 0 END AS bit
-             |  FROM cells c JOIN tot t USING (doc_id)),
-             |bands AS (SELECT doc_id, idx // 16 AS bi,
-             |    CAST(sum(bit * (1 << (idx % 16))) AS BIGINT) AS bv
-             |  FROM bits GROUP BY doc_id, bi),
-             |hx AS (SELECT doc_id,
-             |    max(CASE WHEN bi = 0 THEN bv END) AS b0,
-             |    max(CASE WHEN bi = 1 THEN bv END) AS b1,
-             |    max(CASE WHEN bi = 2 THEN bv END) AS b2,
-             |    max(CASE WHEN bi = 3 THEN bv END) AS b3
-             |  FROM bands GROUP BY doc_id),
-             |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-             |  FROM bands a JOIN bands b
-             |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
-             |SELECT c.ia, c.ib,
-             |  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
-             |       bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT)
-             |    AS hamming
-             |FROM cand c JOIN hx x ON x.doc_id = c.ia JOIN hx y ON y.doc_id = c.ib
-             |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
-             |      bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 8
-             |ORDER BY ia, ib""".stripMargin)),
+      Some(corruptNearDupOracle)),
+
+    // ---- q363: the GIF twin — the same planted-copy fixture through
+    //      the real LZW encoder/decoder, every 13th blob corrupted and
+    //      quarantined; same raster, same hash, same oracle. ----
+    "q363_gif_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val gif = Gif.buildGray(syntheticGrayNearDup(id))
+            if (id % 13 == 0) gif(0) = 'X'.toByte // break the signature
+            (id, gif)
+          }
+          .toDF("doc_id", "img")
+        imagePerceptualDupsGif(s, blobs).orderBy("ia", "ib")
+      },
+      Some(corruptNearDupOracle)),
 
     // ---- perceptual AUDIO near-dup: real WAV decode → integer
     //      energy-delta fingerprint (65×32-sample frames, bit =
