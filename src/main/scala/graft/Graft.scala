@@ -663,6 +663,16 @@ object Graft {
     llm.Pipeline.hybridProbeRetrieve(spark, lexDir, annDir, queries, qvecs,
       kPerSystem, kFused, nProbe, buckets)
 
+  /** The served hybrid pipeline with the dense rung from a persisted
+    * BINARY index ([[llm.Pipeline.hybridProbeRetrieveBinary]]).
+    */
+  def hybridProbeRetrieveBinary(spark: SparkSession, lexDir: String,
+      binDir: String, queries: Seq[(Int, Seq[String])], qvecs: DataFrame,
+      kPerSystem: Int = 10, kFused: Int = 10, rerank: Int = 50,
+      buckets: Int = 64): DataFrame =
+    llm.Pipeline.hybridProbeRetrieveBinary(spark, lexDir, binDir, queries,
+      qvecs, kPerSystem, kFused, rerank, buckets)
+
   /** The served full retrieval chain with MMR diversification and
     * ranking metrics, diversity vectors from the index's own id→vec
     * store ([[llm.Pipeline.retrieveDiversifyEvalProbe]]).

@@ -137,13 +137,39 @@ object Pipeline {
       queries: Seq[(Int, Seq[String])], qvecs: DataFrame,
       kPerSystem: Int = 10, kFused: Int = 10, nProbe: Int = 6,
       buckets: Int = 64, id: String = "doc_id",
-      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+      qid: String = "qid", qvec: String = "qvec"): DataFrame =
+    hybridProbeRetrieveFrom(s, lexDir, queries,
+      AnnIndex.probeIvf(s, annDir, qvecs, kPerSystem, nProbe,
+        qid = qid, qvec = qvec),
+      kPerSystem, kFused, buckets, id)
+
+  /** [[hybridProbeRetrieve]] with the dense rung pooled from a
+    * persisted BINARY (1-bit) index — the smaller-footprint serving
+    * rung ([[BinaryAnn.probeBinary]]: Hamming shortlist of `rerank`,
+    * exact cosine re-rank). Pool membership is the only degree of
+    * freedom vs the IVF or brute rungs, exactly as documented there.
+    */
+  def hybridProbeRetrieveBinary(s: SparkSession, lexDir: String,
+      binDir: String, queries: Seq[(Int, Seq[String])], qvecs: DataFrame,
+      kPerSystem: Int = 10, kFused: Int = 10, rerank: Int = 50,
+      buckets: Int = 64, id: String = "doc_id"): DataFrame =
+    hybridProbeRetrieveFrom(s, lexDir, queries,
+      BinaryAnn.probeBinary(s, binDir, qvecs, kPerSystem, rerank),
+      kPerSystem, kFused, buckets, id)
+
+  /** the shared served composition over ANY dense ranking (qid, rn,
+    * id, …) — the source-parameterized form the r11 verdict asked for:
+    * brute ([[hybridChunkRetrieve]]), IVF, or binary rungs all fuse
+    * through one code path
+    */
+  def hybridProbeRetrieveFrom(s: SparkSession, lexDir: String,
+      queries: Seq[(Int, Seq[String])], denseRank0: DataFrame,
+      kPerSystem: Int, kFused: Int, buckets: Int,
+      id: String): DataFrame = {
     val chunkScores = Lexical.probeBm25Scores(s, lexDir, queries,
       buckets, id = "cid")
     val lexRank = lexDocRank(chunkScores, kPerSystem, id)
-    val denseRank = AnnIndex.probeIvf(s, annDir, qvecs, kPerSystem,
-        nProbe, qid = qid, qvec = qvec)
-      .withColumnRenamed("id", id)
+    val denseRank = denseRank0.withColumnRenamed("id", id)
     fuseRanked(lexRank, denseRank, kFused, id)
   }
 

@@ -73,6 +73,25 @@ class PipelineProbeSpec extends SparkSpec {
       "partial probe must carry a cell partition filter")
   }
 
+  test("binary-rung serve is bit-identical to the scan path at full rerank") {
+    val s = spark
+    val (docs, emb) = fixture
+    val qvecs = emb.filter(col("id") < 2)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val work = java.nio.file.Files.createTempDirectory("pipeprobe4").toString
+    Pipeline.saveChunkLexical(s, docs, s"$work/lex", buckets = 16)
+    graft.llm.BinaryAnn.saveBinary(s, emb, s"$work/bin")
+    val brute = Pipeline.hybridChunkRetrieve(s, docs, queries, emb, qvecs)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // rerank = corpus size: the Hamming shortlist covers everything,
+    // the exact re-rank recovers the brute pool exactly
+    val served = Pipeline.hybridProbeRetrieveBinary(s, s"$work/lex",
+        s"$work/bin", queries, qvecs, rerank = 120, buckets = 16)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(brute.nonEmpty && brute == served,
+      "binary serve at full rerank must replay the scan path")
+  }
+
   test("served full chain (MMR + metrics) replays the scan-path chain at full probe") {
     val s = spark
     val (docs, emb) = fixture
