@@ -209,6 +209,48 @@ object Logistic {
           .as("ate_r6"))
   }
 
+  /** The DEPLOYABLE model row: (a, b, cbar) — parameters plus the
+    * centering constant a scorer needs (scoring with a different
+    * center than the fit silently shifts every probability). Same
+    * fixed-round fit as [[logisticFit]].
+    */
+  def logisticModel(df: DataFrame, label: String = "y",
+      covariate: String = "x", iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"1 <= iters <= 16: $iters")
+    val y0 = col(label).cast("long")
+    val yv = when(y0 === 1L, 1L).when(y0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("logisticModel: label must be 0 or 1: "), y0.cast("string"))))
+    val xm0 = round(col(covariate).cast("double") * 1000, 0).cast("long")
+    val base0 = df.select(yv.as("y"), xm0.as("xm0"))
+      .select(col("y"),
+        when(abs(col("xm0")) > XmCap, raise_error(concat(
+          lit("logisticModel: |covariate| exceeds 1000 after milli " +
+            "quantization — standardize it: "), col("xm0").cast("string"))))
+          .otherwise(col("xm0")).as("xm"))
+    val cbar = base0.agg(round(avg(col("xm")), 0).cast("long").as("cbar"))
+    val base = base0.crossJoin(broadcast(cbar))
+      .select(col("y"), (col("xm") - col("cbar")).as("xm"))
+      .localCheckpoint(true)
+    fitOn(base, iters).crossJoin(broadcast(cbar))
+      .select(col("a"), col("b"), col("cbar"))
+  }
+
+  /** SCORE rows against a frozen 1-row model (a, b, cbar): appends
+    * `p_micro` — one quantized sigmoid per row, map-side only (the
+    * model broadcasts; nothing shuffles). The scoring arithmetic is
+    * the fit's own round arithmetic, so a batch score and a streamed
+    * micro-batch score are bit-identical by construction.
+    */
+  def scoreLogistic(units: DataFrame, model: DataFrame,
+      covariate: String = "x"): DataFrame =
+    units.crossJoin(broadcast(model))
+      .withColumn("xm",
+        round(col(covariate).cast("double") * 1000, 0).cast("long")
+          - col("cbar"))
+      .withColumn("p_micro", pMicro)
+      .drop("a", "b", "cbar", "xm")
+
   // ------------------------------------------------------------------
   // driver entries + oracles
   // ------------------------------------------------------------------
@@ -255,7 +297,7 @@ object Logistic {
     * covariate in centered milli-units (+ spend for the IPW entry)
     */
   private val unitSql =
-    """u0 AS MATERIALIZED (SELECT y, yo,
+    """u0 AS MATERIALIZED (SELECT user_id, y, yo,
       |    CAST(round(ln(CAST(cnt + 1 AS DOUBLE)) * 1000, 0) AS BIGINT) AS xm
       |  FROM (SELECT user_id,
       |      max(CASE WHEN event_type = 'signup'
@@ -265,7 +307,7 @@ object Logistic {
       |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS yo,
       |      count(*) AS cnt
       |    FROM events GROUP BY user_id)),
-      |u AS MATERIALIZED (SELECT y, yo,
+      |u AS MATERIALIZED (SELECT user_id, y, yo,
       |    xm - (SELECT CAST(round(avg(xm), 0) AS BIGINT) FROM u0) AS xm
       |  FROM u0)""".stripMargin
 
@@ -342,5 +384,68 @@ object Logistic {
              |    - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS naive_r6,
              |  round(CAST(swy1 AS DOUBLE) / CAST(sw1 AS DOUBLE)
              |    - CAST(swy0 AS DOUBLE) / CAST(sw0 AS DOUBLE), 6) AS ate_r6
-             |FROM agg, r6 p""".stripMargin)))
+             |FROM agg, r6 p""".stripMargin)),
+
+    // ---- q364: STREAMING score-at-ingest with the frozen logistic
+    //      model (the q284 DSIR pattern on the classification rung):
+    //      the model (a, b, cbar) trains once and persists; users
+    //      arrive as a 3-batch stream with the LAST batch REPLAYED
+    //      (at-least-once), each micro-batch scoring map-side against
+    //      the broadcast model and appending; replays collapse in the
+    //      id-keyed dedup. Output must equal one-shot batch scoring —
+    //      the oracle replays the training rounds and the per-user
+    //      quantized sigmoid. ----
+    "q364_logistic_stream_score" -> Q(
+      (s, d) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val units = Tables.events(s, d).groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "signup"
+              && col("ts") < lit("2024-01-05").cast("timestamp"), 1L)
+              .otherwise(0L)).as("y"),
+            log((count(lit(1)) + 1).cast("double")).as("x"))
+        val work = java.nio.file.Files.createTempDirectory("graft-q364")
+        val ckDir = java.nio.file.Files.createTempDirectory("graft-q364-ck")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(work.toFile); rm(ckDir.toFile)
+        }
+        logisticModel(units, "y", "x", iters = 6)
+          .coalesce(1).write.parquet(s"$work/model")
+        val frozen = s.read.parquet(s"$work/model")
+        val arriving = units.select(col("user_id"), col("x"))
+          .as[(Long, Double)].collect()
+        val (b12, b3) = arriving.partition(_._1 % 3 != 2)
+        val (b1, b2) = b12.partition(_._1 % 3 == 0)
+        val mem = MemoryStream[(Long, Double)]
+        val q = mem.toDF.toDF("user_id", "x").writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            scoreLogistic(batch, frozen)
+              .select(col("user_id"), col("p_micro"))
+              .write.mode("append").parquet(s"$work/scores")
+          }
+          .option("checkpointLocation", ckDir.toString)
+          .start()
+        try {
+          mem.addData(b1.toSeq); q.processAllAvailable()
+          mem.addData(b2.toSeq); q.processAllAvailable()
+          mem.addData(b3.toSeq); q.processAllAvailable()
+          mem.addData(b3.toSeq); q.processAllAvailable() // replay
+        } finally q.stop()
+        s.read.parquet(s"$work/scores")
+          .dropDuplicates("user_id")
+          .orderBy("user_id")
+      },
+      Some(s"""WITH $unitSql,
+             |${roundsSql(6)}
+             |SELECT uu.user_id,
+             |  CAST(round(1e6 / (1 + exp(
+             |    -CAST(p.a * 1000 + uu.xm * p.b AS DOUBLE) / 1e9)), 0)
+             |    AS BIGINT) AS p_micro
+             |FROM u uu, r6 p ORDER BY uu.user_id""".stripMargin)))
 }
