@@ -211,6 +211,7 @@ object Bench {
       // (q360 adds the per-member gzip cost on the same shape)
       "q347_png_neardup", "q354_pii_cards", "q355_readability",
       "q356_warc_ingest", "q357_char_entropy", "q360_warc_gz",
+      "q363_gif_neardup",
       // logistic fit + the IPW chain on top (6 integer Newton rounds,
       // one corpus pass each); 2x2 DiD from one conditional agg;
       // 4-round IPF raking on domain-bounded cells

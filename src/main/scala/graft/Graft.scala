@@ -651,6 +651,28 @@ object Graft {
       window: Int = 40, stride: Int = 30, buckets: Int = 64): Unit =
     llm.Pipeline.saveChunkLexical(spark, docs, dir, window, stride, buckets)
 
+  /** Streaming maintenance of the chunk index — new docs chunk with
+    * the same cid packing and append
+    * ([[llm.Pipeline.appendChunkLexicalStream]]).
+    */
+  def appendChunkLexicalStream(spark: SparkSession, stream: DataFrame,
+      dir: String, checkpoint: String, window: Int = 40, stride: Int = 30,
+      buckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    llm.Pipeline.appendChunkLexicalStream(spark, stream, dir, checkpoint,
+      window, stride, buckets)
+
+  /** Deployable logistic model row (a, b, cbar)
+    * ([[rel.Logistic.logisticModel]]) and map-side scoring against it
+    * ([[rel.Logistic.scoreLogistic]]).
+    */
+  def logisticModel(df: DataFrame, label: String = "y",
+      covariate: String = "x", iters: Int = 8): DataFrame =
+    rel.Logistic.logisticModel(df, label, covariate, iters)
+
+  def scoreLogistic(units: DataFrame, model: DataFrame,
+      covariate: String = "x"): DataFrame =
+    rel.Logistic.scoreLogistic(units, model, covariate)
+
   /** The SERVED hybrid retrieval pipeline: lexical pooled from a
     * persisted chunk index, dense from a persisted IVF index — the
     * corpus is never touched at query time

@@ -153,13 +153,21 @@ object Lexical {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        postingsOf(batch, buckets, id, text)
-          .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
-        withLen(batch, id, text).select(col(id), col("len"))
-          .write.mode("append").parquet(s"$dir/doclens")
+        appendLexicalBatch(s, batch, dir, buckets, id, text)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** one micro-batch's append — shared with the chunk-index stream
+    * ([[Pipeline.appendChunkLexicalStream]]), which chunks first
+    */
+  private[llm] def appendLexicalBatch(s: SparkSession, batch: DataFrame,
+      dir: String, buckets: Int, id: String, text: String): Unit = {
+    postingsOf(batch, buckets, id, text)
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    withLen(batch, id, text).select(col(id), col("len"))
+      .write.mode("append").parquet(s"$dir/doclens")
+  }
 
   /** Compact the appended index: postings dedup by (term, doc_id),
     * doclens by doc_id (at-least-once copies are bit-identical, so

@@ -117,6 +117,26 @@ object Pipeline {
     Lexical.saveLexical(s, cidChunks(docs, window, stride, id, text), dir,
       buckets, id = "cid", text = "chunk_text")
 
+  /** Streaming MAINTENANCE of the chunk index: NEW documents chunk
+    * with the same cid packing and append through
+    * [[Lexical.appendLexicalStream]] — the full at-least-once /
+    * compaction contract of the lexical lifecycle applies verbatim
+    * (probe-side (term, cid) dedup; [[Lexical.compactLexical]] with
+    * id = "cid" to refresh stats).
+    */
+  def appendChunkLexicalStream(s: SparkSession, stream: DataFrame,
+      dir: String, checkpoint: String, window: Int = 40, stride: Int = 30,
+      buckets: Int = 64, id: String = "doc_id", text: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val chunks = cidChunks(batch, window, stride, id, text)
+        Lexical.appendLexicalBatch(s, chunks, dir, buckets,
+          id = "cid", text = "chunk_text")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** The SERVED form of [[hybridChunkRetrieve]]: lexical from a
     * persisted chunk index ([[saveChunkLexical]] →
     * [[Lexical.probeBm25Scores]] — only the query terms' bucket

@@ -92,6 +92,38 @@ class PipelineProbeSpec extends SparkSpec {
       "binary serve at full rerank must replay the scan path")
   }
 
+  test("chunk-index streaming append: replayed batches collapse, post-compaction serve equals the full-corpus scan path") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (docs, emb) = fixture
+    val qvecs = emb.filter(col("id") < 2)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val work = java.nio.file.Files.createTempDirectory("pipeprobe5").toString
+    val ck = java.nio.file.Files.createTempDirectory("pipeprobe5-ck").toString
+    Pipeline.saveChunkLexical(s, docs.filter(col("doc_id") < 100),
+      s"$work/lex", buckets = 16)
+    AnnIndex.saveIvf(s, emb, s"$work/ann", cells = 4)
+    val tail = docs.filter(col("doc_id") >= 100)
+      .as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = Pipeline.appendChunkLexicalStream(s,
+      mem.toDF.toDF("doc_id", "text"), s"$work/lex", ck, buckets = 16)
+    try {
+      mem.addData(tail.toSeq); q.processAllAvailable()
+      mem.addData(tail.toSeq); q.processAllAvailable() // replay
+    } finally q.stop()
+    graft.llm.Lexical.compactLexical(s, s"$work/lex", id = "cid")
+    val brute = Pipeline.hybridChunkRetrieve(s, docs, queries, emb, qvecs)
+      .collect().map(_.toSeq).toSeq
+    val served = Pipeline.hybridProbeRetrieve(s, s"$work/lex", s"$work/ann",
+        queries, qvecs, nProbe = 4, buckets = 16)
+      .collect().map(_.toSeq).toSeq
+    assert(brute == served,
+      "appended + compacted chunk index must serve the full corpus exactly")
+  }
+
   test("served full chain (MMR + metrics) replays the scan-path chain at full probe") {
     val s = spark
     val (docs, emb) = fixture
