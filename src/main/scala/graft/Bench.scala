@@ -204,7 +204,7 @@ object Bench {
       // pass per round + domain-bounded risk-set windows
       "q345_cox_ph", "q346_cox_ph_stratified",
       // Aalen-Johansen per-cause incidence (the q300 cost class)
-      "q350_competing_risks",
+      "q350_competing_risks", "q365_rmst",
       // PNG decode + aHash near-dup (the q93 cost class on the real
       // format); Luhn card scrub + readability + entropy (per-row
       // expression chains over the corpus); WARC round-trip ingest

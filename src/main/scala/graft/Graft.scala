@@ -1722,6 +1722,13 @@ object Graft {
       stratum: String = "s"): DataFrame =
     rel.Survival.logRankStratified(df, duration, event, group, stratum)
 
+  /** Restricted mean survival time per group — the exact KM step
+    * integral to tau ([[rel.Survival.rmst]]).
+    */
+  def rmst(df: DataFrame, tau: Long, duration: String = "t",
+      event: String = "e", group: String = "g"): DataFrame =
+    rel.Survival.rmst(df, tau, duration, event, group)
+
   /** Aalen–Johansen competing-risks cumulative incidence
     * ([[rel.Survival.competingRisks]]).
     */

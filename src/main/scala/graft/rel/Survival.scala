@@ -324,6 +324,67 @@ object Survival {
       .orderBy("t", "cause")
   }
 
+  /** RESTRICTED MEAN SURVIVAL TIME (Royston & Parmar 2013 for the
+    * modern case; the estimand is ∫₀^τ S(t)dt) per group — "average
+    * days retained within the first τ days", the absolute-scale
+    * companion the log-rank χ² and the Cox hazard ratio both lack
+    * (and the recommended summary when hazards are non-proportional).
+    * The KM step function integrates EXACTLY: each inter-event
+    * interval contributes S(tᵢ₋₁)·(min(tᵢ,τ) − min(tᵢ₋₁,τ)), plus the
+    * tail S(t_last)·(τ − t_last) — no quadrature error, because S is
+    * piecewise constant.
+    *
+    * Same exactness recipe as [[kaplanMeier]]: integer counts, the
+    * ORDER-PINNED per-group ln-sum fold for S, one fixed IEEE chain
+    * per interval, accumulated over the (group, t) window; a group
+    * extinguished before τ gets a zero tail via the cumulative dead
+    * flag. Output per group, ordered: (g, n_units, tau, rmst_r6).
+    */
+  def rmst(df: DataFrame, tau: Long, duration: String = "t",
+      event: String = "e", group: String = "g"): DataFrame = {
+    require(tau > 0, s"tau must be positive: $tau")
+    val e0 = col(event).cast("long")
+    val ev = when(e0 === 1L, 1L).when(e0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("rmst: event must be 0 (censored) or 1 (observed): "),
+        e0.cast("string"))))
+    val base = df.select(col(group).cast("string").as("g"),
+      col(duration).cast("long").as("t"), ev.as("e"))
+    val tot = base.groupBy("g").agg(count(lit(1)).as("n_total"))
+    val per = base.groupBy("g", "t")
+      .agg(count(lit(1)).as("leaving"), sum(col("e")).as("d"))
+    val wPrev = Window.partitionBy("g").orderBy("t")
+      .rowsBetween(Long.MinValue, -1)
+    val wCum = Window.partitionBy("g").orderBy("t")
+      .rowsBetween(Long.MinValue, 0)
+    val tl = per.join(broadcast(tot), "g")
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("leaving")).over(wPrev), lit(0L)))
+      .withColumn("lnf", when(col("d") > 0 && col("n_risk") > col("d"),
+        log((col("n_risk") - col("d")).cast("double")
+          / col("n_risk").cast("double"))).otherwise(lit(0.0)))
+      .withColumn("sprev", exp(coalesce(sum(col("lnf")).over(wPrev), lit(0.0))))
+      .withColumn("dead",
+        max(when(col("d") >= col("n_risk"), 1L).otherwise(0L)).over(wCum))
+      .withColumn("scur", when(col("dead") === 1L, lit(0.0))
+        .otherwise(exp(sum(col("lnf")).over(wCum))))
+      .withColumn("tprev", coalesce(lag(col("t"), 1).over(
+        Window.partitionBy("g").orderBy("t")), lit(0L)))
+      .withColumn("contrib", col("sprev")
+        * (least(col("t"), lit(tau)) - least(col("tprev"), lit(tau)))
+          .cast("double"))
+      .withColumn("cum", sum(col("contrib")).over(wCum))
+    tl.groupBy("g")
+      .agg(max(col("n_total")).as("n_units"),
+        // the last row carries the running integral and the tail state
+        max(struct(col("t"), col("cum"), col("scur"))).as("z"))
+      .select(col("g"), col("n_units"), lit(tau).as("tau"),
+        round(col("z.cum") + col("z.scur")
+          * greatest(lit(tau) - least(col("z.t"), lit(tau)), lit(0L))
+            .cast("double"), 6).as("rmst_r6"))
+      .orderBy("g")
+  }
+
   // ---- Cox proportional hazards ------------------------------------
 
   private val XmCap = 1000000L     // |x| ≤ 1000 after milli quantization
@@ -791,6 +852,79 @@ object Survival {
              |    ELSE round((oe_sum * oe_sum) / var_sum, 6) END
              |    > 3.841458820694124 AS significant
              |FROM p""".stripMargin)),
+
+    // ---- q365: RMST at τ=21 days for the q303 two-group retention
+    //      comparison — "average days retained in the first three
+    //      weeks, per arm": the absolute-scale readout beside q303's
+    //      χ² and q345's hazard ratio. The oracle replays the
+    //      per-group KM folds, the exact step-function integral, and
+    //      the tail term. ----
+    "q365_rmst" -> Q(
+      (s, d) => {
+        val lastP = max(when(col("event_type") === "purchase", col("ts")))
+        rmst(
+          Tables.events(s, d)
+            .groupBy(col("user_id"))
+            .agg(
+              datediff(to_date(lastP), to_date(min(col("ts"))))
+                .cast("long").as("t"),
+              when(lastP <= lit("2024-01-24").cast("timestamp"), 1L)
+                .otherwise(0L).as("e"))
+            .withColumn("g", pmod(col("user_id"), lit(2L)))
+            .filter(col("t").isNotNull),
+          tau = 21L)
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+             |      CAST(max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |        AS DATE)) AS BIGINT) AS t,
+             |    CASE WHEN max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |        <= TIMESTAMP '2024-01-24 00:00:00'
+             |      THEN 1 ELSE 0 END AS e,
+             |    CAST(user_id % 2 AS VARCHAR) AS g
+             |  FROM events GROUP BY user_id
+             |  HAVING max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |    IS NOT NULL),
+             |tot AS (SELECT g, count(*) AS n_total FROM u GROUP BY g),
+             |per AS (SELECT g, t, count(*) AS leaving, sum(e) AS d
+             |  FROM u GROUP BY g, t),
+             |k AS (SELECT per.g, t, leaving, d, tot.n_total,
+             |    tot.n_total - coalesce(sum(leaving) OVER (PARTITION BY per.g
+             |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS n_risk
+             |  FROM per JOIN tot ON tot.g = per.g),
+             |sv AS (SELECT g, t, n_total,
+             |    exp(coalesce(sum(CASE WHEN d > 0 AND n_risk > d
+             |      THEN ln(CAST(n_risk - d AS DOUBLE)
+             |        / CAST(n_risk AS DOUBLE)) ELSE 0.0 END)
+             |      OVER (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED
+             |        PRECEDING AND 1 PRECEDING), 0.0)) AS sprev,
+             |    CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+             |        OVER (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED
+             |          PRECEDING AND CURRENT ROW) = 1 THEN 0.0
+             |      ELSE exp(sum(CASE WHEN d > 0 AND n_risk > d
+             |        THEN ln(CAST(n_risk - d AS DOUBLE)
+             |          / CAST(n_risk AS DOUBLE)) ELSE 0.0 END)
+             |        OVER (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED
+             |          PRECEDING AND CURRENT ROW)) END AS scur,
+             |    coalesce(lag(t) OVER (PARTITION BY g ORDER BY t), 0) AS tprev
+             |  FROM k),
+             |c AS (SELECT g, t, n_total, scur,
+             |    sprev * CAST(least(t, 21) - least(tprev, 21) AS DOUBLE)
+             |      AS contrib
+             |  FROM sv),
+             |lastrow AS (SELECT g, t, scur,
+             |    row_number() OVER (PARTITION BY g ORDER BY t DESC) AS rn
+             |  FROM sv),
+             |agg AS (SELECT g, max(n_total) AS n_units,
+             |    sum(contrib ORDER BY t) AS cum FROM c GROUP BY g)
+             |SELECT a.g, CAST(a.n_units AS BIGINT) AS n_units,
+             |  CAST(21 AS BIGINT) AS tau,
+             |  round(a.cum + l.scur
+             |    * CAST(greatest(21 - least(l.t, 21), 0) AS DOUBLE), 6)
+             |    AS rmst_r6
+             |FROM agg a JOIN lastrow l ON l.g = a.g AND l.rn = 1
+             |ORDER BY a.g""".stripMargin)),
 
     // ---- q345: COX PH on the q300 retention fixture — does activity
     //      level (ln(1+events)) predict the churn hazard? Six Newton
