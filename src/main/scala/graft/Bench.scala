@@ -219,7 +219,7 @@ object Bench {
       "q359_raking",
       // stump split gains (distinct-value windows over 3 features);
       // subsequence mining (alphabet-bounded position joins)
-      "q361_split_gain", "q362_seq_patterns")
+      "q361_split_gain", "q362_seq_patterns", "q366_zipf_fit")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

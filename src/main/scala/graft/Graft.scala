@@ -805,6 +805,13 @@ object Graft {
   def readability(spark: SparkSession, docs: DataFrame): DataFrame =
     llm.TextStats.readability(spark, docs)
 
+  /** Zipf slope/intercept of the corpus token distribution
+    * ([[llm.TextStats.zipfFit]]).
+    */
+  def zipfFit(spark: SparkSession, docs: DataFrame,
+      topK: Int = 100): DataFrame =
+    llm.TextStats.zipfFit(spark, docs, topK)
+
   /** Per-doc character-entropy quality signal
     * ([[llm.TextStats.charEntropy]]).
     */

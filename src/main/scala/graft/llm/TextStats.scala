@@ -94,7 +94,95 @@ object TextStats {
       .orderBy(id)
   }
 
+  /** ZIPF-LAW FIT of the corpus token frequencies — the classic
+    * corpus-health audit (natural language sits near slope −1; heavy
+    * boilerplate flattens the head, synthetic/templated text steepens
+    * or staircases it): OLS of ln(freq) on ln(rank) over the top
+    * `topK` tokens,
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²).
+    *
+    * Determinism: token counts are exact integers; ranks are the
+    * (count desc, token asc) total order; the four OLS moments fold
+    * over the ORDER-PINNED rank window (a topK-bounded frame); one
+    * IEEE chain at the edge. Output (1 row): (n_tokens, vocab, top_k,
+    * slope_r6, intercept_r6).
+    */
+  def zipfFit(s: SparkSession, docs: DataFrame, topK: Int = 100,
+      text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 10, s"topK >= 10: $topK")
+    val toks = docs
+      .select(explode(expr(
+        s"filter(split(trim(lower($text)), '\\\\s+'), x -> length(x) > 0)"))
+        .as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+    val tot = counts.agg(sum(col("f")).as("n_tokens"),
+      count(lit(1)).as("vocab"))
+    // orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    // bounded heaps, never a global vocabulary sort; the rank window
+    // then runs over ≤ topK rows
+    val top = counts.orderBy(col("f").desc, col("tok").asc).limit(topK)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("f").desc, col("tok").asc)))
+    val wCum = Window.orderBy("rn").rowsBetween(Long.MinValue, 0)
+    top
+      .withColumn("x", log(col("rn").cast("double")))
+      .withColumn("y", log(col("f").cast("double")))
+      .withColumn("sx", sum(col("x")).over(wCum))
+      .withColumn("sy", sum(col("y")).over(wCum))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wCum))
+      .withColumn("sxy", sum(col("x") * col("y")).over(wCum))
+      .withColumn("k", count(lit(1)).over(wCum))
+      .agg(max(struct(col("rn"), col("k"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"))).as("z"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_tokens"), col("vocab"),
+        col("z.k").as("top_k"),
+        round((col("z.k").cast("double") * col("z.sxy")
+          - col("z.sx") * col("z.sy"))
+          / (col("z.k").cast("double") * col("z.sxx")
+            - col("z.sx") * col("z.sx")), 6).as("slope_r6"),
+        round((col("z.sy") - ((col("z.k").cast("double") * col("z.sxy")
+          - col("z.sx") * col("z.sy"))
+          / (col("z.k").cast("double") * col("z.sxx")
+            - col("z.sx") * col("z.sx"))) * col("z.sx"))
+          / col("z.k").cast("double"), 6).as("intercept_r6"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q366: Zipf slope of the corpus token distribution — the
+    //      oracle replays the (count desc, token asc) ranking, the
+    //      rank-ordered OLS moment folds, and the closed-form line. ----
+    "q366_zipf_fit" -> Q(
+      (s, d) => zipfFit(s, Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT unnest(list_filter(
+             |    regexp_split_to_array(trim(lower(text)), '\s+'),
+             |    x -> len(x) > 0)) AS tok FROM documents),
+             |c AS (SELECT tok, count(*) AS f FROM t GROUP BY tok),
+             |tot AS (SELECT sum(f) AS n_tokens, count(*) AS vocab FROM c),
+             |r AS (SELECT tok, f, row_number() OVER
+             |    (ORDER BY f DESC, tok) AS rn
+             |  FROM c QUALIFY rn <= 100),
+             |m AS (SELECT count(*) AS k,
+             |    sum(ln(CAST(rn AS DOUBLE)) ORDER BY rn) AS sx,
+             |    sum(ln(CAST(f AS DOUBLE)) ORDER BY rn) AS sy,
+             |    sum(ln(CAST(rn AS DOUBLE)) * ln(CAST(rn AS DOUBLE))
+             |      ORDER BY rn) AS sxx,
+             |    sum(ln(CAST(rn AS DOUBLE)) * ln(CAST(f AS DOUBLE))
+             |      ORDER BY rn) AS sxy
+             |  FROM r)
+             |SELECT CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(tot.vocab AS BIGINT) AS vocab,
+             |  CAST(m.k AS BIGINT) AS top_k,
+             |  round((CAST(m.k AS DOUBLE) * m.sxy - m.sx * m.sy)
+             |    / (CAST(m.k AS DOUBLE) * m.sxx - m.sx * m.sx), 6)
+             |    AS slope_r6,
+             |  round((m.sy - ((CAST(m.k AS DOUBLE) * m.sxy - m.sx * m.sy)
+             |    / (CAST(m.k AS DOUBLE) * m.sxx - m.sx * m.sx)) * m.sx)
+             |    / CAST(m.k AS DOUBLE), 6) AS intercept_r6
+             |FROM tot, m""".stripMargin)),
+
     // ---- q357: per-doc character entropy — counts + the ordered
     //      Σ c·ln c fold, replayed in DuckDB with its ordered
     //      aggregate over the same lexicographic character order. ----
