@@ -1676,6 +1676,22 @@ object Graft {
       label: String = "y"): DataFrame =
     rel.Tree.splitGains(df, features, label)
 
+  /** Sharp regression discontinuity, local linear per side
+    * ([[rel.Causal.regressionDiscontinuity]]).
+    */
+  def regressionDiscontinuity(df: DataFrame, running: String = "x",
+      outcome: String = "y", cutoff: Double = 0.0,
+      bandwidthMilli: Long = 1000000L): DataFrame =
+    rel.Causal.regressionDiscontinuity(df, running, outcome, cutoff,
+      bandwidthMilli)
+
+  /** Least-squares single changepoint of an ordered series
+    * ([[rel.Series.changepointSse]]).
+    */
+  def changepointSse(df: DataFrame, ord: String = "o",
+      value: String = "y"): DataFrame =
+    rel.Series.changepointSse(df, ord, value)
+
   /** Difference-in-differences over (treat, period, y) unit rows
     * ([[rel.Causal.diffInDiff]]).
     */

@@ -163,7 +163,173 @@ object Causal {
           .otherwise(round(col("did") / col("se"), 6)).as("z_r6"))
   }
 
+  /** REGRESSION DISCONTINUITY (sharp design, Thistlethwaite & Campbell
+    * 1960; local LINEAR per side, the Gelman–Imbens-recommended order):
+    * units within `bandwidthMilli` of the cutoff fit one OLS line per
+    * side of the centered running variable; the causal jump is the
+    * difference of the two intercepts AT the cutoff,
+    *
+    *   τ = β₀⁺ − β₀⁻,   se² = Var(β₀⁺) + Var(β₀⁻)
+    *
+    * with each side's intercept variance from the standard OLS
+    * formula Var(β₀) = s²·Σx²/(n·Σx² − (Σx)²), s² = RSS/(n−2).
+    *
+    * Exactness: the running variable quantizes to centered MILLI
+    * units; each side's five moments (n, Σx, Σx², Σy, Σxy, plus Σy²
+    * for RSS) are exact decimal(38,0)/HUGEINT integers from ONE
+    * conditional aggregation; every estimate is a fixed IEEE chain on
+    * the 1-row aggregate. Loud guards: a side with < 3 units (no
+    * residual df) and a degenerate side (zero x-variance).
+    *
+    * Output (1 row): (n_left, n_right, jump_r6, se_r6, z_r6).
+    */
+  def regressionDiscontinuity(df: DataFrame, running: String = "x",
+      outcome: String = "y", cutoff: Double = 0.0,
+      bandwidthMilli: Long = 1000000L): DataFrame = {
+    require(bandwidthMilli > 0, s"bandwidth > 0: $bandwidthMilli")
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val xm = round((col(running).cast("double") - lit(cutoff)) * 1000, 0)
+      .cast("long")
+    val base = df.select(xm.as("xm"), col(outcome).cast("long").as("yv"))
+      .filter(abs(col("xm")) <= bandwidthMilli)
+      .withColumn("r", when(col("xm") >= 0L, 1).otherwise(0))
+    def m(side: Int, what: String): Column = {
+      val in = col("r") === side
+      what match {
+        case "n" => sum(when(in, 1L).otherwise(0L))
+        case "sx" => sum(when(in, col("xm")).otherwise(0L))
+        case "sxx" => sum(when(in, (col("xm") * col("xm")).cast(dec38))
+          .otherwise(lit(0L).cast(dec38)))
+        case "sy" => sum(when(in, col("yv")).otherwise(0L))
+        case "syy" => sum(when(in, (col("yv") * col("yv")).cast(dec38))
+          .otherwise(lit(0L).cast(dec38)))
+        case "sxy" => sum(when(in, (col("xm") * col("yv")).cast(dec38))
+          .otherwise(lit(0L).cast(dec38)))
+      }
+    }
+    val agg = base.agg(
+      m(0, "n").as("n0"), m(0, "sx").as("sx0"), m(0, "sxx").as("sxx0"),
+      m(0, "sy").as("sy0"), m(0, "syy").as("syy0"), m(0, "sxy").as("sxy0"),
+      m(1, "n").as("n1"), m(1, "sx").as("sx1"), m(1, "sxx").as("sxx1"),
+      m(1, "sy").as("sy1"), m(1, "syy").as("syy1"), m(1, "sxy").as("sxy1"))
+    // per-side chains in doubles from the exact integers; x in MILLI
+    // units cancels out of the intercept (evaluated at x = 0)
+    def d(c: String): Column = col(c).cast("double")
+    def det(s: String): Column = d(s"n$s") * d(s"sxx$s") - d(s"sx$s") * d(s"sx$s")
+    def b1(s: String): Column =
+      (d(s"n$s") * d(s"sxy$s") - d(s"sx$s") * d(s"sy$s")) / det(s)
+    def b0(s: String): Column =
+      (d(s"sy$s") * d(s"sxx$s") - d(s"sx$s") * d(s"sxy$s")) / det(s)
+    def rss(s: String): Column =
+      d(s"syy$s") - b0(s) * d(s"sy$s") - b1(s) * d(s"sxy$s")
+    def varB0(s: String): Column =
+      (rss(s) / (d(s"n$s") - lit(2.0))) * d(s"sxx$s") / det(s)
+    agg.select(
+        Seq("0", "1").map(s =>
+          when(col(s"n$s") < 3L, raise_error(lit(
+            s"regressionDiscontinuity: side $s has < 3 units in the " +
+              "bandwidth — widen it")))
+            .when(det(s) <= 0.0, raise_error(lit(
+              s"regressionDiscontinuity: side $s has zero running-variable " +
+                "variance")))
+            .otherwise(col(s"n$s")).as(s"n$s")) ++
+          Seq("sx0", "sxx0", "sy0", "syy0", "sxy0",
+            "sx1", "sxx1", "sy1", "syy1", "sxy1").map(col): _*)
+      .withColumn("jump", b0("1") - b0("0"))
+      .withColumn("se", sqrt(varB0("1") + varB0("0")))
+      .select(col("n0").as("n_left"), col("n1").as("n_right"),
+        round(col("jump"), 6).as("jump_r6"),
+        round(col("se"), 6).as("se_r6"),
+        when(col("se") === 0.0, lit(0.0))
+          .otherwise(round(col("jump") / col("se"), 6)).as("z_r6"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q367: SHARP RDD — "does spend jump at the mid-month
+    //      cohort boundary?": running variable = the user's first-
+    //      event day index, cutoff day 15, ±10-day bandwidth, local
+    //      linear per side. The oracle replays the milli quantization,
+    //      the twelve HUGEINT side moments, and every OLS chain. ----
+    "q367_regression_discontinuity" -> Q(
+      (s, d) => regressionDiscontinuity(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(
+            datediff(to_date(min(col("ts"))),
+              lit("2024-01-01").cast("date")).cast("double").as("x"),
+            sum(when(col("event_type") === "purchase",
+              round(col("value") * 100, 0).cast("long")).otherwise(0L))
+              .as("y")),
+        "x", "y", cutoff = 15.0, bandwidthMilli = 10000L),
+      Some("""WITH u AS (SELECT
+             |    CAST(round((CAST(date_diff('day', DATE '2024-01-01',
+             |      CAST(min(ts) AS DATE)) AS DOUBLE) - 15.0) * 1000)
+             |      AS BIGINT) AS xm,
+             |    sum(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS yv
+             |  FROM events GROUP BY user_id),
+             |b AS (SELECT xm, yv,
+             |    CASE WHEN xm >= 0 THEN 1 ELSE 0 END AS r
+             |  FROM u WHERE abs(xm) <= 10000),
+             |c AS (SELECT
+             |    sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS n0,
+             |    sum(CASE WHEN r = 0 THEN xm ELSE 0 END) AS sx0,
+             |    sum(CASE WHEN r = 0 THEN CAST(xm AS HUGEINT) * xm ELSE 0 END) AS sxx0,
+             |    sum(CASE WHEN r = 0 THEN yv ELSE 0 END) AS sy0,
+             |    sum(CASE WHEN r = 0 THEN CAST(yv AS HUGEINT) * yv ELSE 0 END) AS syy0,
+             |    sum(CASE WHEN r = 0 THEN CAST(xm AS HUGEINT) * yv ELSE 0 END) AS sxy0,
+             |    sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN r = 1 THEN xm ELSE 0 END) AS sx1,
+             |    sum(CASE WHEN r = 1 THEN CAST(xm AS HUGEINT) * xm ELSE 0 END) AS sxx1,
+             |    sum(CASE WHEN r = 1 THEN yv ELSE 0 END) AS sy1,
+             |    sum(CASE WHEN r = 1 THEN CAST(yv AS HUGEINT) * yv ELSE 0 END) AS syy1,
+             |    sum(CASE WHEN r = 1 THEN CAST(xm AS HUGEINT) * yv ELSE 0 END) AS sxy1
+             |  FROM b),
+             |x AS (SELECT n0, n1,
+             |    (CAST(sy1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+             |      - CAST(sx1 AS DOUBLE) * CAST(sxy1 AS DOUBLE))
+             |      / (CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+             |        - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+             |    - (CAST(sy0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+             |      - CAST(sx0 AS DOUBLE) * CAST(sxy0 AS DOUBLE))
+             |      / (CAST(n0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+             |        - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE)) AS jump,
+             |    sqrt(
+             |      ((CAST(syy1 AS DOUBLE)
+             |        - ((CAST(sy1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+             |          - CAST(sx1 AS DOUBLE) * CAST(sxy1 AS DOUBLE))
+             |          / (CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+             |            - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)))
+             |          * CAST(sy1 AS DOUBLE)
+             |        - ((CAST(n1 AS DOUBLE) * CAST(sxy1 AS DOUBLE)
+             |          - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+             |          / (CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+             |            - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)))
+             |          * CAST(sxy1 AS DOUBLE))
+             |        / (CAST(n1 AS DOUBLE) - 2.0))
+             |        * CAST(sxx1 AS DOUBLE)
+             |        / (CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+             |          - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+             |      + ((CAST(syy0 AS DOUBLE)
+             |        - ((CAST(sy0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+             |          - CAST(sx0 AS DOUBLE) * CAST(sxy0 AS DOUBLE))
+             |          / (CAST(n0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+             |            - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE)))
+             |          * CAST(sy0 AS DOUBLE)
+             |        - ((CAST(n0 AS DOUBLE) * CAST(sxy0 AS DOUBLE)
+             |          - CAST(sx0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+             |          / (CAST(n0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+             |            - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE)))
+             |          * CAST(sxy0 AS DOUBLE))
+             |        / (CAST(n0 AS DOUBLE) - 2.0))
+             |        * CAST(sxx0 AS DOUBLE)
+             |        / (CAST(n0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+             |          - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE))) AS se
+             |  FROM c)
+             |SELECT CAST(n0 AS BIGINT) AS n_left, CAST(n1 AS BIGINT) AS n_right,
+             |  round(jump, 6) AS jump_r6, round(se, 6) AS se_r6,
+             |  CASE WHEN se = 0.0 THEN 0.0 ELSE round(jump / se, 6) END AS z_r6
+             |FROM x""".stripMargin)),
+
     // ---- q358: DIFF-IN-DIFF — "did early signup lift second-half
     //      spend beyond its first-half baseline?": the q328 treatment,
     //      outcome = per-user purchase cents per calendar half, every

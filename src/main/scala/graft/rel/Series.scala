@@ -361,7 +361,112 @@ object Series {
   private def lowerMedian(arr: Column): Column =
     element_at(array_sort(arr), ((size(arr) + 1) / 2).cast("int"))
 
+  /** LEAST-SQUARES SINGLE CHANGEPOINT (the binary-segmentation step,
+    * Scott & Knott 1974): the split of an ordered series minimizing
+    * SSE_left + SSE_right — the mean-shift detector that reports the
+    * WHERE and the BOTH-SIDE means, where the q166 CUSUM reports the
+    * whether. gain = SSE_total − min split SSE; every SSE comes from
+    * exact cumulative (n, Σy, Σy²) integers over the ORDER-PINNED
+    * series window (distinct ordinates only — the calendar-granular
+    * domain-bounded frame), one fixed IEEE chain per candidate,
+    * rounded to 6 BEFORE the argmax, ties to the SMALLEST ordinate
+    * (the q361 contract). Duplicate ordinates raise loudly (aggregate
+    * the series first).
+    *
+    * Output (1 row): (split_ord, n_left, n_right, mean_left_r6,
+    * mean_right_r6, gain_r6) — the split is the LAST ordinate of the
+    * left segment.
+    */
+  def changepointSse(df: DataFrame, ord: String = "o",
+      value: String = "y"): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base0 = df.select(col(ord).cast("long").as("o"),
+      col(value).cast("long").as("yv"))
+    val base = base0.groupBy("o")
+      .agg(count(lit(1)).as("c"), max(col("yv")).as("yv"))
+      .select(
+        when(col("c") > 1L, raise_error(concat(
+          lit("changepointSse: duplicate ordinate "), col("o").cast("string"),
+          lit(" — aggregate the series first")))).otherwise(col("o")).as("o"),
+        col("yv"))
+    val wCum = Window.orderBy("o").rowsBetween(Long.MinValue, 0)
+    val wAll = Window.partitionBy()
+    val cand = base
+      .withColumn("nl", count(lit(1)).over(wCum))
+      .withColumn("syl", sum(col("yv")).over(wCum))
+      .withColumn("syyl", sum((col("yv") * col("yv")).cast(dec38)).over(wCum))
+      .withColumn("nt", count(lit(1)).over(wAll))
+      .withColumn("syt", sum(col("yv")).over(wAll))
+      .withColumn("syyt", sum((col("yv") * col("yv")).cast(dec38)).over(wAll))
+      .filter(col("nl") < col("nt"))
+    def d(c: Column): Column = c.cast("double")
+    val sseL = d(col("syyl")) - d(col("syl")) * d(col("syl")) / d(col("nl"))
+    val sseR = (d(col("syyt")) - d(col("syyl"))) -
+      (d(col("syt")) - d(col("syl"))) * (d(col("syt")) - d(col("syl"))) /
+        (d(col("nt")) - d(col("nl")))
+    val sseT = d(col("syyt")) - d(col("syt")) * d(col("syt")) / d(col("nt"))
+    cand
+      .withColumn("gain_r6", round(sseT - sseL - sseR, 6))
+      .agg(max(struct(col("gain_r6"), (-col("o")).as("nego"), col("o"),
+        col("nl"), col("syl"), col("nt"), col("syt"))).as("z"))
+      .select(col("z.o").as("split_ord"),
+        col("z.nl").as("n_left"), (col("z.nt") - col("z.nl")).as("n_right"),
+        round(col("z.syl").cast("double") / col("z.nl").cast("double"), 6)
+          .as("mean_left_r6"),
+        round((col("z.syt") - col("z.syl")).cast("double")
+          / (col("z.nt") - col("z.nl")).cast("double"), 6)
+          .as("mean_right_r6"),
+        col("z.gain_r6").as("gain_r6"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q368: best mean-shift changepoint of the daily purchase-
+    //      revenue series — the oracle replays the cumulative moments,
+    //      every candidate's SSE chain, and the (gain desc, day asc)
+    //      argmax. ----
+    "q368_changepoint" -> Q(
+      (s, d) => changepointSse(
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")).cast("long").as("o"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))),
+      Some("""WITH sr AS (SELECT
+             |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+             |      AS BIGINT) AS o,
+             |    sum(CAST(round(value * 100) AS BIGINT)) AS yv
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |cw AS (SELECT o, yv,
+             |    count(*) OVER w AS nl, sum(yv) OVER w AS syl,
+             |    sum(CAST(yv AS HUGEINT) * yv) OVER w AS syyl,
+             |    count(*) OVER () AS nt, sum(yv) OVER () AS syt,
+             |    sum(CAST(yv AS HUGEINT) * yv) OVER () AS syyt
+             |  FROM sr
+             |  WINDOW w AS (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND CURRENT ROW)),
+             |g AS (SELECT o, nl, syl, nt, syt,
+             |    round(
+             |      (CAST(syyt AS DOUBLE) - CAST(syt AS DOUBLE)
+             |        * CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE))
+             |      - (CAST(syyl AS DOUBLE) - CAST(syl AS DOUBLE)
+             |        * CAST(syl AS DOUBLE) / CAST(nl AS DOUBLE))
+             |      - ((CAST(syyt AS DOUBLE) - CAST(syyl AS DOUBLE))
+             |        - (CAST(syt AS DOUBLE) - CAST(syl AS DOUBLE))
+             |          * (CAST(syt AS DOUBLE) - CAST(syl AS DOUBLE))
+             |          / (CAST(nt AS DOUBLE) - CAST(nl AS DOUBLE))), 6)
+             |      AS gain_r6
+             |  FROM cw WHERE nl < nt),
+             |r AS (SELECT *, row_number() OVER
+             |    (ORDER BY gain_r6 DESC, o) AS rn FROM g)
+             |SELECT o AS split_ord, CAST(nl AS BIGINT) AS n_left,
+             |  CAST(nt - nl AS BIGINT) AS n_right,
+             |  round(CAST(syl AS DOUBLE) / CAST(nl AS DOUBLE), 6)
+             |    AS mean_left_r6,
+             |  round(CAST(syt - syl AS DOUBLE) / CAST(nt - nl AS DOUBLE), 6)
+             |    AS mean_right_r6,
+             |  gain_r6
+             |FROM r WHERE rn = 1""".stripMargin)),
+
     // ----------------------------------------------------------------
     // q124: per-user EWMA of daily spend. alpha = 1/4:
     // s_i = (x_i + 3 s_{i-1}) div 4. The oracle replays the recurrence
