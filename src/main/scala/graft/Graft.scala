@@ -812,6 +812,13 @@ object Graft {
       topK: Int = 100): DataFrame =
     llm.TextStats.zipfFit(spark, docs, topK)
 
+  /** Token burstiness (cf/df) of the corpus's top terms
+    * ([[llm.TextStats.tokenBurstiness]]).
+    */
+  def tokenBurstiness(spark: SparkSession, docs: DataFrame,
+      topK: Int = 20): DataFrame =
+    llm.TextStats.tokenBurstiness(spark, docs, topK)
+
   /** Per-doc character-entropy quality signal
     * ([[llm.TextStats.charEntropy]]).
     */

@@ -150,7 +150,54 @@ object TextStats {
           / col("z.k").cast("double"), 6).as("intercept_r6"))
   }
 
+  /** TOKEN BURSTINESS (Church & Gale 1995): collection frequency over
+    * document frequency per token — cf/df ≈ 1 marks evenly-spread
+    * function words; high cf/df marks bursty content terms (and, in a
+    * crawled corpus, boilerplate that repeats WITHIN pages). Two hash
+    * aggregations (token occurrences; per-(token, doc) presence), a
+    * bounded top-k by cf. Output, ordered (cf desc, token asc):
+    * (tok, cf, df, burst_r6).
+    */
+  def tokenBurstiness(s: SparkSession, docs: DataFrame, topK: Int = 20,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(id),
+      explode(expr(
+        s"filter(split(trim(lower($text)), '\\\\s+'), x -> length(x) > 0)"))
+        .as("tok"))
+    val perDoc = toks.groupBy(col(id), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy("tok")
+      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+    stats.orderBy(col("cf").desc, col("tok").asc).limit(topK)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cf").desc, col("tok").asc)))
+      .select(col("rn"), col("tok"), col("cf"), col("df"),
+        round(col("cf").cast("double") / col("df").cast("double"), 6)
+          .as("burst_r6"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q369: burstiness of the corpus's top-20 tokens — cf/df per
+    //      token; the oracle replays both aggregations and the
+    //      (cf desc, token asc) bounded ranking. ----
+    "q369_burstiness" -> Q(
+      (s, d) => tokenBurstiness(s, Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id, unnest(list_filter(
+             |    regexp_split_to_array(trim(lower(text)), '\s+'),
+             |    x -> len(x) > 0)) AS tok FROM documents),
+             |pd AS (SELECT doc_id, tok, count(*) AS c
+             |  FROM t GROUP BY doc_id, tok),
+             |st AS (SELECT tok, sum(c) AS cf, count(*) AS df
+             |  FROM pd GROUP BY tok),
+             |r AS (SELECT tok, cf, df, row_number() OVER
+             |    (ORDER BY cf DESC, tok) AS rn
+             |  FROM st QUALIFY rn <= 20)
+             |SELECT CAST(rn AS INT) AS rn, tok, CAST(cf AS BIGINT) AS cf,
+             |  CAST(df AS BIGINT) AS df,
+             |  round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burst_r6
+             |FROM r ORDER BY rn""".stripMargin)),
+
     // ---- q366: Zipf slope of the corpus token distribution — the
     //      oracle replays the (count desc, token asc) ranking, the
     //      rank-ordered OLS moment folds, and the closed-form line. ----
