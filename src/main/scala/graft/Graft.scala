@@ -673,6 +673,13 @@ object Graft {
       covariate: String = "x"): DataFrame =
     rel.Logistic.scoreLogistic(units, model, covariate)
 
+  /** Brier decomposition + Hosmer-Lemeshow calibration audit
+    * ([[rel.Logistic.calibrationAudit]]).
+    */
+  def calibrationAudit(df: DataFrame, label: String = "y",
+      score: String = "p_micro"): DataFrame =
+    rel.Logistic.calibrationAudit(df, label, score)
+
   /** The SERVED hybrid retrieval pipeline: lexical pooled from a
     * persisted chunk index, dense from a persisted IVF index — the
     * corpus is never touched at query time

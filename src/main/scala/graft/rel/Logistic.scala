@@ -251,6 +251,80 @@ object Logistic {
       .withColumn("p_micro", pMicro)
       .drop("a", "b", "cbar", "xm")
 
+  /** MODEL CALIBRATION AUDIT over scored units: the Murphy (1973)
+    * Brier decomposition BS = REL − RES + UNC on fixed-width
+    * probability deciles, plus the Hosmer–Lemeshow χ² — the standard
+    * "is the model honest about its probabilities" readout
+    * (reliability ≈ 0 and HL χ² small = calibrated; resolution → UNC
+    * = sharp). Fixed-width bins (p_micro div 10⁵, capped at 9) rather
+    * than quantile bins: replayable with no rank machinery.
+    *
+    * Exactness: per-unit (p_micro − y·10⁶)² and all bin sums are exact
+    * decimal(38,0)/HUGEINT integers from one hash aggregation; the
+    * decomposition terms fold over the ORDER-PINNED ≤10-row bin
+    * window; one IEEE chain each at the edge.
+    *
+    * Input: (label 0/1, `p_micro` score). Output (1 row): (n_units,
+    * n_bins, brier_r6, rel_r6, res_r6, unc_r6, hl_chi2_r6).
+    */
+  def calibrationAudit(df: DataFrame, label: String = "y",
+      score: String = "p_micro"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val y0 = col(label).cast("long")
+    val yv = when(y0 === 1L, 1L).when(y0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("calibrationAudit: label must be 0 or 1: "), y0.cast("string"))))
+    val p0 = col(score).cast("long")
+    val pv = when(p0 >= 0L && p0 <= 1000000L, p0)
+      .otherwise(raise_error(concat(
+        lit("calibrationAudit: score must be micro-units in [0, 1e6]: "),
+        p0.cast("string"))))
+    val base = df.select(yv.as("y"), pv.as("p"))
+      .withColumn("b", least(expr("p div 100000"), lit(9L)))
+    val bins = base.groupBy("b")
+      .agg(count(lit(1)).as("nk"), sum(col("y")).as("ok"),
+        sum(col("p")).as("pk"),
+        sum(((col("p") - col("y") * lit(1000000L))
+          * (col("p") - col("y") * lit(1000000L))).cast(dec38)).as("sq"))
+    val wCum = Window.orderBy("b").rowsBetween(Long.MinValue, 0)
+    val wAll = Window.partitionBy()
+    bins
+      .withColumn("n", sum(col("nk")).over(wAll))
+      .withColumn("o", sum(col("ok")).over(wAll).cast("double")
+        / sum(col("nk")).over(wAll).cast("double"))
+      .withColumn("pbar", col("pk").cast("double")
+        / (col("nk").cast("double") * lit(1e6)))
+      .withColumn("obar", col("ok").cast("double") / col("nk").cast("double"))
+      .withColumn("relc", col("nk").cast("double")
+        * (col("pbar") - col("obar")) * (col("pbar") - col("obar")))
+      .withColumn("resc", col("nk").cast("double")
+        * (col("obar") - col("o")) * (col("obar") - col("o")))
+      // HL: observed vs expected events AND non-events per bin
+      .withColumn("e1", col("pk").cast("double") / lit(1e6))
+      .withColumn("hlc",
+        (col("ok").cast("double") - col("e1")) * (col("ok").cast("double")
+          - col("e1")) / col("e1")
+          + ((col("nk") - col("ok")).cast("double")
+            - (col("nk").cast("double") - col("e1")))
+            * ((col("nk") - col("ok")).cast("double")
+              - (col("nk").cast("double") - col("e1")))
+            / (col("nk").cast("double") - col("e1")))
+      .withColumn("sqcum", sum(col("sq").cast("double")).over(wCum))
+      .withColumn("relcum", sum(col("relc")).over(wCum))
+      .withColumn("rescum", sum(col("resc")).over(wCum))
+      .withColumn("hlcum", sum(col("hlc")).over(wCum))
+      .withColumn("kcum", count(lit(1)).over(wCum))
+      .agg(max(struct(col("b"), col("n"), col("o"), col("kcum"),
+        col("sqcum"), col("relcum"), col("rescum"), col("hlcum"))).as("z"))
+      .select(col("z.n").as("n_units"), col("z.kcum").as("n_bins"),
+        round(col("z.sqcum") / (col("z.n").cast("double") * lit(1e12)), 6)
+          .as("brier_r6"),
+        round(col("z.relcum") / col("z.n").cast("double"), 6).as("rel_r6"),
+        round(col("z.rescum") / col("z.n").cast("double"), 6).as("res_r6"),
+        round(col("z.o") * (lit(1.0) - col("z.o")), 6).as("unc_r6"),
+        round(col("z.hlcum"), 6).as("hl_chi2_r6"))
+  }
+
   // ------------------------------------------------------------------
   // driver entries + oracles
   // ------------------------------------------------------------------
@@ -447,5 +521,62 @@ object Logistic {
              |  CAST(round(1e6 / (1 + exp(
              |    -CAST(p.a * 1000 + uu.xm * p.b AS DOUBLE) / 1e9)), 0)
              |    AS BIGINT) AS p_micro
-             |FROM u uu, r6 p ORDER BY uu.user_id""".stripMargin)))
+             |FROM u uu, r6 p ORDER BY uu.user_id""".stripMargin)),
+
+    // ---- q370: CALIBRATION AUDIT of the q348 model on its own
+    //      training units — Brier decomposition + Hosmer-Lemeshow
+    //      over fixed probability deciles; the oracle replays the
+    //      training rounds, every unit's quantized sigmoid, the
+    //      binning, and the order-pinned decomposition folds. ----
+    "q370_calibration_audit" -> Q(
+      (s, d) => {
+        val units = Tables.events(s, d).groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "signup"
+              && col("ts") < lit("2024-01-05").cast("timestamp"), 1L)
+              .otherwise(0L)).as("y"),
+            log((count(lit(1)) + 1).cast("double")).as("x"))
+        val model = logisticModel(units, "y", "x", iters = 6)
+        calibrationAudit(scoreLogistic(units, model))
+      },
+      Some(s"""WITH $unitSql,
+             |${roundsSql(6)},
+             |sc AS MATERIALIZED (SELECT uu.y,
+             |    CAST(round(1e6 / (1 + exp(
+             |      -CAST(pp.a * 1000 + uu.xm * pp.b AS DOUBLE) / 1e9)), 0)
+             |      AS BIGINT) AS p
+             |  FROM u uu, r6 pp),
+             |bi AS (SELECT y, p, least(p // 100000, 9) AS b FROM sc),
+             |bn AS (SELECT b, count(*) AS nk, sum(y) AS ok, sum(p) AS pk,
+             |    sum(CAST(p - y * 1000000 AS HUGEINT) * (p - y * 1000000))
+             |      AS sq
+             |  FROM bi GROUP BY b),
+             |tt AS (SELECT sum(nk) AS n,
+             |    CAST(sum(ok) AS DOUBLE) / CAST(sum(nk) AS DOUBLE) AS o
+             |  FROM bn),
+             |tm AS (SELECT b, nk, ok, sq,
+             |    CAST(pk AS DOUBLE) / (CAST(nk AS DOUBLE) * 1e6) AS pbar,
+             |    CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE) AS obar,
+             |    CAST(pk AS DOUBLE) / 1e6 AS e1
+             |  FROM bn),
+             |ag AS (SELECT count(*) AS n_bins,
+             |    sum(CAST(sq AS DOUBLE) ORDER BY b) AS sqcum,
+             |    sum(CAST(nk AS DOUBLE) * (pbar - obar) * (pbar - obar)
+             |      ORDER BY b) AS relcum,
+             |    sum(CAST(nk AS DOUBLE) * (obar - tt.o) * (obar - tt.o)
+             |      ORDER BY b) AS rescum,
+             |    sum((CAST(ok AS DOUBLE) - e1) * (CAST(ok AS DOUBLE) - e1)
+             |        / e1
+             |      + (CAST(nk - ok AS DOUBLE) - (CAST(nk AS DOUBLE) - e1))
+             |        * (CAST(nk - ok AS DOUBLE) - (CAST(nk AS DOUBLE) - e1))
+             |        / (CAST(nk AS DOUBLE) - e1) ORDER BY b) AS hlcum
+             |  FROM tm, tt)
+             |SELECT CAST(tt.n AS BIGINT) AS n_units,
+             |  CAST(ag.n_bins AS BIGINT) AS n_bins,
+             |  round(ag.sqcum / (CAST(tt.n AS DOUBLE) * 1e12), 6) AS brier_r6,
+             |  round(ag.relcum / CAST(tt.n AS DOUBLE), 6) AS rel_r6,
+             |  round(ag.rescum / CAST(tt.n AS DOUBLE), 6) AS res_r6,
+             |  round(tt.o * (1.0 - tt.o), 6) AS unc_r6,
+             |  round(ag.hlcum, 6) AS hl_chi2_r6
+             |FROM ag, tt""".stripMargin)))
 }
