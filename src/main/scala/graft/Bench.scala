@@ -221,7 +221,7 @@ object Bench {
       // subsequence mining (alphabet-bounded position joins)
       "q361_split_gain", "q362_seq_patterns", "q366_zipf_fit",
       "q367_regression_discontinuity", "q368_changepoint",
-      "q369_burstiness", "q370_calibration_audit")
+      "q369_burstiness", "q370_calibration_audit", "q371_c_index")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

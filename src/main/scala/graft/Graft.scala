@@ -1773,6 +1773,13 @@ object Graft {
       cause: String = "c"): DataFrame =
     rel.Survival.competingRisks(df, duration, cause)
 
+  /** Harrell's concordance index over (t, e, integer score) units
+    * ([[rel.Survival.concordanceIndex]]).
+    */
+  def concordanceIndex(df: DataFrame, duration: String = "t",
+      event: String = "e", score: String = "s"): DataFrame =
+    rel.Survival.concordanceIndex(df, duration, event, score)
+
   /** Cox proportional hazards, single covariate, Breslow ties —
     * replayable fixed-round Newton in integer micro-units
     * ([[rel.Survival.coxPh]]).

@@ -385,6 +385,86 @@ object Survival {
       .orderBy("g")
   }
 
+  /** HARRELL'S CONCORDANCE INDEX (Harrell et al. 1982) — the survival
+    * model's ranking quality: over comparable pairs (i died at tᵢ
+    * strictly before j's time), the fraction where the model gave i
+    * the HIGHER risk score, score ties counted half. C = 0.5 is
+    * coin-flip risk ranking, 1.0 perfect.
+    *
+    * The pair space is never formed: with an INTEGER risk score, pairs
+    * reduce to a dense (distinct-t × distinct-score) GRID —
+    * later(t, s) = units with time > t in score bucket s via a
+    * t-suffix window per score, then concordant/tied/comparable masses
+    * per event cell via score-cumulative windows per time — all exact
+    * integer sums over a domain-bounded grid (loud raise past 10⁶
+    * cells: quantize the score first, the splitGains binning rule).
+    * Pairs tied on time are excluded (the standard simple variant).
+    *
+    * Output (1 row): (n_comparable, n_concordant, n_tied_score,
+    * c_index_r6).
+    */
+  def concordanceIndex(df: DataFrame, duration: String = "t",
+      event: String = "e", score: String = "s"): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val e0 = col(event).cast("long")
+    val ev = when(e0 === 1L, 1L).when(e0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("concordanceIndex: event must be 0 or 1: "), e0.cast("string"))))
+    val base = df.select(col(duration).cast("long").as("t"), ev.as("e"),
+      col(score).cast("long").as("s"))
+    val g = base.groupBy("t", "s")
+      .agg(count(lit(1)).as("n"), sum(col("e")).as("d"))
+      .localCheckpoint(true)
+    // dense grid: distinct times × distinct scores (missing cells are
+    // real zeroes the windows must fold over)
+    val ts = g.select("t").distinct(); val ss = g.select("s").distinct()
+    val sizes = ts.crossJoin(broadcast(ss.agg(count(lit(1)).as("ns"))))
+      .agg(count(lit(1)).as("nt"), max(col("ns")).as("ns"))
+    val grid = ts.crossJoin(ss)
+      .join(g, Seq("t", "s"), "left")
+      .select(col("t"), col("s"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("d"), lit(0L)).as("d"))
+    val wSufT = Window.partitionBy("s").orderBy(col("t").desc)
+      .rowsBetween(Long.MinValue, -1) // strictly later times
+    val wCumS = Window.partitionBy("t").orderBy("s")
+      .rowsBetween(Long.MinValue, -1) // strictly smaller scores
+    val wAllS = Window.partitionBy("t")
+    val cells = grid
+      .withColumn("later", coalesce(sum(col("n")).over(wSufT), lit(0L)))
+      // among strictly-later units at this time row: how many have a
+      // SMALLER score (concordant for an event here), the same score
+      // (tied), or any score (comparable)
+      .withColumn("conc_l", coalesce(sum(col("later")).over(wCumS), lit(0L)))
+      .withColumn("comp_l", sum(col("later")).over(wAllS))
+      .filter(col("d") > 0L)
+      .select(
+        (col("d").cast(dec38) * col("conc_l")).as("conc"),
+        (col("d").cast(dec38) * col("later")).as("tied"),
+        (col("d").cast(dec38) * col("comp_l")).as("comp"))
+    cells.crossJoin(broadcast(sizes))
+      .select(
+        when(col("nt") * col("ns") > 1000000L, raise_error(lit(
+          "concordanceIndex: grid exceeds 1e6 cells — quantize the score")))
+          .otherwise(col("conc")).as("conc"), col("tied"), col("comp"))
+      .agg(sum(col("conc")).as("conc0"), sum(col("tied")).as("tied0"),
+        sum(col("comp")).as("comp0"))
+      // an all-censored input has NO event cells: the sums come back
+      // null, which would let the guard below slide through
+      .select(coalesce(col("conc0"), lit(0L).cast(dec38)).as("conc"),
+        coalesce(col("tied0"), lit(0L).cast(dec38)).as("tied"),
+        coalesce(col("comp0"), lit(0L).cast(dec38)).as("comp"))
+      .select(col("comp").cast("long").as("n_comparable"),
+        col("conc").cast("long").as("n_concordant"),
+        col("tied").cast("long").as("n_tied_score"),
+        when(col("comp") === 0L, raise_error(lit(
+          "concordanceIndex: no comparable pairs (no observed event " +
+            "precedes another unit's time)")))
+          .otherwise(round((col("conc").cast("double")
+            + lit(0.5) * col("tied").cast("double"))
+            / col("comp").cast("double"), 6)).as("c_index_r6"))
+  }
+
   // ---- Cox proportional hazards ------------------------------------
 
   private val XmCap = 1000000L     // |x| ≤ 1000 after milli quantization
@@ -1031,7 +1111,65 @@ object Survival {
              |  round(sum(inc) OVER (PARTITION BY c ORDER BY t
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
              |    AS cif_r6
-             |FROM j ORDER BY t, cause""".stripMargin)))
+             |FROM j ORDER BY t, cause""".stripMargin)),
+
+    // ---- q371: HARRELL'S C for the q345 Cox fit on its own units —
+    //      risk score = xm·β (uncentered: centering shifts every
+    //      score equally and C is rank-invariant to shifts). The
+    //      oracle replays the six training rounds, the dense
+    //      (t × score) grid, the strictly-later suffix windows, and
+    //      the concordant/tied/comparable masses. ----
+    "q371_c_index" -> Q(
+      (s, d) => {
+        val lastP = max(when(col("event_type") === "purchase", col("ts")))
+        val units = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            datediff(to_date(lastP), to_date(min(col("ts"))))
+              .cast("long").as("t"),
+            when(lastP <= lit("2024-01-24").cast("timestamp"), 1L)
+              .otherwise(0L).as("e"),
+            log((count(lit(1)) + 1).cast("double")).as("x"))
+          .filter(col("t").isNotNull)
+        val beta = coxPh(units, "t", "e", "x", iters = 6)
+          .select(col("beta_micro"))
+        concordanceIndex(
+          units.crossJoin(broadcast(beta))
+            .select(col("t"), col("e"),
+              (round(col("x") * 1000, 0).cast("long") * col("beta_micro"))
+                .as("s")))
+      },
+      Some(s"""WITH ${coxRoundsWith(6, strat = false)},
+             |sc AS (SELECT u0.t, u0.e, u0.xm * p.b AS s FROM u0, r6 p),
+             |g AS (SELECT t, s, count(*) AS n, sum(e) AS d
+             |  FROM sc GROUP BY t, s),
+             |grid AS (SELECT ts.t, ss.s,
+             |    coalesce(g.n, 0) AS n, coalesce(g.d, 0) AS d
+             |  FROM (SELECT DISTINCT t FROM g) ts
+             |  CROSS JOIN (SELECT DISTINCT s FROM g) ss
+             |  LEFT JOIN g ON g.t = ts.t AND g.s = ss.s),
+             |cw AS (SELECT t, s, d,
+             |    coalesce(sum(n) OVER (PARTITION BY s ORDER BY t DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS later
+             |  FROM grid),
+             |c2 AS (SELECT t, s, d, later,
+             |    coalesce(sum(later) OVER (PARTITION BY t ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS conc_l,
+             |    sum(later) OVER (PARTITION BY t) AS comp_l
+             |  FROM cw),
+             |agg AS (SELECT
+             |    sum(CAST(d AS HUGEINT) * conc_l) AS conc,
+             |    sum(CAST(d AS HUGEINT) * later) AS tied,
+             |    sum(CAST(d AS HUGEINT) * comp_l) AS comp
+             |  FROM c2 WHERE d > 0)
+             |SELECT CAST(comp AS BIGINT) AS n_comparable,
+             |  CAST(conc AS BIGINT) AS n_concordant,
+             |  CAST(tied AS BIGINT) AS n_tied_score,
+             |  round((CAST(conc AS DOUBLE) + 0.5 * CAST(tied AS DOUBLE))
+             |    / CAST(comp AS DOUBLE), 6) AS c_index_r6
+             |FROM agg""".stripMargin)))
 
   /** The q345 oracle: the q300 unit CTE plus the ln(1+count) covariate
     * in milli-units, then `iters` Newton rounds unrolled — each round's
@@ -1068,7 +1206,11 @@ object Survival {
        |        GROUP BY $gb)))))""".stripMargin
   }
 
-  private def coxOracleSql(iters: Int, strat: Boolean): String = {
+  /** the shared WITH-body: the q345 unit CTEs plus `iters` unrolled
+    * Newton rounds ending at CTE r<iters> — reused by the q371
+    * concordance oracle
+    */
+  private def coxRoundsWith(iters: Int, strat: Boolean): String = {
     def round(prev: String, cur: String): String =
       s"""$cur AS MATERIALIZED (
          |  SELECT CAST(round((p.b / 1e6
@@ -1080,7 +1222,7 @@ object Survival {
       .mkString(",\n")
     val sSel = if (strat) "min(event_type) AS s,\n      " else ""
     val sCol = if (strat) "s, " else ""
-    s"""WITH u0 AS MATERIALIZED (SELECT ${sCol}t, e,
+    s"""u0 AS MATERIALIZED (SELECT ${sCol}t, e,
        |    CAST(round(ln(CAST(cnt + 1 AS DOUBLE)) * 1000, 0) AS BIGINT) AS xm
        |  FROM (SELECT user_id, $sSel
        |      CAST(date_diff('day', CAST(min(ts) AS DATE),
@@ -1097,7 +1239,11 @@ object Survival {
        |    xm - (SELECT CAST(round(avg(xm), 0) AS BIGINT) FROM u0) AS xm
        |  FROM u0),
        |r0 AS (SELECT CAST(0 AS BIGINT) AS b),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private def coxOracleSql(iters: Int, strat: Boolean): String = {
+    s"""WITH ${coxRoundsWith(iters, strat)},
        |fin AS MATERIALIZED (SELECT p.b, x.u, x.i
        |  FROM r$iters p, ${coxEvalSql(s"r$iters", strat)} x),
        |stats AS (SELECT count(*) AS n_units, sum(e) AS n_events FROM u)
