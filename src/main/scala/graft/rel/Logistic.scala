@@ -209,6 +209,211 @@ object Logistic {
           .as("ate_r6"))
   }
 
+  /** PROPENSITY-SCORE MATCHING, 1-nearest-neighbor within a caliper,
+    * with replacement (Rosenbaum & Rubin 1983; the caliper from
+    * Cochran & Rubin 1973): fit ê(x) with [[logisticFit]]'s fixed
+    * rounds, then for every TREATED unit pick the control with the
+    * smallest |ê_t − ê_c| ≤ caliper (ties → smallest control id) and
+    * estimate ATT = mean(y_t − y_matched). The third member of the
+    * causal-adjustment family: q328 stratifies on a coarse bucket,
+    * q349 reweights by 1/ê, this one COMPARES UNITS — and unlike
+    * both, it reports how many treated units have no comparable
+    * control (n_unmatched > 0 is a positivity readout, not an error).
+    *
+    * Determinism: ê is integer micro from the integer-parameter fit;
+    * |Δ| and the id tie-break are exact integers, so the argmin is an
+    * integer struct-min both engines replay; the ATT is one IEEE
+    * division on exact integer sums.
+    *
+    * Scale shape: the candidate-pair space is CALIPER-BANDWIDTH-
+    * BOUNDED by construction — controls bucket by ê div caliper, each
+    * treated unit fans out to buckets {b−1, b, b+1} (which COVER every
+    * control within the caliper: |Δ| ≤ w ⇒ bucket distance ≤ 1), and
+    * the argmin is one hash aggregation. No global sort, no window
+    * over the corpus; the caliper is the standard bias-variance lever
+    * AND the pair-volume lever — exactly the interval-join recipe
+    * (q63), not an all-pairs nearest-neighbor.
+    *
+    * Output (1 row): (a_micro, b_micro, n_treated, n_control,
+    * n_matched, n_unmatched, att_r6, naive_r6).
+    */
+  def psmAtt(df: DataFrame, id: String = "user_id",
+      treat: String = "treat", outcome: String = "yo",
+      covariate: String = "x", iters: Int = 8,
+      caliperMicro: Long = 50000L): DataFrame = {
+    require(caliperMicro >= 1000L && caliperMicro <= 500000L,
+      s"1000 <= caliperMicro <= 500000: $caliperMicro")
+    val t0 = col(treat).cast("long")
+    val tv = when(t0 === 1L, 1L).when(t0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("psmAtt: treat must be 0 or 1: "), t0.cast("string"))))
+    val xm0 = round(col(covariate).cast("double") * 1000, 0).cast("long")
+    val units0 = df.select(col(id).cast("long").as("uid"), tv.as("y"),
+        xm0.as("xm0"), col(outcome).cast("long").as("yo"))
+      .select(col("uid"), col("y"), col("yo"),
+        when(abs(col("xm0")) > XmCap, raise_error(concat(
+          lit("psmAtt: |covariate| exceeds 1000 after milli quantization" +
+            " — standardize it: "), col("xm0").cast("string"))))
+          .otherwise(col("xm0")).as("xm"))
+    val cbar = units0.agg(round(avg(col("xm")), 0).cast("long").as("cbar"))
+    val units = units0.crossJoin(broadcast(cbar))
+      .select(col("uid"), col("y"), col("yo"),
+        (col("xm") - col("cbar")).as("xm"))
+      .localCheckpoint(true)
+    val ab = fitOn(units.select(col("y"), col("xm")), iters)
+      .select(col("a"), col("b"))
+    val scored = units.crossJoin(broadcast(ab))
+      .withColumn("e", pMicro)
+      .localCheckpoint(true)
+    val treated = scored.filter(col("y") === 1L)
+      .select(col("uid").as("tid"), col("e").as("e1"), col("yo").as("yo1"),
+        col("a"), col("b"))
+    val controls = scored.filter(col("y") === 0L)
+      .select(col("uid").as("cid"), col("e").as("e0"), col("yo").as("yo0"))
+      .withColumn("cb", expr(s"e0 div $caliperMicro"))
+    val cand = treated
+      .withColumn("cb", explode(array(
+        expr(s"e1 div $caliperMicro") - 1L, expr(s"e1 div $caliperMicro"),
+        expr(s"e1 div $caliperMicro") + 1L)))
+      .join(controls, Seq("cb"))
+      .filter(abs(col("e1") - col("e0")) <= caliperMicro)
+    val best = cand.groupBy("tid")
+      .agg(min(struct(abs(col("e1") - col("e0")).as("ad"), col("cid"),
+        col("yo0"))).as("m"), max(col("yo1")).as("yo1"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("yo1")).as("s1"), sum(col("m.yo0")).as("s0"))
+    val stats = scored.groupBy("a", "b")
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_treated"),
+        sum(when(col("y") === 0L, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("y") === 1L, col("yo")).otherwise(0L)).as("sy1"),
+        sum(when(col("y") === 0L, col("yo")).otherwise(0L)).as("sy0"))
+    stats.crossJoin(broadcast(best))
+      .select(col("a").as("a_micro"), col("b").as("b_micro"),
+        col("n_treated"), col("n_control"),
+        when(col("n_matched") > 0, col("n_matched"))
+          .otherwise(raise_error(lit(
+            "psmAtt: no treated unit has a control inside the caliper")))
+          .as("n_matched"),
+        (col("n_treated") - col("n_matched")).as("n_unmatched"),
+        round((col("s1") - col("s0")).cast("double")
+          / col("n_matched").cast("double"), 6).as("att_r6"),
+        round(col("sy1").cast("double") / col("n_treated").cast("double")
+          - col("sy0").cast("double") / col("n_control").cast("double"), 6)
+          .as("naive_r6"))
+  }
+
+  /** DOUBLY-ROBUST (AIPW) ATE (Robins, Rotnitzky & Zhao 1994;
+    * "augmented inverse probability weighting"): combine the q349
+    * logistic propensity with per-arm linear outcome regressions,
+    *
+    *   ATE = n⁻¹ Σ [ μ̂₁(x) + t(y−μ̂₁(x))/ê(x) ]
+    *       − n⁻¹ Σ [ μ̂₀(x) + (1−t)(y−μ̂₀(x))/(1−ê(x)) ],
+    *
+    * consistent if EITHER model is right — the estimator the
+    * q328/q349/q373 ladder culminates in.
+    *
+    * Determinism: ê is integer micro (clipped, the q349 positivity
+    * guard); each arm's (α, β) is a closed-form chain on exact HUGEINT
+    * sums quantized to integer (milli-cents intercept, nano slope), so
+    * every unit's μ̂ = round(α + β·xm) is an integer both engines
+    * agree on; the augmentation terms ride exact integer products
+    * (residual × the 10¹²-div-ê weight) summed as decimal(38,0), and
+    * the two divisions happen once at the edge.
+    *
+    * Scale shape: two corpus passes beyond the fit — one 1-row
+    * aggregation for the regressions, one map-side scoring pass
+    * folding to a 1-row sum (models broadcast; nothing shuffles
+    * keyed by anything but the global fold).
+    *
+    * Output (1 row): (a_micro, b_micro, b1_nano, b0_nano, n_treated,
+    * n_control, naive_r6, ate_r6) — outcomes in the outcome column's
+    * own units (cents here), the q349 convention.
+    */
+  def aipwAte(df: DataFrame, treat: String = "treat", outcome: String = "yo",
+      covariate: String = "x", iters: Int = 8,
+      clipMilli: Int = 10): DataFrame = {
+    require(clipMilli >= 1 && clipMilli < 500,
+      s"1 <= clipMilli < 500: $clipMilli")
+    val t0 = col(treat).cast("long")
+    val tv = when(t0 === 1L, 1L).when(t0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("aipwAte: treat must be 0 or 1: "), t0.cast("string"))))
+    val xm0 = round(col(covariate).cast("double") * 1000, 0).cast("long")
+    val units0 = df.select(tv.as("y"), xm0.as("xm0"),
+        col(outcome).cast("long").as("yo"))
+      .select(col("y"), col("yo"),
+        when(abs(col("xm0")) > XmCap, raise_error(concat(
+          lit("aipwAte: |covariate| exceeds 1000 after milli quantization" +
+            " — standardize it: "), col("xm0").cast("string"))))
+          .otherwise(col("xm0")).as("xm"))
+    val cbar = units0.agg(round(avg(col("xm")), 0).cast("long").as("cbar"))
+    val units = units0.crossJoin(broadcast(cbar))
+      .select(col("y"), col("yo"), (col("xm") - col("cbar")).as("xm"))
+      .localCheckpoint(true)
+    val ab = fitOn(units.select(col("y"), col("xm")), iters)
+      .select(col("a"), col("b"))
+    // per-arm OLS on (xm, ym = yo·1000 milli-cents): exact sufficient
+    // statistics, one closed-form chain, integer (alpha_milli, b_nano)
+    val reg = units.groupBy("y")
+      .agg(count(lit(1)).as("n"), sum(col("xm")).as("sx"),
+        sum(col("yo") * lit(1000L)).as("sy"),
+        sum((col("xm") * col("xm")).cast(dec38)).as("sxx"),
+        sum((col("xm") * col("yo") * lit(1000L)).cast(dec38)).as("sxy"))
+      .withColumn("beta",
+        when(col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double") <= 0.0,
+          raise_error(lit(
+            "aipwAte: degenerate covariate in an arm — no outcome slope")))
+          .otherwise((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))))
+      .select(col("y"), round(col("beta") * lit(1e9), 0).cast("long")
+        .as("b_nano"),
+        round((col("sy").cast("double") - col("beta")
+          * col("sx").cast("double")) / col("n").cast("double"), 0)
+          .cast("long").as("alpha_milli"))
+    val m1 = reg.filter(col("y") === 1L)
+      .select(col("b_nano").as("b1_nano"), col("alpha_milli").as("a1_milli"))
+    val m0 = reg.filter(col("y") === 0L)
+      .select(col("b_nano").as("b0_nano"), col("alpha_milli").as("a0_milli"))
+    val lo = clipMilli * 1000L; val hi = 1000000L - lo
+    val scored = units.crossJoin(broadcast(ab))
+      .crossJoin(broadcast(m1)).crossJoin(broadcast(m0))
+      .withColumn("e", greatest(least(pMicro, lit(hi)), lit(lo)))
+      .withColumn("ym", col("yo") * lit(1000L))
+      // μ̂ in milli-cents: one rounded IEEE chain at integer inputs
+      .withColumn("mu1", round(col("a1_milli").cast("double")
+        + col("xm").cast("double") * col("b1_nano").cast("double") / lit(1e9),
+        0).cast("long"))
+      .withColumn("mu0", round(col("a0_milli").cast("double")
+        + col("xm").cast("double") * col("b0_nano").cast("double") / lit(1e9),
+        0).cast("long"))
+      .withColumn("wt1", expr("1000000000000 div e"))
+      .withColumn("wt0", expr("1000000000000 div (1000000 - e)"))
+    scored.groupBy("a", "b", "b1_nano", "b0_nano")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_treated"),
+        sum(when(col("y") === 0L, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("y") === 1L, col("yo")).otherwise(0L)).as("sy1"),
+        sum(when(col("y") === 0L, col("yo")).otherwise(0L)).as("sy0"),
+        sum((col("mu1") * lit(1000000L)).cast(dec38)
+          + when(col("y") === 1L,
+            ((col("ym") - col("mu1")) * col("wt1")).cast(dec38))
+            .otherwise(lit(0L).cast(dec38))).as("s1"),
+        sum((col("mu0") * lit(1000000L)).cast(dec38)
+          + when(col("y") === 0L,
+            ((col("ym") - col("mu0")) * col("wt0")).cast(dec38))
+            .otherwise(lit(0L).cast(dec38))).as("s0"))
+      .select(col("a").as("a_micro"), col("b").as("b_micro"),
+        col("b1_nano"), col("b0_nano"), col("n_treated"), col("n_control"),
+        round(col("sy1").cast("double") / col("n_treated").cast("double")
+          - col("sy0").cast("double") / col("n_control").cast("double"), 6)
+          .as("naive_r6"),
+        round((col("s1").cast("double") - col("s0").cast("double"))
+          / (col("n").cast("double") * lit(1e9)), 6).as("ate_r6"))
+  }
+
   /** The DEPLOYABLE model row: (a, b, cbar) — parameters plus the
     * centering constant a scorer needs (scoring with a different
     * center than the fit silently shifts every probability). Same
@@ -459,6 +664,135 @@ object Logistic {
              |  round(CAST(swy1 AS DOUBLE) / CAST(sw1 AS DOUBLE)
              |    - CAST(swy0 AS DOUBLE) / CAST(sw0 AS DOUBLE), 6) AS ate_r6
              |FROM agg, r6 p""".stripMargin)),
+
+    // ---- q374: DOUBLY-ROBUST (AIPW) ATE — the q349 question with the
+    //      augmentation: per-arm linear outcome models correct the
+    //      reweighting (consistent if either model is right). The
+    //      oracle replays the training rounds, the clipped micro
+    //      propensities, the quantized per-arm OLS, every unit's
+    //      integer augmentation term, and the two edge divisions. ----
+    "q374_aipw_ate" -> Q(
+      (s, d) => aipwAte(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "signup"
+              && col("ts") < lit("2024-01-05").cast("timestamp"), 1L)
+              .otherwise(0L)).as("treat"),
+            sum(when(col("event_type") === "purchase",
+              round(col("value") * 100, 0).cast("long")).otherwise(0L))
+              .as("spend"),
+            log((count(lit(1)) + 1).cast("double")).as("x")),
+        "treat", "spend", "x", iters = 6, clipMilli = 10),
+      Some(s"""WITH $unitSql,
+             |${roundsSql(6)},
+             |reg AS MATERIALIZED (SELECT y,
+             |    CAST(round(beta * 1e9, 0) AS BIGINT) AS b_nano,
+             |    CAST(round((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+             |      / CAST(n AS DOUBLE), 0) AS BIGINT) AS alpha_milli
+             |  FROM (SELECT y, n, sx, sy,
+             |      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta
+             |    FROM (SELECT y, count(*) AS n, sum(xm) AS sx,
+             |        sum(yo * 1000) AS sy,
+             |        sum(CAST(xm AS HUGEINT) * xm) AS sxx,
+             |        sum(CAST(xm AS HUGEINT) * yo * 1000) AS sxy
+             |      FROM u GROUP BY y))),
+             |sc AS MATERIALIZED (SELECT uu.y, uu.yo, uu.xm,
+             |    LEAST(GREATEST(CAST(round(1e6 / (1 + exp(
+             |      -CAST(p.a * 1000 + uu.xm * p.b AS DOUBLE) / 1e9)), 0)
+             |      AS BIGINT), 10000), 990000) AS e,
+             |    CAST(round(CAST(m1.alpha_milli AS DOUBLE)
+             |      + CAST(uu.xm AS DOUBLE) * CAST(m1.b_nano AS DOUBLE)
+             |        / 1e9, 0) AS BIGINT) AS mu1,
+             |    CAST(round(CAST(m0.alpha_milli AS DOUBLE)
+             |      + CAST(uu.xm AS DOUBLE) * CAST(m0.b_nano AS DOUBLE)
+             |        / 1e9, 0) AS BIGINT) AS mu0
+             |  FROM u uu, r6 p,
+             |    (SELECT b_nano, alpha_milli FROM reg WHERE y = 1) m1,
+             |    (SELECT b_nano, alpha_milli FROM reg WHERE y = 0) m0),
+             |ag AS (SELECT count(*) AS n,
+             |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0,
+             |    sum(CASE WHEN y = 1 THEN yo ELSE 0 END) AS sy1,
+             |    sum(CASE WHEN y = 0 THEN yo ELSE 0 END) AS sy0,
+             |    sum(CAST(mu1 AS HUGEINT) * 1000000
+             |      + CASE WHEN y = 1 THEN CAST(yo * 1000 - mu1 AS HUGEINT)
+             |          * (1000000000000 // e) ELSE 0 END) AS s1,
+             |    sum(CAST(mu0 AS HUGEINT) * 1000000
+             |      + CASE WHEN y = 0 THEN CAST(yo * 1000 - mu0 AS HUGEINT)
+             |          * (1000000000000 // (1000000 - e)) ELSE 0 END) AS s0
+             |  FROM sc)
+             |SELECT p.a AS a_micro, p.b AS b_micro,
+             |  m1.b_nano AS b1_nano, m0.b_nano AS b0_nano,
+             |  CAST(n1 AS BIGINT) AS n_treated,
+             |  CAST(n0 AS BIGINT) AS n_control,
+             |  round(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |    - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS naive_r6,
+             |  round((CAST(s1 AS DOUBLE) - CAST(s0 AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * 1e9), 6) AS ate_r6
+             |FROM ag, r6 p,
+             |  (SELECT b_nano FROM reg WHERE y = 1) m1,
+             |  (SELECT b_nano FROM reg WHERE y = 0) m0""".stripMargin)),
+
+    // ---- q373: PROPENSITY-SCORE MATCHING ATT — the q349 question a
+    //      third way: 1-NN-within-caliper control per treated unit
+    //      (with replacement, ties → smallest control id), ATT over
+    //      the matched pairs. The oracle replays the training rounds,
+    //      the micro propensities, and the integer argmin; its cross
+    //      join IS the caliper filter (the bucket banding is a
+    //      Spark-side pair-volume bound, proven output-equivalent by
+    //      the covering argument in the scaladoc). ----
+    "q373_psm_att" -> Q(
+      (s, d) => psmAtt(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "signup"
+              && col("ts") < lit("2024-01-05").cast("timestamp"), 1L)
+              .otherwise(0L)).as("treat"),
+            sum(when(col("event_type") === "purchase",
+              round(col("value") * 100, 0).cast("long")).otherwise(0L))
+              .as("spend"),
+            log((count(lit(1)) + 1).cast("double")).as("x")),
+        "user_id", "treat", "spend", "x", iters = 6,
+        caliperMicro = 50000L),
+      Some(s"""WITH $unitSql,
+             |${roundsSql(6)},
+             |sc AS MATERIALIZED (SELECT uu.user_id, uu.y, uu.yo,
+             |    CAST(round(1e6 / (1 + exp(
+             |      -CAST(p.a * 1000 + uu.xm * p.b AS DOUBLE) / 1e9)), 0)
+             |      AS BIGINT) AS e
+             |  FROM u uu, r6 p),
+             |tr AS (SELECT user_id AS tid, e AS e1, yo AS yo1 FROM sc
+             |  WHERE y = 1),
+             |co AS (SELECT user_id AS cid, e AS e0, yo AS yo0 FROM sc
+             |  WHERE y = 0),
+             |cand AS (SELECT t.tid, t.yo1, abs(t.e1 - c.e0) AS ad,
+             |    c.cid, c.yo0
+             |  FROM tr t JOIN co c ON abs(t.e1 - c.e0) <= 50000),
+             |best AS (SELECT tid, yo1, yo0 FROM (SELECT tid, yo1, yo0,
+             |      row_number() OVER (PARTITION BY tid
+             |        ORDER BY ad, cid) AS rn
+             |    FROM cand) WHERE rn = 1),
+             |m AS (SELECT count(*) AS n_matched, sum(yo1) AS s1,
+             |    sum(yo0) AS s0 FROM best),
+             |st AS (SELECT
+             |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0,
+             |    sum(CASE WHEN y = 1 THEN yo ELSE 0 END) AS sy1,
+             |    sum(CASE WHEN y = 0 THEN yo ELSE 0 END) AS sy0
+             |  FROM sc)
+             |SELECT p.a AS a_micro, p.b AS b_micro,
+             |  CAST(n1 AS BIGINT) AS n_treated,
+             |  CAST(n0 AS BIGINT) AS n_control,
+             |  CAST(n_matched AS BIGINT) AS n_matched,
+             |  CAST(n1 - n_matched AS BIGINT) AS n_unmatched,
+             |  round((CAST(s1 AS DOUBLE) - CAST(s0 AS DOUBLE))
+             |    / CAST(n_matched AS DOUBLE), 6) AS att_r6,
+             |  round(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |    - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS naive_r6
+             |FROM m, st, r6 p""".stripMargin)),
 
     // ---- q364: STREAMING score-at-ingest with the frozen logistic
     //      model (the q284 DSIR pattern on the classification rung):

@@ -1,0 +1,67 @@
+package graft
+
+import graft.llm.NaiveBayes
+
+/** Multinomial naive Bayes (llm/NaiveBayes.scala): hand-checked model
+  * cells (Laplace smoothing, micro quantization), prior fallback for
+  * out-of-vocabulary docs, argmax tie determinism, and the confusion
+  * matrix on a separable corpus.
+  */
+class NaiveBayesSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "aa aa bb", "x"), (2L, "aa bb", "x"), (3L, "aa aa", "x"),
+      (4L, "cc cc bb", "y"), (5L, "cc bb", "y"), (6L, "cc cc", "y")
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("model cells replay the smoothed micro-quantized likelihoods") {
+    val m = NaiveBayes.naiveBayesModel(spark, docs, minDf = 2)
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))) -> r.getLong(2))
+      .toMap
+    // vocab = {aa, bb, cc} (all df >= 2); x counts: aa=5, bb=2, cc=0,
+    // N_x=7; ln((5+1)/(7+3)) = ln(0.6)
+    assert(m(("x", Some("aa"))) == math.round(math.log(6.0 / 10.0) * 1e6))
+    assert(m(("x", Some("cc"))) == math.round(math.log(1.0 / 10.0) * 1e6))
+    // y counts: cc=5, bb=2, aa=0, N_y=7
+    assert(m(("y", Some("cc"))) == math.round(math.log(6.0 / 10.0) * 1e6))
+    // priors: 3/6 each
+    assert(m(("x", None)) == math.round(math.log(0.5) * 1e6))
+    assert(m(("y", None)) == math.round(math.log(0.5) * 1e6))
+  }
+
+  test("separable corpus self-classifies on the diagonal") {
+    val got = NaiveBayes.naiveBayesConfusion(spark, docs, minDf = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("x", "x") -> 3L, ("y", "y") -> 3L))
+  }
+
+  test("zero-in-vocab docs fall back to the prior argmax, tie -> label asc") {
+    val s = spark
+    import s.implicits._
+    // doc 7's only token is below the df floor; priors tie at 50/50
+    // after adding one doc per class -> prediction must be the
+    // lexicographically first label among the tied argmax
+    val d2 = docs.union(Seq((7L, "zz", "y")).toDF("doc_id", "text", "lang"))
+    val got = NaiveBayes.naiveBayesConfusion(spark, d2, minDf = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // priors now x: 3/7, y: 4/7 -> the OOV doc goes to y (larger prior)
+    assert(got(("y", "y")) == 4L)
+  }
+
+  test("df floor drops rare terms from the model") {
+    // distinct-doc frequencies: aa=3, bb=4, cc=3
+    val t3 = NaiveBayes.naiveBayesModel(spark, docs, minDf = 3)
+      .collect().flatMap(r => Option(r.getString(1))).toSet
+    val t4 = NaiveBayes.naiveBayesModel(spark, docs, minDf = 4)
+      .collect().flatMap(r => Option(r.getString(1))).toSet
+    assert(t3 == Set("aa", "bb", "cc") && t4 == Set("bb"),
+      s"got $t3 / $t4")
+  }
+}
