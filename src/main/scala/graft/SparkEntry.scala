@@ -64,7 +64,8 @@ object SparkEntry {
       graft.llm.Rbo.all ++ graft.rel.Logistic.all ++
       graft.graph.Louvain.all ++ graft.llm.TextStats.all ++
       graft.rel.Raking.all ++ graft.rel.Tree.all ++ graft.rel.SeqMine.all ++
-      graft.llm.NaiveBayes.all ++ graft.graph.Betweenness.all
+      graft.llm.NaiveBayes.all ++ graft.graph.Betweenness.all ++
+      graft.llm.TextRank.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
