@@ -241,6 +241,177 @@ object Anf {
        |FROM est, tot ORDER BY est.t""".stripMargin
   }
 
+  /** HARMONIC CENTRALITY, exact rung: H(u) = Σ_{v≠u} 1/d(u,v) over
+    * the bounded horizon — the centrality Boldi & Vigna ("Axioms for
+    * centrality", 2014) recommend over closeness (it handles
+    * disconnected reachability for free: unreachable pairs simply
+    * contribute nothing). Rides the q324 per-pair distance state —
+    * the documented Σcomp² oracle anchor; [[harmonicHyperball]] is
+    * the linear-state rung. Integer micro: each pair contributes
+    * 10⁶ div d, an exact order-free sum.
+    * Output: top-k (node, h_micro), ties → node asc.
+    */
+  def harmonicExact(s: SparkSession, edges: DataFrame, maxT: Int,
+      k: Int): DataFrame = {
+    require(maxT >= 1 && maxT <= 32, s"1 <= maxT <= 32: $maxT")
+    val ed = edges.select(col("u").cast("long"), col("v").cast("long"))
+    val und = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .repartition(col("u")).cache()
+    var dist = und.select(col("u").as("src")).distinct()
+      .select(col("src"), col("src").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (r <- 1 to maxT) {
+      val f = dist.filter(col("dist") === (r - 1).toLong)
+        .select(col("src"), col("node"))
+      dist = dist.unionAll(
+          und.join(f, und("u") === f("node"))
+            .select(f("src"), und("v").as("node"), lit(r.toLong).as("dist")))
+        .groupBy("src", "node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    und.unpersist()
+    dist.filter(col("dist") >= 1L)
+      .groupBy("src").agg(sum(expr("1000000 div dist")).as("h_micro"))
+      .select(col("src").as("node"), col("h_micro"))
+      .orderBy(desc("h_micro"), col("node"))
+      .limit(k)
+  }
+
+  /** HARMONIC CENTRALITY, HyperBall rung (Boldi & Vigna WSDM'13,
+    * "In-core computation of geometric centralities with HyperBall"):
+    * per-node HLL ball sizes B̂(u, t) from the q325 register
+    * evolution, then Ĥ(u) = Σ_t (B̂(u,t) − B̂(u,t−1))/t with
+    * negative HLL wobbles clipped to zero (the estimator is not
+    * strictly monotone at branch switches; clipping is deterministic
+    * on both engines and documented). State is n·m register rows per
+    * round — LINEAR in nodes, never pairs — which is the entire point
+    * at 100 TB. All arithmetic is the q325 integer-micro chain; the
+    * oracle replays every register and every per-node estimate.
+    * Output: top-k (node, h_micro), ties → node asc.
+    */
+  def harmonicHyperball(s: SparkSession, edges: DataFrame, maxT: Int,
+      k: Int): DataFrame = {
+    require(maxT >= 1 && maxT <= 32, s"1 <= maxT <= 32: $maxT")
+    import s.implicits._
+    val ed = edges.select(col("u").cast("long"), col("v").cast("long"))
+    val und = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .repartition(col("u")).cache()
+    val hv = graft.llm.SketchAggOps.kmvHash(col("node").cast("string"))
+    var regs = und.select(col("u").as("node")).distinct()
+      .withColumn("hv", hv)
+      .select(col("node"), expr(s"hv div $BucketDiv").as("bucket"),
+        (col("hv") % BucketDiv).as("rem"))
+      .select(col("node"), col("bucket"),
+        when(col("rem") === 0, lit((W + 1).toLong))
+          .otherwise(lit((W + 1).toLong) - length(bin(col("rem")))).as("rho"))
+      .localCheckpoint(true)
+    val lc = LcMicro.zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toDF("z", "lcmicro")
+    def estOf(r: DataFrame, t: Int): DataFrame = {
+      val perNode = r.groupBy("node")
+        .agg(count(lit(1)).as("nb"),
+          sum(expr(s"shiftleft(cast(1 as bigint), cast(${W + 1} - rho as int))"))
+            .as("dpresent"))
+        .select(col("node"), (lit(M.toLong) - col("nb")).as("zeros"),
+          (col("dpresent") + (lit(M.toLong) - col("nb")) * (1L << (W + 1)))
+            .as("denom"))
+        .select(col("node"), col("zeros"),
+          when(col("denom") < 70000000L, raise_error(
+            lit("harmonicHyperball: ball estimate would overflow")))
+            .otherwise(col("denom")).as("denom"))
+        .withColumn("raw_micro",
+          expr(s"cast('$RawNum' as decimal(38,0)) div denom"))
+      perNode.join(broadcast(lc), perNode("zeros") === lc("z"), "left")
+        .select(col("node"), lit(t.toLong).as("t"),
+          when(col("raw_micro") <= LcCutMicro && col("zeros") > 0,
+            col("lcmicro")).otherwise(col("raw_micro")).as("est"))
+    }
+    var ests = estOf(regs, 0)
+    for (r <- 1 to maxT) {
+      regs = regs.unionAll(
+          und.join(regs, und("u") === regs("node"))
+            .select(und("v").as("node"), regs("bucket"), regs("rho")))
+        .groupBy("node", "bucket").agg(max("rho").as("rho"))
+        .localCheckpoint(true)
+      ests = ests.unionAll(estOf(regs, r)).localCheckpoint(true)
+    }
+    und.unpersist()
+    val prev = ests.select(col("node"), (col("t") + 1L).as("t"),
+      col("est").as("prev"))
+    ests.join(prev, Seq("node", "t"))
+      .select(col("node"),
+        when(col("est") > col("prev"),
+          expr("(est - prev) div t")).otherwise(0L).as("inc"))
+      .groupBy("node").agg(sum("inc").as("h_micro"))
+      .orderBy(desc("h_micro"), col("node"))
+      .limit(k)
+  }
+
+  private def harmonicExactOracleSql(maxT: Int, k: Int): String = {
+    val rounds = (1 to maxT).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT src, node, min(dist) AS dist FROM (
+         |    SELECT src, node, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT f.src, e.v AS node, CAST($r AS BIGINT) AS dist
+         |    FROM d${r - 1} f JOIN e ON e.u = f.node
+         |    WHERE f.dist = ${r - 1}
+         |  ) GROUP BY src, node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $EdgeSql,
+       |d0 AS MATERIALIZED (SELECT DISTINCT u AS src, u AS node,
+       |    CAST(0 AS BIGINT) AS dist FROM e),
+       |$rounds,
+       |h AS (SELECT src AS node, sum(1000000 // dist) AS h_micro
+       |  FROM d$maxT WHERE dist >= 1 GROUP BY src)
+       |SELECT node, CAST(h_micro AS BIGINT) AS h_micro FROM h
+       |ORDER BY h_micro DESC, node LIMIT $k""".stripMargin
+  }
+
+  private def harmonicHyperballOracleSql(maxT: Int, k: Int): String = {
+    val lcRows = LcMicro.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+    def estSel(r: Int): String =
+      s"""SELECT node, CAST($r AS BIGINT) AS t,
+         |  CASE WHEN raw_micro <= $LcCutMicro AND zeros > 0
+         |    THEN lcv.lcmicro ELSE raw_micro END AS est
+         |FROM (
+         |  SELECT node, $M - count(*) AS zeros,
+         |    CAST('$RawNum' AS HUGEINT) // (sum(1::BIGINT << CAST(${W + 1} - rho AS INT))
+         |      + ($M - count(*)) * ${1L << (W + 1)}) AS raw_micro
+         |  FROM h$r GROUP BY node) pn
+         |LEFT JOIN lcv ON lcv.z = pn.zeros""".stripMargin
+    val rounds = (1 to maxT).map { r =>
+      s"""h$r AS MATERIALIZED (SELECT node, bucket, max(rho) AS rho FROM (
+         |    SELECT node, bucket, rho FROM h${r - 1}
+         |    UNION ALL
+         |    SELECT e.v AS node, h.bucket, h.rho
+         |    FROM e JOIN h${r - 1} h ON h.node = e.u
+         |  ) GROUP BY node, bucket)""".stripMargin
+    }.mkString(",\n")
+    val ests = (0 to maxT).map(estSel).mkString("\nUNION ALL\n")
+    s"""WITH $EdgeSql,
+       |lcv AS (SELECT * FROM (VALUES $lcRows) AS t(z, lcmicro)),
+       |hv AS (SELECT node,
+       |    ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT AS hv
+       |  FROM (SELECT DISTINCT u AS node FROM e)),
+       |h0 AS MATERIALIZED (SELECT node, hv // $BucketDiv AS bucket,
+       |    CASE WHEN hv % $BucketDiv = 0 THEN ${W + 1}
+       |      ELSE ${W + 1} - length(bin(hv % $BucketDiv)) END AS rho
+       |  FROM hv),
+       |$rounds,
+       |un AS ($ests),
+       |pv AS (SELECT a.node, a.t, a.est, b.est AS prev
+       |  FROM un a JOIN un b ON b.node = a.node AND b.t = a.t - 1
+       |  WHERE a.t >= 1),
+       |h AS (SELECT node, sum(CASE WHEN est > prev
+       |    THEN (est - prev) // t ELSE 0 END) AS h_micro
+       |  FROM pv GROUP BY node)
+       |SELECT node, CAST(h_micro AS BIGINT) AS h_micro FROM h
+       |ORDER BY h_micro DESC, node LIMIT $k""".stripMargin
+  }
+
   /** The q324/q325 horizon: past the sf0.01 effective diameter (7);
     * the curve and its 90% landmark are reported relative to N(maxT),
     * the fixed-budget HyperANF contract.
@@ -266,5 +437,18 @@ object Anf {
     "q325_hyperanf_hll" -> Q(
       (s, d) => neighborhoodFunctionHll(s, copurchaseEdges(s, d), MaxT),
       Some(hllOracleSql(MaxT))),
+    // ---- q378: EXACT harmonic centrality of the co-purchase graph
+    //      (top 15) — the oracle anchor on the q324 pair state; the
+    //      100 TB rung is q379. ----
+    "q378_harmonic_exact" -> Q(
+      (s, d) => harmonicExact(s, copurchaseEdges(s, d), MaxT, k = 15),
+      Some(harmonicExactOracleSql(MaxT, 15))),
+    // ---- q379: HYPERBALL harmonic centrality — per-node HLL ball
+    //      estimates, clipped increments over 1/t; linear register
+    //      state. The oracle replays every register and every
+    //      per-node estimate at every t. ----
+    "q379_harmonic_hyperball" -> Q(
+      (s, d) => harmonicHyperball(s, copurchaseEdges(s, d), MaxT, k = 15),
+      Some(harmonicHyperballOracleSql(MaxT, 15))),
   )
 }
