@@ -32,12 +32,14 @@ object TextRank {
   /** Top-k corpus keywords. Output: (term, rank_fp), rank_fp in the
     * q116 1e12-mass fixed-point units, ordered (rank_fp desc, term).
     */
-  def textRankKeywords(s: SparkSession, docs: DataFrame, window: Int = 2,
-      minCount: Long = 5, iters: Int = 5, k: Int = 20,
-      text: String = "text"): DataFrame = {
+  /** Canonical windowed co-occurrence pair counts (a < b, self-pairs
+    * dropped): the q130 generation shared by [[textRankKeywords]] and
+    * [[spectralTermAxis]].
+    */
+  private def pairCounts(s: SparkSession, docs: DataFrame, window: Int,
+      minCount: Long, text: String): DataFrame = {
     import s.implicits._
     require(window >= 1, s"window must be >= 1: $window")
-    require(k >= 1, s"k must be >= 1: $k")
     val w = window
     val pairs = docs.select(col(text)).as[String].flatMap { t =>
       val toks = SketchOps.tokensOf(t).filter(_.nonEmpty)
@@ -50,9 +52,16 @@ object TextRank {
         if x != y
       } yield if (x <= y) (x, y) else (y, x)
     }.toDF("a", "b")
-    val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("c2"))
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("c2"))
       .filter(col("c2") >= minCount)
       .localCheckpoint()
+  }
+
+  def textRankKeywords(s: SparkSession, docs: DataFrame, window: Int = 2,
+      minCount: Long = 5, iters: Int = 5, k: Int = 20,
+      text: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val pc = pairCounts(s, docs, window, minCount, text)
     val vocab = GlobalRank.byOrder(
       pc.select(col("a").as("term"))
         .unionAll(pc.select(col("b").as("term"))).distinct(),
@@ -69,6 +78,76 @@ object TextRank {
       .join(vocab.select(col("id").as("node"), col("term")), "node")
       .select(col("term"), col("r").as("rank_fp"))
       .orderBy(desc("rank_fp"), col("term"))
+      .limit(k)
+  }
+
+  private val dec38 =
+    org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+
+  /** DOMINANT SPECTRAL AXIS of the PPMI term-association matrix —
+    * power iteration toward the Perron eigenvector of the positive
+    * pointwise-mutual-information graph (the count-based half of the
+    * PMI-factorization view of word embeddings, Levy & Goldberg
+    * NeurIPS'14, "Neural word embedding as implicit matrix
+    * factorization"): the terms loading highest on the axis are the
+    * corpus's strongest association cluster — embedding training
+    * distilled to its verifiable first component.
+    *
+    * Determinism: PPMI edge weights quantize to integer micro at
+    * build time (one ln per kept pair — np is Σc2 over the KEPT
+    * pairs, documented); each matvec is an exact decimal(38,0) sum of
+    * w·v products; normalization is max-norm via integer division
+    * ((mv·10⁶) div max|mv|) — no sqrt, no float accumulation, every
+    * round's vector is integers both engines agree on.
+    *
+    * Scale shape: the matrix is the minCount-floored pair table
+    * (vocabulary-bounded, the q302/q130 lever); each of the fixed
+    * rounds is one hash join + one aggregation moving 16-byte vector
+    * rows — the q116 iteration cost class, never a dense matrix.
+    */
+  def spectralTermAxis(s: SparkSession, docs: DataFrame, window: Int = 2,
+      minCount: Long = 5, iters: Int = 5, k: Int = 15,
+      text: String = "text"): DataFrame = {
+    import s.implicits._
+    require(iters >= 1 && iters <= 10, s"1 <= iters <= 10: $iters")
+    require(k >= 1, s"k must be >= 1: $k")
+    val pc = pairCounts(s, docs, window, minCount, text)
+    val toks = docs.select(col(text)).as[String]
+      .flatMap(t => SketchOps.tokensOf(t).filter(_.nonEmpty)).toDF("tok")
+    val uc = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val np = pc.agg(sum("c2").as("np"))
+    val nt = uc.agg(sum("c1").as("nt"))
+    val ed0 = pc
+      .join(uc.select(col("tok").as("a"), col("c1").as("c1a")), "a")
+      .join(uc.select(col("tok").as("b"), col("c1").as("c1b")), "b")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nt))
+      .select(col("a"), col("b"),
+        greatest(lit(0L), round(log(
+          (col("c2").cast("double") * col("nt").cast("double")
+            * col("nt").cast("double"))
+            / (col("np").cast("double") * col("c1a").cast("double")
+              * col("c1b").cast("double"))) * lit(1e6), 0).cast("long"))
+          .as("w"))
+      .filter(col("w") > 0L)
+    val ed = ed0.unionAll(ed0.select(col("b").as("a"), col("a").as("b"),
+      col("w"))).localCheckpoint()
+    var v = ed.select(col("a").as("term")).distinct()
+      .withColumn("v", lit(1000000L))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val mv = ed.join(v.withColumnRenamed("term", "b"), "b")
+        .groupBy("a").agg(sum((col("w") * col("v")).cast(dec38)).as("mv"))
+      val m = mv.agg(max(abs(col("mv"))).as("mx"))
+      v = mv.crossJoin(broadcast(m))
+        .select(col("a").as("term"),
+          when(col("mx") <= 0, raise_error(lit(
+            "spectralTermAxis: zero matvec — empty PPMI graph")))
+            .otherwise(expr("(mv * 1000000) div mx")).as("v"))
+        .localCheckpoint(true)
+    }
+    v.select(col("term"), col("v").as("v_micro"))
+      .orderBy(desc("v_micro"), col("term"))
       .limit(k)
   }
 
@@ -123,5 +202,58 @@ object TextRank {
            |SELECT vo.term, CAST(r5.r AS BIGINT) AS rank_fp
            |FROM r5 JOIN vocab vo ON vo.id = r5.node
            |ORDER BY rank_fp DESC, term LIMIT 20""".stripMargin
+      }),
+
+    // ---- q380: SPECTRAL TERM AXIS — the 15 terms loading highest on
+    //      the Perron eigenvector of the micro-quantized PPMI graph,
+    //      5 integer power-iteration rounds. The oracle replays pair
+    //      generation, the PPMI quantization, and every matvec +
+    //      max-norm round. ----
+    "q380_spectral_terms" -> Q(
+      (s, d) => spectralTermAxis(s, Tables.documents(s, d)),
+      Some {
+        def iter(prev: String, r: Int): String =
+          s"""mv$r AS MATERIALIZED (SELECT ed.a AS term,
+             |    sum(CAST(ed.w AS HUGEINT) * v.v) AS mv
+             |  FROM ed JOIN $prev v ON v.term = ed.b GROUP BY ed.a),
+             |v$r AS MATERIALIZED (SELECT term,
+             |    CAST((mv * 1000000) // (SELECT max(abs(mv)) FROM mv$r)
+             |      AS BIGINT) AS v
+             |  FROM mv$r)""".stripMargin
+        s"""WITH t AS (SELECT list_filter(
+           |    regexp_split_to_array(trim(lower(text)), '\\s+'),
+           |    x -> len(x) > 0) AS w FROM documents),
+           |p1 AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN
+           |    list_transform(range(1, len(w)),
+           |      i -> [least(w[i], w[i+1]), greatest(w[i], w[i+1])])
+           |    ELSE CAST([] AS VARCHAR[][]) END) AS pr FROM t),
+           |p2 AS (SELECT unnest(CASE WHEN len(w) >= 3 THEN
+           |    list_transform(range(1, len(w)-1),
+           |      i -> [least(w[i], w[i+2]), greatest(w[i], w[i+2])])
+           |    ELSE CAST([] AS VARCHAR[][]) END) AS pr FROM t),
+           |pc AS (SELECT pr[1] AS a, pr[2] AS b, count(*) AS c2 FROM
+           |  (SELECT pr FROM p1 UNION ALL SELECT pr FROM p2)
+           |  WHERE pr[1] <> pr[2]
+           |  GROUP BY a, b HAVING count(*) >= 5),
+           |uc AS (SELECT tok, count(*) AS c1 FROM
+           |  (SELECT unnest(w) AS tok FROM t) GROUP BY tok),
+           |np AS (SELECT sum(c2) AS np FROM pc),
+           |nt AS (SELECT sum(c1) AS nt FROM uc),
+           |ed0 AS (SELECT pc.a, pc.b,
+           |    greatest(CAST(0 AS BIGINT), CAST(round(ln(
+           |      (CAST(pc.c2 AS DOUBLE) * CAST(nt.nt AS DOUBLE)
+           |        * CAST(nt.nt AS DOUBLE))
+           |      / (CAST(np.np AS DOUBLE) * CAST(ua.c1 AS DOUBLE)
+           |        * CAST(ub.c1 AS DOUBLE))) * 1e6, 0) AS BIGINT)) AS w
+           |  FROM pc JOIN uc ua ON ua.tok = pc.a
+           |          JOIN uc ub ON ub.tok = pc.b
+           |  CROSS JOIN np CROSS JOIN nt),
+           |ed AS MATERIALIZED (SELECT a, b, w FROM ed0 WHERE w > 0
+           |  UNION ALL SELECT b, a, w FROM ed0 WHERE w > 0),
+           |v0 AS (SELECT DISTINCT a AS term, CAST(1000000 AS BIGINT) AS v
+           |  FROM ed),
+           |${(1 to 5).map(r => iter(s"v${r - 1}", r)).mkString(",\n")}
+           |SELECT term, v AS v_micro FROM v5
+           |ORDER BY v_micro DESC, term LIMIT 15""".stripMargin
       }))
 }
