@@ -221,7 +221,12 @@ object Bench {
       // subsequence mining (alphabet-bounded position joins)
       "q361_split_gain", "q362_seq_patterns", "q366_zipf_fit",
       "q367_regression_discontinuity", "q368_changepoint",
-      "q369_burstiness", "q370_calibration_audit", "q371_c_index")
+      "q369_burstiness", "q370_calibration_audit", "q371_c_index",
+      // round-12 continuation: classifier/causal/graph/embedding tier
+      "q372_naive_bayes", "q373_psm_att", "q374_aipw_ate",
+      "q375_betweenness", "q376_textrank", "q377_boosted_stumps",
+      "q378_harmonic_exact", "q379_harmonic_hyperball",
+      "q380_spectral_terms")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

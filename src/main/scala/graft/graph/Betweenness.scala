@@ -52,35 +52,35 @@ object Betweenness {
       .distinct()
       .repartition(col("u"))
       .cache()
-    // forward: settled (src, node, dist, sigma), expanding the frontier
-    var settled = seeds.select(col("node").cast("long").as("src"))
-      .distinct()
-      .select(col("src"), col("src").as("node"), lit(0).as("dist"),
-        lit(1L).as("sigma"))
-      .localCheckpoint()
-    var frontier = settled
+    // forward: one CHECKPOINTED frame per distance layer — the settled
+    // set for the anti-join is a lazy union over already-materialized
+    // layers (re-materializing the whole settled table per round was
+    // measured at ~3x the operator's wall at sf0.1)
+    val layers = scala.collection.mutable.ArrayBuffer(
+      seeds.select(col("node").cast("long").as("src"))
+        .distinct()
+        .select(col("src"), col("src").as("node"), lit(1L).as("sigma"))
+        .localCheckpoint())
     for (k <- 1 to maxHops) {
+      val frontier = layers.last
       val expanded = ed.join(frontier, ed("u") === frontier("node"))
         .groupBy(frontier("src").as("src"), ed("v").as("node"))
         .agg(sum(frontier("sigma").cast(dec38)).as("sig0"))
-      val fresh = expanded.join(settled.select(col("src"), col("node")),
-          Seq("src", "node"), "left_anti")
-        .select(col("src"), col("node"), lit(k).as("dist"),
+      val settled = layers.map(_.select(col("src"), col("node")))
+        .reduce(_ unionAll _)
+      layers += expanded.join(settled, Seq("src", "node"), "left_anti")
+        .select(col("src"), col("node"),
           when(col("sig0") > lit(SigmaCap), raise_error(lit(
             "betweenness: sigma exceeds 1e12 — shrink the horizon")))
             .otherwise(col("sig0").cast("long")).as("sigma"))
         .localCheckpoint()
-      settled = settled.unionAll(fresh).localCheckpoint()
-      frontier = fresh
     }
     // backward: per-layer delta in micro, deepest layer first
-    var layer = settled.filter(col("dist") === maxHops)
-      .select(col("src"), col("node"), col("sigma"),
-        lit(0L).as("delta"))
-      .localCheckpoint()
+    var layer = layers(maxHops)
+      .select(col("src"), col("node"), col("sigma"), lit(0L).as("delta"))
     var acc = layer.select(col("src"), col("node"), col("delta"))
     for (k <- (maxHops - 1) to 1 by -1) {
-      val cur = settled.filter(col("dist") === k)
+      val cur = layers(k)
         .select(col("src"), col("node"), col("sigma"))
       val terms = cur.join(ed, ed("u") === cur("node"))
         .join(layer.select(col("src").as("wsrc"), col("node").as("wnode"),
