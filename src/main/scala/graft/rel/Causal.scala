@@ -244,7 +244,114 @@ object Causal {
           .otherwise(round(col("jump") / col("se"), 6)).as("z_r6"))
   }
 
+  /** INSTRUMENTAL-VARIABLE Wald estimator (Angrist, Imbens & Rubin
+    * 1996, "Identification of causal effects using instrumental
+    * variables"): with a binary instrument z,
+    *
+    *   LATE = ITT / first-stage
+    *        = (ȳ_{z=1} − ȳ_{z=0}) / (t̄_{z=1} − t̄_{z=0}),
+    *
+    * the local average treatment effect on compliers — the estimator
+    * that survives unmeasured treatment-outcome confounding, provided
+    * z moves treatment and touches the outcome only through it. The
+    * final rung of the adjustment ladder (q328 stratification, q349
+    * IPW, q373 matching, q374 AIPW all assume no unmeasured
+    * confounding; IV does not).
+    *
+    * Exactness: all six cell statistics are exact integers from ONE
+    * hash aggregation; ITT, the first stage, and their ratio are one
+    * fixed IEEE chain each. Loud guards: a degenerate instrument (an
+    * empty z-arm) and a WEAK instrument (|first stage| < 0.01 — the
+    * ratio explodes; silence would be a wrong answer).
+    *
+    * Output (1 row): (n_z1, n_z0, itt_r6, first_stage_r6, late_r6).
+    */
+  def ivWald(df: DataFrame, instrument: String = "z",
+      treat: String = "t", y: String = "y"): DataFrame = {
+    val z0 = col(instrument).cast("long")
+    val zv = when(z0 === 1L, 1L).when(z0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("ivWald: instrument must be 0 or 1: "), z0.cast("string"))))
+    val t0 = col(treat).cast("long")
+    val tv = when(t0 === 1L, 1L).when(t0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("ivWald: treat must be 0 or 1: "), t0.cast("string"))))
+    val base = df.select(zv.as("z"), tv.as("t"),
+      col(y).cast("long").as("yv"))
+    val agg = base.agg(
+      sum(when(col("z") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("z") === 0L, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("z") === 1L, col("t")).otherwise(0L)).as("st1"),
+      sum(when(col("z") === 0L, col("t")).otherwise(0L)).as("st0"),
+      sum(when(col("z") === 1L, col("yv")).otherwise(0L)).as("sy1"),
+      sum(when(col("z") === 0L, col("yv")).otherwise(0L)).as("sy0"))
+    val guarded = agg.select(
+      when(col("n1") === 0L || col("n0") === 0L, raise_error(lit(
+        "ivWald: degenerate instrument — an arm is empty")))
+        .otherwise(col("n1")).as("n_z1"),
+      col("n0").as("n_z0"), col("st1"), col("st0"), col("sy1"), col("sy0"))
+      .withColumn("itt",
+        col("sy1").cast("double") / col("n_z1").cast("double")
+          - col("sy0").cast("double") / col("n_z0").cast("double"))
+      .withColumn("fs",
+        col("st1").cast("double") / col("n_z1").cast("double")
+          - col("st0").cast("double") / col("n_z0").cast("double"))
+    guarded.select(col("n_z1"), col("n_z0"),
+      round(col("itt"), 6).as("itt_r6"),
+      when(abs(col("fs")) < 0.01, raise_error(lit(
+        "ivWald: weak instrument — |first stage| < 0.01, the Wald " +
+          "ratio is unstable"))).otherwise(round(col("fs"), 6))
+        .as("first_stage_r6"),
+      round(col("itt") / col("fs"), 6).as("late_r6"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q381: IV / WALD — "what does early signup cause among the
+    //      users an early FIRST TOUCH pushed into it?": instrument =
+    //      first event before noon Jan 1 (first stage ~0.21 at
+    //      sf0.01), treatment = early signup, outcome = spend cents.
+    //      The exclusion restriction is a fixture convention — the
+    //      ESTIMATOR is the contract. ----
+    "q381_iv_wald" -> Q(
+      (s, d) => ivWald(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(
+            when(min(col("ts")) < lit("2024-01-01 12:00:00")
+              .cast("timestamp"), 1L).otherwise(0L).as("z"),
+            max(when(col("event_type") === "signup"
+              && col("ts") < lit("2024-01-05").cast("timestamp"), 1L)
+              .otherwise(0L)).as("t"),
+            sum(when(col("event_type") === "purchase",
+              round(col("value") * 100, 0).cast("long")).otherwise(0L))
+              .as("y"))),
+      Some("""WITH u AS (SELECT user_id,
+             |    CASE WHEN min(ts) < TIMESTAMP '2024-01-01 12:00:00'
+             |      THEN 1 ELSE 0 END AS z,
+             |    max(CASE WHEN event_type = 'signup'
+             |      AND ts < TIMESTAMP '2024-01-05 00:00:00'
+             |      THEN 1 ELSE 0 END) AS t,
+             |    sum(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+             |  FROM events GROUP BY user_id),
+             |ag AS (SELECT
+             |    sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS n0,
+             |    sum(CASE WHEN z = 1 THEN t ELSE 0 END) AS st1,
+             |    sum(CASE WHEN z = 0 THEN t ELSE 0 END) AS st0,
+             |    sum(CASE WHEN z = 1 THEN y ELSE 0 END) AS sy1,
+             |    sum(CASE WHEN z = 0 THEN y ELSE 0 END) AS sy0
+             |  FROM u),
+             |x AS (SELECT n1, n0,
+             |    CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |      - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS itt,
+             |    CAST(st1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |      - CAST(st0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS fs
+             |  FROM ag)
+             |SELECT CAST(n1 AS BIGINT) AS n_z1, CAST(n0 AS BIGINT) AS n_z0,
+             |  round(itt, 6) AS itt_r6, round(fs, 6) AS first_stage_r6,
+             |  round(itt / fs, 6) AS late_r6
+             |FROM x""".stripMargin)),
+
     // ---- q367: SHARP RDD — "does spend jump at the mid-month
     //      cohort boundary?": running variable = the user's first-
     //      event day index, cutoff day 15, ±10-day bandwidth, local

@@ -456,6 +456,84 @@ object Logistic {
       .withColumn("p_micro", pMicro)
       .drop("a", "b", "cbar", "xm")
 
+  /** UPLIFT MODELING (the two-model / T-learner estimator, Radcliffe
+    * & Surry 2011, "Real-world uplift modelling") with a QINI readout:
+    * fit P(y|x) separately per arm, score every unit with both,
+    * predicted uplift û = p̂₁ − p̂₀, then decile the population on û
+    * and report, per fixed-width uplift bin (descending — best
+    * targets first): arm sizes, mean predicted uplift, OBSERVED
+    * uplift (treated minus control response — null when an arm is
+    * empty, the q328 positivity convention), and the cumulative Qini
+    * statistic Q_k = Σst − Σsc·Σnt/Σnc over the bins targeted so far.
+    * A model that ranks persuadables first shows observed uplift
+    * decreasing down the bins and a concave Qini path — the standard
+    * "who should we target" audit.
+    *
+    * Determinism: both fits are the q348 integer chains (each arm
+    * centered on ITS OWN covariate mean — the model is deployable
+    * standalone); p̂ are integer micro; bins are integer fixed-width
+    * ((û + 10⁶) div width, capped at 9 — no rank machinery); the
+    * per-bin sums are exact integers and the cumulative fold rides
+    * the ORDER-PINNED ≤10-row bin window.
+    *
+    * Scale shape: two fixed-round fits + ONE map-side double-scoring
+    * pass (both 1-row models broadcast) + one hash aggregation to
+    * ≤10 bins. Output ordered bin desc.
+    */
+  def upliftQini(df: DataFrame, treat: String = "treat", y: String = "y",
+      covariate: String = "x", iters: Int = 8,
+      binWidthMicro: Long = 200000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binWidthMicro >= 1000L && binWidthMicro <= 2000000L,
+      s"1000 <= binWidthMicro <= 2000000: $binWidthMicro")
+    val t0 = col(treat).cast("long")
+    val tv = when(t0 === 1L, 1L).when(t0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("upliftQini: treat must be 0 or 1: "), t0.cast("string"))))
+    val y0 = col(y).cast("long")
+    val yv = when(y0 === 1L, 1L).when(y0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("upliftQini: y must be 0 or 1: "), y0.cast("string"))))
+    val base = df.select(tv.as("tr"), yv.as("yy"),
+      col(covariate).cast("double").as("x"))
+      .localCheckpoint(true) // read by both fits and the scoring pass
+    val m1 = logisticModel(base.filter(col("tr") === 1L), "yy", "x", iters)
+    val m0 = logisticModel(base.filter(col("tr") === 0L), "yy", "x", iters)
+    val scored = scoreLogistic(
+      scoreLogistic(base, m1).withColumnRenamed("p_micro", "p1"), m0)
+      .withColumnRenamed("p_micro", "p0")
+      .withColumn("u", col("p1") - col("p0"))
+      .withColumn("bin",
+        least(expr(s"(u + 1000000) div $binWidthMicro"), lit(9L)))
+    val bins = scored.groupBy("bin").agg(
+      sum(when(col("tr") === 1L, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("tr") === 0L, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("tr") === 1L, col("yy")).otherwise(0L)).as("st"),
+      sum(when(col("tr") === 0L, col("yy")).otherwise(0L)).as("sc"),
+      sum(col("u")).as("su"), count(lit(1)).as("n"))
+    val wCum = Window.orderBy(col("bin").desc)
+      .rowsBetween(Long.MinValue, 0)
+    bins
+      .withColumn("cnt", sum(col("nt")).over(wCum))
+      .withColumn("cnc", sum(col("nc")).over(wCum))
+      .withColumn("cst", sum(col("st")).over(wCum))
+      .withColumn("csc", sum(col("sc")).over(wCum))
+      .select(col("bin"), col("nt").as("n_treated"),
+        col("nc").as("n_control"),
+        round(col("su").cast("double")
+          / (col("n").cast("double") * lit(1e6)), 6).as("pred_uplift_r6"),
+        when(col("nt") > 0L && col("nc") > 0L,
+          round(col("st").cast("double") / col("nt").cast("double")
+            - col("sc").cast("double") / col("nc").cast("double"), 6))
+          .as("obs_uplift_r6"),
+        when(col("cnc") > 0L,
+          round(col("cst").cast("double")
+            - col("csc").cast("double") * col("cnt").cast("double")
+              / col("cnc").cast("double"), 6))
+          .as("qini_r6"))
+      .orderBy(col("bin").desc)
+  }
+
   /** MODEL CALIBRATION AUDIT over scored units: the Murphy (1973)
     * Brier decomposition BS = REL − RES + UNC on fixed-width
     * probability deciles, plus the Hosmer–Lemeshow χ² — the standard
@@ -538,7 +616,13 @@ object Logistic {
     * sufficient statistics → real-unit U/I + det, over the centered
     * unit CTE `u(y, xm[, yo])`
     */
-  private def evalSql(prev: String): String =
+  private def evalSql(prev: String): String = evalSqlOn("u", prev)
+
+  /** the per-round Newton evaluation over an arbitrary unit CTE —
+    * the q348 oracle machinery parametrized so multi-model entries
+    * (q382's per-arm fits) can replay several chains side by side
+    */
+  private def evalSqlOn(unit: String, prev: String): String =
     s"""(SELECT u0, u1, i00, i01, i11, i00 * i11 - i01 * i01 AS det FROM (
        |  SELECT CAST(su0 AS DOUBLE) / 1e6 AS u0,
        |    CAST(su1 AS DOUBLE) / 1e9 AS u1,
@@ -554,9 +638,10 @@ object Logistic {
        |      FROM (SELECT uu.y, uu.xm,
        |          CAST(round(1e6 / (1 + exp(-CAST(p2.a * 1000 + uu.xm * p2.b
        |            AS DOUBLE) / 1e9)), 0) AS BIGINT) AS pm
-       |        FROM u uu, $prev p2)))))""".stripMargin
+       |        FROM $unit uu, $prev p2)))))""".stripMargin
 
-  private def roundsSql(iters: Int): String = {
+  private def roundsSqlOn(unit: String, prefix: String,
+      iters: Int): String = {
     def round(prev: String, cur: String): String =
       s"""$cur AS MATERIALIZED (
          |  SELECT CAST(round((p.a / 1e6 + LEAST(GREATEST(
@@ -565,12 +650,16 @@ object Logistic {
          |    CAST(round((p.b / 1e6 + LEAST(GREATEST(
          |      (x.i00 * x.u1 - x.i01 * x.u0) / x.det, -1.0), 1.0))
          |      * 1e6, 0) AS BIGINT) AS b
-         |  FROM $prev p, ${evalSql(prev)} x)""".stripMargin
-    "r0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b),\n" +
+         |  FROM $prev p, ${evalSqlOn(unit, prev)} x)""".stripMargin
+    s"${prefix}0 AS (SELECT CAST(0 AS BIGINT) AS a, " +
+      "CAST(0 AS BIGINT) AS b),\n" +
       (1 to iters)
-        .map(k => round(if (k == 1) "r0" else s"r${k - 1}", s"r$k"))
+        .map(k => round(if (k == 1) s"${prefix}0" else s"$prefix${k - 1}",
+          s"$prefix$k"))
         .mkString(",\n")
   }
+
+  private def roundsSql(iters: Int): String = roundsSqlOn("u", "r", iters)
 
   /** the q348/q349 unit CTEs: per-user label/treat, ln(1+count)
     * covariate in centered milli-units (+ spend for the IPW entry)
@@ -664,6 +753,81 @@ object Logistic {
              |  round(CAST(swy1 AS DOUBLE) / CAST(sw1 AS DOUBLE)
              |    - CAST(swy0 AS DOUBLE) / CAST(sw0 AS DOUBLE), 6) AS ate_r6
              |FROM agg, r6 p""".stripMargin)),
+
+    // ---- q382: UPLIFT / QINI — who should be targeted with early
+    //      signup? Two-model T-learner on the activity covariate,
+    //      outcome = a >$100 purchase in the back half of the month;
+    //      fixed-width uplift deciles with observed uplift and the
+    //      cumulative Qini path. The oracle replays BOTH arms'
+    //      training chains, each unit's double scoring, the binning,
+    //      and the order-pinned cumulative fold. ----
+    "q382_uplift_qini" -> Q(
+      (s, d) => upliftQini(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "signup"
+              && col("ts") < lit("2024-01-05").cast("timestamp"), 1L)
+              .otherwise(0L)).as("treat"),
+            max(when(col("event_type") === "purchase"
+              && col("ts") >= lit("2024-01-15").cast("timestamp")
+              && col("value") > 100, 1L).otherwise(0L)).as("y"),
+            log((count(lit(1)) + 1).cast("double")).as("x")),
+        "treat", "y", "x", iters = 6, binWidthMicro = 200000L),
+      Some(s"""WITH ub AS MATERIALIZED (SELECT user_id,
+             |    max(CASE WHEN event_type = 'signup'
+             |      AND ts < TIMESTAMP '2024-01-05 00:00:00'
+             |      THEN 1 ELSE 0 END) AS tr,
+             |    max(CASE WHEN event_type = 'purchase'
+             |      AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+             |      AND value > 100 THEN 1 ELSE 0 END) AS yy,
+             |    CAST(round(ln(CAST(count(*) + 1 AS DOUBLE)) * 1000, 0)
+             |      AS BIGINT) AS xmr
+             |  FROM events GROUP BY user_id),
+             |cb1 AS (SELECT CAST(round(avg(xmr), 0) AS BIGINT) AS cb
+             |  FROM ub WHERE tr = 1),
+             |cb0 AS (SELECT CAST(round(avg(xmr), 0) AS BIGINT) AS cb
+             |  FROM ub WHERE tr = 0),
+             |ut AS MATERIALIZED (SELECT yy AS y,
+             |    xmr - (SELECT cb FROM cb1) AS xm FROM ub WHERE tr = 1),
+             |uc AS MATERIALIZED (SELECT yy AS y,
+             |    xmr - (SELECT cb FROM cb0) AS xm FROM ub WHERE tr = 0),
+             |${roundsSqlOn("ut", "t", 6)},
+             |${roundsSqlOn("uc", "c", 6)},
+             |scx AS MATERIALIZED (SELECT u.tr, u.yy,
+             |    CAST(round(1e6 / (1 + exp(-CAST(p.a * 1000
+             |      + (u.xmr - (SELECT cb FROM cb1)) * p.b AS DOUBLE)
+             |      / 1e9)), 0) AS BIGINT)
+             |    - CAST(round(1e6 / (1 + exp(-CAST(q.a * 1000
+             |      + (u.xmr - (SELECT cb FROM cb0)) * q.b AS DOUBLE)
+             |      / 1e9)), 0) AS BIGINT) AS u2
+             |  FROM ub u, t6 p, c6 q),
+             |bn AS (SELECT bin,
+             |    sum(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS nt,
+             |    sum(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS nc,
+             |    sum(CASE WHEN tr = 1 THEN yy ELSE 0 END) AS st,
+             |    sum(CASE WHEN tr = 0 THEN yy ELSE 0 END) AS sc2,
+             |    sum(u2) AS su, count(*) AS n
+             |  FROM (SELECT tr, yy, u2,
+             |      least((u2 + 1000000) // 200000, 9) AS bin FROM scx)
+             |  GROUP BY bin),
+             |cm AS (SELECT bin, nt, nc, st, sc2, su, n,
+             |    sum(nt) OVER w AS cnt_, sum(nc) OVER w AS cnc,
+             |    sum(st) OVER w AS cst, sum(sc2) OVER w AS csc
+             |  FROM bn WINDOW w AS (ORDER BY bin DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT bin, CAST(nt AS BIGINT) AS n_treated,
+             |  CAST(nc AS BIGINT) AS n_control,
+             |  round(CAST(su AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6)
+             |    AS pred_uplift_r6,
+             |  CASE WHEN nt > 0 AND nc > 0 THEN
+             |    round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+             |      - CAST(sc2 AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+             |    ELSE NULL END AS obs_uplift_r6,
+             |  CASE WHEN cnc > 0 THEN
+             |    round(CAST(cst AS DOUBLE) - CAST(csc AS DOUBLE)
+             |      * CAST(cnt_ AS DOUBLE) / CAST(cnc AS DOUBLE), 6)
+             |    ELSE NULL END AS qini_r6
+             |FROM cm ORDER BY bin DESC""".stripMargin)),
 
     // ---- q374: DOUBLY-ROBUST (AIPW) ATE — the q349 question with the
     //      augmentation: per-arm linear outcome models correct the
