@@ -534,6 +534,58 @@ object Logistic {
       .orderBy(col("bin").desc)
   }
 
+  /** K-FOLD CROSS-VALIDATED AUC of the logistic model — the held-out
+    * discrimination readout (Stone 1974): units hash into k folds by
+    * a SALT-KEYED md5 (the q254 portable-draw idiom — both engines
+    * assign every unit to the same fold, so the folds themselves sit
+    * under the hash gate); each fold's model trains on the OTHER
+    * folds (its own centering, its own fixed Newton rounds) and
+    * scores only its held-out units; per-fold ROC AUC comes from the
+    * exact rank-free cumulative trick ([[graft.llm.Eval.groupedAuc]]).
+    * A fold whose test set is single-class drops from the output (the
+    * groupedAuc contract — an AUC over one class is undefined).
+    *
+    * Scale shape: k fixed-round fits over (k−1)/k of the corpus each
+    * + ONE map-side scoring pass per fold (1-row models broadcast) +
+    * one windowed aggregation per fold keyed by fold — nothing
+    * global, nothing quadratic.
+    *
+    * Output per fold: (fold, n_train, n_test, n_pos, n_neg, auc_r6),
+    * ordered by fold.
+    */
+  def kFoldCvAuc(df: DataFrame, label: String = "y",
+      covariate: String = "x", id: String = "user_id", folds: Int = 3,
+      iters: Int = 6, salt: String = "cv384"): DataFrame = {
+    require(folds >= 2 && folds <= 10, s"2 <= folds <= 10: $folds")
+    val y0 = col(label).cast("long")
+    val yv = when(y0 === 1L, 1L).when(y0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("kFoldCvAuc: label must be 0 or 1: "), y0.cast("string"))))
+    val base = df.select(col(id).cast("long").as("uid"), yv.as("yy"),
+        col(covariate).cast("double").as("x"))
+      .withColumn("fold", expr(
+        s"cast(conv(substring(md5(concat('$salt-', cast(uid as string)))" +
+          s", 1, 8), 16, 10) as bigint) % $folds"))
+      .localCheckpoint(true)
+    val scored = (0 until folds).map { f =>
+      val m = logisticModel(base.filter(col("fold") =!= f.toLong),
+        "yy", "x", iters)
+      scoreLogistic(base.filter(col("fold") === f.toLong), m)
+        .select(col("fold"), col("yy"), col("p_micro"))
+    }.reduce(_ unionAll _)
+    val auc = graft.llm.Eval.groupedAuc(scored, col("fold"),
+      col("p_micro"), col("yy") === 1L)
+    val sizes = base.groupBy("fold").agg(count(lit(1)).as("n_test"))
+      .select(col("fold").as("tfold"), col("n_test"))
+    val tot = base.agg(count(lit(1)).as("n_all"))
+    auc.join(sizes, auc("grp") === sizes("tfold"))
+      .crossJoin(broadcast(tot))
+      .select(col("tfold").as("fold"),
+        (col("n_all") - col("n_test")).as("n_train"),
+        col("n_test"), col("n_pos"), col("n_neg"), col("auc_r6"))
+      .orderBy("fold")
+  }
+
   /** MODEL CALIBRATION AUDIT over scored units: the Murphy (1973)
     * Brier decomposition BS = REL − RES + UNC on fixed-width
     * probability deciles, plus the Hosmer–Lemeshow χ² — the standard
@@ -828,6 +880,70 @@ object Logistic {
              |      * CAST(cnt_ AS DOUBLE) / CAST(cnc AS DOUBLE), 6)
              |    ELSE NULL END AS qini_r6
              |FROM cm ORDER BY bin DESC""".stripMargin)),
+
+    // ---- q384: K-FOLD CROSS-VALIDATED AUC — does the q348 activity
+    //      model discriminate OUT OF SAMPLE? Three md5-hashed folds,
+    //      three training chains (each replayed in full by the
+    //      oracle), held-out scoring, exact rank-free AUC per fold. ----
+    "q384_kfold_cv_auc" -> Q(
+      (s, d) => kFoldCvAuc(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "signup"
+              && col("ts") < lit("2024-01-05").cast("timestamp"), 1L)
+              .otherwise(0L)).as("y"),
+            log((count(lit(1)) + 1).cast("double")).as("x")),
+        "y", "x", "user_id", folds = 3, iters = 6),
+      Some {
+        val foldChains = (0 until 3).map { f =>
+          s"""cb$f AS (SELECT CAST(round(avg(xmr), 0) AS BIGINT) AS cb
+             |  FROM ub WHERE fold <> $f),
+             |uf$f AS MATERIALIZED (SELECT yy AS y,
+             |    xmr - (SELECT cb FROM cb$f) AS xm
+             |  FROM ub WHERE fold <> $f),
+             |${roundsSqlOn(s"uf$f", s"m${f}r", 6)}""".stripMargin
+        }.mkString(",\n")
+        val foldScores = (0 until 3).map { f =>
+          s"""SELECT u.fold, u.yy,
+             |  CAST(round(1e6 / (1 + exp(-CAST(p.a * 1000
+             |    + (u.xmr - (SELECT cb FROM cb$f)) * p.b AS DOUBLE)
+             |    / 1e9)), 0) AS BIGINT) AS p
+             |FROM ub u, m${f}r6 p WHERE u.fold = $f""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ub AS MATERIALIZED (SELECT user_id,
+           |    max(CASE WHEN event_type = 'signup'
+           |      AND ts < TIMESTAMP '2024-01-05 00:00:00'
+           |      THEN 1 ELSE 0 END) AS yy,
+           |    CAST(round(ln(CAST(count(*) + 1 AS DOUBLE)) * 1000, 0)
+           |      AS BIGINT) AS xmr,
+           |    ('0x' || substr(md5('cv384-' || CAST(user_id AS VARCHAR)),
+           |      1, 8))::BIGINT % 3 AS fold
+           |  FROM events GROUP BY user_id),
+           |$foldChains,
+           |sc AS MATERIALIZED ($foldScores),
+           |per AS (SELECT fold, p AS s,
+           |    sum(CASE WHEN yy = 1 THEN 1 ELSE 0 END) AS pos,
+           |    sum(CASE WHEN yy = 1 THEN 0 ELSE 1 END) AS neg
+           |  FROM sc GROUP BY 1, 2),
+           |c AS (SELECT fold, pos, neg,
+           |    coalesce(sum(neg) OVER (PARTITION BY fold ORDER BY s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      0) AS cumneg
+           |  FROM per),
+           |g AS (SELECT fold, sum(pos) AS n_pos, sum(neg) AS n_neg,
+           |    sum(pos * (2 * cumneg + neg)) AS auc_num2
+           |  FROM c GROUP BY 1),
+           |tc AS (SELECT fold, count(*) AS n_test FROM ub GROUP BY fold),
+           |tt AS (SELECT count(*) AS n_all FROM ub)
+           |SELECT g.fold, CAST(tt.n_all - tc.n_test AS BIGINT) AS n_train,
+           |  CAST(tc.n_test AS BIGINT) AS n_test,
+           |  CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           |  round(CAST(auc_num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+           |    AS auc_r6
+           |FROM g JOIN tc ON tc.fold = g.fold CROSS JOIN tt
+           |WHERE n_pos > 0 AND n_neg > 0
+           |ORDER BY g.fold""".stripMargin
+      }),
 
     // ---- q374: DOUBLY-ROBUST (AIPW) ATE — the q349 question with the
     //      augmentation: per-arm linear outcome models correct the
