@@ -226,7 +226,8 @@ object Bench {
       "q372_naive_bayes", "q373_psm_att", "q374_aipw_ate",
       "q375_betweenness", "q376_textrank", "q377_boosted_stumps",
       "q378_harmonic_exact", "q379_harmonic_hyperball",
-      "q380_spectral_terms")
+      "q380_spectral_terms", "q381_iv_wald", "q382_uplift_qini",
+      "q383_walk_corpus", "q384_kfold_cv_auc")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

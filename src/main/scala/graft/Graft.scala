@@ -1909,4 +1909,129 @@ object Graft {
   def likeSearch(spark: SparkSession, docs: DataFrame, postings: DataFrame,
       pattern: String, id: String = "id", text: String = "text"): DataFrame =
     llm.Trigram.likeSearch(spark, docs, postings, pattern, id, text)
+
+  /** Multinomial naive Bayes: train the micro-quantized word model
+    * over a df-floored vocabulary ([[llm.NaiveBayes.naiveBayesModel]])
+    * or self-classify to a confusion matrix
+    * ([[llm.NaiveBayes.naiveBayesConfusion]]).
+    */
+  def naiveBayesModel(spark: SparkSession, docs: DataFrame, minDf: Long,
+      text: String = "text", label: String = "lang",
+      id: String = "doc_id"): DataFrame =
+    llm.NaiveBayes.naiveBayesModel(spark, docs, minDf, text, label, id)
+
+  def naiveBayesConfusion(spark: SparkSession, docs: DataFrame, minDf: Long,
+      id: String = "doc_id", text: String = "text",
+      label: String = "lang"): DataFrame =
+    llm.NaiveBayes.naiveBayesConfusion(spark, docs, minDf, id, text, label)
+
+  /** Propensity-score 1-NN caliper matching ATT on the integer
+    * logistic propensity ([[rel.Logistic.psmAtt]]).
+    */
+  def psmAtt(df: DataFrame, id: String = "user_id",
+      treat: String = "treat", outcome: String = "yo",
+      covariate: String = "x", iters: Int = 8,
+      caliperMicro: Long = 50000L): DataFrame =
+    rel.Logistic.psmAtt(df, id, treat, outcome, covariate, iters,
+      caliperMicro)
+
+  /** Doubly-robust AIPW ATE: clipped logistic propensity + per-arm
+    * quantized OLS outcome models ([[rel.Logistic.aipwAte]]).
+    */
+  def aipwAte(df: DataFrame, treat: String = "treat",
+      outcome: String = "yo", covariate: String = "x", iters: Int = 8,
+      clipMilli: Int = 10): DataFrame =
+    rel.Logistic.aipwAte(df, treat, outcome, covariate, iters, clipMilli)
+
+  /** Instrumental-variable Wald LATE with weak/degenerate-instrument
+    * guards ([[rel.Causal.ivWald]]).
+    */
+  def ivWald(df: DataFrame, instrument: String = "z",
+      treat: String = "t", y: String = "y"): DataFrame =
+    rel.Causal.ivWald(df, instrument, treat, y)
+
+  /** Two-model uplift (T-learner) with the fixed-width decile Qini
+    * readout ([[rel.Logistic.upliftQini]]).
+    */
+  def upliftQini(df: DataFrame, treat: String = "treat", y: String = "y",
+      covariate: String = "x", iters: Int = 8,
+      binWidthMicro: Long = 200000L): DataFrame =
+    rel.Logistic.upliftQini(df, treat, y, covariate, iters, binWidthMicro)
+
+  /** K-fold cross-validated held-out AUC of the logistic model over
+    * salt-keyed md5 folds ([[rel.Logistic.kFoldCvAuc]]).
+    */
+  def kFoldCvAuc(df: DataFrame, label: String = "y",
+      covariate: String = "x", id: String = "user_id", folds: Int = 3,
+      iters: Int = 6, salt: String = "cv384"): DataFrame =
+    rel.Logistic.kFoldCvAuc(df, label, covariate, id, folds, iters, salt)
+
+  /** Two-covariate logistic regression by fixed-round 3×3 Newton
+    * ([[rel.Logistic.logisticFit2]]).
+    */
+  def logisticFit2(df: DataFrame, label: String = "y",
+      cov1: String = "x1", cov2: String = "x2",
+      iters: Int = 8): DataFrame =
+    rel.Logistic.logisticFit2(df, label, cov1, cov2, iters)
+
+  /** Gradient-boosted regression stumps: the per-round model trace
+    * (split, leaves, gain, post-round RMSE)
+    * ([[rel.Tree.boostedStumps]]).
+    */
+  def boostedStumps(df: DataFrame, features: Seq[String],
+      label: String = "ym", rounds: Int = 4): DataFrame =
+    rel.Tree.boostedStumps(df, features, label, rounds)
+
+  /** Sampled-source Brandes betweenness with a fixed hop horizon
+    * ([[graph.Betweenness.betweenness]]).
+    */
+  def betweenness(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame =
+    graph.Betweenness.betweenness(spark, edges, seeds, maxHops)
+
+  /** Harmonic centrality: the exact bounded-horizon rung
+    * ([[graph.Anf.harmonicExact]]) and the linear-state HyperBall rung
+    * ([[graph.Anf.harmonicHyperball]]).
+    */
+  def harmonicExact(spark: SparkSession, edges: DataFrame, maxT: Int,
+      k: Int): DataFrame =
+    graph.Anf.harmonicExact(spark, edges, maxT, k)
+
+  def harmonicHyperball(spark: SparkSession, edges: DataFrame, maxT: Int,
+      k: Int): DataFrame =
+    graph.Anf.harmonicHyperball(spark, edges, maxT, k)
+
+  /** Deterministic hash-drawn random-walk corpus
+    * ([[graph.Walks.deterministicWalks]]).
+    */
+  def deterministicWalks(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, steps: Int, salt: String): DataFrame =
+    graph.Walks.deterministicWalks(spark, edges, seeds, steps, salt)
+
+  /** TextRank corpus keywords over the windowed co-occurrence graph
+    * ([[llm.TextRank.textRankKeywords]]).
+    */
+  def textRankKeywords(spark: SparkSession, docs: DataFrame,
+      window: Int = 2, minCount: Long = 5, iters: Int = 5, k: Int = 20,
+      text: String = "text"): DataFrame =
+    llm.TextRank.textRankKeywords(spark, docs, window, minCount, iters,
+      k, text)
+
+  /** Dominant spectral axis of the PPMI term graph by integer power
+    * iteration ([[llm.TextRank.spectralTermAxis]]).
+    */
+  def spectralTermAxis(spark: SparkSession, docs: DataFrame,
+      window: Int = 2, minCount: Long = 5, iters: Int = 5, k: Int = 15,
+      text: String = "text"): DataFrame =
+    llm.TextRank.spectralTermAxis(spark, docs, window, minCount, iters,
+      k, text)
+
+  /** Replayable negative-sampling draws from the smoothed unigram
+    * distribution ([[llm.NegSample.negativeSamples]]).
+    */
+  def negativeSamples(spark: SparkSession, docs: DataFrame, k: Int,
+      minCount: Long, salt: String, top: Int = 25,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    llm.NegSample.negativeSamples(spark, docs, k, minCount, salt, top,
+      id, text)
 }

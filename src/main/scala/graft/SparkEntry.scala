@@ -65,7 +65,8 @@ object SparkEntry {
       graft.graph.Louvain.all ++ graft.llm.TextStats.all ++
       graft.rel.Raking.all ++ graft.rel.Tree.all ++ graft.rel.SeqMine.all ++
       graft.llm.NaiveBayes.all ++ graft.graph.Betweenness.all ++
-      graft.llm.TextRank.all ++ graft.graph.Walks.all
+      graft.llm.TextRank.all ++ graft.graph.Walks.all ++
+      graft.llm.NegSample.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

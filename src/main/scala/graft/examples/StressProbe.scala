@@ -51,7 +51,14 @@ object StressProbe {
     // r12: the two community detectors — fixed synchronous rounds over
     // the 10× trade graph (LPA label votes + the modularity report;
     // Louvain gain argmax under the coloring schedule)
-    "q344_lpa_modularity", "q352_louvain_move")
+    "q344_lpa_modularity", "q352_louvain_move",
+    // r12 continuation: sampled-source Brandes — per-round traffic is
+    // sources × frontier-degree; disjoint replicas give 10× sources
+    // each confined to its copy, so state scales linearly and the
+    // forward/backward round structure must hold shape — and the
+    // HyperBall harmonic rung (per-node register state, the q325
+    // class, plus the per-t est retention + diff join)
+    "q375_betweenness", "q379_harmonic_hyperball")
 
   // operator-level probes for paths whose driver entries can't run off
   // the pinned fixture (q274 is fixture-guarded; q270 is the

@@ -534,6 +534,129 @@ object Logistic {
       .orderBy(col("bin").desc)
   }
 
+  /** TWO-COVARIATE LOGISTIC REGRESSION (intercept + x₁ + x₂) by
+    * fixed-round Newton — the multi-feature rung of the q348 recipe.
+    * Same determinism contract: covariates quantize to centered
+    * integer MILLI, parameters to integer MICRO, the per-unit sigmoid
+    * to integer micro; the NINE sufficient statistics are exact
+    * decimal(38,0) sums and the 3×3 Newton solve is one fixed IEEE
+    * cofactor chain on a 1-row aggregate (steps clamped to ±1 per
+    * parameter, the q345 trust region). Collinear covariates make the
+    * information singular — det ≤ 0 raises loudly.
+    *
+    * Scale shape: identical to [[logisticFit]] — `iters` map passes,
+    * each folding to ONE row; nothing keyed by anything but the
+    * global fold.
+    *
+    * Output (1 row): (a_micro, b1_micro, b2_micro, or1_r6, or2_r6,
+    * se_b1_r6, se_b2_r6, n_units, n_pos).
+    */
+  def logisticFit2(df: DataFrame, label: String = "y",
+      cov1: String = "x1", cov2: String = "x2",
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"1 <= iters <= 16: $iters")
+    val y0 = col(label).cast("long")
+    val yv = when(y0 === 1L, 1L).when(y0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("logisticFit2: label must be 0 or 1: "), y0.cast("string"))))
+    def quant(c: String, out: String) = {
+      val m = round(col(c).cast("double") * 1000, 0).cast("long")
+      when(abs(m) > XmCap, raise_error(concat(
+        lit(s"logisticFit2: |$c| exceeds 1000 after milli quantization" +
+          " — standardize it: "), m.cast("string")))).otherwise(m).as(out)
+    }
+    val base0 = df.select(yv.as("y"), quant(cov1, "x1m0"),
+      quant(cov2, "x2m0"))
+    val cb = base0.agg(round(avg(col("x1m0")), 0).cast("long").as("c1"),
+      round(avg(col("x2m0")), 0).cast("long").as("c2"))
+    val base = base0.crossJoin(broadcast(cb))
+      .select(col("y"), (col("x1m0") - col("c1")).as("x1m"),
+        (col("x2m0") - col("c2")).as("x2m"))
+      .localCheckpoint(true)
+    // one Newton evaluation at the broadcast 1-row (a, b1, b2)
+    def eval(ab: DataFrame): DataFrame = {
+      val lp = col("a") * lit(1000L) + col("x1m") * col("b1") +
+        col("x2m") * col("b2")
+      val lpg = when(abs(lp) > EtaCap, raise_error(
+        lit("logisticFit2: |linear predictor| exceeds 20 — diverging " +
+          "fit or unscaled covariates"))).otherwise(lp)
+      val pm = round(lit(1e6) / (lit(1.0)
+        + exp(-lpg.cast("double") / lit(1e9))), 0).cast("long")
+      base.crossJoin(broadcast(ab))
+        .withColumn("p", pm)
+        .withColumn("w", (col("p") * (lit(1000000L) - col("p"))).cast(dec38))
+        .withColumn("r", col("y") * lit(1000000L) - col("p"))
+        .groupBy("a", "b1", "b2")
+        .agg(sum(col("r").cast(dec38)).as("su0"),
+          sum((col("x1m") * col("r")).cast(dec38)).as("su1"),
+          sum((col("x2m") * col("r")).cast(dec38)).as("su2"),
+          sum(col("w")).as("si00"),
+          sum(col("x1m") * col("w")).as("si01"),
+          sum(col("x2m") * col("w")).as("si02"),
+          sum((col("x1m") * col("x1m")).cast(dec38) * col("w")).as("si11"),
+          sum((col("x1m") * col("x2m")).cast(dec38) * col("w")).as("si12"),
+          sum((col("x2m") * col("x2m")).cast(dec38) * col("w")).as("si22"))
+        .select(col("a"), col("b1"), col("b2"),
+          (col("su0").cast("double") / lit(1e6)).as("u0"),
+          (col("su1").cast("double") / lit(1e9)).as("u1"),
+          (col("su2").cast("double") / lit(1e9)).as("u2"),
+          (col("si00").cast("double") / lit(1e12)).as("i00"),
+          (col("si01").cast("double") / lit(1e15)).as("i01"),
+          (col("si02").cast("double") / lit(1e15)).as("i02"),
+          (col("si11").cast("double") / lit(1e18)).as("i11"),
+          (col("si12").cast("double") / lit(1e18)).as("i12"),
+          (col("si22").cast("double") / lit(1e18)).as("i22"))
+        .withColumn("c00", col("i11") * col("i22") - col("i12") * col("i12"))
+        .withColumn("c01", col("i02") * col("i12") - col("i01") * col("i22"))
+        .withColumn("c02", col("i01") * col("i12") - col("i02") * col("i11"))
+        .withColumn("c11", col("i00") * col("i22") - col("i02") * col("i02"))
+        .withColumn("c12", col("i01") * col("i02") - col("i00") * col("i12"))
+        .withColumn("c22", col("i00") * col("i11") - col("i01") * col("i01"))
+        .withColumn("det", col("i00") * col("c00") + col("i01") * col("c01")
+          + col("i02") * col("c02"))
+    }
+    def clampStep(num: org.apache.spark.sql.Column,
+        det: org.apache.spark.sql.Column) =
+      greatest(least(num / det, lit(1.0)), lit(-1.0))
+    var ab = base.sparkSession.range(1)
+      .select(lit(0L).as("a"), lit(0L).as("b1"), lit(0L).as("b2"))
+    for (_ <- 1 to iters) {
+      ab = eval(ab)
+        .select(
+          when(col("det") <= 0.0, raise_error(lit(
+            "logisticFit2: singular information — collinear or " +
+              "degenerate covariates")))
+            .otherwise(round((col("a").cast("double") / lit(1e6)
+              + clampStep(col("c00") * col("u0") + col("c01") * col("u1")
+                + col("c02") * col("u2"), col("det"))) * lit(1e6), 0)
+              .cast("long")).as("a"),
+          round((col("b1").cast("double") / lit(1e6)
+            + clampStep(col("c01") * col("u0") + col("c11") * col("u1")
+              + col("c12") * col("u2"), col("det"))) * lit(1e6), 0)
+            .cast("long").as("b1"),
+          round((col("b2").cast("double") / lit(1e6)
+            + clampStep(col("c02") * col("u0") + col("c12") * col("u1")
+              + col("c22") * col("u2"), col("det"))) * lit(1e6), 0)
+            .cast("long").as("b2"))
+        .localCheckpoint(true)
+    }
+    val fin = eval(ab)
+      .select(col("a"), col("b1"), col("b2"),
+        when(col("det") <= 0.0, raise_error(lit(
+          "logisticFit2: singular information — collinear or " +
+            "degenerate covariates")))
+          .otherwise(round(sqrt(col("c11") / col("det")), 6))
+          .as("se_b1_r6"),
+        round(sqrt(col("c22") / col("det")), 6).as("se_b2_r6"))
+    val stats = base.agg(count(lit(1)).as("n_units"), sum("y").as("n_pos"))
+    fin.crossJoin(broadcast(stats))
+      .select(col("a").as("a_micro"), col("b1").as("b1_micro"),
+        col("b2").as("b2_micro"),
+        round(exp(col("b1").cast("double") / lit(1e6)), 6).as("or1_r6"),
+        round(exp(col("b2").cast("double") / lit(1e6)), 6).as("or2_r6"),
+        col("se_b1_r6"), col("se_b2_r6"), col("n_units"), col("n_pos"))
+  }
+
   /** K-FOLD CROSS-VALIDATED AUC of the logistic model — the held-out
     * discrimination readout (Stone 1974): units hash into k folds by
     * a SALT-KEYED md5 (the q254 portable-draw idiom — both engines
@@ -880,6 +1003,112 @@ object Logistic {
              |      * CAST(cnt_ AS DOUBLE) / CAST(cnc AS DOUBLE), 6)
              |    ELSE NULL END AS qini_r6
              |FROM cm ORDER BY bin DESC""".stripMargin)),
+
+    // ---- q385: TWO-COVARIATE LOGISTIC — early signup from overall
+    //      activity AND purchase activity jointly; six 3×3 Newton
+    //      rounds, the oracle replaying the nine HUGEINT sufficient
+    //      statistics, the cofactor solve, and the clamped updates
+    //      round for round. ----
+    "q385_logistic2" -> Q(
+      (s, d) => logisticFit2(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "signup"
+              && col("ts") < lit("2024-01-05").cast("timestamp"), 1L)
+              .otherwise(0L)).as("y"),
+            log((count(lit(1)) + 1).cast("double")).as("x1"),
+            log((sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)) + 1).cast("double")).as("x2")),
+        "y", "x1", "x2", iters = 6),
+      Some {
+        def eval2(prev: String): String =
+          s"""(SELECT a, b1, b2, u0, u1, u2, i00, i01, i02, i11, i12, i22,
+             |    c00, c01, c02, c11, c12, c22,
+             |    i00 * c00 + i01 * c01 + i02 * c02 AS det
+             |  FROM (SELECT *,
+             |      i11 * i22 - i12 * i12 AS c00,
+             |      i02 * i12 - i01 * i22 AS c01,
+             |      i01 * i12 - i02 * i11 AS c02,
+             |      i00 * i22 - i02 * i02 AS c11,
+             |      i01 * i02 - i00 * i12 AS c12,
+             |      i00 * i11 - i01 * i01 AS c22
+             |    FROM (SELECT a, b1, b2,
+             |        CAST(su0 AS DOUBLE) / 1e6 AS u0,
+             |        CAST(su1 AS DOUBLE) / 1e9 AS u1,
+             |        CAST(su2 AS DOUBLE) / 1e9 AS u2,
+             |        CAST(si00 AS DOUBLE) / 1e12 AS i00,
+             |        CAST(si01 AS DOUBLE) / 1e15 AS i01,
+             |        CAST(si02 AS DOUBLE) / 1e15 AS i02,
+             |        CAST(si11 AS DOUBLE) / 1e18 AS i11,
+             |        CAST(si12 AS DOUBLE) / 1e18 AS i12,
+             |        CAST(si22 AS DOUBLE) / 1e18 AS i22
+             |      FROM (SELECT a, b1, b2,
+             |          sum(y * 1000000 - pm) AS su0,
+             |          sum(x1m * (y * 1000000 - pm)) AS su1,
+             |          sum(x2m * (y * 1000000 - pm)) AS su2,
+             |          sum(w) AS si00, sum(x1m * w) AS si01,
+             |          sum(x2m * w) AS si02,
+             |          sum(CAST(x1m * x1m AS HUGEINT) * w) AS si11,
+             |          sum(CAST(x1m * x2m AS HUGEINT) * w) AS si12,
+             |          sum(CAST(x2m * x2m AS HUGEINT) * w) AS si22
+             |        FROM (SELECT a, b1, b2, y, x1m, x2m, pm,
+             |            pm * (1000000 - pm) AS w
+             |          FROM (SELECT p2.a, p2.b1, p2.b2, uu.y, uu.x1m,
+             |              uu.x2m,
+             |              CAST(round(1e6 / (1 + exp(-CAST(p2.a * 1000
+             |                + uu.x1m * p2.b1 + uu.x2m * p2.b2 AS DOUBLE)
+             |                / 1e9)), 0) AS BIGINT) AS pm
+             |            FROM u2c uu, $prev p2))
+             |        GROUP BY a, b1, b2))))""".stripMargin
+        def step(num: String): String =
+          s"LEAST(GREATEST(($num) / x.det, -1.0), 1.0)"
+        def round3(prev: String, cur: String): String =
+          s"""$cur AS MATERIALIZED (
+             |  SELECT CAST(round((x.a / 1e6 + ${step(
+            "x.c00 * x.u0 + x.c01 * x.u1 + x.c02 * x.u2")})
+             |      * 1e6, 0) AS BIGINT) AS a,
+             |    CAST(round((x.b1 / 1e6 + ${step(
+            "x.c01 * x.u0 + x.c11 * x.u1 + x.c12 * x.u2")})
+             |      * 1e6, 0) AS BIGINT) AS b1,
+             |    CAST(round((x.b2 / 1e6 + ${step(
+            "x.c02 * x.u0 + x.c12 * x.u1 + x.c22 * x.u2")})
+             |      * 1e6, 0) AS BIGINT) AS b2
+             |  FROM ${eval2(prev)} x)""".stripMargin
+        val rounds = "g0 AS (SELECT CAST(0 AS BIGINT) AS a, " +
+          "CAST(0 AS BIGINT) AS b1, CAST(0 AS BIGINT) AS b2),\n" +
+          (1 to 6).map(k =>
+            round3(if (k == 1) "g0" else s"g${k - 1}", s"g$k"))
+            .mkString(",\n")
+        s"""WITH ub2 AS MATERIALIZED (SELECT user_id,
+           |    max(CASE WHEN event_type = 'signup'
+           |      AND ts < TIMESTAMP '2024-01-05 00:00:00'
+           |      THEN 1 ELSE 0 END) AS y,
+           |    CAST(round(ln(CAST(count(*) + 1 AS DOUBLE)) * 1000, 0)
+           |      AS BIGINT) AS x1r,
+           |    CAST(round(ln(CAST(sum(CASE WHEN event_type = 'purchase'
+           |      THEN 1 ELSE 0 END) + 1 AS DOUBLE)) * 1000, 0)
+           |      AS BIGINT) AS x2r
+           |  FROM events GROUP BY user_id),
+           |cbb AS (SELECT CAST(round(avg(x1r), 0) AS BIGINT) AS c1,
+           |    CAST(round(avg(x2r), 0) AS BIGINT) AS c2 FROM ub2),
+           |u2c AS MATERIALIZED (SELECT y,
+           |    x1r - (SELECT c1 FROM cbb) AS x1m,
+           |    x2r - (SELECT c2 FROM cbb) AS x2m
+           |  FROM ub2),
+           |$rounds,
+           |fin AS (SELECT x.a, x.b1, x.b2,
+           |    round(sqrt(x.c11 / x.det), 6) AS se_b1_r6,
+           |    round(sqrt(x.c22 / x.det), 6) AS se_b2_r6
+           |  FROM ${eval2("g6")} x),
+           |st AS (SELECT count(*) AS n_units, sum(y) AS n_pos FROM u2c)
+           |SELECT a AS a_micro, b1 AS b1_micro, b2 AS b2_micro,
+           |  round(exp(b1 / 1e6), 6) AS or1_r6,
+           |  round(exp(b2 / 1e6), 6) AS or2_r6,
+           |  se_b1_r6, se_b2_r6,
+           |  CAST(n_units AS BIGINT) AS n_units,
+           |  CAST(n_pos AS BIGINT) AS n_pos
+           |FROM fin, st""".stripMargin
+      }),
 
     // ---- q384: K-FOLD CROSS-VALIDATED AUC — does the q348 activity
     //      model discriminate OUT OF SAMPLE? Three md5-hashed folds,
