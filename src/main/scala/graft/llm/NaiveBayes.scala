@@ -78,11 +78,11 @@ object NaiveBayes {
     cells.unionByName(priors)
   }
 
-  /** Self-classification confusion matrix: train on the labeled docs,
+  /** Per-document self-classification: train on the labeled docs,
     * score every doc against every label, argmax (ties → label asc).
-    * Output: (lang, pred, n_docs) ordered by (lang, pred).
+    * Output: (did, truth, pred).
     */
-  def naiveBayesConfusion(s: SparkSession, docs: DataFrame, minDf: Long,
+  def naiveBayesPredict(s: SparkSession, docs: DataFrame, minDf: Long,
       id: String = "doc_id", text: String = "text",
       label: String = "lang"): DataFrame = {
     val model = naiveBayesModel(s, docs, minDf, text, label, id)
@@ -103,9 +103,62 @@ object NaiveBayes {
     val w = Window.partitionBy("did")
       .orderBy(col("score_micro").desc, col("label"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("truth").as("lang"), col("label").as("pred"))
+      .select(col("did"), col("truth"), col("label").as("pred"))
+  }
+
+  /** Self-classification confusion matrix over
+    * [[naiveBayesPredict]]'s per-document argmax.
+    * Output: (lang, pred, n_docs) ordered by (lang, pred).
+    */
+  def naiveBayesConfusion(s: SparkSession, docs: DataFrame, minDf: Long,
+      id: String = "doc_id", text: String = "text",
+      label: String = "lang"): DataFrame =
+    naiveBayesPredict(s, docs, minDf, id, text, label)
+      .groupBy(col("truth").as("lang"), col("pred"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "pred")
+
+  /** McNEMAR'S PAIRED TEST between two classifiers on the same
+    * documents (McNemar 1947; the Dietterich ML'98 recommendation for
+    * comparing classifiers on one test set): pair the word-model
+    * naive Bayes with the q264 character-trigram scorer, both
+    * self-classifying the labeled corpus, and test whether their
+    * DISAGREEMENTS are symmetric — χ² = (b−c)²/(b+c) over the
+    * discordant counts (b = only NB right, c = only trigram right).
+    * Accuracy alone cannot say whether two models differ; the paired
+    * discordants can.
+    *
+    * Exactness: both classifiers are the house integer scorers; the
+    * four paired cells are exact integers from one hash aggregation;
+    * χ² is one fixed IEEE chain, null when b + c = 0 (identical
+    * disagreement patterns — the statistic is undefined, not zero).
+    *
+    * Output (1 row): (n_docs, nb_correct, tri_correct, b_nb_only,
+    * c_tri_only, mcnemar_chi2_r6).
+    */
+  def mcnemarNbVsTrigram(s: SparkSession, docs: DataFrame,
+      minDf: Long): DataFrame = {
+    val nb = naiveBayesPredict(s, docs, minDf)
+      .select(col("did"), col("truth"), col("pred").as("nb_pred"))
+    val prof = LangId.trainProfiles(
+      docs.select(col("lang"), col("text")))
+    val tri = LangId.predict(docs.select(col("doc_id"), col("text")), prof)
+      .select(col("doc_id").as("did"), col("lang_pred").as("tri_pred"))
+    nb.join(tri, Seq("did"))
+      .select(
+        when(col("nb_pred") === col("truth"), 1L).otherwise(0L).as("nr"),
+        when(col("tri_pred") === col("truth"), 1L).otherwise(0L).as("tr"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nr")).as("nb_correct"),
+        sum(col("tr")).as("tri_correct"),
+        sum(when(col("nr") === 1L && col("tr") === 0L, 1L).otherwise(0L))
+          .as("b_nb_only"),
+        sum(when(col("nr") === 0L && col("tr") === 1L, 1L).otherwise(0L))
+          .as("c_tri_only"))
+      .withColumn("mcnemar_chi2_r6",
+        when(col("b_nb_only") + col("c_tri_only") > 0L,
+          round((col("b_nb_only") - col("c_tri_only")).cast("double")
+            * (col("b_nb_only") - col("c_tri_only")).cast("double")
+            / (col("b_nb_only") + col("c_tri_only")).cast("double"), 6)))
   }
 
   val all: ListMap[String, Q] = ListMap(
@@ -157,5 +210,92 @@ object NaiveBayes {
              |  FROM scored)
              |SELECT truth AS lang, label AS pred, count(*) AS n_docs
              |FROM pick WHERE rn = 1 GROUP BY truth, label
-             |ORDER BY lang, pred""".stripMargin)))
+             |ORDER BY lang, pred""".stripMargin)),
+
+    // ---- q387: McNEMAR — do the word NB (q372) and the character-
+    //      trigram scorer (the q264 machinery, trained on the real
+    //      corpus) disagree symmetrically? The oracle replays BOTH
+    //      classifiers end to end and the paired discordant fold. ----
+    "q387_mcnemar" -> Q(
+      (s, d) => mcnemarNbVsTrigram(s, Tables.documents(s, d), minDf = 10L),
+      Some("""WITH tok AS MATERIALIZED (SELECT doc_id, lang, term
+             |  FROM (SELECT doc_id, lang,
+             |      unnest(list_filter(regexp_split_to_array(
+             |        trim(lower(text)), '\s+'), x -> len(x) > 0)) AS term
+             |    FROM documents)),
+             |vocab AS MATERIALIZED (SELECT term
+             |  FROM (SELECT DISTINCT doc_id, term FROM tok)
+             |  GROUP BY term HAVING count(*) >= 10),
+             |cc AS (SELECT t.lang AS label, t.term, count(*) AS c
+             |  FROM tok t JOIN vocab v ON v.term = t.term
+             |  GROUP BY t.lang, t.term),
+             |nl AS (SELECT label, sum(c) AS n_l FROM cc GROUP BY label),
+             |vs AS (SELECT count(*) AS v FROM vocab),
+             |cells AS MATERIALIZED (SELECT nl.label, vo.term,
+             |    CAST(round(ln(CAST(coalesce(cc.c, 0) + 1 AS DOUBLE)
+             |      / CAST(nl.n_l + vs.v AS DOUBLE)) * 1e6, 0) AS BIGINT)
+             |      AS lp_micro
+             |  FROM vocab vo CROSS JOIN nl CROSS JOIN vs
+             |  LEFT JOIN cc ON cc.term = vo.term AND cc.label = nl.label),
+             |pri AS (SELECT lang AS label,
+             |    CAST(round(ln(CAST(count(*) AS DOUBLE)
+             |      / (SELECT CAST(count(*) AS DOUBLE) FROM documents))
+             |      * 1e6, 0) AS BIGINT) AS prior_micro
+             |  FROM documents GROUP BY lang),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |  FROM tok GROUP BY doc_id, term),
+             |contrib AS (SELECT tf.doc_id, ce.label,
+             |    sum(tf.tf * ce.lp_micro) AS like_micro
+             |  FROM tf JOIN cells ce ON ce.term = tf.term
+             |  GROUP BY tf.doc_id, ce.label),
+             |scored AS (SELECT d.doc_id, d.lang AS truth, p.label,
+             |    p.prior_micro + coalesce(c.like_micro, 0) AS score_micro
+             |  FROM documents d CROSS JOIN pri p
+             |  LEFT JOIN contrib c
+             |    ON c.doc_id = d.doc_id AND c.label = p.label),
+             |npick AS (SELECT doc_id, truth, label AS nb_pred
+             |  FROM (SELECT doc_id, truth, label, row_number() OVER (
+             |      PARTITION BY doc_id
+             |      ORDER BY score_micro DESC, label) AS rn
+             |    FROM scored) WHERE rn = 1),
+             |rtri AS MATERIALIZED (SELECT doc_id, lang, u.tri
+             |  FROM documents, UNNEST(list_transform(
+             |    range(1, length(text) - 1),
+             |    p -> substr(text, CAST(p AS INT), 3))) AS u(tri)),
+             |pcnt AS (SELECT lang, tri, count(*) AS c FROM rtri
+             |  GROUP BY 1, 2),
+             |ptot AS (SELECT lang, sum(c) AS tot FROM pcnt GROUP BY 1),
+             |prof AS (SELECT p.lang, p.tri, (p.c * 1000000) // t.tot AS w
+             |  FROM pcnt p JOIN ptot t ON p.lang = t.lang),
+             |rtc AS (SELECT doc_id, tri, count(*) AS c FROM rtri
+             |  GROUP BY 1, 2),
+             |rsc AS (SELECT rtc.doc_id, prof.lang,
+             |    CAST(sum(rtc.c * prof.w) AS BIGINT) AS score_u
+             |  FROM rtc JOIN prof ON rtc.tri = prof.tri GROUP BY 1, 2),
+             |rpred AS (SELECT doc_id, lang AS tri_pred
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score_u DESC, lang) AS rn FROM rsc)
+             |  WHERE rn = 1),
+             |pairs AS (SELECT
+             |    CASE WHEN n.nb_pred = n.truth THEN 1 ELSE 0 END AS nr,
+             |    CASE WHEN r.tri_pred = n.truth THEN 1 ELSE 0 END AS tr
+             |  FROM npick n JOIN rpred r ON r.doc_id = n.doc_id),
+             |ag AS (SELECT count(*) AS n_docs, sum(nr) AS nb_correct,
+             |    sum(tr) AS tri_correct,
+             |    sum(CASE WHEN nr = 1 AND tr = 0 THEN 1 ELSE 0 END)
+             |      AS b_nb_only,
+             |    sum(CASE WHEN nr = 0 AND tr = 1 THEN 1 ELSE 0 END)
+             |      AS c_tri_only
+             |  FROM pairs)
+             |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(nb_correct AS BIGINT) AS nb_correct,
+             |  CAST(tri_correct AS BIGINT) AS tri_correct,
+             |  CAST(b_nb_only AS BIGINT) AS b_nb_only,
+             |  CAST(c_tri_only AS BIGINT) AS c_tri_only,
+             |  CASE WHEN b_nb_only + c_tri_only > 0 THEN
+             |    round(CAST(b_nb_only - c_tri_only AS DOUBLE)
+             |      * CAST(b_nb_only - c_tri_only AS DOUBLE)
+             |      / CAST(b_nb_only + c_tri_only AS DOUBLE), 6)
+             |    ELSE NULL END AS mcnemar_chi2_r6
+             |FROM ag""".stripMargin)))
 }

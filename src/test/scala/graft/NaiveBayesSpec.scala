@@ -55,6 +55,39 @@ class NaiveBayesSpec extends SparkSpec {
     assert(got(("y", "y")) == 4L)
   }
 
+  test("mcnemar: perfectly-agreeing classifiers yield a null statistic") {
+    val s = spark
+    import s.implicits._
+    // disjoint words AND characters per class: both classifiers perfect
+    val d = Seq(
+      (1L, "aaa aaa aaa", "x"), (2L, "aaa aaa", "x"), (3L, "aaa", "x"),
+      (4L, "bbb bbb bbb", "y"), (5L, "bbb bbb", "y"), (6L, "bbb", "y")
+    ).toDF("doc_id", "text", "lang")
+    val r = NaiveBayes.mcnemarNbVsTrigram(spark, d, minDf = 2).collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 6L && r.getLong(2) == 6L,
+      s"$r")
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L && r.isNullAt(5), s"$r")
+  }
+
+  test("mcnemar: the statistic replays (b-c)^2/(b+c) from the counts") {
+    val s = spark
+    import s.implicits._
+    // word signal is clean; trigrams are poisoned by a shared suffix
+    val d = Seq(
+      (1L, "red apple", "x"), (2L, "red apple", "x"),
+      (3L, "red banana", "x"),
+      (4L, "blue banana", "y"), (5L, "blue banana", "y"),
+      (6L, "blue apple", "y")
+    ).toDF("doc_id", "text", "lang")
+    val r = NaiveBayes.mcnemarNbVsTrigram(spark, d, minDf = 1).collect()(0)
+    val (b, c) = (r.getLong(3), r.getLong(4))
+    if (b + c > 0) {
+      val want = BigDecimal((b - c).toDouble * (b - c) / (b + c))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == want, s"$r")
+    } else assert(r.isNullAt(5), s"$r")
+  }
+
   test("df floor drops rare terms from the model") {
     // distinct-doc frequencies: aa=3, bb=4, cc=3
     val t3 = NaiveBayes.naiveBayesModel(spark, docs, minDf = 3)
