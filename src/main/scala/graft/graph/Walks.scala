@@ -56,6 +56,43 @@ object Walks {
     out.orderBy("start", "step")
   }
 
+  /** NODE-EMBEDDING AXIS from the walk corpus — DeepWalk's
+    * matrix-factorization reading made verifiable (Qiu et al.
+    * WSDM'18, "Network embedding as matrix factorization"): generate
+    * the deterministic walk corpus, count window-±2 co-visits along
+    * each walk, and run the PPMI power iteration
+    * ([[graft.llm.TextRank.ppmiAxis]]) toward its Perron vector — the
+    * nodes loading highest share the corpus's strongest random-walk
+    * context, i.e. the first coordinate a DeepWalk embedding would
+    * learn. Every stage (walks, pairs, PPMI quantization, matvec
+    * rounds) is exact integer arithmetic.
+    *
+    * Output: top-k (node, v_micro), ties → node asc.
+    */
+  def nodeEmbeddingAxis(s: SparkSession, edges: DataFrame,
+      seeds: DataFrame, steps: Int, salt: String, minCount: Long = 2,
+      iters: Int = 5, k: Int = 15): DataFrame = {
+    val wk = deterministicWalks(s, edges, seeds, steps, salt)
+      .localCheckpoint()
+    val pr = (1 to 2).map { o =>
+      val a = wk.select(col("start"), col("step"), col("node").as("na"))
+      val b = wk.select(col("start").as("bstart"),
+        col("step").as("bstep"), col("node").as("nb"))
+      a.join(b, col("bstart") === col("start")
+          && col("bstep") === col("step") + o)
+        .filter(col("na") =!= col("nb"))
+        .select(least(col("na"), col("nb")).as("a"),
+          greatest(col("na"), col("nb")).as("b"))
+    }.reduce(_ unionAll _)
+    val pc = pr.groupBy("a", "b").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+      .localCheckpoint()
+    val uc = wk.groupBy(col("node").as("tok"))
+      .agg(count(lit(1)).as("c1"))
+    graft.llm.TextRank.ppmiAxis(s, pc, uc, iters, k)
+      .select(col("term").as("node"), col("v_micro"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- q383: WALK CORPUS over the trade graph — one 5-step
     //      hash-drawn walk per nation-0 supplier (the q122 seed set).
@@ -94,5 +131,92 @@ object Walks {
            |  ${(1 to 5).map(t => s"UNION ALL SELECT start, $t, node FROM w$t")
             .mkString("\n  ")})
            |ORDER BY start, step""".stripMargin
+      }),
+
+    // ---- q388: NODE-EMBEDDING AXIS — 8-step walks from EVERY
+    //      supplier, window-±2 co-visit pairs (count ≥ 2), PPMI power
+    //      iteration; the 15 nodes loading highest on the dominant
+    //      walk-context axis. The oracle replays walks, pairs, the
+    //      PPMI quantization, and all five matvec rounds. ----
+    "q388_node_embedding_axis" -> Q(
+      (s, d) => {
+        val e0 = Tables.orders(s, d).join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("u"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("v"))
+          .distinct()
+        val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+        val seeds = Tables.supplier(s, d)
+          .select((col("s_suppkey").cast("long") * 2 + 1).as("node"))
+        nodeEmbeddingAxis(s, edges, seeds, steps = 8, salt = "ne388",
+          minCount = 2, iters = 5, k = 15)
+          .select(
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("kind"),
+            expr("node div 2").as("key"), col("v_micro"))
+          .orderBy(col("v_micro").desc, col("kind"), col("key"))
+      },
+      Some {
+        def wstep(prev: String, cur: String, t: Int): String =
+          s"""$cur AS MATERIALIZED (SELECT start, v AS node FROM (
+             |  SELECT h.start, ed.v,
+             |    row_number() OVER (PARTITION BY h.start ORDER BY
+             |      md5('ne388-' || CAST(ed.u AS VARCHAR) || '-$t-' ||
+             |        CAST(ed.v AS VARCHAR)), ed.v) AS rn
+             |  FROM ed JOIN $prev h ON ed.u = h.node) WHERE rn = 1)"""
+            .stripMargin
+        def iter(prev: String, r: Int): String =
+          s"""mv$r AS MATERIALIZED (SELECT edx.a AS term,
+             |    sum(CAST(edx.w AS HUGEINT) * v.v) AS mv
+             |  FROM edx JOIN $prev v ON v.term = edx.b GROUP BY edx.a),
+             |v$r AS MATERIALIZED (SELECT term,
+             |    CAST((mv * 1000000) // (SELECT max(abs(mv)) FROM mv$r)
+             |      AS BIGINT) AS v
+             |  FROM mv$r)""".stripMargin
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+           |ed AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+           |w0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS start,
+           |    s_suppkey * 2 + 1 AS node FROM supplier),
+           |${(1 to 8).map(t => wstep(s"w${t - 1}", s"w$t", t))
+            .mkString(",\n")},
+           |wk AS MATERIALIZED (
+           |  SELECT start, 0 AS step, node FROM w0
+           |  ${(1 to 8).map(t => s"UNION ALL SELECT start, $t, node FROM w$t")
+            .mkString("\n  ")}),
+           |pr AS (SELECT least(a.node, b.node) AS a,
+           |    greatest(a.node, b.node) AS b
+           |  FROM wk a JOIN wk b ON b.start = a.start
+           |    AND b.step = a.step + 1
+           |  WHERE a.node <> b.node
+           |  UNION ALL
+           |  SELECT least(a.node, b.node), greatest(a.node, b.node)
+           |  FROM wk a JOIN wk b ON b.start = a.start
+           |    AND b.step = a.step + 2
+           |  WHERE a.node <> b.node),
+           |pc AS (SELECT a, b, count(*) AS c2 FROM pr GROUP BY a, b
+           |  HAVING count(*) >= 2),
+           |uc AS (SELECT node AS tok, count(*) AS c1 FROM wk GROUP BY node),
+           |np AS (SELECT sum(c2) AS np FROM pc),
+           |nt AS (SELECT sum(c1) AS nt FROM uc),
+           |ed0 AS (SELECT pc.a, pc.b,
+           |    greatest(CAST(0 AS BIGINT), CAST(round(ln(
+           |      (CAST(pc.c2 AS DOUBLE) * CAST(nt.nt AS DOUBLE)
+           |        * CAST(nt.nt AS DOUBLE))
+           |      / (CAST(np.np AS DOUBLE) * CAST(ua.c1 AS DOUBLE)
+           |        * CAST(ub.c1 AS DOUBLE))) * 1e6, 0) AS BIGINT)) AS w
+           |  FROM pc JOIN uc ua ON ua.tok = pc.a
+           |          JOIN uc ub ON ub.tok = pc.b
+           |  CROSS JOIN np CROSS JOIN nt),
+           |edx AS MATERIALIZED (SELECT a, b, w FROM ed0 WHERE w > 0
+           |  UNION ALL SELECT b, a, w FROM ed0 WHERE w > 0),
+           |v0 AS (SELECT DISTINCT a AS term, CAST(1000000 AS BIGINT) AS v
+           |  FROM edx),
+           |${(1 to 5).map(r => iter(s"v${r - 1}", r)).mkString(",\n")}
+           |SELECT CASE WHEN term % 2 = 0 THEN 'customer'
+           |    ELSE 'supplier' END AS kind,
+           |  term // 2 AS key, v AS v_micro FROM v5
+           |ORDER BY v_micro DESC, kind, key LIMIT 15""".stripMargin
       }))
 }

@@ -109,13 +109,25 @@ object TextRank {
       minCount: Long = 5, iters: Int = 5, k: Int = 15,
       text: String = "text"): DataFrame = {
     import s.implicits._
-    require(iters >= 1 && iters <= 10, s"1 <= iters <= 10: $iters")
-    require(k >= 1, s"k must be >= 1: $k")
     val pc = pairCounts(s, docs, window, minCount, text)
     val toks = docs.select(col(text)).as[String]
       .flatMap(t => SketchOps.tokensOf(t).filter(_.nonEmpty)).toDF("tok")
     val uc = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
       .localCheckpoint()
+    ppmiAxis(s, pc, uc, iters, k)
+  }
+
+  /** The PPMI + power-iteration core shared by [[spectralTermAxis]]
+    * (word co-occurrence) and [[graft.graph.Walks.nodeEmbeddingAxis]]
+    * (walk co-visits — the DeepWalk-as-matrix-factorization view, Qiu
+    * et al. WSDM'18): `pc` is the canonical pair-count table
+    * (a, b, c2), `uc` the occurrence counts (tok, c1); keys may be
+    * strings or longs — every expression here is key-type-agnostic.
+    */
+  private[graft] def ppmiAxis(s: SparkSession, pc: DataFrame,
+      uc: DataFrame, iters: Int, k: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"1 <= iters <= 10: $iters")
+    require(k >= 1, s"k must be >= 1: $k")
     val np = pc.agg(sum("c2").as("np"))
     val nt = uc.agg(sum("c1").as("nt"))
     val ed0 = pc
