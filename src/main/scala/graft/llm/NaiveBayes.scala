@@ -82,10 +82,14 @@ object NaiveBayes {
     * score every doc against every label, argmax (ties → label asc).
     * Output: (did, truth, pred).
     */
-  def naiveBayesPredict(s: SparkSession, docs: DataFrame, minDf: Long,
+  /** Classify `docs` against a FROZEN model (the [[naiveBayesModel]]
+    * layout): map-side tf join against the broadcast cells, per-doc
+    * integer score sums, argmax (ties → label asc).
+    * Output: (did, truth, pred).
+    */
+  def naiveBayesScore(docs: DataFrame, model: DataFrame,
       id: String = "doc_id", text: String = "text",
       label: String = "lang"): DataFrame = {
-    val model = naiveBayesModel(s, docs, minDf, text, label, id)
     val cells = model.filter(col("term").isNotNull)
     val priors = model.filter(col("term").isNull)
       .select(col("label"), col("lp_micro").as("prior_micro"))
@@ -104,6 +108,56 @@ object NaiveBayes {
       .orderBy(col("score_micro").desc, col("label"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("did"), col("truth"), col("label").as("pred"))
+  }
+
+  def naiveBayesPredict(s: SparkSession, docs: DataFrame, minDf: Long,
+      id: String = "doc_id", text: String = "text",
+      label: String = "lang"): DataFrame =
+    naiveBayesScore(docs, naiveBayesModel(s, docs, minDf, text, label, id),
+      id, text, label)
+
+  /** LEAVE-ONE-BUCKET-OUT SOURCE VALUATION (the tractable rung of
+    * Data Shapley, Ghorbani & Zou ICML'19 — marginal-contribution
+    * valuation collapsed to disjoint-group leave-out): sources hash
+    * into `buckets` groups; for each group the classifier trains
+    * WITHOUT it and is evaluated ON it — cross-domain generalization
+    * per slice, the "which data earns its storage" readout a corpus
+    * curator acts on. A bucket scoring far below the others is data
+    * the rest of the corpus cannot explain (or data explaining
+    * something nothing else covers).
+    *
+    * Scale shape: `buckets` fixed retrains (each one explode + two
+    * hash aggregations over (b−1)/b of the corpus) + one map-side
+    * scoring pass per bucket; bucket assignment is the salt-keyed md5
+    * idiom, portable to the oracle.
+    *
+    * Output per bucket: (bucket, n_train, n_test, n_correct, acc_r6).
+    */
+  def sourceValuation(s: SparkSession, docs: DataFrame, minDf: Long,
+      buckets: Int, salt: String, source: String = "source",
+      id: String = "doc_id", text: String = "text",
+      label: String = "lang"): DataFrame = {
+    require(buckets >= 2 && buckets <= 8, s"2 <= buckets <= 8: $buckets")
+    val base = docs.withColumn("bkt", expr(
+      s"cast(conv(substring(md5(concat('$salt-', $source)), 1, 8), " +
+        s"16, 10) as bigint) % $buckets"))
+      .localCheckpoint(true)
+    (0 until buckets).map { b =>
+      val train = base.filter(col("bkt") =!= b.toLong)
+      val test = base.filter(col("bkt") === b.toLong)
+      val model = naiveBayesModel(s, train, minDf, text, label, id)
+      naiveBayesScore(test, model, id, text, label)
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("pred") === col("truth"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .crossJoin(broadcast(
+          train.agg(count(lit(1)).as("n_train"))))
+        .select(lit(b.toLong).as("bucket"), col("n_train"), col("n_test"),
+          coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+          when(col("n_test") > 0L,
+            round(coalesce(col("n_correct"), lit(0L)).cast("double")
+              / col("n_test").cast("double"), 6)).as("acc_r6"))
+    }.reduce(_ unionAll _).orderBy("bucket")
   }
 
   /** Self-classification confusion matrix over
@@ -211,6 +265,81 @@ object NaiveBayes {
              |SELECT truth AS lang, label AS pred, count(*) AS n_docs
              |FROM pick WHERE rn = 1 GROUP BY truth, label
              |ORDER BY lang, pred""".stripMargin)),
+
+    // ---- q389: SOURCE VALUATION — train the NB classifier without
+    //      each md5-hashed source bucket, evaluate on it: the
+    //      cross-domain generalization per data slice. The oracle
+    //      replays all four leave-out trainings and scorings. ----
+    "q389_source_valuation" -> Q(
+      (s, d) => sourceValuation(s, Tables.documents(s, d), minDf = 10L,
+        buckets = 4, salt = "sv389"),
+      Some {
+        def bucketCtes(b: Int): String = {
+          val p = s"k$b"
+          s"""${p}vocab AS MATERIALIZED (SELECT term
+             |  FROM (SELECT DISTINCT doc_id, term FROM tokall
+             |    WHERE bkt <> $b)
+             |  GROUP BY term HAVING count(*) >= 10),
+             |${p}cc AS (SELECT t.lang AS label, t.term, count(*) AS c
+             |  FROM tokall t JOIN ${p}vocab v ON v.term = t.term
+             |  WHERE t.bkt <> $b GROUP BY t.lang, t.term),
+             |${p}nl AS (SELECT label, sum(c) AS n_l FROM ${p}cc
+             |  GROUP BY label),
+             |${p}vs AS (SELECT count(*) AS v FROM ${p}vocab),
+             |${p}cells AS MATERIALIZED (SELECT nl.label, vo.term,
+             |    CAST(round(ln(CAST(coalesce(cc.c, 0) + 1 AS DOUBLE)
+             |      / CAST(nl.n_l + vs.v AS DOUBLE)) * 1e6, 0) AS BIGINT)
+             |      AS lp_micro
+             |  FROM ${p}vocab vo CROSS JOIN ${p}nl nl CROSS JOIN ${p}vs vs
+             |  LEFT JOIN ${p}cc cc
+             |    ON cc.term = vo.term AND cc.label = nl.label),
+             |${p}pri AS (SELECT lang AS label,
+             |    CAST(round(ln(CAST(count(*) AS DOUBLE)
+             |      / (SELECT CAST(count(*) AS DOUBLE) FROM dall
+             |         WHERE bkt <> $b)) * 1e6, 0) AS BIGINT) AS prior_micro
+             |  FROM dall WHERE bkt <> $b GROUP BY lang),
+             |${p}tf AS (SELECT doc_id, term, count(*) AS tf
+             |  FROM tokall WHERE bkt = $b GROUP BY doc_id, term),
+             |${p}contrib AS (SELECT tf.doc_id, ce.label,
+             |    sum(tf.tf * ce.lp_micro) AS like_micro
+             |  FROM ${p}tf tf JOIN ${p}cells ce ON ce.term = tf.term
+             |  GROUP BY tf.doc_id, ce.label),
+             |${p}scored AS (SELECT d.doc_id, d.lang AS truth, p.label,
+             |    p.prior_micro + coalesce(c.like_micro, 0) AS score_micro
+             |  FROM (SELECT * FROM dall WHERE bkt = $b) d
+             |  CROSS JOIN ${p}pri p
+             |  LEFT JOIN ${p}contrib c
+             |    ON c.doc_id = d.doc_id AND c.label = p.label),
+             |${p}agg AS (SELECT CAST($b AS BIGINT) AS bucket,
+             |    (SELECT count(*) FROM dall WHERE bkt <> $b) AS n_train,
+             |    count(*) AS n_test,
+             |    coalesce(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END),
+             |      0) AS n_correct
+             |  FROM (SELECT doc_id, truth, label AS pred FROM (
+             |      SELECT doc_id, truth, label, row_number() OVER (
+             |        PARTITION BY doc_id
+             |        ORDER BY score_micro DESC, label) AS rn
+             |      FROM ${p}scored) WHERE rn = 1))""".stripMargin
+        }
+        s"""WITH dall AS MATERIALIZED (SELECT doc_id, lang, text,
+           |    ('0x' || substr(md5('sv389-' || source), 1, 8))::BIGINT
+           |      % 4 AS bkt
+           |  FROM documents),
+           |tokall AS MATERIALIZED (SELECT doc_id, lang, bkt, term
+           |  FROM (SELECT doc_id, lang, bkt,
+           |      unnest(list_filter(regexp_split_to_array(
+           |        trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS term
+           |    FROM dall)),
+           |${(0 until 4).map(bucketCtes).mkString(",\n")}
+           |SELECT bucket, CAST(n_train AS BIGINT) AS n_train,
+           |  CAST(n_test AS BIGINT) AS n_test,
+           |  CAST(n_correct AS BIGINT) AS n_correct,
+           |  CASE WHEN n_test > 0 THEN round(CAST(n_correct AS DOUBLE)
+           |    / CAST(n_test AS DOUBLE), 6) ELSE NULL END AS acc_r6
+           |FROM (${(0 until 4).map(b => s"SELECT * FROM k${b}agg")
+            .mkString("\nUNION ALL ")})
+           |ORDER BY bucket""".stripMargin
+      }),
 
     // ---- q387: McNEMAR — do the word NB (q372) and the character-
     //      trigram scorer (the q264 machinery, trained on the real

@@ -709,6 +709,28 @@ object Logistic {
       .orderBy("fold")
   }
 
+  /** UNCERTAINTY-SAMPLING BATCH (Lewis & Gale SIGIR'94, the active-
+    * learning baseline): the k units whose model probability sits
+    * closest to 1/2 — where a label purchase buys the most
+    * information. Deterministic: p̂ is integer micro, the distance
+    * |p̂ − 5·10⁵| is an exact integer, ties break on the unit id; the
+    * selection is a bounded top-k (TakeOrderedAndProject — never a
+    * global sort materialized).
+    *
+    * Output: (user_id, p_micro, dist_micro), ordered (dist, id).
+    */
+  def uncertaintyBatch(df: DataFrame, label: String = "y",
+      covariate: String = "x", id: String = "user_id", iters: Int = 6,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val model = logisticModel(df, label, covariate, iters)
+    scoreLogistic(df.select(col(id), col(covariate)), model, covariate)
+      .select(col(id), col("p_micro"),
+        abs(col("p_micro") - lit(500000L)).as("dist_micro"))
+      .orderBy(col("dist_micro"), col(id))
+      .limit(k)
+  }
+
   /** MODEL CALIBRATION AUDIT over scored units: the Murphy (1973)
     * Brier decomposition BS = REL − RES + UNC on fixed-width
     * probability deciles, plus the Hosmer–Lemeshow χ² — the standard
@@ -1003,6 +1025,30 @@ object Logistic {
              |      * CAST(cnt_ AS DOUBLE) / CAST(cnc AS DOUBLE), 6)
              |    ELSE NULL END AS qini_r6
              |FROM cm ORDER BY bin DESC""".stripMargin)),
+
+    // ---- q390: UNCERTAINTY BATCH — the 20 users the q348 model is
+    //      least sure about, the next labeling budget's targets. The
+    //      oracle replays the training rounds, every scored sigmoid,
+    //      and the (distance, id) top-k. ----
+    "q390_uncertainty_batch" -> Q(
+      (s, d) => uncertaintyBatch(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "signup"
+              && col("ts") < lit("2024-01-05").cast("timestamp"), 1L)
+              .otherwise(0L)).as("y"),
+            log((count(lit(1)) + 1).cast("double")).as("x")),
+        "y", "x", "user_id", iters = 6, k = 20),
+      Some(s"""WITH $unitSql,
+             |${roundsSql(6)},
+             |sc AS (SELECT uu.user_id,
+             |    CAST(round(1e6 / (1 + exp(
+             |      -CAST(p.a * 1000 + uu.xm * p.b AS DOUBLE) / 1e9)), 0)
+             |      AS BIGINT) AS p_micro
+             |  FROM u uu, r6 p)
+             |SELECT user_id, p_micro,
+             |  abs(p_micro - 500000) AS dist_micro
+             |FROM sc ORDER BY dist_micro, user_id LIMIT 20""".stripMargin)),
 
     // ---- q385: TWO-COVARIATE LOGISTIC — early signup from overall
     //      activity AND purchase activity jointly; six 3×3 Newton
