@@ -229,7 +229,8 @@ object Bench {
       "q380_spectral_terms", "q381_iv_wald", "q382_uplift_qini",
       "q383_walk_corpus", "q384_kfold_cv_auc", "q385_logistic2",
       "q386_negative_samples", "q387_mcnemar",
-      "q388_node_embedding_axis")
+      "q388_node_embedding_axis", "q389_source_valuation",
+      "q390_uncertainty_batch")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

@@ -2034,4 +2034,53 @@ object Graft {
       id: String = "doc_id", text: String = "text"): DataFrame =
     llm.NegSample.negativeSamples(spark, docs, k, minCount, salt, top,
       id, text)
+
+  /** Frozen-model naive Bayes scoring
+    * ([[llm.NaiveBayes.naiveBayesScore]]) and self-classification
+    * predictions ([[llm.NaiveBayes.naiveBayesPredict]]).
+    */
+  def naiveBayesScore(docs: DataFrame, model: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      label: String = "lang"): DataFrame =
+    llm.NaiveBayes.naiveBayesScore(docs, model, id, text, label)
+
+  def naiveBayesPredict(spark: SparkSession, docs: DataFrame, minDf: Long,
+      id: String = "doc_id", text: String = "text",
+      label: String = "lang"): DataFrame =
+    llm.NaiveBayes.naiveBayesPredict(spark, docs, minDf, id, text, label)
+
+  /** McNemar's paired disagreement test between the word NB and the
+    * character-trigram classifier
+    * ([[llm.NaiveBayes.mcnemarNbVsTrigram]]).
+    */
+  def mcnemarNbVsTrigram(spark: SparkSession, docs: DataFrame,
+      minDf: Long): DataFrame =
+    llm.NaiveBayes.mcnemarNbVsTrigram(spark, docs, minDf)
+
+  /** Leave-one-bucket-out source valuation
+    * ([[llm.NaiveBayes.sourceValuation]]).
+    */
+  def sourceValuation(spark: SparkSession, docs: DataFrame, minDf: Long,
+      buckets: Int, salt: String, source: String = "source",
+      id: String = "doc_id", text: String = "text",
+      label: String = "lang"): DataFrame =
+    llm.NaiveBayes.sourceValuation(spark, docs, minDf, buckets, salt,
+      source, id, text, label)
+
+  /** Active-learning uncertainty batch
+    * ([[rel.Logistic.uncertaintyBatch]]).
+    */
+  def uncertaintyBatch(df: DataFrame, label: String = "y",
+      covariate: String = "x", id: String = "user_id", iters: Int = 6,
+      k: Int = 20): DataFrame =
+    rel.Logistic.uncertaintyBatch(df, label, covariate, id, iters, k)
+
+  /** Node-embedding axis from the deterministic walk corpus
+    * ([[graph.Walks.nodeEmbeddingAxis]]).
+    */
+  def nodeEmbeddingAxis(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, steps: Int, salt: String, minCount: Long = 2,
+      iters: Int = 5, k: Int = 15): DataFrame =
+    graph.Walks.nodeEmbeddingAxis(spark, edges, seeds, steps, salt,
+      minCount, iters, k)
 }
