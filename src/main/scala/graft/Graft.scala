@@ -2075,6 +2075,13 @@ object Graft {
       k: Int = 20): DataFrame =
     rel.Logistic.uncertaintyBatch(df, label, covariate, id, iters, k)
 
+  /** Population stability index drift monitor over fixed-width bins
+    * ([[rel.Quality.psi]]).
+    */
+  def psi(df: DataFrame, isRef: Column, value: Column, binWidth: Long,
+      bins: Int): DataFrame =
+    rel.Quality.psi(df, isRef, value, binWidth, bins)
+
   /** Node-embedding axis from the deterministic walk corpus
     * ([[graph.Walks.nodeEmbeddingAxis]]).
     */

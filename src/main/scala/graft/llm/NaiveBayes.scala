@@ -87,9 +87,11 @@ object NaiveBayes {
     * integer score sums, argmax (ties → label asc).
     * Output: (did, truth, pred).
     */
-  def naiveBayesScore(docs: DataFrame, model: DataFrame,
-      id: String = "doc_id", text: String = "text",
-      label: String = "lang"): DataFrame = {
+  /** the per-(doc, label) integer score table shared by the argmax
+    * scorer and the margin audit
+    */
+  private def scoredTable(docs: DataFrame, model: DataFrame,
+      id: String, text: String, label: String): DataFrame = {
     val cells = model.filter(col("term").isNotNull)
     val priors = model.filter(col("term").isNull)
       .select(col("label"), col("lp_micro").as("prior_micro"))
@@ -100,14 +102,52 @@ object NaiveBayes {
       .agg(sum(col("tf") * col("lp_micro")).as("like_micro"))
     val base = docs.select(col(id).as("did"), col(label).as("truth"))
       .crossJoin(priors.hint("broadcast"))
-    val scored = base.join(contrib, Seq("did", "label"), "left")
+    base.join(contrib, Seq("did", "label"), "left")
       .select(col("did"), col("truth"), col("label"),
         (col("prior_micro") + coalesce(col("like_micro"), lit(0L)))
           .as("score_micro"))
+  }
+
+  def naiveBayesScore(docs: DataFrame, model: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      label: String = "lang"): DataFrame = {
+    val scored = scoredTable(docs, model, id, text, label)
     val w = Window.partitionBy("did")
       .orderBy(col("score_micro").desc, col("label"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("did"), col("truth"), col("label").as("pred"))
+  }
+
+  /** LABEL-NOISE AUDIT (the confident-learning readout, Northcutt et
+    * al. JAIR'21 simplified to the self-confidence margin): the k
+    * documents whose own trained model disagrees with their given
+    * label by the widest integer score margin — the relabel queue a
+    * curation pass works through. margin = score(argmax) −
+    * score(given label), exact micro; ties → doc id asc.
+    *
+    * Output: (did, truth, pred, margin_micro), margin desc.
+    */
+  def labelNoiseAudit(s: SparkSession, docs: DataFrame, minDf: Long,
+      k: Int, id: String = "doc_id", text: String = "text",
+      label: String = "lang"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val model = naiveBayesModel(s, docs, minDf, text, label, id)
+    val scored = scoredTable(docs, model, id, text, label)
+      .localCheckpoint(true)
+    val w = Window.partitionBy("did")
+      .orderBy(col("score_micro").desc, col("label"))
+    val top = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("did"), col("truth"), col("label").as("pred"),
+        col("score_micro").as("s_top"))
+    val own = scored.filter(col("label") === col("truth"))
+      .select(col("did"), col("score_micro").as("s_own"))
+    top.join(own, Seq("did"))
+      .filter(col("pred") =!= col("truth"))
+      .select(col("did"), col("truth"), col("pred"),
+        (col("s_top") - col("s_own")).as("margin_micro"))
+      .orderBy(col("margin_micro").desc, col("did"))
+      .limit(k)
   }
 
   def naiveBayesPredict(s: SparkSession, docs: DataFrame, minDf: Long,
@@ -265,6 +305,154 @@ object NaiveBayes {
              |SELECT truth AS lang, label AS pred, count(*) AS n_docs
              |FROM pick WHERE rn = 1 GROUP BY truth, label
              |ORDER BY lang, pred""".stripMargin)),
+
+    // ---- q393: LABEL-NOISE AUDIT — the 15 documents the corpus's
+    //      own NB model most confidently relabels; the curation
+    //      relabel queue. The oracle replays the model, every score,
+    //      and the margin top-k. ----
+    "q393_label_noise" -> Q(
+      (s, d) => labelNoiseAudit(s, Tables.documents(s, d), minDf = 10L,
+        k = 15),
+      Some("""WITH tok AS MATERIALIZED (SELECT doc_id, lang, term
+             |  FROM (SELECT doc_id, lang,
+             |      unnest(list_filter(regexp_split_to_array(
+             |        trim(lower(text)), '\s+'), x -> len(x) > 0)) AS term
+             |    FROM documents)),
+             |vocab AS MATERIALIZED (SELECT term
+             |  FROM (SELECT DISTINCT doc_id, term FROM tok)
+             |  GROUP BY term HAVING count(*) >= 10),
+             |cc AS (SELECT t.lang AS label, t.term, count(*) AS c
+             |  FROM tok t JOIN vocab v ON v.term = t.term
+             |  GROUP BY t.lang, t.term),
+             |nl AS (SELECT label, sum(c) AS n_l FROM cc GROUP BY label),
+             |vs AS (SELECT count(*) AS v FROM vocab),
+             |cells AS MATERIALIZED (SELECT nl.label, vo.term,
+             |    CAST(round(ln(CAST(coalesce(cc.c, 0) + 1 AS DOUBLE)
+             |      / CAST(nl.n_l + vs.v AS DOUBLE)) * 1e6, 0) AS BIGINT)
+             |      AS lp_micro
+             |  FROM vocab vo CROSS JOIN nl CROSS JOIN vs
+             |  LEFT JOIN cc ON cc.term = vo.term AND cc.label = nl.label),
+             |pri AS (SELECT lang AS label,
+             |    CAST(round(ln(CAST(count(*) AS DOUBLE)
+             |      / (SELECT CAST(count(*) AS DOUBLE) FROM documents))
+             |      * 1e6, 0) AS BIGINT) AS prior_micro
+             |  FROM documents GROUP BY lang),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |  FROM tok GROUP BY doc_id, term),
+             |contrib AS (SELECT tf.doc_id, ce.label,
+             |    sum(tf.tf * ce.lp_micro) AS like_micro
+             |  FROM tf JOIN cells ce ON ce.term = tf.term
+             |  GROUP BY tf.doc_id, ce.label),
+             |scored AS MATERIALIZED (SELECT d.doc_id, d.lang AS truth,
+             |    p.label,
+             |    p.prior_micro + coalesce(c.like_micro, 0) AS score_micro
+             |  FROM documents d CROSS JOIN pri p
+             |  LEFT JOIN contrib c
+             |    ON c.doc_id = d.doc_id AND c.label = p.label),
+             |top AS (SELECT doc_id, truth, label AS pred,
+             |    score_micro AS s_top
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score_micro DESC, label) AS rn FROM scored)
+             |  WHERE rn = 1),
+             |own AS (SELECT doc_id, score_micro AS s_own FROM scored
+             |  WHERE label = truth)
+             |SELECT t.doc_id AS did, t.truth, t.pred,
+             |  CAST(t.s_top - o.s_own AS BIGINT) AS margin_micro
+             |FROM top t JOIN own o ON o.doc_id = t.doc_id
+             |WHERE t.pred <> t.truth
+             |ORDER BY margin_micro DESC, did LIMIT 15""".stripMargin)),
+
+    // ---- q391: STREAMING classify-at-ingest with the frozen NB
+    //      model (the q364/q284 pattern on the text classifier): the
+    //      model trains once and persists; documents arrive as a
+    //      3-batch stream with the LAST batch REPLAYED
+    //      (at-least-once), each micro-batch scoring map-side against
+    //      the frozen broadcast model; replays collapse in the
+    //      id-keyed dedup. Output must equal one-shot batch
+    //      classification — the oracle replays the model and every
+    //      doc's argmax. ----
+    "q391_nb_stream_classify" -> Q(
+      (s, d) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val docs = Tables.documents(s, d)
+        val work = java.nio.file.Files.createTempDirectory("graft-q391")
+        val ckDir = java.nio.file.Files.createTempDirectory("graft-q391-ck")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(work.toFile); rm(ckDir.toFile)
+        }
+        naiveBayesModel(s, docs, minDf = 10L)
+          .coalesce(1).write.parquet(s"$work/model")
+        val frozen = s.read.parquet(s"$work/model")
+        val arriving = docs.select(col("doc_id"), col("text"), col("lang"))
+          .as[(Long, String, String)].collect()
+        val (b12, b3) = arriving.partition(_._1 % 3 != 2)
+        val (b1, b2) = b12.partition(_._1 % 3 == 0)
+        val mem = MemoryStream[(Long, String, String)]
+        val q = mem.toDF.toDF("doc_id", "text", "lang").writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            naiveBayesScore(batch, frozen)
+              .select(col("did").as("doc_id"), col("pred"))
+              .write.mode("append").parquet(s"$work/preds")
+          }
+          .option("checkpointLocation", ckDir.toString)
+          .start()
+        try {
+          mem.addData(b1.toSeq); q.processAllAvailable()
+          mem.addData(b2.toSeq); q.processAllAvailable()
+          mem.addData(b3.toSeq); q.processAllAvailable()
+          mem.addData(b3.toSeq); q.processAllAvailable() // replay
+        } finally q.stop()
+        s.read.parquet(s"$work/preds")
+          .dropDuplicates("doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS MATERIALIZED (SELECT doc_id, lang, term
+             |  FROM (SELECT doc_id, lang,
+             |      unnest(list_filter(regexp_split_to_array(
+             |        trim(lower(text)), '\s+'), x -> len(x) > 0)) AS term
+             |    FROM documents)),
+             |vocab AS MATERIALIZED (SELECT term
+             |  FROM (SELECT DISTINCT doc_id, term FROM tok)
+             |  GROUP BY term HAVING count(*) >= 10),
+             |cc AS (SELECT t.lang AS label, t.term, count(*) AS c
+             |  FROM tok t JOIN vocab v ON v.term = t.term
+             |  GROUP BY t.lang, t.term),
+             |nl AS (SELECT label, sum(c) AS n_l FROM cc GROUP BY label),
+             |vs AS (SELECT count(*) AS v FROM vocab),
+             |cells AS MATERIALIZED (SELECT nl.label, vo.term,
+             |    CAST(round(ln(CAST(coalesce(cc.c, 0) + 1 AS DOUBLE)
+             |      / CAST(nl.n_l + vs.v AS DOUBLE)) * 1e6, 0) AS BIGINT)
+             |      AS lp_micro
+             |  FROM vocab vo CROSS JOIN nl CROSS JOIN vs
+             |  LEFT JOIN cc ON cc.term = vo.term AND cc.label = nl.label),
+             |pri AS (SELECT lang AS label,
+             |    CAST(round(ln(CAST(count(*) AS DOUBLE)
+             |      / (SELECT CAST(count(*) AS DOUBLE) FROM documents))
+             |      * 1e6, 0) AS BIGINT) AS prior_micro
+             |  FROM documents GROUP BY lang),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |  FROM tok GROUP BY doc_id, term),
+             |contrib AS (SELECT tf.doc_id, ce.label,
+             |    sum(tf.tf * ce.lp_micro) AS like_micro
+             |  FROM tf JOIN cells ce ON ce.term = tf.term
+             |  GROUP BY tf.doc_id, ce.label),
+             |scored AS (SELECT d.doc_id, p.label,
+             |    p.prior_micro + coalesce(c.like_micro, 0) AS score_micro
+             |  FROM documents d CROSS JOIN pri p
+             |  LEFT JOIN contrib c
+             |    ON c.doc_id = d.doc_id AND c.label = p.label)
+             |SELECT doc_id, label AS pred FROM (
+             |  SELECT doc_id, label, row_number() OVER (
+             |      PARTITION BY doc_id
+             |      ORDER BY score_micro DESC, label) AS rn
+             |  FROM scored) WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin)),
 
     // ---- q389: SOURCE VALUATION — train the NB classifier without
     //      each md5-hashed source bucket, evaluate on it: the

@@ -179,7 +179,89 @@ object Quality {
        |  round(x.chi2, 6) <= 15.50731305586545 AS conforms
        |FROM t, x ORDER BY t.digit""".stripMargin)
 
+  /** POPULATION STABILITY INDEX between a reference and a current
+    * window of the same feature (the credit-scoring drift monitor,
+    * standard thresholds 0.1 "watch" / 0.2 "act"):
+    *
+    *   PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+    *
+    * over FIXED-WIDTH bins (replayable, no quantile machinery), with
+    * Laplace-smoothed shares p_i = (c_i + 1)/(n + B) so an empty bin
+    * contributes a finite, documented penalty instead of the IEEE
+    * infinity.
+    *
+    * Exactness: bin counts are exact integers from one conditional
+    * hash aggregation (both windows in ONE pass — adding a window
+    * adds zero passes); each bin's PSI term is one fixed IEEE chain
+    * over integers; the fold rides the ORDER-PINNED ≤`bins`-row
+    * window. Output (1 row): (n_ref, n_cur, n_bins, psi_r6, drifted =
+    * psi ≥ 0.2).
+    */
+  def psi(df: DataFrame, isRef: Column, value: Column, binWidth: Long,
+      bins: Int): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    require(bins >= 2 && bins <= 100, s"2 <= bins <= 100: $bins")
+    val base = df
+      .select(when(isRef, 1L).otherwise(0L).as("r"),
+        greatest(value.cast("long"), lit(0L)).as("vv"))
+      .select(col("r"),
+        least(expr(s"vv div $binWidth"), lit(bins - 1L)).as("b"))
+    val cells = base.groupBy("b")
+      .agg(sum(col("r")).as("cr"), sum(lit(1L) - col("r")).as("cc"))
+    val tot = base.agg(sum(col("r")).as("nr"),
+      sum(lit(1L) - col("r")).as("nc"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .select(col("b"), col("nr"), col("nc"),
+        ((col("cr") + 1L).cast("double")
+          / (col("nr") + bins.toLong).cast("double")).as("p"),
+        ((col("cc") + 1L).cast("double")
+          / (col("nc") + bins.toLong).cast("double")).as("q"))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+    val wCum = Window.orderBy("b").rowsBetween(Long.MinValue, 0)
+    terms
+      .withColumn("cum", sum(col("term")).over(wCum))
+      .withColumn("k", count(lit(1)).over(wCum))
+      .agg(max(struct(col("b"), col("nr"), col("nc"), col("k"),
+        col("cum"))).as("z"))
+      .select(col("z.nr").as("n_ref"), col("z.nc").as("n_cur"),
+        col("z.k").as("n_bins"), round(col("z.cum"), 6).as("psi_r6"),
+        (col("z.cum") >= 0.2).as("drifted"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q392: PSI DRIFT — did the purchase-amount distribution
+    //      shift between the two halves of the month? $20 fixed bins,
+    //      Laplace-smoothed shares; the oracle replays the one-pass
+    //      conditional counts and the order-pinned term fold. ----
+    "q392_psi_drift" -> Q(
+      (s, d) => psi(
+        Tables.events(s, d).filter(col("event_type") === "purchase"),
+        col("ts") < lit("2024-01-16").cast("timestamp"),
+        round(col("value") * 100, 0), binWidth = 2000L, bins = 20),
+      Some("""WITH base AS (SELECT
+             |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+             |      THEN 1 ELSE 0 END AS r,
+             |    least(greatest(CAST(round(value * 100) AS BIGINT), 0)
+             |      // 2000, 19) AS b
+             |  FROM events WHERE event_type = 'purchase'),
+             |cells AS (SELECT b, sum(r) AS cr, sum(1 - r) AS cc2
+             |  FROM base GROUP BY b),
+             |tot AS (SELECT sum(r) AS nr, sum(1 - r) AS nc FROM base),
+             |trm AS (SELECT b, nr, nc,
+             |    (CAST(cr + 1 AS DOUBLE) / CAST(nr + 20 AS DOUBLE)
+             |      - CAST(cc2 + 1 AS DOUBLE) / CAST(nc + 20 AS DOUBLE))
+             |    * ln((CAST(cr + 1 AS DOUBLE) / CAST(nr + 20 AS DOUBLE))
+             |      / (CAST(cc2 + 1 AS DOUBLE) / CAST(nc + 20 AS DOUBLE)))
+             |      AS term
+             |  FROM cells, tot),
+             |ag AS (SELECT max(nr) AS n_ref, max(nc) AS n_cur,
+             |    count(*) AS n_bins, sum(term ORDER BY b) AS s
+             |  FROM trm)
+             |SELECT CAST(n_ref AS BIGINT) AS n_ref,
+             |  CAST(n_cur AS BIGINT) AS n_cur,
+             |  CAST(n_bins AS BIGINT) AS n_bins,
+             |  round(s, 6) AS psi_r6, s >= 0.2 AS drifted
+             |FROM ag""".stripMargin)),
     // ---- q262: FD audit for two claimed dependencies — nation →
     //      region (holds by schema construction) and customer nation →
     //      market segment (massively violated: segments are assigned

@@ -88,6 +88,27 @@ class NaiveBayesSpec extends SparkSpec {
     } else assert(r.isNullAt(5), s"$r")
   }
 
+  test("label-noise audit surfaces a planted flipped label first") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "aa aa aa", "x"), (2L, "aa aa", "x"), (3L, "aa aa aa aa", "x"),
+      (4L, "bb bb bb", "y"), (5L, "bb bb", "y"),
+      (6L, "aa aa aa", "y") // the plant: pure-x text labeled y
+    ).toDF("doc_id", "text", "lang")
+    val got = NaiveBayes.labelNoiseAudit(spark, d, minDf = 2, k = 5)
+      .collect()
+    assert(got.nonEmpty && got(0).getLong(0) == 6L
+      && got(0).getString(1) == "y" && got(0).getString(2) == "x"
+      && got(0).getLong(3) > 0L, s"${got.toSeq}")
+  }
+
+  test("a clean separable corpus yields an empty relabel queue") {
+    val got = NaiveBayes.labelNoiseAudit(spark, docs, minDf = 2, k = 5)
+      .collect()
+    assert(got.isEmpty, s"${got.toSeq}")
+  }
+
   test("df floor drops rare terms from the model") {
     // distinct-doc frequencies: aa=3, bb=4, cc=3
     val t3 = NaiveBayes.naiveBayesModel(spark, docs, minDf = 3)
