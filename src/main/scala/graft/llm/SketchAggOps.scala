@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 import graft.rel.RelQueries.Q
@@ -34,7 +35,99 @@ object SketchAggOps {
   private[graft] def kmvHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** JOIN-SIZE ESTIMATION by Count-Min inner product (Cormode &
+    * Muthukrishnan 2005 §4.2: |A ⋈ B| ≈ min_d Σ_w cA[d,w]·cB[d,w],
+    * always an OVERestimate) — the sketch read an optimizer takes
+    * BEFORE committing to a join strategy: two single-pass constant-
+    * size sketches answer "how big would this join be" without
+    * executing it. Reported beside the exact size so the guarantee
+    * (est ≥ exact) is a hash-checked column, the q76 discipline.
+    *
+    * Scale shape: each side folds map-side into a depth×width counter
+    * table (constant size); the estimate is a counter-table join —
+    * corpus rows are touched exactly once per side.
+    *
+    * Output (1 row): (exact_size, cms_est, overestimate, ratio_r6).
+    */
+  def cmsJoinSize(left: DataFrame, lkey: String, right: DataFrame,
+      rkey: String, depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 2 && depth <= 8, s"2 <= depth <= 8: $depth")
+    require(width >= 16 && width <= 65536, s"16 <= width <= 65536: $width")
+    def counters(df: DataFrame, key: String) = {
+      val k = col(key).cast("string")
+      df.select((0 until depth).map(i =>
+          pmod(conv(substring(md5(concat(k, lit("#"), lit(i))
+            .cast("binary")), 1, 7), 16, 10).cast("long"),
+            lit(width.toLong)).as(s"i$i")): _*)
+        .select(explode(array((0 until depth).map(i =>
+          struct(lit(i).as("i"), col(s"i$i").as("idx"))): _*)).as("z"))
+        .select(col("z.i").as("i"), col("z.idx").as("idx"))
+        .groupBy("i", "idx").agg(count(lit(1)).as("c"))
+    }
+    val dec38 = org.apache.spark.sql.types.DataTypes
+      .createDecimalType(38, 0)
+    val ca = counters(left, lkey)
+    val cb = counters(right, rkey)
+      .select(col("i"), col("idx"), col("c").as("cb"))
+    val est = ca.join(cb, Seq("i", "idx"))
+      .groupBy("i").agg(sum((col("c") * col("cb")).cast(dec38)).as("ip"))
+      .agg(min(col("ip")).as("cms_est"))
+    val la = left.groupBy(col(lkey).cast("string").as("k"))
+      .agg(count(lit(1)).as("na"))
+    val lb = right.groupBy(col(rkey).cast("string").as("k"))
+      .agg(count(lit(1)).as("nb"))
+    val exact = la.join(lb, Seq("k"))
+      .agg(sum((col("na") * col("nb")).cast(dec38)).as("exact_size"))
+    exact.crossJoin(broadcast(est))
+      .select(coalesce(col("exact_size").cast("long"), lit(0L))
+        .as("exact_size"),
+        coalesce(col("cms_est").cast("long"), lit(0L)).as("cms_est"))
+      .select(col("exact_size"), col("cms_est"),
+        (col("cms_est") >= col("exact_size")).as("overestimate"),
+        when(col("exact_size") > 0L,
+          round(col("cms_est").cast("double")
+            / col("exact_size").cast("double"), 6)).as("ratio_r6"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q394: CMS JOIN-SIZE — how many (event, purchase) pairs
+    //      would the user-keyed self-join produce? Sketch estimate vs
+    //      exact, the overestimate guarantee hash-checked. ----
+    "q394_cms_join_size" -> Q(
+      (s, d) => cmsJoinSize(
+        Tables.events(s, d), "user_id",
+        Tables.events(s, d).filter(col("event_type") === "purchase"),
+        "user_id"),
+      Some("""WITH ka AS (SELECT CAST(user_id AS VARCHAR) AS k
+             |  FROM events),
+             |kb AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+             |  WHERE event_type = 'purchase'),
+             |ia AS (SELECT i.i,
+             |    ('0x' || substr(md5(k || '#' || i.i), 1, 7))::BIGINT
+             |      % 512 AS idx
+             |  FROM ka CROSS JOIN range(4) i(i)),
+             |ib AS (SELECT i.i,
+             |    ('0x' || substr(md5(k || '#' || i.i), 1, 7))::BIGINT
+             |      % 512 AS idx
+             |  FROM kb CROSS JOIN range(4) i(i)),
+             |ca AS (SELECT i, idx, count(*) AS c FROM ia GROUP BY i, idx),
+             |cb AS (SELECT i, idx, count(*) AS c FROM ib GROUP BY i, idx),
+             |ip AS (SELECT ca.i, sum(ca.c * cb.c) AS ip FROM ca
+             |  JOIN cb ON cb.i = ca.i AND cb.idx = ca.idx GROUP BY ca.i),
+             |est AS (SELECT min(ip) AS cms_est FROM ip),
+             |la AS (SELECT k, count(*) AS na FROM ka GROUP BY k),
+             |lb AS (SELECT k, count(*) AS nb FROM kb GROUP BY k),
+             |ex AS (SELECT sum(la.na * lb.nb) AS exact_size
+             |  FROM la JOIN lb ON lb.k = la.k)
+             |SELECT CAST(coalesce(exact_size, 0) AS BIGINT) AS exact_size,
+             |  CAST(coalesce(cms_est, 0) AS BIGINT) AS cms_est,
+             |  coalesce(cms_est, 0) >= coalesce(exact_size, 0)
+             |    AS overestimate,
+             |  CASE WHEN coalesce(exact_size, 0) > 0 THEN
+             |    round(CAST(coalesce(cms_est, 0) AS DOUBLE)
+             |      / CAST(exact_size AS DOUBLE), 6) ELSE NULL END
+             |    AS ratio_r6
+             |FROM ex, est""".stripMargin)),
     // ---- per-source distinct-token estimate via the KMV sketch next to
     //      the exact count. estimate arithmetic (k-1)*2^60/kthMin is
     //      exact-double-reproducible in DuckDB; sources with fewer than K
