@@ -66,7 +66,7 @@ object SparkEntry {
       graft.rel.Raking.all ++ graft.rel.Tree.all ++ graft.rel.SeqMine.all ++
       graft.llm.NaiveBayes.all ++ graft.graph.Betweenness.all ++
       graft.llm.TextRank.all ++ graft.graph.Walks.all ++
-      graft.llm.NegSample.all
+      graft.llm.NegSample.all ++ graft.llm.EmbedDrift.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
