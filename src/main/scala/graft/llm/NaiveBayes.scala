@@ -255,6 +255,51 @@ object NaiveBayes {
             / (col("b_nb_only") + col("c_tri_only")).cast("double"), 6)))
   }
 
+  /** PER-CLASS PRECISION / RECALL / F1 of the self-classified NB
+    * model — the standard classification report: tp/fp/fn per class
+    * from exact confusion counts, each ratio one fixed IEEE chain
+    * (null when undefined — a class never predicted has no
+    * precision). Output per class: (label, n_true, tp, fp, fn,
+    * precision_r6, recall_r6, f1_r6), ordered by label.
+    */
+  def classifierReport(s: SparkSession, docs: DataFrame,
+      minDf: Long): DataFrame = {
+    val conf = naiveBayesPredict(s, docs, minDf)
+      .groupBy(col("truth"), col("pred")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val classes = conf.select(col("truth").as("label"))
+      .unionAll(conf.select(col("pred").as("label"))).distinct()
+    val tp = conf.filter(col("truth") === col("pred"))
+      .select(col("truth").as("label"), col("n").as("tp"))
+    val byTruth = conf.groupBy(col("truth").as("label"))
+      .agg(sum("n").as("n_true"))
+    val byPred = conf.groupBy(col("pred").as("label"))
+      .agg(sum("n").as("n_pred"))
+    classes
+      .join(byTruth, Seq("label"), "left")
+      .join(byPred, Seq("label"), "left")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("n_true"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .withColumn("precision_r6", when(col("tp") + col("fp") > 0L,
+        round(col("tp").cast("double")
+          / (col("tp") + col("fp")).cast("double"), 6)))
+      .withColumn("recall_r6", when(col("tp") + col("fn") > 0L,
+        round(col("tp").cast("double")
+          / (col("tp") + col("fn")).cast("double"), 6)))
+      .withColumn("f1_r6", when(
+        lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+        round(lit(2.0) * col("tp").cast("double")
+          / (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"),
+          6)))
+      .orderBy("label")
+  }
+
   val all: ListMap[String, Q] = ListMap(
     // ---- q372: NAIVE BAYES language ID — train the multinomial model
     //      on the labeled corpus (df floor 10), self-classify, report
@@ -305,6 +350,85 @@ object NaiveBayes {
              |SELECT truth AS lang, label AS pred, count(*) AS n_docs
              |FROM pick WHERE rn = 1 GROUP BY truth, label
              |ORDER BY lang, pred""".stripMargin)),
+
+    // ---- q396: CLASSIFICATION REPORT — per-language precision /
+    //      recall / F1 of the self-classified NB model; the oracle
+    //      replays the model, every argmax, and the exact-count
+    //      ratio chains (F1 via the 2tp/(2tp+fp+fn) identity). ----
+    "q396_classifier_report" -> Q(
+      (s, d) => classifierReport(s, Tables.documents(s, d), minDf = 10L),
+      Some("""WITH tok AS MATERIALIZED (SELECT doc_id, lang, term
+             |  FROM (SELECT doc_id, lang,
+             |      unnest(list_filter(regexp_split_to_array(
+             |        trim(lower(text)), '\s+'), x -> len(x) > 0)) AS term
+             |    FROM documents)),
+             |vocab AS MATERIALIZED (SELECT term
+             |  FROM (SELECT DISTINCT doc_id, term FROM tok)
+             |  GROUP BY term HAVING count(*) >= 10),
+             |cc AS (SELECT t.lang AS label, t.term, count(*) AS c
+             |  FROM tok t JOIN vocab v ON v.term = t.term
+             |  GROUP BY t.lang, t.term),
+             |nl AS (SELECT label, sum(c) AS n_l FROM cc GROUP BY label),
+             |vs AS (SELECT count(*) AS v FROM vocab),
+             |cells AS MATERIALIZED (SELECT nl.label, vo.term,
+             |    CAST(round(ln(CAST(coalesce(cc.c, 0) + 1 AS DOUBLE)
+             |      / CAST(nl.n_l + vs.v AS DOUBLE)) * 1e6, 0) AS BIGINT)
+             |      AS lp_micro
+             |  FROM vocab vo CROSS JOIN nl CROSS JOIN vs
+             |  LEFT JOIN cc ON cc.term = vo.term AND cc.label = nl.label),
+             |pri AS (SELECT lang AS label,
+             |    CAST(round(ln(CAST(count(*) AS DOUBLE)
+             |      / (SELECT CAST(count(*) AS DOUBLE) FROM documents))
+             |      * 1e6, 0) AS BIGINT) AS prior_micro
+             |  FROM documents GROUP BY lang),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |  FROM tok GROUP BY doc_id, term),
+             |contrib AS (SELECT tf.doc_id, ce.label,
+             |    sum(tf.tf * ce.lp_micro) AS like_micro
+             |  FROM tf JOIN cells ce ON ce.term = tf.term
+             |  GROUP BY tf.doc_id, ce.label),
+             |scored AS (SELECT d.doc_id, d.lang AS truth, p.label,
+             |    p.prior_micro + coalesce(c.like_micro, 0) AS score_micro
+             |  FROM documents d CROSS JOIN pri p
+             |  LEFT JOIN contrib c
+             |    ON c.doc_id = d.doc_id AND c.label = p.label),
+             |conf AS MATERIALIZED (SELECT truth, pred, count(*) AS n
+             |  FROM (SELECT doc_id, truth, label AS pred FROM (
+             |      SELECT doc_id, truth, label, row_number() OVER (
+             |        PARTITION BY doc_id
+             |        ORDER BY score_micro DESC, label) AS rn
+             |      FROM scored) WHERE rn = 1)
+             |  GROUP BY truth, pred),
+             |cls AS (SELECT truth AS label FROM conf
+             |  UNION SELECT pred FROM conf),
+             |bt AS (SELECT truth AS label, sum(n) AS n_true FROM conf
+             |  GROUP BY truth),
+             |bp AS (SELECT pred AS label, sum(n) AS n_pred FROM conf
+             |  GROUP BY pred),
+             |tpc AS (SELECT truth AS label, n AS tp FROM conf
+             |  WHERE truth = pred),
+             |j AS (SELECT c.label,
+             |    coalesce(bt.n_true, 0) AS n_true,
+             |    coalesce(tpc.tp, 0) AS tp,
+             |    coalesce(bp.n_pred, 0) - coalesce(tpc.tp, 0) AS fp,
+             |    coalesce(bt.n_true, 0) - coalesce(tpc.tp, 0) AS fn
+             |  FROM cls c
+             |  LEFT JOIN bt ON bt.label = c.label
+             |  LEFT JOIN bp ON bp.label = c.label
+             |  LEFT JOIN tpc ON tpc.label = c.label)
+             |SELECT label, CAST(n_true AS BIGINT) AS n_true,
+             |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             |  CAST(fn AS BIGINT) AS fn,
+             |  CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE)
+             |    / CAST(tp + fp AS DOUBLE), 6) ELSE NULL END
+             |    AS precision_r6,
+             |  CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE)
+             |    / CAST(tp + fn AS DOUBLE), 6) ELSE NULL END AS recall_r6,
+             |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+             |    round(2.0 * CAST(tp AS DOUBLE)
+             |      / CAST(2 * tp + fp + fn AS DOUBLE), 6) ELSE NULL END
+             |    AS f1_r6
+             |FROM j ORDER BY label""".stripMargin)),
 
     // ---- q393: LABEL-NOISE AUDIT — the 15 documents the corpus's
     //      own NB model most confidently relabels; the curation

@@ -109,6 +109,28 @@ class NaiveBayesSpec extends SparkSpec {
     assert(got.isEmpty, s"${got.toSeq}")
   }
 
+  test("classifier report: hand-checked tp/fp/fn on a planted error") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "aa aa aa", "x"), (2L, "aa aa", "x"),
+      (3L, "bb bb bb", "y"), (4L, "bb bb", "y"),
+      (5L, "aa aa aa", "y") // mislabeled: predicted x, truth y
+    ).toDF("doc_id", "text", "lang")
+    val got = NaiveBayes.classifierReport(spark, d, minDf = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = got("x"); val y = got("y")
+    // x: tp=2, fp=1 (doc 5), fn=0 -> p=2/3, r=1, f1=4/5
+    assert(x.getLong(2) == 2L && x.getLong(3) == 1L && x.getLong(4) == 0L,
+      s"$x")
+    assert(x.getDouble(5) == 0.666667 && x.getDouble(6) == 1.0
+      && x.getDouble(7) == 0.8, s"$x")
+    // y: tp=2, fp=0, fn=1 -> p=1, r=2/3
+    assert(y.getLong(2) == 2L && y.getLong(3) == 0L && y.getLong(4) == 1L,
+      s"$y")
+    assert(y.getDouble(5) == 1.0 && y.getDouble(6) == 0.666667, s"$y")
+  }
+
   test("df floor drops rare terms from the model") {
     // distinct-doc frequencies: aa=3, bb=4, cc=3
     val t3 = NaiveBayes.naiveBayesModel(spark, docs, minDf = 3)
