@@ -2075,6 +2075,33 @@ object Graft {
       k: Int = 20): DataFrame =
     rel.Logistic.uncertaintyBatch(df, label, covariate, id, iters, k)
 
+  /** Label-noise relabel queue by self-confidence margin
+    * ([[llm.NaiveBayes.labelNoiseAudit]]) and the per-class
+    * precision/recall/F1 report ([[llm.NaiveBayes.classifierReport]]).
+    */
+  def labelNoiseAudit(spark: SparkSession, docs: DataFrame, minDf: Long,
+      k: Int, id: String = "doc_id", text: String = "text",
+      label: String = "lang"): DataFrame =
+    llm.NaiveBayes.labelNoiseAudit(spark, docs, minDf, k, id, text, label)
+
+  def classifierReport(spark: SparkSession, docs: DataFrame,
+      minDf: Long): DataFrame =
+    llm.NaiveBayes.classifierReport(spark, docs, minDf)
+
+  /** Count-Min inner-product join-size estimate
+    * ([[llm.SketchAggOps.cmsJoinSize]]).
+    */
+  def cmsJoinSize(left: DataFrame, lkey: String, right: DataFrame,
+      rkey: String, depth: Int = 4, width: Int = 512): DataFrame =
+    llm.SketchAggOps.cmsJoinSize(left, lkey, right, rkey, depth, width)
+
+  /** Embedding-distribution drift between two snapshot windows
+    * ([[llm.EmbedDrift.embeddingDrift]]).
+    */
+  def embeddingDrift(df: DataFrame, isRef: Column,
+      vec: String = "embedding"): DataFrame =
+    llm.EmbedDrift.embeddingDrift(df, isRef, vec)
+
   /** Population stability index drift monitor over fixed-width bins
     * ([[rel.Quality.psi]]).
     */

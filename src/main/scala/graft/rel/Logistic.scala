@@ -573,8 +573,36 @@ object Logistic {
       .select(col("y"), (col("x1m0") - col("c1")).as("x1m"),
         (col("x2m0") - col("c2")).as("x2m"))
       .localCheckpoint(true)
-    // one Newton evaluation at the broadcast 1-row (a, b1, b2)
-    def eval(ab: DataFrame): DataFrame = {
+    val fitted = fit2On(base, iters)
+    val fin = eval2On(base, fitted)
+      .select(col("a"), col("b1"), col("b2"),
+        when(col("det") <= 0.0, raise_error(lit(
+          "logisticFit2: singular information — collinear or " +
+            "degenerate covariates")))
+          .otherwise(round(sqrt(col("c11") / col("det")), 6))
+          .as("se_b1_r6"),
+        round(sqrt(col("c22") / col("det")), 6).as("se_b2_r6"))
+    val stats = base.agg(count(lit(1)).as("n_units"), sum("y").as("n_pos"))
+    fin.crossJoin(broadcast(stats))
+      .select(col("a").as("a_micro"), col("b1").as("b1_micro"),
+        col("b2").as("b2_micro"),
+        round(exp(col("b1").cast("double") / lit(1e6)), 6).as("or1_r6"),
+        round(exp(col("b2").cast("double") / lit(1e6)), 6).as("or2_r6"),
+        col("se_b1_r6"), col("se_b2_r6"), col("n_units"), col("n_pos"))
+  }
+
+  /** quantize-and-cap a covariate to integer milli */
+  private def quantMilli(c: String, out: String, who: String) = {
+    val m = round(col(c).cast("double") * 1000, 0).cast("long")
+    when(abs(m) > XmCap, raise_error(concat(
+      lit(s"$who: |$c| exceeds 1000 after milli quantization" +
+        " — standardize it: "), m.cast("string")))).otherwise(m).as(out)
+  }
+
+  /** one 3-parameter Newton evaluation at the broadcast 1-row
+    * (a, b1, b2) over `base` (y, x1m, x2m)
+    */
+  private def eval2On(base: DataFrame, ab: DataFrame): DataFrame = {
       val lp = col("a") * lit(1000L) + col("x1m") * col("b1") +
         col("x2m") * col("b2")
       val lpg = when(abs(lp) > EtaCap, raise_error(
@@ -615,13 +643,17 @@ object Logistic {
         .withColumn("det", col("i00") * col("c00") + col("i01") * col("c01")
           + col("i02") * col("c02"))
     }
+  /** the fixed-round 3-parameter Newton loop over centered
+    * (y, x1m, x2m) units: returns the final 1-row (a, b1, b2)
+    */
+  private def fit2On(base: DataFrame, iters: Int): DataFrame = {
     def clampStep(num: org.apache.spark.sql.Column,
         det: org.apache.spark.sql.Column) =
       greatest(least(num / det, lit(1.0)), lit(-1.0))
     var ab = base.sparkSession.range(1)
       .select(lit(0L).as("a"), lit(0L).as("b1"), lit(0L).as("b2"))
     for (_ <- 1 to iters) {
-      ab = eval(ab)
+      ab = eval2On(base, ab)
         .select(
           when(col("det") <= 0.0, raise_error(lit(
             "logisticFit2: singular information — collinear or " +
@@ -640,21 +672,105 @@ object Logistic {
             .cast("long").as("b2"))
         .localCheckpoint(true)
     }
-    val fin = eval(ab)
-      .select(col("a"), col("b1"), col("b2"),
-        when(col("det") <= 0.0, raise_error(lit(
-          "logisticFit2: singular information — collinear or " +
-            "degenerate covariates")))
-          .otherwise(round(sqrt(col("c11") / col("det")), 6))
-          .as("se_b1_r6"),
-        round(sqrt(col("c22") / col("det")), 6).as("se_b2_r6"))
-    val stats = base.agg(count(lit(1)).as("n_units"), sum("y").as("n_pos"))
-    fin.crossJoin(broadcast(stats))
-      .select(col("a").as("a_micro"), col("b1").as("b1_micro"),
-        col("b2").as("b2_micro"),
-        round(exp(col("b1").cast("double") / lit(1e6)), 6).as("or1_r6"),
-        round(exp(col("b2").cast("double") / lit(1e6)), 6).as("or2_r6"),
-        col("se_b1_r6"), col("se_b2_r6"), col("n_units"), col("n_pos"))
+    ab
+  }
+
+  /** The deployable two-covariate model row: (a, b1, b2, c1, c2) —
+    * parameters plus both centering constants (the [[logisticModel]]
+    * contract extended).
+    */
+  def logistic2Model(df: DataFrame, label: String = "y",
+      cov1: String = "x1", cov2: String = "x2",
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"1 <= iters <= 16: $iters")
+    val y0 = col(label).cast("long")
+    val yv = when(y0 === 1L, 1L).when(y0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("logistic2Model: label must be 0 or 1: "), y0.cast("string"))))
+    val base0 = df.select(yv.as("y"),
+      quantMilli(cov1, "x1m0", "logistic2Model"),
+      quantMilli(cov2, "x2m0", "logistic2Model"))
+    val cb = base0.agg(round(avg(col("x1m0")), 0).cast("long").as("c1"),
+      round(avg(col("x2m0")), 0).cast("long").as("c2"))
+    val base = base0.crossJoin(broadcast(cb))
+      .select(col("y"), (col("x1m0") - col("c1")).as("x1m"),
+        (col("x2m0") - col("c2")).as("x2m"))
+      .localCheckpoint(true)
+    fit2On(base, iters).crossJoin(broadcast(cb))
+      .select(col("a"), col("b1"), col("b2"), col("c1"), col("c2"))
+  }
+
+  /** Score rows against a frozen 1-row two-covariate model
+    * (a, b1, b2, c1, c2): appends `p_micro`, map-side only.
+    */
+  def scoreLogistic2(units: DataFrame, model: DataFrame,
+      cov1: String = "x1", cov2: String = "x2"): DataFrame =
+    units.crossJoin(broadcast(model))
+      .withColumn("x1m",
+        round(col(cov1).cast("double") * 1000, 0).cast("long")
+          - col("c1"))
+      .withColumn("x2m",
+        round(col(cov2).cast("double") * 1000, 0).cast("long")
+          - col("c2"))
+      .withColumn("p_micro", {
+        val lp = col("a") * lit(1000L) + col("x1m") * col("b1") +
+          col("x2m") * col("b2")
+        val lpg = when(abs(lp) > EtaCap, raise_error(
+          lit("scoreLogistic2: |linear predictor| exceeds 20")))
+          .otherwise(lp)
+        round(lit(1e6) / (lit(1.0) + exp(-lpg.cast("double") / lit(1e9))),
+          0).cast("long")
+      })
+      .drop("a", "b1", "b2", "c1", "c2", "x1m", "x2m")
+
+  /** EXACT FEATURE SHAPLEY over model AUC for the two-covariate
+    * family (Shapley 1953 applied to feature coalitions — with two
+    * features the 2! orderings are enumerable, no sampling): fit all
+    * four coalitions (∅ → AUC exactly ½ under the tie convention,
+    * {x₁}, {x₂}, {x₁,x₂}) and average each feature's marginal AUC
+    * contribution over both orderings,
+    *
+    *   φ₁ = ½[(v₁ − v∅) + (v₁₂ − v₂)],  φ₂ symmetric,
+    *
+    * so φ₁ + φ₂ = v₁₂ − ½ exactly (efficiency, testable). The
+    * "which feature earns its pipeline" readout with the attribution
+    * axioms, not a heuristic.
+    *
+    * Determinism: three integer training chains, map-side scoring,
+    * and the rank-free exact AUC — whose per-coalition window is
+    * bounded by the micro quantization (≤ 10⁶+1 distinct scores
+    * regardless of corpus size). Shapley arithmetic runs on the
+    * rounded-6 AUCs (one fixed chain).
+    *
+    * Output (1 row): (auc0_r6, auc1_r6, auc2_r6, auc12_r6, shap1_r6,
+    * shap2_r6).
+    */
+  def featureShapleyAuc(df: DataFrame, label: String = "y",
+      cov1: String = "x1", cov2: String = "x2",
+      iters: Int = 6): DataFrame = {
+    val base = df.select(col(label).cast("long").as("y"),
+      col(cov1).cast("double").as("x1"),
+      col(cov2).cast("double").as("x2"))
+      .localCheckpoint(true)
+    def aucOf(scored: DataFrame, name: String): DataFrame =
+      graft.llm.Eval.groupedAuc(scored, lit(1L), col("p_micro"),
+        col("y") === 1L)
+        .select(col("auc_r6").as(name))
+    val s1 = scoreLogistic(base,
+      logisticModel(base, "y", "x1", iters), "x1")
+    val s2 = scoreLogistic(base,
+      logisticModel(base, "y", "x2", iters), "x2")
+    val s12 = scoreLogistic2(base,
+      logistic2Model(base, "y", "x1", "x2", iters), "x1", "x2")
+    aucOf(s1, "auc1_r6")
+      .crossJoin(broadcast(aucOf(s2, "auc2_r6")))
+      .crossJoin(broadcast(aucOf(s12, "auc12_r6")))
+      .select(lit(0.5).as("auc0_r6"), col("auc1_r6"), col("auc2_r6"),
+        col("auc12_r6"),
+        round(((col("auc1_r6") - lit(0.5))
+          + (col("auc12_r6") - col("auc2_r6"))) / 2, 6).as("shap1_r6"),
+        round(((col("auc2_r6") - lit(0.5))
+          + (col("auc12_r6") - col("auc1_r6"))) / 2, 6).as("shap2_r6"))
   }
 
   /** K-FOLD CROSS-VALIDATED AUC of the logistic model — the held-out
@@ -858,6 +974,74 @@ object Logistic {
 
   private def roundsSql(iters: Int): String = roundsSqlOn("u", "r", iters)
 
+  /** the q385 3-parameter Newton evaluation over an arbitrary
+    * (y, x1m, x2m) unit CTE — shared by the q385 fit oracle and the
+    * q397 Shapley chains
+    */
+  private def eval2SqlOn(unit: String, prev: String): String =
+    s"""(SELECT a, b1, b2, u0, u1, u2, i00, i01, i02, i11, i12, i22,
+       |    c00, c01, c02, c11, c12, c22,
+       |    i00 * c00 + i01 * c01 + i02 * c02 AS det
+       |  FROM (SELECT *,
+       |      i11 * i22 - i12 * i12 AS c00,
+       |      i02 * i12 - i01 * i22 AS c01,
+       |      i01 * i12 - i02 * i11 AS c02,
+       |      i00 * i22 - i02 * i02 AS c11,
+       |      i01 * i02 - i00 * i12 AS c12,
+       |      i00 * i11 - i01 * i01 AS c22
+       |    FROM (SELECT a, b1, b2,
+       |        CAST(su0 AS DOUBLE) / 1e6 AS u0,
+       |        CAST(su1 AS DOUBLE) / 1e9 AS u1,
+       |        CAST(su2 AS DOUBLE) / 1e9 AS u2,
+       |        CAST(si00 AS DOUBLE) / 1e12 AS i00,
+       |        CAST(si01 AS DOUBLE) / 1e15 AS i01,
+       |        CAST(si02 AS DOUBLE) / 1e15 AS i02,
+       |        CAST(si11 AS DOUBLE) / 1e18 AS i11,
+       |        CAST(si12 AS DOUBLE) / 1e18 AS i12,
+       |        CAST(si22 AS DOUBLE) / 1e18 AS i22
+       |      FROM (SELECT a, b1, b2,
+       |          sum(y * 1000000 - pm) AS su0,
+       |          sum(x1m * (y * 1000000 - pm)) AS su1,
+       |          sum(x2m * (y * 1000000 - pm)) AS su2,
+       |          sum(w) AS si00, sum(x1m * w) AS si01,
+       |          sum(x2m * w) AS si02,
+       |          sum(CAST(x1m * x1m AS HUGEINT) * w) AS si11,
+       |          sum(CAST(x1m * x2m AS HUGEINT) * w) AS si12,
+       |          sum(CAST(x2m * x2m AS HUGEINT) * w) AS si22
+       |        FROM (SELECT a, b1, b2, y, x1m, x2m, pm,
+       |            pm * (1000000 - pm) AS w
+       |          FROM (SELECT p2.a, p2.b1, p2.b2, uu.y, uu.x1m,
+       |              uu.x2m,
+       |              CAST(round(1e6 / (1 + exp(-CAST(p2.a * 1000
+       |                + uu.x1m * p2.b1 + uu.x2m * p2.b2 AS DOUBLE)
+       |                / 1e9)), 0) AS BIGINT) AS pm
+       |            FROM $unit uu, $prev p2))
+       |        GROUP BY a, b1, b2))))""".stripMargin
+
+  private def rounds3SqlOn(unit: String, prefix: String,
+      iters: Int): String = {
+    def step(num: String): String =
+      s"LEAST(GREATEST(($num) / x.det, -1.0), 1.0)"
+    def round3(prev: String, cur: String): String =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT CAST(round((x.a / 1e6 + ${step(
+        "x.c00 * x.u0 + x.c01 * x.u1 + x.c02 * x.u2")})
+         |      * 1e6, 0) AS BIGINT) AS a,
+         |    CAST(round((x.b1 / 1e6 + ${step(
+        "x.c01 * x.u0 + x.c11 * x.u1 + x.c12 * x.u2")})
+         |      * 1e6, 0) AS BIGINT) AS b1,
+         |    CAST(round((x.b2 / 1e6 + ${step(
+        "x.c02 * x.u0 + x.c12 * x.u1 + x.c22 * x.u2")})
+         |      * 1e6, 0) AS BIGINT) AS b2
+         |  FROM ${eval2SqlOn(unit, prev)} x)""".stripMargin
+    s"${prefix}0 AS (SELECT CAST(0 AS BIGINT) AS a, " +
+      "CAST(0 AS BIGINT) AS b1, CAST(0 AS BIGINT) AS b2),\n" +
+      (1 to iters)
+        .map(k => round3(if (k == 1) s"${prefix}0" else s"$prefix${k - 1}",
+          s"$prefix$k"))
+        .mkString(",\n")
+  }
+
   /** the q348/q349 unit CTEs: per-user label/treat, ln(1+count)
     * covariate in centered milli-units (+ spend for the IPW entry)
     */
@@ -1050,6 +1234,86 @@ object Logistic {
              |  abs(p_micro - 500000) AS dist_micro
              |FROM sc ORDER BY dist_micro, user_id LIMIT 20""".stripMargin)),
 
+    // ---- q397: FEATURE SHAPLEY over AUC — how much does overall
+    //      activity vs purchase activity each contribute to
+    //      predicting early signup? All four coalitions fitted, both
+    //      orderings averaged; the oracle replays three training
+    //      chains, three scorings, three exact AUCs, and the Shapley
+    //      chain. ----
+    "q397_feature_shapley" -> Q(
+      (s, d) => featureShapleyAuc(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "signup"
+              && col("ts") < lit("2024-01-05").cast("timestamp"), 1L)
+              .otherwise(0L)).as("y"),
+            log((count(lit(1)) + 1).cast("double")).as("x1"),
+            log((sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)) + 1).cast("double")).as("x2")),
+        "y", "x1", "x2", iters = 6),
+      Some {
+        def aucCtes(src: String, p: String): String =
+          s"""${p}p AS (SELECT p AS s,
+             |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+             |    sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS neg
+             |  FROM $src GROUP BY p),
+             |${p}c AS (SELECT pos, neg,
+             |    coalesce(sum(neg) OVER (ORDER BY s ROWS BETWEEN
+             |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+             |  FROM ${p}p),
+             |$p AS (SELECT round(CAST(sum(pos * (2 * cumneg + neg))
+             |      AS DOUBLE) / (2.0 * sum(pos) * sum(neg)), 6) AS auc
+             |  FROM ${p}c)""".stripMargin
+        s"""WITH ub2 AS MATERIALIZED (SELECT user_id,
+           |    max(CASE WHEN event_type = 'signup'
+           |      AND ts < TIMESTAMP '2024-01-05 00:00:00'
+           |      THEN 1 ELSE 0 END) AS y,
+           |    CAST(round(ln(CAST(count(*) + 1 AS DOUBLE)) * 1000, 0)
+           |      AS BIGINT) AS x1r,
+           |    CAST(round(ln(CAST(sum(CASE WHEN event_type = 'purchase'
+           |      THEN 1 ELSE 0 END) + 1 AS DOUBLE)) * 1000, 0)
+           |      AS BIGINT) AS x2r
+           |  FROM events GROUP BY user_id),
+           |cb1a AS (SELECT CAST(round(avg(x1r), 0) AS BIGINT) AS cb
+           |  FROM ub2),
+           |cb2a AS (SELECT CAST(round(avg(x2r), 0) AS BIGINT) AS cb
+           |  FROM ub2),
+           |u1c AS MATERIALIZED (SELECT y,
+           |    x1r - (SELECT cb FROM cb1a) AS xm FROM ub2),
+           |u2cv AS MATERIALIZED (SELECT y,
+           |    x2r - (SELECT cb FROM cb2a) AS xm FROM ub2),
+           |u2c AS MATERIALIZED (SELECT y,
+           |    x1r - (SELECT cb FROM cb1a) AS x1m,
+           |    x2r - (SELECT cb FROM cb2a) AS x2m FROM ub2),
+           |${roundsSqlOn("u1c", "ma", 6)},
+           |${roundsSqlOn("u2cv", "mb", 6)},
+           |${rounds3SqlOn("u2c", "g", 6)},
+           |s1 AS MATERIALIZED (SELECT uu.y,
+           |    CAST(round(1e6 / (1 + exp(-CAST(p.a * 1000 + uu.xm * p.b
+           |      AS DOUBLE) / 1e9)), 0) AS BIGINT) AS p
+           |  FROM u1c uu, ma6 p),
+           |s2 AS MATERIALIZED (SELECT uu.y,
+           |    CAST(round(1e6 / (1 + exp(-CAST(p.a * 1000 + uu.xm * p.b
+           |      AS DOUBLE) / 1e9)), 0) AS BIGINT) AS p
+           |  FROM u2cv uu, mb6 p),
+           |s12 AS MATERIALIZED (SELECT uu.y,
+           |    CAST(round(1e6 / (1 + exp(-CAST(p.a * 1000
+           |      + uu.x1m * p.b1 + uu.x2m * p.b2 AS DOUBLE) / 1e9)), 0)
+           |      AS BIGINT) AS p
+           |  FROM u2c uu, g6 p),
+           |${aucCtes("s1", "a1")},
+           |${aucCtes("s2", "a2")},
+           |${aucCtes("s12", "a12")}
+           |SELECT CAST(0.5 AS DOUBLE) AS auc0_r6,
+           |  a1.auc AS auc1_r6, a2.auc AS auc2_r6,
+           |  a12.auc AS auc12_r6,
+           |  round(((a1.auc - 0.5) + (a12.auc - a2.auc)) / 2, 6)
+           |    AS shap1_r6,
+           |  round(((a2.auc - 0.5) + (a12.auc - a1.auc)) / 2, 6)
+           |    AS shap2_r6
+           |FROM a1, a2, a12""".stripMargin
+      }),
+
     // ---- q385: TWO-COVARIATE LOGISTIC — early signup from overall
     //      activity AND purchase activity jointly; six 3×3 Newton
     //      rounds, the oracle replaying the nine HUGEINT sufficient
@@ -1067,64 +1331,7 @@ object Logistic {
               .otherwise(0L)) + 1).cast("double")).as("x2")),
         "y", "x1", "x2", iters = 6),
       Some {
-        def eval2(prev: String): String =
-          s"""(SELECT a, b1, b2, u0, u1, u2, i00, i01, i02, i11, i12, i22,
-             |    c00, c01, c02, c11, c12, c22,
-             |    i00 * c00 + i01 * c01 + i02 * c02 AS det
-             |  FROM (SELECT *,
-             |      i11 * i22 - i12 * i12 AS c00,
-             |      i02 * i12 - i01 * i22 AS c01,
-             |      i01 * i12 - i02 * i11 AS c02,
-             |      i00 * i22 - i02 * i02 AS c11,
-             |      i01 * i02 - i00 * i12 AS c12,
-             |      i00 * i11 - i01 * i01 AS c22
-             |    FROM (SELECT a, b1, b2,
-             |        CAST(su0 AS DOUBLE) / 1e6 AS u0,
-             |        CAST(su1 AS DOUBLE) / 1e9 AS u1,
-             |        CAST(su2 AS DOUBLE) / 1e9 AS u2,
-             |        CAST(si00 AS DOUBLE) / 1e12 AS i00,
-             |        CAST(si01 AS DOUBLE) / 1e15 AS i01,
-             |        CAST(si02 AS DOUBLE) / 1e15 AS i02,
-             |        CAST(si11 AS DOUBLE) / 1e18 AS i11,
-             |        CAST(si12 AS DOUBLE) / 1e18 AS i12,
-             |        CAST(si22 AS DOUBLE) / 1e18 AS i22
-             |      FROM (SELECT a, b1, b2,
-             |          sum(y * 1000000 - pm) AS su0,
-             |          sum(x1m * (y * 1000000 - pm)) AS su1,
-             |          sum(x2m * (y * 1000000 - pm)) AS su2,
-             |          sum(w) AS si00, sum(x1m * w) AS si01,
-             |          sum(x2m * w) AS si02,
-             |          sum(CAST(x1m * x1m AS HUGEINT) * w) AS si11,
-             |          sum(CAST(x1m * x2m AS HUGEINT) * w) AS si12,
-             |          sum(CAST(x2m * x2m AS HUGEINT) * w) AS si22
-             |        FROM (SELECT a, b1, b2, y, x1m, x2m, pm,
-             |            pm * (1000000 - pm) AS w
-             |          FROM (SELECT p2.a, p2.b1, p2.b2, uu.y, uu.x1m,
-             |              uu.x2m,
-             |              CAST(round(1e6 / (1 + exp(-CAST(p2.a * 1000
-             |                + uu.x1m * p2.b1 + uu.x2m * p2.b2 AS DOUBLE)
-             |                / 1e9)), 0) AS BIGINT) AS pm
-             |            FROM u2c uu, $prev p2))
-             |        GROUP BY a, b1, b2))))""".stripMargin
-        def step(num: String): String =
-          s"LEAST(GREATEST(($num) / x.det, -1.0), 1.0)"
-        def round3(prev: String, cur: String): String =
-          s"""$cur AS MATERIALIZED (
-             |  SELECT CAST(round((x.a / 1e6 + ${step(
-            "x.c00 * x.u0 + x.c01 * x.u1 + x.c02 * x.u2")})
-             |      * 1e6, 0) AS BIGINT) AS a,
-             |    CAST(round((x.b1 / 1e6 + ${step(
-            "x.c01 * x.u0 + x.c11 * x.u1 + x.c12 * x.u2")})
-             |      * 1e6, 0) AS BIGINT) AS b1,
-             |    CAST(round((x.b2 / 1e6 + ${step(
-            "x.c02 * x.u0 + x.c12 * x.u1 + x.c22 * x.u2")})
-             |      * 1e6, 0) AS BIGINT) AS b2
-             |  FROM ${eval2(prev)} x)""".stripMargin
-        val rounds = "g0 AS (SELECT CAST(0 AS BIGINT) AS a, " +
-          "CAST(0 AS BIGINT) AS b1, CAST(0 AS BIGINT) AS b2),\n" +
-          (1 to 6).map(k =>
-            round3(if (k == 1) "g0" else s"g${k - 1}", s"g$k"))
-            .mkString(",\n")
+        val rounds = rounds3SqlOn("u2c", "g", 6)
         s"""WITH ub2 AS MATERIALIZED (SELECT user_id,
            |    max(CASE WHEN event_type = 'signup'
            |      AND ts < TIMESTAMP '2024-01-05 00:00:00'
@@ -1145,7 +1352,7 @@ object Logistic {
            |fin AS (SELECT x.a, x.b1, x.b2,
            |    round(sqrt(x.c11 / x.det), 6) AS se_b1_r6,
            |    round(sqrt(x.c22 / x.det), 6) AS se_b2_r6
-           |  FROM ${eval2("g6")} x),
+           |  FROM ${eval2SqlOn("u2c", "g6")} x),
            |st AS (SELECT count(*) AS n_units, sum(y) AS n_pos FROM u2c)
            |SELECT a AS a_micro, b1 AS b1_micro, b2 AS b2_micro,
            |  round(exp(b1 / 1e6), 6) AS or1_r6,
