@@ -1967,12 +1967,28 @@ object Graft {
     rel.Logistic.kFoldCvAuc(df, label, covariate, id, folds, iters, salt)
 
   /** Two-covariate logistic regression by fixed-round 3×3 Newton
-    * ([[rel.Logistic.logisticFit2]]).
+    * ([[rel.Logistic.logisticFit2]]), its deployable model/scorer
+    * pair, and the exact feature-Shapley AUC attribution
+    * ([[rel.Logistic.featureShapleyAuc]]).
     */
   def logisticFit2(df: DataFrame, label: String = "y",
       cov1: String = "x1", cov2: String = "x2",
       iters: Int = 8): DataFrame =
     rel.Logistic.logisticFit2(df, label, cov1, cov2, iters)
+
+  def logistic2Model(df: DataFrame, label: String = "y",
+      cov1: String = "x1", cov2: String = "x2",
+      iters: Int = 8): DataFrame =
+    rel.Logistic.logistic2Model(df, label, cov1, cov2, iters)
+
+  def scoreLogistic2(units: DataFrame, model: DataFrame,
+      cov1: String = "x1", cov2: String = "x2"): DataFrame =
+    rel.Logistic.scoreLogistic2(units, model, cov1, cov2)
+
+  def featureShapleyAuc(df: DataFrame, label: String = "y",
+      cov1: String = "x1", cov2: String = "x2",
+      iters: Int = 6): DataFrame =
+    rel.Logistic.featureShapleyAuc(df, label, cov1, cov2, iters)
 
   /** Gradient-boosted regression stumps: the per-round model trace
     * (split, leaves, gain, post-round RMSE)

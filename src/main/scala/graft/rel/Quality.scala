@@ -229,6 +229,82 @@ object Quality {
   }
 
   val all: ListMap[String, Q] = ListMap(
+    // ---- q398: STREAMING PSI — the q392 monitor with the CURRENT
+    //      window arriving as a 3-batch stream (last batch REPLAYED,
+    //      at-least-once); appended rows dedup by event id, so the
+    //      drift readout equals the one-shot batch PSI bit-for-bit —
+    //      the oracle IS q392's. ----
+    "q398_psi_stream" -> Q(
+      (s, d) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val purch = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+        val work = java.nio.file.Files.createTempDirectory("graft-q398")
+        val ckDir = java.nio.file.Files.createTempDirectory("graft-q398-ck")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(work.toFile); rm(ckDir.toFile)
+        }
+        val arriving = purch
+          .filter(col("ts") >= lit("2024-01-16").cast("timestamp"))
+          .select(col("event_id"),
+            round(col("value") * 100, 0).cast("long").as("v"))
+          .as[(Long, Long)].collect()
+        val (b12, b3) = arriving.partition(_._1 % 3 != 2)
+        val (b1, b2) = b12.partition(_._1 % 3 == 0)
+        val mem = MemoryStream[(Long, Long)]
+        val q = mem.toDF.toDF("event_id", "v").writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(s"$work/cur")
+          }
+          .option("checkpointLocation", ckDir.toString)
+          .start()
+        try {
+          mem.addData(b1.toSeq); q.processAllAvailable()
+          mem.addData(b2.toSeq); q.processAllAvailable()
+          mem.addData(b3.toSeq); q.processAllAvailable()
+          mem.addData(b3.toSeq); q.processAllAvailable() // replay
+        } finally q.stop()
+        val cur = s.read.parquet(s"$work/cur")
+          .dropDuplicates("event_id")
+          .select(col("v"), lit(0L).as("r"))
+        val ref = purch
+          .filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+          .select(round(col("value") * 100, 0).cast("long").as("v"),
+            lit(1L).as("r"))
+        psi(ref.unionAll(cur), col("r") === 1L, col("v"),
+          binWidth = 2000L, bins = 20)
+      },
+      Some("""WITH base AS (SELECT
+             |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+             |      THEN 1 ELSE 0 END AS r,
+             |    least(greatest(CAST(round(value * 100) AS BIGINT), 0)
+             |      // 2000, 19) AS b
+             |  FROM events WHERE event_type = 'purchase'),
+             |cells AS (SELECT b, sum(r) AS cr, sum(1 - r) AS cc2
+             |  FROM base GROUP BY b),
+             |tot AS (SELECT sum(r) AS nr, sum(1 - r) AS nc FROM base),
+             |trm AS (SELECT b, nr, nc,
+             |    (CAST(cr + 1 AS DOUBLE) / CAST(nr + 20 AS DOUBLE)
+             |      - CAST(cc2 + 1 AS DOUBLE) / CAST(nc + 20 AS DOUBLE))
+             |    * ln((CAST(cr + 1 AS DOUBLE) / CAST(nr + 20 AS DOUBLE))
+             |      / (CAST(cc2 + 1 AS DOUBLE) / CAST(nc + 20 AS DOUBLE)))
+             |      AS term
+             |  FROM cells, tot),
+             |ag AS (SELECT max(nr) AS n_ref, max(nc) AS n_cur,
+             |    count(*) AS n_bins, sum(term ORDER BY b) AS s
+             |  FROM trm)
+             |SELECT CAST(n_ref AS BIGINT) AS n_ref,
+             |  CAST(n_cur AS BIGINT) AS n_cur,
+             |  CAST(n_bins AS BIGINT) AS n_bins,
+             |  round(s, 6) AS psi_r6, s >= 0.2 AS drifted
+             |FROM ag""".stripMargin)),
+
     // ---- q392: PSI DRIFT — did the purchase-amount distribution
     //      shift between the two halves of the month? $20 fixed bins,
     //      Laplace-smoothed shares; the oracle replays the one-pass
