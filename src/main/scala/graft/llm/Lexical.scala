@@ -415,6 +415,56 @@ object Lexical {
     * normalization with the identical expression shape, rounds to 6
     * decimals, ranks with the same (score desc, id asc) tie-break
     */
+  /** MORE-LIKE-THIS (the Lucene MLT contract): for each probe
+    * document, select its `nTerms` most characteristic terms by
+    * integer TF-IDF (tf · round(ln(N/df)·10⁶), ties → term asc) and
+    * run them as a BM25 query over the corpus, excluding the probe
+    * itself — "find documents like this one" from nothing but the
+    * corpus statistics.
+    *
+    * Scale shape: the probe set is the query (driver-bounded by
+    * contract — it IS the request); df comes from one corpus pass;
+    * the BM25 scan is [[bm25Scores]]'s query-term-filtered posting
+    * stream. Probe-id collisions with the q103 index path: serve the
+    * same terms through [[probeBm25]] when an index exists.
+    *
+    * Output: (qid = probe id, rn, doc_id, score_r6), top-k per probe.
+    */
+  def moreLikeThis(s: SparkSession, docs: DataFrame, probeIds: Seq[Long],
+      nTerms: Int = 5, k: Int = 5, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    import s.implicits._
+    require(probeIds.nonEmpty && probeIds.size <= 64,
+      s"1 <= probes <= 64: ${probeIds.size}")
+    require(nTerms >= 1 && k >= 1, s"nTerms=$nTerms k=$k")
+    require(probeIds.forall(p => p >= 0 && p <= Int.MaxValue),
+      "probe ids must fit an int qid")
+    val dl = withLen(docs, id, text)
+    val nn = dl.count()
+    val dfall = dl.select(col(id), explode(col("t")).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val ptf = dl.filter(col(id).isin(probeIds: _*))
+      .select(col(id).as("pid"), explode(col("t")).as("term"))
+      .groupBy("pid", "term").agg(count(lit(1)).as("tf"))
+    val sel = ptf.join(dfall, "term")
+      .select(col("pid"), col("term"),
+        (col("tf") * round(log(lit(nn.toDouble) / col("df").cast("double"))
+          * lit(1e6), 0).cast("long")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pid")
+      .orderBy(col("s").desc, col("term"))
+    val queries = sel.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nTerms)
+      .select(col("pid"), col("term"))
+      .as[(Long, String)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (pid, ts) => (pid.toInt, ts.map(_._2).sorted.toSeq) }
+    val scored = bm25Scores(s, docs, queries, id = id, text = text)
+      .filter(col(id) =!= col("qid").cast("long"))
+    graft.functions.TopK.perKeyTopK(scored, k, "qid", id, "score_r6")
+      .orderBy("qid", "rn")
+  }
+
   private[llm] val bm25OracleSql =
     """WITH t AS (SELECT doc_id,
       |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -445,6 +495,54 @@ object Lexical {
       |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
   val all: ListMap[String, Q] = ListMap(
+    // ---- q399: MORE-LIKE-THIS — the 5 documents most similar to
+    //      each of three probe docs, querying each probe's top-5
+    //      integer-TF-IDF terms through BM25 with the probe itself
+    //      excluded. The oracle replays term selection and the full
+    //      scoring chain. ----
+    "q399_more_like_this" -> Q(
+      (s, d) => moreLikeThis(s, Tables.documents(s, d),
+        Seq(10L, 20L, 30L)),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      x -> len(x) > 0) AS w
+             |  FROM documents),
+             |dl AS (SELECT doc_id, len(w) AS len, w FROM t),
+             |nn AS (SELECT count(*) AS n FROM dl),
+             |un AS (SELECT doc_id, len, unnest(w) AS term FROM dl),
+             |dfall AS (SELECT term, count(*) AS df
+             |  FROM (SELECT DISTINCT doc_id, term FROM un) GROUP BY term),
+             |ptf AS (SELECT doc_id AS pid, term, count(*) AS tf
+             |  FROM un WHERE doc_id IN (10, 20, 30) GROUP BY 1, 2),
+             |qsel AS (SELECT pid, term FROM (SELECT pid, term,
+             |    row_number() OVER (PARTITION BY pid ORDER BY
+             |      tf * CAST(round(ln(CAST(nn.n AS DOUBLE)
+             |        / CAST(df AS DOUBLE)) * 1e6, 0) AS BIGINT) DESC,
+             |      term) AS rn
+             |    FROM ptf JOIN dfall USING (term) CROSS JOIN nn)
+             |  WHERE rn <= 5),
+             |post AS (SELECT term, doc_id, len, count(*) AS tf FROM un
+             |  WHERE term IN (SELECT term FROM qsel)
+             |  GROUP BY term, doc_id, len),
+             |dfd AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+             |stats AS (SELECT count(*) AS n_docs, avg(len) AS avg_len
+             |  FROM dl),
+             |sc AS (SELECT q.pid AS qid, p.doc_id,
+             |    round(sum(ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))
+             |      * (p.tf * 2.2)
+             |      / (p.tf + 1.2 * (0.25 + 0.75 * p.len / s.avg_len))), 6)
+             |      AS score_r6
+             |  FROM post p JOIN dfd d USING (term) JOIN qsel q USING (term)
+             |  CROSS JOIN stats s
+             |  GROUP BY q.pid, p.doc_id),
+             |r AS (SELECT qid, doc_id, score_r6,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY score_r6 DESC, doc_id) AS rn
+             |  FROM sc WHERE doc_id <> qid)
+             |SELECT CAST(qid AS INT) AS qid, CAST(rn AS INT) AS rn,
+             |  doc_id, score_r6
+             |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
     // ---- BM25 top-5 per query from the corpus scan ----
     "q102_bm25_topk" -> Q(
       (s, d) => bm25TopK(s, Tables.documents(s, d), demoQueries, k = 5)
