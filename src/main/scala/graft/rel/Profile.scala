@@ -122,7 +122,103 @@ object Profile {
        |  CAST(max($c) AS VARCHAR) AS max_value
        |FROM li""".stripMargin
 
+  /** CORPUS TRAINING-READINESS REPORT — the one-row health gauge a
+    * curation pipeline publishes before handing a corpus to training:
+    * volume (docs, whitespace tokens), EXACT duplicate exposure (docs
+    * whose full text appears more than once — the q33 hash-group
+    * definition), language concentration (distinct languages, the
+    * majority language and its share, and the Shannon entropy of the
+    * language mix in nats), size shape (mean chars), and PII exposure
+    * (docs matching the house email pattern).
+    *
+    * Exactness: every count is an exact integer; dup detection is one
+    * text-keyed hash aggregation (text moves once); the entropy is a
+    * fixed IEEE chain over the LANGUAGE-BOUNDED mix table folded in
+    * label order (the q328 rule); shares round to 6.
+    *
+    * Output (1 row): (n_docs, n_tokens, n_dup_docs, n_langs,
+    * top_lang, top_share_r6, lang_entropy_r6, avg_chars_r6,
+    * n_email_docs).
+    */
+  def corpusReport(s: SparkSession, docs: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      lang: String = "lang"): DataFrame = {
+    val base = docs.select(col(id).as("did"), col(text).as("tx"),
+      col(lang).as("lg"))
+    val toks = base.select(explode(filter(
+      split(trim(lower(col("tx"))), "\\s+"),
+      t => length(t) > 0)).as("t")).agg(count(lit(1)).as("n_tokens"))
+    val dups = base.groupBy("tx").agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1L, col("c")).otherwise(0L))
+        .as("n_dup_docs"))
+    val chars = base.agg(count(lit(1)).as("n_docs"),
+      round(avg(length(col("tx"))), 6).as("avg_chars_r6"))
+    val pii = base.agg(sum(when(
+      col("tx").rlike(graft.llm.Curation.emailRe), 1L).otherwise(0L))
+      .as("n_email_docs"))
+    val mix = base.groupBy("lg").agg(count(lit(1)).as("nl"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("lg")
+      .rowsBetween(Long.MinValue, 0)
+    val langAgg = mix.crossJoin(broadcast(chars.select(col("n_docs"))))
+      .withColumn("p", col("nl").cast("double") / col("n_docs")
+        .cast("double"))
+      .withColumn("ecum", sum(-col("p") * log(col("p"))).over(wCum))
+      .withColumn("k", count(lit(1)).over(wCum))
+      .agg(max(struct(col("lg"), col("k"), col("ecum"))).as("z"),
+        max(struct(col("nl"), col("lg").as("top_lang"))).as("t"),
+        max(col("n_docs")).as("nd"))
+      .select(col("z.k").as("n_langs"), col("t.top_lang"),
+        round(col("t.nl").cast("double") / col("nd").cast("double"), 6)
+          .as("top_share_r6"),
+        round(col("z.ecum"), 6).as("lang_entropy_r6"))
+    chars.crossJoin(broadcast(toks)).crossJoin(broadcast(dups))
+      .crossJoin(broadcast(langAgg)).crossJoin(broadcast(pii))
+      .select(col("n_docs"), col("n_tokens"), col("n_dup_docs"),
+        col("n_langs"), col("top_lang"), col("top_share_r6"),
+        col("lang_entropy_r6"), col("avg_chars_r6"), col("n_email_docs"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q400: CORPUS REPORT — the one-row training-readiness gauge
+    //      over documents; the oracle replays every pass and the
+    //      label-ordered entropy fold. ----
+    "q400_corpus_report" -> Q(
+      (s, d) => corpusReport(s, Tables.documents(s, d)),
+      Some("""WITH chars AS (SELECT count(*) AS n_docs,
+             |    round(avg(length(text)), 6) AS avg_chars_r6
+             |  FROM documents),
+             |toks AS (SELECT count(*) AS n_tokens FROM (
+             |  SELECT unnest(list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '\s+'), x -> len(x) > 0)) AS t
+             |  FROM documents)),
+             |dups AS (SELECT sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+             |    AS n_dup_docs
+             |  FROM (SELECT text, count(*) AS c FROM documents
+             |    GROUP BY text)),
+             |pii AS (SELECT sum(CASE WHEN regexp_matches(text,
+             |    '[a-z0-9._]+@[a-z0-9]+\.[a-z]+') THEN 1 ELSE 0 END)
+             |    AS n_email_docs
+             |  FROM documents),
+             |mix AS (SELECT lang AS lg, count(*) AS nl FROM documents
+             |  GROUP BY lang),
+             |lx AS (SELECT count(*) AS n_langs,
+             |    sum(-(CAST(nl AS DOUBLE) / CAST(chars.n_docs AS DOUBLE))
+             |      * ln(CAST(nl AS DOUBLE) / CAST(chars.n_docs AS DOUBLE))
+             |      ORDER BY lg) AS ent
+             |  FROM mix, chars),
+             |tp AS (SELECT lg AS top_lang, nl FROM mix
+             |  ORDER BY nl DESC, lg DESC LIMIT 1)
+             |SELECT CAST(chars.n_docs AS BIGINT) AS n_docs,
+             |  CAST(toks.n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(dups.n_dup_docs AS BIGINT) AS n_dup_docs,
+             |  CAST(lx.n_langs AS BIGINT) AS n_langs,
+             |  tp.top_lang,
+             |  round(CAST(tp.nl AS DOUBLE)
+             |    / CAST(chars.n_docs AS DOUBLE), 6) AS top_share_r6,
+             |  round(lx.ent, 6) AS lang_entropy_r6,
+             |  chars.avg_chars_r6,
+             |  CAST(pii.n_email_docs AS BIGINT) AS n_email_docs
+             |FROM chars, toks, dups, pii, lx, tp""".stripMargin)),
     // ---- one-pass-per-branch table profile: per-column rows with
     //      null/distinct accounting and string-cast extrema; the
     //      oracle recomputes each column's stats independently and
