@@ -2118,6 +2118,22 @@ object Graft {
       vec: String = "embedding"): DataFrame =
     llm.EmbedDrift.embeddingDrift(df, isRef, vec)
 
+  /** More-like-this: probe-document TF-IDF terms through BM25 with
+    * the probe excluded ([[llm.Lexical.moreLikeThis]]).
+    */
+  def moreLikeThis(spark: SparkSession, docs: DataFrame,
+      probeIds: Seq[Long], nTerms: Int = 5, k: Int = 5,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    llm.Lexical.moreLikeThis(spark, docs, probeIds, nTerms, k, id, text)
+
+  /** One-row corpus training-readiness report
+    * ([[rel.Profile.corpusReport]]).
+    */
+  def corpusReport(spark: SparkSession, docs: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      lang: String = "lang"): DataFrame =
+    rel.Profile.corpusReport(spark, docs, id, text, lang)
+
   /** Population stability index drift monitor over fixed-width bins
     * ([[rel.Quality.psi]]).
     */
