@@ -27,7 +27,90 @@ object Categorical {
       .select(col(group), col(value).as(s"mode_$value"), col("n").as("mode_count"))
   }
 
+  /** CHI-SQUARE INDEPENDENCE + CRAMÉR'S V between two categorical
+    * columns (Cramér 1946) — "are these two labelings related at
+    * all, and how strongly":
+    *
+    *   χ² = Σ (o − e)² / e,  e = rowTot·colTot/n,
+    *   V  = sqrt(χ² / (n · (min(r, c) − 1))).
+    *
+    * Exactness: the contingency table, margins, and n are exact
+    * integers from two hash aggregations; each cell's χ² term is one
+    * fixed IEEE chain folded over the LEVEL-BOUNDED (a, b)-ordered
+    * window (the q328 rule); V is one chain at the edge. Degenerate
+    * tables (a single level on either axis) raise loudly — V is
+    * undefined.
+    *
+    * Output (1 row): (n, a_levels, b_levels, chi2_r6, cramers_v_r6).
+    */
+  def cramersV(df: org.apache.spark.sql.DataFrame, a: String,
+      b: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(a).cast("string").as("av"),
+      col(b).cast("string").as("bv"))
+    val cells = base.groupBy("av", "bv").agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("av").agg(sum("o").as("rt"))
+    val cb = cells.groupBy("bv").agg(sum("o").as("ct"))
+    val nn = cells.agg(sum("o").as("n"),
+      countDistinct("av").as("ra"), countDistinct("bv").as("rb"))
+    val full = ra.crossJoin(cb)
+      .join(cells, Seq("av", "bv"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(nn))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+    val wCum = Window.orderBy("av", "bv").rowsBetween(Long.MinValue, 0)
+    full
+      .withColumn("cum", sum(term).over(wCum))
+      .agg(max(struct(col("av"), col("bv"), col("cum"), col("n"),
+        col("ra"), col("rb"))).as("z"))
+      .select(col("z.n").as("n"), col("z.ra").as("a_levels"),
+        col("z.rb").as("b_levels"),
+        round(col("z.cum"), 6).as("chi2_r6"),
+        when(col("z.ra") < 2L || col("z.rb") < 2L, raise_error(lit(
+          "cramersV: a single-level axis — the statistic is undefined")))
+          .otherwise(round(sqrt(col("z.cum")
+            / (col("z.n").cast("double")
+              * (least(col("z.ra"), col("z.rb")) - 1L).cast("double"))),
+            6)).as("cramers_v_r6"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q402: CRAMÉR'S V — is document language related to source?
+    //      The full lang × source contingency with margins completed,
+    //      the ordered χ² fold, and the V normalization; the oracle
+    //      replays every cell term. ----
+    "q402_cramers_v" -> Q(
+      (s, d) => cramersV(Tables.documents(s, d), "lang", "source"),
+      Some("""WITH cells AS (SELECT lang AS av, source AS bv,
+             |    count(*) AS o
+             |  FROM documents GROUP BY lang, source),
+             |ra AS (SELECT av, sum(o) AS rt FROM cells GROUP BY av),
+             |cb AS (SELECT bv, sum(o) AS ct FROM cells GROUP BY bv),
+             |nn AS (SELECT sum(o) AS n, count(DISTINCT av) AS ra,
+             |    count(DISTINCT bv) AS rb FROM cells),
+             |fl AS (SELECT ra.av, cb.bv, ra.rt, cb.ct,
+             |    coalesce(cells.o, 0) AS o
+             |  FROM ra CROSS JOIN cb
+             |  LEFT JOIN cells ON cells.av = ra.av AND cells.bv = cb.bv),
+             |tm AS (SELECT av, bv,
+             |    (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+             |      / CAST(nn.n AS DOUBLE))
+             |    * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+             |      / CAST(nn.n AS DOUBLE))
+             |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+             |      / CAST(nn.n AS DOUBLE)) AS term
+             |  FROM fl, nn),
+             |ag AS (SELECT sum(term ORDER BY av, bv) AS chi2 FROM tm)
+             |SELECT CAST(nn.n AS BIGINT) AS n,
+             |  CAST(nn.ra AS BIGINT) AS a_levels,
+             |  CAST(nn.rb AS BIGINT) AS b_levels,
+             |  round(ag.chi2, 6) AS chi2_r6,
+             |  round(sqrt(ag.chi2 / (CAST(nn.n AS DOUBLE)
+             |    * CAST(least(nn.ra, nn.rb) - 1 AS DOUBLE))), 6)
+             |    AS cramers_v_r6
+             |FROM ag, nn""".stripMargin)),
+
     // ---- q167: GROUP MODE — the modal return flag per part brand over
     //      the lineitem ⋈ part join, with the tie order pinned total
     //      (count DESC, then value ASC): both engines pick the same

@@ -228,7 +228,90 @@ object Quality {
         (col("z.cum") >= 0.2).as("drifted"))
   }
 
+  /** KOLMOGOROV–SMIRNOV DRIFT between two windows of the same
+    * feature — the distribution-shape complement to [[psi]]'s binned
+    * shares: KS = max_v |F_ref(v) − F_cur(v)|, computed EXACTLY with
+    * no division until the edge: the sup runs over integer
+    * cross-products |n_cur·cumRef(v) − n_ref·cumCur(v)| (ties → the
+    * smallest v), divided once by n_ref·n_cur at the end. No binning
+    * bias, no smoothing — the statistic a two-sample test would use.
+    *
+    * Scale shape: one conditional hash aggregation to the DISTINCT-
+    * VALUE table (bounded for quantized features — cents, milli — by
+    * their domain, not the corpus; the operator contract, like the
+    * NegSample vocabulary window) + the order-pinned cumulative
+    * window over it.
+    *
+    * Output (1 row): (n_ref, n_cur, ks_r6, ks_at).
+    */
+  def ksDrift(df: DataFrame, isRef: Column, value: Column): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DataTypes
+      .createDecimalType(38, 0)
+    val base = df.select(when(isRef, 1L).otherwise(0L).as("r"),
+      value.cast("long").as("v"))
+    val cells = base.groupBy("v")
+      .agg(sum(col("r")).as("cr"), sum(lit(1L) - col("r")).as("cc"))
+    val wCum = Window.orderBy("v").rowsBetween(Long.MinValue, 0)
+    val wAll = Window.partitionBy()
+    val terms = cells
+      .withColumn("cumr", sum(col("cr")).over(wCum))
+      .withColumn("cumc", sum(col("cc")).over(wCum))
+      .withColumn("nr", sum(col("cr")).over(wAll))
+      .withColumn("nc", sum(col("cc")).over(wAll))
+      .select(col("v"), col("nr"), col("nc"),
+        abs(col("nc").cast(dec38) * col("cumr")
+          - col("nr").cast(dec38) * col("cumc")).as("num"))
+    terms
+      .agg(max(struct(col("num"), (-col("v")).as("negv"), col("v"),
+        col("nr"), col("nc"))).as("z"))
+      .select(
+        when(col("z.nr") === 0L || col("z.nc") === 0L, raise_error(lit(
+          "ksDrift: both windows must be non-empty")))
+          .otherwise(col("z.nr")).as("n_ref"),
+        col("z.nc").as("n_cur"),
+        round(col("z.num").cast("double")
+          / (col("z.nr").cast("double") * col("z.nc").cast("double")), 6)
+          .as("ks_r6"),
+        col("z.v").as("ks_at"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q401: KS DRIFT — the exact two-sample sup statistic on the
+    //      q392 purchase windows; the oracle replays the distinct-
+    //      value cumulative table and the integer cross-product
+    //      argmax. ----
+    "q401_ks_drift" -> Q(
+      (s, d) => ksDrift(
+        Tables.events(s, d).filter(col("event_type") === "purchase"),
+        col("ts") < lit("2024-01-16").cast("timestamp"),
+        round(col("value") * 100, 0)),
+      Some("""WITH base AS (SELECT
+             |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+             |      THEN 1 ELSE 0 END AS r,
+             |    CAST(round(value * 100) AS BIGINT) AS v
+             |  FROM events WHERE event_type = 'purchase'),
+             |cells AS (SELECT v, sum(r) AS cr, sum(1 - r) AS cc
+             |  FROM base GROUP BY v),
+             |cum AS (SELECT v,
+             |    sum(cr) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS cumr,
+             |    sum(cc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS cumc,
+             |    sum(cr) OVER () AS nr, sum(cc) OVER () AS nc
+             |  FROM cells),
+             |tm AS (SELECT v, nr, nc,
+             |    abs(CAST(nc AS HUGEINT) * cumr
+             |      - CAST(nr AS HUGEINT) * cumc) AS num
+             |  FROM cum),
+             |mx AS (SELECT v, nr, nc, num FROM tm
+             |  ORDER BY num DESC, v LIMIT 1)
+             |SELECT CAST(nr AS BIGINT) AS n_ref,
+             |  CAST(nc AS BIGINT) AS n_cur,
+             |  round(CAST(num AS DOUBLE)
+             |    / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)), 6) AS ks_r6,
+             |  v AS ks_at
+             |FROM mx""".stripMargin)),
+
     // ---- q398: STREAMING PSI — the q392 monitor with the CURRENT
     //      window arriving as a 3-batch stream (last batch REPLAYED,
     //      at-least-once); appended rows dedup by event id, so the
