@@ -234,7 +234,8 @@ object Bench {
       "q392_psi_drift", "q393_label_noise", "q394_cms_join_size",
       "q395_embedding_drift", "q396_classifier_report",
       "q397_feature_shapley", "q398_psi_stream",
-      "q399_more_like_this", "q400_corpus_report")
+      "q399_more_like_this", "q400_corpus_report", "q401_ks_drift",
+      "q402_cramers_v")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,

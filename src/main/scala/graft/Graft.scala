@@ -2135,11 +2135,19 @@ object Graft {
     rel.Profile.corpusReport(spark, docs, id, text, lang)
 
   /** Population stability index drift monitor over fixed-width bins
-    * ([[rel.Quality.psi]]).
+    * ([[rel.Quality.psi]]), the exact KS drift statistic
+    * ([[rel.Quality.ksDrift]]), and Cramér's V independence
+    * ([[rel.Categorical.cramersV]]).
     */
   def psi(df: DataFrame, isRef: Column, value: Column, binWidth: Long,
       bins: Int): DataFrame =
     rel.Quality.psi(df, isRef, value, binWidth, bins)
+
+  def ksDrift(df: DataFrame, isRef: Column, value: Column): DataFrame =
+    rel.Quality.ksDrift(df, isRef, value)
+
+  def cramersV(df: DataFrame, a: String, b: String): DataFrame =
+    rel.Categorical.cramersV(df, a, b)
 
   /** Node-embedding axis from the deterministic walk corpus
     * ([[graph.Walks.nodeEmbeddingAxis]]).

@@ -487,7 +487,127 @@ object Experiment {
              |  round(theta, 6) AS theta_r6
              |FROM t ORDER BY variant""".stripMargin
 
+  /** STANDARDIZED EFFECT SIZE — Cohen's d with the Hedges' g
+    * small-sample correction (Hedges 1981): the scale-free companion
+    * every raw mean difference should ship with,
+    *
+    *   d = (m̄₁ − m̄₀) / s_pooled,
+    *   s²_pooled = ((n₁−1)s₁² + (n₀−1)s₀²) / (n₁+n₀−2),
+    *   g = d · (1 − 3/(4(n₁+n₀) − 9)).
+    *
+    * Exactness: per-arm (n, Σy, Σy²) are exact integers from ONE hash
+    * aggregation; variances, the pooled sd, d and g are each one
+    * fixed IEEE chain on the 1-row aggregate. Loud guards: an empty
+    * arm, n < 2 in an arm (no variance), and a zero pooled sd (the
+    * statistic is undefined, not infinite).
+    *
+    * Output (1 row): (n_treat, n_control, mean_diff_r6, pooled_sd_r6,
+    * cohens_d_r6, hedges_g_r6).
+    */
+  def cohensD(df: DataFrame, variant: String = "variant",
+      value: String = "y"): DataFrame = {
+    val t0 = col(variant).cast("long")
+    val tv = when(t0 === 1L, 1L).when(t0 === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit("cohensD: variant must be 0 or 1: "), t0.cast("string"))))
+    val dec38 = org.apache.spark.sql.types.DataTypes
+      .createDecimalType(38, 0)
+    val base = df.select(tv.as("t"), col(value).cast("long").as("yv"))
+    val agg = base.agg(
+      sum(when(col("t") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("t") === 0L, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("t") === 1L, col("yv")).otherwise(0L)).as("s1"),
+      sum(when(col("t") === 0L, col("yv")).otherwise(0L)).as("s0"),
+      sum(when(col("t") === 1L, (col("yv") * col("yv")).cast(dec38))
+        .otherwise(lit(0L).cast(dec38))).as("q1"),
+      sum(when(col("t") === 0L, (col("yv") * col("yv")).cast(dec38))
+        .otherwise(lit(0L).cast(dec38))).as("q0"))
+    val g = agg.select(
+      when(col("n1") < 2L || col("n0") < 2L, raise_error(lit(
+        "cohensD: each arm needs n >= 2"))).otherwise(col("n1")).as("n1"),
+      col("n0"), col("s1"), col("s0"), col("q1"), col("q0"))
+      // per-arm sample variance from exact moments: (Σy² − (Σy)²/n)/(n−1)
+      .withColumn("v1", (col("q1").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double")
+          / col("n1").cast("double")) / (col("n1") - 1L).cast("double"))
+      .withColumn("v0", (col("q0").cast("double")
+        - col("s0").cast("double") * col("s0").cast("double")
+          / col("n0").cast("double")) / (col("n0") - 1L).cast("double"))
+      .withColumn("sp", sqrt(((col("n1") - 1L).cast("double") * col("v1")
+        + (col("n0") - 1L).cast("double") * col("v0"))
+        / (col("n1") + col("n0") - 2L).cast("double")))
+      .withColumn("md", col("s1").cast("double") / col("n1").cast("double")
+        - col("s0").cast("double") / col("n0").cast("double"))
+      // guard BEFORE any division touches sp: ANSI mode evaluates
+      // every output column, so a zero divisor would throw Spark's
+      // DIVIDE_BY_ZERO instead of this operator's message
+      .withColumn("sp", when(col("sp") <= 0.0, raise_error(lit(
+        "cohensD: zero pooled sd — the standardized effect is " +
+          "undefined"))).otherwise(col("sp")))
+    g.select(col("n1").as("n_treat"), col("n0").as("n_control"),
+      round(col("md"), 6).as("mean_diff_r6"),
+      round(col("sp"), 6).as("pooled_sd_r6"),
+      round(col("md") / col("sp"), 6).as("cohens_d_r6"),
+      round(col("md") / col("sp")
+        * (lit(1.0) - lit(3.0) / (lit(4.0)
+          * (col("n1") + col("n0")).cast("double") - lit(9.0))), 6)
+        .as("hedges_g_r6"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q403: COHEN'S d / HEDGES' g — the standardized size of the
+    //      early-signup spend difference; the oracle replays the six
+    //      exact moments and every chain. ----
+    "q403_cohens_d" -> Q(
+      (s, d) => cohensD(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "signup"
+              && col("ts") < lit("2024-01-05").cast("timestamp"), 1L)
+              .otherwise(0L)).as("variant"),
+            sum(when(col("event_type") === "purchase",
+              round(col("value") * 100, 0).cast("long")).otherwise(0L))
+              .as("y"))),
+      Some("""WITH u AS (SELECT user_id,
+             |    max(CASE WHEN event_type = 'signup'
+             |      AND ts < TIMESTAMP '2024-01-05 00:00:00'
+             |      THEN 1 ELSE 0 END) AS t,
+             |    sum(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS yv
+             |  FROM events GROUP BY user_id),
+             |ag AS (SELECT
+             |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS n0,
+             |    sum(CASE WHEN t = 1 THEN yv ELSE 0 END) AS s1,
+             |    sum(CASE WHEN t = 0 THEN yv ELSE 0 END) AS s0,
+             |    sum(CASE WHEN t = 1 THEN CAST(yv AS HUGEINT) * yv
+             |      ELSE 0 END) AS q1,
+             |    sum(CASE WHEN t = 0 THEN CAST(yv AS HUGEINT) * yv
+             |      ELSE 0 END) AS q0
+             |  FROM u),
+             |x AS (SELECT n1, n0,
+             |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS md,
+             |    sqrt(((CAST(n1 - 1 AS DOUBLE))
+             |      * ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+             |        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             |        / CAST(n1 - 1 AS DOUBLE))
+             |      + (CAST(n0 - 1 AS DOUBLE))
+             |      * ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+             |        * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             |        / CAST(n0 - 1 AS DOUBLE)))
+             |      / CAST(n1 + n0 - 2 AS DOUBLE)) AS sp
+             |  FROM ag)
+             |SELECT CAST(n1 AS BIGINT) AS n_treat,
+             |  CAST(n0 AS BIGINT) AS n_control,
+             |  round(md, 6) AS mean_diff_r6,
+             |  round(sp, 6) AS pooled_sd_r6,
+             |  round(md / sp, 6) AS cohens_d_r6,
+             |  round(md / sp * (1.0 - 3.0
+             |    / (4.0 * CAST(n1 + n0 AS DOUBLE) - 9.0)), 6)
+             |    AS hedges_g_r6
+             |FROM x""".stripMargin)),
+
     // ---- q290: CUPED — per-user purchase revenue in the back half of
     //      January adjusted by the front half; variants by user parity.
     //      Units = every user with any event (the metric defaults to 0),

@@ -39,6 +39,16 @@ class FeaturesSpec extends SparkSpec {
     assert(all.contains("dd") && !floored.contains("dd"))
   }
 
+  test("mi: a perfectly discriminative term scores ln 2; universal scores 0") {
+    val got = Features.miTerms(spark, docs, k = 3, minDf = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(2)) -> r.getDouble(5)).toMap
+    // aa: cells (3,0,0,3) over nn=6 -> (1/2)ln2 + (1/2)ln2 = ln 2
+    assert(got(("x", "aa")) == 0.693147, s"$got")
+    // cc appears in every doc: every cell's ratio is 1 (or empty) -> 0
+    assert(got(("x", "cc")) == 0.0, s"$got")
+  }
+
   test("ranks are deterministic and bounded by k") {
     val a = Features.chiSquareTerms(spark, docs, 2, 1).collect().map(_.toSeq)
     val b = Features.chiSquareTerms(spark, docs, 2, 1).collect().map(_.toSeq)
