@@ -2149,6 +2149,21 @@ object Graft {
   def cramersV(df: DataFrame, a: String, b: String): DataFrame =
     rel.Categorical.cramersV(df, a, b)
 
+  /** Cohen's d / Hedges' g standardized effect size
+    * ([[rel.Experiment.cohensD]]).
+    */
+  def cohensD(df: DataFrame, variant: String = "variant",
+      value: String = "y"): DataFrame =
+    rel.Experiment.cohensD(df, variant, value)
+
+  /** Mutual-information term selection, the χ² companion
+    * ([[llm.Features.miTerms]]).
+    */
+  def miTerms(spark: SparkSession, docs: DataFrame, k: Int, minDf: Long,
+      id: String = "doc_id", text: String = "text",
+      label: String = "lang"): DataFrame =
+    llm.Features.miTerms(spark, docs, k, minDf, id, text, label)
+
   /** Node-embedding axis from the deterministic walk corpus
     * ([[graph.Walks.nodeEmbeddingAxis]]).
     */
