@@ -131,13 +131,47 @@ object Features {
       .orderBy("label", "rn")
   }
 
-  val all: ListMap[String, Q] = ListMap(
-    // ---- q404: MI TERM SELECTION — the q302 question under the
-    //      other ranking; the oracle replays all four cell terms with
-    //      the 0·ln0 convention. ----
-    "q404_mi_features" -> Q(
-      (s, d) => miTerms(s, Tables.documents(s, d), k = 5, minDf = 10L),
-      Some("""WITH pres AS (SELECT DISTINCT doc_id, lang AS label, term
+  private[llm] val chi2OracleSql: String =
+    """WITH pres AS (SELECT DISTINCT doc_id, lang AS label, term
+             |  FROM (SELECT doc_id, lang,
+             |      unnest(list_filter(regexp_split_to_array(
+             |        trim(lower(text)), '\s+'), x -> len(x) > 0)) AS term
+             |    FROM documents)),
+             |tdf AS (SELECT term, count(*) AS df FROM pres GROUP BY term
+             |  HAVING count(*) >= 10),
+             |bl AS (SELECT term, label, count(*) AS a FROM pres
+             |  GROUP BY term, label),
+             |lb AS (SELECT lang AS label, count(*) AS nl FROM documents
+             |  GROUP BY lang),
+             |tt AS (SELECT count(*) AS nn FROM documents),
+             |fl AS (SELECT t.term, l.label, t.df, l.nl,
+             |    coalesce(b.a, 0) AS a, (SELECT nn FROM tt) AS nn
+             |  FROM tdf t CROSS JOIN lb l
+             |  LEFT JOIN bl b ON b.term = t.term AND b.label = l.label),
+             |dn AS (SELECT label, term, df, a, nn,
+             |    ((CAST(a AS DOUBLE) + CAST(df - a AS DOUBLE))
+             |      * (CAST(nl - a AS DOUBLE)
+             |        + CAST(nn - df - nl + a AS DOUBLE)))
+             |    * ((CAST(a AS DOUBLE) + CAST(nl - a AS DOUBLE))
+             |      * (CAST(df - a AS DOUBLE)
+             |        + CAST(nn - df - nl + a AS DOUBLE))) AS denom,
+             |    (CAST(a AS DOUBLE) * CAST(nn - df - nl + a AS DOUBLE))
+             |      - (CAST(df - a AS DOUBLE) * CAST(nl - a AS DOUBLE)) AS adbc
+             |  FROM fl),
+             |sc AS (SELECT label, term, df, a,
+             |    CASE WHEN denom = 0.0 THEN 0.0
+             |      ELSE round((CAST(nn AS DOUBLE) * (adbc * adbc))
+             |        / denom, 6) END AS chi2_r6
+             |  FROM dn),
+             |r AS (SELECT label, term, df, a, chi2_r6, row_number() OVER (
+             |    PARTITION BY label ORDER BY chi2_r6 DESC, term) AS rn
+             |  FROM sc)
+             |SELECT label, CAST(rn AS INT) AS rn, term,
+             |  CAST(df AS BIGINT) AS df, CAST(a AS BIGINT) AS a, chi2_r6
+             |FROM r WHERE rn <= 5 ORDER BY label, rn""".stripMargin
+
+  private[llm] val miOracleSql: String =
+    """WITH pres AS (SELECT DISTINCT doc_id, lang AS label, term
              |  FROM (SELECT doc_id, lang,
              |      unnest(list_filter(regexp_split_to_array(
              |        trim(lower(text)), '\s+'), x -> len(x) > 0)) AS term
@@ -182,47 +216,20 @@ object Features {
              |  FROM sc)
              |SELECT label, CAST(rn AS INT) AS rn, term,
              |  CAST(df AS BIGINT) AS df, CAST(a AS BIGINT) AS a, mi_r6
-             |FROM r WHERE rn <= 5 ORDER BY label, rn""".stripMargin)),
+             |FROM r WHERE rn <= 5 ORDER BY label, rn""".stripMargin
+
+  val all: ListMap[String, Q] = ListMap(
+    // ---- q404: MI TERM SELECTION — the q302 question under the
+    //      other ranking; the oracle replays all four cell terms with
+    //      the 0·ln0 convention. ----
+    "q404_mi_features" -> Q(
+      (s, d) => miTerms(s, Tables.documents(s, d), k = 5, minDf = 10L),
+      Some(miOracleSql)),
+
 
     // ---- q302: χ² TERM SELECTION — the 5 most language-discriminative
     //      terms per language over the documents corpus, df floor 10. ----
     "q302_chi2_features" -> Q(
       (s, d) => chiSquareTerms(s, Tables.documents(s, d), k = 5, minDf = 10L),
-      Some("""WITH pres AS (SELECT DISTINCT doc_id, lang AS label, term
-             |  FROM (SELECT doc_id, lang,
-             |      unnest(list_filter(regexp_split_to_array(
-             |        trim(lower(text)), '\s+'), x -> len(x) > 0)) AS term
-             |    FROM documents)),
-             |tdf AS (SELECT term, count(*) AS df FROM pres GROUP BY term
-             |  HAVING count(*) >= 10),
-             |bl AS (SELECT term, label, count(*) AS a FROM pres
-             |  GROUP BY term, label),
-             |lb AS (SELECT lang AS label, count(*) AS nl FROM documents
-             |  GROUP BY lang),
-             |tt AS (SELECT count(*) AS nn FROM documents),
-             |fl AS (SELECT t.term, l.label, t.df, l.nl,
-             |    coalesce(b.a, 0) AS a, (SELECT nn FROM tt) AS nn
-             |  FROM tdf t CROSS JOIN lb l
-             |  LEFT JOIN bl b ON b.term = t.term AND b.label = l.label),
-             |dn AS (SELECT label, term, df, a, nn,
-             |    ((CAST(a AS DOUBLE) + CAST(df - a AS DOUBLE))
-             |      * (CAST(nl - a AS DOUBLE)
-             |        + CAST(nn - df - nl + a AS DOUBLE)))
-             |    * ((CAST(a AS DOUBLE) + CAST(nl - a AS DOUBLE))
-             |      * (CAST(df - a AS DOUBLE)
-             |        + CAST(nn - df - nl + a AS DOUBLE))) AS denom,
-             |    (CAST(a AS DOUBLE) * CAST(nn - df - nl + a AS DOUBLE))
-             |      - (CAST(df - a AS DOUBLE) * CAST(nl - a AS DOUBLE)) AS adbc
-             |  FROM fl),
-             |sc AS (SELECT label, term, df, a,
-             |    CASE WHEN denom = 0.0 THEN 0.0
-             |      ELSE round((CAST(nn AS DOUBLE) * (adbc * adbc))
-             |        / denom, 6) END AS chi2_r6
-             |  FROM dn),
-             |r AS (SELECT label, term, df, a, chi2_r6, row_number() OVER (
-             |    PARTITION BY label ORDER BY chi2_r6 DESC, term) AS rn
-             |  FROM sc)
-             |SELECT label, CAST(rn AS INT) AS rn, term,
-             |  CAST(df AS BIGINT) AS df, CAST(a AS BIGINT) AS a, chi2_r6
-             |FROM r WHERE rn <= 5 ORDER BY label, rn""".stripMargin)))
+      Some(chi2OracleSql)))
 }

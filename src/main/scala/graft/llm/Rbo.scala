@@ -104,5 +104,40 @@ object Rbo {
            |  CAST(coalesce(per.rbo_nano, 0) AS BIGINT) AS rbo_nano
            |FROM qs LEFT JOIN per USING (qid) ORDER BY qs.qid""".stripMargin
       }),
+
+    // ---- q405: RBO@5 between the χ² (q302) and MI (q404) term
+    //      rankings per language — do the two feature-selection
+    //      methods agree about what characterizes each language? The
+    //      oracle replays BOTH rankers and the nano weighting. ----
+    "q405_feature_ranking_rbo" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val a = Features.chiSquareTerms(s, docs, k = 5, minDf = 10L)
+          .select(col("label").as("qid"), col("rn"),
+            col("term").as("doc_id"))
+        val b = Features.miTerms(s, docs, k = 5, minDf = 10L)
+          .select(col("label").as("qid"), col("rn"),
+            col("term").as("doc_id"))
+        rboAgreement(a, b, k = 5)
+      },
+      Some {
+        val svRows = suffixNano(5, 900L).zipWithIndex
+          .map { case (vv, i) => s"(${i + 1}, $vv)" }.mkString(", ")
+        s"""WITH a AS (SELECT label AS qid, rn, term AS doc_id
+           |  FROM (${Features.chi2OracleSql}) ta),
+           |b AS (SELECT label AS qid, rn, term AS doc_id
+           |  FROM (${Features.miOracleSql}) tb),
+           |sv(m, nano) AS (VALUES $svRows),
+           |j AS (SELECT a.qid, greatest(a.rn, b.rn) AS m
+           |  FROM a JOIN b ON a.qid = b.qid AND a.doc_id = b.doc_id),
+           |per AS (SELECT qid, count(*) AS n_overlap,
+           |    sum(sv.nano) AS rbo_nano
+           |  FROM j JOIN sv USING (m) GROUP BY qid),
+           |qs AS (SELECT DISTINCT qid FROM a)
+           |SELECT qs.qid,
+           |  CAST(coalesce(per.n_overlap, 0) AS BIGINT) AS n_overlap,
+           |  CAST(coalesce(per.rbo_nano, 0) AS BIGINT) AS rbo_nano
+           |FROM qs LEFT JOIN per USING (qid) ORDER BY qs.qid""".stripMargin
+      }),
   )
 }
