@@ -235,7 +235,8 @@ object Bench {
       "q395_embedding_drift", "q396_classifier_report",
       "q397_feature_shapley", "q398_psi_stream",
       "q399_more_like_this", "q400_corpus_report", "q401_ks_drift",
-      "q402_cramers_v", "q403_cohens_d", "q404_mi_features")
+      "q402_cramers_v", "q403_cohens_d", "q404_mi_features",
+      "q405_feature_ranking_rbo")
       // q299/q307 stay out: streaming harnesses (the q127/q245 rule)
     val extended = extKeys.map { k =>
       k -> SparkEntry.queries.getOrElse(k,
