@@ -31,6 +31,12 @@ object Verify {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's global-window WARN fires on every execution of the
+    // repo's domain-bounded post-agg frames (adjudicated per round in
+    // VERDICT) — hundreds of copies bury real warnings in the driver log
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     ObservedMetricsLog.register(spark)
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
