@@ -61,7 +61,14 @@ object NaiveBayes {
       .select("term")
     val cc = tok.join(vocab.hint("broadcast"), Seq("term"))
       .groupBy("label", "term").agg(count(lit(1)).as("c"))
-    val nl = cc.groupBy("label").agg(sum("c").as("n_l"))
+    // n_l over ALL labels in the training docs, not just labels with at
+    // least one in-vocabulary token: a label whose every term falls
+    // below the df floor must still get smoothed ln(1/(0+|V|)) cells —
+    // prior-only scoring would otherwise make the degenerate label win
+    // the argmax for any sufficiently long document, corpus-wide
+    val nl = docs.select(col(label).as("label")).distinct()
+      .join(cc.groupBy("label").agg(sum("c").as("nlc")), Seq("label"), "left")
+      .select(col("label"), coalesce(col("nlc"), lit(0L)).as("n_l"))
     val v = vocab.agg(count(lit(1)).as("v"))
     val cells = vocab.crossJoin(broadcast(nl)).crossJoin(broadcast(v))
       .join(cc, Seq("term", "label"), "left")
@@ -178,9 +185,12 @@ object NaiveBayes {
       id: String = "doc_id", text: String = "text",
       label: String = "lang"): DataFrame = {
     require(buckets >= 2 && buckets <= 8, s"2 <= buckets <= 8: $buckets")
-    val base = docs.withColumn("bkt", expr(
-      s"cast(conv(substring(md5(concat('$salt-', $source)), 1, 8), " +
-        s"16, 10) as bigint) % $buckets"))
+    // column API, not an expr() splice: salt and the source column name
+    // are caller-supplied — string interpolation would let a quote or
+    // backslash break (or rewrite) the generated expression at plan time
+    val base = docs.withColumn("bkt",
+      conv(substring(md5(concat(lit(s"$salt-"), col(source))), 1, 8),
+        16, 10).cast("long") % buckets.toLong)
       .localCheckpoint(true)
     (0 until buckets).map { b =>
       val train = base.filter(col("bkt") =!= b.toLong)
@@ -319,7 +329,10 @@ object NaiveBayes {
              |cc AS (SELECT t.lang AS label, t.term, count(*) AS c
              |  FROM tok t JOIN vocab v ON v.term = t.term
              |  GROUP BY t.lang, t.term),
-             |nl AS (SELECT label, sum(c) AS n_l FROM cc GROUP BY label),
+             |nl AS (SELECT l.label, coalesce(s.n_l, 0) AS n_l
+             |  FROM (SELECT DISTINCT lang AS label FROM documents) l
+             |  LEFT JOIN (SELECT label, sum(c) AS n_l FROM cc
+             |    GROUP BY label) s ON s.label = l.label),
              |vs AS (SELECT count(*) AS v FROM vocab),
              |cells AS MATERIALIZED (SELECT nl.label, vo.term,
              |    CAST(round(ln(CAST(coalesce(cc.c, 0) + 1 AS DOUBLE)
@@ -368,7 +381,10 @@ object NaiveBayes {
              |cc AS (SELECT t.lang AS label, t.term, count(*) AS c
              |  FROM tok t JOIN vocab v ON v.term = t.term
              |  GROUP BY t.lang, t.term),
-             |nl AS (SELECT label, sum(c) AS n_l FROM cc GROUP BY label),
+             |nl AS (SELECT l.label, coalesce(s.n_l, 0) AS n_l
+             |  FROM (SELECT DISTINCT lang AS label FROM documents) l
+             |  LEFT JOIN (SELECT label, sum(c) AS n_l FROM cc
+             |    GROUP BY label) s ON s.label = l.label),
              |vs AS (SELECT count(*) AS v FROM vocab),
              |cells AS MATERIALIZED (SELECT nl.label, vo.term,
              |    CAST(round(ln(CAST(coalesce(cc.c, 0) + 1 AS DOUBLE)
@@ -448,7 +464,10 @@ object NaiveBayes {
              |cc AS (SELECT t.lang AS label, t.term, count(*) AS c
              |  FROM tok t JOIN vocab v ON v.term = t.term
              |  GROUP BY t.lang, t.term),
-             |nl AS (SELECT label, sum(c) AS n_l FROM cc GROUP BY label),
+             |nl AS (SELECT l.label, coalesce(s.n_l, 0) AS n_l
+             |  FROM (SELECT DISTINCT lang AS label FROM documents) l
+             |  LEFT JOIN (SELECT label, sum(c) AS n_l FROM cc
+             |    GROUP BY label) s ON s.label = l.label),
              |vs AS (SELECT count(*) AS v FROM vocab),
              |cells AS MATERIALIZED (SELECT nl.label, vo.term,
              |    CAST(round(ln(CAST(coalesce(cc.c, 0) + 1 AS DOUBLE)
@@ -547,7 +566,10 @@ object NaiveBayes {
              |cc AS (SELECT t.lang AS label, t.term, count(*) AS c
              |  FROM tok t JOIN vocab v ON v.term = t.term
              |  GROUP BY t.lang, t.term),
-             |nl AS (SELECT label, sum(c) AS n_l FROM cc GROUP BY label),
+             |nl AS (SELECT l.label, coalesce(s.n_l, 0) AS n_l
+             |  FROM (SELECT DISTINCT lang AS label FROM documents) l
+             |  LEFT JOIN (SELECT label, sum(c) AS n_l FROM cc
+             |    GROUP BY label) s ON s.label = l.label),
              |vs AS (SELECT count(*) AS v FROM vocab),
              |cells AS MATERIALIZED (SELECT nl.label, vo.term,
              |    CAST(round(ln(CAST(coalesce(cc.c, 0) + 1 AS DOUBLE)
@@ -595,8 +617,11 @@ object NaiveBayes {
              |${p}cc AS (SELECT t.lang AS label, t.term, count(*) AS c
              |  FROM tokall t JOIN ${p}vocab v ON v.term = t.term
              |  WHERE t.bkt <> $b GROUP BY t.lang, t.term),
-             |${p}nl AS (SELECT label, sum(c) AS n_l FROM ${p}cc
-             |  GROUP BY label),
+             |${p}nl AS (SELECT l.label, coalesce(s.n_l, 0) AS n_l
+             |  FROM (SELECT DISTINCT lang AS label FROM dall
+             |    WHERE bkt <> $b) l
+             |  LEFT JOIN (SELECT label, sum(c) AS n_l FROM ${p}cc
+             |    GROUP BY label) s ON s.label = l.label),
              |${p}vs AS (SELECT count(*) AS v FROM ${p}vocab),
              |${p}cells AS MATERIALIZED (SELECT nl.label, vo.term,
              |    CAST(round(ln(CAST(coalesce(cc.c, 0) + 1 AS DOUBLE)
@@ -670,7 +695,10 @@ object NaiveBayes {
              |cc AS (SELECT t.lang AS label, t.term, count(*) AS c
              |  FROM tok t JOIN vocab v ON v.term = t.term
              |  GROUP BY t.lang, t.term),
-             |nl AS (SELECT label, sum(c) AS n_l FROM cc GROUP BY label),
+             |nl AS (SELECT l.label, coalesce(s.n_l, 0) AS n_l
+             |  FROM (SELECT DISTINCT lang AS label FROM documents) l
+             |  LEFT JOIN (SELECT label, sum(c) AS n_l FROM cc
+             |    GROUP BY label) s ON s.label = l.label),
              |vs AS (SELECT count(*) AS v FROM vocab),
              |cells AS MATERIALIZED (SELECT nl.label, vo.term,
              |    CAST(round(ln(CAST(coalesce(cc.c, 0) + 1 AS DOUBLE)

@@ -58,9 +58,12 @@ object NegSample {
     val draws = docs.select(col(id).cast("long").as("did"))
       .select(col("did"), explode(sequence(lit(1), lit(k))).as("slot"))
       .crossJoin(broadcast(tot))
-      .select(expr(s"cast(conv(substring(md5(concat('$salt-', " +
-        "cast(did as string), '-', cast(slot as string))), 1, 12), " +
-        "16, 10) as bigint)").mod(col("wt")).as("u"))
+      // column API, not an expr() splice: salt is caller-supplied — a
+      // quote/backslash would break the generated expression at plan time
+      .select(conv(substring(md5(concat(lit(s"$salt-"),
+          col("did").cast("string"), lit("-"),
+          col("slot").cast("string"))), 1, 12), 16, 10)
+        .cast("long").mod(col("wt")).as("u"))
     draws.join(broadcast(cum),
         col("u") >= col("lo") && col("u") < col("hi"))
       .groupBy("tok").agg(count(lit(1)).as("n_drawn"))

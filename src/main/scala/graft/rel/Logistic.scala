@@ -802,9 +802,12 @@ object Logistic {
         lit("kFoldCvAuc: label must be 0 or 1: "), y0.cast("string"))))
     val base = df.select(col(id).cast("long").as("uid"), yv.as("yy"),
         col(covariate).cast("double").as("x"))
-      .withColumn("fold", expr(
-        s"cast(conv(substring(md5(concat('$salt-', cast(uid as string)))" +
-          s", 1, 8), 16, 10) as bigint) % $folds"))
+      // column API, not an expr() splice: salt is caller-supplied — a
+      // quote/backslash would break the generated expression at plan time
+      .withColumn("fold",
+        conv(substring(md5(concat(lit(s"$salt-"),
+          col("uid").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % folds.toLong)
       .localCheckpoint(true)
     val scored = (0 until folds).map { f =>
       val m = logisticModel(base.filter(col("fold") =!= f.toLong),

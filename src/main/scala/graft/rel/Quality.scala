@@ -188,7 +188,10 @@ object Quality {
     * over FIXED-WIDTH bins (replayable, no quantile machinery), with
     * Laplace-smoothed shares p_i = (c_i + 1)/(n + B) so an empty bin
     * contributes a finite, documented penalty instead of the IEEE
-    * infinity.
+    * infinity. The bin table is COMPLETED to the full 0..B−1 range
+    * before the fold — a bin empty in BOTH windows still carries its
+    * smoothed (1/(n+B)) shares, so p and q each sum to exactly 1 and
+    * n_bins is the configured B, not the observed count.
     *
     * Exactness: bin counts are exact integers from one conditional
     * hash aggregation (both windows in ONE pass — adding a window
@@ -206,8 +209,16 @@ object Quality {
         greatest(value.cast("long"), lit(0L)).as("vv"))
       .select(col("r"),
         least(expr(s"vv div $binWidth"), lit(bins - 1L)).as("b"))
-    val cells = base.groupBy("b")
-      .agg(sum(col("r")).as("cr"), sum(lit(1L) - col("r")).as("cc"))
+    // complete to the full bin range: a bin empty in BOTH windows must
+    // still carry its smoothed shares or p/q no longer sum to 1 (and
+    // n_bins would silently report the observed, not configured, count)
+    val cells = df.sparkSession.range(bins.toLong)
+      .select(col("id").as("b"))
+      .join(base.groupBy("b")
+        .agg(sum(col("r")).as("cr0"), sum(lit(1L) - col("r")).as("cc0")),
+        Seq("b"), "left")
+      .select(col("b"), coalesce(col("cr0"), lit(0L)).as("cr"),
+        coalesce(col("cc0"), lit(0L)).as("cc"))
     val tot = base.agg(sum(col("r")).as("nr"),
       sum(lit(1L) - col("r")).as("nc"))
     val terms = cells.crossJoin(broadcast(tot))
@@ -369,8 +380,11 @@ object Quality {
              |    least(greatest(CAST(round(value * 100) AS BIGINT), 0)
              |      // 2000, 19) AS b
              |  FROM events WHERE event_type = 'purchase'),
-             |cells AS (SELECT b, sum(r) AS cr, sum(1 - r) AS cc2
-             |  FROM base GROUP BY b),
+             |cells AS (SELECT g.b, coalesce(c.cr, 0) AS cr,
+             |    coalesce(c.cc2, 0) AS cc2
+             |  FROM (SELECT unnest(range(0, 20)) AS b) g
+             |  LEFT JOIN (SELECT b, sum(r) AS cr, sum(1 - r) AS cc2
+             |    FROM base GROUP BY b) c ON c.b = g.b),
              |tot AS (SELECT sum(r) AS nr, sum(1 - r) AS nc FROM base),
              |trm AS (SELECT b, nr, nc,
              |    (CAST(cr + 1 AS DOUBLE) / CAST(nr + 20 AS DOUBLE)
@@ -403,8 +417,11 @@ object Quality {
              |    least(greatest(CAST(round(value * 100) AS BIGINT), 0)
              |      // 2000, 19) AS b
              |  FROM events WHERE event_type = 'purchase'),
-             |cells AS (SELECT b, sum(r) AS cr, sum(1 - r) AS cc2
-             |  FROM base GROUP BY b),
+             |cells AS (SELECT g.b, coalesce(c.cr, 0) AS cr,
+             |    coalesce(c.cc2, 0) AS cc2
+             |  FROM (SELECT unnest(range(0, 20)) AS b) g
+             |  LEFT JOIN (SELECT b, sum(r) AS cr, sum(1 - r) AS cc2
+             |    FROM base GROUP BY b) c ON c.b = g.b),
              |tot AS (SELECT sum(r) AS nr, sum(1 - r) AS nc FROM base),
              |trm AS (SELECT b, nr, nc,
              |    (CAST(cr + 1 AS DOUBLE) / CAST(nr + 20 AS DOUBLE)

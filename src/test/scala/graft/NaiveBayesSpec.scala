@@ -55,6 +55,31 @@ class NaiveBayesSpec extends SparkSpec {
     assert(got(("y", "y")) == 4L)
   }
 
+  test("a label with every term below the df floor gets smoothed cells, not a prior-only free ride") {
+    val s = spark
+    import s.implicits._
+    // label z's only tokens (qq, rr) fall below minDf=2: it trains with
+    // n_z = 0 but must still get ln(1/(0+|V|)) cells for every vocab
+    // term — with prior-only scoring (the pre-fix bug) its score lacks
+    // the per-token likelihood penalty and it wins the argmax for any
+    // sufficiently long document
+    val d3 = docs.union(
+      Seq((7L, "qq", "z"), (8L, "rr", "z")).toDF("doc_id", "text", "lang"))
+    val model = NaiveBayes.naiveBayesModel(spark, d3, minDf = 2)
+    val m = model.collect()
+      .map(r => (r.getString(0), Option(r.getString(1))) -> r.getLong(2))
+      .toMap
+    // vocab stays {aa, bb, cc}; z's smoothed cell: ln((0+1)/(0+3))
+    assert(m(("z", Some("aa"))) == math.round(math.log(1.0 / 3.0) * 1e6))
+    assert(m(("z", Some("cc"))) == math.round(math.log(1.0 / 3.0) * 1e6))
+    // a long in-vocabulary document must not drift to the label that
+    // never earned any in-vocab evidence
+    val longDoc = Seq((9L, Seq.fill(50)("aa").mkString(" "), "x"))
+      .toDF("doc_id", "text", "lang")
+    val pred = NaiveBayes.naiveBayesScore(longDoc, model).collect()
+    assert(pred.length == 1 && pred.head.getString(2) == "x")
+  }
+
   test("mcnemar: perfectly-agreeing classifiers yield a null statistic") {
     val s = spark
     import s.implicits._

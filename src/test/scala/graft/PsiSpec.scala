@@ -41,6 +41,24 @@ class PsiSpec extends SparkSpec {
     assert(a == b, s"$a vs $b")
   }
 
+  test("a bin empty in BOTH windows still carries its smoothed share") {
+    // ref fills only bin 0 with 3 rows, cur with 1; bins 1 and 2 are
+    // empty in BOTH windows. They must still contribute their smoothed
+    // (1/(n+B)) shares — dropping them leaves p/q summing past 1 and
+    // under-reports n_bins (the pre-fix bug)
+    val got = Quality.psi(frame(Seq(5L, 5L, 5L), Seq(5L)),
+      col("r") === 1L, col("v"), binWidth = 10L, bins = 3).collect()(0)
+    assert(got.getLong(2) == 3L, s"n_bins must be the configured 3: $got")
+    def term(c1: Long, c2: Long) = {
+      val p = (c1 + 1).toDouble / (3 + 3)
+      val q = (c2 + 1).toDouble / (1 + 3)
+      (p - q) * math.log(p / q)
+    }
+    val expected = term(3, 1) + term(0, 0) + term(0, 0)
+    assert(math.abs(got.getDouble(3) - expected) < 2e-6,
+      s"$got vs $expected")
+  }
+
   test("values clamp into the first and last bins") {
     val got = Quality.psi(frame(Seq(-5L, 999L), Seq(-7L, 888L)),
       col("r") === 1L, col("v"), 10L, 5).collect()(0)
