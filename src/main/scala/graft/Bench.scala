@@ -144,11 +144,14 @@ object Bench {
       "q397_feature_shapley",
       "q399_more_like_this", "q400_corpus_report", "q401_ks_drift",
       "q402_cramers_v", "q403_cohens_d", "q404_mi_features",
-      "q405_feature_ranking_rbo")
+      "q405_feature_ranking_rbo",
+      // round-13: JPEG decode + aHash near-dup (the q347 cost class on
+      // the dominant crawl format, with restart markers on every blob)
+      "q406_jpeg_neardup")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round.
-    val newestKeys = Seq.empty[String]
+    val newestKeys = Seq("q406_jpeg_neardup")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

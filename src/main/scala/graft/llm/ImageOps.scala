@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 import graft.rel.RelQueries.Q
 import graft.rel.Tables
-import graft.io.{Bmp, Fseq, Gif, Png, Wav}
+import graft.io.{Bmp, Fseq, Gif, Jpeg, Png, Wav}
 
 /** Multimodal IMAGE, VIDEO, and AUDIO-DSP column operators, completing
   * the decode / feature-extract / resize / frame-sample quartet next to
@@ -269,6 +269,18 @@ object ImageOps {
       img: String = "img"): DataFrame =
     lenientDups(s, blobs, Gif.parse, maxHamming, id, img)
 
+  /** [[imagePerceptualDupsPng]]'s JPEG twin ([[graft.io.Jpeg]] — real
+    * baseline JFIF Huffman + IDCT decode; progressive/arithmetic/
+    * corrupt streams quarantine), same lenient boundary and shared
+    * hash. aHash is resize-invariant under pixel replication, so a
+    * JPEG of the 8×-upsampled raster hashes identically to the BMP/
+    * PNG/GIF of the source raster.
+    */
+  def imagePerceptualDupsJpeg(s: SparkSession, blobs: DataFrame,
+      maxHamming: Int = 8, id: String = "doc_id",
+      img: String = "img"): DataFrame =
+    lenientDups(s, blobs, Jpeg.parse, maxHamming, id, img)
+
   private def lenientDups(s: SparkSession, blobs: DataFrame,
       decode: Array[Byte] => Bmp.Gray, maxHamming: Int,
       id: String, img: String): DataFrame = {
@@ -512,6 +524,33 @@ object ImageOps {
           }
           .toDF("doc_id", "img")
         imagePerceptualDupsGif(s, blobs).orderBy("ia", "ib")
+      },
+      Some(corruptNearDupOracle)),
+
+    // ---- q406: the near-dup machinery on JPEG — the format real
+    //      crawled corpora are overwhelmingly made of. The planted-copy
+    //      fixture is 8×-UPSAMPLED (each pixel an 8×8 constant block)
+    //      and encoded with the DC-exact quant table, making the lossy
+    //      codec bit-exact by construction (Jpeg doc) while the full
+    //      marker/Huffman/dequant/IDCT path runs; restart markers every
+    //      4 MCUs exercise the DRI/RSTn path on every blob. Nearest
+    //      aHash sampling of the upsampled raster picks the exact q93
+    //      pixels, so the oracle is q93's hash replay minus the
+    //      corrupt ids (every 13th blob loses its SOI and is
+    //      quarantined by the lenient decode boundary). ----
+    "q406_jpeg_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val jpg = Jpeg.buildGray(
+              Jpeg.upsample(syntheticGrayNearDup(id), 8),
+              Jpeg.DcExactQuant, restartInterval = 4)
+            if (id % 13 == 0) jpg(1) = 0 // break the SOI marker
+            (id, jpg)
+          }
+          .toDF("doc_id", "img")
+        imagePerceptualDupsJpeg(s, blobs).orderBy("ia", "ib")
       },
       Some(corruptNearDupOracle)),
 
