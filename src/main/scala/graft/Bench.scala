@@ -146,12 +146,14 @@ object Bench {
       "q402_cramers_v", "q403_cohens_d", "q404_mi_features",
       "q405_feature_ranking_rbo",
       // round-13: JPEG decode + aHash near-dup (the q347 cost class on
-      // the dominant crawl format, with restart markers on every blob)
-      "q406_jpeg_neardup")
+      // the dominant crawl format, with restart markers on every blob);
+      // Unicode-normalization rung (one codegen'd pass over the corpus
+      // + the pinned fixture union)
+      "q406_jpeg_neardup", "q407_normalize_text")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round.
-    val newestKeys = Seq("q406_jpeg_neardup")
+    val newestKeys = Seq("q406_jpeg_neardup", "q407_normalize_text")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

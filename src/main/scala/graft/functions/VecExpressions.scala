@@ -86,6 +86,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VecFunctions.vecDotDescriptor)
     ext.injectFunction(VecFunctions.vecCosineDescriptor)
     ext.injectFunction(ZValue.descriptor)
+    ext.injectFunction(TextNorm.descriptor)
     // MV query rewrite + FK join elimination (both no-ops until
     // something is registered; see graft.plans.{MvRegistry, FkRegistry})
     ext.injectOptimizerRule(session => new graft.plans.MvRewriteRule(session))

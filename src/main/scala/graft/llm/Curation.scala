@@ -795,7 +795,57 @@ object Curation {
         when(col("doc_id") % 5 === 0, lit("?ref=rss")).otherwise(lit("")))
         .as("url"))
 
+  /** UNICODE NORMALIZATION rung — the first stage of C4/CCNet-class
+    * pipelines: NFKC + locale-free casefold + format/control strip +
+    * whitespace collapse, as the codegen'd native expression
+    * [[graft.functions.TextNorm]] (one static `java.text.Normalizer`
+    * call per row inside the generated stage — no UDF boundary).
+    * Chained before q60's tokenize pass, it adds ZERO corpus scans.
+    */
+  def normalizeText(s: SparkSession, c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.functions.TextNorm.normalizeText(s, c)
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q407: UNICODE NORMALIZATION — VALUES-pinned non-ASCII
+    //      fixtures (ligature/fullwidth NFKC folds, zero-width & soft-
+    //      hyphen strips, BOM & bell removal, NBSP & circled-digit
+    //      compatibility folds, whitespace collapse) UNIONED with the
+    //      real corpus, where the transform reduces to
+    //      trim(regexp_replace(lower(text),'\s+',' ','g')) — the
+    //      ASCII-fold replay DuckDB CAN express (it has no NFKC; the
+    //      non-ASCII behavior is pinned by the literals, per the q72
+    //      VALUES discipline — not rows-only). ----
+    "q407_normalize_text" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val pinned = Seq(
+          (1L, "Café  du   MONDE"),
+          (2L, "ﬁne ＴＥＸＴ"),
+          (3L, "a​b c­def"),
+          (4L, "﻿BOMbell\tTAB  x"),
+          (5L, "nb sp ①² étude"),
+          (6L, "  MiXeD   Case\r\n\r\nlines  ")).toDF("id", "raw")
+        val corpus = Tables.documents(s, d)
+          .select((col("doc_id") + 1000L).as("id"), col("text").as("raw"))
+        pinned.unionAll(corpus)
+          .select(col("id"), normalizeText(s, col("raw")).as("norm"))
+          .orderBy("id")
+      },
+      Some("""SELECT id, norm FROM (
+             |  SELECT * FROM (VALUES
+             |    (CAST(1 AS BIGINT), 'café du monde'),
+             |    (2, 'fine text'),
+             |    (3, 'ab cdef'),
+             |    (4, 'bombell tab x'),
+             |    (5, 'nb sp 12 étude'),
+             |    (6, 'mixed case lines')) t(id, norm)
+             |  UNION ALL
+             |  SELECT doc_id + 1000,
+             |    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+             |  FROM documents)
+             |ORDER BY id""".stripMargin)),
+
     // ---- decontamination: which training docs share an 8-gram with
     //      the eval slice. The oracle recomputes the overlap with
     //      STRING grams (Spark compares 64-bit FNV hashes — a collision

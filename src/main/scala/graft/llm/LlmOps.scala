@@ -881,7 +881,13 @@ object LlmOps {
         def hits(c: Column, words: Seq[String]): Column =
           size(filter(c, x => x.isin(words: _*)))
         val qual = dd
-          .select(col("doc_id"), toks(col("text")).as("t"), col("text"))
+          // the Unicode-normalization rung (NFKC+casefold+strip+collapse,
+          // q407) chains INTO the one tokenize pass — zero extra scans.
+          // On this ASCII corpus it reduces to lower+collapse, so the
+          // oracle's trim(lower(text)) tokenization is unchanged.
+          .select(col("doc_id"),
+            toks(graft.functions.TextNorm.normalizeText(s, col("text"))).as("t"),
+            col("text"))
           .select(col("doc_id"), size(col("t")).as("n_tokens"),
             size(filter(col("t"), x => x.isin(stopEn: _*))).as("stop_cnt"),
             hits(col("t"), Seq("the", "a", "of", "and", "is")).as("en_hits"),
