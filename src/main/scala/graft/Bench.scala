@@ -149,11 +149,15 @@ object Bench {
       // the dominant crawl format, with restart markers on every blob);
       // Unicode-normalization rung (one codegen'd pass over the corpus
       // + the pinned fixture union)
-      "q406_jpeg_neardup", "q407_normalize_text")
+      "q406_jpeg_neardup", "q407_normalize_text",
+      // two-level Louvain: the q352 cost class + the quotient-sized
+      // aggregation and re-move rounds
+      "q408_louvain_two_level")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round.
-    val newestKeys = Seq("q406_jpeg_neardup", "q407_normalize_text")
+    val newestKeys = Seq("q406_jpeg_neardup", "q407_normalize_text",
+      "q408_louvain_two_level")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

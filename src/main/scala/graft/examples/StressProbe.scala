@@ -58,7 +58,13 @@ object StressProbe {
     // forward/backward round structure must hold shape — and the
     // HyperBall harmonic rung (per-node register state, the q325
     // class, plus the per-t est retention + diff join)
-    "q375_betweenness", "q379_harmonic_hyperball")
+    "q375_betweenness", "q379_harmonic_hyperball",
+    // r13: two-level Louvain — everything past the level-1 rounds is
+    // QUOTIENT-sized (the (cu,cv) rollup + weighted re-move on the
+    // community graph); at 10× the replica tier has 10× communities
+    // but the per-copy quotients stay copy-local, so the plan shape
+    // (and the level-2 wall share) must hold
+    "q408_louvain_two_level")
 
   // operator-level probes for paths whose driver entries can't run off
   // the pinned fixture (q274 is fixture-guarded; q270 is the

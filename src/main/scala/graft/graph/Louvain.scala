@@ -56,15 +56,29 @@ object Louvain {
   /** `rounds` synchronous local-moving rounds over undirected `edges`
     * (u, v). Initial community = node id. Output: (node, community).
     */
-  def localMove(s: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
+  def localMove(s: SparkSession, edges: DataFrame, rounds: Int): DataFrame =
+    localMoveWeighted(s, edges.select(col("u"), col("v"))
+      .withColumn("w", lit(1L)), rounds)
+
+  /** The WEIGHTED local-moving core — (u, v, w) undirected edges,
+    * self-loops (u = v) allowed. This is what makes the classic
+    * two-level pass expressible: the community quotient graph is a
+    * weighted multigraph with self-loops (intra-community mass), and
+    * modularity on it equals modularity of the expanded partition.
+    * Degrees are weight sums (a self-loop counts TWICE — it is
+    * symmetrized like any edge); k_{i,c} excludes self-loops (they
+    * move with i, contributing equally to every candidate); m is the
+    * total undirected weight. All quantities stay exact integers.
+    */
+  def localMoveWeighted(s: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val e = edges.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v"))
-    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      col("v").cast("long").as("v"), col("w").cast("long").as("w"))
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v"), col("w")))
       .repartition(col("v")).cache()
-    val m = e.count()
+    val m = e.agg(coalesce(sum("w"), lit(0L))).first().getLong(0)
     require(m > 0, "localMove: empty edge set")
-    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    val deg = sym.groupBy(col("u").as("node")).agg(sum("w").as("d"))
       .localCheckpoint(true)
     val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     var lab = deg.select(col("node"), col("node").as("comm"))
@@ -72,12 +86,13 @@ object Louvain {
     for (r <- 1 to rounds) {
       val sTot = lab.join(deg, "node")
         .groupBy(col("comm")).agg(sum(col("d")).as("stot"))
-      // i's edges into each neighboring community, from the PREVIOUS
-      // labeling (synchronous: all nodes decide on the same snapshot)
-      val nbr = sym
+      // i's edge weight into each neighboring community, from the
+      // PREVIOUS labeling (synchronous: all nodes decide on the same
+      // snapshot); self-loops excluded — they follow i everywhere
+      val nbr = sym.filter(col("u") =!= col("v"))
         .join(lab.select(col("node").as("v"), col("comm").as("cv")), "v")
         .groupBy(col("u").as("node"), col("cv").as("cand"))
-        .agg(count(lit(1)).as("k"))
+        .agg(sum(col("w")).as("k"))
       // the STAY option must exist even when i has no neighbor in its
       // own community (k = 0 there)
       val stay = lab.select(col("node"), col("comm").as("cand"),
@@ -108,6 +123,41 @@ object Louvain {
     }
     sym.unpersist()
     lab.select(col("node"), col("comm").as("community"))
+  }
+
+  /** CLASSIC TWO-LEVEL LOUVAIN (Blondel et al. 2008, move +
+    * AGGREGATION + re-move): after `rounds1` local-moving rounds, the
+    * graph contracts to its community QUOTIENT — one groupBy((cu,cv))
+    * edge rollup, quotient-sized, with intra-community mass as
+    * self-loops — `rounds2` weighted move rounds run on the quotient,
+    * and the coarse labels map back through the level-1 assignment.
+    * Modularity of the weighted quotient partition equals modularity
+    * of the expanded partition (the identity the aggregation phase
+    * rests on), so gains found on the quotient are gains on the
+    * original graph — the spec pins Q(two-level) ≥ Q(one-level) on
+    * the planted two-clique fixture.
+    *
+    * Scale shape: level 1 is [[localMoveWeighted]] on the full edge
+    * set; everything after is QUOTIENT-sized (communities, not
+    * nodes) — the rollup is one shuffle keyed by (cu, cv) and the
+    * level-2 rounds run on a table bounded by the community count.
+    * Output: (node, community) — community ids are level-1 ids.
+    */
+  def louvainTwoLevel(s: SparkSession, edges: DataFrame,
+      rounds1: Int, rounds2: Int): DataFrame = {
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")).withColumn("w", lit(1L))
+    val lab1 = localMoveWeighted(s, e, rounds1).localCheckpoint(true)
+    val qe = e
+      .join(lab1.select(col("node").as("u"), col("community").as("cu")), "u")
+      .join(lab1.select(col("node").as("v"), col("community").as("cv")), "v")
+      .select(least(col("cu"), col("cv")).as("u"),
+        greatest(col("cu"), col("cv")).as("v"), col("w"))
+      .groupBy("u", "v").agg(sum("w").as("w"))
+    val lab2 = localMoveWeighted(s, qe, rounds2)
+    lab1.select(col("node"), col("community").as("c1"))
+      .join(lab2.select(col("node").as("c1"), col("community")), "c1")
+      .select(col("node"), col("community"))
   }
 
   /** The find+judge composition (the [[LabelProp.lpaCommunities]]
@@ -187,6 +237,89 @@ object Louvain {
            |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
            |  node // 2 AS key, CAST(comm AS BIGINT) AS community
            |FROM l2 ORDER BY kind, key""".stripMargin
+      }),
+
+    // ---- q408: TWO-LEVEL LOUVAIN on the same trade graph — 2 move
+    //      rounds, community-quotient aggregation (weighted edges +
+    //      self-loops), 2 weighted move rounds on the quotient, labels
+    //      mapped back. The oracle unrolls BOTH levels: the weighted
+    //      gain rounds (sum(w) for k, self-loops excluded from k but
+    //      doubled into degrees), the least/greatest quotient rollup,
+    //      and the final label composition. ----
+    "q408_louvain_two_level" -> Q(
+      (s, d) => {
+        val e0 = Tables.orders(s, d).join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("u"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("v"))
+          .distinct()
+        louvainTwoLevel(s, e0, rounds1 = 2, rounds2 = 2)
+          .select(
+            when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+              .as("kind"),
+            expr("node div 2").as("key"), col("community"))
+          .orderBy("kind", "key")
+      },
+      Some {
+        // one weighted synchronous move round, parameterized on the
+        // edge/degree/m tables so both levels replay through it
+        def roundW(ed: String, dg: String, me: String,
+            prev: String, cur: String, par: Int): String =
+          s"""${cur}_st AS MATERIALIZED (SELECT p.comm, sum(d.d) AS stot
+             |  FROM $prev p JOIN $dg d ON d.node = p.node GROUP BY p.comm),
+             |${cur}_nb AS MATERIALIZED (SELECT e.u AS node, p.comm AS cand,
+             |    sum(e.w) AS k
+             |  FROM $ed e JOIN $prev p ON p.node = e.v
+             |  WHERE e.u <> e.v GROUP BY 1, 2),
+             |${cur}_cd AS (SELECT node, cand, max(k) AS k FROM (
+             |    SELECT node, cand, k FROM ${cur}_nb
+             |    UNION ALL SELECT node, comm AS cand, 0 AS k FROM $prev)
+             |  GROUP BY node, cand),
+             |${cur}_g AS MATERIALIZED (SELECT c.node, c.cand,
+             |    CASE WHEN c.cand = p.comm
+             |      THEN CAST(2 AS HUGEINT) * (SELECT m FROM $me) * c.k
+             |        - CAST(d.d AS HUGEINT) * (st.stot - d.d)
+             |      ELSE CAST(2 AS HUGEINT) * (SELECT m FROM $me) * c.k
+             |        - CAST(d.d AS HUGEINT) * st.stot END AS g
+             |  FROM ${cur}_cd c JOIN $prev p ON p.node = c.node
+             |    JOIN $dg d ON d.node = c.node
+             |    JOIN ${cur}_st st ON st.comm = c.cand),
+             |${cur}_m AS (SELECT node, max(g) AS mg FROM ${cur}_g GROUP BY 1),
+             |${cur}_w AS (SELECT g.node, min(g.cand) AS wcomm
+             |  FROM ${cur}_g g JOIN ${cur}_m x
+             |    ON x.node = g.node AND g.g = x.mg
+             |  GROUP BY g.node),
+             |$cur AS MATERIALIZED (SELECT p.node,
+             |    CASE WHEN p.node % 2 = $par THEN w.wcomm ELSE p.comm END AS comm
+             |  FROM $prev p JOIN ${cur}_w w ON w.node = p.node)""".stripMargin
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+           |e0w AS (SELECT u, v, 1 AS w FROM e0),
+           |ed AS MATERIALIZED (SELECT u, v, w FROM e0w
+           |  UNION ALL SELECT v, u, w FROM e0w),
+           |me AS (SELECT sum(w) AS m FROM e0w),
+           |dg AS MATERIALIZED (SELECT u AS node, sum(w) AS d
+           |  FROM ed GROUP BY u),
+           |l0 AS (SELECT node, node AS comm FROM dg),
+           |${roundW("ed", "dg", "me", "l0", "l1", 1)},
+           |${roundW("ed", "dg", "me", "l1", "l2", 0)},
+           |qe AS MATERIALIZED (SELECT least(a.comm, b.comm) AS u,
+           |    greatest(a.comm, b.comm) AS v, count(*) AS w
+           |  FROM e0 e JOIN l2 a ON a.node = e.u
+           |  JOIN l2 b ON b.node = e.v GROUP BY 1, 2),
+           |ed2 AS MATERIALIZED (SELECT u, v, w FROM qe
+           |  UNION ALL SELECT v, u, w FROM qe),
+           |me2 AS (SELECT sum(w) AS m FROM qe),
+           |dg2 AS MATERIALIZED (SELECT u AS node, sum(w) AS d
+           |  FROM ed2 GROUP BY u),
+           |m0 AS (SELECT node, node AS comm FROM dg2),
+           |${roundW("ed2", "dg2", "me2", "m0", "m1", 1)},
+           |${roundW("ed2", "dg2", "me2", "m1", "m2", 0)}
+           |SELECT CASE WHEN l.node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           |  l.node // 2 AS key, CAST(q.comm AS BIGINT) AS community
+           |FROM l2 l JOIN m2 q ON q.node = l.comm
+           |ORDER BY kind, key""".stripMargin
       }),
   )
 }
