@@ -164,6 +164,60 @@ object Eval {
         (lit(2.0) * col("n_pos") * col("n_neg")), 6))
   }
 
+  /** GROUPED PRECISION-RECALL CURVE + AVERAGE PRECISION — the
+    * imbalanced-data twin of [[groupedAuc]] (retrieval and
+    * quality-filter work reads PR, not ROC: with 1000:1 negatives a
+    * scorer can hold AUC ≈ 0.99 while its precision at any useful
+    * recall is garbage — the PR curve shows it, the ROC curve hides
+    * it). One row per distinct score threshold t (predict positive if
+    * score ≥ t): cumulative tp/fp, precision and recall in EXACT
+    * integer milli, plus the group's average precision
+    *
+    *   AP = Σ_t ΔR_t · P_t = Σ_t pos_t · tp_t / (np_t · n_pos)
+    *
+    * (the step-interpolation both sklearn and TREC use) repeated on
+    * every row (the q329 per-digit-report shape). The only
+    * non-integer is the AP fold: each term one fixed IEEE chain,
+    * summed ORDER-PINNED by score descending (the q300 rule) — the
+    * oracle replays the interpolation term by term.
+    *
+    * Scale shape: one conditional hash aggregation to the distinct
+    * (group, score) table — bounded by the quantized score domain,
+    * not the corpus (the q151 contract) — then group-partitioned
+    * cumulative windows over it. Zero-positive groups are dropped
+    * (AP over no positives is a report about nothing), matching
+    * [[groupedAuc]]'s degenerate-group rule.
+    *
+    * Output per threshold, (grp, s desc): (grp, s, tp, fp,
+    * prec_milli, rec_milli, ap_r6).
+    */
+  def groupedPrCurve(df: DataFrame, group: Column, score: Column,
+      label: Column): DataFrame = {
+    val per = df.groupBy(group.as("grp"), score.as("s"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("pos"),
+        count(lit(1)).as("tot"))
+    val wCum = Window.partitionBy("grp").orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pts = per
+      .withColumn("tp", sum(col("pos")).over(wCum))
+      .withColumn("np", sum(col("tot")).over(wCum))
+      .withColumn("term", col("pos").cast("double")
+        * col("tp").cast("double") / col("np").cast("double"))
+      .withColumn("cum", sum(col("term")).over(wCum))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("s").desc)))
+    val g = pts.groupBy("grp").agg(max(col("tp")).as("n_pos"),
+      max(struct(col("rn"), col("cum"))).as("z"))
+      .select(col("grp"), col("n_pos"), col("z.cum").as("apsum"))
+      .filter(col("n_pos") > 0)
+    pts.join(g, "grp")
+      .select(col("grp"), col("s"), col("tp"),
+        (col("np") - col("tp")).as("fp"),
+        expr("(tp * 1000) div np").as("prec_milli"),
+        expr("(tp * 1000) div n_pos").as("rec_milli"),
+        round(col("apsum") / col("n_pos").cast("double"), 6).as("ap_r6"))
+  }
+
   /** CUMULATIVE GAINS / LIFT TABLE — the business-facing twin of
     * [[groupedAuc]]: rank units by score DESCENDING, cut into k
     * equal-ish tiles (the ANSI ntile remainder rule), and report per
@@ -537,6 +591,41 @@ object Eval {
              |    / (2.0 * n_pos * n_neg), 6) AS auc_r6
              |FROM g WHERE n_pos > 0 AND n_neg > 0
              |ORDER BY source""".stripMargin)),
+
+    // ---- q409: GROUPED PR CURVE + AVERAGE PRECISION on the q247
+    //      score fixture (document length predicting English, per
+    //      source) — the imbalanced-data companion readout. Exact
+    //      integer-milli curve points; AP's step interpolation
+    //      replayed term-by-term as an order-pinned double fold. ----
+    "q409_pr_curve" -> Q(
+      (s, d) => groupedPrCurve(Tables.documents(s, d),
+          col("source"), col("n_chars"), col("lang") === "en")
+        .select(col("grp").as("source"), col("s"), col("tp"), col("fp"),
+          col("prec_milli"), col("rec_milli"), col("ap_r6"))
+        .orderBy(col("source"), col("s").desc),
+      Some("""WITH per AS (
+             |  SELECT source AS grp, n_chars AS s,
+             |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+             |    count(*) AS tot
+             |  FROM documents GROUP BY 1, 2),
+             |c AS (SELECT grp, s, pos,
+             |    sum(pos) OVER (PARTITION BY grp ORDER BY s DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             |    sum(tot) OVER (PARTITION BY grp ORDER BY s DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS np
+             |  FROM per),
+             |g AS (SELECT grp, max(tp) AS n_pos,
+             |    sum(CAST(pos AS DOUBLE) * tp / np ORDER BY s DESC) AS apsum
+             |  FROM c GROUP BY grp),
+             |gg AS (SELECT * FROM g WHERE n_pos > 0)
+             |SELECT c.grp AS source, CAST(c.s AS BIGINT) AS s,
+             |  CAST(c.tp AS BIGINT) AS tp,
+             |  CAST(c.np - c.tp AS BIGINT) AS fp,
+             |  CAST((c.tp * 1000) // c.np AS BIGINT) AS prec_milli,
+             |  CAST((c.tp * 1000) // gg.n_pos AS BIGINT) AS rec_milli,
+             |  round(gg.apsum / gg.n_pos, 6) AS ap_r6
+             |FROM c JOIN gg ON gg.grp = c.grp
+             |ORDER BY source, s DESC""".stripMargin)),
 
     // ---- q335: CUMULATIVE GAINS / LIFT deciles of order price
     //      predicting the >= 4-item indicator (the q326 relation,

@@ -160,6 +160,32 @@ class EvalSpec extends SparkSpec {
     assert(!got.contains("g5"))
   }
 
+  test("groupedPrCurve: hand-computed points and step-interpolated AP") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      // g1: + - + - by descending score -> thresholds 4,3,2,1
+      ("g1", 4L, true), ("g1", 3L, false), ("g1", 2L, true), ("g1", 1L, false),
+      // g2: all positive on one tied score -> single point, AP = 1
+      ("g2", 7L, true), ("g2", 7L, true),
+      // g3: no positives -> dropped
+      ("g3", 1L, false), ("g3", 2L, false)
+    ).toDF("g", "s", "y")
+    val got = graft.llm.Eval.groupedPrCurve(df, col("g"), col("s"), col("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    // g1 at s>=4: tp1 fp0 P=1 R=1/2; s>=3: tp1 fp1; s>=2: tp2 fp1
+    // P=2/3 R=1; s>=1: tp2 fp2. AP = 1·(1/2) + (2/3)·(1/2) = 5/6
+    assert(got(("g1", 4L)) == ((1L, 0L, 1000L, 500L, 0.833333)))
+    assert(got(("g1", 3L)) == ((1L, 1L, 500L, 500L, 0.833333)))
+    assert(got(("g1", 2L)) == ((2L, 1L, 666L, 1000L, 0.833333)))
+    assert(got(("g1", 1L)) == ((2L, 2L, 500L, 1000L, 0.833333)))
+    assert(got(("g2", 7L)) == ((2L, 0L, 1000L, 1000L, 1.0)))
+    assert(!got.keys.exists(_._1 == "g3"), "zero-positive group must drop")
+  }
+
   test("clusteringAgreement: the textbook contingency, hand-computed " +
       "rand and ARI in truncated milli") {
     val s = spark
