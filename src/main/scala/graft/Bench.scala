@@ -153,12 +153,18 @@ object Bench {
       // two-level Louvain: the q352 cost class + the quotient-sized
       // aggregation and re-move rounds; PR curve + AP (one conditional
       // agg + group windows, the q247 cost class)
-      "q408_louvain_two_level", "q409_pr_curve")
+      "q408_louvain_two_level", "q409_pr_curve",
+      // Heaps'-law growth fit (checkpoint aggs + 32-row OLS) and the
+      // perplexity filter (the q108 LM scoring shape + one rollup)
+      "q410_heaps_law", "q411_perplexity_filter")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round.
     val newestKeys = Seq("q406_jpeg_neardup", "q407_normalize_text",
-      "q408_louvain_two_level", "q409_pr_curve")
+      "q408_louvain_two_level", "q409_pr_curve",
+      // Heaps'-law growth fit (checkpoint aggs + 32-row OLS) and the
+      // perplexity filter (the q108 LM scoring shape + one rollup)
+      "q410_heaps_law", "q411_perplexity_filter")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

@@ -617,6 +617,43 @@ object Curation {
         coalesce(col("avg_lp_r6"), lit(0.0)).as("avg_lp_r6"))
   }
 
+  /** PERPLEXITY FILTER (the Gopher/CCNet LM-quality gate): train the
+    * smoothed bigram LM ([[bigramLmScore]]) on a REFERENCE SLICE of
+    * the corpus (here: the English-labeled docs — the "clean" side a
+    * production run points at a wiki-grade corpus), score EVERY doc's
+    * average bigram log-probability against that model, and keep docs
+    * scoring at or above a fixed threshold τ (fixed, not a quantile:
+    * that is how the published pipelines run it — the threshold comes
+    * from a validation pass and then holds, so the gate is one narrow
+    * comparison, reproducible across batches, with no corpus-sized
+    * selection machinery). Docs with zero bigrams (too short to score)
+    * drop. Output per source: (source, n_docs, n_kept, kept_bigrams,
+    * drop_milli) — the curation dashboard row.
+    *
+    * Scale shape: the model is two Zipf-bounded count tables from ONE
+    * pass over the reference slice; scoring is the q108 shape (two
+    * hash joins keyed by gram/token + a per-doc agg); the gate + per-
+    * source rollup is one conditional agg. Unseen grams score at the
+    * smoothed floor via LEFT joins (never dropped).
+    */
+  def perplexityFilter(s: SparkSession, docs: DataFrame, tau: Double,
+      refLang: String = "en", id: String = "doc_id",
+      text: String = "text", source: String = "source",
+      lang: String = "lang"): DataFrame = {
+    val model = docs.filter(col(lang) === refLang)
+    val scored = bigramLmScore(s, model, docs, id, text)
+    val ok = col("n_bigrams") > 0 && col("avg_lp_r6") >= lit(tau)
+    docs.select(col(id), col(source))
+      .join(scored, Seq(id))
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(ok, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(ok, col("n_bigrams")).otherwise(0L)).as("kept_bigrams"))
+      .withColumn("drop_milli",
+        expr("((n_docs - n_kept) * 1000) div n_docs"))
+      .orderBy(source)
+  }
+
   /** SOURCE-DIVERGENCE DIAGNOSTIC — how far each source's unigram
     * distribution sits from the corpus mixture: KL(Pₛ ‖ Q) =
     * Σ_t Pₛ(t)·ln(Pₛ(t)/Q(t)) per source, with Pₛ the source's token
@@ -1334,6 +1371,56 @@ object Curation {
              |    AS kl_r6
              |FROM st JOIN stot USING (source) JOIN ttot USING (tok) CROSS JOIN tt
              |GROUP BY source, ts ORDER BY source""".stripMargin)),
+
+    // ---- q411: PERPLEXITY FILTER — the Gopher/CCNet LM-quality gate:
+    //      bigram LM trained on the English slice, every doc scored,
+    //      keep avg_lp ≥ −3.5 (fixed threshold, validation-derived —
+    //      sits between this corpus's p05 and p10). The oracle replays
+    //      the reference-slice model, every doc's smoothed-floor LEFT-
+    //      join scoring, the gate, and the per-source rollup. ----
+    "q411_perplexity_filter" -> Q(
+      (s, d) => perplexityFilter(s, Tables.documents(s, d), tau = -3.5),
+      Some("""WITH t AS (SELECT doc_id, source, lang,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      x -> len(x) > 0) AS w
+             |  FROM documents),
+             |mt AS (SELECT w FROM t WHERE lang = 'en'),
+             |u AS (SELECT tok, count(*) AS c1
+             |  FROM (SELECT unnest(w) AS tok FROM mt) x GROUP BY tok),
+             |v AS (SELECT count(*) AS v FROM u),
+             |b AS (SELECT g, count(*) AS c2 FROM (SELECT unnest(
+             |    CASE WHEN len(w) < 2 THEN []::VARCHAR[] ELSE
+             |      list_transform(range(1, len(w)),
+             |        i -> w[i] || ' ' || w[i+1]) END) AS g FROM mt) x
+             |  GROUP BY g),
+             |db AS (SELECT doc_id, unnest(
+             |    CASE WHEN len(w) < 2 THEN []::VARCHAR[] ELSE
+             |      list_transform(range(1, len(w)),
+             |        i -> w[i] || ' ' || w[i+1]) END) AS g
+             |  FROM t),
+             |sc AS (SELECT db.doc_id,
+             |    ln(CAST(coalesce(b.c2, 0) + 1 AS DOUBLE)
+             |      / (coalesce(u.c1, 0) + (SELECT v FROM v))) AS lp
+             |  FROM db LEFT JOIN b USING (g)
+             |  LEFT JOIN u ON u.tok = split_part(db.g, ' ', 1)),
+             |agg AS (SELECT doc_id, count(*) AS nb,
+             |    round(avg(lp), 6) AS alp
+             |  FROM sc GROUP BY doc_id),
+             |j AS (SELECT t.doc_id, t.source,
+             |    coalesce(agg.nb, 0) AS nb, coalesce(agg.alp, 0.0) AS alp
+             |  FROM t LEFT JOIN agg USING (doc_id)),
+             |g2 AS (SELECT source, count(*) AS n_docs,
+             |    sum(CASE WHEN nb > 0 AND alp >= -3.5 THEN 1 ELSE 0 END)
+             |      AS n_kept,
+             |    sum(CASE WHEN nb > 0 AND alp >= -3.5 THEN nb ELSE 0 END)
+             |      AS kept_bigrams
+             |  FROM j GROUP BY source)
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_kept AS BIGINT) AS n_kept,
+             |  CAST(kept_bigrams AS BIGINT) AS kept_bigrams,
+             |  CAST(((n_docs - n_kept) * 1000) // n_docs AS BIGINT)
+             |    AS drop_milli
+             |FROM g2 ORDER BY source""".stripMargin)),
 
     // ---- q235: TEMPORAL SPLIT WITH EMBARGO — the time-based
     //      leakage-free split over the event stream: train < Jan 22,

@@ -150,6 +150,70 @@ object TextStats {
           / col("z.k").cast("double"), 6).as("intercept_r6"))
   }
 
+  /** HEAPS'-LAW VOCABULARY GROWTH FIT (Herdan 1960, Heaps 1978):
+    * V(N) ≈ K·N^β — how fast the vocabulary grows as the corpus is
+    * read in doc-id order. The sub-linear exponent β is the corpus-
+    * planning number (how much NEW vocabulary another 10× of data
+    * buys) and a diversity audit: boilerplate-heavy corpora bend low.
+    *
+    * Scale shape: growth is measured at `buckets` doc-id CHECKPOINTS,
+    * not per doc — a term's first-occurrence bucket is one hash agg
+    * (min over the monotone bucket of its min doc id), token mass per
+    * bucket another, and everything after runs on the completed
+    * ≤`buckets`-row grid (the q392 bin-completion rule): cumulative
+    * sums, the two ln's per point, and the log-log OLS, all on
+    * domain-bounded frames. No global window ever sees corpus-sized
+    * data. Doubles follow the q300 order-pinned-fold rule; the OLS
+    * chain is q366's, replayed term-by-term by the oracle.
+    *
+    * Output (1 row): (n_tokens, vocab, n_points, beta_r6, k_coef_r6).
+    */
+  def heapsLaw(s: SparkSession, docs: DataFrame, buckets: Int = 32,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 4 && buckets <= 256, s"4 <= buckets <= 256: $buckets")
+    val toks = docs
+      .select(col(id).cast("long").as("did"),
+        explode(expr(
+          s"filter(split(trim(lower($text)), '\\\\s+'), x -> length(x) > 0)"))
+          .as("tok"))
+    val mx = docs.agg(max(col(id).cast("long")).as("mx"))
+    val tb = toks.crossJoin(broadcast(mx))
+      .select(expr(s"(did * $buckets) div (mx + 1) + 1").as("b"), col("tok"))
+    val ntokB = tb.groupBy("b").agg(count(lit(1)).as("ntok"))
+    // a term's first bucket = bucket of its first doc (monotone map)
+    val nnewB = tb.groupBy("tok").agg(min(col("b")).as("fb"))
+      .groupBy(col("fb").as("b")).agg(count(lit(1)).as("nnew"))
+    val grid = s.range(1, buckets + 1L).select(col("id").as("b"))
+    val wCum = Window.orderBy("b").rowsBetween(Long.MinValue, 0)
+    val pts = grid
+      .join(ntokB, Seq("b"), "left").join(nnewB, Seq("b"), "left")
+      .select(col("b"), coalesce(col("ntok"), lit(0L)).as("ntok"),
+        coalesce(col("nnew"), lit(0L)).as("nnew"))
+      .withColumn("cumn", sum(col("ntok")).over(wCum))
+      .withColumn("cumv", sum(col("nnew")).over(wCum))
+      .filter(col("cumn") > 0 && col("cumv") > 0)
+      .withColumn("x", log(col("cumn").cast("double")))
+      .withColumn("y", log(col("cumv").cast("double")))
+    val beta = (col("z.k").cast("double") * col("z.sxy")
+      - col("z.sx") * col("z.sy")) /
+      (col("z.k").cast("double") * col("z.sxx")
+        - col("z.sx") * col("z.sx"))
+    pts
+      .withColumn("sx", sum(col("x")).over(wCum))
+      .withColumn("sy", sum(col("y")).over(wCum))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wCum))
+      .withColumn("sxy", sum(col("x") * col("y")).over(wCum))
+      .withColumn("k", count(lit(1)).over(wCum))
+      .agg(max(struct(col("b"), col("k"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"), col("cumn"), col("cumv"))).as("z"))
+      .select(col("z.cumn").as("n_tokens"), col("z.cumv").as("vocab"),
+        col("z.k").as("n_points"),
+        round(beta, 6).as("beta_r6"),
+        round(exp((col("z.sy") - beta * col("z.sx"))
+          / col("z.k").cast("double")), 6).as("k_coef_r6"))
+  }
+
   /** TOKEN BURSTINESS (Church & Gale 1995): collection frequency over
     * document frequency per token — cf/df ≈ 1 marks evenly-spread
     * function words; high cf/df marks bursty content terms (and, in a
@@ -229,6 +293,49 @@ object TextStats {
              |    / (CAST(m.k AS DOUBLE) * m.sxx - m.sx * m.sx)) * m.sx)
              |    / CAST(m.k AS DOUBLE), 6) AS intercept_r6
              |FROM tot, m""".stripMargin)),
+
+    // ---- q410: HEAPS'-LAW vocabulary growth — V(N) = K·N^β fit at 32
+    //      doc-id checkpoints; the oracle replays the monotone bucket
+    //      map, the completed grid, the cumulative token/vocab sums,
+    //      and the order-pinned log-log OLS term by term. ----
+    "q410_heaps_law" -> Q(
+      (s, d) => heapsLaw(s, Tables.documents(s, d)),
+      Some("""WITH tk AS (SELECT doc_id AS did, unnest(list_filter(
+             |    regexp_split_to_array(trim(lower(text)), '\s+'),
+             |    x -> len(x) > 0)) AS tok FROM documents),
+             |mx AS (SELECT max(doc_id) AS mx FROM documents),
+             |tb AS (SELECT (did * 32) // ((SELECT mx FROM mx) + 1) + 1 AS b,
+             |    tok FROM tk),
+             |nt AS (SELECT b, count(*) AS ntok FROM tb GROUP BY b),
+             |fv AS (SELECT tok, min(b) AS fb FROM tb GROUP BY tok),
+             |nv AS (SELECT fb AS b, count(*) AS nnew FROM fv GROUP BY fb),
+             |grid AS (SELECT unnest(range(1, 33)) AS b),
+             |cum AS (SELECT g.b,
+             |    sum(coalesce(nt.ntok, 0)) OVER (ORDER BY g.b
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn,
+             |    sum(coalesce(nv.nnew, 0)) OVER (ORDER BY g.b
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+             |  FROM grid g LEFT JOIN nt ON nt.b = g.b
+             |  LEFT JOIN nv ON nv.b = g.b),
+             |pts AS (SELECT b, cumn, cumv,
+             |    ln(CAST(cumn AS DOUBLE)) AS x,
+             |    ln(CAST(cumv AS DOUBLE)) AS y
+             |  FROM cum WHERE cumn > 0 AND cumv > 0),
+             |m AS (SELECT count(*) AS k, max(cumn) AS n_tokens,
+             |    max(cumv) AS vocab,
+             |    sum(x ORDER BY b) AS sx, sum(y ORDER BY b) AS sy,
+             |    sum(x * x ORDER BY b) AS sxx,
+             |    sum(x * y ORDER BY b) AS sxy
+             |  FROM pts)
+             |SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(vocab AS BIGINT) AS vocab,
+             |  CAST(k AS BIGINT) AS n_points,
+             |  round((CAST(k AS DOUBLE) * sxy - sx * sy)
+             |    / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS beta_r6,
+             |  round(exp((sy - ((CAST(k AS DOUBLE) * sxy - sx * sy)
+             |    / (CAST(k AS DOUBLE) * sxx - sx * sx)) * sx)
+             |    / CAST(k AS DOUBLE)), 6) AS k_coef_r6
+             |FROM m""".stripMargin)),
 
     // ---- q357: per-doc character entropy — counts + the ordered
     //      Σ c·ln c fold, replayed in DuckDB with its ordered
