@@ -156,7 +156,10 @@ object Bench {
       "q408_louvain_two_level", "q409_pr_curve",
       // Heaps'-law growth fit (checkpoint aggs + 32-row OLS) and the
       // perplexity filter (the q108 LM scoring shape + one rollup)
-      "q410_heaps_law", "q411_perplexity_filter")
+      "q410_heaps_law", "q411_perplexity_filter",
+      // matryoshka truncation-recall anchor (bounded query brute force)
+      // and the gram-novelty curve (one flatMap + checkpoint aggs)
+      "q412_matryoshka_recall", "q413_ngram_novelty")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round.
@@ -164,7 +167,10 @@ object Bench {
       "q408_louvain_two_level", "q409_pr_curve",
       // Heaps'-law growth fit (checkpoint aggs + 32-row OLS) and the
       // perplexity filter (the q108 LM scoring shape + one rollup)
-      "q410_heaps_law", "q411_perplexity_filter")
+      "q410_heaps_law", "q411_perplexity_filter",
+      // matryoshka truncation-recall anchor (bounded query brute force)
+      // and the gram-novelty curve (one flatMap + checkpoint aggs)
+      "q412_matryoshka_recall", "q413_ngram_novelty")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

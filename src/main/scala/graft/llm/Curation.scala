@@ -617,6 +617,49 @@ object Curation {
         coalesce(col("avg_lp_r6"), lit(0.0)).as("avg_lp_r6"))
   }
 
+  /** N-GRAM NOVELTY CURVE — what fraction of each corpus slice's
+    * k-grams is NEW (never seen in any earlier doc): the dataset-
+    * ordering diagnostic (curriculum/dedup audits read it: a slice
+    * whose novelty collapses is re-crawled or boilerplate content,
+    * and the curve's tail is what another epoch of the same source
+    * would buy). Growth is measured at `buckets` doc-id checkpoints,
+    * the [[graft.llm.TextStats.heapsLaw]] discipline at GRAM level.
+    *
+    * Spark carries 64-bit FNV gram hashes; the oracle recomputes with
+    * STRING grams (the q34/q73 contract: a hash collision flips the
+    * check red). Per-doc DISTINCT grams count once ([[gramHashes]]).
+    *
+    * Scale shape: one narrow flatMap to (bucket, gram) rows, a hash
+    * agg for per-bucket mass, a min-agg for each gram's first bucket
+    * (monotone in doc id), then everything runs on the completed
+    * ≤`buckets`-row grid. Output per bucket: (b, n_grams, n_new,
+    * novelty_milli — null for an empty bucket).
+    */
+  def gramNovelty(s: SparkSession, docs: DataFrame, k: Int = 8,
+      buckets: Int = 32, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    import s.implicits._
+    require(buckets >= 4 && buckets <= 256, s"4 <= buckets <= 256: $buckets")
+    val dg = docs.select(col(id), col(text)).as[(Long, String)]
+      .flatMap { case (i, t) =>
+        gramHashes(SketchOps.tokensOf(t), k).iterator.map(h => (i, h))
+      }.toDF("did", "gh")
+    val mx = docs.agg(max(col(id).cast("long")).as("mx"))
+    val tb = dg.crossJoin(broadcast(mx))
+      .select(expr(s"(did * $buckets) div (mx + 1) + 1").as("b"), col("gh"))
+    val nB = tb.groupBy("b").agg(count(lit(1)).as("n_grams"))
+    val newB = tb.groupBy("gh").agg(min(col("b")).as("fb"))
+      .groupBy(col("fb").as("b")).agg(count(lit(1)).as("n_new"))
+    s.range(1, buckets + 1L).select(col("id").as("b"))
+      .join(nB, Seq("b"), "left").join(newB, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("novelty_milli",
+        when(col("n_grams") > 0, expr("(n_new * 1000) div n_grams")))
+      .orderBy("b")
+  }
+
   /** PERPLEXITY FILTER (the Gopher/CCNet LM-quality gate): train the
     * smoothed bigram LM ([[bigramLmScore]]) on a REFERENCE SLICE of
     * the corpus (here: the English-labeled docs — the "clean" side a
@@ -1371,6 +1414,36 @@ object Curation {
              |    AS kl_r6
              |FROM st JOIN stot USING (source) JOIN ttot USING (tok) CROSS JOIN tt
              |GROUP BY source, ts ORDER BY source""".stripMargin)),
+
+    // ---- q413: N-GRAM NOVELTY CURVE — per-checkpoint new-8-gram
+    //      fraction in doc-id order. Spark compares 64-bit FNV gram
+    //      hashes; the oracle recomputes with STRING grams (q73's
+    //      contract) plus the monotone bucket map and the completed
+    //      grid. ----
+    "q413_ngram_novelty" -> Q(
+      (s, d) => gramNovelty(s, Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id AS did,
+             |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+             |  FROM documents),
+             |dg AS (SELECT did, unnest(list_distinct(
+             |    list_transform(range(1, len(w) - 6),
+             |      i -> array_to_string(w[i:i+7], ' ')))) AS g
+             |  FROM t),
+             |mx AS (SELECT max(doc_id) AS mx FROM documents),
+             |tb AS (SELECT (did * 32) // ((SELECT mx FROM mx) + 1) + 1 AS b,
+             |    g FROM dg),
+             |nb AS (SELECT b, count(*) AS n_grams FROM tb GROUP BY b),
+             |fv AS (SELECT g, min(b) AS fb FROM tb GROUP BY g),
+             |nv AS (SELECT fb AS b, count(*) AS n_new FROM fv GROUP BY fb),
+             |grid AS (SELECT unnest(range(1, 33)) AS b)
+             |SELECT g.b, CAST(coalesce(nb.n_grams, 0) AS BIGINT) AS n_grams,
+             |  CAST(coalesce(nv.n_new, 0) AS BIGINT) AS n_new,
+             |  CASE WHEN coalesce(nb.n_grams, 0) > 0
+             |    THEN CAST((coalesce(nv.n_new, 0) * 1000)
+             |      // nb.n_grams AS BIGINT) END AS novelty_milli
+             |FROM grid g LEFT JOIN nb ON nb.b = g.b
+             |LEFT JOIN nv ON nv.b = g.b
+             |ORDER BY g.b""".stripMargin)),
 
     // ---- q411: PERPLEXITY FILTER — the Gopher/CCNet LM-quality gate:
     //      bigram LM trained on the English slice, every doc scored,

@@ -164,6 +164,56 @@ object Eval {
         (lit(2.0) * col("n_pos") * col("n_neg")), 6))
   }
 
+  /** MATRYOSHKA / DIMENSION-TRUNCATION RECALL (Kusupati et al.
+    * NeurIPS'22): how much exact-kNN quality survives when the
+    * embedding is truncated to its first d dimensions — the sizing
+    * curve for matryoshka-style storage tiering (serve the 8-dim
+    * prefix from RAM, re-rank with the full vector). For a bounded
+    * query sample, exact top-k under the FULL cosine is compared to
+    * exact top-k under each prefix cosine; recall@k = |∩| / (q·k).
+    *
+    * This is an EVAL ANCHOR (the q270 class): the per-dim scoring is
+    * a deliberate brute-force over (queries × corpus) with the query
+    * sample bounded by construction — the measurement the production
+    * ANN tier (IVF/PQ) is judged against, not the serving path.
+    * Scale shape: broadcast queries, one narrow pass per dim over the
+    * corpus, bounded-heap top-k ([[graft.functions.TopKAgg]]) — no
+    * global sort, nothing n².
+    *
+    * Output per dim, ascending: (dim, n_queries, k, hits,
+    * recall_milli).
+    */
+  def matryoshkaRecall(s: SparkSession, embs: DataFrame,
+      dims: Seq[Int] = Seq(8, 16, 32), k: Int = 10,
+      querySkip: Long = 29L): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"bad dims $dims")
+    val q = embs.filter(col("vec_id") % querySkip === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val pairs = broadcast(q).join(embs, col("vec_id") =!= col("qid"))
+    def topkAt(d: Option[Int]) = {
+      val (qc, ec) = d match {
+        case Some(dd) => (slice(col("qv"), 1, dd),
+          slice(col("embedding"), 1, dd))
+        case None => (col("qv"), col("embedding"))
+      }
+      graft.functions.TopK.perKeyTopK(
+        pairs.withColumn("cos",
+          graft.functions.VecFunctions.vecCosine(s, qc, ec)),
+        k, "qid", "vec_id", "cos")
+        .select(col("qid"), col("vec_id"))
+    }
+    val full = topkAt(None).localCheckpoint(true)
+    val nq = q.agg(count(lit(1)).as("nq"))
+    dims.sorted.map { dd =>
+      topkAt(Some(dd)).join(full, Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(nq))
+        .select(lit(dd.toLong).as("dim"), col("nq").as("n_queries"),
+          lit(k.toLong).as("k"), col("hits"),
+          expr(s"(hits * 1000) div (nq * $k)").as("recall_milli"))
+    }.reduce(_ unionAll _)
+  }
+
   /** GROUPED PRECISION-RECALL CURVE + AVERAGE PRECISION — the
     * imbalanced-data twin of [[groupedAuc]] (retrieval and
     * quality-filter work reads PR, not ROC: with 1000:1 negatives a
@@ -626,6 +676,51 @@ object Eval {
              |  round(gg.apsum / gg.n_pos, 6) AS ap_r6
              |FROM c JOIN gg ON gg.grp = c.grp
              |ORDER BY source, s DESC""".stripMargin)),
+
+    // ---- q412: MATRYOSHKA dimension-truncation recall — exact top-10
+    //      under the 8/16/32-dim prefix cosine vs the full vector, over
+    //      the bounded query sample (vec_id % 29 = 0). The oracle
+    //      replays every prefix scoring, both rankings' (cos desc, id)
+    //      tie order, and the overlap counts. ----
+    "q412_matryoshka_recall" -> Q(
+      (s, d) => matryoshkaRecall(s, Tables.embeddings(s, d))
+        .orderBy("dim"),
+      Some {
+        def cosSql(a: String, b: String, dim: Option[Int]): String = {
+          def v(c: String) = dim match {
+            case Some(dd) => s"CAST($c[1:$dd] AS DOUBLE[])"
+            case None => s"CAST($c AS DOUBLE[])"
+          }
+          s"""list_dot_product(${v(a)}, ${v(b)})
+             |      / (sqrt(list_dot_product(${v(a)}, ${v(a)}))
+             |         * sqrt(list_dot_product(${v(b)}, ${v(b)})))""".stripMargin
+        }
+        def topSql(name: String, dim: Option[Int]): String =
+          s"""$name AS (SELECT qid, vec_id FROM (
+             |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+             |    ORDER BY ${cosSql("qv", "embedding", dim)} DESC, vec_id) AS rn
+             |  FROM p) t WHERE rn <= 10)""".stripMargin
+        val dims = Seq(8, 16, 32)
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+           |  FROM embeddings WHERE vec_id % 29 = 0),
+           |p AS (SELECT q.qid, e.vec_id, q.qv, e.embedding
+           |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+           |${topSql("fulltop", None)},
+           |${dims.map(dd => topSql(s"d$dd", Some(dd))).mkString(",\n")},
+           |nq AS (SELECT count(*) AS nq FROM q),
+           |${dims.map(dd =>
+            s"""h$dd AS (SELECT count(*) AS hits FROM d$dd
+               |  JOIN fulltop USING (qid, vec_id))""".stripMargin)
+            .mkString(",\n")}
+           |${dims.map(dd =>
+            s"""SELECT CAST($dd AS BIGINT) AS dim,
+               |  CAST(nq.nq AS BIGINT) AS n_queries,
+               |  CAST(10 AS BIGINT) AS k, CAST(h$dd.hits AS BIGINT) AS hits,
+               |  CAST((h$dd.hits * 1000) // (nq.nq * 10) AS BIGINT)
+               |    AS recall_milli
+               |FROM nq, h$dd""".stripMargin).mkString("\nUNION ALL\n")}
+           |ORDER BY dim""".stripMargin
+      }),
 
     // ---- q335: CUMULATIVE GAINS / LIFT deciles of order price
     //      predicting the >= 4-item indicator (the q326 relation,
