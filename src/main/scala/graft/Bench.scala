@@ -159,7 +159,10 @@ object Bench {
       "q410_heaps_law", "q411_perplexity_filter",
       // matryoshka truncation-recall anchor (bounded query brute force)
       // and the gram-novelty curve (one flatMap + checkpoint aggs)
-      "q412_matryoshka_recall", "q413_ngram_novelty")
+      "q412_matryoshka_recall", "q413_ngram_novelty",
+      // cross-source dup matrix (the q34 pair space + one rollup) and
+      // the Gopher repetition filter (one narrow typed pass + rollup)
+      "q414_source_dup_matrix", "q415_repetition_filter")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round.
@@ -170,7 +173,10 @@ object Bench {
       "q410_heaps_law", "q411_perplexity_filter",
       // matryoshka truncation-recall anchor (bounded query brute force)
       // and the gram-novelty curve (one flatMap + checkpoint aggs)
-      "q412_matryoshka_recall", "q413_ngram_novelty")
+      "q412_matryoshka_recall", "q413_ngram_novelty",
+      // cross-source dup matrix (the q34 pair space + one rollup) and
+      // the Gopher repetition filter (one narrow typed pass + rollup)
+      "q414_source_dup_matrix", "q415_repetition_filter")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

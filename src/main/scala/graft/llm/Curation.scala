@@ -617,6 +617,73 @@ object Curation {
         coalesce(col("avg_lp_r6"), lit(0.0)).as("avg_lp_r6"))
   }
 
+  /** WITHIN-DOC REPETITION FILTER (the Gopher/MassiveText repetition
+    * rules, Rae et al. 2021 §A1.1): per document, the fraction of
+    * 2-grams taken by the single most frequent 2-gram (top2), same
+    * for 3-grams (top3), and the fraction of 6-grams that are
+    * within-doc DUPLICATES (dup6) — the signals that catch looping
+    * boilerplate, keyword stuffing, and template spam that corpus-
+    * level dedup structurally misses (the repetition is inside one
+    * doc). All three are exact integer milli from ONE narrow pass
+    * (a per-partition typed map — counting within a single doc's
+    * token array, no shuffle carries text); the rollup flags docs
+    * over the published-style thresholds per source.
+    *
+    * Output per source: (source, n_docs, flag_top2, flag_top3,
+    * flag_dup6, flag_any).
+    */
+  def repetitionFilter(s: SparkSession, docs: DataFrame,
+      top2Milli: Long = 200L, top3Milli: Long = 180L,
+      dup6Milli: Long = 300L, id: String = "doc_id",
+      text: String = "text", source: String = "source"): DataFrame = {
+    import s.implicits._
+    val sig = docs.select(col(id), col(source), col(text))
+      .as[(Long, String, String)]
+      .map { case (i, src, t) =>
+        val toks = SketchOps.tokensOf(t)
+        def counts(n: Int): java.util.HashMap[String, Long] = {
+          val m = new java.util.HashMap[String, Long]()
+          var p = 0
+          while (p <= toks.length - n) {
+            val sb = new java.lang.StringBuilder(toks(p))
+            var g = 1
+            while (g < n) { sb.append(' ').append(toks(p + g)); g += 1 }
+            m.merge(sb.toString, 1L, (a, b) => a + b)
+            p += 1
+          }
+          m
+        }
+        def topMilli(n: Int): Long = {
+          if (toks.length < n) return 0L
+          val m = counts(n)
+          var mx = 0L
+          m.values.forEach(v => if (v > mx) mx = v)
+          mx * 1000L / (toks.length - n + 1)
+        }
+        def dupMilli(n: Int): Long = {
+          if (toks.length < n) return 0L
+          val m = counts(n)
+          var dup = 0L
+          m.values.forEach(v => if (v >= 2) dup += v)
+          dup * 1000L / (toks.length - n + 1)
+        }
+        (i, src, topMilli(2), topMilli(3), dupMilli(6))
+      }.toDF(id, source, "top2_milli", "top3_milli", "dup6_milli")
+    sig.groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("top2_milli") > top2Milli, 1L).otherwise(0L))
+          .as("flag_top2"),
+        sum(when(col("top3_milli") > top3Milli, 1L).otherwise(0L))
+          .as("flag_top3"),
+        sum(when(col("dup6_milli") > dup6Milli, 1L).otherwise(0L))
+          .as("flag_dup6"),
+        sum(when(col("top2_milli") > top2Milli
+          || col("top3_milli") > top3Milli
+          || col("dup6_milli") > dup6Milli, 1L).otherwise(0L))
+          .as("flag_any"))
+      .orderBy(source)
+  }
+
   /** N-GRAM NOVELTY CURVE — what fraction of each corpus slice's
     * k-grams is NEW (never seen in any earlier doc): the dataset-
     * ordering diagnostic (curriculum/dedup audits read it: a slice
@@ -1414,6 +1481,55 @@ object Curation {
              |    AS kl_r6
              |FROM st JOIN stot USING (source) JOIN ttot USING (tok) CROSS JOIN tt
              |GROUP BY source, ts ORDER BY source""".stripMargin)),
+
+    // ---- q415: WITHIN-DOC REPETITION FILTER — the Gopher repetition
+    //      rules (top-2/3-gram share, duplicate-6-gram share, integer
+    //      milli) flagged per source. The oracle recomputes every
+    //      doc's n-gram count tables and the truncating-milli
+    //      signals. ----
+    "q415_repetition_filter" -> Q(
+      (s, d) => repetitionFilter(s, Tables.documents(s, d)),
+      Some {
+        def gram(n: Int): String = {
+          val terms = (0 until n).map(j =>
+            if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+          s"""SELECT doc_id, unnest(list_transform(
+             |    range(1, len(w) - ${n - 2}), i -> $terms)) AS g
+             |  FROM t WHERE len(w) >= $n""".stripMargin
+        }
+        s"""WITH t AS (SELECT doc_id, source,
+           |    regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+           |  FROM documents),
+           |c2 AS (SELECT doc_id, g, count(*) AS c FROM (${gram(2)}) x
+           |  GROUP BY 1, 2),
+           |s2 AS (SELECT doc_id, (max(c) * 1000) // sum(c) AS v
+           |  FROM c2 GROUP BY doc_id),
+           |c3 AS (SELECT doc_id, g, count(*) AS c FROM (${gram(3)}) x
+           |  GROUP BY 1, 2),
+           |s3 AS (SELECT doc_id, (max(c) * 1000) // sum(c) AS v
+           |  FROM c3 GROUP BY doc_id),
+           |c6 AS (SELECT doc_id, g, count(*) AS c FROM (${gram(6)}) x
+           |  GROUP BY 1, 2),
+           |s6 AS (SELECT doc_id,
+           |    (sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1000)
+           |      // sum(c) AS v
+           |  FROM c6 GROUP BY doc_id),
+           |sig AS (SELECT t.doc_id, t.source,
+           |    coalesce(s2.v, 0) AS top2, coalesce(s3.v, 0) AS top3,
+           |    coalesce(s6.v, 0) AS dup6
+           |  FROM t LEFT JOIN s2 USING (doc_id)
+           |  LEFT JOIN s3 USING (doc_id) LEFT JOIN s6 USING (doc_id))
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN top2 > 200 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS flag_top2,
+           |  CAST(sum(CASE WHEN top3 > 180 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS flag_top3,
+           |  CAST(sum(CASE WHEN dup6 > 300 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS flag_dup6,
+           |  CAST(sum(CASE WHEN top2 > 200 OR top3 > 180 OR dup6 > 300
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS flag_any
+           |FROM sig GROUP BY source ORDER BY source""".stripMargin
+      }),
 
     // ---- q413: N-GRAM NOVELTY CURVE — per-checkpoint new-8-gram
     //      fraction in doc-id order. Spark compares 64-bit FNV gram

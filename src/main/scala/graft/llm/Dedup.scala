@@ -61,6 +61,32 @@ object Dedup {
       .filter(col("jac") >= minJaccard)
       .select("ida", "idb", "inter", "jac")
 
+  /** CROSS-SOURCE DUPLICATION MATRIX — near-dup pair counts rolled up
+    * by (source, source): the provenance diagnostic a dedup run emits
+    * before deciding WHICH copy survives (a source that is mostly
+    * duplicates of another is a re-crawl / mirror and gets its dedup
+    * priority demoted; heavy diagonal mass is within-source
+    * boilerplate). Pairs come from [[jaccardPairs]] (capped-shingle
+    * LSH-free pair space, never n²); the rollup is one broadcast-sized
+    * join of the pair list to the (id, source) map and a
+    * (src_a, src_b)-keyed count, sources ordered least/greatest so the
+    * matrix is upper-triangular. Output: (src_a, src_b, n_pairs).
+    */
+  def sourceDupMatrix(s: SparkSession, docs: DataFrame, minJaccard: Double,
+      id: String = "doc_id", text: String = "text",
+      source: String = "source"): DataFrame = {
+    val pairs = jaccardPairs(s,
+      docs.select(col(id).as("id"), col(text).as("text")), minJaccard)
+    val src = docs.select(col(id).as("id"), col(source).as("src"))
+    pairs
+      .join(src.select(col("id").as("ida"), col("src").as("sa")), "ida")
+      .join(src.select(col("id").as("idb"), col("src").as("sb")), "idb")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Asymmetric CONTAINMENT pairs over the same capped-shingle pair
     * machinery: containment = |A∩B| / min(|A|,|B|) — the quote /
     * excerpt / superset-document modality Jaccard structurally misses

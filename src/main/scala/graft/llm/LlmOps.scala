@@ -974,6 +974,24 @@ object LlmOps {
              |JOIN qual q ON k.doc_id = q.doc_id
              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
 
+    // ---- q414: CROSS-SOURCE DUPLICATION MATRIX — the q34 pair space
+    //      at Jaccard ≥ 0.5 rolled up by (source, source), sources
+    //      least/greatest-ordered. The oracle replays the capped-
+    //      shingle pairs (string shingles vs Spark's hashes — the q34
+    //      collision contract) and the rollup. ----
+    "q414_source_dup_matrix" -> Q(
+      (s, d) => Dedup.sourceDupMatrix(s, docs(s, d), minJaccard = 0.5),
+      Some(s"""WITH ${pairOracleCtes()},
+             |p AS (SELECT da, db FROM i
+             |  JOIN z za ON i.da = za.doc_id JOIN z zb ON i.db = zb.doc_id
+             |  WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5),
+             |ps AS (SELECT least(a.source, b.source) AS src_a,
+             |    greatest(a.source, b.source) AS src_b
+             |  FROM p JOIN documents a ON a.doc_id = p.da
+             |  JOIN documents b ON b.doc_id = p.db)
+             |SELECT src_a, src_b, count(*) AS n_pairs
+             |FROM ps GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- substring-level exact dedup (Lee et al. ACL 2022,
     //      ExactSubstr): merged per-doc spans of 8-grams occurring ≥2×
     //      corpus-wide, over documents ∪ planted shifted copies (docs
