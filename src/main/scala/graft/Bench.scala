@@ -162,7 +162,10 @@ object Bench {
       "q412_matryoshka_recall", "q413_ngram_novelty",
       // cross-source dup matrix (the q34 pair space + one rollup) and
       // the Gopher repetition filter (one narrow typed pass + rollup)
-      "q414_source_dup_matrix", "q415_repetition_filter")
+      "q414_source_dup_matrix", "q415_repetition_filter",
+      // priority dedup (pairs + CC fold + argmin rollup) and the URL
+      // canonical frontier dedup (narrow regex map + one agg)
+      "q416_priority_dedup", "q417_url_canonical_dedup")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round.
@@ -176,7 +179,10 @@ object Bench {
       "q412_matryoshka_recall", "q413_ngram_novelty",
       // cross-source dup matrix (the q34 pair space + one rollup) and
       // the Gopher repetition filter (one narrow typed pass + rollup)
-      "q414_source_dup_matrix", "q415_repetition_filter")
+      "q414_source_dup_matrix", "q415_repetition_filter",
+      // priority dedup (pairs + CC fold + argmin rollup) and the URL
+      // canonical frontier dedup (narrow regex map + one agg)
+      "q416_priority_dedup", "q417_url_canonical_dedup")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

@@ -942,6 +942,30 @@ object Curation {
         when(col("doc_id") % 5 === 0, lit("?ref=rss")).otherwise(lit("")))
         .as("url"))
 
+  /** URL CANONICALIZATION + DEDUP — the crawl-frontier stage that runs
+    * BEFORE fetching: scheme strip, www. strip, fragment and query
+    * strip, trailing-slash strip, lowercase — all anchored or suffix
+    * regexes portable across engines — then per-registered-domain
+    * counts of URLs collapsing onto the same canonical form (the
+    * fetch-budget a canonicalizing frontier saves). Pure narrow map +
+    * one domain-keyed agg with a distinct count.
+    * Output per domain: (domain, n_urls, n_canonical, n_dup).
+    */
+  def urlCanonicalDedup(s: SparkSession, docs: DataFrame,
+      id: String = "doc_id", url: String = "url"): DataFrame = {
+    val canon = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(lower(col(url)),
+        "^https?://", ""), "^www\\.", ""), "#.*$", ""), "\\?.*$", ""),
+      "/$", "")
+    docs.select(col(id), canon.as("canon"))
+      .withColumn("domain", regexp_extract(col("canon"), "^([^/]+)", 1))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canon")).as("n_canonical"))
+      .withColumn("n_dup", col("n_urls") - col("n_canonical"))
+      .orderBy("domain")
+  }
+
   /** UNICODE NORMALIZATION rung — the first stage of C4/CCNet-class
     * pipelines: NFKC + locale-free casefold + format/control strip +
     * whitespace collapse, as the codegen'd native expression
@@ -1481,6 +1505,53 @@ object Curation {
              |    AS kl_r6
              |FROM st JOIN stot USING (source) JOIN ttot USING (tok) CROSS JOIN tt
              |GROUP BY source, ts ORDER BY source""".stripMargin)),
+
+    // ---- q417: URL CANONICALIZATION DEDUP — scheme/www/fragment/
+    //      query/trailing-slash strips + lowercase over a planted
+    //      fixture whose decorations vary per doc while the canonical
+    //      form collides by construction (doc_id mod 50); per-domain
+    //      collapse counts. The oracle replays fixture, regex chain,
+    //      and rollup. ----
+    "q417_url_canonical_dedup" -> Q(
+      (s, d) => {
+        val k = col("doc_id") % 50
+        val urls = Tables.documents(s, d).select(col("doc_id"),
+          concat(
+            element_at(typedlit(Seq("https://", "http://")),
+              (col("doc_id") % 2).cast("int") + 1),
+            when(col("doc_id") % 4 === 0, lit("www.")).otherwise(lit("")),
+            lit("Site"), (k % 19).cast("string"),
+            lit(".com/p/"), k.cast("string"),
+            when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit("?utm_source=feed"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 6 === 0, lit("#top")).otherwise(lit("")))
+            .as("url"))
+        urlCanonicalDedup(s, urls)
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'https://'
+             |          ELSE 'http://' END) ||
+             |    (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END) ||
+             |    'Site' || CAST((doc_id % 50) % 19 AS VARCHAR) ||
+             |    '.com/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+             |    (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+             |    (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed'
+             |          ELSE '' END) ||
+             |    (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |    regexp_replace(regexp_replace(regexp_replace(
+             |      regexp_replace(regexp_replace(lower(url),
+             |        '^https?://', ''), '^www\.', ''), '#.*$', ''),
+             |      '\?.*$', ''), '/$', '') AS canon
+             |  FROM u),
+             |d AS (SELECT doc_id, canon,
+             |    regexp_extract(canon, '^([^/]+)', 1) AS domain FROM c)
+             |SELECT domain, count(*) AS n_urls,
+             |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+             |  CAST(count(*) - count(DISTINCT canon) AS BIGINT) AS n_dup
+             |FROM d GROUP BY domain ORDER BY domain""".stripMargin)),
 
     // ---- q415: WITHIN-DOC REPETITION FILTER — the Gopher repetition
     //      rules (top-2/3-gram share, duplicate-6-gram share, integer

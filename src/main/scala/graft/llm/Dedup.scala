@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Library-shaped deduplication over caller DataFrames — the public API
@@ -60,6 +60,44 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= minJaccard)
       .select("ida", "idb", "inter", "jac")
+
+  /** SOURCE-PRIORITY DEDUP — near-dup clusters resolved by SOURCE
+    * PRIORITY instead of smallest-id: within each ≥`minJaccard`
+    * cluster the survivor is the member minimizing (priority(source),
+    * doc_id) — the production rule ("keep the curated mirror, drop
+    * the crawl") that plain min-id dedup cannot express. Docs in no
+    * cluster are their own survivors. `prio` is any deterministic
+    * integer column expression over the source name (broadcast-sized
+    * domain).
+    *
+    * Scale shape: pairs from the capped-shingle space
+    * ([[jaccardPairs]]), clusters from the iterated label fold
+    * ([[connectedComponents]], diameter-bounded); the survivor argmax
+    * is one cluster-keyed min(struct) agg; the report one per-source
+    * rollup. Output per source: (source, n_docs, n_dropped, n_kept).
+    */
+  def priorityDedup(s: SparkSession, docs: DataFrame, prio: Column,
+      minJaccard: Double, id: String = "doc_id", text: String = "text",
+      source: String = "source"): DataFrame = {
+    val pairs = jaccardPairs(s,
+      docs.select(col(id).as("id"), col(text).as("text")), minJaccard)
+    val comp = connectedComponents(pairs)
+    val members = comp
+      .join(docs.select(col(id).as("id"), col(source), prio.as("pr")), "id")
+    val winner = members.groupBy(col("cluster_id"))
+      .agg(min(struct(col("pr"), col("id"))).as("w"))
+      .select(col("w.id").as("id"), lit(1L).as("is_winner"))
+    val dropped = members.join(winner, Seq("id"), "left")
+      .filter(col("is_winner").isNull)
+      .select(col("id"))
+    docs.select(col(id).as("id"), col(source))
+      .join(dropped.withColumn("d", lit(1L)), Seq("id"), "left")
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("d").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("n_kept", col("n_docs") - col("n_dropped"))
+      .orderBy(source)
+  }
 
   /** CROSS-SOURCE DUPLICATION MATRIX — near-dup pair counts rolled up
     * by (source, source): the provenance diagnostic a dedup run emits

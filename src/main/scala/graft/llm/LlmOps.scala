@@ -992,6 +992,43 @@ object LlmOps {
              |SELECT src_a, src_b, count(*) AS n_pairs
              |FROM ps GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- q416: SOURCE-PRIORITY DEDUP — the q34/q60 near-dup clusters
+    //      resolved by (priority(source), doc_id) argmin instead of
+    //      min-id: keep the curated mirror, drop the crawl. Priority
+    //      here is the deterministic src-number mod 3. The oracle
+    //      replays pairs (string shingles), the recursive component
+    //      closure, the priority argmin, and the per-source rollup. ----
+    "q416_priority_dedup" -> Q(
+      (s, d) => Dedup.priorityDedup(s, docs(s, d),
+        prio = expr("cast(substring(source, 4) as bigint) % 3"),
+        minJaccard = 0.9),
+      Some(s"""WITH RECURSIVE
+             |${pairOracleCtes()},
+             |p AS (SELECT da, db FROM i
+             |  JOIN z za ON i.da = za.doc_id JOIN z zb ON i.db = zb.doc_id
+             |  WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.9),
+             |ed AS (SELECT da AS u, db AS v FROM p
+             |  UNION ALL SELECT db, da FROM p),
+             |reach(u, root) AS (
+             |  SELECT DISTINCT u, u FROM ed
+             |  UNION
+             |  SELECT ed.v, reach.root FROM reach JOIN ed ON ed.u = reach.u),
+             |clus AS (SELECT u AS id, min(root) AS comp FROM reach
+             |  GROUP BY u),
+             |mem AS (SELECT c.id, c.comp,
+             |    CAST(substr(d.source, 4) AS BIGINT) % 3 AS pr
+             |  FROM clus c JOIN documents d ON d.doc_id = c.id),
+             |w AS (SELECT id FROM (SELECT id, row_number() OVER (
+             |    PARTITION BY comp ORDER BY pr, id) AS rn FROM mem)
+             |  WHERE rn = 1),
+             |drp AS (SELECT id FROM mem
+             |  WHERE id NOT IN (SELECT id FROM w))
+             |SELECT d.source, count(*) AS n_docs,
+             |  CAST(count(drp.id) AS BIGINT) AS n_dropped,
+             |  CAST(count(*) - count(drp.id) AS BIGINT) AS n_kept
+             |FROM documents d LEFT JOIN drp ON drp.id = d.doc_id
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
     // ---- substring-level exact dedup (Lee et al. ACL 2022,
     //      ExactSubstr): merged per-doc spans of 8-grams occurring ≥2×
     //      corpus-wide, over documents ∪ planted shifted copies (docs
