@@ -165,7 +165,10 @@ object Bench {
       "q414_source_dup_matrix", "q415_repetition_filter",
       // priority dedup (pairs + CC fold + argmin rollup) and the URL
       // canonical frontier dedup (narrow regex map + one agg)
-      "q416_priority_dedup", "q417_url_canonical_dedup")
+      "q416_priority_dedup", "q417_url_canonical_dedup",
+      // Gopher structural gates (one tokenize + rollup) and the degree
+      // power-law fit (degree histogram + distinct-degree OLS)
+      "q418_gopher_quality_rules", "q419_degree_powerlaw")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round.
@@ -182,7 +185,10 @@ object Bench {
       "q414_source_dup_matrix", "q415_repetition_filter",
       // priority dedup (pairs + CC fold + argmin rollup) and the URL
       // canonical frontier dedup (narrow regex map + one agg)
-      "q416_priority_dedup", "q417_url_canonical_dedup")
+      "q416_priority_dedup", "q417_url_canonical_dedup",
+      // Gopher structural gates (one tokenize + rollup) and the degree
+      // power-law fit (degree histogram + distinct-degree OLS)
+      "q418_gopher_quality_rules", "q419_degree_powerlaw")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

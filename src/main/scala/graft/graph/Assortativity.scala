@@ -63,12 +63,102 @@ object Assortativity {
         6).as("r6"))
   }
 
+  /** DEGREE-DISTRIBUTION POWER-LAW FIT — log-log OLS of (degree,
+    * node count) over the undirected degree distribution: the scale-
+    * free diagnostic (slope ≈ −γ; Barabási-Albert γ ≈ 3) and the
+    * first number a capacity plan reads off a new graph (how heavy is
+    * the hub tail the skew handling must survive). The OLS is the
+    * q366 zipf chain: per-point ln's, order-pinned fold over the
+    * DISTINCT-DEGREE table (bounded by the degree domain, not the
+    * node count — the q151 contract), fixed IEEE slope/intercept.
+    * Output (1 row): (n_nodes, n_edges, max_degree, n_points,
+    * slope_r6, intercept_r6).
+    */
+  def degreePowerlaw(s: SparkSession, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("u")).unionAll(und.select(col("b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("d"))
+    val dist = deg.groupBy("d").agg(count(lit(1)).as("n"))
+    val tot = deg.agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_degree"))
+      .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
+    val wCum = Window.orderBy("d").rowsBetween(Long.MinValue, 0)
+    val beta = (col("z.k").cast("double") * col("z.sxy")
+      - col("z.sx") * col("z.sy")) /
+      (col("z.k").cast("double") * col("z.sxx")
+        - col("z.sx") * col("z.sx"))
+    dist
+      .withColumn("x", log(col("d").cast("double")))
+      .withColumn("y", log(col("n").cast("double")))
+      .withColumn("sx", sum(col("x")).over(wCum))
+      .withColumn("sy", sum(col("y")).over(wCum))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wCum))
+      .withColumn("sxy", sum(col("x") * col("y")).over(wCum))
+      .withColumn("k", count(lit(1)).over(wCum))
+      .agg(max(struct(col("d"), col("k"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"))).as("z"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        col("z.k").as("n_points"),
+        round(beta, 6).as("slope_r6"),
+        round((col("z.sy") - beta * col("z.sx"))
+          / col("z.k").cast("double"), 6).as("intercept_r6"))
+  }
+
   /** q168: assortativity of the part co-purchase graph (q118's edge
     * build) — co-purchase graphs are classically near-neutral-to-
     * disassortative; the exact value is pinned by the oracle replaying
     * the same moment chain in HUGEINT.
     */
   val all: ListMap[String, Q] = ListMap(
+    // ---- q419: DEGREE POWER-LAW — the scale-free fit over the trade
+    //      graph's degree distribution; the oracle replays the degree
+    //      histogram and the order-pinned log-log OLS term by term. ----
+    "q419_degree_powerlaw" -> Q(
+      (s, d) => {
+        val e0 = Tables.orders(s, d).join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("a"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+        degreePowerlaw(s, e0)
+      },
+      Some("""WITH e0 AS MATERIALIZED (
+             |  SELECT DISTINCT least(o.o_custkey * 2, l.l_suppkey * 2 + 1) AS a,
+             |    greatest(o.o_custkey * 2, l.l_suppkey * 2 + 1) AS b
+             |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+             |deg AS (SELECT u, count(*) AS d FROM (
+             |    SELECT a AS u FROM e0 UNION ALL SELECT b FROM e0) x
+             |  GROUP BY u),
+             |dist AS (SELECT d, count(*) AS n FROM deg GROUP BY d),
+             |tot AS (SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             |    (SELECT max(d) FROM deg) AS max_degree,
+             |    (SELECT count(*) FROM e0) AS n_edges),
+             |m AS (SELECT count(*) AS k,
+             |    sum(ln(CAST(d AS DOUBLE)) ORDER BY d) AS sx,
+             |    sum(ln(CAST(n AS DOUBLE)) ORDER BY d) AS sy,
+             |    sum(ln(CAST(d AS DOUBLE)) * ln(CAST(d AS DOUBLE))
+             |      ORDER BY d) AS sxx,
+             |    sum(ln(CAST(d AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+             |      ORDER BY d) AS sxy
+             |  FROM dist)
+             |SELECT CAST(tot.n_nodes AS BIGINT) AS n_nodes,
+             |  CAST(tot.n_edges AS BIGINT) AS n_edges,
+             |  CAST(tot.max_degree AS BIGINT) AS max_degree,
+             |  CAST(m.k AS BIGINT) AS n_points,
+             |  round((CAST(m.k AS DOUBLE) * m.sxy - m.sx * m.sy)
+             |    / (CAST(m.k AS DOUBLE) * m.sxx - m.sx * m.sx), 6)
+             |    AS slope_r6,
+             |  round((m.sy - ((CAST(m.k AS DOUBLE) * m.sxy - m.sx * m.sy)
+             |    / (CAST(m.k AS DOUBLE) * m.sxx - m.sx * m.sx)) * m.sx)
+             |    / CAST(m.k AS DOUBLE), 6) AS intercept_r6
+             |FROM tot, m""".stripMargin)),
+
     "q168_assortativity" -> Q(
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))

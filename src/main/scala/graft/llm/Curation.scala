@@ -942,6 +942,64 @@ object Curation {
         when(col("doc_id") % 5 === 0, lit("?ref=rss")).otherwise(lit("")))
         .as("url"))
 
+  private val gopherStops = Seq("the", "a", "of", "to", "and", "in",
+    "is", "it")
+
+  /** GOPHER QUALITY RULES (Rae et al. 2021 §A1.1, the non-repetition
+    * half — [[repetitionFilter]] carries the repetition rules): per
+    * doc, word count bounds, mean word length in [3, 10], fraction of
+    * words containing an alphabetic character ≥ 0.8, symbol-to-char
+    * ratio ≤ 0.1, and at least 2 stop words — the cheap structural
+    * gates every crawled-corpus pipeline runs before any model-based
+    * scoring. All signals are exact integer milli from higher-order
+    * column functions over ONE tokenize (no UDF, no extra scan);
+    * the rollup counts per-source flag hits.
+    *
+    * Output per source: (source, n_docs, flag_nwords, flag_wordlen,
+    * flag_alpha, flag_symbol, flag_stop, flag_any).
+    */
+  def gopherQualityRules(s: SparkSession, docs: DataFrame,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      id: String = "doc_id", text: String = "text",
+      source: String = "source"): DataFrame = {
+    val toksC = filter(split(trim(lower(col(text))), "\\s+"),
+      t => length(t) > 0)
+    val sig = docs.select(col(id), col(source), col(text))
+      .withColumn("w", toksC)
+      .withColumn("nw", size(col("w")).cast("long"))
+      .withColumn("sumlen", aggregate(transform(col("w"), t => length(t)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("alpha",
+        size(filter(col("w"), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("nsym",
+        length(regexp_replace(lower(col(text)), "[a-z0-9\\s]", ""))
+          .cast("long"))
+      .withColumn("nchars", length(col(text)).cast("long"))
+      .withColumn("stops",
+        size(filter(col("w"), t => t.isin(gopherStops: _*))).cast("long"))
+      .select(col(source),
+        (col("nw") < minWords || col("nw") > maxWords).as("f_nwords"),
+        (col("nw") === 0 ||
+          expr("(sumlen * 1000) div greatest(nw, 1)") < 3000L ||
+          expr("(sumlen * 1000) div greatest(nw, 1)") > 10000L).as("f_wordlen"),
+        (col("nw") === 0 || expr("(alpha * 1000) div greatest(nw, 1)") < 800L)
+          .as("f_alpha"),
+        (col("nchars") === 0 || expr("(nsym * 1000) div greatest(nchars, 1)") > 100L)
+          .as("f_symbol"),
+        (col("stops") < 2).as("f_stop"))
+    sig.groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("f_nwords"), 1L).otherwise(0L)).as("flag_nwords"),
+        sum(when(col("f_wordlen"), 1L).otherwise(0L)).as("flag_wordlen"),
+        sum(when(col("f_alpha"), 1L).otherwise(0L)).as("flag_alpha"),
+        sum(when(col("f_symbol"), 1L).otherwise(0L)).as("flag_symbol"),
+        sum(when(col("f_stop"), 1L).otherwise(0L)).as("flag_stop"),
+        sum(when(col("f_nwords") || col("f_wordlen") || col("f_alpha")
+          || col("f_symbol") || col("f_stop"), 1L).otherwise(0L))
+          .as("flag_any"))
+      .orderBy(source)
+  }
+
   /** URL CANONICALIZATION + DEDUP — the crawl-frontier stage that runs
     * BEFORE fetching: scheme strip, www. strip, fragment and query
     * strip, trailing-slash strip, lowercase — all anchored or suffix
@@ -1505,6 +1563,53 @@ object Curation {
              |    AS kl_r6
              |FROM st JOIN stot USING (source) JOIN ttot USING (tok) CROSS JOIN tt
              |GROUP BY source, ts ORDER BY source""".stripMargin)),
+
+    // ---- q418: GOPHER QUALITY RULES — the structural gates (word
+    //      count, mean word length, alphabetic-word fraction, symbol
+    //      ratio, stop-word floor) in exact truncating milli, flagged
+    //      per source; the oracle recomputes every signal with DuckDB
+    //      list functions. ----
+    "q418_gopher_quality_rules" -> Q(
+      (s, d) => gopherQualityRules(s, Tables.documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, source, text,
+             |    list_filter(regexp_split_to_array(trim(lower(text)),
+             |      '\\s+'), x -> len(x) > 0) AS w
+             |  FROM documents),
+             |sig AS (SELECT source,
+             |    len(w) AS nw,
+             |    list_sum(list_transform(w, x -> len(x))) AS sumlen,
+             |    len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+             |      AS alpha,
+             |    length(regexp_replace(lower(text), '[a-z0-9\\s]', '',
+             |      'g')) AS nsym,
+             |    length(text) AS nchars,
+             |    len(list_filter(w, x -> x IN (${gopherStops
+              .map("'" + _ + "'").mkString(",")}))) AS stops
+             |  FROM t),
+             |f AS (SELECT source,
+             |    (nw < 50 OR nw > 100000) AS f_nwords,
+             |    (nw = 0 OR (sumlen * 1000) // greatest(nw, 1) < 3000
+             |      OR (sumlen * 1000) // greatest(nw, 1) > 10000) AS f_wordlen,
+             |    (nw = 0 OR (alpha * 1000) // greatest(nw, 1) < 800) AS f_alpha,
+             |    (nchars = 0 OR (nsym * 1000) // greatest(nchars, 1) > 100)
+             |      AS f_symbol,
+             |    (stops < 2) AS f_stop
+             |  FROM sig)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN f_nwords THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS flag_nwords,
+             |  CAST(sum(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS flag_wordlen,
+             |  CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS flag_alpha,
+             |  CAST(sum(CASE WHEN f_symbol THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS flag_symbol,
+             |  CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS flag_stop,
+             |  CAST(sum(CASE WHEN f_nwords OR f_wordlen OR f_alpha
+             |    OR f_symbol OR f_stop THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS flag_any
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)),
 
     // ---- q417: URL CANONICALIZATION DEDUP — scheme/www/fragment/
     //      query/trailing-slash strips + lowercase over a planted
