@@ -2172,4 +2172,108 @@ object Graft {
       iters: Int = 5, k: Int = 15): DataFrame =
     graph.Walks.nodeEmbeddingAxis(spark, edges, seeds, steps, salt,
       minCount, iters, k)
+
+  // ------------------------------------------------------- round 13
+
+  /** Baseline JFIF decode to the shared grayscale contract
+    * ([[io.Jpeg.parse]]); [[io.Jpeg.buildGray]] is the fixture
+    * encoder.
+    */
+  def jpegDecode(bytes: Array[Byte]): io.Bmp.Gray = io.Jpeg.parse(bytes)
+
+  /** JPEG perceptual near-dup pairs — the q93/q347 machinery on the
+    * dominant crawl format ([[llm.ImageOps.imagePerceptualDupsJpeg]]).
+    */
+  def imagePerceptualDupsJpeg(spark: SparkSession, blobs: DataFrame,
+      maxHamming: Int = 8, id: String = "doc_id",
+      img: String = "img"): DataFrame =
+    llm.ImageOps.imagePerceptualDupsJpeg(spark, blobs, maxHamming, id, img)
+
+  /** Unicode normalization column: NFKC + casefold + format/control
+    * strip + whitespace collapse ([[functions.TextNorm]], codegen'd).
+    */
+  def normalizeText(spark: SparkSession, c: Column): Column =
+    functions.TextNorm.normalizeText(spark, c)
+
+  /** Classic two-level Louvain: move + quotient aggregation + re-move
+    * ([[graph.Louvain.louvainTwoLevel]]).
+    */
+  def louvainTwoLevel(spark: SparkSession, edges: DataFrame,
+      rounds1: Int, rounds2: Int): DataFrame =
+    graph.Louvain.louvainTwoLevel(spark, edges, rounds1, rounds2)
+
+  /** Grouped PR curve + average precision — the imbalanced-data twin
+    * of [[groupedAuc]] ([[llm.Eval.groupedPrCurve]]).
+    */
+  def groupedPrCurve(df: DataFrame, group: Column, score: Column,
+      label: Column): DataFrame =
+    llm.Eval.groupedPrCurve(df, group, score, label)
+
+  /** Heaps'-law vocabulary-growth fit ([[llm.TextStats.heapsLaw]]). */
+  def heapsLaw(spark: SparkSession, docs: DataFrame, buckets: Int = 32,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    llm.TextStats.heapsLaw(spark, docs, buckets, id, text)
+
+  /** Perplexity filter — the Gopher/CCNet LM-quality gate
+    * ([[llm.Curation.perplexityFilter]]).
+    */
+  def perplexityFilter(spark: SparkSession, docs: DataFrame, tau: Double,
+      refLang: String = "en"): DataFrame =
+    llm.Curation.perplexityFilter(spark, docs, tau, refLang)
+
+  /** Matryoshka dimension-truncation recall curve
+    * ([[llm.Eval.matryoshkaRecall]]).
+    */
+  def matryoshkaRecall(spark: SparkSession, embs: DataFrame,
+      dims: Seq[Int] = Seq(8, 16, 32), k: Int = 10,
+      querySkip: Long = 29L): DataFrame =
+    llm.Eval.matryoshkaRecall(spark, embs, dims, k, querySkip)
+
+  /** N-gram novelty curve at doc-id checkpoints
+    * ([[llm.Curation.gramNovelty]]).
+    */
+  def gramNovelty(spark: SparkSession, docs: DataFrame, k: Int = 8,
+      buckets: Int = 32): DataFrame =
+    llm.Curation.gramNovelty(spark, docs, k, buckets)
+
+  /** Cross-source near-dup pair matrix ([[llm.Dedup.sourceDupMatrix]]). */
+  def sourceDupMatrix(spark: SparkSession, docs: DataFrame,
+      minJaccard: Double): DataFrame =
+    llm.Dedup.sourceDupMatrix(spark, docs, minJaccard)
+
+  /** Gopher within-doc repetition filter
+    * ([[llm.Curation.repetitionFilter]]).
+    */
+  def repetitionFilter(spark: SparkSession, docs: DataFrame,
+      top2Milli: Long = 200L, top3Milli: Long = 180L,
+      dup6Milli: Long = 300L): DataFrame =
+    llm.Curation.repetitionFilter(spark, docs, top2Milli, top3Milli,
+      dup6Milli)
+
+  /** Source-priority near-dup survivor resolution
+    * ([[llm.Dedup.priorityDedup]]).
+    */
+  def priorityDedup(spark: SparkSession, docs: DataFrame, prio: Column,
+      minJaccard: Double): DataFrame =
+    llm.Dedup.priorityDedup(spark, docs, prio, minJaccard)
+
+  /** URL canonicalization + per-domain collapse counts
+    * ([[llm.Curation.urlCanonicalDedup]]).
+    */
+  def urlCanonicalDedup(spark: SparkSession, docs: DataFrame,
+      id: String = "doc_id", url: String = "url"): DataFrame =
+    llm.Curation.urlCanonicalDedup(spark, docs, id, url)
+
+  /** Gopher structural quality gates
+    * ([[llm.Curation.gopherQualityRules]]).
+    */
+  def gopherQualityRules(spark: SparkSession, docs: DataFrame,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame =
+    llm.Curation.gopherQualityRules(spark, docs, minWords, maxWords)
+
+  /** Degree-distribution power-law fit
+    * ([[graph.Assortativity.degreePowerlaw]]).
+    */
+  def degreePowerlaw(spark: SparkSession, edges: DataFrame): DataFrame =
+    graph.Assortativity.degreePowerlaw(spark, edges)
 }
