@@ -168,7 +168,10 @@ object Bench {
       "q416_priority_dedup", "q417_url_canonical_dedup",
       // Gopher structural gates (one tokenize + rollup) and the degree
       // power-law fit (degree histogram + distinct-degree OLS)
-      "q418_gopher_quality_rules", "q419_degree_powerlaw")
+      "q418_gopher_quality_rules", "q419_degree_powerlaw",
+      // lexical IDF drift (one distinct explode + term-keyed agg +
+      // bounded heap); q420 stays out (streaming harness, q391 rule)
+      "q421_idf_drift")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round.
@@ -188,7 +191,10 @@ object Bench {
       "q416_priority_dedup", "q417_url_canonical_dedup",
       // Gopher structural gates (one tokenize + rollup) and the degree
       // power-law fit (degree histogram + distinct-degree OLS)
-      "q418_gopher_quality_rules", "q419_degree_powerlaw")
+      "q418_gopher_quality_rules", "q419_degree_powerlaw",
+      // lexical IDF drift (one distinct explode + term-keyed agg +
+      // bounded heap); q420 stays out (streaming harness, q391 rule)
+      "q421_idf_drift")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 import graft.rel.RelQueries.Q
@@ -962,9 +962,33 @@ object Curation {
       minWords: Long = 50L, maxWords: Long = 100000L,
       id: String = "doc_id", text: String = "text",
       source: String = "source"): DataFrame = {
+    val sig = gopherFlags(docs, minWords, maxWords, id, text, source)
+    sig.groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("f_nwords"), 1L).otherwise(0L)).as("flag_nwords"),
+        sum(when(col("f_wordlen"), 1L).otherwise(0L)).as("flag_wordlen"),
+        sum(when(col("f_alpha"), 1L).otherwise(0L)).as("flag_alpha"),
+        sum(when(col("f_symbol"), 1L).otherwise(0L)).as("flag_symbol"),
+        sum(when(col("f_stop"), 1L).otherwise(0L)).as("flag_stop"),
+        sum(when(col("f_nwords") || col("f_wordlen") || col("f_alpha")
+          || col("f_symbol") || col("f_stop"), 1L).otherwise(0L))
+          .as("flag_any"))
+      .orderBy(source)
+  }
+
+  /** The per-doc flag half of [[gopherQualityRules]] — STREAMING-LEGAL
+    * (pure narrow map, no agg), so the gate can run at ingest (q420)
+    * with batch/stream sharing one signal definition.
+    * Output: (id, source, f_nwords, f_wordlen, f_alpha, f_symbol,
+    * f_stop).
+    */
+  def gopherFlags(docs: DataFrame,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      id: String = "doc_id", text: String = "text",
+      source: String = "source"): DataFrame = {
     val toksC = filter(split(trim(lower(col(text))), "\\s+"),
       t => length(t) > 0)
-    val sig = docs.select(col(id), col(source), col(text))
+    docs.select(col(id), col(source), col(text))
       .withColumn("w", toksC)
       .withColumn("nw", size(col("w")).cast("long"))
       .withColumn("sumlen", aggregate(transform(col("w"), t => length(t)),
@@ -977,7 +1001,7 @@ object Curation {
       .withColumn("nchars", length(col(text)).cast("long"))
       .withColumn("stops",
         size(filter(col("w"), t => t.isin(gopherStops: _*))).cast("long"))
-      .select(col(source),
+      .select(col(id), col(source),
         (col("nw") < minWords || col("nw") > maxWords).as("f_nwords"),
         (col("nw") === 0 ||
           expr("(sumlen * 1000) div greatest(nw, 1)") < 3000L ||
@@ -987,17 +1011,53 @@ object Curation {
         (col("nchars") === 0 || expr("(nsym * 1000) div greatest(nchars, 1)") > 100L)
           .as("f_symbol"),
         (col("stops") < 2).as("f_stop"))
-    sig.groupBy(col(source))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("f_nwords"), 1L).otherwise(0L)).as("flag_nwords"),
-        sum(when(col("f_wordlen"), 1L).otherwise(0L)).as("flag_wordlen"),
-        sum(when(col("f_alpha"), 1L).otherwise(0L)).as("flag_alpha"),
-        sum(when(col("f_symbol"), 1L).otherwise(0L)).as("flag_symbol"),
-        sum(when(col("f_stop"), 1L).otherwise(0L)).as("flag_stop"),
-        sum(when(col("f_nwords") || col("f_wordlen") || col("f_alpha")
-          || col("f_symbol") || col("f_stop"), 1L).otherwise(0L))
-          .as("flag_any"))
-      .orderBy(source)
+  }
+
+  /** LEXICAL IDF DRIFT between the early and late half of the corpus
+    * (doc-id order): the text-side drift monitor next to the numeric
+    * PSI (q392) and the embedding drift (q395) — the k terms whose
+    * smoothed IDF moved most. A term whose IDF collapses got common
+    * (a new template, a spam burst); one whose IDF explodes is
+    * vanishing vocabulary. idf_micro = round(ln((n_era+1)/(df+1))·1e6)
+    * — one micro-rounded ln per (term, era), exact integer Δ, total
+    * (|Δ| desc, term) order.
+    *
+    * Scale shape: one distinct-(doc, term) explode, a term-keyed
+    * conditional count agg (Zipf-bounded), broadcast era totals, and
+    * a bounded top-k heap (orderBy+limit). Output: (term, df_early,
+    * df_late, idf_early_micro, idf_late_micro, delta_micro).
+    */
+  def idfDrift(s: SparkSession, docs: DataFrame, k: Int = 25,
+      minDfTotal: Long = 10L, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    val toksC = filter(split(trim(lower(col(text))), "\\s+"),
+      t => length(t) > 0)
+    val base = docs.select(col(id).cast("long").as("did"), col(text))
+    val mx = base.agg(max("did").as("mx"))
+    val dt = base.select(col("did"), explode(toksC).as("term")).distinct()
+    val eraDf = dt.crossJoin(broadcast(mx))
+      .select(expr("case when did <= mx div 2 then 1 else 0 end").as("e"),
+        col("term"))
+      .groupBy("term")
+      .agg(sum(when(col("e") === 1, 1L).otherwise(0L)).as("df_early"),
+        sum(when(col("e") === 0, 1L).otherwise(0L)).as("df_late"))
+    val nd = base.crossJoin(broadcast(mx))
+      .agg(sum(when(expr("did <= mx div 2"), 1L).otherwise(0L)).as("n_early"),
+        sum(when(expr("did > mx div 2"), 1L).otherwise(0L)).as("n_late"))
+    def idf(n: Column, df: Column): Column =
+      round(log((n + 1L).cast("double") / (df + 1L).cast("double"))
+        * lit(1e6), 0).cast("long")
+    eraDf.filter(col("df_early") + col("df_late") >= minDfTotal)
+      .crossJoin(broadcast(nd))
+      .withColumn("idf_early_micro", idf(col("n_early"), col("df_early")))
+      .withColumn("idf_late_micro", idf(col("n_late"), col("df_late")))
+      .withColumn("delta_micro",
+        col("idf_late_micro") - col("idf_early_micro"))
+      .select(col("term"), col("df_early"), col("df_late"),
+        col("idf_early_micro"), col("idf_late_micro"), col("delta_micro"))
+      .orderBy(abs(col("delta_micro")).desc, col("term"))
+      .limit(k)
   }
 
   /** URL CANONICALIZATION + DEDUP — the crawl-frontier stage that runs
@@ -1563,6 +1623,116 @@ object Curation {
              |    AS kl_r6
              |FROM st JOIN stot USING (source) JOIN ttot USING (tok) CROSS JOIN tt
              |GROUP BY source, ts ORDER BY source""".stripMargin)),
+
+    // ---- q420: STREAMING QUALITY GATE — the q418 per-doc Gopher
+    //      flags applied AT INGEST (the q391 classify-at-ingest
+    //      pattern): 3-batch stream, last batch replayed
+    //      (at-least-once), replays collapse in the id-keyed dedup;
+    //      the surviving set must equal the one-shot batch gate —
+    //      the oracle computes it directly. ----
+    "q420_stream_quality_gate" -> Q(
+      (s, d) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val docs = Tables.documents(s, d)
+        val work = java.nio.file.Files.createTempDirectory("graft-q420")
+        val ckDir = java.nio.file.Files.createTempDirectory("graft-q420-ck")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(work.toFile); rm(ckDir.toFile)
+        }
+        val arriving = docs.select(col("doc_id"), col("text"), col("source"))
+          .as[(Long, String, String)].collect()
+        val (b12, b3) = arriving.partition(_._1 % 3 != 2)
+        val (b1, b2) = b12.partition(_._1 % 3 == 0)
+        val mem = MemoryStream[(Long, String, String)]
+        val q = mem.toDF.toDF("doc_id", "text", "source").writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            gopherFlags(batch)
+              .filter(!(col("f_nwords") || col("f_wordlen")
+                || col("f_alpha") || col("f_symbol") || col("f_stop")))
+              .select(col("doc_id"), col("source"))
+              .write.mode("append").parquet(s"$work/kept")
+          }
+          .option("checkpointLocation", ckDir.toString)
+          .start()
+        try {
+          mem.addData(b1.toSeq); q.processAllAvailable()
+          mem.addData(b2.toSeq); q.processAllAvailable()
+          mem.addData(b3.toSeq); q.processAllAvailable()
+          mem.addData(b3.toSeq); q.processAllAvailable() // replay
+        } finally q.stop()
+        s.read.parquet(s"$work/kept")
+          .dropDuplicates("doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, text,
+             |    list_filter(regexp_split_to_array(trim(lower(text)),
+             |      '\\s+'), x -> len(x) > 0) AS w
+             |  FROM documents),
+             |sig AS (SELECT doc_id, source,
+             |    len(w) AS nw,
+             |    list_sum(list_transform(w, x -> len(x))) AS sumlen,
+             |    len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+             |      AS alpha,
+             |    length(regexp_replace(lower(text), '[a-z0-9\\s]', '',
+             |      'g')) AS nsym,
+             |    length(text) AS nchars,
+             |    len(list_filter(w, x -> x IN (${gopherStops
+              .map("'" + _ + "'").mkString(",")}))) AS stops
+             |  FROM t)
+             |SELECT doc_id, source FROM sig
+             |WHERE NOT (nw < 50 OR nw > 100000
+             |  OR nw = 0 OR (sumlen * 1000) // greatest(nw, 1) < 3000
+             |  OR (sumlen * 1000) // greatest(nw, 1) > 10000
+             |  OR (alpha * 1000) // greatest(nw, 1) < 800
+             |  OR nchars = 0 OR (nsym * 1000) // greatest(nchars, 1) > 100
+             |  OR stops < 2)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q421: LEXICAL IDF DRIFT — the 25 terms whose smoothed IDF
+    //      moved most between the doc-id halves; the text-side drift
+    //      monitor next to q392 (numeric PSI) and q395 (embedding).
+    //      The oracle replays the distinct-(doc, term) counts, both
+    //      micro-rounded IDFs, and the (|Δ| desc, term) top-k. ----
+    "q421_idf_drift" -> Q(
+      (s, d) => idfDrift(s, Tables.documents(s, d)),
+      Some("""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+             |dt AS (SELECT DISTINCT doc_id AS did, unnest(list_filter(
+             |    regexp_split_to_array(trim(lower(text)), '\s+'),
+             |    x -> len(x) > 0)) AS term
+             |  FROM documents),
+             |ed AS (SELECT term,
+             |    sum(CASE WHEN did <= (SELECT mx FROM mx) // 2
+             |      THEN 1 ELSE 0 END) AS df_early,
+             |    sum(CASE WHEN did > (SELECT mx FROM mx) // 2
+             |      THEN 1 ELSE 0 END) AS df_late
+             |  FROM dt GROUP BY term),
+             |nd AS (SELECT
+             |    sum(CASE WHEN doc_id <= (SELECT mx FROM mx) // 2
+             |      THEN 1 ELSE 0 END) AS n_early,
+             |    sum(CASE WHEN doc_id > (SELECT mx FROM mx) // 2
+             |      THEN 1 ELSE 0 END) AS n_late
+             |  FROM documents),
+             |j AS (SELECT term, df_early, df_late,
+             |    CAST(round(ln(CAST(n_early + 1 AS DOUBLE)
+             |      / CAST(df_early + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+             |      AS idf_early_micro,
+             |    CAST(round(ln(CAST(n_late + 1 AS DOUBLE)
+             |      / CAST(df_late + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+             |      AS idf_late_micro
+             |  FROM ed, nd WHERE df_early + df_late >= 10)
+             |SELECT term, CAST(df_early AS BIGINT) AS df_early,
+             |  CAST(df_late AS BIGINT) AS df_late,
+             |  idf_early_micro, idf_late_micro,
+             |  idf_late_micro - idf_early_micro AS delta_micro
+             |FROM j
+             |ORDER BY abs(idf_late_micro - idf_early_micro) DESC, term
+             |LIMIT 25""".stripMargin)),
 
     // ---- q418: GOPHER QUALITY RULES — the structural gates (word
     //      count, mean word length, alphabetic-word fraction, symbol

@@ -1,0 +1,45 @@
+package graft
+
+import graft.llm.Curation
+
+/** Lexical IDF drift (q421) and the per-doc gopherFlags contract the
+  * q420 streaming gate rides.
+  */
+class IdfDriftSpec extends SparkSpec {
+
+  test("idfDrift: a term vanishing from the late half tops the ranking") {
+    val s = spark
+    import s.implicits._
+    // 20 docs; 'stable' in all, 'fading' only in the early half,
+    // 'rising' only in the late half; df floor 10 keeps only 'stable'
+    // unless lowered — use minDfTotal=5 so all three qualify
+    val docs = (0L until 20L).map { i =>
+      val extra = if (i <= 9) "fading" else "rising"
+      (i, s"stable base words $extra")
+    }.toDF("doc_id", "text")
+    val got = Curation.idfDrift(s, docs, k = 3, minDfTotal = 5L)
+      .collect().map(r => (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(5)))
+    // fading: df 10 -> 0 (idf rises), rising: df 0 -> 10 (idf falls):
+    // both move by ln(11)-ln(1) = ln 11 in micro; stable moves 0
+    val byTerm = got.map(r => r._1 -> r).toMap
+    val ln11 = math.round(math.log(11.0 / 1.0) * 1e6)
+    assert(byTerm("fading")._4 == ln11, got.toSeq)
+    assert(byTerm("rising")._4 == -ln11, got.toSeq)
+    assert(got.take(2).map(_._1).toSet == Set("fading", "rising"), got.toSeq)
+  }
+
+  test("gopherFlags is streaming-legal per-doc (no aggregation in the plan)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "the cat is on a mat and it sits by the door of it",
+      "a")).toDF("doc_id", "text", "source")
+    val flags = Curation.gopherFlags(d).collect()(0)
+    // 14 words < 50: only the word-count rule fires on this doc
+    assert(flags.getBoolean(2) && !flags.getBoolean(4), flags)
+    // plan carries no Aggregate — the gate can run inside a streaming
+    // micro-batch without a state store
+    val plan = Curation.gopherFlags(d).queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate"), plan)
+  }
+}
