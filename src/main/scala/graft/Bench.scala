@@ -170,8 +170,11 @@ object Bench {
       // power-law fit (degree histogram + distinct-degree OLS)
       "q418_gopher_quality_rules", "q419_degree_powerlaw",
       // lexical IDF drift (one distinct explode + term-keyed agg +
-      // bounded heap); q420 stays out (streaming harness, q391 rule)
-      "q421_idf_drift")
+      // bounded heap); q420 stays out (streaming harness, q391 rule);
+      // codec quarantine report (all five decoders, one narrow pass)
+      // and normalized dedup (hash-keyed winner agg)
+      "q421_idf_drift", "q422_codec_quarantine_report",
+      "q423_normalized_dedup")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round.
@@ -193,8 +196,11 @@ object Bench {
       // power-law fit (degree histogram + distinct-degree OLS)
       "q418_gopher_quality_rules", "q419_degree_powerlaw",
       // lexical IDF drift (one distinct explode + term-keyed agg +
-      // bounded heap); q420 stays out (streaming harness, q391 rule)
-      "q421_idf_drift")
+      // bounded heap); q420 stays out (streaming harness, q391 rule);
+      // codec quarantine report (all five decoders, one narrow pass)
+      // and normalized dedup (hash-keyed winner agg)
+      "q421_idf_drift", "q422_codec_quarantine_report",
+      "q423_normalized_dedup")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

@@ -1013,6 +1013,33 @@ object Curation {
         (col("stops") < 2).as("f_stop"))
   }
 
+  /** NORMALIZED EXACT DEDUP — exact dedup AFTER the Unicode
+    * normalization rung ([[normalizeText]]): docs equal modulo case,
+    * whitespace runs, zero-width/format chars and NFKC compatibility
+    * folds collapse to one survivor (smallest doc id) — the duplicate
+    * class byte-exact dedup (q33) structurally misses and near-dup
+    * machinery pays a shingle join to find. Spark groups by the
+    * 64-bit hash of the normalized text (8-byte keys shuffle, text
+    * never does); the oracle groups by the normalized STRING (the
+    * q34 collision contract, via the ASCII reduction on this corpus).
+    * Output per source: (source, n_docs, n_dropped, n_kept).
+    */
+  def normalizedDedup(s: SparkSession, docs: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      source: String = "source"): DataFrame = {
+    val h = docs.select(col(id), col(source),
+        xxhash64(normalizeText(s, col(text))).as("nh"))
+      .localCheckpoint(true)
+    val w = h.groupBy("nh").agg(min(col(id)).as("wid"))
+    h.join(w, "nh")
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(id) =!= col("wid"), 1L).otherwise(0L))
+          .as("n_dropped"))
+      .withColumn("n_kept", col("n_docs") - col("n_dropped"))
+      .orderBy(source)
+  }
+
   /** LEXICAL IDF DRIFT between the early and late half of the corpus
     * (doc-id order): the text-side drift monitor next to the numeric
     * PSI (q392) and the embedding drift (q395) — the k terms whose
@@ -1693,6 +1720,24 @@ object Curation {
              |  OR nchars = 0 OR (nsym * 1000) // greatest(nchars, 1) > 100
              |  OR stops < 2)
              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q423: NORMALIZED DEDUP — exact dedup after the q407
+    //      normalization rung; Spark groups by the 64-bit hash of the
+    //      normalized text, the oracle by the normalized string
+    //      (trim/lower/collapse — the ASCII reduction). ----
+    "q423_normalized_dedup" -> Q(
+      (s, d) => normalizedDedup(s, Tables.documents(s, d)),
+      Some("""WITH c AS (SELECT doc_id, source,
+             |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ct
+             |  FROM documents),
+             |w AS (SELECT ct, min(doc_id) AS wid FROM c GROUP BY ct)
+             |SELECT c.source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN c.doc_id <> w.wid THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_dropped,
+             |  CAST(count(*) - sum(CASE WHEN c.doc_id <> w.wid
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM c JOIN w ON w.ct = c.ct
+             |GROUP BY c.source ORDER BY c.source""".stripMargin)),
 
     // ---- q421: LEXICAL IDF DRIFT — the 25 terms whose smoothed IDF
     //      moved most between the doc-id halves; the text-side drift

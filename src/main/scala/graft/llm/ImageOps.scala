@@ -554,6 +554,59 @@ object ImageOps {
       },
       Some(corruptNearDupOracle)),
 
+    // ---- q422: CODEC QUARANTINE REPORT — the multimodal ingest
+    //      health row: all five real decoders (BMP/PNG/GIF/JPEG/WAV)
+    //      run over per-id fixture blobs with every 13th blob's magic
+    //      broken; each format must decode every intact blob and
+    //      quarantine every broken one (IllegalArgumentException —
+    //      the strict-parser contract), so the counts are a pure
+    //      function of the corrupt rule, which the oracle computes
+    //      directly. One narrow pass; blobs never leave their
+    //      partition. ----
+    "q422_codec_quarantine_report" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val bad = id % 13 == 0
+            val g = syntheticGrayNearDup(id)
+            def attempt(fmt: String, blob: Array[Byte],
+                parse: Array[Byte] => Any): (String, Long) =
+              (fmt, try { parse(blob); 1L }
+              catch { case _: IllegalArgumentException => 0L })
+            val bmp = Bmp.build24(g)
+            if (bad) bmp(0) = 'X'.toByte
+            val png = Png.buildGray(g, filterMode = -1)
+            if (bad) png(0) = 0
+            val gif = Gif.buildGray(g)
+            if (bad) gif(0) = 'X'.toByte
+            val jpg = Jpeg.buildGray(Jpeg.upsample(g, 8), Jpeg.DcExactQuant)
+            if (bad) jpg(1) = 0
+            val wav = Wav.build16(8000, syntheticPcmNearDup(id))
+            if (bad) wav(0) = 'X'.toByte
+            Seq(attempt("bmp", bmp, Bmp.parse),
+              attempt("gif", gif, Gif.parse),
+              attempt("jpeg", jpg, Jpeg.parse),
+              attempt("png", png, Png.parse),
+              attempt("wav", wav, Wav.parse))
+          }
+          .toDF("format", "decoded")
+        rows.groupBy("format")
+          .agg(count(lit(1)).as("n_blobs"),
+            sum(col("decoded")).as("n_decoded"))
+          .withColumn("n_quarantined", col("n_blobs") - col("n_decoded"))
+          .orderBy("format")
+      },
+      Some("""WITH n AS (SELECT count(*) AS nb,
+             |    sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS bad
+             |  FROM documents)
+             |SELECT f.format, CAST(n.nb AS BIGINT) AS n_blobs,
+             |  CAST(n.nb - n.bad AS BIGINT) AS n_decoded,
+             |  CAST(n.bad AS BIGINT) AS n_quarantined
+             |FROM (VALUES ('bmp'), ('gif'), ('jpeg'), ('png'), ('wav'))
+             |  f(format), n
+             |ORDER BY f.format""".stripMargin)),
+
     // ---- perceptual AUDIO near-dup: real WAV decode → integer
     //      energy-delta fingerprint (65×32-sample frames, bit =
     //      next-frame energy greater) → 4×16-bit band join → exact

@@ -29,6 +29,23 @@ class IdfDriftSpec extends SparkSpec {
     assert(got.take(2).map(_._1).toSet == Set("fading", "rising"), got.toSeq)
   }
 
+  test("normalizedDedup: unicode-variant duplicates collapse; distinct docs survive") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "Hello   World", "a"),
+      (2L, "hello world", "b"), // same after casefold+collapse -> dup of 1
+      (3L, "ﬁne text", "a"),
+      (4L, "fine  text", "b"), // NFKC ligature fold -> dup of 3
+      (5L, "unrelated words", "a")
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.normalizedDedup(s, docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("a") == ((3L, 0L, 3L)), got) // 1, 3 win their groups; 5 solo
+    assert(got("b") == ((2L, 2L, 0L)), got) // 2, 4 drop
+  }
+
   test("gopherFlags is streaming-legal per-doc (no aggregation in the plan)") {
     val s = spark
     import s.implicits._
