@@ -174,33 +174,22 @@ object Bench {
       // codec quarantine report (all five decoders, one narrow pass)
       // and normalized dedup (hash-keyed winner agg)
       "q421_idf_drift", "q422_codec_quarantine_report",
-      "q423_normalized_dedup")
+      "q423_normalized_dedup",
+      // minhash estimator audit (signatures + the q34 pair space) and
+      // the dedup threshold sweep (one pair pass, four readouts)
+      "q424_minhash_error_audit", "q425_dedup_threshold_sweep")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round.
     val newestKeys = Seq("q406_jpeg_neardup", "q407_normalize_text",
-      "q408_louvain_two_level", "q409_pr_curve",
-      // Heaps'-law growth fit (checkpoint aggs + 32-row OLS) and the
-      // perplexity filter (the q108 LM scoring shape + one rollup)
-      "q410_heaps_law", "q411_perplexity_filter",
-      // matryoshka truncation-recall anchor (bounded query brute force)
-      // and the gram-novelty curve (one flatMap + checkpoint aggs)
-      "q412_matryoshka_recall", "q413_ngram_novelty",
-      // cross-source dup matrix (the q34 pair space + one rollup) and
-      // the Gopher repetition filter (one narrow typed pass + rollup)
-      "q414_source_dup_matrix", "q415_repetition_filter",
-      // priority dedup (pairs + CC fold + argmin rollup) and the URL
-      // canonical frontier dedup (narrow regex map + one agg)
-      "q416_priority_dedup", "q417_url_canonical_dedup",
-      // Gopher structural gates (one tokenize + rollup) and the degree
-      // power-law fit (degree histogram + distinct-degree OLS)
-      "q418_gopher_quality_rules", "q419_degree_powerlaw",
-      // lexical IDF drift (one distinct explode + term-keyed agg +
-      // bounded heap); q420 stays out (streaming harness, q391 rule);
-      // codec quarantine report (all five decoders, one narrow pass)
-      // and normalized dedup (hash-keyed winner agg)
-      "q421_idf_drift", "q422_codec_quarantine_report",
-      "q423_normalized_dedup")
+      "q408_louvain_two_level", "q409_pr_curve", "q410_heaps_law",
+      "q411_perplexity_filter", "q412_matryoshka_recall",
+      "q413_ngram_novelty", "q414_source_dup_matrix",
+      "q415_repetition_filter", "q416_priority_dedup",
+      "q417_url_canonical_dedup", "q418_gopher_quality_rules",
+      "q419_degree_powerlaw", "q421_idf_drift",
+      "q422_codec_quarantine_report", "q423_normalized_dedup",
+      "q424_minhash_error_audit", "q425_dedup_threshold_sweep")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

@@ -68,6 +68,9 @@ object LlmOps {
     * doc relation — q60 runs the pair machinery over pipeline SURVIVORS,
     * where the df-cap must count within the filtered corpus.
     */
+  private[llm] def pairOracleCtesPublic(from: String = "documents"): String =
+    pairOracleCtes(from)
+
   private def pairOracleCtes(from: String = "documents"): String =
     s"""s AS (SELECT doc_id,
        |    list_distinct(list_transform(range(1, len(t)-1),
@@ -973,6 +976,49 @@ object LlmOps {
              |FROM kept k JOIN documents d ON k.doc_id = d.doc_id
              |JOIN qual q ON k.doc_id = q.doc_id
              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // ---- q425: DEDUP THRESHOLD SWEEP — the q34 pair space read at
+    //      four Jaccard cut points (0.5/0.7/0.8/0.9): pair counts and
+    //      distinct docs touched per threshold — the tuning curve a
+    //      dedup run reads before committing to a cut. ONE pair-space
+    //      pass (checkpointed), four bounded readouts. Oracle replays
+    //      the pairs (string shingles) and every cut. ----
+    "q425_dedup_threshold_sweep" -> Q(
+      (s, d) => {
+        val pairs = Dedup.jaccardPairs(s,
+            docs(s, d).select(col("doc_id").as("id"), col("text")),
+            minJaccard = 0.0)
+          .select(col("ida"), col("idb"), col("jac"))
+          .localCheckpoint(true)
+        Seq(0.5, 0.7, 0.8, 0.9).map { t =>
+          val p = pairs.filter(col("jac") >= t)
+          p.agg(count(lit(1)).as("n_pairs"))
+            .crossJoin(broadcast(
+              p.select(explode(array(col("ida"), col("idb"))).as("i"))
+                .agg(countDistinct(col("i")).as("n_docs"))))
+            .select(lit(math.round(t * 1000)).as("threshold_milli"),
+              col("n_pairs"), col("n_docs"))
+        }.reduce(_ unionAll _).orderBy("threshold_milli")
+      },
+      Some {
+        def cut(t: String): String =
+          s"""SELECT CAST(${(t.toDouble * 1000).toLong} AS BIGINT)
+             |    AS threshold_milli,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST((SELECT count(DISTINCT i) FROM (
+             |    SELECT da AS i FROM pj WHERE jac >= $t
+             |    UNION ALL SELECT db FROM pj WHERE jac >= $t) u)
+             |    AS BIGINT) AS n_docs
+             |FROM pj WHERE jac >= $t""".stripMargin
+        s"""WITH ${pairOracleCtes()},
+           |pj AS (SELECT da, db,
+           |    CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jac
+           |  FROM i JOIN z za ON i.da = za.doc_id
+           |  JOIN z zb ON i.db = zb.doc_id)
+           |${Seq("0.5", "0.7", "0.8", "0.9").map(cut)
+            .mkString("\nUNION ALL\n")}
+           |ORDER BY threshold_milli""".stripMargin
+      }),
 
     // ---- q414: CROSS-SOURCE DUPLICATION MATRIX — the q34 pair space
     //      at Jaccard ≥ 0.5 rolled up by (source, source), sources

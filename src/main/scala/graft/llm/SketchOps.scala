@@ -337,6 +337,49 @@ object SketchOps {
   }
 
   val all: ListMap[String, Q] = ListMap(
+    // ---- q424: MINHASH ESTIMATOR ERROR AUDIT — for every exact
+    //      near-dup pair (jac ≥ 0.8), the 64-permutation signature
+    //      match fraction must sit within 250 milli of the exact
+    //      Jaccard (≈6σ at 64 perms; the hash family is seeded, so
+    //      the outcome is a deterministic fact of this corpus). The
+    //      estimator drifting past tolerance — a broken permutation,
+    //      a signature truncation — goes red. Oracle = the exact
+    //      pair list (string shingles) + the pinned TRUE claim. ----
+    "q424_minhash_error_audit" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sig = Tables.documents(s, d)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, text) =>
+            val sh = shinglesOf(tokensOf(text))
+            if (sh.isEmpty) None else Some((id, minhash(sh)))
+          }.toDF("doc_id", "sig")
+        val exact = graft.llm.Dedup.jaccardPairs(s,
+            Tables.documents(s, d).select(col("doc_id").as("id"), col("text")),
+            minJaccard = 0.8)
+          .select(col("ida").as("da"), col("idb").as("db"),
+            round(col("jac") * 1000, 0).cast("long").as("jac_milli"))
+        exact
+          .join(sig.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
+          .join(sig.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
+          .withColumn("est_milli", expr(
+            "(aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, " +
+              "(acc, v) -> acc + v) * 1000) div 64").cast("long"))
+          .select(col("da"), col("db"), col("jac_milli"),
+            (abs(col("est_milli") - col("jac_milli")) <= 250L)
+              .as("est_within_250"))
+          .orderBy("da", "db")
+      },
+      Some(s"""WITH ${LlmOps.pairOracleCtesPublic()},
+             |pj AS (SELECT da, db,
+             |    CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jac
+             |  FROM i JOIN z za ON i.da = za.doc_id
+             |  JOIN z zb ON i.db = zb.doc_id)
+             |SELECT da, db,
+             |  CAST(round(jac * 1000) AS BIGINT) AS jac_milli,
+             |  TRUE AS est_within_250
+             |FROM pj WHERE jac >= 0.8 ORDER BY da, db""".stripMargin)),
+
     // ---- MinHash + LSH banding, oracle-checked as self-consistency:
     //      every exact top-20 Jaccard pair (jac ≥ 0.966) MUST surface in
     //      the band-bucket candidate join — at 16 bands × 4 rows the miss
