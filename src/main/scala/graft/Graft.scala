@@ -2276,4 +2276,31 @@ object Graft {
     */
   def degreePowerlaw(spark: SparkSession, edges: DataFrame): DataFrame =
     graph.Assortativity.degreePowerlaw(spark, edges)
+
+  /** Per-doc Gopher flags, streaming-legal — the q420 ingest gate
+    * ([[llm.Curation.gopherFlags]]).
+    */
+  def gopherFlags(docs: DataFrame, minWords: Long = 50L,
+      maxWords: Long = 100000L): DataFrame =
+    llm.Curation.gopherFlags(docs, minWords, maxWords)
+
+  /** Lexical IDF drift between corpus halves
+    * ([[llm.Curation.idfDrift]]).
+    */
+  def idfDrift(spark: SparkSession, docs: DataFrame, k: Int = 25,
+      minDfTotal: Long = 10L): DataFrame =
+    llm.Curation.idfDrift(spark, docs, k, minDfTotal)
+
+  /** Exact dedup after Unicode normalization
+    * ([[llm.Curation.normalizedDedup]]).
+    */
+  def normalizedDedup(spark: SparkSession, docs: DataFrame): DataFrame =
+    llm.Curation.normalizedDedup(spark, docs)
+
+  /** Vocabulary coverage curve at doubling rungs
+    * ([[llm.TextStats.vocabCoverageCurve]]).
+    */
+  def vocabCoverageCurve(spark: SparkSession, docs: DataFrame,
+      maxLogK: Int = 12): DataFrame =
+    llm.TextStats.vocabCoverageCurve(spark, docs, maxLogK)
 }

@@ -214,6 +214,43 @@ object TextStats {
           / col("z.k").cast("double")), 6).as("k_coef_r6"))
   }
 
+  /** VOCABULARY COVERAGE CURVE — what share of all token OCCURRENCES
+    * the k most frequent types cover, at doubling rungs k = 1, 2, 4,
+    * …, 4096: the tokenizer-sizing readout (where the curve flattens
+    * is where growing the vocabulary stops buying coverage, and
+    * 1000 − covered_milli at the chosen k is the byte-fallback/OOV
+    * rate a word-level vocab would pay). Ranks ride a window over the
+    * Zipf-bounded TYPE table (the q366 contract — never over token
+    * occurrences); all 13 rungs come from ONE conditional aggregation
+    * (adding a rung adds zero passes).
+    *
+    * Output per rung, ascending k: (k, n_types, covered, covered_milli).
+    */
+  def vocabCoverageCurve(s: SparkSession, docs: DataFrame,
+      maxLogK: Int = 12, text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxLogK >= 0 && maxLogK <= 24, s"0 <= maxLogK <= 24: $maxLogK")
+    val toks = docs
+      .select(explode(expr(
+        s"filter(split(trim(lower($text)), '\\\\s+'), x -> length(x) > 0)"))
+        .as("tok"))
+    val ranked = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("c").desc, col("tok").asc)))
+    val ks = (0 to maxLogK).map(1L << _)
+    val aggCols = ks.flatMap { k =>
+      Seq(sum(when(col("rn") <= k, col("c")).otherwise(0L)).as(s"cov_$k"),
+        sum(when(col("rn") <= k, 1L).otherwise(0L)).as(s"nt_$k"))
+    } :+ sum(col("c")).as("total")
+    val one = ranked.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = ks.map(k => s"${k}L, nt_$k, cov_$k").mkString(", ")
+    one.select(col("total"),
+        expr(s"stack(${ks.length}, $stackArgs) AS (k, n_types, covered)"))
+      .select(col("k"), col("n_types"), col("covered"),
+        expr("(covered * 1000) div greatest(total, 1)").as("covered_milli"))
+      .orderBy("k")
+  }
+
   /** TOKEN BURSTINESS (Church & Gale 1995): collection frequency over
     * document frequency per token — cf/df ≈ 1 marks evenly-spread
     * function words; high cf/df marks bursty content terms (and, in a
@@ -293,6 +330,34 @@ object TextStats {
              |    / (CAST(m.k AS DOUBLE) * m.sxx - m.sx * m.sx)) * m.sx)
              |    / CAST(m.k AS DOUBLE), 6) AS intercept_r6
              |FROM tot, m""".stripMargin)),
+
+    // ---- q426: VOCABULARY COVERAGE CURVE — cumulative token-mass
+    //      share of the top-k types at doubling rungs; the oracle
+    //      replays the (freq desc, tok) ranking and every rung's
+    //      conditional sums. ----
+    "q426_vocab_coverage_curve" -> Q(
+      (s, d) => vocabCoverageCurve(s, Tables.documents(s, d)),
+      Some {
+        val ks = (0 to 12).map(1L << _)
+        s"""WITH t AS (SELECT unnest(list_filter(
+           |    regexp_split_to_array(trim(lower(text)), '\\s+'),
+           |    x -> len(x) > 0)) AS tok FROM documents),
+           |c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+           |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok)
+           |    AS rn FROM c),
+           |tot AS (SELECT sum(c) AS total FROM r)
+           |${ks.map(k =>
+          s"""SELECT CAST($k AS BIGINT) AS k,
+             |  CAST((SELECT count(*) FROM r WHERE rn <= $k) AS BIGINT)
+             |    AS n_types,
+             |  CAST((SELECT coalesce(sum(c), 0) FROM r WHERE rn <= $k)
+             |    AS BIGINT) AS covered,
+             |  CAST(((SELECT coalesce(sum(c), 0) FROM r WHERE rn <= $k)
+             |    * 1000) // greatest((SELECT total FROM tot), 1)
+             |    AS BIGINT) AS covered_milli""".stripMargin)
+          .mkString("\nUNION ALL\n")}
+           |ORDER BY k""".stripMargin
+      }),
 
     // ---- q410: HEAPS'-LAW vocabulary growth — V(N) = K·N^β fit at 32
     //      doc-id checkpoints; the oracle replays the monotone bucket

@@ -46,6 +46,20 @@ class IdfDriftSpec extends SparkSpec {
     assert(got("b") == ((2L, 2L, 0L)), got) // 2, 4 drop
   }
 
+  test("vocabCoverageCurve: hand-checked rungs on a skewed vocabulary") {
+    val s = spark
+    import s.implicits._
+    // freqs: a=8, b=4, c=2, d=1 (total 15)
+    val docs = Seq((1L, (Seq.fill(8)("a") ++ Seq.fill(4)("b")
+      ++ Seq.fill(2)("c") ++ Seq("d")).mkString(" "))).toDF("doc_id", "text")
+    val got = graft.llm.TextStats.vocabCoverageCurve(s, docs, maxLogK = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((1L, 8L, 533L)), got)  // 8/15
+    assert(got(2L) == ((2L, 12L, 800L)), got) // 12/15
+    assert(got(4L) == ((4L, 15L, 1000L)), got)
+  }
+
   test("gopherFlags is streaming-legal per-doc (no aggregation in the plan)") {
     val s = spark
     import s.implicits._
