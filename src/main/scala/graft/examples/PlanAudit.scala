@@ -33,7 +33,13 @@ object PlanAudit {
         "q218_incr_join", "q233_retrieval_eval", "q235_temporal_split",
         "q237_cdc_apply", "q239_connected_components",
         "q240_sorted_neighborhood", "q246_entity_resolution",
-        "q255_source_overlap", "q258_clustering_coeff")
+        "q255_source_overlap", "q258_clustering_coeff",
+        // round-13 scale-sensitive additions
+        "q406_jpeg_neardup", "q408_louvain_two_level",
+        "q409_pr_curve", "q411_perplexity_filter",
+        "q413_ngram_novelty", "q414_source_dup_matrix",
+        "q416_priority_dedup", "q421_idf_drift",
+        "q423_normalized_dedup", "q425_dedup_threshold_sweep")
     val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")
