@@ -2303,4 +2303,11 @@ object Graft {
   def vocabCoverageCurve(spark: SparkSession, docs: DataFrame,
       maxLogK: Int = 12): DataFrame =
     llm.TextStats.vocabCoverageCurve(spark, docs, maxLogK)
+
+  /** Embedding-space decontamination — max eval-set cosine per train
+    * vector, review queue at tau ([[llm.Decontam.semanticDecontam]]).
+    */
+  def semanticDecontam(spark: SparkSession, train: DataFrame,
+      eval: DataFrame, tauMilli: Long): DataFrame =
+    llm.Decontam.semanticDecontam(spark, train, eval, tauMilli)
 }

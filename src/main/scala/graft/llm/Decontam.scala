@@ -106,7 +106,70 @@ object Decontam {
       |FROM tr JOIN ev ON tr.g = ev.g
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SEMANTIC DECONTAMINATION — the embedding-space rung of the
+    * decontamination ladder: n-gram overlap ([[contaminationAudit]],
+    * q73) catches verbatim leakage, but a PARAPHRASED benchmark
+    * question shares no 8-gram with its source; its embedding still
+    * sits next to it. For every train vector, the max cosine against
+    * the (small by definition) eval set; rows at or above `tauMilli`
+    * are the semantic-leak review queue, each with its closest eval
+    * item. Exactness: one vecCosine per (train, eval) pair
+    * (codegen'd, bit-identical to the oracle's list_dot_product
+    * chain), milli-rounded; the per-train argmax orders
+    * (cos_milli desc, eval id asc).
+    *
+    * Scale shape: the eval set BROADCASTS (that is what makes
+    * decontamination tractable — the q73 observation, in embedding
+    * space); the corpus is one narrow pass; nothing n². Output:
+    * (vec_id, eval_qid, cos_milli), vec_id asc.
+    */
+  def semanticDecontam(s: SparkSession, train: DataFrame, eval: DataFrame,
+      tauMilli: Long, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = eval.select(col(id).as("qid"), col(vec).as("qv"))
+    val scored = broadcast(ev).join(
+        train.select(col(id), col(vec)), lit(true))
+      .withColumn("cos_milli",
+        round(graft.functions.VecFunctions.vecCosine(s, col("qv"), col(vec))
+          * 1000, 0).cast("long"))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("cos_milli").desc, col("qid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("cos_milli") >= tauMilli)
+      .select(col(id), col("qid").as("eval_qid"), col("cos_milli"))
+      .orderBy(id)
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q427: SEMANTIC DECONTAMINATION — max eval-set cosine per
+    //      train vector (eval = vec_id < 20, the q73 slice), review
+    //      queue at ≥ 0.35. The oracle replays every cosine, the
+    //      milli rounding, and the argmax tie order. ----
+    "q427_semantic_decontam" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        semanticDecontam(s, e.filter(col("vec_id") >= 20),
+          e.filter(col("vec_id") < 20), tauMilli = 350L)
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |ev AS (SELECT vec_id AS qid, v AS qv FROM e
+             |  WHERE vec_id < 20),
+             |tr AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+             |sc AS (SELECT tr.vec_id, ev.qid,
+             |    CAST(round(list_dot_product(ev.qv, tr.v)
+             |      / (sqrt(list_dot_product(ev.qv, ev.qv))
+             |         * sqrt(list_dot_product(tr.v, tr.v))) * 1000)
+             |      AS BIGINT) AS cos_milli
+             |  FROM tr CROSS JOIN ev),
+             |top AS (SELECT vec_id, qid AS eval_qid, cos_milli
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cos_milli DESC, qid) AS rn FROM sc)
+             |  WHERE rn = 1)
+             |SELECT vec_id, eval_qid, cos_milli FROM top
+             |WHERE cos_milli >= 350 ORDER BY vec_id""".stripMargin)),
+
     // ---- q322: DECONTAMINATION AUDIT of the documents corpus — the
     //      held-out eval set is the deterministic doc_id % 13 == 0
     //      slice (the planted near-dup groups straddle it, so the

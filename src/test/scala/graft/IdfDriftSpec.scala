@@ -60,6 +60,25 @@ class IdfDriftSpec extends SparkSpec {
     assert(got(4L) == ((4L, 15L, 1000L)), got)
   }
 
+  test("semanticDecontam: a paraphrase-close vector flags; orthogonal content doesn't") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val eval = Seq((0L, v(1.0, 0.0, 0.0)), (1L, v(0.0, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (10L, v(0.99, 0.1, 0.0)), // near eval 0 -> flags
+      (11L, v(0.0, 0.0, 1.0)), // orthogonal -> clean
+      (12L, v(0.1, 0.99, 0.0)) // near eval 1 -> flags
+    ).toDF("vec_id", "embedding")
+    val got = graft.llm.Decontam.semanticDecontam(s, train, eval,
+        tauMilli = 900L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(10L, 12L), got)
+    assert(got(10L)._1 == 0L && got(10L)._2 >= 990L, got)
+    assert(got(12L)._1 == 1L, got)
+  }
+
   test("gopherFlags is streaming-legal per-doc (no aggregation in the plan)") {
     val s = spark
     import s.implicits._
