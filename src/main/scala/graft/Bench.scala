@@ -179,8 +179,10 @@ object Bench {
       // the dedup threshold sweep (one pair pass, four readouts)
       "q424_minhash_error_audit", "q425_dedup_threshold_sweep",
       // vocabulary coverage curve (one type agg + 13 conditional sums)
-      // and semantic decontamination (broadcast eval set, one pass)
-      "q426_vocab_coverage_curve", "q427_semantic_decontam")
+      // and semantic decontamination (broadcast eval set, one pass);
+      // epoch water-filling (source-table windows, one corpus agg)
+      "q426_vocab_coverage_curve", "q427_semantic_decontam",
+      "q428_epoch_waterfill")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round.
@@ -193,7 +195,8 @@ object Bench {
       "q419_degree_powerlaw", "q421_idf_drift",
       "q422_codec_quarantine_report", "q423_normalized_dedup",
       "q424_minhash_error_audit", "q425_dedup_threshold_sweep",
-      "q426_vocab_coverage_curve", "q427_semantic_decontam")
+      "q426_vocab_coverage_curve", "q427_semantic_decontam",
+      "q428_epoch_waterfill")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

@@ -2310,4 +2310,11 @@ object Graft {
   def semanticDecontam(spark: SparkSession, train: DataFrame,
       eval: DataFrame, tauMilli: Long): DataFrame =
     llm.Decontam.semanticDecontam(spark, train, eval, tauMilli)
+
+  /** Data-constrained epoch water-filling allocator
+    * ([[llm.Curation.epochWaterfill]]).
+    */
+  def epochWaterfill(spark: SparkSession, docs: DataFrame,
+      capMilli: Column, budgetMilliOf: Column => Column): DataFrame =
+    llm.Curation.epochWaterfill(spark, docs, capMilli, budgetMilliOf)
 }

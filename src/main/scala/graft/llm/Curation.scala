@@ -1013,6 +1013,81 @@ object Curation {
         (col("stops") < 2).as("f_stop"))
   }
 
+  /** EPOCH WATER-FILLING ALLOCATOR — the data-constrained training
+    * planner (the regime Muennighoff et al. NeurIPS'23 studies: the
+    * token budget exceeds the corpus, so sources REPEAT, but each
+    * source carries a quality-derived max-epoch cap): find the water
+    * level λ such that Σ_s min(cap_s, λ)·T_s = budget, i.e. every
+    * source trains the same λ epochs except those whose cap binds.
+    * All arithmetic is exact-integer token-milli: the cut is found by
+    * CROSS-MULTIPLIED comparisons over the cap-sorted source table
+    * (domain-bounded — the window is over sources, never tokens), and
+    * λ is one truncating division at the chosen cut, so Σ alloc lands
+    * at most (#uncapped sources) token-milli under budget, never
+    * over.
+    *
+    * `budgetMilliOf` maps the corpus token total to the token-milli
+    * budget (kept in-plan so the entry is scale-free). Output per
+    * source, ordered: (source, n_tokens, cap_milli, epochs_milli,
+    * alloc_tokens).
+    */
+  def epochWaterfill(s: SparkSession, docs: DataFrame, capMilli: Column,
+      budgetMilliOf: Column => Column, id: String = "doc_id",
+      text: String = "text", source: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksC = filter(split(trim(lower(col(text))), "\\s+"),
+      t => length(t) > 0)
+    val st = docs.select(col(source), size(toksC).cast("long").as("nt"))
+      .groupBy(col(source)).agg(sum(col("nt")).as("t"))
+      .withColumn("capm", capMilli)
+      .localCheckpoint(true)
+    val dec38 = "decimal(38,0)"
+    val tot = st.agg(sum(col("t")).as("tt"), count(lit(1)).as("ns"),
+      sum(col("capm").cast(dec38) * col("t")).as("captok"))
+      .withColumn("bm", budgetMilliOf(col("tt")).cast(dec38))
+    // cap-sorted prefix sums; row k = "sources 1..k are capped"
+    val w = Window.orderBy(col("capm"), col(source))
+      .rowsBetween(Long.MinValue, 0)
+    val rows = st
+      .withColumn("rn", row_number().over(Window.orderBy(col("capm"), col(source))))
+      .withColumn("cumCapTok", sum(col("capm").cast(dec38) * col("t")).over(w))
+      .withColumn("cumT", sum(col("t")).over(w))
+      .withColumn("nextCap", lead(col("capm"), 1).over(
+        Window.orderBy(col("capm"), col(source))))
+      .crossJoin(broadcast(tot))
+    // candidate cuts: k = 0 (nobody capped) plus one per row; validity
+    // by exact cross-multiplication (num_k = token-milli left for the
+    // uncapped tail; restT_k = that tail's token mass)
+    val k0 = rows.filter(col("rn") === 1)
+      .select(lit(0L).as("k"), col("bm").as("num"),
+        col("tt").cast(dec38).as("restT"),
+        col("capm").as("capNext"))
+    val kRows = rows.select(col("rn").cast("long").as("k"),
+      (col("bm") - col("cumCapTok")).as("num"),
+      (col("tt") - col("cumT")).cast(dec38).as("restT"),
+      col("nextCap").as("capNext"), col("capm").as("capHere"))
+    val valid0 = k0.filter(col("num") <= col("capNext").cast(dec38) * col("restT"))
+      .select(col("k"), col("num"), col("restT"))
+    val validK = kRows.filter(
+      (col("capHere").cast(dec38) * col("restT") <= col("num")) &&
+        (col("capNext").isNull || col("restT") === 0 ||
+          col("num") <= col("capNext").cast(dec38) * col("restT")))
+      .select(col("k"), col("num"), col("restT"))
+    // smallest valid cut is THE cut (standard water-filling uniqueness
+    // up to ties at exact boundaries)
+    val cut = valid0.unionAll(validK)
+      .agg(min(struct(col("k"), col("num"), col("restT"))).as("z"))
+      .select(
+        when(col("z.restT") > 0, (col("z.num") / col("z.restT")).cast("long"))
+          .otherwise(lit(Long.MaxValue)).as("lam"))
+    st.crossJoin(broadcast(cut))
+      .select(col(source), col("t").as("n_tokens"), col("capm").as("cap_milli"),
+        least(col("capm"), col("lam")).as("epochs_milli"))
+      .withColumn("alloc_tokens",
+        expr("(epochs_milli * n_tokens) div 1000"))
+      .orderBy(source)
+  }
+
   /** NORMALIZED EXACT DEDUP — exact dedup AFTER the Unicode
     * normalization rung ([[normalizeText]]): docs equal modulo case,
     * whitespace runs, zero-width/format chars and NFKC compatibility
@@ -1720,6 +1795,61 @@ object Curation {
              |  OR nchars = 0 OR (nsym * 1000) // greatest(nchars, 1) > 100
              |  OR stops < 2)
              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q428: EPOCH WATER-FILLING — the data-constrained allocator:
+    //      budget 2× the corpus, per-source caps 1–4 epochs (src-number
+    //      derived); the cut is found by exact cross-multiplied
+    //      comparisons over the cap-sorted source table and λ is one
+    //      floor division. The oracle replays the prefix sums, the
+    //      validity window, and the per-source min(cap, λ) allocation
+    //      in HUGEINT. ----
+    "q428_epoch_waterfill" -> Q(
+      (s, d) => epochWaterfill(s, Tables.documents(s, d),
+        capMilli = expr("1000 * (1 + cast(substring(source, 4) as bigint) % 4)"),
+        budgetMilliOf = tt => tt.cast("decimal(38,0)") * 2000),
+      Some("""WITH st AS (SELECT source,
+             |    sum(len(list_filter(regexp_split_to_array(
+             |      trim(lower(text)), '\s+'), x -> len(x) > 0))) AS t,
+             |    1000 * (1 + CAST(substr(source, 4) AS BIGINT) % 4)
+             |      AS capm
+             |  FROM documents GROUP BY source),
+             |b AS (SELECT CAST(sum(t) AS HUGEINT) * 2000 AS bm,
+             |    sum(t) AS tt FROM st),
+             |r AS (SELECT source, t, capm,
+             |    row_number() OVER (ORDER BY capm, source) AS rn,
+             |    sum(CAST(capm AS HUGEINT) * t) OVER (ORDER BY capm, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cumCapTok,
+             |    sum(t) OVER (ORDER BY capm, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumT,
+             |    lead(capm) OVER (ORDER BY capm, source) AS nextCap
+             |  FROM st),
+             |v0 AS (SELECT CAST(0 AS BIGINT) AS k, b.bm AS num,
+             |    CAST(b.tt AS HUGEINT) AS restT
+             |  FROM r, b WHERE rn = 1
+             |    AND b.bm <= CAST(capm AS HUGEINT) * b.tt),
+             |vk AS (SELECT CAST(rn AS BIGINT) AS k,
+             |    b.bm - cumCapTok AS num,
+             |    CAST(b.tt - cumT AS HUGEINT) AS restT
+             |  FROM r, b
+             |  WHERE CAST(capm AS HUGEINT) * (b.tt - cumT)
+             |      <= b.bm - cumCapTok
+             |    AND (nextCap IS NULL OR b.tt - cumT = 0
+             |      OR b.bm - cumCapTok
+             |        <= CAST(nextCap AS HUGEINT) * (b.tt - cumT))),
+             |cut AS (SELECT num, restT FROM
+             |  (SELECT * FROM v0 UNION ALL SELECT * FROM vk)
+             |  ORDER BY k LIMIT 1),
+             |lam AS (SELECT CASE WHEN restT > 0 THEN num // restT
+             |    ELSE 9223372036854775807 END AS lam FROM cut)
+             |SELECT st.source, CAST(st.t AS BIGINT) AS n_tokens,
+             |  CAST(st.capm AS BIGINT) AS cap_milli,
+             |  CAST(least(CAST(st.capm AS HUGEINT),
+             |    (SELECT lam FROM lam)) AS BIGINT) AS epochs_milli,
+             |  CAST((least(CAST(st.capm AS HUGEINT),
+             |    (SELECT lam FROM lam)) * st.t) // 1000 AS BIGINT)
+             |    AS alloc_tokens
+             |FROM st ORDER BY st.source""".stripMargin)),
 
     // ---- q423: NORMALIZED DEDUP — exact dedup after the q407
     //      normalization rung; Spark groups by the 64-bit hash of the

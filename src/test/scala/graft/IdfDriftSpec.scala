@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.llm.Curation
 
 /** Lexical IDF drift (q421) and the per-doc gopherFlags contract the
@@ -77,6 +78,35 @@ class IdfDriftSpec extends SparkSpec {
     assert(got.keySet == Set(10L, 12L), got)
     assert(got(10L)._1 == 0L && got(10L)._2 >= 990L, got)
     assert(got(12L)._1 == 1L, got)
+  }
+
+  test("epochWaterfill: hand-solved water level; caps bind below it") {
+    val s = spark
+    import s.implicits._
+    def doc(i: Long, src: String, n: Int) =
+      (i, Seq.fill(n)("w").mkString(" "), src)
+    // token masses 100/100/100; caps 1000/3000/3000 milli; budget 2x:
+    // capped set = {sA}; lambda = (600000 - 100000) / 200 = 2500
+    val docs = Seq(doc(1, "sA", 100), doc(2, "sB", 100), doc(3, "sC", 100))
+      .toDF("doc_id", "text", "source")
+    val cap = when(col("source") === "sA", 1000L).otherwise(3000L)
+    val got = Curation.epochWaterfill(s, docs, cap,
+        tt => tt.cast("decimal(38,0)") * 2000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("sA") == ((100L, 1000L, 1000L, 100L)), got)
+    assert(got("sB") == ((100L, 3000L, 2500L, 250L)), got)
+    assert(got("sC") == ((100L, 3000L, 2500L, 250L)), got)
+    // budget beyond every cap: all sources train their full cap
+    val rich = Curation.epochWaterfill(s, docs, cap,
+        tt => tt.cast("decimal(38,0)") * 100000)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rich == Map("sA" -> 1000L, "sB" -> 3000L, "sC" -> 3000L), rich)
+    // budget below the smallest cap: nobody capped, uniform lambda
+    val lean = Curation.epochWaterfill(s, docs, cap,
+        tt => tt.cast("decimal(38,0)") * 500)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(lean == Map("sA" -> 500L, "sB" -> 500L, "sC" -> 500L), lean)
   }
 
   test("gopherFlags is streaming-legal per-doc (no aggregation in the plan)") {
