@@ -182,7 +182,9 @@ object Bench {
       // and semantic decontamination (broadcast eval set, one pass);
       // epoch water-filling (source-table windows, one corpus agg)
       "q426_vocab_coverage_curve", "q427_semantic_decontam",
-      "q428_epoch_waterfill")
+      // webdataset tar shards (one shuffle to shard builders + the
+      // strict round-trip)
+      "q428_epoch_waterfill", "q429_webdataset_shards")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round.
@@ -196,7 +198,7 @@ object Bench {
       "q422_codec_quarantine_report", "q423_normalized_dedup",
       "q424_minhash_error_audit", "q425_dedup_threshold_sweep",
       "q426_vocab_coverage_curve", "q427_semantic_decontam",
-      "q428_epoch_waterfill")
+      "q428_epoch_waterfill", "q429_webdataset_shards")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

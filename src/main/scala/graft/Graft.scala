@@ -2317,4 +2317,11 @@ object Graft {
   def epochWaterfill(spark: SparkSession, docs: DataFrame,
       capMilli: Column, budgetMilliOf: Column => Column): DataFrame =
     llm.Curation.epochWaterfill(spark, docs, capMilli, budgetMilliOf)
+
+  /** WebDataset-style ustar training shards with strict round-trip
+    * ([[llm.Pack.webdatasetShards]]; codec [[io.Tar]]).
+    */
+  def webdatasetShards(spark: SparkSession, docs: DataFrame,
+      shards: Int): DataFrame =
+    llm.Pack.webdatasetShards(spark, docs, shards)
 }

@@ -1,0 +1,126 @@
+package graft.io
+
+/** Minimal USTAR (POSIX.1-1988 tar) writer/reader — pure JVM, the
+  * container format of WebDataset-style training shards (a shard IS a
+  * tar of `<key>.<ext>` members; loaders stream it sequentially). Like
+  * [[Bmp]]/[[Wav]]/[[Jpeg]], the point is a REAL format with a strict
+  * parser: 512-byte headers with octal sizes and the space-seeded
+  * checksum, 512-padded payloads, two zero blocks at the end — and
+  * loud IllegalArgumentException on anything malformed (the
+  * quarantine contract).
+  *
+  * Size arithmetic is part of the public contract (the q429 oracle
+  * recomputes it): tar bytes = Σ_members (512 + ceil(size/512)·512)
+  * + 1024.
+  */
+object Tar {
+
+  private val Block = 512
+
+  private def octal(v: Long, width: Int): Array[Byte] = {
+    // width-1 octal digits, NUL terminated (the classic layout)
+    val s = java.lang.Long.toOctalString(v)
+    require(s.length <= width - 1, s"value $v overflows $width-char octal field")
+    val out = new Array[Byte](width)
+    val pad = width - 1 - s.length
+    var i = 0
+    while (i < pad) { out(i) = '0'; i += 1 }
+    s.foreach { c => out(i) = c.toByte; i += 1 }
+    out(width - 1) = 0
+    out
+  }
+
+  /** serialize (name, payload) members into one ustar archive */
+  def build(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val total = members.map { case (_, b) =>
+      Block + ((b.length + Block - 1) / Block) * Block
+    }.sum + 2 * Block
+    val out = new Array[Byte](total)
+    var pos = 0
+    members.foreach { case (name, body) =>
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      require(nb.length > 0 && nb.length <= 100, s"member name must be 1..100 bytes: '$name'")
+      val h = new Array[Byte](Block)
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      System.arraycopy(octal(420, 8), 0, h, 100, 8) // mode 0644
+      System.arraycopy(octal(0, 8), 0, h, 108, 8) // uid
+      System.arraycopy(octal(0, 8), 0, h, 116, 8) // gid
+      System.arraycopy(octal(body.length.toLong, 12), 0, h, 124, 12)
+      System.arraycopy(octal(0, 12), 0, h, 136, 12) // mtime 0: reproducible
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum seed
+      h(156) = '0' // typeflag: regular file
+      System.arraycopy("ustar".getBytes, 0, h, 257, 5) // magic + NUL version
+      h(262) = 0; h(263) = '0'; h(264) = '0'
+      var sum = 0L
+      var i = 0
+      while (i < Block) { sum += h(i) & 0xff; i += 1 }
+      val cs = octal(sum, 7)
+      System.arraycopy(cs, 0, h, 148, 7)
+      h(155) = ' '
+      System.arraycopy(h, 0, out, pos, Block)
+      pos += Block
+      System.arraycopy(body, 0, out, pos, body.length)
+      pos += ((body.length + Block - 1) / Block) * Block
+    }
+    out // trailing 1024 bytes stay zero — the end-of-archive marker
+  }
+
+  /** strict parse back to (name, payload) members */
+  def parse(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    require(bytes.length % Block == 0 && bytes.length >= 2 * Block,
+      s"tar length ${bytes.length} is not a positive multiple of 512 (+1024 tail)")
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var pos = 0
+    var done = false
+    while (!done) {
+      require(pos + Block <= bytes.length, "tar truncated: no end-of-archive marker")
+      var allZero = true
+      var i = 0
+      while (allZero && i < Block) { allZero = bytes(pos + i) == 0; i += 1 }
+      if (allZero) done = true
+      else {
+        require(pos + Block <= bytes.length, "tar truncated inside a header")
+        val magic = new String(bytes, pos + 257, 5,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        require(magic == "ustar", s"bad tar magic '$magic' at offset $pos")
+        var nameEnd = pos
+        while (nameEnd < pos + 100 && bytes(nameEnd) != 0) nameEnd += 1
+        require(nameEnd > pos, "empty member name")
+        val name = new String(bytes, pos, nameEnd - pos,
+          java.nio.charset.StandardCharsets.UTF_8)
+        // checksum: header bytes with the chksum field read as spaces
+        var sum = 0L
+        i = 0
+        while (i < Block) {
+          val b = if (i >= 148 && i < 156) ' '.toByte else bytes(pos + i)
+          sum += b & 0xff
+          i += 1
+        }
+        val stored = parseOctal(bytes, pos + 148, 8)
+        require(stored == sum, s"tar checksum mismatch for '$name': stored $stored, computed $sum")
+        val size = parseOctal(bytes, pos + 124, 12)
+        require(size >= 0 && size <= Int.MaxValue.toLong, s"bad member size $size")
+        pos += Block
+        require(pos + size <= bytes.length, s"member '$name' payload overruns archive")
+        val body = java.util.Arrays.copyOfRange(bytes, pos, pos + size.toInt)
+        out += name -> body
+        pos += (((size + Block - 1) / Block) * Block).toInt
+      }
+    }
+    out.result()
+  }
+
+  private def parseOctal(bytes: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var i = off
+    val end = off + len
+    // skip leading spaces, read octal digits, stop at NUL/space
+    while (i < end && bytes(i) == ' ') i += 1
+    var any = false
+    while (i < end && bytes(i) >= '0' && bytes(i) <= '7') {
+      v = v * 8 + (bytes(i) - '0'); i += 1; any = true
+    }
+    require(any, s"empty octal field at $off")
+    v
+  }
+}

@@ -330,7 +330,64 @@ object Pack {
     }
   }
 
+  /** WEBDATASET-STYLE TAR SHARDS — the multimodal training-shard
+    * sink: docs hash into `shards` groups, each group serializes to
+    * ONE ustar archive of `<doc_id>.txt` members in doc-id order
+    * ([[graft.io.Tar]] — real headers, checksums, 512 padding), and
+    * every shard round-trips through the strict parser before it is
+    * reported (names, payload bytes, member order — a write bug dies
+    * here, not in a training job three days later).
+    *
+    * Scale shape: a shard is BY DESIGN single-executor-sized (real
+    * WebDataset shards are ~100 MB–1 GB so loaders can stream them
+    * sequentially); the groupByKey moves each doc's bytes exactly
+    * once to its shard's builder — the same one shuffle any shard
+    * writer pays. The reported tar size is pure arithmetic over
+    * member sizes (512-header + 512-ceil padding + 1024 tail), which
+    * is what lets the oracle pin the binary layout without parsing
+    * tar. Output per shard: (shard, n_members, payload_bytes,
+    * tar_bytes, roundtrip_ok).
+    */
+  def webdatasetShards(s: SparkSession, docs: DataFrame, shards: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import s.implicits._
+    require(shards >= 1, s"shards >= 1: $shards")
+    docs.select((col(id) % shards).as("shard"), col(id), col(text))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (sh, it) =>
+        val members = it.toArray.sortBy(_._2).map { case (_, i, t) =>
+          (s"$i.txt", t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val tar = graft.io.Tar.build(members.toSeq)
+        val back = graft.io.Tar.parse(tar)
+        val ok = back.length == members.length &&
+          back.zip(members).forall { case ((n1, b1), (n2, b2)) =>
+            n1 == n2 && java.util.Arrays.equals(b1, b2)
+          }
+        (sh, members.length.toLong,
+          members.map(_._2.length.toLong).sum, tar.length.toLong, ok)
+      }
+      .toDF("shard", "n_members", "payload_bytes", "tar_bytes",
+        "roundtrip_ok")
+      .orderBy("shard")
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q429: WEBDATASET TAR SHARDS — 4 hash shards of the corpus
+    //      through the real ustar writer, each round-tripped through
+    //      the strict parser; the oracle pins member counts, payload
+    //      bytes, and the exact tar byte layout (512-header +
+    //      512-ceil padding + 1024 tail) from text sizes alone. ----
+    "q429_webdataset_shards" -> Q(
+      (s, d) => webdatasetShards(s, Tables.documents(s, d), shards = 4),
+      Some("""SELECT doc_id % 4 AS shard, count(*) AS n_members,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes,
+             |  CAST(sum(512 + ((strlen(text) + 511) // 512) * 512)
+             |    + 1024 AS BIGINT) AS tar_bytes,
+             |  TRUE AS roundtrip_ok
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- packing summary at maxTokens=256 over 64-doc ranges; the
     //      oracle replays the same greedy fold as a recursive CTE, so
     //      any drift in the fit rule (fit test, reset, oversize
