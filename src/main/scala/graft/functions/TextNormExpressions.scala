@@ -16,8 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   circled ①→1, NBSP→space, combining marks composed)
   *   → locale-free lowercase (Locale.ROOT — the casefold rung)
   *   → strip format chars (Cf: zero-width space/joiners, BOM, soft
-  *     hyphen, directional marks) and control chars except \t\n\r
-  *   → collapse whitespace runs to one space, trim ends.
+  *     hyphen, directional marks) and NON-whitespace control chars
+  *     (whitespace controls -- tab, LF, CR, U+000B, U+000C,
+  *     U+001C-U+001F -- route through the collapse rung instead,
+  *     matching the oracle's '\s+' token-boundary semantics)
   *
   * The transform is IDEMPOTENT (spec-pinned) and the identity on
   * already-clean ASCII text modulo lower/collapse/trim — which is what
@@ -45,7 +47,14 @@ object TextNorm {
       val cp = folded.codePointAt(i)
       i += Character.charCount(cp)
       val t = Character.getType(cp)
-      val isCtl = t == Character.CONTROL && cp != '\t' && cp != '\n' && cp != '\r'
+      // controls that are whitespace (tab/LF/CR and also vertical
+      // tab U+000B, form feed U+000C, U+001C-U+001F) route through
+      // the collapse branch below -- the oracle's '\\s+' reduction
+      // treats them as token boundaries, so deleting them here would
+      // merge adjacent tokens ("a\\fb" -> "ab" instead of the
+      // oracle's "a b"); the Cc strip only removes NON-whitespace
+      // controls.
+      val isCtl = t == Character.CONTROL && !Character.isWhitespace(cp)
       if (t != Character.FORMAT && !isCtl) {
         if (Character.isWhitespace(cp)) pendingSpace = started
         else {

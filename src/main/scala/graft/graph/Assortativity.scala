@@ -68,11 +68,14 @@ object Assortativity {
     * free diagnostic (slope ≈ −γ; Barabási-Albert γ ≈ 3) and the
     * first number a capacity plan reads off a new graph (how heavy is
     * the hub tail the skew handling must survive). The OLS is the
-    * q366 zipf chain: per-point ln's, order-pinned fold over the
-    * DISTINCT-DEGREE table (bounded by the degree domain, not the
-    * node count — the q151 contract), fixed IEEE slope/intercept.
+    * q366 zipf chain over the DISTINCT-DEGREE table (bounded by the
+    * degree domain, not the node count — the q151 contract), in the
+    * [[graft.functions.IntOls]] discipline: per-point ln snapped to
+    * integer micro, exact integer moments, exact rational
+    * round-half-up — no cross-engine libm chain reaches the output.
     * Output (1 row): (n_nodes, n_edges, max_degree, n_points,
-    * slope_r6, intercept_r6).
+    * slope_micro, intercept_micro) — slope and ln-intercept in
+    * integer micro-units.
     */
   def degreePowerlaw(s: SparkSession, edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -88,27 +91,27 @@ object Assortativity {
     val dist = deg.groupBy("d").agg(count(lit(1)).as("n"))
     val tot = deg.agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_degree"))
       .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
-    val wCum = Window.orderBy("d").rowsBetween(Long.MinValue, 0)
-    val beta = (col("z.k").cast("double") * col("z.sxy")
-      - col("z.sx") * col("z.sy")) /
-      (col("z.k").cast("double") * col("z.sxx")
-        - col("z.sx") * col("z.sx"))
+    // integer moments are order-free — no order-pinned window needed
+    val dec = "decimal(38,0)"
     dist
-      .withColumn("x", log(col("d").cast("double")))
-      .withColumn("y", log(col("n").cast("double")))
-      .withColumn("sx", sum(col("x")).over(wCum))
-      .withColumn("sy", sum(col("y")).over(wCum))
-      .withColumn("sxx", sum(col("x") * col("x")).over(wCum))
-      .withColumn("sxy", sum(col("x") * col("y")).over(wCum))
-      .withColumn("k", count(lit(1)).over(wCum))
-      .agg(max(struct(col("d"), col("k"), col("sx"), col("sy"),
-        col("sxx"), col("sxy"))).as("z"))
+      .withColumn("x", graft.functions.IntOls.lnMicro(col("d")))
+      .withColumn("y", graft.functions.IntOls.lnMicro(col("n")))
+      .agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
       .crossJoin(broadcast(tot))
+      .withColumn("num", col("k").cast(dec) * col("sxy").cast(dec)
+        - col("sx").cast(dec) * col("sy").cast(dec))
+      .withColumn("den", col("k").cast(dec) * col("sxx").cast(dec)
+        - col("sx").cast(dec) * col("sx").cast(dec))
       .select(col("n_nodes"), col("n_edges"), col("max_degree"),
-        col("z.k").as("n_points"),
-        round(beta, 6).as("slope_r6"),
-        round((col("z.sy") - beta * col("z.sx"))
-          / col("z.k").cast("double"), 6).as("intercept_r6"))
+        col("k").as("n_points"),
+        when(col("den") > 0, graft.functions.IntOls.rhu(
+          col("num") * lit(1000000L), col("den"))).as("slope_micro"),
+        when(col("den") > 0, graft.functions.IntOls.rhu(
+          col("sy").cast(dec) * col("den") - col("num") * col("sx").cast(dec),
+          col("k").cast(dec) * col("den"))).as("intercept_micro"))
   }
 
   /** q168: assortativity of the part co-purchase graph (q118's edge
@@ -119,7 +122,9 @@ object Assortativity {
   val all: ListMap[String, Q] = ListMap(
     // ---- q419: DEGREE POWER-LAW — the scale-free fit over the trade
     //      graph's degree distribution; the oracle replays the degree
-    //      histogram and the order-pinned log-log OLS term by term. ----
+    //      histogram and the INTEGER-EXACT micro-snapped OLS (the
+    //      IntOls discipline — hardened preemptively after q410's r13
+    //      libm-chain mismatch; this entry had the identical shape). ----
     "q419_degree_powerlaw" -> Q(
       (s, d) => {
         val e0 = Tables.orders(s, d).join(Tables.lineitem(s, d),
@@ -139,25 +144,33 @@ object Assortativity {
              |tot AS (SELECT (SELECT count(*) FROM deg) AS n_nodes,
              |    (SELECT max(d) FROM deg) AS max_degree,
              |    (SELECT count(*) FROM e0) AS n_edges),
-             |m AS (SELECT count(*) AS k,
-             |    sum(ln(CAST(d AS DOUBLE)) ORDER BY d) AS sx,
-             |    sum(ln(CAST(n AS DOUBLE)) ORDER BY d) AS sy,
-             |    sum(ln(CAST(d AS DOUBLE)) * ln(CAST(d AS DOUBLE))
-             |      ORDER BY d) AS sxx,
-             |    sum(ln(CAST(d AS DOUBLE)) * ln(CAST(n AS DOUBLE))
-             |      ORDER BY d) AS sxy
-             |  FROM dist)
+             |p AS (SELECT
+             |    CAST(round(ln(CAST(d AS DOUBLE)) * 1e6, 0) AS HUGEINT) AS x,
+             |    CAST(round(ln(CAST(n AS DOUBLE)) * 1e6, 0) AS HUGEINT) AS y
+             |  FROM dist),
+             |m AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy
+             |  FROM p),
+             |dd AS (SELECT k, sx, sy,
+             |    CAST(k AS HUGEINT) * sxy - sx * sy AS num,
+             |    CAST(k AS HUGEINT) * sxx - sx * sx AS den
+             |  FROM m),
+             |e AS (SELECT *,
+             |    2 * num * 1000000 + den AS bp, 2 * den AS bq,
+             |    2 * (sy * den - num * sx) + CAST(k AS HUGEINT) * den AS ip,
+             |    2 * CAST(k AS HUGEINT) * den AS iq
+             |  FROM dd)
              |SELECT CAST(tot.n_nodes AS BIGINT) AS n_nodes,
              |  CAST(tot.n_edges AS BIGINT) AS n_edges,
              |  CAST(tot.max_degree AS BIGINT) AS max_degree,
-             |  CAST(m.k AS BIGINT) AS n_points,
-             |  round((CAST(m.k AS DOUBLE) * m.sxy - m.sx * m.sy)
-             |    / (CAST(m.k AS DOUBLE) * m.sxx - m.sx * m.sx), 6)
-             |    AS slope_r6,
-             |  round((m.sy - ((CAST(m.k AS DOUBLE) * m.sxy - m.sx * m.sy)
-             |    / (CAST(m.k AS DOUBLE) * m.sxx - m.sx * m.sx)) * m.sx)
-             |    / CAST(m.k AS DOUBLE), 6) AS intercept_r6
-             |FROM tot, m""".stripMargin)),
+             |  CAST(e.k AS BIGINT) AS n_points,
+             |  CASE WHEN den > 0 THEN
+             |    CAST((bp - ((bp % bq + bq) % bq)) // bq AS BIGINT)
+             |  END AS slope_micro,
+             |  CASE WHEN den > 0 THEN
+             |    CAST((ip - ((ip % iq + iq) % iq)) // iq AS BIGINT)
+             |  END AS intercept_micro
+             |FROM tot, e""".stripMargin)),
 
     "q168_assortativity" -> Q(
       (s, d) => {

@@ -506,7 +506,15 @@ object Jpeg {
             c.ta = tdta & 0x0f
             i += 1
           }
-          pos = end // skip Ss/Se/Ah/Al (baseline fixed 0/63/0)
+          // baseline-required spectral selection / successive
+          // approximation: Ss=0, Se=63, Ah=Al=0 (ISO 10918-1 B.2.3).
+          // A stream declaring anything else in a SOF0 container is
+          // non-conforming — quarantine loudly rather than decoding
+          // it as full-band sequential data.
+          val ss = u8(); val se = u8(); val ahal = u8()
+          require(ss == 0 && se == 63 && ahal == 0,
+            f"non-baseline scan parameters Ss=$ss Se=$se AhAl=$ahal%02x")
+          require(pos == end, "bad SOS length")
           scanStart = pos
         case mm if mm >= 0xe0 && mm <= 0xef =>
           val len = u16() // length read must precede the pos update

@@ -1075,10 +1075,16 @@ object Curation {
       .select(col("k"), col("num"), col("restT"))
     // smallest valid cut is THE cut (standard water-filling uniqueness
     // up to ties at exact boundaries)
+    // exact integer floor: Spark decimal division rounds HALF_UP to
+    // scale 6 before a cast truncates, so a quotient within 5e-7 below
+    // an integer would round UP past the oracle's HUGEINT `//`.
+    // Subtracting the remainder first makes the division exact.
     val cut = valid0.unionAll(validK)
       .agg(min(struct(col("k"), col("num"), col("restT"))).as("z"))
       .select(
-        when(col("z.restT") > 0, (col("z.num") / col("z.restT")).cast("long"))
+        when(col("z.restT") > 0,
+          ((col("z.num") - col("z.num") % col("z.restT")) / col("z.restT"))
+            .cast("long"))
           .otherwise(lit(Long.MaxValue)).as("lam"))
     st.crossJoin(broadcast(cut))
       .select(col(source), col("t").as("n_tokens"), col("capm").as("cap_milli"),

@@ -103,10 +103,12 @@ object TextStats {
     *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²).
     *
     * Determinism: token counts are exact integers; ranks are the
-    * (count desc, token asc) total order; the four OLS moments fold
-    * over the ORDER-PINNED rank window (a topK-bounded frame); one
-    * IEEE chain at the edge. Output (1 row): (n_tokens, vocab, top_k,
-    * slope_r6, intercept_r6).
+    * (count desc, token asc) total order; the fit follows the
+    * [[graft.functions.IntOls]] discipline — per-point ln snapped to
+    * integer micro, exact integer moments, exact rational
+    * round-half-up — so no cross-engine libm chain reaches the
+    * output. Output (1 row): (n_tokens, vocab, top_k, slope_micro,
+    * intercept_micro) — slope and ln-intercept in integer micro-units.
     */
   def zipfFit(s: SparkSession, docs: DataFrame, topK: Int = 100,
       text: String = "text"): DataFrame = {
@@ -125,29 +127,26 @@ object TextStats {
     val top = counts.orderBy(col("f").desc, col("tok").asc).limit(topK)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("f").desc, col("tok").asc)))
-    val wCum = Window.orderBy("rn").rowsBetween(Long.MinValue, 0)
+    // integer moments are order-free — no order-pinned window needed
+    val dec = "decimal(38,0)"
     top
-      .withColumn("x", log(col("rn").cast("double")))
-      .withColumn("y", log(col("f").cast("double")))
-      .withColumn("sx", sum(col("x")).over(wCum))
-      .withColumn("sy", sum(col("y")).over(wCum))
-      .withColumn("sxx", sum(col("x") * col("x")).over(wCum))
-      .withColumn("sxy", sum(col("x") * col("y")).over(wCum))
-      .withColumn("k", count(lit(1)).over(wCum))
-      .agg(max(struct(col("rn"), col("k"), col("sx"), col("sy"),
-        col("sxx"), col("sxy"))).as("z"))
+      .withColumn("x", graft.functions.IntOls.lnMicro(col("rn")))
+      .withColumn("y", graft.functions.IntOls.lnMicro(col("f")))
+      .agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
       .crossJoin(broadcast(tot))
-      .select(col("n_tokens"), col("vocab"),
-        col("z.k").as("top_k"),
-        round((col("z.k").cast("double") * col("z.sxy")
-          - col("z.sx") * col("z.sy"))
-          / (col("z.k").cast("double") * col("z.sxx")
-            - col("z.sx") * col("z.sx")), 6).as("slope_r6"),
-        round((col("z.sy") - ((col("z.k").cast("double") * col("z.sxy")
-          - col("z.sx") * col("z.sy"))
-          / (col("z.k").cast("double") * col("z.sxx")
-            - col("z.sx") * col("z.sx"))) * col("z.sx"))
-          / col("z.k").cast("double"), 6).as("intercept_r6"))
+      .withColumn("num", col("k").cast(dec) * col("sxy").cast(dec)
+        - col("sx").cast(dec) * col("sy").cast(dec))
+      .withColumn("den", col("k").cast(dec) * col("sxx").cast(dec)
+        - col("sx").cast(dec) * col("sx").cast(dec))
+      .select(col("n_tokens"), col("vocab"), col("k").as("top_k"),
+        when(col("den") > 0, graft.functions.IntOls.rhu(
+          col("num") * lit(1000000L), col("den"))).as("slope_micro"),
+        when(col("den") > 0, graft.functions.IntOls.rhu(
+          col("sy").cast(dec) * col("den") - col("num") * col("sx").cast(dec),
+          col("k").cast(dec) * col("den"))).as("intercept_micro"))
   }
 
   /** HEAPS'-LAW VOCABULARY GROWTH FIT (Herdan 1960, Heaps 1978):
@@ -163,10 +162,16 @@ object TextStats {
     * ≤`buckets`-row grid (the q392 bin-completion rule): cumulative
     * sums, the two ln's per point, and the log-log OLS, all on
     * domain-bounded frames. No global window ever sees corpus-sized
-    * data. Doubles follow the q300 order-pinned-fold rule; the OLS
-    * chain is q366's, replayed term-by-term by the oracle.
+    * data. The fit follows the [[graft.functions.IntOls]] discipline:
+    * each point's ln is snapped to integer micro-units, the moments
+    * fold in exact integers, and β / ln K emerge from exact rational
+    * round-half-up — no cross-engine libm chain survives to the
+    * output (the r13 q410 hash mismatch was exactly that chain).
     *
-    * Output (1 row): (n_tokens, vocab, n_points, beta_r6, k_coef_r6).
+    * Output (1 row): (n_tokens, vocab, n_points, beta_micro,
+    * lnk_micro) — β and ln K in integer micro-units (BIGINT; K itself
+    * is exp(lnk_micro/1e6), left to the reader because exp is the
+    * libm call the discipline exists to keep out of hashed output).
     */
   def heapsLaw(s: SparkSession, docs: DataFrame, buckets: Int = 32,
       id: String = "doc_id", text: String = "text"): DataFrame = {
@@ -193,25 +198,26 @@ object TextStats {
       .withColumn("cumn", sum(col("ntok")).over(wCum))
       .withColumn("cumv", sum(col("nnew")).over(wCum))
       .filter(col("cumn") > 0 && col("cumv") > 0)
-      .withColumn("x", log(col("cumn").cast("double")))
-      .withColumn("y", log(col("cumv").cast("double")))
-    val beta = (col("z.k").cast("double") * col("z.sxy")
-      - col("z.sx") * col("z.sy")) /
-      (col("z.k").cast("double") * col("z.sxx")
-        - col("z.sx") * col("z.sx"))
+      .withColumn("x", graft.functions.IntOls.lnMicro(col("cumn")))
+      .withColumn("y", graft.functions.IntOls.lnMicro(col("cumv")))
+    // integer moments are order-free — no order-pinned window needed
+    val dec = "decimal(38,0)"
     pts
-      .withColumn("sx", sum(col("x")).over(wCum))
-      .withColumn("sy", sum(col("y")).over(wCum))
-      .withColumn("sxx", sum(col("x") * col("x")).over(wCum))
-      .withColumn("sxy", sum(col("x") * col("y")).over(wCum))
-      .withColumn("k", count(lit(1)).over(wCum))
-      .agg(max(struct(col("b"), col("k"), col("sx"), col("sy"),
-        col("sxx"), col("sxy"), col("cumn"), col("cumv"))).as("z"))
-      .select(col("z.cumn").as("n_tokens"), col("z.cumv").as("vocab"),
-        col("z.k").as("n_points"),
-        round(beta, 6).as("beta_r6"),
-        round(exp((col("z.sy") - beta * col("z.sx"))
-          / col("z.k").cast("double")), 6).as("k_coef_r6"))
+      .agg(count(lit(1)).as("k"),
+        max(col("cumn")).as("n_tokens"), max(col("cumv")).as("vocab"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("num", col("k").cast(dec) * col("sxy").cast(dec)
+        - col("sx").cast(dec) * col("sy").cast(dec))
+      .withColumn("den", col("k").cast(dec) * col("sxx").cast(dec)
+        - col("sx").cast(dec) * col("sx").cast(dec))
+      .select(col("n_tokens"), col("vocab"), col("k").as("n_points"),
+        when(col("den") > 0, graft.functions.IntOls.rhu(
+          col("num") * lit(1000000L), col("den"))).as("beta_micro"),
+        when(col("den") > 0, graft.functions.IntOls.rhu(
+          col("sy").cast(dec) * col("den") - col("num") * col("sx").cast(dec),
+          col("k").cast(dec) * col("den"))).as("lnk_micro"))
   }
 
   /** VOCABULARY COVERAGE CURVE — what share of all token OCCURRENCES
@@ -300,8 +306,10 @@ object TextStats {
              |FROM r ORDER BY rn""".stripMargin)),
 
     // ---- q366: Zipf slope of the corpus token distribution — the
-    //      oracle replays the (count desc, token asc) ranking, the
-    //      rank-ordered OLS moment folds, and the closed-form line. ----
+    //      oracle replays the (count desc, token asc) ranking and the
+    //      INTEGER-EXACT micro-snapped OLS (the IntOls discipline:
+    //      per-point ln snapped to micro, HUGEINT moments, exact
+    //      rational round-half-up). ----
     "q366_zipf_fit" -> Q(
       (s, d) => zipfFit(s, Tables.documents(s, d)),
       Some("""WITH t AS (SELECT unnest(list_filter(
@@ -312,24 +320,32 @@ object TextStats {
              |r AS (SELECT tok, f, row_number() OVER
              |    (ORDER BY f DESC, tok) AS rn
              |  FROM c QUALIFY rn <= 100),
-             |m AS (SELECT count(*) AS k,
-             |    sum(ln(CAST(rn AS DOUBLE)) ORDER BY rn) AS sx,
-             |    sum(ln(CAST(f AS DOUBLE)) ORDER BY rn) AS sy,
-             |    sum(ln(CAST(rn AS DOUBLE)) * ln(CAST(rn AS DOUBLE))
-             |      ORDER BY rn) AS sxx,
-             |    sum(ln(CAST(rn AS DOUBLE)) * ln(CAST(f AS DOUBLE))
-             |      ORDER BY rn) AS sxy
-             |  FROM r)
+             |p AS (SELECT
+             |    CAST(round(ln(CAST(rn AS DOUBLE)) * 1e6, 0) AS HUGEINT) AS x,
+             |    CAST(round(ln(CAST(f AS DOUBLE)) * 1e6, 0) AS HUGEINT) AS y
+             |  FROM r),
+             |m AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy
+             |  FROM p),
+             |d AS (SELECT k, sx, sy,
+             |    CAST(k AS HUGEINT) * sxy - sx * sy AS num,
+             |    CAST(k AS HUGEINT) * sxx - sx * sx AS den
+             |  FROM m),
+             |e AS (SELECT *,
+             |    2 * num * 1000000 + den AS bp, 2 * den AS bq,
+             |    2 * (sy * den - num * sx) + CAST(k AS HUGEINT) * den AS ip,
+             |    2 * CAST(k AS HUGEINT) * den AS iq
+             |  FROM d)
              |SELECT CAST(tot.n_tokens AS BIGINT) AS n_tokens,
              |  CAST(tot.vocab AS BIGINT) AS vocab,
-             |  CAST(m.k AS BIGINT) AS top_k,
-             |  round((CAST(m.k AS DOUBLE) * m.sxy - m.sx * m.sy)
-             |    / (CAST(m.k AS DOUBLE) * m.sxx - m.sx * m.sx), 6)
-             |    AS slope_r6,
-             |  round((m.sy - ((CAST(m.k AS DOUBLE) * m.sxy - m.sx * m.sy)
-             |    / (CAST(m.k AS DOUBLE) * m.sxx - m.sx * m.sx)) * m.sx)
-             |    / CAST(m.k AS DOUBLE), 6) AS intercept_r6
-             |FROM tot, m""".stripMargin)),
+             |  CAST(e.k AS BIGINT) AS top_k,
+             |  CASE WHEN den > 0 THEN
+             |    CAST((bp - ((bp % bq + bq) % bq)) // bq AS BIGINT)
+             |  END AS slope_micro,
+             |  CASE WHEN den > 0 THEN
+             |    CAST((ip - ((ip % iq + iq) % iq)) // iq AS BIGINT)
+             |  END AS intercept_micro
+             |FROM tot, e""".stripMargin)),
 
     // ---- q426: VOCABULARY COVERAGE CURVE — cumulative token-mass
     //      share of the top-k types at doubling rungs; the oracle
@@ -362,7 +378,10 @@ object TextStats {
     // ---- q410: HEAPS'-LAW vocabulary growth — V(N) = K·N^β fit at 32
     //      doc-id checkpoints; the oracle replays the monotone bucket
     //      map, the completed grid, the cumulative token/vocab sums,
-    //      and the order-pinned log-log OLS term by term. ----
+    //      and the INTEGER-EXACT micro-snapped OLS (the IntOls
+    //      discipline: per-point ln snapped to micro, HUGEINT moments,
+    //      exact rational round-half-up — the r13 libm-chain hash
+    //      mismatch cannot recur by construction). ----
     "q410_heaps_law" -> Q(
       (s, d) => heapsLaw(s, Tables.documents(s, d)),
       Some("""WITH tk AS (SELECT doc_id AS did, unnest(list_filter(
@@ -383,24 +402,33 @@ object TextStats {
              |  FROM grid g LEFT JOIN nt ON nt.b = g.b
              |  LEFT JOIN nv ON nv.b = g.b),
              |pts AS (SELECT b, cumn, cumv,
-             |    ln(CAST(cumn AS DOUBLE)) AS x,
-             |    ln(CAST(cumv AS DOUBLE)) AS y
+             |    CAST(round(ln(CAST(cumn AS DOUBLE)) * 1e6, 0) AS HUGEINT) AS x,
+             |    CAST(round(ln(CAST(cumv AS DOUBLE)) * 1e6, 0) AS HUGEINT) AS y
              |  FROM cum WHERE cumn > 0 AND cumv > 0),
              |m AS (SELECT count(*) AS k, max(cumn) AS n_tokens,
              |    max(cumv) AS vocab,
-             |    sum(x ORDER BY b) AS sx, sum(y ORDER BY b) AS sy,
-             |    sum(x * x ORDER BY b) AS sxx,
-             |    sum(x * y ORDER BY b) AS sxy
-             |  FROM pts)
+             |    sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy
+             |  FROM pts),
+             |d AS (SELECT k, n_tokens, vocab, sx, sy,
+             |    CAST(k AS HUGEINT) * sxy - sx * sy AS num,
+             |    CAST(k AS HUGEINT) * sxx - sx * sx AS den
+             |  FROM m),
+             |e AS (SELECT *,
+             |    2 * num * 1000000 + den AS bp, 2 * den AS bq,
+             |    2 * (sy * den - num * sx) + CAST(k AS HUGEINT) * den AS ip,
+             |    2 * CAST(k AS HUGEINT) * den AS iq
+             |  FROM d)
              |SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
              |  CAST(vocab AS BIGINT) AS vocab,
              |  CAST(k AS BIGINT) AS n_points,
-             |  round((CAST(k AS DOUBLE) * sxy - sx * sy)
-             |    / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS beta_r6,
-             |  round(exp((sy - ((CAST(k AS DOUBLE) * sxy - sx * sy)
-             |    / (CAST(k AS DOUBLE) * sxx - sx * sx)) * sx)
-             |    / CAST(k AS DOUBLE)), 6) AS k_coef_r6
-             |FROM m""".stripMargin)),
+             |  CASE WHEN den > 0 THEN
+             |    CAST((bp - ((bp % bq + bq) % bq)) // bq AS BIGINT)
+             |  END AS beta_micro,
+             |  CASE WHEN den > 0 THEN
+             |    CAST((ip - ((ip % iq + iq) % iq)) // iq AS BIGINT)
+             |  END AS lnk_micro
+             |FROM e""".stripMargin)),
 
     // ---- q357: per-doc character entropy — counts + the ordered
     //      Σ c·ln c fold, replayed in DuckDB with its ordered

@@ -47,6 +47,6 @@ class GopherPowerlawSpec extends SparkSpec {
     assert(r.getLong(1) == 30L, s"n_edges: $r")
     assert(r.getLong(2) == 20L, s"max_degree: $r")
     assert(r.getLong(3) == 3L, s"n_points: $r")
-    assert(r.getDouble(4) < 0.0, s"slope must be negative: $r")
+    assert(r.getLong(4) < 0L, s"slope_micro must be negative: $r")
   }
 }

@@ -17,8 +17,8 @@ class HeapsPerplexitySpec extends SparkSpec {
     val r = TextStats.heapsLaw(s, docs).collect()(0)
     assert(r.getLong(0) == 256L, s"n_tokens: $r")
     assert(r.getLong(1) == 67L, s"vocab: $r")
-    val beta = r.getDouble(3)
-    assert(beta > 0.7 && beta <= 1.05, s"beta: $beta")
+    val betaMicro = r.getLong(3)
+    assert(betaMicro > 700000L && betaMicro <= 1050000L, s"beta_micro: $betaMicro")
   }
 
   test("heapsLaw: saturated vocabulary fits beta 0 exactly") {
@@ -29,8 +29,11 @@ class HeapsPerplexitySpec extends SparkSpec {
     val docs = (0L until 32L).map(i => (i, "x y z")).toDF("doc_id", "text")
     val r = TextStats.heapsLaw(s, docs).collect()(0)
     assert(r.getLong(1) == 3L, s"vocab: $r")
-    assert(r.getDouble(3) == 0.0, s"beta: $r")
-    assert(r.getDouble(4) == 3.0, s"k_coef: $r")
+    // num = k·Σxy − Σx·Σy cancels to exactly 0 in the integer moments
+    assert(r.getLong(3) == 0L, s"beta_micro: $r")
+    // ln K = ln 3 snapped to micro: round(1.0986122886…·1e6) — the
+    // pinned snapped literal of the IntOls discipline
+    assert(r.getLong(4) == 1098612L, s"lnk_micro: $r")
   }
 
   test("perplexityFilter: off-model junk and zero-bigram docs drop, reference keeps") {

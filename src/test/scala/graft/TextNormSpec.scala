@@ -23,7 +23,11 @@ class TextNormSpec extends SparkSpec {
     // NBSP -> space, circled digit + superscript folds, NFC compose
     "nb sp ①² étude" -> "nb sp 12 étude",
     // pure ASCII: lowercase + collapse + trim
-    "  MiXeD   Case\r\n\r\nlines  " -> "mixed case lines")
+    "  MiXeD   Case\r\n\r\nlines  " -> "mixed case lines",
+    // whitespace CONTROLS (form feed U+000C, vertical tab U+000B) are
+    // token boundaries like the oracle's '\s+' — NOT stripped (the
+    // r13 advisory: stripping them would merge adjacent tokens)
+    "a\fb c\u000Bd" -> "a b c d")
 
   test("pinned unicode folds (the q407 VALUES fixture)") {
     cases.foreach { case (in, want) =>
