@@ -2324,4 +2324,21 @@ object Graft {
   def webdatasetShards(spark: SparkSession, docs: DataFrame,
       shards: Int): DataFrame =
     llm.Pack.webdatasetShards(spark, docs, shards)
+
+  /** Streaming WebDataset shard sink with exactly-once manifest
+    * semantics under checkpoint replay
+    * ([[llm.Pack.streamShardSink]]; codec [[io.Tar]]).
+    */
+  def streamShardSink(spark: SparkSession, dir: String,
+      slots: Int = 4): DataFrame =
+    llm.Pack.streamShardSink(spark, dir, slots)
+
+  /** Composed end-to-end training-data plan: Gopher gates ->
+    * normalized dedup -> temperature mixture -> epoch water-filling
+    * -> shard manifest, one shared corpus scan
+    * ([[llm.Curation.trainingDataPlan]]).
+    */
+  def trainingDataPlan(spark: SparkSession, docs: DataFrame,
+      shardTokens: Long = 4096L): DataFrame =
+    llm.Curation.trainingDataPlan(spark, docs, shardTokens)
 }

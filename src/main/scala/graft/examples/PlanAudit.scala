@@ -39,7 +39,10 @@ object PlanAudit {
         "q409_pr_curve", "q411_perplexity_filter",
         "q413_ngram_novelty", "q414_source_dup_matrix",
         "q416_priority_dedup", "q421_idf_drift",
-        "q423_normalized_dedup", "q425_dedup_threshold_sweep")
+        "q423_normalized_dedup", "q425_dedup_threshold_sweep",
+        // round-14: the composed plan (one corpus pass, checkpointed
+        // narrow table, source-bounded tail)
+        "q430_training_data_plan")
     val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")

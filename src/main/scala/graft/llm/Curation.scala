@@ -985,6 +985,27 @@ object Curation {
   def gopherFlags(docs: DataFrame,
       minWords: Long = 50L, maxWords: Long = 100000L,
       id: String = "doc_id", text: String = "text",
+      source: String = "source"): DataFrame =
+    gopherSignals(docs, id, text, source)
+      .select(col(id), col(source),
+        (col("nw") < minWords || col("nw") > maxWords).as("f_nwords"),
+        (col("nw") === 0 ||
+          expr("(sumlen * 1000) div greatest(nw, 1)") < 3000L ||
+          expr("(sumlen * 1000) div greatest(nw, 1)") > 10000L).as("f_wordlen"),
+        (col("nw") === 0 || expr("(alpha * 1000) div greatest(nw, 1)") < 800L)
+          .as("f_alpha"),
+        (col("nchars") === 0 || expr("(nsym * 1000) div greatest(nchars, 1)") > 100L)
+          .as("f_symbol"),
+        (col("stops") < 2).as("f_stop"))
+
+  /** The raw per-doc Gopher signal table (one tokenize, no UDF):
+    * (id, source, text, nw, sumlen, alpha, nsym, nchars, stops) —
+    * shared by [[gopherFlags]] and the composed plan
+    * ([[trainingDataPlan]]), which adds its dedup hash to the SAME
+    * pass instead of re-reading the corpus.
+    */
+  private[graft] def gopherSignals(docs: DataFrame,
+      id: String = "doc_id", text: String = "text",
       source: String = "source"): DataFrame = {
     val toksC = filter(split(trim(lower(col(text))), "\\s+"),
       t => length(t) > 0)
@@ -1001,17 +1022,23 @@ object Curation {
       .withColumn("nchars", length(col(text)).cast("long"))
       .withColumn("stops",
         size(filter(col("w"), t => t.isin(gopherStops: _*))).cast("long"))
-      .select(col(id), col(source),
-        (col("nw") < minWords || col("nw") > maxWords).as("f_nwords"),
-        (col("nw") === 0 ||
-          expr("(sumlen * 1000) div greatest(nw, 1)") < 3000L ||
-          expr("(sumlen * 1000) div greatest(nw, 1)") > 10000L).as("f_wordlen"),
-        (col("nw") === 0 || expr("(alpha * 1000) div greatest(nw, 1)") < 800L)
-          .as("f_alpha"),
-        (col("nchars") === 0 || expr("(nsym * 1000) div greatest(nchars, 1)") > 100L)
-          .as("f_symbol"),
-        (col("stops") < 2).as("f_stop"))
+      .drop("w")
   }
+
+  /** The combined fail predicate of [[gopherFlags]] over a
+    * [[gopherSignals]] row — the single boolean the composed plan
+    * gates on (identical OR of the five structural rules).
+    */
+  private[graft] def gopherFail(minWords: Long = 50L,
+      maxWords: Long = 100000L): Column =
+    col("nw") < minWords || col("nw") > maxWords ||
+      col("nw") === 0 ||
+      expr("(sumlen * 1000) div greatest(nw, 1)") < 3000L ||
+      expr("(sumlen * 1000) div greatest(nw, 1)") > 10000L ||
+      expr("(alpha * 1000) div greatest(nw, 1)") < 800L ||
+      col("nchars") === 0 ||
+      expr("(nsym * 1000) div greatest(nchars, 1)") > 100L ||
+      col("stops") < 2
 
   /** EPOCH WATER-FILLING ALLOCATOR — the data-constrained training
     * planner (the regime Muennighoff et al. NeurIPS'23 studies: the
@@ -1034,13 +1061,26 @@ object Curation {
   def epochWaterfill(s: SparkSession, docs: DataFrame, capMilli: Column,
       budgetMilliOf: Column => Column, id: String = "doc_id",
       text: String = "text", source: String = "source"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toksC = filter(split(trim(lower(col(text))), "\\s+"),
       t => length(t) > 0)
     val st = docs.select(col(source), size(toksC).cast("long").as("nt"))
       .groupBy(col(source)).agg(sum(col("nt")).as("t"))
       .withColumn("capm", capMilli)
-      .localCheckpoint(true)
+    waterfillCore(s, st, budgetMilliOf, source)
+  }
+
+  /** The allocator core of [[epochWaterfill]] over a PRE-AGGREGATED
+    * per-source table `st` with columns (source, t, capm) — split out
+    * so the composed plan ([[trainingDataPlan]]) can water-fill the
+    * post-dedup token totals it already holds without re-tokenizing
+    * the corpus. Output per source, ordered: (source, n_tokens,
+    * cap_milli, epochs_milli, alloc_tokens).
+    */
+  private[llm] def waterfillCore(s: SparkSession, st0: DataFrame,
+      budgetMilliOf: Column => Column,
+      source: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = st0.localCheckpoint(true)
     val dec38 = "decimal(38,0)"
     val tot = st.agg(sum(col("t")).as("tt"), count(lit(1)).as("ns"),
       sum(col("capm").cast(dec38) * col("t")).as("captok"))
@@ -1118,6 +1158,99 @@ object Curation {
         sum(when(col(id) =!= col("wid"), 1L).otherwise(0L))
           .as("n_dropped"))
       .withColumn("n_kept", col("n_docs") - col("n_dropped"))
+      .orderBy(source)
+  }
+
+  /** END-TO-END TRAINING-DATA PLAN — the composed chain a real
+    * pipeline runs, as ONE entry (the q400 composition rule: users
+    * run the chain, not the rungs):
+    *
+    *   Gopher structural gates (q418) → NFKC-normalized exact dedup
+    *   among the survivors (q423) → per-source kept-token totals →
+    *   sqrt-temperature mixture weights (q143's milli-snap idiom) →
+    *   epoch water-filling against a 2× token budget (q428) →
+    *   WebDataset shard manifest at `shardTokens` tokens per shard
+    *   (the q429/q100 sizing arithmetic).
+    *
+    * Scan sharing, by construction: the corpus text is read ONCE —
+    * the Gopher signals, the dedup hash and the token count all come
+    * out of the same [[gopherSignals]] pass, checkpointed as a narrow
+    * (id, source, nt, nh, fail) table; every later stage runs on that
+    * table or on SOURCE-bounded aggregates of it (the spec asserts
+    * the single-scan claim against the physical plan). Dedup winners
+    * are the GLOBAL min-doc-id per normalized class (the q423
+    * contract); all plan arithmetic is exact integer (milli caps,
+    * token-milli allocation, ceil-div shard counts) so the oracle
+    * replays it bit-for-bit in HUGEINT.
+    *
+    * Output per source, ordered: (source, n_docs, n_quality_fail,
+    * n_dup_dropped, n_kept, kept_tokens, mix_milli, cap_milli,
+    * epochs_milli, alloc_tokens, n_shards, last_shard_tokens).
+    */
+  def trainingDataPlan(s: SparkSession, docs: DataFrame,
+      shardTokens: Long = 4096L, id: String = "doc_id",
+      text: String = "text", source: String = "source"): DataFrame = {
+    require(shardTokens >= 1, s"shardTokens >= 1: $shardTokens")
+    // ONE pass over text: structural signals + dedup hash + token count
+    val sig = gopherSignals(docs, id, text, source)
+      .withColumn("nh", xxhash64(normalizeText(s, col(text))))
+      .select(col(id).as("did"), col(source).as("src"),
+        col("nw").as("nt"), col("nh"), gopherFail().as("fail"))
+      .localCheckpoint(true)
+    val perSrc = sig.groupBy(col("src")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("fail"), 1L).otherwise(0L)).as("n_quality_fail"))
+    val pass = sig.filter(!col("fail"))
+    val win = pass.groupBy("nh").agg(min(col("did")).as("wid"))
+    val keptAgg = pass.join(win, "nh")
+      .groupBy(col("src")).agg(
+        sum(when(col("did") =!= col("wid"), 1L).otherwise(0L))
+          .as("n_dup_dropped"),
+        sum(when(col("did") === col("wid"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("did") === col("wid"), col("nt")).otherwise(0L))
+          .as("kept_tokens"))
+    // everything below is SOURCE-bounded (the q428 domain rule)
+    val srcT = perSrc.join(keptAgg, Seq("src"), "left")
+      .select(col("src").as(source), col("n_docs"), col("n_quality_fail"),
+        coalesce(col("n_dup_dropped"), lit(0L)).as("n_dup_dropped"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .localCheckpoint(true)
+    // sqrt-temperature mixture over kept tokens (q143: sqrt is
+    // IEEE-correctly-rounded, so the milli snap is cross-engine exact)
+    val mixed = srcT
+      .withColumn("wm",
+        round(sqrt(col("kept_tokens").cast("double")) * 1000, 0).cast("long"))
+      .crossJoin(broadcast(srcT
+        .select(round(sqrt(col("kept_tokens").cast("double")) * 1000, 0)
+          .cast("long").as("wm1"))
+        .agg(sum(col("wm1")).as("wm_tot"))))
+      .withColumn("mix_milli",
+        expr("(wm * 1000) div greatest(wm_tot, 1)"))
+    // epoch water-filling of the kept tokens against a 2x budget,
+    // with the q428 source-number cap rule
+    val alloc = waterfillCore(s,
+      srcT.select(col(source), col("kept_tokens").as("t"))
+        .withColumn("capm", expr(
+          s"1000 * (1 + cast(substring($source, 4) as bigint) % 4)")),
+      budgetMilliOf = tt => tt.cast("decimal(38,0)") * 2000,
+      source = source)
+      .select(col(source), col("cap_milli"), col("epochs_milli"),
+        col("alloc_tokens"))
+    mixed.join(alloc, Seq(source))
+      .withColumn("n_shards",
+        when(col("alloc_tokens") === 0L, 0L)
+          .otherwise(expr(
+            s"(alloc_tokens + ${shardTokens - 1L}) div ${shardTokens}L")))
+      .withColumn("last_shard_tokens",
+        when(col("n_shards") === 0L, 0L)
+          .otherwise(col("alloc_tokens")
+            - (col("n_shards") - 1L) * lit(shardTokens)))
+      .select(col(source), col("n_docs"), col("n_quality_fail"),
+        col("n_dup_dropped"), col("n_kept"), col("kept_tokens"),
+        col("mix_milli"), col("cap_milli"), col("epochs_milli"),
+        col("alloc_tokens"), col("n_shards"), col("last_shard_tokens"))
       .orderBy(source)
   }
 
@@ -1856,6 +1989,123 @@ object Curation {
              |    (SELECT lam FROM lam)) * st.t) // 1000 AS BIGINT)
              |    AS alloc_tokens
              |FROM st ORDER BY st.source""".stripMargin)),
+
+    // ---- q430: END-TO-END TRAINING-DATA PLAN — the composed chain
+    //      (Gopher gates -> normalized dedup -> sqrt-temperature mix
+    //      -> epoch water-filling -> shard manifest) as one entry;
+    //      the oracle replays every stage: the signal table, the
+    //      combined fail predicate, global min-id winners over the
+    //      normalized string (the q423 contract), the HUGEINT
+    //      water-filling cut, the milli mixture and the ceil-div
+    //      shard arithmetic. ----
+    "q430_training_data_plan" -> Q(
+      (s, d) => trainingDataPlan(s, Tables.documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, source, text,
+             |    list_filter(regexp_split_to_array(trim(lower(text)),
+             |      '\\s+'), x -> len(x) > 0) AS w
+             |  FROM documents),
+             |sig AS (SELECT doc_id, source,
+             |    len(w) AS nw,
+             |    list_sum(list_transform(w, x -> len(x))) AS sumlen,
+             |    len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+             |      AS alpha,
+             |    length(regexp_replace(lower(text), '[a-z0-9\\s]', '',
+             |      'g')) AS nsym,
+             |    length(text) AS nchars,
+             |    len(list_filter(w, x -> x IN (${gopherStops
+              .map("'" + _ + "'").mkString(",")}))) AS stops,
+             |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ct
+             |  FROM t),
+             |fl AS (SELECT doc_id, source, nw AS nt, ct,
+             |    (nw < 50 OR nw > 100000
+             |      OR nw = 0 OR (sumlen * 1000) // greatest(nw, 1) < 3000
+             |      OR (sumlen * 1000) // greatest(nw, 1) > 10000
+             |      OR (alpha * 1000) // greatest(nw, 1) < 800
+             |      OR nchars = 0
+             |      OR (nsym * 1000) // greatest(nchars, 1) > 100
+             |      OR stops < 2) AS fail
+             |  FROM sig),
+             |ps AS (SELECT source, count(*) AS n_docs,
+             |    CAST(sum(CASE WHEN fail THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_quality_fail
+             |  FROM fl GROUP BY source),
+             |win AS (SELECT ct, min(doc_id) AS wid FROM fl
+             |  WHERE NOT fail GROUP BY ct),
+             |ka AS (SELECT f.source,
+             |    CAST(sum(CASE WHEN f.doc_id <> w.wid THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_dup_dropped,
+             |    CAST(sum(CASE WHEN f.doc_id = w.wid THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_kept,
+             |    CAST(sum(CASE WHEN f.doc_id = w.wid THEN f.nt ELSE 0 END)
+             |      AS BIGINT) AS kept_tokens
+             |  FROM fl f JOIN win w ON w.ct = f.ct
+             |  WHERE NOT f.fail GROUP BY f.source),
+             |srct AS (SELECT ps.source, ps.n_docs, ps.n_quality_fail,
+             |    coalesce(ka.n_dup_dropped, 0) AS n_dup_dropped,
+             |    coalesce(ka.n_kept, 0) AS n_kept,
+             |    coalesce(ka.kept_tokens, 0) AS kept_tokens
+             |  FROM ps LEFT JOIN ka USING (source)),
+             |mixw AS (SELECT source,
+             |    CAST(round(sqrt(CAST(kept_tokens AS DOUBLE)) * 1000, 0)
+             |      AS HUGEINT) AS wm
+             |  FROM srct),
+             |mixt AS (SELECT sum(wm) AS wmt FROM mixw),
+             |wst AS (SELECT source, kept_tokens AS t,
+             |    1000 * (1 + CAST(substr(source, 4) AS BIGINT) % 4)
+             |      AS capm
+             |  FROM srct),
+             |b AS (SELECT CAST(sum(t) AS HUGEINT) * 2000 AS bm,
+             |    sum(t) AS tt FROM wst),
+             |r AS (SELECT source, t, capm,
+             |    row_number() OVER (ORDER BY capm, source) AS rn,
+             |    sum(CAST(capm AS HUGEINT) * t) OVER (ORDER BY capm, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cumCapTok,
+             |    sum(t) OVER (ORDER BY capm, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumT,
+             |    lead(capm) OVER (ORDER BY capm, source) AS nextCap
+             |  FROM wst),
+             |v0 AS (SELECT CAST(0 AS BIGINT) AS k, b.bm AS num,
+             |    CAST(b.tt AS HUGEINT) AS restT
+             |  FROM r, b WHERE rn = 1
+             |    AND b.bm <= CAST(capm AS HUGEINT) * b.tt),
+             |vk AS (SELECT CAST(rn AS BIGINT) AS k,
+             |    b.bm - cumCapTok AS num,
+             |    CAST(b.tt - cumT AS HUGEINT) AS restT
+             |  FROM r, b
+             |  WHERE CAST(capm AS HUGEINT) * (b.tt - cumT)
+             |      <= b.bm - cumCapTok
+             |    AND (nextCap IS NULL OR b.tt - cumT = 0
+             |      OR b.bm - cumCapTok
+             |        <= CAST(nextCap AS HUGEINT) * (b.tt - cumT))),
+             |cut AS (SELECT num, restT FROM
+             |  (SELECT * FROM v0 UNION ALL SELECT * FROM vk)
+             |  ORDER BY k LIMIT 1),
+             |lam AS (SELECT CASE WHEN restT > 0 THEN num // restT
+             |    ELSE 9223372036854775807 END AS lam FROM cut),
+             |alloc AS (SELECT wst.source,
+             |    CAST(wst.capm AS BIGINT) AS cap_milli,
+             |    CAST(least(CAST(wst.capm AS HUGEINT),
+             |      (SELECT lam FROM lam)) AS BIGINT) AS epochs_milli,
+             |    CAST((least(CAST(wst.capm AS HUGEINT),
+             |      (SELECT lam FROM lam)) * wst.t) // 1000 AS BIGINT)
+             |      AS alloc_tokens
+             |  FROM wst)
+             |SELECT srct.source, srct.n_docs, srct.n_quality_fail,
+             |  srct.n_dup_dropped, srct.n_kept, srct.kept_tokens,
+             |  CAST((mixw.wm * 1000)
+             |    // greatest((SELECT wmt FROM mixt), 1) AS BIGINT)
+             |    AS mix_milli,
+             |  alloc.cap_milli, alloc.epochs_milli, alloc.alloc_tokens,
+             |  CAST(CASE WHEN alloc.alloc_tokens = 0 THEN 0
+             |    ELSE (alloc.alloc_tokens + 4095) // 4096 END AS BIGINT)
+             |    AS n_shards,
+             |  CAST(CASE WHEN alloc.alloc_tokens = 0 THEN 0
+             |    ELSE alloc.alloc_tokens
+             |      - ((alloc.alloc_tokens + 4095) // 4096 - 1) * 4096
+             |    END AS BIGINT) AS last_shard_tokens
+             |FROM srct JOIN mixw USING (source) JOIN alloc USING (source)
+             |ORDER BY srct.source""".stripMargin)),
 
     // ---- q423: NORMALIZED DEDUP — exact dedup after the q407
     //      normalization rung; Spark groups by the 64-bit hash of the

@@ -373,7 +373,161 @@ object Pack {
       .orderBy("shard")
   }
 
+  /** STREAMING WEBDATASET SHARD SINK — how a crawl pipeline actually
+    * writes training shards: documents arrive in micro-batches and
+    * each batch emits its tar shards AS IT COMMITS, with EXACTLY-ONCE
+    * artifact semantics under at-least-once batch delivery. The
+    * mechanism is the canonical foreachBatch idempotence contract:
+    * every artifact path is a pure function of (batchId, slot) —
+    * `shard-<batch>-<slot>.tar` written via temp-file + atomic rename,
+    * and the batch's manifest parquet overwritten at `manifest/b<id>`
+    * — so a replayed batch OVERWRITES its own artifacts instead of
+    * duplicating them.
+    *
+    * The harness PROVES the replay path deterministically (no timing
+    * race): phase 1 plants a failure in batch 1 AFTER its artifacts
+    * are written but BEFORE the commit log records it; phase 2
+    * restarts from the checkpoint, replays batch 1 with the SAME
+    * batchId, and drains. The readout then requires the disk state to
+    * match the manifest exactly (file count == manifest rows, file
+    * length == tar_bytes) — a duplicate or partial shard fails loud.
+    * Every shard round-trips through the strict [[graft.io.Tar]]
+    * parser in the WRITER (executor-side, the q429 contract) before
+    * it is reported.
+    *
+    * Scale shape: slots partition each batch's docs by id hash; a
+    * (batch, slot) shard is single-executor-sized by design (the
+    * WebDataset streaming-loader contract); each doc's bytes move
+    * once to the shard builder. Batch boundaries here are pinned
+    * (3 slice files, mtime-ordered, maxFilesPerTrigger=1) so the
+    * oracle can replay the manifest arithmetic exactly.
+    *
+    * Output per (batch, slot): (batch, slot, n_members,
+    * payload_bytes, tar_bytes, roundtrip_ok).
+    */
+  def streamShardSink(s: SparkSession, dir: String, slots: Int = 4)
+      : DataFrame = {
+    import s.implicits._
+    require(slots >= 1, s"slots >= 1: $slots")
+    val work = java.nio.file.Files.createTempDirectory("graft-q431")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(work.toFile)
+    }
+    val src = s"$work/src"; val shardDir = s"$work/shards"
+    val manifest = s"$work/manifest"; val ckpt = s"$work/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shardDir))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // three arrival slices by doc_id % 3, mtimes pinned 60 s apart so
+    // the file source's (mtime, path) backlog order IS the slice order
+    // and batchId k deterministically holds slice k
+    (0 until 3).foreach { k =>
+      val before = Option(new java.io.File(src).listFiles())
+        .map(_.toSet).getOrElse(Set.empty[java.io.File])
+      docs.filter(col("doc_id") % 3 === k).coalesce(1)
+        .write.mode("append").parquet(src)
+      val after = new java.io.File(src).listFiles().toSet
+      (after -- before).foreach(_.setLastModified(1000000000000L + k * 60000L))
+    }
+    val sch = s.read.parquet(src).schema
+    def runQuery(failAt: Option[Long]): org.apache.spark.sql.streaming.StreamingQuery =
+      s.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val ss = batch.sparkSession
+          import ss.implicits._
+          val rows = batch
+            .select((col("doc_id") % slots).as("slot"), col("doc_id"),
+              col("text"))
+            .as[(Long, Long, String)]
+            .groupByKey(_._1)
+            .mapGroups { (slot, it) =>
+              val members = it.toArray.sortBy(_._2).map { case (_, i, t) =>
+                (s"$i.txt",
+                  t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              }
+              val tar = graft.io.Tar.build(members.toSeq)
+              val back = graft.io.Tar.parse(tar)
+              val ok = back.length == members.length &&
+                back.zip(members).forall { case ((n1, b1), (n2, b2)) =>
+                  n1 == n2 && java.util.Arrays.equals(b1, b2)
+                }
+              // idempotent emission: deterministic path, atomic rename
+              val p = java.nio.file.Paths.get(shardDir,
+                f"shard-$batchId%05d-$slot%03d.tar")
+              val tmp = p.resolveSibling(
+                p.getFileName.toString + "." + java.util.UUID.randomUUID)
+              java.nio.file.Files.write(tmp, tar)
+              java.nio.file.Files.move(tmp, p,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              (batchId, slot, members.length.toLong,
+                members.map(_._2.length.toLong).sum, tar.length.toLong, ok)
+            }
+            .toDF("batch", "slot", "n_members", "payload_bytes",
+              "tar_bytes", "roundtrip_ok")
+          // per-batch manifest at a deterministic path: replay overwrites
+          rows.write.mode("overwrite").parquet(s"$manifest/b$batchId")
+          if (failAt.contains(batchId))
+            throw new RuntimeException(
+              s"planted failure after batch $batchId artifacts, before commit")
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    // phase 1: batch 0 commits; batch 1 writes artifacts then dies
+    // uncommitted — deterministic at-least-once delivery of batch 1
+    val q1 = runQuery(failAt = Some(1L))
+    try q1.processAllAvailable() catch { case _: Throwable => () }
+    try q1.stop() catch { case _: Throwable => () }
+    require(q1.exception.isDefined,
+      "q431 phase 1 must terminate on the planted batch-1 failure")
+    // phase 2: restart from the checkpoint — batch 1 REPLAYS with the
+    // same batchId (overwriting its artifacts), then batch 2 runs
+    val q2 = runQuery(failAt = None)
+    try q2.processAllAvailable() finally q2.stop()
+    val m = s.read.parquet(s"$manifest/b*")
+      .select(col("batch"), col("slot"), col("n_members"),
+        col("payload_bytes"), col("tar_bytes"), col("roundtrip_ok"))
+      .orderBy("batch", "slot")
+      .localCheckpoint(true)
+    // disk must match the manifest EXACTLY: a duplicated shard from
+    // the replay, a leftover temp file, or a partial write fails here
+    val files = new java.io.File(shardDir).listFiles()
+      .filter(_.getName.endsWith(".tar"))
+      .map(f => f.getName -> f.length).toMap
+    val rows = m.collect() // (batch, slot)-bounded: 3 x slots rows
+    require(files.size == rows.length,
+      s"q431: ${files.size} shard files vs ${rows.length} manifest rows " +
+        "— duplication or loss across the replay")
+    rows.foreach { r =>
+      val name = f"shard-${r.getLong(0)}%05d-${r.getLong(1)}%03d.tar"
+      require(files.get(name).contains(r.getLong(4)),
+        s"q431: shard $name size ${files.get(name)} != manifest " +
+          s"tar_bytes ${r.getLong(4)}")
+    }
+    m
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q431: STREAMING SHARD SINK — exactly-once tar shards +
+    //      manifest under a planted mid-stream failure and checkpoint
+    //      replay; the oracle computes the (batch, slot) manifest a
+    //      loss-free, duplication-free sink must produce (batch =
+    //      doc_id % 3 by the pinned arrival slices, q429 tar byte
+    //      arithmetic). ----
+    "q431_stream_shard_sink" -> Q(
+      (s, d) => streamShardSink(s, d, slots = 4),
+      Some("""SELECT doc_id % 3 AS batch, doc_id % 4 AS slot,
+             |  count(*) AS n_members,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes,
+             |  CAST(sum(512 + ((strlen(text) + 511) // 512) * 512)
+             |    + 1024 AS BIGINT) AS tar_bytes,
+             |  TRUE AS roundtrip_ok
+             |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- q429: WEBDATASET TAR SHARDS — 4 hash shards of the corpus
     //      through the real ustar writer, each round-tripped through
     //      the strict parser; the oracle pins member counts, payload
