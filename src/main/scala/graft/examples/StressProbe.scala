@@ -64,7 +64,12 @@ object StressProbe {
     // community graph); at 10× the replica tier has 10× communities
     // but the per-copy quotients stay copy-local, so the plan shape
     // (and the level-2 wall share) must hold
-    "q408_louvain_two_level")
+    "q408_louvain_two_level",
+    // r14: the composed training-data plan — one corpus pass into a
+    // checkpointed narrow table, then source-bounded stages; at 10×
+    // tokens (same 20-source domain) the exchange count must hold and
+    // the tail stages' wall share must stay negligible
+    "q430_training_data_plan")
 
   // operator-level probes for paths whose driver entries can't run off
   // the pinned fixture (q274 is fixture-guarded; q270 is the

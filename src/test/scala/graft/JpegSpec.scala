@@ -120,6 +120,29 @@ class JpegSpec extends AnyFunSuite {
     assert(e.getMessage.contains("progressive"))
   }
 
+  test("quarantine: non-baseline SOS scan parameters are rejected loudly") {
+    // a SOF0 container whose SOS declares spectral selection /
+    // successive approximation (Ss/Se/AhAl != 0/63/0) is
+    // non-conforming; decoding it as full-band sequential data would
+    // be silent corruption (the r13 advisory)
+    val good = Jpeg.buildGray(scrambled(16, 16, 2L), Jpeg.UnitQuant)
+    val sos = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    // grayscale SOS: FFDA len(2) ns(1) comp(2) Ss Se AhAl
+    def withByte(off: Int, v: Int): Array[Byte] = {
+      val b = good.clone(); b(sos + off) = v.toByte; b
+    }
+    val eSs = intercept[IllegalArgumentException](
+      Jpeg.parse(withByte(7, 1))) // Ss = 1
+    assert(eSs.getMessage.contains("non-baseline scan parameters"))
+    val eSe = intercept[IllegalArgumentException](
+      Jpeg.parse(withByte(8, 7))) // Se = 7
+    assert(eSe.getMessage.contains("non-baseline scan parameters"))
+    val eAh = intercept[IllegalArgumentException](
+      Jpeg.parse(withByte(9, 0x10))) // Ah = 1
+    assert(eAh.getMessage.contains("non-baseline scan parameters"))
+  }
+
   test("quarantine: corrupt and truncated streams are rejected loudly") {
     val good = Jpeg.buildGray(scrambled(16, 16, 2L), Jpeg.UnitQuant)
     intercept[IllegalArgumentException](Jpeg.parse(Array[Byte](1, 2, 3)))
