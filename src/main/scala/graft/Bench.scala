@@ -187,14 +187,18 @@ object Bench {
       "q428_epoch_waterfill", "q429_webdataset_shards",
       // round-14: the composed end-to-end training-data plan (one
       // corpus pass + source-bounded stages — the q418+q423+q143+
-      // q428+q429 chain as a single entry)
-      "q430_training_data_plan")
+      // q428+q429 chain as a single entry); the packing-efficiency
+      // sweep (one range shuffle, four in-group folds); the shard
+      // interleave (source agg + shard-bounded sort)
+      "q430_training_data_plan", "q432_pack_efficiency_sweep",
+      "q433_shard_interleave")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round. (r13's q406-q429 rotate
     // with everything else now — they sit at the TAIL of extKeys, so
     // the cursor's index into the earlier entries is undisturbed.)
-    val newestKeys = Seq("q430_training_data_plan")
+    val newestKeys = Seq("q430_training_data_plan",
+      "q432_pack_efficiency_sweep", "q433_shard_interleave")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

@@ -2333,6 +2333,20 @@ object Graft {
       slots: Int = 4): DataFrame =
     llm.Pack.streamShardSink(spark, dir, slots)
 
+  /** Packing-efficiency sweep over candidate context lengths
+    * ([[llm.Pack.packEfficiencySweep]]).
+    */
+  def packEfficiencySweep(spark: SparkSession, docs: DataFrame,
+      settings: Seq[Long] = Seq(128L, 256L, 512L, 1024L)): DataFrame =
+    llm.Pack.packEfficiencySweep(spark, docs, settings)
+
+  /** Stratified low-discrepancy shard-interleave training schedule
+    * ([[llm.Pack.shardInterleave]]).
+    */
+  def shardInterleave(spark: SparkSession, docs: DataFrame,
+      docsPerShard: Long = 64): DataFrame =
+    llm.Pack.shardInterleave(spark, docs, docsPerShard)
+
   /** Composed end-to-end training-data plan: Gopher gates ->
     * normalized dedup -> temperature mixture -> epoch water-filling
     * -> shard manifest, one shared corpus scan

@@ -373,6 +373,102 @@ object Pack {
       .orderBy("shard")
   }
 
+  /** PACKING-EFFICIENCY SWEEP — the context-length sizing readout:
+    * greedy first-fit packing ([[packRange]], the q75 rule) evaluated
+    * at every candidate `maxTokens` setting in ONE pass over the
+    * corpus. Padding waste is the training cost of a context window
+    * (every unfilled token is a wasted FLOP at train time), and the
+    * oversize count is how many documents would need truncation or
+    * their own sequence — the two numbers a context-length decision
+    * reads.
+    *
+    * Scale shape: one narrow (range, id, count) map over the scan,
+    * ONE shuffle keyed by doc-id range, then each ≤64-doc group runs
+    * the greedy fold once per setting (settings × 64 integer ops — a
+    * rounding error next to the scan); per-setting totals are one
+    * rollup. Adding a setting adds zero passes. All integers; the
+    * oracle replays every setting's fold as a recursive CTE (the q75
+    * contract) and the fill ratio as exact integer milli.
+    *
+    * Output per setting, ascending: (max_tokens, n_seqs, sum_tokens,
+    * padding_tokens, n_oversize, fill_milli).
+    */
+  def packEfficiencySweep(s: SparkSession, docs: DataFrame,
+      settings: Seq[Long] = Seq(128L, 256L, 512L, 1024L),
+      docsPerRange: Long = 64, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    import s.implicits._
+    require(settings.nonEmpty && settings.forall(_ > 0),
+      s"settings must be positive: $settings")
+    val sets = settings.distinct.sorted
+    docs.select(col(id), col(text)).as[(Long, String)]
+      .map { case (i, t) =>
+        (i / docsPerRange, i, SketchOps.tokensOf(t).length.toLong)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ds = it.map(r => (r._2, r._3)).toSeq
+        val byId = ds.toMap
+        sets.iterator.map { mt =>
+          val seqTok = packRange(ds, mt).groupBy(_._2)
+            .map { case (_, xs) => xs.map(x => byId(x._1)).sum }
+          (mt, seqTok.size.toLong, seqTok.sum,
+            seqTok.map(st => math.max(0L, mt - st)).sum,
+            seqTok.count(_ > mt).toLong)
+        }
+      }
+      .toDF("max_tokens", "n_seqs", "sum_tokens", "padding_tokens",
+        "n_oversize")
+      .groupBy("max_tokens")
+      .agg(sum(col("n_seqs")).as("n_seqs"),
+        sum(col("sum_tokens")).as("sum_tokens"),
+        sum(col("padding_tokens")).as("padding_tokens"),
+        sum(col("n_oversize")).as("n_oversize"))
+      .withColumn("fill_milli",
+        expr("(sum_tokens * 1000) div greatest(n_seqs * max_tokens, 1)"))
+      .orderBy("max_tokens")
+  }
+
+  /** SHARD-INTERLEAVE SCHEDULE — the deterministic training order
+    * over per-source shard lists: source s with n_s shards places its
+    * i-th shard at fractional position (2i+1)/(2·n_s), and the
+    * schedule is the global sort of those positions — the classic
+    * stratified low-discrepancy interleave (every prefix of the
+    * schedule holds each source in proportion to its shard share,
+    * which is what keeps the mixture stationary from step one instead
+    * of front-loading one source). q87 shuffles at DOC granularity;
+    * this is the same need at the granularity training loaders
+    * actually consume ([[webdatasetShards]] / q430's manifest).
+    *
+    * Determinism across engines: the position is ONE IEEE division of
+    * small integers (bit-identical in Spark and DuckDB; distinct
+    * rationals of this form stay distinct in double well past 10⁶
+    * shards), ties broken by (source, shard_idx). Scale shape: the
+    * schedule table is SHARD-bounded (corpus-tokens / shard-size
+    * rows, ~10⁵ at 100 TB), so the one global sort window is over a
+    * domain-bounded table — the q366 rank contract.
+    *
+    * Output, schedule order: (step, source, shard_idx).
+    */
+  def shardInterleave(s: SparkSession, docs: DataFrame,
+      docsPerShard: Long = 64, id: String = "doc_id",
+      source: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(docsPerShard > 0, s"docsPerShard > 0: $docsPerShard")
+    val ns = docs.groupBy(col(source)).agg(count(lit(1)).as("nd"))
+      .withColumn("n_shards",
+        expr(s"(nd + ${docsPerShard - 1}) div ${docsPerShard}L"))
+    ns.select(col(source), col("n_shards"),
+        explode(sequence(lit(0L), col("n_shards") - 1)).as("shard_idx"))
+      .withColumn("pos", (col("shard_idx") * 2 + 1).cast("double")
+        / (col("n_shards") * 2).cast("double"))
+      .withColumn("step", row_number().over(
+        Window.orderBy(col("pos"), col(source), col("shard_idx")))
+        .cast("long"))
+      .select(col("step"), col(source), col("shard_idx"))
+      .orderBy("step")
+  }
+
   /** STREAMING WEBDATASET SHARD SINK — how a crawl pipeline actually
     * writes training shards: documents arrive in micro-batches and
     * each batch emits its tar shards AS IT COMMITS, with EXACTLY-ONCE
@@ -527,6 +623,73 @@ object Pack {
              |    + 1024 AS BIGINT) AS tar_bytes,
              |  TRUE AS roundtrip_ok
              |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q432: PACKING-EFFICIENCY SWEEP — greedy first-fit at four
+    //      context lengths in one pass; the oracle replays each
+    //      setting's fold as a recursive CTE (the q75 contract) and
+    //      the padding/fill arithmetic in exact integers. ----
+    "q432_pack_efficiency_sweep" -> Q(
+      (s, d) => packEfficiencySweep(s, Tables.documents(s, d)),
+      Some {
+        val sets = Seq(128L, 256L, 512L, 1024L)
+        val blocks = sets.map { mt =>
+          s"""pack$mt(part, rn, doc_id, n, seq, acc) AS (
+             |  SELECT part, rn, doc_id, n, 0, n FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.part, o.rn, o.doc_id, o.n,
+             |    CASE WHEN pack$mt.acc + o.n <= $mt
+             |      THEN pack$mt.seq ELSE pack$mt.seq + 1 END,
+             |    CASE WHEN pack$mt.acc + o.n <= $mt
+             |      THEN pack$mt.acc + o.n ELSE o.n END
+             |  FROM pack$mt JOIN o
+             |    ON o.part = pack$mt.part AND o.rn = pack$mt.rn + 1)"""
+            .stripMargin
+        }
+        val selects = sets.map { mt =>
+          s"""SELECT CAST($mt AS BIGINT) AS max_tokens,
+             |  count(*) AS n_seqs,
+             |  CAST(sum(st) AS BIGINT) AS sum_tokens,
+             |  CAST(sum(greatest(0, $mt - st)) AS BIGINT)
+             |    AS padding_tokens,
+             |  CAST(sum(CASE WHEN st > $mt THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_oversize,
+             |  CAST((sum(st) * 1000) // greatest(count(*) * $mt, 1)
+             |    AS BIGINT) AS fill_milli
+             |FROM (SELECT part, seq, sum(n) AS st FROM pack$mt
+             |  GROUP BY part, seq)""".stripMargin
+        }
+        s"""WITH RECURSIVE d AS (
+           |  SELECT doc_id, doc_id // 64 AS part,
+           |    len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n
+           |  FROM documents),
+           |o AS (SELECT doc_id, part, n,
+           |    row_number() OVER (PARTITION BY part ORDER BY doc_id) AS rn
+           |  FROM d),
+           |${blocks.mkString(",\n")}
+           |${selects.mkString("\nUNION ALL\n")}
+           |ORDER BY max_tokens""".stripMargin
+      }),
+
+    // ---- q433: SHARD-INTERLEAVE SCHEDULE — the stratified
+    //      low-discrepancy training order over per-source shard
+    //      lists; the oracle replays the ceil-div shard counts, the
+    //      single-division positions and the (pos, source, idx)
+    //      total order. ----
+    "q433_shard_interleave" -> Q(
+      (s, d) => shardInterleave(s, Tables.documents(s, d)),
+      Some("""WITH ns AS (SELECT source, count(*) AS nd
+             |  FROM documents GROUP BY source),
+             |sh AS (SELECT source, (nd + 63) // 64 AS n FROM ns),
+             |ix AS (SELECT source, n, unnest(range(0, n)) AS shard_idx
+             |  FROM sh),
+             |p AS (SELECT source, shard_idx,
+             |    CAST(2 * shard_idx + 1 AS DOUBLE)
+             |      / CAST(2 * n AS DOUBLE) AS pos
+             |  FROM ix)
+             |SELECT CAST(row_number() OVER
+             |    (ORDER BY pos, source, shard_idx) AS BIGINT) AS step,
+             |  source, CAST(shard_idx AS BIGINT) AS shard_idx
+             |FROM p ORDER BY step""".stripMargin)),
 
     // ---- q429: WEBDATASET TAR SHARDS — 4 hash shards of the corpus
     //      through the real ustar writer, each round-tripped through

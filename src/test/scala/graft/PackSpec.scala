@@ -167,4 +167,39 @@ class PackSpec extends SparkSpec {
     assert(a != b, "different seeds should reshard")
     assert(m2.agg(sum("n_seqs")).collect()(0).getLong(0) == 23)
   }
+
+  test("packEfficiencySweep: padding, oversize and fill land on the planted fixture") {
+    val s = spark
+    import s.implicits._
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // one 64-doc range: four 100-token docs + one 1500-token oversize
+    val docs = ((0L until 4L).map(i => (i, words(100))) :+ (4L, words(1500)))
+      .toDF("doc_id", "text")
+    val got = Pack.packEfficiencySweep(s, docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // mt=128: each 100-doc alone + the oversize alone
+    assert(got(128L) == ((5L, 1900L, 112L, 1L, 1900L * 1000 / 640)), got)
+    // mt=256: two pairs + the oversize
+    assert(got(256L) == ((3L, 1900L, 112L, 1L, 1900L * 1000 / 768)), got)
+    // mt=512: all four small docs in one sequence
+    assert(got(512L) == ((2L, 1900L, 112L, 1L, 1900L * 1000 / 1024)), got)
+    // mt=1024: the 400-token sequence leaves 624 tokens of padding
+    assert(got(1024L) == ((2L, 1900L, 624L, 1L, 1900L * 1000 / 2048)), got)
+  }
+
+  test("shardInterleave: stratified low-discrepancy order with pinned ties") {
+    val s = spark
+    import s.implicits._
+    // srcA: 5 docs at 2 docs/shard -> 3 shards at positions 1/6, 3/6,
+    // 5/6; srcB: 2 docs -> 1 shard at 1/2 — ties with A's 3/6 and
+    // loses the source tie-break
+    val docs = ((0L until 5L).map(i => (i, "x", "srcA")) ++
+      (10L until 12L).map(i => (i, "x", "srcB")))
+      .toDF("doc_id", "text", "source")
+    val got = Pack.shardInterleave(s, docs, docsPerShard = 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "srcA", 0L), (2L, "srcA", 1L),
+      (3L, "srcB", 0L), (4L, "srcA", 2L)), got)
+  }
 }
