@@ -191,14 +191,17 @@ object Bench {
       // sweep (one range shuffle, four in-group folds); the shard
       // interleave (source agg + shard-bounded sort)
       "q430_training_data_plan", "q432_pack_efficiency_sweep",
-      "q433_shard_interleave")
+      "q433_shard_interleave",
+      // duplicate-class size histogram (one hash agg + bounded rollup)
+      "q434_dup_class_histogram")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round. (r13's q406-q429 rotate
     // with everything else now — they sit at the TAIL of extKeys, so
     // the cursor's index into the earlier entries is undisturbed.)
     val newestKeys = Seq("q430_training_data_plan",
-      "q432_pack_efficiency_sweep", "q433_shard_interleave")
+      "q432_pack_efficiency_sweep", "q433_shard_interleave",
+      "q434_dup_class_histogram")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

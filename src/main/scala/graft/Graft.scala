@@ -2333,6 +2333,12 @@ object Graft {
       slots: Int = 4): DataFrame =
     llm.Pack.streamShardSink(spark, dir, slots)
 
+  /** Duplicate-class size histogram over normalized equality classes
+    * ([[llm.Curation.dupClassHistogram]]).
+    */
+  def dupClassHistogram(spark: SparkSession, docs: DataFrame): DataFrame =
+    llm.Curation.dupClassHistogram(spark, docs)
+
   /** Packing-efficiency sweep over candidate context lengths
     * ([[llm.Pack.packEfficiencySweep]]).
     */

@@ -1161,6 +1161,32 @@ object Curation {
       .orderBy(source)
   }
 
+  /** DUPLICATE-CLASS SIZE HISTOGRAM — how duplicate mass distributes
+    * across family sizes (Lee et al. 2022's dedup-health readout): a
+    * corpus whose duplicate docs sit in a few HUGE classes (template
+    * spam, mirrored sites) needs different handling than one with
+    * many pairs — and the tail bucket is exactly the hot-key mass a
+    * dedup shuffle must survive. Classes are the [[normalizedDedup]]
+    * equality classes (NFKC-normalized text); sizes bucket at powers
+    * of two.
+    *
+    * Exactness: the bucket is `length(bin(size)) - 1` = floor(log2) —
+    * pure integer/string ops in BOTH engines, no libm. Scale shape:
+    * one hash agg to class sizes (8-byte keys move, text doesn't),
+    * one size-bounded rollup. Output per bucket, ascending:
+    * (log2_size, n_classes, n_docs).
+    */
+  def dupClassHistogram(s: SparkSession, docs: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    docs.select(xxhash64(normalizeText(s, col(text))).as("nh"))
+      .groupBy("nh").agg(count(lit(1)).as("c"))
+      .select((length(bin(col("c"))) - 1).cast("long").as("log2_size"),
+        col("c"))
+      .groupBy("log2_size")
+      .agg(count(lit(1)).as("n_classes"), sum(col("c")).as("n_docs"))
+      .orderBy("log2_size")
+  }
+
   /** END-TO-END TRAINING-DATA PLAN — the composed chain a real
     * pipeline runs, as ONE entry (the q400 composition rule: users
     * run the chain, not the rungs):
@@ -1201,8 +1227,13 @@ object Curation {
       count(lit(1)).as("n_docs"),
       sum(when(col("fail"), 1L).otherwise(0L)).as("n_quality_fail"))
     val pass = sig.filter(!col("fail"))
-    val win = pass.groupBy("nh").agg(min(col("did")).as("wid"))
-    val keptAgg = pass.join(win, "nh")
+    // class winner via ONE window over the dedup hash — no join, so
+    // the plan shape cannot flip broadcast->shuffle as the class
+    // table outgrows the broadcast threshold (the 10x probe's catch);
+    // one exchange on nh at every scale, tiny per-class partitions
+    val wNh = org.apache.spark.sql.expressions.Window.partitionBy("nh")
+    val keptAgg = pass
+      .withColumn("wid", min(col("did")).over(wNh))
       .groupBy(col("src")).agg(
         sum(when(col("did") =!= col("wid"), 1L).otherwise(0L))
           .as("n_dup_dropped"),
@@ -1210,8 +1241,12 @@ object Curation {
           .as("n_kept"),
         sum(when(col("did") === col("wid"), col("nt")).otherwise(0L))
           .as("kept_tokens"))
-    // everything below is SOURCE-bounded (the q428 domain rule)
-    val srcT = perSrc.join(keptAgg, Seq("src"), "left")
+    // everything below is SOURCE-bounded (the q428 domain rule);
+    // broadcasts are PINNED — these tables are one-row-per-source by
+    // construction, but their size estimates (inflated through the
+    // checkpoint boundary + crossJoins) would flip the joins to
+    // sort-merge at scale (the 10x probe's catch)
+    val srcT = perSrc.join(broadcast(keptAgg), Seq("src"), "left")
       .select(col("src").as(source), col("n_docs"), col("n_quality_fail"),
         coalesce(col("n_dup_dropped"), lit(0L)).as("n_dup_dropped"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -1238,7 +1273,7 @@ object Curation {
       source = source)
       .select(col(source), col("cap_milli"), col("epochs_milli"),
         col("alloc_tokens"))
-    mixed.join(alloc, Seq(source))
+    mixed.join(broadcast(alloc), Seq(source))
       .withColumn("n_shards",
         when(col("alloc_tokens") === 0L, 0L)
           .otherwise(expr(
@@ -2106,6 +2141,20 @@ object Curation {
              |    END AS BIGINT) AS last_shard_tokens
              |FROM srct JOIN mixw USING (source) JOIN alloc USING (source)
              |ORDER BY srct.source""".stripMargin)),
+
+    // ---- q434: DUPLICATE-CLASS SIZE HISTOGRAM — power-of-two buckets
+    //      over the normalized-equality class sizes; the oracle
+    //      replays the class counts over the normalized STRING (the
+    //      q423 contract) and the integer bin-length bucket. ----
+    "q434_dup_class_histogram" -> Q(
+      (s, d) => dupClassHistogram(s, Tables.documents(s, d)),
+      Some("""WITH c AS (SELECT trim(regexp_replace(lower(text), '\s+',
+             |    ' ', 'g')) AS ct
+             |  FROM documents),
+             |k AS (SELECT ct, count(*) AS c FROM c GROUP BY ct)
+             |SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS log2_size,
+             |  count(*) AS n_classes, CAST(sum(c) AS BIGINT) AS n_docs
+             |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- q423: NORMALIZED DEDUP — exact dedup after the q407
     //      normalization rung; Spark groups by the 64-bit hash of the

@@ -7,6 +7,23 @@ package graft
   */
 class FacadeRound14Spec extends SparkSpec {
 
+  test("dupClassHistogram: power-of-two buckets land on the planted classes") {
+    val s = spark
+    import s.implicits._
+    // classes of sizes 1, 2, 4, 5 (normalized equality: case and
+    // whitespace runs collapse) -> buckets 0:{1}, 1:{2}, 2:{4,5}
+    val docs = (Seq((0L, "solo")) ++
+      (1L to 2L).map(i => (i, if (i % 2 == 0) "PAIR  text" else "pair text")) ++
+      (3L to 6L).map(i => (i, "quad body")) ++
+      (7L to 11L).map(i => (i, "five member family"))
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Curation.dupClassHistogram(s, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 1L, 1L), (1L, 1L, 2L), (2L, 2L, 9L)), got)
+    assert(Graft.dupClassHistogram(s, docs).collect().map(_.toSeq).toSeq ==
+      graft.llm.Curation.dupClassHistogram(s, docs).collect().map(_.toSeq).toSeq)
+  }
+
   test("trainingDataPlan facade equals the kernel") {
     val s = spark
     import s.implicits._
