@@ -193,7 +193,8 @@ object Bench {
       "q430_training_data_plan", "q432_pack_efficiency_sweep",
       "q433_shard_interleave",
       // duplicate-class size histogram (one hash agg + bounded rollup)
-      "q434_dup_class_histogram")
+      // and the cross-source LM matrix (one gram join, S^2 output)
+      "q434_dup_class_histogram", "q435_source_lm_matrix")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round. (r13's q406-q429 rotate
@@ -201,7 +202,7 @@ object Bench {
     // the cursor's index into the earlier entries is undisturbed.)
     val newestKeys = Seq("q430_training_data_plan",
       "q432_pack_efficiency_sweep", "q433_shard_interleave",
-      "q434_dup_class_histogram")
+      "q434_dup_class_histogram", "q435_source_lm_matrix")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

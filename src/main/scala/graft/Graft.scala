@@ -2333,6 +2333,12 @@ object Graft {
       slots: Int = 4): DataFrame =
     llm.Pack.streamShardSink(spark, dir, slots)
 
+  /** Cross-source smoothed-LM divergence matrix
+    * ([[llm.Curation.sourceLmMatrix]]).
+    */
+  def sourceLmMatrix(spark: SparkSession, docs: DataFrame): DataFrame =
+    llm.Curation.sourceLmMatrix(spark, docs)
+
   /** Duplicate-class size histogram over normalized equality classes
     * ([[llm.Curation.dupClassHistogram]]).
     */

@@ -41,8 +41,9 @@ object PlanAudit {
         "q416_priority_dedup", "q421_idf_drift",
         "q423_normalized_dedup", "q425_dedup_threshold_sweep",
         // round-14: the composed plan (one corpus pass, checkpointed
-        // narrow table, source-bounded tail)
-        "q430_training_data_plan")
+        // narrow table, source-bounded tail); the cross-source LM
+        // matrix (one gram-keyed join, S^2-bounded output)
+        "q430_training_data_plan", "q435_source_lm_matrix")
     val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")

@@ -764,6 +764,72 @@ object Curation {
       .orderBy(source)
   }
 
+  /** CROSS-SOURCE LM DIVERGENCE MATRIX — the smoothed unigram
+    * cross-entropy H(Pₛ ‖ Q̂ₜ) for EVERY source pair: how well a model
+    * of source t predicts source s. [[sourceDivergence]] (q110) reads
+    * each source against the corpus mixture; this is the pairwise
+    * form data-mixing actually wants (which sources are
+    * interchangeable, which are outliers to every other source, which
+    * pair a curriculum should bridge). Q̂ₜ is add-one smoothed over the
+    * union vocabulary, so unseen grams take t's floor 1/(nₜ+V).
+    *
+    * Determinism — the [[graft.functions.IntOls]] discipline end to
+    * end: each ln((cₜ+1)/(nₜ+V)) snaps to integer micro (ONE libm call
+    * per (t, gram)), the per-pair fold is an exact integer weighted
+    * sum Σ c_s·lnq_micro plus the exact residual-mass floor term, and
+    * H lands as one exact rational round-half-up per pair — no float
+    * accumulation reaches the output.
+    *
+    * Scale shape: one (source, token) count agg (Zipf-bounded ×
+    * source domain), ONE gram-keyed join of that table with its
+    * snapped twin (≤ S² rows per gram — the source DOMAIN, not the
+    * corpus, is the multiplier), source-bounded totals broadcast, and
+    * an S²-row output. Output per ordered pair: (src, tgt, n_tokens,
+    * h_micro).
+    */
+  def sourceLmMatrix(s: SparkSession, docs: DataFrame,
+      source: String = "source", text: String = "text"): DataFrame = {
+    import graft.functions.IntOls
+    val toks = filter(split(trim(lower(col(text))), "\\s+"),
+      t => length(t) > 0)
+    // one corpus pass -> the Zipf×source-bounded count table
+    val st = docs.select(col(source).as("src"), explode(toks).as("g"))
+      .groupBy(col("src"), col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val stot = st.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    val v = st.select(col("g")).distinct().agg(count(lit(1)).as("v"))
+    // per (t, gram): the snapped smoothed log-prob; per t: the floor
+    val snap = st.select(col("src").as("tgt"), col("g"), col("c"))
+      .join(broadcast(stot.select(col("src").as("tgt"), col("n"))), "tgt")
+      .crossJoin(broadcast(v))
+      .select(col("tgt"), col("g"),
+        IntOls.lnMicro((col("c") + 1).cast("double")
+          / (col("n") + col("v")).cast("double")).as("lnq"))
+    val floors = stot.select(col("src").as("tgt"), col("n"))
+      .crossJoin(broadcast(v))
+      .select(col("tgt"),
+        IntOls.lnMicro(lit(1.0) / (col("n") + col("v")).cast("double"))
+          .as("lnfloor"))
+    // the ONE gram-keyed join: s-side counts x t-side snapped probs
+    val dec = "decimal(38,0)"
+    // the weighted sum folds in decimal so it cannot overflow long at
+    // token scales where c·lnq_micro sums pass 2^63
+    val inter = st.join(snap, "g")
+      .groupBy(col("src"), col("tgt"))
+      .agg(sum(col("c").cast(dec) * col("lnq").cast(dec)).as("isum"),
+        sum(col("c")).as("imass"))
+    stot.select(col("src"), col("n"))
+      .crossJoin(broadcast(floors))
+      .join(inter, Seq("src", "tgt"), "left")
+      .select(col("src"), col("tgt"), col("n").as("n_tokens"),
+        IntOls.rhu(
+          -(coalesce(col("isum"), lit(0L).cast(dec))
+            + (col("n") - coalesce(col("imass"), lit(0L))).cast(dec)
+              * col("lnfloor").cast(dec)),
+          col("n").cast(dec)).as("h_micro"))
+      .orderBy("src", "tgt")
+  }
+
   /** SOURCE-DIVERGENCE DIAGNOSTIC — how far each source's unigram
     * distribution sits from the corpus mixture: KL(Pₛ ‖ Q) =
     * Σ_t Pₛ(t)·ln(Pₛ(t)/Q(t)) per source, with Pₛ the source's token
@@ -2141,6 +2207,50 @@ object Curation {
              |    END AS BIGINT) AS last_shard_tokens
              |FROM srct JOIN mixw USING (source) JOIN alloc USING (source)
              |ORDER BY srct.source""".stripMargin)),
+
+    // ---- q435: CROSS-SOURCE LM DIVERGENCE MATRIX — smoothed unigram
+    //      cross-entropy H(P_s, Q_t) for every source pair, in the
+    //      IntOls discipline (per-(t,gram) snapped log-probs, exact
+    //      integer weighted sums + residual floor mass, one exact
+    //      rational round-half-up per pair). The oracle replays the
+    //      count tables, the snap, the gram join and the rhu. ----
+    "q435_source_lm_matrix" -> Q(
+      (s, d) => sourceLmMatrix(s, Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT source AS src, unnest(list_filter(
+             |    regexp_split_to_array(trim(lower(text)), '\s+'),
+             |    x -> len(x) > 0)) AS g
+             |  FROM documents),
+             |st AS (SELECT src, g, count(*) AS c FROM t GROUP BY src, g),
+             |stot AS (SELECT src, sum(c) AS n FROM st GROUP BY src),
+             |vv AS (SELECT count(DISTINCT g) AS v FROM st),
+             |snap AS (SELECT st.src AS tgt, st.g,
+             |    CAST(round(ln(CAST(st.c + 1 AS DOUBLE)
+             |      / (stot.n + vv.v)) * 1e6, 0) AS HUGEINT) AS lnq
+             |  FROM st JOIN stot ON stot.src = st.src
+             |  CROSS JOIN vv),
+             |fl AS (SELECT stot.src AS tgt,
+             |    CAST(round(ln(1.0 / (stot.n + vv.v)) * 1e6, 0)
+             |      AS HUGEINT) AS lnfloor
+             |  FROM stot, vv),
+             |inter AS (SELECT st.src, sn.tgt,
+             |    sum(CAST(st.c AS HUGEINT) * sn.lnq) AS isum,
+             |    sum(st.c) AS imass
+             |  FROM st JOIN snap sn ON sn.g = st.g
+             |  GROUP BY st.src, sn.tgt),
+             |pairs AS (SELECT a.src, f.tgt, a.n, f.lnfloor
+             |  FROM stot a, fl f),
+             |h AS (SELECT p.src, p.tgt, p.n,
+             |    -(coalesce(i.isum, 0)
+             |      + CAST(p.n - coalesce(i.imass, 0) AS HUGEINT)
+             |        * p.lnfloor) AS hp,
+             |    CAST(p.n AS HUGEINT) AS hq
+             |  FROM pairs p LEFT JOIN inter i
+             |    ON i.src = p.src AND i.tgt = p.tgt)
+             |SELECT src, tgt, CAST(n AS BIGINT) AS n_tokens,
+             |  CAST(((2 * hp + hq) - ((((2 * hp + hq) % (2 * hq))
+             |    + 2 * hq) % (2 * hq))) // (2 * hq) AS BIGINT)
+             |    AS h_micro
+             |FROM h ORDER BY src, tgt""".stripMargin)),
 
     // ---- q434: DUPLICATE-CLASS SIZE HISTOGRAM — power-of-two buckets
     //      over the normalized-equality class sizes; the oracle
