@@ -2333,6 +2333,13 @@ object Graft {
       slots: Int = 4): DataFrame =
     llm.Pack.streamShardSink(spark, dir, slots)
 
+  /** Materialized curated shards: gates -> dedup -> WebDataset tars
+    * ([[llm.Curation.curatedShards]]).
+    */
+  def curatedShards(spark: SparkSession, docs: DataFrame,
+      shards: Int = 4): DataFrame =
+    llm.Curation.curatedShards(spark, docs, shards)
+
   /** Cross-source smoothed-LM divergence matrix
     * ([[llm.Curation.sourceLmMatrix]]).
     */

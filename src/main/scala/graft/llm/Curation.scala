@@ -1355,6 +1355,36 @@ object Curation {
       .orderBy(source)
   }
 
+  /** CURATED SHARDS — the MATERIALIZED end of the [[trainingDataPlan]]
+    * chain: Gopher gates → normalized dedup → the surviving documents
+    * serialized into WebDataset tar shards ([[Pack.webdatasetShards]],
+    * strict round-trip in the writer). q430 reports the plan; this
+    * entry EXECUTES it — the artifact a training loader mounts.
+    *
+    * Scale shape: the gate+dedup pass is q430's (one corpus read into
+    * the narrow signal table, winner via one window over the hash);
+    * the kept-id set then joins back to the corpus ON THE ID (8-byte
+    * keys) and each kept doc's bytes move once to its shard builder —
+    * the same one shuffle any shard writer pays.
+    *
+    * Output per shard: (shard, n_members, payload_bytes, tar_bytes,
+    * roundtrip_ok).
+    */
+  def curatedShards(s: SparkSession, docs: DataFrame, shards: Int = 4,
+      id: String = "doc_id", text: String = "text",
+      source: String = "source"): DataFrame = {
+    val sig = gopherSignals(docs, id, text, source)
+      .withColumn("nh", xxhash64(normalizeText(s, col(text))))
+      .select(col(id), col("nh"), gopherFail().as("fail"))
+      .localCheckpoint(true)
+    val wNh = org.apache.spark.sql.expressions.Window.partitionBy("nh")
+    val keptIds = sig.filter(!col("fail"))
+      .withColumn("wid", min(col(id)).over(wNh))
+      .filter(col(id) === col("wid"))
+      .select(col(id))
+    Pack.webdatasetShards(s, docs.join(keptIds, id), shards, id, text)
+  }
+
   /** LEXICAL IDF DRIFT between the early and late half of the corpus
     * (doc-id order): the text-side drift monitor next to the numeric
     * PSI (q392) and the embedding drift (q395) — the k terms whose
@@ -2251,6 +2281,51 @@ object Curation {
              |    + 2 * hq) % (2 * hq))) // (2 * hq) AS BIGINT)
              |    AS h_micro
              |FROM h ORDER BY src, tgt""".stripMargin)),
+
+    // ---- q436: CURATED SHARDS — the materialized end of the q430
+    //      chain: gates -> normalized dedup -> WebDataset tar shards
+    //      of the survivors, strict-round-tripped in the writer; the
+    //      oracle replays the gate predicate, the normalized-string
+    //      winners, and the q429 tar byte arithmetic over the kept
+    //      set. ----
+    "q436_curated_shards" -> Q(
+      (s, d) => curatedShards(s, Tables.documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, text,
+             |    list_filter(regexp_split_to_array(trim(lower(text)),
+             |      '\\s+'), x -> len(x) > 0) AS w
+             |  FROM documents),
+             |sig AS (SELECT doc_id, text,
+             |    len(w) AS nw,
+             |    list_sum(list_transform(w, x -> len(x))) AS sumlen,
+             |    len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+             |      AS alpha,
+             |    length(regexp_replace(lower(text), '[a-z0-9\\s]', '',
+             |      'g')) AS nsym,
+             |    length(text) AS nchars,
+             |    len(list_filter(w, x -> x IN (${gopherStops
+              .map("'" + _ + "'").mkString(",")}))) AS stops,
+             |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ct
+             |  FROM t),
+             |fl AS (SELECT doc_id, text, ct,
+             |    (nw < 50 OR nw > 100000
+             |      OR nw = 0 OR (sumlen * 1000) // greatest(nw, 1) < 3000
+             |      OR (sumlen * 1000) // greatest(nw, 1) > 10000
+             |      OR (alpha * 1000) // greatest(nw, 1) < 800
+             |      OR nchars = 0
+             |      OR (nsym * 1000) // greatest(nchars, 1) > 100
+             |      OR stops < 2) AS fail
+             |  FROM sig),
+             |win AS (SELECT ct, min(doc_id) AS wid FROM fl
+             |  WHERE NOT fail GROUP BY ct),
+             |kept AS (SELECT f.doc_id, f.text FROM fl f
+             |  JOIN win w ON w.ct = f.ct
+             |  WHERE NOT f.fail AND f.doc_id = w.wid)
+             |SELECT doc_id % 4 AS shard, count(*) AS n_members,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes,
+             |  CAST(sum(512 + ((strlen(text) + 511) // 512) * 512)
+             |    + 1024 AS BIGINT) AS tar_bytes,
+             |  TRUE AS roundtrip_ok
+             |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- q434: DUPLICATE-CLASS SIZE HISTOGRAM — power-of-two buckets
     //      over the normalized-equality class sizes; the oracle

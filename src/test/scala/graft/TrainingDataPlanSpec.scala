@@ -68,6 +68,24 @@ class TrainingDataPlanSpec extends SparkSpec {
     assert(rows("src3").getLong(9) + rows("src7").getLong(9) == 250L)
   }
 
+  test("curatedShards: only gate+dedup survivors land in the tars") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, passing, "src0"),                           // kept -> shard 0
+      (1L, "  " + passing.toUpperCase + "  ", "src0"), // dup of 0: dropped
+      (2L, "too short to pass the gates", "src1"),     // gate fail
+      (3L, passing + " extra tail words here now", "src1") // kept -> shard 3
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.curatedShards(s, docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      .toMap
+    def tarLen(t: String) = t.getBytes("UTF-8").length.toLong
+    assert(got == Map(
+      0L -> ((1L, tarLen(passing), true)),
+      3L -> ((1L, tarLen(passing + " extra tail words here now"), true))), got)
+  }
+
   test("plan: the corpus parquet is scanned exactly once (shared pass)") {
     val s = spark
     import s.implicits._
