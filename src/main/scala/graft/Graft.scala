@@ -2366,6 +2366,13 @@ object Graft {
       docsPerShard: Long = 64): DataFrame =
     llm.Pack.shardInterleave(spark, docs, docsPerShard)
 
+  /** Streaming curated shards: gates -> cross-batch dedup -> tars
+    * with exactly-once artifacts ([[llm.Pack.streamCuratedShards]]).
+    */
+  def streamCuratedShards(spark: SparkSession, dir: String,
+      slots: Int = 4): DataFrame =
+    llm.Pack.streamCuratedShards(spark, dir, slots)
+
   /** Composed end-to-end training-data plan: Gopher gates ->
     * normalized dedup -> temperature mixture -> epoch water-filling
     * -> shard manifest, one shared corpus scan

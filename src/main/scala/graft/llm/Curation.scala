@@ -1011,6 +1011,11 @@ object Curation {
   private val gopherStops = Seq("the", "a", "of", "to", "and", "in",
     "is", "it")
 
+  /** the stop-word list as a SQL IN-list fragment — shared by every
+    * oracle replica of the Gopher gate so the replicas cannot drift */
+  private[llm] def gopherStopsSql: String =
+    gopherStops.map("'" + _ + "'").mkString(",")
+
   /** GOPHER QUALITY RULES (Rae et al. 2021 §A1.1, the non-repetition
     * half — [[repetitionFilter]] carries the repetition rules): per
     * doc, word count bounds, mean word length in [3, 10], fraction of

@@ -607,7 +607,200 @@ object Pack {
     m
   }
 
+  /** STREAMING CURATED SHARDS — the full crawl-ingest chain at the
+    * micro-batch boundary: Gopher gates (stateless, the q420 rung) →
+    * CROSS-BATCH normalized dedup → WebDataset tar shards, all under
+    * the q431 exactly-once artifact contract (deterministic paths,
+    * atomic rename, per-batch overwritten outputs, planted-failure +
+    * checkpoint-replay proof).
+    *
+    * Dedup state is the q67 dedup-index pattern, not opaque streaming
+    * state: each batch persists its fresh class hashes at
+    * `seen/b<batchId>` (overwritten on replay — idempotent), and a
+    * batch anti-joins ONLY the PRIOR batches' key dirs, so a replayed
+    * batch sees exactly the state its first delivery saw. The
+    * survivor is deterministic end to end: first batch containing the
+    * class wins, min doc id within that batch breaks ties — which is
+    * what lets the oracle replay arrival order arithmetically
+    * (batch = doc_id % 3 under the pinned slices).
+    *
+    * Scale shape: the gate is a narrow map; the dedup state is 8-byte
+    * hashes (the text never enters state); the per-batch winner is
+    * one window over the batch's hashes; shard bytes move once.
+    * Output per (batch, slot): (batch, slot, n_members,
+    * payload_bytes, tar_bytes, roundtrip_ok).
+    */
+  def streamCuratedShards(s: SparkSession, dir: String, slots: Int = 4)
+      : DataFrame = {
+    import s.implicits._
+    require(slots >= 1, s"slots >= 1: $slots")
+    val work = java.nio.file.Files.createTempDirectory("graft-q437")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(work.toFile)
+    }
+    val src = s"$work/src"; val shardDir = s"$work/shards"
+    val manifest = s"$work/manifest"; val seen = s"$work/seen"
+    val ckpt = s"$work/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shardDir))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    (0 until 3).foreach { k =>
+      val before = Option(new java.io.File(src).listFiles())
+        .map(_.toSet).getOrElse(Set.empty[java.io.File])
+      docs.filter(col("doc_id") % 3 === k).coalesce(1)
+        .write.mode("append").parquet(src)
+      val after = new java.io.File(src).listFiles().toSet
+      (after -- before).foreach(_.setLastModified(1000000000000L + k * 60000L))
+    }
+    val sch = s.read.parquet(src).schema
+    def runQuery(failAt: Option[Long]): org.apache.spark.sql.streaming.StreamingQuery =
+      s.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val ss = batch.sparkSession
+          import ss.implicits._
+          // gate (stateless) + the batch's dedup hash
+          val pass = graft.llm.Curation.gopherFlags(batch)
+            .filter(!(col("f_nwords") || col("f_wordlen") || col("f_alpha")
+              || col("f_symbol") || col("f_stop")))
+            .select(col("doc_id"))
+            .join(batch, "doc_id")
+            .withColumn("nh", xxhash64(
+              graft.llm.Curation.normalizeText(ss, col("text"))))
+          // deterministic per-batch winner: min doc id per class
+          val wNh = org.apache.spark.sql.expressions.Window.partitionBy("nh")
+          val cand = pass
+            .withColumn("wid", min(col("doc_id")).over(wNh))
+            .filter(col("doc_id") === col("wid"))
+            .select(col("doc_id"), col("text"), col("nh"))
+          // anti-join ONLY prior batches' committed-or-overwritable
+          // key dirs — a replayed batch sees exactly its first view
+          val priorDirs = (0L until batchId)
+            .map(i => s"$seen/b$i")
+            .filter(p => new java.io.File(p).exists())
+          val fresh =
+            if (priorDirs.isEmpty) cand
+            else cand.join(ss.read.parquet(priorDirs: _*),
+              Seq("nh"), "left_anti")
+          val freshC = fresh.localCheckpoint(true)
+          val rows = freshC
+            .select((col("doc_id") % slots).as("slot"), col("doc_id"),
+              col("text"))
+            .as[(Long, Long, String)]
+            .groupByKey(_._1)
+            .mapGroups { (slot, it) =>
+              val members = it.toArray.sortBy(_._2).map { case (_, i, t) =>
+                (s"$i.txt",
+                  t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              }
+              val tar = graft.io.Tar.build(members.toSeq)
+              val back = graft.io.Tar.parse(tar)
+              val ok = back.length == members.length &&
+                back.zip(members).forall { case ((n1, b1), (n2, b2)) =>
+                  n1 == n2 && java.util.Arrays.equals(b1, b2)
+                }
+              val p = java.nio.file.Paths.get(shardDir,
+                f"shard-$batchId%05d-$slot%03d.tar")
+              val tmp = p.resolveSibling(
+                p.getFileName.toString + "." + java.util.UUID.randomUUID)
+              java.nio.file.Files.write(tmp, tar)
+              java.nio.file.Files.move(tmp, p,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              (batchId, slot, members.length.toLong,
+                members.map(_._2.length.toLong).sum, tar.length.toLong, ok)
+            }
+            .toDF("batch", "slot", "n_members", "payload_bytes",
+              "tar_bytes", "roundtrip_ok")
+          rows.write.mode("overwrite").parquet(s"$manifest/b$batchId")
+          // state update LAST (idempotent overwrite); the planted
+          // failure fires after all artifacts, before the commit log
+          freshC.select(col("nh")).repartition(1)
+            .write.mode("overwrite").parquet(s"$seen/b$batchId")
+          if (failAt.contains(batchId))
+            throw new RuntimeException(
+              s"planted failure after batch $batchId artifacts, before commit")
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    val q1 = runQuery(failAt = Some(1L))
+    try q1.processAllAvailable() catch { case _: Throwable => () }
+    try q1.stop() catch { case _: Throwable => () }
+    require(q1.exception.isDefined,
+      "q437 phase 1 must terminate on the planted batch-1 failure")
+    val q2 = runQuery(failAt = None)
+    try q2.processAllAvailable() finally q2.stop()
+    val m = s.read.parquet(s"$manifest/b*")
+      .select(col("batch"), col("slot"), col("n_members"),
+        col("payload_bytes"), col("tar_bytes"), col("roundtrip_ok"))
+      .orderBy("batch", "slot")
+      .localCheckpoint(true)
+    val files = new java.io.File(shardDir).listFiles()
+      .filter(_.getName.endsWith(".tar"))
+      .map(f => f.getName -> f.length).toMap
+    val rows = m.collect() // (batch, slot)-bounded
+    require(files.size == rows.length,
+      s"q437: ${files.size} shard files vs ${rows.length} manifest rows " +
+        "— duplication or loss across the replay")
+    rows.foreach { r =>
+      val name = f"shard-${r.getLong(0)}%05d-${r.getLong(1)}%03d.tar"
+      require(files.get(name).contains(r.getLong(4)),
+        s"q437: shard $name size ${files.get(name)} != manifest " +
+          s"tar_bytes ${r.getLong(4)}")
+    }
+    m
+  }
+
   val all: ListMap[String, Q] = ListMap(
+    // ---- q437: STREAMING CURATED SHARDS — gates -> cross-batch
+    //      normalized dedup (seen-store, replay-idempotent) -> tar
+    //      shards under the planted-failure + checkpoint-replay
+    //      proof; the oracle replays the gate predicate and the
+    //      deterministic arrival-order winner (first batch wins,
+    //      min id within it) from the pinned slices. ----
+    "q437_stream_curated_shards" -> Q(
+      (s, d) => streamCuratedShards(s, d, slots = 4),
+      Some(s"""WITH t AS (SELECT doc_id, text,
+             |    list_filter(regexp_split_to_array(trim(lower(text)),
+             |      '\\s+'), x -> len(x) > 0) AS w
+             |  FROM documents),
+             |sig AS (SELECT doc_id, text,
+             |    len(w) AS nw,
+             |    list_sum(list_transform(w, x -> len(x))) AS sumlen,
+             |    len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+             |      AS alpha,
+             |    length(regexp_replace(lower(text), '[a-z0-9\\s]', '',
+             |      'g')) AS nsym,
+             |    length(text) AS nchars,
+             |    len(list_filter(w, x -> x IN (${graft.llm.Curation
+              .gopherStopsSql}))) AS stops,
+             |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ct
+             |  FROM t),
+             |fl AS (SELECT doc_id, text, ct,
+             |    (nw < 50 OR nw > 100000
+             |      OR nw = 0 OR (sumlen * 1000) // greatest(nw, 1) < 3000
+             |      OR (sumlen * 1000) // greatest(nw, 1) > 10000
+             |      OR (alpha * 1000) // greatest(nw, 1) < 800
+             |      OR nchars = 0
+             |      OR (nsym * 1000) // greatest(nchars, 1) > 100
+             |      OR stops < 2) AS fail
+             |  FROM sig),
+             |wn AS (SELECT doc_id, text, row_number() OVER
+             |    (PARTITION BY ct ORDER BY doc_id % 3, doc_id) AS rn
+             |  FROM fl WHERE NOT fail),
+             |kept AS (SELECT doc_id, text FROM wn WHERE rn = 1)
+             |SELECT doc_id % 3 AS batch, doc_id % 4 AS slot,
+             |  count(*) AS n_members,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes,
+             |  CAST(sum(512 + ((strlen(text) + 511) // 512) * 512)
+             |    + 1024 AS BIGINT) AS tar_bytes,
+             |  TRUE AS roundtrip_ok
+             |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- q431: STREAMING SHARD SINK — exactly-once tar shards +
     //      manifest under a planted mid-stream failure and checkpoint
     //      replay; the oracle computes the (batch, slot) manifest a

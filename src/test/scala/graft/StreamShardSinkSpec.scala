@@ -38,4 +38,34 @@ class StreamShardSinkSpec extends SparkSpec {
         s"doc $i at $key: ${got(key)} vs ($textBytes, $expTar)")
     }
   }
+
+  test("streamCuratedShards: arrival-order dedup + gates across the replay") {
+    val s = spark
+    import s.implicits._
+    val base = Iterator
+      .continually("the cat runs fast and dogs jump over lazy rivers")
+      .take(6).mkString(" ") // 60 words: passes every Gopher gate
+    val dir = java.nio.file.Files.createTempDirectory("graft-q437-spec")
+    val docs = Seq(
+      (0L, base, "sA"),                    // b0: kept -> (0, slot 0)
+      (1L, "  " + base.toUpperCase, "sA"), // b1: dup of 0 -> dropped
+      (2L, "too short", "sB"),             // b2: gate fail
+      (3L, base + " alpha beta", "sB"),    // b0: kept -> (0, slot 3)
+      (4L, base + " gamma delta", "sA"),   // b1: kept -> (1, slot 0)
+      (5L, base + " gamma  DELTA", "sB"),  // b2: dup of 4 -> dropped
+      (6L, base + " same batch", "sA"),    // b0: kept -> (0, slot 2)
+      (9L, base + "  same   BATCH", "sB")  // b0: same-batch dup, 6 wins
+    ).toDF("doc_id", "text", "source")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pack.streamCuratedShards(s, dir.toString, slots = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    def b(t: String) = t.getBytes("UTF-8").length.toLong
+    assert(got == Map(
+      (0L, 0L) -> ((1L, b(base))),
+      (0L, 2L) -> ((1L, b(base + " same batch"))),
+      (0L, 3L) -> ((1L, b(base + " alpha beta"))),
+      (1L, 0L) -> ((1L, b(base + " gamma delta")))), got)
+  }
 }
