@@ -2366,6 +2366,13 @@ object Graft {
       docsPerShard: Long = 64): DataFrame =
     llm.Pack.shardInterleave(spark, docs, docsPerShard)
 
+  /** Prefix-proportionality audit of the interleave schedule
+    * ([[llm.Pack.interleaveDiscrepancy]]).
+    */
+  def interleaveDiscrepancy(spark: SparkSession, docs: DataFrame,
+      docsPerShard: Long = 64): DataFrame =
+    llm.Pack.interleaveDiscrepancy(spark, docs, docsPerShard)
+
   /** Streaming curated shards: gates -> cross-batch dedup -> tars
     * with exactly-once artifacts ([[llm.Pack.streamCuratedShards]]).
     */

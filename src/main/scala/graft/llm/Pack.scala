@@ -469,6 +469,53 @@ object Pack {
       .orderBy("step")
   }
 
+  /** INTERLEAVE DISCREPANCY AUDIT — the [[shardInterleave]] claim
+    * ("every schedule prefix holds each source in proportion to its
+    * shard share") measured as data instead of asserted in prose: for
+    * every prefix k of the schedule and every source s, the deviation
+    * |C_s(k) − k·n_s/N| in shard units, reported as the per-source
+    * MAXIMUM in exact milli. A stratified (2i+1)/(2n) interleave is
+    * classically bounded below ONE shard of deviation at every
+    * prefix; a schedule that concatenates sources instead would show
+    * deviations up to n_s shards — this entry is the gauge that
+    * catches such a regression.
+    *
+    * Exactness: dev_scaled = |C_s(k)·N − k·n_s| is pure integer; the
+    * per-source max folds in integers and ONE exact rational
+    * round-half-up emits milli (the IntOls discipline). Scale shape:
+    * the schedule table is shard-bounded; the audit explodes it to
+    * (prefix × source) = N·S rows — still shard-domain-bounded, never
+    * corpus-sized. Output per source: (source, n_shards,
+    * max_dev_milli).
+    */
+  def interleaveDiscrepancy(s: SparkSession, docs: DataFrame,
+      docsPerShard: Long = 64, id: String = "doc_id",
+      source: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sched = shardInterleave(s, docs, docsPerShard, id, source)
+      .localCheckpoint(true)
+    val tot = sched.groupBy(col(source)).agg(count(lit(1)).as("ns"))
+      .crossJoin(broadcast(sched.agg(count(lit(1)).as("nn"))))
+    // C_s(k) for every (prefix k, source s): cross the schedule with
+    // the source list and window-count arrivals up to k
+    val grid = sched.select(col("step"), col(source).as("arr"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cs", sum(when(col("arr") === col(source), 1L)
+        .otherwise(0L)).over(
+        Window.partitionBy(col(source)).orderBy(col("step"))
+          .rowsBetween(Long.MinValue, 0)))
+      .withColumn("dev", abs(col("cs") * col("nn")
+        - col("step") * col("ns")))
+    grid.groupBy(col(source))
+      .agg(max(col("ns")).as("n_shards"), max(col("nn")).as("nn"),
+        max(col("dev")).as("mdev"))
+      .select(col(source), col("n_shards"),
+        graft.functions.IntOls.rhu(
+          (col("mdev") * 1000L).cast("decimal(38,0)"),
+          col("nn").cast("decimal(38,0)")).as("max_dev_milli"))
+      .orderBy(source)
+  }
+
   /** STREAMING WEBDATASET SHARD SINK — how a crawl pipeline actually
     * writes training shards: documents arrive in micro-batches and
     * each batch emits its tar shards AS IT COMMITS, with EXACTLY-ONCE
@@ -883,6 +930,46 @@ object Pack {
              |    (ORDER BY pos, source, shard_idx) AS BIGINT) AS step,
              |  source, CAST(shard_idx AS BIGINT) AS shard_idx
              |FROM p ORDER BY step""".stripMargin)),
+
+    // ---- q438: INTERLEAVE DISCREPANCY AUDIT — the q433 prefix-
+    //      proportionality claim measured in exact integer milli;
+    //      the oracle replays the schedule, the prefix-count grid
+    //      and the per-source max + exact rhu. ----
+    "q438_interleave_discrepancy" -> Q(
+      (s, d) => interleaveDiscrepancy(s, Tables.documents(s, d)),
+      Some("""WITH ns0 AS (SELECT source, count(*) AS nd
+             |  FROM documents GROUP BY source),
+             |sh AS (SELECT source, (nd + 63) // 64 AS n FROM ns0),
+             |ix AS (SELECT source, n, unnest(range(0, n)) AS shard_idx
+             |  FROM sh),
+             |p AS (SELECT source, shard_idx,
+             |    CAST(2 * shard_idx + 1 AS DOUBLE)
+             |      / CAST(2 * n AS DOUBLE) AS pos
+             |  FROM ix),
+             |sched AS (SELECT row_number() OVER
+             |    (ORDER BY pos, source, shard_idx) AS step,
+             |    source AS arr
+             |  FROM p),
+             |tot AS (SELECT arr AS source, count(*) AS ns
+             |  FROM sched GROUP BY arr),
+             |nt AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM sched),
+             |grid AS (SELECT t.source, t.ns, s.step, s.arr,
+             |    sum(CASE WHEN s.arr = t.source THEN 1 ELSE 0 END) OVER
+             |      (PARTITION BY t.source ORDER BY s.step
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cs
+             |  FROM sched s CROSS JOIN tot t),
+             |d AS (SELECT g.source, g.ns,
+             |    max(abs(CAST(g.cs AS HUGEINT) * nt.nn
+             |      - CAST(g.step AS HUGEINT) * g.ns)) AS mdev
+             |  FROM grid g, nt GROUP BY g.source, g.ns),
+             |e AS (SELECT d.source, d.ns,
+             |    2 * d.mdev * 1000 + nt.nn AS hp, 2 * nt.nn AS hq
+             |  FROM d, nt)
+             |SELECT source, CAST(ns AS BIGINT) AS n_shards,
+             |  CAST((hp - ((hp % hq + hq) % hq)) // hq AS BIGINT)
+             |    AS max_dev_milli
+             |FROM e ORDER BY source""".stripMargin)),
 
     // ---- q429: WEBDATASET TAR SHARDS — 4 hash shards of the corpus
     //      through the real ustar writer, each round-tripped through

@@ -202,4 +202,19 @@ class PackSpec extends SparkSpec {
     assert(got == Seq((1L, "srcA", 0L), (2L, "srcA", 1L),
       (3L, "srcB", 0L), (4L, "srcA", 2L)), got)
   }
+
+  test("interleaveDiscrepancy: the stratified schedule stays under one shard") {
+    val s = spark
+    import s.implicits._
+    // schedule A,A,B,A (the fixture above): max |C_s(k)*4 - k*n_s| = 2
+    // for both sources -> 500 milli, well under the one-shard bound
+    val docs = ((0L until 5L).map(i => (i, "x", "srcA")) ++
+      (10L until 12L).map(i => (i, "x", "srcB")))
+      .toDF("doc_id", "text", "source")
+    val got = Pack.interleaveDiscrepancy(s, docs, docsPerShard = 2L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map("srcA" -> ((3L, 500L)), "srcB" -> ((1L, 500L))), got)
+    assert(got.values.forall(_._2 < 1000L), "one-shard discrepancy bound")
+  }
 }
