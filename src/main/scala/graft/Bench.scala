@@ -197,7 +197,9 @@ object Bench {
       "q434_dup_class_histogram", "q435_source_lm_matrix",
       // the materialized chain: gates -> dedup -> tar shards; the
       // interleave discrepancy gauge (shard-bounded prefix grid)
-      "q436_curated_shards", "q438_interleave_discrepancy")
+      "q436_curated_shards", "q438_interleave_discrepancy",
+      // multimodal image+caption shards (q429's shuffle + BMP codec)
+      "q439_multimodal_shards")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round. (r13's q406-q429 rotate
@@ -206,7 +208,8 @@ object Bench {
     val newestKeys = Seq("q430_training_data_plan",
       "q432_pack_efficiency_sweep", "q433_shard_interleave",
       "q434_dup_class_histogram", "q435_source_lm_matrix",
-      "q436_curated_shards", "q438_interleave_discrepancy")
+      "q436_curated_shards", "q438_interleave_discrepancy",
+      "q439_multimodal_shards")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

@@ -2366,6 +2366,13 @@ object Graft {
       docsPerShard: Long = 64): DataFrame =
     llm.Pack.shardInterleave(spark, docs, docsPerShard)
 
+  /** Multimodal image+caption WebDataset shards
+    * ([[llm.Pack.multimodalShards]]; codecs [[io.Tar]], [[io.Bmp]]).
+    */
+  def multimodalShards(spark: SparkSession, docs: DataFrame,
+      shards: Int): DataFrame =
+    llm.Pack.multimodalShards(spark, docs, shards)
+
   /** Prefix-proportionality audit of the interleave schedule
     * ([[llm.Pack.interleaveDiscrepancy]]).
     */

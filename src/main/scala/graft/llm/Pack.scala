@@ -469,6 +469,68 @@ object Pack {
       .orderBy("step")
   }
 
+  /** MULTIMODAL WEBDATASET SHARDS — the image+caption pair form of
+    * [[webdatasetShards]], which is what WebDataset actually exists
+    * for: each doc contributes TWO adjacent members, `<id>.bmp` (a
+    * deterministic 16×16 grayscale thumbnail through the real
+    * [[graft.io.Bmp]] codec — the same-key-adjacency contract
+    * training loaders rely on) and `<id>.txt` (the caption). The
+    * writer round-trips the tar through the strict parser AND decodes
+    * every image member back through [[graft.io.Bmp.parse]] against
+    * the planted raster — a corrupt image artifact dies in the
+    * writer, not in a dataloader.
+    *
+    * The thumbnail raster is a pure integer function of the doc id
+    * ((id·31 + k·7) mod 256 — the container has no image libs, so the
+    * decode/encode plumbing is exercised with a deterministic fake,
+    * full-fidelity BMP bytes included), and a 16×16 24-bit BMP is a
+    * CONSTANT 822 bytes — which is what lets the oracle pin the whole
+    * binary layout from caption lengths alone. Scale shape: q429's —
+    * one shuffle of each doc's bytes to its shard builder.
+    *
+    * Output per shard: (shard, n_docs, n_members, payload_bytes,
+    * tar_bytes, roundtrip_ok).
+    */
+  def multimodalShards(s: SparkSession, docs: DataFrame, shards: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import s.implicits._
+    require(shards >= 1, s"shards >= 1: $shards")
+    docs.select((col(id) % shards).as("shard"), col(id), col(text))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (sh, it) =>
+        val ds = it.toArray.sortBy(_._2)
+        val withPx = ds.map { case (_, i, t) =>
+          val px = Array.tabulate(256)(k => ((i * 31 + k * 7) % 256).toInt)
+          (i, t, px)
+        }
+        val members = withPx.flatMap { case (i, t, px) =>
+          Seq(
+            (s"$i.bmp", graft.io.Bmp.build24(graft.io.Bmp.Gray(16, 16, px))),
+            (s"$i.txt", t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+        val tar = graft.io.Tar.build(members.toSeq)
+        val back = graft.io.Tar.parse(tar)
+        val bytesOk = back.length == members.length &&
+          back.zip(members).forall { case ((n1, b1), (n2, b2)) =>
+            n1 == n2 && java.util.Arrays.equals(b1, b2)
+          }
+        // every image member must decode to the planted raster
+        val pxByName = withPx.map { case (i, _, px) => s"$i.bmp" -> px }.toMap
+        val imgOk = back.filter(_._1.endsWith(".bmp")).forall { case (n, b) =>
+          val g = graft.io.Bmp.parse(b)
+          g.width == 16 && g.height == 16 &&
+            java.util.Arrays.equals(g.pixels, pxByName(n))
+        }
+        (sh, ds.length.toLong, members.length.toLong,
+          members.map(_._2.length.toLong).sum, tar.length.toLong,
+          bytesOk && imgOk)
+      }
+      .toDF("shard", "n_docs", "n_members", "payload_bytes",
+        "tar_bytes", "roundtrip_ok")
+      .orderBy("shard")
+  }
+
   /** INTERLEAVE DISCREPANCY AUDIT — the [[shardInterleave]] claim
     * ("every schedule prefix holds each source in proportion to its
     * shard share") measured as data instead of asserted in prose: for
@@ -970,6 +1032,21 @@ object Pack {
              |  CAST((hp - ((hp % hq + hq) % hq)) // hq AS BIGINT)
              |    AS max_dev_milli
              |FROM e ORDER BY source""".stripMargin)),
+
+    // ---- q439: MULTIMODAL WEBDATASET SHARDS — image+caption pair
+    //      members per doc (real BMP bytes, strict tar + image
+    //      roundtrip in the writer); a 16x16 24-bit BMP is a constant
+    //      822 bytes, so the oracle pins the full binary layout from
+    //      caption lengths alone. ----
+    "q439_multimodal_shards" -> Q(
+      (s, d) => multimodalShards(s, Tables.documents(s, d), shards = 4),
+      Some("""SELECT doc_id % 4 AS shard, count(*) AS n_docs,
+             |  CAST(2 * count(*) AS BIGINT) AS n_members,
+             |  CAST(sum(strlen(text) + 822) AS BIGINT) AS payload_bytes,
+             |  CAST(sum(512 + ((strlen(text) + 511) // 512) * 512
+             |    + 512 + 1024) + 1024 AS BIGINT) AS tar_bytes,
+             |  TRUE AS roundtrip_ok
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- q429: WEBDATASET TAR SHARDS — 4 hash shards of the corpus
     //      through the real ustar writer, each round-tripped through

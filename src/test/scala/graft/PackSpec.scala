@@ -203,6 +203,26 @@ class PackSpec extends SparkSpec {
       (3L, "srcB", 0L), (4L, "srcA", 2L)), got)
   }
 
+  test("multimodalShards: image+caption pairs, exact layout, decode roundtrip") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "cap zero"), (1L, "caption one " + ("y" * 600)),
+      (4L, "same shard as zero")).toDF("doc_id", "text")
+    val got = Pack.multimodalShards(s, docs, shards = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    def cap(t: String) = t.getBytes("UTF-8").length.toLong
+    def mem(n: Long) = 512L + (n + 511) / 512 * 512
+    // shard 0: docs 0 and 4 (2 docs, 4 members); shard 1: doc 1
+    val s0tar = mem(cap("cap zero")) + mem(822) +
+      mem(cap("same shard as zero")) + mem(822) + 1024
+    assert(got(0L) == ((2L, 4L,
+      cap("cap zero") + cap("same shard as zero") + 1644L, s0tar, true)), got)
+    val c1 = cap("caption one " + ("y" * 600))
+    assert(got(1L) == ((1L, 2L, c1 + 822L, mem(c1) + mem(822) + 1024, true)),
+      got)
+  }
+
   test("interleaveDiscrepancy: the stratified schedule stays under one shard") {
     val s = spark
     import s.implicits._
