@@ -17,9 +17,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *   → locale-free lowercase (Locale.ROOT — the casefold rung)
   *   → strip format chars (Cf: zero-width space/joiners, BOM, soft
   *     hyphen, directional marks) and NON-whitespace control chars
-  *     (whitespace controls -- tab, LF, CR, U+000B, U+000C,
-  *     U+001C-U+001F -- route through the collapse rung instead,
-  *     matching the oracle's '\s+' token-boundary semantics)
+  *     (controls that are JAVA whitespace -- tab, LF, CR, U+000B,
+  *     U+000C, U+001C-U+001F -- route through the collapse rung
+  *     instead, so they act as token boundaries rather than deleting
+  *     into a token merge)
+  *
+  * NOTE the collapse set is Character.isWhitespace, which is WIDER
+  * than the regex '\s' of either oracle engine (RE2/DuckDB '\s'
+  * excludes U+000B and U+001C-U+001F; Java '\s' excludes
+  * U+001C-U+001F), so the corpus-replay oracle equivalence holds only
+  * for text free of those code points — their behavior is therefore
+  * pinned by a dedicated q407 VALUES fixture row, not by the replay.
   *
   * The transform is IDEMPOTENT (spec-pinned) and the identity on
   * already-clean ASCII text modulo lower/collapse/trim — which is what
@@ -47,13 +55,13 @@ object TextNorm {
       val cp = folded.codePointAt(i)
       i += Character.charCount(cp)
       val t = Character.getType(cp)
-      // controls that are whitespace (tab/LF/CR and also vertical
-      // tab U+000B, form feed U+000C, U+001C-U+001F) route through
-      // the collapse branch below -- the oracle's '\\s+' reduction
-      // treats them as token boundaries, so deleting them here would
-      // merge adjacent tokens ("a\\fb" -> "ab" instead of the
-      // oracle's "a b"); the Cc strip only removes NON-whitespace
-      // controls.
+      // controls that are JAVA whitespace (tab/LF/CR and also
+      // vertical tab U+000B, form feed U+000C, U+001C-U+001F) route
+      // through the collapse branch below -- deleting them would
+      // merge adjacent tokens ("a\\fb" -> "ab" instead of "a b").
+      // U+000B/U+001C-U+001F are NOT '\s' in RE2/DuckDB (see header
+      // note): their collapse behavior is pinned by the q407 VALUES
+      // fixture, not by the oracle's regex replay.
       val isCtl = t == Character.CONTROL && !Character.isWhitespace(cp)
       if (t != Character.FORMAT && !isCtl) {
         if (Character.isWhitespace(cp)) pendingSpace = started

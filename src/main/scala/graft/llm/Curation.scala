@@ -1491,7 +1491,12 @@ object Curation {
           (3L, "a​b c­def"),
           (4L, "﻿BOMbell\tTAB  x"),
           (5L, "nb sp ①² étude"),
-          (6L, "  MiXeD   Case\r\n\r\nlines  ")).toDF("id", "raw")
+          (6L, "  MiXeD   Case\r\n\r\nlines  "),
+          // whitespace controls OUTSIDE the oracle engines' '\s'
+          // (U+000B, U+001C-U+001F; U+000C is Java-'\s' but not
+          // RE2's): collapse-to-boundary behavior pinned HERE as a
+          // literal, since the corpus replay's regex cannot express it
+          (7L, "a\u000Bb\u001Cc\u001Dd\u001Ee\u001Ff\u000Cg")).toDF("id", "raw")
         val corpus = Tables.documents(s, d)
           .select((col("doc_id") + 1000L).as("id"), col("text").as("raw"))
         pinned.unionAll(corpus)
@@ -1505,7 +1510,8 @@ object Curation {
              |    (3, 'ab cdef'),
              |    (4, 'bombell tab x'),
              |    (5, 'nb sp 12 étude'),
-             |    (6, 'mixed case lines')) t(id, norm)
+             |    (6, 'mixed case lines'),
+             |    (7, 'a b c d e f g')) t(id, norm)
              |  UNION ALL
              |  SELECT doc_id + 1000,
              |    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))

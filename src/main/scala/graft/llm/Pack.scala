@@ -451,8 +451,7 @@ object Pack {
     * Output, schedule order: (step, source, shard_idx).
     */
   def shardInterleave(s: SparkSession, docs: DataFrame,
-      docsPerShard: Long = 64, id: String = "doc_id",
-      source: String = "source"): DataFrame = {
+      docsPerShard: Long = 64, source: String = "source"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(docsPerShard > 0, s"docsPerShard > 0: $docsPerShard")
     val ns = docs.groupBy(col(source)).agg(count(lit(1)).as("nd"))
@@ -551,10 +550,9 @@ object Pack {
     * max_dev_milli).
     */
   def interleaveDiscrepancy(s: SparkSession, docs: DataFrame,
-      docsPerShard: Long = 64, id: String = "doc_id",
-      source: String = "source"): DataFrame = {
+      docsPerShard: Long = 64, source: String = "source"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sched = shardInterleave(s, docs, docsPerShard, id, source)
+    val sched = shardInterleave(s, docs, docsPerShard, source)
       .localCheckpoint(true)
     val tot = sched.groupBy(col(source)).agg(count(lit(1)).as("ns"))
       .crossJoin(broadcast(sched.agg(count(lit(1)).as("nn"))))
@@ -610,18 +608,37 @@ object Pack {
     * Output per (batch, slot): (batch, slot, n_members,
     * payload_bytes, tar_bytes, roundtrip_ok).
     */
+  /** temp work dirs for the streaming sinks: deleted EAGERLY after the
+    * manifest readout (it is localCheckpointed, so nothing the returned
+    * frame needs lives under the dir); ONE shared shutdown hook —
+    * registered on first use, not per invocation — covers failure
+    * paths, so repeated bench/oracle reps accumulate neither hooks nor
+    * disk (the r14 advisory)
+    */
+  private val streamWorkDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val streamCleanupHook: Unit = {
+    sys.addShutdownHook { streamWorkDirs.forEach(p => rmTree(p.toFile)) }
+    ()
+  }
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+  private def newStreamWork(prefix: String): java.nio.file.Path = {
+    streamCleanupHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    streamWorkDirs.add(p); p
+  }
+  private def dropStreamWork(p: java.nio.file.Path): Unit = {
+    streamWorkDirs.remove(p); rmTree(p.toFile)
+  }
+
   def streamShardSink(s: SparkSession, dir: String, slots: Int = 4)
       : DataFrame = {
     import s.implicits._
     require(slots >= 1, s"slots >= 1: $slots")
-    val work = java.nio.file.Files.createTempDirectory("graft-q431")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(work.toFile)
-    }
+    val work = newStreamWork("graft-q431")
     val src = s"$work/src"; val shardDir = s"$work/shards"
     val manifest = s"$work/manifest"; val ckpt = s"$work/ckpt"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shardDir))
@@ -699,10 +716,15 @@ object Pack {
       .orderBy("batch", "slot")
       .localCheckpoint(true)
     // disk must match the manifest EXACTLY: a duplicated shard from
-    // the replay, a leftover temp file, or a partial write fails here
-    val files = new java.io.File(shardDir).listFiles()
-      .filter(_.getName.endsWith(".tar"))
-      .map(f => f.getName -> f.length).toMap
+    // the replay, a leftover temp file, or a partial write fails here —
+    // including a `*.tar.<uuid>` orphan from a crashed atomic rename,
+    // which the .tar-suffix filter alone would silently pass over
+    val allFiles = new java.io.File(shardDir).listFiles()
+    val stray = allFiles.filterNot(_.getName.endsWith(".tar"))
+    require(stray.isEmpty,
+      s"q431: non-.tar files left in shard dir (crashed rename?): " +
+        stray.map(_.getName).mkString(","))
+    val files = allFiles.map(f => f.getName -> f.length).toMap
     val rows = m.collect() // (batch, slot)-bounded: 3 x slots rows
     require(files.size == rows.length,
       s"q431: ${files.size} shard files vs ${rows.length} manifest rows " +
@@ -713,6 +735,7 @@ object Pack {
         s"q431: shard $name size ${files.get(name)} != manifest " +
           s"tar_bytes ${r.getLong(4)}")
     }
+    dropStreamWork(work)
     m
   }
 
@@ -743,14 +766,7 @@ object Pack {
       : DataFrame = {
     import s.implicits._
     require(slots >= 1, s"slots >= 1: $slots")
-    val work = java.nio.file.Files.createTempDirectory("graft-q437")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(work.toFile)
-    }
+    val work = newStreamWork("graft-q437")
     val src = s"$work/src"; val shardDir = s"$work/shards"
     val manifest = s"$work/manifest"; val seen = s"$work/seen"
     val ckpt = s"$work/ckpt"
@@ -848,9 +864,14 @@ object Pack {
         col("payload_bytes"), col("tar_bytes"), col("roundtrip_ok"))
       .orderBy("batch", "slot")
       .localCheckpoint(true)
-    val files = new java.io.File(shardDir).listFiles()
-      .filter(_.getName.endsWith(".tar"))
-      .map(f => f.getName -> f.length).toMap
+    // as in q431: any non-.tar file (e.g. a temp orphaned by a crashed
+    // atomic rename) is a defect, not something to filter past
+    val allFiles = new java.io.File(shardDir).listFiles()
+    val stray = allFiles.filterNot(_.getName.endsWith(".tar"))
+    require(stray.isEmpty,
+      s"q437: non-.tar files left in shard dir (crashed rename?): " +
+        stray.map(_.getName).mkString(","))
+    val files = allFiles.map(f => f.getName -> f.length).toMap
     val rows = m.collect() // (batch, slot)-bounded
     require(files.size == rows.length,
       s"q437: ${files.size} shard files vs ${rows.length} manifest rows " +
@@ -861,6 +882,7 @@ object Pack {
         s"q437: shard $name size ${files.get(name)} != manifest " +
           s"tar_bytes ${r.getLong(4)}")
     }
+    dropStreamWork(work)
     m
   }
 
