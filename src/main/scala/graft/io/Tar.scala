@@ -17,6 +17,20 @@ object Tar {
 
   private val Block = 512
 
+  /** on-disk shard naming contract — ONE definition shared by the
+    * batch shard writer ([[graft.llm.Pack.writeTarShards]]) and the
+    * `wds-shards` DataSource V2 reader so they cannot drift (the
+    * [[BlockIO.blockFileName]] rule)
+    */
+  private[graft] val shardFileName = "shard_(\\d+)\\.tar$".r
+
+  private[graft] def shardFileNameOf(shard: Long): String =
+    f"shard_$shard%05d.tar"
+
+  private[graft] def parseShardFileName(name: String): Option[Int] =
+    shardFileName.findFirstMatchIn(name)
+      .map(m => m.group(1).toInt)
+
   private def octal(v: Long, width: Int): Array[Byte] = {
     // width-1 octal digits, NUL terminated (the classic layout)
     val s = java.lang.Long.toOctalString(v)
@@ -69,46 +83,96 @@ object Tar {
   def parse(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     require(bytes.length % Block == 0 && bytes.length >= 2 * Block,
       s"tar length ${bytes.length} is not a positive multiple of 512 (+1024 tail)")
-    val out = Seq.newBuilder[(String, Array[Byte])]
-    var pos = 0
-    var done = false
-    while (!done) {
-      require(pos + Block <= bytes.length, "tar truncated: no end-of-archive marker")
-      var allZero = true
-      var i = 0
-      while (allZero && i < Block) { allZero = bytes(pos + i) == 0; i += 1 }
-      if (allZero) done = true
-      else {
-        require(pos + Block <= bytes.length, "tar truncated inside a header")
-        val magic = new String(bytes, pos + 257, 5,
-          java.nio.charset.StandardCharsets.US_ASCII)
-        require(magic == "ustar", s"bad tar magic '$magic' at offset $pos")
-        var nameEnd = pos
-        while (nameEnd < pos + 100 && bytes(nameEnd) != 0) nameEnd += 1
-        require(nameEnd > pos, "empty member name")
-        val name = new String(bytes, pos, nameEnd - pos,
-          java.nio.charset.StandardCharsets.UTF_8)
-        // checksum: header bytes with the chksum field read as spaces
-        var sum = 0L
-        i = 0
-        while (i < Block) {
-          val b = if (i >= 148 && i < 156) ' '.toByte else bytes(pos + i)
-          sum += b & 0xff
-          i += 1
+    memberIterator(new java.io.ByteArrayInputStream(bytes), withPayload = true)
+      .map { case (name, _, body) => name -> body.get }
+      .toSeq
+  }
+
+  private def readFully(in: java.io.InputStream, buf: Array[Byte],
+      msg: => String): Unit = {
+    var off = 0
+    while (off < buf.length) {
+      val n = in.read(buf, off, buf.length - off)
+      require(n > 0, msg)
+      off += n
+    }
+  }
+
+  private def skipFully(in: java.io.InputStream, count: Long,
+      msg: => String): Unit = {
+    var left = count
+    while (left > 0) {
+      val n = in.skip(left)
+      if (n <= 0) { require(in.read() >= 0, msg); left -= 1 }
+      else left -= n
+    }
+  }
+
+  /** STREAMING strict parse — the loader-side contract: one pass over
+    * an InputStream, one (name, size, payload?) per member, the same
+    * quarantine behavior as [[parse]] (bad magic, checksum mismatch,
+    * truncation die loud). With `withPayload = false` the payload and
+    * its 512-padding are SKIPPED, not read — the IO a metadata-only
+    * shard scan never pays (the `wds-shards` DataSource's decode-
+    * skipping projection rides this). The caller owns closing `in`.
+    */
+  def memberIterator(in: java.io.InputStream, withPayload: Boolean)
+      : Iterator[(String, Long, Option[Array[Byte]])] =
+    new Iterator[(String, Long, Option[Array[Byte]])] {
+      private val h = new Array[Byte](Block)
+      private var nextM: (String, Long, Option[Array[Byte]]) = _
+      private var finished = false
+
+      private def advance(): Unit = {
+        nextM = null
+        if (!finished) {
+          readFully(in, h, "tar truncated: no end-of-archive marker")
+          var allZero = true
+          var i = 0
+          while (allZero && i < Block) { allZero = h(i) == 0; i += 1 }
+          if (allZero) finished = true
+          else {
+            val magic = new String(h, 257, 5,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            require(magic == "ustar", s"bad tar magic '$magic'")
+            var nameEnd = 0
+            while (nameEnd < 100 && h(nameEnd) != 0) nameEnd += 1
+            require(nameEnd > 0, "empty member name")
+            val name = new String(h, 0, nameEnd,
+              java.nio.charset.StandardCharsets.UTF_8)
+            // checksum: header bytes with the chksum field read as spaces
+            var sum = 0L
+            i = 0
+            while (i < Block) {
+              val b = if (i >= 148 && i < 156) ' '.toByte else h(i)
+              sum += b & 0xff
+              i += 1
+            }
+            val stored = parseOctal(h, 148, 8)
+            require(stored == sum,
+              s"tar checksum mismatch for '$name': stored $stored, computed $sum")
+            val size = parseOctal(h, 124, 12)
+            require(size >= 0 && size <= Int.MaxValue.toLong, s"bad member size $size")
+            val padded = ((size + Block - 1) / Block) * Block
+            if (withPayload) {
+              val body = new Array[Byte](size.toInt)
+              readFully(in, body, s"member '$name' payload overruns archive")
+              skipFully(in, padded - size, s"member '$name' padding overruns archive")
+              nextM = (name, size, Some(body))
+            } else {
+              skipFully(in, padded, s"member '$name' payload overruns archive")
+              nextM = (name, size, None)
+            }
+          }
         }
-        val stored = parseOctal(bytes, pos + 148, 8)
-        require(stored == sum, s"tar checksum mismatch for '$name': stored $stored, computed $sum")
-        val size = parseOctal(bytes, pos + 124, 12)
-        require(size >= 0 && size <= Int.MaxValue.toLong, s"bad member size $size")
-        pos += Block
-        require(pos + size <= bytes.length, s"member '$name' payload overruns archive")
-        val body = java.util.Arrays.copyOfRange(bytes, pos, pos + size.toInt)
-        out += name -> body
-        pos += (((size + Block - 1) / Block) * Block).toInt
+      }
+
+      advance()
+      override def hasNext: Boolean = nextM != null
+      override def next(): (String, Long, Option[Array[Byte]]) = {
+        val m = nextM; advance(); m
       }
     }
-    out.result()
-  }
 
   private def parseOctal(bytes: Array[Byte], off: Int, len: Int): Long = {
     var v = 0L

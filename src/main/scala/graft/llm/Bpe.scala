@@ -302,6 +302,107 @@ object Bpe {
       .toDF(id, "n_bpe_tokens")
   }
 
+  /** the persisted tokenizer artifact, loaded: ordered merges + the
+    * emission vocabulary (token string → id)
+    */
+  final case class Tokenizer(merges: Seq[Merge], vocab: Map[String, Int])
+
+  /** PERSIST the tokenizer — the save half of the lifecycle every
+    * other serving component already has (AnnIndex q84, Lexical
+    * q103/q104, DedupIndex q67, Trigram q343); the tokenizer is the
+    * single most-mounted artifact in a real training stack, so
+    * retraining per use ([[mergesFor]]) is not a lifecycle. Layout
+    * under `dir`:
+    *   - `merges/` — (rank, a, b) in training order (order IS the
+    *     application contract)
+    *   - `vocab/`  — (tid, tok): tid = 0-based sorted rank of the
+    *     emission token, derived in ONE tokenize pass over `docs`.
+    *     The universe is CLOSED (single chars + each merge's fusion),
+    *     driver-small by construction — the same vocab rule as
+    *     [[Pack.materializeSequences]], so artifacts agree.
+    *
+    * Scale shape: one narrow memoized tokenize map over the corpus
+    * scan + a closed-universe distinct; the writes are vocab-sized.
+    */
+  def saveTokenizer(s: SparkSession, docs: DataFrame, merges: Seq[Merge],
+      dir: String, text: String = "text"): Unit = {
+    import s.implicits._
+    require(merges.nonEmpty, "saveTokenizer: empty merge list")
+    val bm = s.sparkContext.broadcast(merges)
+    val vocabArr = docs.select(col(text)).as[String]
+      .mapPartitions { it =>
+        val ms = bm.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        it.flatMap { t =>
+          SketchOps.tokensOf(t).iterator.filter(_.nonEmpty)
+            .flatMap(w => memo.getOrElseUpdate(w, tokenizeWord(w, ms)))
+        }
+      }
+      .distinct().collect().sorted
+    merges.zipWithIndex.map { case (m, i) => (i + 1, m.a, m.b) }
+      .toDF("rank", "a", "b").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    vocabArr.zipWithIndex.map { case (t, i) => (i, t) }.toSeq
+      .toDF("tid", "tok").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** LOAD the persisted tokenizer — both tables are artifact-sized
+    * (merges: the training parameter; vocab: the closed universe), so
+    * the collect is bounded by construction, and the loaded artifact
+    * broadcasts to executors at serve time.
+    */
+  def loadTokenizer(s: SparkSession, dir: String): Tokenizer = {
+    val m = s.read.parquet(s"$dir/merges").orderBy("rank").collect()
+      .map(r => Merge(r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    require(m.nonEmpty, s"no merges found at $dir/merges")
+    val v = s.read.parquet(s"$dir/vocab").collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Int]("tid")).toMap
+    require(v.nonEmpty, s"no vocab found at $dir/vocab")
+    Tokenizer(m, v)
+  }
+
+  /** SERVE from a loaded artifact: per-doc token count, token-id sum
+    * and OOV count (an emission token absent from the persisted vocab
+    * — id −1, counted instead of silently dropped; zero when serving
+    * the training corpus, the q441 oracle anchor). One narrow
+    * memoized map over the scan, broadcast artifact — the q72b shape
+    * with ids.
+    */
+  def tokenIdStats(s: SparkSession, docs: DataFrame, tok: Tokenizer,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import s.implicits._
+    val bt = s.sparkContext.broadcast(tok)
+    docs.select(col(id), col(text)).as[(Long, String)]
+      .mapPartitions { it =>
+        val t = bt.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.map { case (i, txt) =>
+          var n = 0L; var sum = 0L; var oov = 0L
+          SketchOps.tokensOf(txt).foreach { w =>
+            if (w.nonEmpty) {
+              val ids = memo.getOrElseUpdate(w,
+                tokenizeWord(w, t.merges).map(t.vocab.getOrElse(_, -1)))
+              n += ids.length
+              ids.foreach { tid => if (tid < 0) oov += 1 else sum += tid }
+            }
+          }
+          (i, n, sum, oov)
+        }
+      }
+      .toDF(id, "n_bpe_tokens", "tid_sum", "n_oov")
+  }
+
+  /** one persisted artifact per dataset for the q441 entry */
+  private val savedDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def savedTokenizerFor(s: SparkSession, d: String): String =
+    savedDirs.getOrElseUpdate(d, {
+      val work = Pack.newWorkDir("graft-q441") // shared cleanup hook
+      saveTokenizer(s, Tables.documents(s, d), mergesFor(s, d), work.toString)
+      work.toString
+    })
+
   /** one trained merge list per dataset for the q72 entries */
   private val trained = scala.collection.concurrent.TrieMap[String, Seq[Merge]]()
 
@@ -334,6 +435,44 @@ object Bpe {
              |  (13, 'a', 's'), (14, 'as', 'h'), (15, 'h', 'ash'), (16, 'r', 'ow'),
              |  (17, 'at', 'c'), (18, 'atc', 'h'), (19, 'b', 'atch'), (20, 'a', 'n'))
              |  AS t(merge_rank, a, b) ORDER BY merge_rank""".stripMargin)),
+
+    // ---- q441: PERSISTED TOKENIZER LIFECYCLE — train, SAVE to the
+    //      on-disk artifact (merges in training order + the closed
+    //      emission vocab), LOAD it back, and serve token-id stats
+    //      for the first 10 docs from the LOADED artifact. The oracle
+    //      replays serving from first principles (the q100 machinery:
+    //      chained-replace BPE + the sorted vocab rank over the FULL
+    //      corpus), so drift anywhere in save/load/apply — merge
+    //      order, vocab ranking, id mapping — goes hash-red; n_oov=0
+    //      is the training-corpus anchor (every emission token is in
+    //      the persisted vocab by construction). ----
+    "q441_tokenizer_lifecycle" -> Q(
+      (s, d) => {
+        val tok = loadTokenizer(s, savedTokenizerFor(s, d))
+        tokenIdStats(s,
+          Tables.documents(s, d).filter(col("doc_id") < 10), tok)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             |      w -> len(w) > 0) AS ws
+             |  FROM documents),
+             |tok AS (
+             |  SELECT doc_id,
+             |    flatten(list_transform(ws,
+             |      w -> string_split(trim(${Pack.bpeSqlExpr("w")}, chr(1)),
+             |        chr(1)))) AS toks
+             |  FROM d),
+             |vocab AS (
+             |  SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS tid
+             |  FROM (SELECT DISTINCT unnest(toks) AS tok FROM tok)),
+             |u AS (SELECT doc_id, unnest(toks) AS tok FROM tok
+             |  WHERE doc_id < 10)
+             |SELECT u.doc_id, count(*) AS n_bpe_tokens,
+             |  CAST(sum(v.tid) AS BIGINT) AS tid_sum,
+             |  CAST(0 AS BIGINT) AS n_oov
+             |FROM u JOIN vocab v USING (tok)
+             |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin)),
 
     // ---- serving pass: per-doc token counts under the trained
     //      vocabulary, pinned for the first 10 docs ----

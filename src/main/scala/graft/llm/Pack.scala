@@ -321,7 +321,7 @@ object Pack {
     * left-to-right, exactly the greedy BPE pass, so "a a a" under (a,a)
     * becomes ["aa","a"] in both engines.
     */
-  private def bpeSqlExpr(v: String): String = {
+  private[llm] def bpeSqlExpr(v: String): String = {
     def sym(x: String) = s"chr(1) || '$x' || chr(1)"
     pinnedMerges.foldLeft(
       s"chr(1) || array_to_string(string_split($v, ''), chr(1)) || chr(1)") {
@@ -372,6 +372,76 @@ object Pack {
         "roundtrip_ok")
       .orderBy("shard")
   }
+
+  /** BATCH TAR-SHARD FILE WRITER — [[webdatasetShards]] landed on
+    * disk: each shard group serializes to ONE `shard_<k>.tar` file
+    * under `dir` in the [[graft.io.Tar.shardFileNameOf]] naming
+    * contract the `wds-shards` DataSource V2 reader mounts back as a
+    * table ([[graft.sources.WdsDataSource]] — shard-file pruning,
+    * decode-skipping projection), written through the Hadoop
+    * FileSystem API (object-store schemes work unchanged) via temp
+    * file + rename, after the strict in-memory round-trip (the q429
+    * contract: a write bug dies in the writer). Returns the per-shard
+    * manifest (shard, n_members, payload_bytes, tar_bytes); forcing
+    * it IS the write.
+    *
+    * Scale shape: one shuffle of each doc's bytes to its
+    * single-executor-sized shard builder, one file per shard — the
+    * same shape as every shard writer in the house.
+    */
+  def writeTarShards(s: SparkSession, docs: DataFrame, dir: String,
+      shards: Int, id: String = "doc_id", text: String = "text"): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    require(shards >= 1, s"shards >= 1: $shards")
+    val confEntries = s.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    docs.select((col(id) % shards).as("shard"), col(id), col(text))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (sh, it) =>
+        val members = it.toArray.sortBy(_._2).map { case (_, i, t) =>
+          (s"$i.txt", t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val tar = graft.io.Tar.build(members.toSeq)
+        val back = graft.io.Tar.parse(tar)
+        require(back.length == members.length &&
+          back.zip(members).forall { case ((n1, b1), (n2, b2)) =>
+            n1 == n2 && java.util.Arrays.equals(b1, b2)
+          }, s"shard $sh failed the write-side tar round-trip")
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(conf)
+        val p = new org.apache.hadoop.fs.Path(base,
+          graft.io.Tar.shardFileNameOf(sh))
+        val tmp = new org.apache.hadoop.fs.Path(base,
+          p.getName + ".tmp-" + java.util.UUID.randomUUID)
+        val out = fs.create(tmp, true)
+        try out.write(tar) finally out.close()
+        // task-retry idempotence: drop a previous attempt's file, then
+        // rename (HDFS rename does not overwrite)
+        if (fs.exists(p)) fs.delete(p, false)
+        require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+        (sh, members.length.toLong,
+          members.map(_._2.length.toLong).sum, tar.length.toLong)
+      }
+      .toDF("shard", "n_members", "payload_bytes", "tar_bytes")
+      .orderBy("shard")
+  }
+
+  /** one on-disk tar-shard build per dataset for the q440 reader entry */
+  private val tarShardDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def tarShardsFor(s: SparkSession, d: String): String =
+    tarShardDirs.getOrElseUpdate(d, {
+      // cached for the process (reused across entries/reps), so the
+      // shared cleanup hook owns it — no eager drop
+      val work = newWorkDir("graft-q440")
+      val out = s"$work/shards"
+      writeTarShards(s, Tables.documents(s, d), out, shards = 4).count()
+      out
+    })
 
   /** PACKING-EFFICIENCY SWEEP — the context-length sizing readout:
     * greedy first-fit packing ([[packRange]], the q75 rule) evaluated
@@ -608,37 +678,38 @@ object Pack {
     * Output per (batch, slot): (batch, slot, n_members,
     * payload_bytes, tar_bytes, roundtrip_ok).
     */
-  /** temp work dirs for the streaming sinks: deleted EAGERLY after the
+  /** temp work dirs (streaming sinks, cached artifact builds): sinks
+    * delete theirs EAGERLY after the
     * manifest readout (it is localCheckpointed, so nothing the returned
     * frame needs lives under the dir); ONE shared shutdown hook —
     * registered on first use, not per invocation — covers failure
     * paths, so repeated bench/oracle reps accumulate neither hooks nor
     * disk (the r14 advisory)
     */
-  private val streamWorkDirs =
+  private val workDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
-  private lazy val streamCleanupHook: Unit = {
-    sys.addShutdownHook { streamWorkDirs.forEach(p => rmTree(p.toFile)) }
+  private lazy val workCleanupHook: Unit = {
+    sys.addShutdownHook { workDirs.forEach(p => rmTree(p.toFile)) }
     ()
   }
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete(); ()
   }
-  private def newStreamWork(prefix: String): java.nio.file.Path = {
-    streamCleanupHook
+  private[llm] def newWorkDir(prefix: String): java.nio.file.Path = {
+    workCleanupHook
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    streamWorkDirs.add(p); p
+    workDirs.add(p); p
   }
-  private def dropStreamWork(p: java.nio.file.Path): Unit = {
-    streamWorkDirs.remove(p); rmTree(p.toFile)
+  private def dropWorkDir(p: java.nio.file.Path): Unit = {
+    workDirs.remove(p); rmTree(p.toFile)
   }
 
   def streamShardSink(s: SparkSession, dir: String, slots: Int = 4)
       : DataFrame = {
     import s.implicits._
     require(slots >= 1, s"slots >= 1: $slots")
-    val work = newStreamWork("graft-q431")
+    val work = newWorkDir("graft-q431")
     val src = s"$work/src"; val shardDir = s"$work/shards"
     val manifest = s"$work/manifest"; val ckpt = s"$work/ckpt"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shardDir))
@@ -735,7 +806,7 @@ object Pack {
         s"q431: shard $name size ${files.get(name)} != manifest " +
           s"tar_bytes ${r.getLong(4)}")
     }
-    dropStreamWork(work)
+    dropWorkDir(work)
     m
   }
 
@@ -766,7 +837,7 @@ object Pack {
       : DataFrame = {
     import s.implicits._
     require(slots >= 1, s"slots >= 1: $slots")
-    val work = newStreamWork("graft-q437")
+    val work = newWorkDir("graft-q437")
     val src = s"$work/src"; val shardDir = s"$work/shards"
     val manifest = s"$work/manifest"; val seen = s"$work/seen"
     val ckpt = s"$work/ckpt"
@@ -882,11 +953,28 @@ object Pack {
         s"q437: shard $name size ${files.get(name)} != manifest " +
           s"tar_bytes ${r.getLong(4)}")
     }
-    dropStreamWork(work)
+    dropWorkDir(work)
     m
   }
 
   val all: ListMap[String, Q] = ListMap(
+    // ---- q440: WDS SHARD READER — the corpus written to on-disk
+    //      shard_<k>.tar files ([[writeTarShards]]) and mounted BACK
+    //      as a table through the wds-shards DataSource V2 (one row
+    //      per member, payload decoded); the full text of every doc
+    //      hash-compares against the source table, so a byte lost or
+    //      reordered anywhere in build/write/stream-parse goes red.
+    //      Shard-file pruning and header-only projection are pinned
+    //      by WdsSourceSpec with decode counters. ----
+    "q440_wds_reader" -> Q(
+      (s, d) => s.read.format("wds-shards").load(tarShardsFor(s, d))
+        .select(col("key").cast("long").as("doc_id"), col("ext"),
+          col("size").as("n_bytes"), col("payload").cast("string").as("text"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, 'txt' AS ext,
+             |  CAST(strlen(text) AS BIGINT) AS n_bytes, text
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- q437: STREAMING CURATED SHARDS — gates -> cross-batch
     //      normalized dedup (seen-store, replay-idempotent) -> tar
     //      shards under the planted-failure + checkpoint-replay

@@ -149,4 +149,47 @@ class BpeSpec extends SparkSpec {
       .filter(_.nonEmpty).map(w => Bpe.tokenizeWord(w, merges).length.toLong).sum
     assert(got == Map(0L -> cnt("low lower low"), 1L -> cnt("  lowest  "), 2L -> 0L))
   }
+
+  test("saveTokenizer -> loadTokenizer is the identity on merges and vocab") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((0L, "low low lower lowest"), (1L, "slow lower")).toDF("doc_id", "text")
+    val merges = Bpe.train(s, corpus, numMerges = 4)
+    assert(merges.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("bpesave").toString
+    Bpe.saveTokenizer(s, corpus, merges, dir)
+    val tok = Bpe.loadTokenizer(s, dir)
+    assert(tok.merges == merges, "merge order must survive the round trip")
+    // vocab = distinct emission tokens over the corpus, sorted-rank ids
+    val expected = corpus.as[(Long, String)].collect()
+      .flatMap { case (_, t) => graft.llm.SketchOps.tokensOf(t) }
+      .filter(_.nonEmpty)
+      .flatMap(w => Bpe.tokenizeWord(w, merges))
+      .distinct.sorted.zipWithIndex.toMap
+    assert(tok.vocab == expected)
+  }
+
+  test("tokenIdStats from the loaded artifact: exact ids in-corpus, loud OOV out") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((0L, "low low lower lowest"), (1L, "slow lower")).toDF("doc_id", "text")
+    val merges = Bpe.train(s, corpus, numMerges = 4)
+    val dir = java.nio.file.Files.createTempDirectory("bpesave").toString
+    Bpe.saveTokenizer(s, corpus, merges, dir)
+    val tok = Bpe.loadTokenizer(s, dir)
+    // serving the training corpus: zero OOV, stats match a hand fold
+    val got = Bpe.tokenIdStats(s, corpus, tok).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def stats(t: String) = {
+      val ids = graft.llm.SketchOps.tokensOf(t).filter(_.nonEmpty)
+        .flatMap(w => Bpe.tokenizeWord(w, merges).map(tok.vocab))
+      (ids.length.toLong, ids.map(_.toLong).sum, 0L)
+    }
+    assert(got == Map(0L -> stats("low low lower lowest"), 1L -> stats("slow lower")))
+    // a doc with characters the vocab never saw: counted as OOV (-1),
+    // never silently summed
+    val oov = Bpe.tokenIdStats(s, Seq((9L, "low zq")).toDF("doc_id", "text"), tok)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).head
+    assert(oov._2 == 2L, s"'z' and 'q' are both OOV: $oov")
+  }
 }

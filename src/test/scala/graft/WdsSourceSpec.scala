@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import graft.llm.Pack
+import graft.sources.WdsDataSource
+
+/** The DataSource V2 wds-shards reader: full payload round-trip vs
+  * Pack.writeTarShards, shard-file pruning from pushed `shard`
+  * predicates, header-only streaming for payload-free projections
+  * (pinned via a same-JVM payload counter), multimodal key grouping,
+  * and the strict-parse quarantine on corrupt shards.
+  */
+class WdsSourceSpec extends SparkSpec {
+
+  private def corpus(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => (i.toLong, s"doc $i body ${"x" * (i % 7)}"))
+      .toDF("doc_id", "text")
+  }
+
+  private def write(dir: String, n: Int, shards: Int): Unit =
+    Pack.writeTarShards(spark, corpus(n), dir, shards).count()
+
+  private def scanPartitions(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: BatchScanExec => b.partitions.size
+    }.sum
+
+  test("wds-shards round-trips every member writeTarShards wrote") {
+    val dir = java.nio.file.Files.createTempDirectory("wdssrc").toString
+    write(dir, 17, 4)
+    val df = spark.read.format("wds-shards").load(dir)
+    assert(df.count() == 17)
+    val rows = df.select(col("shard"), col("key").cast("long").as("id"),
+        col("ext"), col("size"), col("payload").cast("string").as("text"))
+      .collect().map(r => (r.getLong(1), (r.getInt(0), r.getString(2),
+        r.getLong(3), r.getString(4)))).toMap
+    (0 until 17).foreach { i =>
+      val t = s"doc $i body ${"x" * (i % 7)}"
+      assert(rows(i.toLong) == ((i % 4, "txt", t.length.toLong, t)),
+        s"member $i")
+    }
+  }
+
+  test("shard predicates prune FILES at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("wdssrc").toString
+    write(dir, 17, 4)
+    val df = spark.read.format("wds-shards").load(dir)
+    assert(scanPartitions(df) == 4)
+    assert(scanPartitions(df.filter(col("shard") === 2)) == 1)
+    assert(scanPartitions(df.filter(col("shard").isin(0, 3))) == 2)
+    assert(scanPartitions(df.filter(col("shard") >= 1 && col("shard") < 3)) == 2)
+    // an out-of-Int-range literal must evaluate truthfully, not prune
+    // every file (the npy-blocks rule)
+    assert(scanPartitions(df.filter(col("shard") < 5000000000L)) == 4)
+    // pruned scans still return the right rows; 17 docs over id % 4
+    assert(df.filter(col("shard") === 2).count() == 4)
+    assert(df.filter(col("shard") === 0).count() == 5)
+    // a key predicate is NOT file-evaluable: it must stay with Spark,
+    // scanning all files but still filtering correctly
+    assert(scanPartitions(df.filter(col("key") === "7")) == 4)
+    assert(df.filter(col("key") === "7").count() == 1)
+  }
+
+  test("payload-free projections stream headers only; payload projections decode") {
+    val dir = java.nio.file.Files.createTempDirectory("wdssrc").toString
+    write(dir, 17, 4)
+    val df = spark.read.format("wds-shards").load(dir)
+    WdsDataSource.payloadReads.set(0)
+    val meta = df.select("shard", "key", "ext", "size").collect()
+    assert(meta.length == 17)
+    assert(WdsDataSource.payloadReads.get() == 0,
+      "metadata projection must not materialize payloads")
+    // sizes are still exact without touching payload bytes
+    assert(meta.map(_.getLong(3)).sum ==
+      (0 until 17).map(i => s"doc $i body ${"x" * (i % 7)}".length.toLong).sum)
+    val withPayload = df.select("key", "payload").collect()
+    assert(withPayload.length == 17)
+    assert(WdsDataSource.payloadReads.get() == 17)
+  }
+
+  test("pruning composes with header-only projection: one file, zero payloads") {
+    val dir = java.nio.file.Files.createTempDirectory("wdssrc").toString
+    write(dir, 17, 4)
+    val df = spark.read.format("wds-shards").load(dir)
+    WdsDataSource.filesOpened.set(0)
+    WdsDataSource.payloadReads.set(0)
+    val r = df.filter(col("shard") === 1).select("key", "size").collect()
+    assert(r.length == 4)
+    assert(WdsDataSource.filesOpened.get() == 1, "pruning must open one file")
+    assert(WdsDataSource.payloadReads.get() == 0)
+  }
+
+  test("multimodal members group by key: <id>.bmp and <id>.txt are two rows, one key") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wdssrc").toString
+    // hand-build a shard with paired members (the q439 layout)
+    val members = (0 until 3).flatMap { i =>
+      val px = Array.tabulate(256)(k => ((i * 31 + k * 7) % 256))
+      Seq((s"$i.bmp", graft.io.Bmp.build24(graft.io.Bmp.Gray(16, 16, px))),
+        (s"$i.txt", s"caption $i".getBytes("UTF-8")))
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, graft.io.Tar.shardFileNameOf(0)),
+      graft.io.Tar.build(members))
+    val df = spark.read.format("wds-shards").load(dir)
+    val byKey = df.groupBy("key").agg(sort_array(collect_list(col("ext")))
+      .as("exts"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getSeq[String](1), r.getLong(2)))
+      .toMap
+    assert(byKey.keySet == Set("0", "1", "2"))
+    byKey.values.foreach { case (exts, n) =>
+      assert(n == 2 && exts == Seq("bmp", "txt"))
+    }
+    // and the image payload decodes through the real codec
+    val bmp0 = df.filter(col("key") === "0" && col("ext") === "bmp")
+      .select("payload").head().getAs[Array[Byte]](0)
+    val g = graft.io.Bmp.parse(bmp0)
+    assert(g.width == 16 && g.height == 16)
+    assert(g.pixels.toSeq == Seq.tabulate(256)(k => (k * 7) % 256))
+  }
+
+  test("corrupt shards die loud, not as silent rows") {
+    val dir = java.nio.file.Files.createTempDirectory("wdssrc").toString
+    val good = graft.io.Tar.build(Seq(("a.txt", "hello".getBytes("UTF-8"))))
+    // flip a byte inside the header checksum region
+    val bad = good.clone(); bad(150) = ('9': Char).toByte
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, graft.io.Tar.shardFileNameOf(0)), bad)
+    val df = spark.read.format("wds-shards").load(dir)
+    val e = intercept[org.apache.spark.SparkException] { df.collect() }
+    assert(e.getMessage.contains("checksum") ||
+      Option(e.getCause).exists(_.getMessage.contains("checksum")))
+    // truncation (no end-of-archive marker) also dies loud
+    val dir2 = java.nio.file.Files.createTempDirectory("wdssrc").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir2, graft.io.Tar.shardFileNameOf(0)),
+      good.dropRight(1024))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      spark.read.format("wds-shards").load(dir2).collect()
+    }
+    assert(e2.getMessage.contains("end-of-archive") ||
+      Option(e2.getCause).exists(_.getMessage.contains("end-of-archive")))
+  }
+
+  test("non-shard files in the directory are ignored by the naming contract") {
+    val dir = java.nio.file.Files.createTempDirectory("wdssrc").toString
+    write(dir, 8, 2)
+    // a crashed-rename temp and an unrelated file must not become rows
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard_00000.tar.tmp-deadbeef"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_SUCCESS"), Array.empty[Byte])
+    assert(spark.read.format("wds-shards").load(dir).count() == 8)
+  }
+}
