@@ -2395,4 +2395,59 @@ object Graft {
   def trainingDataPlan(spark: SparkSession, docs: DataFrame,
       shardTokens: Long = 4096L): DataFrame =
     llm.Curation.trainingDataPlan(spark, docs, shardTokens)
+
+  /** Batch WebDataset tar-shard FILE writer — `shard_<k>.tar` files
+    * under `dir`, the layout [[readWdsShards]] mounts back
+    * ([[llm.Pack.writeTarShards]]; codec [[io.Tar]]).
+    */
+  def writeTarShards(spark: SparkSession, docs: DataFrame, dir: String,
+      shards: Int): DataFrame =
+    llm.Pack.writeTarShards(spark, docs, dir, shards)
+
+  /** Mount a directory of WebDataset tar shards as a table — one row
+    * per member (shard, key, ext, size, payload), with shard-file
+    * pruning and decode-skipping projection
+    * ([[sources.WdsDataSource]]).
+    */
+  def readWdsShards(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("wds-shards").load(dir)
+
+  /** Persist the trained BPE tokenizer artifact: merges in training
+    * order + the closed emission vocabulary
+    * ([[llm.Bpe.saveTokenizer]]).
+    */
+  def saveTokenizer(spark: SparkSession, docs: DataFrame,
+      merges: Seq[llm.Bpe.Merge], dir: String): Unit =
+    llm.Bpe.saveTokenizer(spark, docs, merges, dir)
+
+  /** Load a persisted BPE tokenizer artifact
+    * ([[llm.Bpe.loadTokenizer]]).
+    */
+  def loadTokenizer(spark: SparkSession, dir: String): llm.Bpe.Tokenizer =
+    llm.Bpe.loadTokenizer(spark, dir)
+
+  /** Serve per-doc token-id stats (count, id sum, loud OOV count)
+    * from a loaded tokenizer artifact ([[llm.Bpe.tokenIdStats]]).
+    */
+  def tokenIdStats(spark: SparkSession, docs: DataFrame,
+      tokenizer: llm.Bpe.Tokenizer): DataFrame =
+    llm.Bpe.tokenIdStats(spark, docs, tokenizer)
+
+  /** Materialized interleaved curriculum: per-source seeded-hash
+    * shuffle × shards × the stratified schedule, composed into one
+    * doc-level consumption order
+    * ([[llm.Pack.interleavedCurriculum]]).
+    */
+  def interleavedCurriculum(spark: SparkSession, docs: DataFrame,
+      docsPerShard: Long = 64, seed: Long = 5L): DataFrame =
+    llm.Pack.interleavedCurriculum(spark, docs, docsPerShard, seed)
+
+  /** Multimodal image+caption WebDataset shards with REAL JPEG
+    * members, writer-side bit-exact decode round-trip
+    * ([[llm.Pack.multimodalJpegShards]]; codecs [[io.Tar]],
+    * [[io.Jpeg]]).
+    */
+  def multimodalJpegShards(spark: SparkSession, docs: DataFrame,
+      shards: Int): DataFrame =
+    llm.Pack.multimodalJpegShards(spark, docs, shards)
 }

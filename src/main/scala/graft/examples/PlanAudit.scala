@@ -43,7 +43,12 @@ object PlanAudit {
         // round-14: the composed plan (one corpus pass, checkpointed
         // narrow table, source-bounded tail); the cross-source LM
         // matrix (one gram-keyed join, S^2-bounded output)
-        "q430_training_data_plan", "q435_source_lm_matrix")
+        "q430_training_data_plan", "q435_source_lm_matrix",
+        // round-15: the wds-shards DSv2 scan (file-per-shard
+        // partitions; the description line carries pushed filters +
+        // read schema) and the curriculum (one per-source hash pass,
+        // shard-bounded broadcast-joined schedule)
+        "q440_wds_reader", "q442_interleaved_curriculum")
     val all = graft.SparkEntry.allQ
     names.foreach { n =>
       println(s"\n======== $n ========")

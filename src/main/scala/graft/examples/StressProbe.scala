@@ -69,7 +69,12 @@ object StressProbe {
     // checkpointed narrow table, then source-bounded stages; at 10×
     // tokens (same 20-source domain) the exchange count must hold and
     // the tail stages' wall share must stay negligible
-    "q430_training_data_plan")
+    "q430_training_data_plan",
+    // r15: the interleaved curriculum — doc-level work is one
+    // per-source hash-order pass; the schedule side is SHARD-bounded
+    // and must stay a broadcast join at 10× shards (a flip to SMJ
+    // here is exactly the q430 regression class the probe caught)
+    "q442_interleaved_curriculum")
 
   // operator-level probes for paths whose driver entries can't run off
   // the pinned fixture (q274 is fixture-guarded; q270 is the

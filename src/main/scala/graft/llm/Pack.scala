@@ -538,6 +538,56 @@ object Pack {
       .orderBy("step")
   }
 
+  /** MATERIALIZED INTERLEAVED CURRICULUM — the globally interleaved
+    * consumption SEQUENCE a training loader actually walks, which
+    * q433 (the schedule), q436 (the shards) and q87 (the shuffle)
+    * each produce a PIECE of but nothing previously composed: per
+    * source, docs take seeded-hash positions
+    * ([[Curation.hashOrderPositions]] grouped by source — per-source
+    * deterministic shuffle with no single-reducer sort) and fill
+    * shards of `docsPerShard` in that order; [[shardInterleave]]'s
+    * stratified schedule assigns each (source, shard_idx) its global
+    * step; global_pos = the schedule's cumulative doc count before
+    * the step + the doc's position within its shard.
+    *
+    * Scale shape: the only doc-level work is the one per-source
+    * hash-order pass; everything schedule-side is SHARD-bounded
+    * (corpus/docsPerShard rows ≈ 10⁵ at 100 TB), its prefix sum one
+    * window over that tiny table (the q300 order-pinned rule), joined
+    * back by BROADCAST — no global doc-level sort or window anywhere.
+    *
+    * Output, consumption order: (global_pos, doc_id, source, step,
+    * shard_idx, pos_in_shard).
+    */
+  def interleavedCurriculum(s: SparkSession, docs: DataFrame,
+      docsPerShard: Long = 64, seed: Long = 5L, buckets: Int = 4096,
+      id: String = "doc_id", source: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(docsPerShard > 0, s"docsPerShard > 0: $docsPerShard")
+    val placed = Curation.hashOrderPositions(s,
+        docs.select(col(id), col(source)), Seq(source), seed, buckets, id)
+      .withColumn("shard_idx",
+        ((col("pos") - pmod(col("pos"), lit(docsPerShard))) / docsPerShard)
+          .cast("long"))
+      .withColumn("pos_in_shard", pmod(col("pos"), lit(docsPerShard)))
+      .drop("pos")
+    val sched = shardInterleave(s, docs, docsPerShard, source)
+    val counts = placed.groupBy(col(source), col("shard_idx"))
+      .agg(count(lit(1)).as("ndocs"))
+    // shard-bounded: the one global window runs over ≤ N/docsPerShard
+    // rows, never the corpus
+    val offs = sched.join(counts, Seq(source, "shard_idx"))
+      .withColumn("goff", coalesce(sum(col("ndocs")).over(
+        Window.orderBy(col("step"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(source), col("shard_idx"), col("step"), col("goff"))
+    placed.join(broadcast(offs), Seq(source, "shard_idx"))
+      .withColumn("global_pos", col("goff") + col("pos_in_shard"))
+      .select(col("global_pos"), col(id), col(source), col("step"),
+        col("shard_idx"), col("pos_in_shard"))
+      .orderBy("global_pos")
+  }
+
   /** MULTIMODAL WEBDATASET SHARDS — the image+caption pair form of
     * [[webdatasetShards]], which is what WebDataset actually exists
     * for: each doc contributes TWO adjacent members, `<id>.bmp` (a
@@ -597,6 +647,73 @@ object Pack {
       }
       .toDF("shard", "n_docs", "n_members", "payload_bytes",
         "tar_bytes", "roundtrip_ok")
+      .orderBy("shard")
+  }
+
+  /** MULTIMODAL SHARDS WITH JPEG MEMBERS — [[multimodalShards]] on
+    * the format real WebDataset image members overwhelmingly use:
+    * each doc contributes `<id>.jpg` (the real baseline-JFIF encoder,
+    * [[graft.io.Jpeg.buildGray]]) and `<id>.txt` (the caption). The
+    * planted 16×16 raster is CONSTANT within each 8×8 block (block b
+    * of doc id carries (id·31 + b·17) mod 256), encoded under
+    * [[graft.io.Jpeg.DcExactQuant]] — a constant block's DCT is
+    * DC-only and the DC step of 8 stores v−128 exactly, so the writer
+    * can require the decode round-trip BIT-EXACT through the full
+    * marker/Huffman/dequant/IDCT path (the q406 construction), not
+    * approximately. JPEG byte sizes are content-dependent (Huffman DC
+    * categories), so unlike the BMP twin (q439) the oracle pins
+    * member counts, caption bytes and the two verification booleans
+    * rather than the tar byte layout; the binary-layout pin lives
+    * with q439, the codec-exactness pin here.
+    *
+    * Scale shape: q429's — one shuffle of each doc's bytes to its
+    * single-executor-sized shard builder; the encode is in-group CPU.
+    * Output per shard: (shard, n_docs, n_members, caption_bytes,
+    * img_ok, tar_ok).
+    */
+  def multimodalJpegShards(s: SparkSession, docs: DataFrame, shards: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import s.implicits._
+    require(shards >= 1, s"shards >= 1: $shards")
+    docs.select((col(id) % shards).as("shard"), col(id), col(text))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (sh, it) =>
+        val ds = it.toArray.sortBy(_._2)
+        val withPx = ds.map { case (_, i, t) =>
+          val px = Array.tabulate(256) { k =>
+            val block = (k / 16 / 8) * 2 + (k % 16) / 8
+            ((i * 31 + block * 17) % 256).toInt
+          }
+          (i, t, px)
+        }
+        val members = withPx.flatMap { case (i, t, px) =>
+          Seq(
+            (s"$i.jpg", graft.io.Jpeg.buildGray(
+              graft.io.Bmp.Gray(16, 16, px), graft.io.Jpeg.DcExactQuant)),
+            (s"$i.txt", t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+        val tar = graft.io.Tar.build(members.toSeq)
+        val back = graft.io.Tar.parse(tar)
+        val tarOk = back.length == members.length &&
+          back.zip(members).forall { case ((n1, b1), (n2, b2)) =>
+            n1 == n2 && java.util.Arrays.equals(b1, b2)
+          }
+        // every image member must decode BIT-EXACT to the planted
+        // raster (the DcExactQuant contract)
+        val pxByName = withPx.map { case (i, _, px) => s"$i.jpg" -> px }.toMap
+        val imgOk = back.filter(_._1.endsWith(".jpg")).forall { case (n, b) =>
+          val g = graft.io.Jpeg.parse(b)
+          g.width == 16 && g.height == 16 &&
+            java.util.Arrays.equals(g.pixels, pxByName(n))
+        }
+        (sh, ds.length.toLong, members.length.toLong,
+          withPx.map(_._2.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8).length.toLong).sum,
+          imgOk, tarOk)
+      }
+      .toDF("shard", "n_docs", "n_members", "caption_bytes", "img_ok",
+        "tar_ok")
       .orderBy("shard")
   }
 
@@ -975,6 +1092,51 @@ object Pack {
              |  CAST(strlen(text) AS BIGINT) AS n_bytes, text
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- q442: INTERLEAVED CURRICULUM — the doc-level consumption
+    //      order: per-source seeded-hash shuffle -> shards of 64 ->
+    //      the q433 stratified schedule -> one global position per
+    //      doc. The oracle replays the md5 hash order, the ceil-div
+    //      schedule, the shard-bounded prefix offsets, and the
+    //      composed global_pos for EVERY doc. ----
+    "q442_interleaved_curriculum" -> Q(
+      (s, d) => interleavedCurriculum(s, Tables.documents(s, d)),
+      Some("""WITH h AS (SELECT doc_id, source,
+             |    ('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)),
+             |      1, 15))::BIGINT AS hv
+             |  FROM documents),
+             |r AS (SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY hv, doc_id) - 1 AS pos
+             |  FROM h),
+             |a AS (SELECT doc_id, source, pos // 64 AS shard_idx,
+             |    pos % 64 AS pis FROM r),
+             |ns AS (SELECT source, count(*) AS nd
+             |  FROM documents GROUP BY source),
+             |sh AS (SELECT source, (nd + 63) // 64 AS n FROM ns),
+             |ix AS (SELECT source, n, unnest(range(0, n)) AS shard_idx
+             |  FROM sh),
+             |p AS (SELECT source, shard_idx,
+             |    CAST(2 * shard_idx + 1 AS DOUBLE)
+             |      / CAST(2 * n AS DOUBLE) AS pos
+             |  FROM ix),
+             |sched AS (SELECT row_number() OVER
+             |    (ORDER BY pos, source, shard_idx) AS step,
+             |    source, shard_idx
+             |  FROM p),
+             |c AS (SELECT source, shard_idx, count(*) AS ndocs
+             |  FROM a GROUP BY 1, 2),
+             |sc AS (SELECT s.step, s.source, s.shard_idx,
+             |    coalesce(sum(c.ndocs) OVER (ORDER BY s.step
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS goff
+             |  FROM sched s JOIN c USING (source, shard_idx))
+             |SELECT CAST(sc.goff + a.pis AS BIGINT) AS global_pos,
+             |  a.doc_id, a.source, CAST(sc.step AS BIGINT) AS step,
+             |  CAST(a.shard_idx AS BIGINT) AS shard_idx,
+             |  CAST(a.pis AS BIGINT) AS pos_in_shard
+             |FROM a JOIN sc USING (source, shard_idx)
+             |ORDER BY global_pos""".stripMargin)),
+
     // ---- q437: STREAMING CURATED SHARDS — gates -> cross-batch
     //      normalized dedup (seen-store, replay-idempotent) -> tar
     //      shards under the planted-failure + checkpoint-replay
@@ -1142,6 +1304,21 @@ object Pack {
              |  CAST((hp - ((hp % hq + hq) % hq)) // hq AS BIGINT)
              |    AS max_dev_milli
              |FROM e ORDER BY source""".stripMargin)),
+
+    // ---- q443: MULTIMODAL SHARDS, JPEG MEMBERS — the q439 pair
+    //      layout on the dominant crawl image format through the real
+    //      baseline-JFIF encoder; per-8x8-block-constant rasters
+    //      under DcExactQuant make the writer-side decode round-trip
+    //      BIT-exact, so img_ok/tar_ok are hard assertions, and the
+    //      oracle pins counts + caption bytes (JPEG sizes are
+    //      content-dependent; the layout pin is q439's job). ----
+    "q443_multimodal_jpeg_shards" -> Q(
+      (s, d) => multimodalJpegShards(s, Tables.documents(s, d), shards = 4),
+      Some("""SELECT doc_id % 4 AS shard, count(*) AS n_docs,
+             |  CAST(2 * count(*) AS BIGINT) AS n_members,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS caption_bytes,
+             |  TRUE AS img_ok, TRUE AS tar_ok
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- q439: MULTIMODAL WEBDATASET SHARDS — image+caption pair
     //      members per doc (real BMP bytes, strict tar + image

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 facade methods delegate to (and agree with) their kernels. */
+class FacadeRound15Spec extends SparkSpec {
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    (0L until 9L).map(i => (i, s"doc $i words here", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+  }
+
+  test("writeTarShards + readWdsShards facades round-trip the corpus") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("facade15").toString
+    val manifest = Graft.writeTarShards(s, corpus, dir, shards = 3).collect()
+    assert(manifest.map(_.getLong(1)).sum == 9L)
+    val back = Graft.readWdsShards(s, dir)
+      .select(col("key").cast("long").as("doc_id"),
+        col("payload").cast("string").as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == (0L until 9L).map(i => i -> s"doc $i words here").toMap)
+  }
+
+  test("saveTokenizer/loadTokenizer/tokenIdStats facades equal the kernels") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "low low lower lowest"), (1L, "slow lower"))
+      .toDF("doc_id", "text")
+    val merges = graft.llm.Bpe.train(s, docs, numMerges = 3)
+    val dir = java.nio.file.Files.createTempDirectory("facade15tok").toString
+    Graft.saveTokenizer(s, docs, merges, dir)
+    val tok = Graft.loadTokenizer(s, dir)
+    assert(tok == graft.llm.Bpe.loadTokenizer(s, dir))
+    assert(Graft.tokenIdStats(s, docs, tok).collect().map(_.toSeq).toSeq ==
+      graft.llm.Bpe.tokenIdStats(s, docs, tok).collect().map(_.toSeq).toSeq)
+  }
+
+  test("interleavedCurriculum facade equals the kernel") {
+    val s = spark
+    val a = Graft.interleavedCurriculum(s, corpus, docsPerShard = 2L)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.llm.Pack.interleavedCurriculum(s, corpus, docsPerShard = 2L)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.length == 9, s"$a")
+  }
+
+  test("multimodalJpegShards facade equals the kernel") {
+    val s = spark
+    val a = Graft.multimodalJpegShards(s, corpus, shards = 2)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.llm.Pack.multimodalJpegShards(s, corpus, shards = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty, s"$a")
+  }
+}

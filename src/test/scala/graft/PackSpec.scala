@@ -223,6 +223,64 @@ class PackSpec extends SparkSpec {
       got)
   }
 
+  test("multimodalJpegShards: bit-exact jpeg roundtrip, caption accounting") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "cap zero"), (1L, "one"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val got = Pack.multimodalJpegShards(s, docs, shards = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(got(0L) == ((2L, 4L,
+      ("cap zero".length + "four".length).toLong, true, true)), got)
+    assert(got(1L) == ((1L, 2L, 3L, true, true)), got)
+    // independent of the writer's own check: the planted raster for
+    // doc 1 encodes and decodes bit-exact under DcExactQuant
+    val px = Array.tabulate(256) { k =>
+      val block = (k / 16 / 8) * 2 + (k % 16) / 8
+      ((1L * 31 + block * 17) % 256).toInt
+    }
+    val g = graft.io.Jpeg.parse(graft.io.Jpeg.buildGray(
+      graft.io.Bmp.Gray(16, 16, px), graft.io.Jpeg.DcExactQuant))
+    assert(g.pixels.toSeq == px.toSeq)
+  }
+
+  test("interleavedCurriculum: a permutation that walks shards in schedule order") {
+    val s = spark
+    import s.implicits._
+    val docs = ((0L until 5L).map(i => (i, "x", "srcA")) ++
+      (10L until 12L).map(i => (i, "x", "srcB")))
+      .toDF("doc_id", "text", "source")
+    val rows = Pack.interleavedCurriculum(s, docs, docsPerShard = 2L,
+        seed = 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // exactly one global position per doc, 0..n-1, all docs present
+    assert(rows.map(_._1).toSeq == (0L until 7L), rows.toSeq)
+    assert(rows.map(_._2).toSet == Set(0L, 1L, 2L, 3L, 4L, 10L, 11L))
+    // consumption order walks whole shards in schedule-step order:
+    // (A,0) (A,1) (B,0) (A,2) — the pinned shardInterleave fixture
+    assert(rows.sortBy(_._1).map(r => (r._3, r._5)).distinct.toSeq ==
+      Seq(("srcA", 0L), ("srcA", 1L), ("srcB", 0L), ("srcA", 2L)))
+    // within a shard: contiguous positions in per-source hash order
+    def hv(i: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"5:$i".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(8).map(b => f"$b%02x").mkString
+        .take(15), 16)
+    }
+    rows.groupBy(r => (r._3, r._5)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._6)
+      assert(sorted.map(_._1).toSeq ==
+        (sorted.head._1 until sorted.head._1 + g.length), "contiguous")
+      assert(sorted.map(r => (hv(r._2), r._2)).toSeq ==
+        sorted.map(r => (hv(r._2), r._2)).sortBy(identity).toSeq,
+        "hash order within shard")
+    }
+    // the last shard of a source may run short, never overlong
+    rows.groupBy(r => (r._3, r._5)).values.foreach(g => assert(g.length <= 2))
+  }
+
   test("interleaveDiscrepancy: the stratified schedule stays under one shard") {
     val s = spark
     import s.implicits._
