@@ -572,11 +572,17 @@ object Pack {
       .withColumn("pos_in_shard", pmod(col("pos"), lit(docsPerShard)))
       .drop("pos")
     val sched = shardInterleave(s, docs, docsPerShard, source)
-    val counts = placed.groupBy(col(source), col("shard_idx"))
-      .agg(count(lit(1)).as("ndocs"))
+    // per-shard doc counts are ARITHMETIC, not a second corpus pass:
+    // positions are dense 0..nd-1 per source, so shard i holds
+    // min(docsPerShard, nd - i*docsPerShard) — derived from the
+    // source totals (one small agg), keeping `placed` single-use
+    val counts = docs.groupBy(col(source)).agg(count(lit(1)).as("nd"))
+      .join(sched, source)
+      .withColumn("ndocs",
+        least(lit(docsPerShard), col("nd") - col("shard_idx") * docsPerShard))
     // shard-bounded: the one global window runs over ≤ N/docsPerShard
     // rows, never the corpus
-    val offs = sched.join(counts, Seq(source, "shard_idx"))
+    val offs = counts
       .withColumn("goff", coalesce(sum(col("ndocs")).over(
         Window.orderBy(col("step"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
