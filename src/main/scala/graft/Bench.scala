@@ -208,14 +208,20 @@ object Bench {
       // it serves the q72-pinned tokenizer, so its fixture guard
       // fail-louds off sf0.01 by design (the q82/q100 category).
       "q440_wds_reader", "q442_interleaved_curriculum",
-      "q443_multimodal_jpeg_shards")
+      "q443_multimodal_jpeg_shards",
+      // the pruned/header-only reader path and the loader-side
+      // multimodal sample pairing (shards written once, cached; the
+      // mount + pair scan is what's timed). q446 is NOT here: it
+      // extends the q72-pinned tokenizer (fixture-pinned, like q441).
+      "q444_wds_pruned_scan", "q445_wds_sample_pairing")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round. (r13's q406-q429 rotate
     // with everything else now — they sit at the TAIL of extKeys, so
     // the cursor's index into the earlier entries is undisturbed.)
     val newestKeys = Seq("q440_wds_reader",
-      "q442_interleaved_curriculum", "q443_multimodal_jpeg_shards")
+      "q442_interleaved_curriculum", "q443_multimodal_jpeg_shards",
+      "q444_wds_pruned_scan", "q445_wds_sample_pairing")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output
@@ -378,6 +384,7 @@ object Bench {
       "q72_bpe_merges", "q72b_bpe_token_counts",
       "q82_materialize_sequences", "q94_sequence_boundaries",
       "q100_shard_manifest", "q441_tokenizer_lifecycle",
+      "q446_tokenizer_extend",
       "q231_unigram_pieces", "q231b_unigram_token_counts",
       "q232_wordpiece_merges", "q232b_wordpiece_token_counts",
       // embedding-fixture VALUES pins

@@ -2450,4 +2450,26 @@ object Graft {
   def multimodalJpegShards(spark: SparkSession, docs: DataFrame,
       shards: Int): DataFrame =
     llm.Pack.multimodalJpegShards(spark, docs, shards)
+
+  /** Multimodal JPEG+caption tar-shard FILE writer
+    * ([[llm.Pack.writeMultimodalTarShards]]).
+    */
+  def writeMultimodalTarShards(spark: SparkSession, docs: DataFrame,
+      dir: String, shards: Int): DataFrame =
+    llm.Pack.writeMultimodalTarShards(spark, docs, dir, shards)
+
+  /** Loader-side WebDataset sample assembly: mount a multimodal shard
+    * directory, group members by key, decode and verify each sample
+    * ([[llm.Pack.pairMultimodalSamples]]).
+    */
+  def pairMultimodalSamples(spark: SparkSession, dir: String): DataFrame =
+    llm.Pack.pairMultimodalSamples(spark, dir)
+
+  /** Continuation-train an existing BPE merge list by `numExtra`
+    * merges — the append half of the tokenizer lifecycle; extend-by-k
+    * equals train-(n+k) exactly ([[llm.Bpe.extendMerges]]).
+    */
+  def extendMerges(spark: SparkSession, docs: DataFrame,
+      merges: Seq[llm.Bpe.Merge], numExtra: Int): Seq[llm.Bpe.Merge] =
+    llm.Bpe.extendMerges(spark, docs, merges, numExtra)
 }

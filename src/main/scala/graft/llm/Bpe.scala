@@ -123,9 +123,18 @@ object Bpe {
     * latency even though each job is cheap.
     */
   private[graft] def trainLocalMerges(vocab0: Array[(String, Long)],
-      numMerges: Int): Seq[Merge] = {
-    val syms: Array[Array[String]] = vocab0.map { case (w, _) => symbolsOf(w) }
-    val freq = vocab0.map(_._2)
+      numMerges: Int): Seq[Merge] =
+    trainLocalCore(vocab0.map { case (w, _) => symbolsOf(w) },
+      vocab0.map(_._2), numMerges)
+
+  /** the heap loop over an ARBITRARY starting symbolization — shared
+    * by from-scratch training (single-char symbols) and CONTINUATION
+    * training ([[extendMerges]]: symbols = the existing tokenizer's
+    * output), which is what makes extend-by-k ≡ train-(n+k) hold
+    * exactly (the continuation state IS the state after n merges)
+    */
+  private def trainLocalCore(syms: Array[Array[String]],
+      freq: Array[Long], numMerges: Int): Seq[Merge] = {
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val occurs = scala.collection.mutable.HashMap
       .empty[(String, String), scala.collection.mutable.BitSet]
@@ -230,12 +239,46 @@ object Bpe {
     }
   }
 
-  /** the distributed merge loop, for vocabularies past the local cap */
-  private def trainDistributedMerges(s: SparkSession,
-      v: org.apache.spark.sql.Dataset[(String, Long)], numMerges: Int): Seq[Merge] = {
+  /** CONTINUATION TRAINING — extend an existing merge list by
+    * `numExtra` merges on `docs`, the append half of the tokenizer
+    * lifecycle ([[saveTokenizer]]/[[loadTokenizer]] persist/probe;
+    * this is how a vocabulary grows when the corpus does, without
+    * retraining from scratch). The corpus is touched ONCE (the same
+    * word hash-agg as [[train]]); each word starts from the EXISTING
+    * tokenizer's symbolization, which is exactly the trainer's state
+    * after the existing merges — so extend-by-k ≡ train-(n+k) from
+    * scratch, EXACTLY (BpeSpec pins the equivalence; the q446 oracle
+    * leans on it). Local heap under the vocab cap, the distributed
+    * loop seeded with the existing merges above it.
+    */
+  def extendMerges(s: SparkSession, docs: DataFrame, merges: Seq[Merge],
+      numExtra: Int, text: String = "text",
+      localVocabCap: Long = 1L << 21): Seq[Merge] = {
     import s.implicits._
+    val v = vocab(s, docs, text).persist()
+    val n = v.count()
+    val out =
+      if (n <= localVocabCap) {
+        val arr = v.collect() // vocab-sized collect, bounded by the cap
+        merges ++ trainLocalCore(
+          arr.map { case (w, _) => tokenizeWord(w, merges) },
+          arr.map(_._2), numExtra)
+      } else merges ++ trainDistributedMerges(s, v, numExtra, merges)
+    v.unpersist()
+    out
+  }
+
+  /** the distributed merge loop, for vocabularies past the local cap;
+    * `init` seeds continuation training (each word starts from the
+    * existing tokenizer's symbolization)
+    */
+  private def trainDistributedMerges(s: SparkSession,
+      v: org.apache.spark.sql.Dataset[(String, Long)], numMerges: Int,
+      init: Seq[Merge] = Nil): Seq[Merge] = {
+    import s.implicits._
+    val bi = s.sparkContext.broadcast(init)
     var words = v
-      .map { case (w, f) => (symbolsOf(w), f) }
+      .map { case (w, f) => (tokenizeWord(w, bi.value), f) }
       .persist()
     words.count() // materialize before the loop
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -473,6 +516,34 @@ object Bpe {
              |  CAST(0 AS BIGINT) AS n_oov
              |FROM u JOIN vocab v USING (tok)
              |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin)),
+
+    // ---- q446: TOKENIZER CONTINUATION (append) — the persisted q441
+    //      artifact loaded and EXTENDED by 5 merges on the corpus
+    //      (the grow-the-vocab path); by the continuation invariant
+    //      (extend-by-k ≡ train-(n+k), spec-pinned on a random
+    //      corpus) the oracle pins all 25 merges: ranks 1-20 are the
+    //      q72 literals, 21-25 the continuation's — drift in the
+    //      resumed heap state, the argmax order, or the save/load
+    //      boundary goes hash-red. ----
+    "q446_tokenizer_extend" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val tok = loadTokenizer(s, savedTokenizerFor(s, d))
+        extendMerges(s, Tables.documents(s, d), tok.merges, numExtra = 5)
+          .zipWithIndex
+          .map { case (m, i) => (i + 1, m.a, m.b) }
+          .toDF("merge_rank", "a", "b")
+          .orderBy("merge_rank")
+      },
+      Some("""SELECT merge_rank, a, b FROM (VALUES
+             |  (1, 'e', 'r'), (2, 'i', 'n'), (3, 'o', 'w'), (4, 'o', 'r'),
+             |  (5, 's', 't'), (6, 'm', 'er'), (7, 'a', 't'), (8, 'l', 'u'),
+             |  (9, 'a', 'r'), (10, 'p', 'ar'), (11, 'j', 'o'), (12, 'jo', 'in'),
+             |  (13, 'a', 's'), (14, 'as', 'h'), (15, 'h', 'ash'), (16, 'r', 'ow'),
+             |  (17, 'at', 'c'), (18, 'atc', 'h'), (19, 'b', 'atch'), (20, 'a', 'n'),
+             |  (21, 'c', 'an'), (22, 's', 'can'), (23, 'c', 'o'),
+             |  (24, 'c', 'u'), (25, 'co', 'lu'))
+             |  AS t(merge_rank, a, b) ORDER BY merge_rank""".stripMargin)),
 
     // ---- serving pass: per-doc token counts under the trained
     //      vocabulary, pinned for the first 10 docs ----

@@ -430,6 +430,112 @@ object Pack {
       .orderBy("shard")
   }
 
+  /** MULTIMODAL TAR-SHARD FILE WRITER — [[multimodalJpegShards]]
+    * landed on disk in the [[writeTarShards]] contract (shard_<k>.tar
+    * via Hadoop FS, temp + rename, strict pre-write round-trip
+    * including the bit-exact JPEG decode): paired `<id>.jpg` /
+    * `<id>.txt` members per doc, the layout [[pairMultimodalSamples]]
+    * mounts back and re-pairs. Returns the per-shard manifest
+    * (shard, n_docs, n_members, payload_bytes, tar_bytes); forcing it
+    * IS the write.
+    */
+  def writeMultimodalTarShards(s: SparkSession, docs: DataFrame, dir: String,
+      shards: Int, id: String = "doc_id", text: String = "text"): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    require(shards >= 1, s"shards >= 1: $shards")
+    val confEntries = s.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    docs.select((col(id) % shards).as("shard"), col(id), col(text))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (sh, it) =>
+        val ds = it.toArray.sortBy(_._2)
+        val members = ds.flatMap { case (_, i, t) =>
+          Seq(
+            (s"$i.jpg", graft.io.Jpeg.buildGray(
+              graft.io.Bmp.Gray(16, 16, thumbRaster(i)),
+              graft.io.Jpeg.DcExactQuant)),
+            (s"$i.txt", t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+        val tar = graft.io.Tar.build(members.toSeq)
+        val back = graft.io.Tar.parse(tar)
+        require(back.length == members.length &&
+          back.zip(members).forall { case ((n1, b1), (n2, b2)) =>
+            n1 == n2 && java.util.Arrays.equals(b1, b2)
+          }, s"shard $sh failed the write-side tar round-trip")
+        require(back.filter(_._1.endsWith(".jpg")).forall { case (n, b) =>
+          val g = graft.io.Jpeg.parse(b)
+          val docId = n.stripSuffix(".jpg").toLong
+          g.width == 16 && g.height == 16 &&
+            java.util.Arrays.equals(g.pixels, thumbRaster(docId))
+        }, s"shard $sh failed the write-side JPEG decode round-trip")
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(conf)
+        val p = new org.apache.hadoop.fs.Path(base,
+          graft.io.Tar.shardFileNameOf(sh))
+        val tmp = new org.apache.hadoop.fs.Path(base,
+          p.getName + ".tmp-" + java.util.UUID.randomUUID)
+        val out = fs.create(tmp, true)
+        try out.write(tar) finally out.close()
+        if (fs.exists(p)) fs.delete(p, false)
+        require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+        (sh, ds.length.toLong, members.length.toLong,
+          members.map(_._2.length.toLong).sum, tar.length.toLong)
+      }
+      .toDF("shard", "n_docs", "n_members", "payload_bytes", "tar_bytes")
+      .orderBy("shard")
+  }
+
+  /** LOADER-SIDE SAMPLE PAIRING — what a WebDataset consumer actually
+    * does with a mounted shard directory: group members by KEY (the
+    * same-key-adjacency contract), assemble each sample's modalities,
+    * decode, verify. One `wds-shards` scan → groupByKey(key) →
+    * per-sample assembly: the caption decodes from `<id>.txt`, the
+    * image from `<id>.jpg` through the real JFIF parser and is
+    * checked BIT-EXACT against the planted [[thumbRaster]] (a corrupt
+    * or swapped member dies loud, per-sample). A sample missing a
+    * modality is a hard error, not a silent skip.
+    *
+    * Scale shape: per-key groups are exactly 2 members; the one
+    * shuffle is key-partitioned sample assembly — the loader cost any
+    * multimodal consumer pays.
+    */
+  def pairMultimodalSamples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("wds-shards").load(dir)
+      .select(col("key"), col("ext"), col("payload"))
+      .as[(String, String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val byExt = it.map(m => m._2 -> m._3).toMap
+        require(byExt.keySet == Set("jpg", "txt"),
+          s"sample $k must carry exactly jpg+txt, got ${byExt.keySet}")
+        val docId = k.toLong
+        val caption = new String(byExt("txt"),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val g = graft.io.Jpeg.parse(byExt("jpg"))
+        val ok = g.width == 16 && g.height == 16 &&
+          java.util.Arrays.equals(g.pixels, thumbRaster(docId))
+        (docId, caption, ok)
+      }
+      .toDF("doc_id", "caption", "img_ok")
+  }
+
+  /** one on-disk multimodal shard build per dataset for q445 */
+  private val mmShardDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def mmShardsFor(s: SparkSession, d: String): String =
+    mmShardDirs.getOrElseUpdate(d, {
+      val work = newWorkDir("graft-q445")
+      val out = s"$work/shards"
+      writeMultimodalTarShards(s, Tables.documents(s, d), out, shards = 4)
+        .count()
+      out
+    })
+
   /** one on-disk tar-shard build per dataset for the q440 reader entry */
   private val tarShardDirs = scala.collection.concurrent.TrieMap[String, String]()
 
@@ -677,6 +783,17 @@ object Pack {
     * Output per shard: (shard, n_docs, n_members, caption_bytes,
     * img_ok, tar_ok).
     */
+  /** the deterministic 16×16 thumbnail raster of doc `i`, constant
+    * within each 8×8 block — ONE definition shared by the in-memory
+    * JPEG shard builder, the file writer and the loader-side pairing
+    * verifier so they cannot drift (the BlockIO naming-contract rule)
+    */
+  private[llm] def thumbRaster(i: Long): Array[Int] =
+    Array.tabulate(256) { k =>
+      val block = (k / 16 / 8) * 2 + (k % 16) / 8
+      ((i * 31 + block * 17) % 256).toInt
+    }
+
   def multimodalJpegShards(s: SparkSession, docs: DataFrame, shards: Int,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     import s.implicits._
@@ -686,13 +803,7 @@ object Pack {
       .groupByKey(_._1)
       .mapGroups { (sh, it) =>
         val ds = it.toArray.sortBy(_._2)
-        val withPx = ds.map { case (_, i, t) =>
-          val px = Array.tabulate(256) { k =>
-            val block = (k / 16 / 8) * 2 + (k % 16) / 8
-            ((i * 31 + block * 17) % 256).toInt
-          }
-          (i, t, px)
-        }
+        val withPx = ds.map { case (_, i, t) => (i, t, thumbRaster(i)) }
         val members = withPx.flatMap { case (i, t, px) =>
           Seq(
             (s"$i.jpg", graft.io.Jpeg.buildGray(
@@ -1142,6 +1253,38 @@ object Pack {
              |  CAST(a.pis AS BIGINT) AS pos_in_shard
              |FROM a JOIN sc USING (source, shard_idx)
              |ORDER BY global_pos""".stripMargin)),
+
+    // ---- q445: MULTIMODAL SAMPLE PAIRING — the full multimodal
+    //      loop closed loader-side: JPEG+caption pair shards written
+    //      to real files (write-side tar AND bit-exact image decode
+    //      round-trips), mounted through wds-shards, and re-paired by
+    //      KEY into samples with per-sample decode verification. The
+    //      caption of every doc hash-compares against the source
+    //      table; img_ok pins the decode. ----
+    "q445_wds_sample_pairing" -> Q(
+      (s, d) => pairMultimodalSamples(s, mmShardsFor(s, d))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, text AS caption, TRUE AS img_ok
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- q444: PRUNED + HEADER-ONLY SHARD SCAN — the q440 mount
+    //      read the loader way: a `shard = 2` predicate prunes to ONE
+    //      file at planning time and the metadata-only projection
+    //      never materializes a payload (both counter-pinned in
+    //      WdsSourceSpec; this entry puts the pruned path itself
+    //      under the driver's oracle gate). Sizes come from headers
+    //      alone and must still be exact. ----
+    "q444_wds_pruned_scan" -> Q(
+      (s, d) => s.read.format("wds-shards").load(tarShardsFor(s, d))
+        .filter(col("shard") === 2)
+        .groupBy("shard", "ext")
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("size")).as("payload_bytes"))
+        .orderBy("shard", "ext"),
+      Some("""SELECT 2 AS shard, 'txt' AS ext, count(*) AS n_members,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes
+             |FROM documents WHERE doc_id % 4 = 2
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ---- q437: STREAMING CURATED SHARDS — gates -> cross-batch
     //      normalized dedup (seen-store, replay-idempotent) -> tar

@@ -150,6 +150,29 @@ class BpeSpec extends SparkSpec {
     assert(got == Map(0L -> cnt("low lower low"), 1L -> cnt("  lowest  "), 2L -> 0L))
   }
 
+  test("extendMerges continuation ≡ from-scratch training, on both paths and through save/load") {
+    val s = spark
+    import s.implicits._
+    val r = new scala.util.Random(31)
+    val base = Array("low", "lower", "lowest", "slow", "slower", "glow",
+      "flow", "flows", "billow", "follow", "hollow", "yellow")
+    val docs = Seq.tabulate(80) { i =>
+      val junk = Seq.fill(2)(r.alphanumeric.take(2 + r.nextInt(4)).mkString.toLowerCase)
+      (i.toLong, (Seq.fill(9)(base(r.nextInt(base.length))) ++ junk).mkString(" "))
+    }.toDF("doc_id", "text")
+    val full = Bpe.train(s, docs, numMerges = 15)
+    val part = Bpe.train(s, docs, numMerges = 6)
+    assert(full.take(6) == part)
+    // local heap continuation: extend-by-9 == train-15
+    assert(Bpe.extendMerges(s, docs, part, 9) == full)
+    // distributed continuation (cap 0 forces the loop)
+    assert(Bpe.extendMerges(s, docs, part, 9, localVocabCap = 0L) == full)
+    // and the continuation survives the save/load boundary
+    val dir = java.nio.file.Files.createTempDirectory("bpeext").toString
+    Bpe.saveTokenizer(s, docs, part, dir)
+    assert(Bpe.extendMerges(s, docs, Bpe.loadTokenizer(s, dir).merges, 9) == full)
+  }
+
   test("saveTokenizer -> loadTokenizer is the identity on merges and vocab") {
     val s = spark
     import s.implicits._

@@ -55,4 +55,47 @@ class FacadeRound15Spec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(a == b && a.nonEmpty, s"$a")
   }
+
+  test("writeMultimodalTarShards + pairMultimodalSamples close the loop on disk") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("facade15mm").toString
+    val manifest = Graft.writeMultimodalTarShards(s, corpus, dir, shards = 3)
+      .collect()
+    assert(manifest.map(_.getLong(2)).sum == 18L) // 9 docs x 2 members
+    val pairs = Graft.pairMultimodalSamples(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(pairs == (0L until 9L).map(i =>
+      i -> ((s"doc $i words here", true))).toMap)
+  }
+
+  test("pairMultimodalSamples dies loud on a sample missing a modality") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("facade15bad").toString
+    // one complete pair + one orphan caption
+    val members = Seq(
+      ("0.jpg", graft.io.Jpeg.buildGray(
+        graft.io.Bmp.Gray(16, 16, Array.fill(256)(7)),
+        graft.io.Jpeg.DcExactQuant)),
+      ("0.txt", "cap".getBytes("UTF-8")),
+      ("1.txt", "orphan".getBytes("UTF-8")))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, graft.io.Tar.shardFileNameOf(0)),
+      graft.io.Tar.build(members))
+    val e = intercept[org.apache.spark.SparkException] {
+      Graft.pairMultimodalSamples(s, dir).collect()
+    }
+    def msg(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("must carry exactly jpg+txt"))
+  }
+
+  test("extendMerges facade equals the kernel") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "low low lower lowest low lower"))
+      .toDF("doc_id", "text")
+    val part = graft.llm.Bpe.train(s, docs, numMerges = 2)
+    assert(Graft.extendMerges(s, docs, part, 2) ==
+      graft.llm.Bpe.extendMerges(s, docs, part, 2))
+  }
 }
