@@ -453,7 +453,7 @@ object Bpe {
     // both q72 entries pin VALUES (merges / token counts) learned from
     // sf0.01's documents — fail loud on any other fixture
     Tables.requirePinnedFixture(s, d, "documents", Tables.Sf001DocumentsFp,
-      "q72_bpe_merges/q72b_bpe_token_counts")
+      "q72_bpe_merges/q72b_bpe_token_counts/q82/q94/q100/q441/q446")
     trained.getOrElseUpdate(d, train(s, Tables.documents(s, d), numMerges = 20))
   }
 
