@@ -2412,6 +2412,16 @@ object Graft {
   def readWdsShards(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("wds-shards").load(dir)
 
+  /** Write `(key, ext, payload)` member rows as WebDataset tar shards
+    * through the DataSource V2 two-phase commit sink — one shard per
+    * non-empty partition, streamed in constant memory, temp files
+    * published by the driver commit ([[sources.WdsDataSource]]).
+    */
+  def writeWdsShards(spark: SparkSession, members: DataFrame, dir: String,
+      overwrite: Boolean = false): Unit =
+    members.write.format("wds-shards")
+      .mode(if (overwrite) "overwrite" else "append").save(dir)
+
   /** Persist the trained BPE tokenizer artifact: merges in training
     * order + the closed emission vocabulary
     * ([[llm.Bpe.saveTokenizer]]).

@@ -44,6 +44,32 @@ object Tar {
     out
   }
 
+  /** one member's 512-byte ustar header — shared by the in-memory
+    * [[build]] and the streaming [[StreamWriter]] so the layouts
+    * cannot drift
+    */
+  private def memberHeader(name: String, size: Int): Array[Byte] = {
+    val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(nb.length > 0 && nb.length <= 100, s"member name must be 1..100 bytes: '$name'")
+    val h = new Array[Byte](Block)
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    System.arraycopy(octal(420, 8), 0, h, 100, 8) // mode 0644
+    System.arraycopy(octal(0, 8), 0, h, 108, 8) // uid
+    System.arraycopy(octal(0, 8), 0, h, 116, 8) // gid
+    System.arraycopy(octal(size.toLong, 12), 0, h, 124, 12)
+    System.arraycopy(octal(0, 12), 0, h, 136, 12) // mtime 0: reproducible
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum seed
+    h(156) = '0' // typeflag: regular file
+    System.arraycopy("ustar".getBytes, 0, h, 257, 5) // magic + NUL version
+    h(262) = 0; h(263) = '0'; h(264) = '0'
+    var sum = 0L
+    var i = 0
+    while (i < Block) { sum += h(i) & 0xff; i += 1 }
+    System.arraycopy(octal(sum, 7), 0, h, 148, 7)
+    h(155) = ' '
+    h
+  }
+
   /** serialize (name, payload) members into one ustar archive */
   def build(members: Seq[(String, Array[Byte])]): Array[Byte] = {
     val total = members.map { case (_, b) =>
@@ -52,31 +78,49 @@ object Tar {
     val out = new Array[Byte](total)
     var pos = 0
     members.foreach { case (name, body) =>
-      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      require(nb.length > 0 && nb.length <= 100, s"member name must be 1..100 bytes: '$name'")
-      val h = new Array[Byte](Block)
-      System.arraycopy(nb, 0, h, 0, nb.length)
-      System.arraycopy(octal(420, 8), 0, h, 100, 8) // mode 0644
-      System.arraycopy(octal(0, 8), 0, h, 108, 8) // uid
-      System.arraycopy(octal(0, 8), 0, h, 116, 8) // gid
-      System.arraycopy(octal(body.length.toLong, 12), 0, h, 124, 12)
-      System.arraycopy(octal(0, 12), 0, h, 136, 12) // mtime 0: reproducible
-      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum seed
-      h(156) = '0' // typeflag: regular file
-      System.arraycopy("ustar".getBytes, 0, h, 257, 5) // magic + NUL version
-      h(262) = 0; h(263) = '0'; h(264) = '0'
-      var sum = 0L
-      var i = 0
-      while (i < Block) { sum += h(i) & 0xff; i += 1 }
-      val cs = octal(sum, 7)
-      System.arraycopy(cs, 0, h, 148, 7)
-      h(155) = ' '
-      System.arraycopy(h, 0, out, pos, Block)
+      System.arraycopy(memberHeader(name, body.length), 0, out, pos, Block)
       pos += Block
       System.arraycopy(body, 0, out, pos, body.length)
       pos += ((body.length + Block - 1) / Block) * Block
     }
     out // trailing 1024 bytes stay zero — the end-of-archive marker
+  }
+
+  /** STREAMING archive writer — constant memory regardless of shard
+    * size: each member's header + payload + padding go straight to
+    * `out`; [[finish]] emits the 1024-byte end-of-archive marker.
+    * The write half of [[memberIterator]] — the `wds-shards`
+    * DataSource V2 SINK streams shards through this, so a 1 GiB
+    * shard never materializes in executor memory. The caller owns
+    * closing `out`.
+    */
+  final class StreamWriter(out: java.io.OutputStream) {
+    private var finished = false
+    private var count = 0L
+    private var payload = 0L
+    private var written = 0L
+
+    def write(name: String, body: Array[Byte]): Unit = {
+      require(!finished, "StreamWriter: write after finish")
+      out.write(memberHeader(name, body.length))
+      out.write(body)
+      val padded = ((body.length + Block - 1) / Block) * Block
+      if (padded > body.length) out.write(new Array[Byte](padded - body.length))
+      count += 1
+      payload += body.length
+      written += Block + padded
+    }
+
+    def members: Long = count
+    def payloadBytes: Long = payload
+    /** total archive size including the end-of-archive marker */
+    def tarBytes: Long = written + 2L * Block
+
+    def finish(): Unit = {
+      require(!finished, "StreamWriter: double finish")
+      out.write(new Array[Byte](2 * Block))
+      finished = true
+    }
   }
 
   /** strict parse back to (name, payload) members */

@@ -413,6 +413,7 @@ object Pack {
         confEntries.foreach { case (k, v) => conf.set(k, v) }
         val base = new org.apache.hadoop.fs.Path(dir)
         val fs = base.getFileSystem(conf)
+        fs.setWriteChecksum(false) // no .crc sidecars in the shard dir
         val p = new org.apache.hadoop.fs.Path(base,
           graft.io.Tar.shardFileNameOf(sh))
         val tmp = new org.apache.hadoop.fs.Path(base,
@@ -474,6 +475,7 @@ object Pack {
         confEntries.foreach { case (k, v) => conf.set(k, v) }
         val base = new org.apache.hadoop.fs.Path(dir)
         val fs = base.getFileSystem(conf)
+        fs.setWriteChecksum(false) // no .crc sidecars in the shard dir
         val p = new org.apache.hadoop.fs.Path(base,
           graft.io.Tar.shardFileNameOf(sh))
         val tmp = new org.apache.hadoop.fs.Path(base,
@@ -535,6 +537,14 @@ object Pack {
         .count()
       out
     })
+
+  /** one sink dir per dataset for q447 (the write itself re-runs in
+    * overwrite mode every call — the truncate path is the point)
+    */
+  private val dsv2Dirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def dsv2SinkDirFor(s: SparkSession, d: String): String =
+    dsv2Dirs.getOrElseUpdate(d, s"${newWorkDir("graft-q447")}/shards")
 
   /** one on-disk tar-shard build per dataset for the q440 reader entry */
   private val tarShardDirs = scala.collection.concurrent.TrieMap[String, String]()
@@ -1253,6 +1263,29 @@ object Pack {
              |  CAST(a.pis AS BIGINT) AS pos_in_shard
              |FROM a JOIN sc USING (source, shard_idx)
              |ORDER BY global_pos""".stripMargin)),
+
+    // ---- q447: DSv2 SINK ROUND-TRIP — `df.write.format("wds-shards")`
+    //      through the REAL DataSource V2 two-phase commit protocol
+    //      (per-attempt temp files streamed in constant memory via
+    //      Tar.StreamWriter, driver-side publish-by-rename, truncate-
+    //      on-overwrite) and mounted back through the reader; the
+    //      full text of every doc hash-compares against the source.
+    //      Each run re-writes in overwrite mode, so the truncate path
+    //      is exercised on every rep after the first. ----
+    "q447_wds_dsv2_sink" -> Q(
+      (s, d) => {
+        val dir = dsv2SinkDirFor(s, d)
+        Tables.documents(s, d)
+          .select(col("doc_id").cast("string").as("key"),
+            lit("txt").as("ext"), col("text").cast("binary").as("payload"))
+          .repartition(4, col("key"))
+          .write.format("wds-shards").mode("overwrite").save(dir)
+        s.read.format("wds-shards").load(dir)
+          .select(col("key").cast("long").as("doc_id"),
+            col("payload").cast("string").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
 
     // ---- q445: MULTIMODAL SAMPLE PAIRING — the full multimodal
     //      loop closed loader-side: JPEG+caption pair shards written

@@ -62,11 +62,15 @@ class WdsDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WdsDataSource.schema
 
+  // writes arrive with the DataFrame's (key, ext, payload) schema, not
+  // the 5-column read schema — accept it here, vet it in WriteBuilder
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
-      sys.error("wds-shards requires .load(<directory>)"))
-    WdsShardTable(path)
+      sys.error("wds-shards requires .load(<directory>) / .save(<directory>)"))
+    WdsShardTable(path, schema)
   }
 }
 
@@ -140,13 +144,24 @@ object WdsDataSource {
   }
 }
 
-case class WdsShardTable(path: String) extends Table with SupportsRead {
+case class WdsShardTable(path: String, tableSchema: StructType)
+    extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"wds-shards `$path`"
-  override def schema(): StructType = WdsDataSource.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(tableSchema == WdsDataSource.schema,
+      "wds-shards does not support user-specified read schemas; " +
+        "project after .load() instead")
     new WdsScanBuilder(path)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new WdsWriteBuilder(path, info.schema())
 }
 
 class WdsScanBuilder(path: String) extends ScanBuilder
@@ -199,6 +214,166 @@ case class WdsScan(path: String, required: StructType, pushed: Array[Filter])
       .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
     WdsReaderFactory(required, confEntries)
   }
+}
+
+/** The SINK half: `df.write.format("wds-shards").save(dir)` with input
+  * rows `(key string, ext string, payload binary)` — each non-empty
+  * Spark partition streams into ONE `shard_<partitionId>.tar` under
+  * the real DataSource V2 two-phase commit protocol:
+  *
+  *   - a task writes to a UNIQUE temp (`.tmp-<uuid>`, one per task
+  *     ATTEMPT — speculative/retried attempts cannot collide) through
+  *     [[Tar.StreamWriter]] in CONSTANT memory (header + payload +
+  *     padding stream straight out; a 1 GiB shard never materializes
+  *     on-heap);
+  *   - `DataWriter.commit` returns the temp path in its commit
+  *     message; nothing is visible yet;
+  *   - the DRIVER's `BatchWrite.commit` publishes every temp via
+  *     rename — only fully-written shards from the winning attempts
+  *     become visible, the all-or-nothing file-sink contract;
+  *   - `abort` (task- or job-level) deletes temps, leaving the
+  *     directory exactly as it was.
+  *
+  * SaveMode.Overwrite (TRUNCATE capability) deletes the existing
+  * `shard_*.tar` set inside the driver commit, after every new temp is
+  * known good — a failed overwrite never destroys the old data.
+  * Partition → shard is the caller's contract (repartition by a shard
+  * key first); empty partitions produce NO file (no empty shards).
+  */
+class WdsWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val names = schema.fields.map(f => f.name -> f.dataType).toMap
+    require(names.get("key").contains(StringType) &&
+      names.get("ext").contains(StringType) &&
+      names.get("payload").contains(BinaryType) && schema.fields.length == 3,
+      "wds-shards write expects exactly (key string, ext string, " +
+        s"payload binary), got ${schema.simpleString}")
+    val confEntries = SparkContext.getOrCreate().hadoopConfiguration
+      .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    WdsWrite(path, schema, doTruncate, confEntries)
+  }
+}
+
+case class WdsWrite(path: String, schema: StructType, truncate: Boolean,
+    confEntries: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val keyAt = schema.fieldIndex("key")
+    val extAt = schema.fieldIndex("ext")
+    val payloadAt = schema.fieldIndex("payload")
+    WdsWriterFactory(path, keyAt, extAt, payloadAt, confEntries)
+  }
+
+  private def fs = {
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    new Path(path).getFileSystem(conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs
+    // tmpPath == null marks an empty partition (no shard written)
+    val done = messages.collect { case m: WdsCommitMessage => m }
+      .filter(_.tmpPath != null)
+    // overwrite deletes the OLD shard set only now — after every new
+    // temp exists and is fully written
+    if (truncate) {
+      val dir = new Path(path)
+      if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+        if (Tar.parseShardFileName(st.getPath.getName).isDefined)
+          f.delete(st.getPath, false)
+      }
+    }
+    done.foreach { m =>
+      val dest = new Path(new Path(path), Tar.shardFileNameOf(m.partitionId))
+      if (f.exists(dest)) f.delete(dest, false) // retried job idempotence
+      require(f.rename(new Path(m.tmpPath), dest),
+        s"wds-shards commit: rename ${m.tmpPath} -> $dest failed")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs
+    messages.collect { case m: WdsCommitMessage => m }
+      .filter(_.tmpPath != null)
+      .foreach(m => f.delete(new Path(m.tmpPath), false))
+  }
+}
+
+case class WdsCommitMessage(partitionId: Int, tmpPath: String,
+    nMembers: Long, payloadBytes: Long, tarBytes: Long)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+case class WdsWriterFactory(path: String, keyAt: Int, extAt: Int,
+    payloadAt: Int, confEntries: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+      private var tw: Tar.StreamWriter = _
+      private var tmp: Path = _
+
+      // lazily on the first row: empty partitions produce no file
+      private def ensureOpen(): Unit = if (tw == null) {
+        val conf = new Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val base = new Path(path)
+        val fsys = base.getFileSystem(conf)
+        // no .crc sidecars: object stores have none, and the shard
+        // directory contract is "shard_<k>.tar files only"
+        fsys.setWriteChecksum(false)
+        if (!fsys.exists(base)) fsys.mkdirs(base)
+        // per-ATTEMPT unique temp: speculation/retry safe
+        tmp = new Path(base, Tar.shardFileNameOf(partitionId) +
+          ".tmp-" + java.util.UUID.randomUUID)
+        out = fsys.create(tmp, true)
+        tw = new Tar.StreamWriter(out)
+      }
+
+      override def write(row: InternalRow): Unit = {
+        ensureOpen()
+        val key = row.getUTF8String(keyAt).toString
+        val ext = row.getUTF8String(extAt).toString
+        val name = if (ext.isEmpty) key else s"$key.$ext"
+        tw.write(name, row.getBinary(payloadAt))
+      }
+
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        if (tw == null) WdsCommitMessage(partitionId, null, 0L, 0L, 0L)
+        else {
+          tw.finish()
+          out.close()
+          WdsCommitMessage(partitionId, tmp.toString, tw.members,
+            tw.payloadBytes, tw.tarBytes)
+        }
+      }
+
+      override def abort(): Unit = if (tw != null) {
+        try out.close() catch { case _: Throwable => () }
+        val conf = new Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        tmp.getFileSystem(conf).delete(tmp, false)
+        ()
+      }
+
+      override def close(): Unit = ()
+    }
 }
 
 case class WdsReaderFactory(required: StructType,

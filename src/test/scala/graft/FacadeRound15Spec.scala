@@ -89,6 +89,24 @@ class FacadeRound15Spec extends SparkSpec {
     assert(msg(e).contains("must carry exactly jpg+txt"))
   }
 
+  test("writeWdsShards facade: DSv2 sink round-trips through readWdsShards") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("facade15sink")
+      .toString + "/out"
+    val members = corpus.select(col("doc_id").cast("string").as("key"),
+      lit("txt").as("ext"), col("text").cast("binary").as("payload"))
+    Graft.writeWdsShards(s, members.repartition(3, col("key")), dir)
+    // overwrite replaces the set
+    Graft.writeWdsShards(s, members.repartition(2, col("key")), dir,
+      overwrite = true)
+    val back = Graft.readWdsShards(s, dir)
+      .select(col("key").cast("long"), col("payload").cast("string"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == (0L until 9L).map(i => i -> s"doc $i words here").toMap)
+    assert(new java.io.File(dir).listFiles().length <= 2)
+  }
+
   test("extendMerges facade equals the kernel") {
     val s = spark
     import s.implicits._

@@ -146,6 +146,80 @@ class WdsSourceSpec extends SparkSpec {
       Option(e2.getCause).exists(_.getMessage.contains("end-of-archive")))
   }
 
+  test("DSv2 sink: write -> mount round-trips; empty partitions make no file; no temps remain") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wdssink").toString + "/out"
+    Seq(("0", "txt", "alpha".getBytes("UTF-8")),
+      ("1", "txt", "beta".getBytes("UTF-8")))
+      .toDF("key", "ext", "payload")
+      .repartition(6, col("key")) // >= 4 empty partitions
+      .write.format("wds-shards").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.forall(_.endsWith(".tar")), s"temps left: ${files.toSeq}")
+    assert(files.length <= 2 && files.nonEmpty, s"${files.toSeq}")
+    val back = spark.read.format("wds-shards").load(dir)
+      .select(col("key"), col("payload").cast("string").as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back == Map("0" -> "alpha", "1" -> "beta"))
+  }
+
+  test("DSv2 sink: overwrite truncates the previous shard set atomically-per-commit") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wdssink").toString + "/out"
+    (0 until 12).map(i => (i.toString, "txt", s"v1-$i".getBytes("UTF-8")))
+      .toDF("key", "ext", "payload")
+      .repartition(4, col("key"))
+      .write.format("wds-shards").mode("append").save(dir)
+    val before = new java.io.File(dir).listFiles().length
+    assert(before >= 2)
+    // overwrite with ONE partition: old shards must all be gone
+    Seq(("99", "txt", "v2".getBytes("UTF-8"))).toDF("key", "ext", "payload")
+      .coalesce(1)
+      .write.format("wds-shards").mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.length == 1 && files.head.endsWith(".tar"), files.toSeq)
+    val back = spark.read.format("wds-shards").load(dir)
+      .select("key").as[String].collect().toSeq
+    assert(back == Seq("99"))
+  }
+
+  test("DSv2 sink: wrong input schema is rejected loud, before any write") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wdssink").toString + "/out"
+    val e = intercept[Exception] {
+      Seq((1L, "x")).toDF("doc_id", "text")
+        .write.format("wds-shards").mode("append").save(dir)
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("wds-shards write expects"), msg(e))
+    assert(!new java.io.File(dir).exists() ||
+      new java.io.File(dir).listFiles().isEmpty)
+  }
+
+  test("DSv2 sink: task abort deletes the attempt's temp file") {
+    val s = spark
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("wdssink").toString + "/out"
+    val confEntries = s.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    val factory = graft.sources.WdsWriterFactory(dir, 0, 1, 2, confEntries)
+    val w = factory.createWriter(partitionId = 0, taskId = 7L)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("0"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("txt"),
+      "abandoned".getBytes("UTF-8"))
+    w.write(row)
+    assert(new java.io.File(dir).listFiles().length == 1) // the temp
+    w.abort()
+    assert(new java.io.File(dir).listFiles().isEmpty,
+      "abort must remove the attempt's temp")
+  }
+
   test("non-shard files in the directory are ignored by the naming contract") {
     val dir = java.nio.file.Files.createTempDirectory("wdssrc").toString
     write(dir, 8, 2)
