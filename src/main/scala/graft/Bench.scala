@@ -215,8 +215,10 @@ object Bench {
       // extends the q72-pinned tokenizer (fixture-pinned, like q441).
       "q444_wds_pruned_scan", "q445_wds_sample_pairing",
       // the DSv2 two-phase-commit sink: every rep re-writes the full
-      // corpus in overwrite mode (truncate path) then mounts it back
-      "q447_wds_dsv2_sink")
+      // corpus in overwrite mode (truncate path) then mounts it back;
+      // the curriculum-shard artifact (schedule-named shards via
+      // shardColumn mode, mounted with in-shard order)
+      "q447_wds_dsv2_sink", "q448_curriculum_shards")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round. (r13's q406-q429 rotate
@@ -225,7 +227,7 @@ object Bench {
     val newestKeys = Seq("q440_wds_reader",
       "q442_interleaved_curriculum", "q443_multimodal_jpeg_shards",
       "q444_wds_pruned_scan", "q445_wds_sample_pairing",
-      "q447_wds_dsv2_sink")
+      "q447_wds_dsv2_sink", "q448_curriculum_shards")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

@@ -546,6 +546,12 @@ object Pack {
   private def dsv2SinkDirFor(s: SparkSession, d: String): String =
     dsv2Dirs.getOrElseUpdate(d, s"${newWorkDir("graft-q447")}/shards")
 
+  /** one sink dir per dataset for q448 (re-written every call) */
+  private val currDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def currShardDirFor(s: SparkSession, d: String): String =
+    currDirs.getOrElseUpdate(d, s"${newWorkDir("graft-q448")}/shards")
+
   /** one on-disk tar-shard build per dataset for the q440 reader entry */
   private val tarShardDirs = scala.collection.concurrent.TrieMap[String, String]()
 
@@ -1263,6 +1269,66 @@ object Pack {
              |  CAST(a.pis AS BIGINT) AS pos_in_shard
              |FROM a JOIN sc USING (source, shard_idx)
              |ORDER BY global_pos""".stripMargin)),
+
+    // ---- q448: CURRICULUM SHARDS — q442's consumption order made
+    //      PHYSICAL: the interleaved curriculum written as
+    //      shard_<step-1>.tar files through the DSv2 sink's
+    //      shardColumn mode (shard identity = the schedule step, not
+    //      a partition id), each shard's members in pos_in_shard
+    //      order, then mounted back with the reader's `idx` ordinal —
+    //      so the oracle pins doc placement AND in-shard member
+    //      order AND the full text, end-to-end through real tar
+    //      files. This is the artifact a training loader would
+    //      actually walk. ----
+    "q448_curriculum_shards" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = currShardDirFor(s, d)
+        interleavedCurriculum(s, docs)
+          .join(docs.select(col("doc_id"), col("text")), "doc_id")
+          .select((col("step") - 1).as("shard"),
+            col("doc_id").cast("string").as("key"), lit("txt").as("ext"),
+            col("text").cast("binary").as("payload"), col("pos_in_shard"))
+          .repartition(col("shard"))
+          .sortWithinPartitions("shard", "pos_in_shard")
+          .select("shard", "key", "ext", "payload")
+          .write.format("wds-shards").option("shardColumn", "shard")
+          .mode("overwrite").save(dir)
+        s.read.format("wds-shards").load(dir)
+          .select(col("key").cast("long").as("doc_id"),
+            (col("shard") + 1).cast("long").as("step"),
+            col("idx").as("pos_in_shard"),
+            col("payload").cast("string").as("text"))
+          .orderBy("step", "pos_in_shard")
+      },
+      Some("""WITH h AS (SELECT doc_id, source,
+             |    ('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)),
+             |      1, 15))::BIGINT AS hv
+             |  FROM documents),
+             |r AS (SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY hv, doc_id) - 1 AS pos
+             |  FROM h),
+             |a AS (SELECT doc_id, source, pos // 64 AS shard_idx,
+             |    pos % 64 AS pis FROM r),
+             |ns AS (SELECT source, count(*) AS nd
+             |  FROM documents GROUP BY source),
+             |sh AS (SELECT source, (nd + 63) // 64 AS n FROM ns),
+             |ix AS (SELECT source, n, unnest(range(0, n)) AS shard_idx
+             |  FROM sh),
+             |p AS (SELECT source, shard_idx,
+             |    CAST(2 * shard_idx + 1 AS DOUBLE)
+             |      / CAST(2 * n AS DOUBLE) AS pos
+             |  FROM ix),
+             |sched AS (SELECT row_number() OVER
+             |    (ORDER BY pos, source, shard_idx) AS step,
+             |    source, shard_idx
+             |  FROM p)
+             |SELECT a.doc_id, CAST(sc.step AS BIGINT) AS step,
+             |  CAST(a.pis AS BIGINT) AS pos_in_shard, dd.text
+             |FROM a JOIN sched sc USING (source, shard_idx)
+             |JOIN documents dd ON dd.doc_id = a.doc_id
+             |ORDER BY step, pos_in_shard""".stripMargin)),
 
     // ---- q447: DSv2 SINK ROUND-TRIP — `df.write.format("wds-shards")`
     //      through the REAL DataSource V2 two-phase commit protocol

@@ -23,7 +23,9 @@ import graft.io.Tar
   * (the layout [[graft.llm.Pack.writeTarShards]] writes:
   * `shard_<k>.tar` files of `<key>.<ext>` members):
   * `spark.read.format("wds-shards").load(dir)` yields one row per
-  * member — `(shard, key, ext, size, payload: binary)`.
+  * member — `(shard, idx, key, ext, size, payload: binary)`, where
+  * `idx` is the member's ordinal within its shard file (= the order a
+  * sequential loader sees — how q448 pins consumption order).
   *
   * A training loader READS shards far more often than it writes them;
   * this is the mount-back counterpart of the five shard writers
@@ -77,6 +79,7 @@ class WdsDataSource extends TableProvider with DataSourceRegister {
 object WdsDataSource {
   val schema: StructType = StructType(Seq(
     StructField("shard", IntegerType, nullable = false),
+    StructField("idx", LongType, nullable = false),
     StructField("key", StringType, nullable = false),
     StructField("ext", StringType, nullable = false),
     StructField("size", LongType, nullable = false),
@@ -161,7 +164,7 @@ case class WdsShardTable(path: String, tableSchema: StructType)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new WdsWriteBuilder(path, info.schema())
+    new WdsWriteBuilder(path, info.schema(), info.options())
 }
 
 class WdsScanBuilder(path: String) extends ScanBuilder
@@ -239,8 +242,22 @@ case class WdsScan(path: String, required: StructType, pushed: Array[Filter])
   * known good — a failed overwrite never destroys the old data.
   * Partition → shard is the caller's contract (repartition by a shard
   * key first); empty partitions produce NO file (no empty shards).
+  *
+  * `.option("shardColumn", "<col>")` switches to DATA-DRIVEN shard
+  * identity (the dynamic-partitioning analogue): input rows are
+  * (<col> int/long, key, ext, payload) and each distinct column value
+  * becomes `shard_<value>.tar`, so the on-disk shard numbering is a
+  * semantic artifact (e.g. the curriculum step, q448) instead of a
+  * physical partition id. The caller must partition BY that column
+  * (all rows of one shard in one partition — a value split across
+  * partitions is detected at driver commit, which fails LOUD before
+  * any rename); a partition may own several shards, each streamed to
+  * its own temp. Member order within a shard = row order within the
+  * partition (sortWithinPartitions first), surfaced back by the
+  * reader's `idx` column.
   */
-class WdsWriteBuilder(path: String, schema: StructType)
+class WdsWriteBuilder(path: String, schema: StructType,
+    options: CaseInsensitiveStringMap)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -251,19 +268,32 @@ class WdsWriteBuilder(path: String, schema: StructType)
 
   override def build(): org.apache.spark.sql.connector.write.Write = {
     val names = schema.fields.map(f => f.name -> f.dataType).toMap
-    require(names.get("key").contains(StringType) &&
-      names.get("ext").contains(StringType) &&
-      names.get("payload").contains(BinaryType) && schema.fields.length == 3,
-      "wds-shards write expects exactly (key string, ext string, " +
-        s"payload binary), got ${schema.simpleString}")
+    val shardCol = Option(options.get("shardColumn"))
+    shardCol match {
+      case None =>
+        require(names.get("key").contains(StringType) &&
+          names.get("ext").contains(StringType) &&
+          names.get("payload").contains(BinaryType) && schema.fields.length == 3,
+          "wds-shards write expects exactly (key string, ext string, " +
+            s"payload binary), got ${schema.simpleString}")
+      case Some(sc) =>
+        require(names.get(sc).exists(t => t == LongType || t == IntegerType),
+          s"wds-shards shardColumn '$sc' must be an int/long column of the " +
+            s"input, got ${schema.simpleString}")
+        require(names.get("key").contains(StringType) &&
+          names.get("ext").contains(StringType) &&
+          names.get("payload").contains(BinaryType) && schema.fields.length == 4,
+          s"wds-shards write with shardColumn expects exactly ($sc int/long, " +
+            s"key string, ext string, payload binary), got ${schema.simpleString}")
+    }
     val confEntries = SparkContext.getOrCreate().hadoopConfiguration
       .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
-    WdsWrite(path, schema, doTruncate, confEntries)
+    WdsWrite(path, schema, doTruncate, shardCol, confEntries)
   }
 }
 
 case class WdsWrite(path: String, schema: StructType, truncate: Boolean,
-    confEntries: Array[(String, String)])
+    shardCol: Option[String], confEntries: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
@@ -275,7 +305,9 @@ case class WdsWrite(path: String, schema: StructType, truncate: Boolean,
     val keyAt = schema.fieldIndex("key")
     val extAt = schema.fieldIndex("ext")
     val payloadAt = schema.fieldIndex("payload")
-    WdsWriterFactory(path, keyAt, extAt, payloadAt, confEntries)
+    val shardAt = shardCol.map(sc =>
+      (schema.fieldIndex(sc), schema(sc).dataType == LongType))
+    WdsWriterFactory(path, keyAt, extAt, payloadAt, shardAt, confEntries)
   }
 
   private def fs = {
@@ -286,9 +318,15 @@ case class WdsWrite(path: String, schema: StructType, truncate: Boolean,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
-    // tmpPath == null marks an empty partition (no shard written)
-    val done = messages.collect { case m: WdsCommitMessage => m }
-      .filter(_.tmpPath != null)
+    val files = messages.collect { case m: WdsCommitMessage => m.files }
+      .flatten
+    // a shard id claimed by two partitions means the caller broke the
+    // partition-by-shard-column contract — fail BEFORE any rename,
+    // with every temp still unpublished
+    val dup = files.groupBy(_.shardId).filter(_._2.length > 1).keys
+    require(dup.isEmpty,
+      s"wds-shards commit: shard id(s) ${dup.mkString(",")} written by " +
+        "multiple partitions — repartition by the shard column before writing")
     // overwrite deletes the OLD shard set only now — after every new
     // temp exists and is fully written
     if (truncate) {
@@ -298,8 +336,8 @@ case class WdsWrite(path: String, schema: StructType, truncate: Boolean,
           f.delete(st.getPath, false)
       }
     }
-    done.foreach { m =>
-      val dest = new Path(new Path(path), Tar.shardFileNameOf(m.partitionId))
+    files.foreach { m =>
+      val dest = new Path(new Path(path), Tar.shardFileNameOf(m.shardId))
       if (f.exists(dest)) f.delete(dest, false) // retried job idempotence
       require(f.rename(new Path(m.tmpPath), dest),
         s"wds-shards commit: rename ${m.tmpPath} -> $dest failed")
@@ -308,68 +346,83 @@ case class WdsWrite(path: String, schema: StructType, truncate: Boolean,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
-    messages.collect { case m: WdsCommitMessage => m }
-      .filter(_.tmpPath != null)
+    messages.collect { case m: WdsCommitMessage => m.files }.flatten
       .foreach(m => f.delete(new Path(m.tmpPath), false))
   }
 }
 
-case class WdsCommitMessage(partitionId: Int, tmpPath: String,
-    nMembers: Long, payloadBytes: Long, tarBytes: Long)
+/** one finished temp shard: renamed to `shard_<shardId>.tar` at commit */
+case class WdsShardFile(shardId: Long, tmpPath: String, nMembers: Long,
+  payloadBytes: Long, tarBytes: Long)
+
+case class WdsCommitMessage(files: Seq[WdsShardFile])
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 case class WdsWriterFactory(path: String, keyAt: Int, extAt: Int,
-    payloadAt: Int, confEntries: Array[(String, String)])
+    payloadAt: Int, shardAt: Option[(Int, Boolean)],
+    confEntries: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-      private var out: org.apache.hadoop.fs.FSDataOutputStream = _
-      private var tw: Tar.StreamWriter = _
-      private var tmp: Path = _
+      // one open stream per shard this partition owns: exactly one in
+      // partition-id mode; keyed by the shard column's value in
+      // shardColumn mode (constant memory per open shard — bytes
+      // stream to the temp file, never on-heap)
+      private case class OpenShard(tmp: Path,
+        out: org.apache.hadoop.fs.FSDataOutputStream, tw: Tar.StreamWriter)
+      private val open =
+        scala.collection.mutable.LinkedHashMap.empty[Long, OpenShard]
+      private var fsys: org.apache.hadoop.fs.FileSystem = _
 
-      // lazily on the first row: empty partitions produce no file
-      private def ensureOpen(): Unit = if (tw == null) {
-        val conf = new Configuration(false)
-        confEntries.foreach { case (k, v) => conf.set(k, v) }
-        val base = new Path(path)
-        val fsys = base.getFileSystem(conf)
-        // no .crc sidecars: object stores have none, and the shard
-        // directory contract is "shard_<k>.tar files only"
-        fsys.setWriteChecksum(false)
-        if (!fsys.exists(base)) fsys.mkdirs(base)
-        // per-ATTEMPT unique temp: speculation/retry safe
-        tmp = new Path(base, Tar.shardFileNameOf(partitionId) +
-          ".tmp-" + java.util.UUID.randomUUID)
-        out = fsys.create(tmp, true)
-        tw = new Tar.StreamWriter(out)
+      private def shardOf(row: InternalRow): Long = shardAt match {
+        case None => partitionId.toLong
+        case Some((at, isLong)) => if (isLong) row.getLong(at) else row.getInt(at).toLong
       }
 
+      // lazily on the first row: empty partitions produce no file
+      private def shardFor(id: Long): OpenShard =
+        open.getOrElseUpdate(id, {
+          if (fsys == null) {
+            val conf = new Configuration(false)
+            confEntries.foreach { case (k, v) => conf.set(k, v) }
+            val base = new Path(path)
+            fsys = base.getFileSystem(conf)
+            // no .crc sidecars: object stores have none, and the shard
+            // directory contract is "shard_<k>.tar files only"
+            fsys.setWriteChecksum(false)
+            if (!fsys.exists(base)) fsys.mkdirs(base)
+          }
+          // per-ATTEMPT unique temp: speculation/retry safe
+          val tmp = new Path(new Path(path), Tar.shardFileNameOf(id) +
+            ".tmp-" + java.util.UUID.randomUUID)
+          val out = fsys.create(tmp, true)
+          OpenShard(tmp, out, new Tar.StreamWriter(out))
+        })
+
       override def write(row: InternalRow): Unit = {
-        ensureOpen()
+        val sh = shardFor(shardOf(row))
         val key = row.getUTF8String(keyAt).toString
         val ext = row.getUTF8String(extAt).toString
         val name = if (ext.isEmpty) key else s"$key.$ext"
-        tw.write(name, row.getBinary(payloadAt))
+        sh.tw.write(name, row.getBinary(payloadAt))
       }
 
       override def commit()
-          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-        if (tw == null) WdsCommitMessage(partitionId, null, 0L, 0L, 0L)
-        else {
-          tw.finish()
-          out.close()
-          WdsCommitMessage(partitionId, tmp.toString, tw.members,
-            tw.payloadBytes, tw.tarBytes)
-        }
-      }
+          : org.apache.spark.sql.connector.write.WriterCommitMessage =
+        WdsCommitMessage(open.toSeq.map { case (id, sh) =>
+          sh.tw.finish()
+          sh.out.close()
+          WdsShardFile(id, sh.tmp.toString, sh.tw.members,
+            sh.tw.payloadBytes, sh.tw.tarBytes)
+        })
 
-      override def abort(): Unit = if (tw != null) {
-        try out.close() catch { case _: Throwable => () }
-        val conf = new Configuration(false)
-        confEntries.foreach { case (k, v) => conf.set(k, v) }
-        tmp.getFileSystem(conf).delete(tmp, false)
-        ()
+      override def abort(): Unit = if (open.nonEmpty) {
+        open.values.foreach { sh =>
+          try sh.out.close() catch { case _: Throwable => () }
+          fsys.delete(sh.tmp, false)
+        }
+        open.clear()
       }
 
       override def close(): Unit = ()
@@ -391,9 +444,11 @@ case class WdsReaderFactory(required: StructType,
       }
       private val members = Tar.memberIterator(in, withPayload = needPayload)
       private var current: (String, Long, Option[Array[Byte]]) = _
+      private var ordinal = -1L
 
       override def next(): Boolean =
-        if (members.hasNext) { current = members.next(); true } else false
+        if (members.hasNext) { current = members.next(); ordinal += 1; true }
+        else false
 
       override def get(): InternalRow = {
         val (name, size, body) = current
@@ -401,6 +456,7 @@ case class WdsReaderFactory(required: StructType,
         val vals = required.fields.map { f =>
           f.name match {
             case "shard" => part.shard
+            case "idx" => ordinal
             case "key" => UTF8String.fromString(key)
             case "ext" => UTF8String.fromString(ext)
             case "size" => size

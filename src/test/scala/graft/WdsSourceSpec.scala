@@ -207,7 +207,7 @@ class WdsSourceSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("wdssink").toString + "/out"
     val confEntries = s.sparkContext.hadoopConfiguration
       .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
-    val factory = graft.sources.WdsWriterFactory(dir, 0, 1, 2, confEntries)
+    val factory = graft.sources.WdsWriterFactory(dir, 0, 1, 2, None, confEntries)
     val w = factory.createWriter(partitionId = 0, taskId = 7L)
     val row = org.apache.spark.sql.catalyst.InternalRow(
       org.apache.spark.unsafe.types.UTF8String.fromString("0"),
@@ -218,6 +218,57 @@ class WdsSourceSpec extends SparkSpec {
     w.abort()
     assert(new java.io.File(dir).listFiles().isEmpty,
       "abort must remove the attempt's temp")
+  }
+
+  test("DSv2 sink shardColumn mode: data-driven shard names, idx = in-partition row order") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wdssink").toString + "/out"
+    // shard 7 gets b,a in THAT order (sortWithinPartitions pins it);
+    // shard 3 gets c — one partition may own several shards
+    Seq((7L, "b", "txt", "second?no-first".getBytes("UTF-8")),
+      (3L, "c", "txt", "gamma".getBytes("UTF-8")),
+      (7L, "a", "txt", "alpha".getBytes("UTF-8")))
+      .toDF("shard", "key", "ext", "payload")
+      .repartition(2, col("shard"))
+      .sortWithinPartitions("shard", "key")
+      .write.format("wds-shards").option("shardColumn", "shard")
+      .mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("shard_00003.tar", "shard_00007.tar"), files.toSeq)
+    val back = spark.read.format("wds-shards").load(dir)
+      .select("shard", "idx", "key").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(back == Set((3, 0L, "c"), (7, 0L, "a"), (7, 1L, "b")), back)
+  }
+
+  test("DSv2 sink shardColumn mode: a shard split across partitions fails the COMMIT, publishing nothing") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wdssink").toString + "/out"
+    // two explicit partitions, one row each, SAME shard value — the
+    // broken-contract case, forced deterministically via parallelize
+    val rows = Seq(
+      org.apache.spark.sql.Row(5L, "a", "txt", "x".getBytes("UTF-8")),
+      org.apache.spark.sql.Row(5L, "b", "txt", "y".getBytes("UTF-8")))
+    val schema = Seq(("shard", "long"), ("key", "string"),
+      ("ext", "string"), ("payload", "binary"))
+      .foldLeft(new org.apache.spark.sql.types.StructType()) {
+        case (st, (n, t)) => st.add(n, t)
+      }
+    val df = s.createDataFrame(s.sparkContext.parallelize(rows, 2), schema)
+    val e = intercept[Exception] {
+      df.write.format("wds-shards").option("shardColumn", "shard")
+        .mode("append").save(dir)
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("written by multiple partitions"), msg(e))
+    // nothing published: no shard files (temps may have been aborted)
+    val published = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".tar"))
+    assert(published.isEmpty, published.map(_.getName).toSeq)
   }
 
   test("non-shard files in the directory are ignored by the naming contract") {
