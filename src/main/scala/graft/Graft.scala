@@ -2475,6 +2475,15 @@ object Graft {
   def pairMultimodalSamples(spark: SparkSession, dir: String): DataFrame =
     llm.Pack.pairMultimodalSamples(spark, dir)
 
+  /** Native streaming WebDataset sink harness: `writeStream` through
+    * the wds-shards DSv2 sink (epoch-encoded shard names, exactly-once
+    * publish) against pinned arrival slices, mounted back through the
+    * reader ([[llm.Pack.streamWdsSink]]).
+    */
+  def streamWdsSink(spark: SparkSession, dir: String,
+      slots: Int = 4): DataFrame =
+    llm.Pack.streamWdsSink(spark, dir, slots)
+
   /** Continuation-train an existing BPE merge list by `numExtra`
     * merges — the append half of the tokenizer lifecycle; extend-by-k
     * equals train-(n+k) exactly ([[llm.Bpe.extendMerges]]).

@@ -896,6 +896,59 @@ object Pack {
       .orderBy(source)
   }
 
+  /** NATIVE STREAMING SINK HARNESS — the q431 semantics carried by the
+    * ENGINE's sink instead of a hand-rolled foreachBatch:
+    * `writeStream.format("wds-shards")` with the shardColumn option,
+    * against the same pinned arrival slices. Shard ids come out as
+    * epoch·10⁵ + slot (a pure function of (epoch, slot) — replayed
+    * epochs regenerate the same names and the sink's delete-then-
+    * rename publish makes artifacts exactly-once; the protocol-level
+    * replay is pinned in WdsSourceSpec by committing the same epoch
+    * twice). The readout mounts the shard dir back through the READER
+    * and reports per (batch, slot) — the full streaming write path
+    * exercised through the real micro-batch engine end to end.
+    */
+  def streamWdsSink(s: SparkSession, dir: String, slots: Int = 4): DataFrame = {
+    require(slots >= 1, s"slots >= 1: $slots")
+    val work = newWorkDir("graft-q449")
+    val src = s"$work/src"; val shardDir = s"$work/shards"
+    val ckpt = s"$work/ckpt"
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // pinned arrival slices (the q431 fixture rule): batch k = doc_id%3==k
+    (0 until 3).foreach { k =>
+      val before = Option(new java.io.File(src).listFiles())
+        .map(_.toSet).getOrElse(Set.empty[java.io.File])
+      docs.filter(col("doc_id") % 3 === k).coalesce(1)
+        .write.mode("append").parquet(src)
+      val after = new java.io.File(src).listFiles().toSet
+      (after -- before).foreach(_.setLastModified(1000000000000L + k * 60000L))
+    }
+    val sch = s.read.parquet(src).schema
+    val q = s.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src)
+      .select((col("doc_id") % slots).as("shard"),
+        col("doc_id").cast("string").as("key"), lit("txt").as("ext"),
+        col("text").cast("binary").as("payload"))
+      .repartition(col("shard"))
+      .writeStream.format("wds-shards").option("shardColumn", "shard")
+      .option("checkpointLocation", ckpt)
+      .start(shardDir)
+    try q.processAllAvailable() finally q.stop()
+    // the shard-dir contract holds for the streaming path too
+    val stray = new java.io.File(shardDir).listFiles()
+      .filterNot(_.getName.endsWith(".tar"))
+    require(stray.isEmpty,
+      s"q449: non-.tar files left by the streaming sink: " +
+        stray.map(_.getName).mkString(","))
+    val m = s.read.format("wds-shards").load(shardDir)
+      .groupBy(expr("CAST(shard AS BIGINT) div 100000").as("batch"),
+        (col("shard").cast("long") % 100000L).as("slot"))
+      .agg(count(lit(1)).as("n_members"), sum(col("size")).as("payload_bytes"))
+      .orderBy("batch", "slot")
+      .localCheckpoint(true)
+    dropWorkDir(work)
+    m
+  }
+
   /** STREAMING WEBDATASET SHARD SINK — how a crawl pipeline actually
     * writes training shards: documents arrive in micro-batches and
     * each batch emits its tar shards AS IT COMMITS, with EXACTLY-ONCE
@@ -1429,6 +1482,19 @@ object Pack {
              |    + 1024 AS BIGINT) AS tar_bytes,
              |  TRUE AS roundtrip_ok
              |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q449: NATIVE STREAMING WDS SINK — the engine's
+    //      writeStream.format("wds-shards") path against the pinned
+    //      slices: per-epoch shard files (epoch*1e5 + slot ids, the
+    //      exactly-once naming), mounted back through the reader; the
+    //      oracle pins the (batch, slot) member/byte accounting from
+    //      the arrival arithmetic (batch = doc_id % 3). ----
+    "q449_stream_wds_sink" -> Q(
+      (s, d) => streamWdsSink(s, d, slots = 4),
+      Some("""SELECT doc_id % 3 AS batch, doc_id % 4 AS slot,
+             |  count(*) AS n_members,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes
+             |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ---- q431: STREAMING SHARD SINK — exactly-once tar shards +
     //      manifest under a planted mid-stream failure and checkpoint

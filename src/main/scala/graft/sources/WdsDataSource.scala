@@ -85,6 +85,11 @@ object WdsDataSource {
     StructField("size", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
+  /** streaming shard-id encoding: shard = epoch·EpochStride + slot
+    * (the [[graft.llm.Pack.seqIdStride]] house rule)
+    */
+  private[graft] val EpochStride = 100000L
+
   /** test hooks (same-JVM local mode): shard files actually opened,
     * and members whose payload was actually materialized
     */
@@ -154,7 +159,7 @@ case class WdsShardTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(tableSchema == WdsDataSource.schema,
       "wds-shards does not support user-specified read schemas; " +
@@ -295,20 +300,54 @@ class WdsWriteBuilder(path: String, schema: StructType,
 case class WdsWrite(path: String, schema: StructType, truncate: Boolean,
     shardCol: Option[String], confEntries: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.Write
-    with org.apache.spark.sql.connector.write.BatchWrite {
+    with org.apache.spark.sql.connector.write.BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write._
 
   override def toBatch: BatchWrite = this
+  override def toStreaming: streaming.StreamingWrite = this
+  // both parent traits declare this default — restate to disambiguate
+  override def useCommitCoordinator(): Boolean = true
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = {
+  private def factory(epochBase: Long): WdsWriterFactory = {
     val keyAt = schema.fieldIndex("key")
     val extAt = schema.fieldIndex("ext")
     val payloadAt = schema.fieldIndex("payload")
     val shardAt = shardCol.map(sc =>
       (schema.fieldIndex(sc), schema(sc).dataType == LongType))
-    WdsWriterFactory(path, keyAt, extAt, payloadAt, shardAt, confEntries)
+    WdsWriterFactory(path, keyAt, extAt, payloadAt, shardAt, epochBase,
+      confEntries)
   }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = factory(epochBase = 0L)
+
+  /** STREAMING: shard id = epoch·10⁵ + (shard-column value | partition
+    * id) — a pure function of (epoch, slot), so a replayed epoch (the
+    * at-least-once delivery case) regenerates the SAME file names and
+    * the commit's delete-then-rename makes the artifacts exactly-once
+    * (the q431 contract, engine-native). No truncate in streaming:
+    * each epoch only ever touches its own names.
+    */
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory = {
+    val self = this
+    new streaming.StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] = {
+        require(epochId >= 0 && partitionId < WdsDataSource.EpochStride,
+          s"epoch $epochId / partition $partitionId overflow the shard-id encoding")
+        self.factory(epochBase = epochId * WdsDataSource.EpochStride)
+          .createWriter(partitionId, taskId)
+      }
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = publish(messages)
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = abort(messages)
 
   private def fs = {
     val conf = new Configuration(false)
@@ -316,7 +355,10 @@ case class WdsWrite(path: String, schema: StructType, truncate: Boolean,
     new Path(path).getFileSystem(conf)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    publish(messages)
+
+  private def publish(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
     val files = messages.collect { case m: WdsCommitMessage => m.files }
       .flatten
@@ -359,7 +401,7 @@ case class WdsCommitMessage(files: Seq[WdsShardFile])
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 case class WdsWriterFactory(path: String, keyAt: Int, extAt: Int,
-    payloadAt: Int, shardAt: Option[(Int, Boolean)],
+    payloadAt: Int, shardAt: Option[(Int, Boolean)], epochBase: Long,
     confEntries: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
@@ -375,9 +417,16 @@ case class WdsWriterFactory(path: String, keyAt: Int, extAt: Int,
         scala.collection.mutable.LinkedHashMap.empty[Long, OpenShard]
       private var fsys: org.apache.hadoop.fs.FileSystem = _
 
-      private def shardOf(row: InternalRow): Long = shardAt match {
-        case None => partitionId.toLong
-        case Some((at, isLong)) => if (isLong) row.getLong(at) else row.getInt(at).toLong
+      private def shardOf(row: InternalRow): Long = {
+        val slot = shardAt match {
+          case None => partitionId.toLong
+          case Some((at, isLong)) =>
+            if (isLong) row.getLong(at) else row.getInt(at).toLong
+        }
+        if (epochBase > 0)
+          require(slot >= 0 && slot < WdsDataSource.EpochStride,
+            s"streaming shard slot $slot overflows the epoch stride")
+        epochBase + slot
       }
 
       // lazily on the first row: empty partitions produce no file

@@ -207,7 +207,7 @@ class WdsSourceSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("wdssink").toString + "/out"
     val confEntries = s.sparkContext.hadoopConfiguration
       .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
-    val factory = graft.sources.WdsWriterFactory(dir, 0, 1, 2, None, confEntries)
+    val factory = graft.sources.WdsWriterFactory(dir, 0, 1, 2, None, 0L, confEntries)
     val w = factory.createWriter(partitionId = 0, taskId = 7L)
     val row = org.apache.spark.sql.catalyst.InternalRow(
       org.apache.spark.unsafe.types.UTF8String.fromString("0"),
@@ -269,6 +269,35 @@ class WdsSourceSpec extends SparkSpec {
     val published = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty).filter(_.getName.endsWith(".tar"))
     assert(published.isEmpty, published.map(_.getName).toSeq)
+  }
+
+  test("streaming sink protocol: replaying an epoch republishes the SAME names — exactly-once") {
+    val s = spark
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("wdsstream").toString + "/out"
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("shard", "long").add("key", "string")
+      .add("ext", "string").add("payload", "binary")
+    val confEntries = s.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    val write = graft.sources.WdsWrite(dir, schema, truncate = false,
+      shardCol = Some("shard"), confEntries)
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    def deliver(payload: String): Unit = {
+      val w = write.createStreamingWriterFactory(null).createWriter(0, 1L, 5L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        7L, u("a"), u("txt"), payload.getBytes("UTF-8")))
+      write.commit(5L, Array(w.commit()))
+    }
+    deliver("first-delivery")
+    deliver("replay-wins!!") // same epoch: the at-least-once redelivery
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.toSeq == Seq("shard_500007.tar"),
+      s"replay must not duplicate: ${files.toSeq}") // 5*1e5 + slot 7
+    val back = graft.io.Tar.parse(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "shard_500007.tar")))
+    assert(back.map(m => m._1 -> new String(m._2, "UTF-8")) ==
+      Seq("a.txt" -> "replay-wins!!"))
   }
 
   test("non-shard files in the directory are ignored by the naming contract") {
