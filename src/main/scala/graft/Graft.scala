@@ -2484,6 +2484,14 @@ object Graft {
       slots: Int = 4): DataFrame =
     llm.Pack.streamWdsSink(spark, dir, slots)
 
+  /** Streaming shard SOURCE harness: `readStream` follows a shard
+    * directory as new shards are published, consuming each exactly
+    * once in shard-id order through the header-only scan path
+    * ([[llm.Pack.streamWdsSource]]).
+    */
+  def streamWdsSource(spark: SparkSession, dir: String): DataFrame =
+    llm.Pack.streamWdsSource(spark, dir)
+
   /** Continuation-train an existing BPE merge list by `numExtra`
     * merges — the append half of the tokenizer lifecycle; extend-by-k
     * equals train-(n+k) exactly ([[llm.Bpe.extendMerges]]).

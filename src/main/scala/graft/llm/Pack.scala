@@ -949,6 +949,57 @@ object Pack {
     m
   }
 
+  /** STREAMING SHARD SOURCE HARNESS — the loader side of a live crawl:
+    * `readStream.format("wds-shards")` follows a shard directory as
+    * new shards are PUBLISHED (two waves written through the DSv2
+    * batch sink), consuming each exactly once in shard-id order (the
+    * offset = highest shard id processed; restart-safety from the
+    * checkpoint is pinned in WdsSourceSpec). The per-batch readout
+    * projects (shard, key, size) only — the streaming scan rides the
+    * header-only path, never touching payload bytes.
+    */
+  def streamWdsSource(s: SparkSession, dir: String): DataFrame = {
+    val work = newWorkDir("graft-q450")
+    val shardDir = s"$work/shards"; val outDir = s"$work/batches"
+    val ckpt = s"$work/ckpt"
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // wave w publishes shards {2w, 2w+1}: docs with doc_id%2==w, split
+    // by (doc_id%4) div 2 — deterministic, so the oracle replays it
+    def writeWave(w: Int): Unit =
+      docs.filter(col("doc_id") % 2 === w)
+        .select((lit(w * 2) + expr("(doc_id % 4) div 2")).cast("long")
+          .as("shard"), col("doc_id").cast("string").as("key"),
+          lit("txt").as("ext"), col("text").cast("binary").as("payload"))
+        .repartition(col("shard"))
+        .write.format("wds-shards").option("shardColumn", "shard")
+        .mode("append").save(shardDir)
+    writeWave(0)
+    val q = s.readStream.format("wds-shards").load(shardDir)
+      .select(col("shard"), col("key"), col("size"))
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (!b.isEmpty)
+          b.groupBy()
+            .agg(count(lit(1)).as("n_members"),
+              sum(col("size")).as("payload_bytes"))
+            .withColumn("batch", lit(batchId))
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: wave-0 shards
+      writeWave(1)
+      q.processAllAvailable() // batch 1: ONLY the new shards
+    } finally q.stop()
+    val m = s.read.parquet(s"$outDir/b*")
+      .select(col("batch"), col("n_members"), col("payload_bytes"))
+      .orderBy("batch")
+      .localCheckpoint(true)
+    dropWorkDir(work)
+    m
+  }
+
   /** STREAMING WEBDATASET SHARD SINK — how a crawl pipeline actually
     * writes training shards: documents arrive in micro-batches and
     * each batch emits its tar shards AS IT COMMITS, with EXACTLY-ONCE
@@ -1482,6 +1533,16 @@ object Pack {
              |    + 1024 AS BIGINT) AS tar_bytes,
              |  TRUE AS roundtrip_ok
              |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q450: STREAMING WDS SOURCE — readStream over a shard dir
+    //      published in two waves; each wave is consumed exactly once
+    //      in shard-id order through the header-only scan path; the
+    //      oracle replays the wave arithmetic (wave = doc_id % 2). ----
+    "q450_stream_wds_source" -> Q(
+      (s, d) => streamWdsSource(s, d),
+      Some("""SELECT doc_id % 2 AS batch, count(*) AS n_members,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- q449: NATIVE STREAMING WDS SINK — the engine's
     //      writeStream.format("wds-shards") path against the pinned

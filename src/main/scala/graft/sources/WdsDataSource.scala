@@ -159,7 +159,8 @@ case class WdsShardTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(tableSchema == WdsDataSource.schema,
       "wds-shards does not support user-specified read schemas; " +
@@ -222,6 +223,85 @@ case class WdsScan(path: String, required: StructType, pushed: Array[Filter])
       .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
     WdsReaderFactory(required, confEntries)
   }
+
+  /** STREAMING READ — `readStream.format("wds-shards")`: shards are
+    * consumed in SHARD-ID ORDER as they appear, which is exactly how
+    * a training loader follows a crawl that appends shards (and, for
+    * a q448 curriculum artifact, ID order IS the curriculum). The
+    * offset is simply the highest shard id processed — exact,
+    * restart-safe (the checkpoint replays ids > offset), and immune
+    * to re-listing races because published shard files are immutable
+    * (the sink's rename-publish contract). Pushed `shard` filters
+    * and column pruning apply unchanged. CONTRACT: shards must be
+    * published in increasing id order — ids at or below the committed
+    * offset are never re-listed (the streaming sink's epoch encoding
+    * guarantees the order; WdsSourceSpec pins the two-wave pickup).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    WdsMicroBatchStream(path, required, pushed)
+}
+
+case class WdsOffset(maxShard: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"maxShard":$maxShard}"""
+}
+
+case class WdsMicroBatchStream(path: String, required: StructType,
+    pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listIds(): Seq[(String, Int)] = {
+    val p = new Path(path)
+    val conf = SparkContext.getOrCreate().hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator
+      .filter(_.isFile)
+      .flatMap(st => Tar.parseShardFileName(st.getPath.getName)
+        .map(sh => (st.getPath.toString, sh)))
+      .toSeq
+  }
+
+  override def initialOffset(): Offset = WdsOffset(-1L)
+
+  override def latestOffset(): Offset = {
+    val ids = listIds()
+    WdsOffset(if (ids.isEmpty) -1L else ids.map(_._2.toLong).max)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"maxShard":(-?\d+)\}""".r
+    json.trim match {
+      case m(v) => WdsOffset(v.toLong)
+      case other => sys.error(s"bad wds-shards offset: $other")
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[WdsOffset].maxShard
+    val hi = end.asInstanceOf[WdsOffset].maxShard
+    listIds()
+      .filter { case (_, sh) => sh > lo && sh <= hi }
+      .filter { case (_, sh) => pushed.forall(WdsDataSource.eval(_, sh)) }
+      .sortBy(_._2)
+      .map { case (f, sh) => WdsShardPartition(f, sh): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val confEntries = SparkContext.getOrCreate().hadoopConfiguration
+      .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    WdsReaderFactory(required, confEntries)
+  }
+
+  // ids <= the committed offset are done (immutable artifacts); ids
+  // above it are simply the next batch — nothing to reconcile here
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 /** The SINK half: `df.write.format("wds-shards").save(dir)` with input

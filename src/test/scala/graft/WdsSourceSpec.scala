@@ -300,6 +300,38 @@ class WdsSourceSpec extends SparkSpec {
       Seq("a.txt" -> "replay-wins!!"))
   }
 
+  test("streaming source: waves picked up once each; restart resumes from the checkpointed shard offset") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("wdsstreamsrc").toString
+    val dir = s"$root/shards"; val ckpt = s"$root/ckpt"
+    def publish(shard: Long, keys: Seq[String]): Unit =
+      keys.map(k => (shard, k, "txt", s"payload-$k".getBytes("UTF-8")))
+        .toDF("shard", "key", "ext", "payload").coalesce(1)
+        .write.format("wds-shards").option("shardColumn", "shard")
+        .mode("append").save(dir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[String])]
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      s.readStream.format("wds-shards").load(dir)
+        .select("key")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val ks = b.select("key").collect().map(_.getString(0)).toSet
+          if (ks.nonEmpty) got.synchronized { got += ((id, ks)); () }
+        }
+        .option("checkpointLocation", ckpt).start()
+    publish(0L, Seq("a", "b"))
+    publish(1L, Seq("c"))
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(got.toList == List((0L, Set("a", "b", "c"))), got)
+    // new shards while the query is DOWN; restart resumes past id 1
+    publish(2L, Seq("d"))
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(got.toList == List((0L, Set("a", "b", "c")), (1L, Set("d"))), got)
+  }
+
   test("non-shard files in the directory are ignored by the naming contract") {
     val dir = java.nio.file.Files.createTempDirectory("wdssrc").toString
     write(dir, 8, 2)
