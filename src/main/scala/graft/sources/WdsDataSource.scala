@@ -165,7 +165,12 @@ case class WdsShardTable(path: String, tableSchema: StructType)
     require(tableSchema == WdsDataSource.schema,
       "wds-shards does not support user-specified read schemas; " +
         "project after .load() instead")
-    new WdsScanBuilder(path)
+    val maxShards = Option(options.get("maxShardsPerTrigger")).map { v =>
+      val n = v.toInt
+      require(n >= 1, s"maxShardsPerTrigger must be >= 1: $n")
+      n
+    }
+    new WdsScanBuilder(path, maxShards)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -173,7 +178,8 @@ case class WdsShardTable(path: String, tableSchema: StructType)
     new WdsWriteBuilder(path, info.schema(), info.options())
 }
 
-class WdsScanBuilder(path: String) extends ScanBuilder
+class WdsScanBuilder(path: String, maxShards: Option[Int] = None)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = WdsDataSource.schema
   private var pushed: Array[Filter] = Array.empty
@@ -189,12 +195,13 @@ class WdsScanBuilder(path: String) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = WdsScan(path, required, pushed)
+  override def build(): Scan = WdsScan(path, required, pushed, maxShards)
 }
 
 case class WdsShardPartition(file: String, shard: Int) extends InputPartition
 
-case class WdsScan(path: String, required: StructType, pushed: Array[Filter])
+case class WdsScan(path: String, required: StructType, pushed: Array[Filter],
+    maxShards: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -239,7 +246,7 @@ case class WdsScan(path: String, required: StructType, pushed: Array[Filter])
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    WdsMicroBatchStream(path, required, pushed)
+    WdsMicroBatchStream(path, required, pushed, maxShards)
 }
 
 case class WdsOffset(maxShard: Long)
@@ -248,9 +255,10 @@ case class WdsOffset(maxShard: Long)
 }
 
 case class WdsMicroBatchStream(path: String, required: StructType,
-    pushed: Array[Filter])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    pushed: Array[Filter], maxShards: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private def listIds(): Seq[(String, Int)] = {
     val p = new Path(path)
@@ -270,6 +278,27 @@ case class WdsMicroBatchStream(path: String, required: StructType,
     val ids = listIds()
     WdsOffset(if (ids.isEmpty) -1L else ids.map(_._2.toLong).max)
   }
+
+  /** RATE CONTROL — `.option("maxShardsPerTrigger", n)`: each trigger
+    * admits at most the n LOWEST unprocessed shard ids (admission is
+    * id-ordered, like everything else here — a rate-limited loader
+    * still walks the curriculum in order). Backlog beyond the cap
+    * stays pending; the engine keeps triggering until drained.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxShards.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[WdsOffset].maxShard
+    val fresh = listIds().map(_._2.toLong).filter(_ > lo).sorted
+    if (fresh.isEmpty) start
+    else limit match {
+      case mf: ReadMaxFiles => WdsOffset(fresh.take(mf.maxFiles()).last)
+      case _ => WdsOffset(fresh.last)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset = {
     val m = """\{"maxShard":(-?\d+)\}""".r

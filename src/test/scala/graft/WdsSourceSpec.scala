@@ -332,6 +332,33 @@ class WdsSourceSpec extends SparkSpec {
     assert(got.toList == List((0L, Set("a", "b", "c")), (1L, Set("d"))), got)
   }
 
+  test("streaming source rate control: maxShardsPerTrigger admits lowest ids first, one per batch") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("wdsrate").toString
+    val dir = s"$root/shards"; val ckpt = s"$root/ckpt"
+    (0L until 4L).foreach { sh =>
+      Seq((sh, s"k$sh", "txt", s"p$sh".getBytes("UTF-8")))
+        .toDF("shard", "key", "ext", "payload").coalesce(1)
+        .write.format("wds-shards").option("shardColumn", "shard")
+        .mode("append").save(dir)
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Int])]
+    val q = s.readStream.format("wds-shards")
+      .option("maxShardsPerTrigger", "1").load(dir)
+      .select("shard")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val shards = b.collect().map(_.getInt(0)).toSeq.sorted
+        if (shards.nonEmpty) got.synchronized { got += ((id, shards)); () }
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    // the 4-shard backlog drains one shard per batch, id order
+    assert(got.toList == List((0L, Seq(0)), (1L, Seq(1)), (2L, Seq(2)),
+      (3L, Seq(3))), got)
+  }
+
   test("non-shard files in the directory are ignored by the naming contract") {
     val dir = java.nio.file.Files.createTempDirectory("wdssrc").toString
     write(dir, 8, 2)
