@@ -218,7 +218,10 @@ object Bench {
       // corpus in overwrite mode (truncate path) then mounts it back;
       // the curriculum-shard artifact (schedule-named shards via
       // shardColumn mode, mounted with in-shard order)
-      "q447_wds_dsv2_sink", "q448_curriculum_shards")
+      "q447_wds_dsv2_sink", "q448_curriculum_shards",
+      // shard-store compaction: mount -> renumber -> rewrite through
+      // the sink, order-preserving (re-compacts every rep)
+      "q451_wds_compact")
     // THIS ROUND's new entries: always timed first (a regression in the
     // newest surface must show up in its first BENCH file), before the
     // rotating remainder. Update per round. (r13's q406-q429 rotate
@@ -227,7 +230,8 @@ object Bench {
     val newestKeys = Seq("q440_wds_reader",
       "q442_interleaved_curriculum", "q443_multimodal_jpeg_shards",
       "q444_wds_pruned_scan", "q445_wds_sample_pairing",
-      "q447_wds_dsv2_sink", "q448_curriculum_shards")
+      "q447_wds_dsv2_sink", "q448_curriculum_shards",
+      "q451_wds_compact")
     def fnOf(k: String) = SparkEntry.queries.getOrElse(k,
       sys.error(s"bench extended key $k missing from SparkEntry.queries"))
     // drain through the noop sink: forces full evaluation of every output

@@ -2492,6 +2492,14 @@ object Graft {
   def streamWdsSource(spark: SparkSession, dir: String): DataFrame =
     llm.Pack.streamWdsSource(spark, dir)
 
+  /** Compact a WebDataset shard store into `targetMembers`-member
+    * shards, preserving the global consumption order
+    * ([[llm.Pack.compactWdsShards]]).
+    */
+  def compactWdsShards(spark: SparkSession, dir: String, outDir: String,
+      targetMembers: Long): DataFrame =
+    llm.Pack.compactWdsShards(spark, dir, outDir, targetMembers)
+
   /** Continuation-train an existing BPE merge list by `numExtra`
     * merges — the append half of the tokenizer lifecycle; extend-by-k
     * equals train-(n+k) exactly ([[llm.Bpe.extendMerges]]).

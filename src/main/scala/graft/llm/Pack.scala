@@ -949,6 +949,58 @@ object Pack {
     m
   }
 
+  /** SHARD-STORE COMPACTION — the maintenance op a long-running crawl
+    * sink eventually needs (streaming epochs leave many small
+    * per-(epoch, slot) shards; loaders want ~fixed-size ones): mount
+    * `dir`, renumber members into shards of `targetMembers` while
+    * PRESERVING the global consumption order (shard asc, idx asc —
+    * for a q448 artifact that IS the curriculum), and write the
+    * compacted store through the DSv2 sink's shardColumn mode. The
+    * compact rung of the store's lifecycle, next to the persist /
+    * probe / append rungs (AnnIndex q84, Lexical q104, DedupIndex
+    * q67, Bpe q446 precedent).
+    *
+    * Scale shape: the global position is offset(shard) + idx where
+    * the offsets are a prefix sum over the SHARD-bounded count table
+    * (broadcast back) — no member-level global sort; the one
+    * member-level shuffle is the repartition to the new shard
+    * owners, which is the minimum any compaction pays (each payload
+    * byte moves exactly once). Returns the compacted store's
+    * manifest (shard, n_members, payload_bytes), mounted.
+    */
+  def compactWdsShards(s: SparkSession, dir: String, outDir: String,
+      targetMembers: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetMembers > 0, s"targetMembers > 0: $targetMembers")
+    val members = s.read.format("wds-shards").load(dir)
+    val counts = members.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+    // shard-bounded prefix offsets (the q442 rule)
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("off"))
+    members.join(broadcast(offs), "shard")
+      .withColumn("pos", col("off") + col("idx"))
+      .withColumn("new_shard", expr(s"pos div ${targetMembers}L"))
+      .repartition(col("new_shard"))
+      .sortWithinPartitions("new_shard", "pos")
+      .select(col("new_shard").as("shard"), col("key"), col("ext"),
+        col("payload"))
+      .write.format("wds-shards").option("shardColumn", "shard")
+      .mode("overwrite").save(outDir)
+    s.read.format("wds-shards").load(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_members"), sum(col("size")).as("payload_bytes"))
+      .orderBy("shard")
+  }
+
+  /** one compaction output dir per dataset for q451 */
+  private val compactDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def compactDirFor(s: SparkSession, d: String): String =
+    compactDirs.getOrElseUpdate(d, s"${newWorkDir("graft-q451")}/shards")
+
   /** STREAMING SHARD SOURCE HARNESS — the loader side of a live crawl:
     * `readStream.format("wds-shards")` follows a shard directory as
     * new shards are PUBLISHED (two waves written through the DSv2
@@ -1533,6 +1585,29 @@ object Pack {
              |    + 1024 AS BIGINT) AS tar_bytes,
              |  TRUE AS roundtrip_ok
              |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q451: SHARD-STORE COMPACTION — the q440 store (4 hash
+    //      shards) compacted into 200-member shards with the global
+    //      consumption order preserved; the member-level readout pins
+    //      every doc's new (shard, idx) placement AND header-exact
+    //      size against the replayed order arithmetic. ----
+    "q451_wds_compact" -> Q(
+      (s, d) => {
+        val out = compactDirFor(s, d)
+        compactWdsShards(s, tarShardsFor(s, d), out, targetMembers = 200)
+        s.read.format("wds-shards").load(out)
+          .select(col("key").cast("long").as("doc_id"), col("shard"),
+            col("idx"), col("size").as("n_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH pos AS (SELECT doc_id, strlen(text) AS nb,
+             |    row_number() OVER (ORDER BY doc_id % 4, doc_id) - 1
+             |      AS pos
+             |  FROM documents)
+             |SELECT doc_id, CAST(pos // 200 AS INT) AS shard,
+             |  CAST(pos % 200 AS BIGINT) AS idx,
+             |  CAST(nb AS BIGINT) AS n_bytes
+             |FROM pos ORDER BY doc_id""".stripMargin)),
 
     // ---- q450: STREAMING WDS SOURCE — readStream over a shard dir
     //      published in two waves; each wave is consumed exactly once

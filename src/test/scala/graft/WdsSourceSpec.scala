@@ -359,6 +359,31 @@ class WdsSourceSpec extends SparkSpec {
       (3L, Seq(3))), got)
   }
 
+  test("compactWdsShards: an epoch-fragmented store becomes fixed-size shards, order preserved") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("wdscompact").toString
+    val in = s"$root/in"; val out = s"$root/out"
+    // a streaming-sink-shaped store: epoch-encoded ids, uneven sizes
+    def publish(shard: Long, keys: Seq[String]): Unit =
+      keys.map(k => (shard, k, "txt", s"p-$k".getBytes("UTF-8")))
+        .toDF("shard", "key", "ext", "payload").coalesce(1)
+        .write.format("wds-shards").option("shardColumn", "shard")
+        .mode("append").save(in)
+    publish(0L, Seq("a", "b"))
+    publish(1L, Seq("c"))
+    publish(100000L, Seq("d", "e", "f")) // epoch 1, slot 0
+    val manifest = graft.llm.Pack.compactWdsShards(s, in, out,
+      targetMembers = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(manifest == Seq((0L, 3L), (1L, 3L)), manifest)
+    // global consumption order (old shard asc, idx asc) is preserved
+    val order = spark.read.format("wds-shards").load(out)
+      .select("shard", "idx", "key").collect()
+      .sortBy(r => (r.getInt(0), r.getLong(1))).map(_.getString(2)).toSeq
+    assert(order == Seq("a", "b", "c", "d", "e", "f"), order)
+  }
+
   test("non-shard files in the directory are ignored by the naming contract") {
     val dir = java.nio.file.Files.createTempDirectory("wdssrc").toString
     write(dir, 8, 2)
