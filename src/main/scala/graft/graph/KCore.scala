@@ -62,7 +62,11 @@ object KCore {
     // recompute join. Measured back-to-back at sf0.1: 6.6 s → 5.0 s on q123 (1.3×; the cascade peels only ~7% of nodes, so most of the win is the cheaper convergence count — graphs where the peel bites harder save proportionally more).
     var deg = ed.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
       .localCheckpoint()
-    var removed = deg.filter(col("d") < k).localCheckpoint()
+    // `removed` is a NARROW filter over the just-checkpointed degree
+    // table — recomputing it at each use is a cached-partition scan,
+    // so its own eager localCheckpoint was one wasted materialization
+    // job per peel round (r15 opt pass)
+    var removed = deg.filter(col("d") < k)
     var nRemoved = removed.count()
     var round = 0
     while (nRemoved > 0 && round < maxRounds) {
@@ -73,7 +77,7 @@ object KCore {
         .select(col("node"),
           (col("d") - coalesce(col("dd"), lit(0L))).as("d"))
         .localCheckpoint()
-      removed = deg.filter(col("d") < k).localCheckpoint()
+      removed = deg.filter(col("d") < k)
       nRemoved = removed.count()
       round += 1
     }

@@ -84,24 +84,25 @@ object Louvain {
     var lab = deg.select(col("node"), col("node").as("comm"))
       .localCheckpoint(true)
     for (r <- 1 to rounds) {
-      val sTot = lab.join(deg, "node")
-        .groupBy(col("comm")).agg(sum(col("d")).as("stot"))
+      // static degree + previous label in ONE node-keyed table, shared
+      // by the community-mass rollup and the gain scoring
+      val labd = lab.join(deg, "node") // (node, comm, d)
+      val sTot = labd.groupBy(col("comm")).agg(sum(col("d")).as("stot"))
       // i's edge weight into each neighboring community, from the
       // PREVIOUS labeling (synchronous: all nodes decide on the same
-      // snapshot); self-loops excluded — they follow i everywhere
-      val nbr = sym.filter(col("u") =!= col("v"))
+      // snapshot); self-loops excluded — they follow i everywhere.
+      // The STAY option (must exist even when i has no neighbor in its
+      // own community) rides the SAME aggregation as a zero-weight
+      // message: sum(w..., 0) ≡ the old separate nbr-agg + max-merge,
+      // one (node, cand)-keyed shuffle instead of two (r15 opt pass).
+      val msgs = sym.filter(col("u") =!= col("v"))
         .join(lab.select(col("node").as("v"), col("comm").as("cv")), "v")
-        .groupBy(col("u").as("node"), col("cv").as("cand"))
-        .agg(sum(col("w")).as("k"))
-      // the STAY option must exist even when i has no neighbor in its
-      // own community (k = 0 there)
-      val stay = lab.select(col("node"), col("comm").as("cand"),
-        lit(0L).as("k"))
-      val cands = nbr.unionByName(stay)
-        .groupBy("node", "cand").agg(max(col("k")).as("k"))
+        .select(col("u").as("node"), col("cv").as("cand"), col("w").as("k"))
+        .unionByName(lab.select(col("node"), col("comm").as("cand"),
+          lit(0L).as("k")))
+      val cands = msgs.groupBy("node", "cand").agg(sum(col("k")).as("k"))
       val scored = cands
-        .join(lab, "node")
-        .join(deg, "node")
+        .join(labd, "node")
         .join(sTot.select(col("comm").as("cand"), col("stot")), "cand")
         .withColumn("g",
           when(col("cand") === col("comm"),
@@ -109,11 +110,12 @@ object Louvain {
               - col("d").cast(dec38) * (col("stot") - col("d")))
             .otherwise(lit(2L).cast(dec38) * lit(m) * col("k")
               - col("d").cast(dec38) * col("stot")))
-      val mx = scored.groupBy(col("node").as("mn"))
-        .agg(max(col("g")).as("mg"))
-      val winner = scored.join(mx,
-          scored("node") === col("mn") && scored("g") === col("mg"))
-        .groupBy(scored("node")).agg(min(col("cand")).as("wcomm"))
+      // argmax in ONE aggregation: max over (g, −cand) structs ≡ max
+      // gain with ties to the SMALLEST community id — the former
+      // max-agg + equality self-join + min-agg collapsed (r15 opt pass)
+      val winner = scored.groupBy(col("node"))
+        .agg(max(struct(col("g"), (-col("cand")).as("nc"))).as("best"))
+        .select(col("node"), (-col("best.nc")).as("wcomm"))
       // the coloring schedule: only this round's parity class moves
       lab = lab.join(winner, "node")
         .select(col("node"),

@@ -113,10 +113,20 @@ object Dsir {
       .select(col(id), col("n_grams"), round(col("avg_lr"), 6).as("avg_lr_r6"))
 
   private def scoreWith(docs: DataFrame, tm: DataFrame, rm: DataFrame,
+      totals: DataFrame, id: String, text: String): DataFrame =
+    // ONE gram-keyed model table (g, ct, cr) — the same full-outer
+    // join totalsOf pays — so the occurrence stream is joined ONCE
+    // instead of once per model (r15 opt pass; arithmetic unchanged:
+    // both joins were left on the same unique gram key)
+    scoreWithModel(docs,
+      rm.select(col("g"), col("cr"))
+        .join(tm.select(col("g"), col("ct")), Seq("g"), "full_outer"),
+      totals, id, text)
+
+  private def scoreWithModel(docs: DataFrame, model: DataFrame,
       totals: DataFrame, id: String, text: String): DataFrame = {
     val scored = gramStream(docs, id, text)
-      .join(rm, Seq("g"), "left")
-      .join(tm, Seq("g"), "left")
+      .join(model, Seq("g"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("lr",
         log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("nt") + col("v")))
@@ -133,8 +143,20 @@ object Dsir {
     * operators add noise BEFORE the single terminal rounding. */
   private def weighted(s: SparkSession, target: DataFrame, raw: DataFrame,
       id: String, text: String): DataFrame = {
-    val (tm, rm, totals) = trainModels(s, target, raw, id, text)
-    scoreWith(raw, tm, rm, totals, id, text)
+    val tm = gramStream(target, id, text).groupBy("g").agg(count(lit(1)).as("ct"))
+    val rm = gramStream(raw, id, text).groupBy("g").agg(count(lit(1)).as("cr"))
+    // The joined model is MATERIALIZED once (eager localCheckpoint —
+    // Zipf-bounded gram vocabulary, NOT corpus-sized, so this is the
+    // one intermediate that is always safe to pin): totals and the
+    // scoring join then read it instead of re-running both gram
+    // streams — the raw corpus was tokenized 3×, now 2× (r15 opt pass).
+    val model = rm.select(col("g"), col("cr"))
+      .join(tm.select(col("g"), col("ct")), Seq("g"), "full_outer")
+      .localCheckpoint(true)
+    val totals = model.agg(count(lit(1)).as("v"),
+      sum(coalesce(col("ct"), lit(0L))).as("nt"),
+      sum(coalesce(col("cr"), lit(0L))).as("nr"))
+    scoreWithModel(raw, model, totals, id, text)
   }
 
   /** Deterministic standard-Gumbel noise for a doc id: u = (Knuth-hash
