@@ -14,10 +14,15 @@ import graft.rel.Tables
   * order-dependent; an engine whose results can't be replayed can't be
   * hash-checked, so the engine ships the synchronous variant.)
   *
-  * The argmax is computed as two aggregations (max count per node,
-  * then min label at that count) rather than a struct-ordering trick,
-  * because that shape replays verbatim in SQL — same CTEs, same
-  * semantics, no engine-specific tuple comparison.
+  * The argmax is ONE aggregation — max over (count, −label) structs,
+  * i.e. max count with ties to the smallest label. The SQL oracle
+  * replays it as the equivalent two-step form (max count per node,
+  * then min label at that count): the struct comparison is plain
+  * lexicographic order over exact integers, so the two shapes define
+  * the same function and the hash compare pins them to each other.
+  * (Shipped as two aggregations + a self-join through r14; folded in
+  * the r15 optimization pass — one shuffle per round instead of two
+  * plus a join.)
   *
   * Scale: edges shuffle once and stay cached; each round's traffic is
   * the (node, label) table (16 bytes/node) joined to the cached edges,
@@ -41,11 +46,13 @@ object LabelProp {
       val votes = ed.join(labels, ed("u") === labels("node"))
         .groupBy(ed("v").as("n"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      val mx = votes.groupBy(col("n")).agg(max(col("cnt")).as("mx"))
-        .withColumnRenamed("n", "mn")
-      val winner = votes.join(mx,
-          votes("n") === col("mn") && votes("cnt") === col("mx"))
-        .groupBy(votes("n").as("node")).agg(min(col("label")).as("label"))
+      // argmax in ONE aggregation (r15 opt pass, the Louvain rewrite):
+      // max over (cnt, −label) structs ≡ max count with ties to the
+      // SMALLEST label — exactly the max-agg + equality-join + min-agg
+      // the oracle CTEs replay, folded into a single shuffle
+      val winner = votes.groupBy(col("n").as("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("best"))
+        .select(col("node"), (-col("best.nl")).as("label"))
       labels = labels.select(col("node").as("old_node"), col("label").as("old_label"))
         .join(winner, col("old_node") === col("node"), "left")
         .select(col("old_node").as("node"),
