@@ -59,11 +59,19 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
     var rounds = 0
+    var curCnt = -1L // cur's row count, carried across rounds so the
+    // fixpoint check pays ONE count job per round, not two (r15 opt)
     var converged = cur.isEmpty
     while (!converged) {
       // LARGE-STAR: symmetrize, per-center closed-neighborhood min,
       // re-hang strictly larger neighbors on it. Emitted (v, m) keeps
-      // v > m because m ≤ center < v.
+      // v > m because m ≤ center < v. NOT deduplicated (r15 opt): the
+      // n > c filter keeps exactly one orientation per input edge, so
+      // the table stays |cur|-sized with no fan-out; duplicate (hi, lo)
+      // rows (two centers sharing one min) are invisible to the
+      // small-star min-aggregation and collapse in the round-end
+      // distinct — the dedup here was one edge-sized exchange per
+      // round for nothing.
       val sym = cur.select(col("hi").as("c"), col("lo").as("n"))
         .unionAll(cur.select(col("lo").as("c"), col("hi").as("n")))
       val mins = sym.groupBy("c").agg(min(col("n")).as("mn"))
@@ -71,7 +79,6 @@ object ConnectedComponents {
       val large = sym.join(mins, "c")
         .filter(col("n") > col("c"))
         .select(col("n").as("hi"), col("m").as("lo"))
-        .distinct()
       // SMALL-STAR: already oriented high→low; center on hi, re-hang
       // the smaller neighbors AND the center on the neighborhood min.
       // m ≤ lo < hi, so both emissions keep the (hi, lo) invariant.
@@ -86,8 +93,10 @@ object ConnectedComponents {
       rounds += 1
       // fixpoint: both sides distinct, so equal counts + empty
       // one-sided difference ⇒ equal sets
-      converged = next.count() == cur.count() &&
-        next.exceptAll(cur).isEmpty
+      val nextCnt = next.count()
+      if (curCnt < 0) curCnt = cur.count()
+      converged = nextCnt == curCnt && next.exceptAll(cur).isEmpty
+      curCnt = nextCnt
       cur = next
     }
     val members = cur.select(col("hi").as("node"), col("lo").as("comp_id"))
