@@ -76,10 +76,15 @@ object Louvain {
       col("v").cast("long").as("v"), col("w").cast("long").as("w"))
     val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v"), col("w")))
       .repartition(col("v")).cache()
-    val m = e.agg(coalesce(sum("w"), lit(0L))).first().getLong(0)
-    require(m > 0, "localMove: empty edge set")
     val deg = sym.groupBy(col("u").as("node")).agg(sum("w").as("d"))
       .localCheckpoint(true)
+    // m derived from the checkpointed degrees (Σd = 2m exactly — every
+    // edge, self-loops included, is counted twice in sym): the old
+    // `e.agg(sum(w))` re-ran the ENTIRE upstream edge build (for the
+    // driver entries: orders ⋈ lineitem + distinct; for the two-level
+    // pass: the whole quotient rollup) just for one scalar (r15 opt).
+    val m = deg.agg(coalesce(sum("d"), lit(0L))).first().getLong(0) / 2
+    require(m > 0, "localMove: empty edge set")
     val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     var lab = deg.select(col("node"), col("node").as("comm"))
       .localCheckpoint(true)
@@ -147,8 +152,12 @@ object Louvain {
     */
   def louvainTwoLevel(s: SparkSession, edges: DataFrame,
       rounds1: Int, rounds2: Int): DataFrame = {
+    // the base edge list feeds BOTH level 1's symmetrized cache and the
+    // quotient rollup — cached so the (often expensive) upstream edge
+    // build runs once instead of twice (r15 opt); released as soon as
+    // the checkpointed level-2 labels exist
     val e = edges.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v")).withColumn("w", lit(1L))
+      col("v").cast("long").as("v")).withColumn("w", lit(1L)).cache()
     val lab1 = localMoveWeighted(s, e, rounds1).localCheckpoint(true)
     val qe = e
       .join(lab1.select(col("node").as("u"), col("community").as("cu")), "u")
@@ -156,7 +165,10 @@ object Louvain {
       .select(least(col("cu"), col("cv")).as("u"),
         greatest(col("cu"), col("cv")).as("v"), col("w"))
       .groupBy("u", "v").agg(sum("w").as("w"))
+    // lab2 is already materialized (localMoveWeighted checkpoints its
+    // final labeling), so the cached edge list can be released here
     val lab2 = localMoveWeighted(s, qe, rounds2)
+    e.unpersist()
     lab1.select(col("node"), col("community").as("c1"))
       .join(lab2.select(col("node").as("c1"), col("community")), "c1")
       .select(col("node"), col("community"))
