@@ -50,18 +50,31 @@ import graft.rel.Tables
   */
 object Anf {
 
+  /** Symmetrized undirected edge build shared by the four rungs.
+    * `canonicalInput` = the caller guarantees `edges` is a DISTINCT
+    * canonical (u < v) pair table (the CoPurchase contract: a
+    * groupBy(a, b) output) — the symmetrized union is then distinct
+    * by construction (the two halves are disjoint orientations of
+    * distinct pairs) and the dedup exchange is skipped (r15 opt,
+    * guide §2.4: a distinct on data that is already unique).
+    */
+  private def symUnd(edges: DataFrame, canonicalInput: Boolean): DataFrame = {
+    val ed = edges.select(col("u").cast("long"), col("v").cast("long"))
+    val sym = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v"))
+    (if (canonicalInput) sym else sym.distinct())
+      .repartition(col("u")).cache()
+  }
+
   /** Exact N(t): output per observed distance t ≤ maxT, ordered —
     * (t, delta, pairs, frac_milli, ge90), where pairs = N(t),
     * frac_milli = 1000·N(t) div N(maxT), and the first ge90 row is the
     * effective diameter under the horizon. Self-pairs count at t = 0.
     */
   def neighborhoodFunctionExact(s: SparkSession, edges: DataFrame,
-      maxT: Int): DataFrame = {
+      maxT: Int, canonicalInput: Boolean = false): DataFrame = {
     require(maxT >= 1 && maxT <= 32, s"1 <= maxT <= 32: $maxT")
-    val ed = edges.select(col("u").cast("long"), col("v").cast("long"))
-    val und = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
-      .filter(col("u") =!= col("v")).distinct()
-      .repartition(col("u")).cache()
+    val und = symUnd(edges, canonicalInput)
     var dist = und.select(col("u").as("src")).distinct()
       .select(col("src"), col("src").as("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
@@ -111,13 +124,10 @@ object Anf {
     * raises loudly rather than overflowing the long division.
     */
   def neighborhoodFunctionHll(s: SparkSession, edges: DataFrame,
-      maxT: Int): DataFrame = {
+      maxT: Int, canonicalInput: Boolean = false): DataFrame = {
     require(maxT >= 1 && maxT <= 32, s"1 <= maxT <= 32: $maxT")
     import s.implicits._
-    val ed = edges.select(col("u").cast("long"), col("v").cast("long"))
-    val und = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
-      .filter(col("u") =!= col("v")).distinct()
-      .repartition(col("u")).cache()
+    val und = symUnd(edges, canonicalInput)
     val hv = graft.llm.SketchAggOps.kmvHash(col("node").cast("string"))
     var regs = und.select(col("u").as("node")).distinct()
       .withColumn("hv", hv)
@@ -252,12 +262,9 @@ object Anf {
     * Output: top-k (node, h_micro), ties → node asc.
     */
   def harmonicExact(s: SparkSession, edges: DataFrame, maxT: Int,
-      k: Int): DataFrame = {
+      k: Int, canonicalInput: Boolean = false): DataFrame = {
     require(maxT >= 1 && maxT <= 32, s"1 <= maxT <= 32: $maxT")
-    val ed = edges.select(col("u").cast("long"), col("v").cast("long"))
-    val und = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
-      .filter(col("u") =!= col("v")).distinct()
-      .repartition(col("u")).cache()
+    val und = symUnd(edges, canonicalInput)
     var dist = und.select(col("u").as("src")).distinct()
       .select(col("src"), col("src").as("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
@@ -291,13 +298,10 @@ object Anf {
     * Output: top-k (node, h_micro), ties → node asc.
     */
   def harmonicHyperball(s: SparkSession, edges: DataFrame, maxT: Int,
-      k: Int): DataFrame = {
+      k: Int, canonicalInput: Boolean = false): DataFrame = {
     require(maxT >= 1 && maxT <= 32, s"1 <= maxT <= 32: $maxT")
     import s.implicits._
-    val ed = edges.select(col("u").cast("long"), col("v").cast("long"))
-    val und = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
-      .filter(col("u") =!= col("v")).distinct()
-      .repartition(col("u")).cache()
+    val und = symUnd(edges, canonicalInput)
     val hv = graft.llm.SketchAggOps.kmvHash(col("node").cast("string"))
     var regs = und.select(col("u").as("node")).distinct()
       .withColumn("hv", hv)
@@ -328,6 +332,12 @@ object Anf {
           when(col("raw_micro") <= LcCutMicro && col("zeros") > 0,
             col("lcmicro")).otherwise(col("raw_micro")).as("est"))
     }
+    // the per-t estimates stay LAZY over the checkpointed register
+    // snapshots (the q325 shape): each estOf is consumed exactly once
+    // by the lag window below, so the old per-round localCheckpoint of
+    // the accumulated union — one extra materialization job per round,
+    // each re-copying every prior round's rows — was pure overhead
+    // (r15 opt, guide §1.2)
     var ests = estOf(regs, 0)
     for (r <- 1 to maxT) {
       regs = regs.unionAll(
@@ -335,12 +345,18 @@ object Anf {
             .select(und("v").as("node"), regs("bucket"), regs("rho")))
         .groupBy("node", "bucket").agg(max("rho").as("rho"))
         .localCheckpoint(true)
-      ests = ests.unionAll(estOf(regs, r)).localCheckpoint(true)
+      ests = ests.unionAll(estOf(regs, r))
     }
     und.unpersist()
-    val prev = ests.select(col("node"), (col("t") + 1L).as("t"),
-      col("est").as("prev"))
-    ests.join(prev, Seq("node", "t"))
+    // B̂(u, t−1) via lag over (node, t) — ONE node-keyed exchange where
+    // the former self-join on (node, t) shuffled the estimate table
+    // twice (r15 opt, guide §2.4). Every estOf emits every node (regs
+    // is a monotone node set seeded with ALL nodes), so lag ≡ the old
+    // dense inner join; the t = 0 row gets a null prev, the condition
+    // goes null, and the 0-branch contributes nothing — exactly the
+    // rows the join dropped.
+    val wLag = Window.partitionBy("node").orderBy("t")
+    ests.withColumn("prev", lag(col("est"), 1).over(wLag))
       .select(col("node"),
         when(col("est") > col("prev"),
           expr("(est - prev) div t")).otherwise(0L).as("inc"))
@@ -428,27 +444,31 @@ object Anf {
     //      frontier expansion (MATERIALIZED rounds — each is read
     //      twice, the q316/q323 DuckDB lesson). ----
     "q324_neighborhood_exact" -> Q(
-      (s, d) => neighborhoodFunctionExact(s, copurchaseEdges(s, d), MaxT),
+      (s, d) => neighborhoodFunctionExact(s, copurchaseEdges(s, d), MaxT,
+        canonicalInput = true),
       Some(exactOracleSql(MaxT))),
     // ---- q325: HyperANF on the same graph — the 100 TB rung. The
     //      oracle replays the ENTIRE iterated register state row by
     //      row (md5-prefix hash, bit-length ranks, literal LC table),
     //      so the approximate operator is checked exactly. ----
     "q325_hyperanf_hll" -> Q(
-      (s, d) => neighborhoodFunctionHll(s, copurchaseEdges(s, d), MaxT),
+      (s, d) => neighborhoodFunctionHll(s, copurchaseEdges(s, d), MaxT,
+        canonicalInput = true),
       Some(hllOracleSql(MaxT))),
     // ---- q378: EXACT harmonic centrality of the co-purchase graph
     //      (top 15) — the oracle anchor on the q324 pair state; the
     //      100 TB rung is q379. ----
     "q378_harmonic_exact" -> Q(
-      (s, d) => harmonicExact(s, copurchaseEdges(s, d), MaxT, k = 15),
+      (s, d) => harmonicExact(s, copurchaseEdges(s, d), MaxT, k = 15,
+        canonicalInput = true),
       Some(harmonicExactOracleSql(MaxT, 15))),
     // ---- q379: HYPERBALL harmonic centrality — per-node HLL ball
     //      estimates, clipped increments over 1/t; linear register
     //      state. The oracle replays every register and every
     //      per-node estimate at every t. ----
     "q379_harmonic_hyperball" -> Q(
-      (s, d) => harmonicHyperball(s, copurchaseEdges(s, d), MaxT, k = 15),
+      (s, d) => harmonicHyperball(s, copurchaseEdges(s, d), MaxT, k = 15,
+        canonicalInput = true),
       Some(harmonicHyperballOracleSql(MaxT, 15))),
   )
 }

@@ -54,10 +54,14 @@ object Hits {
       .distinct()
       .repartition(col("u")) // the one edge shuffle; reused every round
       .cache()
-    require(ed.limit(1).count() == 1, "empty edge set")
     val nodes = ed.select(col("u").as("node"))
       .union(ed.select(col("v").as("node"))).distinct()
       .localCheckpoint()
+    // the empty-edge guard rides the nodes checkpoint (nodes is empty
+    // iff ed is): the old ed.limit(1).count() ran one extra partial
+    // job over the unbuilt upstream edge join just for the check
+    // (r15 opt, guide §1.2)
+    require(!nodes.isEmpty, "empty edge set")
     def renorm(raw0: DataFrame, c: String): DataFrame = {
       // raw: (node, s) sparse in-sums — MATERIALIZED (eager local
       // checkpoint) before the fan-out, because the max-normalizer and
@@ -66,15 +70,21 @@ object Hits {
       // half-step, compounding to 2^(2·iters) edge joins. The
       // checkpoint doubles as the per-iteration lineage cut (the q116
       // pattern), so no extra cut is needed in the loop.
+      //
+      // Scores stay SPARSE through the loop (r15 opt, guide §1.2): a
+      // node absent from raw is exactly a node whose densified score
+      // would be 0, and 0-score rows contribute nothing to the next
+      // half-step's edge-join sums — so the old per-half-step
+      // densifying join against the node universe was pure overhead.
+      // Densified ONCE at the end (coalesce 0), which is where the
+      // pure-source / pure-sink zeros of the output contract come from.
       val raw = raw0.localCheckpoint()
       val mx = raw.agg(max("s").as("mx"))
         .select(when(col("mx") > MaxRaw, raise_error(concat(
           lit("hitsFixedPoint: raw score exceeds fixed-point cap: "),
           col("mx").cast("string")))).otherwise(col("mx")).as("mx"))
-      nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(mx))
-        .select(col("node"),
-          expr(s"(coalesce(s, 0L) * $Scale) div mx").as(c))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"), expr(s"(s * $Scale) div mx").as(c))
     }
     var h = nodes.select(col("node"), lit(Scale).as("h"))
     var a: DataFrame = null
@@ -86,8 +96,11 @@ object Hits {
         .groupBy(col("u").as("node")).agg(sum("a").as("s"))
       h = renorm(hRaw, "h")
     }
-    val out = h.join(a, "node")
-      .select(col("node"), col("h").as("hub_fp"), col("a").as("auth_fp"))
+    val out = nodes
+      .join(h, Seq("node"), "left")
+      .join(a, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub_fp"),
+        coalesce(col("a"), lit(0L)).as("auth_fp"))
       .localCheckpoint()
     ed.unpersist()
     out

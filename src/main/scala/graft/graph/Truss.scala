@@ -44,10 +44,16 @@ object Truss {
     var n = cur.count()
     var stable = false
     var rounds = 0
-    var sup: DataFrame = null
+    var next: DataFrame = null
     while (rounds < maxRounds && !stable) {
-      sup = Triangles.edgeTriangleCounts(s, cur)
-      val next = cur.join(sup, Seq("a", "b"), "left")
+      // cur is already canonical (a < b, distinct: canonicalEdges at
+      // entry, a filtered subset thereafter) AND checkpointed, so the
+      // support recount goes straight to edgeTriangleCountsOf — the
+      // edgeTriangleCounts wrapper's canonicalEdges re-ran a full
+      // dedup exchange + cache over the survivor set every round for
+      // nothing (r15 opt, guide §2.4)
+      val sup = Triangles.edgeTriangleCountsOf(s, cur)
+      next = cur.join(sup, Seq("a", "b"), "left")
         .select(col("a"), col("b"),
           coalesce(col("cn"), lit(0L)).as("support"))
         .filter(col("support") >= minSup)
@@ -64,11 +70,13 @@ object Truss {
     if (n == 0) {
       cur.select(col("a"), col("b"), lit(0L).as("support")).limit(0)
     } else {
-      // support over the FINAL subgraph (the last round recounted on
-      // the stable edge set, so the last `sup` join is exact)
-      cur.join(sup, Seq("a", "b"), "left")
-        .select(col("a"), col("b"), coalesce(col("cn"), lit(0L)).as("support"))
-        .orderBy("a", "b")
+      // support over the FINAL subgraph: stability means the last
+      // round's filter kept EVERY edge (next ⊆ prev with equal count
+      // ⟹ next = prev), so the checkpointed `next` — the stable edge
+      // set with the support recounted over that same set — IS the
+      // answer; the old re-join against the lazy support table ran one
+      // more join job for rows already on disk (r15 opt, guide §1.2)
+      next.orderBy("a", "b")
     }
   }
 

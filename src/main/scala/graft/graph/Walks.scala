@@ -26,13 +26,29 @@ import graft.rel.Tables
 object Walks {
 
   /** Walk rows (start, step, node), step 0..`steps`, one walk per
-    * seed. Ordered (start, step).
+    * seed. Ordered (start, step). `distinctInput` = the caller
+    * guarantees `edges` is already a distinct directed pair table
+    * (e.g. a symmetrized union of a distinct bipartite half — the
+    * q383/q388 build), so the dedup exchange is skipped (r15 opt,
+    * guide §2.4: a distinct on data that is already unique).
     */
   def deterministicWalks(s: SparkSession, edges: DataFrame,
-      seeds: DataFrame, steps: Int, salt: String): DataFrame = {
+      seeds: DataFrame, steps: Int, salt: String,
+      distinctInput: Boolean = false): DataFrame =
+    walksUnordered(s, edges, seeds, steps, salt, distinctInput)
+      .orderBy("start", "step")
+
+  /** The walk corpus WITHOUT the presentation sort — downstream
+    * consumers keyed by (start, step) or node (q388's pair counting)
+    * pay the range exchange for nothing (r15 opt, guide §2.4: an
+    * orderBy used only to make output deterministic).
+    */
+  private def walksUnordered(s: SparkSession, edges: DataFrame,
+      seeds: DataFrame, steps: Int, salt: String,
+      distinctInput: Boolean): DataFrame = {
     require(steps >= 1 && steps <= 32, s"1 <= steps <= 32: $steps")
-    val ed = edges.select(col("u").cast("long"), col("v").cast("long"))
-      .distinct()
+    val ed0 = edges.select(col("u").cast("long"), col("v").cast("long"))
+    val ed = (if (distinctInput) ed0 else ed0.distinct())
       .repartition(col("u"))
       .cache()
     var head = seeds.select(col("node").cast("long").as("start"))
@@ -53,7 +69,7 @@ object Walks {
         head.select(col("start"), lit(t).as("step"), col("node")))
     }
     ed.unpersist()
-    out.orderBy("start", "step")
+    out
   }
 
   /** NODE-EMBEDDING AXIS from the walk corpus — DeepWalk's
@@ -71,8 +87,9 @@ object Walks {
     */
   def nodeEmbeddingAxis(s: SparkSession, edges: DataFrame,
       seeds: DataFrame, steps: Int, salt: String, minCount: Long = 2,
-      iters: Int = 5, k: Int = 15): DataFrame = {
-    val wk = deterministicWalks(s, edges, seeds, steps, salt)
+      iters: Int = 5, k: Int = 15,
+      distinctInput: Boolean = false): DataFrame = {
+    val wk = walksUnordered(s, edges, seeds, steps, salt, distinctInput)
       .localCheckpoint()
     val pr = (1 to 2).map { o =>
       val a = wk.select(col("start"), col("step"), col("node").as("na"))
@@ -107,7 +124,11 @@ object Walks {
         val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
         val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 0)
           .select((col("s_suppkey").cast("long") * 2 + 1).as("node"))
-        deterministicWalks(s, edges, seeds, steps = 5, salt = "w383")
+        // edges = symmetrized union of a DISTINCT bipartite (even, odd)
+        // half — the two orientations are disjoint, so the table is
+        // distinct by construction
+        deterministicWalks(s, edges, seeds, steps = 5, salt = "w383",
+          distinctInput = true)
       },
       Some {
         def step(prev: String, cur: String, t: Int): String =
@@ -149,7 +170,7 @@ object Walks {
         val seeds = Tables.supplier(s, d)
           .select((col("s_suppkey").cast("long") * 2 + 1).as("node"))
         nodeEmbeddingAxis(s, edges, seeds, steps = 8, salt = "ne388",
-          minCount = 2, iters = 5, k = 15)
+          minCount = 2, iters = 5, k = 15, distinctInput = true)
           .select(
             when(col("node") % 2 === 0, lit("customer"))
               .otherwise(lit("supplier")).as("kind"),

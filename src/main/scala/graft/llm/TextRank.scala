@@ -148,15 +148,23 @@ object TextRank {
       .withColumn("v", lit(1000000L))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
+      // the matvec is MATERIALIZED before fanning out to the max-
+      // normalizer and the score projection (the q316 renorm lesson,
+      // r15 opt): left lazy, the checkpoint of `v` evaluated the
+      // join + aggregation once in the main stream and once more
+      // inside the broadcast max subtree — 2× the matvec per round.
+      // `v` itself stays a lazy projection over the checkpointed
+      // matvec (its sole per-round consumer is the next join), so the
+      // job count per round is unchanged.
       val mv = ed.join(v.withColumnRenamed("term", "b"), "b")
         .groupBy("a").agg(sum((col("w") * col("v")).cast(dec38)).as("mv"))
+        .localCheckpoint(true)
       val m = mv.agg(max(abs(col("mv"))).as("mx"))
       v = mv.crossJoin(broadcast(m))
         .select(col("a").as("term"),
           when(col("mx") <= 0, raise_error(lit(
             "spectralTermAxis: zero matvec — empty PPMI graph")))
             .otherwise(expr("(mv * 1000000) div mx")).as("v"))
-        .localCheckpoint(true)
     }
     v.select(col("term"), col("v").as("v_micro"))
       .orderBy(desc("v_micro"), col("term"))

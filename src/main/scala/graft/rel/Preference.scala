@@ -103,13 +103,20 @@ object Preference {
         .select(col("i").as("item"),
           when(col("s") === 0, lit(0L))
             .otherwise(expr(s"(wi * $Inner) div s")).as("praw"))
-      val mx = praw.agg(max("praw").as("mx"))
-      p = praw.crossJoin(broadcast(mx))
+      // praw is MATERIALIZED before fanning out to the max-normalizer
+      // and the strength projection (the q316 renorm lesson, r15 opt):
+      // checkpointing `p` instead evaluated the base-join + aggregation
+      // once in the main stream and once more inside the broadcast max
+      // subtree — 2× the MM pass per round. `p` stays a lazy projection
+      // over the checkpointed round table (its consumers re-run only
+      // the item-sized max), so the job count per round is unchanged.
+      val prawM = praw.localCheckpoint(true)
+      val mx = prawM.agg(max("praw").as("mx"))
+      p = prawM.crossJoin(broadcast(mx))
         .select(col("item"),
           when(col("mx") === 0, raise_error(
             lit("bradleyTerry: all strengths collapsed to 0")))
             .otherwise(expr(s"(praw * $Micro) div mx")).as("p"))
-        .localCheckpoint(true) // eager: a lazy chain re-runs all rounds
     }
 
     val stats = base.groupBy("i")
