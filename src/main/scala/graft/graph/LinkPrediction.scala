@@ -44,10 +44,17 @@ object LinkPrediction {
     * cn desc, a, b), a < b.
     */
   def linkPredictionScores(s: SparkSession, edges: DataFrame,
-      degCap: Long = 4096L, topN: Int = 50): DataFrame = {
+      degCap: Long = 4096L, topN: Int = 50,
+      canonicalInput: Boolean = false): DataFrame = {
     require(degCap >= 1, s"degCap=$degCap")
     require(topN >= 1, s"topN=$topN")
-    val und = Triangles.canonicalEdges(edges).localCheckpoint()
+    // canonicalInput = caller guarantees `edges` is already a distinct
+    // (a < b) canonical table (the CoPurchase contract), skipping the
+    // re-canonicalization's dedup exchange (r15 opt, guide §2.4)
+    val und = (if (canonicalInput)
+        edges.select(col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"))
+      else Triangles.canonicalEdges(edges)).localCheckpoint()
     val nb = und.select(col("a").as("x"), col("b").as("y"))
       .union(und.select(col("b").as("x"), col("a").as("y")))
     val deg = nb.groupBy("x").agg(count(lit(1)).as("d"))
@@ -74,7 +81,7 @@ object LinkPrediction {
     //      resource allocation, common neighbors breaking ties. ----
     "q315_link_prediction" -> Q(
       (s, d) => linkPredictionScores(s, CoPurchase.edges(s, d),
-        degCap = 4096L, topN = 50),
+        degCap = 4096L, topN = 50, canonicalInput = true),
       Some(s"""WITH ${CoPurchase.Sql},
              |e AS (SELECT a, b FROM e0),
              |nb AS (SELECT a AS x, b AS y FROM e

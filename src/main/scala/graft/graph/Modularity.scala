@@ -32,8 +32,14 @@ import graft.rel.Tables
 object Modularity {
 
   def modularity(s: SparkSession, edges: DataFrame,
-      labels: DataFrame): DataFrame = {
-    val und = Triangles.canonicalEdges(edges).localCheckpoint(true)
+      labels: DataFrame, canonicalInput: Boolean = false): DataFrame = {
+    // canonicalInput = caller guarantees `edges` is already a distinct
+    // (a < b) canonical table (the CoPurchase contract), skipping the
+    // re-canonicalization's dedup exchange (r15 opt, guide §2.4)
+    val und = (if (canonicalInput)
+        edges.select(col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"))
+      else Triangles.canonicalEdges(edges)).localCheckpoint(true)
     val lab = labels.select(col("node").cast("long").as("node"),
       col("community").cast("string").as("c"))
       .groupBy("node").agg(max(col("c")).as("c")) // one label per node
@@ -86,7 +92,8 @@ object Modularity {
         val labels = Tables.part(s, d)
           .select(col("p_partkey").as("node"),
             col("p_brand").as("community"))
-        modularity(s, CoPurchase.edges(s, d), labels)
+        modularity(s, CoPurchase.edges(s, d), labels,
+          canonicalInput = true)
       },
       Some(s"""WITH ${CoPurchase.Sql},
              |e AS (SELECT a, b FROM e0),
