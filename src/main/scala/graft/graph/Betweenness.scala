@@ -46,10 +46,14 @@ object Betweenness {
     * bc_micro) for every node with a positive score.
     */
   def betweenness(s: SparkSession, edges: DataFrame, seeds: DataFrame,
-      maxHops: Int): DataFrame = {
+      maxHops: Int, distinctInput: Boolean = false): DataFrame = {
     require(maxHops >= 2 && maxHops <= 6, s"2 <= maxHops <= 6: $maxHops")
-    val ed = edges.select(col("u").cast("long"), col("v").cast("long"))
-      .distinct()
+    val ed0 = edges.select(col("u").cast("long"), col("v").cast("long"))
+    // distinctInput = caller guarantees `edges` is already a distinct
+    // directed pair table (the q375 build: a symmetrized union of a
+    // DISTINCT bipartite half — disjoint orientations), skipping the
+    // dedup exchange (r15 opt, guide §2.4)
+    val ed = (if (distinctInput) ed0 else ed0.distinct())
       .repartition(col("u"))
       .cache()
     // forward: one CHECKPOINTED frame per distance layer — the settled
@@ -151,7 +155,7 @@ object Betweenness {
         val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
         val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 0)
           .select((col("s_suppkey").cast("long") * 2 + 1).as("node"))
-        betweenness(s, edges, seeds, maxHops = 3)
+        betweenness(s, edges, seeds, maxHops = 3, distinctInput = true)
           .select(
             when(col("node") % 2 === 0, lit("customer"))
               .otherwise(lit("supplier")).as("kind"),

@@ -51,11 +51,16 @@ object PageRank {
     */
   def pagerankFixedPoint(s: SparkSession, edges: DataFrame, iters: Int = 5,
       dampNum: Int = 85, dampDen: Int = 100,
-      mass: Long = 1000000000000L): DataFrame = {
+      mass: Long = 1000000000000L,
+      distinctInput: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < num < den: $dampNum/$dampDen")
-    val ed = edges.select(col("u").cast("long"), col("v").cast("long"))
-      .distinct()
+    val ed0 = edges.select(col("u").cast("long"), col("v").cast("long"))
+    // distinctInput = caller guarantees `edges` is already a distinct
+    // directed pair table (the q116/q132 trade graph: a symmetrized
+    // union of a DISTINCT bipartite half — disjoint orientations),
+    // skipping the dedup exchange (r15 opt, guide §2.4)
+    val ed = (if (distinctInput) ed0 else ed0.distinct())
       .repartition(col("u")) // the one edge shuffle; reused every iteration
       .cache()
     val deg = ed.groupBy("u").agg(count(lit(1)).as("d")).cache()
@@ -113,11 +118,13 @@ object PageRank {
     */
   def personalizedPagerank(s: SparkSession, edges: DataFrame, seeds: DataFrame,
       iters: Int = 5, dampNum: Int = 85, dampDen: Int = 100,
-      mass: Long = 1000000000000L): DataFrame = {
+      mass: Long = 1000000000000L,
+      distinctInput: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < num < den: $dampNum/$dampDen")
-    val ed = edges.select(col("u").cast("long"), col("v").cast("long"))
-      .distinct()
+    val ed0 = edges.select(col("u").cast("long"), col("v").cast("long"))
+    // distinctInput: see pagerankFixedPoint (r15 opt, guide §2.4)
+    val ed = (if (distinctInput) ed0 else ed0.distinct())
       .repartition(col("u"))
       .cache()
     val deg = ed.groupBy("u").agg(count(lit(1)).as("d")).cache()
@@ -176,12 +183,19 @@ object PageRank {
     */
   def weightedPagerank(s: SparkSession, edges: DataFrame, iters: Int = 5,
       dampNum: Int = 85, dampDen: Int = 100,
-      mass: Long = 1000000000000L): DataFrame = {
+      mass: Long = 1000000000000L,
+      preAggregated: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < num < den: $dampNum/$dampDen")
-    val ed = edges
-      .groupBy(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
-      .agg(sum(col("w").cast("long")).as("w")) // duplicate edges add weight
+    val ed0 = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"), col("w").cast("long").as("w"))
+    // preAggregated = caller guarantees one row per (u, v) (the q146
+    // build: a symmetrized union of a groupBy output — disjoint
+    // orientations of unique pairs), skipping the weight-merge
+    // exchange; the default path still merges duplicate edges by
+    // adding their weights (r15 opt, guide §2.4)
+    val ed = (if (preAggregated) ed0
+      else ed0.groupBy("u", "v").agg(sum("w").as("w")))
       .repartition(col("u"))
       .cache()
     val deg = ed.groupBy("u").agg(sum("w").as("wu")).cache()
@@ -300,7 +314,8 @@ object PageRank {
 
   val all: ListMap[String, Q] = ListMap(
     "q116_pagerank" -> Q(
-      (s, d) => pagerankFixedPoint(s, tradeEdges(s, d), iters = 5)
+      (s, d) => pagerankFixedPoint(s, tradeEdges(s, d), iters = 5,
+          distinctInput = true)
         .select(
           when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
             .as("kind"),
@@ -321,7 +336,7 @@ object PageRank {
             (col("l_suppkey").cast("long") * 2 + 1).as("v"))
           .agg(countDistinct(col("o_orderkey")).as("w"))
         val ed = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
-        weightedPagerank(s, ed, iters = 5)
+        weightedPagerank(s, ed, iters = 5, preAggregated = true)
           .select(
             when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
               .as("kind"),
@@ -366,7 +381,8 @@ object PageRank {
       (s, d) => {
         val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 0)
           .select((col("s_suppkey").cast("long") * 2 + 1).as("node"))
-        personalizedPagerank(s, tradeEdges(s, d), seeds, iters = 5)
+        personalizedPagerank(s, tradeEdges(s, d), seeds, iters = 5,
+          distinctInput = true)
           .select(
             when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
               .as("kind"),

@@ -74,7 +74,10 @@ object TextRank {
       .select(col("u"), col("v"), col("c2").as("w"))
     val ed = e1.unionAll(e1.select(col("v").as("u"), col("u").as("v"),
       col("w")))
-    PageRank.weightedPagerank(s, ed, iters = iters)
+    // ed = symmetrized union of unique (a < b ⟹ u < v under the
+    // order-preserving id map) aggregated pairs — disjoint
+    // orientations, one row per (u, v) by construction
+    PageRank.weightedPagerank(s, ed, iters = iters, preAggregated = true)
       .join(vocab.select(col("id").as("node"), col("term")), "node")
       .select(col("term"), col("r").as("rank_fp"))
       .orderBy(desc("rank_fp"), col("term"))
